@@ -1,0 +1,5 @@
+"""emodb_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of bazaarvoice/emodb (reference studied at
+/root/reference; built from scratch, Spark-first)."""
+
+__version__ = "0.1.0"

@@ -1,0 +1,181 @@
+"""Document resolution: the per-key ordered fold of deltas.
+
+Semantics from the reference's DefaultResolver
+(sor core/DefaultResolver.java:67-132):
+
+current document = left fold of deltas in changeId (time-UUID) order over
+UNDEFINED, with intrinsics maintained per step:
+
+- ``~version``      += 1 per delta
+- ``~signature``     = md5(prev_signature_bytes ++ changeId_bytes), seeded
+                       with 16 zero bytes
+- ``~deleted``       = content is UNDEFINED
+- ``~firstUpdateAt`` = timestamp of first changeId (never resets)
+- ``~lastUpdateAt``  = timestamp of last changeId
+- ``~lastMutateAt``  = timestamp of the last delta that changed content
+                       (or the very first delta even if it didn't)
+
+A delta that leaves content unchanged *and* carries the same tags as the
+previous delta is flagged **redundant** (DefaultResolver.java:73-87) — the
+streaming layer suppresses databus events for redundant deltas.
+
+This is pure Python so it can run inside an ``applyInPandas`` fold on Spark
+(emodb_spark/spark/resolve_ops.py) and serve as the differential oracle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Iterable, List, Optional, Sequence, Set, Tuple
+
+from ..language import deltas as D
+from ..language.ceval import Intrinsics
+from ..language.deval import eval_delta
+from ..language.hashes import SIGNATURE_ZERO, signature_step
+from ..language.parser import parse_delta
+from ..language.values import UNDEFINED, json_equals
+from .timeuuid import iso8601, uuid_sort_key, uuid_timestamp_millis
+
+
+@dataclass
+class Resolved:
+    """Result of folding one document's delta log."""
+
+    content: Any  # dict, or UNDEFINED when deleted
+    version: int = 0
+    signature: str = SIGNATURE_ZERO
+    deleted: bool = True
+    first_update_at: Optional[str] = None
+    last_update_at: Optional[str] = None
+    last_mutate_at: Optional[str] = None
+    redundant_change_ids: Set[str] = field(default_factory=set)
+    last_tags: Tuple[str, ...] = ()
+
+
+class Resolver:
+    """Incremental fold; feed deltas in changeId order via :meth:`update`."""
+
+    def __init__(self, table: str, key: str, placement: str = "default"):
+        self._table = table
+        self._key = key
+        self._placement = placement
+        self._content: Any = UNDEFINED
+        self._version = 0
+        self._signature = SIGNATURE_ZERO
+        self._first_update_at: Optional[int] = None
+        self._last_update_at: Optional[int] = None
+        self._last_mutate_at: Optional[int] = None
+        self._last_tags: Tuple[str, ...] = ()
+        self._redundant: Set[str] = set()
+
+    def _intrinsics(self) -> Intrinsics:
+        return Intrinsics(
+            id=self._key,
+            table=self._table,
+            signature=self._signature,
+            deleted=self._content is UNDEFINED,
+            first_update_at=(
+                iso8601(self._first_update_at) if self._first_update_at is not None else None
+            ),
+            last_update_at=(
+                iso8601(self._last_update_at) if self._last_update_at is not None else None
+            ),
+            last_mutate_at=(
+                iso8601(self._last_mutate_at) if self._last_mutate_at is not None else None
+            ),
+            placement=self._placement,
+        )
+
+    def update(self, change_id: str, delta, tags: Sequence[str] = ()) -> bool:
+        """Apply one delta; returns True if it was redundant."""
+        if isinstance(delta, str):
+            delta = parse_delta(delta)
+        tags_t = tuple(sorted(tags or ()))
+
+        updated = eval_delta(delta, self._content, self._intrinsics())
+        content_changed = not _content_equals(self._content, updated)
+
+        redundant = not content_changed and self._last_tags == tags_t
+        if redundant:
+            self._redundant.add(change_id)
+
+        millis = uuid_timestamp_millis(change_id)
+        self._content = updated
+        self._last_tags = tags_t
+        self._version += 1
+        self._signature = signature_step(self._signature, change_id)
+        if self._first_update_at is None:
+            self._first_update_at = millis
+        self._last_update_at = millis
+        if content_changed or self._last_mutate_at is None:
+            self._last_mutate_at = millis
+        return redundant
+
+    def resolved(self) -> Resolved:
+        return Resolved(
+            content=self._content,
+            version=self._version,
+            signature=self._signature,
+            deleted=self._content is UNDEFINED,
+            first_update_at=(
+                iso8601(self._first_update_at) if self._first_update_at is not None else None
+            ),
+            last_update_at=(
+                iso8601(self._last_update_at) if self._last_update_at is not None else None
+            ),
+            last_mutate_at=(
+                iso8601(self._last_mutate_at) if self._last_mutate_at is not None else None
+            ),
+            redundant_change_ids=set(self._redundant),
+            last_tags=self._last_tags,
+        )
+
+
+def _content_equals(a: Any, b: Any) -> bool:
+    if a is UNDEFINED or b is UNDEFINED:
+        return a is b
+    return json_equals(a, b)
+
+
+def resolve_document(
+    table: str,
+    key: str,
+    updates: Iterable[Tuple[str, Any, Sequence[str]]],
+    placement: str = "default",
+    presorted: bool = False,
+) -> Resolved:
+    """Fold a document's (change_id, delta, tags) log into its current state.
+
+    ``updates`` may arrive unsorted; they are ordered by time-UUID unless
+    ``presorted``.
+    """
+    resolver = Resolver(table, key, placement)
+    items = list(updates)
+    if not presorted:
+        items.sort(key=lambda u: uuid_sort_key(u[0]))
+    for change_id, delta, tags in items:
+        resolver.update(change_id, delta, tags)
+    return resolver.resolved()
+
+
+def resolved_to_document(table: str, key: str, r: Resolved, placement: str = "default") -> Optional[dict]:
+    """Render a Resolved as the full document map with intrinsics stamped in
+    (DefaultDataStore.toContent — sor core/DefaultDataStore.java:475-521).
+    Returns None when the document was never written (version 0 + deleted and
+    caller excludes deletes)."""
+    doc: dict = {}
+    if isinstance(r.content, dict):
+        doc.update(r.content)
+    doc["~id"] = key
+    doc["~table"] = table
+    doc["~version"] = r.version
+    doc["~signature"] = r.signature
+    doc["~deleted"] = bool(r.deleted)
+    doc["~placement"] = placement
+    if r.first_update_at is not None:
+        doc["~firstUpdateAt"] = r.first_update_at
+    if r.last_update_at is not None:
+        doc["~lastUpdateAt"] = r.last_update_at
+    if r.last_mutate_at is not None:
+        doc["~lastMutateAt"] = r.last_mutate_at
+    return doc

@@ -1,0 +1,87 @@
+"""Time-UUID helpers (change ids).
+
+The reference orders every document's delta log by time-UUID ``changeId``
+(sor-api uuid/TimeUUIDs.java): primary order is the 60-bit UUIDv1 timestamp,
+ties broken by the remaining bits. We generate real RFC-4122 v1 UUIDs with a
+deterministic node/clock-seq option so tests are reproducible, and expose the
+(timestamp_millis, uuid) sort key used by the resolver fold.
+"""
+
+from __future__ import annotations
+
+import threading
+import uuid as _uuid
+from datetime import datetime, timezone
+from typing import Optional, Tuple
+
+# Offset between the UUID epoch (1582-10-15) and the Unix epoch, in 100ns.
+_UUID_EPOCH_OFFSET_100NS = 0x01B21DD213814000
+
+
+def uuid_timestamp_100ns(u: _uuid.UUID) -> int:
+    if u.version != 1:
+        raise ValueError(f"not a time-UUID: {u}")
+    return u.time
+
+
+def uuid_timestamp_millis(u) -> int:
+    """Milliseconds since the Unix epoch of a v1 UUID (string or UUID)."""
+    if isinstance(u, str):
+        u = _uuid.UUID(u)
+    return (u.time - _UUID_EPOCH_OFFSET_100NS) // 10_000
+
+
+def uuid_sort_key(u) -> Tuple[int, bytes]:
+    """Total order: timestamp first, then raw bytes (stable tiebreak)."""
+    if isinstance(u, str):
+        u = _uuid.UUID(u)
+    return (u.time, u.bytes)
+
+
+def iso8601(millis: int) -> str:
+    """Render epoch millis the way the reference renders intrinsic
+    timestamps: ISO-8601 with milliseconds and a literal Z."""
+    dt = datetime.fromtimestamp(millis / 1000.0, tz=timezone.utc)
+    return dt.strftime("%Y-%m-%dT%H:%M:%S.") + f"{millis % 1000:03d}Z"
+
+
+class TimeUUIDGenerator:
+    """Monotonic v1 UUID generator. With a fixed ``node`` and starting
+    ``millis`` it is fully deterministic (for tests and synthetic logs)."""
+
+    def __init__(self, node: Optional[int] = None, start_millis: Optional[int] = None):
+        self._node = node if node is not None else _uuid.getnode()
+        self._lock = threading.Lock()
+        # With a fixed start, each next() advances exactly 1 ms — deterministic.
+        self._deterministic = start_millis is not None
+        if start_millis is not None:
+            self._last_100ns = start_millis * 10_000 + _UUID_EPOCH_OFFSET_100NS - 10_000
+        else:
+            self._last_100ns = 0
+        self._clock_seq = 0
+
+    def next(self, millis: Optional[int] = None) -> str:
+        with self._lock:
+            if millis is not None:
+                ts = millis * 10_000 + _UUID_EPOCH_OFFSET_100NS
+            elif self._deterministic:
+                ts = self._last_100ns + 10_000
+            else:
+                now = int(datetime.now(tz=timezone.utc).timestamp() * 1000)
+                ts = now * 10_000 + _UUID_EPOCH_OFFSET_100NS
+            if ts <= self._last_100ns:
+                ts = self._last_100ns + 1
+            self._last_100ns = ts
+            time_low = ts & 0xFFFFFFFF
+            time_mid = (ts >> 32) & 0xFFFF
+            time_hi_version = ((ts >> 48) & 0x0FFF) | 0x1000
+            clock_seq = (self._clock_seq & 0x3FFF) | 0x8000
+            fields = (
+                time_low,
+                time_mid,
+                time_hi_version,
+                clock_seq >> 8,
+                clock_seq & 0xFF,
+                self._node & 0xFFFFFFFFFFFF,
+            )
+            return str(_uuid.UUID(fields=fields))

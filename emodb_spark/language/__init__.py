@@ -1,0 +1,12 @@
+"""Pure-Python core of the condition/delta languages (no Spark deps)."""
+
+from . import conditions, deltas
+from .ceval import Intrinsics, eval_condition
+from .deval import eval_delta
+from .parser import parse_condition, parse_delta
+from .values import UNDEFINED
+
+__all__ = [
+    "conditions", "deltas", "Intrinsics", "eval_condition", "eval_delta",
+    "parse_condition", "parse_delta", "UNDEFINED",
+]

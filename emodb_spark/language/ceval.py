@@ -1,0 +1,189 @@
+"""Condition evaluator — tree-walking interpreter.
+
+Implements the truth semantics of the reference's ConditionEvaluator
+(sor-api condition/eval/ConditionEvaluator.java:38-285):
+
+- ``equal``/``in``: strict boxed equality (int never equals float).
+- ``gt/ge/lt/le``: false on null/undefined/type-mismatch/non-scalar; numeric
+  pairs compare as long unless either side is floating, then as double;
+  string pairs compare lexicographically.
+- ``contains*``: false if value is not an array; empty ALL/ANY → true,
+  empty ONLY → exact-empty match.
+- map conditions: missing keys present UNDEFINED to sub-conditions.
+- ``partition(n, c)``: murmur3_32 coordinate hash, 1-based.
+
+This interpreter is the row-level fallback for schemaless documents and the
+differential-testing oracle for the Spark Column compiler
+(emodb_spark/spark/compiler.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Optional
+
+from . import conditions as C
+from .hashes import coordinate_partition
+from .values import UNDEFINED, is_bool, is_float, is_number, json_equals
+
+
+@dataclass
+class Intrinsics:
+    """Intrinsic document fields visible to conditions
+    (sor-api api/Intrinsic.java:15-27; delta/eval/Intrinsics.java)."""
+
+    id: Optional[str] = None
+    table: Optional[str] = None
+    signature: Optional[str] = None
+    deleted: Optional[bool] = None
+    first_update_at: Optional[str] = None
+    last_update_at: Optional[str] = None
+    last_mutate_at: Optional[str] = None
+    placement: Optional[str] = None
+
+    def get(self, name: str) -> Any:
+        if name == C.INTRINSIC_ID:
+            return self.id
+        if name == C.INTRINSIC_TABLE:
+            return self.table
+        if name == C.INTRINSIC_SIGNATURE:
+            return self.signature
+        if name == C.INTRINSIC_DELETED:
+            return self.deleted
+        if name == C.INTRINSIC_FIRST_UPDATE_AT:
+            return self.first_update_at
+        if name == C.INTRINSIC_LAST_UPDATE_AT:
+            return self.last_update_at
+        if name == C.INTRINSIC_LAST_MUTATE_AT:
+            return self.last_mutate_at
+        if name == C.INTRINSIC_PLACEMENT:
+            return self.placement
+        raise ValueError(f"unsupported intrinsic: {name}")
+
+
+def eval_condition(
+    cond: C.Condition, json: Any, intrinsics: Optional[Intrinsics] = None
+) -> bool:
+    if isinstance(cond, C.ConstantCondition):
+        return cond.value
+
+    if isinstance(cond, C.EqualCondition):
+        return json_equals(cond.value, json)
+
+    if isinstance(cond, C.InCondition):
+        return any(json_equals(v, json) for v in cond.values)
+
+    if isinstance(cond, C.IntrinsicCondition):
+        if intrinsics is None:
+            raise ValueError("intrinsics are not available in this context")
+        return eval_condition(cond.condition, intrinsics.get(cond.name), intrinsics)
+
+    if isinstance(cond, C.IsCondition):
+        s = cond.state
+        if s == "undefined":
+            return json is UNDEFINED
+        if s == "defined":
+            return json is not UNDEFINED
+        if s == "null":
+            return json is None
+        if s == "bool":
+            return is_bool(json)
+        if s == "num":
+            return is_number(json)
+        if s == "string":
+            return isinstance(json, str)
+        if s == "array":
+            return isinstance(json, list)
+        if s == "object":
+            return isinstance(json, dict)
+        raise ValueError(s)
+
+    if isinstance(cond, C.ComparisonCondition):
+        return _eval_comparison(cond, json)
+
+    if isinstance(cond, C.ContainsCondition):
+        return _eval_contains(cond, json)
+
+    if isinstance(cond, C.LikeCondition):
+        return isinstance(json, str) and cond.matches(json)
+
+    if isinstance(cond, C.NotCondition):
+        return not eval_condition(cond.condition, json, intrinsics)
+
+    if isinstance(cond, C.AndCondition):
+        return all(eval_condition(c, json, intrinsics) for c in cond.conditions)
+
+    if isinstance(cond, C.OrCondition):
+        return any(eval_condition(c, json, intrinsics) for c in cond.conditions)
+
+    if isinstance(cond, C.MapCondition):
+        if not isinstance(json, dict):
+            return False
+        for key, sub in cond.entries.items():
+            value = json[key] if key in json else UNDEFINED
+            if not eval_condition(sub, value, intrinsics):
+                return False
+        return True
+
+    if isinstance(cond, C.PartitionCondition):
+        if intrinsics is None or intrinsics.table is None or intrinsics.id is None:
+            raise ValueError("partition() requires table/id intrinsics")
+        modulo = coordinate_partition(
+            intrinsics.table, intrinsics.id, cond.num_partitions
+        )
+        return eval_condition(cond.condition, modulo, intrinsics)
+
+    raise TypeError(f"unknown condition node: {type(cond)!r}")
+
+
+def _eval_comparison(cond: C.ComparisonCondition, json: Any) -> bool:
+    value = cond.value
+    if json is None or json is UNDEFINED or value is None:
+        return False
+    if is_bool(json) or is_bool(value):
+        return False
+    if is_number(json) and is_number(value):
+        if is_float(json) or is_float(value):
+            a, b = float(json), float(value)
+        else:
+            a, b = int(json), int(value)
+    elif isinstance(json, str) and isinstance(value, str):
+        a, b = json, value
+    else:
+        return False
+    if cond.op == "gt":
+        return a > b
+    if cond.op == "ge":
+        return a >= b
+    if cond.op == "lt":
+        return a < b
+    if cond.op == "le":
+        return a <= b
+    raise ValueError(cond.op)
+
+
+def _eval_contains(cond: C.ContainsCondition, json: Any) -> bool:
+    values = cond.values
+    if not values and cond.containment != C.ContainsCondition.ONLY:
+        # Empty subset is contained in everything (ConditionEvaluator:169-175).
+        return True
+    if not isinstance(json, list):
+        return False
+    found = 0
+    is_any = cond.containment == C.ContainsCondition.ANY
+    # Strict equality — 5 does not "contain-match" 5.0.
+    distinct: list = []
+    for x in json:
+        if not any(json_equals(x, d) for d in distinct):
+            distinct.append(x)
+    for v in values:
+        contained = any(json_equals(v, x) for x in distinct)
+        if contained:
+            if is_any:
+                return True
+            found += 1
+        elif not is_any:
+            return False
+    if cond.containment == C.ContainsCondition.ONLY:
+        return found == len(distinct)
+    return not is_any

@@ -1,0 +1,447 @@
+"""Condition AST — the engine's WHERE language.
+
+From-scratch implementation of the reference's condition predicate language
+(bazaarvoice/emodb sor-api condition/*; string syntax documented in
+docs/_posts/2016-08-29-deltas.md:441-727). Node set per SURVEY.md §2.2:
+constant, equal, in, intrinsic, is, comparison (gt/ge/lt/le), contains
+(all/any/only), like, map, and, or, not, partition.
+
+Build-time simplifications mirror Conditions.java:24-218:
+``in`` dedupes (empty → alwaysFalse, singleton → equal), ``not(not(x)) → x``,
+``and()`` → alwaysTrue, ``or()`` → alwaysFalse, like without wildcards →
+exact match specialization.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+from .values import canonical_json, json_equals, validate_json
+
+# Intrinsic field names (sor-api api/Intrinsic.java:15-27).
+INTRINSIC_ID = "~id"
+INTRINSIC_TABLE = "~table"
+INTRINSIC_VERSION = "~version"
+INTRINSIC_SIGNATURE = "~signature"
+INTRINSIC_DELETED = "~deleted"
+INTRINSIC_FIRST_UPDATE_AT = "~firstUpdateAt"
+INTRINSIC_LAST_UPDATE_AT = "~lastUpdateAt"
+INTRINSIC_LAST_MUTATE_AT = "~lastMutateAt"
+INTRINSIC_PLACEMENT = "~placement"
+
+INTRINSICS = frozenset(
+    {
+        INTRINSIC_ID,
+        INTRINSIC_TABLE,
+        INTRINSIC_VERSION,
+        INTRINSIC_SIGNATURE,
+        INTRINSIC_DELETED,
+        INTRINSIC_FIRST_UPDATE_AT,
+        INTRINSIC_LAST_UPDATE_AT,
+        INTRINSIC_LAST_MUTATE_AT,
+        INTRINSIC_PLACEMENT,
+    }
+)
+
+IS_STATES = ("undefined", "defined", "null", "bool", "num", "string", "array", "object")
+
+COMPARISONS = ("gt", "ge", "lt", "le")
+
+
+class Condition:
+    """Base class for all condition nodes."""
+
+    def __str__(self) -> str:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def __repr__(self) -> str:
+        return f"{type(self).__name__}({self})"
+
+    def __eq__(self, other: Any) -> bool:
+        return type(self) is type(other) and str(self) == str(other)
+
+    def __hash__(self) -> int:
+        return hash((type(self).__name__, str(self)))
+
+
+class ConstantCondition(Condition):
+    def __init__(self, value: bool):
+        self.value = bool(value)
+
+    def __str__(self) -> str:
+        return "alwaysTrue()" if self.value else "alwaysFalse()"
+
+
+ALWAYS_TRUE = ConstantCondition(True)
+ALWAYS_FALSE = ConstantCondition(False)
+
+
+class EqualCondition(Condition):
+    def __init__(self, value: Any):
+        self.value = validate_json(value)
+
+    def __str__(self) -> str:
+        return canonical_json(self.value)
+
+
+class InCondition(Condition):
+    """Set membership; values are deduped at build time."""
+
+    def __init__(self, values: Sequence[Any]):
+        deduped: List[Any] = []
+        for v in values:
+            validate_json(v)
+            if not any(json_equals(v, d) for d in deduped):
+                deduped.append(v)
+        self.values = deduped
+
+    def __str__(self) -> str:
+        return "in(" + ",".join(canonical_json(v) for v in self.values) + ")"
+
+
+class IntrinsicCondition(Condition):
+    def __init__(self, name: str, condition: Condition):
+        if name not in INTRINSICS:
+            raise ValueError(f"unknown intrinsic: {name}")
+        if name == INTRINSIC_VERSION:
+            # ~version unsupported by design (ConditionEvaluator.java:80-83).
+            raise ValueError("intrinsic ~version is not supported")
+        self.name = name
+        self.condition = condition
+
+    def __str__(self) -> str:
+        return f'intrinsic({json.dumps(self.name)}:{self.condition})'
+
+
+class IsCondition(Condition):
+    def __init__(self, state: str):
+        if state not in IS_STATES:
+            raise ValueError(f"unknown is() state: {state}")
+        self.state = state
+
+    def __str__(self) -> str:
+        return f"is({self.state})"
+
+
+class ComparisonCondition(Condition):
+    def __init__(self, op: str, value: Any):
+        if op not in COMPARISONS:
+            raise ValueError(f"unknown comparison: {op}")
+        validate_json(value)
+        if not isinstance(value, (int, float, str)) or isinstance(value, bool):
+            raise ValueError("comparison values must be number or string")
+        self.op = op
+        self.value = value
+
+    def __str__(self) -> str:
+        return f"{self.op}({canonical_json(self.value)})"
+
+
+class ContainsCondition(Condition):
+    ALL = "All"
+    ANY = "Any"
+    ONLY = "Only"
+
+    def __init__(self, containment: str, values: Sequence[Any]):
+        if containment not in (self.ALL, self.ANY, self.ONLY):
+            raise ValueError(f"unknown containment: {containment}")
+        deduped: List[Any] = []
+        for v in values:
+            validate_json(v)
+            if not any(json_equals(v, d) for d in deduped):
+                deduped.append(v)
+        self.containment = containment
+        self.values = deduped
+
+    def __str__(self) -> str:
+        body = ",".join(canonical_json(v) for v in self.values)
+        if self.containment == self.ALL and len(self.values) == 1:
+            return f"contains({body})"
+        return f"contains{self.containment}({body})"
+
+
+class LikeCondition(Condition):
+    """Glob match: ``*`` wildcard, ``\\`` escapes the next character; strings
+    only (condition/impl/LikeConditionImpl.java:30-130).
+
+    Parsed into literal parts separated by wildcards; consecutive wildcards
+    collapse. ``parts`` has N+1 literal substrings for N wildcards.
+    """
+
+    def __init__(self, pattern: str):
+        if not isinstance(pattern, str):
+            raise ValueError("like() requires a string pattern")
+        self.pattern = pattern
+        self.parts = self._parse(pattern)
+
+    @staticmethod
+    def _parse(pattern: str) -> List[str]:
+        parts: List[str] = []
+        cur: List[str] = []
+        i, n = 0, len(pattern)
+        while i < n:
+            ch = pattern[i]
+            if ch == "\\":
+                if i == n - 1:
+                    raise ValueError(f"invalid terminal escape at position {i}")
+                cur.append(pattern[i + 1])
+                i += 2
+            elif ch == "*":
+                parts.append("".join(cur))
+                cur = []
+                # collapse consecutive wildcards
+                while i + 1 < n and pattern[i + 1] == "*":
+                    i += 1
+                i += 1
+            else:
+                cur.append(ch)
+                i += 1
+        parts.append("".join(cur))
+        return parts
+
+    def matches(self, s: str) -> bool:
+        parts = self.parts
+        if len(parts) == 1:  # no wildcard: exact match on unescaped text
+            return s == parts[0]
+        head, tail, middle = parts[0], parts[-1], parts[1:-1]
+        if len(s) < len(head) + len(tail) + sum(len(p) for p in middle):
+            return False
+        if not s.startswith(head) or not s.endswith(tail):
+            return False
+        pos = len(head)
+        end = len(s) - len(tail)
+        for part in middle:
+            if not part:
+                continue
+            idx = s.find(part, pos, end)
+            if idx < 0:
+                return False
+            pos = idx + len(part)
+        return True
+
+    def has_wildcard(self) -> bool:
+        return len(self.parts) > 1
+
+    def __str__(self) -> str:
+        return f"like({json.dumps(self.pattern)})"
+
+
+class NotCondition(Condition):
+    def __init__(self, condition: Condition):
+        self.condition = condition
+
+    def __str__(self) -> str:
+        return f"not({self.condition})"
+
+
+class AndCondition(Condition):
+    def __init__(self, conditions: Sequence[Condition]):
+        self.conditions = list(conditions)
+
+    def __str__(self) -> str:
+        return "and(" + ",".join(str(c) for c in self.conditions) + ")"
+
+
+class OrCondition(Condition):
+    def __init__(self, conditions: Sequence[Condition]):
+        self.conditions = list(conditions)
+
+    def __str__(self) -> str:
+        return "or(" + ",".join(str(c) for c in self.conditions) + ")"
+
+
+class MapCondition(Condition):
+    """Per-key sub-conditions on a JSON object, ANDed; a missing key presents
+    UNDEFINED to its sub-condition; non-objects fail
+    (ConditionEvaluator.java:251-262,278-284)."""
+
+    def __init__(self, entries: Dict[str, Condition]):
+        self.entries = dict(entries)
+
+    def __str__(self) -> str:
+        body = ",".join(
+            f"{json.dumps(k)}:{v}" for k, v in sorted(self.entries.items())
+        )
+        return "{..," + body + "}" if body else "{..}"
+
+
+class PartitionCondition(Condition):
+    """Hash the doc coordinate into 1..numPartitions (murmur3_32 over
+    UTF-8(table)+UTF-8(id), Java abs, % n, +1 —
+    ConditionEvaluator.java:266-276) and test the sub-condition on it."""
+
+    def __init__(self, num_partitions: int, condition: Condition):
+        if num_partitions < 1:
+            raise ValueError("numPartitions must be >= 1")
+        self.num_partitions = int(num_partitions)
+        self.condition = condition
+
+    def __str__(self) -> str:
+        return f"partition({self.num_partitions}:{self.condition})"
+
+
+# ---------------------------------------------------------------------------
+# Factories with build-time simplification (mirrors Conditions.java).
+# ---------------------------------------------------------------------------
+
+
+def always_true() -> Condition:
+    return ALWAYS_TRUE
+
+
+def always_false() -> Condition:
+    return ALWAYS_FALSE
+
+
+def equal(value: Any) -> Condition:
+    return EqualCondition(value)
+
+
+def in_(values: Sequence[Any]) -> Condition:
+    cond = InCondition(values)
+    if not cond.values:
+        return ALWAYS_FALSE
+    if len(cond.values) == 1:
+        return EqualCondition(cond.values[0])
+    return cond
+
+
+def intrinsic(name: str, condition: Any) -> Condition:
+    if not isinstance(condition, Condition):
+        condition = EqualCondition(condition)
+    return IntrinsicCondition(name, condition)
+
+
+def is_(state: str) -> Condition:
+    return IsCondition(state)
+
+
+def gt(v: Any) -> Condition:
+    return ComparisonCondition("gt", v)
+
+
+def ge(v: Any) -> Condition:
+    return ComparisonCondition("ge", v)
+
+
+def lt(v: Any) -> Condition:
+    return ComparisonCondition("lt", v)
+
+
+def le(v: Any) -> Condition:
+    return ComparisonCondition("le", v)
+
+
+def contains(value: Any) -> Condition:
+    return ContainsCondition(ContainsCondition.ALL, [value])
+
+
+def contains_all(values: Sequence[Any]) -> Condition:
+    return ContainsCondition(ContainsCondition.ALL, values)
+
+
+def contains_any(values: Sequence[Any]) -> Condition:
+    return ContainsCondition(ContainsCondition.ANY, values)
+
+
+def contains_only(values: Sequence[Any]) -> Condition:
+    return ContainsCondition(ContainsCondition.ONLY, values)
+
+
+def like(pattern: str) -> Condition:
+    return LikeCondition(pattern)
+
+
+def not_(condition: Condition) -> Condition:
+    # not(not(x)) → x; constant folding (Conditions.java:172-177).
+    if isinstance(condition, NotCondition):
+        return condition.condition
+    if isinstance(condition, ConstantCondition):
+        return ALWAYS_FALSE if condition.value else ALWAYS_TRUE
+    return NotCondition(condition)
+
+
+def and_(conditions: Sequence[Condition]) -> Condition:
+    flat: List[Condition] = []
+    for c in conditions:
+        if isinstance(c, AndCondition):
+            flat.extend(c.conditions)
+        elif isinstance(c, ConstantCondition):
+            if not c.value:
+                return ALWAYS_FALSE
+            # drop alwaysTrue terms
+        else:
+            flat.append(c)
+    if not flat:
+        return ALWAYS_TRUE
+    if len(flat) == 1:
+        return flat[0]
+    return AndCondition(flat)
+
+
+def or_(conditions: Sequence[Condition]) -> Condition:
+    flat: List[Condition] = []
+    values: List[Any] = []  # merge equal/in terms
+    for c in conditions:
+        if isinstance(c, OrCondition):
+            c_conds: List[Condition] = c.conditions
+        else:
+            c_conds = [c]
+        for cc in c_conds:
+            if isinstance(cc, ConstantCondition):
+                if cc.value:
+                    return ALWAYS_TRUE
+                continue
+            if isinstance(cc, EqualCondition):
+                values.append(cc.value)
+            elif isinstance(cc, InCondition):
+                values.extend(cc.values)
+            else:
+                flat.append(cc)
+    if values:
+        merged = in_(values)
+        if merged is not ALWAYS_FALSE:
+            flat.append(merged)
+    if not flat:
+        return ALWAYS_FALSE
+    if len(flat) == 1:
+        return flat[0]
+    return OrCondition(flat)
+
+
+def map_builder() -> "MapConditionBuilder":
+    return MapConditionBuilder()
+
+
+def partition(num_partitions: int, condition: Any) -> Condition:
+    if not isinstance(condition, Condition):
+        condition = EqualCondition(condition)
+    return PartitionCondition(num_partitions, condition)
+
+
+class MapConditionBuilder:
+    def __init__(self) -> None:
+        self._entries: Dict[str, Condition] = {}
+
+    def matches(self, key: str, condition: Condition) -> "MapConditionBuilder":
+        self._entries[key] = condition
+        return self
+
+    def contains(self, key: str, value: Any) -> "MapConditionBuilder":
+        return self.matches(key, equal(value))
+
+    def contains_key(self, key: str) -> "MapConditionBuilder":
+        return self.matches(key, is_("defined"))
+
+    def build(self) -> Condition:
+        # An empty map condition still asserts "is an object"
+        # (ConditionEvaluator MapCondition visit: non-maps fail).
+        return MapCondition(self._entries)
+
+
+def from_string(text: str) -> Condition:
+    """Parse a condition-language string (Conditions.fromString)."""
+    from .parser import parse_condition
+
+    return parse_condition(text)

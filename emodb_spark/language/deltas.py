@@ -1,0 +1,304 @@
+"""Delta AST — the engine's UPDATE language.
+
+From-scratch implementation of the reference's delta language
+(bazaarvoice/emodb sor-api delta/*; string syntax in
+docs/_posts/2016-08-29-deltas.md:159-439). Node set per SURVEY.md §2.3:
+literal, delete, noop, map delta, set delta, conditional delta.
+
+String rendering matches the reference's deterministic form
+(delta/impl/MapDeltaImpl.java:72-93, SetDeltaImpl.java:64-80): map entries
+sorted by key, set literals sorted, ``..`` prefix when existing content is
+kept, ``?`` suffix for delete-if-empty.
+
+Build-time constant collapsing mirrors MapDeltaBuilderImpl.build:142-153 —
+a delta whose result does not depend on prior state evaluates to a Literal.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Dict, List, Optional, Sequence
+
+from .conditions import Condition, ConstantCondition
+from .values import (
+    UNDEFINED,
+    canonical_json,
+    literal_equals,
+    literal_sort_key,
+    validate_json,
+)
+
+
+class Delta:
+    def __str__(self) -> str:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def __repr__(self) -> str:
+        return f"{type(self).__name__}({self})"
+
+    def __eq__(self, other: Any) -> bool:
+        return type(self) is type(other) and str(self) == str(other)
+
+    def __hash__(self) -> int:
+        return hash((type(self).__name__, str(self)))
+
+    def is_constant(self) -> bool:
+        """True if the result never depends on the prior value."""
+        return False
+
+
+class Literal(Delta):
+    def __init__(self, value: Any):
+        self.value = validate_json(value)
+
+    def is_constant(self) -> bool:
+        return True
+
+    def __str__(self) -> str:
+        return canonical_json(self.value)
+
+
+class Delete(Delta):
+    def is_constant(self) -> bool:
+        return True
+
+    def __str__(self) -> str:
+        return "~"
+
+
+class Noop(Delta):
+    def __str__(self) -> str:
+        return ".."
+
+
+DELETE = Delete()
+NOOP = Noop()
+
+
+class MapDelta(Delta):
+    def __init__(
+        self,
+        remove_rest: bool,
+        entries: Dict[str, Delta],
+        delete_if_empty: bool,
+    ):
+        self.remove_rest = bool(remove_rest)
+        self.entries = dict(entries)
+        self.delete_if_empty = bool(delete_if_empty)
+
+    def is_constant(self) -> bool:
+        return self.remove_rest and all(d.is_constant() for d in self.entries.values())
+
+    def __str__(self) -> str:
+        pieces: List[str] = []
+        if not self.remove_rest:
+            pieces.append("..")
+        for k in sorted(self.entries):
+            pieces.append(f"{json.dumps(k)}:{self.entries[k]}")
+        s = "{" + ",".join(pieces) + "}"
+        return s + "?" if self.delete_if_empty else s
+
+
+class SetDelta(Delta):
+    """Array-as-set ops; ``added``/``removed`` are JSON literals
+    (delta/impl/SetDeltaImpl.java)."""
+
+    def __init__(
+        self,
+        remove_rest: bool,
+        added: Sequence[Any],
+        removed: Sequence[Any],
+        delete_if_empty: bool,
+    ):
+        self.remove_rest = bool(remove_rest)
+        self.added = _dedupe_sorted(added)
+        self.removed = _dedupe_sorted(removed)
+        self.delete_if_empty = bool(delete_if_empty)
+
+    def is_constant(self) -> bool:
+        return self.remove_rest
+
+    def __str__(self) -> str:
+        pieces: List[str] = []
+        if not self.remove_rest:
+            pieces.append("..")
+        pieces.extend(canonical_json(v) for v in self.added)
+        pieces.extend("~" + canonical_json(v) for v in self.removed)
+        s = "(" + ",".join(pieces) + ")"
+        return s + "?" if self.delete_if_empty else s
+
+
+class ConditionalDelta(Delta):
+    def __init__(self, test: Condition, then: Delta, otherwise: Delta = NOOP):
+        self.test = test
+        self.then = then
+        self.otherwise = otherwise
+
+    def __str__(self) -> str:
+        s = f"if {self.test} then {self.then}"
+        # Render nested conditionals in the else branch as elif chains.
+        node = self.otherwise
+        while isinstance(node, ConditionalDelta):
+            s += f" elif {node.test} then {node.then}"
+            node = node.otherwise
+        if not isinstance(node, Noop):
+            s += f" else {node}"
+        return s + " end"
+
+
+def _dedupe_sorted(values: Sequence[Any]) -> List[Any]:
+    out: List[Any] = []
+    for v in sorted(values, key=literal_sort_key):
+        validate_json(v)
+        if out and literal_equals(out[-1], v):
+            continue
+        out.append(v)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Factories (mirror Deltas.java:20-64 semantics).
+# ---------------------------------------------------------------------------
+
+
+def literal(value: Any) -> Delta:
+    return Literal(value)
+
+
+def delete() -> Delta:
+    return DELETE
+
+
+def noop() -> Delta:
+    return NOOP
+
+
+def conditional(test: Condition, then: Delta, otherwise: Delta = NOOP) -> Delta:
+    # Constant-condition folding (Deltas.java:48-61).
+    if isinstance(test, ConstantCondition):
+        return then if test.value else otherwise
+    return ConditionalDelta(test, then, otherwise)
+
+
+def map_builder() -> "MapDeltaBuilder":
+    return MapDeltaBuilder()
+
+
+def set_builder() -> "SetDeltaBuilder":
+    return SetDeltaBuilder()
+
+
+def _eval_constant(delta: Delta) -> Delta:
+    """Evaluate a constant delta to a Literal or Delete."""
+    from .deval import eval_delta
+
+    result = eval_delta(delta, UNDEFINED, None)
+    return DELETE if result is UNDEFINED else Literal(result)
+
+
+class MapDeltaBuilder:
+    def __init__(self) -> None:
+        self._remove_rest = False
+        self._entries: Dict[str, Delta] = {}
+        self._delete_if_empty = False
+
+    def put(self, key: str, value: Any) -> "MapDeltaBuilder":
+        return self.update(key, Literal(value))
+
+    def put_if_absent(self, key: str, value: Any) -> "MapDeltaBuilder":
+        return self.update(
+            key, conditional_from_prior_undefined(Literal(value))
+        )
+
+    def put_all(self, values: Dict[str, Any]) -> "MapDeltaBuilder":
+        for k, v in values.items():
+            self.put(k, v)
+        return self
+
+    def update(self, key: str, delta: Delta) -> "MapDeltaBuilder":
+        self._entries[key] = delta
+        return self
+
+    def update_if_exists(self, key: str, delta: Delta) -> "MapDeltaBuilder":
+        from . import conditions as C
+
+        return self.update(key, conditional(C.is_("defined"), delta))
+
+    def remove(self, key: str, expected: Any = UNDEFINED) -> "MapDeltaBuilder":
+        if expected is UNDEFINED:
+            return self.update(key, DELETE)
+        from . import conditions as C
+
+        return self.update(key, conditional(C.equal(expected), DELETE))
+
+    def remove_rest(self, flag: bool = True) -> "MapDeltaBuilder":
+        self._remove_rest = flag
+        return self
+
+    def retain(self, keys: Sequence[str]) -> "MapDeltaBuilder":
+        self._remove_rest = True
+        for k in keys:
+            self._entries.setdefault(k, NOOP)
+        return self
+
+    def delete_if_empty(self, flag: bool = True) -> "MapDeltaBuilder":
+        self._delete_if_empty = flag
+        return self
+
+    def build(self) -> Delta:
+        delta = MapDelta(self._remove_rest, self._entries, self._delete_if_empty)
+        if delta.is_constant():
+            return _eval_constant(delta)
+        return delta
+
+
+def conditional_from_prior_undefined(then: Delta) -> Delta:
+    """``if ~ then <delta> end`` — apply only when value is undefined."""
+    from . import conditions as C
+
+    return ConditionalDelta(C.is_("undefined"), then)
+
+
+class SetDeltaBuilder:
+    def __init__(self) -> None:
+        self._remove_rest = False
+        self._added: List[Any] = []
+        self._removed: List[Any] = []
+        self._delete_if_empty = False
+
+    def add(self, value: Any) -> "SetDeltaBuilder":
+        self._added.append(value)
+        return self
+
+    def add_all(self, values: Sequence[Any]) -> "SetDeltaBuilder":
+        self._added.extend(values)
+        return self
+
+    def remove(self, value: Any) -> "SetDeltaBuilder":
+        self._removed.append(value)
+        return self
+
+    def remove_all(self, values: Sequence[Any]) -> "SetDeltaBuilder":
+        self._removed.extend(values)
+        return self
+
+    def remove_rest(self, flag: bool = True) -> "SetDeltaBuilder":
+        self._remove_rest = flag
+        return self
+
+    def delete_if_empty(self, flag: bool = True) -> "SetDeltaBuilder":
+        self._delete_if_empty = flag
+        return self
+
+    def build(self) -> Delta:
+        delta = SetDelta(self._remove_rest, self._added, self._removed, self._delete_if_empty)
+        if delta.is_constant():
+            return _eval_constant(delta)
+        return delta
+
+
+def from_string(text: str) -> Delta:
+    """Parse a delta-language string (Deltas.fromString)."""
+    from .parser import parse_delta
+
+    return parse_delta(text)

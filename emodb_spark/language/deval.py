@@ -1,0 +1,78 @@
+"""Delta evaluator — applies one delta to a prior JSON value.
+
+Implements the semantics of the reference's DeltaEvaluator
+(sor-api delta/eval/DeltaEvaluator.java:27-152):
+
+- literal replaces; delete yields UNDEFINED; noop is identity.
+- map delta merges per-key sub-deltas; sub-deltas evaluating to UNDEFINED
+  remove the key; ``remove_rest`` drops unmentioned keys; non-map prior
+  values are discarded; ``delete_if_empty`` turns {} into UNDEFINED.
+- set delta treats arrays as sets: result is the sorted unique union of
+  added values and surviving prior elements; non-list prior (or
+  ``remove_rest``) keeps only added values; sort order is the reference's
+  cross-type Literal ordering.
+- conditional delta tests the condition against the *current* value (with
+  intrinsics) and applies then/else.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from . import deltas as D
+from .ceval import Intrinsics, eval_condition
+from .values import UNDEFINED, literal_in, sorted_unique_literals
+
+
+def eval_delta(delta: D.Delta, prior: Any, intrinsics: Optional[Intrinsics]) -> Any:
+    if isinstance(delta, D.Literal):
+        return delta.value
+
+    if isinstance(delta, D.Delete):
+        return UNDEFINED
+
+    if isinstance(delta, D.Noop):
+        return prior
+
+    if isinstance(delta, D.MapDelta):
+        result: dict = {}
+        if isinstance(prior, dict):
+            for key, old in prior.items():
+                sub = delta.entries.get(key)
+                if sub is not None:
+                    new = eval_delta(sub, old, intrinsics)
+                    if new is not UNDEFINED:
+                        result[key] = new
+                elif not delta.remove_rest:
+                    result[key] = old
+            for key, sub in delta.entries.items():
+                if key not in prior:
+                    new = eval_delta(sub, UNDEFINED, intrinsics)
+                    if new is not UNDEFINED:
+                        result[key] = new
+        else:
+            for key, sub in delta.entries.items():
+                new = eval_delta(sub, UNDEFINED, intrinsics)
+                if new is not UNDEFINED:
+                    result[key] = new
+        if delta.delete_if_empty and not result:
+            return UNDEFINED
+        return result
+
+    if isinstance(delta, D.SetDelta):
+        values = list(delta.added)
+        if not delta.remove_rest and isinstance(prior, list):
+            for existing in prior:
+                if not literal_in(existing, delta.removed):
+                    values.append(existing)
+        result_list = sorted_unique_literals(values)
+        if delta.delete_if_empty and not result_list:
+            return UNDEFINED
+        return result_list
+
+    if isinstance(delta, D.ConditionalDelta):
+        test = eval_condition(delta.test, prior, intrinsics)
+        branch = delta.then if test else delta.otherwise
+        return eval_delta(branch, prior, intrinsics)
+
+    raise TypeError(f"unknown delta node: {type(delta)!r}")

@@ -1,0 +1,98 @@
+"""Hashing primitives requiring exact bit-parity with the reference.
+
+- ``murmur3_32``: Guava-compatible murmur3_32 (seed 0) used by
+  ``partition(n, cond)`` over UTF-8(table)+UTF-8(id)
+  (ConditionEvaluator.java:266-276).
+- ``coordinate_partition``: Java ``Math.abs(hash) % n + 1`` including the
+  Integer.MIN_VALUE quirk.
+- ``signature_chain``: chained MD5 over time-UUID bytes — ``~signature``
+  (sor core/DefaultResolver.java:94-99,127-132: md5(prev_bytes ++ uuid_bytes),
+  seeded with 16 zero bytes).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import uuid as _uuid
+
+_MASK32 = 0xFFFFFFFF
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _MASK32
+
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """Murmur3 32-bit (x86) returning a signed Java int."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & _MASK32
+    length = len(data)
+    rounded = length & ~0x3
+    for i in range(0, rounded, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & _MASK32
+        k = _rotl32(k, 15)
+        k = (k * c2) & _MASK32
+        h ^= k
+        h = _rotl32(h, 13)
+        h = (h * 5 + 0xE6546B64) & _MASK32
+    k = 0
+    tail = length - rounded
+    if tail >= 3:
+        k ^= data[rounded + 2] << 16
+    if tail >= 2:
+        k ^= data[rounded + 1] << 8
+    if tail >= 1:
+        k ^= data[rounded]
+        k = (k * c1) & _MASK32
+        k = _rotl32(k, 15)
+        k = (k * c2) & _MASK32
+        h ^= k
+    h ^= length
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & _MASK32
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & _MASK32
+    h ^= h >> 16
+    # to signed 32-bit
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+_INT_MIN = -(1 << 31)
+
+
+def coordinate_partition(table: str, doc_id: str, num_partitions: int) -> int:
+    """1-based partition number of a document coordinate.
+
+    Replicates Java: ``Math.abs(murmur3_32(utf8(table) ++ utf8(id))) % n + 1``
+    including Math.abs(Integer.MIN_VALUE) == Integer.MIN_VALUE and Java's
+    sign-of-dividend remainder.
+    """
+    h = murmur3_32(table.encode("utf-8") + doc_id.encode("utf-8"))
+    a = h if h >= 0 else (_INT_MIN if h == _INT_MIN else -h)
+    # Java % keeps the dividend's sign (only hit when a == Integer.MIN_VALUE).
+    rem = abs(a) % num_partitions
+    if a < 0:
+        rem = -rem
+    return rem + 1
+
+
+SIGNATURE_ZERO = "0" * 32
+
+
+def uuid_bytes(change_id: str) -> bytes:
+    """Big-endian 16 bytes of a UUID string (Java UUIDs.asByteArray)."""
+    return _uuid.UUID(change_id).bytes
+
+
+def signature_step(prev_signature_hex: str, change_id: str) -> str:
+    """One step of the ~signature chain: md5(prev_bytes ++ uuid_bytes)."""
+    prev = bytes.fromhex(prev_signature_hex)
+    return hashlib.md5(prev + uuid_bytes(change_id)).hexdigest()
+
+
+def signature_chain(change_ids: list) -> str:
+    sig = SIGNATURE_ZERO
+    for cid in change_ids:
+        sig = signature_step(sig, cid)
+    return sig

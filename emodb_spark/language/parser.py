@@ -1,0 +1,472 @@
+"""Recursive-descent parser for the delta + condition string languages.
+
+Grammar re-derived from the reference's documented syntax
+(docs/_posts/2016-08-29-deltas.md:159-727) and parser entry points
+(sor-api delta/deser/DeltaParser.java, JsonTokener.java):
+
+Delta:      ``~`` delete | ``..`` noop | JSON literal |
+            ``{[..,] "k":<delta>, ...}[?]`` map delta |
+            ``([..,] lit | ~lit, ...)[?]`` set delta |
+            ``if <cond> then <delta> [elif ...] [else <delta>] end``
+Condition:  JSON literal (equal) | ``~``=is(undefined) | ``+``=is(defined) |
+            ``{..,"k":<cond>,...}`` map condition | function calls:
+            alwaysTrue alwaysFalse in intrinsic is gt ge lt le like not
+            or and contains containsAny containsAll containsOnly partition
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Tuple
+
+from . import conditions as C
+from . import deltas as D
+
+
+class ParseError(ValueError):
+    def __init__(self, message: str, pos: int, text: str):
+        super().__init__(f"{message} at position {pos}: {text[max(0, pos - 20):pos + 20]!r}")
+        self.pos = pos
+
+
+class _Tokener:
+    """Minimal JSON-plus tokener shared by both grammars."""
+
+    def __init__(self, text: str):
+        self.text = text
+        self.pos = 0
+
+    def error(self, message: str) -> ParseError:
+        return ParseError(message, self.pos, self.text)
+
+    def skip_ws(self) -> None:
+        while self.pos < len(self.text) and self.text[self.pos] in " \t\r\n":
+            self.pos += 1
+
+    def look(self) -> str:
+        self.skip_ws()
+        return self.text[self.pos] if self.pos < len(self.text) else ""
+
+    def next_char(self, expected: Optional[str] = None) -> str:
+        self.skip_ws()
+        if self.pos >= len(self.text):
+            raise self.error("unexpected end of input")
+        ch = self.text[self.pos]
+        if expected is not None and ch != expected:
+            raise self.error(f"expected {expected!r}, found {ch!r}")
+        self.pos += 1
+        return ch
+
+    def at_end(self) -> bool:
+        self.skip_ws()
+        return self.pos >= len(self.text)
+
+    # -- literals ---------------------------------------------------------
+
+    def next_string(self) -> str:
+        self.next_char('"')
+        out: List[str] = []
+        text = self.text
+        while True:
+            if self.pos >= len(text):
+                raise self.error("unterminated string")
+            ch = text[self.pos]
+            self.pos += 1
+            if ch == '"':
+                return "".join(out)
+            if ch == "\\":
+                if self.pos >= len(text):
+                    raise self.error("unterminated escape")
+                esc = text[self.pos]
+                self.pos += 1
+                if esc == "u":
+                    if self.pos + 4 > len(text):
+                        raise self.error("bad unicode escape")
+                    out.append(chr(int(text[self.pos : self.pos + 4], 16)))
+                    self.pos += 4
+                else:
+                    mapped = {'"': '"', "\\": "\\", "/": "/", "b": "\b",
+                              "f": "\f", "n": "\n", "r": "\r", "t": "\t"}.get(esc)
+                    if mapped is None:
+                        raise self.error(f"bad escape \\{esc}")
+                    out.append(mapped)
+            else:
+                out.append(ch)
+
+    def next_token(self) -> str:
+        """Bare word or number token (letters, digits, +, -, ., E)."""
+        self.skip_ws()
+        start = self.pos
+        text = self.text
+        while self.pos < len(text) and (
+            text[self.pos].isalnum() or text[self.pos] in "+-._"
+        ):
+            self.pos += 1
+        if self.pos == start:
+            raise self.error("expected a token")
+        return text[start : self.pos]
+
+    def token_to_value(self, token: str) -> Any:
+        if token == "null":
+            return None
+        if token == "true":
+            return True
+        if token == "false":
+            return False
+        try:
+            if any(c in token for c in ".eE") and not token.startswith("0x"):
+                return float(token)
+            return int(token)
+        except ValueError:
+            raise self.error(f"invalid literal: {token!r}")
+
+    def next_value(self) -> Any:
+        """Parse a pure JSON value (no delta/condition operators)."""
+        ch = self.look()
+        if ch == '"':
+            return self.next_string()
+        if ch == "[":
+            return self.next_array()
+        if ch == "{":
+            return self.next_object()
+        return self.token_to_value(self.next_token())
+
+    def next_array(self) -> list:
+        self.next_char("[")
+        out: list = []
+        if self.look() == "]":
+            self.next_char("]")
+            return out
+        while True:
+            out.append(self.next_value())
+            ch = self.next_char()
+            if ch == "]":
+                return out
+            if ch != ",":
+                raise self.error(f"expected ',' or ']', found {ch!r}")
+
+    def next_object(self) -> dict:
+        self.next_char("{")
+        out: dict = {}
+        if self.look() == "}":
+            self.next_char("}")
+            return out
+        while True:
+            key = self.next_string()
+            self.next_char(":")
+            if key in out:
+                raise self.error(f"duplicate key {key!r}")
+            out[key] = self.next_value()
+            ch = self.next_char()
+            if ch == "}":
+                return out
+            if ch != ",":
+                raise self.error(f"expected ',' or '}}', found {ch!r}")
+
+
+# ---------------------------------------------------------------------------
+# Delta grammar
+# ---------------------------------------------------------------------------
+
+
+def parse_delta(text: str) -> D.Delta:
+    t = _Tokener(text)
+    delta = _parse_delta(t)
+    if not t.at_end():
+        raise t.error("unexpected trailing characters")
+    return delta
+
+
+def _parse_delta(t: _Tokener) -> D.Delta:
+    ch = t.look()
+    if ch == ".":
+        t.next_char(".")
+        t.next_char(".")
+        return D.noop()
+    if ch == "~":
+        t.next_char("~")
+        return D.delete()
+    if ch == "(":
+        return _parse_set_delta(t)
+    if ch == "{":
+        return _parse_map_delta(t)
+    if ch == "[":
+        return D.literal(t.next_array())
+    if ch == '"':
+        return D.literal(t.next_string())
+    token = t.next_token()
+    if token == "if":
+        return _parse_conditional_delta(t)
+    return D.literal(t.token_to_value(token))
+
+
+def _parse_set_delta(t: _Tokener) -> D.Delta:
+    builder = D.set_builder().remove_rest(True)
+    t.next_char("(")
+    if t.look() != ")":
+        first = True
+        while True:
+            if first and t.look() == ".":
+                t.next_char(".")
+                t.next_char(".")
+                builder.remove_rest(False)
+            else:
+                remove = False
+                if t.look() == "~":
+                    t.next_char("~")
+                    remove = True
+                value = _parse_delta(t)
+                if not isinstance(value, D.Literal):
+                    raise t.error("non-literal values not supported in sets")
+                if remove:
+                    builder.remove(value.value)
+                else:
+                    builder.add(value.value)
+            first = False
+            ch = t.next_char()
+            if ch == ")":
+                break
+            if ch != ",":
+                raise t.error(f"expected ',' or ')', found {ch!r}")
+    else:
+        t.next_char(")")
+    if t.look() == "?":
+        t.next_char("?")
+        builder.delete_if_empty()
+    return builder.build()
+
+
+def _parse_map_delta(t: _Tokener) -> D.Delta:
+    builder = D.map_builder().remove_rest(True)
+    t.next_char("{")
+    if t.look() != "}":
+        first = True
+        while True:
+            if first and t.look() == ".":
+                t.next_char(".")
+                t.next_char(".")
+                builder.remove_rest(False)
+            else:
+                key = t.next_string()
+                t.next_char(":")
+                builder.update(key, _parse_delta(t))
+            first = False
+            ch = t.next_char()
+            if ch == "}":
+                break
+            if ch != ",":
+                raise t.error(f"expected ',' or '}}', found {ch!r}")
+    else:
+        t.next_char("}")
+    if t.look() == "?":
+        t.next_char("?")
+        builder.delete_if_empty()
+    return builder.build()
+
+
+def _parse_conditional_delta(t: _Tokener) -> D.Delta:
+    """Parses the tail of ``if <cond> then <delta> [elif ...] [else ...] end``
+    (the ``if`` token has already been consumed)."""
+    cond = _parse_condition(t)
+    kw = t.next_token()
+    if kw != "then":
+        raise t.error(f"expected 'then', found {kw!r}")
+    then = _parse_delta(t)
+    kw = t.next_token()
+    if kw == "elif":
+        otherwise = _parse_conditional_delta(t)
+        return D.conditional(cond, then, otherwise)
+    if kw == "else":
+        otherwise = _parse_delta(t)
+        kw = t.next_token()
+        if kw != "end":
+            raise t.error(f"expected 'end', found {kw!r}")
+        return D.conditional(cond, then, otherwise)
+    if kw != "end":
+        raise t.error(f"expected 'elif', 'else' or 'end', found {kw!r}")
+    return D.conditional(cond, then)
+
+
+# ---------------------------------------------------------------------------
+# Condition grammar
+# ---------------------------------------------------------------------------
+
+
+def parse_condition(text: str) -> C.Condition:
+    t = _Tokener(text)
+    cond = _parse_condition(t)
+    if not t.at_end():
+        raise t.error("unexpected trailing characters")
+    return cond
+
+
+_CONDITION_FUNCTIONS = frozenset(
+    {
+        "alwaysTrue", "alwaysFalse", "in", "intrinsic", "is",
+        "gt", "ge", "lt", "le", "like", "not", "or", "and",
+        "contains", "containsAny", "containsAll", "containsOnly", "partition",
+    }
+)
+
+
+def _parse_condition(t: _Tokener) -> C.Condition:
+    ch = t.look()
+    if ch == "{":
+        return _parse_map_condition(t)
+    if ch == "~":
+        t.next_char("~")
+        return C.is_("undefined")
+    if ch == "+":
+        t.next_char("+")
+        return C.is_("defined")
+    if ch in ('"', "["):
+        return C.equal(t.next_value())
+
+    token = t.next_token()
+    if token in _CONDITION_FUNCTIONS and t.look() == "(":
+        return _parse_condition_function(t, token)
+    return C.equal(t.token_to_value(token))
+
+
+def _parse_condition_args(t: _Tokener) -> List[C.Condition]:
+    t.next_char("(")
+    if t.look() == ")":
+        t.next_char(")")
+        return []
+    out = [_parse_condition(t)]
+    while True:
+        ch = t.next_char()
+        if ch == ")":
+            return out
+        if ch != ",":
+            raise t.error(f"expected ',' or ')', found {ch!r}")
+        out.append(_parse_condition(t))
+
+
+def _parse_value_args(t: _Tokener) -> List[Any]:
+    t.next_char("(")
+    if t.look() == ")":
+        t.next_char(")")
+        return []
+    out = [t.next_value()]
+    while True:
+        ch = t.next_char()
+        if ch == ")":
+            return out
+        if ch != ",":
+            raise t.error(f"expected ',' or ')', found {ch!r}")
+        out.append(t.next_value())
+
+
+def _parse_condition_function(t: _Tokener, name: str) -> C.Condition:
+    if name == "alwaysTrue":
+        if _parse_value_args(t):
+            raise t.error("alwaysTrue() takes no arguments")
+        return C.always_true()
+    if name == "alwaysFalse":
+        if _parse_value_args(t):
+            raise t.error("alwaysFalse() takes no arguments")
+        return C.always_false()
+    if name == "in":
+        return C.in_(_parse_value_args(t))
+    if name == "intrinsic":
+        t.next_char("(")
+        iname = t.next_string()
+        t.next_char(":")
+        conds = [_parse_condition(t)]
+        while True:
+            ch = t.next_char()
+            if ch == ")":
+                break
+            if ch != ",":
+                raise t.error(f"expected ',' or ')', found {ch!r}")
+            conds.append(_parse_condition(t))
+        return C.intrinsic(iname, C.or_(conds))
+    if name == "is":
+        t.next_char("(")
+        state = t.next_token()
+        t.next_char(")")
+        return C.is_(state)
+    if name in ("gt", "ge", "lt", "le"):
+        t.next_char("(")
+        value = t.next_value()
+        t.next_char(")")
+        return C.ComparisonCondition(name, value)
+    if name == "like":
+        t.next_char("(")
+        pattern = t.next_string()
+        t.next_char(")")
+        return C.like(pattern)
+    if name == "not":
+        args = _parse_condition_args(t)
+        if len(args) != 1:
+            raise t.error("not() takes exactly one argument")
+        return C.not_(args[0])
+    if name == "or":
+        return C.or_(_parse_condition_args(t))
+    if name == "and":
+        return C.and_(_parse_condition_args(t))
+    if name == "contains":
+        t.next_char("(")
+        value = t.next_value()
+        t.next_char(")")
+        return C.contains(value)
+    if name == "containsAny":
+        return C.contains_any(_parse_value_args(t))
+    if name == "containsAll":
+        return C.contains_all(_parse_value_args(t))
+    if name == "containsOnly":
+        return C.contains_only(_parse_value_args(t))
+    if name == "partition":
+        t.next_char("(")
+        n = t.next_value()
+        if not isinstance(n, int) or isinstance(n, bool):
+            raise t.error("partition() count must be an integer")
+        # the reference grammar uses ':', accept ',' too
+        ch = t.next_char()
+        if ch not in (":", ","):
+            raise t.error(f"expected ':' in partition(), found {ch!r}")
+        conds = [_parse_condition(t)]
+        while True:
+            ch = t.next_char()
+            if ch == ")":
+                break
+            if ch != ",":
+                raise t.error(f"expected ',' or ')', found {ch!r}")
+            conds.append(_parse_condition(t))
+        return C.partition(n, C.or_(conds))
+    raise t.error(f"unknown condition function: {name}")
+
+
+def _parse_map_condition(t: _Tokener) -> C.Condition:
+    t.next_char("{")
+    if t.look() == "}":
+        # {} is an equality test against the empty map.
+        t.next_char("}")
+        return C.equal({})
+    if t.look() == ".":
+        t.next_char(".")
+        t.next_char(".")
+        builder = C.map_builder()
+        while True:
+            ch = t.next_char()
+            if ch == "}":
+                break
+            if ch != ",":
+                raise t.error(f"expected ',' or '}}', found {ch!r}")
+            key = t.next_string()
+            t.next_char(":")
+            builder.matches(key, _parse_condition(t))
+        return builder.build()
+    # Equality test against a map literal.
+    out: dict = {}
+    while True:
+        key = t.next_string()
+        t.next_char(":")
+        if key in out:
+            raise t.error(f"duplicate key {key!r}")
+        out[key] = t.next_value()
+        ch = t.next_char()
+        if ch == "}":
+            return C.equal(out)
+        if ch != ",":
+            raise t.error(f"expected ',' or '}}', found {ch!r}")

@@ -1,0 +1,227 @@
+"""JSON value model for the condition/delta languages.
+
+Reproduces the reference's JSON value semantics (bazaarvoice/emodb):
+
+- ``UNDEFINED`` is a distinguished out-of-band value marking nonexistent or
+  deleted values, distinct from JSON ``null``
+  (sor-api delta/eval/DeltaEvaluator.java:29-34).
+- *Strict* equality (used by ``equal``/``in``/map lookups) follows Java
+  ``Objects.equals`` over boxed JSON values: an integer never equals a float,
+  a bool never equals a number, map key order is irrelevant, list order is
+  significant (ConditionEvaluator.java:56-63, deltas.md:450-457).
+- *Literal* equality and ordering (used by set deltas) promotes numerics so
+  ``5 == 5.0``, sorts nulls first, then groups by type name
+  (Boolean < List < Map < Number < String), comparing within a group
+  naturally (delta/impl/LiteralImpl.java:88-180).
+"""
+
+from __future__ import annotations
+
+import json
+from functools import cmp_to_key
+from typing import Any
+
+
+class _Undefined:
+    """Singleton marker for nonexistent / deleted values."""
+
+    _instance = None
+
+    def __new__(cls):
+        if cls._instance is None:
+            cls._instance = super().__new__(cls)
+        return cls._instance
+
+    def __repr__(self) -> str:
+        return "<UNDEFINED>"
+
+    def __bool__(self) -> bool:
+        return False
+
+
+UNDEFINED = _Undefined()
+
+
+def is_bool(v: Any) -> bool:
+    return isinstance(v, bool)
+
+
+def is_number(v: Any) -> bool:
+    # bool is a subclass of int in Python; JSON booleans are not numbers.
+    return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+
+def is_float(v: Any) -> bool:
+    return isinstance(v, float)
+
+
+def json_equals(a: Any, b: Any) -> bool:
+    """Strict equality: Java ``Objects.equals`` over boxed JSON values.
+
+    int vs float never compare equal (Integer.equals(Double) is false);
+    bool is its own type; maps compare keyset+values; lists compare in order.
+    """
+    if a is UNDEFINED or b is UNDEFINED:
+        return a is b
+    if a is None or b is None:
+        return a is b
+    if is_bool(a) or is_bool(b):
+        return is_bool(a) and is_bool(b) and a == b
+    if is_number(a) and is_number(b):
+        # Java boxed equality: Integer(5) != Double(5.0); Long(5) == Long(5).
+        if is_float(a) != is_float(b):
+            return False
+        return a == b
+    if isinstance(a, str) and isinstance(b, str):
+        return a == b
+    if isinstance(a, dict) and isinstance(b, dict):
+        if len(a) != len(b):
+            return False
+        for k, v in a.items():
+            if k not in b or not json_equals(v, b[k]):
+                return False
+        return True
+    if isinstance(a, list) and isinstance(b, list):
+        if len(a) != len(b):
+            return False
+        return all(json_equals(x, y) for x, y in zip(a, b))
+    return False
+
+
+def literal_equals(a: Any, b: Any) -> bool:
+    """Set-literal equality: numerics promote (5 == 5.0 == 5L).
+
+    Mirrors LiteralImpl.equals (delta/impl/LiteralImpl.java:60-84).
+    """
+    if a is None or b is None:
+        return a is b
+    if is_number(a) and is_number(b):
+        return float(a) == float(b) if (is_float(a) or is_float(b)) else int(a) == int(b)
+    if is_bool(a) != is_bool(b):
+        return False
+    return json_equals(a, b)
+
+
+_TYPE_NAME = {
+    "null": "",  # nulls sort first
+    "bool": "Boolean",
+    "list": "List",
+    "map": "Map",
+    "number": "Number",
+    "string": "String",
+}
+
+
+def _type_name(v: Any) -> str:
+    if v is None:
+        return _TYPE_NAME["null"]
+    if is_bool(v):
+        return _TYPE_NAME["bool"]
+    if is_number(v):
+        return _TYPE_NAME["number"]
+    if isinstance(v, str):
+        return _TYPE_NAME["string"]
+    if isinstance(v, list):
+        return _TYPE_NAME["list"]
+    if isinstance(v, dict):
+        return _TYPE_NAME["map"]
+    raise TypeError(f"not a JSON value: {type(v)!r}")
+
+
+def literal_compare(a: Any, b: Any) -> int:
+    """Total order over JSON literals (LiteralImpl.compareTo:88-131).
+
+    Nulls first; cross-type sorts by type name (Boolean < List < Map <
+    Number < String); numbers compare numerically regardless of int/float;
+    non-comparable types (list/map) compare by canonical rendering.
+    """
+    if a is None or b is None:
+        if a is None and b is None:
+            return 0
+        return -1 if a is None else 1
+    ta, tb = _type_name(a), _type_name(b)
+    if ta != tb:
+        if ta == "Number" and tb == "Number":  # pragma: no cover - same name
+            pass
+        return -1 if ta < tb else 1
+    if ta == "Number":
+        fa, fb = (a, b)
+        return -1 if fa < fb else (1 if fa > fb else 0)
+    if ta == "Boolean":
+        return (a > b) - (a < b)
+    if ta == "String":
+        return (a > b) - (a < b)
+    # List / Map: compare canonical string renderings.
+    ra, rb = canonical_json(a), canonical_json(b)
+    return (ra > rb) - (ra < rb)
+
+
+literal_sort_key = cmp_to_key(literal_compare)
+
+
+def sorted_unique_literals(values: list) -> list:
+    """Sort + dedupe literals the way set-delta resolution does
+    (DeltaEvaluator.java:111-145: ImmutableSortedSet over Literal ordering)."""
+    out: list = []
+    for v in sorted(values, key=literal_sort_key):
+        if out and literal_equals(out[-1], v):
+            continue
+        out.append(v)
+    return out
+
+
+def literal_in(value: Any, values: list) -> bool:
+    return any(literal_equals(value, v) for v in values)
+
+
+def render_number(v: Any) -> str:
+    if is_float(v):
+        if v != v or v in (float("inf"), float("-inf")):
+            raise ValueError("NaN/Inf not representable in JSON")
+        return json.dumps(v)
+    return str(v)
+
+
+def canonical_json(v: Any) -> str:
+    """Deterministic JSON rendering with sorted map keys (common/json
+    OrderedJson semantics), used for cross-type literal ordering and
+    set-membership of composite values."""
+    if v is UNDEFINED:
+        return "~"
+    if v is None:
+        return "null"
+    if is_bool(v):
+        return "true" if v else "false"
+    if is_number(v):
+        return render_number(v)
+    if isinstance(v, str):
+        return json.dumps(v, ensure_ascii=False)
+    if isinstance(v, list):
+        return "[" + ",".join(canonical_json(x) for x in v) + "]"
+    if isinstance(v, dict):
+        items = sorted(v.items(), key=lambda kv: kv[0])
+        return "{" + ",".join(
+            json.dumps(k, ensure_ascii=False) + ":" + canonical_json(val) for k, val in items
+        ) + "}"
+    raise TypeError(f"not a JSON value: {type(v)!r}")
+
+
+def validate_json(v: Any) -> Any:
+    """Validate a Python object as a legal JSON value (deltas.md:96-115)."""
+    if v is None or is_bool(v) or isinstance(v, str):
+        return v
+    if is_number(v):
+        if is_float(v) and (v != v or v in (float("inf"), float("-inf"))):
+            raise ValueError("NaN/Inf not allowed")
+        return v
+    if isinstance(v, list):
+        for x in v:
+            validate_json(x)
+        return v
+    if isinstance(v, dict):
+        for k, x in v.items():
+            if not isinstance(k, str):
+                raise TypeError("map keys must be strings")
+            validate_json(x)
+        return v
+    raise TypeError(f"not a JSON value: {type(v)!r}")

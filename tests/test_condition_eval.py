@@ -1,0 +1,243 @@
+"""Condition evaluator truth tables, modeled on the reference's
+ConditionEvaluatorTest semantics (SURVEY.md §5; exact rules from
+sor-api condition/eval/ConditionEvaluator.java)."""
+
+import pytest
+
+from emodb_spark.language import UNDEFINED, Intrinsics, eval_condition, parse_condition
+from emodb_spark.language.hashes import coordinate_partition
+
+
+def ev(cond_text, doc, intrinsics=None):
+    return eval_condition(parse_condition(cond_text), doc, intrinsics)
+
+
+# --- equal / in -------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "cond,doc,expected",
+    [
+        ("5", 5, True),
+        ("5", 5.0, False),        # Integer never equals Double
+        ("5.0", 5, False),
+        ("5.0", 5.0, True),
+        ("5", "5", False),
+        ("true", True, True),
+        ("true", 1, False),        # bool is not a number
+        ("1", True, False),
+        ("null", None, True),
+        ("null", UNDEFINED, False),
+        ('"A"', "A", True),
+        ('"A"', "a", False),
+        ("[1,2]", [1, 2], True),
+        ("[1,2]", [2, 1], False),  # list order significant
+        ('{"a":1,"b":2}', {"b": 2, "a": 1}, True),  # map key order irrelevant
+        ('{"a":1}', {"a": 1, "b": 2}, False),
+        ("{}", {}, True),
+        ('in("A","B")', "B", True),
+        ('in("A","B")', "C", False),
+        ('in(1,2,3)', 2, True),
+        ('in(1,2,3)', 2.0, False),
+    ],
+)
+def test_equal_in(cond, doc, expected):
+    assert ev(cond, doc) is expected
+
+
+# --- is() -------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "state,doc,expected",
+    [
+        ("undefined", UNDEFINED, True),
+        ("undefined", None, False),
+        ("defined", None, True),
+        ("defined", UNDEFINED, False),
+        ("null", None, True),
+        ("null", 0, False),
+        ("bool", True, True),
+        ("bool", 1, False),
+        ("num", 5, True),
+        ("num", 5.5, True),
+        ("num", True, False),   # Boolean is not a Number
+        ("num", "5", False),
+        ("string", "x", True),
+        ("string", 5, False),
+        ("array", [1], True),
+        ("array", {}, False),
+        ("object", {}, True),
+        ("object", [1], False),
+    ],
+)
+def test_is(state, doc, expected):
+    assert ev(f"is({state})", doc) is expected
+
+
+# --- comparisons ------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "cond,doc,expected",
+    [
+        ("gt(5)", 6, True),
+        ("gt(5)", 5, False),
+        ("ge(5)", 5, True),
+        ("lt(5)", 4, True),
+        ("le(5)", 5, True),
+        ("gt(5)", 5.5, True),      # long vs double promotes to double
+        ("gt(5.0)", 6, True),
+        ("gt(5)", None, False),    # null → false
+        ("gt(5)", UNDEFINED, False),
+        ("gt(5)", "6", False),     # type mismatch string vs num → false
+        ('gt("a")', 5, False),
+        ("gt(5)", [6], False),     # non-scalar → false
+        ("gt(5)", {"a": 6}, False),
+        ("gt(5)", True, False),    # bool is not a number
+        ('gt("abc")', "abd", True),
+        ('lt("2014-01-28T11:21:41.058Z")', "2014-01-27T00:00:00.000Z", True),
+        ('ge("abc")', "abc", True),
+        # long-precision edge: doubles can't represent 2^53+1
+        ("gt(9007199254740992)", 9007199254740993, True),
+    ],
+)
+def test_comparisons(cond, doc, expected):
+    assert ev(cond, doc) is expected
+
+
+# --- contains ----------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "cond,doc,expected",
+    [
+        ("contains(18)", [17, 18, 19], True),
+        ("contains(18)", [17, 19], False),
+        ("contains(18)", 18, False),          # not a list → false
+        ("contains(18)", {"a": 18}, False),
+        ("contains(18)", None, False),
+        ('containsAll("a","b")', ["a", "b", "c"], True),
+        ('containsAll("a","b")', ["a", "c"], False),
+        ('containsAny("a","b")', ["c", "b"], True),
+        ('containsAny("a","b")', ["c"], False),
+        ('containsOnly("a","b")', ["b", "a"], True),
+        ('containsOnly("a","b")', ["a", "b", "c"], False),
+        ('containsOnly("a","b")', ["a"], False),
+        ('containsOnly("a","b")', ["a", "a", "b"], True),  # dup elements collapse
+        ("containsAll()", [1], True),          # empty subset always contained
+        # empty-set check precedes the list check (ConditionEvaluator:169-175)
+        ("containsAll()", "notalist", True),
+        ("containsAny()", [], True),
+        ("containsOnly()", [], True),
+        ("containsOnly()", [1], False),
+        ("contains(5)", [5], True),
+        ("contains(5)", [5.0], False),         # strict equality inside contains
+    ],
+)
+def test_contains(cond, doc, expected):
+    assert ev(cond, doc) is expected
+
+
+# --- like ---------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "pattern,doc,expected",
+    [
+        ("review:*", "review:testcustomer", True),
+        ("review:*", "review:", True),
+        ("review:*", "xreview:a", False),
+        ("*:testcustomer", "review:testcustomer", True),
+        ("*:testcustomer", "review:other", False),
+        ("source:*:testcustomer", "source:abc:testcustomer", True),
+        ("source:*:testcustomer", "source:testcustomer", False),
+        ("*review*", "a review b", True),
+        ("*review*", "rev", False),
+        ("a*b*c", "aXbYc", True),
+        ("a*b*c", "abc", True),
+        ("a*b*c", "acb", False),
+        ("a**b", "aXb", True),      # consecutive wildcards collapse
+        ("*", "anything", True),
+        ("*", "", True),
+        ("exact", "exact", True),
+        ("exact", "exactx", False),
+        ("escaped\\*", "escaped*", True),
+        ("escaped\\*", "escapedX", False),
+        ("ab", 5, False),           # non-strings never match
+    ],
+)
+def test_like(pattern, doc, expected):
+    import json
+    assert ev(f"like({json.dumps(pattern)})", doc) is expected
+
+
+def test_like_overlapping_parts():
+    # greedy-left scan must not double-count overlapping segments
+    assert ev('like("ab*ab")', "abab", True)
+    assert ev('like("ab*ab")', "abXab", True)
+    assert ev('like("aa*aa")', "aaa") is False
+
+
+# --- map conditions ------------------------------------------------------------
+
+def test_map_condition():
+    assert ev('{..,"status":"APPROVED"}', {"status": "APPROVED"}) is True
+    assert ev('{..,"status":"APPROVED"}', {"status": "REJECTED"}) is False
+    assert ev('{..,"status":"APPROVED"}', "notamap") is False
+    assert ev('{..,"status":"APPROVED"}', None) is False
+    # missing key presents UNDEFINED
+    assert ev('{..,"status":~}', {}) is True
+    assert ev('{..,"status":~}', {"status": None}) is False
+    assert ev('{..,"status":+}', {"status": None}) is True
+    assert ev('{..,"status":+}', {}) is False
+    # multiple keys AND together
+    assert ev('{..,"type":"review","rating":gt(3)}', {"type": "review", "rating": 4}) is True
+    assert ev('{..,"type":"review","rating":gt(3)}', {"type": "review", "rating": 2}) is False
+    # nested
+    assert ev('{..,"photo":{..,"status":"APPROVED"}}', {"photo": {"status": "APPROVED"}}) is True
+    # {..} asserts object-ness
+    assert ev("{..}", {}) is True
+    assert ev("{..}", []) is False
+
+
+# --- boolean algebra -------------------------------------------------------------
+
+def test_and_or_not():
+    assert ev("and(is(num),gt(3))", 4) is True
+    assert ev("and(is(num),gt(3))", 2) is False
+    assert ev("or(is(string),is(num))", 4) is True
+    assert ev("or(is(string),is(num))", []) is False
+    assert ev('not("APPROVED")', "REJECTED") is True
+    assert ev("alwaysTrue()", UNDEFINED) is True
+    assert ev("alwaysFalse()", {"x": 1}) is False
+
+
+# --- intrinsics / partition --------------------------------------------------------
+
+def test_intrinsic_conditions():
+    intr = Intrinsics(id="demo1", table="review:testcustomer", deleted=False,
+                      first_update_at="2012-06-22T20:11:53.473Z")
+    assert ev('intrinsic("~table":"review:testcustomer")', {"x": 1}, intr) is True
+    assert ev('intrinsic("~table":"other")', {"x": 1}, intr) is False
+    assert ev('intrinsic("~id":"demo1")', None, intr) is True
+    assert ev('intrinsic("~deleted":false)', None, intr) is True
+    assert ev('intrinsic("~table":like("review:*"))', None, intr) is True
+    assert ev('intrinsic("~firstUpdateAt":gt("2012-01-01"))', None, intr) is True
+
+
+def test_intrinsic_requires_context():
+    with pytest.raises(ValueError):
+        ev('intrinsic("~table":"x")', {}, None)
+
+
+def test_partition_condition():
+    intr = Intrinsics(id="abc", table="review:test")
+    expected = coordinate_partition("review:test", "abc", 8)
+    assert ev(f"partition(8:{expected})", None, intr) is True
+    other = expected % 8 + 1
+    assert ev(f"partition(8:{other})", None, intr) is False
+    # partition(n) distributes over 1..n
+    seen = {coordinate_partition("t", f"k{i}", 8) for i in range(200)}
+    assert seen == set(range(1, 9))
+
+
+def test_partition_gt():
+    intr = Intrinsics(id="abc", table="review:test")
+    p = coordinate_partition("review:test", "abc", 8)
+    assert ev(f"partition(8:gt({p - 1}))", None, intr) is True

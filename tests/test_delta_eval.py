@@ -1,0 +1,222 @@
+"""Delta evaluator + resolver conformance, modeled on the reference's
+DeltaEvaluatorTest and resolver tests (SURVEY.md §5; semantics from
+sor-api delta/eval/DeltaEvaluator.java and sor core/DefaultResolver.java)."""
+
+import pytest
+
+from emodb_spark.core.resolver import Resolver, resolve_document
+from emodb_spark.core.timeuuid import TimeUUIDGenerator, uuid_timestamp_millis
+from emodb_spark.language import UNDEFINED, eval_delta, parse_delta
+from emodb_spark.language.hashes import SIGNATURE_ZERO, signature_chain
+
+
+def ap(delta_text, prior):
+    return eval_delta(parse_delta(delta_text), prior, None)
+
+
+# --- single-delta conformance -------------------------------------------------
+
+@pytest.mark.parametrize(
+    "delta,prior,expected",
+    [
+        # literals smash
+        ('{"rating":5}', {"old": 1}, {"rating": 5}),
+        ('"APPROVED"', {"a": 1}, "APPROVED"),
+        ("null", 5, None),
+        ("3.5e10", None, 3.5e10),
+        # delete
+        ("~", {"a": 1}, UNDEFINED),
+        ("~", UNDEFINED, UNDEFINED),
+        # noop
+        ("..", {"a": 1}, {"a": 1}),
+        ("..", UNDEFINED, UNDEFINED),
+        # map deltas
+        ('{..,"status":"APPROVED"}', {"rating": 5}, {"rating": 5, "status": "APPROVED"}),
+        ('{..,"status":"APPROVED"}', {"status": "SUBMITTED"}, {"status": "APPROVED"}),
+        ('{..,"status":~}', {"status": "A", "x": 1}, {"x": 1}),
+        ('{..,"status":~}', {"x": 1}, {"x": 1}),
+        # map delta on a non-map discards prior
+        ('{..,"a":1}', "scalar", {"a": 1}),
+        ('{..,"a":1}', UNDEFINED, {"a": 1}),
+        # remove-rest (constant → whole replacement)
+        ('{"a":1}', {"b": 2}, {"a": 1}),
+        # delete-if-empty
+        ('{..,"a":~}?', {"a": 1}, UNDEFINED),
+        ('{..,"a":~}?', {"a": 1, "b": 2}, {"b": 2}),
+        # putIfAbsent
+        ('{..,"status":if ~ then "A" end}', {}, {"status": "A"}),
+        ('{..,"status":if ~ then "A" end}', {"status": "B"}, {"status": "B"}),
+        # remove if equals
+        ('{..,"status":if "A" then ~ end}', {"status": "A"}, {}),
+        ('{..,"status":if "A" then ~ end}', {"status": "B"}, {"status": "B"}),
+        # updateIfExists
+        ('{..,"p":if + then {..,"s":"A"} end}', {}, {}),
+        ('{..,"p":if + then {..,"s":"A"} end}', {"p": {}}, {"p": {"s": "A"}}),
+        # set deltas
+        ('(..,"top10")', ["best"], ["best", "top10"]),
+        ('(..,"top10")', UNDEFINED, ["top10"]),
+        ('(..,"top10")', "notalist", ["top10"]),  # non-list prior discarded
+        ("(200,204)", [1, 2, 3], [200, 204]),     # remove-rest
+        ('(..,~"old")', ["old", "new"], ["new"]),
+        ('(..,~"old")', ["x"], ["x"]),
+        ("(..)?", [], UNDEFINED),
+        ('(..,~"x")?', ["x"], UNDEFINED),
+        # sets dedupe and sort
+        ("(..,501,789)", [789, 100], [100, 501, 789]),
+        ("(..,5)", [5], [5]),
+        ("(..,5.0)", [5], [5]),  # numeric-promoting set equality dedupes
+        # conditional
+        ('if {..,"st":"A"} then {..,"x":1} end', {"st": "A"}, {"st": "A", "x": 1}),
+        ('if {..,"st":"A"} then {..,"x":1} end', {"st": "B"}, {"st": "B"}),
+        ('if ~ then "A" else "B" end', UNDEFINED, "A"),
+        ('if ~ then "A" else "B" end', "x", "B"),
+        ('if is(num) then "n" elif is(string) then "s" else "o" end', 5, "n"),
+        ('if is(num) then "n" elif is(string) then "s" else "o" end', "x", "s"),
+        ('if is(num) then "n" elif is(string) then "s" else "o" end', [], "o"),
+    ],
+)
+def test_delta_eval(delta, prior, expected):
+    result = ap(delta, prior)
+    if expected is UNDEFINED:
+        assert result is UNDEFINED
+    else:
+        assert result == expected
+
+
+def test_set_sort_order_cross_type():
+    # nulls first, then Boolean < List < Map < Number < String
+    # (LiteralImpl.compareTo:88-131 orders by type simple name)
+    result = ap('(.., "s", 1, true, null, [2], {"k":1})', UNDEFINED)
+    assert result == [None, True, [2], {"k": 1}, 1, "s"]
+
+
+def test_set_numeric_sort():
+    assert ap("(..,3,1.5,2)", UNDEFINED) == [1.5, 2, 3]
+
+
+def test_nested_map_delta():
+    prior = {"photos": {"p1": {"url": "u1", "status": "SUBMITTED"}}}
+    result = ap('{..,"photos":{..,"p1":{..,"status":"APPROVED"}}}', prior)
+    assert result == {"photos": {"p1": {"url": "u1", "status": "APPROVED"}}}
+
+
+# --- resolver (fold) ------------------------------------------------------------
+
+def make_gen():
+    return TimeUUIDGenerator(node=0x1C42000009, start_millis=1340395913473)
+
+
+def test_resolver_basic_fold():
+    gen = make_gen()
+    ids = [gen.next() for _ in range(3)]
+    r = resolve_document(
+        "review:testcustomer",
+        "demo1",
+        [
+            (ids[0], '{"author":"Bob","rating":5}', ()),
+            (ids[1], '{..,"status":"SUBMITTED"}', ()),
+            (ids[2], '{..,"status":"APPROVED"}', ()),
+        ],
+    )
+    assert r.content == {"author": "Bob", "rating": 5, "status": "APPROVED"}
+    assert r.version == 3
+    assert r.deleted is False
+    assert r.signature == signature_chain(ids)
+    assert r.first_update_at is not None
+
+
+def test_resolver_orders_by_time_uuid():
+    gen = make_gen()
+    ids = [gen.next() for _ in range(2)]
+    # feed out of order — fold must sort by changeId
+    r = resolve_document("t", "k", [
+        (ids[1], '{..,"v":2}', ()),
+        (ids[0], '{..,"v":1}', ()),
+    ])
+    assert r.content == {"v": 2}
+    assert r.signature == signature_chain(ids)
+
+
+def test_resolver_delete_and_recreate():
+    gen = make_gen()
+    ids = [gen.next() for _ in range(3)]
+    resolver = Resolver("t", "k")
+    resolver.update(ids[0], '{"a":1}')
+    resolver.update(ids[1], "~")
+    mid = resolver.resolved()
+    assert mid.deleted is True
+    assert mid.version == 2
+    resolver.update(ids[2], '{"b":2}')
+    r = resolver.resolved()
+    assert r.deleted is False
+    assert r.content == {"b": 2}
+    # ~firstUpdateAt never resets (deltas.md intrinsics notes)
+    assert r.first_update_at == mid.first_update_at
+
+
+def test_resolver_redundancy_flags():
+    gen = make_gen()
+    ids = [gen.next() for _ in range(4)]
+    resolver = Resolver("t", "k")
+    assert resolver.update(ids[0], '{"a":1}') is False
+    # same content, same (empty) tags → redundant
+    assert resolver.update(ids[1], '{..,"a":1}') is True
+    # same content but different tags → NOT redundant (DefaultResolver:83-87)
+    assert resolver.update(ids[2], '{..,"a":1}', tags=["etl"]) is False
+    # content change → not redundant
+    assert resolver.update(ids[3], '{..,"a":2}', tags=["etl"]) is False
+    r = resolver.resolved()
+    assert r.redundant_change_ids == {ids[1]}
+    assert r.version == 4
+
+
+def test_resolver_last_mutate_vs_last_update():
+    gen = make_gen()
+    ids = [gen.next() for _ in range(2)]
+    resolver = Resolver("t", "k")
+    resolver.update(ids[0], '{"available":true}')
+    resolver.update(ids[1], '{..,"available":true}')  # no content change
+    r = resolver.resolved()
+    assert r.last_update_at is not None and r.last_mutate_at is not None
+    # lastMutateAt sticks at the first delta, lastUpdateAt advances
+    assert r.last_mutate_at < r.last_update_at
+
+
+def test_resolver_conditional_sees_intrinsics():
+    gen = make_gen()
+    ids = [gen.next() for _ in range(2)]
+    resolver = Resolver("review:tc", "k1")
+    resolver.update(ids[0], '{"a":1}')
+    resolver.update(
+        ids[1], 'if intrinsic("~table":"review:tc") then {..,"hit":true} end'
+    )
+    assert resolver.resolved().content == {"a": 1, "hit": True}
+
+
+def test_resolver_conditional_on_signature():
+    # read-modify-write: condition on ~signature (deltas.md read-modify-write)
+    gen = make_gen()
+    ids = [gen.next() for _ in range(2)]
+    sig1 = signature_chain(ids[:1])
+    resolver = Resolver("t", "k")
+    resolver.update(ids[0], '{"v":1}')
+    resolver.update(
+        ids[1],
+        f'if intrinsic("~signature":"{sig1}") then {{..,"v":2}} end',
+    )
+    assert resolver.resolved().content == {"v": 2}
+
+
+def test_signature_chain_is_order_sensitive():
+    gen = make_gen()
+    a, b = gen.next(), gen.next()
+    assert signature_chain([a, b]) != signature_chain([b, a])
+    assert signature_chain([]) == SIGNATURE_ZERO
+
+
+def test_timeuuid_generator_monotonic():
+    gen = make_gen()
+    ids = [gen.next() for _ in range(100)]
+    from emodb_spark.core.timeuuid import uuid_sort_key
+    assert ids == sorted(ids, key=uuid_sort_key)
+    assert uuid_timestamp_millis(ids[0]) == 1340395913473

@@ -1,0 +1,204 @@
+"""Parser round-trip tests, modeled on the reference's test strategy
+(sor-api DeltaParserTest / ConditionParserTest — SURVEY.md §5)."""
+
+import pytest
+
+from emodb_spark.language import conditions as C
+from emodb_spark.language import deltas as D
+from emodb_spark.language.parser import ParseError, parse_condition, parse_delta
+
+
+# --- delta parsing ----------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "text,expected",
+    [
+        ("~", D.delete()),
+        ("..", D.noop()),
+        ("5", D.literal(5)),
+        ("-7", D.literal(-7)),
+        ("3.5e10", D.literal(3.5e10)),
+        ('"APPROVED"', D.literal("APPROVED")),
+        ("null", D.literal(None)),
+        ("true", D.literal(True)),
+        ("false", D.literal(False)),
+        ("[1,2,3]", D.literal([1, 2, 3])),
+        ('{"rating":5,"text":"Love it!"}', D.literal({"rating": 5, "text": "Love it!"})),
+        ("{}", D.literal({})),
+        ("()", D.literal([])),
+        ("(200,204)", D.literal([200, 204])),
+    ],
+)
+def test_parse_delta_literals(text, expected):
+    assert parse_delta(text) == expected
+
+
+def test_parse_map_delta():
+    d = parse_delta('{..,"status":"APPROVED"}')
+    assert isinstance(d, D.MapDelta)
+    assert not d.remove_rest
+    assert d.entries == {"status": D.literal("APPROVED")}
+
+    d = parse_delta('{..,"status":~}')
+    assert d.entries == {"status": D.delete()}
+
+    d = parse_delta('{..,"a":1}?')
+    assert d.delete_if_empty
+
+
+def test_parse_nested_map_delta():
+    d = parse_delta('{..,"photos":{..,"p1":{..,"status":"APPROVED"}}}')
+    inner = d.entries["photos"].entries["p1"]
+    assert inner.entries["status"] == D.literal("APPROVED")
+
+
+def test_parse_set_delta():
+    d = parse_delta('(..,501,789)')
+    assert isinstance(d, D.SetDelta)
+    assert not d.remove_rest
+    assert d.added == [501, 789]
+
+    d = parse_delta('(..,~"old","new")')
+    assert d.added == ["new"]
+    assert d.removed == ["old"]
+
+    d = parse_delta('(..)?')
+    assert d.delete_if_empty
+
+
+def test_parse_conditional_delta():
+    d = parse_delta('if {..,"st":"A"} then {..,"x":1} end')
+    assert isinstance(d, D.ConditionalDelta)
+    assert d.otherwise == D.noop()
+
+    d = parse_delta('if ~ then "A" elif 5 then "B" else "C" end')
+    assert isinstance(d, D.ConditionalDelta)
+    assert d.then == D.literal("A")
+    assert isinstance(d.otherwise, D.ConditionalDelta)
+    assert d.otherwise.then == D.literal("B")
+    assert d.otherwise.otherwise == D.literal("C")
+
+
+def test_constant_map_delta_collapses_to_literal():
+    # a remove-rest map delta with constant entries is a literal
+    # (MapDeltaBuilderImpl.build:142-153)
+    assert parse_delta('{"a":1}') == D.literal({"a": 1})
+    assert parse_delta('{"a":~}') == D.literal({})
+
+
+def test_delta_roundtrip_rendering():
+    for text in [
+        "~", "..", "5", '"APPROVED"',
+        '{..,"status":"APPROVED"}',
+        '(..,"new",~"old")',
+        'if {..,"st":"A"} then {..,"x":1} end',
+    ]:
+        assert str(parse_delta(text)) == text
+
+
+def test_parse_delta_trailing_garbage():
+    with pytest.raises(ParseError):
+        parse_delta("5 x")
+    with pytest.raises(ParseError):
+        parse_delta('{..,"a":}')
+
+
+def test_sets_reject_non_literals():
+    with pytest.raises(ParseError):
+        parse_delta('(..,{..,"a":1})')
+
+
+# --- condition parsing ------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "text,expected",
+    [
+        ("alwaysTrue()", C.always_true()),
+        ("alwaysFalse()", C.always_false()),
+        ("5", C.equal(5)),
+        ('"APPROVED"', C.equal("APPROVED")),
+        ("null", C.equal(None)),
+        ("true", C.equal(True)),
+        ("{}", C.equal({})),
+        ('{"rating":5}', C.equal({"rating": 5})),
+        ("~", C.is_("undefined")),
+        ("+", C.is_("defined")),
+        ("is(num)", C.is_("num")),
+        ("is(undefined)", C.is_("undefined")),
+        ("gt(5)", C.gt(5)),
+        ("ge(98.6)", C.ge(98.6)),
+        ('lt("2014-01-28")', C.lt("2014-01-28")),
+        ("le(50)", C.le(50)),
+        ("contains(18)", C.contains(18)),
+        ('containsAll("faster","cheaper")', C.contains_all(["faster", "cheaper"])),
+        ('containsAny("med","large")', C.contains_any(["med", "large"])),
+        ('containsOnly("short","sweet")', C.contains_only(["short", "sweet"])),
+        ('like("review:*")', C.like("review:*")),
+        ('not("APPROVED")', C.not_(C.equal("APPROVED"))),
+        ('in("A","B")', C.in_(["A", "B"])),
+    ],
+)
+def test_parse_conditions(text, expected):
+    assert parse_condition(text) == expected
+
+
+def test_parse_map_condition():
+    c = parse_condition('{..,"type":"review","rating":gt(3)}')
+    assert isinstance(c, C.MapCondition)
+    assert c.entries["type"] == C.equal("review")
+    assert c.entries["rating"] == C.gt(3)
+
+    c = parse_condition('{..,"submissionTxId":+}')
+    assert c.entries["submissionTxId"] == C.is_("defined")
+
+
+def test_parse_intrinsic():
+    c = parse_condition('intrinsic("~table":"review:testcustomer")')
+    assert isinstance(c, C.IntrinsicCondition)
+    assert c.name == "~table"
+    assert c.condition == C.equal("review:testcustomer")
+    # multiple args → or()
+    c = parse_condition('intrinsic("~table":"a","b")')
+    assert c.condition == C.in_(["a", "b"])
+
+
+def test_parse_partition():
+    c = parse_condition("partition(8:3)")
+    assert isinstance(c, C.PartitionCondition)
+    assert c.num_partitions == 8
+    assert c.condition == C.equal(3)
+
+
+def test_or_merges_equals_into_in():
+    c = parse_condition('or("APPROVED","REJECTED")')
+    assert c == C.in_(["APPROVED", "REJECTED"])
+
+
+def test_in_simplifications():
+    assert C.in_([]) == C.always_false()
+    assert C.in_(["A"]) == C.equal("A")
+    assert C.in_(["A", "A", "B"]) == C.in_(["A", "B"])
+
+
+def test_not_not_collapses():
+    assert C.not_(C.not_(C.equal(5))) == C.equal(5)
+    assert C.not_(C.always_true()) == C.always_false()
+
+
+def test_and_or_empty():
+    assert C.and_([]) == C.always_true()
+    assert C.or_([]) == C.always_false()
+
+
+def test_nested_boolean_conditions():
+    c = parse_condition('and(or(is(array),is(object)),not(is(null)))')
+    assert isinstance(c, C.AndCondition)
+
+
+def test_condition_roundtrip_rendering():
+    for text in [
+        "alwaysTrue()", "5", '"APPROVED"', "is(num)", "gt(5)",
+        'like("review:*")', 'in("A","B")',
+        'intrinsic("~table":"x")', "partition(8:3)",
+    ]:
+        assert str(parse_condition(text)) == text
