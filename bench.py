@@ -1,0 +1,84 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q": sec, ...}, "sf": <sf>}
+
+Each query is forced end-to-end with the noop writer (full computation, no
+driver collect overhead).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+BENCH_QUERIES = [
+    # EmoDB surface
+    "resolve_fold",          # the delta-log fold (applyInPandas)
+    "scan_condition",        # compiled condition scan w/ pushdown
+    "scan_condition_complex",
+    "multi_get",
+    "event_consolidation",   # databus poll consolidation shape
+    "condition_generic_json",  # interpreter UDF path
+    # analytics
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_orders",
+    # LLM pipeline
+    "dedup_exact",
+    "text_stats",
+    "minhash_near_dups",
+    "simhash_near_dups",
+    "similarity_topk",
+    "multimodal_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entrymod
+    from emodb_spark.spark.session import get_spark
+
+    spark = get_spark(app_name="emodb_spark_bench")
+    qs = entrymod.queries()
+
+    # warm the JVM/session with a trivial job so q1 doesn't pay startup
+    spark.range(1000).count()
+
+    timings = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+        print(f"# {name}: {dt:.2f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "emodb_spark_bench_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

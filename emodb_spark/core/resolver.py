@@ -68,23 +68,33 @@ class Resolver:
         self._last_tags: Tuple[str, ...] = ()
         self._redundant: Set[str] = set()
 
-    def _intrinsics(self) -> Intrinsics:
-        return Intrinsics(
-            id=self._key,
-            table=self._table,
-            signature=self._signature,
-            deleted=self._content is UNDEFINED,
-            first_update_at=(
-                iso8601(self._first_update_at) if self._first_update_at is not None else None
-            ),
-            last_update_at=(
-                iso8601(self._last_update_at) if self._last_update_at is not None else None
-            ),
-            last_mutate_at=(
-                iso8601(self._last_mutate_at) if self._last_mutate_at is not None else None
-            ),
-            placement=self._placement,
-        )
+    def restore(
+        self,
+        content: Any,
+        content_defined: bool,
+        version: int,
+        signature: str,
+        first_update_at: Optional[str] = None,
+        last_update_at: Optional[str] = None,
+        last_mutate_at: Optional[str] = None,
+        last_tags: Tuple[str, ...] = (),
+    ) -> None:
+        """Resume an incremental fold from checkpointed state (the streaming
+        MERGE path / compaction records — Compaction parity,
+        sor core/DefaultResolver.java:46-65 constructor-from-compaction)."""
+        self._content = content if content_defined else UNDEFINED
+        self._version = int(version)
+        self._signature = signature
+        self._first_update_at = _parse_iso_millis(first_update_at)
+        self._last_update_at = _parse_iso_millis(last_update_at)
+        self._last_mutate_at = _parse_iso_millis(last_mutate_at)
+        self._last_tags = tuple(sorted(last_tags or ()))
+
+    def _intrinsics(self) -> "_LazyIntrinsics":
+        # lazy view: ISO timestamp rendering only happens if a conditional
+        # delta actually reads an intrinsic (rare in real logs — the strftime
+        # cost otherwise dominates short folds)
+        return _LazyIntrinsics(self)
 
     def update(self, change_id: str, delta, tags: Sequence[str] = ()) -> bool:
         """Apply one delta; returns True if it was redundant."""
@@ -129,6 +139,52 @@ class Resolver:
             redundant_change_ids=set(self._redundant),
             last_tags=self._last_tags,
         )
+
+
+class _LazyIntrinsics:
+    """Duck-typed :class:`Intrinsics` view over a live Resolver."""
+
+    __slots__ = ("_r",)
+
+    def __init__(self, resolver: "Resolver"):
+        self._r = resolver
+
+    def get(self, name: str):
+        r = self._r
+        if name == "~id":
+            return r._key
+        if name == "~table":
+            return r._table
+        if name == "~signature":
+            return r._signature
+        if name == "~deleted":
+            return r._content is UNDEFINED
+        if name == "~firstUpdateAt":
+            return iso8601(r._first_update_at) if r._first_update_at is not None else None
+        if name == "~lastUpdateAt":
+            return iso8601(r._last_update_at) if r._last_update_at is not None else None
+        if name == "~lastMutateAt":
+            return iso8601(r._last_mutate_at) if r._last_mutate_at is not None else None
+        if name == "~placement":
+            return r._placement
+        raise ValueError(f"unsupported intrinsic: {name}")
+
+    @property
+    def table(self):
+        return self._r._table
+
+    @property
+    def id(self):
+        return self._r._key
+
+
+def _parse_iso_millis(s: Optional[str]) -> Optional[int]:
+    if s is None:
+        return None
+    from datetime import datetime, timezone
+
+    dt = datetime.strptime(s, "%Y-%m-%dT%H:%M:%S.%fZ").replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1000)
 
 
 def _content_equals(a: Any, b: Any) -> bool:

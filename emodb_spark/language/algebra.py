@@ -1,0 +1,351 @@
+"""Condition algebra: static implication / disjointness / inverse analysis.
+
+Re-implements the analyses the reference uses for auth policies and
+subscription validation (sor-api condition/eval/SubsetEvaluator.java:26-30,
+InverseEvaluator.java, DistinctEvaluator.java — SURVEY.md §2.4). Pure AST
+math, no Spark analog.
+
+Both ``implies`` and ``distinct`` are **sound but not complete**: a True
+answer is a proof (∀v: L(v)→R(v), resp. ¬∃v: L(v)∧R(v)); a False answer
+means "could not prove", exactly like the reference's conservative
+fallthroughs. Soundness is property-tested against the interpreter.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional
+
+from . import conditions as C
+from .ceval import eval_condition
+from .values import is_bool, is_float, is_number, json_equals
+
+
+def _is_concrete(cond: C.Condition) -> bool:
+    """Conditions whose truth depends only on the value (no intrinsics)."""
+    if isinstance(cond, (C.IntrinsicCondition, C.PartitionCondition)):
+        return False
+    if isinstance(cond, C.NotCondition):
+        return _is_concrete(cond.condition)
+    if isinstance(cond, (C.AndCondition, C.OrCondition)):
+        return all(_is_concrete(c) for c in cond.conditions)
+    if isinstance(cond, C.MapCondition):
+        return all(_is_concrete(c) for c in cond.entries.values())
+    return True
+
+
+def _type_of_value(v: Any) -> str:
+    if v is None:
+        return "null"
+    if is_bool(v):
+        return "bool"
+    if is_number(v):
+        return "num"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, list):
+        return "array"
+    return "object"
+
+
+def implies(left: C.Condition, right: C.Condition) -> bool:
+    """True iff provably ∀v: left(v) → right(v) (SubsetEvaluator.isSubset)."""
+    # trivial bounds
+    if isinstance(right, C.ConstantCondition):
+        return right.value
+    if isinstance(left, C.ConstantCondition):
+        return not left.value  # alwaysFalse implies everything
+    if left == right:
+        return True
+
+    # normalize not() wrappers that have a positive equivalent
+    # (not(is(defined)) ≡ is(undefined), and vice versa)
+    if isinstance(left, C.NotCondition):
+        pos = inverse(left.condition)
+        if not isinstance(pos, C.NotCondition) and pos != left:
+            return implies(pos, right)
+    if isinstance(right, C.NotCondition):
+        pos = inverse(right.condition)
+        if not isinstance(pos, C.NotCondition) and pos != right:
+            return implies(left, pos)
+
+    # or on the left: every branch must imply right
+    if isinstance(left, C.OrCondition):
+        return all(implies(c, right) for c in left.conditions)
+    # and on the right: left must imply every clause
+    if isinstance(right, C.AndCondition):
+        return all(implies(left, c) for c in right.conditions)
+    # and on the left: any single clause implying right suffices
+    if isinstance(left, C.AndCondition):
+        if any(implies(c, right) for c in left.conditions):
+            return True
+    # or on the right: implying any branch suffices
+    if isinstance(right, C.OrCondition):
+        if any(implies(left, c) for c in right.conditions):
+            return True
+
+    # concrete left values: evaluate right directly (exact, not heuristic)
+    if isinstance(left, C.EqualCondition) and _is_concrete(right):
+        try:
+            return eval_condition(right, left.value, None)
+        except ValueError:
+            return False
+    if isinstance(left, C.InCondition) and _is_concrete(right):
+        try:
+            return all(eval_condition(right, v, None) for v in left.values)
+        except ValueError:
+            return False
+
+    # intrinsic(...) pairs: same intrinsic, nested implication
+    if isinstance(left, C.IntrinsicCondition) and isinstance(right, C.IntrinsicCondition):
+        return left.name == right.name and implies(left.condition, right.condition)
+
+    # partition pairs: same modulus, nested implication
+    if isinstance(left, C.PartitionCondition) and isinstance(right, C.PartitionCondition):
+        return left.num_partitions == right.num_partitions and implies(
+            left.condition, right.condition
+        )
+
+    # is() pairs
+    if isinstance(left, C.IsCondition) and isinstance(right, C.IsCondition):
+        if left.state == right.state:
+            return True
+        return left.state != "undefined" and right.state == "defined"
+
+    # typed leaves imply their type's is() and is(defined)
+    if isinstance(right, C.IsCondition):
+        implied_state = _implied_state(left)
+        if implied_state is not None:
+            if right.state == implied_state:
+                return True
+            if right.state == "defined" and implied_state != "undefined":
+                return True
+        return False
+
+    # comparisons: range inclusion over a shared domain
+    if isinstance(left, C.ComparisonCondition) and isinstance(right, C.ComparisonCondition):
+        return _comparison_implies(left, right)
+
+    # like pairs: part-structure implication for the common shapes
+    if isinstance(left, C.LikeCondition) and isinstance(right, C.LikeCondition):
+        return _like_implies(left, right)
+
+    # equal/in on the right require left to pin exact values (handled above)
+    if isinstance(left, C.MapCondition) and isinstance(right, C.MapCondition):
+        # every constraint in right must be implied by a constraint in left
+        for key, rsub in right.entries.items():
+            lsub = left.entries.get(key)
+            if lsub is None or not implies(lsub, rsub):
+                return False
+        return True
+
+    # contains: all/only ⊇ relationships
+    if isinstance(left, C.ContainsCondition) and isinstance(right, C.ContainsCondition):
+        return _contains_implies(left, right)
+
+    # not-pairs: ¬A → ¬B iff B → A
+    if isinstance(left, C.NotCondition) and isinstance(right, C.NotCondition):
+        return implies(right.condition, left.condition)
+
+    # A → ¬B iff A and B are disjoint
+    if isinstance(right, C.NotCondition):
+        return distinct(left, right.condition)
+
+    return False
+
+
+def _implied_state(cond: C.Condition) -> Optional[str]:
+    """The is()-state every satisfying value must have, if one exists."""
+    if isinstance(cond, C.EqualCondition):
+        return _type_of_value(cond.value)
+    if isinstance(cond, C.InCondition):
+        states = {_type_of_value(v) for v in cond.values}
+        return states.pop() if len(states) == 1 else None
+    if isinstance(cond, C.ComparisonCondition):
+        return "num" if is_number(cond.value) else "string"
+    if isinstance(cond, C.LikeCondition):
+        return "string"
+    if isinstance(cond, C.ContainsCondition):
+        return "array" if cond.values else None
+    if isinstance(cond, C.MapCondition):
+        return "object"
+    if isinstance(cond, C.IsCondition):
+        return cond.state
+    return None
+
+
+def _comparison_implies(l: C.ComparisonCondition, r: C.ComparisonCondition) -> bool:
+    if is_number(l.value) != is_number(r.value):
+        return False
+    a, b = l.value, r.value
+    if l.op in ("gt", "ge") and r.op in ("gt", "ge"):
+        # x >[=] a → x >[=] b needs b below a
+        if l.op == "gt" and r.op == "ge":
+            return b <= a if is_number(a) else b <= a  # gt(a) ⊂ ge(a)
+        if l.op == "ge" and r.op == "gt":
+            return b < a
+        return b <= a
+    if l.op in ("lt", "le") and r.op in ("lt", "le"):
+        if l.op == "lt" and r.op == "le":
+            return b >= a
+        if l.op == "le" and r.op == "lt":
+            return b > a
+        return b >= a
+    return False
+
+
+def _like_implies(l: C.LikeCondition, r: C.LikeCondition) -> bool:
+    if not r.has_wildcard():
+        return not l.has_wildcard() and l.parts[0] == r.parts[0]
+    if not l.has_wildcard():
+        return r.matches(l.parts[0])
+    # both have wildcards: prefix/suffix containment for the 2-part shapes
+    if len(l.parts) == 2 and len(r.parts) == 2:
+        lh, lt = l.parts
+        rh, rt = r.parts
+        return lh.startswith(rh) and lt.endswith(rt)
+    return False
+
+
+def _contains_implies(l: C.ContainsCondition, r: C.ContainsCondition) -> bool:
+    ALL, ANY, ONLY = C.ContainsCondition.ALL, C.ContainsCondition.ANY, C.ContainsCondition.ONLY
+    lv, rv = l.values, r.values
+    if r.containment == ANY:
+        if not rv:
+            return True
+        if l.containment in (ALL, ONLY) and lv:
+            if l.containment == ONLY:
+                # exact set lv: any rv element inside lv?
+                return any(any(json_equals(x, y) for y in lv) for x in rv)
+            return any(any(json_equals(x, y) for y in lv) for x in rv)
+    if r.containment == ALL:
+        if not rv:
+            return True
+        if l.containment in (ALL, ONLY):
+            # l guarantees all of lv present; need rv ⊆ lv
+            return all(any(json_equals(x, y) for y in lv) for x in rv)
+    if r.containment == ONLY:
+        if l.containment == ONLY:
+            return len(lv) == len(rv) and all(
+                any(json_equals(x, y) for y in lv) for x in rv
+            )
+    return False
+
+
+# ---------------------------------------------------------------------------
+# Disjointness (DistinctEvaluator)
+# ---------------------------------------------------------------------------
+
+
+def distinct(left: C.Condition, right: C.Condition) -> bool:
+    """True iff provably no value satisfies both (DistinctEvaluator)."""
+    if isinstance(left, C.ConstantCondition) and not left.value:
+        return True
+    if isinstance(right, C.ConstantCondition) and not right.value:
+        return True
+    if isinstance(left, C.ConstantCondition) or isinstance(right, C.ConstantCondition):
+        return False  # alwaysTrue overlaps everything satisfiable
+
+    if isinstance(left, C.OrCondition):
+        return all(distinct(c, right) for c in left.conditions)
+    if isinstance(right, C.OrCondition):
+        return all(distinct(left, c) for c in right.conditions)
+    if isinstance(left, C.AndCondition):
+        return any(distinct(c, right) for c in left.conditions)
+    if isinstance(right, C.AndCondition):
+        return any(distinct(left, c) for c in right.conditions)
+
+    # concrete value on either side: evaluate the other side
+    if isinstance(left, C.EqualCondition) and _is_concrete(right):
+        try:
+            return not eval_condition(right, left.value, None)
+        except ValueError:
+            return False
+    if isinstance(right, C.EqualCondition) and _is_concrete(left):
+        try:
+            return not eval_condition(left, right.value, None)
+        except ValueError:
+            return False
+    if isinstance(left, C.InCondition) and _is_concrete(right):
+        try:
+            return not any(eval_condition(right, v, None) for v in left.values)
+        except ValueError:
+            return False
+    if isinstance(right, C.InCondition) and _is_concrete(left):
+        try:
+            return not any(eval_condition(left, v, None) for v in right.values)
+        except ValueError:
+            return False
+
+    if isinstance(left, C.IntrinsicCondition) and isinstance(right, C.IntrinsicCondition):
+        return left.name == right.name and distinct(left.condition, right.condition)
+
+    # type-disjointness: satisfying values have incompatible types
+    ls, rs = _implied_state(left), _implied_state(right)
+    if ls is not None and rs is not None and ls != rs:
+        if "defined" not in (ls, rs):
+            # undefined is distinct from every concrete type too
+            return True
+
+    if isinstance(left, C.ComparisonCondition) and isinstance(right, C.ComparisonCondition):
+        return _comparison_distinct(left, right)
+
+    if isinstance(left, C.MapCondition) and isinstance(right, C.MapCondition):
+        shared = set(left.entries) & set(right.entries)
+        return any(distinct(left.entries[k], right.entries[k]) for k in shared)
+
+    # A distinct from not(B) iff A → B
+    if isinstance(right, C.NotCondition):
+        return implies(left, right.condition)
+    if isinstance(left, C.NotCondition):
+        return implies(right, left.condition)
+
+    return False
+
+
+def _comparison_distinct(l: C.ComparisonCondition, r: C.ComparisonCondition) -> bool:
+    if is_number(l.value) != is_number(r.value):
+        # a number comparison and a string comparison can never both hold
+        return True
+    a, b = l.value, r.value
+    lo = l if l.op in ("gt", "ge") else None
+    hi = l if l.op in ("lt", "le") else None
+    if r.op in ("gt", "ge"):
+        lo = lo or r
+    else:
+        hi = hi or r
+    if lo is None or hi is None or lo is hi:
+        return False
+    lo_v, hi_v = lo.value, hi.value
+    if lo_v > hi_v:
+        return True
+    if lo_v == hi_v and (lo.op == "gt" or hi.op == "lt"):
+        return True
+    return False
+
+
+# ---------------------------------------------------------------------------
+# Inverse (InverseEvaluator)
+# ---------------------------------------------------------------------------
+
+
+def inverse(cond: C.Condition) -> C.Condition:
+    """A condition equivalent to ¬cond (InverseEvaluator semantics).
+
+    Note the language's comparison semantics: ¬gt(5) is NOT le(5) — a
+    string, null or undefined value fails both — so comparisons invert
+    structurally via not() rather than by flipping the operator."""
+    if isinstance(cond, C.ConstantCondition):
+        return C.always_false() if cond.value else C.always_true()
+    if isinstance(cond, C.NotCondition):
+        return cond.condition
+    if isinstance(cond, C.AndCondition):
+        return C.or_([inverse(c) for c in cond.conditions])
+    if isinstance(cond, C.OrCondition):
+        return C.and_([inverse(c) for c in cond.conditions])
+    if isinstance(cond, C.IsCondition):
+        if cond.state == "undefined":
+            return C.is_("defined")
+        if cond.state == "defined":
+            return C.is_("undefined")
+        return C.not_(cond)
+    return C.not_(cond)

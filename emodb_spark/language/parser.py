@@ -16,6 +16,7 @@ Condition:  JSON literal (equal) | ``~``=is(undefined) | ``+``=is(defined) |
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Any, List, Optional, Tuple
 
 from . import conditions as C
@@ -169,6 +170,14 @@ class _Tokener:
 
 
 def parse_delta(text: str) -> D.Delta:
+    """Parse a delta string. Results are memoized — delta ASTs are
+    immutable and real update logs repeat the same delta text heavily
+    (template stamps, status flips), so the fold hot path hits the cache."""
+    return _parse_delta_cached(text)
+
+
+@lru_cache(maxsize=65536)
+def _parse_delta_cached(text: str) -> D.Delta:
     t = _Tokener(text)
     delta = _parse_delta(t)
     if not t.at_end():
@@ -292,6 +301,12 @@ def _parse_conditional_delta(t: _Tokener) -> D.Delta:
 
 
 def parse_condition(text: str) -> C.Condition:
+    """Parse a condition string (memoized; condition ASTs are immutable)."""
+    return _parse_condition_cached(text)
+
+
+@lru_cache(maxsize=65536)
+def _parse_condition_cached(text: str) -> C.Condition:
     t = _Tokener(text)
     cond = _parse_condition(t)
     if not t.at_end():

@@ -1,0 +1,251 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Designed for the 100 TB regime:
+- **exact**: one hash-shuffle on the content fingerprint; map-side partial
+  aggregation keeps the shuffle proportional to distinct content.
+- **minhash_lsh**: shingle → K minhashes → B bands; candidate generation is
+  a self-join on (band_id, band_hash) buckets — never an O(N²) cross join.
+  The band join is the only shuffle, keyed by a short hash, and AQE's skew
+  handling splits hot buckets.
+- **simhash**: 64-bit signature per doc, Hamming-ball candidates via
+  4×16-bit block keys (a doc pair within distance k shares at least one of
+  k+1 blocks — pigeonhole), again bucket-join not cross-join.
+- **ngram_jaccard**: exact verification on candidate pairs only.
+
+Everything stays in `pyspark.sql.functions` (xxhash64 / crc32 / transform /
+aggregate) — no Python UDFs in the hot path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalize(text: Column) -> Column:
+    return F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "))
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on normalized content: keep the smallest id per group.
+
+    Returns (keep_id, dup_count, fingerprint). Map-side combine makes the
+    shuffle ~|distinct docs|; the groupBy key is a 32-hex digest, not the
+    full text, so shuffle rows stay small."""
+    fp = F.md5(normalize(F.col(text_col))).alias("fingerprint")
+    return (
+        df.select(F.col(id_col), fp)
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def shingles(text: Column, k: int = 5) -> Column:
+    """Word k-shingles of the normalized text (array of strings).
+
+    Built as a chain of k-1 ``zip_with`` merges against shifted copies of
+    the token array (all literal-offset slices → whole-stage codegen),
+    instead of per-index ``slice(toks, i, k)`` with a column start, which
+    drops to interpreted evaluation and costs ~10× on long documents."""
+    toks = F.split(normalize(text), " ")
+    n = F.size(toks)
+    out = toks
+    for j in range(1, k):
+        shifted = F.slice(toks, j + 1, F.greatest(n - F.lit(j), F.lit(0)))
+        # concat is null-propagating: entries without a full k-window null out
+        out = F.zip_with(out, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    full = F.filter(out, lambda x: x.isNotNull())
+    return F.when(n >= k, full).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """K-minhash signatures via explode + grouped min.
+
+    Shape chosen deliberately over nested array expressions: exploding to
+    (id, shingle-hash) rows hashes each shingle string ONCE, derives the K
+    permutations by re-hashing the 8-byte base hash with the function index
+    (ANSI-safe, no wrapping arithmetic), and lets map-side partial MIN
+    aggregation do the rest. Catalyst would otherwise inline the shingle
+    construction into all K array_min expressions — K× the work and a
+    codegen blow-up."""
+    # repartition BEFORE the (expensive) shingle construction: the input
+    # is often few large files, and shingling must parallelize
+    ex = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        .repartition(F.col("id"))
+        .select("id", shingles(F.col("t"), shingle_k).alias("sh"))
+        .select("id", F.explode("sh").alias("s"))
+        .select("id", F.xxhash64("s").alias("h"))
+    )
+    mins = [
+        F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"m{i}") for i in range(num_hashes)
+    ]
+    grouped = ex.groupBy("id").agg(*mins)
+    return grouped.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH.
+
+    B bands of R=K/B rows each: docs agreeing on all R minhashes of any band
+    land in the same bucket. Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    rows = num_hashes // bands
+    with_sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    band_entries = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.xxhash64(F.array_join(
+                    F.transform(F.slice(F.col("sig"), b * rows + 1, rows),
+                                lambda h: h.cast("string")),
+                    ",",
+                )).alias("bucket"),
+            ),
+        )
+    )
+    buckets = with_sig.select("id", band_entries.alias("e")).select(
+        "id", F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: Optional[DataFrame] = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard over word shingles.
+
+    With ``pairs`` (from LSH) verifies candidates only — the scale path.
+    Without, compares all pairs (test-scale only). Returns
+    (id_a, id_b, jaccard) with jaccard >= threshold."""
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        .repartition(F.col("id"))
+        .select("id", F.array_distinct(shingles(F.col("t"), shingle_k)).alias("sh"))
+    )
+    if pairs is None:
+        a, b = sh.alias("a"), sh.alias("b")
+        joined = a.crossJoin(b).filter(F.col("a.id") < F.col("b.id"))
+    else:
+        joined = (
+            pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+            .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+            .select(F.col("id_a").alias("a_id"), F.col("id_b").alias("b_id"),
+                    F.col("sh_a").alias("a_sh"), F.col("sh_b").alias("b_sh"))
+        )
+        inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
+        union = F.size(F.array_union(F.col("a_sh"), F.col("b_sh")))
+        return (
+            joined.select(
+                F.col("a_id").alias("id_a"),
+                F.col("b_id").alias("id_b"),
+                (inter.cast("double") / union).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    return (
+        joined.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+_BIT_MASKS = [1 << i for i in range(63)] + [-(1 << 63)]
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_k: int = 3
+) -> DataFrame:
+    """64-bit SimHash via explode + 64 grouped bit-vote sums.
+
+    Per (id, shingle-hash) row each bit contributes ±1; grouped SUMs give
+    the vote vector (map-side combine keeps the shuffle at 64 longs per
+    doc); the signature reassembles sign bits into one long. All JVM-side,
+    and linear in shingles — not in shingles × bits re-scans."""
+    ex = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        .repartition(F.col("id"))
+        .select("id", shingles(F.col("t"), shingle_k).alias("sh"))
+        .select("id", F.explode(F.array_distinct("sh")).alias("s"))
+        .select("id", F.xxhash64("s").alias("h"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i, m in enumerate(_BIT_MASKS)
+    ]
+    grouped = ex.groupBy("id").agg(*votes)
+    sig = None
+    for i, m in enumerate(_BIT_MASKS):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(m).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig + bit
+    return grouped.select("id", sig.alias("sig"))
+
+
+def simhash_candidates(
+    sigs: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Hamming-ball candidate pairs via 4×16-bit block buckets (pigeonhole:
+    distance ≤3 ⇒ at least one of 4 blocks equal), verified exactly with
+    bit_count(xor)."""
+    blocks = F.array(*[
+        F.struct(F.lit(i).alias("block"),
+                 F.shiftrightunsigned(F.col("sig"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"))
+        for i in range(4)
+    ])
+    b = sigs.select("id", "sig", F.explode(blocks).alias("e")).select(
+        "id", "sig", F.col("e.block").alias("block"), F.col("e.val").alias("val")
+    )
+    l, r = b.alias("l"), b.alias("r")
+    cand = (
+        l.join(r, on=["block", "val"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                F.col("l.sig").alias("sig_a"), F.col("r.sig").alias("sig_b"))
+        .distinct()
+    )
+    dist = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select("id_a", "id_b", dist.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

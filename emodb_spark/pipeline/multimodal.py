@@ -1,0 +1,151 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The reference's BlobStore (blob-api BlobStore.java:80-101) stores binary
+objects with a string attribute map and supports ranged reads; on Spark a
+blob table is a DataFrame with a BinaryType column + metadata columns
+(`spark.read.format("binaryFile")` for file-backed stores).
+
+The decode/feature steps (image resize, audio resample, frame sampling)
+require codec libraries not present in this container — they are STUBBED
+behind ``decoder=`` hooks with a deterministic fake, but the Spark-side
+plumbing (schema, Arrow batch shape, mapInPandas signatures, partitioning)
+is real and tested. Swap the fake for PIL/torchaudio/ffmpeg on a real
+cluster without touching the plan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+BLOB_SCHEMA = T.StructType(
+    [
+        T.StructField("blob_id", T.StringType(), False),
+        T.StructField("tbl", T.StringType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("length", T.LongType(), True),
+        T.StructField("md5", T.StringType(), True),
+        T.StructField("sha1", T.StringType(), True),
+        T.StructField("attributes", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("blob_id", T.StringType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def make_blob_table(spark: SparkSession, rows) -> DataFrame:
+    """Build a blob DataFrame from (blob_id, tbl, bytes, attributes)."""
+    data = []
+    for blob_id, tbl, content, attributes in rows:
+        data.append(
+            (
+                blob_id,
+                tbl,
+                content,
+                len(content) if content is not None else None,
+                hashlib.md5(content).hexdigest() if content is not None else None,
+                hashlib.sha1(content).hexdigest() if content is not None else None,
+                dict(attributes or {}),
+            )
+        )
+    return spark.createDataFrame(data, BLOB_SCHEMA)
+
+
+def read_binary_dir(spark: SparkSession, path: str, tbl: str = "blobs") -> DataFrame:
+    """File-backed blob store via the built-in binaryFile source."""
+    raw = spark.read.format("binaryFile").load(path)
+    return raw.select(
+        F.col("path").alias("blob_id"),
+        F.lit(tbl).alias("tbl"),
+        F.col("content"),
+        F.col("length"),
+        F.md5(F.col("content")).alias("md5"),
+        F.sha1(F.col("content")).alias("sha1"),
+        F.create_map().cast(BLOB_SCHEMA["attributes"].dataType).alias("attributes"),
+    )
+
+
+def ranged_read(df: DataFrame, offset: int, length: Optional[int] = None) -> DataFrame:
+    """Byte-range reads (blob-api OffsetRangeSpecification / Suffix...):
+    offset >= 0 slices from the front; offset < 0 is a suffix range."""
+    content = F.col("content")
+    if offset >= 0:
+        if length is None:
+            sliced = F.expr(f"substring(content, {offset + 1})")
+        else:
+            sliced = F.expr(f"substring(content, {offset + 1}, {length})")
+    else:
+        sliced = F.expr(f"substring(content, {offset})")
+    return df.withColumn("range_content", sliced)
+
+
+def _fake_decode(content: bytes, modality: str):
+    """Deterministic stand-in for a real codec: derives pseudo-dimensions
+    and an 8-dim feature from the content hash. Replace with a real decoder
+    (PIL / torchaudio / ffmpeg) in production — NOT a real decode."""
+    if content is None:
+        return None
+    h = hashlib.sha256(content).digest()
+    width = 16 + h[0] % 64
+    height = 16 + h[1] % 64
+    n_frames = 1 if modality == "image" else 1 + h[2] % 30
+    feature = [round(b / 255.0, 6) for b in h[:8]]
+    return width, height, n_frames, feature
+
+
+def extract_features(
+    blobs: DataFrame,
+    modality_attr: str = "modality",
+    decoder: Optional[Callable] = None,
+    batch_size_hint: int = 64,
+) -> DataFrame:
+    """Decode + featurize blobs with mapInPandas (Arrow-batched).
+
+    The real-cluster design: blobs are large, so we repartition by blob_id
+    to spread decode work, stream Arrow batches, and emit small typed
+    feature rows (never re-emit the binary). ``decoder`` defaults to the
+    deterministic fake above."""
+    decode = decoder or _fake_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for blob_id, content, attrs in zip(
+                pdf["blob_id"], pdf["content"], pdf["attributes"]
+            ):
+                modality = (attrs or {}).get(modality_attr, "image")
+                decoded = decode(bytes(content) if content is not None else None, modality)
+                if decoded is None:
+                    out.append((blob_id, modality, None, None, None, None))
+                else:
+                    w, h, nf, feat = decoded
+                    out.append((blob_id, modality, w, h, nf, feat))
+            yield pd.DataFrame(
+                out, columns=["blob_id", "modality", "width", "height", "n_frames", "feature"]
+            )
+
+    spread = blobs.repartition(F.col("blob_id")).select("blob_id", "content", "attributes")
+    return spread.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def scan_metadata(df: DataFrame, from_blob_id: Optional[str] = None, limit: int = 10) -> DataFrame:
+    """Paged metadata scan (BlobStore.java:91) — no binary column in the
+    projection, so parquet column pruning skips the payload entirely."""
+    out = df.select("blob_id", "tbl", "length", "md5", "sha1", "attributes")
+    if from_blob_id is not None:
+        out = out.filter(F.col("blob_id") > from_blob_id)
+    return out.orderBy("blob_id").limit(limit)

@@ -1,0 +1,150 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Query set is broadcast (it's small); the big side streams through one
+  projection + a per-query top-k window. Dot products run as a left fold in
+  double precision (`F.aggregate`), bit-reproducible and SQL-expressible
+  for the DuckDB oracle.
+- ``lsh_topk``: the scale path — random-hyperplane LSH buckets the corpus,
+  so each query only scores candidates sharing a bucket. Hyperplanes are
+  derived deterministically from xxhash64, so no driver-side random state.
+
+At 100 TB the brute-force path is a single broadcast-join scan (no
+shuffle); the LSH path turns it into a bucket-equijoin. Both avoid
+cartesian blowup.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector.
+
+    ``queries`` is (query_id, embedding); it is broadcast so the corpus scan
+    is shuffle-free; the only shuffle is the final per-query top-k, keyed by
+    query_id (small)."""
+    corpus = embeddings.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nbr_vec"))
+    q = queries.select(F.col("query_id"), F.col("embedding").alias("q_vec"))
+    scored = (
+        corpus.join(F.broadcast(q), F.col("nbr_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            F.round(cosine(F.col("q_vec"), F.col("nbr_vec")), 8).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )
+
+
+def _plane_signs(num_planes: int, dim: int, seed: int) -> list:
+    """Deterministic ±1 sign matrix for the hyperplanes, derived from
+    sha256(seed, plane) — computed once on the driver and shipped as
+    literals (a few KB), NOT re-derived per row on executors."""
+    import hashlib
+
+    planes = []
+    for p in range(num_planes):
+        signs = []
+        counter = 0
+        while len(signs) < dim:
+            digest = hashlib.sha256(f"{seed}:{p}:{counter}".encode()).digest()
+            signs.extend(1.0 if b & 1 else -1.0 for b in digest)
+            counter += 1
+        planes.append(signs[:dim])
+    return planes
+
+
+def hyperplane_bucket(vec: Column, num_planes: int = 16, dim: int = 64, seed: int = 7) -> Column:
+    """Random-hyperplane LSH bucket id: sign pattern of ``num_planes``
+    fixed pseudo-random hyperplanes (literal ±1 weights, so the projection
+    is a pure zip_with/aggregate over constants)."""
+    planes = _plane_signs(num_planes, dim, seed)
+    bits = []
+    for p in range(num_planes):
+        weights = F.array(*[F.lit(w) for w in planes[p]])
+        proj = F.aggregate(
+            F.zip_with(vec, weights, lambda v, w: v.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_planes: int = 12,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's LSH
+    bucket. Bucketing is an equijoin key — candidate count drops
+    ~2^-planes, the join shuffles on a 4-byte key."""
+    corpus = embeddings.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).alias("nbr_vec"),
+        hyperplane_bucket(F.col(vec_col), num_planes, dim).alias("bucket"),
+    )
+    q = queries.select(
+        "query_id",
+        F.col("embedding").alias("q_vec"),
+        hyperplane_bucket(F.col("embedding"), num_planes, dim).alias("bucket"),
+    )
+    scored = (
+        corpus.join(F.broadcast(q), on="bucket")
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            F.round(cosine(F.col("q_vec"), F.col("nbr_vec")), 8).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )

@@ -1,0 +1,115 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+All operators are pure `pyspark.sql.functions` compositions (JVM-side,
+whole-stage-codegen'd, no Python in the hot path) over a `documents`-shaped
+table (`doc_id BIGINT, text STRING, ...`). Each has an exact ANSI-SQL
+equivalent used as the DuckDB oracle in __spark_entry__.py.
+
+Operators: tokenization stats, quality scoring, language ID (stopword
+heuristic), token counting (word/BPE-ish regex), document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deliberately simple, order-stable marker lists (the heuristic must be
+# reproducible in ANSI SQL for the oracle).
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+}
+
+# word / number / single punctuation — a BPE-ish pre-tokenizer shape
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens, empty strings dropped."""
+    return F.filter(F.split(text, " "), lambda t: t != F.lit(""))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def regex_token_count(text: Column) -> Column:
+    """Count of BPE-ish pre-tokens (letters run / digits run / punct)."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def avg_token_len(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return (total.cast("double") / F.size(toks))
+
+
+def alpha_ratio(text: Column) -> Column:
+    """Fraction of alphabetic characters — a quality signal."""
+    alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    return alpha.cast("double") / F.length(text)
+
+
+def stopword_count(text: Column, words: list) -> Column:
+    toks = tokens(F.lower(text))
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0,1]: token-length sanity + alpha ratio +
+    stopword presence. Deterministic and SQL-expressible."""
+    n_tok = token_count(text).cast("double")
+    avg_len = avg_token_len(text)
+    stop = stopword_count(text, LANG_MARKERS["en"]).cast("double")
+    len_ok = F.when((avg_len >= 3.0) & (avg_len <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stop / n_tok > 0.01, F.lit(1.0)).otherwise(F.lit(0.0))
+    return (len_ok + stop_ok + alpha_ratio(text)) / F.lit(3.0)
+
+
+def lang_scores(text: Column) -> dict:
+    lowered = F.lower(text)
+    return {lang: stopword_count(lowered, words) for lang, words in LANG_MARKERS.items()}
+
+
+def detect_language(text: Column) -> Column:
+    """Argmax over marker-word counts; ties break toward the earlier entry
+    in LANG_MARKERS; all-zero → 'und' (unknown)."""
+    scores = lang_scores(text)
+    langs = list(LANG_MARKERS)
+    # max of (score, -index) structs: highest score, earliest language on tie
+    entries = [
+        F.struct(scores[lang].alias("s"), F.lit(-i).alias("p"), F.lit(lang).alias("l"))
+        for i, lang in enumerate(langs)
+    ]
+    best = F.array_max(F.array(*entries))
+    return F.when(best.getField("s") > 0, best.getField("l")).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Normalized-content fingerprint: lowercase, collapse non-alnum runs to
+    single spaces, trim, md5. Stable across formatting-only edits."""
+    norm = F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "))
+    return F.md5(norm)
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document stats table — the standard pre-filter for training data."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(t).alias("n_tokens"),
+        regex_token_count(t).alias("n_regex_tokens"),
+        char_count(t).alias("n_chars_actual"),
+        F.round(avg_token_len(t), 6).alias("avg_token_len"),
+        F.round(alpha_ratio(t), 6).alias("alpha_ratio"),
+        F.round(quality_score(t), 6).alias("quality"),
+        detect_language(t).alias("lang_detected"),
+        fingerprint(t).alias("fingerprint"),
+    )

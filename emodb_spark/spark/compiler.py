@@ -1,0 +1,469 @@
+"""Condition AST → pyspark.sql.Column compiler (the fast, JVM-side path).
+
+Compiles the condition language against a *typed* DataFrame schema so that
+Catalyst can push predicates into the parquet scan and keep evaluation inside
+whole-stage codegen. Strictness rules from the reference evaluator
+(ConditionEvaluator.java) are resolved at **compile time** using the column
+types: e.g. ``equal(5)`` against a DOUBLE column is constant-false (an
+Integer never equals a Double), ``gt(5)`` against a DOUBLE column is a
+double comparison (numeric promotion), non-string columns never match
+``like``.
+
+Typed-mode convention: SQL NULL represents the UNDEFINED (absent) state —
+parquet cannot distinguish a missing key from a null one. ``is(null)`` is
+therefore constant-false in typed mode; use the generic (JSON-string)
+evaluator path for schemaless documents where the distinction matters
+(:func:`condition_udf`).
+
+Every compiled predicate is null-safe: it evaluates to a definite
+true/false, never SQL NULL, so ``not(...)`` composes correctly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Union
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..language import conditions as C
+from ..language.values import is_bool, is_float, is_number
+
+
+class CompileError(ValueError):
+    """Condition shape not supported by the Column compiler — callers fall
+    back to the row-level interpreter (:func:`condition_udf`)."""
+
+
+class _Undef:
+    """Compile-time knowledge that the target value is absent."""
+
+
+_UNDEF = _Undef()
+
+
+class _Ref:
+    """A typed reference to the 'current JSON value' being tested."""
+
+    def __init__(self, col: Column, dtype: T.DataType):
+        self.col = col
+        self.dtype = dtype
+
+
+class _RootDoc:
+    """The whole document: its fields are the DataFrame's columns."""
+
+    def __init__(self, schema: T.StructType, exclude: Sequence[str] = ()):
+        self.schema = schema
+        self.exclude = set(exclude)
+
+    def field(self, name: str) -> Union[_Ref, _Undef]:
+        if name in self.exclude:
+            return _UNDEF
+        for f in self.schema.fields:
+            if f.name == name:
+                return _Ref(F.col(f"`{name}`"), f.dataType)
+        return _UNDEF
+
+
+
+
+def _is_integral(dt: T.DataType) -> bool:
+    return isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+
+
+def _is_floating(dt: T.DataType) -> bool:
+    return isinstance(dt, (T.FloatType, T.DoubleType))
+
+
+def _is_numeric(dt: T.DataType) -> bool:
+    return _is_integral(dt) or _is_floating(dt) or isinstance(dt, T.DecimalType)
+
+
+def _guarded(col: Column, expr: Column) -> Column:
+    """Null-safe boolean that still pushes down: ``col IS NOT NULL AND expr``
+    is a definite true/false (NULL AND FALSE = FALSE) and Catalyst pushes
+    both conjuncts into the parquet scan — unlike ``coalesce(expr, false)``,
+    which blocks pushdown."""
+    return col.isNotNull() & expr
+
+
+def compile_condition(
+    cond: C.Condition,
+    schema_or_df: Union[T.StructType, DataFrame],
+    intrinsics: Optional[Dict[str, Column]] = None,
+) -> Column:
+    """Compile a condition over a document DataFrame.
+
+    The document is the row: top-level map-condition keys address columns.
+    ``intrinsics`` maps intrinsic names (``~table``, ``~id``, ...) to
+    Columns; when the schema itself has ``~``-prefixed columns they are used
+    automatically and excluded from the document fields.
+    """
+    schema = schema_or_df.schema if isinstance(schema_or_df, DataFrame) else schema_or_df
+    intr: Dict[str, Column] = dict(intrinsics or {})
+    for f in schema.fields:
+        if f.name.startswith("~") and f.name not in intr:
+            intr[f.name] = F.col(f"`{f.name}`")
+    root = _RootDoc(schema, exclude=[n for n in intr] if intr else ())
+    return _compile(cond, root, intr)
+
+
+def compile_value_condition(cond: C.Condition, col: Column, dtype: T.DataType) -> Column:
+    """Compile a condition against a single typed value column."""
+    return _compile(cond, _Ref(col, dtype), {})
+
+
+Target = Union[_Ref, _Undef, _RootDoc]
+
+
+def _compile(cond: C.Condition, target: Target, intr: Dict[str, Column]) -> Column:
+    if isinstance(cond, C.ConstantCondition):
+        return F.lit(True) if cond.value else F.lit(False)
+
+    if isinstance(cond, C.NotCondition):
+        return ~_compile(cond.condition, target, intr)
+
+    if isinstance(cond, C.AndCondition):
+        out = F.lit(True)
+        for c in cond.conditions:
+            out = out & _compile(c, target, intr)
+        return out
+
+    if isinstance(cond, C.OrCondition):
+        out = F.lit(False)
+        for c in cond.conditions:
+            out = out | _compile(c, target, intr)
+        return out
+
+    if isinstance(cond, C.IntrinsicCondition):
+        if cond.name not in intr:
+            raise CompileError(f"intrinsic {cond.name} not available on this table")
+        return _compile(cond.condition, _Ref(intr[cond.name], _intrinsic_type(cond.name)), intr)
+
+    if isinstance(cond, C.PartitionCondition):
+        return _compile_partition(cond, intr)
+
+    if isinstance(cond, C.MapCondition):
+        return _compile_map(cond, target, intr)
+
+    if isinstance(cond, C.IsCondition):
+        return _compile_is(cond, target)
+
+    if isinstance(cond, C.EqualCondition):
+        return _compile_equal(cond.value, target)
+
+    if isinstance(cond, C.InCondition):
+        out = F.lit(False)
+        for v in cond.values:
+            out = out | _compile_equal(v, target)
+        return out
+
+    if isinstance(cond, C.ComparisonCondition):
+        return _compile_comparison(cond, target)
+
+    if isinstance(cond, C.ContainsCondition):
+        return _compile_contains(cond, target)
+
+    if isinstance(cond, C.LikeCondition):
+        return _compile_like(cond, target)
+
+    raise CompileError(f"unsupported condition node: {type(cond).__name__}")
+
+
+def _intrinsic_type(name: str) -> T.DataType:
+    if name == C.INTRINSIC_DELETED:
+        return T.BooleanType()
+    return T.StringType()
+
+
+def _compile_map(cond: C.MapCondition, target: Target, intr: Dict[str, Column]) -> Column:
+    if isinstance(target, _RootDoc):
+        out = F.lit(True)  # the root document is always an object
+        for key, sub in cond.entries.items():
+            out = out & _compile(sub, target.field(key), intr)
+        return out
+    if isinstance(target, _Undef):
+        return F.lit(False)
+    dt = target.dtype
+    if isinstance(dt, T.StructType):
+        out = target.col.isNotNull()
+        names = {f.name: f.dataType for f in dt.fields}
+        for key, sub in cond.entries.items():
+            if key in names:
+                field = _Ref(target.col.getField(key), names[key])
+            else:
+                field = _UNDEF
+            out = out & _compile(sub, field, intr)
+        return out
+    if isinstance(dt, T.MapType) and isinstance(dt.keyType, T.StringType):
+        out = target.col.isNotNull()
+        for key, sub in cond.entries.items():
+            out = out & _compile(sub, _Ref(target.col.getItem(key), dt.valueType), intr)
+        return out
+    return F.lit(False)  # value is not an object
+
+
+def _compile_is(cond: C.IsCondition, target: Target) -> Column:
+    s = cond.state
+    if isinstance(target, _RootDoc):
+        # The document itself: always a defined object.
+        return F.lit(True) if s in ("defined", "object") else F.lit(False)
+    if isinstance(target, _Undef):
+        return F.lit(True) if s == "undefined" else F.lit(False)
+    dt = target.dtype
+    if s == "undefined":
+        return target.col.isNull()
+    if s == "defined":
+        return target.col.isNotNull()
+    if s == "null":
+        # typed mode: NULL means absent; a JSON null is not representable
+        return F.lit(False)
+    type_ok = {
+        "bool": isinstance(dt, T.BooleanType),
+        "num": _is_numeric(dt),
+        "string": isinstance(dt, T.StringType),
+        "array": isinstance(dt, T.ArrayType),
+        "object": isinstance(dt, (T.StructType, T.MapType)),
+    }[s]
+    return target.col.isNotNull() if type_ok else F.lit(False)
+
+
+def _compile_equal(value: Any, target: Target) -> Column:
+    if isinstance(target, _RootDoc):
+        raise CompileError("equality against the whole document is not supported")
+    if isinstance(target, _Undef):
+        return F.lit(False)
+    dt = target.dtype
+    if value is None:
+        return F.lit(False)  # typed mode cannot hold JSON null (NULL ≡ UNDEFINED)
+    if is_bool(value):
+        if isinstance(dt, T.BooleanType):
+            return _guarded(target.col, target.col == F.lit(value))
+        return F.lit(False)
+    if is_number(value):
+        if is_float(value):
+            if _is_floating(dt):
+                return _guarded(target.col, target.col == F.lit(float(value)))
+            return F.lit(False)  # Double literal never equals an integral column
+        if _is_integral(dt):
+            return _guarded(target.col, target.col == F.lit(int(value)))
+        return F.lit(False)  # Integer literal never equals a floating column
+    if isinstance(value, str):
+        if isinstance(dt, T.StringType):
+            return _guarded(target.col, target.col == F.lit(value))
+        return F.lit(False)
+    if isinstance(value, list):
+        if not isinstance(dt, T.ArrayType):
+            return F.lit(False)
+        try:
+            lit = _array_literal(value, dt.elementType)
+        except CompileError:
+            return F.lit(False)
+        return _guarded(target.col, target.col == lit)
+    if isinstance(value, dict):
+        if isinstance(dt, T.StructType):
+            names = {f.name: f.dataType for f in dt.fields}
+            out = target.col.isNotNull()
+            for k, v in value.items():
+                if k not in names:
+                    return F.lit(False)  # doc key the schema can't hold → never equal
+                out = out & _compile_equal(v, _Ref(target.col.getField(k), names[k]))
+            # fields absent from the literal must be absent (NULL) in the doc
+            for k in names:
+                if k not in value:
+                    out = out & target.col.getField(k).isNull()
+            return out
+        raise CompileError("map equality needs a struct column")
+    raise CompileError(f"unsupported equality literal: {type(value).__name__}")
+
+
+def _scalar_matches(value: Any, dt: T.DataType) -> bool:
+    """Would this literal strictly equal *some* value of this type?"""
+    if value is None:
+        return False
+    if is_bool(value):
+        return isinstance(dt, T.BooleanType)
+    if is_number(value):
+        return _is_floating(dt) if is_float(value) else _is_integral(dt)
+    if isinstance(value, str):
+        return isinstance(dt, T.StringType)
+    return False
+
+
+def _array_literal(values: list, element_type: T.DataType) -> Column:
+    cols = []
+    for v in values:
+        if not _scalar_matches(v, element_type):
+            raise CompileError("array literal element type mismatch")
+        cols.append(F.lit(v).cast(element_type))
+    if not cols:
+        return F.array().cast(T.ArrayType(element_type))
+    return F.array(*cols)
+
+
+def _compile_comparison(cond: C.ComparisonCondition, target: Target) -> Column:
+    if isinstance(target, _RootDoc):
+        return F.lit(False)
+    if isinstance(target, _Undef):
+        return F.lit(False)
+    dt = target.dtype
+    value = cond.value
+    if is_number(value) and _is_numeric(dt) and not isinstance(dt, T.BooleanType):
+        lit = F.lit(float(value)) if (is_float(value) or _is_floating(dt)) else F.lit(int(value))
+    elif isinstance(value, str) and isinstance(dt, T.StringType):
+        lit = F.lit(value)
+    else:
+        return F.lit(False)
+    col = target.col
+    if cond.op == "gt":
+        return _guarded(col, col > lit)
+    if cond.op == "ge":
+        return _guarded(col, col >= lit)
+    if cond.op == "lt":
+        return _guarded(col, col < lit)
+    return _guarded(col, col <= lit)
+
+
+def _compile_contains(cond: C.ContainsCondition, target: Target) -> Column:
+    only = cond.containment == C.ContainsCondition.ONLY
+    if not cond.values and not only:
+        return F.lit(True)  # empty subset precedes the array check (eval:169-175)
+    if isinstance(target, (_RootDoc, _Undef)):
+        return F.lit(False)
+    dt = target.dtype
+    if not isinstance(dt, T.ArrayType):
+        return F.lit(False)
+    et = dt.elementType
+    col = target.col
+    matching = [v for v in cond.values if _scalar_matches(v, et)]
+    composite = [v for v in cond.values if not _scalar_matches(v, et)]
+    if composite and any(isinstance(v, (list, dict)) for v in composite):
+        raise CompileError("contains with composite literals needs the interpreter path")
+    if cond.containment == C.ContainsCondition.ANY:
+        out = F.lit(False)
+        for v in matching:
+            out = out | _guarded(col, F.array_contains(col, F.lit(v).cast(et)))
+        return out
+    if cond.containment == C.ContainsCondition.ALL:
+        if composite:
+            return F.lit(False)  # a type-mismatched value can never be contained
+        out = col.isNotNull()
+        for v in matching:
+            out = out & F.array_contains(col, F.lit(v).cast(et))
+        return out
+    # ONLY: exact set equality over distinct elements
+    if composite:
+        return F.lit(False)
+    distinct = F.array_sort(F.array_distinct(col))
+    if not cond.values:
+        return _guarded(col, F.size(distinct) == F.lit(0))
+    expected = F.array_sort(_array_literal(list(dict.fromkeys(matching)), et))
+    return _guarded(col, distinct == expected)
+
+
+def _java_regex_quote(s: str) -> str:
+    return "".join(ch if ch.isalnum() else "\\" + ch for ch in s)
+
+
+def _compile_like(cond: C.LikeCondition, target: Target) -> Column:
+    if isinstance(target, (_RootDoc, _Undef)):
+        return F.lit(False)
+    if not isinstance(target.dtype, T.StringType):
+        return F.lit(False)
+    col = target.col
+    parts = cond.parts
+    if len(parts) == 1:  # ExactMatch specialization
+        return _guarded(col, col == F.lit(parts[0]))
+    head, tail, middle = parts[0], parts[-1], parts[1:-1]
+    if not any(middle):
+        # StartsWith / EndsWith / Surrounds / Contains / AnyString
+        if head == "" and tail == "":
+            if len(parts) == 2:
+                return col.isNotNull()  # "*" matches any string
+            # "*x*" contains
+            return F.lit(False)  # unreachable: middle is non-empty for 3 parts
+        out = col.isNotNull()
+        if head:
+            out = out & col.startswith(head)
+        if tail:
+            out = out & col.endswith(tail)
+        # length guard so "aa*aa" doesn't match "aaa"
+        out = out & (F.length(col) >= F.lit(len(head) + len(tail)))
+        return out
+    if len(parts) == 3 and head == "" and tail == "":
+        # "*x*" Contains specialization
+        return _guarded(col, col.contains(middle[0]))
+    # Complex: anchored Java regex with quoted parts
+    regex = "^" + ".*".join(_java_regex_quote(p) for p in parts) + "$"
+    return _guarded(col, col.rlike(regex))
+
+
+# ---------------------------------------------------------------------------
+# partition() — murmur3_32 coordinate hash via a vectorized pandas UDF
+# ---------------------------------------------------------------------------
+
+
+def _partition_udf(num_partitions: int):
+    from ..language.hashes import coordinate_partition
+
+    @F.pandas_udf(T.IntegerType())
+    def part(table: pd.Series, doc_id: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                coordinate_partition(t, i, num_partitions)
+                for t, i in zip(table.astype(str), doc_id.astype(str))
+            ],
+            dtype="int32",
+        )
+
+    return part
+
+
+def _compile_partition(cond: C.PartitionCondition, intr: Dict[str, Column]) -> Column:
+    if C.INTRINSIC_TABLE not in intr or C.INTRINSIC_ID not in intr:
+        raise CompileError("partition() requires ~table and ~id intrinsics")
+    part_col = _partition_udf(cond.num_partitions)(
+        intr[C.INTRINSIC_TABLE], intr[C.INTRINSIC_ID]
+    )
+    return _compile(cond.condition, _Ref(part_col, T.IntegerType()), intr)
+
+
+# ---------------------------------------------------------------------------
+# Generic (schemaless) path: interpret the condition over a JSON column
+# ---------------------------------------------------------------------------
+
+
+def condition_udf(cond: C.Condition):
+    """Row-level fallback: evaluate the interpreter over a JSON-string
+    document column (Arrow-batched). Returns a callable usable as
+    ``df.filter(condition_udf(cond)(F.col("json")))``.
+
+    This is the schemaless escape hatch — the compiled Column path above is
+    the hot path (SURVEY.md §2.2 port note).
+    """
+    import json as _json
+
+    from ..language.ceval import eval_condition
+
+    cond_text = str(cond)  # pickle the string, re-parse on the executor
+
+    @F.pandas_udf(T.BooleanType())
+    def evaluate(doc_json: pd.Series) -> pd.Series:
+        from ..language.parser import parse_condition
+
+        c = parse_condition(cond_text)
+        out = []
+        for s in doc_json:
+            if s is None:
+                out.append(False)
+                continue
+            try:
+                out.append(bool(eval_condition(c, _json.loads(s), None)))
+            except Exception:
+                out.append(False)
+        return pd.Series(out, dtype="bool")
+
+    return evaluate

@@ -1,0 +1,267 @@
+"""DataStore read API over typed resolved tables (SURVEY.md §2.1).
+
+The reference's read surface (sor-api DataStore.java) re-expressed on
+DataFrames. A "table" here is a typed resolved document table — either the
+output of :func:`emodb_spark.spark.resolve_ops.resolve_typed` or any
+parquet/catalog table registered with a key column (the driver's TPC-H-ish
+tables act as pre-resolved typed tables, FIXTURES.md §'Mapping').
+
+Scale notes (100 TB):
+- ``scan`` keeps the filter + projection declarative so parquet pushdown
+  and partition pruning fire; resumable paging is a key-range predicate,
+  NOT an offset (offsets don't scale — reference uses fromKeyExclusive for
+  the same reason, DataStore.java:126-135).
+- ``multi_get`` broadcasts the key list when small (hash-join without a
+  shuffle of the big side), else falls back to a shuffled semi-join.
+- ``get_splits``/``get_split`` map the reference's token-range splits onto
+  deterministic hash buckets over the key — each split is an independently
+  scannable predicate, so a 1000-executor cluster can fan out exactly like
+  the reference's split API (DataStore.java:137-154) without coordination.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..language import conditions as C
+from ..language.parser import parse_condition
+from .compiler import compile_condition
+
+
+@dataclass
+class TableDef:
+    """Registered table: a DataFrame factory + key column + metadata."""
+
+    name: str
+    path: Optional[str] = None  # parquet location
+    key_column: str = "~id"
+    placement: str = "default"
+    template: Dict[str, Any] = field(default_factory=dict)
+    df: Optional[DataFrame] = None  # pre-built DataFrame (overrides path)
+
+
+class DataStore:
+    """Batch read/scan surface mirroring the reference DataStore API."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._tables: Dict[str, TableDef] = {}
+
+    # -- table admin --------------------------------------------------------
+
+    def register_table(self, table: TableDef) -> None:
+        self._tables[table.name] = table
+
+    def create_table(
+        self,
+        name: str,
+        path: Optional[str] = None,
+        df: Optional[DataFrame] = None,
+        key_column: str = "~id",
+        placement: str = "default",
+        template: Optional[Dict[str, Any]] = None,
+    ) -> None:
+        """Cheap table creation with a JSON template merged into every
+        document at read time (DataStore.java:48-49; TableOptions)."""
+        self.register_table(
+            TableDef(name, path=path, df=df, key_column=key_column,
+                     placement=placement, template=dict(template or {}))
+        )
+
+    def drop_table(self, name: str) -> None:
+        self._tables.pop(name, None)
+
+    def list_tables(self, from_exclusive: Optional[str] = None, limit: int = 10) -> List[str]:
+        """Paged table listing (DataStore.java:36)."""
+        names = sorted(self._tables)
+        if from_exclusive is not None:
+            names = [n for n in names if n > from_exclusive]
+        return names[:limit]
+
+    def table_def(self, name: str) -> TableDef:
+        if name not in self._tables:
+            raise KeyError(f"unknown table: {name}")
+        return self._tables[name]
+
+    # -- reads ---------------------------------------------------------------
+
+    def read(self, name: str) -> DataFrame:
+        """The table as a DataFrame with intrinsics + template stamped in."""
+        t = self.table_def(name)
+        df = t.df if t.df is not None else self.spark.read.parquet(t.path)
+        key_col = F.col(f"`{t.key_column}`").cast(T.StringType())
+        if "~id" not in df.columns:
+            df = df.withColumn("~id", key_col)
+        if "~table" not in df.columns:
+            df = df.withColumn("~table", F.lit(t.name))
+        if "~placement" not in df.columns:
+            df = df.withColumn("~placement", F.lit(t.placement))
+        if "~deleted" not in df.columns:
+            df = df.withColumn("~deleted", F.lit(False))
+        # template fields become constant columns unless the doc defines them
+        for k, v in t.template.items():
+            if k not in df.columns:
+                df = df.withColumn(k, F.lit(v))
+        return df
+
+    def _compile(self, df: DataFrame, condition: Union[str, C.Condition, None]) -> Optional[Column]:
+        if condition is None:
+            return None
+        if isinstance(condition, str):
+            condition = parse_condition(condition)
+        return compile_condition(condition, df)
+
+    def get(self, name: str, key: str) -> Optional[dict]:
+        """Point read (DataStore.java:112-117). Key-predicate lookup on the
+        resolved table — pushdown makes this a pruned parquet probe."""
+        df = self.read(name)
+        rows = df.filter(F.col("`~id`") == F.lit(str(key))).limit(1).collect()
+        return rows[0].asDict(recursive=True) if rows else None
+
+    def multi_get(
+        self, name: str, keys: Sequence[str], broadcast_threshold: int = 100_000
+    ) -> DataFrame:
+        """Batch point read (DataStore.java:161-167): left-semi join against
+        the key list; broadcast when small."""
+        df = self.read(name)
+        keys_df = self.spark.createDataFrame(
+            [(str(k),) for k in keys], T.StructType([T.StructField("~id", T.StringType(), False)])
+        )
+        if len(keys) <= broadcast_threshold:
+            keys_df = F.broadcast(keys_df)
+        return df.join(keys_df, on="~id", how="left_semi")
+
+    def scan(
+        self,
+        name: str,
+        condition: Union[str, C.Condition, None] = None,
+        from_key_exclusive: Optional[str] = None,
+        limit: Optional[int] = None,
+        include_deletes: bool = False,
+    ) -> DataFrame:
+        """Ordered, resumable scan (DataStore.java:126-135).
+
+        Paging via ``from_key_exclusive`` compiles to a key-range predicate —
+        it prunes at the scan, unlike OFFSET. Results are key-ordered only
+        when ``limit`` is set (global order over a full scan is an
+        anti-pattern at 100 TB; the reference only guarantees order within
+        the paged iteration, which the key predicate preserves)."""
+        df = self.read(name)
+        if not include_deletes:
+            df = df.filter(~F.col("`~deleted`"))
+        pred = self._compile(df, condition)
+        if pred is not None:
+            df = df.filter(pred)
+        if from_key_exclusive is not None:
+            df = df.filter(F.col("`~id`") > F.lit(str(from_key_exclusive)))
+        if limit is not None:
+            df = df.orderBy("~id").limit(limit)
+        return df
+
+    def multi_table_scan(
+        self,
+        names: Optional[Sequence[str]] = None,
+        condition: Union[str, C.Condition, None] = None,
+    ) -> DataFrame:
+        """Placement-wide scan over many tables (backbone of Stash —
+        AstyanaxBlockedDataReaderDAO.java:698-727): union by name with
+        missing columns null-filled; one job, partitioned by ~table."""
+        names = list(names if names is not None else sorted(self._tables))
+        if not names:
+            raise ValueError("no tables to scan")
+        dfs = []
+        for n in names:
+            df = self.read(n)
+            pred = self._compile(df, condition)
+            if pred is not None:
+                df = df.filter(pred)
+            dfs.append(df)
+        out = dfs[0]
+        for df in dfs[1:]:
+            out = out.unionByName(df, allowMissingColumns=True)
+        return out
+
+    # -- size estimation ------------------------------------------------------
+
+    def table_approximate_size(self, name: str, limit: Optional[int] = None) -> int:
+        """Exact count up to ``limit``, then size-ratio estimate
+        (DataStore.java:105-106; DAO count, AstyanaxBlockedDataReaderDAO
+        :152-199: count the first pages exactly, extrapolate)."""
+        df = self.read(name)
+        if limit is None:
+            return df.count()
+        exact = df.limit(limit + 1).count()
+        if exact <= limit:
+            return exact
+        # Extrapolate from sampled partitions instead of a full count: count
+        # rows per partition id on a fraction of partitions, scale up.
+        n_parts = df.rdd.getNumPartitions()
+        sample = max(1, n_parts // 8)
+        counts = (
+            df.withColumn("__pid", F.spark_partition_id())
+            .filter(F.col("__pid") < sample)
+            .count()
+        )
+        return int(counts * (n_parts / sample))
+
+    # -- splits ----------------------------------------------------------------
+
+    def get_splits(self, name: str, desired_records_per_split: int = 10_000) -> List[str]:
+        """Split the table into independently scannable shards
+        (DataStore.java:137-154). Splits are hash buckets over the key —
+        stable, coordination-free, and each maps to a pushdown-able
+        predicate. Default split size mirrors the reference (10k)."""
+        approx = self.table_approximate_size(name, limit=100_000)
+        n = max(1, min(4096, (approx + desired_records_per_split - 1) // desired_records_per_split))
+        return [f"{name}:{i}:{n}" for i in range(n)]
+
+    def get_split(
+        self,
+        split: str,
+        from_key_exclusive: Optional[str] = None,
+        limit: Optional[int] = None,
+    ) -> DataFrame:
+        """Scan one split: rows whose key hashes into the split's bucket."""
+        name, i, n = split.rsplit(":", 2)
+        i, n = int(i), int(n)
+        df = self.read(name).filter(~F.col("`~deleted`"))
+        bucket = F.pmod(F.abs(F.hash(F.col("`~id`"))), F.lit(n))
+        df = df.filter(bucket == F.lit(i))
+        if from_key_exclusive is not None:
+            df = df.filter(F.col("`~id`") > F.lit(str(from_key_exclusive)))
+        df = df.orderBy("~id")
+        if limit is not None:
+            df = df.limit(limit)
+        return df
+
+    # -- stash (bulk export / import) -------------------------------------------
+
+    def stash_export(
+        self,
+        path: str,
+        names: Optional[Sequence[str]] = None,
+        fmt: str = "json",
+    ) -> None:
+        """Daily-snapshot export (ScanUploader → S3ScanWriter, SURVEY §3.4):
+        one declarative job partitioned by table — Spark's writer replaces
+        the reference's SQS-coordinated range-scan workflow."""
+        df = self.multi_table_scan(names)
+        writer = df.write.mode("overwrite").partitionBy("~table")
+        if fmt == "json":
+            writer.option("compression", "gzip").json(path)
+        else:
+            writer.parquet(path)
+
+    def stash_read(self, path: str, table: Optional[str] = None, fmt: str = "json") -> DataFrame:
+        """Read a stash export back (common/stash StashReader semantics —
+        native spark.read territory)."""
+        reader = self.spark.read
+        df = reader.json(path) if fmt == "json" else reader.parquet(path)
+        if table is not None:
+            df = df.filter(F.col("`~table`") == table)
+        return df

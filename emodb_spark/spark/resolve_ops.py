@@ -1,0 +1,283 @@
+"""Document resolution on Spark: the per-key ordered delta fold.
+
+The update log is the source of truth (SURVEY.md §7): an ``updates``
+DataFrame with columns
+
+    tbl STRING, key STRING, change_id STRING (time-UUID), delta STRING,
+    tags ARRAY<STRING>
+
+``resolve`` folds it into current-document state per (tbl, key) with all
+intrinsics — the Spark realization of DefaultResolver.update
+(sor core/DefaultResolver.java:67-111) via ``groupBy().applyInPandas``.
+
+Scale design (100 TB):
+- The fold shuffles once on (tbl, key) — the natural partitioning of a
+  document store; AQE handles skewed tables, and compaction checkpoints
+  (emodb_spark/spark/compaction.py) bound the per-key tail that must be
+  re-folded.
+- Inside each Arrow batch the fold sorts per key by time-UUID and applies
+  the pure-Python evaluator — vectorization doesn't apply to a
+  non-commutative fold (conditional deltas read current state), so the
+  per-key tail length, not CPU dispatch, is the cost driver.
+- Output content is a JSON string column (schemaless like the reference);
+  ``resolve_typed`` projects it onto a declared schema with ``from_json``
+  so downstream scans get typed, prunable columns.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterable, List, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+UPDATES_SCHEMA = T.StructType(
+    [
+        T.StructField("tbl", T.StringType(), False),
+        T.StructField("key", T.StringType(), False),
+        T.StructField("change_id", T.StringType(), False),
+        T.StructField("delta", T.StringType(), False),
+        T.StructField("tags", T.ArrayType(T.StringType()), True),
+    ]
+)
+
+RESOLVED_SCHEMA = T.StructType(
+    [
+        T.StructField("~table", T.StringType(), False),
+        T.StructField("~id", T.StringType(), False),
+        T.StructField("content", T.StringType(), True),  # JSON; NULL when deleted
+        T.StructField("~version", T.LongType(), False),
+        T.StructField("~signature", T.StringType(), False),
+        T.StructField("~deleted", T.BooleanType(), False),
+        T.StructField("~firstUpdateAt", T.StringType(), True),
+        T.StructField("~lastUpdateAt", T.StringType(), True),
+        T.StructField("~lastMutateAt", T.StringType(), True),
+    ]
+)
+
+CHANGES_SCHEMA = T.StructType(
+    [
+        T.StructField("~table", T.StringType(), False),
+        T.StructField("~id", T.StringType(), False),
+        T.StructField("change_id", T.StringType(), False),
+        T.StructField("is_redundant", T.BooleanType(), False),
+        T.StructField("content", T.StringType(), True),  # state AFTER this delta
+        T.StructField("~deleted", T.BooleanType(), False),
+        T.StructField("~version", T.LongType(), False),
+        T.StructField("tags", T.ArrayType(T.StringType()), True),
+    ]
+)
+
+
+def _fold_rows(tbl: str, key: str, group: pd.DataFrame, presorted: bool = True) -> dict:
+    from ..core.resolver import Resolver
+    from ..core.timeuuid import uuid_sort_key
+    from ..language.values import UNDEFINED
+
+    g = group
+    if not presorted and len(g) > 1:
+        g = g.sort_values("change_id", key=lambda s: s.map(uuid_sort_key))
+    resolver = Resolver(tbl, key)
+    for change_id, delta, tags in zip(g["change_id"], g["delta"], g["tags"]):
+        resolver.update(change_id, delta, list(tags) if tags is not None else ())
+    r = resolver.resolved()
+    return {
+        "~table": tbl,
+        "~id": key,
+        "content": None if r.content is UNDEFINED else json.dumps(r.content),
+        "~version": r.version,
+        "~signature": r.signature,
+        "~deleted": r.deleted,
+        "~firstUpdateAt": r.first_update_at,
+        "~lastUpdateAt": r.last_update_at,
+        "~lastMutateAt": r.last_mutate_at,
+    }
+
+
+def _fold_partition(batches):
+    """mapInPandas kernel over a (tbl,key)-sorted partition.
+
+    Documents are contiguous after sortWithinPartitions, but one document
+    can straddle Arrow batch boundaries — carry the trailing group over.
+    Processing whole partitions (not one tiny pandas frame per document,
+    as applyInPandas would) keeps the per-call overhead amortized across
+    thousands of documents: ~10× faster on short per-key logs."""
+    cols = [f.name for f in RESOLVED_SCHEMA.fields]
+    carry = None
+    for pdf in batches:
+        if carry is not None:
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+        if pdf.empty:
+            continue
+        last_tbl = pdf["tbl"].iloc[-1]
+        last_key = pdf["key"].iloc[-1]
+        tail_mask = (pdf["tbl"] == last_tbl) & (pdf["key"] == last_key)
+        carry = pdf[tail_mask]
+        body = pdf[~tail_mask]
+        if not body.empty:
+            rows = [
+                _fold_rows(tbl, key, g)
+                for (tbl, key), g in body.groupby(["tbl", "key"], sort=False)
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+    if carry is not None and not carry.empty:
+        rows = [
+            _fold_rows(tbl, key, g)
+            for (tbl, key), g in carry.groupby(["tbl", "key"], sort=False)
+        ]
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def _presort(updates: DataFrame) -> DataFrame:
+    """One shuffle on (tbl, key) + JVM-side partition-local sort in
+    time-UUID order, so the Python fold never sorts: the 60-bit timestamp
+    is decoded with string ops + conv (whole-stage codegen), ties break on
+    the uuid string (== byte order for same-case hex)."""
+    ticks = change_id_ticks(F.col("change_id"))
+    return (
+        updates.repartition("tbl", "key")
+        .sortWithinPartitions("tbl", "key", ticks, F.col("change_id"))
+    )
+
+
+def resolve(updates: DataFrame, include_deletes: bool = True) -> DataFrame:
+    """Fold the update log into resolved current state, one row per doc.
+
+    One shuffle on (tbl, key), JVM-sorted partitions, then a streaming
+    Arrow fold — the per-key tail stays in memory one document at a time,
+    so skewed tables spill at the shuffle, not in Python."""
+    out = _presort(updates).mapInPandas(_fold_partition, RESOLVED_SCHEMA)
+    if not include_deletes:
+        out = out.filter(~F.col("`~deleted`"))
+    return out
+
+
+def _changes_rows(tbl: str, key: str, group: pd.DataFrame, presorted: bool = True) -> list:
+    from ..core.resolver import Resolver
+    from ..core.timeuuid import uuid_sort_key
+    from ..language.values import UNDEFINED
+
+    g = group
+    if not presorted and len(g) > 1:
+        g = g.sort_values("change_id", key=lambda s: s.map(uuid_sort_key))
+    resolver = Resolver(tbl, key)
+    rows = []
+    for change_id, delta, tags in zip(g["change_id"], g["delta"], g["tags"]):
+        tag_list = list(tags) if tags is not None else []
+        redundant = resolver.update(change_id, delta, tag_list)
+        r = resolver.resolved()
+        rows.append(
+            {
+                "~table": tbl,
+                "~id": key,
+                "change_id": change_id,
+                "is_redundant": redundant,
+                "content": None if r.content is UNDEFINED else json.dumps(r.content),
+                "~deleted": r.deleted,
+                "~version": r.version,
+                "tags": tag_list,
+            }
+        )
+    return rows
+
+
+def _changes_partition(batches):
+    """Per-delta fold trace over sorted partitions (same carry-over pattern
+    as :func:`_fold_partition`). Emits state after each change + the
+    redundancy flag that drives databus event suppression
+    (DefaultResolver.java:73-87)."""
+    cols = [f.name for f in CHANGES_SCHEMA.fields]
+    carry = None
+    for pdf in batches:
+        if carry is not None:
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+        if pdf.empty:
+            continue
+        last_tbl = pdf["tbl"].iloc[-1]
+        last_key = pdf["key"].iloc[-1]
+        tail_mask = (pdf["tbl"] == last_tbl) & (pdf["key"] == last_key)
+        carry = pdf[tail_mask]
+        body = pdf[~tail_mask]
+        if not body.empty:
+            rows = []
+            for (tbl, key), g in body.groupby(["tbl", "key"], sort=False):
+                rows.extend(_changes_rows(tbl, key, g))
+            yield pd.DataFrame(rows, columns=cols)
+    if carry is not None and not carry.empty:
+        rows = []
+        for (tbl, key), g in carry.groupby(["tbl", "key"], sort=False):
+            rows.extend(_changes_rows(tbl, key, g))
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def resolve_changes(updates: DataFrame) -> DataFrame:
+    """Fold trace: one row per delta with post-state and redundancy flag."""
+    return _presort(updates).mapInPandas(_changes_partition, CHANGES_SCHEMA)
+
+
+def resolve_typed(
+    updates: DataFrame,
+    doc_schema: T.StructType,
+    include_deletes: bool = False,
+) -> DataFrame:
+    """Resolve, then project the JSON content onto a typed schema.
+
+    Intrinsics stay as ``~`` columns; document fields become top-level typed
+    columns (the F2 'typed resolved table' shape in FIXTURES.md)."""
+    resolved = resolve(updates, include_deletes=include_deletes)
+    parsed = resolved.withColumn("__doc", F.from_json("content", doc_schema))
+    cols = [F.col("__doc").getField(f.name).alias(f.name) for f in doc_schema.fields]
+    intr = [F.col(f"`{f.name}`") for f in RESOLVED_SCHEMA.fields if f.name.startswith("~")]
+    return parsed.select(*cols, *intr)
+
+
+def timeline(
+    updates: DataFrame,
+    tbl: str,
+    key: str,
+    reversed_: bool = True,
+    start: Optional[str] = None,
+    end: Optional[str] = None,
+    limit: Optional[int] = None,
+) -> DataFrame:
+    """Per-document history (DataStore.getTimeline — DataStore.java:120-124):
+    the delta log for one coordinate, time-bounded, newest-first by default."""
+    df = updates.filter((F.col("tbl") == tbl) & (F.col("key") == key))
+    df = df.withColumn("change_ts", change_id_millis(F.col("change_id")))
+    if start is not None:
+        df = df.filter(F.col("change_ts") >= F.lit(start))
+    if end is not None:
+        df = df.filter(F.col("change_ts") <= F.lit(end))
+    order = [F.col("change_ts"), F.col("change_id")]
+    if reversed_:
+        order = [c.desc() for c in order]
+    df = df.orderBy(*order)
+    if limit is not None:
+        df = df.limit(limit)
+    return df
+
+
+# Offset between the UUID epoch (1582-10-15) and the Unix epoch, in 100ns.
+_UUID_EPOCH_OFFSET_100NS = 0x01B21DD213814000
+
+
+def change_id_ticks(change_id) -> "F.Column":
+    """60-bit UUID-epoch timestamp (100ns ticks) of a v1 time-UUID string,
+    JVM-side (no UDF): time_hi[1:] ++ time_mid ++ time_low."""
+    hex60 = F.concat(
+        F.substring(change_id, 16, 3),
+        F.substring(change_id, 10, 4),
+        F.substring(change_id, 1, 8),
+    )
+    return F.conv(hex60, 16, 10).cast(T.LongType())
+
+
+def change_id_millis(change_id) -> "F.Column":
+    """Epoch millis of a v1 time-UUID string, JVM-side (no UDF)."""
+    ticks = change_id_ticks(change_id)
+    return ((ticks - F.lit(_UUID_EPOCH_OFFSET_100NS)) / F.lit(10_000)).cast(T.LongType())

@@ -1,0 +1,369 @@
+"""Databus / Megabus on Structured Streaming (SURVEY.md §2.6, §3.3).
+
+The reference's change-notification pipeline re-expressed Spark-first:
+
+- **Subscriptions** are named Condition filters evaluated against the table
+  template + ``~tags`` + intrinsics (~table/~placement/~id, partition())
+  — NOT document content (databus core/SubscriptionEvaluator.java:61-78).
+- **Fanout** disappears as a component: each subscription is a filtered view
+  of the shared update-ref stream; Spark checkpoints replace per-channel
+  cursors, so the reference's 8-way partitioned dispatcher threads
+  (DefaultFanout.java:200-300) become partitions of one streaming job.
+- **Megabus resolver** (megabus resolver/MegabusRefResolver.java:100-221):
+  each micro-batch of refs is folded against the persistent resolved-state
+  store, emitting current documents keyed by coordinate with delete
+  tombstones and suppressing redundant deltas — implemented in
+  ``foreachBatch`` with an idempotent MERGE into a parquet state dir.
+- **poll/ack parity**: Spark's exactly-once checkpointing supersedes
+  claim/ack; a claims table (event_key → claimed_until) is provided for API
+  parity (DefaultClaimSet semantics) in ``emodb_spark.spark.streaming.queues``.
+
+Without Kafka/Delta in this container the stream source is any Structured
+Streaming DataFrame (files/rate/memory) with the updates schema; the state
+store is a parquet directory rewritten per micro-batch (swap for Delta
+MERGE INTO on a real cluster — the batch logic is identical).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ...language import conditions as C
+from ...language.ceval import Intrinsics, eval_condition
+from ...language.hashes import coordinate_partition
+from ...language.parser import parse_condition
+
+
+@dataclass
+class Subscription:
+    """databus-api subscribe(name, tableFilter, subTtl, eventTtl)."""
+
+    name: str
+    table_filter: str  # condition text
+    sub_ttl_s: int = 86_400
+    event_ttl_s: int = 86_400
+
+    def condition(self) -> C.Condition:
+        return parse_condition(self.table_filter)
+
+
+@dataclass
+class TableMeta:
+    template: Dict[str, Any] = field(default_factory=dict)
+    placement: str = "default"
+
+
+class SubscriptionRegistry:
+    """Named subscription filters + the table metadata they match against."""
+
+    def __init__(self) -> None:
+        self._subs: Dict[str, Subscription] = {}
+        self._tables: Dict[str, TableMeta] = {}
+
+    def put_table(self, name: str, template: Optional[dict] = None, placement: str = "default"):
+        self._tables[name] = TableMeta(dict(template or {}), placement)
+
+    def subscribe(self, name: str, table_filter: str, sub_ttl_s: int = 86_400,
+                  event_ttl_s: int = 86_400) -> Subscription:
+        # validate at subscribe time (SubscriptionConditionValidator parity)
+        parse_condition(table_filter)
+        sub = Subscription(name, table_filter, sub_ttl_s, event_ttl_s)
+        self._subs[name] = sub
+        return sub
+
+    def unsubscribe(self, name: str) -> None:
+        self._subs.pop(name, None)
+
+    def get(self, name: str) -> Subscription:
+        return self._subs[name]
+
+    def list(self) -> List[Subscription]:
+        return list(self._subs.values())
+
+    def table_meta(self, tbl: str) -> TableMeta:
+        return self._tables.get(tbl, TableMeta())
+
+    # -- matching (SubscriptionEvaluator.matches:61-78) ----------------------
+
+    def matches(self, sub: Subscription, tbl: str, key: str, tags: List[str]) -> bool:
+        meta = self.table_meta(tbl)
+        doc: Dict[str, Any] = dict(meta.template)
+        if tags:
+            doc["~tags"] = sorted(tags)
+        intr = Intrinsics(id=key, table=tbl, deleted=False, placement=meta.placement)
+        return eval_condition(sub.condition(), doc, intr)
+
+    def match_column(self, sub: Subscription) -> Column:
+        """Vectorized subscription match over a ref DataFrame with columns
+        (tbl, key, tags).
+
+        The template part of the condition is constant per table, so we
+        fold it per registered table on the driver; only tag-dependent and
+        key-dependent (partition()) conditions stay row-level. For the
+        common template-only filter this compiles to `tbl IN (...)` — a
+        pushdown-able predicate, no Python in the stream."""
+        cond = sub.condition()
+        if _uses_tags_or_partition(cond):
+            return self._match_udf(sub)
+        ok_tables = [
+            tbl for tbl in self._tables
+            if self.matches(sub, tbl, key="", tags=[])
+        ]
+        if not ok_tables:
+            return F.lit(False)
+        return F.col("tbl").isin(ok_tables)
+
+    def _match_udf(self, sub: Subscription) -> Column:
+        tables = {t: (m.template, m.placement) for t, m in self._tables.items()}
+        filter_text = sub.table_filter
+
+        @F.pandas_udf(T.BooleanType())
+        def match(tbl: pd.Series, key: pd.Series, tags: pd.Series) -> pd.Series:
+            cond = parse_condition(filter_text)
+            out = []
+            for t, k, tg in zip(tbl, key, tags):
+                template, placement = tables.get(t, ({}, "default"))
+                doc = dict(template)
+                tg_list = list(tg) if tg is not None else []
+                if tg_list:
+                    doc["~tags"] = sorted(tg_list)
+                intr = Intrinsics(id=k, table=t, deleted=False, placement=placement)
+                try:
+                    out.append(bool(eval_condition(cond, doc, intr)))
+                except Exception:
+                    out.append(False)
+            return pd.Series(out, dtype="bool")
+
+        return match(F.col("tbl"), F.col("key"), F.col("tags"))
+
+
+def _uses_tags_or_partition(cond: C.Condition) -> bool:
+    if isinstance(cond, C.PartitionCondition):
+        return True
+    if isinstance(cond, C.MapCondition):
+        if "~tags" in cond.entries:
+            return True
+        return any(_uses_tags_or_partition(c) for c in cond.entries.values())
+    if isinstance(cond, C.NotCondition):
+        return _uses_tags_or_partition(cond.condition)
+    if isinstance(cond, (C.AndCondition, C.OrCondition)):
+        return any(_uses_tags_or_partition(c) for c in cond.conditions)
+    if isinstance(cond, C.IntrinsicCondition):
+        return cond.name == C.INTRINSIC_ID or _uses_tags_or_partition(cond.condition)
+    return False
+
+
+# ---------------------------------------------------------------------------
+# Megabus resolver: incremental fold with a persistent state store
+# ---------------------------------------------------------------------------
+
+
+class ResolvedStateStore:
+    """Parquet-backed resolved-document state, MERGE'd per micro-batch.
+
+    Holds, per (tbl, key): content JSON + intrinsics + the raw delta tail
+    metadata needed to continue the fold (version, signature, timestamps,
+    last tags). On a Delta-Lake cluster this becomes MERGE INTO; here we
+    rewrite the (small) state dir transactionally via a temp path."""
+
+    STATE_SCHEMA = T.StructType(
+        [
+            T.StructField("tbl", T.StringType(), False),
+            T.StructField("key", T.StringType(), False),
+            T.StructField("content", T.StringType(), True),
+            T.StructField("version", T.LongType(), False),
+            T.StructField("signature", T.StringType(), False),
+            T.StructField("deleted", T.BooleanType(), False),
+            T.StructField("first_update_at", T.StringType(), True),
+            T.StructField("last_update_at", T.StringType(), True),
+            T.StructField("last_mutate_at", T.StringType(), True),
+            T.StructField("last_tags", T.ArrayType(T.StringType()), True),
+            # newest folded change id — makes micro-batch replay idempotent
+            T.StructField("last_change_id", T.StringType(), True),
+        ]
+    )
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def read(self) -> DataFrame:
+        if not os.path.exists(self.path):
+            return self.spark.createDataFrame([], self.STATE_SCHEMA)
+        return self.spark.read.parquet(self.path)
+
+    def write(self, df: DataFrame) -> None:
+        tmp = self.path + "._tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        final = self.spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(self.path)
+
+
+def merge_batch(
+    spark: SparkSession,
+    state: ResolvedStateStore,
+    batch: DataFrame,
+) -> DataFrame:
+    """One micro-batch of the megabus resolver: fold the batch's deltas on
+    top of stored per-key state; returns the emitted events (resolved docs
+    keyed by coordinate, tombstones for deletes, redundant deltas flagged).
+
+    Idempotent on replay: change_ids already folded into the stored
+    signature chain are skipped (at-least-once source → exactly-once state),
+    mirroring the resolver's annotated-get dedup."""
+    import pandas as pd
+
+    from ...core.resolver import Resolver
+    from ...core.timeuuid import uuid_sort_key
+    from ...language.values import UNDEFINED
+
+    batch_keys = batch.select("tbl", "key").distinct()
+    prior = state.read()
+    prior_touched = prior.join(batch_keys, ["tbl", "key"], "left_semi").toPandas()
+    prior_by_key = {
+        (r["tbl"], r["key"]): r for _, r in prior_touched.iterrows()
+    }
+
+    rows = batch.select("tbl", "key", "change_id", "delta", "tags").toPandas()
+    events = []
+    new_state = []
+    for (tbl, key), g in rows.groupby(["tbl", "key"], sort=False):
+        g = g.sort_values("change_id", key=lambda s: s.map(uuid_sort_key))
+        resolver = Resolver(tbl, key)
+        last_folded = None
+        p = prior_by_key.get((tbl, key))
+        if p is not None:
+            resolver.restore(
+                content=None if p["content"] is None else json.loads(p["content"]),
+                content_defined=p["content"] is not None,
+                version=int(p["version"]),
+                signature=p["signature"],
+                first_update_at=p["first_update_at"],
+                last_update_at=p["last_update_at"],
+                last_mutate_at=p["last_mutate_at"],
+                last_tags=tuple(p["last_tags"]) if p["last_tags"] is not None else (),
+            )
+            last_folded = p["last_change_id"]
+        last_key_sort = uuid_sort_key(last_folded) if last_folded else None
+        for change_id, delta, tags in zip(g["change_id"], g["delta"], g["tags"]):
+            if last_key_sort is not None and uuid_sort_key(change_id) <= last_key_sort:
+                continue  # replayed or late ref (already folded past it)
+            tag_list = list(tags) if tags is not None else []
+            redundant = resolver.update(change_id, delta, tag_list)
+            r = resolver.resolved()
+            events.append(
+                {
+                    "tbl": tbl,
+                    "key": key,
+                    "change_id": change_id,
+                    "is_redundant": redundant,
+                    "content": None if r.content is UNDEFINED else json.dumps(r.content),
+                    "deleted": r.deleted,
+                    "version": r.version,
+                    "tags": tag_list,
+                }
+            )
+        r = resolver.resolved()
+        final_change = g["change_id"].iloc[-1]
+        if last_key_sort is not None and uuid_sort_key(final_change) < last_key_sort:
+            final_change = last_folded
+        new_state.append(
+            {
+                "tbl": tbl,
+                "key": key,
+                "content": None if r.content is UNDEFINED else json.dumps(r.content),
+                "version": r.version,
+                "signature": r.signature,
+                "deleted": r.deleted,
+                "first_update_at": r.first_update_at,
+                "last_update_at": r.last_update_at,
+                "last_mutate_at": r.last_mutate_at,
+                "last_tags": list(r.last_tags),
+                "last_change_id": final_change,
+            }
+        )
+
+    untouched = prior.join(batch_keys, ["tbl", "key"], "left_anti")
+    if new_state:
+        updated = spark.createDataFrame(
+            pd.DataFrame(new_state), ResolvedStateStore.STATE_SCHEMA
+        )
+        state.write(untouched.unionByName(updated))
+    events_schema = T.StructType(
+        [
+            T.StructField("tbl", T.StringType(), False),
+            T.StructField("key", T.StringType(), False),
+            T.StructField("change_id", T.StringType(), False),
+            T.StructField("is_redundant", T.BooleanType(), False),
+            T.StructField("content", T.StringType(), True),
+            T.StructField("deleted", T.BooleanType(), False),
+            T.StructField("version", T.LongType(), False),
+            T.StructField("tags", T.ArrayType(T.StringType()), True),
+        ]
+    )
+    if not events:
+        return spark.createDataFrame([], events_schema)
+    return spark.createDataFrame(pd.DataFrame(events), events_schema)
+
+
+class MegabusResolver:
+    """The flagship streaming deliverable (megabus MegabusRefResolver
+    :100-221 → Structured Streaming foreachBatch).
+
+    ``start`` wires: updates stream → per-batch MERGE fold → per-
+    subscription filtered event sinks (in-memory or parquet), with
+    redundant-delta suppression and delete tombstones."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        registry: SubscriptionRegistry,
+        state_path: str,
+        output_path: str,
+    ):
+        self.spark = spark
+        self.registry = registry
+        self.state = ResolvedStateStore(spark, state_path)
+        self.output_path = output_path
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        events = merge_batch(self.spark, self.state, batch)
+        # redundant-event suppression (DefaultResolver.java:73-87)
+        deliverable = events.filter(~F.col("is_redundant"))
+        if deliverable.isEmpty():
+            return
+        for sub in self.registry.list():
+            matched = deliverable.filter(self.registry.match_column(sub))
+            # consolidate by coordinate: latest change per key per batch
+            # (DefaultDatabus ConsolidatingEventSink:508-543)
+            consolidated = (
+                matched.withColumn(
+                    "rn",
+                    F.row_number().over(
+                        Window.partitionBy("tbl", "key").orderBy(F.col("version").desc())
+                    ),
+                )
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+            (
+                consolidated.withColumn("subscription", F.lit(sub.name))
+                .write.mode("append")
+                .parquet(os.path.join(self.output_path, f"sub={sub.name}"))
+            )
+
+    def start(self, updates_stream: DataFrame, checkpoint: str, **trigger):
+        return (
+            updates_stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(**(trigger or {"availableNow": True}))
+            .start()
+        )

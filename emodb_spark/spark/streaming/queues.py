@@ -1,0 +1,194 @@
+"""Queue / DedupQueue service (SURVEY.md §2.6; queue-api
+BaseQueueService.java:13-74).
+
+SQS-like at-least-once queues on DataFrames: ``send`` appends messages,
+``poll`` claims up to ``limit`` messages for ``claim_ttl`` seconds, ``ack``
+deletes, ``renew`` extends, ``move`` drains one queue into another,
+``purge`` empties. The DedupQueue variant collapses identical payloads
+between polls (event dedup/DedupQueue.java:42-46).
+
+State layout (two parquet dirs, swap for Delta tables on a cluster):
+- messages(queue, msg_id time-UUID, payload JSON-string)
+- claims(queue, msg_id, claimed_until epoch-millis)
+
+Spark's native streaming consumption supersedes claim/ack (checkpointed
+offsets are exactly-once); this module exists for API parity and for batch
+consumers. Design note for 100 TB: both tables are partitioned by queue, so
+every operation prunes to one queue's files; claims are tiny (only
+in-flight messages).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ...core.timeuuid import TimeUUIDGenerator
+
+MESSAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("queue", T.StringType(), False),
+        T.StructField("msg_id", T.StringType(), False),
+        T.StructField("payload", T.StringType(), True),
+    ]
+)
+
+CLAIMS_SCHEMA = T.StructType(
+    [
+        T.StructField("queue", T.StringType(), False),
+        T.StructField("msg_id", T.StringType(), False),
+        T.StructField("claimed_until", T.LongType(), False),
+    ]
+)
+
+
+class QueueService:
+    def __init__(self, spark: SparkSession, base_path: str, dedup: bool = False,
+                 clock=None):
+        self.spark = spark
+        self.base = base_path
+        self.dedup = dedup
+        self._gen = TimeUUIDGenerator()
+        self._clock = clock or (lambda: int(time.time() * 1000))
+        os.makedirs(base_path, exist_ok=True)
+
+    # -- storage ----------------------------------------------------------
+
+    def _messages_path(self) -> str:
+        return os.path.join(self.base, "messages")
+
+    def _claims_path(self) -> str:
+        return os.path.join(self.base, "claims")
+
+    def _read(self, path: str, schema: T.StructType) -> DataFrame:
+        if not os.path.exists(path):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(path)
+
+    def _overwrite(self, path: str, df: DataFrame) -> None:
+        tmp = path + "._tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+
+    # -- producer ----------------------------------------------------------
+
+    def send(self, queue: str, message) -> str:
+        return self.send_all(queue, [message])[0]
+
+    def send_all(self, queue: str, messages: List) -> List[str]:
+        ids = [self._gen.next() for _ in messages]
+        rows = [
+            (queue, mid, json.dumps(m, sort_keys=True))
+            for mid, m in zip(ids, messages)
+        ]
+        self.spark.createDataFrame(rows, MESSAGES_SCHEMA).write.mode("append").parquet(
+            self._messages_path()
+        )
+        return ids
+
+    # -- consumer ----------------------------------------------------------
+
+    def _visible(self, queue: str) -> DataFrame:
+        """Unclaimed (or claim-expired) messages of a queue; the dedup
+        variant collapses identical payloads keeping the oldest id."""
+        now = self._clock()
+        msgs = self._read(self._messages_path(), MESSAGES_SCHEMA).filter(
+            F.col("queue") == queue
+        )
+        claims = self._read(self._claims_path(), CLAIMS_SCHEMA).filter(
+            (F.col("queue") == queue) & (F.col("claimed_until") > F.lit(now))
+        )
+        if self.dedup:
+            # duplicates collapse in storage (PersistentSortedQueue): a claim
+            # on one copy hides every copy of that payload
+            claimed_payloads = msgs.join(
+                claims.select("queue", "msg_id"), ["queue", "msg_id"], "left_semi"
+            ).select("queue", "payload").distinct()
+            visible = msgs.join(claimed_payloads, ["queue", "payload"], "left_anti")
+            return (
+                visible.groupBy("queue", "payload")
+                .agg(F.min("msg_id").alias("msg_id"))
+                .select("queue", "msg_id", "payload")
+            )
+        return msgs.join(claims.select("queue", "msg_id"), ["queue", "msg_id"], "left_anti")
+
+    def peek(self, queue: str, limit: int = 10) -> List[dict]:
+        """Non-destructive inspection (BaseQueueService.peek)."""
+        rows = self._visible(queue).orderBy("msg_id").limit(limit).collect()
+        return [{"id": r["msg_id"], "payload": json.loads(r["payload"])} for r in rows]
+
+    def poll(self, queue: str, claim_ttl_s: int = 30, limit: int = 10) -> List[dict]:
+        """Claim up to ``limit`` messages for ``claim_ttl_s`` (at-least-once:
+        unacked claims expire and messages become visible again)."""
+        rows = self._visible(queue).orderBy("msg_id").limit(limit).collect()
+        if rows:
+            until = self._clock() + claim_ttl_s * 1000
+            claim_rows = [(queue, r["msg_id"], until) for r in rows]
+            self.spark.createDataFrame(claim_rows, CLAIMS_SCHEMA).write.mode(
+                "append"
+            ).parquet(self._claims_path())
+        return [{"id": r["msg_id"], "payload": json.loads(r["payload"])} for r in rows]
+
+    def renew(self, queue: str, msg_ids: List[str], claim_ttl_s: int = 30) -> None:
+        until = self._clock() + claim_ttl_s * 1000
+        rows = [(queue, mid, until) for mid in msg_ids]
+        self.spark.createDataFrame(rows, CLAIMS_SCHEMA).write.mode("append").parquet(
+            self._claims_path()
+        )
+
+    def acknowledge(self, queue: str, msg_ids: List[str]) -> None:
+        """Delete messages (and, for dedup queues, every duplicate of an
+        acked payload)."""
+        msgs = self._read(self._messages_path(), MESSAGES_SCHEMA)
+        doomed = msgs.filter(
+            (F.col("queue") == queue) & F.col("msg_id").isin(list(msg_ids))
+        )
+        if self.dedup:
+            doomed_payloads = doomed.select("queue", "payload")
+            remaining = msgs.join(doomed_payloads, ["queue", "payload"], "left_anti")
+        else:
+            remaining = msgs.join(
+                doomed.select("queue", "msg_id"), ["queue", "msg_id"], "left_anti"
+            )
+        self._overwrite(self._messages_path(), remaining)
+
+    def message_count(self, queue: str, up_to: Optional[int] = None) -> int:
+        """getMessageCountUpTo (BaseQueueService.java:45): exact count,
+        short-circuited at ``up_to``."""
+        df = self._visible(queue)
+        if up_to is not None:
+            return df.limit(up_to + 1).count()
+        return df.count()
+
+    def claim_count(self, queue: str) -> int:
+        now = self._clock()
+        return (
+            self._read(self._claims_path(), CLAIMS_SCHEMA)
+            .filter((F.col("queue") == queue) & (F.col("claimed_until") > F.lit(now)))
+            .select("msg_id")
+            .distinct()
+            .count()
+        )
+
+    def move(self, from_queue: str, to_queue: str) -> int:
+        """moveAsync parity: drain one queue's visible messages into another."""
+        visible = self._visible(from_queue).collect()
+        if not visible:
+            return 0
+        self.send_all(to_queue, [json.loads(r["payload"]) for r in visible])
+        self.acknowledge(from_queue, [r["msg_id"] for r in visible])
+        return len(visible)
+
+    def purge(self, queue: str) -> None:
+        msgs = self._read(self._messages_path(), MESSAGES_SCHEMA)
+        self._overwrite(self._messages_path(), msgs.filter(F.col("queue") != queue))
+
+    def unclaim_all(self, queue: str) -> None:
+        claims = self._read(self._claims_path(), CLAIMS_SCHEMA)
+        self._overwrite(self._claims_path(), claims.filter(F.col("queue") != queue))

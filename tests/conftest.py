@@ -1,0 +1,19 @@
+import os
+
+import pytest
+
+TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+SF_SMOKE = os.path.join(TESTDATA, "sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from emodb_spark.spark.session import get_spark
+
+    spark = get_spark(app_name="emodb_spark_tests", master="local[4]", shuffle_partitions=8)
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_SMOKE

@@ -1,0 +1,163 @@
+"""Condition algebra soundness: implication/disjointness proofs must never
+contradict the interpreter (SubsetEvaluatorTest's DataProvider style, plus a
+property sweep over a value corpus)."""
+
+import pytest
+
+from emodb_spark.language import UNDEFINED, eval_condition, parse_condition
+from emodb_spark.language.algebra import distinct, implies, inverse
+
+# positive implication cases (must prove)
+IMPLIES_TRUE = [
+    ("5", "5"),
+    ("5", "in(4,5)"),
+    ('"A"', 'or("A","B")'),
+    ("5", "is(num)"),
+    ("5", "is(defined)"),
+    ("5", "gt(4)"),
+    ("5", "le(5)"),
+    ('"abc"', 'like("a*")'),
+    ("in(2,3)", "gt(1)"),
+    ("gt(5)", "gt(4)"),
+    ("gt(5)", "ge(5)"),
+    ("ge(5)", "gt(4)"),
+    ("lt(3)", "le(3)"),
+    ("le(3)", "lt(4)"),
+    ('gt("b")', 'ge("b")'),
+    ("is(undefined)", "is(undefined)"),
+    ("is(num)", "is(defined)"),
+    ("is(null)", "is(defined)"),
+    ('like("review:*")', 'like("rev*")'),
+    ('like("abc")', 'like("a*c")'),
+    ("and(is(num),gt(3))", "is(num)"),
+    ("gt(5)", "or(is(string),is(num))"),
+    ("alwaysFalse()", "5"),
+    ("5", "alwaysTrue()"),
+    ('{..,"type":"review","x":5}', '{..,"type":"review"}'),
+    ('{..,"type":"review"}', '{..,"type":or("review","question")}'),
+    ('{..,"type":"review"}', "is(object)"),
+    ('intrinsic("~table":"a")', 'intrinsic("~table":in("a","b"))'),
+    ("partition(8:3)", "partition(8:in(3,4))"),
+    ('containsAll("a","b")', 'contains("a")'),
+    ('containsOnly("a","b")', 'containsAll("a","b")'),
+    ('contains("a")', "containsAny()"),
+    ("not(is(defined))", "is(undefined)"),
+    ('{..,"a":5,"b":6}', '{..,"a":is(num)}'),
+]
+
+# negative cases (must NOT prove — implication does not hold semantically)
+IMPLIES_FALSE = [
+    ("is(num)", "5"),
+    ("gt(4)", "gt(5)"),
+    ("ge(5)", "gt(5)"),
+    ('like("rev*")', 'like("review:*")'),
+    ('{..,"type":"review"}', '{..,"type":"review","x":5}'),
+    ("in(4,5)", "5"),
+    ("is(defined)", "is(num)"),
+    ("not(5)", "is(num)"),
+    ("gt(5)", "lt(10)"),          # strings/other types… actually both num; 7 satisfies both but 20 fails right
+    ('contains("a")', 'containsAll("a","b")'),
+    ("5", "5.0"),                  # int literal never equals float literal
+]
+
+DISTINCT_TRUE = [
+    ("5", "6"),
+    ("5", '"5"'),
+    ("5", "5.0"),
+    ('"A"', '"B"'),
+    ("is(num)", "is(string)"),
+    ("is(undefined)", "is(num)"),
+    ("gt(5)", "lt(3)"),
+    ("gt(5)", "le(5)"),
+    ('gt("b")', 'lt("a")'),
+    ("gt(5)", 'gt("a")'),          # num vs string comparisons never co-hold
+    ("5", "not(5)"),
+    ("is(num)", 'like("a*")'),
+    ('{..,"t":"a"}', '{..,"t":"b"}'),
+    ('in(1,2)', 'in(3,4)'),
+    ("alwaysFalse()", "alwaysTrue()"),
+    ('{..,"t":"a"}', "is(string)"),
+]
+
+DISTINCT_FALSE = [
+    ("5", "5"),
+    ("gt(4)", "lt(6)"),
+    ("is(num)", "gt(3)"),
+    ('{..,"t":"a"}', '{..,"u":"b"}'),
+    ("in(1,2)", "in(2,3)"),
+    ("is(defined)", "is(num)"),
+]
+
+
+@pytest.mark.parametrize("l,r", IMPLIES_TRUE)
+def test_implies_positive(l, r):
+    assert implies(parse_condition(l), parse_condition(r)), f"{l} should imply {r}"
+
+
+@pytest.mark.parametrize("l,r", IMPLIES_FALSE)
+def test_implies_negative(l, r):
+    assert not implies(parse_condition(l), parse_condition(r)), f"{l} must not imply {r}"
+
+
+@pytest.mark.parametrize("l,r", DISTINCT_TRUE)
+def test_distinct_positive(l, r):
+    assert distinct(parse_condition(l), parse_condition(r)), f"{l} should be distinct from {r}"
+    assert distinct(parse_condition(r), parse_condition(l))
+
+
+@pytest.mark.parametrize("l,r", DISTINCT_FALSE)
+def test_distinct_negative(l, r):
+    assert not distinct(parse_condition(l), parse_condition(r))
+
+
+# --- soundness property sweep -------------------------------------------------
+
+VALUES = [
+    UNDEFINED, None, True, False, 0, 5, 6, -1, 5.0, 4.5, "", "A", "B", "5",
+    "abc", "review:x", "rev", [], [1, 2], ["a", "b"], ["a"], {}, {"t": "a"},
+    {"type": "review", "x": 5}, {"t": "b", "u": "b"}, {"a": 5, "b": 6},
+]
+
+ALL_CONDITIONS = sorted(
+    {c for pair in IMPLIES_TRUE + IMPLIES_FALSE + DISTINCT_TRUE + DISTINCT_FALSE
+     for c in pair
+     if "intrinsic" not in c and "partition" not in c}
+)
+
+
+def test_implies_soundness_sweep():
+    """If implies(L,R) is proven, no corpus value may satisfy L but not R."""
+    conds = [parse_condition(c) for c in ALL_CONDITIONS]
+    for l_text, l in zip(ALL_CONDITIONS, conds):
+        for r_text, r in zip(ALL_CONDITIONS, conds):
+            if not implies(l, r):
+                continue
+            for v in VALUES:
+                lv = eval_condition(l, v, None)
+                rv = eval_condition(r, v, None)
+                assert not (lv and not rv), (
+                    f"implies({l_text},{r_text}) proven but value {v!r} breaks it"
+                )
+
+
+def test_distinct_soundness_sweep():
+    """If distinct(L,R) is proven, no corpus value may satisfy both."""
+    conds = [parse_condition(c) for c in ALL_CONDITIONS]
+    for l_text, l in zip(ALL_CONDITIONS, conds):
+        for r_text, r in zip(ALL_CONDITIONS, conds):
+            if not distinct(l, r):
+                continue
+            for v in VALUES:
+                assert not (
+                    eval_condition(l, v, None) and eval_condition(r, v, None)
+                ), f"distinct({l_text},{r_text}) proven but value {v!r} satisfies both"
+
+
+def test_inverse_semantics():
+    """inverse(c) must evaluate opposite to c on every corpus value."""
+    for text in ALL_CONDITIONS:
+        c = parse_condition(text)
+        inv = inverse(c)
+        for v in VALUES:
+            assert eval_condition(inv, v, None) == (not eval_condition(c, v, None)), (
+                text, v)

@@ -1,0 +1,195 @@
+"""Differential tests: the compiled Column path must agree with the Python
+interpreter on typed documents (SURVEY.md §7 'Condition-on-VARIANT' note:
+keep both paths and test they agree)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from emodb_spark.language import Intrinsics, eval_condition, parse_condition
+from emodb_spark.language.values import UNDEFINED
+from emodb_spark.spark.compiler import compile_condition, condition_udf
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("~id", T.StringType(), False),
+        T.StructField("~table", T.StringType(), False),
+        T.StructField("~deleted", T.BooleanType(), False),
+        T.StructField("status", T.StringType(), True),
+        T.StructField("rating", T.LongType(), True),
+        T.StructField("score", T.DoubleType(), True),
+        T.StructField("flag", T.BooleanType(), True),
+        T.StructField("codes", T.ArrayType(T.LongType()), True),
+        T.StructField("labels", T.ArrayType(T.StringType()), True),
+        T.StructField(
+            "photo",
+            T.StructType(
+                [
+                    T.StructField("url", T.StringType(), True),
+                    T.StructField("status", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+DOCS = [
+    ("k1", "review:tc", False, "APPROVED", 5, 4.5, True, [501, 789], ["a", "b"],
+     {"url": "http://x/1.jpg", "status": "APPROVED"}),
+    ("k2", "review:tc", False, "SUBMITTED", 3, 2.0, False, [100], ["b"], None),
+    ("k3", "review:tc", False, None, None, None, None, None, None, None),
+    ("k4", "question:tc", False, "REJECTED", 1, -1.5, True, [], [],
+     {"url": None, "status": "SUBMITTED"}),
+    ("k5", "review:other", True, "APPROVED", 4, 5.0, False, [501], ["a", "c"],
+     {"url": "http://x/2.jpg", "status": None}),
+]
+
+CONDITIONS = [
+    "alwaysTrue()",
+    "alwaysFalse()",
+    '{..,"status":"APPROVED"}',
+    '{..,"status":in("APPROVED","REJECTED")}',
+    '{..,"status":not("APPROVED")}',
+    '{..,"status":~}',
+    '{..,"status":+}',
+    '{..,"status":is(string)}',
+    '{..,"status":is(null)}',
+    '{..,"rating":5}',
+    '{..,"rating":5.0}',      # int column vs double literal → never equal
+    '{..,"score":4.5}',
+    '{..,"score":4}',         # double column vs int literal → never equal
+    '{..,"rating":gt(3)}',
+    '{..,"rating":ge(3),"score":lt(5.0)}',
+    '{..,"score":gt(2)}',     # promotion: int literal vs double column
+    '{..,"rating":gt(3.5)}',  # promotion: double literal vs long column
+    '{..,"flag":true}',
+    '{..,"flag":is(bool)}',
+    '{..,"rating":is(num)}',
+    '{..,"codes":contains(501)}',
+    '{..,"codes":contains(501.0)}',   # float literal vs long array → false
+    '{..,"codes":containsAll(501,789)}',
+    '{..,"codes":containsAny(789,999)}',
+    '{..,"codes":containsOnly(501,789)}',
+    '{..,"codes":containsOnly()}',
+    '{..,"codes":containsAll()}',
+    '{..,"codes":is(array)}',
+    '{..,"labels":containsAny("a","z")}',
+    '{..,"status":like("APP*")}',
+    '{..,"status":like("*TED")}',
+    '{..,"status":like("A*D")}',
+    '{..,"status":like("*PP*")}',
+    '{..,"status":like("*P*T*")}',
+    '{..,"status":like("APPROVED")}',
+    '{..,"status":like("*")}',
+    '{..,"status":gt("APPLE")}',
+    '{..,"status":lt("Z")}',
+    '{..,"photo":{..,"status":"APPROVED"}}',
+    '{..,"photo":{..,"status":+}}',
+    '{..,"photo":+}',
+    '{..,"photo":is(object)}',
+    '{..,"missing":~}',
+    '{..,"missing":5}',
+    '{..,"missing":is(undefined)}',
+    'and({..,"status":"APPROVED"},{..,"rating":gt(3)})',
+    'or({..,"status":"REJECTED"},{..,"rating":gt(4)})',
+    'not({..,"status":"APPROVED"})',
+    'intrinsic("~table":"review:tc")',
+    'intrinsic("~table":like("review:*"))',
+    'intrinsic("~deleted":false)',
+    'intrinsic("~id":in("k1","k3"))',
+    'partition(4:1)',
+    'partition(4:gt(2))',
+    'and(intrinsic("~table":like("review:*")),{..,"rating":ge(4)})',
+    "{..}",
+    "is(object)",
+]
+
+
+def _doc_for_interpreter(row) -> dict:
+    """Typed row → JSON doc (NULL ≡ absent, matching typed-mode convention)."""
+    (key, tbl, deleted, status, rating, score, flag, codes, labels, photo) = row
+    doc = {}
+    for name, val in [
+        ("status", status), ("rating", rating), ("score", score),
+        ("flag", flag), ("codes", codes), ("labels", labels),
+    ]:
+        if val is not None:
+            doc[name] = val
+    if photo is not None:
+        doc["photo"] = {k: v for k, v in photo.items() if v is not None}
+    return doc
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, DOC_SCHEMA).cache()
+
+
+def test_compiled_matches_interpreter(spark, docs_df):
+    failures = []
+    for cond_text in CONDITIONS:
+        cond = parse_condition(cond_text)
+        col = compile_condition(cond, docs_df)
+        got = {
+            r["~id"]: bool(r["match"])
+            for r in docs_df.select(F.col("`~id`"), col.alias("match")).collect()
+        }
+        for row in DOCS:
+            key, tbl, deleted = row[0], row[1], row[2]
+            doc = _doc_for_interpreter(row)
+            intr = Intrinsics(id=key, table=tbl, deleted=deleted, placement="default")
+            expected = eval_condition(cond, doc, intr)
+            if got[key] != expected:
+                failures.append((cond_text, key, got[key], expected))
+    assert not failures, f"{len(failures)} disagreements: {failures[:10]}"
+
+
+def test_compiled_predicates_never_null(spark, docs_df):
+    # every compiled predicate must be a definite boolean so not() composes
+    for cond_text in ['{..,"rating":gt(3)}', 'not({..,"rating":gt(3)})']:
+        col = compile_condition(parse_condition(cond_text), docs_df)
+        n_null = docs_df.select(col.alias("m")).filter(F.col("m").isNull()).count()
+        assert n_null == 0, cond_text
+
+
+def test_generic_udf_path_agrees(spark, docs_df):
+    """Schemaless path: same conditions over JSON-string docs."""
+    rows = [(row[0], json.dumps(_doc_for_interpreter(row))) for row in DOCS]
+    jdf = spark.createDataFrame(rows, "key string, doc string")
+    for cond_text in [
+        '{..,"status":"APPROVED"}',
+        '{..,"rating":gt(3)}',
+        '{..,"codes":containsAll(501,789)}',
+        '{..,"photo":{..,"status":"APPROVED"}}',
+        '{..,"missing":~}',
+        '{..,"rating":5.0}',
+    ]:
+        cond = parse_condition(cond_text)
+        got = {
+            r["key"]: bool(r["m"])
+            for r in jdf.select("key", condition_udf(cond)(F.col("doc")).alias("m")).collect()
+        }
+        for row in DOCS:
+            doc = _doc_for_interpreter(row)
+            assert got[row[0]] == eval_condition(cond, doc, None), (cond_text, row[0])
+
+
+def test_filter_pushdown_reaches_parquet(spark, tmp_path):
+    """Compiled conditions must push into the parquet scan (SURVEY §4:
+    predicate pushdown is free if we stay declarative — verify it)."""
+    path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(DOCS, DOC_SCHEMA).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    cond = parse_condition('{..,"rating":gt(3)}')
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.filter(compile_condition(cond, df)).explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan
+    assert "GreaterThan(rating,3)" in plan.replace(" ", ""), plan

@@ -1,0 +1,102 @@
+"""DataStore surface over the driver's typed tables (scan/get/multiGet/
+splits/size/stash), per SURVEY.md §2.1."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from emodb_spark.spark.datastore import DataStore
+
+
+@pytest.fixture(scope="module")
+def store(spark, sf_dir):
+    ds = DataStore(spark)
+    ds.create_table(
+        "orders", path=os.path.join(sf_dir, "orders.parquet"), key_column="o_orderkey",
+        template={"type": "order", "client": "TestCustomer"},
+    )
+    ds.create_table(
+        "customer", path=os.path.join(sf_dir, "customer.parquet"), key_column="c_custkey"
+    )
+    return ds
+
+
+def test_get_point_read(store):
+    doc = store.get("orders", "1")
+    assert doc is not None
+    assert doc["~id"] == "1"
+    assert doc["~table"] == "orders"
+    assert doc["type"] == "order"  # template stamped in
+    assert store.get("orders", "no-such-key") is None
+
+
+def test_multi_get(store):
+    keys = ["1", "2", "3", "998244353"]  # last one missing
+    df = store.multi_get("orders", keys)
+    got = sorted(r["~id"] for r in df.collect())
+    assert got == ["1", "2", "3"]
+
+
+def test_scan_with_condition(store, spark, sf_dir):
+    df = store.scan("orders", '{..,"o_orderstatus":"F","o_totalprice":gt(100000.0)}')
+    expected = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 100000.0))
+        .count()
+    )
+    assert df.count() == expected
+    assert expected > 0
+
+
+def test_scan_resumable_paging(store):
+    page1 = store.scan("orders", limit=10)
+    rows1 = [r["~id"] for r in page1.collect()]
+    assert len(rows1) == 10
+    assert rows1 == sorted(rows1)
+    page2 = store.scan("orders", from_key_exclusive=rows1[-1], limit=10)
+    rows2 = [r["~id"] for r in page2.collect()]
+    assert len(rows2) == 10
+    assert rows2[0] > rows1[-1]
+    # paging never repeats or skips: union of pages == first 20 keys overall
+    all20 = [r["~id"] for r in store.scan("orders", limit=20).collect()]
+    assert rows1 + rows2 == all20
+
+
+def test_scan_intrinsic_condition(store):
+    df = store.scan("orders", 'intrinsic("~table":like("ord*"))', limit=5)
+    assert df.count() == 5
+    df2 = store.scan("orders", 'intrinsic("~table":"nope")', limit=5)
+    assert df2.count() == 0
+
+
+def test_table_size(store, spark, sf_dir):
+    exact = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).count()
+    assert store.table_approximate_size("orders") == exact
+    est = store.table_approximate_size("orders", limit=100)
+    assert est > 100  # estimated beyond the limit
+    small = store.table_approximate_size("customer", limit=10**9)
+    assert small == spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).count()
+
+
+def test_splits_cover_table(store, spark):
+    splits = store.get_splits("orders", desired_records_per_split=500)
+    assert len(splits) > 1
+    total = sum(store.get_split(s).count() for s in splits)
+    assert total == store.table_approximate_size("orders")
+
+
+def test_multi_table_scan_and_stash(store, spark, tmp_path):
+    df = store.multi_table_scan(["orders", "customer"])
+    tables = {r["~table"] for r in df.select("~table").distinct().collect()}
+    assert tables == {"orders", "customer"}
+    out = str(tmp_path / "stash")
+    store.stash_export(out, ["orders", "customer"], fmt="json")
+    back = store.stash_read(out, table="orders", fmt="json")
+    assert back.count() == store.table_approximate_size("orders")
+
+
+def test_list_tables_paged(store):
+    assert store.list_tables() == ["customer", "orders"]
+    assert store.list_tables(from_exclusive="customer") == ["orders"]
+    assert store.list_tables(limit=1) == ["customer"]

@@ -1,0 +1,156 @@
+"""LLM-pipeline operators: dedup, similarity, text analysis, multimodal."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from emodb_spark.pipeline.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard,
+    simhash_candidates,
+    simhash_signatures,
+)
+from emodb_spark.pipeline.multimodal import (
+    extract_features,
+    make_blob_table,
+    ranged_read,
+    scan_metadata,
+)
+from emodb_spark.pipeline.similarity import cosine_topk, lsh_topk
+from emodb_spark.pipeline.text import text_stats
+
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog and runs away fast"),
+    (1, "the quick brown fox jumps over the lazy dog and runs away fast"),   # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy dog and walks away fast"),  # near dup of 0
+    (3, "completely different content about spark dataframes and shuffles"),
+    (4, "The quick brown fox -- jumps over the lazy dog and runs away fast!"),  # dup after normalize
+    (5, "el rapido zorro marron salta sobre el perro perezoso y corre"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(spark, docs_df):
+    out = {r["keep_id"]: r["dup_count"] for r in exact_dedup(docs_df).collect()}
+    assert out[0] == 3  # docs 0, 1, 4 normalize identically
+    assert out[2] == 1
+    assert out[3] == 1
+    assert out[5] == 1
+
+
+def test_minhash_finds_near_dups(spark, docs_df):
+    pairs = minhash_lsh_candidates(docs_df, num_hashes=32, bands=16, shingle_k=3)
+    verified = ngram_jaccard(docs_df, pairs=pairs, shingle_k=3, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in verified.collect()}
+    assert (0, 1) in got       # exact dup always collides
+    assert (0, 4) in got
+    assert (0, 2) in got or (1, 2) in got  # near dup shares most shingles
+    assert not any(3 in p or 5 in p for p in got)
+
+
+def test_ngram_jaccard_bruteforce(spark, docs_df):
+    out = ngram_jaccard(docs_df, shingle_k=3, threshold=0.99).collect()
+    exact = {(r["id_a"], r["id_b"]) for r in out}
+    assert (0, 1) in exact and (0, 4) in exact and (1, 4) in exact
+    for r in out:
+        assert r["jaccard"] == 1.0
+
+
+def test_simhash(spark, docs_df):
+    sigs = simhash_signatures(docs_df, shingle_k=3)
+    rows = {r["id"]: r["sig"] for r in sigs.collect()}
+    assert rows[0] == rows[1] == rows[4]  # identical content → identical sig
+
+    def hamming(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    # near-dup is closer than unrelated content
+    assert hamming(rows[0], rows[2]) < hamming(rows[0], rows[3])
+    cands = simhash_candidates(sigs, max_hamming=16)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in cands.collect()}
+    assert got[(0, 1)] == 0
+    assert got[(0, 4)] == 0
+    # soundness: every candidate is within the ball
+    assert all(h <= 16 for h in got.values())
+
+
+def test_cosine_topk_exact(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+        (4, [0.7, 0.7, 0.0]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    queries = emb.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(emb, queries, k=4).collect()
+    order = [r["nbr_id"] for r in out]
+    assert order == [1, 4, 2, 3]
+    assert [r["rank"] for r in out] == [1, 2, 3, 4]
+    # cosine(0,1) = 0.9/sqrt(0.82)
+    assert abs(out[0]["cosine"] - 0.9 / math.sqrt(0.82)) < 1e-6
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=5)
+    approx = lsh_topk(emb, queries, k=5, num_planes=6)
+    e = {(r["query_id"], r["nbr_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["nbr_id"]) for r in approx.collect()}
+    # approximate search must return a subset of plausible neighbors with
+    # some overlap (6 planes → 64 buckets over 500 vecs)
+    assert a, "lsh returned nothing"
+    assert len(a & e) > 0
+
+
+def test_text_stats(spark, docs_df):
+    out = {r["doc_id"]: r for r in text_stats(docs_df).collect()}
+    assert out[0]["n_tokens"] == 13
+    assert out[0]["lang_detected"] == "en"
+    assert out[5]["lang_detected"] == "es"
+    assert out[0]["fingerprint"] == out[1]["fingerprint"] == out[4]["fingerprint"]
+    assert 0.0 <= out[0]["quality"] <= 1.0
+    assert out[0]["alpha_ratio"] < 1.0
+
+
+def test_multimodal_blob_plumbing(spark):
+    blobs = make_blob_table(
+        spark,
+        [
+            ("b1", "photos", b"\x89PNG fake image bytes", {"modality": "image"}),
+            ("b2", "videos", b"\x00\x00ftyp fake video bytes", {"modality": "video"}),
+            ("b3", "photos", b"", {}),
+        ],
+    )
+    # metadata scan never touches content
+    meta = scan_metadata(blobs).collect()
+    assert [r["blob_id"] for r in meta] == ["b1", "b2", "b3"]
+    assert meta[0]["length"] == 21
+    # ranged read (OffsetRangeSpecification semantics)
+    r = ranged_read(blobs, 1, 3).filter("blob_id = 'b1'").collect()[0]
+    assert bytes(r["range_content"]) == b"PNG"
+    suffix = ranged_read(blobs, -5).filter("blob_id = 'b1'").collect()[0]
+    assert bytes(suffix["range_content"]) == b"bytes"
+    # feature extraction: deterministic fake decode, schema-stable
+    feats = {r["blob_id"]: r for r in extract_features(blobs).collect()}
+    assert feats["b1"]["modality"] == "image"
+    assert feats["b1"]["n_frames"] == 1
+    assert feats["b2"]["modality"] == "video"
+    assert feats["b2"]["n_frames"] >= 1
+    assert len(feats["b1"]["feature"]) == 8
+    # deterministic: same bytes → same features
+    feats2 = {r["blob_id"]: r for r in extract_features(blobs).collect()}
+    assert feats["b1"]["feature"] == feats2["b1"]["feature"]

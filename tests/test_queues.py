@@ -1,0 +1,95 @@
+"""Queue / DedupQueue service: send/peek/poll/ack/renew/move/purge with
+claim semantics (queue-api BaseQueueService.java:13-74)."""
+
+import pytest
+
+from emodb_spark.spark.streaming.queues import QueueService
+
+
+class FakeClock:
+    def __init__(self, start=1_000_000):
+        self.now = start
+
+    def __call__(self):
+        return self.now
+
+    def advance(self, ms):
+        self.now += ms
+
+
+@pytest.fixture()
+def clock():
+    return FakeClock()
+
+
+def test_send_peek_poll_ack(spark, tmp_path, clock):
+    q = QueueService(spark, str(tmp_path / "q"), clock=clock)
+    q.send_all("jobs", [{"n": 1}, {"n": 2}, {"n": 3}])
+
+    # peek is non-destructive
+    assert [m["payload"]["n"] for m in q.peek("jobs", limit=2)] == [1, 2]
+    assert q.message_count("jobs") == 3
+
+    # poll claims: messages disappear from subsequent polls
+    got = q.poll("jobs", claim_ttl_s=30, limit=2)
+    assert [m["payload"]["n"] for m in got] == [1, 2]
+    assert q.claim_count("jobs") == 2
+    rest = q.poll("jobs", claim_ttl_s=30, limit=10)
+    assert [m["payload"]["n"] for m in rest] == [3]
+
+    # nothing visible while claimed
+    assert q.poll("jobs") == []
+
+    # claims expire → at-least-once redelivery
+    clock.advance(31_000)
+    redelivered = q.poll("jobs", claim_ttl_s=30, limit=10)
+    assert [m["payload"]["n"] for m in redelivered] == [1, 2, 3]
+
+    # ack deletes
+    q.acknowledge("jobs", [m["id"] for m in redelivered])
+    clock.advance(60_000)
+    assert q.message_count("jobs") == 0
+
+
+def test_renew_extends_claim(spark, tmp_path, clock):
+    q = QueueService(spark, str(tmp_path / "q"), clock=clock)
+    q.send("jobs", {"n": 1})
+    got = q.poll("jobs", claim_ttl_s=10)
+    clock.advance(8_000)
+    q.renew("jobs", [got[0]["id"]], claim_ttl_s=30)
+    clock.advance(10_000)  # past the original ttl
+    assert q.poll("jobs") == []  # still claimed
+    clock.advance(25_000)
+    assert len(q.poll("jobs")) == 1  # renewed claim finally lapsed
+
+
+def test_dedup_queue(spark, tmp_path, clock):
+    q = QueueService(spark, str(tmp_path / "q"), dedup=True, clock=clock)
+    q.send_all("dq", [{"x": 1}, {"x": 1}, {"x": 2}, {"x": 1}])
+    # duplicates collapse between polls (DedupQueue.java:42-46)
+    got = q.poll("dq", limit=10)
+    assert sorted(m["payload"]["x"] for m in got) == [1, 2]
+    assert q.message_count("dq") == 0  # all claimed
+    # ack removes every copy of the payload
+    q.acknowledge("dq", [m["id"] for m in got])
+    clock.advance(60_000)
+    assert q.message_count("dq") == 0
+
+
+def test_move_and_purge(spark, tmp_path, clock):
+    q = QueueService(spark, str(tmp_path / "q"), clock=clock)
+    q.send_all("a", [{"i": i} for i in range(4)])
+    moved = q.move("a", "b")
+    assert moved == 4
+    assert q.message_count("a") == 0
+    assert q.message_count("b") == 4
+    q.purge("b")
+    assert q.message_count("b") == 0
+
+
+def test_message_count_up_to(spark, tmp_path, clock):
+    q = QueueService(spark, str(tmp_path / "q"), clock=clock)
+    q.send_all("big", [{"i": i} for i in range(20)])
+    # exact count short-circuits at the limit (count-up-to semantics)
+    assert q.message_count("big", up_to=5) == 6
+    assert q.message_count("big") == 20

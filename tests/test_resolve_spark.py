@@ -1,0 +1,119 @@
+"""Spark-side resolution: applyInPandas fold vs the pure-Python resolver."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from emodb_spark.core.resolver import resolve_document
+from emodb_spark.core.timeuuid import TimeUUIDGenerator
+from emodb_spark.language.values import UNDEFINED
+from emodb_spark.spark.resolve_ops import (
+    UPDATES_SCHEMA,
+    change_id_millis,
+    resolve,
+    resolve_changes,
+    resolve_typed,
+    timeline,
+)
+
+
+@pytest.fixture(scope="module")
+def updates_df(spark):
+    gen = TimeUUIDGenerator(node=7, start_millis=1700000000000)
+    rows = []
+    docs = {}
+    for i in range(50):
+        key = f"doc{i:03d}"
+        log = []
+        log.append((gen.next(), json.dumps({"n": i, "status": "NEW"}), []))
+        log.append((gen.next(), '{..,"status":"SUBMITTED","tags":(..,"t1")}', []))
+        if i % 3 == 0:
+            log.append((gen.next(), '{..,"status":"APPROVED"}', ["mod"]))
+        if i % 7 == 0:
+            log.append((gen.next(), "~", []))
+        if i % 10 == 0:
+            # redundant rewrite
+            log.append((gen.next(), "..", []))
+        docs[key] = log
+        for cid, delta, tags in log:
+            rows.append(("review:tc", key, cid, delta, tags))
+    df = spark.createDataFrame(rows, UPDATES_SCHEMA)
+    return df.cache(), docs
+
+
+def test_resolve_matches_python_fold(spark, updates_df):
+    df, docs = updates_df
+    out = {r["~id"]: r.asDict() for r in resolve(df).collect()}
+    assert len(out) == len(docs)
+    for key, log in docs.items():
+        expected = resolve_document("review:tc", key, log)
+        got = out[key]
+        exp_content = None if expected.content is UNDEFINED else expected.content
+        got_content = None if got["content"] is None else json.loads(got["content"])
+        assert got_content == exp_content, key
+        assert got["~version"] == expected.version
+        assert got["~signature"] == expected.signature
+        assert got["~deleted"] == expected.deleted
+        assert got["~firstUpdateAt"] == expected.first_update_at
+        assert got["~lastMutateAt"] == expected.last_mutate_at
+
+
+def test_resolve_excludes_deletes(spark, updates_df):
+    df, docs = updates_df
+    n_deleted = sum(1 for k in docs if int(k[3:]) % 7 == 0)
+    alive = resolve(df, include_deletes=False).count()
+    assert alive == len(docs) - n_deleted
+
+
+def test_resolve_changes_redundancy(spark, updates_df):
+    df, docs = updates_df
+    changes = resolve_changes(df)
+    red = changes.filter("is_redundant").select("`~id`", "change_id").collect()
+    by_key = {}
+    for r in red:
+        by_key.setdefault(r["~id"], set()).add(r["change_id"])
+    for key, log in docs.items():
+        expected = resolve_document("review:tc", key, log)
+        assert by_key.get(key, set()) == expected.redundant_change_ids, key
+    # change counts match the log
+    assert changes.count() == df.count()
+
+
+def test_resolve_typed_projection(spark, updates_df):
+    df, docs = updates_df
+    doc_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("tags", T.ArrayType(T.StringType())),
+        ]
+    )
+    typed = resolve_typed(df, doc_schema)
+    rows = {r["~id"]: r for r in typed.collect()}
+    k = "doc001"
+    assert rows[k]["n"] == 1
+    assert rows[k]["status"] == "SUBMITTED"
+    assert rows[k]["tags"] == ["t1"]
+    assert rows["doc003"]["status"] == "APPROVED"
+    assert "doc000" not in rows  # deleted (0 % 7 == 0)
+
+
+def test_timeline(spark, updates_df):
+    df, docs = updates_df
+    tl = timeline(df, "review:tc", "doc000", reversed_=True).collect()
+    assert len(tl) == len(docs["doc000"])
+    # newest first
+    assert [r["change_id"] for r in tl] == [c for c, _, _ in reversed(docs["doc000"])]
+    # limit
+    tl2 = timeline(df, "review:tc", "doc000", reversed_=True, limit=2).collect()
+    assert len(tl2) == 2
+
+
+def test_change_id_millis(spark):
+    gen = TimeUUIDGenerator(node=7, start_millis=1700000000000)
+    cid = gen.next()
+    df = spark.createDataFrame([(cid,)], "change_id string")
+    got = df.select(change_id_millis(F.col("change_id")).alias("ms")).collect()[0]["ms"]
+    assert got == 1700000000000

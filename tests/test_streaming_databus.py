@@ -1,0 +1,151 @@
+"""Databus/Megabus streaming: subscription matching, incremental MERGE fold,
+redundancy suppression, consolidation, tombstones (SURVEY.md §2.6)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from emodb_spark.core.timeuuid import TimeUUIDGenerator
+from emodb_spark.spark.resolve_ops import UPDATES_SCHEMA
+from emodb_spark.spark.streaming.databus import (
+    MegabusResolver,
+    ResolvedStateStore,
+    SubscriptionRegistry,
+    merge_batch,
+)
+
+
+@pytest.fixture()
+def registry():
+    reg = SubscriptionRegistry()
+    reg.put_table("review:tc", template={"type": "review", "client": "TC"})
+    reg.put_table("question:tc", template={"type": "question", "client": "TC"})
+    reg.subscribe("all-reviews", '{..,"type":"review"}')
+    reg.subscribe("tc-everything", '{..,"client":"TC"}')
+    reg.subscribe("by-table", 'intrinsic("~table":"question:tc")')
+    reg.subscribe("tagged-etl", '{..,"~tags":contains("etl")}')
+    reg.subscribe("shard-1of2", 'and({..,"type":"review"},partition(2:1))')
+    return reg
+
+
+def test_subscription_matching(registry):
+    assert registry.matches(registry.get("all-reviews"), "review:tc", "k1", []) is True
+    assert registry.matches(registry.get("all-reviews"), "question:tc", "k1", []) is False
+    assert registry.matches(registry.get("tc-everything"), "question:tc", "k1", []) is True
+    assert registry.matches(registry.get("by-table"), "question:tc", "k", []) is True
+    assert registry.matches(registry.get("tagged-etl"), "review:tc", "k", ["etl"]) is True
+    assert registry.matches(registry.get("tagged-etl"), "review:tc", "k", ["x"]) is False
+
+
+def test_match_column_agrees_with_interpreter(spark, registry):
+    rows = [
+        ("review:tc", f"k{i}", ["etl"] if i % 2 == 0 else [])
+        for i in range(10)
+    ] + [("question:tc", f"q{i}", []) for i in range(5)]
+    df = spark.createDataFrame(rows, "tbl string, key string, tags array<string>")
+    for sub in registry.list():
+        got = {
+            (r["tbl"], r["key"]): r["m"]
+            for r in df.select("tbl", "key", registry.match_column(sub).alias("m")).collect()
+        }
+        for tbl, key, tags in rows:
+            assert got[(tbl, key)] == registry.matches(sub, tbl, key, tags), (
+                sub.name, tbl, key)
+
+
+def _updates(spark, rows):
+    return spark.createDataFrame(rows, UPDATES_SCHEMA)
+
+
+def test_merge_batch_incremental_fold(spark, tmp_path):
+    gen = TimeUUIDGenerator(node=3, start_millis=1710000000000)
+    state = ResolvedStateStore(spark, str(tmp_path / "state"))
+
+    ids = [gen.next() for _ in range(6)]
+    b1 = _updates(spark, [
+        ("review:tc", "k1", ids[0], '{"rating":5,"status":"NEW"}', []),
+        ("review:tc", "k1", ids[1], '{..,"status":"SUBMITTED"}', []),
+        ("review:tc", "k2", ids[2], '{"rating":1}', []),
+    ])
+    ev1 = merge_batch(spark, state, b1)
+    e1 = {(r["key"], r["change_id"]): r for r in ev1.collect()}
+    assert len(e1) == 3
+    assert not any(r["is_redundant"] for r in e1.values())
+    assert json.loads(e1[("k1", ids[1])]["content"])["status"] == "SUBMITTED"
+
+    # batch 2 continues the fold from stored state
+    b2 = _updates(spark, [
+        ("review:tc", "k1", ids[3], '{..,"status":"SUBMITTED"}', []),   # redundant
+        ("review:tc", "k1", ids[4], 'if {..,"status":"SUBMITTED"} then {..,"status":"APPROVED"} end', []),
+        ("review:tc", "k2", ids[5], "~", []),                            # tombstone
+    ])
+    ev2 = merge_batch(spark, state, b2)
+    e2 = {(r["key"], r["change_id"]): r for r in ev2.collect()}
+    assert e2[("k1", ids[3])]["is_redundant"] is True
+    approved = e2[("k1", ids[4])]
+    assert json.loads(approved["content"])["status"] == "APPROVED"
+    assert approved["version"] == 4  # fold continued, not restarted
+    dead = e2[("k2", ids[5])]
+    assert dead["deleted"] is True and dead["content"] is None
+
+    # replaying batch 2 is a no-op (idempotent MERGE)
+    ev2_replay = merge_batch(spark, state, b2)
+    assert ev2_replay.count() == 0
+
+    st = {r["key"]: r for r in state.read().collect()}
+    assert st["k1"]["version"] == 4
+    assert st["k2"]["deleted"] is True
+
+
+def test_megabus_resolver_stream(spark, tmp_path, registry):
+    """End-to-end Structured Streaming: file source → foreachBatch MERGE →
+    per-subscription sinks with consolidation."""
+    gen = TimeUUIDGenerator(node=4, start_millis=1720000000000)
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    state_path = str(tmp_path / "state")
+    out_path = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    ids = [gen.next() for _ in range(5)]
+    batch_rows = [
+        ("review:tc", "r1", ids[0], '{"rating":4}', []),
+        ("review:tc", "r1", ids[1], '{..,"status":"APPROVED"}', []),  # same key → consolidated
+        ("review:tc", "r2", ids[2], '{"rating":2}', ["etl"]),
+        ("question:tc", "q1", ids[3], '{"title":"How?"}', []),
+        ("review:tc", "r3", ids[4], '{"rating":5}', []),
+    ]
+    _updates(spark, batch_rows).write.mode("overwrite").parquet(src)
+
+    resolver = MegabusResolver(spark, registry, state_path, out_path)
+    stream = spark.readStream.schema(UPDATES_SCHEMA).parquet(src)
+    q = resolver.start(stream, ckpt)
+    q.awaitTermination(120)
+
+    def read_sub(name):
+        p = os.path.join(out_path, f"sub={name}")
+        if not os.path.exists(p):
+            return []
+        return spark.read.parquet(p).collect()
+
+    reviews = read_sub("all-reviews")
+    assert {r["key"] for r in reviews} == {"r1", "r2", "r3"}
+    # consolidation: r1 appears once, at its latest version
+    r1 = [r for r in reviews if r["key"] == "r1"]
+    assert len(r1) == 1 and r1[0]["version"] == 2
+    assert json.loads(r1[0]["content"]) == {"rating": 4, "status": "APPROVED"}
+
+    everything = read_sub("tc-everything")
+    assert {r["key"] for r in everything} == {"r1", "r2", "r3", "q1"}
+    assert {r["key"] for r in read_sub("by-table")} == {"q1"}
+    assert {r["key"] for r in read_sub("tagged-etl")} == {"r2"}
+    # partition-sharded subscription gets a strict subset of reviews
+    shard = {r["key"] for r in read_sub("shard-1of2")}
+    assert shard <= {"r1", "r2", "r3"}
+
+    # resolved state holds current docs
+    st = {r["key"]: r for r in ResolvedStateStore(spark, state_path).read().collect()}
+    assert st["r1"]["version"] == 2
+    assert st["q1"]["deleted"] is False

@@ -1,0 +1,117 @@
+"""Local stand-in for the driver's correctness gate: run every declared
+query on Spark AND its DuckDB oracle on the same parquet, compare
+row-count + schema + order-insensitive values exactly.
+
+Usage: python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_connection(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(sf_dir, t)}.parquet'"
+        )
+    return con
+
+
+def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(oracle_pdf):
+        problems.append(f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
+    s_cols, o_cols = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
+    if s_cols != o_cols:
+        problems.append(f"columns: spark={s_cols} oracle={o_cols}")
+        return problems
+    if problems:
+        return problems
+    a, b = canonicalize(spark_pdf), canonicalize(oracle_pdf)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if str(av.dtype).startswith("float") or str(bv.dtype).startswith("float"):
+            neq = ~((av == bv) | (av.isna() & bv.isna()))
+        else:
+            try:
+                av2 = av.astype("int64", errors="ignore") if av.dtype != bv.dtype else av
+                neq = ~(av.astype(str) == bv.astype(str)) if av.dtype != bv.dtype else ~(
+                    (av == bv) | (av.isna() & bv.isna())
+                )
+            except Exception:
+                neq = av.astype(str) != bv.astype(str)
+        n_bad = int(neq.sum())
+        if n_bad:
+            idx = neq[neq].index[:3]
+            examples = [(c, a.loc[i, c], b.loc[i, c]) for i in idx]
+            problems.append(f"column {c}: {n_bad} mismatches, e.g. {examples}")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entrymod
+    from emodb_spark.spark.session import get_spark
+
+    spark = get_spark(app_name="oracle_check")
+    con = duck_connection(sf_dir)
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            spark_pdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            failures += 1
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(spark_pdf)} rows in {dt:.1f}s (no oracle)")
+            continue
+        try:
+            oracle_pdf = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle error: {e}")
+            failures += 1
+            continue
+        problems = compare(spark_pdf, oracle_pdf)
+        if problems:
+            failures += 1
+            print(f"FAIL  {name} ({dt:.1f}s): " + "; ".join(problems))
+        else:
+            print(f"OK    {name}: {len(spark_pdf)} rows in {dt:.1f}s")
+    print(f"\n{failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
