@@ -61,32 +61,53 @@ def _map_delta_of(*cols) -> "F.Column":
     return F.concat(F.lit("{.."), F.lit(","), j.substr(F.lit(2), F.length(j)))
 
 
-def _updates_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _synthetic_change_id_j_major(order_key, j: int):
+    """Variant where the step index dominates the timestamp — every key's
+    step-j delta precedes every key's step-j+1 delta, so a single time
+    cutoff cleanly separates fold prefixes (for the compaction query)."""
+    ticks = (F.lit(j) * F.lit(10_000_000_000_000) + order_key * F.lit(10_000)) + F.lit(
+        _BASE_TICKS
+    )
+    hex15 = F.lpad(F.lower(F.conv(ticks.cast("string"), 10, 16)), 15, "0")
+    return F.concat(
+        F.substring(hex15, 8, 8),
+        F.lit("-"),
+        F.substring(hex15, 4, 4),
+        F.lit("-1"),
+        F.substring(hex15, 1, 3),
+        F.lit("-8000-001c42000009"),
+    )
+
+
+def _updates_from_orders(
+    spark: SparkSession, sf_dir: str, j_major: bool = False
+) -> DataFrame:
     """Three deltas per order: create → amend (map delta) → conditional
     price-set. The fold must reproduce (status, priority, price) exactly."""
     orders = _read(spark, sf_dir, "orders")
     okey = F.col("o_orderkey")
     key = okey.cast("string").alias("key")
     tags = F.array().cast("array<string>").alias("tags")
+    cid = _synthetic_change_id_j_major if j_major else _synthetic_change_id
 
     u1 = orders.select(
         F.lit("orders").alias("tbl"),
         key,
-        _synthetic_change_id(okey, 0).alias("change_id"),
+        cid(okey, 0).alias("change_id"),
         F.lit('{"o_orderstatus":"NEW","o_totalprice":0.0}').alias("delta"),
         tags,
     )
     u2 = orders.select(
         F.lit("orders").alias("tbl"),
         key,
-        _synthetic_change_id(okey, 1).alias("change_id"),
+        cid(okey, 1).alias("change_id"),
         _map_delta_of(F.col("o_orderstatus"), F.col("o_orderpriority")).alias("delta"),
         tags,
     )
     u3 = orders.select(
         F.lit("orders").alias("tbl"),
         key,
-        _synthetic_change_id(okey, 2).alias("change_id"),
+        cid(okey, 2).alias("change_id"),
         F.concat(
             F.lit("if "),
             _map_delta_of(F.col("o_orderstatus")),
@@ -536,6 +557,151 @@ FROM documents
 """
 
 
+def q_resolve_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship #2: same fold, but through a compaction checkpoint — old
+    deltas fold into base records at an FCT cutoff, then base+tail resolve.
+    Must still reproduce `orders` exactly (compaction transparency)."""
+    from emodb_spark.spark.compaction import compact, resolve_with_base
+    from emodb_spark.spark.resolve_ops import change_id_millis
+
+    updates = _updates_from_orders(spark, sf_dir, j_major=True)
+    # cutoff between step-1 and step-2 deltas (j-major change ids)
+    cutoff_ticks = _BASE_TICKS + 2 * 10_000_000_000_000 - 5_000
+    cutoff_millis = (cutoff_ticks - _UUID_EPOCH_OFFSET_100NS) // 10_000
+    base, tail = compact(updates, int(cutoff_millis))
+    resolved = resolve_with_base(base, tail)
+    parsed = resolved.withColumn("__doc", F.from_json("content", _FOLD_DOC_SCHEMA))
+    return parsed.select(
+        F.col("`~id`").cast("long").alias("id"),
+        F.col("__doc.o_orderstatus").alias("o_orderstatus"),
+        F.col("__doc.o_totalprice").alias("o_totalprice"),
+        F.col("__doc.o_orderpriority").alias("o_orderpriority"),
+    )
+
+
+def q_splits_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-based parallel scan: the union of all splits must cover the
+    table exactly once (getSplits/getSplit parity)."""
+    ds = _store(spark, sf_dir)
+    splits = ds.get_splits("orders", desired_records_per_split=5000)
+    out = None
+    for s in splits:
+        part = ds.get_split(s).select(*_ORDER_COLS)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def q_stash_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stash export → read-back (ScanUploader → StashReader parity): the
+    snapshot must reproduce the table."""
+    import tempfile
+
+    ds = _store(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="stash_")
+    ds.stash_export(out, ["part"], fmt="json")
+    back = ds.stash_read(out, table="part", fmt="json")
+    return back.select(
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        "p_name", "p_brand", "p_type",
+        F.col("p_size").cast("int").alias("p_size"),
+    )
+
+
+ORACLE_STASH_ROUNDTRIP = """
+SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part
+"""
+
+
+def q_blob_ranged_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BlobStore ranged reads + metadata over text-as-binary blobs."""
+    from emodb_spark.pipeline.multimodal import ranged_read
+
+    docs = _read(spark, sf_dir, "documents")
+    blobs = docs.select(
+        F.col("doc_id").cast("string").alias("blob_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+    ranged = ranged_read(blobs, 5, 20)
+    return ranged.select(
+        F.col("blob_id").cast("long").alias("blob_id"),
+        F.decode(F.col("range_content"), "UTF-8").alias("chunk"),
+        F.md5(F.col("content")).alias("md5"),
+        F.length(F.col("content")).alias("length"),
+    )
+
+
+ORACLE_BLOB_RANGED_READ = """
+SELECT doc_id AS blob_id, substring(text, 6, 20) AS chunk,
+       md5(text) AS md5, length(text) AS length
+FROM documents
+"""
+
+
+def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emodb_spark.pipeline.text import detect_language
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select(detect_language(F.col("text")).alias("lang_detected"))
+        .groupBy("lang_detected")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _oracle_lang_distribution() -> str:
+    from emodb_spark.pipeline.text import LANG_MARKERS
+
+    def stop_count(words):
+        lst = ",".join(f"'{w}'" for w in words)
+        return (
+            "len(list_filter(list_filter(string_split(lower(text),' '), t -> t <> ''),"
+            f" t -> t IN ({lst})))"
+        )
+
+    langs = list(LANG_MARKERS)
+    score_cols = ", ".join(f"{stop_count(w)} AS s_{lang}" for lang, w in LANG_MARKERS.items())
+    case = "CASE "
+    for i, lang in enumerate(langs):
+        others = " AND ".join(
+            f"s_{lang} >= s_{o}" if j > i else f"s_{lang} > s_{o}"
+            for j, o in enumerate(langs)
+            if o != lang
+        )
+        case += f"WHEN s_{lang} > 0 AND ({others or 'TRUE'}) THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+WITH scored AS (SELECT {score_cols} FROM documents)
+SELECT {case} AS lang_detected, COUNT(*) AS n_docs
+FROM scored GROUP BY 1
+"""
+
+
+def q_quality_docs_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-shaped query: quality-score the docs, join to embeddings on
+    id, keep high-quality rows (a pretraining-filter join)."""
+    from emodb_spark.pipeline.text import alpha_ratio
+
+    docs = _read(spark, sf_dir, "documents")
+    emb = _read(spark, sf_dir, "embeddings")
+    scored = docs.select(
+        "doc_id", F.round(alpha_ratio(F.col("text")), 6).alias("alpha_ratio")
+    ).filter(F.col("alpha_ratio") >= 0.78)
+    return scored.join(emb, scored.doc_id == emb.vec_id).select(
+        "doc_id", "alpha_ratio", "label"
+    )
+
+
+ORACLE_QUALITY_DOCS_JOIN = """
+SELECT doc_id, alpha_ratio, label FROM (
+  SELECT doc_id,
+    ROUND(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text), 6)
+      AS alpha_ratio
+  FROM documents
+) d JOIN embeddings e ON d.doc_id = e.vec_id
+WHERE alpha_ratio >= 0.78
+"""
+
+
 # -- rows-only queries (no SQL-expressible oracle) ---------------------------
 
 
@@ -580,6 +746,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "resolve_fold": q_resolve_fold,
+        "resolve_compacted": q_resolve_compacted,
+        "splits_scan": q_splits_scan,
+        "stash_roundtrip": q_stash_roundtrip,
+        "blob_ranged_read": q_blob_ranged_read,
+        "lang_distribution": q_lang_distribution,
+        "quality_docs_join": q_quality_docs_join,
         "scan_condition": q_scan_condition,
         "scan_condition_complex": q_scan_condition_complex,
         "multi_get": q_multi_get,
@@ -605,6 +777,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "resolve_fold": ORACLE_RESOLVE_FOLD,
+        "resolve_compacted": ORACLE_RESOLVE_FOLD,
+        "splits_scan": ORACLE_MULTI_GET.replace(
+            "WHERE o_orderkey BETWEEN 1 AND 40", ""
+        ),
+        "stash_roundtrip": ORACLE_STASH_ROUNDTRIP,
+        "blob_ranged_read": ORACLE_BLOB_RANGED_READ,
+        "lang_distribution": _oracle_lang_distribution(),
+        "quality_docs_join": ORACLE_QUALITY_DOCS_JOIN,
         "scan_condition": ORACLE_SCAN_CONDITION,
         "scan_condition_complex": ORACLE_SCAN_CONDITION_COMPLEX,
         "multi_get": ORACLE_MULTI_GET,

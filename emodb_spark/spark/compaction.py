@@ -1,0 +1,225 @@
+"""Compaction: checkpoint the fold at the Full-Consistency-Timestamp.
+
+The reference compacts each document's deltas older than the FCT into one
+literal + a Compaction record, keeping 2 days of compacted-delta history
+(docs 2016-08-29-deltas.md:758-785; sor core/DistributedCompactor.java:29-50)
+— without it every read folds an unbounded log. Spark shape (SURVEY.md §4):
+a periodic job that
+
+1. splits the update log at a cutoff timestamp (the watermark / FCT analog
+   — only deltas old enough that no out-of-order write can precede them),
+2. folds the old prefix per key into a ``base`` snapshot that carries the
+   fold state (content, version, signature chain, timestamps, last tags),
+3. rewrites the log as base records + the live tail; subsequent resolves
+   restore from base (Resolver.restore — the Compaction-record constructor
+   parity) and fold only the tail.
+
+The cutoff is exactly a streaming watermark: correctness requires no
+change_id below it arrives later; the reference enforces the same invariant
+via the FCT.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .resolve_ops import (
+    RESOLVED_SCHEMA,
+    UPDATES_SCHEMA,
+    _presort,
+    change_id_millis,
+)
+
+# base snapshot = resolved state + enough to resume the fold
+BASE_SCHEMA = T.StructType(
+    [
+        T.StructField("tbl", T.StringType(), False),
+        T.StructField("key", T.StringType(), False),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("version", T.LongType(), False),
+        T.StructField("signature", T.StringType(), False),
+        T.StructField("deleted", T.BooleanType(), False),
+        T.StructField("first_update_at", T.StringType(), True),
+        T.StructField("last_update_at", T.StringType(), True),
+        T.StructField("last_mutate_at", T.StringType(), True),
+        T.StructField("last_tags", T.ArrayType(T.StringType()), True),
+        T.StructField("cutoff_change_id", T.StringType(), True),
+        T.StructField("compacted_count", T.LongType(), False),
+    ]
+)
+
+
+def _compact_partition(batches):
+    from ..core.resolver import Resolver
+    from ..language.values import UNDEFINED
+
+    cols = [f.name for f in BASE_SCHEMA.fields]
+    carry = None
+
+    def fold(body: pd.DataFrame):
+        rows = []
+        for (tbl, key), g in body.groupby(["tbl", "key"], sort=False):
+            resolver = Resolver(tbl, key)
+            for change_id, delta, tags in zip(g["change_id"], g["delta"], g["tags"]):
+                resolver.update(change_id, delta, list(tags) if tags is not None else ())
+            r = resolver.resolved()
+            rows.append(
+                {
+                    "tbl": tbl,
+                    "key": key,
+                    "content": None if r.content is UNDEFINED else json.dumps(r.content),
+                    "version": r.version,
+                    "signature": r.signature,
+                    "deleted": r.deleted,
+                    "first_update_at": r.first_update_at,
+                    "last_update_at": r.last_update_at,
+                    "last_mutate_at": r.last_mutate_at,
+                    "last_tags": list(r.last_tags),
+                    "cutoff_change_id": g["change_id"].iloc[-1],
+                    "compacted_count": len(g),
+                }
+            )
+        return pd.DataFrame(rows, columns=cols)
+
+    for pdf in batches:
+        if carry is not None:
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+        if pdf.empty:
+            continue
+        last = (pdf["tbl"].iloc[-1], pdf["key"].iloc[-1])
+        tail_mask = (pdf["tbl"] == last[0]) & (pdf["key"] == last[1])
+        carry = pdf[tail_mask]
+        body = pdf[~tail_mask]
+        if not body.empty:
+            yield fold(body)
+    if carry is not None and not carry.empty:
+        yield fold(carry)
+
+
+def compact(
+    updates: DataFrame,
+    cutoff_millis: int,
+) -> Tuple[DataFrame, DataFrame]:
+    """Split + fold: returns (base, tail).
+
+    ``base`` has one fold-state row per key having deltas older than the
+    cutoff; ``tail`` is the untouched live log (deltas at/after cutoff).
+    Deltas strictly below the FCT-analog cutoff can be discarded after
+    ``base`` is durably written (the 2-day history window in the reference
+    is a retention policy on exactly this discarded prefix)."""
+    ts = change_id_millis(F.col("change_id"))
+    old = updates.filter(ts < F.lit(cutoff_millis))
+    tail = updates.filter(ts >= F.lit(cutoff_millis))
+    base = _presort(old).mapInPandas(_compact_partition, BASE_SCHEMA)
+    return base, tail
+
+
+def _resolve_with_base_partition(batches):
+    """Fold tail deltas on top of base fold-state rows.
+
+    Input rows carry a ``__kind`` discriminator: base rows sort before
+    delta rows within each key (enforced JVM-side)."""
+    from ..core.resolver import Resolver
+    from ..language.values import UNDEFINED
+
+    cols = [f.name for f in RESOLVED_SCHEMA.fields]
+    carry = None
+
+    def fold(body: pd.DataFrame):
+        rows = []
+        for (tbl, key), g in body.groupby(["tbl", "key"], sort=False):
+            resolver = Resolver(tbl, key)
+            for row in g.itertuples(index=False):
+                if row.kind == 0:
+                    resolver.restore(
+                        content=None if row.content is None else json.loads(row.content),
+                        content_defined=row.content is not None,
+                        version=int(row.version),
+                        signature=row.signature,
+                        first_update_at=row.first_update_at,
+                        last_update_at=row.last_update_at,
+                        last_mutate_at=row.last_mutate_at,
+                        last_tags=tuple(row.last_tags) if row.last_tags is not None else (),
+                    )
+                else:
+                    resolver.update(
+                        row.change_id,
+                        row.delta,
+                        list(row.tags) if row.tags is not None else (),
+                    )
+            r = resolver.resolved()
+            rows.append(
+                {
+                    "~table": tbl,
+                    "~id": key,
+                    "content": None if r.content is UNDEFINED else json.dumps(r.content),
+                    "~version": r.version,
+                    "~signature": r.signature,
+                    "~deleted": r.deleted,
+                    "~firstUpdateAt": r.first_update_at,
+                    "~lastUpdateAt": r.last_update_at,
+                    "~lastMutateAt": r.last_mutate_at,
+                }
+            )
+        return pd.DataFrame(rows, columns=cols)
+
+    for pdf in batches:
+        if carry is not None:
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+        if pdf.empty:
+            continue
+        last = (pdf["tbl"].iloc[-1], pdf["key"].iloc[-1])
+        tail_mask = (pdf["tbl"] == last[0]) & (pdf["key"] == last[1])
+        carry = pdf[tail_mask]
+        body = pdf[~tail_mask]
+        if not body.empty:
+            yield fold(body)
+    if carry is not None and not carry.empty:
+        yield fold(carry)
+
+
+def resolve_with_base(base: DataFrame, tail: DataFrame, include_deletes: bool = True) -> DataFrame:
+    """Resolve current state from a compaction base + the live tail —
+    the steady-state read path: per-key work is O(tail), not O(history)."""
+    from .resolve_ops import change_id_ticks
+
+    b = base.select(
+        "tbl", "key",
+        F.lit(0).alias("kind"),
+        "content", "version", "signature",
+        "first_update_at", "last_update_at", "last_mutate_at", "last_tags",
+        F.lit(None).cast("string").alias("change_id"),
+        F.lit(None).cast("string").alias("delta"),
+        F.lit(None).cast("array<string>").alias("tags"),
+        F.lit(-1).cast("long").alias("ticks"),
+    )
+    t = tail.select(
+        "tbl", "key",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("string").alias("content"),
+        F.lit(0).cast("long").alias("version"),
+        F.lit(None).cast("string").alias("signature"),
+        F.lit(None).cast("string").alias("first_update_at"),
+        F.lit(None).cast("string").alias("last_update_at"),
+        F.lit(None).cast("string").alias("last_mutate_at"),
+        F.lit(None).cast("array<string>").alias("last_tags"),
+        "change_id", "delta", "tags",
+        change_id_ticks(F.col("change_id")).alias("ticks"),
+    )
+    merged = (
+        b.unionByName(t)
+        .repartition("tbl", "key")
+        .sortWithinPartitions("tbl", "key", "kind", "ticks", "change_id")
+    )
+    out = merged.mapInPandas(_resolve_with_base_partition, RESOLVED_SCHEMA)
+    if not include_deletes:
+        out = out.filter(~F.col("`~deleted`"))
+    return out

@@ -43,13 +43,20 @@ class TableDef:
     placement: str = "default"
     template: Dict[str, Any] = field(default_factory=dict)
     df: Optional[DataFrame] = None  # pre-built DataFrame (overrides path)
+    # facades: same-named table served from another placement's data
+    # (DataStore.java:216-256) — placement → parquet location
+    facades: Dict[str, str] = field(default_factory=dict)
 
 
 class DataStore:
-    """Batch read/scan surface mirroring the reference DataStore API."""
+    """Batch read/scan surface mirroring the reference DataStore API.
 
-    def __init__(self, spark: SparkSession):
+    ``local_placement`` plays the datacenter role: when a table has a
+    facade for it, reads resolve to the facade's data."""
+
+    def __init__(self, spark: SparkSession, local_placement: str = "default"):
         self.spark = spark
+        self.local_placement = local_placement
         self._tables: Dict[str, TableDef] = {}
 
     # -- table admin --------------------------------------------------------
@@ -90,17 +97,27 @@ class DataStore:
 
     # -- reads ---------------------------------------------------------------
 
+    def create_facade(self, name: str, placement: str, path: str) -> None:
+        """Register a facade: reads from ``placement`` serve ``path``'s data
+        under the same table name (DataStore.java:216-256)."""
+        self.table_def(name).facades[placement] = path
+
     def read(self, name: str) -> DataFrame:
         """The table as a DataFrame with intrinsics + template stamped in."""
         t = self.table_def(name)
-        df = t.df if t.df is not None else self.spark.read.parquet(t.path)
+        placement = t.placement
+        if t.facades and self.local_placement in t.facades:
+            df = self.spark.read.parquet(t.facades[self.local_placement])
+            placement = self.local_placement
+        else:
+            df = t.df if t.df is not None else self.spark.read.parquet(t.path)
         key_col = F.col(f"`{t.key_column}`").cast(T.StringType())
         if "~id" not in df.columns:
             df = df.withColumn("~id", key_col)
         if "~table" not in df.columns:
             df = df.withColumn("~table", F.lit(t.name))
         if "~placement" not in df.columns:
-            df = df.withColumn("~placement", F.lit(t.placement))
+            df = df.withColumn("~placement", F.lit(placement))
         if "~deleted" not in df.columns:
             df = df.withColumn("~deleted", F.lit(False))
         # template fields become constant columns unless the doc defines them

@@ -328,13 +328,69 @@ class MegabusResolver:
         registry: SubscriptionRegistry,
         state_path: str,
         output_path: str,
+        retry_path: Optional[str] = None,
+        retry_delay_ms: int = 10_000,
+        orphan_grace_ms: int = 30_000,
+        clock=None,
     ):
         self.spark = spark
         self.registry = registry
         self.state = ResolvedStateStore(spark, state_path)
         self.output_path = output_path
+        self.retry_path = retry_path
+        self.retry_delay_ms = retry_delay_ms
+        self.orphan_grace_ms = orphan_grace_ms
+        import time as _time
+
+        self._clock = clock or (lambda: int(_time.time() * 1000))
+
+    def _split_missing(self, batch: DataFrame) -> DataFrame:
+        """Missing-ref handling (megabus resolver/MissingRefDelayProcessor
+        .java:25-57 + DefaultFanout orphan grace :221-229): refs to tables
+        the registry doesn't know yet are parked and re-injected after a
+        fixed delay; refs older than the grace window are dropped. Returns
+        the batch to process now (known refs + due retries)."""
+        if self.retry_path is None:
+            return batch
+        known = list(self.registry._tables)
+        now = self._clock()
+        ready = batch.filter(F.col("tbl").isin(known))
+        missing = batch.filter(~F.col("tbl").isin(known)).withColumn(
+            "retry_at", F.lit(now + self.retry_delay_ms)
+        ).withColumn("first_seen", F.lit(now))
+        # pull due retries back in; re-park the rest
+        import os as _os
+
+        if _os.path.exists(self.retry_path):
+            # materialize BEFORE rewriting the dir — `due` feeds the batch
+            # that is consumed after the overwrite
+            parked_pd = self.spark.read.parquet(self.retry_path).toPandas()
+            parked = self.spark.createDataFrame(
+                parked_pd, self.spark.read.parquet(self.retry_path).schema
+            ) if len(parked_pd) else None
+        else:
+            parked = None
+        if parked is not None:
+            due = parked.filter(
+                (F.col("retry_at") <= now)
+                & (F.col("tbl").isin(known))            # table appeared
+                & (F.col("first_seen") > now - self.orphan_grace_ms)
+            )
+            still_parked = parked.join(
+                due.select("tbl", "key", "change_id"), ["tbl", "key", "change_id"], "left_anti"
+            ).filter(F.col("first_seen") > now - self.orphan_grace_ms)
+            ready = ready.unionByName(due.drop("retry_at", "first_seen"))
+            new_parked = still_parked.unionByName(missing)
+        else:
+            new_parked = missing
+        new_parked.write.mode("overwrite").parquet(self.retry_path + "._tmp")
+        self.spark.read.parquet(self.retry_path + "._tmp").write.mode(
+            "overwrite"
+        ).parquet(self.retry_path)
+        return ready
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        batch = self._split_missing(batch)
         events = merge_batch(self.spark, self.state, batch)
         # redundant-event suppression (DefaultResolver.java:73-87)
         deliverable = events.filter(~F.col("is_redundant"))

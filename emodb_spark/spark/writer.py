@@ -1,0 +1,106 @@
+"""Write path: updateAll into the update log (SURVEY.md §2.1 `updateAll`,
+§3.2; sor-api DataStore.java:173-250, api/Update.java).
+
+An Update is (table, key, changeId, delta, tags, audit); the log is an
+append-only parquet dir (Delta-Lake table on a real cluster). Appends also
+emit update-refs — the databus stream input (UpdateRef {table, key,
+changeId, tags}, sor core/UpdateRef.java:17-31): the streaming layer reads
+the same directory as a file stream, so writing IS publishing.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Union
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..core.timeuuid import TimeUUIDGenerator
+from ..language import deltas as D
+from ..language.parser import parse_delta
+
+# full log schema: UPDATES_SCHEMA + audit (audit is stored, never folded)
+LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("tbl", T.StringType(), False),
+        T.StructField("key", T.StringType(), False),
+        T.StructField("change_id", T.StringType(), False),
+        T.StructField("delta", T.StringType(), False),
+        T.StructField("tags", T.ArrayType(T.StringType()), True),
+        T.StructField("audit", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+MAX_TAGS = 3          # DataStore.java:199-203
+MAX_TAG_LENGTH = 8
+
+
+@dataclass
+class Update:
+    table: str
+    key: str
+    delta: Union[str, D.Delta]
+    tags: Sequence[str] = ()
+    audit: Dict[str, str] = field(default_factory=dict)
+    change_id: Optional[str] = None  # assigned at write time if absent
+
+
+class UpdateLog:
+    """Append-only update log on a directory; the single source of truth."""
+
+    def __init__(self, spark: SparkSession, path: str, generator: Optional[TimeUUIDGenerator] = None):
+        self.spark = spark
+        self.path = path
+        self._gen = generator or TimeUUIDGenerator()
+
+    def update(self, table: str, key: str, delta, tags: Sequence[str] = (),
+               audit: Optional[Dict[str, str]] = None) -> str:
+        return self.update_all([Update(table, key, delta, tags, dict(audit or {}))])[0]
+
+    def update_all(self, updates: List[Update]) -> List[str]:
+        """Validate, assign time-UUIDs, append. Returns the change ids."""
+        rows = []
+        ids = []
+        for u in updates:
+            tags = list(u.tags or ())
+            if len(tags) > MAX_TAGS:
+                raise ValueError(f"at most {MAX_TAGS} tags per update")
+            for t in tags:
+                if len(t) > MAX_TAG_LENGTH:
+                    raise ValueError(f"tag too long (>{MAX_TAG_LENGTH}): {t!r}")
+            delta = u.delta if isinstance(u.delta, str) else str(u.delta)
+            parse_delta(delta)  # validate eagerly (REST layer parity)
+            cid = u.change_id or self._gen.next()
+            ids.append(cid)
+            rows.append((u.table, str(u.key), cid, delta, tags, dict(u.audit or {})))
+        (
+            self.spark.createDataFrame(rows, LOG_SCHEMA)
+            .write.mode("append")
+            .partitionBy("tbl")
+            .parquet(self.path)
+        )
+        return ids
+
+    def read(self) -> DataFrame:
+        """The log as a batch DataFrame (UPDATES_SCHEMA + audit)."""
+        return self.spark.read.schema(LOG_SCHEMA).parquet(self.path)
+
+    def read_stream(self) -> DataFrame:
+        """The log as a Structured Streaming source — the databus input."""
+        return self.spark.readStream.schema(LOG_SCHEMA).parquet(self.path)
+
+    def refs(self) -> DataFrame:
+        """UpdateRef view: (tbl, key, change_id, tags)."""
+        return self.read().select("tbl", "key", "change_id", "tags")
+
+    def purge(self, table: str) -> None:
+        """Drop one table's updates (DataStore purge): rewrite without it."""
+        remaining = self.read().filter(F.col("tbl") != table)
+        tmp = self.path + "._tmp"
+        remaining.write.mode("overwrite").partitionBy("tbl").parquet(tmp)
+        self.spark.read.schema(LOG_SCHEMA).parquet(tmp).write.mode(
+            "overwrite"
+        ).partitionBy("tbl").parquet(self.path)

@@ -1,0 +1,76 @@
+"""Compaction: the FCT-cutoff checkpoint must be transparent — resolving
+base+tail gives bit-identical results to folding the full log (including
+the signature chain), per DistributedCompactor semantics."""
+
+import pytest
+
+from emodb_spark.core.timeuuid import TimeUUIDGenerator
+from emodb_spark.spark.compaction import compact, resolve_with_base
+from emodb_spark.spark.resolve_ops import UPDATES_SCHEMA, resolve
+
+
+@pytest.fixture(scope="module")
+def log(spark):
+    gen = TimeUUIDGenerator(node=11, start_millis=1700000000000)
+    rows = []
+    for i in range(40):
+        key = f"k{i:02d}"
+        rows.append(("t1", key, gen.next(), f'{{"n":{i},"s":"NEW"}}', []))
+        rows.append(("t1", key, gen.next(), '{..,"s":"MID"}', []))
+    # ~40ms later: the live tail
+    gen2 = TimeUUIDGenerator(node=11, start_millis=1700000600000)
+    for i in range(40):
+        key = f"k{i:02d}"
+        if i % 2 == 0:
+            rows.append(("t1", key, gen2.next(), '{..,"s":"LATE"}', ["tag1"]))
+        if i % 5 == 0:
+            rows.append(("t1", key, gen2.next(), "~", []))
+    df = spark.createDataFrame(rows, UPDATES_SCHEMA)
+    return df.cache()
+
+
+CUTOFF = 1700000300000  # between the two bursts
+
+
+def _key(r):
+    return (r["~table"], r["~id"])
+
+
+def test_compaction_is_transparent(spark, log):
+    full = {_key(r): r for r in resolve(log).collect()}
+    base, tail = compact(log, CUTOFF)
+    merged = {_key(r): r for r in resolve_with_base(base, tail).collect()}
+    assert set(full) == set(merged)
+    for k in full:
+        f, m = full[k], merged[k]
+        assert m["content"] == f["content"], k
+        assert m["~version"] == f["~version"], k
+        assert m["~signature"] == f["~signature"], k  # exact chain parity
+        assert m["~deleted"] == f["~deleted"], k
+        assert m["~firstUpdateAt"] == f["~firstUpdateAt"], k
+        assert m["~lastUpdateAt"] == f["~lastUpdateAt"], k
+        assert m["~lastMutateAt"] == f["~lastMutateAt"], k
+
+
+def test_compaction_splits_log(spark, log):
+    base, tail = compact(log, CUTOFF)
+    assert base.count() == 40            # every key had old deltas
+    n_tail = tail.count()
+    assert n_tail == log.count() - 80    # two old deltas per key compacted
+    # base records carry the compacted count + cutoff change id
+    b = base.collect()[0]
+    assert b["compacted_count"] == 2
+    assert b["cutoff_change_id"] is not None
+
+
+def test_keys_only_in_tail(spark, log):
+    """A key created after the cutoff resolves from tail alone."""
+    gen = TimeUUIDGenerator(node=12, start_millis=1700000700000)
+    extra = spark.createDataFrame(
+        [("t1", "fresh", gen.next(), '{"v":1}', [])], UPDATES_SCHEMA
+    )
+    full_log = log.unionByName(extra)
+    base, tail = compact(full_log, CUTOFF)
+    merged = {r["~id"]: r for r in resolve_with_base(base, tail).collect()}
+    assert merged["fresh"]["~version"] == 1
+    assert merged["fresh"]["content"] == '{"v": 1}'

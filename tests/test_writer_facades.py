@@ -1,0 +1,106 @@
+"""Write path (updateAll → log → resolve), facades, missing-ref retry."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from emodb_spark.core.timeuuid import TimeUUIDGenerator
+from emodb_spark.spark.datastore import DataStore
+from emodb_spark.spark.resolve_ops import resolve
+from emodb_spark.spark.streaming.databus import MegabusResolver, SubscriptionRegistry
+from emodb_spark.spark.writer import Update, UpdateLog
+
+
+def test_update_log_roundtrip(spark, tmp_path):
+    log = UpdateLog(spark, str(tmp_path / "log"),
+                    TimeUUIDGenerator(node=21, start_millis=1700000000000))
+    log.update("review:tc", "k1", '{"rating":5}', audit={"comment": "initial"})
+    log.update("review:tc", "k1", '{..,"status":"APPROVED"}', tags=["etl"])
+    log.update("review:tc", "k2", '{"rating":1}')
+
+    df = log.read()
+    assert df.count() == 3
+    assert df.filter(F.col("tbl") == "review:tc").count() == 3
+    # audit is stored
+    audits = {r["change_id"]: r["audit"] for r in df.collect()}
+    assert any(a.get("comment") == "initial" for a in audits.values())
+
+    resolved = {r["~id"]: r for r in resolve(log.refs().join(
+        df.select("change_id", "delta"), "change_id").select(
+        "tbl", "key", "change_id", "delta", "tags")).collect()}
+    assert json.loads(resolved["k1"]["content"]) == {"rating": 5, "status": "APPROVED"}
+    assert resolved["k1"]["~version"] == 2
+
+
+def test_update_validation(spark, tmp_path):
+    log = UpdateLog(spark, str(tmp_path / "log"))
+    with pytest.raises(ValueError):
+        log.update("t", "k", '{..,"broken":}')  # parse error
+    with pytest.raises(ValueError):
+        log.update("t", "k", "..", tags=["a", "b", "c", "d"])  # >3 tags
+    with pytest.raises(ValueError):
+        log.update("t", "k", "..", tags=["waytoolongtag"])  # >8 chars
+
+
+def test_purge(spark, tmp_path):
+    log = UpdateLog(spark, str(tmp_path / "log"))
+    log.update("t1", "a", "1")
+    log.update("t2", "b", "2")
+    log.purge("t1")
+    left = log.read().select("tbl").distinct().collect()
+    assert [r["tbl"] for r in left] == ["t2"]
+
+
+def test_facade_read(spark, tmp_path):
+    us = str(tmp_path / "us")
+    eu = str(tmp_path / "eu")
+    spark.createDataFrame([(1, "us-data")], "id long, v string").write.parquet(us)
+    spark.createDataFrame([(1, "eu-data"), (2, "eu-2")], "id long, v string").write.parquet(eu)
+
+    ds_us = DataStore(spark, local_placement="us")
+    ds_us.create_table("reviews", path=us, key_column="id", placement="us")
+    ds_us.create_facade("reviews", "eu", eu)
+    assert ds_us.get("reviews", "1")["v"] == "us-data"
+
+    ds_eu = DataStore(spark, local_placement="eu")
+    ds_eu.create_table("reviews", path=us, key_column="id", placement="us")
+    ds_eu.create_facade("reviews", "eu", eu)
+    row = ds_eu.get("reviews", "1")
+    assert row["v"] == "eu-data"
+    assert row["~placement"] == "eu"
+    assert ds_eu.scan("reviews").count() == 2
+
+
+def test_missing_ref_retry(spark, tmp_path):
+    """Refs to unknown tables park, then fold once the table appears."""
+    from emodb_spark.spark.resolve_ops import UPDATES_SCHEMA
+
+    clock = {"now": 1_000_000}
+    reg = SubscriptionRegistry()
+    reg.put_table("known", template={})
+    reg.subscribe("everything", "alwaysTrue()")
+    resolver = MegabusResolver(
+        spark, reg,
+        str(tmp_path / "state"), str(tmp_path / "out"),
+        retry_path=str(tmp_path / "retry"),
+        retry_delay_ms=5_000, orphan_grace_ms=60_000,
+        clock=lambda: clock["now"],
+    )
+    gen = TimeUUIDGenerator(node=22, start_millis=1700000000000)
+    b1 = spark.createDataFrame(
+        [("known", "k1", gen.next(), '{"a":1}', []),
+         ("latecomer", "x1", gen.next(), '{"b":2}', [])],
+        UPDATES_SCHEMA,
+    )
+    resolver.process_batch(b1, 0)
+    st = {r["key"] for r in resolver.state.read().collect()}
+    assert st == {"k1"}  # latecomer parked, not folded
+
+    # table registered + delay elapsed → next batch folds the parked ref
+    reg.put_table("latecomer", template={})
+    clock["now"] += 6_000
+    b2 = spark.createDataFrame([("known", "k2", gen.next(), '{"a":3}', [])], UPDATES_SCHEMA)
+    resolver.process_batch(b2, 1)
+    st = {r["key"] for r in resolver.state.read().collect()}
+    assert st == {"k1", "k2", "x1"}
