@@ -702,6 +702,34 @@ WHERE alpha_ratio >= 0.78
 """
 
 
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregation (extension beyond the
+    reference, which has no windows — SURVEY §2.6 last row): per-hour
+    per-type counts and decimal-exact value sums over the event stream.
+    The same plan runs under Structured Streaming with a watermark."""
+    ev = _read(spark, sf_dir, "events")  # ts is int64 nanos
+    hour_bucket = F.expr("ts div 3600000000000")  # integer division — exact
+    return (
+        ev.groupBy(hour_bucket.alias("hour_bucket"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+    )
+
+
+ORACLE_EVENTS_WINDOWED = """
+SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
 # -- rows-only queries (no SQL-expressible oracle) ---------------------------
 
 
@@ -752,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blob_ranged_read": q_blob_ranged_read,
         "lang_distribution": q_lang_distribution,
         "quality_docs_join": q_quality_docs_join,
+        "events_windowed": q_events_windowed,
         "scan_condition": q_scan_condition,
         "scan_condition_complex": q_scan_condition_complex,
         "multi_get": q_multi_get,
@@ -785,6 +814,7 @@ def oracle_sql() -> dict[str, str]:
         "blob_ranged_read": ORACLE_BLOB_RANGED_READ,
         "lang_distribution": _oracle_lang_distribution(),
         "quality_docs_join": ORACLE_QUALITY_DOCS_JOIN,
+        "events_windowed": ORACLE_EVENTS_WINDOWED,
         "scan_condition": ORACLE_SCAN_CONDITION,
         "scan_condition_complex": ORACLE_SCAN_CONDITION_COMPLEX,
         "multi_get": ORACLE_MULTI_GET,

@@ -52,8 +52,12 @@ def main() -> None:
     spark = get_spark(app_name="emodb_spark_bench")
     qs = entrymod.queries()
 
-    # warm the JVM/session with a trivial job so q1 doesn't pay startup
-    spark.range(1000).count()
+    # warm the JVM (shuffle codegen) and the Python worker pool so the
+    # first timed query doesn't pay one-time JIT/startup costs
+    warm = spark.range(100_000).repartition(8, "id")
+    warm.mapInPandas(lambda it: it, "id long").write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings = {}
     total = 0.0

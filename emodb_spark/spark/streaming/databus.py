@@ -423,3 +423,113 @@ class MegabusResolver:
             .trigger(**(trigger or {"availableNow": True}))
             .start()
         )
+
+    def replay(self, updates_log: DataFrame, subscription: str, since_millis: int) -> int:
+        """replaySince (DefaultDatabus.java:834-899): re-inject historical
+        events (≤ the log's retention — 2 days in the reference) for ONE
+        subscription. Re-resolves the selected refs against current state
+        and appends them to the subscription's sink; returns event count.
+
+        Spark framing: replay = re-reading the shared log from a timestamp
+        — no per-subscription event copies exist to restore."""
+        from ..resolve_ops import change_id_millis, resolve_changes
+
+        sub = self.registry.get(subscription)
+        window = updates_log.filter(change_id_millis(F.col("change_id")) >= since_millis)
+        events = resolve_changes(window.select("tbl", "key", "change_id", "delta", "tags"))
+        events = events.select(
+            F.col("`~table`").alias("tbl"),
+            F.col("`~id`").alias("key"),
+            "change_id",
+            "is_redundant",
+            "content",
+            F.col("`~deleted`").alias("deleted"),
+            F.col("`~version`").alias("version"),
+            "tags",
+        ).filter(~F.col("is_redundant"))
+        matched = events.filter(self.registry.match_column(sub))
+        n = matched.count()
+        if n:
+            (
+                matched.withColumn("subscription", F.lit(sub.name))
+                .write.mode("append")
+                .parquet(os.path.join(self.output_path, f"sub={sub.name}"))
+            )
+        return n
+
+
+class DatabusPoller:
+    """poll/ack/renew/peek parity over a subscription's event sink
+    (DefaultDatabus.peekOrPoll :478-653 + DefaultClaimSet): wraps the
+    per-subscription parquet sink with the claims table from QueueService.
+    Native Spark consumers should read the sink as a stream instead —
+    checkpointed offsets supersede claim/ack."""
+
+    def __init__(self, spark: SparkSession, output_path: str, claims_path: str, clock=None):
+        from .queues import QueueService
+
+        self.spark = spark
+        self.output_path = output_path
+        self._q = QueueService(spark, claims_path, clock=clock)
+
+    def _events(self, subscription: str) -> DataFrame:
+        path = os.path.join(self.output_path, f"sub={subscription}")
+        if not os.path.exists(path):
+            from .queues import MESSAGES_SCHEMA
+
+            return self.spark.createDataFrame([], MESSAGES_SCHEMA)
+        df = self.spark.read.parquet(path)
+        payload = F.to_json(F.struct("tbl", "key", "content", "deleted", "version"))
+        return df.select(
+            F.lit(subscription).alias("queue"),
+            F.col("change_id").alias("msg_id"),
+            payload.alias("payload"),
+        )
+
+    def poll(self, subscription: str, claim_ttl_s: int = 30, limit: int = 10):
+        """Claim up to ``limit`` resolved events (defaults mirror the
+        reference: claimTtl 30 s, limit 10)."""
+        import json as _json
+
+        events = self._events(subscription)
+        # visible = events minus active claims
+        now = self._q._clock()
+        from .queues import CLAIMS_SCHEMA
+
+        active = self._q._read(self._q._claims_path(), CLAIMS_SCHEMA).filter(
+            (F.col("queue") == subscription) & (F.col("claimed_until") > F.lit(now))
+        )
+        visible = events.join(active.select("queue", "msg_id"), ["queue", "msg_id"], "left_anti")
+        rows = visible.orderBy("msg_id").limit(limit).collect()
+        if rows:
+            until = now + claim_ttl_s * 1000
+            self.spark.createDataFrame(
+                [(subscription, r["msg_id"], until) for r in rows], CLAIMS_SCHEMA
+            ).write.mode("append").parquet(self._q._claims_path())
+        return [
+            {"id": r["msg_id"], "event": _json.loads(r["payload"])} for r in rows
+        ]
+
+    def acknowledge(self, subscription: str, event_ids) -> None:
+        """Ack = delete from the sink (event consumed)."""
+        path = os.path.join(self.output_path, f"sub={subscription}")
+        df = self.spark.read.parquet(path)
+        remaining = df.filter(~F.col("change_id").isin(list(event_ids)))
+        tmp = path + "._tmp"
+        remaining.write.mode("overwrite").parquet(tmp)
+        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+
+    def renew(self, subscription: str, event_ids, claim_ttl_s: int = 30) -> None:
+        self._q.renew(subscription, list(event_ids), claim_ttl_s)
+
+    def peek(self, subscription: str, limit: int = 10):
+        import json as _json
+
+        rows = self._events(subscription).orderBy("msg_id").limit(limit).collect()
+        return [{"id": r["msg_id"], "event": _json.loads(r["payload"])} for r in rows]
+
+    def event_count(self, subscription: str, up_to: Optional[int] = None) -> int:
+        df = self._events(subscription)
+        if up_to is not None:
+            return df.limit(up_to + 1).count()
+        return df.count()

@@ -1,0 +1,76 @@
+"""Databus poll/ack/peek/replay parity over subscription sinks."""
+
+import pytest
+
+from emodb_spark.core.timeuuid import TimeUUIDGenerator
+from emodb_spark.spark.resolve_ops import UPDATES_SCHEMA
+from emodb_spark.spark.streaming.databus import (
+    DatabusPoller,
+    MegabusResolver,
+    SubscriptionRegistry,
+)
+
+
+@pytest.fixture()
+def wired(spark, tmp_path):
+    reg = SubscriptionRegistry()
+    reg.put_table("review:tc", template={"type": "review"})
+    reg.subscribe("reviews", '{..,"type":"review"}')
+    resolver = MegabusResolver(
+        spark, reg, str(tmp_path / "state"), str(tmp_path / "out")
+    )
+    gen = TimeUUIDGenerator(node=31, start_millis=1730000000000)
+    ids = [gen.next() for _ in range(4)]
+    batch = spark.createDataFrame(
+        [
+            ("review:tc", "r1", ids[0], '{"rating":5}', []),
+            ("review:tc", "r2", ids[1], '{"rating":3}', []),
+            ("review:tc", "r3", ids[2], '{"rating":1}', []),
+        ],
+        UPDATES_SCHEMA,
+    )
+    resolver.process_batch(batch, 0)
+    clock = {"now": 1_000_000}
+    poller = DatabusPoller(
+        spark, str(tmp_path / "out"), str(tmp_path / "claims"),
+        clock=lambda: clock["now"],
+    )
+    return reg, resolver, poller, clock, batch, ids
+
+
+def test_poll_claim_ack_cycle(spark, wired):
+    reg, resolver, poller, clock, batch, ids = wired
+    assert poller.event_count("reviews") == 3
+    # peek is non-destructive
+    assert len(poller.peek("reviews", limit=2)) == 2
+    assert poller.event_count("reviews") == 3
+
+    got = poller.poll("reviews", claim_ttl_s=30, limit=2)
+    assert len(got) == 2
+    assert got[0]["event"]["tbl"] == "review:tc"
+    # claimed events invisible to the next poll
+    rest = poller.poll("reviews", claim_ttl_s=30, limit=10)
+    assert len(rest) == 1
+
+    # unacked claims expire → redelivery (at-least-once)
+    clock["now"] += 31_000
+    again = poller.poll("reviews", limit=10)
+    assert len(again) == 3
+
+    poller.acknowledge("reviews", [e["id"] for e in again])
+    clock["now"] += 60_000
+    assert poller.poll("reviews", limit=10) == []
+
+
+def test_replay_since(spark, wired):
+    reg, resolver, poller, clock, batch, ids = wired
+    before = poller.event_count("reviews")
+    # replay the full log window into the subscription sink
+    n = resolver.replay(batch, "reviews", since_millis=1730000000000)
+    assert n == 3
+    assert poller.event_count("reviews") == before + 3
+    # replay from a later timestamp picks up only newer changes
+    from emodb_spark.core.timeuuid import uuid_timestamp_millis
+
+    n2 = resolver.replay(batch, "reviews", since_millis=uuid_timestamp_millis(ids[2]))
+    assert n2 == 1

@@ -1,0 +1,92 @@
+"""Physical-plan shape assertions: the operators must produce the plans
+we designed for scale — broadcast joins for small sides, pushdown filters,
+no cartesian products in LSH candidate generation."""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_multi_get_broadcasts_keys(spark, sf_dir):
+    from emodb_spark.spark.datastore import DataStore
+
+    ds = DataStore(spark)
+    ds.create_table("orders", path=f"{sf_dir}/orders.parquet", key_column="o_orderkey")
+    plan = plan_of(ds.multi_get("orders", [str(k) for k in range(50)]))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+
+
+def test_revenue_join_broadcasts_dim(spark, sf_dir):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.q_revenue_by_nation(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan  # nation is explicitly broadcast
+
+
+def test_condition_scan_pushes_filters(spark, sf_dir):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.q_scan_condition(spark, sf_dir))
+    flat = plan.replace(" ", "")
+    assert "PushedFilters:" in plan
+    assert "EqualTo(o_orderstatus,F)" in flat
+    assert "GreaterThan(o_totalprice,100000.0)" in flat
+
+
+def test_scan_projection_prunes_columns(spark, sf_dir):
+    """A 2-column projection must not read all columns (ReadSchema check)."""
+    from emodb_spark.spark.datastore import DataStore
+
+    ds = DataStore(spark)
+    ds.create_table("lineitem", path=f"{sf_dir}/lineitem.parquet", key_column="l_orderkey")
+    df = ds.read("lineitem").select("l_orderkey", "l_quantity")
+    plan = plan_of(df)
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_quantity" in rs
+    assert "l_extendedprice" not in rs  # pruned
+    assert "l_shipdate" not in rs
+
+
+def test_lsh_candidates_have_no_cartesian(spark, sf_dir):
+    from emodb_spark.pipeline.dedup import minhash_lsh_candidates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(minhash_lsh_candidates(docs, num_hashes=16, bands=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pricing_summary_partial_aggregation(spark, sf_dir):
+    """groupBy must map-side combine (partial HashAggregate before the
+    exchange) — the shuffle carries 6 groups, not 600k rows."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.q_pricing_summary(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "Exchange" in plan
+
+
+def test_fold_shuffles_once(spark):
+    """The resolve fold must shuffle exactly once (on tbl/key)."""
+    from emodb_spark.core.timeuuid import TimeUUIDGenerator
+    from emodb_spark.spark.resolve_ops import UPDATES_SCHEMA, resolve
+
+    gen = TimeUUIDGenerator(node=41, start_millis=1700000000000)
+    df = spark.createDataFrame(
+        [("t", f"k{i}", gen.next(), "1", []) for i in range(10)], UPDATES_SCHEMA
+    )
+    plan = plan_of(resolve(df))
+    # one Exchange for the repartition; no second shuffle, sort is
+    # partition-local (global=false)
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    assert "(3) Sort" in plan and "false, 0" in plan

@@ -1,0 +1,130 @@
+"""Property tests: parse(str(x)) == x for generated condition/delta ASTs,
+and evaluator total-ness over generated JSON values."""
+
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from emodb_spark.language import conditions as C
+from emodb_spark.language import deltas as D
+from emodb_spark.language import eval_condition, eval_delta, parse_condition, parse_delta
+from emodb_spark.language.values import UNDEFINED
+
+# JSON scalars with sane floats (no NaN/Inf — rejected by the model)
+scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**53), max_value=2**53),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(max_size=20),
+)
+
+json_values = st.recursive(
+    scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(st.text(max_size=8), children, max_size=4),
+    ),
+    max_leaves=10,
+)
+
+
+def conditions_strategy():
+    leaves = st.one_of(
+        st.just(C.always_true()),
+        st.just(C.always_false()),
+        scalars.map(C.equal),
+        st.lists(scalars, min_size=1, max_size=3).map(C.in_),
+        st.sampled_from(list(C.IS_STATES)).map(C.is_),
+        st.tuples(
+            st.sampled_from(["gt", "ge", "lt", "le"]),
+            st.one_of(st.integers(-1000, 1000), st.text(max_size=8)),
+        ).map(lambda t: C.ComparisonCondition(*t)),
+        st.lists(scalars, max_size=3).map(C.contains_any),
+        st.lists(scalars, max_size=3).map(C.contains_all),
+        st.text(max_size=10).map(lambda s: C.like(s.replace("\\", ""))),
+    )
+    return st.recursive(
+        leaves,
+        lambda children: st.one_of(
+            st.lists(children, min_size=1, max_size=3).map(C.and_),
+            st.lists(children, min_size=1, max_size=3).map(C.or_),
+            children.map(C.not_),
+            st.dictionaries(st.text(max_size=6), children, min_size=1, max_size=3).map(
+                C.MapCondition
+            ),
+        ),
+        max_leaves=8,
+    )
+
+
+def deltas_strategy():
+    leaves = st.one_of(
+        st.just(D.delete()),
+        st.just(D.noop()),
+        json_values.map(D.literal),
+    )
+
+    def build_set(args):
+        added, removed, remove_rest, die = args
+        b = D.set_builder().add_all(added).remove_all(removed)
+        b.remove_rest(remove_rest).delete_if_empty(die)
+        return b.build()
+
+    sets = st.tuples(
+        st.lists(scalars, max_size=3),
+        st.lists(scalars, max_size=2),
+        st.booleans(),
+        st.booleans(),
+    ).map(build_set)
+
+    def extend(children):
+        def build_map(args):
+            entries, remove_rest, die = args
+            b = D.map_builder().remove_rest(remove_rest).delete_if_empty(die)
+            for k, v in entries.items():
+                b.update(k, v)
+            return b.build()
+
+        maps = st.tuples(
+            st.dictionaries(st.text(max_size=6), children, min_size=1, max_size=3),
+            st.booleans(),
+            st.booleans(),
+        ).map(build_map)
+        conds = st.tuples(conditions_strategy(), children, children).map(
+            lambda t: D.conditional(*t)
+        )
+        return st.one_of(maps, conds)
+
+    return st.recursive(st.one_of(leaves, sets), extend, max_leaves=6)
+
+
+@settings(max_examples=300, deadline=None)
+@given(conditions_strategy())
+def test_condition_roundtrip(cond):
+    assert parse_condition(str(cond)) == cond
+
+
+@settings(max_examples=300, deadline=None)
+@given(deltas_strategy())
+def test_delta_roundtrip(delta):
+    assert parse_delta(str(delta)) == delta
+
+
+@settings(max_examples=200, deadline=None)
+@given(conditions_strategy(), st.one_of(json_values, st.just(UNDEFINED)))
+def test_condition_eval_total(cond, value):
+    """The evaluator never raises on any (condition, json) pair."""
+    result = eval_condition(cond, value, None)
+    assert isinstance(result, bool)
+
+
+@settings(max_examples=200, deadline=None)
+@given(deltas_strategy(), st.one_of(json_values, st.just(UNDEFINED)))
+def test_delta_eval_total(delta, value):
+    """The delta evaluator always yields a JSON value or UNDEFINED,
+    and the result re-serializes."""
+    result = eval_delta(delta, value, None)
+    if result is not UNDEFINED:
+        json.dumps(result)  # must be valid JSON
