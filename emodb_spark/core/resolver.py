@@ -31,6 +31,8 @@ from typing import Any, Iterable, List, Optional, Sequence, Set, Tuple
 from ..language import deltas as D
 from ..language.ceval import Intrinsics
 from ..language.deval import eval_delta
+from hashlib import md5 as _md5
+
 from ..language.hashes import SIGNATURE_ZERO, signature_step
 from ..language.parser import parse_delta
 from ..language.values import UNDEFINED, json_equals
@@ -61,7 +63,7 @@ class Resolver:
         self._placement = placement
         self._content: Any = UNDEFINED
         self._version = 0
-        self._signature = SIGNATURE_ZERO
+        self._sig_bytes = b"\x00" * 16
         self._first_update_at: Optional[int] = None
         self._last_update_at: Optional[int] = None
         self._last_mutate_at: Optional[int] = None
@@ -84,11 +86,15 @@ class Resolver:
         sor core/DefaultResolver.java:46-65 constructor-from-compaction)."""
         self._content = content if content_defined else UNDEFINED
         self._version = int(version)
-        self._signature = signature
+        self._sig_bytes = bytes.fromhex(signature)
         self._first_update_at = _parse_iso_millis(first_update_at)
         self._last_update_at = _parse_iso_millis(last_update_at)
         self._last_mutate_at = _parse_iso_millis(last_mutate_at)
         self._last_tags = tuple(sorted(last_tags or ()))
+
+    @property
+    def _signature(self) -> str:
+        return self._sig_bytes.hex()
 
     def _intrinsics(self) -> "_LazyIntrinsics":
         # lazy view: ISO timestamp rendering only happens if a conditional
@@ -109,11 +115,24 @@ class Resolver:
         if redundant:
             self._redundant.add(change_id)
 
-        millis = uuid_timestamp_millis(change_id)
+        # hot path: decode timestamp + raw bytes straight from the hex
+        # string (a uuid.UUID() round-trip per delta costs ~25% of the fold)
+        try:
+            uuid_hex = change_id.replace("-", "")
+            ticks = int(change_id[15:18] + change_id[9:13] + change_id[0:8], 16)
+            uuid_bytes = bytes.fromhex(uuid_hex)
+        except ValueError:
+            import uuid as _uuid
+
+            u = _uuid.UUID(change_id)
+            ticks = u.time
+            uuid_bytes = u.bytes
+        millis = (ticks - 0x01B21DD213814000) // 10_000
+
         self._content = updated
         self._last_tags = tags_t
         self._version += 1
-        self._signature = signature_step(self._signature, change_id)
+        self._sig_bytes = _md5(self._sig_bytes + uuid_bytes).digest()
         if self._first_update_at is None:
             self._first_update_at = millis
         self._last_update_at = millis

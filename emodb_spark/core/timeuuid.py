@@ -40,9 +40,13 @@ def uuid_sort_key(u) -> Tuple[int, bytes]:
 
 def iso8601(millis: int) -> str:
     """Render epoch millis the way the reference renders intrinsic
-    timestamps: ISO-8601 with milliseconds and a literal Z."""
-    dt = datetime.fromtimestamp(millis / 1000.0, tz=timezone.utc)
-    return dt.strftime("%Y-%m-%dT%H:%M:%S.") + f"{millis % 1000:03d}Z"
+    timestamps: ISO-8601 with milliseconds and a literal Z.
+    (f-string assembly — strftime costs ~2× and shows up in fold profiles)"""
+    dt = datetime.fromtimestamp(millis // 1000, tz=timezone.utc)
+    return (
+        f"{dt.year:04d}-{dt.month:02d}-{dt.day:02d}"
+        f"T{dt.hour:02d}:{dt.minute:02d}:{dt.second:02d}.{millis % 1000:03d}Z"
+    )
 
 
 class TimeUUIDGenerator:

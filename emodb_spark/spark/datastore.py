@@ -141,17 +141,39 @@ class DataStore:
         return rows[0].asDict(recursive=True) if rows else None
 
     def multi_get(
-        self, name: str, keys: Sequence[str], broadcast_threshold: int = 100_000
+        self, name: str, keys: Sequence[str], isin_threshold: int = 1000,
+        broadcast_threshold: int = 100_000
     ) -> DataFrame:
-        """Batch point read (DataStore.java:161-167): left-semi join against
-        the key list; broadcast when small."""
+        """Batch point read (DataStore.java:161-167).
+
+        Small key lists compile to an IN predicate on the table's NATIVE
+        key column (casting the keys, not the column) so the filter pushes
+        into the parquet scan; large lists fall back to a broadcast (or
+        shuffled) left-semi join on the string coordinate."""
+        t = self.table_def(name)
         df = self.read(name)
+        if len(keys) <= isin_threshold and t.key_column != "~id":
+            native_keys = self._cast_keys(df, t.key_column, keys)
+            if native_keys is not None:
+                return df.filter(F.col(f"`{t.key_column}`").isin(native_keys))
         keys_df = self.spark.createDataFrame(
             [(str(k),) for k in keys], T.StructType([T.StructField("~id", T.StringType(), False)])
         )
         if len(keys) <= broadcast_threshold:
             keys_df = F.broadcast(keys_df)
         return df.join(keys_df, on="~id", how="left_semi")
+
+    @staticmethod
+    def _cast_keys(df: DataFrame, key_column: str, keys: Sequence[str]):
+        dt = dict((f.name, f.dataType) for f in df.schema.fields).get(key_column)
+        try:
+            if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+                return [int(k) for k in keys]
+            if isinstance(dt, T.StringType):
+                return [str(k) for k in keys]
+        except (TypeError, ValueError):
+            return None
+        return None
 
     def scan(
         self,

@@ -97,6 +97,44 @@ def _fold_rows(tbl: str, key: str, group: pd.DataFrame, presorted: bool = True) 
     }
 
 
+def _fold_body_lists(body: pd.DataFrame) -> pd.DataFrame:
+    """Fold a (tbl,key)-sorted frame by walking plain Python lists — rows
+    are contiguous per document, so no pandas groupby machinery (whose
+    per-group slicing costs ~2× the fold itself on 3-delta documents)."""
+    from ..core.resolver import Resolver
+    from ..language.values import UNDEFINED
+
+    tbls = body["tbl"].tolist()
+    keys = body["key"].tolist()
+    cids = body["change_id"].tolist()
+    deltas = body["delta"].tolist()
+    tags = body["tags"].tolist()
+    rows = []
+    i, n = 0, len(tbls)
+    while i < n:
+        tbl, key = tbls[i], keys[i]
+        resolver = Resolver(tbl, key)
+        while i < n and tbls[i] == tbl and keys[i] == key:
+            tg = tags[i]
+            resolver.update(cids[i], deltas[i], list(tg) if tg is not None else ())
+            i += 1
+        r = resolver.resolved()
+        rows.append(
+            (
+                tbl,
+                key,
+                None if r.content is UNDEFINED else json.dumps(r.content),
+                r.version,
+                r.signature,
+                r.deleted,
+                r.first_update_at,
+                r.last_update_at,
+                r.last_mutate_at,
+            )
+        )
+    return pd.DataFrame(rows, columns=[f.name for f in RESOLVED_SCHEMA.fields])
+
+
 def _fold_partition(batches):
     """mapInPandas kernel over a (tbl,key)-sorted partition.
 
@@ -105,7 +143,6 @@ def _fold_partition(batches):
     Processing whole partitions (not one tiny pandas frame per document,
     as applyInPandas would) keeps the per-call overhead amortized across
     thousands of documents: ~10× faster on short per-key logs."""
-    cols = [f.name for f in RESOLVED_SCHEMA.fields]
     carry = None
     for pdf in batches:
         if carry is not None:
@@ -119,17 +156,9 @@ def _fold_partition(batches):
         carry = pdf[tail_mask]
         body = pdf[~tail_mask]
         if not body.empty:
-            rows = [
-                _fold_rows(tbl, key, g)
-                for (tbl, key), g in body.groupby(["tbl", "key"], sort=False)
-            ]
-            yield pd.DataFrame(rows, columns=cols)
+            yield _fold_body_lists(body)
     if carry is not None and not carry.empty:
-        rows = [
-            _fold_rows(tbl, key, g)
-            for (tbl, key), g in carry.groupby(["tbl", "key"], sort=False)
-        ]
-        yield pd.DataFrame(rows, columns=cols)
+        yield _fold_body_lists(carry)
 
 
 def _presort(updates: DataFrame) -> DataFrame:

@@ -1,0 +1,92 @@
+"""End-to-end workflow (the reference's quality/integration tier, SURVEY §5):
+write deltas through the public API → resolve → scan with conditions →
+timeline → stash export → read back. Schemaless documents throughout."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from emodb_spark.core.timeuuid import TimeUUIDGenerator
+from emodb_spark.language import parse_condition
+from emodb_spark.spark.compiler import condition_udf
+from emodb_spark.spark.resolve_ops import resolve, timeline
+from emodb_spark.spark.writer import Update, UpdateLog
+
+
+@pytest.fixture()
+def review_log(spark, tmp_path):
+    log = UpdateLog(spark, str(tmp_path / "log"),
+                    TimeUUIDGenerator(node=77, start_millis=1740000000000))
+    # the docs walkthrough: submit → moderate → feature, plus noise docs
+    log.update_all([
+        Update("review:tc", "demo1",
+               '{"author":"Bob","title":"Best Ever!","rating":5,"status":"SUBMITTED"}'),
+        Update("review:tc", "demo2",
+               '{"author":"Ann","title":"Meh","rating":2,"status":"SUBMITTED"}'),
+        Update("review:tc", "demo3",
+               '{"author":"Cat","title":"Broken","rating":1,"status":"SUBMITTED"}'),
+    ])
+    log.update("review:tc", "demo1", '{..,"status":"APPROVED","codes":(..,501,789)}')
+    log.update("review:tc", "demo2", '{..,"status":"REJECTED"}')
+    log.update("review:tc", "demo1",
+               'if {..,"status":"APPROVED","rating":gt(3)} then {..,"featured":true} end')
+    log.update("review:tc", "demo3", "~", audit={"comment": "spam"})
+    return log
+
+
+def test_full_workflow(spark, tmp_path, review_log):
+    log = review_log
+    resolved = resolve(
+        log.read().select("tbl", "key", "change_id", "delta", "tags")
+    ).cache()
+
+    docs = {r["~id"]: r for r in resolved.collect()}
+    assert json.loads(docs["demo1"]["content"]) == {
+        "author": "Bob", "title": "Best Ever!", "rating": 5,
+        "status": "APPROVED", "codes": [501, 789], "featured": True,
+    }
+    assert docs["demo1"]["~version"] == 3
+    assert docs["demo2"]["~deleted"] is False
+    assert docs["demo3"]["~deleted"] is True
+
+    # condition scan over schemaless resolved content (generic path)
+    cond = parse_condition('{..,"status":"APPROVED","codes":contains(501)}')
+    live = resolved.filter(~F.col("`~deleted`"))
+    hits = live.filter(condition_udf(cond)(F.col("content"))).collect()
+    assert [r["~id"] for r in hits] == ["demo1"]
+
+    # timeline: demo1 history newest-first
+    tl = timeline(
+        log.read().select("tbl", "key", "change_id", "delta", "tags"),
+        "review:tc", "demo1", reversed_=True,
+    ).collect()
+    assert len(tl) == 3
+    assert tl[0]["delta"].startswith("if ")  # newest first
+
+    # stash-style export of the resolved table and read-back
+    out = str(tmp_path / "stash")
+    live.write.partitionBy("~table").json(out)
+    back = spark.read.json(out)
+    assert back.count() == 2
+
+    # re-ingest: a conditional read-modify-write keyed on ~signature
+    sig = docs["demo2"]["~signature"]
+    log.update(
+        "review:tc", "demo2",
+        f'if intrinsic("~signature":"{sig}") then {{..,"status":"APPEALED"}} end',
+    )
+    re_resolved = {r["~id"]: r for r in resolve(
+        log.read().select("tbl", "key", "change_id", "delta", "tags")
+    ).collect()}
+    assert json.loads(re_resolved["demo2"]["content"])["status"] == "APPEALED"
+
+    # ...and a stale-signature write is a no-op on content
+    log.update(
+        "review:tc", "demo2",
+        f'if intrinsic("~signature":"{sig}") then {{..,"status":"HACKED"}} end',
+    )
+    final = {r["~id"]: r for r in resolve(
+        log.read().select("tbl", "key", "change_id", "delta", "tags")
+    ).collect()}
+    assert json.loads(final["demo2"]["content"])["status"] == "APPEALED"

@@ -16,12 +16,22 @@ def plan_of(df) -> str:
     return buf.getvalue()
 
 
-def test_multi_get_broadcasts_keys(spark, sf_dir):
+def test_multi_get_small_list_pushes_in_filter(spark, sf_dir):
     from emodb_spark.spark.datastore import DataStore
 
     ds = DataStore(spark)
     ds.create_table("orders", path=f"{sf_dir}/orders.parquet", key_column="o_orderkey")
     plan = plan_of(ds.multi_get("orders", [str(k) for k in range(50)]))
+    assert "PushedFilters" in plan
+    assert "In(o_orderkey" in plan.replace(" ", "")
+
+
+def test_multi_get_large_list_broadcasts_keys(spark, sf_dir):
+    from emodb_spark.spark.datastore import DataStore
+
+    ds = DataStore(spark)
+    ds.create_table("orders", path=f"{sf_dir}/orders.parquet", key_column="o_orderkey")
+    plan = plan_of(ds.multi_get("orders", [str(k) for k in range(50)], isin_threshold=0))
     assert "BroadcastHashJoin" in plan
     assert "LeftSemi" in plan
 
