@@ -424,6 +424,23 @@ class MegabusResolver:
             .start()
         )
 
+    def enable_canary(self) -> None:
+        """Built-in all-tables subscription for bus health monitoring
+        (databus core/Canary.java): a trivial alwaysTrue() subscription;
+        its sink growing in step with the master stream means fanout is
+        healthy."""
+        self.registry.subscribe("__canary", "alwaysTrue()")
+
+    def canary_metrics(self) -> Dict[str, int]:
+        path = os.path.join(self.output_path, "sub=__canary")
+        if not os.path.exists(path):
+            return {"events": 0, "tables": 0}
+        df = self.spark.read.parquet(path)
+        return {
+            "events": df.count(),
+            "tables": df.select("tbl").distinct().count(),
+        }
+
     def replay(self, updates_log: DataFrame, subscription: str, since_millis: int) -> int:
         """replaySince (DefaultDatabus.java:834-899): re-inject historical
         events (≤ the log's retention — 2 days in the reference) for ONE
@@ -533,3 +550,20 @@ class DatabusPoller:
         if up_to is not None:
             return df.limit(up_to + 1).count()
         return df.count()
+
+    def move(self, from_subscription: str, to_subscription: str) -> int:
+        """moveAsync parity (DefaultDatabus.java:900-950): drain one
+        subscription's pending events into another's sink."""
+        src = os.path.join(self.output_path, f"sub={from_subscription}")
+        if not os.path.exists(src):
+            return 0
+        df = self.spark.read.parquet(src)
+        n = df.count()
+        if n:
+            dst = os.path.join(self.output_path, f"sub={to_subscription}")
+            df.withColumn("subscription", F.lit(to_subscription)).write.mode(
+                "append"
+            ).parquet(dst)
+            ids = [r["change_id"] for r in df.select("change_id").collect()]
+            self.acknowledge(from_subscription, ids)
+        return n

@@ -1,0 +1,77 @@
+"""Canary subscription, databus move, and stream-native dedup
+(dropDuplicatesWithinWatermark — the Spark-native DedupQueue)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from emodb_spark.core.timeuuid import TimeUUIDGenerator
+from emodb_spark.spark.resolve_ops import UPDATES_SCHEMA
+from emodb_spark.spark.streaming.databus import (
+    DatabusPoller,
+    MegabusResolver,
+    SubscriptionRegistry,
+)
+
+
+def test_canary_and_move(spark, tmp_path):
+    reg = SubscriptionRegistry()
+    reg.put_table("review:tc", template={"type": "review"})
+    reg.subscribe("a", '{..,"type":"review"}')
+    reg.subscribe("b", "alwaysFalse()")
+    resolver = MegabusResolver(spark, reg, str(tmp_path / "st"), str(tmp_path / "out"))
+    resolver.enable_canary()
+
+    gen = TimeUUIDGenerator(node=51, start_millis=1750000000000)
+    batch = spark.createDataFrame(
+        [("review:tc", f"k{i}", gen.next(), '{"r":1}', []) for i in range(5)],
+        UPDATES_SCHEMA,
+    )
+    resolver.process_batch(batch, 0)
+
+    metrics = resolver.canary_metrics()
+    assert metrics == {"events": 5, "tables": 1}
+
+    poller = DatabusPoller(spark, str(tmp_path / "out"), str(tmp_path / "claims"))
+    assert poller.event_count("a") == 5
+    assert poller.event_count("b") == 0
+    moved = poller.move("a", "b")
+    assert moved == 5
+    assert poller.event_count("a") == 0
+    assert poller.event_count("b") == 5
+
+
+def test_stream_native_dedup_within_watermark(spark, tmp_path):
+    """The Spark-native DedupQueue: duplicate message ids within the
+    watermark window collapse exactly-once in a streaming pipeline
+    (dropDuplicatesWithinWatermark — SURVEY §2.6 dedup queue row)."""
+    src = str(tmp_path / "msgs")
+    rows = [
+        (1, "2030-01-01 00:00:00", '{"job":"a"}'),
+        (1, "2030-01-01 00:00:05", '{"job":"a"}'),   # dup id within window
+        (2, "2030-01-01 00:00:10", '{"job":"b"}'),
+        (2, "2030-01-01 00:00:11", '{"job":"b"}'),   # dup
+        (3, "2030-01-01 00:01:00", '{"job":"c"}'),
+    ]
+    df = spark.createDataFrame(rows, "msg_id long, ts string, payload string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    df.write.parquet(src)
+
+    stream = spark.readStream.schema("msg_id long, ts timestamp, payload string").parquet(src)
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["msg_id"]
+    )
+    out = str(tmp_path / "dedup_out")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 3
+    assert {r["msg_id"] for r in got.collect()} == {1, 2, 3}
