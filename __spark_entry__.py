@@ -730,7 +730,42 @@ GROUP BY 1, 2
 """
 
 
+def q_scan_condition_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """contains-family conditions over an array column (p_name word list),
+    compiled to array_contains/arrays_overlap."""
+    from emodb_spark.language import parse_condition
+    from emodb_spark.spark.compiler import compile_condition
+
+    part = _read(spark, sf_dir, "part").withColumn(
+        "p_name_words", F.split(F.col("p_name"), " ")
+    )
+    cond = parse_condition(
+        'and({..,"p_name_words":containsAny("green","blue")},'
+        'not({..,"p_name_words":contains("red")}),'
+        '{..,"p_size":le(30)})'
+    )
+    return part.filter(compile_condition(cond, part)).select(
+        "p_partkey", "p_name", "p_size"
+    )
+
+
+ORACLE_SCAN_CONDITION_ARRAYS = """
+SELECT p_partkey, p_name, p_size FROM part
+WHERE (list_contains(string_split(p_name, ' '), 'green')
+       OR list_contains(string_split(p_name, ' '), 'blue'))
+  AND NOT list_contains(string_split(p_name, ' '), 'red')
+  AND p_size <= 30
+"""
+
+
 # -- rows-only queries (no SQL-expressible oracle) ---------------------------
+
+
+def q_partition_shard_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """partition(n:i) coordinate sharding (subscription sharding parity) —
+    murmur3_32 has no DuckDB equivalent → rows-only check."""
+    ds = _store(spark, sf_dir)
+    return ds.scan("orders", "partition(8:1)").select(*_ORDER_COLS)
 
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -782,6 +817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_docs_join": q_quality_docs_join,
         "events_windowed": q_events_windowed,
         "scan_condition": q_scan_condition,
+        "scan_condition_arrays": q_scan_condition_arrays,
+        "partition_shard_scan": q_partition_shard_scan,
         "scan_condition_complex": q_scan_condition_complex,
         "multi_get": q_multi_get,
         "scan_paged": q_scan_paged,
@@ -816,6 +853,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_docs_join": ORACLE_QUALITY_DOCS_JOIN,
         "events_windowed": ORACLE_EVENTS_WINDOWED,
         "scan_condition": ORACLE_SCAN_CONDITION,
+        "scan_condition_arrays": ORACLE_SCAN_CONDITION_ARRAYS,
+        # partition_shard_scan: rows-only (murmur3_32 coordinate hash)
         "scan_condition_complex": ORACLE_SCAN_CONDITION_COMPLEX,
         "multi_get": ORACLE_MULTI_GET,
         "scan_paged": ORACLE_SCAN_PAGED,
