@@ -564,7 +564,9 @@ def q_resolve_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emodb_spark.spark.compaction import compact, resolve_with_base
     from emodb_spark.spark.resolve_ops import change_id_millis
 
-    updates = _updates_from_orders(spark, sf_dir, j_major=True)
+    # cache: the synthesized log feeds both the compaction fold and the
+    # tail resolve — without it each branch re-synthesizes from parquet
+    updates = _updates_from_orders(spark, sf_dir, j_major=True).cache()
     # cutoff between step-1 and step-2 deltas (j-major change ids)
     cutoff_ticks = _BASE_TICKS + 2 * 10_000_000_000_000 - 5_000
     cutoff_millis = (cutoff_ticks - _UUID_EPOCH_OFFSET_100NS) // 10_000

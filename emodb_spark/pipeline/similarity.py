@@ -47,12 +47,21 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    partition_prefilter: bool = False,
 ) -> DataFrame:
     """Exact top-k neighbors for each query vector.
 
     ``queries`` is (query_id, embedding); it is broadcast so the corpus scan
     is shuffle-free; the only shuffle is the final per-query top-k, keyed by
-    query_id (small)."""
+    query_id.
+
+    ``partition_prefilter`` is the 100 TB path: each scan partition keeps
+    only its local top-k per query (Arrow-batched pandas nlargest) BEFORE
+    the shuffle, so the exchange carries ≤ k·partitions rows per query
+    instead of the whole scored corpus. Exactness is preserved — the global
+    top-k is a subset of the union of partition-local top-ks."""
+    import pandas as pd
+
     corpus = embeddings.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nbr_vec"))
     q = queries.select(F.col("query_id"), F.col("embedding").alias("q_vec"))
     scored = (
@@ -63,6 +72,19 @@ def cosine_topk(
             F.round(cosine(F.col("q_vec"), F.col("nbr_vec")), 8).alias("cosine"),
         )
     )
+    if partition_prefilter:
+        schema = "query_id long, nbr_id long, cosine double"
+
+        def local_topk(batches):
+            for pdf in batches:
+                if len(pdf):
+                    yield (
+                        pdf.sort_values(["cosine", "nbr_id"], ascending=[False, True])
+                        .groupby("query_id", sort=False)
+                        .head(k)
+                    )
+
+        scored = scored.mapInPandas(local_topk, schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("nbr_id").asc()
     )

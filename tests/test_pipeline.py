@@ -101,6 +101,21 @@ def test_cosine_topk_exact(spark):
     assert abs(out[0]["cosine"] - 0.9 / math.sqrt(0.82)) < 1e-6
 
 
+def test_cosine_topk_prefilter_is_exact(spark, sf_dir):
+    """The partition-local pre-trim path must return identical results to
+    the plain window path (it only bounds the shuffle, never the answer)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(8)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plain = cosine_topk(emb, queries, k=7).collect()
+    pre = cosine_topk(emb, queries, k=7, partition_prefilter=True).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(tuple, plain), key=lambda x: (x[0], x[3])) == sorted(
+        map(tuple, pre), key=lambda x: (x[0], x[3])
+    )
+
+
 def test_lsh_topk_recall(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 4).select(
