@@ -1,0 +1,83 @@
+"""Blob store over the binaryFile source + condition compilation on
+MapType columns (the two paths not covered elsewhere)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from emodb_spark.language import Intrinsics, eval_condition, parse_condition
+from emodb_spark.pipeline.multimodal import extract_features, read_binary_dir
+from emodb_spark.spark.compiler import compile_condition
+
+
+def test_binary_file_source(spark, tmp_path):
+    """File-backed blob store: spark.read.format('binaryFile') with
+    digests + lengths computed at read (BlobStore metadata parity)."""
+    d = tmp_path / "blobs"
+    d.mkdir()
+    (d / "a.bin").write_bytes(b"hello blob a")
+    (d / "b.bin").write_bytes(b"B" * 1024)
+
+    blobs = read_binary_dir(spark, str(d), tbl="files")
+    rows = {os.path.basename(r["blob_id"]): r for r in blobs.collect()}
+    assert rows["a.bin"]["length"] == 12
+    assert rows["b.bin"]["length"] == 1024
+    import hashlib
+
+    assert rows["a.bin"]["md5"] == hashlib.md5(b"hello blob a").hexdigest()
+    assert rows["a.bin"]["sha1"] == hashlib.sha1(b"hello blob a").hexdigest()
+    assert rows["a.bin"]["tbl"] == "files"
+    # features flow through the same mapInPandas plumbing
+    feats = extract_features(blobs).collect()
+    assert len(feats) == 2 and all(len(f["feature"]) == 8 for f in feats)
+
+
+MAP_SCHEMA = T.StructType(
+    [
+        T.StructField("~id", T.StringType(), False),
+        T.StructField("props", T.MapType(T.StringType(), T.LongType()), True),
+        T.StructField("labels", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+MAP_DOCS = [
+    ("k1", {"rating": 5, "count": 2}, {"status": "APPROVED"}),
+    ("k2", {"rating": 2}, {"status": "REJECTED", "note": "x"}),
+    ("k3", None, None),
+    ("k4", {}, {}),
+]
+
+MAP_CONDITIONS = [
+    '{..,"props":{..,"rating":gt(3)}}',
+    '{..,"props":{..,"rating":5}}',
+    '{..,"props":{..,"rating":~}}',
+    '{..,"props":{..,"rating":+}}',
+    '{..,"props":{..,"missing":~}}',
+    '{..,"props":is(object)}',
+    '{..,"props":~}',
+    '{..,"labels":{..,"status":"APPROVED"}}',
+    '{..,"labels":{..,"status":like("APP*")}}',
+    'and({..,"props":{..,"rating":ge(2)}},{..,"labels":{..,"note":+}})',
+]
+
+
+def test_map_column_conditions_match_interpreter(spark):
+    df = spark.createDataFrame(MAP_DOCS, MAP_SCHEMA)
+    for cond_text in MAP_CONDITIONS:
+        cond = parse_condition(cond_text)
+        col = compile_condition(cond, df)
+        got = {
+            r["~id"]: bool(r["m"])
+            for r in df.select(F.col("`~id`"), col.alias("m")).collect()
+        }
+        for key, props, labels in MAP_DOCS:
+            doc = {}
+            if props is not None:
+                doc["props"] = props
+            if labels is not None:
+                doc["labels"] = labels
+            intr = Intrinsics(id=key, table="t", deleted=False)
+            expected = eval_condition(cond, doc, intr)
+            assert got[key] == expected, (cond_text, key, got[key], expected)
