@@ -79,11 +79,12 @@ def _synthetic_change_id_j_major(order_key, j: int):
     )
 
 
-def _updates_from_orders(
+def _update_steps_from_orders(
     spark: SparkSession, sf_dir: str, j_major: bool = False
-) -> DataFrame:
+) -> list:
     """Three deltas per order: create → amend (map delta) → conditional
-    price-set. The fold must reproduce (status, priority, price) exactly."""
+    price-set, one DataFrame per step. The fold must reproduce
+    (status, priority, price) exactly."""
     orders = _read(spark, sf_dir, "orders")
     okey = F.col("o_orderkey")
     key = okey.cast("string").alias("key")
@@ -117,6 +118,13 @@ def _updates_from_orders(
         ).alias("delta"),
         tags,
     )
+    return [u1, u2, u3]
+
+
+def _updates_from_orders(
+    spark: SparkSession, sf_dir: str, j_major: bool = False
+) -> DataFrame:
+    u1, u2, u3 = _update_steps_from_orders(spark, sf_dir, j_major)
     return u1.unionByName(u2).unionByName(u3)
 
 
@@ -146,6 +154,58 @@ ORACLE_RESOLVE_FOLD = """
 SELECT o_orderkey AS id, o_orderstatus, o_totalprice, o_orderpriority
 FROM orders
 """
+
+
+def q_streaming_fold_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Megabus resolver end-to-end via Structured Streaming: the synthesized
+    orders delta log is split into three micro-batches (one per delta step,
+    availableNow + maxFilesPerTrigger=1) and folded incrementally by the
+    executor-side merge_batch into the bucketed state store — the final
+    state must equal the one-shot batch resolve of the same log
+    (megabus resolver/MegabusRefResolver.java:100-221 parity)."""
+    import glob
+    import tempfile
+
+    from emodb_spark.spark.resolve_ops import UPDATES_SCHEMA
+    from emodb_spark.spark.streaming.databus import ResolvedStateStore, merge_batch
+
+    work = tempfile.mkdtemp(prefix="emodb_stream_parity_")
+    src = os.path.join(work, "incoming")
+    # step-major change ids: every key's step-j delta precedes every key's
+    # step-j+1 delta, so per-batch arrival honors the per-key ordering
+    # invariant merge_batch requires
+    steps = _update_steps_from_orders(spark, sf_dir, j_major=True)
+    for j, u in enumerate(steps):
+        seen = set(glob.glob(os.path.join(src, "*.parquet")))
+        u.coalesce(1).write.mode("append").parquet(src)
+        # FileStreamSource orders by modification time: pin each step's
+        # files 10s apart so micro-batches arrive in step order
+        for f in set(glob.glob(os.path.join(src, "*.parquet"))) - seen:
+            os.utime(f, (1_700_000_000 + 10 * j, 1_700_000_000 + 10 * j))
+
+    state = ResolvedStateStore(spark, os.path.join(work, "state"), n_buckets=8)
+    stream = (
+        spark.readStream.schema(UPDATES_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, _bid: merge_batch(spark, state, batch)
+        )
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    doc = F.from_json("content", _FOLD_DOC_SCHEMA)
+    return state.read().select(
+        F.col("key").cast("long").alias("id"),
+        doc.getField("o_orderstatus").alias("o_orderstatus"),
+        doc.getField("o_totalprice").alias("o_totalprice"),
+        doc.getField("o_orderpriority").alias("o_orderpriority"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -812,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "resolve_fold": q_resolve_fold,
         "resolve_compacted": q_resolve_compacted,
+        "streaming_fold_parity": q_streaming_fold_parity,
         "splits_scan": q_splits_scan,
         "stash_roundtrip": q_stash_roundtrip,
         "blob_ranged_read": q_blob_ranged_read,
@@ -846,6 +907,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "resolve_fold": ORACLE_RESOLVE_FOLD,
         "resolve_compacted": ORACLE_RESOLVE_FOLD,
+        "streaming_fold_parity": ORACLE_RESOLVE_FOLD,
         "splits_scan": ORACLE_MULTI_GET.replace(
             "WHERE o_orderkey BETWEEN 1 AND 40", ""
         ),

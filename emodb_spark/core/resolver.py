@@ -117,11 +117,26 @@ class Resolver:
 
         # hot path: decode timestamp + raw bytes straight from the hex
         # string (a uuid.UUID() round-trip per delta costs ~25% of the fold)
-        try:
-            uuid_hex = change_id.replace("-", "")
-            ticks = int(change_id[15:18] + change_id[9:13] + change_id[0:8], 16)
-            uuid_bytes = bytes.fromhex(uuid_hex)
-        except ValueError:
+        # fixed-position slices are only valid for the canonical dashed
+        # 8-4-4-4-12 form; an undashed 32-hex id would pass fromhex but
+        # read the wrong nibbles, so shape-check before the fast path
+        if (
+            len(change_id) == 36
+            and change_id[8] == "-"
+            and change_id[13] == "-"
+            and change_id[18] == "-"
+            and change_id[23] == "-"
+        ):
+            try:
+                ticks = int(change_id[15:18] + change_id[9:13] + change_id[0:8], 16)
+                uuid_bytes = bytes.fromhex(change_id.replace("-", ""))
+            except ValueError:
+                import uuid as _uuid
+
+                u = _uuid.UUID(change_id)
+                ticks = u.time
+                uuid_bytes = u.bytes
+        else:
             import uuid as _uuid
 
             u = _uuid.UUID(change_id)

@@ -265,19 +265,43 @@ def resolve_typed(
     return parsed.select(*cols, *intr)
 
 
+def _bound_millis(bound) -> Optional[int]:
+    """Normalize a timeline bound to epoch millis: accepts int/float millis
+    or an ISO-8601 string (the reference getTimeline takes Date bounds —
+    DataStore.java:120-124). Comparing a string against the long change_ts
+    column would NULL out and silently return nothing, so convert here."""
+    if bound is None:
+        return None
+    if isinstance(bound, bool):
+        raise TypeError("timeline bound must be millis or ISO-8601 string")
+    if isinstance(bound, (int, float)):
+        return int(bound)
+    from datetime import datetime, timezone
+
+    s = str(bound).strip()
+    if s.endswith("Z"):
+        s = s[:-1] + "+00:00"
+    dt = datetime.fromisoformat(s)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1000)
+
+
 def timeline(
     updates: DataFrame,
     tbl: str,
     key: str,
     reversed_: bool = True,
-    start: Optional[str] = None,
-    end: Optional[str] = None,
+    start=None,
+    end=None,
     limit: Optional[int] = None,
 ) -> DataFrame:
     """Per-document history (DataStore.getTimeline — DataStore.java:120-124):
-    the delta log for one coordinate, time-bounded, newest-first by default."""
+    the delta log for one coordinate, time-bounded, newest-first by default.
+    ``start``/``end`` accept epoch millis or ISO-8601 strings."""
     df = updates.filter((F.col("tbl") == tbl) & (F.col("key") == key))
     df = df.withColumn("change_ts", change_id_millis(F.col("change_id")))
+    start, end = _bound_millis(start), _bound_millis(end)
     if start is not None:
         df = df.filter(F.col("change_ts") >= F.lit(start))
     if end is not None:

@@ -167,12 +167,16 @@ def _uses_tags_or_partition(cond: C.Condition) -> bool:
 
 
 class ResolvedStateStore:
-    """Parquet-backed resolved-document state, MERGE'd per micro-batch.
+    """Key-bucketed parquet resolved-document state, MERGE'd per micro-batch.
 
     Holds, per (tbl, key): content JSON + intrinsics + the raw delta tail
     metadata needed to continue the fold (version, signature, timestamps,
-    last tags). On a Delta-Lake cluster this becomes MERGE INTO; here we
-    rewrite the (small) state dir transactionally via a temp path."""
+    last tags). Layout is ``path/bucket=N/`` with
+    ``bucket = pmod(xxhash64(tbl, key), n_buckets)`` — a micro-batch reads
+    and rewrites ONLY the buckets its keys hash into (dynamic partition
+    overwrite), never the whole store: per-batch I/O is O(touched buckets),
+    not O(total state). On a Delta-Lake cluster each bucket overwrite
+    becomes a MERGE INTO; the fold logic is identical."""
 
     STATE_SCHEMA = T.StructType(
         [
@@ -191,127 +195,333 @@ class ResolvedStateStore:
         ]
     )
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, n_buckets: int = 16):
         self.spark = spark
         self.path = path
+        self.n_buckets = n_buckets
+
+    def bucket_col(self, tbl="tbl", key="key") -> Column:
+        return F.pmod(F.xxhash64(F.col(tbl), F.col(key)), F.lit(self.n_buckets)).cast(
+            T.IntegerType()
+        )
+
+    def _empty(self) -> DataFrame:
+        df = self.spark.createDataFrame([], self.STATE_SCHEMA)
+        return df.withColumn("bucket", F.lit(None).cast(T.IntegerType()))
 
     def read(self) -> DataFrame:
-        if not os.path.exists(self.path):
-            return self.spark.createDataFrame([], self.STATE_SCHEMA)
+        """Full store (bucket partition column included)."""
+        if not os.path.exists(self.path) or not any(
+            e.startswith("bucket=") for e in os.listdir(self.path)
+        ):
+            return self._empty()
         return self.spark.read.parquet(self.path)
 
-    def write(self, df: DataFrame) -> None:
-        tmp = self.path + "._tmp"
-        df.write.mode("overwrite").parquet(tmp)
-        final = self.spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(self.path)
+    def read_buckets(self, bucket_ids) -> DataFrame:
+        """Only the named buckets — partition pruning keeps the scan to
+        their subdirectories."""
+        bucket_ids = list(bucket_ids)
+        if not bucket_ids:
+            return self._empty()
+        return self.read().filter(F.col("bucket").isin(bucket_ids))
+
+    def write_buckets(self, df_with_bucket: DataFrame) -> None:
+        """Overwrite ONLY the buckets present in ``df_with_bucket``
+        (dynamic partition overwrite — the local analog of a per-key Delta
+        MERGE). Each bucket directory is replaced atomically-per-partition;
+        untouched buckets are untouched files."""
+        (
+            df_with_bucket.repartition("bucket")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(self.path)
+        )
+
+
+# Unified output of the executor-side merge fold: per-delta events, final
+# per-key state, and late refs (see merge_batch docstring), discriminated
+# by row_type so one mapInPandas pass produces all three.
+MERGE_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("row_type", T.StringType(), False),  # event | state | late
+        T.StructField("tbl", T.StringType(), False),
+        T.StructField("key", T.StringType(), False),
+        T.StructField("change_id", T.StringType(), True),
+        T.StructField("is_redundant", T.BooleanType(), True),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("deleted", T.BooleanType(), True),
+        T.StructField("version", T.LongType(), True),
+        T.StructField("tags", T.ArrayType(T.StringType()), True),
+        T.StructField("signature", T.StringType(), True),
+        T.StructField("first_update_at", T.StringType(), True),
+        T.StructField("last_update_at", T.StringType(), True),
+        T.StructField("last_mutate_at", T.StringType(), True),
+        T.StructField("last_tags", T.ArrayType(T.StringType()), True),
+        T.StructField("last_change_id", T.StringType(), True),
+    ]
+)
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("tbl", T.StringType(), False),
+        T.StructField("key", T.StringType(), False),
+        T.StructField("change_id", T.StringType(), False),
+        T.StructField("is_redundant", T.BooleanType(), False),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("deleted", T.BooleanType(), False),
+        T.StructField("version", T.LongType(), False),
+        T.StructField("tags", T.ArrayType(T.StringType()), True),
+    ]
+)
+
+_MERGE_COLS = [f.name for f in MERGE_OUT_SCHEMA.fields]
+
+
+def _merge_fold_rows(rows: list) -> list:
+    """Fold one document's (state?, delta...) run, already time-sorted with
+    the state row (if any) first. Each row is a dict with _MERGE_COLS-ish
+    fields plus 'delta'. Emits event rows, late rows, and one state row."""
+    from ...core.resolver import Resolver
+    from ...core.timeuuid import uuid_sort_key
+    from ...language.values import UNDEFINED
+
+    tbl, key = rows[0]["tbl"], rows[0]["key"]
+    resolver = Resolver(tbl, key)
+    last_folded = None
+    start = 0
+    if rows[0]["row_type"] == "state":
+        p = rows[0]
+        resolver.restore(
+            content=None if p["content"] is None else json.loads(p["content"]),
+            content_defined=p["content"] is not None,
+            version=int(p["version"]),
+            signature=p["signature"],
+            first_update_at=p["first_update_at"],
+            last_update_at=p["last_update_at"],
+            last_mutate_at=p["last_mutate_at"],
+            last_tags=tuple(p["last_tags"]) if p["last_tags"] is not None else (),
+        )
+        last_folded = p["last_change_id"]
+        start = 1
+    last_key_sort = uuid_sort_key(last_folded) if last_folded else None
+    out = []
+    blank = {c: None for c in _MERGE_COLS}
+    for row in rows[start:]:
+        change_id, tags = row["change_id"], row["tags"]
+        tag_list = list(tags) if tags is not None else []
+        if last_key_sort is not None and uuid_sort_key(change_id) <= last_key_sort:
+            # replayed (already folded — the normal foreachBatch retry) or
+            # genuinely late/out-of-order; surfaced as a 'late' row, not
+            # silently dropped — see merge_batch docstring
+            out.append(
+                dict(blank, row_type="late", tbl=tbl, key=key,
+                     change_id=change_id, tags=tag_list)
+            )
+            continue
+        redundant = resolver.update(change_id, row["delta"], tag_list)
+        r = resolver.resolved()
+        out.append(
+            dict(
+                blank,
+                row_type="event",
+                tbl=tbl,
+                key=key,
+                change_id=change_id,
+                is_redundant=redundant,
+                content=None if r.content is UNDEFINED else json.dumps(r.content),
+                deleted=r.deleted,
+                version=r.version,
+                tags=tag_list,
+            )
+        )
+        last_folded = change_id
+        last_key_sort = uuid_sort_key(change_id)
+    r = resolver.resolved()
+    out.append(
+        dict(
+            blank,
+            row_type="state",
+            tbl=tbl,
+            key=key,
+            content=None if r.content is UNDEFINED else json.dumps(r.content),
+            deleted=r.deleted,
+            version=r.version,
+            signature=r.signature,
+            first_update_at=r.first_update_at,
+            last_update_at=r.last_update_at,
+            last_mutate_at=r.last_mutate_at,
+            last_tags=list(r.last_tags),
+            last_change_id=last_folded,
+        )
+    )
+    return out
+
+
+def _merge_fold_partition(batches):
+    """mapInPandas kernel over a (tbl,key)-sorted partition of
+    state ∪ delta rows (state rows sort first via ord=-1). Same carry-over
+    pattern as resolve_ops._fold_partition: a document straddling an Arrow
+    batch boundary is carried into the next batch."""
+    carry = None
+    for pdf in batches:
+        if carry is not None:
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+        if pdf.empty:
+            continue
+        last_tbl = pdf["tbl"].iloc[-1]
+        last_key = pdf["key"].iloc[-1]
+        tail_mask = (pdf["tbl"] == last_tbl) & (pdf["key"] == last_key)
+        carry = pdf[tail_mask]
+        body = pdf[~tail_mask]
+        if not body.empty:
+            yield _merge_fold_frame(body)
+    if carry is not None and not carry.empty:
+        yield _merge_fold_frame(carry)
+
+
+def _merge_fold_frame(body: pd.DataFrame) -> pd.DataFrame:
+    recs = body.to_dict("records")
+    out = []
+    i, n = 0, len(recs)
+    while i < n:
+        tbl, key = recs[i]["tbl"], recs[i]["key"]
+        j = i
+        while j < n and recs[j]["tbl"] == tbl and recs[j]["key"] == key:
+            j += 1
+        out.extend(_merge_fold_rows(recs[i:j]))
+        i = j
+    return pd.DataFrame(out, columns=_MERGE_COLS)
 
 
 def merge_batch(
     spark: SparkSession,
     state: ResolvedStateStore,
     batch: DataFrame,
+    late_path: Optional[str] = None,
+    emit: Optional[Callable[[DataFrame], None]] = None,
 ) -> DataFrame:
     """One micro-batch of the megabus resolver: fold the batch's deltas on
     top of stored per-key state; returns the emitted events (resolved docs
     keyed by coordinate, tombstones for deletes, redundant deltas flagged).
 
+    Fully executor-side (megabus resolver/MegabusRefResolver.java:100-221):
+    batch ∪ touched prior state are co-partitioned on (tbl, key), JVM-sorted
+    in time-UUID order with the state row leading each key, and folded by
+    the same mapInPandas carry-over kernel as the batch resolver
+    (resolve_ops._fold_partition). The driver never materializes a row of
+    the batch — it only collects the ≤ n_buckets touched bucket ids.
+
+    State I/O is bucket-bounded: only buckets containing batch keys are
+    read (partition-pruned) and rewritten (dynamic partition overwrite) —
+    O(touched buckets) per batch, not O(total state).
+
     Idempotent on replay: change_ids already folded into the stored
-    signature chain are skipped (at-least-once source → exactly-once state),
-    mirroring the resolver's annotated-get dedup."""
-    import pandas as pd
+    signature chain are skipped (at-least-once source → exactly-once state).
+    **Ordering invariant**: per-key refs must arrive in change_id order
+    across micro-batches (the UpdateLog writer's monotonic time-UUIDs
+    guarantee this; compaction.py documents the same watermark invariant).
+    A violating ref — change_id ≤ the key's folded high-water mark but not
+    a replay — cannot be distinguished from a replay here, so every skipped
+    ref is appended to ``late_path`` (if given) for offline audit/refold
+    (re-resolve the key from the full log) instead of vanishing silently.
 
-    from ...core.resolver import Resolver
-    from ...core.timeuuid import uuid_sort_key
-    from ...language.values import UNDEFINED
+    Crash consistency: when ``emit`` is given it runs BEFORE the state
+    commit, so a crash between the two re-runs the batch with state
+    unchanged — events are re-emitted (at-least-once sinks, the Structured
+    Streaming contract) rather than lost, and state stays exactly-once via
+    the change_id high-water skip."""
+    work_dir = state.path + "._work"
 
+    batch = batch.select("tbl", "key", "change_id", "delta", "tags")
     batch_keys = batch.select("tbl", "key").distinct()
-    prior = state.read()
-    prior_touched = prior.join(batch_keys, ["tbl", "key"], "left_semi").toPandas()
-    prior_by_key = {
-        (r["tbl"], r["key"]): r for _, r in prior_touched.iterrows()
-    }
+    touched = [
+        r["bucket"]
+        for r in batch_keys.select(state.bucket_col().alias("bucket")).distinct().collect()
+    ]
+    prior_buckets = state.read_buckets(touched).drop("bucket")
+    prior_touched = prior_buckets.join(batch_keys, ["tbl", "key"], "left_semi")
 
-    rows = batch.select("tbl", "key", "change_id", "delta", "tags").toPandas()
-    events = []
-    new_state = []
-    for (tbl, key), g in rows.groupby(["tbl", "key"], sort=False):
-        g = g.sort_values("change_id", key=lambda s: s.map(uuid_sort_key))
-        resolver = Resolver(tbl, key)
-        last_folded = None
-        p = prior_by_key.get((tbl, key))
-        if p is not None:
-            resolver.restore(
-                content=None if p["content"] is None else json.loads(p["content"]),
-                content_defined=p["content"] is not None,
-                version=int(p["version"]),
-                signature=p["signature"],
-                first_update_at=p["first_update_at"],
-                last_update_at=p["last_update_at"],
-                last_mutate_at=p["last_mutate_at"],
-                last_tags=tuple(p["last_tags"]) if p["last_tags"] is not None else (),
-            )
-            last_folded = p["last_change_id"]
-        last_key_sort = uuid_sort_key(last_folded) if last_folded else None
-        for change_id, delta, tags in zip(g["change_id"], g["delta"], g["tags"]):
-            if last_key_sort is not None and uuid_sort_key(change_id) <= last_key_sort:
-                continue  # replayed or late ref (already folded past it)
-            tag_list = list(tags) if tags is not None else []
-            redundant = resolver.update(change_id, delta, tag_list)
-            r = resolver.resolved()
-            events.append(
-                {
-                    "tbl": tbl,
-                    "key": key,
-                    "change_id": change_id,
-                    "is_redundant": redundant,
-                    "content": None if r.content is UNDEFINED else json.dumps(r.content),
-                    "deleted": r.deleted,
-                    "version": r.version,
-                    "tags": tag_list,
-                }
-            )
-        r = resolver.resolved()
-        final_change = g["change_id"].iloc[-1]
-        if last_key_sort is not None and uuid_sort_key(final_change) < last_key_sort:
-            final_change = last_folded
-        new_state.append(
-            {
-                "tbl": tbl,
-                "key": key,
-                "content": None if r.content is UNDEFINED else json.dumps(r.content),
-                "version": r.version,
-                "signature": r.signature,
-                "deleted": r.deleted,
-                "first_update_at": r.first_update_at,
-                "last_update_at": r.last_update_at,
-                "last_mutate_at": r.last_mutate_at,
-                "last_tags": list(r.last_tags),
-                "last_change_id": final_change,
-            }
-        )
+    # unified fold input: state rows order first (ord=-1), deltas in
+    # time-UUID order (decoded JVM-side — no Python in the sort)
+    from ..resolve_ops import change_id_ticks
 
-    untouched = prior.join(batch_keys, ["tbl", "key"], "left_anti")
-    if new_state:
-        updated = spark.createDataFrame(
-            pd.DataFrame(new_state), ResolvedStateStore.STATE_SCHEMA
-        )
-        state.write(untouched.unionByName(updated))
-    events_schema = T.StructType(
-        [
-            T.StructField("tbl", T.StringType(), False),
-            T.StructField("key", T.StringType(), False),
-            T.StructField("change_id", T.StringType(), False),
-            T.StructField("is_redundant", T.BooleanType(), False),
-            T.StructField("content", T.StringType(), True),
-            T.StructField("deleted", T.BooleanType(), False),
-            T.StructField("version", T.LongType(), False),
-            T.StructField("tags", T.ArrayType(T.StringType()), True),
-        ]
+    null_s = F.lit(None).cast(T.StringType())
+    null_a = F.lit(None).cast(T.ArrayType(T.StringType()))
+    delta_rows = batch.select(
+        F.lit("delta").alias("row_type"),
+        "tbl",
+        "key",
+        F.lit(-1).cast(T.LongType()).alias("ord"),  # overwritten below
+        "change_id",
+        "delta",
+        "tags",
+        null_s.alias("content"),
+        F.lit(None).cast(T.LongType()).alias("version"),
+        null_s.alias("signature"),
+        null_s.alias("first_update_at"),
+        null_s.alias("last_update_at"),
+        null_s.alias("last_mutate_at"),
+        null_a.alias("last_tags"),
+        null_s.alias("last_change_id"),
+    ).withColumn("ord", change_id_ticks(F.col("change_id")))
+    state_rows = prior_touched.select(
+        F.lit("state").alias("row_type"),
+        "tbl",
+        "key",
+        F.lit(-1).cast(T.LongType()).alias("ord"),
+        null_s.alias("change_id"),
+        null_s.alias("delta"),
+        null_a.alias("tags"),
+        "content",
+        "version",
+        "signature",
+        "first_update_at",
+        "last_update_at",
+        "last_mutate_at",
+        "last_tags",
+        "last_change_id",
     )
-    if not events:
-        return spark.createDataFrame([], events_schema)
-    return spark.createDataFrame(pd.DataFrame(events), events_schema)
+    unified = state_rows.unionByName(delta_rows)
+    folded = (
+        unified.repartition("tbl", "key")
+        .sortWithinPartitions("tbl", "key", "ord", "change_id")
+        .drop("ord")
+        .mapInPandas(_merge_fold_partition, MERGE_OUT_SCHEMA)
+    )
+
+    # materialize the fold ONCE (single job), then split into
+    # events / new state / late refs without recomputing
+    fold_tmp = os.path.join(work_dir, "fold")
+    folded.write.mode("overwrite").parquet(fold_tmp)
+    out = spark.read.parquet(fold_tmp)
+
+    events = out.filter(F.col("row_type") == "event").select(
+        *[f.name for f in EVENTS_SCHEMA.fields]
+    )
+    if emit is not None:
+        emit(events)
+
+    new_state = (
+        out.filter(F.col("row_type") == "state")
+        .select(*[f.name for f in ResolvedStateStore.STATE_SCHEMA.fields])
+        .withColumn("bucket", state.bucket_col())
+    )
+    # untouched keys of touched buckets ride along so the per-bucket
+    # overwrite preserves them
+    keep = prior_buckets.join(batch_keys, ["tbl", "key"], "left_anti").withColumn(
+        "bucket", state.bucket_col()
+    )
+    state.write_buckets(keep.unionByName(new_state))
+
+    late = out.filter(F.col("row_type") == "late")
+    if late_path is not None and not late.isEmpty():
+        late.select("tbl", "key", "change_id", "tags").write.mode("append").parquet(
+            late_path
+        )
+
+    return events
 
 
 class MegabusResolver:
@@ -389,9 +599,9 @@ class MegabusResolver:
         ).parquet(self.retry_path)
         return ready
 
-    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
-        batch = self._split_missing(batch)
-        events = merge_batch(self.spark, self.state, batch)
+    def _fanout(self, events: DataFrame) -> None:
+        """Per-subscription filtered sinks (runs inside merge_batch, before
+        the state commit — see its crash-consistency note)."""
         # redundant-event suppression (DefaultResolver.java:73-87)
         deliverable = events.filter(~F.col("is_redundant"))
         if deliverable.isEmpty():
@@ -415,6 +625,16 @@ class MegabusResolver:
                 .write.mode("append")
                 .parquet(os.path.join(self.output_path, f"sub={sub.name}"))
             )
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        batch = self._split_missing(batch)
+        merge_batch(
+            self.spark,
+            self.state,
+            batch,
+            late_path=self.state.path + "._late",
+            emit=self._fanout,
+        )
 
     def start(self, updates_stream: DataFrame, checkpoint: str, **trigger):
         return (
@@ -517,7 +737,7 @@ class DatabusPoller:
             (F.col("queue") == subscription) & (F.col("claimed_until") > F.lit(now))
         )
         visible = events.join(active.select("queue", "msg_id"), ["queue", "msg_id"], "left_anti")
-        rows = visible.orderBy("msg_id").limit(limit).collect()
+        rows = visible.orderBy(*self._q._time_order()).limit(limit).collect()
         if rows:
             until = now + claim_ttl_s * 1000
             self.spark.createDataFrame(
@@ -542,7 +762,12 @@ class DatabusPoller:
     def peek(self, subscription: str, limit: int = 10):
         import json as _json
 
-        rows = self._events(subscription).orderBy("msg_id").limit(limit).collect()
+        rows = (
+            self._events(subscription)
+            .orderBy(*self._q._time_order())
+            .limit(limit)
+            .collect()
+        )
         return [{"id": r["msg_id"], "event": _json.loads(r["payload"])} for r in rows]
 
     def event_count(self, subscription: str, up_to: Optional[int] = None) -> int:

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ...core.timeuuid import TimeUUIDGenerator
+from ..resolve_ops import change_id_ticks
 
 MESSAGES_SCHEMA = T.StructType(
     [
@@ -111,22 +112,37 @@ class QueueService:
                 claims.select("queue", "msg_id"), ["queue", "msg_id"], "left_semi"
             ).select("queue", "payload").distinct()
             visible = msgs.join(claimed_payloads, ["queue", "payload"], "left_anti")
+            # keep the chronologically-oldest copy: v1 time-UUID strings start
+            # with time_low (wraps ~7 min), so min on the raw string is NOT
+            # time order — min over (decoded ticks, string) is
             return (
                 visible.groupBy("queue", "payload")
-                .agg(F.min("msg_id").alias("msg_id"))
-                .select("queue", "msg_id", "payload")
+                .agg(
+                    F.min(
+                        F.struct(
+                            change_id_ticks(F.col("msg_id")).alias("t"),
+                            F.col("msg_id").alias("m"),
+                        )
+                    ).alias("__oldest")
+                )
+                .select("queue", F.col("__oldest.m").alias("msg_id"), "payload")
             )
         return msgs.join(claims.select("queue", "msg_id"), ["queue", "msg_id"], "left_anti")
 
+    def _time_order(self):
+        """Chronological sort keys for a time-UUID msg_id (decoded timestamp
+        first, string tie-break) — matches PersistentSortedQueue time order."""
+        return [change_id_ticks(F.col("msg_id")), F.col("msg_id")]
+
     def peek(self, queue: str, limit: int = 10) -> List[dict]:
         """Non-destructive inspection (BaseQueueService.peek)."""
-        rows = self._visible(queue).orderBy("msg_id").limit(limit).collect()
+        rows = self._visible(queue).orderBy(*self._time_order()).limit(limit).collect()
         return [{"id": r["msg_id"], "payload": json.loads(r["payload"])} for r in rows]
 
     def poll(self, queue: str, claim_ttl_s: int = 30, limit: int = 10) -> List[dict]:
         """Claim up to ``limit`` messages for ``claim_ttl_s`` (at-least-once:
         unacked claims expire and messages become visible again)."""
-        rows = self._visible(queue).orderBy("msg_id").limit(limit).collect()
+        rows = self._visible(queue).orderBy(*self._time_order()).limit(limit).collect()
         if rows:
             until = self._clock() + claim_ttl_s * 1000
             claim_rows = [(queue, r["msg_id"], until) for r in rows]

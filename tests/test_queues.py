@@ -93,3 +93,50 @@ def test_message_count_up_to(spark, tmp_path, clock):
     # exact count short-circuits at the limit (count-up-to semantics)
     assert q.message_count("big", up_to=5) == 6
     assert q.message_count("big") == 20
+
+
+def _wrap_millis():
+    """Find adjacent millis m, m+1 whose v1-UUID time_low (low 32 bits of
+    the 100ns tick count) wraps — the lexicographic-order trap: the NEWER
+    uuid string starts with smaller hex."""
+    off = 0x01B21DD213814000
+    m = 1_700_000_000_000
+    for _ in range(500_000):
+        if (m * 10_000 + off) % (1 << 32) > ((m + 1) * 10_000 + off) % (1 << 32):
+            return m
+        m += 1
+    raise AssertionError("no time_low wrap found")
+
+
+class _FixedGen:
+    def __init__(self, ids):
+        self._ids = list(ids)
+
+    def next(self):
+        return self._ids.pop(0)
+
+
+def test_queue_order_is_chronological_across_timelow_wrap(spark, tmp_path, clock):
+    """v1 time-UUID strings start with time_low, which wraps every ~7 min —
+    ordering on the raw string is NOT time order (ADVICE r1). peek/poll and
+    the dedup queue's kept-oldest must use the decoded timestamp."""
+    from emodb_spark.core.timeuuid import TimeUUIDGenerator
+
+    gen = TimeUUIDGenerator(node=5)
+    m = _wrap_millis()
+    older, newer = gen.next(millis=m), gen.next(millis=m + 1)
+    assert newer < older  # the trap: lexicographic order inverts
+
+    q = QueueService(spark, str(tmp_path / "q"), clock=clock)
+    q._gen = _FixedGen([older, newer])
+    q.send("jobs", {"n": "older"})
+    q.send("jobs", {"n": "newer"})
+    assert [x["payload"]["n"] for x in q.peek("jobs", limit=2)] == ["older", "newer"]
+    assert [x["payload"]["n"] for x in q.poll("jobs", limit=2)] == ["older", "newer"]
+
+    dq = QueueService(spark, str(tmp_path / "dq"), dedup=True, clock=clock)
+    dq._gen = _FixedGen([older, newer])
+    dq.send("jobs", {"v": 1})
+    dq.send("jobs", {"v": 1})  # duplicate payload, newer id
+    got = dq.peek("jobs", limit=10)
+    assert len(got) == 1 and got[0]["id"] == older  # kept the OLDEST copy

@@ -149,3 +149,112 @@ def test_megabus_resolver_stream(spark, tmp_path, registry):
     st = {r["key"]: r for r in ResolvedStateStore(spark, state_path).read().collect()}
     assert st["r1"]["version"] == 2
     assert st["q1"]["deleted"] is False
+
+
+def test_merge_batch_no_driver_side_fold(spark, tmp_path, monkeypatch):
+    """The executor-side rework: merge_batch must never materialize batch
+    rows on the driver (no toPandas; collect only for bucket-id metadata)."""
+    from pyspark.sql import DataFrame
+
+    gen = TimeUUIDGenerator(node=9, start_millis=1710000000000)
+    state = ResolvedStateStore(spark, str(tmp_path / "state"))
+    ids = [gen.next() for _ in range(3)]
+    b = _updates(spark, [
+        ("review:tc", "k1", ids[0], '{"rating":5}', []),
+        ("review:tc", "k1", ids[1], '{..,"status":"OK"}', []),
+        ("review:tc", "k2", ids[2], '{"rating":1}', []),
+    ])
+
+    def boom(self):
+        raise AssertionError("merge_batch folded on the driver (toPandas)")
+
+    monkeypatch.setattr(DataFrame, "toPandas", boom)
+    ev = merge_batch(spark, state, b)
+    assert ev.count() == 3
+    monkeypatch.undo()
+    st = {r["key"]: r for r in state.read().collect()}
+    assert st["k1"]["version"] == 2 and json.loads(st["k1"]["content"])["status"] == "OK"
+
+
+def _bucket_files(state_path):
+    out = {}
+    for d in sorted(os.listdir(state_path)):
+        if d.startswith("bucket="):
+            full = os.path.join(state_path, d)
+            out[d] = sorted(os.listdir(full))
+    return out
+
+
+def test_merge_batch_rewrites_only_touched_buckets(spark, tmp_path):
+    """Per-batch state I/O is O(touched buckets): a batch touching one key
+    must leave every other bucket's files byte-identical (VERDICT r1 #1)."""
+    gen = TimeUUIDGenerator(node=10, start_millis=1710000000000)
+    state_path = str(tmp_path / "state")
+    state = ResolvedStateStore(spark, state_path, n_buckets=8)
+
+    rows = [
+        ("review:tc", f"k{i}", gen.next(), '{"rating":%d}' % (i % 5), [])
+        for i in range(64)
+    ]
+    merge_batch(spark, state, _updates(spark, rows))
+    before = _bucket_files(state_path)
+    assert len(before) > 3  # keys spread over several buckets
+
+    # single-key batch → only that key's bucket dir may change
+    target_bucket = state.spark.createDataFrame(
+        [("review:tc", "k0")], "tbl string, key string"
+    ).select(state.bucket_col().alias("b")).collect()[0]["b"]
+    merge_batch(spark, state, _updates(
+        spark, [("review:tc", "k0", gen.next(), '{..,"status":"UPD"}', [])]
+    ))
+    after = _bucket_files(state_path)
+    for d, files in before.items():
+        if d != f"bucket={target_bucket}":
+            assert after[d] == files, f"untouched {d} was rewritten"
+    assert after[f"bucket={target_bucket}"] != before[f"bucket={target_bucket}"]
+    # and the untouched keys of the touched bucket survived
+    st = {r["key"]: r for r in state.read().collect()}
+    assert len(st) == 64
+    assert json.loads(st["k0"]["content"])["status"] == "UPD"
+
+
+def test_merge_batch_late_refs_audited(spark, tmp_path):
+    """An out-of-order ref (change_id below the key's high-water mark) is
+    not folded OR silently dropped: it lands in the late-ref audit dir."""
+    gen = TimeUUIDGenerator(node=11, start_millis=1710000000000)
+    state = ResolvedStateStore(spark, str(tmp_path / "state"))
+    late_path = str(tmp_path / "late")
+    ids = [gen.next() for _ in range(3)]
+
+    merge_batch(spark, state, _updates(
+        spark, [("review:tc", "k1", ids[2], '{"rating":5}', [])]
+    ), late_path=late_path)
+    ev = merge_batch(spark, state, _updates(
+        spark, [("review:tc", "k1", ids[0], '{"rating":1}', ["t1"])]
+    ), late_path=late_path)
+    assert ev.count() == 0  # not folded
+    late = spark.read.parquet(late_path).collect()
+    assert [(r["key"], r["change_id"]) for r in late] == [("k1", ids[0])]
+    # state untouched by the late ref
+    st = state.read().collect()[0]
+    assert st["version"] == 1 and json.loads(st["content"])["rating"] == 5
+
+
+def test_merge_batch_emit_runs_before_state_commit(spark, tmp_path):
+    """Crash-consistency ordering: the emit callback sees the events while
+    the state store still holds the PRE-batch state (so a crash inside emit
+    replays the batch instead of losing its events)."""
+    gen = TimeUUIDGenerator(node=12, start_millis=1710000000000)
+    state = ResolvedStateStore(spark, str(tmp_path / "state"))
+    seen = {}
+
+    def emit(events):
+        seen["events"] = events.count()
+        seen["state_rows_at_emit"] = state.read().count()
+
+    merge_batch(spark, state, _updates(
+        spark, [("review:tc", "k1", gen.next(), '{"rating":5}', [])]
+    ), emit=emit)
+    assert seen["events"] == 1
+    assert seen["state_rows_at_emit"] == 0  # not yet committed during emit
+    assert state.read().count() == 1  # committed after
