@@ -33,6 +33,61 @@ from ..language.parser import parse_condition
 from .compiler import compile_condition
 
 
+def _split_token(name: str, lo, hi) -> str:
+    """Opaque split id encoding a key range (reference splits are opaque
+    strings too — DataStore.java:137-154)."""
+    import json
+
+    return json.dumps([name, lo, hi], separators=(",", ":"), default=str)
+
+
+def _parse_split_token(split: str):
+    import json
+
+    name, lo, hi = json.loads(split)
+    return name, lo, hi
+
+
+def _parquet_footer_count(path: str, max_footers: int = 64) -> Optional[int]:
+    """Sum of parquet footer row counts under ``path`` — metadata only.
+    With more than ``max_footers`` files, reads a deterministic sample of
+    footers and extrapolates by byte size (rows/byte is stable within a
+    table). Returns None if the path holds no readable parquet files."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover
+        return None
+
+    files = []
+    for root, _dirs, names in os.walk(path):
+        for fn in names:
+            if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
+                full = os.path.join(root, fn)
+                files.append((full, os.path.getsize(full)))
+    if os.path.isfile(path):
+        files = [(path, os.path.getsize(path))]
+    if not files:
+        return None
+    files.sort()
+    total_bytes = sum(sz for _, sz in files)
+    chosen = files
+    if len(files) > max_footers:
+        step = len(files) / max_footers
+        chosen = [files[int(i * step)] for i in range(max_footers)]
+    try:
+        rows = sum(pq.ParquetFile(f).metadata.num_rows for f, _ in chosen)
+    except Exception:
+        return None
+    if len(chosen) == len(files):
+        return rows
+    sampled_bytes = sum(sz for _, sz in chosen)
+    if sampled_bytes == 0:
+        return rows
+    return int(rows * (total_bytes / sampled_bytes))
+
+
 @dataclass
 class TableDef:
     """Registered table: a DataFrame factory + key column + metadata."""
@@ -227,18 +282,31 @@ class DataStore:
 
     # -- size estimation ------------------------------------------------------
 
+    def _data_path(self, t: TableDef) -> Optional[str]:
+        if t.facades and self.local_placement in t.facades:
+            return t.facades[self.local_placement]
+        return t.path
+
     def table_approximate_size(self, name: str, limit: Optional[int] = None) -> int:
-        """Exact count up to ``limit``, then size-ratio estimate
-        (DataStore.java:105-106; DAO count, AstyanaxBlockedDataReaderDAO
-        :152-199: count the first pages exactly, extrapolate)."""
+        """Row-count estimate from parquet FOOTER metadata — zero data read
+        (DataStore.java:105-106; the reference extrapolates from counted
+        pages, AstyanaxBlockedDataReaderDAO:152-199 — footers are strictly
+        better: exact when every footer is read, and still O(files) not
+        O(rows)). Footer reads are capped: beyond the cap, sampled footers
+        extrapolate by byte size. DataFrame-backed tables (no files) fall
+        back to a counted scan."""
+        t = self.table_def(name)
+        path = self._data_path(t)
+        if path is not None and t.df is None:
+            est = _parquet_footer_count(path, max_footers=64)
+            if est is not None:
+                return est
         df = self.read(name)
         if limit is None:
             return df.count()
         exact = df.limit(limit + 1).count()
         if exact <= limit:
             return exact
-        # Extrapolate from sampled partitions instead of a full count: count
-        # rows per partition id on a fraction of partitions, scale up.
         n_parts = df.rdd.getNumPartitions()
         sample = max(1, n_parts // 8)
         counts = (
@@ -251,13 +319,41 @@ class DataStore:
     # -- splits ----------------------------------------------------------------
 
     def get_splits(self, name: str, desired_records_per_split: int = 10_000) -> List[str]:
-        """Split the table into independently scannable shards
-        (DataStore.java:137-154). Splits are hash buckets over the key —
-        stable, coordination-free, and each maps to a pushdown-able
-        predicate. Default split size mirrors the reference (10k)."""
+        """Split the table into independently scannable KEY RANGES
+        (DataStore.java:137-154) — the Spark analog of the reference's
+        Cassandra token ranges (AstyanaxBlockedDataReaderDAO.java:398-571).
+
+        Boundaries come from a sampled quantile pass over the native key
+        column (≤ ~200k sampled keys on the driver regardless of table
+        size), so each split compiles to a ``key > lo AND key <= hi``
+        predicate on the native column that parquet row-group stats can
+        prune — a split scans ~its own data, not the full table filtered.
+        Default split size mirrors the reference (10k records)."""
+        t = self.table_def(name)
         approx = self.table_approximate_size(name, limit=100_000)
-        n = max(1, min(4096, (approx + desired_records_per_split - 1) // desired_records_per_split))
-        return [f"{name}:{i}:{n}" for i in range(n)]
+        n = max(1, min(
+            4096, (approx + desired_records_per_split - 1) // desired_records_per_split
+        ))
+        if n == 1:
+            return [_split_token(name, None, None)]
+        frac = min(1.0, 200_000 / max(approx, 1))
+        sample = sorted(
+            r[0]
+            for r in self.read(name)
+            .select(F.col(f"`{t.key_column}`"))
+            .sample(False, frac, seed=42)
+            .collect()
+            if r[0] is not None
+        )
+        if not sample:
+            return [_split_token(name, None, None)]
+        bounds: List[Any] = []
+        for i in range(1, n):
+            b = sample[min(len(sample) - 1, (i * len(sample)) // n)]
+            if not bounds or b != bounds[-1]:
+                bounds.append(b)
+        edges = [None] + bounds + [None]
+        return [_split_token(name, edges[i], edges[i + 1]) for i in range(len(edges) - 1)]
 
     def get_split(
         self,
@@ -265,15 +361,24 @@ class DataStore:
         from_key_exclusive: Optional[str] = None,
         limit: Optional[int] = None,
     ) -> DataFrame:
-        """Scan one split: rows whose key hashes into the split's bucket."""
-        name, i, n = split.rsplit(":", 2)
-        i, n = int(i), int(n)
+        """Scan one split: rows whose NATIVE key falls in the split's
+        (lo, hi] range — a pushdown-able predicate, so the scan prunes to
+        the split's row groups instead of filtering a full-table read."""
+        name, lo, hi = _parse_split_token(split)
+        t = self.table_def(name)
         df = self.read(name).filter(~F.col("`~deleted`"))
-        bucket = F.pmod(F.abs(F.hash(F.col("`~id`"))), F.lit(n))
-        df = df.filter(bucket == F.lit(i))
+        key = F.col(f"`{t.key_column}`")
+        if lo is not None:
+            df = df.filter(key > F.lit(lo))
+        if hi is not None:
+            df = df.filter(key <= F.lit(hi))
         if from_key_exclusive is not None:
-            df = df.filter(F.col("`~id`") > F.lit(str(from_key_exclusive)))
-        df = df.orderBy("~id")
+            resume = self._cast_keys(df, t.key_column, [from_key_exclusive])
+            if resume is not None:
+                df = df.filter(key > F.lit(resume[0]))
+            else:
+                df = df.filter(F.col("`~id`") > F.lit(str(from_key_exclusive)))
+        df = df.orderBy(key)
         if limit is not None:
             df = df.limit(limit)
         return df

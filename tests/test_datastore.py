@@ -100,3 +100,32 @@ def test_list_tables_paged(store):
     assert store.list_tables() == ["customer", "orders"]
     assert store.list_tables(from_exclusive="customer") == ["orders"]
     assert store.list_tables(limit=1) == ["customer"]
+
+
+def test_table_size_reads_no_data(store, spark):
+    """The estimator must come from parquet footers — zero Spark jobs,
+    zero data read (VERDICT r1 #3)."""
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    store.table_approximate_size("orders")
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before
+
+
+def test_split_ranges_partition_key_space(store, spark):
+    """Range splits: disjoint (lo, hi] ranges covering every key exactly
+    once, each a native-key predicate (token-range analog)."""
+    import json
+
+    splits = store.get_splits("orders", desired_records_per_split=300)
+    assert len(splits) > 2
+    parsed = [json.loads(s) for s in splits]
+    assert parsed[0][1] is None and parsed[-1][2] is None  # unbounded ends
+    for a, b in zip(parsed, parsed[1:]):
+        assert a[2] == b[1]  # contiguous: prev hi == next lo
+    # resume-paging inside a split
+    s = splits[1]
+    first = store.get_split(s, limit=5).collect()
+    rest = store.get_split(s, from_key_exclusive=str(first[-1]["o_orderkey"])).collect()
+    all_rows = store.get_split(s).collect()
+    assert [r["o_orderkey"] for r in first + rest] == [r["o_orderkey"] for r in all_rows]

@@ -100,3 +100,22 @@ def test_fold_shuffles_once(spark):
     # partition-local (global=false)
     assert plan.count("Arguments: hashpartitioning") == 1, plan
     assert "(3) Sort" in plan and "false, 0" in plan
+
+
+def test_split_scan_pushes_key_range(spark, sf_dir):
+    """A single split must compile to a native-key range predicate that
+    reaches the parquet scan (token-range analog,
+    AstyanaxBlockedDataReaderDAO.java:398-571) — NOT a full-table scan
+    filtered post-hoc (VERDICT r1 #2)."""
+    from emodb_spark.spark.datastore import DataStore
+
+    ds = DataStore(spark)
+    ds.create_table("orders", path=f"{sf_dir}/orders.parquet", key_column="o_orderkey")
+    splits = ds.get_splits("orders", desired_records_per_split=500)
+    assert len(splits) > 1
+    # a middle split has both bounds
+    plan = plan_of(ds.get_split(splits[len(splits) // 2]))
+    flat = plan.replace(" ", "")
+    assert "PushedFilters:" in plan
+    assert "GreaterThan(o_orderkey" in flat
+    assert "LessThanOrEqual(o_orderkey" in flat
