@@ -310,6 +310,85 @@ def q_timeline_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_timeline_with_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getTimeline across a compaction boundary: pre-compaction the log
+    shows raw deltas; post-compaction the same keys show the live tail +
+    a Compaction record (fold state, compacted_count) + the TTL'd history
+    deltas — the document's past survives compaction
+    (DataStore.java:120-124; AbstractCompactor.java:245 historyTtl).
+
+    j-major synthetic ids make every timestamp a pure function of
+    (key, step): millis = 1.7e12 + j*1e9 + key — the DuckDB oracle
+    recomputes the whole timeline arithmetically."""
+    from emodb_spark.spark.compaction import compact_full
+    from emodb_spark.spark.resolve_ops import timeline_full
+
+    keys = [
+        r[0]
+        for r in _read(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(3)
+        .collect()
+    ]
+    updates = _updates_from_orders(spark, sf_dir, j_major=True).filter(
+        F.col("key").isin([str(k) for k in keys])
+    )
+    cutoff = 1_700_000_000_000 + 2 * 1_000_000_000  # steps 0,1 compacted
+    res = compact_full(updates, cutoff)
+
+    parts = []
+    for k in keys:
+        for phase, (tail, base, hist) in {
+            "pre": (updates, None, None),
+            "post": (res.tail, res.base, res.history),
+        }.items():
+            parts.append(
+                timeline_full(tail, base, hist, "orders", str(k))
+                .withColumn("phase", F.lit(phase))
+                .withColumn("key", F.lit(int(k)).cast("long"))
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("phase", "rec_type", "key", "change_ts", "version",
+                      "compacted_count")
+
+
+ORACLE_TIMELINE_WITH_COMPACTION = """
+WITH ks AS (SELECT o_orderkey AS k FROM orders ORDER BY o_orderkey LIMIT 3),
+js AS (SELECT * FROM (VALUES (0),(1),(2)) AS t(j)),
+pre AS (
+  SELECT 'pre' AS phase, 'delta' AS rec_type, CAST(k AS BIGINT) AS key,
+         CAST(1700000000000 + j*1000000000 + k AS BIGINT) AS change_ts,
+         CAST(NULL AS BIGINT) AS version, CAST(NULL AS BIGINT) AS compacted_count
+  FROM ks CROSS JOIN js
+),
+post_delta AS (
+  SELECT 'post', 'delta', CAST(k AS BIGINT),
+         CAST(1700000000000 + 2000000000 + k AS BIGINT),
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+  FROM ks
+),
+post_hist AS (
+  SELECT 'post', 'history', CAST(k AS BIGINT),
+         CAST(1700000000000 + j*1000000000 + k AS BIGINT),
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+  FROM ks CROSS JOIN js WHERE j < 2
+),
+post_comp AS (
+  SELECT 'post', 'compaction', CAST(k AS BIGINT),
+         CAST(1700000000000 + 1000000000 + k AS BIGINT),
+         CAST(2 AS BIGINT), CAST(2 AS BIGINT)
+  FROM ks
+)
+SELECT * FROM pre
+UNION ALL SELECT * FROM post_delta
+UNION ALL SELECT * FROM post_hist
+UNION ALL SELECT * FROM post_comp
+"""
+
+
 ORACLE_TIMELINE_EVENTS = """
 SELECT event_id, event_type, value FROM events
 WHERE user_id = 5
@@ -873,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_fold": q_resolve_fold,
         "resolve_compacted": q_resolve_compacted,
         "streaming_fold_parity": q_streaming_fold_parity,
+        "timeline_with_compaction": q_timeline_with_compaction,
         "splits_scan": q_splits_scan,
         "stash_roundtrip": q_stash_roundtrip,
         "blob_ranged_read": q_blob_ranged_read,
@@ -908,6 +988,7 @@ def oracle_sql() -> dict[str, str]:
         "resolve_fold": ORACLE_RESOLVE_FOLD,
         "resolve_compacted": ORACLE_RESOLVE_FOLD,
         "streaming_fold_parity": ORACLE_RESOLVE_FOLD,
+        "timeline_with_compaction": ORACLE_TIMELINE_WITH_COMPACTION,
         "splits_scan": ORACLE_MULTI_GET.replace(
             "WHERE o_orderkey BETWEEN 1 AND 40", ""
         ),

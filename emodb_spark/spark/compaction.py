@@ -22,6 +22,7 @@ via the FCT.
 from __future__ import annotations
 
 import json
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import pandas as pd
@@ -119,6 +120,44 @@ def compact(
     tail = updates.filter(ts >= F.lit(cutoff_millis))
     base = _presort(old).mapInPandas(_compact_partition, BASE_SCHEMA)
     return base, tail
+
+
+# Compacted-delta history retention: 2 days, matching the reference's
+# historyTtl (sor core/AbstractCompactor.java:245; docs
+# 2016-08-29-deltas.md:758-785).
+HISTORY_TTL_MS = 2 * 24 * 3600 * 1000
+
+
+@dataclass
+class CompactionResult:
+    base: DataFrame     # one fold-state (Compaction record) row per key
+    tail: DataFrame     # live log at/after the cutoff
+    history: DataFrame  # the compacted delta prefix, TTL-stamped
+
+
+def compact_full(
+    updates: DataFrame,
+    cutoff_millis: int,
+    history_ttl_ms: int = HISTORY_TTL_MS,
+) -> CompactionResult:
+    """Compaction that KEEPS the folded prefix as history records instead
+    of discarding it: the compacted deltas survive for ``history_ttl_ms``
+    (2 days, AbstractCompactor.java:245) so ``getTimeline`` can still show
+    a document's recent past after compaction. ``base`` doubles as the
+    Compaction record (cutoff_change_id + fold state + compacted_count =
+    the Compaction row getTimeline renders)."""
+    ts = change_id_millis(F.col("change_id"))
+    old = updates.filter(ts < F.lit(cutoff_millis))
+    base, tail = compact(updates, cutoff_millis)
+    history = old.withColumn("compacted_at", F.lit(cutoff_millis)).withColumn(
+        "expires_at", F.lit(cutoff_millis + history_ttl_ms)
+    )
+    return CompactionResult(base=base, tail=tail, history=history)
+
+
+def prune_history(history: DataFrame, now_millis: int) -> DataFrame:
+    """Drop history rows past their TTL (the periodic retention sweep)."""
+    return history.filter(F.col("expires_at") > F.lit(now_millis))
 
 
 def _resolve_with_base_partition(batches):

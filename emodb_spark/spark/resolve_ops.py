@@ -315,6 +315,104 @@ def timeline(
     return df
 
 
+TIMELINE_SCHEMA = T.StructType(
+    [
+        T.StructField("rec_type", T.StringType(), False),  # delta|history|compaction
+        T.StructField("change_id", T.StringType(), True),
+        T.StructField("change_ts", T.LongType(), True),
+        T.StructField("delta", T.StringType(), True),        # data? flag
+        T.StructField("content", T.StringType(), True),      # compaction snapshot
+        T.StructField("version", T.LongType(), True),        # compaction only
+        T.StructField("signature", T.StringType(), True),    # compaction only
+        T.StructField("compacted_count", T.LongType(), True),
+        T.StructField("tags", T.ArrayType(T.StringType()), True),  # audit? flag
+    ]
+)
+
+
+def timeline_full(
+    tail: DataFrame,
+    base: Optional[DataFrame],
+    history: Optional[DataFrame],
+    tbl: str,
+    key: str,
+    data: bool = True,
+    audit: bool = False,
+    reversed_: bool = True,
+    start=None,
+    end=None,
+    limit: Optional[int] = None,
+    now_millis: Optional[int] = None,
+) -> DataFrame:
+    """Complete per-document history AFTER compaction
+    (DataStore.getTimeline — sor-api DataStore.java:120-124;
+    AstyanaxBlockedDataReaderDAO.java:287-316): live deltas from ``tail``,
+    Compaction records from ``base`` (cutoff change id, fold state,
+    compacted_count), and the compacted deltas themselves from ``history``
+    while their 2-day TTL lasts (pass ``now_millis`` to enforce it).
+
+    ``data`` controls whether delta text / compaction content is included;
+    ``audit`` controls the tags column (full audit records are REST-layer,
+    out of scope per SURVEY §2 — the flag shape is the parity surface)."""
+    null_s = F.lit(None).cast(T.StringType())
+    null_l = F.lit(None).cast(T.LongType())
+    null_a = F.lit(None).cast(T.ArrayType(T.StringType()))
+    coord = (F.col("tbl") == tbl) & (F.col("key") == key)
+
+    def delta_rows(df: DataFrame, rec_type: str) -> DataFrame:
+        return df.filter(coord).select(
+            F.lit(rec_type).alias("rec_type"),
+            F.col("change_id"),
+            change_id_millis(F.col("change_id")).alias("change_ts"),
+            (F.col("delta") if data else null_s).alias("delta"),
+            null_s.alias("content"),
+            null_l.alias("version"),
+            null_s.alias("signature"),
+            null_l.alias("compacted_count"),
+            (F.col("tags") if audit else null_a).alias("tags"),
+        )
+
+    parts = [delta_rows(tail, "delta")]
+    if history is not None:
+        h = history.filter(coord)
+        if now_millis is not None and "expires_at" in history.columns:
+            h = h.filter(F.col("expires_at") > F.lit(now_millis))
+        parts.append(delta_rows(h, "history"))
+    if base is not None:
+        parts.append(
+            base.filter(coord).select(
+                F.lit("compaction").alias("rec_type"),
+                F.col("cutoff_change_id").alias("change_id"),
+                change_id_millis(F.col("cutoff_change_id")).alias("change_ts"),
+                null_s.alias("delta"),
+                (F.col("content") if data else null_s).alias("content"),
+                F.col("version"),
+                F.col("signature"),
+                F.col("compacted_count"),
+                null_a.alias("tags"),
+            )
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    start, end = _bound_millis(start), _bound_millis(end)
+    if start is not None:
+        df = df.filter(F.col("change_ts") >= F.lit(start))
+    if end is not None:
+        df = df.filter(F.col("change_ts") <= F.lit(end))
+    # compaction records sort just above the newest delta they fold
+    # (rec_type tiebreak: 'compaction' < 'delta'/'history' lexicographically,
+    # so use an explicit rank: compaction after its cutoff delta)
+    rank = F.when(F.col("rec_type") == "compaction", F.lit(1)).otherwise(F.lit(0))
+    order = [F.col("change_ts"), F.col("change_id"), rank]
+    if reversed_:
+        order = [c.desc() for c in order]
+    df = df.orderBy(*order)
+    if limit is not None:
+        df = df.limit(limit)
+    return df
+
+
 # Offset between the UUID epoch (1582-10-15) and the Unix epoch, in 100ns.
 _UUID_EPOCH_OFFSET_100NS = 0x01B21DD213814000
 
