@@ -903,31 +903,104 @@ WHERE (list_contains(string_split(p_name, ' '), 'green')
 
 
 def q_partition_shard_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """partition(n:i) coordinate sharding (subscription sharding parity) —
-    murmur3_32 has no DuckDB equivalent → rows-only check."""
+    """partition(n:i) coordinate sharding (subscription sharding parity):
+    the union of all 8 shards must equal the table exactly once — the
+    oracle proves the shards are disjoint AND complete (a union-all of
+    overlapping shards would duplicate rows and fail the hash)."""
     ds = _store(spark, sf_dir)
-    return ds.scan("orders", "partition(8:1)").select(*_ORDER_COLS)
+    out = None
+    for i in range(1, 9):  # reference shard numbering is 1-based
+        part = ds.scan("orders", f"partition(8:{i})").select(*_ORDER_COLS)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+# Shared shingle pipeline for the dedup oracles, mirroring
+# emodb_spark.pipeline.dedup.shingles (word 3-grams of normalized text).
+_SQL_SHINGLES = """
+toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS tk
+  FROM documents
+), sh AS (
+  SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
+      list_distinct(list_transform(generate_series(1, len(tk)-2),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+    ELSE [array_to_string(tk, ' ')] END AS shl
+  FROM toks
+), shr AS (
+  SELECT doc_id, unnest(shl) AS s FROM sh
+)"""
 
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidates verified by exact Jaccard (scale path).
-    xxhash64 has no DuckDB equivalent → rows-only check."""
+
+    Oracle: brute-force all-pairs exact Jaccard in DuckDB. Equality IS the
+    recall check — 32 bands × 2 rows give miss probability (1-j²)^32
+    ≤ 1e-4 per pair at j ≥ 0.5 (4e-10 at the 0.7 threshold), so the
+    LSH-pruned result must contain every qualifying pair."""
     from emodb_spark.pipeline.dedup import minhash_lsh_candidates, ngram_jaccard
 
     docs = _read(spark, sf_dir, "documents")
-    cands = minhash_lsh_candidates(docs, num_hashes=32, bands=16, shingle_k=3)
-    return ngram_jaccard(docs, pairs=cands, shingle_k=3, threshold=0.5)
+    cands = minhash_lsh_candidates(docs, num_hashes=64, bands=32, shingle_k=3)
+    return ngram_jaccard(docs, pairs=cands, shingle_k=3, threshold=0.7)
+
+
+ORACLE_MINHASH_NEAR_DUPS = f"""
+WITH {_SQL_SHINGLES}, sz AS (
+  SELECT doc_id, len(shl) AS n FROM sh
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(i AS DOUBLE) / (na.n + nb.n - i) AS jaccard
+FROM inter
+JOIN sz na ON na.doc_id = id_a
+JOIN sz nb ON nb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.7
+"""
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups, oracle-checked end to end: 60-bit md5-derived
+    signatures (bit-identical in DuckDB) + 10×6-bit pigeonhole blocks —
+    COMPLETE for hamming ≤ 9, so candidates+verify equals the brute-force
+    all-pairs answer exactly."""
     from emodb_spark.pipeline.dedup import simhash_candidates, simhash_signatures
 
     docs = _read(spark, sf_dir, "documents")
-    sigs = simhash_signatures(docs, shingle_k=3)
-    return simhash_candidates(sigs, max_hamming=8)
+    sigs = simhash_signatures(docs, shingle_k=3, bits=60)
+    out = simhash_candidates(sigs, max_hamming=8, n_blocks=10, block_bits=6)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+ORACLE_SIMHASH_NEAR_DUPS = f"""
+WITH {_SQL_SHINGLES}, h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS hv FROM shr
+), votes AS (
+  SELECT doc_id, bits.i AS i,
+         SUM(CASE WHEN (hv >> bits.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i) bits
+  GROUP BY 1, 2
+), sigs AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END) AS BIGINT) AS sig
+  FROM votes GROUP BY 1
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 8
+"""
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k. The hyperplanes are deterministic
+    ±1 literals (sha256-derived, no driver random state), so the DuckDB
+    oracle replays the ENTIRE algorithm — bucket assignment, bucket
+    equijoin, exact cosine, per-query rank — and must match bit-for-bit."""
     from emodb_spark.pipeline.similarity import lsh_topk
 
     emb = _read(spark, sf_dir, "embeddings")
@@ -935,6 +1008,50 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
     return lsh_topk(emb, queries, k=10, num_planes=10)
+
+
+def _oracle_ann_lsh_topk() -> str:
+    """SQL mirror of lsh_topk(num_planes=10, dim=64, seed=7, k=10): the
+    plane sign matrix is inlined as literals; dot products use the same
+    sequential left-fold protocol as ORACLE_SIMILARITY_TOPK."""
+    from emodb_spark.pipeline.similarity import _plane_signs
+
+    planes = _plane_signs(10, 64, seed=7)
+    rows = ",\n  ".join(
+        "({}, [{}])".format(p, ", ".join(f"{w:.1f}" for w in plane))
+        for p, plane in enumerate(planes)
+    )
+    dot = (
+        "list_reduce(list_transform(list_zip({a}, {b}),"
+        " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a,b) -> a+b)"
+    )
+    proj = dot.format(a="e.embedding", b="p.w")
+    cos = (
+        dot.format(a="q.q_vec", b="e.embedding")
+        + " / ( sqrt(list_reduce(list_transform(q.q_vec, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (a,b) -> a+b))"
+        + " * sqrt(list_reduce(list_transform(e.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (a,b) -> a+b)) )"
+    )
+    return f"""
+WITH planes AS (SELECT * FROM (VALUES
+  {rows}) pl(pid, w)
+), b AS (
+  SELECT e.vec_id, e.embedding,
+    CAST(SUM(CASE WHEN {proj} >= 0 THEN (1 << p.pid) ELSE 0 END) AS INT) AS bucket
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY e.vec_id, e.embedding
+), q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec, bucket FROM b WHERE vec_id < 8
+), scored AS (
+  SELECT q.query_id, e.vec_id AS nbr_id, {cos} AS cos_raw
+  FROM b e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, nbr_id, cos_raw,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, nbr_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, nbr_id, ROUND(cos_raw, 8) AS cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -999,7 +1116,11 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed": ORACLE_EVENTS_WINDOWED,
         "scan_condition": ORACLE_SCAN_CONDITION,
         "scan_condition_arrays": ORACLE_SCAN_CONDITION_ARRAYS,
-        # partition_shard_scan: rows-only (murmur3_32 coordinate hash)
+        # partition_shard_scan: murmur3_32 itself has no DuckDB analog, but
+        # union-of-all-shards == full table proves disjoint+complete
+        "partition_shard_scan": ORACLE_MULTI_GET.replace(
+            "WHERE o_orderkey BETWEEN 1 AND 40", ""
+        ),
         "scan_condition_complex": ORACLE_SCAN_CONDITION_COMPLEX,
         "multi_get": ORACLE_MULTI_GET,
         "scan_paged": ORACLE_SCAN_PAGED,
@@ -1015,6 +1136,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _oracle_text_stats(),
         "similarity_topk": ORACLE_SIMILARITY_TOPK,
         "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
-        # minhash_near_dups / simhash_near_dups / ann_lsh_topk: rows-only
-        # (xxhash64-based; no DuckDB equivalent)
+        "minhash_near_dups": ORACLE_MINHASH_NEAR_DUPS,
+        "simhash_near_dups": ORACLE_SIMHASH_NEAR_DUPS,
+        "ann_lsh_topk": _oracle_ann_lsh_topk(),
     }

@@ -193,46 +193,77 @@ def ngram_jaccard(
 _BIT_MASKS = [1 << i for i in range(63)] + [-(1 << 63)]
 
 
+def md5_hash60(col: Column) -> Column:
+    """60-bit integer from the first 15 hex chars of md5 — the one shingle
+    hash both Spark AND ANSI SQL engines compute bit-identically, making
+    simhash results oracle-checkable (xxhash64 has no SQL equivalent)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_k: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    bits: int = 64,
 ) -> DataFrame:
-    """64-bit SimHash via explode + 64 grouped bit-vote sums.
+    """SimHash via explode + grouped bit-vote sums.
 
     Per (id, shingle-hash) row each bit contributes ±1; grouped SUMs give
-    the vote vector (map-side combine keeps the shuffle at 64 longs per
-    doc); the signature reassembles sign bits into one long. All JVM-side,
-    and linear in shingles — not in shingles × bits re-scans."""
+    the vote vector (map-side combine keeps the shuffle at ``bits`` longs
+    per doc); the signature reassembles sign bits into one long. All
+    JVM-side, and linear in shingles — not in shingles × bits re-scans.
+
+    ``bits=64`` uses xxhash64 (fastest); ``bits=60`` uses the md5-derived
+    60-bit hash so an external SQL oracle can recompute signatures."""
+    if bits == 64:
+        masks, h = _BIT_MASKS, F.xxhash64(F.col("s"))
+    elif bits == 60:
+        masks, h = [1 << i for i in range(60)], md5_hash60(F.col("s"))
+    else:
+        raise ValueError("bits must be 60 or 64")
     ex = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
         .repartition(F.col("id"))
         .select("id", shingles(F.col("t"), shingle_k).alias("sh"))
         .select("id", F.explode(F.array_distinct("sh")).alias("s"))
-        .select("id", F.xxhash64("s").alias("h"))
+        .select("id", h.alias("h"))
     )
     votes = [
         F.sum(
             F.when(F.col("h").bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1)
         ).alias(f"b{i}")
-        for i, m in enumerate(_BIT_MASKS)
+        for i, m in enumerate(masks)
     ]
     grouped = ex.groupBy("id").agg(*votes)
     sig = None
-    for i, m in enumerate(_BIT_MASKS):
+    for i, m in enumerate(masks):
         bit = F.when(F.col(f"b{i}") > 0, F.lit(m).cast("long")).otherwise(F.lit(0).cast("long"))
         sig = bit if sig is None else sig + bit
     return grouped.select("id", sig.alias("sig"))
 
 
 def simhash_candidates(
-    sigs: DataFrame, max_hamming: int = 3
+    sigs: DataFrame, max_hamming: int = 3, n_blocks: int = 4, block_bits: int = 16,
+    complete: bool = True,
 ) -> DataFrame:
-    """Hamming-ball candidate pairs via 4×16-bit block buckets (pigeonhole:
-    distance ≤3 ⇒ at least one of 4 blocks equal), verified exactly with
-    bit_count(xor)."""
+    """Hamming-ball candidate pairs via block buckets (pigeonhole: distance
+    ≤ n_blocks-1 ⇒ at least one block equal), verified exactly with
+    bit_count(xor). The default 4×16 blocks are COMPLETE only for
+    max_hamming ≤ 3; pass more blocks for larger radii (e.g. 10×6-bit
+    blocks cover max_hamming ≤ 9 on 60-bit signatures), or
+    ``complete=False`` to accept best-effort recall."""
+    if complete and max_hamming >= n_blocks:
+        raise ValueError(
+            f"pigeonhole needs n_blocks > max_hamming ({n_blocks} vs {max_hamming}) "
+            "for complete candidate recall; pass complete=False for best-effort"
+        )
+    mask = (1 << block_bits) - 1
     blocks = F.array(*[
         F.struct(F.lit(i).alias("block"),
-                 F.shiftrightunsigned(F.col("sig"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"))
-        for i in range(4)
+                 F.shiftrightunsigned(F.col("sig"), i * block_bits)
+                 .bitwiseAND(F.lit(mask)).alias("val"))
+        for i in range(n_blocks)
     ])
     b = sigs.select("id", "sig", F.explode(blocks).alias("e")).select(
         "id", "sig", F.col("e.block").alias("block"), F.col("e.val").alias("val")

@@ -73,7 +73,7 @@ def test_simhash(spark, docs_df):
 
     # near-dup is closer than unrelated content
     assert hamming(rows[0], rows[2]) < hamming(rows[0], rows[3])
-    cands = simhash_candidates(sigs, max_hamming=16)
+    cands = simhash_candidates(sigs, max_hamming=16, complete=False)
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in cands.collect()}
     assert got[(0, 1)] == 0
     assert got[(0, 4)] == 0
