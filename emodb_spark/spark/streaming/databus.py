@@ -709,13 +709,33 @@ class DatabusPoller:
         self.output_path = output_path
         self._q = QueueService(spark, claims_path, clock=clock)
 
-    def _events(self, subscription: str) -> DataFrame:
+    def _acks_path(self) -> str:
+        return os.path.join(self.output_path, "_acks")
+
+    def _acked(self, subscription: str) -> DataFrame:
+        from .queues import ACKS_SCHEMA
+
+        if not os.path.exists(self._acks_path()):
+            return self.spark.createDataFrame([], ACKS_SCHEMA)
+        return self.spark.read.schema(ACKS_SCHEMA).parquet(self._acks_path()).filter(
+            F.col("queue") == subscription
+        )
+
+    def _sink(self, subscription: str) -> Optional[DataFrame]:
+        """The subscription's raw sink minus ack tombstones."""
         path = os.path.join(self.output_path, f"sub={subscription}")
         if not os.path.exists(path):
+            return None
+        df = self.spark.read.parquet(path)
+        acked = self._acked(subscription).select(F.col("val").alias("change_id"))
+        return df.join(acked, ["change_id"], "left_anti")
+
+    def _events(self, subscription: str) -> DataFrame:
+        df = self._sink(subscription)
+        if df is None:
             from .queues import MESSAGES_SCHEMA
 
             return self.spark.createDataFrame([], MESSAGES_SCHEMA)
-        df = self.spark.read.parquet(path)
         payload = F.to_json(F.struct("tbl", "key", "content", "deleted", "version"))
         return df.select(
             F.lit(subscription).alias("queue"),
@@ -748,13 +768,39 @@ class DatabusPoller:
         ]
 
     def acknowledge(self, subscription: str, event_ids) -> None:
-        """Ack = delete from the sink (event consumed)."""
+        """Ack = APPEND-ONLY tombstone (anti-joined at read): acking one
+        event writes one tiny file instead of rewriting the sink — the
+        only ack shape that survives a large sink. ``compact`` folds
+        tombstones into the sink later."""
+        from .queues import ACKS_SCHEMA
+
+        ids = list(event_ids)
+        if not ids:
+            return
+        self.spark.createDataFrame(
+            [(subscription, "id", i) for i in ids], ACKS_SCHEMA
+        ).write.mode("append").parquet(self._acks_path())
+
+    def compact(self, subscription: str) -> None:
+        """Maintenance: fold ack tombstones into the sink (rewrite minus
+        acked events, drop the subscription's tombstones) — bounds the
+        tombstone/small-file growth from per-ack appends."""
+        from .queues import ACKS_SCHEMA
+
+        remaining = self._sink(subscription)
+        if remaining is None:
+            return
         path = os.path.join(self.output_path, f"sub={subscription}")
-        df = self.spark.read.parquet(path)
-        remaining = df.filter(~F.col("change_id").isin(list(event_ids)))
         tmp = path + "._tmp"
         remaining.write.mode("overwrite").parquet(tmp)
         self.spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+        if os.path.exists(self._acks_path()):
+            keep = self.spark.read.schema(ACKS_SCHEMA).parquet(self._acks_path()).filter(
+                F.col("queue") != subscription
+            )
+            tmp2 = self._acks_path() + "._tmp"
+            keep.write.mode("overwrite").parquet(tmp2)
+            self.spark.read.parquet(tmp2).write.mode("overwrite").parquet(self._acks_path())
 
     def renew(self, subscription: str, event_ids, claim_ttl_s: int = 30) -> None:
         self._q.renew(subscription, list(event_ids), claim_ttl_s)
@@ -778,11 +824,10 @@ class DatabusPoller:
 
     def move(self, from_subscription: str, to_subscription: str) -> int:
         """moveAsync parity (DefaultDatabus.java:900-950): drain one
-        subscription's pending events into another's sink."""
-        src = os.path.join(self.output_path, f"sub={from_subscription}")
-        if not os.path.exists(src):
+        subscription's pending (un-acked) events into another's sink."""
+        df = self._sink(from_subscription)
+        if df is None:
             return 0
-        df = self.spark.read.parquet(src)
         n = df.count()
         if n:
             dst = os.path.join(self.output_path, f"sub={to_subscription}")

@@ -48,6 +48,17 @@ CLAIMS_SCHEMA = T.StructType(
     ]
 )
 
+# Append-only ack tombstones: kind='id' hides one message, kind='payload'
+# hides every duplicate of a payload (dedup queues). Acks never rewrite the
+# message store — they anti-join at read; compact() folds them in later.
+ACKS_SCHEMA = T.StructType(
+    [
+        T.StructField("queue", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),  # id | payload
+        T.StructField("val", T.StringType(), False),
+    ]
+)
+
 
 class QueueService:
     def __init__(self, spark: SparkSession, base_path: str, dedup: bool = False,
@@ -66,6 +77,9 @@ class QueueService:
 
     def _claims_path(self) -> str:
         return os.path.join(self.base, "claims")
+
+    def _acks_path(self) -> str:
+        return os.path.join(self.base, "acks")
 
     def _read(self, path: str, schema: T.StructType) -> DataFrame:
         if not os.path.exists(path):
@@ -99,9 +113,7 @@ class QueueService:
         """Unclaimed (or claim-expired) messages of a queue; the dedup
         variant collapses identical payloads keeping the oldest id."""
         now = self._clock()
-        msgs = self._read(self._messages_path(), MESSAGES_SCHEMA).filter(
-            F.col("queue") == queue
-        )
+        msgs = self._unacked(queue)
         claims = self._read(self._claims_path(), CLAIMS_SCHEMA).filter(
             (F.col("queue") == queue) & (F.col("claimed_until") > F.lit(now))
         )
@@ -134,6 +146,24 @@ class QueueService:
         first, string tie-break) — matches PersistentSortedQueue time order."""
         return [change_id_ticks(F.col("msg_id")), F.col("msg_id")]
 
+    def _unacked(self, queue: str) -> DataFrame:
+        """This queue's messages minus ack tombstones (anti-joins — the
+        message store itself is never rewritten on ack)."""
+        msgs = self._read(self._messages_path(), MESSAGES_SCHEMA).filter(
+            F.col("queue") == queue
+        )
+        acks = self._read(self._acks_path(), ACKS_SCHEMA).filter(
+            F.col("queue") == queue
+        )
+        by_id = acks.filter(F.col("kind") == "id").select(
+            "queue", F.col("val").alias("msg_id")
+        )
+        msgs = msgs.join(by_id, ["queue", "msg_id"], "left_anti")
+        by_payload = acks.filter(F.col("kind") == "payload").select(
+            "queue", F.col("val").alias("payload")
+        )
+        return msgs.join(by_payload, ["queue", "payload"], "left_anti")
+
     def peek(self, queue: str, limit: int = 10) -> List[dict]:
         """Non-destructive inspection (BaseQueueService.peek)."""
         rows = self._visible(queue).orderBy(*self._time_order()).limit(limit).collect()
@@ -159,20 +189,48 @@ class QueueService:
         )
 
     def acknowledge(self, queue: str, msg_ids: List[str]) -> None:
-        """Delete messages (and, for dedup queues, every duplicate of an
-        acked payload)."""
-        msgs = self._read(self._messages_path(), MESSAGES_SCHEMA)
-        doomed = msgs.filter(
-            (F.col("queue") == queue) & F.col("msg_id").isin(list(msg_ids))
-        )
+        """Hide messages (and, for dedup queues, every duplicate of an
+        acked payload) via APPEND-ONLY tombstones — O(acked) I/O, never a
+        rewrite of the message store (the rewrite happens lazily in
+        :meth:`compact`). At scale this is the only ack shape that works:
+        acking 1 message out of 10^9 writes one tiny file."""
+        msg_ids = list(msg_ids)
+        if not msg_ids:
+            return
         if self.dedup:
-            doomed_payloads = doomed.select("queue", "payload")
-            remaining = msgs.join(doomed_payloads, ["queue", "payload"], "left_anti")
-        else:
-            remaining = msgs.join(
-                doomed.select("queue", "msg_id"), ["queue", "msg_id"], "left_anti"
+            doomed = (
+                self._read(self._messages_path(), MESSAGES_SCHEMA)
+                .filter((F.col("queue") == queue) & F.col("msg_id").isin(msg_ids))
+                .select("payload")
+                .distinct()
+                .collect()
             )
-        self._overwrite(self._messages_path(), remaining)
+            rows = [(queue, "payload", r["payload"]) for r in doomed]
+        else:
+            rows = [(queue, "id", m) for m in msg_ids]
+        self.spark.createDataFrame(rows, ACKS_SCHEMA).write.mode("append").parquet(
+            self._acks_path()
+        )
+
+    def compact(self, queue: str) -> None:
+        """Maintenance sweep: fold ack tombstones into the message store
+        (drop acked messages, clear the queue's tombstones) and rewrite
+        claims to a single file dropping expired ones — bounds the
+        small-file growth from per-poll/ack appends."""
+        visible = self._unacked(queue)
+        others = self._read(self._messages_path(), MESSAGES_SCHEMA).filter(
+            F.col("queue") != queue
+        )
+        self._overwrite(self._messages_path(), others.unionByName(visible))
+        if os.path.exists(self._acks_path()):
+            acks = self._read(self._acks_path(), ACKS_SCHEMA)
+            self._overwrite(self._acks_path(), acks.filter(F.col("queue") != queue))
+        if os.path.exists(self._claims_path()):
+            now = self._clock()
+            live = self._read(self._claims_path(), CLAIMS_SCHEMA).filter(
+                F.col("claimed_until") > F.lit(now)
+            )
+            self._overwrite(self._claims_path(), live.coalesce(1))
 
     def message_count(self, queue: str, up_to: Optional[int] = None) -> int:
         """getMessageCountUpTo (BaseQueueService.java:45): exact count,
@@ -204,6 +262,9 @@ class QueueService:
     def purge(self, queue: str) -> None:
         msgs = self._read(self._messages_path(), MESSAGES_SCHEMA)
         self._overwrite(self._messages_path(), msgs.filter(F.col("queue") != queue))
+        if os.path.exists(self._acks_path()):
+            acks = self._read(self._acks_path(), ACKS_SCHEMA)
+            self._overwrite(self._acks_path(), acks.filter(F.col("queue") != queue))
 
     def unclaim_all(self, queue: str) -> None:
         claims = self._read(self._claims_path(), CLAIMS_SCHEMA)

@@ -74,3 +74,46 @@ def test_replay_since(spark, wired):
 
     n2 = resolver.replay(batch, "reviews", since_millis=uuid_timestamp_millis(ids[2]))
     assert n2 == 1
+
+
+def test_poller_ack_append_only(spark, tmp_path):
+    """Databus ack appends a tombstone — the sink files stay untouched
+    until compact() (VERDICT r1 #4)."""
+    import os
+
+    from emodb_spark.core.timeuuid import TimeUUIDGenerator
+    from emodb_spark.spark.resolve_ops import UPDATES_SCHEMA
+    from emodb_spark.spark.streaming.databus import (
+        DatabusPoller, MegabusResolver, SubscriptionRegistry,
+    )
+
+    reg = SubscriptionRegistry()
+    reg.put_table("t:a", template={"type": "x"})
+    reg.subscribe("s1", "alwaysTrue()")
+    out_path = str(tmp_path / "out")
+    resolver = MegabusResolver(spark, reg, str(tmp_path / "state"), out_path)
+    gen = TimeUUIDGenerator(node=6, start_millis=1710000000000)
+    batch = spark.createDataFrame(
+        [("t:a", f"k{i}", gen.next(), '{"n":%d}' % i, []) for i in range(4)],
+        UPDATES_SCHEMA,
+    )
+    resolver.process_batch(batch, 0)
+
+    def sink_files():
+        p = os.path.join(out_path, "sub=s1")
+        return sorted(
+            os.path.join(r, n) for r, _d, ns in os.walk(p) for n in ns
+            if n.endswith(".parquet")
+        )
+
+    poller = DatabusPoller(spark, out_path, str(tmp_path / "claims"))
+    before = sink_files()
+    got = poller.poll("s1", limit=2)
+    poller.acknowledge("s1", [e["id"] for e in got])
+    assert sink_files() == before          # no sink rewrite
+    assert poller.event_count("s1") == 2   # but acked events are hidden
+    poller.compact("s1")
+    assert poller.event_count("s1") == 2
+    assert len(sink_files()) >= 1
+    raw = spark.read.parquet(os.path.join(out_path, "sub=s1"))
+    assert raw.count() == 2                # tombstones folded into the sink

@@ -140,3 +140,68 @@ def test_queue_order_is_chronological_across_timelow_wrap(spark, tmp_path, clock
     dq.send("jobs", {"v": 1})  # duplicate payload, newer id
     got = dq.peek("jobs", limit=10)
     assert len(got) == 1 and got[0]["id"] == older  # kept the OLDEST copy
+
+
+def _files(path):
+    import os
+    out = []
+    for root, _d, names in os.walk(path):
+        for n in names:
+            if n.endswith(".parquet"):
+                out.append(os.path.join(root, n))
+    return sorted(out)
+
+
+def test_ack_is_append_only_then_compacted(spark, tmp_path, clock):
+    """Acking 1 message must not rewrite the message store (VERDICT r1 #4):
+    it appends a tombstone; compact() folds tombstones in later."""
+    import os
+    base = str(tmp_path / "q")
+    q = QueueService(spark, base, clock=clock)
+    q.send_all("jobs", [{"n": i} for i in range(5)])
+    msg_files_before = _files(os.path.join(base, "messages"))
+
+    got = q.poll("jobs", limit=2)
+    q.acknowledge("jobs", [m["id"] for m in got])
+    # message files untouched; acks dir appeared
+    assert _files(os.path.join(base, "messages")) == msg_files_before
+    assert _files(os.path.join(base, "acks"))
+    # acked messages invisible
+    assert q.message_count("jobs") == 3
+    clock.advance(60_000)  # claims expired: still hidden (acked, not claimed)
+    assert q.message_count("jobs") == 3
+
+    q.compact("jobs")
+    assert q.message_count("jobs") == 3
+    assert spark.read.parquet(os.path.join(base, "messages")).count() == 3
+    # tombstones folded away
+    from emodb_spark.spark.streaming.queues import ACKS_SCHEMA
+    acks = spark.read.schema(ACKS_SCHEMA).parquet(os.path.join(base, "acks"))
+    assert acks.count() == 0
+
+
+def test_dedup_ack_hides_all_duplicates_append_only(spark, tmp_path, clock):
+    import os
+    base = str(tmp_path / "dq")
+    q = QueueService(spark, base, dedup=True, clock=clock)
+    q.send_all("jobs", [{"v": 1}, {"v": 1}, {"v": 2}])
+    msg_files_before = _files(os.path.join(base, "messages"))
+    got = q.poll("jobs", limit=1)
+    q.acknowledge("jobs", [got[0]["id"]])
+    assert _files(os.path.join(base, "messages")) == msg_files_before
+    assert [m["payload"]["v"] for m in q.peek("jobs")] == [2]
+
+
+def test_claim_compaction_bounds_files(spark, tmp_path, clock):
+    import os
+    base = str(tmp_path / "q")
+    q = QueueService(spark, base, clock=clock)
+    q.send_all("jobs", [{"n": i} for i in range(4)])
+    for _ in range(4):  # each poll appends a claims file
+        q.poll("jobs", claim_ttl_s=1, limit=1)
+    assert len(_files(os.path.join(base, "claims"))) >= 4
+    clock.advance(5_000)
+    q.compact("jobs")
+    assert len(_files(os.path.join(base, "claims"))) == 1
+    # all claims expired → everything visible again
+    assert q.message_count("jobs") == 4
