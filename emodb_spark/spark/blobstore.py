@@ -1,0 +1,165 @@
+"""BlobStore write surface: put / delete / get / ranged get / metadata scan
+(blob-api BlobStore.java:80-101), parquet-backed.
+
+Storage is an append-only log per table directory: every ``put`` appends a
+row stamped with a time-UUID version; ``delete`` appends a tombstone.
+Reads resolve latest-version-wins per blob_id and hide tombstones — the
+same log+resolve shape as the document store, so writes are O(1) files and
+never rewrite existing data. ``compact`` folds the log to the current
+snapshot (bounding file count), exactly like delta compaction.
+
+Scale notes (100 TB of blobs):
+- each table is its own directory → scans prune to one table;
+- metadata scans project only metadata columns → parquet column pruning
+  never touches the binary payload;
+- the latest-wins window shuffles on blob_id only (ids, not payloads,
+  dominate the exchange: content rides along but only for the winning
+  row's read path).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..core.timeuuid import TimeUUIDGenerator
+from .resolve_ops import change_id_ticks
+
+BLOB_LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("blob_id", T.StringType(), False),
+        T.StructField("version", T.StringType(), False),  # time-UUID
+        T.StructField("deleted", T.BooleanType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("length", T.LongType(), True),
+        T.StructField("md5", T.StringType(), True),
+        T.StructField("sha1", T.StringType(), True),
+        T.StructField("attributes", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+
+class BlobStore:
+    def __init__(self, spark: SparkSession, base_path: str):
+        self.spark = spark
+        self.base = base_path
+        self._gen = TimeUUIDGenerator()
+        os.makedirs(base_path, exist_ok=True)
+
+    # -- storage ------------------------------------------------------------
+
+    def _table_path(self, table: str) -> str:
+        return os.path.join(self.base, table)
+
+    def _log(self, table: str) -> DataFrame:
+        path = self._table_path(table)
+        if not os.path.exists(path):
+            return self.spark.createDataFrame([], BLOB_LOG_SCHEMA)
+        return self.spark.read.schema(BLOB_LOG_SCHEMA).parquet(path)
+
+    # -- writes (append-only) ----------------------------------------------
+
+    def put(self, table: str, blob_id: str, content: bytes,
+            attributes: Optional[Dict[str, str]] = None) -> str:
+        """Store/replace a blob (BlobStore.put — BlobStore.java:80-88):
+        appends one versioned row; the previous version is superseded at
+        read time, not rewritten. Returns the version id."""
+        version = self._gen.next()
+        row = (
+            str(blob_id),
+            version,
+            False,
+            content,
+            len(content),
+            hashlib.md5(content).hexdigest(),
+            hashlib.sha1(content).hexdigest(),
+            dict(attributes or {}),
+        )
+        self.spark.createDataFrame([row], BLOB_LOG_SCHEMA).write.mode(
+            "append"
+        ).parquet(self._table_path(table))
+        return version
+
+    def delete(self, table: str, blob_id: str) -> None:
+        """Tombstone a blob (BlobStore.delete — BlobStore.java:95-101)."""
+        version = self._gen.next()
+        row = (str(blob_id), version, True, None, None, None, None, None)
+        self.spark.createDataFrame([row], BLOB_LOG_SCHEMA).write.mode(
+            "append"
+        ).parquet(self._table_path(table))
+
+    # -- reads --------------------------------------------------------------
+
+    def current(self, table: str) -> DataFrame:
+        """Latest version per blob_id, tombstones hidden."""
+        log = self._log(table)
+        w = Window.partitionBy("blob_id").orderBy(
+            change_id_ticks(F.col("version")).desc(), F.col("version").desc()
+        )
+        return (
+            log.withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") == 1) & ~F.col("deleted"))
+            .drop("__rn", "deleted")
+        )
+
+    def get(self, table: str, blob_id: str) -> Optional[dict]:
+        rows = self.current(table).filter(F.col("blob_id") == str(blob_id)).limit(1).collect()
+        return rows[0].asDict(recursive=True) if rows else None
+
+    def get_range(self, table: str, blob_id: str, offset: int,
+                  length: Optional[int] = None) -> Optional[bytes]:
+        """Ranged read (OffsetRange/SuffixRange specifications): offset>=0
+        slices from the front, offset<0 is a suffix range."""
+        from ..pipeline.multimodal import ranged_read
+
+        df = self.current(table).filter(F.col("blob_id") == str(blob_id))
+        rows = ranged_read(df, offset, length).select("range_content").limit(1).collect()
+        if not rows:
+            return None
+        rc = rows[0]["range_content"]
+        return bytes(rc) if rc is not None else None
+
+    def metadata(self, table: str, blob_id: str) -> Optional[dict]:
+        rows = (
+            self.current(table)
+            .select("blob_id", "version", "length", "md5", "sha1", "attributes")
+            .filter(F.col("blob_id") == str(blob_id))
+            .limit(1)
+            .collect()
+        )
+        return rows[0].asDict(recursive=True) if rows else None
+
+    def scan_metadata(self, table: str, from_blob_id: Optional[str] = None,
+                      limit: int = 10) -> List[dict]:
+        """Paged metadata scan (BlobStore.java:91): never projects the
+        binary column, so parquet column pruning skips payloads."""
+        out = self.current(table).select(
+            "blob_id", "version", "length", "md5", "sha1", "attributes"
+        )
+        if from_blob_id is not None:
+            out = out.filter(F.col("blob_id") > str(from_blob_id))
+        return [r.asDict(recursive=True) for r in out.orderBy("blob_id").limit(limit).collect()]
+
+    def list_tables(self) -> List[str]:
+        return sorted(
+            d for d in os.listdir(self.base)
+            if os.path.isdir(os.path.join(self.base, d)) and not d.startswith((".", "_"))
+        )
+
+    # -- maintenance ---------------------------------------------------------
+
+    def compact(self, table: str) -> None:
+        """Fold the append log to the current snapshot (one rewrite),
+        discarding superseded versions and tombstones."""
+        snap = self.current(table)
+        path = self._table_path(table)
+        tmp = path + "._tmp"
+        snap.withColumn("deleted", F.lit(False)).select(
+            *[f.name for f in BLOB_LOG_SCHEMA.fields]
+        ).write.mode("overwrite").parquet(tmp)
+        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(path)

@@ -21,6 +21,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Sequence, Union
 
@@ -109,15 +110,69 @@ class DataStore:
     ``local_placement`` plays the datacenter role: when a table has a
     facade for it, reads resolve to the facade's data."""
 
-    def __init__(self, spark: SparkSession, local_placement: str = "default"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        local_placement: str = "default",
+        catalog_path: Optional[str] = None,
+    ):
         self.spark = spark
         self.local_placement = local_placement
         self._tables: Dict[str, TableDef] = {}
+        # persistent catalog (table AstyanaxTableDAO/TableJson.java analog):
+        # table definitions survive the session as JSON documents
+        self._catalog_path = catalog_path
+        if catalog_path is not None and os.path.exists(catalog_path):
+            self._load_catalog()
+
+    # -- catalog persistence -------------------------------------------------
+
+    def _load_catalog(self) -> None:
+        import json
+
+        with open(self._catalog_path) as f:
+            docs = json.load(f)
+        for doc in docs:
+            self._tables[doc["name"]] = TableDef(
+                name=doc["name"],
+                path=doc.get("path"),
+                key_column=doc.get("key_column", "~id"),
+                placement=doc.get("placement", "default"),
+                template=dict(doc.get("template") or {}),
+                facades=dict(doc.get("facades") or {}),
+            )
+
+    def _persist_catalog(self) -> None:
+        """Write table defs as JSON documents (TableJson.java:1-353 stores
+        them in a system table; a JSON catalog file is the single-node
+        analog — swap for a catalog table/metastore on a cluster).
+        DataFrame-backed tables are session objects and are skipped."""
+        if self._catalog_path is None:
+            return
+        import json
+
+        docs = [
+            {
+                "name": t.name,
+                "path": t.path,
+                "key_column": t.key_column,
+                "placement": t.placement,
+                "template": t.template,
+                "facades": t.facades,
+            }
+            for t in self._tables.values()
+            if t.df is None
+        ]
+        tmp = self._catalog_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(docs, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._catalog_path)
 
     # -- table admin --------------------------------------------------------
 
     def register_table(self, table: TableDef) -> None:
         self._tables[table.name] = table
+        self._persist_catalog()
 
     def create_table(
         self,
@@ -137,6 +192,7 @@ class DataStore:
 
     def drop_table(self, name: str) -> None:
         self._tables.pop(name, None)
+        self._persist_catalog()
 
     def list_tables(self, from_exclusive: Optional[str] = None, limit: int = 10) -> List[str]:
         """Paged table listing (DataStore.java:36)."""
@@ -156,6 +212,7 @@ class DataStore:
         """Register a facade: reads from ``placement`` serve ``path``'s data
         under the same table name (DataStore.java:216-256)."""
         self.table_def(name).facades[placement] = path
+        self._persist_catalog()
 
     def read(self, name: str) -> DataFrame:
         """The table as a DataFrame with intrinsics + template stamped in."""

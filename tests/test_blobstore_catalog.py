@@ -1,0 +1,99 @@
+"""BlobStore write surface (put/delete/ranged get — BlobStore.java:80-101)
+and the persistent DataStore table catalog (TableJson analog)."""
+
+import os
+
+import pytest
+
+from emodb_spark.spark.blobstore import BlobStore
+from emodb_spark.spark.datastore import DataStore
+
+
+def test_blob_put_get_roundtrip(spark, tmp_path):
+    bs = BlobStore(spark, str(tmp_path / "blobs"))
+    payload = bytes(range(256)) * 4
+    v1 = bs.put("media", "b1", payload, {"modality": "image", "codec": "raw"})
+    got = bs.get("media", "b1")
+    assert bytes(got["content"]) == payload
+    assert got["length"] == 1024
+    assert got["attributes"]["modality"] == "image"
+    assert got["version"] == v1
+
+    # ranged reads: offset, offset+length, suffix
+    assert bs.get_range("media", "b1", 0, 4) == payload[:4]
+    assert bs.get_range("media", "b1", 10, 16) == payload[10:26]
+    assert bs.get_range("media", "b1", -8) == payload[-8:]
+
+
+def test_blob_put_overwrites_and_delete_tombstones(spark, tmp_path):
+    bs = BlobStore(spark, str(tmp_path / "blobs"))
+    bs.put("media", "b1", b"old-version")
+    bs.put("media", "b1", b"new-version", {"rev": "2"})
+    got = bs.get("media", "b1")
+    assert bytes(got["content"]) == b"new-version"  # latest version wins
+    assert got["attributes"] == {"rev": "2"}
+
+    bs.put("media", "b2", b"other")
+    bs.delete("media", "b1")
+    assert bs.get("media", "b1") is None
+    assert bs.get("media", "b2") is not None
+    # metadata scan skips tombstoned ids and pages by id
+    ids = [m["blob_id"] for m in bs.scan_metadata("media")]
+    assert ids == ["b2"]
+
+
+def test_blob_writes_are_append_only_then_compacted(spark, tmp_path):
+    base = str(tmp_path / "blobs")
+    bs = BlobStore(spark, base)
+    bs.put("media", "b1", b"v1")
+    files_after_first = set(os.listdir(os.path.join(base, "media")))
+    bs.put("media", "b1", b"v2")
+    bs.delete("media", "b1")
+    bs.put("media", "b3", b"x")
+    # appends never touched the first put's files
+    assert files_after_first <= set(os.listdir(os.path.join(base, "media")))
+    log_rows = spark.read.parquet(os.path.join(base, "media")).count()
+    assert log_rows == 4
+    bs.compact("media")
+    assert spark.read.parquet(os.path.join(base, "media")).count() == 1
+    assert bytes(bs.get("media", "b3")["content"]) == b"x"
+    assert bs.get("media", "b1") is None
+
+
+def test_blob_metadata_scan_prunes_payload(spark, tmp_path):
+    """scan_metadata must not read the binary column (ReadSchema check)."""
+    import contextlib
+    import io
+
+    bs = BlobStore(spark, str(tmp_path / "blobs"))
+    for i in range(5):
+        bs.put("media", f"b{i}", bytes([i]) * 100)
+    df = bs.current("media").select("blob_id", "length", "md5")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan and all("content" not in ln for ln in scan)
+
+
+def test_catalog_survives_sessions(spark, tmp_path, sf_dir):
+    cat = str(tmp_path / "catalog.json")
+    ds = DataStore(spark, catalog_path=cat)
+    ds.create_table("orders", path=f"{sf_dir}/orders.parquet",
+                    key_column="o_orderkey", template={"type": "order"})
+    ds.create_table("customer", path=f"{sf_dir}/customer.parquet",
+                    key_column="c_custkey")
+    ds.create_facade("orders", "eu", f"{sf_dir}/orders.parquet")
+
+    # a fresh DataStore (new "process") reloads the defs
+    ds2 = DataStore(spark, catalog_path=cat)
+    assert ds2.list_tables() == ["customer", "orders"]
+    t = ds2.table_def("orders")
+    assert t.key_column == "o_orderkey"
+    assert t.template == {"type": "order"}
+    assert t.facades == {"eu": f"{sf_dir}/orders.parquet"}
+    assert ds2.read("orders").count() == ds2.table_approximate_size("orders")
+
+    ds2.drop_table("customer")
+    assert DataStore(spark, catalog_path=cat).list_tables() == ["orders"]
