@@ -106,12 +106,20 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 5,
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
     B bands of R=K/B rows each: docs agreeing on all R minhashes of any band
     land in the same bucket. Returns distinct (id_a, id_b) with id_a < id_b.
-    """
+
+    ``max_bucket_size`` is the mega-bucket guard for the 100 TB path:
+    boilerplate text (license headers, templated pages) can put millions of
+    docs in one bucket, turning the self-join into an O(n²) blowup on that
+    key. Buckets above the cap are dropped BEFORE the join (their members
+    are better handled by exact dedup, which collapses identical content
+    without pairwise joins). Trades bounded recall loss on ultra-common
+    content for a hard cap of cap²/2 pairs per bucket."""
     rows = num_hashes // bands
     with_sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
     band_entries = F.explode(
@@ -130,6 +138,14 @@ def minhash_lsh_candidates(
     buckets = with_sig.select("id", band_entries.alias("e")).select(
         "id", F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket")
     )
+    if max_bucket_size is not None:
+        ok = (
+            buckets.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        buckets = buckets.join(ok, ["band", "bucket"], "left_semi")
     a, b = buckets.alias("a"), buckets.alias("b")
     pairs = (
         a.join(b, on=["band", "bucket"])

@@ -49,19 +49,57 @@ class Update:
 
 
 class UpdateLog:
-    """Append-only update log on a directory; the single source of truth."""
+    """Append-only update log on a directory; the single source of truth.
 
-    def __init__(self, spark: SparkSession, path: str, generator: Optional[TimeUUIDGenerator] = None):
+    ``placement`` names the log's home placement; facade writes
+    (``update_all(..., facade=True, placement=...)``) route to a sibling
+    per-placement log, mirroring DataStore.updateAll's facade variant
+    (sor-api DataStore.java:216-256): a facade write lands in the facade
+    placement's storage and is visible ONLY to readers of that placement."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 generator: Optional[TimeUUIDGenerator] = None,
+                 placement: str = "default"):
         self.spark = spark
         self.path = path
+        self.placement = placement
         self._gen = generator or TimeUUIDGenerator()
+        self._facade_logs: Dict[str, "UpdateLog"] = {}
+
+    def facade_log(self, placement: str) -> "UpdateLog":
+        """The per-placement facade log (lazily created). Reading a facade
+        placement = resolving this log."""
+        import os
+
+        if placement not in self._facade_logs:
+            self._facade_logs[placement] = UpdateLog(
+                self.spark,
+                os.path.join(self.path + "._facades", placement),
+                generator=self._gen,
+                placement=placement,
+            )
+        return self._facade_logs[placement]
 
     def update(self, table: str, key: str, delta, tags: Sequence[str] = (),
                audit: Optional[Dict[str, str]] = None) -> str:
         return self.update_all([Update(table, key, delta, tags, dict(audit or {}))])[0]
 
-    def update_all(self, updates: List[Update]) -> List[str]:
-        """Validate, assign time-UUIDs, append. Returns the change ids."""
+    def update_all(self, updates: List[Update], facade: bool = False,
+                   placement: Optional[str] = None) -> List[str]:
+        """Validate, assign time-UUIDs, append. Returns the change ids.
+
+        ``facade=True`` writes into ``placement``'s facade log instead of
+        the main log; writing a facade into the table's own placement is
+        rejected (the reference refuses a facade where the master lives —
+        DataStore.java:216-256)."""
+        if facade:
+            if placement is None:
+                raise ValueError("facade writes need an explicit placement")
+            if placement == self.placement:
+                raise ValueError(
+                    f"facade placement {placement!r} is the master placement"
+                )
+            return self.facade_log(placement).update_all(updates)
         rows = []
         ids = []
         for u in updates:

@@ -169,3 +169,24 @@ def test_multimodal_blob_plumbing(spark):
     # deterministic: same bytes → same features
     feats2 = {r["blob_id"]: r for r in extract_features(blobs).collect()}
     assert feats["b1"]["feature"] == feats2["b1"]["feature"]
+
+
+def test_lsh_mega_bucket_guard(spark):
+    """1k near-identical docs would generate ~500k candidate pairs; the
+    bucket cap drops the mega-bucket before the self-join (SCALE.md:
+    boilerplate-text skew guard)."""
+    from emodb_spark.pipeline.dedup import minhash_lsh_candidates
+
+    rows = [(i, "common boilerplate license header text repeated everywhere") for i in range(1000)]
+    rows += [(2000, "something rather different entirely here"),
+             (2001, "something rather different entirely here also")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = minhash_lsh_candidates(
+        docs, num_hashes=16, bands=8, shingle_k=3, max_bucket_size=100
+    )
+    n = capped.count()
+    assert n < 5000  # not ~500k — mega-bucket dropped
+    # the small legit bucket still produces its pair
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (2000, 2001) in pairs

@@ -104,3 +104,34 @@ def test_missing_ref_retry(spark, tmp_path):
     resolver.process_batch(b2, 1)
     st = {r["key"] for r in resolver.state.read().collect()}
     assert st == {"k1", "k2", "x1"}
+
+
+def test_facade_write_routes_to_facade_placement(spark, tmp_path):
+    """updateAll(facade=true) lands in the facade placement's log, visible
+    only there (DataStore.java:216-256)."""
+    from emodb_spark.spark.resolve_ops import resolve
+    from emodb_spark.spark.writer import Update, UpdateLog
+
+    log = UpdateLog(spark, str(tmp_path / "log"), placement="us")
+    log.update("t:a", "k1", '{"src":"master"}')
+    log.update_all(
+        [Update("t:a", "k1", '{"src":"facade-eu"}')], facade=True, placement="eu"
+    )
+
+    # master log unaffected by the facade write
+    master = {r["~id"]: r for r in resolve(
+        log.read().select("tbl", "key", "change_id", "delta", "tags")).collect()}
+    assert '"src": "master"' in master["k1"]["content"] or \
+        json.loads(master["k1"]["content"])["src"] == "master"
+
+    # facade placement sees only the facade write
+    eu = {r["~id"]: r for r in resolve(
+        log.facade_log("eu").read()
+        .select("tbl", "key", "change_id", "delta", "tags")).collect()}
+    assert json.loads(eu["k1"]["content"])["src"] == "facade-eu"
+
+    # facade into the master placement is rejected
+    with pytest.raises(ValueError):
+        log.update_all([Update("t:a", "k2", "{}")], facade=True, placement="us")
+    with pytest.raises(ValueError):
+        log.update_all([Update("t:a", "k2", "{}")], facade=True)
