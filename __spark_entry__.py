@@ -937,14 +937,20 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidates verified by exact Jaccard (scale path).
 
     Oracle: brute-force all-pairs exact Jaccard in DuckDB. Equality IS the
-    recall check — 32 bands × 2 rows give miss probability (1-j²)^32
-    ≤ 1e-4 per pair at j ≥ 0.5 (4e-10 at the 0.7 threshold), so the
-    LSH-pruned result must contain every qualifying pair."""
-    from emodb_spark.pipeline.dedup import minhash_lsh_candidates, ngram_jaccard
+    recall check — 24 bands × 2 rows give miss probability (1-j²)^24
+    ≈ 1e-7 per pair at the 0.7 threshold, so the LSH-pruned result must
+    contain every qualifying pair."""
+    from emodb_spark.pipeline.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard,
+        shingle_sets,
+    )
 
     docs = _read(spark, sf_dir, "documents")
-    cands = minhash_lsh_candidates(docs, num_hashes=64, bands=32, shingle_k=3)
-    return ngram_jaccard(docs, pairs=cands, shingle_k=3, threshold=0.7)
+    # one shingle scan shared by signature generation and verification
+    sh = shingle_sets(docs, shingle_k=3).persist()
+    cands = minhash_lsh_candidates(docs, num_hashes=48, bands=24, shingle_k=3, sh=sh)
+    return ngram_jaccard(docs, pairs=cands, shingle_k=3, threshold=0.7, sh=sh)
 
 
 ORACLE_MINHASH_NEAR_DUPS = f"""
