@@ -1016,6 +1016,57 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, k=10, num_planes=10)
 
 
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (the fifth dedup mode): 4 hyperplane
+    tables × 6 sign bits → bucket equijoins → exact-cosine verify. The
+    DuckDB oracle replays the full algorithm from the literal plane
+    matrices, so candidates AND verification must match bit-for-bit."""
+    from emodb_spark.pipeline.similarity import cosine_near_dups
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return cosine_near_dups(emb, threshold=0.42, num_planes=6, num_tables=4)
+
+
+def _oracle_embedding_near_dups() -> str:
+    from emodb_spark.pipeline.similarity import _plane_signs
+
+    rows = []
+    for t in range(4):
+        for p, plane in enumerate(_plane_signs(6, 64, seed=7 + 1000 * t)):
+            rows.append(
+                "({}, {}, [{}])".format(t, p, ", ".join(f"{w:.1f}" for w in plane))
+            )
+    dot = (
+        "list_reduce(list_transform(list_zip({a}, {b}),"
+        " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a,b) -> a+b)"
+    )
+    proj = dot.format(a="e.embedding", b="p.w")
+    cos = (
+        dot.format(a="ea.embedding", b="eb.embedding")
+        + " / ( sqrt(list_reduce(list_transform(ea.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (a,b) -> a+b))"
+        + " * sqrt(list_reduce(list_transform(eb.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (a,b) -> a+b)) )"
+    )
+    rows_sql = ",\n  ".join(rows)
+    return f"""
+WITH planes AS (SELECT * FROM (VALUES
+  {rows_sql}) pl(t, pid, w)
+), b AS (
+  SELECT e.vec_id, p.t,
+    CAST(SUM(CASE WHEN {proj} >= 0 THEN (1 << p.pid) ELSE 0 END) AS INT) AS bucket
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY e.vec_id, p.t
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+  FROM b a JOIN b b2 ON a.t = b2.t AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+)
+SELECT id_a, id_b, ROUND({cos}, 8) AS cosine
+FROM cand
+JOIN embeddings ea ON ea.vec_id = id_a
+JOIN embeddings eb ON eb.vec_id = id_b
+WHERE {cos} >= 0.42
+"""
+
+
 def _oracle_ann_lsh_topk() -> str:
     """SQL mirror of lsh_topk(num_planes=10, dim=64, seed=7, k=10): the
     plane sign matrix is inlined as literals; dot products use the same
@@ -1100,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "similarity_topk": q_similarity_topk,
         "multimodal_features": q_multimodal_features,
+        "embedding_near_dups": q_embedding_near_dups,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1142,6 +1194,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _oracle_text_stats(),
         "similarity_topk": ORACLE_SIMILARITY_TOPK,
         "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
+        "embedding_near_dups": _oracle_embedding_near_dups(),
         "minhash_near_dups": ORACLE_MINHASH_NEAR_DUPS,
         "simhash_near_dups": ORACLE_SIMHASH_NEAR_DUPS,
         "ann_lsh_topk": _oracle_ann_lsh_topk(),

@@ -133,6 +133,59 @@ def hyperplane_bucket(vec: Column, num_planes: int = 16, dim: int = 64, seed: in
     return out.cast("int")
 
 
+def cosine_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    num_planes: int = 8,
+    num_tables: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine ≥ threshold) — the embedding
+    analog of banded MinHash: ``num_tables`` independent hyperplane tables
+    of ``num_planes`` sign bits each; a pair becomes a candidate when ALL
+    bits of ANY table agree (bucket equijoin per table — never an
+    all-pairs cross join), then candidates are verified with the exact
+    cosine. Per-table collision probability for a pair at angle θ is
+    (1-θ/π)^planes; tables multiply recall like LSH bands.
+
+    Returns (id_a, id_b, cosine) with id_a < id_b. Deterministic: planes
+    derive from sha256(seed+1000·table), so an external oracle can replay
+    the exact algorithm."""
+    base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    entries = F.array(*[
+        F.struct(
+            F.lit(t).alias("t"),
+            hyperplane_bucket(
+                F.col("vec"), num_planes, dim, seed=seed + 1000 * t
+            ).alias("bucket"),
+        )
+        for t in range(num_tables)
+    ])
+    b = base.select("id", "vec", F.explode(entries).alias("e")).select(
+        "id", "vec", F.col("e.t").alias("t"), F.col("e.bucket").alias("bucket")
+    )
+    l, r = b.alias("l"), b.alias("r")
+    cand = (
+        l.join(r, on=["t", "bucket"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.vec").alias("va"),
+            F.col("r.vec").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        cand.filter(cos >= F.lit(threshold))
+        .select("id_a", "id_b", F.round(cos, 8).alias("cosine"))
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

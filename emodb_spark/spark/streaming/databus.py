@@ -644,6 +644,55 @@ class MegabusResolver:
             .start()
         )
 
+    def drop_table(self, tbl: str) -> int:
+        """Table drop → BULK delete tombstones (table lifecycle events —
+        table AstyanaxTableDAO drop semantics; megabus emits a deletion per
+        live document): every live key of ``tbl`` in the resolved state
+        store is tombstoned (version+1, content cleared) and a deletion
+        event is fanned out to matching subscriptions. Returns the number
+        of documents tombstoned.
+
+        Scale note: a drop touches every bucket holding the table's keys
+        (typically all — keys hash uniformly), so this is one full
+        per-bucket rewrite; drops are rare admin events, and the rewrite
+        is still partition-parallel."""
+        from ...core.timeuuid import TimeUUIDGenerator
+
+        drop_cid = TimeUUIDGenerator().next()
+        state_df = self.state.read().drop("bucket")
+        doomed = state_df.filter((F.col("tbl") == tbl) & ~F.col("deleted"))
+        n = doomed.count()
+        if n == 0:
+            return 0
+        events = doomed.select(
+            "tbl",
+            "key",
+            F.lit(drop_cid).alias("change_id"),
+            F.lit(False).alias("is_redundant"),
+            F.lit(None).cast(T.StringType()).alias("content"),
+            F.lit(True).alias("deleted"),
+            (F.col("version") + 1).alias("version"),
+            F.array().cast(T.ArrayType(T.StringType())).alias("tags"),
+        )
+        self._fanout(events)
+        updated = state_df.withColumn(
+            "deleted", F.when(F.col("tbl") == tbl, F.lit(True)).otherwise(F.col("deleted"))
+        ).withColumn(
+            "content",
+            F.when(F.col("tbl") == tbl, F.lit(None).cast(T.StringType())).otherwise(
+                F.col("content")
+            ),
+        ).withColumn(
+            "version",
+            F.when(F.col("tbl") == tbl, F.col("version") + 1).otherwise(F.col("version")),
+        ).withColumn(
+            "last_change_id",
+            F.when(F.col("tbl") == tbl, F.lit(drop_cid)).otherwise(F.col("last_change_id")),
+        )
+        self.state.write_buckets(updated.withColumn("bucket", self.state.bucket_col()))
+        self.registry._tables.pop(tbl, None)
+        return n
+
     def enable_canary(self) -> None:
         """Built-in all-tables subscription for bus health monitoring
         (databus core/Canary.java): a trivial alwaysTrue() subscription;

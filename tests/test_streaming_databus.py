@@ -258,3 +258,33 @@ def test_merge_batch_emit_runs_before_state_commit(spark, tmp_path):
     assert seen["events"] == 1
     assert seen["state_rows_at_emit"] == 0  # not yet committed during emit
     assert state.read().count() == 1  # committed after
+
+
+def test_drop_table_emits_bulk_tombstones(spark, tmp_path, registry):
+    """Dropping a table tombstones every live document in the resolved
+    state AND fans a deletion event out to matching subscriptions
+    (table lifecycle events — VERDICT r1 §2.6 partial row)."""
+    gen = TimeUUIDGenerator(node=13, start_millis=1730000000000)
+    state_path = str(tmp_path / "state")
+    out_path = str(tmp_path / "out")
+    resolver = MegabusResolver(spark, registry, state_path, out_path)
+
+    rows = [("review:tc", f"r{i}", gen.next(), '{"rating":%d}' % i, []) for i in range(6)]
+    rows += [("question:tc", "q1", gen.next(), '{"t":"x"}', [])]
+    resolver.process_batch(_updates(spark, rows), 0)
+
+    n = resolver.drop_table("review:tc")
+    assert n == 6
+    st = {(r["tbl"], r["key"]): r for r in resolver.state.read().collect()}
+    for i in range(6):
+        row = st[("review:tc", f"r{i}")]
+        assert row["deleted"] is True and row["content"] is None
+        assert row["version"] == 2  # tombstone bumped the fold version
+    assert st[("question:tc", "q1")]["deleted"] is False
+
+    # deletion events reached the matching subscription sink
+    subs = spark.read.parquet(os.path.join(out_path, "sub=all-reviews"))
+    dels = subs.filter(F.col("deleted")).collect()
+    assert {r["key"] for r in dels} == {f"r{i}" for i in range(6)}
+    # and the registry no longer knows the table
+    assert "review:tc" not in resolver.registry._tables
