@@ -407,15 +407,14 @@ def _compile_like(cond: C.LikeCondition, target: Target) -> Column:
 
 
 def _partition_udf(num_partitions: int):
-    from ..language.hashes import coordinate_partition
+    from ..language.hashes import coordinate_partition_batch
 
     @F.pandas_udf(T.IntegerType())
     def part(table: pd.Series, doc_id: pd.Series) -> pd.Series:
         return pd.Series(
-            [
-                coordinate_partition(t, i, num_partitions)
-                for t, i in zip(table.astype(str), doc_id.astype(str))
-            ],
+            coordinate_partition_batch(
+                table.astype(str), doc_id.astype(str), num_partitions
+            ),
             dtype="int32",
         )
 

@@ -241,3 +241,33 @@ def test_partition_gt():
     intr = Intrinsics(id="abc", table="review:test")
     p = coordinate_partition("review:test", "abc", 8)
     assert ev(f"partition(8:gt({p - 1}))", None, intr) is True
+
+
+def test_murmur3_batch_matches_scalar():
+    """The numpy-vectorized murmur3/partition must be bit-identical to the
+    scalar (Guava-verified) implementation, across lengths 0..67 and
+    random unicode coordinates."""
+    import random
+
+    from emodb_spark.language.hashes import (
+        coordinate_partition,
+        coordinate_partition_batch,
+        murmur3_32,
+        murmur3_32_batch,
+    )
+
+    rng = random.Random(42)
+    blobs = [bytes(rng.randrange(256) for _ in range(n)) for n in range(68)]
+    blobs += [bytes(rng.randrange(256) for _ in range(rng.randrange(1, 64)))
+              for _ in range(200)]
+    got = murmur3_32_batch(blobs)
+    for b, g in zip(blobs, got):
+        assert int(g) == murmur3_32(b), b.hex()
+
+    tables = [rng.choice(["review:tc", "q:x", "tbl", "ünïcode:tbl"]) for _ in range(300)]
+    ids = [f"doc{rng.randrange(10**6)}" + ("é" if i % 7 == 0 else "")
+           for i in range(300)]
+    for n in (1, 2, 7, 8, 16):
+        batch = coordinate_partition_batch(tables, ids, n)
+        for t, d, g in zip(tables, ids, batch):
+            assert int(g) == coordinate_partition(t, d, n), (t, d, n)
