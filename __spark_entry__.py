@@ -1016,6 +1016,58 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, k=10, num_planes=10)
 
 
+def q_blob_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BlobStore write surface end-to-end (BlobStore.java:80-101): put the
+    first 50 documents as blobs (with an overwrite + a delete mixed in),
+    read the current versions back with a ranged read — lengths, digests
+    and the 16-byte prefix must match DuckDB's recomputation from the
+    source table."""
+    import tempfile
+
+    from emodb_spark.spark.blobstore import BlobStore
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(50)
+        .collect()
+    )
+    bs = BlobStore(spark, tempfile.mkdtemp(prefix="emodb_blobstore_"))
+    bs.put_all(
+        "docs",
+        [(str(r["doc_id"]), r["text"].encode("utf-8"), {"src": "documents"})
+         for r in docs],
+    )
+    # overwrite the first blob with stale-then-current content, delete one
+    bs.put_all("docs", [(str(docs[0]["doc_id"]), b"stale", None)])
+    bs.put("docs", str(docs[0]["doc_id"]), docs[0]["text"].encode("utf-8"))
+    bs.delete("docs", str(docs[1]["doc_id"]))
+
+    from emodb_spark.pipeline.multimodal import ranged_read
+
+    cur = ranged_read(bs.current("docs"), 0, 16)
+    return cur.select(
+        F.col("blob_id").cast("long").alias("blob_id"),
+        "length",
+        "md5",
+        F.decode(F.col("range_content"), "UTF-8").alias("head"),
+    )
+
+
+ORACLE_BLOB_STORE_ROUNDTRIP = """
+WITH first50 AS (
+  SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 50
+)
+SELECT doc_id AS blob_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS length,
+       md5(text) AS md5,
+       substr(text, 1, 16) AS head
+FROM first50
+WHERE doc_id <> (SELECT doc_id FROM first50 ORDER BY doc_id LIMIT 1 OFFSET 1)
+"""
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (the fifth dedup mode): 4 hyperplane
     tables × 6 sign bits → bucket equijoins → exact-cosine verify. The
@@ -1130,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "splits_scan": q_splits_scan,
         "stash_roundtrip": q_stash_roundtrip,
         "blob_ranged_read": q_blob_ranged_read,
+        "blob_store_roundtrip": q_blob_store_roundtrip,
         "lang_distribution": q_lang_distribution,
         "quality_docs_join": q_quality_docs_join,
         "events_windowed": q_events_windowed,
@@ -1169,6 +1222,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "stash_roundtrip": ORACLE_STASH_ROUNDTRIP,
         "blob_ranged_read": ORACLE_BLOB_RANGED_READ,
+        "blob_store_roundtrip": ORACLE_BLOB_STORE_ROUNDTRIP,
         "lang_distribution": _oracle_lang_distribution(),
         "quality_docs_join": ORACLE_QUALITY_DOCS_JOIN,
         "events_windowed": ORACLE_EVENTS_WINDOWED,

@@ -34,9 +34,16 @@ from ..language.deval import eval_delta
 from hashlib import md5 as _md5
 
 from ..language.hashes import SIGNATURE_ZERO, signature_step
+from functools import lru_cache
+
 from ..language.parser import parse_delta
 from ..language.values import UNDEFINED, json_equals
 from .timeuuid import iso8601, uuid_sort_key, uuid_timestamp_millis
+
+# Real logs repeat identical delta strings (status flips, templated
+# creates); ASTs are immutable after parse, so memoizing by the exact
+# string is safe and skips the re-parse on every repeat.
+_parse_delta_cached = lru_cache(maxsize=65536)(parse_delta)
 
 
 @dataclass
@@ -105,7 +112,7 @@ class Resolver:
     def update(self, change_id: str, delta, tags: Sequence[str] = ()) -> bool:
         """Apply one delta; returns True if it was redundant."""
         if isinstance(delta, str):
-            delta = parse_delta(delta)
+            delta = _parse_delta_cached(delta)
         tags_t = tuple(sorted(tags or ()))
 
         updated = eval_delta(delta, self._content, self._intrinsics())

@@ -69,21 +69,33 @@ class BlobStore:
         """Store/replace a blob (BlobStore.put — BlobStore.java:80-88):
         appends one versioned row; the previous version is superseded at
         read time, not rewritten. Returns the version id."""
-        version = self._gen.next()
-        row = (
-            str(blob_id),
-            version,
-            False,
-            content,
-            len(content),
-            hashlib.md5(content).hexdigest(),
-            hashlib.sha1(content).hexdigest(),
-            dict(attributes or {}),
-        )
-        self.spark.createDataFrame([row], BLOB_LOG_SCHEMA).write.mode(
+        return self.put_all(table, [(blob_id, content, attributes)])[0]
+
+    def put_all(self, table: str, blobs) -> List[str]:
+        """Batch put: one append for many blobs (one file instead of one
+        per blob — the bulk-ingest shape). ``blobs`` is an iterable of
+        (blob_id, content, attributes). Returns the version ids."""
+        rows = []
+        versions = []
+        for blob_id, content, attributes in blobs:
+            version = self._gen.next()
+            versions.append(version)
+            rows.append(
+                (
+                    str(blob_id),
+                    version,
+                    False,
+                    content,
+                    len(content),
+                    hashlib.md5(content).hexdigest(),
+                    hashlib.sha1(content).hexdigest(),
+                    dict(attributes or {}),
+                )
+            )
+        self.spark.createDataFrame(rows, BLOB_LOG_SCHEMA).write.mode(
             "append"
         ).parquet(self._table_path(table))
-        return version
+        return versions
 
     def delete(self, table: str, blob_id: str) -> None:
         """Tombstone a blob (BlobStore.delete — BlobStore.java:95-101)."""

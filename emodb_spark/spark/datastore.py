@@ -412,6 +412,36 @@ class DataStore:
         edges = [None] + bounds + [None]
         return [_split_token(name, edges[i], edges[i + 1]) for i in range(len(edges) - 1)]
 
+    def resplit(self, name: str, split: str, parts: int = 8) -> List[str]:
+        """Adaptive re-split (DefaultDataStore.java:577-627: a split that
+        times out is subdivided and retried): sample key quantiles WITHIN
+        the split's range and return ``parts`` sub-splits covering exactly
+        the same (lo, hi] range."""
+        split_name, lo, hi = _parse_split_token(split)
+        if split_name != name:
+            raise ValueError(f"split {split!r} is not of table {name!r}")
+        t = self.table_def(name)
+        key = F.col(f"`{t.key_column}`")
+        df = self.read(name)
+        if lo is not None:
+            df = df.filter(key > F.lit(lo))
+        if hi is not None:
+            df = df.filter(key <= F.lit(hi))
+        sample = sorted(
+            r[0]
+            for r in df.select(key).sample(False, 1.0, seed=43).limit(50_000).collect()
+            if r[0] is not None
+        )
+        if len(sample) < 2 or parts < 2:
+            return [split]
+        bounds: List[Any] = []
+        for i in range(1, parts):
+            b = sample[min(len(sample) - 1, (i * len(sample)) // parts)]
+            if (not bounds or b != bounds[-1]) and b != lo and b != hi:
+                bounds.append(b)
+        edges = [lo] + bounds + [hi]
+        return [_split_token(name, edges[i], edges[i + 1]) for i in range(len(edges) - 1)]
+
     def get_split(
         self,
         split: str,

@@ -23,6 +23,8 @@ from ..language import deltas as D
 from ..language.parser import parse_delta
 
 # full log schema: UPDATES_SCHEMA + audit (audit is stored, never folded)
+# + no_events (updateAll's no-databus-events variant — the write folds
+# normally but is excluded from the ref stream; DataStore.java:173-250)
 LOG_SCHEMA = T.StructType(
     [
         T.StructField("tbl", T.StringType(), False),
@@ -31,6 +33,7 @@ LOG_SCHEMA = T.StructType(
         T.StructField("delta", T.StringType(), False),
         T.StructField("tags", T.ArrayType(T.StringType()), True),
         T.StructField("audit", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("no_events", T.BooleanType(), True),
     ]
 )
 
@@ -85,13 +88,19 @@ class UpdateLog:
         return self.update_all([Update(table, key, delta, tags, dict(audit or {}))])[0]
 
     def update_all(self, updates: List[Update], facade: bool = False,
-                   placement: Optional[str] = None) -> List[str]:
+                   placement: Optional[str] = None,
+                   databus_events: bool = True) -> List[str]:
         """Validate, assign time-UUIDs, append. Returns the change ids.
 
         ``facade=True`` writes into ``placement``'s facade log instead of
         the main log; writing a facade into the table's own placement is
         rejected (the reference refuses a facade where the master lives —
-        DataStore.java:216-256)."""
+        DataStore.java:216-256).
+
+        ``databus_events=False`` is the no-events variant
+        (DataStore.java:173-250): the deltas fold into documents normally
+        but are excluded from :meth:`refs` / the streaming input — bulk
+        backfills that shouldn't wake every subscriber."""
         if facade:
             if placement is None:
                 raise ValueError("facade writes need an explicit placement")
@@ -99,7 +108,9 @@ class UpdateLog:
                 raise ValueError(
                     f"facade placement {placement!r} is the master placement"
                 )
-            return self.facade_log(placement).update_all(updates)
+            return self.facade_log(placement).update_all(
+                updates, databus_events=databus_events
+            )
         rows = []
         ids = []
         for u in updates:
@@ -113,7 +124,10 @@ class UpdateLog:
             parse_delta(delta)  # validate eagerly (REST layer parity)
             cid = u.change_id or self._gen.next()
             ids.append(cid)
-            rows.append((u.table, str(u.key), cid, delta, tags, dict(u.audit or {})))
+            rows.append(
+                (u.table, str(u.key), cid, delta, tags, dict(u.audit or {}),
+                 not databus_events)
+            )
         (
             self.spark.createDataFrame(rows, LOG_SCHEMA)
             .write.mode("append")
@@ -127,12 +141,22 @@ class UpdateLog:
         return self.spark.read.schema(LOG_SCHEMA).parquet(self.path)
 
     def read_stream(self) -> DataFrame:
-        """The log as a Structured Streaming source — the databus input."""
-        return self.spark.readStream.schema(LOG_SCHEMA).parquet(self.path)
+        """The log as a Structured Streaming source — the databus input.
+        No-events writes are excluded (they fold, but don't publish)."""
+        return (
+            self.spark.readStream.schema(LOG_SCHEMA)
+            .parquet(self.path)
+            .filter(~F.coalesce(F.col("no_events"), F.lit(False)))
+        )
 
     def refs(self) -> DataFrame:
-        """UpdateRef view: (tbl, key, change_id, tags)."""
-        return self.read().select("tbl", "key", "change_id", "tags")
+        """UpdateRef view: (tbl, key, change_id, tags). No-events writes
+        are excluded — they fold into documents but never hit the bus."""
+        return (
+            self.read()
+            .filter(~F.coalesce(F.col("no_events"), F.lit(False)))
+            .select("tbl", "key", "change_id", "tags")
+        )
 
     def purge(self, table: str) -> None:
         """Drop one table's updates (DataStore purge): rewrite without it."""

@@ -129,3 +129,19 @@ def test_split_ranges_partition_key_space(store, spark):
     rest = store.get_split(s, from_key_exclusive=str(first[-1]["o_orderkey"])).collect()
     all_rows = store.get_split(s).collect()
     assert [r["o_orderkey"] for r in first + rest] == [r["o_orderkey"] for r in all_rows]
+
+
+def test_resplit_subdivides_range(store, spark):
+    """Adaptive re-split (DefaultDataStore.java:577-627): sub-splits cover
+    exactly the parent split's range."""
+    import json
+
+    splits = store.get_splits("orders", desired_records_per_split=500)
+    parent = splits[1]
+    subs = store.resplit("orders", parent, parts=4)
+    assert len(subs) >= 2
+    p = json.loads(parent)
+    lo, hi = json.loads(subs[0])[1], json.loads(subs[-1])[2]
+    assert (lo, hi) == (p[1], p[2])  # same outer bounds
+    total = sum(store.get_split(s).count() for s in subs)
+    assert total == store.get_split(parent).count()

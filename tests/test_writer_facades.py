@@ -135,3 +135,23 @@ def test_facade_write_routes_to_facade_placement(spark, tmp_path):
         log.update_all([Update("t:a", "k2", "{}")], facade=True, placement="us")
     with pytest.raises(ValueError):
         log.update_all([Update("t:a", "k2", "{}")], facade=True)
+
+
+def test_no_databus_events_variant(spark, tmp_path):
+    """updateAll(databus_events=False): the write folds into the document
+    but never reaches the ref stream (DataStore.java:173-250 no-events
+    variant — bulk backfills that shouldn't wake subscribers)."""
+    from emodb_spark.spark.resolve_ops import resolve
+    from emodb_spark.spark.writer import Update, UpdateLog
+
+    log = UpdateLog(spark, str(tmp_path / "log"))
+    log.update("t:a", "k1", '{"n":1}')
+    log.update_all([Update("t:a", "k1", '{..,"backfill":true}')],
+                   databus_events=False)
+
+    refs = log.refs().collect()
+    assert len(refs) == 1  # silent write excluded from the bus
+
+    resolved = resolve(log.read().select("tbl", "key", "change_id", "delta", "tags"))
+    doc = json.loads(resolved.collect()[0]["content"])
+    assert doc == {"n": 1, "backfill": True}  # but it DID fold
