@@ -1016,6 +1016,64 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, k=10, num_planes=10)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (the coarse-quantizer/probe scale path next
+    to LSH): 16 deterministic centroids, 2-cell probes. The oracle replays
+    the full algorithm — centroid assignment, probe selection, in-cell
+    exact cosine, per-query rank."""
+    from emodb_spark.pipeline.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return ivf_topk(emb, queries, k=10, n_cells=16, n_probe=2)
+
+
+def _oracle_ann_ivf_topk() -> str:
+    dot = (
+        "list_reduce(list_transform(list_zip({a}, {b}),"
+        " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a,b) -> a+b)"
+    )
+
+    def cos(a, b):
+        return (
+            dot.format(a=a, b=b)
+            + f" / ( sqrt(list_reduce(list_transform({a}, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (a,b) -> a+b))"
+            + f" * sqrt(list_reduce(list_transform({b}, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (a,b) -> a+b)) )"
+        )
+
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cell, embedding AS c_vec FROM embeddings ORDER BY vec_id LIMIT 16
+), corpus_scored AS (
+  SELECT e.vec_id AS nbr_id, e.embedding AS nbr_vec, c.cell,
+    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      ORDER BY {cos("e.embedding", "c.c_vec")} DESC, c.cell ASC) AS cr
+  FROM embeddings e CROSS JOIN cents c
+), corpus_cells AS (
+  SELECT nbr_id, nbr_vec, cell FROM corpus_scored WHERE cr = 1
+), q_scored AS (
+  SELECT e.vec_id AS query_id, e.embedding AS q_vec, c.cell,
+    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      ORDER BY {cos("e.embedding", "c.c_vec")} DESC, c.cell ASC) AS cr
+  FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 8
+), probes AS (
+  SELECT query_id, q_vec, cell FROM q_scored WHERE cr <= 2
+), scored AS (
+  SELECT p.query_id, cc.nbr_id, {cos("p.q_vec", "cc.nbr_vec")} AS cos_raw
+  FROM corpus_cells cc JOIN probes p ON cc.cell = p.cell
+  WHERE cc.nbr_id <> p.query_id
+), ranked AS (
+  SELECT query_id, nbr_id, cos_raw,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, nbr_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, nbr_id, ROUND(cos_raw, 8) AS cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
 def q_blob_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BlobStore write surface end-to-end (BlobStore.java:80-101): put the
     first 50 documents as blobs (with an overwrite + a delete mixed in),
@@ -1208,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
     }
 
 
@@ -1252,4 +1311,5 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dups": ORACLE_MINHASH_NEAR_DUPS,
         "simhash_near_dups": ORACLE_SIMHASH_NEAR_DUPS,
         "ann_lsh_topk": _oracle_ann_lsh_topk(),
+        "ann_ivf_topk": _oracle_ann_ivf_topk(),
     }

@@ -133,6 +133,69 @@ def hyperplane_bucket(vec: Column, num_planes: int = 16, dim: int = 64, seed: in
     return out.cast("int")
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: Optional[DataFrame] = None,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantize the corpus
+    into ``n_cells`` Voronoi cells, then score each query ONLY against its
+    ``n_probe`` nearest cells — the classic coarse-quantizer/probe split.
+
+    ``centroids`` defaults to the ``n_cells`` lowest-id vectors (flat,
+    deterministic — lets an external oracle replay the algorithm); at
+    scale swap in offline k-means centroids (pyspark.ml KMeans) — the
+    assign/probe plumbing is identical and the centroid set stays tiny, so
+    assignment is a broadcast join + window, never a shuffle of the corpus.
+
+    Scale accounting: corpus×centroids is broadcast (n_cells rows);
+    per-cell candidate lists shuffle once on the cell id; the final
+    per-query top-k windows on query_id."""
+    corpus = embeddings.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nbr_vec"))
+    if centroids is None:
+        centroids = embeddings.orderBy(F.col(id_col)).limit(n_cells)
+    cents = centroids.select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("c_vec")
+    )
+
+    def assign(df: DataFrame, id_c: str, vec: str, keep: int) -> DataFrame:
+        scored = df.join(F.broadcast(cents)).withColumn(
+            "__cs", cosine(F.col(vec), F.col("c_vec"))
+        )
+        w = Window.partitionBy(id_c).orderBy(F.col("__cs").desc(), F.col("cell").asc())
+        return (
+            scored.withColumn("__cr", F.row_number().over(w))
+            .filter(F.col("__cr") <= keep)
+            .drop("__cs", "__cr", "c_vec")
+        )
+
+    corpus_cells = assign(corpus, "nbr_id", "nbr_vec", 1)
+    q = queries.select("query_id", F.col("embedding").alias("q_vec"))
+    probes = assign(q, "query_id", "q_vec", n_probe)
+    # a corpus vector lives in exactly one cell, so (query, nbr) pairs are
+    # already unique across the probe join — no dedup shuffle needed
+    scored = (
+        corpus_cells.join(F.broadcast(probes), on="cell")
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            F.round(cosine(F.col("q_vec"), F.col("nbr_vec")), 8).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cosine", "rank")
+    )
+
+
 def cosine_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.9,

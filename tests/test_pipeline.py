@@ -190,3 +190,24 @@ def test_lsh_mega_bucket_guard(spark):
     # the small legit bucket still produces its pair
     pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert (2000, 2001) in pairs
+
+
+def test_ivf_topk_probes(spark, sf_dir):
+    """IVF: results come only from probed cells, are exactly ranked, and
+    overlap the exact top-k (coarse quantization recall sanity)."""
+    from emodb_spark.pipeline.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r["query_id"], r["nbr_id"]) for r in cosine_topk(emb, queries, k=5).collect()}
+    approx = ivf_topk(emb, queries, k=5, n_cells=8, n_probe=3).collect()
+    a = {(r["query_id"], r["nbr_id"]) for r in approx}
+    assert a and len(a & exact) > 0
+    # ranks are contiguous from 1 per query
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
