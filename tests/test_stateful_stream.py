@@ -1,0 +1,70 @@
+"""applyInPandasWithState resolver backend: engine-managed per-key fold
+state must produce the same change-event trace as the batch fold."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from emodb_spark.core.timeuuid import TimeUUIDGenerator
+from emodb_spark.spark.resolve_ops import UPDATES_SCHEMA, resolve_changes
+from emodb_spark.spark.streaming.stateful import resolve_stream_stateful
+
+
+def test_stateful_stream_matches_batch_fold(spark, tmp_path):
+    gen = TimeUUIDGenerator(node=21, start_millis=1740000000000)
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    sink = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1 = [
+        ("t:a", "k1", gen.next(), '{"rating":5}', []),
+        ("t:a", "k2", gen.next(), '{"rating":1}', []),
+    ]
+    batch2 = [
+        ("t:a", "k1", gen.next(), '{..,"status":"OK"}', ["etl"]),
+        ("t:a", "k1", gen.next(), '{..,"status":"OK"}', ["etl"]),  # redundant
+        ("t:a", "k2", gen.next(), "~", []),                        # tombstone
+    ]
+    all_rows = batch1 + batch2
+    spark.createDataFrame(batch1, UPDATES_SCHEMA).coalesce(1).write.mode(
+        "append").parquet(src)
+    spark.createDataFrame(batch2, UPDATES_SCHEMA).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(UPDATES_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        resolve_stream_stateful(stream)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {r["change_id"]: r for r in spark.read.parquet(sink).collect()}
+    want = {
+        r["change_id"]: r
+        for r in resolve_changes(
+            spark.createDataFrame(all_rows, UPDATES_SCHEMA)
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for cid in want:
+        g, w = got[cid], want[cid]
+        assert g["is_redundant"] == w["is_redundant"], cid
+        assert g["content"] == w["content"], cid
+        assert g["deleted"] == w["~deleted"], cid
+        assert g["version"] == w["~version"], cid
+    # state continued across micro-batches: k1's batch-2 events have
+    # version > 1 (not a restarted fold)
+    k1_last = max(
+        (r for r in got.values() if r["key"] == "k1"), key=lambda r: r["version"]
+    )
+    assert k1_last["version"] == 3
