@@ -160,6 +160,22 @@ def prune_history(history: DataFrame, now_millis: int) -> DataFrame:
     return history.filter(F.col("expires_at") > F.lit(now_millis))
 
 
+def compact_document(
+    updates: DataFrame,
+    tbl: str,
+    key: str,
+    cutoff_millis: int,
+    history_ttl_ms: int = HISTORY_TTL_MS,
+) -> CompactionResult:
+    """Single-document compaction (DataStore.compact —
+    sor-api DataStore.java:209: compact one coordinate on demand, with a
+    TTL override): the same split+fold, scoped to one (tbl, key). The
+    returned tail/history contain only this document's rows; merge them
+    back into the caller's log layout as needed."""
+    one = updates.filter((F.col("tbl") == tbl) & (F.col("key") == key))
+    return compact_full(one, cutoff_millis, history_ttl_ms)
+
+
 def _resolve_with_base_partition(batches):
     """Fold tail deltas on top of base fold-state rows.
 

@@ -206,6 +206,61 @@ class DataStore:
             raise KeyError(f"unknown table: {name}")
         return self._tables[name]
 
+    # -- table metadata (DataStore.java:68-95, 214) --------------------------
+
+    def get_table_exists(self, name: str) -> bool:
+        """DataStore.getTableExists (DataStore.java:68)."""
+        return name in self._tables
+
+    def is_table_available(self, name: str) -> bool:
+        """DataStore.isTableAvailable (DataStore.java:73): the table's data
+        is locally readable (its path/DataFrame resolves)."""
+        if name not in self._tables:
+            return False
+        t = self._tables[name]
+        if t.df is not None:
+            return True
+        path = self._data_path(t)
+        return path is not None and os.path.exists(path)
+
+    def get_table_metadata(self, name: str) -> Dict[str, Any]:
+        """DataStore.getTableMetadata (DataStore.java:78)."""
+        t = self.table_def(name)
+        return {
+            "name": t.name,
+            "options": self.get_table_options(name),
+            "template": dict(t.template),
+            "availability": {"placement": t.placement},
+        }
+
+    def get_table_template(self, name: str) -> Dict[str, Any]:
+        """DataStore.getTableTemplate (DataStore.java:83)."""
+        return dict(self.table_def(name).template)
+
+    def set_table_template(self, name: str, template: Dict[str, Any]) -> None:
+        """DataStore.setTableTemplate (DataStore.java:89) — persisted."""
+        self.table_def(name).template = dict(template or {})
+        self._persist_catalog()
+
+    def get_table_options(self, name: str) -> Dict[str, Any]:
+        """DataStore.getTableOptions (DataStore.java:95)."""
+        t = self.table_def(name)
+        return {"placement": t.placement, "facades": sorted(t.facades)}
+
+    def get_table_placements(self) -> List[str]:
+        """DataStore.getTablePlacements (DataStore.java:214): every
+        placement any registered table (or facade) lives in."""
+        out = set()
+        for t in self._tables.values():
+            out.add(t.placement)
+            out.update(t.facades)
+        return sorted(out)
+
+    def drop_facade(self, name: str, placement: str) -> None:
+        """DataStore.dropFacade (DataStore.java:255)."""
+        self.table_def(name).facades.pop(placement, None)
+        self._persist_catalog()
+
     # -- reads ---------------------------------------------------------------
 
     def create_facade(self, name: str, placement: str, path: str) -> None:
@@ -487,6 +542,16 @@ class DataStore:
             writer.option("compression", "gzip").json(path)
         else:
             writer.parquet(path)
+        self._stash_root = path
+
+    def get_stash_root(self) -> str:
+        """DataStore.getStashRoot (DataStore.java:262): the most recent
+        stash export location this store knows about (set by
+        :meth:`stash_export`)."""
+        root = getattr(self, "_stash_root", None)
+        if root is None:
+            raise ValueError("no stash has been exported by this store")
+        return root
 
     def stash_read(self, path: str, table: Optional[str] = None, fmt: str = "json") -> DataFrame:
         """Read a stash export back (common/stash StashReader semantics —

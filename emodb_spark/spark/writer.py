@@ -158,6 +158,22 @@ class UpdateLog:
             .select("tbl", "key", "change_id", "tags")
         )
 
+    def list_unpublished_databus_events(
+        self, from_millis: int, to_millis: int
+    ) -> DataFrame:
+        """DataStore.listUnpublishedDatabusEvents (DataStore.java:41):
+        the no-events writes in a time window — the audit trail of what
+        was deliberately kept off the bus."""
+        from .resolve_ops import change_id_millis
+
+        ts = change_id_millis(F.col("change_id"))
+        return (
+            self.read()
+            .filter(F.coalesce(F.col("no_events"), F.lit(False)))
+            .filter((ts >= F.lit(int(from_millis))) & (ts < F.lit(int(to_millis))))
+            .select("tbl", "key", "change_id", "tags")
+        )
+
     def purge(self, table: str) -> None:
         """Drop one table's updates (DataStore purge): rewrite without it."""
         remaining = self.read().filter(F.col("tbl") != table)

@@ -145,3 +145,25 @@ def test_resplit_subdivides_range(store, spark):
     assert (lo, hi) == (p[1], p[2])  # same outer bounds
     total = sum(store.get_split(s).count() for s in subs)
     assert total == store.get_split(parent).count()
+
+
+def test_table_metadata_surface(store, spark, sf_dir):
+    """getTableExists / isTableAvailable / metadata / template / options /
+    placements / dropFacade (DataStore.java:68-95,214,255)."""
+    assert store.get_table_exists("orders")
+    assert not store.get_table_exists("nope")
+    assert store.is_table_available("orders")
+    assert not store.is_table_available("nope")
+
+    store.set_table_template("orders", {"type": "order", "client": "T"})
+    assert store.get_table_template("orders") == {"type": "order", "client": "T"}
+    meta = store.get_table_metadata("orders")
+    assert meta["name"] == "orders" and meta["template"]["type"] == "order"
+    # template stamped into reads
+    assert store.read("orders").select("type").first()["type"] == "order"
+
+    store.create_facade("orders", "eu", f"{sf_dir}/orders.parquet")
+    assert store.get_table_placements() == ["default", "eu"]
+    assert store.get_table_options("orders")["facades"] == ["eu"]
+    store.drop_facade("orders", "eu")
+    assert store.get_table_options("orders")["facades"] == []

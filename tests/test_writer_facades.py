@@ -155,3 +155,48 @@ def test_no_databus_events_variant(spark, tmp_path):
     resolved = resolve(log.read().select("tbl", "key", "change_id", "delta", "tags"))
     doc = json.loads(resolved.collect()[0]["content"])
     assert doc == {"n": 1, "backfill": True}  # but it DID fold
+
+
+def test_list_unpublished_databus_events(spark, tmp_path):
+    """listUnpublishedDatabusEvents (DataStore.java:41): time-windowed view
+    of the no-events writes."""
+    from emodb_spark.core.timeuuid import TimeUUIDGenerator
+    from emodb_spark.spark.writer import Update, UpdateLog
+
+    gen = TimeUUIDGenerator(node=30, start_millis=1750000000000)
+    log = UpdateLog(spark, str(tmp_path / "log"), generator=gen)
+    log.update("t:a", "k1", '{"n":1}')
+    log.update_all([Update("t:a", "k2", '{"n":2}')], databus_events=False)
+    log.update_all([Update("t:a", "k3", '{"n":3}')], databus_events=False)
+
+    window = log.list_unpublished_databus_events(
+        1750000000000 - 1000, 1750000000000 + 10_000
+    ).collect()
+    assert {r["key"] for r in window} == {"k2", "k3"}
+    # outside the window: nothing
+    assert log.list_unpublished_databus_events(0, 1000).count() == 0
+
+
+def test_compact_document_single_coordinate(spark, tmp_path):
+    """Per-document compaction (DataStore.compact — DataStore.java:209)."""
+    from emodb_spark.core.timeuuid import TimeUUIDGenerator
+    from emodb_spark.spark.compaction import compact_document, resolve_with_base
+    from emodb_spark.spark.resolve_ops import UPDATES_SCHEMA, resolve
+
+    gen = TimeUUIDGenerator(node=31, start_millis=1700000000000)
+    rows = []
+    for k in ("k1", "k2"):
+        rows.append(("t:a", k, gen.next(), '{"n":1}', []))
+        rows.append(("t:a", k, gen.next(), '{..,"s":"X"}', []))
+    gen2 = TimeUUIDGenerator(node=31, start_millis=1700000600000)
+    rows.append(("t:a", "k1", gen2.next(), '{..,"s":"Y"}', []))
+    log = spark.createDataFrame(rows, UPDATES_SCHEMA)
+
+    res = compact_document(log, "t:a", "k1", 1700000300000)
+    assert res.base.count() == 1          # only k1 compacted
+    assert res.history.count() == 2
+    assert res.tail.count() == 1
+    merged = resolve_with_base(res.base, res.tail).collect()[0]
+    full = [r for r in resolve(log).collect() if r["~id"] == "k1"][0]
+    assert merged["~signature"] == full["~signature"]
+    assert merged["content"] == full["content"]
