@@ -1016,6 +1016,35 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, k=10, num_planes=10)
 
 
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (k-gram rolling hashes, min per
+    window — the content-defined dedup/plagiarism primitive). md5-60
+    hashes keep it bit-replayable in DuckDB."""
+    from emodb_spark.pipeline.text import winnowing_fingerprints
+
+    docs = _read(spark, sf_dir, "documents")
+    return winnowing_fingerprints(docs, k=8, window=4)
+
+
+ORACLE_DOC_FINGERPRINTS = """
+WITH base AS (
+  SELECT doc_id AS id,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+  FROM documents
+), positions AS (
+  SELECT id, t, unnest(generate_series(1, greatest(len(t) - 7, 1))) AS i
+  FROM base
+), hashed AS (
+  SELECT id, (i - 1) // 4 AS bucket,
+         CAST(('0x' || substr(md5(substr(t, i, 8)), 1, 15)) AS BIGINT) AS h
+  FROM positions
+)
+SELECT DISTINCT id, fp FROM (
+  SELECT id, bucket, MIN(h) AS fp FROM hashed GROUP BY id, bucket
+)
+"""
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (the coarse-quantizer/probe scale path next
     to LSH): 16 deterministic centroids, 2-cell probes. The oracle replays
@@ -1260,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders": q_top_orders,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
+        "doc_fingerprints": q_doc_fingerprints,
         "similarity_topk": q_similarity_topk,
         "multimodal_features": q_multimodal_features,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1305,6 +1335,7 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": ORACLE_TOP_ORDERS,
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "text_stats": _oracle_text_stats(),
+        "doc_fingerprints": ORACLE_DOC_FINGERPRINTS,
         "similarity_topk": ORACLE_SIMILARITY_TOPK,
         "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
         "embedding_near_dups": _oracle_embedding_near_dups(),

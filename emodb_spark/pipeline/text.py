@@ -113,3 +113,49 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         detect_language(t).alias("lang_detected"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Document fingerprinting by k-gram hashing + window winnowing
+    (Schleimer/Wilkerson/Aiken local fingerprinting, simplified to
+    tumbling windows so the selection is a plain groupBy-min — the
+    shuffle-friendly variant): normalize, hash every character k-gram
+    with the SQL-computable md5-60 hash, keep the MINIMUM hash of each
+    ``window`` consecutive grams, distinct per document.
+
+    The fingerprint set is what content-defined near-dup/plagiarism
+    detection joins on: shared fingerprints ⇒ shared substrings ≥ k
+    chars. Returns (id, fp) rows.
+
+    Scale: grams never materialize as a cross join — posexplode + a
+    groupBy on (id, pos/window) with map-side partial MIN; output is
+    ~len/window longs per doc."""
+    from .dedup import md5_hash60, normalize
+
+    base = df.select(F.col(id_col).alias("id"), normalize(F.col(text_col)).alias("t"))
+    grams = base.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length("t") - F.lit(k) + 1, F.lit(1))),
+                lambda i: F.col("t").substr(i, F.lit(k)),
+            )
+        ).alias("pos", "gram"),
+    )
+    hashed = grams.select(
+        "id",
+        (F.col("pos") / F.lit(window)).cast("int").alias("bucket"),
+        md5_hash60(F.col("gram")).alias("h"),
+    )
+    return (
+        hashed.groupBy("id", "bucket")
+        .agg(F.min("h").alias("fp"))
+        .select("id", "fp")
+        .distinct()
+    )

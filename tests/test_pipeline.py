@@ -211,3 +211,19 @@ def test_ivf_topk_probes(spark, sf_dir):
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_winnowing_fingerprints_detect_shared_substrings(spark, docs_df):
+    """Near-identical docs share most fingerprints; unrelated docs share
+    almost none (the winnowing guarantee: common substrings >= k chars
+    produce common fingerprints)."""
+    from emodb_spark.pipeline.text import winnowing_fingerprints
+
+    fps = winnowing_fingerprints(docs_df, k=8, window=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["id"], set()).add(r["fp"])
+    assert by_doc[0] == by_doc[1] == by_doc[4]  # normalize-identical docs
+    near = len(by_doc[0] & by_doc[2]) / len(by_doc[0] | by_doc[2])
+    far = len(by_doc[0] & by_doc[3]) / len(by_doc[0] | by_doc[3])
+    assert near > 0.5 > far
