@@ -259,31 +259,37 @@ def simhash_signatures(
         .select("id", F.explode(F.array_distinct("sh")).alias("s"))
         .select("id", h.alias("h"))
     )
-    # pack 4 one-bit counters per aggregate long (16-bit lanes): bit
+    # pack 3 one-bit counters per aggregate long (20-bit lanes): bit
     # i = P·lane + p rides in lane ``lane`` of packed sum p, so the shuffle
-    # carries ~bits/4 longs per doc instead of ``bits`` (and 1/4 the
-    # aggregate-update work — measured ~40% off the vote stage). Lanes
-    # can't carry into each other while a doc has < 65536 distinct
-    # shingles (holds by construction: shingle count ≤ text length).
-    n_packed = (bits + 3) // 4
+    # carries ~bits/3 longs per doc instead of ``bits`` (and ~1/3 the
+    # aggregate-update work — measured ~40% off the vote stage). A lane
+    # holds counts up to 2^20-1, so lanes can't carry into each other
+    # below 1,048,576 DISTINCT shingles per document (≈ a 5+ MB text —
+    # pipelines cap document size far below that; truncate upstream if
+    # yours doesn't).
+    LANE_BITS, LANES = 20, 3
+    n_packed = (bits + LANES - 1) // LANES
     packed = []
     for p in range(n_packed):
         lane_sum = None
-        for lane in range(4):
+        for lane in range(LANES):
             i = n_packed * lane + p
             if i >= bits:
                 continue
             bit = F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1))
-            term = bit * F.lit(1 << (16 * lane))
+            term = bit * F.lit(1 << (LANE_BITS * lane))
             lane_sum = term if lane_sum is None else lane_sum + term
         packed.append(F.sum(lane_sum).alias(f"p{p}"))
     grouped = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n"), *packed)
     # unpack on the (one-row-per-doc) aggregate: majority vote per bit is
     # 2·ones > n; reassemble sign bits into the signature long
+    lane_mask = (1 << LANE_BITS) - 1
     sig = None
     for i, m in enumerate(masks):
         p, lane = i % n_packed, i // n_packed
-        ones = F.shiftrightunsigned(F.col(f"p{p}"), 16 * lane).bitwiseAND(F.lit(0xFFFF))
+        ones = F.shiftrightunsigned(F.col(f"p{p}"), LANE_BITS * lane).bitwiseAND(
+            F.lit(lane_mask)
+        )
         bit = F.when(ones * 2 > F.col("n"), F.lit(m).cast("long")).otherwise(
             F.lit(0).cast("long")
         )

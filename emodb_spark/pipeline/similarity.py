@@ -141,6 +141,8 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
     centroids: Optional[DataFrame] = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse-quantize the corpus
@@ -175,7 +177,9 @@ def ivf_topk(
         )
 
     corpus_cells = assign(corpus, "nbr_id", "nbr_vec", 1)
-    q = queries.select("query_id", F.col("embedding").alias("q_vec"))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("q_vec")
+    )
     probes = assign(q, "query_id", "q_vec", n_probe)
     # a corpus vector lives in exactly one cell, so (query, nbr) pairs are
     # already unique across the probe join — no dedup shuffle needed

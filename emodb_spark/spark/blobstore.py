@@ -160,7 +160,9 @@ class BlobStore:
     def list_tables(self) -> List[str]:
         return sorted(
             d for d in os.listdir(self.base)
-            if os.path.isdir(os.path.join(self.base, d)) and not d.startswith((".", "_"))
+            if os.path.isdir(os.path.join(self.base, d))
+            and not d.startswith((".", "_"))
+            and not d.endswith("._tmp")
         )
 
     # -- maintenance ---------------------------------------------------------
@@ -168,10 +170,9 @@ class BlobStore:
     def compact(self, table: str) -> None:
         """Fold the append log to the current snapshot (one rewrite),
         discarding superseded versions and tombstones."""
-        snap = self.current(table)
-        path = self._table_path(table)
-        tmp = path + "._tmp"
-        snap.withColumn("deleted", F.lit(False)).select(
+        from .io_util import overwrite_dir
+
+        snap = self.current(table).withColumn("deleted", F.lit(False)).select(
             *[f.name for f in BLOB_LOG_SCHEMA.fields]
-        ).write.mode("overwrite").parquet(tmp)
-        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+        )
+        overwrite_dir(self.spark, self._table_path(table), snap)

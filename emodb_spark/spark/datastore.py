@@ -482,9 +482,13 @@ class DataStore:
             df = df.filter(key > F.lit(lo))
         if hi is not None:
             df = df.filter(key <= F.lit(hi))
+        # a real sample, not limit() (which takes an arbitrary first-file
+        # prefix and would put every boundary inside one file's key range)
+        n_rows = df.count()
+        frac = min(1.0, 50_000 / max(n_rows, 1))
         sample = sorted(
             r[0]
-            for r in df.select(key).sample(False, 1.0, seed=43).limit(50_000).collect()
+            for r in df.select(key).sample(False, frac, seed=43).collect()
             if r[0] is not None
         )
         if len(sample) < 2 or parts < 2:
@@ -519,7 +523,11 @@ class DataStore:
             if resume is not None:
                 df = df.filter(key > F.lit(resume[0]))
             else:
-                df = df.filter(F.col("`~id`") > F.lit(str(from_key_exclusive)))
+                # any other key type (double/date/decimal/...): cast the
+                # string bound to the NATIVE type — comparing on the string
+                # ~id would be lexicographic and silently skip rows
+                dt = dict((f.name, f.dataType) for f in df.schema.fields)[t.key_column]
+                df = df.filter(key > F.lit(str(from_key_exclusive)).cast(dt))
         df = df.orderBy(key)
         if limit is not None:
             df = df.limit(limit)

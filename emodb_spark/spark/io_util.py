@@ -1,0 +1,36 @@
+"""Small shared I/O helpers for the local parquet-dir stand-ins."""
+
+from __future__ import annotations
+
+import shutil
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def overwrite_dir(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    schema=None,
+    partition_by: Optional[str] = None,
+) -> None:
+    """Transactionally replace a parquet dir with ``df``'s rows: write to
+    a tmp sibling (breaking lineage on the source files so the overwrite
+    doesn't read what it's deleting), rewrite the target, remove the tmp.
+    The single implementation of the idiom — keep crash-safety fixes here,
+    not in per-module copies. (Delta/Iceberg replace this wholesale on a
+    cluster.)"""
+    tmp = path + "._tmp"
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.parquet(tmp)
+    back = spark.read.parquet(tmp) if schema is None else (
+        spark.read.schema(schema).parquet(tmp)
+    )
+    w2 = back.write.mode("overwrite")
+    if partition_by:
+        w2 = w2.partitionBy(partition_by)
+    w2.parquet(path)
+    shutil.rmtree(tmp, ignore_errors=True)

@@ -656,18 +656,36 @@ class MegabusResolver:
         (typically all — keys hash uniformly), so this is one full
         per-bucket rewrite; drops are rare admin events, and the rewrite
         is still partition-parallel."""
+        import uuid as _uuid
+
         from ...core.timeuuid import TimeUUIDGenerator
 
         drop_cid = TimeUUIDGenerator().next()
+        base_ticks = _uuid.UUID(drop_cid).time
         state_df = self.state.read().drop("bucket")
         doomed = state_df.filter((F.col("tbl") == tbl) & ~F.col("deleted"))
         n = doomed.count()
         if n == 0:
             return 0
+        # one DISTINCT change_id per document (consumers claim/ack by
+        # change_id — a shared id would make one ack hide every drop
+        # event): consecutive ticks from the drop instant, rendered as
+        # canonical v1 time-UUID strings JVM-side
+        rn = F.row_number().over(Window.orderBy("tbl", "key"))
+        ticks = (F.lit(base_ticks) + rn.cast("long")).cast("string")
+        hex15 = F.lpad(F.lower(F.conv(ticks, 10, 16)), 15, "0")
+        per_key_cid = F.concat(
+            F.substring(hex15, 8, 8),
+            F.lit("-"),
+            F.substring(hex15, 4, 4),
+            F.lit("-1"),
+            F.substring(hex15, 1, 3),
+            F.lit("-8000-00000000d0b1"),
+        )
         events = doomed.select(
             "tbl",
             "key",
-            F.lit(drop_cid).alias("change_id"),
+            per_key_cid.alias("change_id"),
             F.lit(False).alias("is_redundant"),
             F.lit(None).cast(T.StringType()).alias("content"),
             F.lit(True).alias("deleted"),
@@ -675,19 +693,25 @@ class MegabusResolver:
             F.array().cast(T.ArrayType(T.StringType())).alias("tags"),
         )
         self._fanout(events)
-        updated = state_df.withColumn(
-            "deleted", F.when(F.col("tbl") == tbl, F.lit(True)).otherwise(F.col("deleted"))
-        ).withColumn(
-            "content",
-            F.when(F.col("tbl") == tbl, F.lit(None).cast(T.StringType())).otherwise(
-                F.col("content")
-            ),
-        ).withColumn(
-            "version",
-            F.when(F.col("tbl") == tbl, F.col("version") + 1).otherwise(F.col("version")),
-        ).withColumn(
-            "last_change_id",
-            F.when(F.col("tbl") == tbl, F.lit(drop_cid)).otherwise(F.col("last_change_id")),
+        # tombstone exactly the doomed (live) rows, carrying each row's own
+        # drop change_id as the new fold high-water mark
+        dropped = events.select("tbl", "key", F.col("change_id").alias("__dcid"))
+        hit = F.col("__dcid").isNotNull()
+        updated = (
+            state_df.join(dropped, ["tbl", "key"], "left")
+            .withColumn("deleted", F.when(hit, F.lit(True)).otherwise(F.col("deleted")))
+            .withColumn(
+                "content",
+                F.when(hit, F.lit(None).cast(T.StringType())).otherwise(F.col("content")),
+            )
+            .withColumn(
+                "version", F.when(hit, F.col("version") + 1).otherwise(F.col("version"))
+            )
+            .withColumn(
+                "last_change_id",
+                F.when(hit, F.col("__dcid")).otherwise(F.col("last_change_id")),
+            )
+            .drop("__dcid")
         )
         self.state.write_buckets(updated.withColumn("bucket", self.state.bucket_col()))
         self.registry._tables.pop(tbl, None)
@@ -776,7 +800,11 @@ class DatabusPoller:
         if not os.path.exists(path):
             return None
         df = self.spark.read.parquet(path)
-        acked = self._acked(subscription).select(F.col("val").alias("change_id"))
+        acked = (
+            self._acked(subscription)
+            .filter(F.col("kind") == "id")
+            .select(F.col("val").alias("change_id"))
+        )
         return df.join(acked, ["change_id"], "left_anti")
 
     def _events(self, subscription: str) -> DataFrame:
@@ -827,7 +855,7 @@ class DatabusPoller:
         if not ids:
             return
         self.spark.createDataFrame(
-            [(subscription, "id", i) for i in ids], ACKS_SCHEMA
+            [(subscription, "id", i, None) for i in ids], ACKS_SCHEMA
         ).write.mode("append").parquet(self._acks_path())
 
     def compact(self, subscription: str) -> None:
@@ -836,20 +864,18 @@ class DatabusPoller:
         tombstone/small-file growth from per-ack appends."""
         from .queues import ACKS_SCHEMA
 
+        from ..io_util import overwrite_dir
+
         remaining = self._sink(subscription)
         if remaining is None:
             return
         path = os.path.join(self.output_path, f"sub={subscription}")
-        tmp = path + "._tmp"
-        remaining.write.mode("overwrite").parquet(tmp)
-        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+        overwrite_dir(self.spark, path, remaining)
         if os.path.exists(self._acks_path()):
             keep = self.spark.read.schema(ACKS_SCHEMA).parquet(self._acks_path()).filter(
                 F.col("queue") != subscription
             )
-            tmp2 = self._acks_path() + "._tmp"
-            keep.write.mode("overwrite").parquet(tmp2)
-            self.spark.read.parquet(tmp2).write.mode("overwrite").parquet(self._acks_path())
+            overwrite_dir(self.spark, self._acks_path(), keep)
 
     def renew(self, subscription: str, event_ids, claim_ttl_s: int = 30) -> None:
         self._q.renew(subscription, list(event_ids), claim_ttl_s)

@@ -49,13 +49,16 @@ CLAIMS_SCHEMA = T.StructType(
 )
 
 # Append-only ack tombstones: kind='id' hides one message, kind='payload'
-# hides every duplicate of a payload (dedup queues). Acks never rewrite the
-# message store — they anti-join at read; compact() folds them in later.
+# hides every duplicate of a payload (dedup queues) SENT UP TO the ack
+# time (``upto`` ticks — a payload re-sent later is a new message and must
+# survive). Acks never rewrite the message store — they anti-join at read;
+# compact() folds them in later.
 ACKS_SCHEMA = T.StructType(
     [
         T.StructField("queue", T.StringType(), False),
         T.StructField("kind", T.StringType(), False),  # id | payload
         T.StructField("val", T.StringType(), False),
+        T.StructField("upto", T.LongType(), True),  # payload acks: tick bound
     ]
 )
 
@@ -87,9 +90,9 @@ class QueueService:
         return self.spark.read.schema(schema).parquet(path)
 
     def _overwrite(self, path: str, df: DataFrame) -> None:
-        tmp = path + "._tmp"
-        df.write.mode("overwrite").parquet(tmp)
-        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+        from ..io_util import overwrite_dir
+
+        overwrite_dir(self.spark, path, df)
 
     # -- producer ----------------------------------------------------------
 
@@ -97,7 +100,10 @@ class QueueService:
         return self.send_all(queue, [message])[0]
 
     def send_all(self, queue: str, messages: List) -> List[str]:
-        ids = [self._gen.next() for _ in messages]
+        # ids are stamped from the SERVICE clock so visibility rules
+        # (claim expiry, payload-ack upto bounds) share one time domain
+        now = self._clock()
+        ids = [self._gen.next(millis=now) for _ in messages]
         rows = [
             (queue, mid, json.dumps(m, sort_keys=True))
             for mid, m in zip(ids, messages)
@@ -160,9 +166,22 @@ class QueueService:
         )
         msgs = msgs.join(by_id, ["queue", "msg_id"], "left_anti")
         by_payload = acks.filter(F.col("kind") == "payload").select(
-            "queue", F.col("val").alias("payload")
+            "queue", F.col("val").alias("payload"), F.col("upto")
         )
-        return msgs.join(by_payload, ["queue", "payload"], "left_anti")
+        # a payload tombstone only covers copies sent before the ack —
+        # anti-join on (payload AND msg ticks <= upto)
+        doomed = (
+            msgs.alias("m")
+            .join(
+                by_payload.alias("a"),
+                (F.col("m.queue") == F.col("a.queue"))
+                & (F.col("m.payload") == F.col("a.payload"))
+                & (change_id_ticks(F.col("m.msg_id")) <= F.col("a.upto")),
+                "left_semi",
+            )
+            .select("queue", "msg_id")
+        )
+        return msgs.join(doomed, ["queue", "msg_id"], "left_anti")
 
     def peek(self, queue: str, limit: int = 10) -> List[dict]:
         """Non-destructive inspection (BaseQueueService.peek)."""
@@ -198,6 +217,11 @@ class QueueService:
         if not msg_ids:
             return
         if self.dedup:
+            from ..resolve_ops import _UUID_EPOCH_OFFSET_100NS
+
+            # end of the current millisecond: covers ids stamped this ms
+            # including their monotonic +1-tick bumps
+            upto = (self._clock() + 1) * 10_000 + _UUID_EPOCH_OFFSET_100NS - 1
             doomed = (
                 self._read(self._messages_path(), MESSAGES_SCHEMA)
                 .filter((F.col("queue") == queue) & F.col("msg_id").isin(msg_ids))
@@ -205,9 +229,9 @@ class QueueService:
                 .distinct()
                 .collect()
             )
-            rows = [(queue, "payload", r["payload"]) for r in doomed]
+            rows = [(queue, "payload", r["payload"], upto) for r in doomed]
         else:
-            rows = [(queue, "id", m) for m in msg_ids]
+            rows = [(queue, "id", m, None) for m in msg_ids]
         self.spark.createDataFrame(rows, ACKS_SCHEMA).write.mode("append").parquet(
             self._acks_path()
         )

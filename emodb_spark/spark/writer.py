@@ -176,9 +176,8 @@ class UpdateLog:
 
     def purge(self, table: str) -> None:
         """Drop one table's updates (DataStore purge): rewrite without it."""
+        from .io_util import overwrite_dir
+
         remaining = self.read().filter(F.col("tbl") != table)
-        tmp = self.path + "._tmp"
-        remaining.write.mode("overwrite").partitionBy("tbl").parquet(tmp)
-        self.spark.read.schema(LOG_SCHEMA).parquet(tmp).write.mode(
-            "overwrite"
-        ).partitionBy("tbl").parquet(self.path)
+        overwrite_dir(self.spark, self.path, remaining, schema=LOG_SCHEMA,
+                      partition_by="tbl")

@@ -112,7 +112,7 @@ class _FixedGen:
     def __init__(self, ids):
         self._ids = list(ids)
 
-    def next(self):
+    def next(self, millis=None):
         return self._ids.pop(0)
 
 
@@ -205,3 +205,25 @@ def test_claim_compaction_bounds_files(spark, tmp_path, clock):
     assert len(_files(os.path.join(base, "claims"))) == 1
     # all claims expired → everything visible again
     assert q.message_count("jobs") == 4
+
+
+def test_dedup_payload_ack_does_not_eat_future_sends(spark, tmp_path, clock):
+    """A payload tombstone covers only copies sent BEFORE the ack: the
+    same payload re-sent later is a new message and must be delivered."""
+    from emodb_spark.core.timeuuid import TimeUUIDGenerator
+
+    base = str(tmp_path / "dq")
+    gen = TimeUUIDGenerator(node=8)
+    q = QueueService(spark, base, dedup=True, clock=clock)
+    q._gen = _FixedGen([gen.next(millis=clock.now - 1000),
+                        gen.next(millis=clock.now + 60_000)])
+    q.send("jobs", {"v": 1})
+    got = q.poll("jobs", limit=1)
+    q.acknowledge("jobs", [got[0]["id"]])
+    assert q.message_count("jobs") == 0
+
+    clock.advance(60_000)
+    q.send("jobs", {"v": 1})  # same payload, after the ack
+    assert q.message_count("jobs") == 1  # NOT hidden by the old tombstone
+    q.compact("jobs")
+    assert q.message_count("jobs") == 1  # and compaction preserved it
