@@ -84,6 +84,11 @@ def main() -> None:
         UPDATES_SCHEMA,
     )
     resolve(tiny_log).write.format("noop").mode("overwrite").save()
+    # the dedup plans JIT over ~2 executions — run each once untimed so
+    # the timed best-of-2 measures steady state, not codegen compilation
+    for warm_q in ("minhash_near_dups", "simhash_near_dups"):
+        qs[warm_q](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
 
     timings = {}
     total = 0.0
@@ -97,6 +102,9 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             best = dt if best is None or dt < best else best
+        # drop any cache a query pinned (e.g. shared shingle sets) so later
+        # queries aren't measured under its memory pressure
+        spark.catalog.clearCache()
         best = round(best, 3)
         timings[name] = best
         total += best
