@@ -50,9 +50,16 @@ class Subscription:
     table_filter: str  # condition text
     sub_ttl_s: int = 86_400
     event_ttl_s: int = 86_400
+    subscribed_at_ms: Optional[int] = None  # for TTL expiry
 
     def condition(self) -> C.Condition:
         return parse_condition(self.table_filter)
+
+    def expired(self, now_ms: int) -> bool:
+        return (
+            self.subscribed_at_ms is not None
+            and now_ms >= self.subscribed_at_ms + self.sub_ttl_s * 1000
+        )
 
 
 @dataclass
@@ -72,12 +79,24 @@ class SubscriptionRegistry:
         self._tables[name] = TableMeta(dict(template or {}), placement)
 
     def subscribe(self, name: str, table_filter: str, sub_ttl_s: int = 86_400,
-                  event_ttl_s: int = 86_400) -> Subscription:
+                  event_ttl_s: int = 86_400,
+                  now_ms: Optional[int] = None) -> Subscription:
         # validate at subscribe time (SubscriptionConditionValidator parity)
         parse_condition(table_filter)
-        sub = Subscription(name, table_filter, sub_ttl_s, event_ttl_s)
+        sub = Subscription(name, table_filter, sub_ttl_s, event_ttl_s, now_ms)
         self._subs[name] = sub
         return sub
+
+    def expire(self, now_ms: int) -> List[str]:
+        """Drop subscriptions past their subTtl (the reference's lease
+        model: a subscriber that stops renewing disappears —
+        databus-api subscribe semantics). Re-subscribing renews: the
+        caller refreshes ``now_ms`` via :meth:`subscribe`. Returns the
+        expired names."""
+        gone = [n for n, s in self._subs.items() if s.expired(now_ms)]
+        for n in gone:
+            del self._subs[n]
+        return gone
 
     def unsubscribe(self, name: str) -> None:
         self._subs.pop(name, None)
@@ -775,12 +794,28 @@ class DatabusPoller:
     Native Spark consumers should read the sink as a stream instead —
     checkpointed offsets supersede claim/ack."""
 
-    def __init__(self, spark: SparkSession, output_path: str, claims_path: str, clock=None):
+    def __init__(self, spark: SparkSession, output_path: str, claims_path: str,
+                 clock=None, registry: Optional[SubscriptionRegistry] = None):
         from .queues import QueueService
 
         self.spark = spark
         self.output_path = output_path
+        self.registry = registry
         self._q = QueueService(spark, claims_path, clock=clock)
+
+    def _event_ttl_bound(self, subscription: str) -> Optional[int]:
+        """Oldest still-servable event tick for a subscription (eventTtl —
+        events age off the bus even if never polled)."""
+        if self.registry is None:
+            return None
+        try:
+            sub = self.registry.get(subscription)
+        except KeyError:
+            return None
+        from ..resolve_ops import _UUID_EPOCH_OFFSET_100NS
+
+        cutoff_ms = self._q._clock() - sub.event_ttl_s * 1000
+        return cutoff_ms * 10_000 + _UUID_EPOCH_OFFSET_100NS
 
     def _acks_path(self) -> str:
         return os.path.join(self.output_path, "_acks")
@@ -805,7 +840,13 @@ class DatabusPoller:
             .filter(F.col("kind") == "id")
             .select(F.col("val").alias("change_id"))
         )
-        return df.join(acked, ["change_id"], "left_anti")
+        df = df.join(acked, ["change_id"], "left_anti")
+        bound = self._event_ttl_bound(subscription)
+        if bound is not None:
+            from ..resolve_ops import change_id_ticks
+
+            df = df.filter(change_id_ticks(F.col("change_id")) >= F.lit(bound))
+        return df
 
     def _events(self, subscription: str) -> DataFrame:
         df = self._sink(subscription)
@@ -890,6 +931,10 @@ class DatabusPoller:
             .collect()
         )
         return [{"id": r["msg_id"], "event": _json.loads(r["payload"])} for r in rows]
+
+    def claim_count(self, subscription: str) -> int:
+        """Outstanding (unexpired) claims (DefaultClaimSet size parity)."""
+        return self._q.claim_count(subscription)
 
     def event_count(self, subscription: str, up_to: Optional[int] = None) -> int:
         df = self._events(subscription)

@@ -75,3 +75,55 @@ def test_stream_native_dedup_within_watermark(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 3
     assert {r["msg_id"] for r in got.collect()} == {1, 2, 3}
+
+
+def test_subscription_ttl_expiry():
+    """Subscriptions past subTtl disappear; re-subscribing renews
+    (databus-api subscribe lease semantics)."""
+    from emodb_spark.spark.streaming.databus import SubscriptionRegistry
+
+    reg = SubscriptionRegistry()
+    reg.subscribe("short", "alwaysTrue()", sub_ttl_s=10, now_ms=1_000_000)
+    reg.subscribe("long", "alwaysTrue()", sub_ttl_s=1000, now_ms=1_000_000)
+    reg.subscribe("legacy", "alwaysTrue()")  # no timestamp → never expires
+
+    assert reg.expire(1_000_000 + 5_000) == []
+    assert reg.expire(1_000_000 + 11_000) == ["short"]
+    assert {s.name for s in reg.list()} == {"long", "legacy"}
+    # renewal: re-subscribe resets the clock
+    reg.subscribe("long", "alwaysTrue()", sub_ttl_s=1000, now_ms=2_000_000)
+    assert reg.expire(1_000_000 + 1_001_000) == []
+
+
+def test_event_ttl_ages_events_off_the_bus(spark, tmp_path):
+    """Events older than the subscription's eventTtl are not served by
+    poll/peek/count even if never acked."""
+    from emodb_spark.core.timeuuid import TimeUUIDGenerator
+    from emodb_spark.spark.resolve_ops import UPDATES_SCHEMA
+    from emodb_spark.spark.streaming.databus import (
+        DatabusPoller, MegabusResolver, SubscriptionRegistry,
+    )
+
+    class Clock:
+        def __init__(self, now):
+            self.now = now
+        def __call__(self):
+            return self.now
+
+    base_ms = 1_760_000_000_000
+    reg = SubscriptionRegistry()
+    reg.put_table("t:a", template={})
+    reg.subscribe("s1", "alwaysTrue()", event_ttl_s=60)
+    out_path = str(tmp_path / "out")
+    resolver = MegabusResolver(spark, reg, str(tmp_path / "state"), out_path)
+    gen = TimeUUIDGenerator(node=17, start_millis=base_ms)
+    resolver.process_batch(spark.createDataFrame(
+        [("t:a", "k1", gen.next(), '{"n":1}', [])], UPDATES_SCHEMA), 0)
+
+    clock = Clock(base_ms + 10_000)
+    poller = DatabusPoller(spark, out_path, str(tmp_path / "claims"),
+                           clock=clock, registry=reg)
+    assert poller.event_count("s1") == 1
+    clock.now = base_ms + 61_000  # past the 60s eventTtl
+    assert poller.event_count("s1") == 0
+    assert poller.poll("s1") == []
