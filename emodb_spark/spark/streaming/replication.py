@@ -1,0 +1,78 @@
+"""Cross-datacenter replication, Spark-first.
+
+The reference replicates databus events between datacenters with a
+dedicated fanout role per remote DC (databus core/DefaultFanout.java:
+246-259) driven by a replication manager (repl/DefaultReplicationManager).
+The Spark re-expression: each DC owns an UpdateLog (its placement's source
+of truth); replication is LOG SHIPPING — append the peer's missing deltas,
+identified by change_id anti-join. Because resolution is a deterministic
+fold over the union of deltas in time-UUID order, both sides converge to
+identical documents regardless of arrival interleaving (the same
+last-writer-wins-per-delta semantics the reference gets from Cassandra
+multi-DC replication).
+
+Batch (`replicate_once`) for periodic sync jobs; streaming
+(`start_replication`) tails the source log continuously. Both are
+idempotent: re-shipping an already-present change_id is filtered by the
+anti-join, and the fold's high-water skip tolerates duplicates anyway.
+
+Scale: the anti-join keys on change_id only (16-byte strings, broadcast
+when the delta window is small); incremental runs bound the window with
+``since_millis`` so steady-state cost is O(new deltas), not O(log).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..resolve_ops import change_id_millis
+from ..writer import LOG_SCHEMA, UpdateLog
+
+
+def missing_deltas(src: UpdateLog, dst: UpdateLog,
+                   since_millis: Optional[int] = None) -> DataFrame:
+    """Deltas present in ``src`` but not ``dst`` (optionally only those
+    newer than ``since_millis`` — the steady-state incremental window)."""
+    s = src.read()
+    if since_millis is not None:
+        s = s.filter(change_id_millis(F.col("change_id")) >= F.lit(int(since_millis)))
+    have = dst.read().select("change_id")
+    return s.join(have, ["change_id"], "left_anti")
+
+
+def replicate_once(src: UpdateLog, dst: UpdateLog,
+                   since_millis: Optional[int] = None) -> int:
+    """One sync pass: append src's missing deltas into dst. Returns the
+    number of replicated deltas. Running it in both directions converges
+    the two placements (deterministic fold over the delta union)."""
+    rows = missing_deltas(src, dst, since_millis)
+    n = rows.count()
+    if n:
+        rows.select(*[f.name for f in LOG_SCHEMA.fields]).write.mode(
+            "append"
+        ).partitionBy("tbl").parquet(dst.path)
+    return n
+
+
+def start_replication(src: UpdateLog, dst: UpdateLog, checkpoint: str, **trigger):
+    """Continuous replication: tail src's log as a stream, append each
+    micro-batch's genuinely-new deltas into dst (anti-join inside the
+    batch keeps it idempotent across restarts)."""
+
+    def ship(batch: DataFrame, _batch_id: int) -> None:
+        have = dst.read().select("change_id")
+        fresh = batch.join(have, ["change_id"], "left_anti")
+        if not fresh.isEmpty():
+            fresh.select(*[f.name for f in LOG_SCHEMA.fields]).write.mode(
+                "append"
+            ).partitionBy("tbl").parquet(dst.path)
+
+    return (
+        src.read_stream_raw().writeStream.foreachBatch(ship)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )

@@ -143,11 +143,14 @@ class UpdateLog:
     def read_stream(self) -> DataFrame:
         """The log as a Structured Streaming source — the databus input.
         No-events writes are excluded (they fold, but don't publish)."""
-        return (
-            self.spark.readStream.schema(LOG_SCHEMA)
-            .parquet(self.path)
-            .filter(~F.coalesce(F.col("no_events"), F.lit(False)))
+        return self.read_stream_raw().filter(
+            ~F.coalesce(F.col("no_events"), F.lit(False))
         )
+
+    def read_stream_raw(self) -> DataFrame:
+        """Unfiltered streaming view of the log — replication ships
+        EVERYTHING, including no-events writes (they're still data)."""
+        return self.spark.readStream.schema(LOG_SCHEMA).parquet(self.path)
 
     def refs(self) -> DataFrame:
         """UpdateRef view: (tbl, key, change_id, tags). No-events writes

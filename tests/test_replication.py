@@ -1,0 +1,71 @@
+"""Cross-DC replication analog: log shipping between placement logs must
+converge both sides to identical resolved documents."""
+
+import json
+import os
+
+from emodb_spark.core.timeuuid import TimeUUIDGenerator
+from emodb_spark.spark.resolve_ops import resolve
+from emodb_spark.spark.streaming.replication import (
+    missing_deltas,
+    replicate_once,
+    start_replication,
+)
+from emodb_spark.spark.writer import Update, UpdateLog
+
+
+def _resolved(spark, log):
+    df = resolve(log.read().select("tbl", "key", "change_id", "delta", "tags"))
+    return {
+        (r["~table"], r["~id"]): (r["content"], r["~version"], r["~signature"])
+        for r in df.collect()
+    }
+
+
+def test_bidirectional_replication_converges(spark, tmp_path):
+    gen_us = TimeUUIDGenerator(node=41, start_millis=1770000000000)
+    gen_eu = TimeUUIDGenerator(node=42, start_millis=1770000000500)
+    us = UpdateLog(spark, str(tmp_path / "us"), generator=gen_us, placement="us")
+    eu = UpdateLog(spark, str(tmp_path / "eu"), generator=gen_eu, placement="eu")
+
+    # writes land in both DCs, including on the SAME document
+    us.update("t:a", "k1", '{"src":"us","n":1}')
+    eu.update("t:a", "k1", '{..,"eu_seen":true}')
+    us.update("t:a", "k2", '{"only":"us"}')
+    eu.update("t:b", "k3", '{"only":"eu"}')
+    eu.update_all([Update("t:a", "k4", '{"quiet":true}')], databus_events=False)
+
+    assert replicate_once(us, eu) == 2   # k1-us, k2
+    assert replicate_once(eu, us) == 3   # k1-eu, k3, k4 (incl. no-events)
+    # second pass: nothing left to ship (idempotent)
+    assert replicate_once(us, eu) == 0
+    assert replicate_once(eu, us) == 0
+    assert missing_deltas(us, eu).count() == 0
+
+    a, b = _resolved(spark, us), _resolved(spark, eu)
+    assert a == b                        # bit-identical convergence
+    doc = json.loads(a[("t:a", "k1")][0])
+    assert doc["src"] == "us" and doc["eu_seen"] is True
+    assert ("t:a", "k4") in a            # no-events write replicated too
+
+
+def test_streaming_replication(spark, tmp_path):
+    gen = TimeUUIDGenerator(node=43, start_millis=1770001000000)
+    src = UpdateLog(spark, str(tmp_path / "src"), generator=gen, placement="us")
+    dst = UpdateLog(spark, str(tmp_path / "dst"), placement="eu")
+    os.makedirs(dst.path, exist_ok=True)
+    dst.update("t:a", "pre", '{"existing":1}')  # dst has its own data
+
+    for i in range(5):
+        src.update("t:a", f"k{i}", '{"n":%d}' % i)
+
+    q = start_replication(src, dst, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert missing_deltas(src, dst).count() == 0
+    keys = {r["~id"] for r in resolve(
+        dst.read().select("tbl", "key", "change_id", "delta", "tags")).collect()}
+    assert keys == {"pre", "k0", "k1", "k2", "k3", "k4"}
+    # re-running the stream ships nothing new (checkpoint + anti-join)
+    q2 = start_replication(src, dst, str(tmp_path / "ckpt"))
+    q2.awaitTermination(120)
+    assert dst.read().count() == 6
