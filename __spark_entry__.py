@@ -310,6 +310,98 @@ def q_timeline_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_replication_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-DC replication end-to-end: the synthesized orders delta log is
+    split across two placement logs (steps 0+2 in 'us', step 1 in 'eu'),
+    shipped BOTH ways with the idempotent change_id anti-join, and the
+    'us' side resolves — convergence means it reproduces the full fold
+    (DefaultReplicationManager analog; fold determinism is the invariant)."""
+    import tempfile
+
+    from emodb_spark.spark.resolve_ops import resolve_typed
+    from emodb_spark.spark.streaming.replication import missing_deltas, replicate_once
+    from emodb_spark.spark.writer import LOG_SCHEMA, UpdateLog
+
+    work = tempfile.mkdtemp(prefix="emodb_repl_")
+    steps = _update_steps_from_orders(spark, sf_dir, j_major=True)
+    null_audit = F.lit(None).cast("map<string,string>").alias("audit")
+    null_noev = F.lit(None).cast("boolean").alias("no_events")
+    us = UpdateLog(spark, os.path.join(work, "us"), placement="us")
+    eu = UpdateLog(spark, os.path.join(work, "eu"), placement="eu")
+    for j, u in enumerate(steps):
+        target = eu if j == 1 else us
+        u.select("tbl", "key", "change_id", "delta", "tags", null_audit,
+                 null_noev).write.mode("append").partitionBy("tbl").parquet(target.path)
+
+    replicate_once(us, eu)
+    replicate_once(eu, us)
+    assert missing_deltas(us, eu).count() == 0
+    assert missing_deltas(eu, us).count() == 0
+
+    typed = resolve_typed(
+        us.read().select("tbl", "key", "change_id", "delta", "tags"),
+        _FOLD_DOC_SCHEMA,
+    )
+    return typed.select(
+        F.col("`~id`").cast("long").alias("id"),
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+    )
+
+
+def q_stateful_fold_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState resolver backend end-to-end: 3 micro-
+    batches through Spark's own state store; the latest emitted event per
+    document must carry the fully-folded content (same oracle as the
+    batch fold)."""
+    import glob
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from emodb_spark.spark.resolve_ops import UPDATES_SCHEMA
+    from emodb_spark.spark.streaming.stateful import resolve_stream_stateful
+
+    work = tempfile.mkdtemp(prefix="emodb_stateful_parity_")
+    src = os.path.join(work, "incoming")
+    steps = _update_steps_from_orders(spark, sf_dir, j_major=True)
+    for j, u in enumerate(steps):
+        seen = set(glob.glob(os.path.join(src, "*.parquet")))
+        u.coalesce(1).write.mode("append").parquet(src)
+        for f in set(glob.glob(os.path.join(src, "*.parquet"))) - seen:
+            os.utime(f, (1_700_000_000 + 10 * j, 1_700_000_000 + 10 * j))
+
+    stream = (
+        spark.readStream.schema(UPDATES_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sink = os.path.join(work, "events")
+    q = (
+        resolve_stream_stateful(stream)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    events = spark.read.parquet(sink)
+    w = Window.partitionBy("tbl", "key").orderBy(F.col("version").desc())
+    latest = events.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    )
+    doc = F.from_json("content", _FOLD_DOC_SCHEMA)
+    return latest.select(
+        F.col("key").cast("long").alias("id"),
+        doc.getField("o_orderstatus").alias("o_orderstatus"),
+        doc.getField("o_totalprice").alias("o_totalprice"),
+        doc.getField("o_orderpriority").alias("o_orderpriority"),
+    )
+
+
 def q_timeline_with_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """getTimeline across a compaction boundary: pre-compaction the log
     shows raw deltas; post-compaction the same keys show the live tail +
@@ -1265,6 +1357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_fold": q_resolve_fold,
         "resolve_compacted": q_resolve_compacted,
         "streaming_fold_parity": q_streaming_fold_parity,
+        "stateful_fold_parity": q_stateful_fold_parity,
+        "replication_convergence": q_replication_convergence,
         "timeline_with_compaction": q_timeline_with_compaction,
         "splits_scan": q_splits_scan,
         "stash_roundtrip": q_stash_roundtrip,
@@ -1305,6 +1399,8 @@ def oracle_sql() -> dict[str, str]:
         "resolve_fold": ORACLE_RESOLVE_FOLD,
         "resolve_compacted": ORACLE_RESOLVE_FOLD,
         "streaming_fold_parity": ORACLE_RESOLVE_FOLD,
+        "stateful_fold_parity": ORACLE_RESOLVE_FOLD,
+        "replication_convergence": ORACLE_RESOLVE_FOLD,
         "timeline_with_compaction": ORACLE_TIMELINE_WITH_COMPACTION,
         "splits_scan": ORACLE_MULTI_GET.replace(
             "WHERE o_orderkey BETWEEN 1 AND 40", ""
