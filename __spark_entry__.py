@@ -137,6 +137,21 @@ _FOLD_DOC_SCHEMA = T.StructType(
 )
 
 
+def _stage_steps_as_files(steps, src: str) -> None:
+    """Write each delta step as its own parquet file under ``src`` for a
+    file-stream source. FileStreamSource orders by modification time: pin
+    each step's files 10s apart so micro-batches arrive in step order —
+    per-batch arrival then honors the per-key ordering invariant the
+    streaming folds require."""
+    import glob
+
+    for j, u in enumerate(steps):
+        seen = set(glob.glob(os.path.join(src, "*.parquet")))
+        u.coalesce(1).write.mode("append").parquet(src)
+        for f in set(glob.glob(os.path.join(src, "*.parquet"))) - seen:
+            os.utime(f, (1_700_000_000 + 10 * j, 1_700_000_000 + 10 * j))
+
+
 def q_resolve_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emodb_spark.spark.resolve_ops import resolve_typed
 
@@ -163,7 +178,6 @@ def q_streaming_fold_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor-side merge_batch into the bucketed state store — the final
     state must equal the one-shot batch resolve of the same log
     (megabus resolver/MegabusRefResolver.java:100-221 parity)."""
-    import glob
     import tempfile
 
     from emodb_spark.spark.resolve_ops import UPDATES_SCHEMA
@@ -174,14 +188,7 @@ def q_streaming_fold_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # step-major change ids: every key's step-j delta precedes every key's
     # step-j+1 delta, so per-batch arrival honors the per-key ordering
     # invariant merge_batch requires
-    steps = _update_steps_from_orders(spark, sf_dir, j_major=True)
-    for j, u in enumerate(steps):
-        seen = set(glob.glob(os.path.join(src, "*.parquet")))
-        u.coalesce(1).write.mode("append").parquet(src)
-        # FileStreamSource orders by modification time: pin each step's
-        # files 10s apart so micro-batches arrive in step order
-        for f in set(glob.glob(os.path.join(src, "*.parquet"))) - seen:
-            os.utime(f, (1_700_000_000 + 10 * j, 1_700_000_000 + 10 * j))
+    _stage_steps_as_files(_update_steps_from_orders(spark, sf_dir, j_major=True), src)
 
     state = ResolvedStateStore(spark, os.path.join(work, "state"), n_buckets=8)
     stream = (
@@ -355,7 +362,6 @@ def q_stateful_fold_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches through Spark's own state store; the latest emitted event per
     document must carry the fully-folded content (same oracle as the
     batch fold)."""
-    import glob
     import tempfile
 
     from pyspark.sql import Window
@@ -365,12 +371,7 @@ def q_stateful_fold_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="emodb_stateful_parity_")
     src = os.path.join(work, "incoming")
-    steps = _update_steps_from_orders(spark, sf_dir, j_major=True)
-    for j, u in enumerate(steps):
-        seen = set(glob.glob(os.path.join(src, "*.parquet")))
-        u.coalesce(1).write.mode("append").parquet(src)
-        for f in set(glob.glob(os.path.join(src, "*.parquet"))) - seen:
-            os.utime(f, (1_700_000_000 + 10 * j, 1_700_000_000 + 10 * j))
+    _stage_steps_as_files(_update_steps_from_orders(spark, sf_dir, j_major=True), src)
 
     stream = (
         spark.readStream.schema(UPDATES_SCHEMA)

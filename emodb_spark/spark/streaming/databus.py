@@ -69,11 +69,19 @@ class TableMeta:
 
 
 class SubscriptionRegistry:
-    """Named subscription filters + the table metadata they match against."""
+    """Named subscription filters + the table metadata they match against.
 
-    def __init__(self) -> None:
+    With a ``clock`` (callable returning epoch millis — share the poller's
+    service clock so tests and TTL bounds live in one time domain), the
+    lease model is automatic: :meth:`subscribe` stamps the lease start and
+    :meth:`get` / :meth:`list` sweep expired subscriptions on access.
+    Without a clock (default), leases are manual: pass ``now_ms`` at
+    subscribe time and call :meth:`expire` from a maintenance sweep."""
+
+    def __init__(self, clock: Optional[Callable[[], int]] = None) -> None:
         self._subs: Dict[str, Subscription] = {}
         self._tables: Dict[str, TableMeta] = {}
+        self._clock = clock
 
     def put_table(self, name: str, template: Optional[dict] = None, placement: str = "default"):
         self._tables[name] = TableMeta(dict(template or {}), placement)
@@ -83,6 +91,8 @@ class SubscriptionRegistry:
                   now_ms: Optional[int] = None) -> Subscription:
         # validate at subscribe time (SubscriptionConditionValidator parity)
         parse_condition(table_filter)
+        if now_ms is None and self._clock is not None:
+            now_ms = self._clock()
         sub = Subscription(name, table_filter, sub_ttl_s, event_ttl_s, now_ms)
         self._subs[name] = sub
         return sub
@@ -101,10 +111,18 @@ class SubscriptionRegistry:
     def unsubscribe(self, name: str) -> None:
         self._subs.pop(name, None)
 
+    def _sweep(self) -> None:
+        if self._clock is not None:
+            self.expire(self._clock())
+
     def get(self, name: str) -> Subscription:
+        """Raises KeyError for unknown OR lease-expired subscriptions
+        (UnknownSubscriptionException parity)."""
+        self._sweep()
         return self._subs[name]
 
     def list(self) -> List[Subscription]:
+        self._sweep()
         return list(self._subs.values())
 
     def table_meta(self, tbl: str) -> TableMeta:
@@ -805,13 +823,15 @@ class DatabusPoller:
 
     def _event_ttl_bound(self, subscription: str) -> Optional[int]:
         """Oldest still-servable event tick for a subscription (eventTtl —
-        events age off the bus even if never polled)."""
+        events age off the bus even if never polled).
+
+        With a registry attached, an unknown or lease-expired subscription
+        raises KeyError (UnknownSubscriptionException parity) — serving a
+        dead subscription's events unbounded would invert the lease model.
+        Without a registry there is no TTL metadata, so no bound applies."""
         if self.registry is None:
             return None
-        try:
-            sub = self.registry.get(subscription)
-        except KeyError:
-            return None
+        sub = self.registry.get(subscription)  # KeyError if unknown/expired
         from ..resolve_ops import _UUID_EPOCH_OFFSET_100NS
 
         cutoff_ms = self._q._clock() - sub.event_ttl_s * 1000
@@ -831,6 +851,9 @@ class DatabusPoller:
 
     def _sink(self, subscription: str) -> Optional[DataFrame]:
         """The subscription's raw sink minus ack tombstones."""
+        # validate the subscription up front (raises for unknown/expired)
+        # even when the sink has no events yet
+        bound = self._event_ttl_bound(subscription)
         path = os.path.join(self.output_path, f"sub={subscription}")
         if not os.path.exists(path):
             return None
@@ -841,7 +864,6 @@ class DatabusPoller:
             .select(F.col("val").alias("change_id"))
         )
         df = df.join(acked, ["change_id"], "left_anti")
-        bound = self._event_ttl_bound(subscription)
         if bound is not None:
             from ..resolve_ops import change_id_ticks
 

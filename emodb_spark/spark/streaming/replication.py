@@ -17,58 +17,121 @@ idempotent: re-shipping an already-present change_id is filtered by the
 anti-join, and the fold's high-water skip tolerates duplicates anyway.
 
 Scale: the anti-join keys on change_id only (16-byte strings, broadcast
-when the delta window is small); incremental runs bound the window with
-``since_millis`` so steady-state cost is O(new deltas), not O(log).
+when the delta window is small). Incremental runs bound BOTH sides of the
+join with a time window. The window is on change_id event-time, which is
+*generation* time, not append time — a delta can land in the source log
+long after its change_id was minted — so every incremental bound carries a
+``grace_millis`` slack (default 1 h), and a periodic full pass
+(``since_millis=None``) remains the completeness backstop.
 """
 
 from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame
+from pyspark.errors import AnalysisException
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..resolve_ops import change_id_millis
 from ..writer import LOG_SCHEMA, UpdateLog
 
+#: Slack applied to every event-time window bound: change_ids are minted at
+#: generation time, so an append may carry a change_id older than the sync
+#: watermark. One hour covers retries/queueing; beyond that, the periodic
+#: full pass picks stragglers up.
+DEFAULT_GRACE_MILLIS = 3_600_000
+
 
 def missing_deltas(src: UpdateLog, dst: UpdateLog,
-                   since_millis: Optional[int] = None) -> DataFrame:
-    """Deltas present in ``src`` but not ``dst`` (optionally only those
-    newer than ``since_millis`` — the steady-state incremental window)."""
-    s = src.read()
+                   since_millis: Optional[int] = None,
+                   grace_millis: int = DEFAULT_GRACE_MILLIS) -> DataFrame:
+    """Deltas present in ``src`` but not ``dst``.
+
+    Either side may be a never-written log (a brand-new placement being
+    bootstrapped has no directory yet — UpdateLog only creates it on first
+    append): an empty src yields an empty result, an empty dst means
+    everything in the window is missing.
+
+    ``since_millis`` bounds the *incremental* window: only src deltas with
+    change_id event-time >= since_millis - grace_millis are considered,
+    and dst's have-set is pruned with the same bound (so steady-state cost
+    is O(recent window), not O(log)). Because the bound is on generation
+    time, callers doing incremental sync must also schedule an occasional
+    unbounded pass — see module docstring."""
+    try:
+        s = src.read()
+        s.inputFiles()  # force path resolution now, not at action time
+    except AnalysisException:
+        return src.spark.createDataFrame([], LOG_SCHEMA)
+    try:
+        have = dst.read().select("change_id")
+        have.inputFiles()
+    except AnalysisException:
+        have = None  # fresh destination: everything in window is missing
     if since_millis is not None:
-        s = s.filter(change_id_millis(F.col("change_id")) >= F.lit(int(since_millis)))
-    have = dst.read().select("change_id")
+        lo = F.lit(int(since_millis) - int(grace_millis))
+        s = s.filter(change_id_millis(F.col("change_id")) >= lo)
+        if have is not None:
+            have = dst.read().filter(
+                change_id_millis(F.col("change_id")) >= lo
+            ).select("change_id")
+    if have is None:
+        return s
     return s.join(have, ["change_id"], "left_anti")
 
 
 def replicate_once(src: UpdateLog, dst: UpdateLog,
-                   since_millis: Optional[int] = None) -> int:
+                   since_millis: Optional[int] = None,
+                   grace_millis: int = DEFAULT_GRACE_MILLIS) -> int:
     """One sync pass: append src's missing deltas into dst. Returns the
     number of replicated deltas. Running it in both directions converges
-    the two placements (deterministic fold over the delta union)."""
-    rows = missing_deltas(src, dst, since_millis)
-    n = rows.count()
-    if n:
-        rows.select(*[f.name for f in LOG_SCHEMA.fields]).write.mode(
-            "append"
-        ).partitionBy("tbl").parquet(dst.path)
-    return n
+    the two placements (deterministic fold over the delta union).
+
+    Single-pass: the count rides the write via an Observation instead of
+    a separate count() job re-executing the anti-join."""
+    rows = missing_deltas(src, dst, since_millis, grace_millis)
+    obs = Observation()
+    (
+        rows.observe(obs, F.count(F.lit(1)).alias("n"))
+        .select(*[f.name for f in LOG_SCHEMA.fields])
+        .write.mode("append")
+        .partitionBy("tbl")
+        .parquet(dst.path)
+    )
+    return int(obs.get["n"])
 
 
-def start_replication(src: UpdateLog, dst: UpdateLog, checkpoint: str, **trigger):
+def start_replication(src: UpdateLog, dst: UpdateLog, checkpoint: str,
+                      grace_millis: int = DEFAULT_GRACE_MILLIS, **trigger):
     """Continuous replication: tail src's log as a stream, append each
-    micro-batch's genuinely-new deltas into dst (anti-join inside the
-    batch keeps it idempotent across restarts)."""
+    micro-batch's genuinely-new deltas into dst.
+
+    The checkpoint already gives per-file exactly-once from src; the
+    anti-join only suppresses echoes (bidirectional topologies) and
+    cross-log overlap, so dst's have-set is pruned to the batch's own
+    event-time window (min batch change_id minus grace) — per-batch cost
+    is O(recent dst window), not O(entire dst log)."""
 
     def ship(batch: DataFrame, _batch_id: int) -> None:
-        have = dst.read().select("change_id")
-        fresh = batch.join(have, ["change_id"], "left_anti")
-        if not fresh.isEmpty():
-            fresh.select(*[f.name for f in LOG_SCHEMA.fields]).write.mode(
-                "append"
-            ).partitionBy("tbl").parquet(dst.path)
+        lo_row = batch.agg(
+            F.min(change_id_millis(F.col("change_id"))).alias("lo")
+        ).collect()
+        lo = lo_row[0]["lo"] if lo_row else None
+        if lo is None:  # empty micro-batch
+            return
+        try:
+            have = dst.read().filter(
+                change_id_millis(F.col("change_id"))
+                >= F.lit(int(lo) - int(grace_millis))
+            ).select("change_id")
+            have.inputFiles()
+            fresh = batch.join(have, ["change_id"], "left_anti")
+        except AnalysisException:  # fresh destination, no directory yet
+            fresh = batch
+        fresh.select(*[f.name for f in LOG_SCHEMA.fields]).write.mode(
+            "append"
+        ).partitionBy("tbl").parquet(dst.path)
 
     return (
         src.read_stream_raw().writeStream.foreachBatch(ship)

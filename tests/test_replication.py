@@ -69,3 +69,56 @@ def test_streaming_replication(spark, tmp_path):
     q2 = start_replication(src, dst, str(tmp_path / "ckpt"))
     q2.awaitTermination(120)
     assert dst.read().count() == 6
+
+
+def test_replication_bootstraps_fresh_destination(spark, tmp_path):
+    """A brand-new placement (no directory yet) is a valid replication
+    target and source: everything ships into it, nothing ships out."""
+    gen = TimeUUIDGenerator(node=44, start_millis=1770002000000)
+    src = UpdateLog(spark, str(tmp_path / "src"), generator=gen, placement="us")
+    fresh = UpdateLog(spark, str(tmp_path / "fresh"), placement="apac")
+    for i in range(3):
+        src.update("t:a", f"k{i}", '{"n":%d}' % i)
+
+    assert missing_deltas(fresh, src).count() == 0   # empty source
+    assert replicate_once(fresh, src) == 0
+    assert missing_deltas(src, fresh).count() == 3   # empty destination
+    assert replicate_once(src, fresh) == 3
+    assert replicate_once(src, fresh) == 0
+    assert _resolved(spark, src) == _resolved(spark, fresh)
+
+
+def test_streaming_replication_into_fresh_destination(spark, tmp_path):
+    gen = TimeUUIDGenerator(node=45, start_millis=1770003000000)
+    src = UpdateLog(spark, str(tmp_path / "src"), generator=gen, placement="us")
+    dst = UpdateLog(spark, str(tmp_path / "dst"), placement="eu")
+    for i in range(4):
+        src.update("t:a", f"k{i}", '{"n":%d}' % i)
+    q = start_replication(src, dst, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert missing_deltas(src, dst).count() == 0
+    assert dst.read().count() == 4
+
+
+def test_incremental_window_needs_full_pass_backstop(spark, tmp_path):
+    """since_millis bounds by change_id GENERATION time, so a delta whose
+    change_id predates the window (minus grace) is skipped by incremental
+    sync — the documented reason periodic full passes remain mandatory."""
+    t0 = 1770004000000
+    old_gen = TimeUUIDGenerator(node=46, start_millis=t0)
+    src = UpdateLog(spark, str(tmp_path / "src"), placement="us")
+    dst = UpdateLog(spark, str(tmp_path / "dst"), placement="eu")
+    dst.update("t:a", "seed", '{"seed":1}')
+
+    # a delta generated at t0 but appended "late" (after the sync watermark)
+    src.update_all([Update("t:a", "late", '{"late":1}', change_id=old_gen.next())])
+
+    # incremental pass watermarked well past t0: with grace smaller than
+    # the lag the late delta is missed...
+    n = replicate_once(src, dst, since_millis=t0 + 10_000, grace_millis=1_000)
+    assert n == 0
+    # ...a grace covering the lag picks it up
+    n = replicate_once(src, dst, since_millis=t0 + 10_000, grace_millis=60_000)
+    assert n == 1
+    # and the unbounded pass is always complete
+    assert replicate_once(src, dst) == 0

@@ -127,3 +127,48 @@ def test_event_ttl_ages_events_off_the_bus(spark, tmp_path):
     clock.now = base_ms + 61_000  # past the 60s eventTtl
     assert poller.event_count("s1") == 0
     assert poller.poll("s1") == []
+
+
+class _Clock:
+    def __init__(self, now):
+        self.now = now
+
+    def __call__(self):
+        return self.now
+
+
+def test_registry_clock_auto_lease():
+    """With a clock the lease model is automatic: subscribe stamps the
+    lease start and get/list sweep expired subscriptions on access."""
+    clock = _Clock(1_000_000)
+    reg = SubscriptionRegistry(clock=clock)
+    reg.subscribe("s", "alwaysTrue()", sub_ttl_s=10)
+    assert reg.get("s").subscribed_at_ms == 1_000_000
+    clock.now += 9_000
+    assert {s.name for s in reg.list()} == {"s"}
+    clock.now += 2_000  # past the 10s subTtl
+    assert reg.list() == []
+    with pytest.raises(KeyError):
+        reg.get("s")
+    # re-subscribing renews the lease
+    reg.subscribe("s", "alwaysTrue()", sub_ttl_s=10)
+    assert reg.get("s").subscribed_at_ms == clock.now
+
+
+def test_poll_unknown_or_expired_subscription_raises(spark, tmp_path):
+    """With a registry attached, polling an unknown or lease-expired
+    subscription raises (UnknownSubscriptionException parity) rather than
+    silently serving every event with no TTL bound."""
+    clock = _Clock(1_760_000_000_000)
+    reg = SubscriptionRegistry(clock=clock)
+    reg.subscribe("s1", "alwaysTrue()", sub_ttl_s=30)
+    poller = DatabusPoller(spark, str(tmp_path / "out"), str(tmp_path / "claims"),
+                           clock=clock, registry=reg)
+    with pytest.raises(KeyError):
+        poller.poll("never-subscribed")
+    with pytest.raises(KeyError):
+        poller.event_count("never-subscribed")
+    assert poller.event_count("s1") == 0  # known sub, empty sink: fine
+    clock.now += 31_000  # lease expires
+    with pytest.raises(KeyError):
+        poller.poll("s1")
