@@ -82,8 +82,22 @@ class _Tokener:
                 if esc == "u":
                     if self.pos + 4 > len(text):
                         raise self.error("bad unicode escape")
-                    out.append(chr(int(text[self.pos : self.pos + 4], 16)))
+                    cp = int(text[self.pos : self.pos + 4], 16)
                     self.pos += 4
+                    # JSON (and the reference's UTF-16 Java strings) treat
+                    # an escaped surrogate pair as ONE astral character;
+                    # keeping it as two lone surrogates would diverge from
+                    # json.loads on state-store round-trips
+                    if (
+                        0xD800 <= cp <= 0xDBFF
+                        and self.pos + 6 <= len(text)
+                        and text[self.pos : self.pos + 2] == "\\u"
+                    ):
+                        lo = int(text[self.pos + 2 : self.pos + 6], 16)
+                        if 0xDC00 <= lo <= 0xDFFF:
+                            cp = 0x10000 + ((cp - 0xD800) << 10) + (lo - 0xDC00)
+                            self.pos += 6
+                    out.append(chr(cp))
                 else:
                     mapped = {'"': '"', "\\": "\\", "/": "/", "b": "\b",
                               "f": "\f", "n": "\n", "r": "\r", "t": "\t"}.get(esc)

@@ -1,0 +1,123 @@
+"""Property tests for the resolution fold itself (hypothesis-swept analog
+of the reference's CompactorTest / RedundantDeltaTest delta-sequence
+simulations — SURVEY.md §5 tier 2).
+
+The central invariant: folding a log in one shot must equal folding a
+prefix, checkpointing the Resolved state through the same JSON/ISO
+serialization the state stores use, restoring, and folding the tail.
+Compaction (spark/compaction.py), the streaming merge_batch carry, the
+applyInPandasWithState backend, and cross-DC convergence ALL rest on this
+split/restore equality — a divergence here silently corrupts every one of
+them, which is why it gets the widest sweep.
+"""
+
+import json
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from emodb_spark.core.resolver import Resolver, resolve_document
+from emodb_spark.core.timeuuid import TimeUUIDGenerator
+from emodb_spark.language.values import UNDEFINED, json_equals
+
+from .test_property_roundtrip import deltas_strategy
+
+# a log: 1-8 deltas with strictly increasing time-UUIDs
+logs = st.lists(deltas_strategy(), min_size=1, max_size=8)
+
+
+def _change_ids(n: int, seed: int) -> list:
+    gen = TimeUUIDGenerator(node=seed % 1000 + 1, start_millis=1_770_000_000_000 + seed)
+    return [gen.next() for _ in range(n)]
+
+
+def _fold(log, cids, start=0, resolver=None):
+    r = resolver or Resolver("t:p", "k1")
+    for cid, delta in zip(cids[start:], log[start:]):
+        r.update(cid, str(delta))
+    return r.resolved()
+
+
+def _same(a, b):
+    assert a.version == b.version
+    assert a.signature == b.signature
+    assert a.deleted == b.deleted
+    if a.content is UNDEFINED or b.content is UNDEFINED:
+        assert a.content is b.content
+    else:
+        assert json_equals(a.content, b.content)
+    assert a.first_update_at == b.first_update_at
+    assert a.last_update_at == b.last_update_at
+    assert a.last_mutate_at == b.last_mutate_at
+
+
+@settings(max_examples=300, deadline=None)
+@given(logs, st.integers(0, 7), st.randoms())
+def test_split_restore_equals_one_shot(log, cut, rnd):
+    """fold(all) == fold(prefix) -> serialize state -> restore -> fold(tail),
+    for every split point — the invariant every checkpointed fold relies on."""
+    cut = min(cut, len(log))
+    cids = _change_ids(len(log), rnd.randint(0, 10_000))
+
+    whole = _fold(log, cids)
+
+    prefix = _fold(log[:cut], cids[:cut])
+    # round-trip the checkpoint exactly like the state stores do: content
+    # as a JSON string column, timestamps as ISO-8601 strings, hex signature
+    content_json = (
+        None if prefix.content is UNDEFINED else json.dumps(prefix.content)
+    )
+    r2 = Resolver("t:p", "k1")
+    r2.restore(
+        content=None if content_json is None else json.loads(content_json),
+        content_defined=content_json is not None,
+        version=prefix.version,
+        signature=prefix.signature,
+        first_update_at=prefix.first_update_at,
+        last_update_at=prefix.last_update_at,
+        last_mutate_at=prefix.last_mutate_at,
+        last_tags=prefix.last_tags,
+    )
+    resumed = _fold(log, cids, start=cut, resolver=r2)
+    _same(whole, resumed)
+
+
+@settings(max_examples=200, deadline=None)
+@given(logs, st.randoms())
+def test_fold_is_deterministic_and_order_insensitive(log, rnd):
+    """Folding twice gives identical results, and presentation order of the
+    input doesn't matter — resolve_document sorts by time-UUID."""
+    cids = _change_ids(len(log), rnd.randint(0, 10_000))
+    items = [(cid, str(d), ()) for cid, d in zip(cids, log)]
+
+    a = resolve_document("t:p", "k1", items)
+    b = resolve_document("t:p", "k1", items)
+    _same(a, b)
+
+    shuffled = list(items)
+    rnd.shuffle(shuffled)
+    c = resolve_document("t:p", "k1", shuffled)
+    _same(a, c)
+
+
+@settings(max_examples=200, deadline=None)
+@given(logs, st.randoms())
+def test_fold_intrinsic_invariants(log, rnd):
+    """Structural invariants of the intrinsics: version counts every delta,
+    timestamps are ordered, deleted tracks UNDEFINED content, and the
+    signature chain moves on every delta."""
+    cids = _change_ids(len(log), rnd.randint(0, 10_000))
+    seen_sigs = {Resolver("t:p", "k1").resolved().signature}
+    r = Resolver("t:p", "k1")
+    for i, (cid, d) in enumerate(zip(cids, log)):
+        r.update(cid, str(d))
+        res = r.resolved()
+        assert res.version == i + 1
+        assert res.signature not in seen_sigs  # md5 chain advances
+        seen_sigs.add(res.signature)
+        assert res.first_update_at <= res.last_update_at
+        assert res.last_mutate_at <= res.last_update_at
+        assert res.deleted == (res.content is UNDEFINED)
+        if res.content is not UNDEFINED:
+            json.dumps(res.content)  # state-store serializable
