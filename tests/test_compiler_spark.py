@@ -193,3 +193,142 @@ def test_filter_pushdown_reaches_parquet(spark, tmp_path):
     plan = buf.getvalue()
     assert "PushedFilters" in plan
     assert "GreaterThan(rating,3)" in plan.replace(" ", ""), plan
+
+
+# ---------------------------------------------------------------------------
+# Seeded random differential sweep: ~250 generated conditions × ~30 docs,
+# batch-evaluated in a handful of Spark jobs. Far wider coverage of the
+# combinator space than the fixed corpus above; seeded so failures replay.
+# ---------------------------------------------------------------------------
+
+import random as _random
+
+from emodb_spark.language import conditions as C
+
+_STR_POOL = ["APPROVED", "SUBMITTED", "REJECTED", "", "a", "\U00010000x",
+             "http://x/1.jpg", "Z*?", "b"]
+_LONG_POOL = [0, 1, 3, 5, -1, 2**40]
+_DBL_POOL = [0.0, 2.0, 4.5, -1.5, 1e300, 0.5]
+_FIELD_TYPES = {
+    "status": "str", "rating": "long", "score": "double", "flag": "bool",
+    "codes": "arr_long", "labels": "arr_str",
+}
+
+
+def _rand_value(rng, kind):
+    return rng.choice({
+        "str": _STR_POOL, "long": _LONG_POOL, "double": _DBL_POOL,
+        "bool": [True, False],
+    }[kind])
+
+
+def _rand_field_condition(rng, kind, depth=0):
+    # deliberately include cross-type values: mismatch semantics are where
+    # compiled and interpreted paths most easily diverge
+    any_kind = rng.choice(["str", "long", "double", "bool"])
+    elem = {"arr_long": "long", "arr_str": "str"}.get(kind)
+    ops = [
+        lambda: C.equal(_rand_value(rng, any_kind)),
+        lambda: C.in_([_rand_value(rng, any_kind) for _ in range(rng.randint(1, 3))]),
+        lambda: C.is_(rng.choice(C.IS_STATES)),
+        lambda: C.ComparisonCondition(
+            rng.choice(["gt", "ge", "lt", "le"]),
+            _rand_value(rng, rng.choice(["str", "long", "double"])),
+        ),
+    ]
+    if elem:
+        ops += [
+            lambda: C.contains(_rand_value(rng, elem)),
+            lambda: C.contains_all([_rand_value(rng, elem) for _ in range(rng.randint(0, 2))]),
+            lambda: C.contains_any([_rand_value(rng, elem) for _ in range(rng.randint(0, 2))]),
+            lambda: C.contains_only([_rand_value(rng, elem) for _ in range(rng.randint(0, 2))]),
+        ]
+    if kind == "str":
+        alphabet = ["*", "a", "A", "b", "h", "t", "/", ":", ".", "1", ""]
+        ops.append(lambda: C.like("".join(rng.choice(alphabet) for _ in range(rng.randint(0, 5)))))
+    cond = rng.choice(ops)()
+    if depth < 1 and rng.random() < 0.3:
+        cond = C.not_(cond)
+    return cond
+
+
+def _rand_condition(rng, depth=0):
+    n = rng.randint(1, 3 if depth == 0 else 2)
+    entries = {}
+    for field in rng.sample(list(_FIELD_TYPES), n):
+        entries[field] = _rand_field_condition(rng, _FIELD_TYPES[field])
+    if rng.random() < 0.2:
+        entries["photo"] = C.MapCondition(
+            {"status": _rand_field_condition(rng, "str", depth=1)}
+        )
+    cond = C.MapCondition(entries)
+    r = rng.random()
+    if r < 0.15:
+        cond = C.and_([cond, C.intrinsic("~table", C.equal(rng.choice(
+            ["review:tc", "question:tc", "review:other"])))])
+    elif r < 0.25:
+        cond = C.or_([cond, C.intrinsic("~deleted", C.equal(True))])
+    elif r < 0.35 and depth == 0:
+        cond = rng.choice([C.and_, C.or_])([cond, _rand_condition(rng, depth + 1)])
+    elif r < 0.45:
+        cond = C.not_(cond)
+    return cond
+
+
+def _rand_doc_row(rng, i):
+    def maybe(pool):
+        return None if rng.random() < 0.25 else rng.choice(pool)
+
+    def maybe_arr(pool):
+        if rng.random() < 0.25:
+            return None
+        return [rng.choice(pool) for _ in range(rng.randint(0, 3))]
+
+    photo = None
+    if rng.random() > 0.3:
+        photo = {"url": maybe(_STR_POOL), "status": maybe(_STR_POOL)}
+    return (
+        f"r{i}",
+        rng.choice(["review:tc", "question:tc", "review:other"]),
+        rng.random() < 0.15,
+        maybe(_STR_POOL),
+        maybe(_LONG_POOL),
+        maybe(_DBL_POOL),
+        maybe([True, False]),
+        maybe_arr(_LONG_POOL),
+        maybe_arr(_STR_POOL),
+        photo,
+    )
+
+
+def test_fuzz_compiled_matches_interpreter(spark):
+    rng = _random.Random(20260813)
+    docs = list(DOCS) + [_rand_doc_row(rng, i) for i in range(25)]
+    df = spark.createDataFrame(docs, DOC_SCHEMA).cache()
+
+    conds = []
+    while len(conds) < 250:
+        c = _rand_condition(rng)
+        # text round-trip: only shapes the language itself can express
+        c = parse_condition(str(c))
+        conds.append(c)
+
+    failures = []
+    CHUNK = 50
+    for lo in range(0, len(conds), CHUNK):
+        chunk = conds[lo : lo + CHUNK]
+        cols = [F.col("`~id`")]
+        for j, c in enumerate(chunk):
+            cols.append(compile_condition(c, df).alias(f"c{j}"))
+        rows = {r["~id"]: r for r in df.select(*cols).collect()}
+        for row in docs:
+            key, tbl, deleted = row[0], row[1], row[2]
+            doc = _doc_for_interpreter(row)
+            intr = Intrinsics(id=key, table=tbl, deleted=deleted, placement="default")
+            got_row = rows[key]
+            for j, c in enumerate(chunk):
+                expected = eval_condition(c, doc, intr)
+                got = bool(got_row[f"c{j}"])
+                if got != expected:
+                    failures.append((str(c), key, got, expected))
+    assert not failures, f"{len(failures)} disagreements; first 5: {failures[:5]}"
