@@ -107,6 +107,8 @@ def _compact_partition(batches):
 def compact(
     updates: DataFrame,
     cutoff_millis: int,
+    control=None,
+    placement: str = "default",
 ) -> Tuple[DataFrame, DataFrame]:
     """Split + fold: returns (base, tail).
 
@@ -114,7 +116,14 @@ def compact(
     cutoff; ``tail`` is the untouched live log (deltas at/after cutoff).
     Deltas strictly below the FCT-analog cutoff can be discarded after
     ``base`` is durably written (the 2-day history window in the reference
-    is a retention policy on exactly this discarded prefix)."""
+    is a retention policy on exactly this discarded prefix).
+
+    ``control`` (a :class:`~.compaction_control.CompactionControlSource`)
+    clamps the cutoff behind any in-flight stash scan of ``placement``
+    (DefaultDataStore.java:429-434) so a snapshot never loses deltas it
+    still needs."""
+    if control is not None:
+        cutoff_millis = control.effective_cutoff(cutoff_millis, placement)
     ts = change_id_millis(F.col("change_id"))
     old = updates.filter(ts < F.lit(cutoff_millis))
     tail = updates.filter(ts >= F.lit(cutoff_millis))
@@ -139,13 +148,18 @@ def compact_full(
     updates: DataFrame,
     cutoff_millis: int,
     history_ttl_ms: int = HISTORY_TTL_MS,
+    control=None,
+    placement: str = "default",
 ) -> CompactionResult:
     """Compaction that KEEPS the folded prefix as history records instead
     of discarding it: the compacted deltas survive for ``history_ttl_ms``
     (2 days, AbstractCompactor.java:245) so ``getTimeline`` can still show
     a document's recent past after compaction. ``base`` doubles as the
     Compaction record (cutoff_change_id + fold state + compacted_count =
-    the Compaction row getTimeline renders)."""
+    the Compaction row getTimeline renders). ``control``/``placement``
+    clamp the cutoff behind in-flight stash scans, as in :func:`compact`."""
+    if control is not None:
+        cutoff_millis = control.effective_cutoff(cutoff_millis, placement)
     ts = change_id_millis(F.col("change_id"))
     old = updates.filter(ts < F.lit(cutoff_millis))
     base, tail = compact(updates, cutoff_millis)

@@ -1,0 +1,130 @@
+"""Compaction control: pin compaction behind in-flight stash scans.
+
+The reference delays delta deletion while a stash scan runs: the scan
+registers its start timestamp per placement (sor-api
+CompactionControlSource.java:11-22 — updateStashTime/deleteStashTime/
+getStashTimesForPlacement), and compaction clamps its cutoff to the
+earliest unexpired stash timestamp so a long-running snapshot never loses
+deltas it still needs (sor core/DefaultDataStore.java:429-434: min over
+non-expired StashRunTimeInfo timestamps, Long.MIN_VALUE when none).
+
+Spark analog: the registry is a JSON file shared by the export job and
+the compaction job (the reference uses ZooKeeper — a coordination store;
+a file on shared storage carries the same contract for batch jobs), and
+``effective_cutoff`` is the clamp ``compact()`` applies. Every pin
+carries an expiry (CompactionControlMonitor sweeps stale entries in the
+reference) so a crashed scan can only delay compaction, never wedge it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass, field
+from typing import Dict, List, Optional
+
+
+@dataclass
+class StashTime:
+    """StashRunTimeInfo analog (sor-api StashRunTimeInfo.java)."""
+
+    id: str
+    timestamp: int              # scan snapshot time (epoch millis)
+    placements: List[str] = field(default_factory=lambda: ["default"])
+    expired_timestamp: int = 0  # pin auto-expires after this
+    datacenter: str = "local"
+
+
+class CompactionControlSource:
+    """Stash-time registry, optionally file-backed for cross-job sharing.
+
+    With ``path=None`` the registry is in-process (InMemoryCompactionControlSource
+    parity); with a path, every mutation rewrites the JSON file and every
+    read reloads it, so a stash export in one Spark job pins compaction
+    running in another."""
+
+    def __init__(self, path: Optional[str] = None,
+                 clock=None) -> None:
+        self._path = path
+        self._clock = clock or (lambda: int(time.time() * 1000))
+        self._mem: Dict[str, StashTime] = {}
+
+    # -- storage ------------------------------------------------------------
+
+    def _load(self) -> Dict[str, StashTime]:
+        if self._path is None:
+            return self._mem
+        if not os.path.exists(self._path):
+            return {}
+        with open(self._path) as f:
+            raw = json.load(f)
+        return {k: StashTime(**v) for k, v in raw.items()}
+
+    def _store(self, times: Dict[str, StashTime]) -> None:
+        if self._path is None:
+            self._mem = times
+            return
+        os.makedirs(os.path.dirname(self._path) or ".", exist_ok=True)
+        tmp = self._path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({k: asdict(v) for k, v in times.items()}, f)
+        os.replace(tmp, self._path)  # atomic swap, readers never see a torn file
+
+    # -- CompactionControlSource surface ------------------------------------
+
+    def update_stash_time(self, id: str, timestamp: int,
+                          placements: Optional[List[str]] = None,
+                          expired_timestamp: Optional[int] = None,
+                          datacenter: str = "local") -> None:
+        """Register/renew a scan's pin. Default expiry: 10h past the
+        timestamp (the reference's stash runs bound their own lifetime)."""
+        times = self._load()
+        times[id] = StashTime(
+            id=id,
+            timestamp=int(timestamp),
+            placements=list(placements or ["default"]),
+            expired_timestamp=int(
+                expired_timestamp
+                if expired_timestamp is not None
+                else timestamp + 10 * 3600 * 1000
+            ),
+            datacenter=datacenter,
+        )
+        self._store(times)
+
+    def delete_stash_time(self, id: str, datacenter: str = "local") -> None:
+        times = self._load()
+        times.pop(id, None)
+        self._store(times)
+
+    def get_stash_time(self, id: str, datacenter: str = "local") -> Optional[StashTime]:
+        return self._load().get(id)
+
+    def all_stash_times(self) -> Dict[str, StashTime]:
+        return dict(self._load())
+
+    def stash_times_for_placement(self, placement: str) -> Dict[str, StashTime]:
+        return {
+            k: v for k, v in self._load().items() if placement in v.placements
+        }
+
+    # -- the clamp compaction applies ---------------------------------------
+
+    def effective_cutoff(self, requested_millis: int,
+                         placement: str = "default",
+                         now_millis: Optional[int] = None) -> int:
+        """min(requested, earliest unexpired pin for the placement) —
+        DefaultDataStore.java:429-434. Expired pins are ignored (and swept
+        here), so a crashed scan delays compaction at most to its expiry."""
+        now = self._clock() if now_millis is None else int(now_millis)
+        times = self._load()
+        live = {k: v for k, v in times.items() if v.expired_timestamp > now}
+        if len(live) != len(times):
+            self._store(live)  # sweep stale pins (CompactionControlMonitor)
+        pins = [
+            v.timestamp for v in live.values() if placement in v.placements
+        ]
+        if not pins:
+            return int(requested_millis)
+        return min(int(requested_millis), min(pins))

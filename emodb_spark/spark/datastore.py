@@ -540,16 +540,38 @@ class DataStore:
         path: str,
         names: Optional[Sequence[str]] = None,
         fmt: str = "json",
+        compaction_control=None,
+        scan_id: Optional[str] = None,
+        snapshot_millis: Optional[int] = None,
     ) -> None:
         """Daily-snapshot export (ScanUploader → S3ScanWriter, SURVEY §3.4):
         one declarative job partitioned by table — Spark's writer replaces
-        the reference's SQS-coordinated range-scan workflow."""
-        df = self.multi_table_scan(names)
-        writer = df.write.mode("overwrite").partitionBy("~table")
-        if fmt == "json":
-            writer.option("compression", "gzip").json(path)
-        else:
-            writer.parquet(path)
+        the reference's SQS-coordinated range-scan workflow.
+
+        With a ``compaction_control`` registry the export pins compaction
+        behind its snapshot time for the duration of the scan
+        (ScanUploader's compaction-control buffer — web scan/ScanUploader
+        registers updateStashTime before scanning, deletes it after), so a
+        concurrent compaction job can't fold away deltas this scan reads."""
+        pin_id = scan_id or f"stash-{os.path.basename(path.rstrip('/'))}"
+        if compaction_control is not None:
+            import time as _time
+
+            compaction_control.update_stash_time(
+                pin_id,
+                int(snapshot_millis if snapshot_millis is not None
+                    else _time.time() * 1000),
+            )
+        try:
+            df = self.multi_table_scan(names)
+            writer = df.write.mode("overwrite").partitionBy("~table")
+            if fmt == "json":
+                writer.option("compression", "gzip").json(path)
+            else:
+                writer.parquet(path)
+        finally:
+            if compaction_control is not None:
+                compaction_control.delete_stash_time(pin_id)
         self._stash_root = path
 
     def get_stash_root(self) -> str:

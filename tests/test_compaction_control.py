@@ -1,0 +1,110 @@
+"""Compaction control: in-flight stash scans pin the compaction cutoff
+(sor-api CompactionControlSource.java; DefaultDataStore.java:429-434)."""
+
+import json
+
+from emodb_spark.core.timeuuid import TimeUUIDGenerator
+from emodb_spark.spark.compaction import compact, resolve_with_base
+from emodb_spark.spark.compaction_control import CompactionControlSource
+from emodb_spark.spark.resolve_ops import UPDATES_SCHEMA, resolve
+
+
+def test_effective_cutoff_clamps_to_earliest_live_pin():
+    now = 1_770_000_000_000
+    ctl = CompactionControlSource(clock=lambda: now)
+    assert ctl.effective_cutoff(5_000_000) == 5_000_000  # no pins
+
+    ctl.update_stash_time("scanA", 3_000_000, expired_timestamp=now + 1)
+    ctl.update_stash_time("scanB", 4_000_000, expired_timestamp=now + 1)
+    assert ctl.effective_cutoff(5_000_000) == 3_000_000
+    assert ctl.effective_cutoff(2_000_000) == 2_000_000  # already earlier
+
+    # other-placement pins don't clamp this placement
+    ctl.update_stash_time("scanC", 1_000_000, placements=["ugc_eu"],
+                          expired_timestamp=now + 1)
+    assert ctl.effective_cutoff(5_000_000, placement="default") == 3_000_000
+    assert ctl.effective_cutoff(5_000_000, placement="ugc_eu") == 1_000_000
+
+    ctl.delete_stash_time("scanA")
+    assert ctl.effective_cutoff(5_000_000) == 4_000_000
+
+
+def test_expired_pins_are_ignored_and_swept():
+    now = 1_770_000_000_000
+    ctl = CompactionControlSource(clock=lambda: now)
+    ctl.update_stash_time("stale", 1_000_000, expired_timestamp=now - 1)
+    assert ctl.effective_cutoff(9_000_000) == 9_000_000  # crashed scan can't wedge
+    assert ctl.get_stash_time("stale") is None  # swept
+
+
+def test_file_backed_registry_is_shared(tmp_path):
+    path = str(tmp_path / "ctl" / "stash_times.json")
+    a = CompactionControlSource(path)
+    b = CompactionControlSource(path)
+    a.update_stash_time("scan1", 7_000_000, expired_timestamp=2**62)
+    assert b.get_stash_time("scan1").timestamp == 7_000_000
+    assert b.effective_cutoff(9_000_000) == 7_000_000
+    b.delete_stash_time("scan1")
+    assert a.all_stash_times() == {}
+
+
+def test_compact_respects_pin(spark):
+    """With a pin at t_mid, compact(cutoff=t_end) folds only deltas below
+    t_mid — and the resolve is unchanged either way."""
+    base_ms = 1_770_000_000_000
+    gen = TimeUUIDGenerator(node=61, start_millis=base_ms)
+    rows = []
+    for i in range(20):
+        # two deltas per key: one early, one 100s later
+        gen_t = TimeUUIDGenerator(node=62, start_millis=base_ms + i)
+        rows.append(("t:a", f"k{i}", gen_t.next(), '{"n":%d}' % i, []))
+        gen_t2 = TimeUUIDGenerator(node=63, start_millis=base_ms + 100_000 + i)
+        rows.append(("t:a", f"k{i}", gen_t2.next(), '{..,"late":true}', []))
+    updates = spark.createDataFrame(rows, UPDATES_SCHEMA)
+
+    t_mid = base_ms + 50_000
+    t_end = base_ms + 200_000
+    ctl = CompactionControlSource(clock=lambda: base_ms)
+    ctl.update_stash_time("scan", t_mid, expired_timestamp=base_ms + 1)
+
+    b, tail = compact(updates, t_end, control=ctl, placement="default")
+    # the pin held compaction at t_mid: every key's late delta stays live
+    assert tail.count() == 20
+    assert b.filter("compacted_count != 1").count() == 0
+    # and resolution through the clamped base still matches the full fold
+    via_base = {
+        (r["~table"], r["~id"]): (r["content"], r["~version"], r["~signature"])
+        for r in resolve_with_base(b, tail).collect()
+    }
+    direct = {
+        (r["~table"], r["~id"]): (r["content"], r["~version"], r["~signature"])
+        for r in resolve(updates).collect()
+    }
+    assert via_base == direct
+
+
+def test_stash_export_pins_then_releases(spark, tmp_path):
+    from emodb_spark.spark.datastore import DataStore
+
+    ds = DataStore(spark)
+    docs = spark.createDataFrame([("k1", 1)], "`~id` string, v long")
+    ds.create_table("t:a", df=docs, template={"type": "x"})
+
+    seen = {}
+
+    class SpyControl(CompactionControlSource):
+        def update_stash_time(self, id, timestamp, **kw):
+            seen["pinned"] = (id, timestamp)
+            super().update_stash_time(id, timestamp, **kw)
+
+        def delete_stash_time(self, id, datacenter="local"):
+            seen["released"] = id
+            super().delete_stash_time(id, datacenter)
+
+    ctl = SpyControl()
+    ds.stash_export(str(tmp_path / "stash"), ["t:a"], fmt="parquet",
+                    compaction_control=ctl, scan_id="daily",
+                    snapshot_millis=1_770_000_123_000)
+    assert seen["pinned"] == ("daily", 1_770_000_123_000)
+    assert seen["released"] == "daily"
+    assert ctl.all_stash_times() == {}  # no pin outlives the scan
