@@ -1062,6 +1062,53 @@ WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.7
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the verified MinHash
+    pair set — every doc labeled with its cluster's canonical (smallest)
+    doc id; keep `doc_id == cluster_id` for the deduplicated corpus.
+    Oracle: DuckDB recursive CTE computing min-reachable-id over the same
+    brute-force Jaccard edges (equality proves both the pair set and the
+    component labeling)."""
+    from emodb_spark.pipeline.dedup import (
+        minhash_lsh_candidates,
+        near_dup_clusters,
+        ngram_jaccard,
+        shingle_sets,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    sh = shingle_sets(docs, shingle_k=3).persist()
+    cands = minhash_lsh_candidates(docs, num_hashes=48, bands=24, shingle_k=3, sh=sh)
+    pairs = ngram_jaccard(docs, pairs=cands, shingle_k=3, threshold=0.7, sh=sh)
+    return near_dup_clusters(docs, pairs)
+
+
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_SQL_SHINGLES}, sz AS (
+  SELECT doc_id, len(shl) AS n FROM sh
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sz na ON na.doc_id = id_a
+  JOIN sz nb ON nb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.7
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), reach(id, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id
+"""
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dups, oracle-checked end to end: 60-bit md5-derived
     signatures (bit-identical in DuckDB) + 10×6-bit pigeonhole blocks —
@@ -1389,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "embedding_near_dups": q_embedding_near_dups,
         "minhash_near_dups": q_minhash_near_dups,
+        "dedup_clusters": q_dedup_clusters,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1437,6 +1485,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
         "embedding_near_dups": _oracle_embedding_near_dups(),
         "minhash_near_dups": ORACLE_MINHASH_NEAR_DUPS,
+        "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "simhash_near_dups": ORACLE_SIMHASH_NEAR_DUPS,
         "ann_lsh_topk": _oracle_ann_lsh_topk(),
         "ann_ivf_topk": _oracle_ann_ivf_topk(),

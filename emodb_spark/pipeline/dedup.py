@@ -334,3 +334,59 @@ def simhash_candidates(
     return cand.select("id_a", "id_b", dist.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: every document is
+    labeled with the smallest doc id reachable through near-dup edges —
+    its cluster's canonical representative (singletons label themselves).
+    The standard shape for "keep one copy per near-dup cluster" in a
+    training-data pipeline: filter to ``doc_id == cluster_id`` afterwards.
+
+    Min-label propagation to fixpoint: each round sends every node's label
+    across its edges and takes the per-node min; rounds needed = component
+    diameter. Near-dup components are dense clique-ish blobs (everything
+    close to everything), so a handful of rounds converge. Each round is
+    one broadcast-or-shuffle join + one groupBy keyed on the doc id, with
+    lineage cut per round (localCheckpoint) so the plan stays flat instead
+    of doubling. For adversarially-chained graphs at the 100 TB scale,
+    swap the loop body for alternating large-star/small-star rounds
+    (provably O(log n) rounds, same join shape).
+
+    Extension operator — no reference analog (emodb has no dedup surface).
+    """
+    nodes = docs.select(F.col(id_col).cast("long").alias("id")).distinct()
+    fwd = pairs.select(
+        F.col("id_a").cast("long").alias("src"), F.col("id_b").cast("long").alias("dst")
+    )
+    # pin the edge set once: every propagation round re-reads it, and its
+    # lineage may be an entire LSH pipeline
+    edges = (
+        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    labels = nodes.select("id", F.col("id").alias("lab"))
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.src == labels.id)
+            .select(F.col("dst").alias("id"), "lab")
+        )
+        new_labels = (
+            labels.unionByName(nbr).groupBy("id").agg(F.min("lab").alias("lab"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+        )
+        labels = new_labels
+        if changed.isEmpty():
+            break
+    return labels.select(F.col("id").alias(id_col), F.col("lab").alias("cluster_id"))

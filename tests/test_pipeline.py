@@ -227,3 +227,21 @@ def test_winnowing_fingerprints_detect_shared_substrings(spark, docs_df):
     near = len(by_doc[0] & by_doc[2]) / len(by_doc[0] | by_doc[2])
     far = len(by_doc[0] & by_doc[3]) / len(by_doc[0] | by_doc[3])
     assert near > 0.5 > far
+
+
+def test_near_dup_clusters_components(spark):
+    """Connected components label every doc with the min reachable id:
+    chains propagate across hops, components stay separate, singletons
+    label themselves."""
+    from emodb_spark.pipeline.dedup import near_dup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 9)], "doc_id long")
+    # component {1,2,3,4} as a CHAIN (tests multi-hop propagation),
+    # component {5,6,7} as a clique, 8 a singleton
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (5, 7)],
+        "id_a long, id_b long",
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in near_dup_clusters(docs, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8}
