@@ -964,6 +964,48 @@ GROUP BY 1, 2
 """
 
 
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization with a 30-minute inactivity gap (extension:
+    the behavioral-corpus primitive — one training example per session).
+    Integer-nanos arithmetic end to end, so the DuckDB oracle reproduces
+    session boundaries bit-exactly; under Structured Streaming the same
+    grouping is F.session_window + watermark."""
+    from emodb_spark.pipeline.events import sessionize
+
+    ev = _read(spark, sf_dir, "events")  # ts is int64 nanos
+    # microsecond domain on BOTH sides: DuckDB reads TIMESTAMP(NANOS)
+    # parquet at microsecond precision, so micros is the exact common unit
+    ev = ev.withColumn("ts_us", F.expr("ts div 1000"))
+    return sessionize(ev, gap=30 * 60 * 1_000_000, ts_col="ts_us")
+
+
+ORACLE_EVENT_SESSIONS = """
+WITH ordered AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus, value,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id) AS prev
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, tus, value,
+         CASE WHEN prev IS NULL OR tus - prev > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+), numbered AS (
+  SELECT user_id, tus, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id, session_no,
+       MIN(tus) AS session_start,
+       MAX(tus) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM numbered
+GROUP BY 1, 2
+"""
+
+
 def q_scan_condition_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """contains-family conditions over an array column (p_name word list),
     compiled to array_contains/arrays_overlap."""
@@ -1415,6 +1457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_distribution": q_lang_distribution,
         "quality_docs_join": q_quality_docs_join,
         "events_windowed": q_events_windowed,
+        "event_sessions": q_event_sessions,
         "scan_condition": q_scan_condition,
         "scan_condition_arrays": q_scan_condition_arrays,
         "partition_shard_scan": q_partition_shard_scan,
@@ -1460,6 +1503,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_distribution": _oracle_lang_distribution(),
         "quality_docs_join": ORACLE_QUALITY_DOCS_JOIN,
         "events_windowed": ORACLE_EVENTS_WINDOWED,
+        "event_sessions": ORACLE_EVENT_SESSIONS,
         "scan_condition": ORACLE_SCAN_CONDITION,
         "scan_condition_arrays": ORACLE_SCAN_CONDITION_ARRAYS,
         # partition_shard_scan: murmur3_32 itself has no DuckDB analog, but

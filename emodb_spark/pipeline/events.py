@@ -1,0 +1,64 @@
+"""Event-stream operators for training-data pipelines: sessionization.
+
+Sessionization splits each user's event stream wherever the gap between
+consecutive events exceeds a timeout — the standard building block for
+behavioral corpora (one training example per session) and for activity
+aggregation. Extension operator: the reference has no event-analytics
+surface (its databus is a change feed, not a clickstream).
+
+Two shapes:
+
+- :func:`sessionize` — batch, over an integer event-time column (exact
+  arithmetic, deterministic tie-breaks, reproducible in any SQL engine).
+  One shuffle on the user key; the gap/cumsum windows and the final
+  aggregate all share that partitioning, so Catalyst plans a single
+  exchange.
+- Streaming: the identical grouping is Spark's built-in
+  ``F.session_window(ts, gap)`` with a watermark — use that shape under
+  Structured Streaming (state-store-backed, merges windows as late events
+  arrive); the batch operator exists so oracles and backfills get
+  bit-exact integer math instead of timestamp coercion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    gap: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-user sessions: a new session starts at every event whose gap
+    from the previous event exceeds ``gap`` (same time unit as ``ts_col``).
+
+    Returns one row per session: (user, session_no — 1-based per user,
+    session_start/end, n_events, sum_value as decimal-exact double).
+    ``order_col`` breaks same-timestamp ties deterministically.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(order_col))
+    prev = F.lag(ts_col).over(w)
+    is_new = (
+        prev.isNull() | ((F.col(ts_col) - prev) > F.lit(gap))
+    ).cast("long")
+    numbered = events.withColumn(
+        "__session_no",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return numbered.groupBy(
+        F.col(user_col), F.col("__session_no").alias("session_no")
+    ).agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(12,2)"))
+        .cast("double")
+        .alias("sum_value"),
+    )

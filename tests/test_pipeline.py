@@ -245,3 +245,30 @@ def test_near_dup_clusters_components(spark):
     got = {r["doc_id"]: r["cluster_id"]
            for r in near_dup_clusters(docs, pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8}
+
+
+def test_sessionize_gap_splits_and_ties(spark):
+    """Sessions split exactly when the gap EXCEEDS the timeout (gap == gap
+    stays in-session); same-timestamp ties order by event_id; users never
+    mix."""
+    from emodb_spark.pipeline.events import sessionize
+
+    rows = [
+        # user 1: events at 0, 100, 200 (gap 100 each) then 301 (gap 101 > 100)
+        (1, 1, 0, 1.0), (2, 1, 100, 1.0), (3, 1, 200, 1.0), (4, 1, 301, 2.5),
+        # user 2: one event, plus a same-timestamp pair far later
+        (5, 2, 50, 1.0), (6, 2, 500, 1.0), (7, 2, 500, 1.0),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts long, value double")
+    got = {
+        (r["user_id"], r["session_no"]): (
+            r["session_start"], r["session_end"], r["n_events"], r["sum_value"]
+        )
+        for r in sessionize(ev, gap=100).collect()
+    }
+    assert got == {
+        (1, 1): (0, 200, 3, 3.0),     # gap == 100 did NOT split
+        (1, 2): (301, 301, 1, 2.5),   # gap 101 split
+        (2, 1): (50, 50, 1, 1.0),
+        (2, 2): (500, 500, 2, 2.0),   # tie pair in one session
+    }
