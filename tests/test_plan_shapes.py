@@ -119,3 +119,25 @@ def test_split_scan_pushes_key_range(spark, sf_dir):
     assert "PushedFilters:" in plan
     assert "GreaterThan(o_orderkey" in flat
     assert "LessThanOrEqual(o_orderkey" in flat
+
+
+def test_sessionize_plans_single_exchange(spark):
+    """The gap window, the session-numbering window, and the final
+    aggregate must all reuse ONE hash exchange on the user key."""
+    from emodb_spark.pipeline.events import sessionize
+
+    ev = spark.createDataFrame(
+        [(1, 1, 0, 1.0)], "event_id long, user_id long, ts long, value double"
+    )
+    tree = plan_of(sessionize(ev, gap=100)).split("\n\n")[0]  # tree only
+    assert tree.count("Exchange") == 1
+
+
+def test_near_dup_clusters_no_cartesian(spark):
+    from emodb_spark.pipeline.dedup import near_dup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    plan = plan_of(near_dup_clusters(docs, pairs, max_iter=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
