@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "simhash_near_dups",
     "similarity_topk",
     "multimodal_features",
+    "dedup_clusters",        # connected components over near-dup pairs
+    "event_sessions",        # per-user inactivity-gap sessionization
 ]
 
 
