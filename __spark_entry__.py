@@ -729,6 +729,150 @@ FROM stats
 """
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emodb_spark.pipeline.quality import gopher_filter
+
+    docs = _read(spark, sf_dir, "documents")
+    out = gopher_filter(docs)
+    return out.withColumn("keep", F.col("keep").cast("int"))
+
+
+ORACLE_GOPHER_QUALITY = """
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_concat(list_concat(
+    list_transform(w, t -> 'w:' || t),
+    list_transform(generate_series(1, len(w) - 1), i -> '2:' || w[i] || ' ' || w[i+1])),
+    list_transform(generate_series(1, len(w) - 2), i -> '3:' || w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+  )) AS g FROM base
+), counted AS (
+  SELECT doc_id, g, COUNT(*) AS cnt FROM grams GROUP BY doc_id, g
+), per_doc AS (
+  SELECT doc_id,
+    CAST(COALESCE(SUM(cnt) FILTER (WHERE substr(g,1,1) = 'w'), 0) AS BIGINT) AS n_tokens,
+    COALESCE(MAX(cnt) FILTER (WHERE substr(g,1,1) = 'w'), 0) AS max_w,
+    CAST(COALESCE(SUM(cnt) FILTER (WHERE substr(g,1,1) = '2'), 0) AS BIGINT) AS n_2g,
+    COALESCE(MAX(cnt) FILTER (WHERE substr(g,1,1) = '2'), 0) AS max_2g,
+    CAST(COALESCE(SUM(cnt) FILTER (WHERE substr(g,1,1) = '3'), 0) AS BIGINT) AS n_3g,
+    COUNT(*) FILTER (WHERE substr(g,1,1) = '3') AS distinct_3g
+  FROM counted GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, n_tokens,
+    ROUND(CASE WHEN n_tokens > 0 THEN CAST(max_w AS DOUBLE) / n_tokens ELSE CAST(0 AS DOUBLE) END, 6) AS max_word_frac,
+    ROUND(CASE WHEN n_2g > 0 THEN CAST(max_2g AS DOUBLE) / n_2g ELSE CAST(0 AS DOUBLE) END, 6) AS top2_frac,
+    ROUND(CASE WHEN n_3g > 0 THEN CAST(n_3g - distinct_3g AS DOUBLE) / n_3g ELSE CAST(0 AS DOUBLE) END, 6) AS dup3_frac
+  FROM per_doc
+)
+SELECT doc_id, n_tokens, max_word_frac, top2_frac, dup3_frac,
+  CAST(CASE WHEN n_tokens >= 15 AND max_word_frac <= 0.15
+             AND top2_frac <= 0.20 AND dup3_frac <= 0.35
+       THEN 1 ELSE 0 END AS INT) AS keep
+FROM sig
+"""
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emodb_spark.pipeline.text import corpus_vocab
+
+    docs = _read(spark, sf_dir, "documents")
+    return corpus_vocab(docs, k=50)
+
+
+ORACLE_VOCAB_TOPK = """
+WITH words AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS word
+  FROM documents
+)
+SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM words GROUP BY word
+ORDER BY freq DESC, word ASC LIMIT 50
+"""
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub demo: deterministically inject emails/phones into a slice of
+    the corpus, then detect + redact them (the injection makes the operator's
+    effect visible on synthetic text that contains no natural PII)."""
+    from emodb_spark.pipeline.curation import redact_pii
+
+    docs = _read(spark, sf_dir, "documents")
+    t = F.col("text")
+    t = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            t,
+            F.lit(" contact "),
+            F.col("source"),
+            F.lit("."),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ok"),
+        ),
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            t,
+            F.lit(" call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(t)
+    return redact_pii(docs.withColumn("text", t))
+
+
+def _oracle_pii_scan() -> str:
+    from emodb_spark.pipeline.curation import EMAIL_REGEX, PHONE_REGEX
+
+    return f"""
+WITH with_email AS (
+  SELECT doc_id, source,
+    CASE WHEN doc_id % 5 = 0
+         THEN text || ' contact ' || source || '.' || CAST(doc_id AS VARCHAR) || '@example.com ok'
+         ELSE text END AS t
+  FROM documents
+), injected AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0
+         THEN t || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         ELSE t END AS t
+  FROM with_email
+)
+SELECT doc_id,
+  len(regexp_extract_all(t, '{EMAIL_REGEX}')) AS n_emails,
+  len(regexp_extract_all(t, '{PHONE_REGEX}')) AS n_phones,
+  regexp_replace(regexp_replace(t, '{EMAIL_REGEX}', '<EMAIL>', 'g'),
+                 '{PHONE_REGEX}', '<PHONE>', 'g') AS redacted
+FROM injected
+"""
+
+
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emodb_spark.pipeline.curation import balanced_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    # group on `lang` — the skewed dimension (en is ~3x the others), so the
+    # balancing actually downsamples; `source` is uniform in the testdata
+    return balanced_sample(docs, group_col="lang", id_col="doc_id")
+
+
+ORACLE_CORPUS_SAMPLE = """
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_grp FROM documents GROUP BY lang
+), m AS (
+  SELECT AVG(n_grp) AS mean_grp FROM counts
+), rates AS (
+  SELECT lang, LEAST(CAST(1.0 AS DOUBLE), mean_grp / n_grp) AS rate
+  FROM counts, m
+)
+SELECT d.doc_id, d.lang, ROUND(r.rate, 6) AS rate
+FROM documents d JOIN rates r USING (lang)
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      < CAST(floor(r.rate * 1152921504606846976.0) AS BIGINT)
+"""
+
+
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emodb_spark.pipeline.similarity import cosine_topk
 
@@ -1474,6 +1618,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders": q_top_orders,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
+        "gopher_quality": q_gopher_quality,
+        "vocab_topk": q_vocab_topk,
+        "pii_scan": q_pii_scan,
+        "corpus_sample": q_corpus_sample,
         "doc_fingerprints": q_doc_fingerprints,
         "similarity_topk": q_similarity_topk,
         "multimodal_features": q_multimodal_features,
@@ -1524,6 +1672,10 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": ORACLE_TOP_ORDERS,
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "text_stats": _oracle_text_stats(),
+        "gopher_quality": ORACLE_GOPHER_QUALITY,
+        "vocab_topk": ORACLE_VOCAB_TOPK,
+        "pii_scan": _oracle_pii_scan(),
+        "corpus_sample": ORACLE_CORPUS_SAMPLE,
         "doc_fingerprints": ORACLE_DOC_FINGERPRINTS,
         "similarity_topk": ORACLE_SIMILARITY_TOPK,
         "multimodal_features": ORACLE_MULTIMODAL_FEATURES,

@@ -1,0 +1,91 @@
+"""Corpus curation operators: PII redaction and deterministic sampling.
+
+Both are single-scan, shuffle-light operators meant to run as the first
+passes over a raw 100 TB crawl:
+
+- `redact_pii`: regex detect/replace for emails and phone-like tokens,
+  entirely inside whole-stage codegen (`regexp_extract_all` /
+  `regexp_replace` are JVM intrinsics). Patterns are chosen to mean the
+  same thing in Java regex and RE2 so the DuckDB oracle can mirror them.
+
+- `balanced_sample`: deterministic per-group downsampling to the mean
+  group size. The only shuffle is the tiny per-group count aggregate; the
+  corpus itself is filtered in place via a broadcast join of (group →
+  rate) and an md5-derived uniform hash of the id — rerunning the job,
+  or running it per-partition on different executors, always keeps the
+  same rows (no RNG state, unlike df.sample()).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import md5_hash60
+
+# Valid (and identical in meaning) in both Java regex and RE2/DuckDB.
+EMAIL_REGEX = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_REGEX = "\\b\\d{3}-\\d{4}\\b"
+
+_HASH_SPACE = float(1 << 60)  # md5_hash60 range
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    email_token: str = "<EMAIL>",
+    phone_token: str = "<PHONE>",
+) -> DataFrame:
+    """Count and redact email/phone matches.
+
+    Returns (id, n_emails, n_phones, redacted). Counting happens before
+    redaction; phone redaction runs on the email-redacted text so
+    overlapping matches resolve left-to-right like a one-pass scrubber.
+    """
+    t = F.col(text_col)
+    emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_REGEX), 0))
+    phones = F.size(F.regexp_extract_all(t, F.lit(PHONE_REGEX), 0))
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_REGEX, email_token),
+        PHONE_REGEX,
+        phone_token,
+    )
+    return df.select(
+        F.col(id_col),
+        emails.alias("n_emails"),
+        phones.alias("n_phones"),
+        redacted.alias("redacted"),
+    )
+
+
+def balanced_sample(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministically downsample over-represented groups to the mean size.
+
+    rate(g) = min(1, mean_group_size / size(g)); a row is kept when
+    md5_hash60(id) < rate(g) * 2^60. Groups at or below the mean keep
+    everything; a group 4x the mean keeps ~25% of its rows, chosen by id
+    hash (stable across runs and partitionings).
+
+    Plan shape: groupBy(group) count (tiny), a 1-row mean aggregate
+    cross-joined in, then a broadcast hash join back onto the corpus —
+    the 100 TB side is never shuffled.
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n_grp"))
+    mean = counts.agg(F.avg("n_grp").alias("mean_grp"))
+    rates = counts.crossJoin(F.broadcast(mean)).select(
+        group_col,
+        F.least(F.lit(1.0), F.col("mean_grp") / F.col("n_grp")).alias("rate"),
+    )
+    # floor() on both engines: DuckDB's double→BIGINT cast rounds to nearest
+    # while Spark's truncates, so the boundary must be floored explicitly
+    threshold = F.floor(F.col("rate") * F.lit(_HASH_SPACE)).cast("long")
+    return (
+        df.join(F.broadcast(rates), on=group_col, how="inner")
+        .where(md5_hash60(F.col(id_col).cast("string")) < threshold)
+        .select(F.col(id_col), F.col(group_col), F.round("rate", 6).alias("rate"))
+    )

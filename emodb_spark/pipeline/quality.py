@@ -1,0 +1,122 @@
+"""Repetition-based quality filtering for training corpora.
+
+Gopher-style document filters (Rae et al. 2021, "Scaling Language Models",
+§A1.1 data pipeline): documents dominated by a single word, a single word
+2-gram, or duplicated 3-grams are boilerplate/spam and are dropped before
+training. This module computes those repetition signals with plain
+DataFrame ops and derives a keep/drop flag.
+
+Scale design (SCALE.md "quality filters"): one scan of the corpus; the
+word/2-gram/3-gram counts ride a SINGLE explode (grams are tagged with a
+one-char kind prefix so all three statistics share one shuffle keyed on
+(doc, gram) and one keyed on doc). Shuffle volume is O(total grams), i.e.
+~3 rows per token — no all-pairs joins, no driver state. Partial
+aggregation (map-side combine) collapses repeated grams before the
+exchange, which is exactly the skew we are measuring — highly repetitive
+documents shrink the most.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def _ngrams(words: Column, n: int, tag: str) -> Column:
+    """Tagged word n-grams ('<tag>:w1 w2 ...'); empty when len(words) < n.
+
+    The guard matters: F.sequence(1, 0) yields a DESCENDING [1, 0] rather
+    than an empty range, so short documents must short-circuit.
+    """
+    joined = F.transform(
+        F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + F.lit(j)) for j in range(n)]
+        ),
+    )
+    grams = F.when(F.size(words) >= n, joined).otherwise(
+        F.array().cast("array<string>")
+    )
+    return F.transform(grams, lambda g: F.concat(F.lit(f"{tag}:"), g))
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition statistics.
+
+    Returns (id, n_tokens, max_word_frac, top2_frac, dup3_frac):
+      - max_word_frac: count of the most frequent word / token count
+      - top2_frac:     count of the most frequent word 2-gram / 2-gram count
+      - dup3_frac:     1 - distinct 3-grams / total 3-grams (fraction of
+                       3-gram slots that repeat an earlier 3-gram)
+    Ratios are 0.0 when the document is too short to form the n-gram.
+    """
+    words = tokens(F.lower(F.col(text_col)))
+    tagged = F.concat(
+        _ngrams(words, 1, "w"), _ngrams(words, 2, "2"), _ngrams(words, 3, "3")
+    )
+    grams = df.select(F.col(id_col).alias("id"), F.explode(tagged).alias("g"))
+    counted = grams.groupBy("id", "g").agg(F.count("*").alias("cnt"))
+    kind = F.substring("g", 1, 1)
+
+    def _sum(tag: str) -> Column:
+        return F.coalesce(
+            F.sum(F.when(kind == tag, F.col("cnt"))), F.lit(0)
+        ).cast("long")
+
+    def _max(tag: str) -> Column:
+        return F.coalesce(F.max(F.when(kind == tag, F.col("cnt"))), F.lit(0))
+
+    def _distinct(tag: str) -> Column:
+        return F.count(F.when(kind == tag, F.lit(1)))
+
+    per_doc = counted.groupBy("id").agg(
+        _sum("w").alias("n_tokens"),
+        _max("w").alias("max_w"),
+        _sum("2").alias("n_2g"),
+        _max("2").alias("max_2g"),
+        _sum("3").alias("n_3g"),
+        _distinct("3").alias("distinct_3g"),
+    )
+
+    def _ratio(num: Column, den: Column) -> Column:
+        return F.round(
+            F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0)), 6
+        )
+
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        _ratio(F.col("max_w"), F.col("n_tokens")).alias("max_word_frac"),
+        _ratio(F.col("max_2g"), F.col("n_2g")).alias("top2_frac"),
+        _ratio(F.col("n_3g") - F.col("distinct_3g"), F.col("n_3g")).alias(
+            "dup3_frac"
+        ),
+    )
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 15,
+    max_word_frac: float = 0.15,
+    max_top2_frac: float = 0.20,
+    max_dup3_frac: float = 0.35,
+) -> DataFrame:
+    """repetition_signals + a boolean `keep` column.
+
+    A document survives when it is long enough AND none of the repetition
+    ratios exceed its threshold (defaults tuned to the reference Gopher
+    rules' intent, scaled to short synthetic documents)."""
+    sig = repetition_signals(df, text_col=text_col, id_col=id_col)
+    keep = (
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("max_word_frac") <= max_word_frac)
+        & (F.col("top2_frac") <= max_top2_frac)
+        & (F.col("dup3_frac") <= max_dup3_frac)
+    )
+    return sig.withColumn("keep", keep)

@@ -115,6 +115,32 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
+def corpus_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+) -> DataFrame:
+    """Corpus-level vocabulary: top-k words by total frequency.
+
+    Returns (word, freq, n_docs) ordered by freq desc then word asc (a
+    total order, so top-k is deterministic). One explode + one shuffle
+    keyed on word with map-side partial counts; `n_docs` (document
+    frequency) rides the same aggregate via count(distinct id) — at
+    100 TB swap to approx_count_distinct if exactness isn't required.
+    """
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("word"),
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count("*").alias("freq"), F.countDistinct("id").alias("n_docs"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(k)
+    )
+
+
 def winnowing_fingerprints(
     df: DataFrame,
     text_col: str = "text",

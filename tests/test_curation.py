@@ -1,0 +1,100 @@
+"""Quality-filter and curation operators: repetition signals, Gopher filter,
+PII redaction, deterministic balanced sampling, corpus vocabulary."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from emodb_spark.pipeline.curation import balanced_sample, redact_pii
+from emodb_spark.pipeline.quality import gopher_filter, repetition_signals
+from emodb_spark.pipeline.text import corpus_vocab
+
+DOCS = [
+    (0, "the quick brown fox jumps over one lazy dog near a quiet river bank today", "en"),
+    (1, "spam spam spam spam spam spam spam spam spam spam", "en"),           # one word
+    (2, "buy now buy now buy now buy now buy now buy now", "en"),             # one 2-gram
+    (3, "a b c a b c a b c a b c a b c a b c", "en"),                         # repeated 3-gram
+    (4, "word", "en"),                                                        # too short for grams
+    (5, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "fr"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, lang string").cache()
+
+
+def test_repetition_signals(spark, docs_df):
+    sig = {r["doc_id"]: r for r in repetition_signals(docs_df).collect()}
+    # doc 1: every token is 'spam'
+    assert sig[1]["max_word_frac"] == 1.0
+    assert sig[1]["top2_frac"] == 1.0
+    assert sig[1]["dup3_frac"] == pytest.approx(7 / 8)  # 8 3-grams, 1 distinct
+    # doc 0: 15 distinct words — max word frequency 1
+    assert sig[0]["max_word_frac"] == pytest.approx(round(1 / 15, 6))
+    assert sig[0]["dup3_frac"] == 0.0
+    # doc 2: 'buy now' dominates 2-grams: 6 of 11
+    assert sig[2]["top2_frac"] == pytest.approx(round(6 / 11, 6))
+    # doc 4: single token — no 2/3-grams, ratios must be 0 not null
+    assert sig[4]["n_tokens"] == 1
+    assert sig[4]["top2_frac"] == 0.0
+    assert sig[4]["dup3_frac"] == 0.0
+
+
+def test_gopher_filter_drops_repetitive(spark, docs_df):
+    out = {r["doc_id"]: r["keep"] for r in gopher_filter(docs_df, min_tokens=5).collect()}
+    assert out[0] is True           # normal prose survives
+    assert out[1] is False          # single-word spam dropped
+    assert out[2] is False          # repeated 2-gram dropped
+    assert out[3] is False          # repeated 3-gram dropped
+    assert out[4] is False          # below min_tokens
+    assert out[5] is True           # distinct words survive
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "write to alice.smith+x@mail-host.example.org for info"),
+            (1, "call 555-0199 or 555-0200 now"),
+            (2, "no pii here at all"),
+            (3, "bob@ex.co and carol@ex.co and 555-1234"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[0]["n_emails"] == 1 and out[0]["n_phones"] == 0
+    assert "<EMAIL>" in out[0]["redacted"]
+    assert "alice" not in out[0]["redacted"]
+    assert out[1]["n_phones"] == 2
+    assert out[1]["redacted"] == "call <PHONE> or <PHONE> now"
+    assert out[2]["redacted"] == "no pii here at all"
+    assert out[3]["n_emails"] == 2 and out[3]["n_phones"] == 1
+
+
+def test_balanced_sample_downsamples_to_mean(spark):
+    # group 'big' has 80 rows, 'small' has 20 → mean 50 → big rate 0.625
+    rows = [(i, "big" if i < 80 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = balanced_sample(df, group_col="grp", id_col="doc_id")
+    kept = out.groupBy("grp").count().collect()
+    counts = {r["grp"]: r["count"] for r in kept}
+    assert counts["small"] == 20                      # rate 1.0 → all kept
+    assert 30 <= counts["big"] <= 70                  # ~50 expected, hash noise
+    # determinism: the same rows are kept on a rerun
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in balanced_sample(df, group_col="grp", id_col="doc_id").collect())
+    assert a == b
+
+
+def test_balanced_sample_broadcasts_rates(spark):
+    rows = [(i, "g" + str(i % 3)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    plan = balanced_sample(df, group_col="grp", id_col="doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # the corpus side is never shuffled
+
+
+def test_corpus_vocab_topk(spark, docs_df):
+    top = corpus_vocab(docs_df, k=3).collect()
+    # 'spam' (10) > 'a' (6 in doc 3 + 1 in doc 0) > tie at 6 → 'b' alphabetically
+    assert [r["word"] for r in top] == ["spam", "a", "b"]
+    assert top[0]["freq"] == 10 and top[0]["n_docs"] == 1
+    assert top[1]["freq"] == 7 and top[1]["n_docs"] == 2
