@@ -1248,6 +1248,40 @@ WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.7
 """
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup: docs with doc_id % 5 == 0 play the
+    'newly arrived batch', the rest the stored corpus; the batch's bucket
+    table broadcasts against the corpus band buckets (no self-join, no
+    corpus shuffle). Oracle: brute-force cross Jaccard between the two
+    slices — equality is the recall check, same 24x2 band/row regime as
+    `minhash_near_dups`."""
+    from emodb_spark.pipeline.dedup import incremental_near_dups
+
+    docs = _read(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return incremental_near_dups(
+        corpus, batch, num_hashes=48, bands=24, shingle_k=3, threshold=0.7
+    )
+
+
+ORACLE_INCREMENTAL_DEDUP = f"""
+WITH {_SQL_SHINGLES}, sz AS (
+  SELECT doc_id, len(shl) AS n FROM sh
+), inter AS (
+  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, COUNT(*) AS i
+  FROM shr b JOIN shr c ON b.s = c.s
+  WHERE b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+  GROUP BY 1, 2
+)
+SELECT batch_id, corpus_id, CAST(i AS DOUBLE) / (nb.n + nc.n - i) AS jaccard
+FROM inter
+JOIN sz nb ON nb.doc_id = batch_id
+JOIN sz nc ON nc.doc_id = corpus_id
+WHERE CAST(i AS DOUBLE) / (nb.n + nc.n - i) >= 0.7
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: connected components over the verified MinHash
     pair set — every doc labeled with its cluster's canonical (smallest)
@@ -1627,6 +1661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "embedding_near_dups": q_embedding_near_dups,
         "minhash_near_dups": q_minhash_near_dups,
+        "incremental_dedup": q_incremental_dedup,
         "dedup_clusters": q_dedup_clusters,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1681,6 +1716,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
         "embedding_near_dups": _oracle_embedding_near_dups(),
         "minhash_near_dups": ORACLE_MINHASH_NEAR_DUPS,
+        "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
         "simhash_near_dups": ORACLE_SIMHASH_NEAR_DUPS,
         "ann_lsh_topk": _oracle_ann_lsh_topk(),

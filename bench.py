@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "multimodal_features",
     "dedup_clusters",        # connected components over near-dup pairs
     "event_sessions",        # per-user inactivity-gap sessionization
+    "gopher_quality",        # repetition signals via one tagged explode
+    "corpus_sample",         # deterministic balanced sampling
 ]
 
 

@@ -114,6 +114,26 @@ def minhash_signatures(
     )
 
 
+def _band_buckets(with_sig: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(id, band, bucket) rows: one bucket hash per signature band."""
+    band_entries = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.xxhash64(F.array_join(
+                    F.transform(F.slice(F.col("sig"), b * rows + 1, rows),
+                                lambda h: h.cast("string")),
+                    ",",
+                )).alias("bucket"),
+            ),
+        )
+    )
+    return with_sig.select("id", band_entries.alias("e")).select(
+        "id", F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -138,22 +158,7 @@ def minhash_lsh_candidates(
     content for a hard cap of cap²/2 pairs per bucket."""
     rows = num_hashes // bands
     with_sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, sh=sh)
-    band_entries = F.explode(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.struct(
-                b.alias("band"),
-                F.xxhash64(F.array_join(
-                    F.transform(F.slice(F.col("sig"), b * rows + 1, rows),
-                                lambda h: h.cast("string")),
-                    ",",
-                )).alias("bucket"),
-            ),
-        )
-    )
-    buckets = with_sig.select("id", band_entries.alias("e")).select(
-        "id", F.col("e.band").alias("band"), F.col("e.bucket").alias("bucket")
-    )
+    buckets = _band_buckets(with_sig, bands, rows)
     if max_bucket_size is not None:
         ok = (
             buckets.groupBy("band", "bucket")
@@ -214,6 +219,77 @@ def ngram_jaccard(
         joined.select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def incremental_near_dups(
+    corpus_df: DataFrame,
+    batch_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+    max_bucket_size: Optional[int] = None,
+) -> DataFrame:
+    """Near-dup pairs BETWEEN a new batch and an existing corpus.
+
+    Continuous-ingestion dedup: each arriving batch is checked against
+    what's already stored, never against itself (intra-batch dup handling
+    is a separate, much smaller `minhash_lsh_candidates` run). Returns
+    (batch_id, corpus_id, jaccard) with jaccard >= threshold — the batch
+    rows to reject or link.
+
+    Scale shape: the corpus' band buckets are a once-materialized artifact
+    (recompute here for self-containment; persist them in deployment and
+    append each accepted batch's buckets). The batch side is small, so its
+    bucket table BROADCASTS — the 100 TB corpus is probed in place with no
+    shuffle and no self-join. ``max_bucket_size`` caps boilerplate mega-
+    buckets on the corpus side before the probe."""
+    rows = num_hashes // bands
+    sh_c = shingle_sets(corpus_df, text_col, id_col, shingle_k)
+    sh_b = shingle_sets(batch_df, text_col, id_col, shingle_k)
+    bc = _band_buckets(
+        minhash_signatures(corpus_df, text_col, id_col, num_hashes, shingle_k, sh=sh_c),
+        bands, rows,
+    )
+    bb = _band_buckets(
+        minhash_signatures(batch_df, text_col, id_col, num_hashes, shingle_k, sh=sh_b),
+        bands, rows,
+    )
+    if max_bucket_size is not None:
+        ok = (
+            bc.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        bc = bc.join(ok, ["band", "bucket"], "left_semi")
+    cands = (
+        bc.join(F.broadcast(bb.withColumnRenamed("id", "batch_id")), ["band", "bucket"])
+        .select(F.col("batch_id"), F.col("id").alias("corpus_id"))
+        .distinct()
+    )
+    joined = (
+        cands.join(
+            sh_b.select(F.col("id").alias("batch_id"), F.col("sh").alias("sh_b")),
+            "batch_id",
+        )
+        .join(
+            sh_c.select(F.col("id").alias("corpus_id"), F.col("sh").alias("sh_c")),
+            "corpus_id",
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("sh_b"), F.col("sh_c")))
+    union = F.size(F.array_union(F.col("sh_b"), F.col("sh_c")))
+    return (
+        joined.select(
+            "batch_id",
+            "corpus_id",
             (inter.cast("double") / union).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from emodb_spark.pipeline.dedup import (
     exact_dedup,
+    incremental_near_dups,
     minhash_lsh_candidates,
     ngram_jaccard,
     simhash_candidates,
@@ -245,6 +246,37 @@ def test_near_dup_clusters_components(spark):
     got = {r["doc_id"]: r["cluster_id"]
            for r in near_dup_clusters(docs, pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8}
+
+
+def test_incremental_near_dups_cross_only(spark, docs_df):
+    """Batch docs match the stored corpus but never each other; disjoint
+    content produces no pairs."""
+    corpus = docs_df.filter(F.col("doc_id").isin(0, 3, 5))
+    batch = docs_df.filter(F.col("doc_id").isin(1, 2, 4))  # 1,4 dup 0; 2 near-dups 0
+    got = incremental_near_dups(
+        corpus, batch, num_hashes=32, bands=16, shingle_k=3, threshold=0.5
+    ).collect()
+    pairs = {(r["batch_id"], r["corpus_id"]) for r in got}
+    assert (1, 0) in pairs and (4, 0) in pairs and (2, 0) in pairs
+    # intra-batch pairs (1,2),(1,4),(2,4) must NOT appear even though they
+    # are near-dups of each other — only batch × corpus is checked
+    assert all(c == 0 or c == 3 or c == 5 for _, c in pairs)
+    assert all(b in (1, 2, 4) for b, _ in pairs)
+    for r in got:
+        assert r["jaccard"] >= 0.5
+
+
+def test_incremental_near_dups_broadcasts_batch(spark, docs_df):
+    """The batch bucket table broadcasts; the corpus is probed without a
+    self-join (no corpus-side shuffle on the candidate join)."""
+    corpus = docs_df.filter(F.col("doc_id") >= 2)
+    batch = docs_df.filter(F.col("doc_id") < 2)
+    plan = (
+        incremental_near_dups(corpus, batch, num_hashes=32, bands=16, shingle_k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_sessionize_gap_splits_and_ties(spark):
