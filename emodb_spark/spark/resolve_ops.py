@@ -326,6 +326,9 @@ TIMELINE_SCHEMA = T.StructType(
         T.StructField("signature", T.StringType(), True),    # compaction only
         T.StructField("compacted_count", T.LongType(), True),
         T.StructField("tags", T.ArrayType(T.StringType()), True),  # audit? flag
+        # audit? flag: the write-time Audit map (comment/program/host —
+        # sor-api Audit.java), stored per delta by the UpdateLog
+        T.StructField("audit", T.MapType(T.StringType(), T.StringType()), True),
     ]
 )
 
@@ -352,11 +355,13 @@ def timeline_full(
     while their 2-day TTL lasts (pass ``now_millis`` to enforce it).
 
     ``data`` controls whether delta text / compaction content is included;
-    ``audit`` controls the tags column (full audit records are REST-layer,
-    out of scope per SURVEY §2 — the flag shape is the parity surface)."""
+    ``audit`` surfaces the write-time audit trail: the event tags AND the
+    Audit map (comment/program/host, sor-api Audit.java) the UpdateLog
+    stores per delta (O-Rison REST decoding stays out of scope)."""
     null_s = F.lit(None).cast(T.StringType())
     null_l = F.lit(None).cast(T.LongType())
     null_a = F.lit(None).cast(T.ArrayType(T.StringType()))
+    null_m = F.lit(None).cast(T.MapType(T.StringType(), T.StringType()))
     coord = (F.col("tbl") == tbl) & (F.col("key") == key)
 
     def delta_rows(df: DataFrame, rec_type: str) -> DataFrame:
@@ -370,6 +375,9 @@ def timeline_full(
             null_s.alias("signature"),
             null_l.alias("compacted_count"),
             (F.col("tags") if audit else null_a).alias("tags"),
+            (F.col("audit") if audit and "audit" in df.columns else null_m).alias(
+                "audit"
+            ),
         )
 
     parts = [delta_rows(tail, "delta")]
@@ -390,6 +398,7 @@ def timeline_full(
                 F.col("signature"),
                 F.col("compacted_count"),
                 null_a.alias("tags"),
+                null_m.alias("audit"),
             )
         )
     df = parts[0]

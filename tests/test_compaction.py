@@ -115,6 +115,29 @@ def test_timeline_survives_compaction(spark, log):
     assert prune_history(res.history, later).count() == 0
 
 
+def test_timeline_surfaces_audit_map(spark, tmp_path):
+    """getTimeline(includeAuditInformation=true) returns the write-time
+    Audit map stored by updateAll (sor-api Audit.java: comment/program/
+    host), not just event tags; audit=False nulls both."""
+    from emodb_spark.spark.resolve_ops import timeline_full
+    from emodb_spark.spark.writer import Update, UpdateLog
+
+    log = UpdateLog(spark, str(tmp_path / "log"))
+    log.update("t1", "k1", '{"v":1}',
+               audit={"comment": "initial import", "program": "etl"})
+    log.update("t1", "k1", '{..,"v":2}', tags=["web"],
+               audit={"comment": "fix", "host": "web-7"})
+    tl = timeline_full(log.read(), None, None, "t1", "k1", audit=True,
+                       reversed_=False).collect()
+    assert tl[0]["audit"]["comment"] == "initial import"
+    assert tl[0]["audit"]["program"] == "etl"
+    assert tl[1]["audit"]["host"] == "web-7"
+    assert tl[1]["tags"] == ["web"]
+    hidden = timeline_full(log.read(), None, None, "t1", "k1", audit=False,
+                           reversed_=False).collect()
+    assert all(r["audit"] is None and r["tags"] is None for r in hidden)
+
+
 def test_compact_full_history_matches_prefix(spark, log):
     from emodb_spark.spark.compaction import compact_full
 
