@@ -30,10 +30,24 @@ _BASE_TICKS = _UUID_EPOCH_OFFSET_100NS + 1_700_000_000_000 * 10_000
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # the events table is written with TIMESTAMP(NANOS); read the raw
-        # int64 nanos (orderings and window semantics are unchanged)
+        # legacy datasets write ts as TIMESTAMP(NANOS) (arrives as int64
+        # nanos under this flag); current datasets use timestamp[us] (the
+        # flag is then inert and ts arrives as TIMESTAMP_NTZ). Queries that
+        # do arithmetic on ts must go through _events_ts_us.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events_ts_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events with a normalized `ts_us` bigint column (epoch microseconds),
+    derived from whichever physical type the parquet stores:
+    int64 nanos (legacy) or timestamp[us] (current driver data). Session
+    timezone is UTC, so NTZ -> TIMESTAMP preserves the stored instant and
+    unix_micros matches DuckDB's epoch_us exactly."""
+    ev = _read(spark, sf_dir, "events")
+    if dict(ev.dtypes)["ts"] == "bigint":
+        return ev.withColumn("ts_us", F.expr("ts div 1000"))
+    return ev.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
 
 
 # ---------------------------------------------------------------------------
@@ -1085,8 +1099,8 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference, which has no windows — SURVEY §2.6 last row): per-hour
     per-type counts and decimal-exact value sums over the event stream.
     The same plan runs under Structured Streaming with a watermark."""
-    ev = _read(spark, sf_dir, "events")  # ts is int64 nanos
-    hour_bucket = F.expr("ts div 3600000000000")  # integer division — exact
+    ev = _events_ts_us(spark, sf_dir)
+    hour_bucket = F.expr("ts_us div 3600000000")  # integer division — exact
     return (
         ev.groupBy(hour_bucket.alias("hour_bucket"), F.col("event_type"))
         .agg(
@@ -1098,7 +1112,7 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_EVENTS_WINDOWED = """
-SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket,
+SELECT epoch_us(ts) // 3600000000 AS hour_bucket,
        event_type,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
@@ -1116,10 +1130,9 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouping is F.session_window + watermark."""
     from emodb_spark.pipeline.events import sessionize
 
-    ev = _read(spark, sf_dir, "events")  # ts is int64 nanos
-    # microsecond domain on BOTH sides: DuckDB reads TIMESTAMP(NANOS)
-    # parquet at microsecond precision, so micros is the exact common unit
-    ev = ev.withColumn("ts_us", F.expr("ts div 1000"))
+    # microsecond domain on BOTH sides (DuckDB epoch_us), whatever the
+    # physical ts type — micros is the exact common unit
+    ev = _events_ts_us(spark, sf_dir)
     return sessionize(ev, gap=30 * 60 * 1_000_000, ts_col="ts_us")
 
 

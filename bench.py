@@ -76,9 +76,12 @@ def main() -> None:
                 "embeddings", "events"]:
         path = os.path.join(sf_dir, f"{tbl}.parquet")
         if os.path.exists(path):
-            if tbl == "events":
-                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            spark.read.parquet(path).write.format("noop").mode("overwrite").save()
+            try:
+                if tbl == "events":
+                    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                spark.read.parquet(path).write.format("noop").mode("overwrite").save()
+            except Exception as e:  # noqa: BLE001
+                print(f"# pre-touch {tbl} failed: {e}", file=sys.stderr)
     from emodb_spark.core.timeuuid import TimeUUIDGenerator
     from emodb_spark.spark.resolve_ops import UPDATES_SCHEMA, resolve
 
@@ -91,40 +94,56 @@ def main() -> None:
     # the dedup plans JIT over ~2 executions — run each once untimed so
     # the timed best-of-2 measures steady state, not codegen compilation
     for warm_q in ("minhash_near_dups", "simhash_near_dups"):
-        qs[warm_q](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            qs[warm_q](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as e:  # noqa: BLE001 — warmup must never kill the bench
+            print(f"# warmup {warm_q} failed: {e}", file=sys.stderr)
         spark.catalog.clearCache()
 
     timings = {}
+    errors = {}
     total = 0.0
     for name in BENCH_QUERIES:
-        fn = qs[name]
+        fn = qs.get(name)
+        if fn is None:
+            errors[name] = "not in queries()"
+            continue
         # best-of-2: report steady state, not residual JIT/page-cache noise
         best = None
+        err = None
         for _ in range(2):
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
+            try:
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+            except Exception as e:  # noqa: BLE001 — one bad query must not
+                # zero the whole artifact; record and keep benching
+                err = f"{type(e).__name__}: {e}"
+                break
             best = dt if best is None or dt < best else best
         # drop any cache a query pinned (e.g. shared shingle sets) so later
         # queries aren't measured under its memory pressure
         spark.catalog.clearCache()
+        if best is None:
+            errors[name] = (err or "unknown error")[:500]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         best = round(best, 3)
         timings[name] = best
         total += best
         print(f"# {name}: {best:.2f}s", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "emodb_spark_bench_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "emodb_spark_bench_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -591,49 +591,68 @@ class MegabusResolver:
 
         self._clock = clock or (lambda: int(_time.time() * 1000))
 
+    def _read_parked(self) -> Optional[DataFrame]:
+        """Parked refs, or None if the park dir holds no data files (a
+        partitioned write of an empty set leaves only _SUCCESS behind)."""
+        import os as _os
+
+        if not _os.path.exists(self.retry_path):
+            return None
+        for root, _dirs, files in _os.walk(self.retry_path):
+            if any(f.endswith(".parquet") for f in files):
+                return self.spark.read.parquet(self.retry_path)
+        return None
+
     def _split_missing(self, batch: DataFrame) -> DataFrame:
         """Missing-ref handling (megabus resolver/MissingRefDelayProcessor
         .java:25-57 + DefaultFanout orphan grace :221-229): refs to tables
         the registry doesn't know yet are parked and re-injected after a
         fixed delay; refs older than the grace window are dropped. Returns
-        the batch to process now (known refs + due retries)."""
+        the batch to process now (known refs + due retries).
+
+        Scale: parked refs never pass through the driver. `due` is
+        materialized by an executor parquet write into its own dir (so it
+        survives the park-dir swap), the re-parked remainder lands in a tmp
+        dir partitioned by tbl (the due-selection filter on tbl then prunes
+        to tables that actually appeared), and the swap itself is a
+        metadata-only directory rename."""
         if self.retry_path is None:
             return batch
+        import os as _os
+        import shutil as _shutil
+
         known = list(self.registry._tables)
         now = self._clock()
-        ready = batch.filter(F.col("tbl").isin(known))
-        missing = batch.filter(~F.col("tbl").isin(known)).withColumn(
+        in_known = F.col("tbl").isin(known) if known else F.lit(False)
+        ready = batch.filter(in_known)
+        missing = batch.filter(~in_known).withColumn(
             "retry_at", F.lit(now + self.retry_delay_ms)
         ).withColumn("first_seen", F.lit(now))
-        # pull due retries back in; re-park the rest
-        import os as _os
-
-        if _os.path.exists(self.retry_path):
-            # materialize BEFORE rewriting the dir — `due` feeds the batch
-            # that is consumed after the overwrite
-            parked_pd = self.spark.read.parquet(self.retry_path).toPandas()
-            parked = self.spark.createDataFrame(
-                parked_pd, self.spark.read.parquet(self.retry_path).schema
-            ) if len(parked_pd) else None
-        else:
-            parked = None
+        due_path = self.retry_path + "._due"
+        tmp_path = self.retry_path + "._tmp"
+        parked = self._read_parked()
         if parked is not None:
             due = parked.filter(
                 (F.col("retry_at") <= now)
-                & (F.col("tbl").isin(known))            # table appeared
+                & in_known                              # table appeared
                 & (F.col("first_seen") > now - self.orphan_grace_ms)
             )
+            # executor-side materialization BEFORE the park-dir swap — the
+            # fold consumes `due` after the swap, so it reads its own dir
+            due.write.mode("overwrite").parquet(due_path)
+            due_m = self.spark.read.parquet(due_path)
             still_parked = parked.join(
-                due.select("tbl", "key", "change_id"), ["tbl", "key", "change_id"], "left_anti"
+                due_m.select("tbl", "key", "change_id"),
+                ["tbl", "key", "change_id"], "left_anti",
             ).filter(F.col("first_seen") > now - self.orphan_grace_ms)
-            ready = ready.unionByName(due.drop("retry_at", "first_seen"))
             new_parked = still_parked.unionByName(missing)
+            ready = ready.unionByName(due_m.drop("retry_at", "first_seen"))
         else:
             new_parked = missing
-        new_parked.write.mode("overwrite").parquet(self.retry_path + "._tmp")
-        self.spark.read.parquet(self.retry_path + "._tmp").write.mode(
-            "overwrite"
-        ).parquet(self.retry_path)
+        new_parked.write.mode("overwrite").partitionBy("tbl").parquet(tmp_path)
+        if _os.path.exists(self.retry_path):
+            _shutil.rmtree(self.retry_path)
+        _os.rename(tmp_path, self.retry_path)
         return ready
 
     def _fanout(self, events: DataFrame) -> None:

@@ -106,6 +106,55 @@ def test_missing_ref_retry(spark, tmp_path):
     assert st == {"k1", "k2", "x1"}
 
 
+def test_missing_ref_retry_no_driver_materialization(spark, tmp_path, monkeypatch):
+    """The retry path must keep parked refs on executors: no toPandas
+    anywhere in process_batch, even when parked refs exist and come due
+    (same guard style as test_merge_batch_no_driver_side_fold)."""
+    from pyspark.sql import DataFrame
+
+    from emodb_spark.spark.resolve_ops import UPDATES_SCHEMA
+
+    clock = {"now": 1_000_000}
+    reg = SubscriptionRegistry()
+    reg.put_table("known", template={})
+    reg.subscribe("everything", "alwaysTrue()")
+    resolver = MegabusResolver(
+        spark, reg,
+        str(tmp_path / "state"), str(tmp_path / "out"),
+        retry_path=str(tmp_path / "retry"),
+        retry_delay_ms=5_000, orphan_grace_ms=60_000,
+        clock=lambda: clock["now"],
+    )
+    gen = TimeUUIDGenerator(node=23, start_millis=1700000000000)
+    b1 = spark.createDataFrame(
+        [("known", "k1", gen.next(), '{"a":1}', []),
+         ("latecomer", "x1", gen.next(), '{"b":2}', []),
+         ("never", "z1", gen.next(), '{"c":3}', [])],
+        UPDATES_SCHEMA,
+    )
+
+    def boom(self):
+        raise AssertionError("retry path materialized refs on the driver (toPandas)")
+
+    monkeypatch.setattr(DataFrame, "toPandas", boom)
+    resolver.process_batch(b1, 0)
+
+    # parked refs present AND due on the next batch — still no toPandas
+    reg.put_table("latecomer", template={})
+    clock["now"] += 6_000
+    b2 = spark.createDataFrame(
+        [("known", "k2", gen.next(), '{"a":3}', [])], UPDATES_SCHEMA
+    )
+    resolver.process_batch(b2, 1)
+    monkeypatch.undo()
+    st = {r["key"] for r in resolver.state.read().collect()}
+    assert st == {"k1", "k2", "x1"}
+    # 'never' is still parked (table never appeared), kept executor-side
+    parked = resolver._read_parked()
+    assert parked is not None
+    assert {r["key"] for r in parked.collect()} == {"z1"}
+
+
 def test_facade_write_routes_to_facade_placement(spark, tmp_path):
     """updateAll(facade=true) lands in the facade placement's log, visible
     only there (DataStore.java:216-256)."""
