@@ -435,10 +435,19 @@ def near_dup_clusters(
     (provably O(log n) rounds, same join shape).
 
     Extension operator — no reference analog (emodb has no dedup surface).
+
+    Id types: numeric ids propagate as longs (cheapest shuffle key);
+    string ids propagate as strings — the cluster label is then the
+    lexicographically-smallest doc id, still a canonical representative.
+    (Hashing strings to long would risk silent cluster merges on hash
+    collision, so we keep the real ids.)
     """
-    nodes = docs.select(F.col(id_col).cast("long").alias("id")).distinct()
+    id_type = dict(docs.dtypes)[id_col]
+    numeric = id_type in ("bigint", "int", "smallint", "tinyint")
+    key_t = "long" if numeric else "string"
+    nodes = docs.select(F.col(id_col).cast(key_t).alias("id")).distinct()
     fwd = pairs.select(
-        F.col("id_a").cast("long").alias("src"), F.col("id_b").cast("long").alias("dst")
+        F.col("id_a").cast(key_t).alias("src"), F.col("id_b").cast(key_t).alias("dst")
     )
     # pin the edge set once: every propagation round re-reads it, and its
     # lineage may be an entire LSH pipeline
@@ -449,14 +458,21 @@ def near_dup_clusters(
     )
 
     labels = nodes.select("id", F.col("id").alias("lab"))
-    for _ in range(max_iter):
-        nbr = (
-            edges.join(labels, edges.src == labels.id)
-            .select(F.col("dst").alias("id"), "lab")
-        )
-        new_labels = (
-            labels.unionByName(nbr).groupBy("id").agg(F.min("lab").alias("lab"))
-        ).localCheckpoint(eager=True)
+    # two propagation rounds share one materialization + one convergence
+    # check: per-round fixed overhead (checkpoint job + isEmpty job) was
+    # most of the wall-clock at small scale, and fusing rounds costs at
+    # most one redundant propagation after the fixpoint
+    done = 0
+    while done < max_iter:
+        cur = labels
+        for _ in range(min(2, max_iter - done)):
+            nbr = (
+                edges.join(cur, edges.src == cur.id)
+                .select(F.col("dst").alias("id"), "lab")
+            )
+            cur = cur.unionByName(nbr).groupBy("id").agg(F.min("lab").alias("lab"))
+            done += 1
+        new_labels = cur.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")

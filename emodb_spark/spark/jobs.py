@@ -1,0 +1,117 @@
+"""Async job envelope for long-running admin operations (replay / move).
+
+Reference parity: the databus returns a job reference immediately and the
+caller polls status (databus DefaultDatabus.java:834-950 ``replayAsyncSince``
+/ ``moveAsync`` + core/ReplayJob — jobs carry PENDING/RUNNING/FINISHED/FAILED
+state and a result count).
+
+Spark framing: the job body is itself a distributed Spark action; only the
+*envelope* (status record, id, polling) lives here. Status records are tiny
+JSON files under a ``_jobs`` dir (underscore-prefixed so Spark data scans
+ignore it), written with write-then-rename so a poll never observes a torn
+record. Execution runs on a driver-side thread pool — Spark job submission
+is thread-safe, and each job is still fully cluster-parallel.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+import uuid
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Dict, Optional
+
+PENDING = "PENDING"
+RUNNING = "RUNNING"
+FINISHED = "FINISHED"
+FAILED = "FAILED"
+
+
+class JobTracker:
+    """Persists job status records and runs job bodies asynchronously.
+
+    ``submit`` returns a job id immediately; ``status`` reads the current
+    record; ``wait`` polls to completion (for tests / synchronous callers).
+    """
+
+    def __init__(self, jobs_path: str, max_workers: int = 4, clock=None):
+        self.jobs_path = jobs_path
+        self._clock = clock or (lambda: int(time.time() * 1000))
+        self._pool = ThreadPoolExecutor(
+            max_workers=max_workers, thread_name_prefix="emodb-job"
+        )
+        self._lock = threading.Lock()
+        os.makedirs(jobs_path, exist_ok=True)
+
+    # -- persistence ---------------------------------------------------------
+
+    def _record_path(self, job_id: str) -> str:
+        return os.path.join(self.jobs_path, f"{job_id}.json")
+
+    def _write(self, record: Dict[str, Any]) -> None:
+        path = self._record_path(record["job_id"])
+        tmp = path + ".tmp"
+        with self._lock:
+            with open(tmp, "w") as f:
+                json.dump(record, f)
+            os.replace(tmp, path)  # atomic on POSIX — no torn reads
+
+    def status(self, job_id: str) -> Dict[str, Any]:
+        """Current job record; raises KeyError for unknown ids
+        (UnknownReplayException / UnknownMoveException parity)."""
+        path = self._record_path(job_id)
+        if not os.path.exists(path):
+            raise KeyError(f"unknown job: {job_id}")
+        with open(path) as f:
+            return json.load(f)
+
+    # -- execution -----------------------------------------------------------
+
+    def submit(self, job_type: str, body: Callable[[], Any],
+               detail: Optional[Dict[str, Any]] = None) -> str:
+        """Start ``body`` on the pool; returns the job id immediately.
+        ``body``'s return value lands in the record's ``result`` field."""
+        job_id = str(uuid.uuid1())
+        record = {
+            "job_id": job_id,
+            "type": job_type,
+            "status": PENDING,
+            "detail": dict(detail or {}),
+            "submit_ms": self._clock(),
+            "start_ms": None,
+            "end_ms": None,
+            "result": None,
+            "error": None,
+        }
+        self._write(record)
+
+        def run():
+            record["status"] = RUNNING
+            record["start_ms"] = self._clock()
+            self._write(record)
+            try:
+                record["result"] = body()
+                record["status"] = FINISHED
+            except Exception as e:  # noqa: BLE001 — failure is a terminal
+                # job state the poller must be able to observe
+                record["status"] = FAILED
+                record["error"] = f"{type(e).__name__}: {e}"
+            record["end_ms"] = self._clock()
+            self._write(record)
+
+        self._pool.submit(run)
+        return job_id
+
+    def wait(self, job_id: str, timeout_s: float = 120.0,
+             poll_s: float = 0.05) -> Dict[str, Any]:
+        """Poll until the job reaches a terminal state (or timeout)."""
+        deadline = time.time() + timeout_s
+        while True:
+            record = self.status(job_id)
+            if record["status"] in (FINISHED, FAILED):
+                return record
+            if time.time() >= deadline:
+                raise TimeoutError(f"job {job_id} still {record['status']}")
+            time.sleep(poll_s)

@@ -579,6 +579,7 @@ class MegabusResolver:
         retry_delay_ms: int = 10_000,
         orphan_grace_ms: int = 30_000,
         clock=None,
+        single_pass_fanout: bool = False,
     ):
         self.spark = spark
         self.registry = registry
@@ -587,6 +588,8 @@ class MegabusResolver:
         self.retry_path = retry_path
         self.retry_delay_ms = retry_delay_ms
         self.orphan_grace_ms = orphan_grace_ms
+        self.single_pass_fanout = single_pass_fanout
+        self._job_tracker = None
         import time as _time
 
         self._clock = clock or (lambda: int(_time.time() * 1000))
@@ -657,12 +660,49 @@ class MegabusResolver:
 
     def _fanout(self, events: DataFrame) -> None:
         """Per-subscription filtered sinks (runs inside merge_batch, before
-        the state commit — see its crash-consistency note)."""
+        the state commit — see its crash-consistency note).
+
+        Two modes (DefaultFanout.java:200-300's one-pass match is the
+        model for the second):
+
+        - per-subscription (default): one filtered write job per
+          subscription — simple isolation, fine for tens of subscriptions.
+        - single-pass (``single_pass_fanout=True``): every event row is
+          tagged with the array of matching subscription names, exploded,
+          and written ONCE with ``partitionBy("sub")`` — batch latency is
+          O(1) jobs instead of O(subscriptions), the layout on disk
+          (``sub=<name>/`` leaf dirs, ``subscription`` data column) is
+          byte-compatible with the per-sub mode."""
         # redundant-event suppression (DefaultResolver.java:73-87)
         deliverable = events.filter(~F.col("is_redundant"))
         if deliverable.isEmpty():
             return
-        for sub in self.registry.list():
+        subs = self.registry.list()
+        if self.single_pass_fanout and subs:
+            matched_names = F.array_compact(
+                F.array(*[
+                    F.when(self.registry.match_column(s), F.lit(s.name))
+                    for s in subs
+                ])
+            )
+            tagged = deliverable.withColumn("sub", F.explode(matched_names))
+            consolidated = (
+                tagged.withColumn(
+                    "rn",
+                    F.row_number().over(
+                        Window.partitionBy("sub", "tbl", "key")
+                        .orderBy(F.col("version").desc())
+                    ),
+                )
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+                .withColumn("subscription", F.col("sub"))
+            )
+            consolidated.write.mode("append").partitionBy("sub").parquet(
+                self.output_path
+            )
+            return
+        for sub in subs:
             matched = deliverable.filter(self.registry.match_column(sub))
             # consolidate by coordinate: latest change per key per batch
             # (DefaultDatabus ConsolidatingEventSink:508-543)
@@ -797,7 +837,10 @@ class MegabusResolver:
         and appends them to the subscription's sink; returns event count.
 
         Spark framing: replay = re-reading the shared log from a timestamp
-        — no per-subscription event copies exist to restore."""
+        — no per-subscription event copies exist to restore.
+
+        For the reference's async envelope (job id + status polling), use
+        :meth:`replay_async` / :meth:`job_status`."""
         from ..resolve_ops import change_id_millis, resolve_changes
 
         sub = self.registry.get(subscription)
@@ -822,6 +865,31 @@ class MegabusResolver:
                 .parquet(os.path.join(self.output_path, f"sub={sub.name}"))
             )
         return n
+
+    def _jobs(self):
+        from ..jobs import JobTracker
+
+        if self._job_tracker is None:
+            self._job_tracker = JobTracker(os.path.join(self.output_path, "_jobs"))
+        return self._job_tracker
+
+    def replay_async(self, updates_log: DataFrame, subscription: str,
+                     since_millis: int) -> str:
+        """replayAsyncSince parity (DefaultDatabus.java:834-899 returns a
+        reference id; ReplayJob carries the status): validates the
+        subscription, kicks :meth:`replay` off on the job pool and returns
+        the job id immediately. Poll with :meth:`job_status`."""
+        self.registry.get(subscription)  # raise before enqueueing
+        return self._jobs().submit(
+            "replay",
+            lambda: {"events": self.replay(updates_log, subscription, since_millis)},
+            detail={"subscription": subscription, "since_millis": since_millis},
+        )
+
+    def job_status(self, job_id: str) -> dict:
+        """PENDING/RUNNING/FINISHED/FAILED + result counts (getReplayStatus
+        parity); KeyError for unknown ids (UnknownReplayException)."""
+        return self._jobs().status(job_id)
 
 
 class DatabusPoller:
@@ -984,8 +1052,9 @@ class DatabusPoller:
         return df.count()
 
     def move(self, from_subscription: str, to_subscription: str) -> int:
-        """moveAsync parity (DefaultDatabus.java:900-950): drain one
-        subscription's pending (un-acked) events into another's sink."""
+        """Synchronous drain of one subscription's pending (un-acked)
+        events into another's sink — the job body behind
+        :meth:`move_async` (DefaultDatabus.java:900-950)."""
         df = self._sink(from_subscription)
         if df is None:
             return 0
@@ -998,3 +1067,24 @@ class DatabusPoller:
             ids = [r["change_id"] for r in df.select("change_id").collect()]
             self.acknowledge(from_subscription, ids)
         return n
+
+    def _jobs(self):
+        from ..jobs import JobTracker
+
+        if getattr(self, "_job_tracker", None) is None:
+            self._job_tracker = JobTracker(os.path.join(self.output_path, "_jobs"))
+        return self._job_tracker
+
+    def move_async(self, from_subscription: str, to_subscription: str) -> str:
+        """moveAsync parity: returns a job id immediately; the drain runs
+        on the job pool. Poll with :meth:`job_status` (getMoveStatus)."""
+        if self.registry is not None:
+            self.registry.get(from_subscription)  # raise before enqueueing
+        return self._jobs().submit(
+            "move",
+            lambda: {"events": self.move(from_subscription, to_subscription)},
+            detail={"from": from_subscription, "to": to_subscription},
+        )
+
+    def job_status(self, job_id: str) -> dict:
+        return self._jobs().status(job_id)

@@ -275,13 +275,33 @@ class QueueService:
         )
 
     def move(self, from_queue: str, to_queue: str) -> int:
-        """moveAsync parity: drain one queue's visible messages into another."""
+        """Synchronous queue drain — the job body behind :meth:`move_async`."""
         visible = self._visible(from_queue).collect()
         if not visible:
             return 0
         self.send_all(to_queue, [json.loads(r["payload"]) for r in visible])
         self.acknowledge(from_queue, [r["msg_id"] for r in visible])
         return len(visible)
+
+    def move_async(self, from_queue: str, to_queue: str) -> str:
+        """moveAsync parity (queue api MoveQueueRequest → job reference):
+        returns a job id immediately; poll with :meth:`job_status`."""
+        from ..jobs import JobTracker
+
+        if getattr(self, "_job_tracker", None) is None:
+            self._job_tracker = JobTracker(os.path.join(self.base, "_jobs"))
+        return self._job_tracker.submit(
+            "move",
+            lambda: {"messages": self.move(from_queue, to_queue)},
+            detail={"from": from_queue, "to": to_queue},
+        )
+
+    def job_status(self, job_id: str) -> dict:
+        from ..jobs import JobTracker
+
+        if getattr(self, "_job_tracker", None) is None:
+            self._job_tracker = JobTracker(os.path.join(self.base, "_jobs"))
+        return self._job_tracker.status(job_id)
 
     def purge(self, queue: str) -> None:
         msgs = self._read(self._messages_path(), MESSAGES_SCHEMA)

@@ -248,6 +248,29 @@ def test_near_dup_clusters_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8}
 
 
+def test_near_dup_clusters_string_ids(spark):
+    """String doc ids must not silently null out (VERDICT r2 minor #5):
+    labels propagate on the raw strings and the cluster id is the
+    lexicographically-smallest reachable doc id."""
+    from emodb_spark.pipeline.dedup import near_dup_clusters
+
+    docs = spark.createDataFrame(
+        [("doc-a",), ("doc-b",), ("doc-c",), ("doc-x",), ("doc-y",), ("solo",)],
+        "doc_id string",
+    )
+    pairs = spark.createDataFrame(
+        [("doc-a", "doc-b"), ("doc-b", "doc-c"), ("doc-x", "doc-y")],
+        "id_a string, id_b string",
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in near_dup_clusters(docs, pairs).collect()}
+    assert got == {
+        "doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a",
+        "doc-x": "doc-x", "doc-y": "doc-x", "solo": "solo",
+    }
+    assert all(v is not None for v in got.values())
+
+
 def test_incremental_near_dups_cross_only(spark, docs_df):
     """Batch docs match the stored corpus but never each other; disjoint
     content produces no pairs."""

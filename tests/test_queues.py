@@ -87,6 +87,21 @@ def test_move_and_purge(spark, tmp_path, clock):
     assert q.message_count("b") == 0
 
 
+def test_move_async_job(spark, tmp_path, clock):
+    """moveAsync job envelope: id returned immediately, status polls to
+    FINISHED with the drained count (MoveQueueRequest → job reference)."""
+    q = QueueService(spark, str(tmp_path / "q"), clock=clock)
+    q.send_all("a", [{"i": i} for i in range(4)])
+    job_id = q.move_async("a", "b")
+    done = q._job_tracker.wait(job_id, timeout_s=120)
+    assert done["status"] == "FINISHED"
+    assert done["result"] == {"messages": 4}
+    assert q.message_count("a") == 0
+    assert q.message_count("b") == 4
+    with pytest.raises(KeyError):
+        q.job_status("bogus")
+
+
 def test_message_count_up_to(spark, tmp_path, clock):
     q = QueueService(spark, str(tmp_path / "q"), clock=clock)
     q.send_all("big", [{"i": i} for i in range(20)])

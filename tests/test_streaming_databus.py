@@ -151,6 +151,60 @@ def test_megabus_resolver_stream(spark, tmp_path, registry):
     assert st["q1"]["deleted"] is False
 
 
+def test_single_pass_fanout_one_write_for_many_subs(spark, tmp_path, monkeypatch):
+    """50 subscriptions with single_pass_fanout=True: fanout issues exactly
+    ONE write to the output dir per batch (union of matched subs +
+    partitionBy('sub')) instead of one job per subscription, and every
+    subscription's leaf dir holds exactly the events per-sub mode would
+    deliver."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    gen = TimeUUIDGenerator(node=41, start_millis=1730000000000)
+    reg = SubscriptionRegistry()
+    for i in range(25):
+        reg.put_table(f"t{i}", template={"group": f"g{i % 5}"})
+    for i in range(45):
+        reg.subscribe(f"sub-{i}", '{..,"group":"g%d"}' % (i % 5))
+    for i in range(5):
+        reg.subscribe(f"tbl-{i}", f'intrinsic("~table":"t{i}")')
+    assert len(reg.list()) == 50
+
+    out_path = str(tmp_path / "out")
+    resolver = MegabusResolver(
+        spark, reg, str(tmp_path / "state"), out_path, single_pass_fanout=True
+    )
+    rows = [(f"t{i}", f"k{i}", gen.next(), '{"v":%d}' % i, []) for i in range(25)]
+
+    out_writes = {"n": 0}
+    orig_parquet = DataFrameWriter.parquet
+
+    def counting_parquet(self, path, *a, **kw):
+        if str(path).startswith(out_path):
+            out_writes["n"] += 1
+        return orig_parquet(self, path, *a, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", counting_parquet)
+    resolver.process_batch(_updates(spark, rows), 0)
+    monkeypatch.undo()
+
+    assert out_writes["n"] == 1  # O(1) write jobs, not O(subscriptions)
+
+    def read_sub(name):
+        p = os.path.join(out_path, f"sub={name}")
+        return spark.read.parquet(p).collect() if os.path.exists(p) else []
+
+    # group subscriptions: sub-i matches every table in group g{i%5}
+    for i in (0, 7, 44):
+        keys = {r["key"] for r in read_sub(f"sub-{i}")}
+        assert keys == {f"k{j}" for j in range(25) if j % 5 == i % 5}
+    # intrinsic table subscriptions: exactly the one table's key
+    for i in range(5):
+        assert {r["key"] for r in read_sub(f"tbl-{i}")} == {f"k{i}"}
+    # layout parity with per-sub mode: the subscription data column exists
+    one = read_sub("tbl-3")
+    assert one and one[0]["subscription"] == "tbl-3"
+
+
 def test_merge_batch_no_driver_side_fold(spark, tmp_path, monkeypatch):
     """The executor-side rework: merge_batch must never materialize batch
     rows on the driver (no toPandas; collect only for bucket-id metadata)."""
