@@ -65,10 +65,17 @@ ACKS_SCHEMA = T.StructType(
 
 class QueueService:
     def __init__(self, spark: SparkSession, base_path: str, dedup: bool = False,
-                 clock=None):
+                 clock=None, transport=None):
+        """``transport``: None (default — parquet dirs under ``base_path``)
+        or a :class:`~emodb_spark.spark.streaming.transport.KafkaTransport`.
+        In Kafka mode ``send_all`` publishes to the topic and
+        :meth:`read_stream` consumes it; claim/ack/peek stay file-mode
+        only — a Kafka consumer's checkpointed offsets supersede the claim
+        model (same note as DatabusPoller)."""
         self.spark = spark
         self.base = base_path
         self.dedup = dedup
+        self.transport = transport
         self._gen = TimeUUIDGenerator()
         self._clock = clock or (lambda: int(time.time() * 1000))
         os.makedirs(base_path, exist_ok=True)
@@ -108,10 +115,39 @@ class QueueService:
             (queue, mid, json.dumps(m, sort_keys=True))
             for mid, m in zip(ids, messages)
         ]
-        self.spark.createDataFrame(rows, MESSAGES_SCHEMA).write.mode("append").parquet(
-            self._messages_path()
-        )
+        df = self.spark.createDataFrame(rows, MESSAGES_SCHEMA)
+        if self.transport is not None:
+            self._kafka_write(df)
+        else:
+            df.write.mode("append").parquet(self._messages_path())
         return ids
+
+    def _kafka_write(self, df: DataFrame) -> None:
+        from .transport import encode_kafka
+
+        encoded = encode_kafka(df, MESSAGES_SCHEMA, ["queue", "msg_id"])
+        w = encoded.write.format("kafka")
+        for k, v in self.transport.writer_options().items():
+            w = w.option(k, v)
+        w.save()
+
+    def read_stream(self, queue: Optional[str] = None) -> DataFrame:
+        """The message flow as a Structured Streaming source
+        (MESSAGES_SCHEMA), optionally filtered to one queue — the native
+        Spark consumption path (checkpointed offsets supersede claims).
+        File mode streams the messages dir; Kafka mode the topic."""
+        if self.transport is not None:
+            from .transport import decode_kafka
+
+            reader = self.spark.readStream.format("kafka")
+            for k, v in self.transport.reader_options().items():
+                reader = reader.option(k, v)
+            df = decode_kafka(reader.load(), MESSAGES_SCHEMA)
+        else:
+            df = self.spark.readStream.schema(MESSAGES_SCHEMA).parquet(
+                self._messages_path()
+            )
+        return df.filter(F.col("queue") == queue) if queue is not None else df
 
     # -- consumer ----------------------------------------------------------
 

@@ -1,0 +1,72 @@
+"""Kafka transport option for the update log and queues (SURVEY §2.6's
+last transport mapping: databus/queue channels ↔ Kafka topics).
+
+The DEFAULT transport everywhere stays parquet-dir streams — identical
+logical plans either way, just a different Structured Streaming source/
+sink format. Kafka mode is pure configuration: construct a
+:class:`KafkaTransport` and pass it to ``UpdateLog`` / ``QueueService``.
+Nothing in this module imports Kafka client code; the connector
+(``spark-sql-kafka-0-10`` on the JVM classpath) is only needed at runtime
+in a deployment that actually enables it, so file-mode installs and CI
+never require it.
+
+Wire format: one JSON object per record in the Kafka ``value`` (the row
+rendered with ``to_json``), and the entity coordinate in the ``key`` —
+Kafka hash-partitions by key, so all deltas of one document land in one
+partition in order, preserving the per-key fold ordering the resolver
+depends on (same guarantee the reference gets from its Kafka ref topics —
+megabus MegabusRefTopic partitioning).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@dataclass(frozen=True)
+class KafkaTransport:
+    """Connection + topic config for one channel.
+
+    ``options`` passes through extra reader/writer options verbatim
+    (e.g. ``startingOffsets``, ``kafka.security.protocol``)."""
+
+    bootstrap_servers: str
+    topic: str
+    options: Dict[str, str] = field(default_factory=dict)
+
+    def writer_options(self) -> Dict[str, str]:
+        return {
+            "kafka.bootstrap.servers": self.bootstrap_servers,
+            "topic": self.topic,
+            **self.options,
+        }
+
+    def reader_options(self) -> Dict[str, str]:
+        return {
+            "kafka.bootstrap.servers": self.bootstrap_servers,
+            "subscribe": self.topic,
+            **self.options,
+        }
+
+
+def encode_kafka(df: DataFrame, schema: T.StructType,
+                 key_cols: List[str]) -> DataFrame:
+    """Rows → Kafka (key, value) pairs: value is the row as JSON, key is
+    the coordinate (for per-key partition ordering)."""
+    return df.select(
+        F.concat_ws("/", *[F.col(c) for c in key_cols]).alias("key"),
+        F.to_json(F.struct(*[F.col(f.name) for f in schema.fields])).alias("value"),
+    )
+
+
+def decode_kafka(raw: DataFrame, schema: T.StructType) -> DataFrame:
+    """Kafka source rows (binary key/value) → typed rows via from_json.
+    Works on both batch and streaming DataFrames."""
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("r")
+    ).select("r.*")

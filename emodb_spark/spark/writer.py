@@ -62,10 +62,16 @@ class UpdateLog:
 
     def __init__(self, spark: SparkSession, path: str,
                  generator: Optional[TimeUUIDGenerator] = None,
-                 placement: str = "default"):
+                 placement: str = "default", transport=None):
+        """``transport``: None (default — parquet-dir log at ``path``) or a
+        :class:`~emodb_spark.spark.streaming.transport.KafkaTransport` —
+        then appends publish to the topic and the stream reads from it,
+        keyed by tbl/key so per-document delta order survives Kafka
+        partitioning. The logical plans are identical either way."""
         self.spark = spark
         self.path = path
         self.placement = placement
+        self.transport = transport
         self._gen = generator or TimeUUIDGenerator()
         self._facade_logs: Dict[str, "UpdateLog"] = {}
 
@@ -128,16 +134,38 @@ class UpdateLog:
                 (u.table, str(u.key), cid, delta, tags, dict(u.audit or {}),
                  not databus_events)
             )
-        (
-            self.spark.createDataFrame(rows, LOG_SCHEMA)
-            .write.mode("append")
-            .partitionBy("tbl")
-            .parquet(self.path)
-        )
+        df = self.spark.createDataFrame(rows, LOG_SCHEMA)
+        if self.transport is not None:
+            self._kafka_write(df)
+        else:
+            df.write.mode("append").partitionBy("tbl").parquet(self.path)
         return ids
+
+    # -- kafka transport seams (overridable; exercised without a broker) --
+
+    def _kafka_write(self, df: DataFrame) -> None:
+        from .streaming.transport import encode_kafka
+
+        encoded = encode_kafka(df, LOG_SCHEMA, ["tbl", "key"])
+        w = encoded.write.format("kafka")
+        for k, v in self.transport.writer_options().items():
+            w = w.option(k, v)
+        w.save()
+
+    def _kafka_source(self, streaming: bool) -> DataFrame:
+        reader = (self.spark.readStream if streaming else self.spark.read).format(
+            "kafka"
+        )
+        for k, v in self.transport.reader_options().items():
+            reader = reader.option(k, v)
+        return reader.load()
 
     def read(self) -> DataFrame:
         """The log as a batch DataFrame (UPDATES_SCHEMA + audit)."""
+        if self.transport is not None:
+            from .streaming.transport import decode_kafka
+
+            return decode_kafka(self._kafka_source(streaming=False), LOG_SCHEMA)
         return self.spark.read.schema(LOG_SCHEMA).parquet(self.path)
 
     def read_stream(self) -> DataFrame:
@@ -150,6 +178,10 @@ class UpdateLog:
     def read_stream_raw(self) -> DataFrame:
         """Unfiltered streaming view of the log — replication ships
         EVERYTHING, including no-events writes (they're still data)."""
+        if self.transport is not None:
+            from .streaming.transport import decode_kafka
+
+            return decode_kafka(self._kafka_source(streaming=True), LOG_SCHEMA)
         return self.spark.readStream.schema(LOG_SCHEMA).parquet(self.path)
 
     def refs(self) -> DataFrame:
