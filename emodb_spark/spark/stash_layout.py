@@ -1,0 +1,219 @@
+"""Canonical EmoDB Stash layout: reader + exporter.
+
+The reference publishes daily snapshots to a rotating directory tree
+(common/stash StandardStashReader.java:27-45):
+
+    <root>/2015-02-01-00-00-00/<encoded-table>/<split>.gz
+    <root>/2015-02-03-00-00-00/...
+    <root>/_LATEST            # single line: the latest snapshot dir name
+
+with ``:`` in table names encoded as ``~`` (StashUtil.java:30-44 — EmoDB
+table names are lower-case, so the substitution cannot collide), each
+split file being *concatenated* gzip members of JSON lines
+(StashSplitIterator.java:27-39 uses a multi-member-aware decompressor),
+and a ``_SUCCESS`` marker per snapshot.
+
+Spark framing: a split file IS a Spark input split — ``spark.read.json``
+handles ``.gz`` (Hadoop's gzip codec decodes concatenated members, same
+guarantee the reference needs commons-compress for), so ``scan`` /
+``get_split`` are plain distributed json scans, no custom input format.
+Listing (tables = immediate subdirectories, splits = files per table —
+StashReader.java:158-356) is metadata-only: directory listings for
+file:// here; the identical prefix+delimiter pattern against an object
+store at deployment, never touching data bytes.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LATEST_FILE = "_LATEST"       # StashUtil.java:22
+SUCCESS_FILE = "_SUCCESS"     # StashUtil.java:23
+
+
+def encode_stash_table(table: str) -> str:
+    """Table name → directory name (StashUtil.encodeStashTable)."""
+    return table.replace(":", "~")
+
+
+def decode_stash_table(name: str) -> str:
+    """Directory name → table name (StashUtil.decodeStashTable)."""
+    return name.replace("~", ":")
+
+
+class StashNotAvailableError(Exception):
+    """No stash snapshot is available (_LATEST missing/empty —
+    sor-api StashNotAvailableException)."""
+
+
+class TableNotStashedError(KeyError):
+    """The table has no directory in this snapshot
+    (sor-api TableNotStashedException)."""
+
+
+@dataclass(frozen=True)
+class StashTable:
+    """listTables row (StashTable.java): name + its directory prefix."""
+
+    table: str
+    prefix: str
+
+
+@dataclass(frozen=True)
+class StashSplit:
+    """One split = one file, addressed relative to the stash root so a
+    split token stays valid wherever the root is mounted
+    (StashSplit.java; StashReader.getSplits strips the root)."""
+
+    table: str
+    key: str
+    size: int
+
+
+@dataclass(frozen=True)
+class StashFileMetadata:
+    path: str
+    size: int
+
+
+@dataclass(frozen=True)
+class StashTableMetadata:
+    """getTableMetadata row: the raw file inventory, for callers that feed
+    the files to their own scan jobs (StashTableMetadata.java)."""
+
+    table: str
+    prefix: str
+    files: List[StashFileMetadata]
+
+
+class StandardStashReader:
+    """Reads the rotating canonical layout, resolving ``_LATEST`` per call
+    unless locked (StandardStashReader.java:96-130 — ``lockToLatest``
+    pins a consistent snapshot across a multi-step job; a concurrent
+    publisher flipping ``_LATEST`` mid-job would otherwise mix snapshots).
+    """
+
+    def __init__(self, spark: SparkSession, stash_root: str):
+        self.spark = spark
+        self.root = stash_root.rstrip("/")
+        self._locked_latest: Optional[str] = None
+
+    # -- snapshot resolution -------------------------------------------------
+
+    def get_latest(self) -> str:
+        latest_path = os.path.join(self.root, LATEST_FILE)
+        if not os.path.exists(latest_path):
+            raise StashNotAvailableError(f"no {LATEST_FILE} under {self.root}")
+        with open(latest_path) as f:
+            latest = f.read().strip()
+        if not latest:
+            raise StashNotAvailableError(f"{LATEST_FILE} is empty")
+        return latest
+
+    def lock_to_latest(self) -> str:
+        """Pin every subsequent read to the current latest snapshot."""
+        self._locked_latest = self.get_latest()
+        return self._locked_latest
+
+    def unlock(self) -> None:
+        self._locked_latest = None
+
+    def _snapshot_dir(self) -> str:
+        return os.path.join(self.root, self._locked_latest or self.get_latest())
+
+    # -- listing (metadata only — no data bytes) -----------------------------
+
+    def list_tables(self) -> List[StashTable]:
+        snap = self._snapshot_dir()
+        out = []
+        for name in sorted(os.listdir(snap)):
+            full = os.path.join(snap, name)
+            if os.path.isdir(full):
+                out.append(StashTable(decode_stash_table(name), full + "/"))
+        return out
+
+    def _table_dir(self, table: str) -> str:
+        d = os.path.join(self._snapshot_dir(), encode_stash_table(table))
+        if not os.path.isdir(d):
+            raise TableNotStashedError(table)
+        return d
+
+    def table_exists(self, table: str) -> bool:
+        try:
+            self._table_dir(table)
+            return True
+        except TableNotStashedError:
+            return False
+
+    def get_table_metadata(self, table: str) -> StashTableMetadata:
+        d = self._table_dir(table)
+        files = [
+            StashFileMetadata(os.path.join(d, f), os.path.getsize(os.path.join(d, f)))
+            for f in sorted(os.listdir(d))
+            if not f.startswith("_") and not f.startswith(".")
+        ]
+        return StashTableMetadata(table, d + "/", files)
+
+    def get_splits(self, table: str) -> List[StashSplit]:
+        """One split per file, root-relative key (StashReader.java:310-323)."""
+        meta = self.get_table_metadata(table)
+        prefix = len(self.root) + 1
+        return [
+            StashSplit(table, f.path[prefix:], f.size) for f in meta.files
+        ]
+
+    # -- scanning (distributed json reads) -----------------------------------
+
+    def get_split(self, split: StashSplit) -> DataFrame:
+        """One split's rows (getSplit → StashSplitIterator): a json scan of
+        that single file — concatenated gzip members decode transparently."""
+        return self.spark.read.json(os.path.join(self.root, split.key))
+
+    def scan(self, table: str) -> DataFrame:
+        """Whole-table scan = one distributed json read over the table dir
+        (StashScanIterator concatenates splits; Spark schedules them as
+        tasks instead)."""
+        return self.spark.read.json(self._table_dir(table))
+
+
+class FixedStashReader(StandardStashReader):
+    """Root points directly at one snapshot — no ``_LATEST`` indirection
+    (FixedStashReader.java: for custom/non-rotating exports)."""
+
+    def _snapshot_dir(self) -> str:
+        return self.root
+
+
+def export_stash_canonical(
+    ds,
+    root: str,
+    stash_id: str,
+    names: Optional[Sequence[str]] = None,
+    compaction_control=None,
+) -> str:
+    """Publish a snapshot in the canonical layout from a DataStore: one
+    gzip-json directory per table (encoded name), then ``_SUCCESS`` and a
+    ``_LATEST`` flip — readers following ``_LATEST`` never observe a
+    half-written snapshot (the reference's uploader writes the marker
+    last: web scan/ScanUploader upload flow). Returns the snapshot dir."""
+    snap = os.path.join(root, stash_id)
+    tables = list(names) if names is not None else ds.list_tables(limit=1_000_000)
+    for t in tables:
+        (
+            ds.scan(t)
+            .write.mode("overwrite")
+            .option("compression", "gzip")
+            .json(os.path.join(snap, encode_stash_table(t)))
+        )
+    with open(os.path.join(snap, SUCCESS_FILE), "w"):
+        pass
+    latest_tmp = os.path.join(root, LATEST_FILE + ".tmp")
+    with open(latest_tmp, "w") as f:
+        f.write(stash_id)
+    os.replace(latest_tmp, os.path.join(root, LATEST_FILE))
+    return snap

@@ -1,0 +1,118 @@
+"""Canonical EmoDB Stash layout: rotating snapshots + _LATEST, encoded
+table dirs, root-relative splits, concatenated-gzip split files
+(common/stash StandardStashReader/FixedStashReader/StashUtil parity)."""
+
+import gzip
+import os
+
+import pytest
+
+from emodb_spark.spark.datastore import DataStore
+from emodb_spark.spark.stash_layout import (
+    FixedStashReader,
+    StandardStashReader,
+    StashNotAvailableError,
+    TableNotStashedError,
+    decode_stash_table,
+    encode_stash_table,
+    export_stash_canonical,
+)
+
+
+def test_encode_decode_table_names():
+    assert encode_stash_table("review:testcustomer") == "review~testcustomer"
+    assert decode_stash_table("review~testcustomer") == "review:testcustomer"
+    assert decode_stash_table(encode_stash_table("plain")) == "plain"
+
+
+@pytest.fixture()
+def store(spark, sf_dir):
+    ds = DataStore(spark)
+    ds.create_table(
+        "review:tc", path=os.path.join(sf_dir, "orders.parquet"),
+        key_column="o_orderkey",
+    )
+    ds.create_table(
+        "customer", path=os.path.join(sf_dir, "customer.parquet"),
+        key_column="c_custkey",
+    )
+    return ds
+
+
+def test_export_then_read_canonical_layout(spark, store, tmp_path):
+    root = str(tmp_path / "stash")
+    snap = export_stash_canonical(
+        store, root, "2026-08-13-00-00-00", ["review:tc", "customer"]
+    )
+    # layout on disk: _LATEST points at the snapshot, encoded table dir,
+    # _SUCCESS marker, gzip splits
+    with open(os.path.join(root, "_LATEST")) as f:
+        assert f.read().strip() == "2026-08-13-00-00-00"
+    assert os.path.isdir(os.path.join(snap, "review~tc"))
+    assert os.path.exists(os.path.join(snap, "_SUCCESS"))
+
+    reader = StandardStashReader(spark, root)
+    assert [t.table for t in reader.list_tables()] == ["customer", "review:tc"]
+    assert reader.table_exists("review:tc")
+    assert not reader.table_exists("nope")
+
+    n = store.table_approximate_size("review:tc")
+    assert reader.scan("review:tc").count() == n
+
+    # splits: root-relative keys, every file covered, union == table
+    splits = reader.get_splits("review:tc")
+    assert splits and all(s.key.startswith("2026-08-13-00-00-00/") for s in splits)
+    assert all(s.size > 0 for s in splits)
+    assert sum(reader.get_split(s).count() for s in splits) == n
+
+    meta = reader.get_table_metadata("review:tc")
+    assert len(meta.files) == len(splits)
+
+
+def test_latest_rotation_and_lock(spark, store, tmp_path):
+    """_LATEST follows the newest snapshot; lock_to_latest pins a
+    consistent snapshot across a concurrent publish
+    (StandardStashReader.java:96-130)."""
+    root = str(tmp_path / "stash")
+    export_stash_canonical(store, root, "2026-08-12-00-00-00", ["customer"])
+    reader = StandardStashReader(spark, root)
+    assert reader.get_latest() == "2026-08-12-00-00-00"
+    locked = reader.lock_to_latest()
+    assert locked == "2026-08-12-00-00-00"
+
+    # a new snapshot lands and flips _LATEST
+    export_stash_canonical(
+        store, root, "2026-08-13-00-00-00", ["customer", "review:tc"]
+    )
+    # locked reader still sees the pinned snapshot (1 table)
+    assert [t.table for t in reader.list_tables()] == ["customer"]
+    reader.unlock()
+    assert reader.get_latest() == "2026-08-13-00-00-00"
+    assert [t.table for t in reader.list_tables()] == ["customer", "review:tc"]
+
+
+def test_concatenated_gzip_split(spark, tmp_path):
+    """Split files are CONCATENATED gzip members
+    (StashSplitIterator.java:30-35); every member's rows must be read."""
+    d = tmp_path / "snap" / "docs"
+    d.mkdir(parents=True)
+    with open(d / "split-0.gz", "wb") as f:
+        f.write(gzip.compress(b'{"id":1,"v":"a"}\n{"id":2,"v":"b"}\n'))
+        f.write(gzip.compress(b'{"id":3,"v":"c"}\n{"id":4,"v":"d"}\n'))
+
+    reader = FixedStashReader(spark, str(tmp_path / "snap"))
+    rows = reader.scan("docs").collect()
+    assert sorted(r["id"] for r in rows) == [1, 2, 3, 4]
+    (split,) = reader.get_splits("docs")
+    assert reader.get_split(split).count() == 4
+
+
+def test_stash_errors(spark, tmp_path):
+    empty = StandardStashReader(spark, str(tmp_path / "nothing"))
+    with pytest.raises(StashNotAvailableError):
+        empty.get_latest()
+
+    (tmp_path / "fixed").mkdir()
+    fixed = FixedStashReader(spark, str(tmp_path / "fixed"))
+    with pytest.raises(TableNotStashedError):
+        fixed.scan("missing")
