@@ -1004,6 +1004,31 @@ SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part
 """
 
 
+def q_stash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical EmoDB stash layout end to end (StandardStashReader.java:
+    27-45 + StashUtil encoding): export `part` as a rotating snapshot
+    (encoded table dir, gzip-json splits, _LATEST flip), read it back by
+    following _LATEST and decoding the table name; the snapshot must
+    reproduce the table."""
+    import tempfile
+
+    from emodb_spark.spark.stash_layout import (
+        StandardStashReader,
+        export_stash_canonical,
+    )
+
+    ds = _store(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="stash_canonical_")
+    export_stash_canonical(ds, root, "2026-08-13-00-00-00", ["part"])
+    reader = StandardStashReader(spark, root)
+    back = reader.scan("part")
+    return back.select(
+        F.col("p_partkey").cast("long").alias("p_partkey"),
+        "p_name", "p_brand", "p_type",
+        F.col("p_size").cast("int").alias("p_size"),
+    )
+
+
 def q_blob_ranged_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BlobStore ranged reads + metadata over text-as-binary blobs."""
     from emodb_spark.pipeline.multimodal import ranged_read
@@ -1643,6 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timeline_with_compaction": q_timeline_with_compaction,
         "splits_scan": q_splits_scan,
         "stash_roundtrip": q_stash_roundtrip,
+        "stash_canonical": q_stash_canonical,
         "blob_ranged_read": q_blob_ranged_read,
         "blob_store_roundtrip": q_blob_store_roundtrip,
         "lang_distribution": q_lang_distribution,
@@ -1694,6 +1720,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE o_orderkey BETWEEN 1 AND 40", ""
         ),
         "stash_roundtrip": ORACLE_STASH_ROUNDTRIP,
+        "stash_canonical": ORACLE_STASH_ROUNDTRIP,
         "blob_ranged_read": ORACLE_BLOB_RANGED_READ,
         "blob_store_roundtrip": ORACLE_BLOB_STORE_ROUNDTRIP,
         "lang_distribution": _oracle_lang_distribution(),

@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "multimodal_features",
     "dedup_clusters",        # connected components over near-dup pairs
     "event_sessions",        # per-user inactivity-gap sessionization
+    "events_windowed",       # event-time tumbling windows (streaming shape)
     "gopher_quality",        # repetition signals via one tagged explode
     "corpus_sample",         # deterministic balanced sampling
 ]

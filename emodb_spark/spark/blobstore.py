@@ -50,6 +50,89 @@ class BlobStore:
         self.base = base_path
         self._gen = TimeUUIDGenerator()
         os.makedirs(base_path, exist_ok=True)
+        self._catalog_path = os.path.join(base_path, "_catalog.json")
+        self._catalog: Dict[str, dict] = {}
+        self._load_catalog()
+
+    # -- table admin (blob-api BlobStore.java createTable/dropTable/
+    #    get/setTableAttributes/getTableOptions/getTablePlacements/
+    #    getTableApproximateSize/getTableMetadata/purgeTableUnsafe) --------
+
+    def _load_catalog(self) -> None:
+        import json as _json
+
+        if os.path.exists(self._catalog_path):
+            with open(self._catalog_path) as f:
+                self._catalog = _json.load(f)
+
+    def _persist_catalog(self) -> None:
+        import json as _json
+
+        tmp = self._catalog_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(self._catalog, f, sort_keys=True)
+        os.replace(tmp, self._catalog_path)
+
+    def create_table(self, table: str, placement: str = "default",
+                     attributes: Optional[Dict[str, str]] = None) -> None:
+        """createTable: registers options (placement) + attributes in the
+        persistent catalog; the data dir appears on first put."""
+        self._catalog[table] = {
+            "placement": placement,
+            "attributes": dict(attributes or {}),
+        }
+        self._persist_catalog()
+
+    def drop_table(self, table: str) -> None:
+        import shutil as _shutil
+
+        self._catalog.pop(table, None)
+        self._persist_catalog()
+        if os.path.exists(self._table_path(table)):
+            _shutil.rmtree(self._table_path(table))
+
+    def purge_table_unsafe(self, table: str) -> None:
+        """Delete all content, keep the table definition."""
+        import shutil as _shutil
+
+        if os.path.exists(self._table_path(table)):
+            _shutil.rmtree(self._table_path(table))
+
+    def get_table_exists(self, table: str) -> bool:
+        return table in self._catalog or os.path.isdir(self._table_path(table))
+
+    def is_table_available(self, table: str) -> bool:
+        return self.get_table_exists(table)
+
+    def get_table_attributes(self, table: str) -> Dict[str, str]:
+        return dict(self._require(table).get("attributes", {}))
+
+    def set_table_attributes(self, table: str, attributes: Dict[str, str]) -> None:
+        self._require(table)["attributes"] = dict(attributes)
+        self._persist_catalog()
+
+    def get_table_options(self, table: str) -> Dict[str, str]:
+        return {"placement": self._require(table).get("placement", "default")}
+
+    def get_table_placements(self) -> List[str]:
+        return sorted({t.get("placement", "default") for t in self._catalog.values()})
+
+    def get_table_metadata(self, table: str) -> dict:
+        return {
+            "name": table,
+            "options": self.get_table_options(table),
+            "attributes": self.get_table_attributes(table),
+            "available": self.is_table_available(table),
+        }
+
+    def get_table_approximate_size(self, table: str) -> int:
+        """Live blob count (latest-wins, tombstones hidden)."""
+        return self.current(table).count()
+
+    def _require(self, table: str) -> dict:
+        if table not in self._catalog:
+            raise KeyError(f"unknown blob table: {table}")
+        return self._catalog[table]
 
     # -- storage ------------------------------------------------------------
 
@@ -158,12 +241,13 @@ class BlobStore:
         return [r.asDict(recursive=True) for r in out.orderBy("blob_id").limit(limit).collect()]
 
     def list_tables(self) -> List[str]:
-        return sorted(
+        on_disk = {
             d for d in os.listdir(self.base)
             if os.path.isdir(os.path.join(self.base, d))
             and not d.startswith((".", "_"))
             and not d.endswith("._tmp")
-        )
+        }
+        return sorted(on_disk | set(self._catalog))
 
     # -- maintenance ---------------------------------------------------------
 

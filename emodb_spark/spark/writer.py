@@ -11,6 +11,7 @@ the same directory as a file stream, so writing IS publishing.
 from __future__ import annotations
 
 import json
+import os
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Union
 
@@ -210,9 +211,47 @@ class UpdateLog:
         )
 
     def purge(self, table: str) -> None:
-        """Drop one table's updates (DataStore purge): rewrite without it."""
+        """Drop one table's updates (DataStore.purgeTableUnsafe).
+
+        The log is partitioned by ``tbl``, so a purge is a partition-dir
+        delete — O(one table's files), no rewrite of the rest of the log
+        (at 100 TB a full-log rewrite per purge would be absurd). Falls
+        back to a filtered rewrite only if the layout is unexpectedly
+        unpartitioned."""
+        import shutil as _shutil
+        from urllib.parse import unquote
+
+        if os.path.isdir(self.path):
+            hit = False
+            for d in os.listdir(self.path):
+                if d.startswith("tbl=") and unquote(d[4:]) == table:
+                    _shutil.rmtree(os.path.join(self.path, d))
+                    hit = True
+            if hit or any(d.startswith("tbl=") for d in os.listdir(self.path)):
+                return
         from .io_util import overwrite_dir
 
         remaining = self.read().filter(F.col("tbl") != table)
         overwrite_dir(self.spark, self.path, remaining, schema=LOG_SCHEMA,
                       partition_by="tbl")
+
+    def purge_async(self, table: str) -> str:
+        """purgeTableUnsafeAsync parity (sor-api PurgeStatus
+        IN_PROGRESS/COMPLETE/ERROR): returns a job id immediately; poll
+        with :meth:`job_status`."""
+        from .jobs import JobTracker
+
+        if getattr(self, "_job_tracker", None) is None:
+            self._job_tracker = JobTracker(self.path + "._jobs")
+        return self._job_tracker.submit(
+            "purge",
+            lambda: {"table": table, "purged": self.purge(table) or True},
+            detail={"table": table},
+        )
+
+    def job_status(self, job_id: str) -> dict:
+        from .jobs import JobTracker
+
+        if getattr(self, "_job_tracker", None) is None:
+            self._job_tracker = JobTracker(self.path + "._jobs")
+        return self._job_tracker.status(job_id)

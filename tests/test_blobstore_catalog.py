@@ -97,3 +97,39 @@ def test_catalog_survives_sessions(spark, tmp_path, sf_dir):
 
     ds2.drop_table("customer")
     assert DataStore(spark, catalog_path=cat).list_tables() == ["orders"]
+
+
+def test_blob_table_admin_surface(spark, tmp_path):
+    """blob-api table admin parity: createTable/attributes/options/
+    placements/metadata/approximate size/purge/drop, catalog persistent
+    across BlobStore instances."""
+    base = str(tmp_path / "blobs")
+    bs = BlobStore(spark, base)
+    bs.create_table("media", placement="media_global",
+                    attributes={"type": "image"})
+    assert bs.get_table_exists("media")
+    assert bs.is_table_available("media")
+    assert bs.get_table_attributes("media") == {"type": "image"}
+    assert bs.get_table_options("media") == {"placement": "media_global"}
+    assert "media" in bs.list_tables()  # registered but empty
+
+    bs.set_table_attributes("media", {"type": "image", "team": "ml"})
+    bs.put("media", "b1", b"xx")
+    bs.put("media", "b2", b"yy")
+    assert bs.get_table_approximate_size("media") == 2
+    meta = bs.get_table_metadata("media")
+    assert meta["name"] == "media" and meta["attributes"]["team"] == "ml"
+
+    # catalog survives a new instance (persistent file)
+    bs2 = BlobStore(spark, base)
+    assert bs2.get_table_attributes("media")["team"] == "ml"
+    assert bs2.get_table_placements() == ["media_global"]
+
+    # purge keeps the definition, drop removes it
+    bs2.purge_table_unsafe("media")
+    assert bs2.get_table_exists("media")
+    assert bs2.get_table_approximate_size("media") == 0
+    bs2.drop_table("media")
+    assert not bs2.get_table_exists("media")
+    with pytest.raises(KeyError):
+        bs2.get_table_attributes("media")

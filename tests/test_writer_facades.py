@@ -52,6 +52,37 @@ def test_purge(spark, tmp_path):
     assert [r["tbl"] for r in left] == ["t2"]
 
 
+def test_purge_is_partition_delete_and_handles_encoded_names(spark, tmp_path):
+    """Purge must drop the tbl partition dir (no full-log rewrite) and
+    match Spark's partition-value escaping (':' → '%3A')."""
+    import os
+
+    log = UpdateLog(spark, str(tmp_path / "log"))
+    log.update("review:tc", "a", "1")
+    log.update("t2", "b", "2")
+    t2_files_before = sorted(os.listdir(os.path.join(str(tmp_path / "log"), "tbl=t2")))
+    log.purge("review:tc")
+    assert not any(d.startswith("tbl=review") for d in os.listdir(str(tmp_path / "log")))
+    # untouched partition's files are byte-identical (no rewrite)
+    assert sorted(os.listdir(os.path.join(str(tmp_path / "log"), "tbl=t2"))) == t2_files_before
+    assert [r["tbl"] for r in log.read().select("tbl").distinct().collect()] == ["t2"]
+
+
+def test_purge_async_job(spark, tmp_path):
+    """purgeTableUnsafeAsync parity: job id + status polling to FINISHED
+    (PurgeStatus IN_PROGRESS/COMPLETE analog)."""
+    log = UpdateLog(spark, str(tmp_path / "log"))
+    log.update("t1", "a", "1")
+    log.update("t2", "b", "2")
+    job_id = log.purge_async("t1")
+    done = log._job_tracker.wait(job_id, timeout_s=120)
+    assert done["status"] == "FINISHED"
+    assert done["detail"]["table"] == "t1"
+    assert [r["tbl"] for r in log.read().select("tbl").distinct().collect()] == ["t2"]
+    with pytest.raises(KeyError):
+        log.job_status("nope")
+
+
 def test_facade_read(spark, tmp_path):
     us = str(tmp_path / "us")
     eu = str(tmp_path / "eu")
