@@ -1367,6 +1367,134 @@ SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id
 """
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-then-keep-best retention: near-dup clusters (same pipeline
+    as `dedup_clusters`) joined with a quality score; per cluster the
+    highest-alpha-ratio doc survives (ties → smallest id). Oracle replays
+    clustering via recursive CTE plus the same argmax window."""
+    from emodb_spark.pipeline.dedup import (
+        keep_best_per_cluster,
+        minhash_lsh_candidates,
+        near_dup_clusters,
+        ngram_jaccard,
+        shingle_sets,
+    )
+    from emodb_spark.pipeline.text import alpha_ratio
+
+    docs = _read(spark, sf_dir, "documents")
+    sh = shingle_sets(docs, shingle_k=3).persist()
+    cands = minhash_lsh_candidates(docs, num_hashes=48, bands=24, shingle_k=3, sh=sh)
+    pairs = ngram_jaccard(docs, pairs=cands, shingle_k=3, threshold=0.7, sh=sh)
+    clusters = near_dup_clusters(docs, pairs)
+    scores = docs.select(
+        "doc_id", F.round(alpha_ratio(F.col("text")), 6).alias("score")
+    )
+    return keep_best_per_cluster(clusters, scores)
+
+
+ORACLE_DEDUP_KEEP_BEST_TEMPLATE = """
+, scored AS (
+  SELECT doc_id,
+    ROUND(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+          / length(text), 6) AS score
+  FROM documents
+), labeled AS (
+  SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id
+)
+SELECT l.doc_id, l.cluster_id, s.score,
+  ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                     ORDER BY s.score DESC, l.doc_id ASC) = 1 AS keep
+FROM labeled l JOIN scored s USING (doc_id)
+"""
+
+# same recursive-CTE clustering as the dedup_clusters oracle, different
+# final projection (argmax-by-quality instead of min-label only)
+ORACLE_DEDUP_KEEP_BEST = (
+    ORACLE_DEDUP_CLUSTERS.rsplit("SELECT id AS doc_id", 1)[0]
+    + ORACLE_DEDUP_KEEP_BEST_TEMPLATE
+)
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: md5-interval assignment, no RNG
+    — re-runnable, partition-independent, stable under corpus growth."""
+    from emodb_spark.pipeline.curation import hash_split
+
+    docs = _read(spark, sf_dir, "documents")
+    return hash_split(docs.select("doc_id", "lang")).select(
+        "doc_id", "lang", "split"
+    )
+
+
+def _oracle_hash_split() -> str:
+    import math
+
+    space = float(1 << 60)
+    b_train = int(math.floor(0.9 * space))
+    b_val = int(math.floor(0.95 * space))
+    return f"""
+SELECT doc_id, lang, CASE
+  WHEN h < {b_train} THEN 'train'
+  WHEN h < {b_val} THEN 'val'
+  ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, lang,
+    CAST(('0x' || substr(md5('split/' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM documents
+)
+"""
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 50th doc plays the eval set; the
+    rest of the corpus is flagged when it shares ≥2 distinct word 3-grams
+    with ANY benchmark doc (n-gram-overlap leakage filter). Broadcast
+    bucket equijoin — the corpus side is never shuffled against the
+    benchmark."""
+    from emodb_spark.pipeline.curation import ngram_contamination
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return ngram_contamination(corpus, bench, shingle_k=3, min_hits=2)
+
+
+ORACLE_CONTAMINATION = """
+WITH toksc AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS tk
+  FROM documents WHERE doc_id % 50 <> 0
+), shc AS (
+  SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
+      list_distinct(list_transform(generate_series(1, len(tk)-2),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+    ELSE [array_to_string(tk, ' ')] END AS shl
+  FROM toksc
+), shrc AS (
+  SELECT doc_id, unnest(shl) AS s FROM shc
+), toksb AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS tk
+  FROM documents WHERE doc_id % 50 = 0
+), shb AS (
+  SELECT doc_id, CASE WHEN len(tk) >= 3 THEN
+      list_distinct(list_transform(generate_series(1, len(tk)-2),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+    ELSE [array_to_string(tk, ' ')] END AS shl
+  FROM toksb
+), bench AS (
+  SELECT DISTINCT unnest(shl) AS s FROM shb
+), hits AS (
+  SELECT c.doc_id, COUNT(*) AS n_hits
+  FROM shrc c JOIN bench b ON c.s = b.s GROUP BY 1
+)
+SELECT s.doc_id, len(s.shl) AS n_grams,
+  COALESCE(h.n_hits, 0) AS n_hits,
+  COALESCE(h.n_hits, 0) >= 2 AS contaminated
+FROM shc s LEFT JOIN hits h USING (doc_id)
+"""
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dups, oracle-checked end to end: 60-bit md5-derived
     signatures (bit-identical in DuckDB) + 10×6-bit pigeonhole blocks —
@@ -1702,6 +1830,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "incremental_dedup": q_incremental_dedup,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
+        "hash_split": q_hash_split,
+        "contamination": q_contamination,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1758,6 +1889,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dups": ORACLE_MINHASH_NEAR_DUPS,
         "incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+        "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
+        "hash_split": _oracle_hash_split(),
+        "contamination": ORACLE_CONTAMINATION,
         "simhash_near_dups": ORACLE_SIMHASH_NEAR_DUPS,
         "ann_lsh_topk": _oracle_ann_lsh_topk(),
         "ann_ivf_topk": _oracle_ann_ivf_topk(),

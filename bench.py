@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "events_windowed",       # event-time tumbling windows (streaming shape)
     "gopher_quality",        # repetition signals via one tagged explode
     "corpus_sample",         # deterministic balanced sampling
+    "contamination",         # benchmark n-gram decontamination
+    "hash_split",            # deterministic train/val/test assignment
 ]
 
 

@@ -89,3 +89,91 @@ def balanced_sample(
         .where(md5_hash60(F.col(id_col).cast("string")) < threshold)
         .select(F.col(id_col), F.col(group_col), F.round("rate", 6).alias("rate"))
     )
+
+
+def hash_split(
+    df: DataFrame,
+    fractions=None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic dataset split (train/val/test by default).
+
+    u = md5_hash60(salt || '/' || id) maps every id to a uniform point in
+    [0, 2^60); splits are contiguous intervals by cumulative fraction.
+    Properties a training pipeline needs that ``randomSplit`` lacks:
+    re-runnable (no RNG state), partition-independent, stable as the
+    corpus grows (an id never changes split when new data arrives), and
+    leakage-auditable (membership is a pure function of id+salt).
+    Boundaries are computed in Python and embedded as literals so any
+    engine reproducing the md5 arithmetic assigns identically.
+
+    Scale: zero shuffles — one scan, assignment inside whole-stage
+    codegen. Change ``salt`` to draw an independent split."""
+    import math
+
+    fracs = list(fractions or [("train", 0.9), ("val", 0.05), ("test", 0.05)])
+    if len(fracs) < 2:
+        raise ValueError("need at least two split fractions")
+    total = sum(f for _, f in fracs)
+    h = md5_hash60(F.concat(F.lit(salt + "/"), F.col(id_col).cast("string")))
+    expr = None
+    cum = 0.0
+    for name, frac in fracs[:-1]:
+        cum += frac
+        bound = int(math.floor(cum / total * _HASH_SPACE))
+        cond = h < F.lit(bound)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr.otherwise(fracs[-1][0]))
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    shingle_k: int = 3,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing word
+    n-grams with any benchmark/eval document (train-test leakage check —
+    the GPT-3/PaLM-style n-gram overlap filter).
+
+    Returns (id, n_grams, n_hits, contaminated): distinct k-grams in the
+    doc, how many of them appear anywhere in the benchmark, and the
+    ≥min_hits flag.
+
+    Scale: the benchmark's distinct n-gram set is tiny next to a 100 TB
+    corpus → broadcast equijoin on the n-gram string (corpus never
+    shuffled; per-doc hit counts aggregate map-side). Set
+    ``broadcast_benchmark=False`` for a huge benchmark set — the same
+    plan becomes a shuffle equijoin, still never all-pairs."""
+    from .dedup import shingle_sets, shingles
+
+    corpus_sh = shingle_sets(docs, text_col, id_col, shingle_k)
+    corpus = corpus_sh.select("id", F.explode("sh").alias("s"))
+    bench = (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(shingles(F.col(text_col), shingle_k))
+            ).alias("s")
+        ).distinct()
+    )
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    hits = corpus.join(bench, "s").groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        corpus_sh.select("id", F.size("sh").alias("n_grams"))
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_grams",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_hits).alias(
+                "contaminated"
+            ),
+        )
+    )

@@ -482,3 +482,30 @@ def near_dup_clusters(
         if changed.isEmpty():
             break
     return labels.select(F.col("id").alias(id_col), F.col("lab").alias("cluster_id"))
+
+
+def keep_best_per_cluster(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """One survivor per near-dup cluster: the highest-scoring document
+    (ties broken by smallest id — fully deterministic). The standard
+    retention policy after clustering: instead of keeping the arbitrary
+    canonical-id representative, keep the best-quality copy.
+
+    Returns (id, cluster_id, score, keep); filter ``keep`` for the
+    deduplicated corpus.
+
+    Scale: one window over cluster_id — clusters are near-dup blobs
+    (small), so partitions are tiny; the shuffle carries (id, cluster,
+    score) triples only, never text. Extension operator — no reference
+    analog."""
+    joined = clusters.join(
+        scores.select(F.col(id_col), F.col(score_col)), id_col
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return joined.withColumn("keep", F.row_number().over(w) == F.lit(1))

@@ -327,3 +327,71 @@ def test_sessionize_gap_splits_and_ties(spark):
         (2, 1): (50, 50, 1, 1.0),
         (2, 2): (500, 500, 2, 2.0),   # tie pair in one session
     }
+
+
+def test_keep_best_per_cluster(spark):
+    """Highest score survives per cluster; ties break to the smallest id;
+    singletons keep themselves."""
+    from emodb_spark.pipeline.dedup import keep_best_per_cluster
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6)],
+        "doc_id long, cluster_id long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (4, 0.1), (5, 0.1), (6, 0.2)],
+        "doc_id long, score double",
+    )
+    got = {r["doc_id"]: r["keep"]
+           for r in keep_best_per_cluster(clusters, scores).collect()}
+    # cluster 1: 2 and 3 tie at 0.9 → smallest id (2) wins
+    assert got == {1: False, 2: True, 3: False, 4: True, 5: False, 6: True}
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    """Same ids always land in the same split; fractions are approximately
+    honored; a different salt draws an independent assignment."""
+    from emodb_spark.pipeline.curation import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    a = {r["doc_id"]: r["split"] for r in hash_split(df).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(df).collect()}
+    assert a == b  # re-runnable
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert 0.85 < c["train"] / 2000 < 0.95
+    assert 0.02 < c["val"] / 2000 < 0.08
+    assert 0.02 < c["test"] / 2000 < 0.08
+    # growth-stable: adding rows never moves existing ids
+    bigger = spark.createDataFrame([(i,) for i in range(3000)], "doc_id long")
+    g = {r["doc_id"]: r["split"] for r in hash_split(bigger).collect()}
+    assert all(g[i] == a[i] for i in range(2000))
+    # independent draw under a different salt
+    s2 = {r["doc_id"]: r["split"] for r in hash_split(df, salt="other").collect()}
+    assert s2 != a
+
+
+def test_ngram_contamination_flags_overlap(spark):
+    """Docs sharing ≥min_hits distinct 3-grams with the benchmark are
+    flagged; disjoint docs are not; hit counts are distinct-gram counts."""
+    from emodb_spark.pipeline.curation import ngram_contamination
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words entirely here today"),
+            (3, "the quick brown cat naps"),  # one shared 3-gram
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps high")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in
+           ngram_contamination(corpus, bench, shingle_k=3, min_hits=2).collect()}
+    # doc 1 shares 'the quick brown', 'quick brown fox', 'brown fox jumps' → ≥2
+    assert got[1]["contaminated"] is True and got[1]["n_hits"] >= 3
+    assert got[2]["contaminated"] is False and got[2]["n_hits"] == 0
+    # doc 3 shares exactly one 3-gram → below min_hits=2
+    assert got[3]["n_hits"] == 1 and got[3]["contaminated"] is False
