@@ -1068,6 +1068,62 @@ class DatabusPoller:
             self.acknowledge(from_subscription, ids)
         return n
 
+    def unclaim_all(self, subscription: str) -> None:
+        """Release every outstanding claim so events redeliver immediately
+        (Databus.unclaimAll)."""
+        self._q.unclaim_all(subscription)
+
+    def purge(self, subscription: str) -> None:
+        """Delete ALL of a subscription's pending events (Databus.purge):
+        removes the sink dir, this subscription's ack tombstones, and its
+        claims."""
+        import shutil as _shutil
+
+        from .queues import ACKS_SCHEMA
+
+        path = os.path.join(self.output_path, f"sub={subscription}")
+        if os.path.exists(path):
+            _shutil.rmtree(path)
+        if os.path.exists(self._acks_path()):
+            from ..io_util import overwrite_dir
+
+            remaining = self.spark.read.schema(ACKS_SCHEMA).parquet(
+                self._acks_path()
+            ).filter(F.col("queue") != subscription)
+            overwrite_dir(self.spark, self._acks_path(), remaining)
+        self._q.unclaim_all(subscription)
+
+    def inject_event(self, subscription: str, tbl: str, key: str,
+                     content: Optional[str] = None,
+                     deleted: bool = False) -> str:
+        """Inject a synthetic event directly into ONE subscription's sink,
+        bypassing fanout/matching (Databus.injectEvent — the reference's
+        ops/testing hook for replaying a specific coordinate to a specific
+        consumer). Returns the event id."""
+        from ...core.timeuuid import TimeUUIDGenerator
+
+        change_id = TimeUUIDGenerator().next(millis=self._q._clock())
+        row = [(tbl, key, change_id, False, content, deleted,
+                1, [], subscription)]
+        df = self.spark.createDataFrame(
+            row,
+            "tbl string, key string, change_id string, is_redundant boolean,"
+            " content string, deleted boolean, version long,"
+            " tags array<string>, subscription string",
+        )
+        df.write.mode("append").parquet(
+            os.path.join(self.output_path, f"sub={subscription}")
+        )
+        return change_id
+
+    def master_count(self, log) -> int:
+        """Databus.getMasterCount: the size of the master event channel.
+        In the parquet-dir model the master channel IS the retained update
+        log (fanout runs synchronously inside each micro-batch, so there
+        is no separate pending-fanout backlog; events leave the channel by
+        retention/compaction, as in the reference)."""
+        return log.refs().count()
+
     def _jobs(self):
         from ..jobs import JobTracker
 

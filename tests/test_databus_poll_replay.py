@@ -101,6 +101,42 @@ def test_replay_async_job_envelope(spark, wired):
         resolver.replay_async(batch, "unknown-subscription", since_millis=0)
 
 
+def test_unclaim_purge_inject_master_count(spark, wired):
+    """The four remaining Databus.java inspection/ops methods: unclaimAll
+    (immediate redelivery), purge (events + acks + claims gone),
+    injectEvent (synthetic event to ONE subscription), getMasterCount."""
+    reg, resolver, poller, clock, batch, ids = wired
+
+    # unclaimAll: claimed events become visible again without TTL expiry
+    got = poller.poll("reviews", claim_ttl_s=3600, limit=10)
+    assert len(got) == 3
+    assert poller.poll("reviews", limit=10) == []  # all claimed
+    poller.unclaim_all("reviews")
+    assert len(poller.poll("reviews", limit=10)) == 3  # redelivered now
+
+    # injectEvent: lands in exactly one subscription's sink
+    eid = poller.inject_event("reviews", "review:tc", "r99",
+                              content='{"injected":true}')
+    assert isinstance(eid, str)
+    evs = poller.peek("reviews", limit=10)
+    assert any(e["id"] == eid and e["event"]["key"] == "r99" for e in evs)
+
+    # masterCount: the retained update-log channel
+    from emodb_spark.spark.writer import UpdateLog
+    import tempfile
+
+    log = UpdateLog(spark, tempfile.mkdtemp() + "/log")
+    log.update("review:tc", "k1", '{"a":1}')
+    log.update("review:tc", "k2", '{"a":2}')
+    assert poller.master_count(log) == 2
+
+    # purge: everything for the subscription disappears
+    poller.purge("reviews")
+    assert poller.event_count("reviews") == 0
+    assert poller.claim_count("reviews") == 0
+    assert poller.poll("reviews", limit=10) == []
+
+
 def test_move_async_job_envelope(spark, wired):
     """moveAsync parity on the poller: async drain of one subscription's
     pending events into another, observable via job_status."""
