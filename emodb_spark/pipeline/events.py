@@ -62,3 +62,75 @@ def sessionize(
         .cast("double")
         .alias("sum_value"),
     )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_seconds: int,
+    watermark: str = "1 hour",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming sessionization: Spark's built-in ``session_window`` with a
+    watermark — state-store-backed, windows merge as late events arrive
+    within the watermark, sessions emit once the watermark passes their
+    close. ``ts_col`` must be a timestamp column; ``gap_seconds`` matches
+    the batch operator's gap (in seconds).
+
+    Same output grain as :func:`sessionize` (one row per closed session)
+    minus the per-user ordinal — a stream has no global per-user ordering
+    to number sessions by until they close."""
+    # watermarks require TIMESTAMP (not NTZ); session tz is UTC so the
+    # cast preserves the stored instant
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(user_col),
+            F.session_window(F.col(ts_col), f"{gap_seconds} seconds"),
+        )
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            user_col, "session_window.start", "session_window.end",
+            "session_start", "session_end", "n_events", "sum_value",
+        )
+    )
+
+
+def windowed_counts_stream(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming variant of the per-hour per-type aggregate
+    (q_events_windowed's plan under Structured Streaming): tumbling
+    event-time windows + watermark for late data. count_distinct is not
+    supported in streaming aggs, so n_users becomes approx_count_distinct
+    — exactness belongs to the batch/backfill path."""
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), F.col(type_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            type_col, "n_events", "sum_value", "n_users_approx",
+        )
+    )

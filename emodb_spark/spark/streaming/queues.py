@@ -300,6 +300,12 @@ class QueueService:
             return df.limit(up_to + 1).count()
         return df.count()
 
+    def uncached_size(self, queue: str) -> int:
+        """getUncachedSize parity (queue-api: exact count bypassing any
+        cached estimate — DedupQueue keeps a cached size; this store
+        computes exactly every time, so it IS the uncached path)."""
+        return self.message_count(queue)
+
     def claim_count(self, queue: str) -> int:
         now = self._clock()
         return (

@@ -1,0 +1,126 @@
+"""Structured-Streaming variants of the event-analytics extensions:
+session_window sessionization and tumbling-window aggregation, checked
+against their batch counterparts on the same data (the parity the batch
+operators' docstrings promise)."""
+
+import os
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from emodb_spark.pipeline.events import (
+    sessionize,
+    sessionize_stream,
+    windowed_counts_stream,
+)
+
+_EPOCH = datetime(1970, 1, 1)
+
+
+def _us(dt) -> int:
+    """Naive-UTC datetime → exact epoch micros (no float round-trip)."""
+    return (dt - _EPOCH) // timedelta(microseconds=1)
+
+
+def _events_stream(spark, sf_dir, tmp_path):
+    """The events table replayed as a file stream, plus one FLUSH event far
+    in the future (user_id = -1, written last): append-mode windows emit
+    only once the watermark passes their close, so the flush advances the
+    final watermark beyond every real session/window. Comparisons exclude
+    the flush user."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    src = str(tmp_path / "incoming")
+    ev.repartition(2).write.mode("overwrite").parquet(src)
+    flush_ts = ev.agg(F.max("ts")).collect()[0][0] + timedelta(hours=12)
+    spark.createDataFrame(
+        [(-1, flush_ts, -1, "flush", 0.0, "{}")],
+        ev.schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    return stream, ev
+
+
+def _run_to_sink(stream_df, tmp_path, name):
+    sink = str(tmp_path / f"{name}_sink")
+    (
+        stream_df.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / f"{name}_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    return sink
+
+
+def test_streaming_sessionization_matches_batch(spark, sf_dir, tmp_path):
+    """session_window sessions must equal the batch sessionizer's sessions
+    on the same events — same boundaries, counts, decimal-exact sums, and
+    each session emitted exactly once."""
+    stream, ev = _events_stream(spark, sf_dir, tmp_path)
+    gap_s = 30 * 60
+
+    sink = _run_to_sink(
+        sessionize_stream(stream, gap_seconds=gap_s, watermark="0 seconds"),
+        tmp_path, "sessions",
+    )
+    got_rows = (
+        spark.read.parquet(sink).filter(F.col("user_id") >= 0)
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+        .collect()
+    )
+    got = {
+        (r["user_id"], _us(r["session_start"]), _us(r["session_end"]),
+         r["n_events"], r["sum_value"])
+        for r in got_rows
+    }
+
+    batch_rows = sessionize(
+        ev.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp"))),
+        gap=gap_s * 1_000_000,
+        ts_col="ts_us",
+    ).collect()
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"],
+         r["n_events"], r["sum_value"])
+        for r in batch_rows
+    }
+    assert got == batch
+    assert len(got_rows) == len(batch_rows)  # exactly-once emission
+
+
+def test_streaming_windowed_counts_match_batch(spark, sf_dir, tmp_path):
+    """Tumbling 1h windows under availableNow must produce the batch
+    group-by's exact counts and decimal sums per (hour, type)."""
+    stream, ev = _events_stream(spark, sf_dir, tmp_path)
+    sink = _run_to_sink(
+        windowed_counts_stream(stream, window="1 hour", watermark="0 seconds"),
+        tmp_path, "windows",
+    )
+    got = {
+        (_us(r["window_start"]) // 3_600_000_000, r["event_type"]):
+            (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(sink)
+        .filter(F.col("event_type") != "flush").collect()
+    }
+    batch = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in (
+            ev.groupBy(
+                F.expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+                .alias("hour"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(12,2)"))
+                .cast("double").alias("sum_value"),
+            )
+        ).collect()
+    }
+    assert got == batch
