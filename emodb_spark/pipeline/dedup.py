@@ -399,16 +399,19 @@ def simhash_candidates(
         "id", "sig", F.col("e.block").alias("block"), F.col("e.val").alias("val")
     )
     l, r = b.alias("l"), b.alias("r")
-    cand = (
+    dist = F.bit_count(F.col("l.sig").bitwiseXOR(F.col("r.sig")))
+    # hamming-filter BEFORE the dedup: bit_count(xor) is a few cycles
+    # inside the join's codegen, so the distinct's shuffle carries only
+    # within-ball pairs instead of every bucket collision (on
+    # boilerplate-heavy corpora collisions dwarf matches — this is the
+    # stage the vote-packing win was hiding behind)
+    return (
         l.join(r, on=["block", "val"])
         .filter(F.col("l.id") < F.col("r.id"))
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                F.col("l.sig").alias("sig_a"), F.col("r.sig").alias("sig_b"))
+                dist.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
-    )
-    dist = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return cand.select("id_a", "id_b", dist.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
     )
 
 
