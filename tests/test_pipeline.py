@@ -395,3 +395,57 @@ def test_ngram_contamination_flags_overlap(spark):
     assert got[2]["contaminated"] is False and got[2]["n_hits"] == 0
     # doc 3 shares exactly one 3-gram → below min_hits=2
     assert got[3]["n_hits"] == 1 and got[3]["contaminated"] is False
+
+
+def test_near_dup_clusters_random_graphs_match_union_find(spark):
+    """Property check: on 20 random graphs (varied density, chains, stars)
+    the distributed min-label propagation must equal a reference
+    union-find, verified in ONE Spark job via disjoint id spaces."""
+    import random
+
+    rng = random.Random(20260813)
+    docs_rows, pair_rows, expected = [], [], {}
+    base = 0
+    for g in range(20):
+        n = rng.randint(1, 40)
+        ids = [base + i for i in range(n)]
+        docs_rows += [(i,) for i in ids]
+        n_edges = rng.randint(0, 2 * n)
+        edges = [
+            (rng.choice(ids), rng.choice(ids)) for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        pair_rows += edges
+        # reference union-find
+        parent = {i: i for i in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp = {}
+        for i in ids:
+            comp.setdefault(find(i), []).append(i)
+        for members in comp.values():
+            lab = min(members)
+            for m in members:
+                expected[m] = lab
+        base += 1000
+
+    from emodb_spark.pipeline.dedup import near_dup_clusters
+
+    docs = spark.createDataFrame(docs_rows, "doc_id long")
+    pairs = spark.createDataFrame(
+        pair_rows or [(0, 0)], "id_a long, id_b long"
+    )
+    if not pair_rows:
+        pairs = pairs.filter("id_a <> id_a")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in near_dup_clusters(docs, pairs, max_iter=60).collect()}
+    assert got == expected
