@@ -1495,6 +1495,37 @@ FROM shc s LEFT JOIN hits h USING (doc_id)
 """
 
 
+def q_doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: documents laid end-to-end in doc_id order,
+    each assigned to the 4096-token bin its start offset falls in —
+    computed with the two-level parallel prefix sum (no single-task global
+    window). Oracle: plain SQL window cumsum, which must agree exactly
+    because the result is partition-independent."""
+    from emodb_spark.pipeline.packing import pack_documents
+    from emodb_spark.pipeline.text import token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    return pack_documents(sized, capacity=4096)
+
+
+ORACLE_DOC_PACKING = """
+WITH sized AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+  FROM documents
+), laid AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+  FROM sized
+)
+SELECT doc_id, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
+       start_offset // 4096 AS bin
+FROM laid
+"""
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dups, oracle-checked end to end: 60-bit md5-derived
     signatures (bit-identical in DuckDB) + 10×6-bit pigeonhole blocks —
@@ -1833,6 +1864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "hash_split": q_hash_split,
         "contamination": q_contamination,
+        "doc_packing": q_doc_packing,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1892,6 +1924,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_best": ORACLE_DEDUP_KEEP_BEST,
         "hash_split": _oracle_hash_split(),
         "contamination": ORACLE_CONTAMINATION,
+        "doc_packing": ORACLE_DOC_PACKING,
         "simhash_near_dups": ORACLE_SIMHASH_NEAR_DUPS,
         "ann_lsh_topk": _oracle_ann_lsh_topk(),
         "ann_ivf_topk": _oracle_ann_ivf_topk(),

@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "corpus_sample",         # deterministic balanced sampling
     "contamination",         # benchmark n-gram decontamination
     "hash_split",            # deterministic train/val/test assignment
+    "doc_packing",           # context-window packing (parallel prefix sum)
 ]
 
 

@@ -1,0 +1,97 @@
+"""Document packing: lay documents end-to-end in a deterministic order and
+assign each to a fixed-capacity bin (context window / shard) by its start
+offset — the batching step before tokenized examples are written out.
+
+The core primitive is a distributed running total (parallel prefix sum).
+A naive ``Window.orderBy(id)`` with no partition key collapses the whole
+corpus into ONE task; instead:
+
+1. range-repartition by the order key (contiguous key ranges per
+   partition, partition ids in range order),
+2. per-partition running totals via a window keyed on
+   ``spark_partition_id()`` (parallel),
+3. per-partition sums — a tiny aggregate — collected, exclusive-cumsummed
+   on the driver (O(partitions) longs), and broadcast-joined back as
+   offsets.
+
+global_cumsum = local_cumsum + partition_offset. The result is
+independent of the partition boundaries (only the total order matters),
+so the same answer comes out at any parallelism — which also makes it
+SQL-oracle-checkable with a plain window cumsum.
+
+Extension operators — no reference analog (emodb has no batching surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_running_total(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    out_col: str = "running_total",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Inclusive running total of ``value_col`` in ``order_col`` order,
+    computed with the two-level prefix-sum plan above (no single-task
+    global window). ``order_col`` must be unique (it defines the layout)."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, F.col(order_col))
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid").orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = with_pid.withColumn("__local", F.sum(value_col).over(w)).persist()
+    totals = (
+        local.groupBy("__pid").agg(F.max("__local").alias("__total"))
+        .orderBy("__pid")
+        .collect()
+    )  # O(partitions) rows — driver-side exclusive cumsum of tiny metadata
+    offsets, acc = [], 0
+    for r in totals:
+        offsets.append((r["__pid"], acc))
+        acc += r["__total"]
+    off_df = df.sparkSession.createDataFrame(offsets, "__pid int, __off long")
+    return (
+        local.join(F.broadcast(off_df), "__pid")
+        .withColumn(out_col, (F.col("__local") + F.col("__off")).cast("long"))
+        .drop("__pid", "__local", "__off")
+    )
+
+
+def pack_documents(
+    df: DataFrame,
+    capacity: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign each document to a fixed-capacity bin by its START offset in
+    the end-to-end layout (documents in ``id_col`` order): bin =
+    start_offset // capacity. Deterministic, partition-independent, and
+    stable under append (existing docs never move bins when later-id docs
+    arrive). Docs longer than ``capacity`` still get exactly one bin (the
+    one they start in) — split oversized docs upstream if needed.
+
+    Returns (id, tokens, start_offset, bin)."""
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    run = global_running_total(
+        df.select(F.col(id_col), F.col(token_col)),
+        value_col=token_col,
+        order_col=id_col,
+        out_col="__cum",
+    )
+    start = (F.col("__cum") - F.col(token_col)).cast("long")
+    out = run.select(
+        F.col(id_col),
+        F.col(token_col),
+        start.alias("start_offset"),
+    )
+    # integer div, not double floor: near bin boundaries at 1e15+ offsets a
+    # double quotient can round up across the boundary
+    return out.withColumn(
+        "bin", F.expr(f"start_offset div {int(capacity)}")
+    )

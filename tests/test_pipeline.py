@@ -449,3 +449,50 @@ def test_near_dup_clusters_random_graphs_match_union_find(spark):
     got = {r["doc_id"]: r["cluster_id"]
            for r in near_dup_clusters(docs, pairs, max_iter=60).collect()}
     assert got == expected
+
+
+def test_pack_documents_layout_and_partition_independence(spark):
+    """Bins follow start offsets of the end-to-end layout; the two-level
+    prefix sum gives identical results at any parallelism (the property
+    that makes it safe to scale); append never moves existing docs."""
+    from emodb_spark.pipeline.packing import pack_documents
+
+    rows = [(i, (i % 7) + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+    got = {r["doc_id"]: (r["start_offset"], r["bin"])
+           for r in pack_documents(df, capacity=16).collect()}
+    # reference: sequential layout
+    cum = 0
+    for i in range(200):
+        tok = (i % 7) + 1
+        assert got[i] == (cum, cum // 16), f"doc {i}"
+        cum += tok
+
+    # same answer under different partitioning
+    for n in (1, 3, 17):
+        alt = {r["doc_id"]: (r["start_offset"], r["bin"])
+               for r in pack_documents(df.repartition(5), capacity=16,
+                                       ).collect()}
+        assert alt == got
+
+    # append-stability: more docs never move earlier ones
+    bigger = spark.createDataFrame(
+        rows + [(i, 3) for i in range(200, 300)], "doc_id long, n_tokens long"
+    )
+    grown = {r["doc_id"]: (r["start_offset"], r["bin"])
+             for r in pack_documents(bigger, capacity=16).collect()}
+    assert all(grown[i] == got[i] for i in range(200))
+
+
+def test_global_running_total_matches_sequential(spark):
+    from emodb_spark.pipeline.packing import global_running_total
+
+    rows = [(i, i + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    out = {r["k"]: r["running_total"]
+           for r in global_running_total(df, "v", "k", num_partitions=7).collect()}
+    acc = 0
+    for i in range(500):
+        acc += i + 1
+        assert out[i] == acc
