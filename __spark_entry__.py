@@ -947,6 +947,37 @@ FROM documents
 """
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling over blob columns: each doc's text plays a
+    video payload; the fake decode derives the frame count from sha256, and
+    sampling emits every 5th frame with a 30fps timestamp. The oracle
+    replays the header decode + sampling arithmetic in SQL — hash equality
+    checks the mapInPandas fan-out end to end."""
+    from emodb_spark.pipeline.multimodal import sample_frames
+
+    docs = _read(spark, sf_dir, "documents")
+    blobs = docs.select(
+        F.col("doc_id").cast("string").alias("blob_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+    frames = sample_frames(blobs, every_n=5, max_frames=8, fps=30)
+    return frames.select(
+        F.col("blob_id").cast("long").alias("blob_id"), "frame_idx", "ts_ms"
+    )
+
+
+ORACLE_FRAME_SAMPLE = """
+WITH hdr AS (
+  SELECT doc_id,
+    1 + CAST(('0x' || substring(sha256(text), 5, 2)) AS INT) % 30 AS n_frames
+  FROM documents
+)
+SELECT doc_id AS blob_id, CAST(i AS INT) AS frame_idx,
+       CAST((i * 1000) // 30 AS BIGINT) AS ts_ms
+FROM hdr, unnest(generate_series(0, n_frames - 1, 5)) AS t(i)
+"""
+
+
 def q_resolve_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship #2: same fold, but through a compaction checkpoint — old
     deltas fold into base records at an FCT cutoff, then base+tail resolve.
@@ -1865,6 +1896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "contamination": q_contamination,
         "doc_packing": q_doc_packing,
+        "frame_sample": q_frame_sample,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1925,6 +1957,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_split": _oracle_hash_split(),
         "contamination": ORACLE_CONTAMINATION,
         "doc_packing": ORACLE_DOC_PACKING,
+        "frame_sample": ORACLE_FRAME_SAMPLE,
         "simhash_near_dups": ORACLE_SIMHASH_NEAR_DUPS,
         "ann_lsh_topk": _oracle_ann_lsh_topk(),
         "ann_ivf_topk": _oracle_ann_ivf_topk(),

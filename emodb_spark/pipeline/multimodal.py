@@ -149,3 +149,116 @@ def scan_metadata(df: DataFrame, from_blob_id: Optional[str] = None, limit: int 
     if from_blob_id is not None:
         out = out.filter(F.col("blob_id") > from_blob_id)
     return out.orderBy("blob_id").limit(limit)
+
+
+FRAME_SCHEMA = (
+    "blob_id string, frame_idx int, ts_ms long, frame_feature array<double>"
+)
+
+
+def _fake_frame(content: bytes, idx: int):
+    """Deterministic stand-in for a frame grab: per-frame feature from the
+    content hash chained with the frame index. NOT a real decode — swap in
+    ffmpeg/torchvision via the ``decoder`` argument in production."""
+    h = hashlib.sha256(content + idx.to_bytes(4, "big")).digest()
+    return [round(b / 255.0, 6) for b in h[:8]]
+
+
+def sample_frames(
+    blobs: DataFrame,
+    every_n: int = 5,
+    max_frames: int = 8,
+    fps: int = 30,
+    decoder: Optional[Callable] = None,
+    frame_fn: Optional[Callable] = None,
+) -> DataFrame:
+    """Sample frames from video blobs: one output row per sampled frame
+    (blob_id, frame_idx, ts_ms, frame_feature) — the fan-out step before
+    per-frame embedding/captioning in a multimodal training pipeline.
+
+    Plumbing is real: blobs spread by blob_id (decode parallelism), Arrow
+    batch streaming, the binary payload never re-emitted — only small
+    per-frame rows leave the stage. Frame COUNT comes from the container
+    header (here the fake decode); indices are [0, every_n, 2·every_n, …]
+    capped at ``max_frames``; ``ts_ms`` assumes ``fps``. Decode itself is
+    a deterministic fake (see :func:`_fake_decode`) — inject real codecs
+    via ``decoder``/``frame_fn``."""
+    decode = decoder or _fake_decode
+    grab = frame_fn or _fake_frame
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for blob_id, content in zip(pdf["blob_id"], pdf["content"]):
+                if content is None:
+                    continue
+                raw = bytes(content)
+                decoded = decode(raw, "video")
+                if decoded is None:
+                    continue
+                _w, _h, n_frames, _feat = decoded
+                idxs = list(range(0, n_frames, max(1, every_n)))[:max_frames]
+                for i in idxs:
+                    out.append(
+                        (blob_id, i, int(i * 1000 / fps), grab(raw, i))
+                    )
+            yield pd.DataFrame(
+                out, columns=["blob_id", "frame_idx", "ts_ms", "frame_feature"]
+            )
+
+    spread = blobs.repartition(F.col("blob_id")).select("blob_id", "content")
+    return spread.mapInPandas(run, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "blob_id string, width int, height int, target_w int, target_h int,"
+    " thumbnail binary"
+)
+
+
+def resize_images(
+    blobs: DataFrame,
+    target_w: int = 32,
+    target_h: int = 32,
+    decoder: Optional[Callable] = None,
+    resize_fn: Optional[Callable] = None,
+) -> DataFrame:
+    """Resize/thumbnail image blobs: (blob_id, orig dims, target dims,
+    thumbnail bytes). The thumbnail here is a deterministic fake (sha256
+    chain sized to ``3·target_w·target_h`` bytes, i.e. the RGB buffer a
+    real resize would produce) — the Spark-side contract (schema, spread
+    by blob_id, Arrow batches, bounded output size) is the real design;
+    inject PIL/libvips via ``resize_fn``."""
+    decode = decoder or _fake_decode
+
+    def fake_resize(content: bytes) -> bytes:
+        need = 3 * target_w * target_h
+        out = b""
+        h = hashlib.sha256(content).digest()
+        while len(out) < need:
+            out += h
+            h = hashlib.sha256(h).digest()
+        return out[:need]
+
+    resize = resize_fn or fake_resize
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for blob_id, content in zip(pdf["blob_id"], pdf["content"]):
+                if content is None:
+                    continue
+                raw = bytes(content)
+                decoded = decode(raw, "image")
+                if decoded is None:
+                    continue
+                w, h, _nf, _feat = decoded
+                out.append((blob_id, w, h, target_w, target_h, resize(raw)))
+            yield pd.DataFrame(
+                out,
+                columns=["blob_id", "width", "height",
+                         "target_w", "target_h", "thumbnail"],
+            )
+
+    spread = blobs.repartition(F.col("blob_id")).select("blob_id", "content")
+    return spread.mapInPandas(run, RESIZE_SCHEMA)

@@ -496,3 +496,50 @@ def test_global_running_total_matches_sequential(spark):
     for i in range(500):
         acc += i + 1
         assert out[i] == acc
+
+
+def test_multimodal_frame_sampling_and_resize(spark):
+    """Frame sampling fans one video row into per-frame rows with correct
+    indices/timestamps; resize emits exactly-sized thumbnails; both are
+    deterministic and never re-emit the source payload."""
+    from emodb_spark.pipeline.multimodal import (
+        _fake_decode,
+        make_blob_table,
+        resize_images,
+        sample_frames,
+    )
+
+    blobs = make_blob_table(
+        spark,
+        [
+            ("v1", "videos", b"\x00\x00ftyp fake video ONE", {"modality": "video"}),
+            ("v2", "videos", b"\x00\x00ftyp other video", {"modality": "video"}),
+            ("i1", "photos", b"\x89PNG fake image", {"modality": "image"}),
+        ],
+    )
+    frames = sample_frames(blobs, every_n=5, max_frames=4, fps=30)
+    assert frames.columns == ["blob_id", "frame_idx", "ts_ms", "frame_feature"]
+    got = {}
+    for r in frames.collect():
+        got.setdefault(r["blob_id"], []).append(r)
+    for bid, content in (("v1", b"\x00\x00ftyp fake video ONE"),
+                         ("v2", b"\x00\x00ftyp other video")):
+        n_frames = _fake_decode(content, "video")[2]
+        expect_idx = list(range(0, n_frames, 5))[:4]
+        rows = sorted(got[bid], key=lambda r: r["frame_idx"])
+        assert [r["frame_idx"] for r in rows] == expect_idx
+        assert all(r["ts_ms"] == r["frame_idx"] * 1000 // 30 for r in rows)
+        assert all(len(r["frame_feature"]) == 8 for r in rows)
+    # deterministic across runs
+    again = {(r["blob_id"], r["frame_idx"]): tuple(r["frame_feature"])
+             for r in sample_frames(blobs, every_n=5, max_frames=4).collect()}
+    first = {(r["blob_id"], r["frame_idx"]): tuple(r["frame_feature"])
+             for rows in got.values() for r in rows}
+    assert again == first
+
+    thumbs = {r["blob_id"]: r for r in resize_images(blobs, 8, 6).collect()}
+    assert set(thumbs) == {"v1", "v2", "i1"}
+    t = thumbs["i1"]
+    assert (t["target_w"], t["target_h"]) == (8, 6)
+    assert len(bytes(t["thumbnail"])) == 3 * 8 * 6
+    assert t["width"] == _fake_decode(b"\x89PNG fake image", "image")[0]
