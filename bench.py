@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "contamination",         # benchmark n-gram decontamination
     "hash_split",            # deterministic train/val/test assignment
     "doc_packing",           # context-window packing (parallel prefix sum)
+    "frame_sample",          # multimodal per-frame fan-out (mapInPandas)
 ]
 
 
