@@ -978,6 +978,40 @@ FROM hdr, unnest(generate_series(0, n_frames - 1, 5)) AS t(i)
 """
 
 
+def q_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunking over blob columns: pseudo duration probed from
+    sha256, fixed 1s windows, last chunk clipped to the duration. Oracle
+    replays the probe + chunk arithmetic in SQL (the mapInPandas fan-out
+    is what's under test; features are unit-tested)."""
+    from emodb_spark.pipeline.multimodal import chunk_audio
+
+    docs = _read(spark, sf_dir, "documents")
+    blobs = docs.select(
+        F.col("doc_id").cast("string").alias("blob_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+    chunks = chunk_audio(blobs, chunk_ms=1000)
+    return chunks.select(
+        F.col("blob_id").cast("long").alias("blob_id"),
+        "chunk_idx", "start_ms", "end_ms",
+    )
+
+
+ORACLE_AUDIO_CHUNKS = """
+WITH hdr AS (
+  SELECT doc_id,
+    500 + CAST(('0x' || substring(sha256(text), 7, 4)) AS INT) % 10000
+      AS duration_ms
+  FROM documents
+)
+SELECT doc_id AS blob_id, CAST(k AS INT) AS chunk_idx,
+       CAST(k * 1000 AS BIGINT) AS start_ms,
+       CAST(LEAST((k + 1) * 1000, duration_ms) AS BIGINT) AS end_ms
+FROM hdr,
+     unnest(generate_series(0, (duration_ms + 999) // 1000 - 1, 1)) AS t(k)
+"""
+
+
 def q_resolve_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship #2: same fold, but through a compaction checkpoint — old
     deltas fold into base records at an FCT cutoff, then base+tail resolve.
@@ -1897,6 +1931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "doc_packing": q_doc_packing,
         "frame_sample": q_frame_sample,
+        "audio_chunks": q_audio_chunks,
         "simhash_near_dups": q_simhash_near_dups,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1958,6 +1993,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination": ORACLE_CONTAMINATION,
         "doc_packing": ORACLE_DOC_PACKING,
         "frame_sample": ORACLE_FRAME_SAMPLE,
+        "audio_chunks": ORACLE_AUDIO_CHUNKS,
         "simhash_near_dups": ORACLE_SIMHASH_NEAR_DUPS,
         "ann_lsh_topk": _oracle_ann_lsh_topk(),
         "ann_ivf_topk": _oracle_ann_ivf_topk(),

@@ -210,6 +210,60 @@ def sample_frames(
     return spread.mapInPandas(run, FRAME_SCHEMA)
 
 
+AUDIO_CHUNK_SCHEMA = (
+    "blob_id string, chunk_idx int, start_ms long, end_ms long,"
+    " chunk_feature array<double>"
+)
+
+
+def _fake_audio_header(content: bytes) -> int:
+    """Deterministic stand-in for an audio container probe: pseudo
+    duration_ms from the content hash (500–10499 ms). NOT a real decode."""
+    h = hashlib.sha256(content).digest()
+    return 500 + int.from_bytes(h[3:5], "big") % 10_000
+
+
+def chunk_audio(
+    blobs: DataFrame,
+    chunk_ms: int = 1000,
+    decoder: Optional[Callable] = None,
+    chunk_fn: Optional[Callable] = None,
+) -> DataFrame:
+    """Chunk audio blobs into fixed-duration windows: one row per chunk
+    (blob_id, chunk_idx, start_ms, end_ms, chunk_feature) — the fan-out
+    before per-chunk transcription/embedding. The last chunk is clipped
+    to the real duration. Same plumbing contract as :func:`sample_frames`
+    (spread by blob_id, Arrow batches, payload never re-emitted); the
+    duration probe and per-chunk features are deterministic fakes with
+    injectable real codecs (``decoder``/``chunk_fn``)."""
+    probe = decoder or _fake_audio_header
+    grab = chunk_fn or _fake_frame
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for blob_id, content in zip(pdf["blob_id"], pdf["content"]):
+                if content is None:
+                    continue
+                raw = bytes(content)
+                duration = probe(raw)
+                if duration is None:
+                    continue
+                n_chunks = (duration + chunk_ms - 1) // chunk_ms
+                for k in range(n_chunks):
+                    out.append((
+                        blob_id, k, k * chunk_ms,
+                        min((k + 1) * chunk_ms, duration), grab(raw, k),
+                    ))
+            yield pd.DataFrame(
+                out, columns=["blob_id", "chunk_idx", "start_ms",
+                              "end_ms", "chunk_feature"]
+            )
+
+    spread = blobs.repartition(F.col("blob_id")).select("blob_id", "content")
+    return spread.mapInPandas(run, AUDIO_CHUNK_SCHEMA)
+
+
 RESIZE_SCHEMA = (
     "blob_id string, width int, height int, target_w int, target_h int,"
     " thumbnail binary"

@@ -543,3 +543,29 @@ def test_multimodal_frame_sampling_and_resize(spark):
     assert (t["target_w"], t["target_h"]) == (8, 6)
     assert len(bytes(t["thumbnail"])) == 3 * 8 * 6
     assert t["width"] == _fake_decode(b"\x89PNG fake image", "image")[0]
+
+
+def test_chunk_audio_windows(spark):
+    """Audio chunking: ceil(duration/chunk) windows, last clipped to the
+    probed duration, deterministic per-chunk features."""
+    from emodb_spark.pipeline.multimodal import (
+        _fake_audio_header,
+        chunk_audio,
+        make_blob_table,
+    )
+
+    payloads = [("a1", b"RIFF fake wav bytes one"), ("a2", b"RIFF other wav")]
+    blobs = make_blob_table(
+        spark, [(i, "audio", c, {"modality": "audio"}) for i, c in payloads]
+    )
+    got = {}
+    for r in chunk_audio(blobs, chunk_ms=1000).collect():
+        got.setdefault(r["blob_id"], []).append(r)
+    for bid, content in payloads:
+        dur = _fake_audio_header(content)
+        n = (dur + 999) // 1000
+        rows = sorted(got[bid], key=lambda r: r["chunk_idx"])
+        assert [r["chunk_idx"] for r in rows] == list(range(n))
+        assert rows[-1]["end_ms"] == dur  # clipped
+        assert all(r["end_ms"] - r["start_ms"] <= 1000 for r in rows)
+        assert all(len(r["chunk_feature"]) == 8 for r in rows)
