@@ -141,3 +141,42 @@ def test_near_dup_clusters_no_cartesian(spark):
     plan = plan_of(near_dup_clusters(docs, pairs, max_iter=3))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hash_split_has_no_exchange(spark, sf_dir):
+    """hash_split must stay inside one codegen stage: scan + project,
+    zero shuffles (SCALE.md row)."""
+    from emodb_spark.pipeline.curation import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(hash_split(docs.select("doc_id")))
+    assert "Exchange" not in plan
+    assert "md5" in plan
+
+
+def test_contamination_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark n-gram set joins by broadcast — the corpus side must
+    never be shuffled against it (SCALE.md row)."""
+    from emodb_spark.pipeline.curation import ngram_contamination
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    plan = plan_of(ngram_contamination(corpus, bench))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_packing_has_no_global_single_partition_window(spark):
+    """The running total must window per spark_partition_id, never a
+    global no-partition window (which would collapse to one task)."""
+    from emodb_spark.pipeline.packing import pack_documents
+
+    df = spark.createDataFrame(
+        [(i, (i % 5) + 1) for i in range(1000)], "doc_id long, n_tokens long"
+    )
+    plan = plan_of(pack_documents(df, capacity=64))
+    # the window's partition spec must mention the partition-id column
+    assert "SPARK_PARTITION_ID" in plan or "__pid" in plan
+    # and a range repartition precedes it
+    assert "rangepartitioning" in plan.lower()
