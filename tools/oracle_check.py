@@ -49,6 +49,16 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     if problems:
         return problems
     a, b = canonicalize(spark_pdf), canonicalize(oracle_pdf)
+    # The driver hashes rendered values, so a float64-vs-int64 dtype skew
+    # (e.g. DuckDB HUGEINT -> float64) fails its hash even when values are
+    # numerically equal. Flag any float/int kind mismatch as a failure.
+    for c in a.columns:
+        ak, bk = a[c].dtype.kind, b[c].dtype.kind
+        if {ak, bk} == {"f", "i"} or {ak, bk} == {"f", "u"}:
+            problems.append(
+                f"column {c}: dtype kind mismatch spark={a[c].dtype} "
+                f"oracle={b[c].dtype} (driver hash would fail)"
+            )
     for c in a.columns:
         av, bv = a[c], b[c]
         if str(av.dtype).startswith("float") or str(bv.dtype).startswith("float"):
