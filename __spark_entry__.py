@@ -1492,11 +1492,12 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_hash_split() -> str:
-    import math
+    # Exact rational boundaries — identical arithmetic to hash_split
+    # (float 0.9*2^60 differs from Fraction(9,10)*2^60 by ~200 points)
+    from fractions import Fraction
 
-    space = float(1 << 60)
-    b_train = int(math.floor(0.9 * space))
-    b_val = int(math.floor(0.95 * space))
+    b_train = int(Fraction(9, 10) * (1 << 60))
+    b_val = int(Fraction(95, 100) * (1 << 60))
     return f"""
 SELECT doc_id, lang, CASE
   WHEN h < {b_train} THEN 'train'

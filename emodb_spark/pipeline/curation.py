@@ -110,18 +110,24 @@ def hash_split(
 
     Scale: zero shuffles — one scan, assignment inside whole-stage
     codegen. Change ``salt`` to draw an independent split."""
-    import math
+    from fractions import Fraction
 
     fracs = list(fractions or [("train", 0.9), ("val", 0.05), ("test", 0.05)])
     if len(fracs) < 2:
         raise ValueError("need at least two split fractions")
-    total = sum(f for _, f in fracs)
+    # Exact rational arithmetic: accumulating floats makes boundary
+    # integers depend on summation order (0.9+0.05 = 0.9500000000000001),
+    # so an independent reimplementation embedding floor(0.95 * 2^60)
+    # could disagree on ~200 of 2^60 hash points. Fraction makes the
+    # boundary for cumulative fraction p exactly floor(p * 2^60).
+    total = sum((Fraction(f).limit_denominator(10**9) for _, f in fracs),
+                Fraction(0))
     h = md5_hash60(F.concat(F.lit(salt + "/"), F.col(id_col).cast("string")))
     expr = None
-    cum = 0.0
+    cum = Fraction(0)
     for name, frac in fracs[:-1]:
-        cum += frac
-        bound = int(math.floor(cum / total * _HASH_SPACE))
+        cum += Fraction(frac).limit_denominator(10**9)
+        bound = int(cum / total * _HASH_SPACE)  # exact floor
         cond = h < F.lit(bound)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.withColumn("split", expr.otherwise(fracs[-1][0]))

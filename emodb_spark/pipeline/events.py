@@ -112,6 +112,7 @@ def windowed_counts_stream(
     ts_col: str = "ts",
     type_col: str = "event_type",
     value_col: str = "value",
+    user_col: str = "user_id",
 ) -> DataFrame:
     """Streaming variant of the per-hour per-type aggregate
     (q_events_windowed's plan under Structured Streaming): tumbling
@@ -127,7 +128,7 @@ def windowed_counts_stream(
             F.sum(F.col(value_col).cast("decimal(12,2)"))
             .cast("double")
             .alias("sum_value"),
-            F.approx_count_distinct("user_id").alias("n_users_approx"),
+            F.approx_count_distinct(user_col).alias("n_users_approx"),
         )
         .select(
             F.col("window.start").alias("window_start"),

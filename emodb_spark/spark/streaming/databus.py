@@ -1058,15 +1058,31 @@ class DatabusPoller:
         df = self._sink(from_subscription)
         if df is None:
             return 0
-        n = df.count()
-        if n:
-            dst = os.path.join(self.output_path, f"sub={to_subscription}")
-            df.withColumn("subscription", F.lit(to_subscription)).write.mode(
-                "append"
-            ).parquet(dst)
-            ids = [r["change_id"] for r in df.select("change_id").collect()]
-            self.acknowledge(from_subscription, ids)
-        return n
+        # Executor-side drain: append the pending set to the destination
+        # sink and ack the source via tombstones derived from the SAME
+        # pinned DataFrame — no collect() of ids or payloads (a fat
+        # subscription never lands on the driver). persist() snapshots the
+        # set so the two writes cannot diverge.
+        from .queues import ACKS_SCHEMA  # noqa: F401 (schema doc pointer)
+
+        df = df.persist()
+        try:
+            n = df.count()
+            if n:
+                dst = os.path.join(self.output_path, f"sub={to_subscription}")
+                df.withColumn("subscription", F.lit(to_subscription)).write.mode(
+                    "append"
+                ).parquet(dst)
+                acks = df.select(
+                    F.lit(from_subscription).alias("queue"),
+                    F.lit("id").alias("kind"),
+                    F.col("change_id").alias("val"),
+                    F.lit(None).cast("long").alias("upto"),
+                )
+                acks.write.mode("append").parquet(self._acks_path())
+            return n
+        finally:
+            df.unpersist()
 
     def unclaim_all(self, subscription: str) -> None:
         """Release every outstanding claim so events redeliver immediately

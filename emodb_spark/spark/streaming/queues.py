@@ -317,13 +317,53 @@ class QueueService:
         )
 
     def move(self, from_queue: str, to_queue: str) -> int:
-        """Synchronous queue drain — the job body behind :meth:`move_async`."""
-        visible = self._visible(from_queue).collect()
-        if not visible:
-            return 0
-        self.send_all(to_queue, [json.loads(r["payload"]) for r in visible])
-        self.acknowledge(from_queue, [r["msg_id"] for r in visible])
-        return len(visible)
+        """Synchronous queue drain — the job body behind :meth:`move_async`.
+
+        Fully executor-side (DefaultDatabus.java:900-950 moves are
+        server-side drains, never a client materialization): the visible
+        set is appended to the destination as a DataFrame write with the
+        queue column rewritten (messages keep their time-UUID ids, so
+        chronological order is preserved across the move), and the source
+        is acked by writing tombstones derived from the same DataFrame —
+        no ``collect()`` of payloads or ids, so a fat queue never lands on
+        the driver. ``persist`` pins one snapshot of the visible set so
+        the destination write and the ack write cannot diverge (claims
+        expiring between the two actions would otherwise change the set)."""
+        visible = self._visible(from_queue).persist()
+        try:
+            n = visible.count()
+            if n == 0:
+                return 0
+            moved = visible.withColumn("queue", F.lit(to_queue))
+            if self.transport is not None:
+                self._kafka_write(moved)
+            else:
+                moved.write.mode("append").parquet(self._messages_path())
+            if self.dedup:
+                from ..resolve_ops import _UUID_EPOCH_OFFSET_100NS
+
+                upto = (self._clock() + 1) * 10_000 + _UUID_EPOCH_OFFSET_100NS - 1
+                acks = (
+                    visible.select("payload")
+                    .distinct()
+                    .select(
+                        F.lit(from_queue).alias("queue"),
+                        F.lit("payload").alias("kind"),
+                        F.col("payload").alias("val"),
+                        F.lit(upto).cast("long").alias("upto"),
+                    )
+                )
+            else:
+                acks = visible.select(
+                    F.lit(from_queue).alias("queue"),
+                    F.lit("id").alias("kind"),
+                    F.col("msg_id").alias("val"),
+                    F.lit(None).cast("long").alias("upto"),
+                )
+            acks.write.mode("append").parquet(self._acks_path())
+            return n
+        finally:
+            visible.unpersist()
 
     def move_async(self, from_queue: str, to_queue: str) -> str:
         """moveAsync parity (queue api MoveQueueRequest → job reference):

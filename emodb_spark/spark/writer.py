@@ -218,6 +218,17 @@ class UpdateLog:
         (at 100 TB a full-log rewrite per purge would be absurd). Falls
         back to a filtered rewrite only if the layout is unexpectedly
         unpartitioned."""
+        if self.transport is not None:
+            # Kafka mode: readers consult the topic, not self.path, so a
+            # filtered parquet rewrite would silently change nothing they
+            # see. Topic truncation (delete-records / retention) is a
+            # broker admin op outside this facade's scope.
+            raise NotImplementedError(
+                "purge() is file-mode only; with a Kafka transport use "
+                "broker-side deleteRecords/retention to drop a table's "
+                "updates (claim/ack are scoped the same way in "
+                "QueueService)"
+            )
         import shutil as _shutil
         from urllib.parse import unquote
 

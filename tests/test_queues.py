@@ -87,6 +87,33 @@ def test_move_and_purge(spark, tmp_path, clock):
     assert q.message_count("b") == 0
 
 
+def test_move_never_materializes_on_driver(spark, tmp_path, clock, monkeypatch):
+    """move() must be a pure DataFrame-to-DataFrame drain (reference moves
+    are server-side jobs, DefaultDatabus.java:900-950): with every
+    row-materialization API poisoned, the move still completes. At 100×
+    scale a collect() of a fat queue OOMs the driver (r3 verdict #4)."""
+    from pyspark.sql import DataFrame
+
+    q = QueueService(spark, str(tmp_path / "q"), clock=clock)
+    q.send_all("a", [{"i": i} for i in range(6)])
+    dq = QueueService(spark, str(tmp_path / "dq"), dedup=True, clock=clock)
+    dq.send_all("a", [{"x": i % 2} for i in range(6)])
+
+    def _boom(self, *a, **k):
+        raise AssertionError("driver materialization inside move()")
+
+    for name in ("collect", "toPandas", "toLocalIterator", "take", "head"):
+        monkeypatch.setattr(DataFrame, name, _boom)
+    assert q.move("a", "b") == 6
+    assert dq.move("a", "b") == 2  # dedup: 2 distinct payloads
+    monkeypatch.undo()
+
+    assert q.message_count("a") == 0
+    assert q.message_count("b") == 6
+    assert dq.message_count("a") == 0
+    assert sorted(m["payload"]["x"] for m in dq.peek("b", limit=10)) == [0, 1]
+
+
 def test_move_async_job(spark, tmp_path, clock):
     """moveAsync job envelope: id returned immediately, status polls to
     FINISHED with the drained count (MoveQueueRequest → job reference)."""

@@ -42,6 +42,38 @@ def test_canary_and_move(spark, tmp_path):
     assert poller.event_count("b") == 5
 
 
+def test_databus_move_never_materializes_on_driver(spark, tmp_path, monkeypatch):
+    """DatabusPoller.move must drain executor-side: with every driver
+    row-materialization API poisoned, the move still completes and the
+    acks land (r3 verdict #4 — the reference's moveAsync is a server-side
+    drain, DefaultDatabus.java:900-950)."""
+    from pyspark.sql import DataFrame
+
+    reg = SubscriptionRegistry()
+    reg.put_table("review:tc", template={"type": "review"})
+    reg.subscribe("a", '{..,"type":"review"}')
+    reg.subscribe("b", "alwaysFalse()")
+    resolver = MegabusResolver(spark, reg, str(tmp_path / "st"), str(tmp_path / "out"))
+    gen = TimeUUIDGenerator(node=52, start_millis=1750000000000)
+    batch = spark.createDataFrame(
+        [("review:tc", f"k{i}", gen.next(), '{"r":1}', []) for i in range(5)],
+        UPDATES_SCHEMA,
+    )
+    resolver.process_batch(batch, 0)
+    poller = DatabusPoller(spark, str(tmp_path / "out"), str(tmp_path / "claims"))
+
+    def _boom(self, *a, **k):
+        raise AssertionError("driver materialization inside move()")
+
+    for name in ("collect", "toPandas", "toLocalIterator", "take", "head"):
+        monkeypatch.setattr(DataFrame, name, _boom)
+    assert poller.move("a", "b") == 5
+    monkeypatch.undo()
+
+    assert poller.event_count("a") == 0
+    assert poller.event_count("b") == 5
+
+
 def test_stream_native_dedup_within_watermark(spark, tmp_path):
     """The Spark-native DedupQueue: duplicate message ids within the
     watermark window collapse exactly-once in a streaming pipeline
