@@ -6,11 +6,17 @@ blob table is a DataFrame with a BinaryType column + metadata columns
 (`spark.read.format("binaryFile")` for file-backed stores).
 
 The decode/feature steps (image resize, audio resample, frame sampling)
-require codec libraries not present in this container — they are STUBBED
-behind ``decoder=`` hooks with a deterministic fake, but the Spark-side
-plumbing (schema, Arrow batch shape, mapInPandas signatures, partitioning)
-is real and tested. Swap the fake for PIL/torchaudio/ffmpeg on a real
-cluster without touching the plan.
+default to deterministic fakes behind ``decoder=`` hooks, but the
+Spark-side plumbing (schema, Arrow batch shape, mapInPandas signatures,
+partitioning) is real and tested — and :mod:`.codecs` supplies REAL
+implementations for two formats (PNG via a from-the-spec zlib+numpy
+decoder, preferring Pillow when importable; WAV via stdlib ``wave``)
+that plug into the same seams: ``extract_features(blobs,
+decoder=codecs.image_decoder)``, ``resize_images(..., resize_fn=
+codecs.png_resize_fn(w, h))``, ``chunk_audio(..., decoder=
+codecs.audio_prober, chunk_fn=codecs.wav_chunk_features(ms))``.
+Video frame grabs remain fake-only (no container format is decodable
+with the standard library alone).
 """
 
 from __future__ import annotations

