@@ -1,0 +1,662 @@
+"""User access control (UAC) parity: API keys and roles whose permissions
+are ``MatchingPermission`` strings with embedded condition expressions,
+checked with the condition interpreter + subset algebra.
+
+Reference semantics re-derived from:
+
+- auth-core ``MatchingPermission.java:30-131`` — ``|``-separated parts
+  (``:`` is common in table names), ``*`` wildcard, ``\\|``/``\\*``
+  escapes, part-by-part ``implies`` where extra GRANTED parts must be
+  wildcards and extra REQUESTED parts are implied (narrower).
+- web ``auth/EmoPermission.java`` — positional part typing:
+  part 0 is the context (``sor``/``blob``/``queue``/``databus``/
+  ``role``…, constant or pure wildcard), part 1 the action, part 2 the
+  resource. ``if(<condition>)`` parts embed the condition language;
+  ``createTable(<o-rison>)`` builds a request-side part; any other
+  string is a ``like()`` pattern (exact-match specialization → constant).
+- web ``auth/matching/ConditionPart.java`` — conditions evaluated
+  against a plain string (only constant/equal/in/like/not/and/or are
+  meaningful); condition-vs-condition implication delegates to the
+  subset evaluator (here :func:`emodb_spark.language.algebra.implies`).
+- web ``auth/matching/TableConditionPart.java`` +
+  ``AuthorizationIntrinsics.java`` — table-resource conditions evaluate
+  against the table's template attributes with ``~table``/``~placement``
+  intrinsics; conditions that only reference ``~table`` skip the
+  metadata lookup entirely.
+- auth-core ``InMemoryPermissionManager.java`` / auth-store role DAOs —
+  role → permission set, API key → role set; a request is authorized
+  when ANY permission of ANY of the key's roles implies it.
+
+No Spark dependency: authorization is driver-side metadata math (the
+reference checks permissions in the REST layer before planning a scan);
+:class:`AuthorizingDataStore` is the thin facade gluing it onto
+:class:`~emodb_spark.spark.datastore.DataStore`.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Sequence, Set, Tuple
+
+from ..language import algebra
+from ..language import conditions as C
+from ..language.ceval import Intrinsics, eval_condition
+from ..language.parser import parse_condition
+
+# ---------------------------------------------------------------------------
+# permission string splitting / escaping (MatchingPermission.java:31-40)
+
+_SEPARATOR_SPLIT = re.compile(r"(?<!\\)\|")
+
+
+def escape(raw: str) -> str:
+    """Escape ``|`` and ``*`` so a raw name is matched literally."""
+    return raw.replace("*", "\\*").replace("|", "\\|")
+
+
+def escape_separators(raw: str) -> str:
+    return raw.replace("|", "\\|")
+
+
+def unescape_separators(escaped: str) -> str:
+    return escaped.replace("\\|", "|")
+
+
+def split_permission(permission: str) -> List[str]:
+    if not permission or not permission.strip():
+        raise ValueError("permission must be a non-empty string")
+    parts = [p.strip() for p in _SEPARATOR_SPLIT.split(permission)]
+    if any(p == "" for p in parts):
+        raise ValueError("permission cannot contain empty parts")
+    return parts
+
+
+# ---------------------------------------------------------------------------
+# matching parts
+
+
+class Part:
+    """Base matching part. ``implies_*`` methods answer "does THIS
+    (granted) part imply a requested part of that kind?" — the dispatch
+    mirrors MatchingPart/Implier double dispatch."""
+
+    assignable = True
+
+    def implies_any(self) -> bool:
+        return False
+
+    def implied_part_exists(self) -> bool:
+        # most parts imply at least one value (EmoMatchingPart default)
+        return True
+
+    def implies_constant(self, value: str, leading: Sequence["Part"]) -> bool:
+        return False
+
+    def implies_condition(self, other: "ConditionPart") -> bool:
+        return False
+
+    def implies_table_condition(self, other: "TableConditionPart") -> bool:
+        return False
+
+    def implies_create_table(self, other: "CreateTablePart",
+                             leading: Sequence["Part"]) -> bool:
+        return False
+
+
+def part_implies(granted: Part, requested: Part, leading: Sequence[Part]) -> bool:
+    """granted.implies(requested) with requested-type dispatch."""
+    if isinstance(requested, AnyPart):
+        return granted.implies_any()
+    if isinstance(requested, ImpliedPartExistsPart):
+        return granted.implied_part_exists()
+    if isinstance(requested, ConstantPart):
+        return granted.implies_constant(requested.value, leading)
+    if isinstance(requested, CreateTablePart):
+        return granted.implies_create_table(requested, leading)
+    if isinstance(requested, TableConditionPart):
+        return granted.implies_table_condition(requested)
+    if isinstance(requested, ConditionPart):
+        return granted.implies_condition(requested)
+    return False
+
+
+class AnyPart(Part):
+    """``*`` — implies every possible part (AnyPart.java)."""
+
+    def implies_any(self) -> bool:
+        return True
+
+    def implies_constant(self, value, leading) -> bool:
+        return True
+
+    def implies_condition(self, other) -> bool:
+        return True
+
+    def implies_table_condition(self, other) -> bool:
+        return True
+
+    def implies_create_table(self, other, leading) -> bool:
+        return True
+
+
+class ImpliedPartExistsPart(Part):
+    """``?`` — request-side probe: "is there ANY value this grant allows
+    here?" (EmoImpliedPartExistsPart). Not assignable."""
+
+    assignable = False
+
+
+@dataclass(frozen=True)
+class ConstantPart(Part):
+    value: str
+
+    def implies_constant(self, value, leading) -> bool:
+        return self.value == value
+
+
+# condition node kinds meaningful against a plain string
+_STRING_SAFE = (C.ConstantCondition, C.EqualCondition, C.InCondition,
+                C.LikeCondition)
+
+
+def _validate_string_condition(cond: C.Condition) -> None:
+    """ConditionPart.java ValidationVisitor: only string-meaningful nodes."""
+    if isinstance(cond, _STRING_SAFE):
+        return
+    if isinstance(cond, C.NotCondition):
+        return _validate_string_condition(cond.condition)
+    if isinstance(cond, (C.AndCondition, C.OrCondition)):
+        for c in cond.conditions:
+            _validate_string_condition(c)
+        return
+    raise ValueError(
+        f"condition {cond!r} cannot be evaluated against a permission part"
+    )
+
+
+def _is_always_true(cond: C.Condition) -> bool:
+    return isinstance(cond, C.ConstantCondition) and cond.value
+
+
+def _is_always_false(cond: C.Condition) -> bool:
+    return isinstance(cond, C.ConstantCondition) and not cond.value
+
+
+@dataclass(frozen=True)
+class ConditionPart(Part):
+    """``if(<condition>)`` over a plain string part (ConditionPart.java)."""
+
+    condition: C.Condition
+
+    def __post_init__(self):
+        _validate_string_condition(self.condition)
+
+    def implies_any(self) -> bool:
+        # only the syntactic alwaysTrue() is recognized (by design)
+        return _is_always_true(self.condition)
+
+    def implied_part_exists(self) -> bool:
+        return not _is_always_false(self.condition)
+
+    def implies_constant(self, value, leading) -> bool:
+        return bool(eval_condition(self.condition, value))
+
+    def implies_condition(self, other) -> bool:
+        # granted implies requested iff requested ⊆ granted
+        return algebra.implies(other.condition, self.condition)
+
+    def implies_create_table(self, other, leading) -> bool:
+        # evaluated in the context of the new table's NAME
+        return bool(eval_condition(self.condition, other.name))
+
+
+def _requires_table_metadata(cond: C.Condition) -> bool:
+    """TableConditionPart's metadata test: conditions that only reference
+    the ``~table`` intrinsic (plus constants and boolean structure) can be
+    evaluated from the name alone — everything else needs the catalog."""
+    if isinstance(cond, C.ConstantCondition):
+        return False
+    if isinstance(cond, C.IntrinsicCondition):
+        return cond.name != C.INTRINSIC_TABLE
+    if isinstance(cond, C.NotCondition):
+        return _requires_table_metadata(cond.condition)
+    if isinstance(cond, (C.AndCondition, C.OrCondition)):
+        return any(_requires_table_metadata(c) for c in cond.conditions)
+    return True
+
+
+# metadata_fn: table name -> (placement, attributes) or raise KeyError
+MetadataFn = Callable[[str], Tuple[str, Dict[str, Any]]]
+
+
+@dataclass(frozen=True)
+class TableConditionPart(Part):
+    """``if(<condition>)`` in the table-resource position of a sor/blob
+    permission: evaluated against the table's template attributes with
+    ``~table``/``~placement`` intrinsics (TableConditionPart.java +
+    AuthorizationIntrinsics.java)."""
+
+    condition: C.Condition
+    metadata_fn: Optional[MetadataFn] = None
+
+    def implies_any(self) -> bool:
+        return _is_always_true(self.condition)
+
+    def implied_part_exists(self) -> bool:
+        return not _is_always_false(self.condition)
+
+    def _evaluate(self, table: str, placement: str,
+                  attributes: Dict[str, Any]) -> bool:
+        return bool(eval_condition(
+            self.condition, attributes,
+            Intrinsics(table=table, placement=placement),
+        ))
+
+    def implies_constant(self, value, leading) -> bool:
+        # the constant is a table name
+        if not _requires_table_metadata(self.condition):
+            # optimization from the reference: don't load the table
+            return self._evaluate(value, "unused", {})
+        if self.metadata_fn is None:
+            return False
+        try:
+            placement, attributes = self.metadata_fn(value)
+        except KeyError:
+            return False  # table metadata not accessible → deny
+        return self._evaluate(value, placement, attributes)
+
+    def implies_table_condition(self, other) -> bool:
+        return algebra.implies(other.condition, self.condition)
+
+    def implies_create_table(self, other, leading) -> bool:
+        return self._evaluate(other.name, other.placement, other.attributes)
+
+
+@dataclass(frozen=True)
+class CreateTablePart(Part):
+    """``createTable(name:…,placement:…,attributes:(…))`` — request-side
+    part carrying the proposed table's metadata so condition-scoped
+    create_table grants can be checked BEFORE the table exists
+    (CreateTablePart.java). Never assignable to a role."""
+
+    name: str
+    placement: str
+    attributes: Dict[str, Any] = field(default_factory=dict)
+
+    assignable = False
+
+    def __hash__(self):  # attributes dict is unhashable
+        return hash((self.name, self.placement, tuple(sorted(self.attributes))))
+
+
+# ---------------------------------------------------------------------------
+# createTable(...) o-rison-subset parsing
+
+_BARE_TOKEN = re.compile(r"[^,():'\s][^,():]*")
+
+
+def _parse_orison_value(s: str, i: int):
+    if i < len(s) and s[i] == "'":
+        j = i + 1
+        out = []
+        while j < len(s) and s[j] != "'":
+            if s[j] == "!" and j + 1 < len(s) and s[j + 1] in ("'", "!"):
+                out.append(s[j + 1])  # rison escape: !' and !!
+                j += 2
+            else:
+                out.append(s[j])
+                j += 1
+        if j >= len(s):
+            raise ValueError("unterminated quoted string in createTable()")
+        return "".join(out), j + 1
+    if i < len(s) and s[i] == "(":
+        return _parse_orison_map(s, i)
+    m = _BARE_TOKEN.match(s, i)
+    if not m:
+        raise ValueError(f"expected value at position {i} in {s!r}")
+    tok = m.group(0).strip()
+    if re.fullmatch(r"-?\d+", tok):
+        return int(tok), m.end()
+    if re.fullmatch(r"-?\d+\.\d+", tok):
+        return float(tok), m.end()
+    return tok, m.end()
+
+
+def _parse_orison_map(s: str, i: int):
+    if s[i] != "(":
+        raise ValueError(f"expected '(' at position {i}")
+    i += 1
+    out: Dict[str, Any] = {}
+    while i < len(s) and s[i] != ")":
+        key, i = _parse_orison_value(s, i)
+        if i >= len(s) or s[i] != ":":
+            raise ValueError(f"expected ':' at position {i} in {s!r}")
+        val, i = _parse_orison_value(s, i + 1)
+        out[str(key)] = val
+        if i < len(s) and s[i] == ",":
+            i += 1
+    if i >= len(s):
+        raise ValueError("unterminated '(' in createTable()")
+    return out, i + 1
+
+
+def parse_create_table(body: str) -> CreateTablePart:
+    """Parse the o-rison subset the reference uses in permission checks:
+    ``name:'test:table',placement:ugc_us,attributes:(a:b,c:d)``."""
+    fields, end = _parse_orison_map("(" + body + ")", 0)
+    if end != len(body) + 2:
+        raise ValueError(f"trailing content in createTable({body!r})")
+    unknown = set(fields) - {"name", "placement", "attributes"}
+    if unknown:
+        raise ValueError(f"unknown createTable fields: {sorted(unknown)}")
+    return CreateTablePart(
+        name=str(fields.get("name", "")),
+        placement=str(fields.get("placement", "")),
+        attributes=dict(fields.get("attributes") or {}),
+    )
+
+
+# ---------------------------------------------------------------------------
+# the permission itself
+
+#: contexts whose third part identifies a table (EmoPermission PartType)
+_TABLE_CONTEXTS = {"sor", "blob"}
+#: context that allows a fourth part (role group + id)
+_ROLE_CONTEXT = "role"
+
+
+class EmoPermission:
+    """A parsed permission string with positional part typing
+    (EmoPermission.java toPart): ``context|action|resource[|role-id]``."""
+
+    def __init__(self, permission: str,
+                 metadata_fn: Optional[MetadataFn] = None):
+        self.text = permission
+        self.metadata_fn = metadata_fn
+        raw_parts = split_permission(permission)
+        self.parts: List[Part] = []
+        for raw in raw_parts:
+            self.parts.append(self._to_part(len(self.parts), raw))
+
+    # -- part construction --------------------------------------------------
+
+    def _context(self) -> Optional[str]:
+        p = self.parts[0] if self.parts else None
+        return p.value if isinstance(p, ConstantPart) else None
+
+    def _to_part(self, index: int, raw: str) -> Part:
+        part = self._create_part(index, unescape_separators(raw))
+        if index == 0 and not (isinstance(part, ConstantPart) or part.implies_any()):
+            raise ValueError("first part must be a constant or pure wildcard")
+        if index == 1 and isinstance(self.parts[0], AnyPart):
+            raise ValueError("cannot narrow permission without initial scope")
+        max_parts = 4 if self._context() == _ROLE_CONTEXT else 3
+        if index >= max_parts:
+            raise ValueError(
+                f"too many parts for permission in {self._context()!r} context"
+            )
+        return part
+
+    def _create_part(self, index: int, part: str) -> Part:
+        if part == "*":
+            return AnyPart()
+        if part == "?":
+            return ImpliedPartExistsPart()
+        is_table_resource = index == 2 and self._context() in _TABLE_CONTEXTS
+        if part.startswith("if(") and part.endswith(")"):
+            cond = parse_condition(part[3:-1])
+            if is_table_resource:
+                return TableConditionPart(cond, self.metadata_fn)
+            return ConditionPart(cond)
+        if is_table_resource and part.startswith("createTable(") and part.endswith(")"):
+            return parse_create_table(part[12:-1])
+        # anything else is a like() pattern; no-wildcard patterns are
+        # exact-match constants (EmoPermission.java default branch)
+        like = C.like(part)
+        if isinstance(like, C.LikeCondition) and len(like.parts) > 1:
+            return ConditionPart(like)
+        literal = like.parts[0] if isinstance(like, C.LikeCondition) else part
+        return ConstantPart(literal)
+
+    # -- implication --------------------------------------------------------
+
+    def implies(self, other: "EmoPermission") -> bool:
+        common = min(len(self.parts), len(other.parts))
+        for i in range(common):
+            if not part_implies(self.parts[i], other.parts[i], other.parts[:i]):
+                return False
+        # extra granted parts must all be wildcards; extra requested
+        # parts make the request narrower and stay implied
+        for i in range(common, len(self.parts)):
+            if not self.parts[i].implies_any():
+                return False
+        return True
+
+    @property
+    def assignable(self) -> bool:
+        return all(p.assignable for p in self.parts)
+
+    def __repr__(self):
+        return f"EmoPermission({self.text!r})"
+
+
+# ---------------------------------------------------------------------------
+# roles + API keys (auth-core InMemoryPermissionManager / auth-store DAOs)
+
+
+class UnauthorizedException(PermissionError):
+    pass
+
+
+@dataclass
+class Role:
+    id: str
+    group: str = "_"
+    permissions: Set[str] = field(default_factory=set)
+
+
+@dataclass
+class ApiKey:
+    key: str
+    owner: str
+    roles: Set[str] = field(default_factory=set)
+
+
+class InMemoryUserAccessControl:
+    """Role and API-key registry with permission checks (uac-api
+    UserAccessControl + auth-core PermissionManager surface)."""
+
+    def __init__(self, metadata_fn: Optional[MetadataFn] = None):
+        self.metadata_fn = metadata_fn
+        self._roles: Dict[str, Role] = {}
+        self._keys: Dict[str, ApiKey] = {}
+
+    # -- role admin ---------------------------------------------------------
+
+    def create_role(self, role_id: str, group: str = "_",
+                    permissions: Sequence[str] = ()) -> Role:
+        if role_id in self._roles:
+            raise ValueError(f"role exists: {role_id}")
+        role = Role(role_id, group, set())
+        self._roles[role_id] = role
+        for p in permissions:
+            self.grant(role_id, p)
+        return role
+
+    def grant(self, role_id: str, permission: str) -> None:
+        perm = EmoPermission(permission, self.metadata_fn)
+        if not perm.assignable:
+            raise ValueError(f"permission not assignable: {permission}")
+        self._roles[role_id].permissions.add(permission)
+
+    def revoke(self, role_id: str, permission: str) -> None:
+        self._roles[role_id].permissions.discard(permission)
+
+    def delete_role(self, role_id: str) -> None:
+        self._roles.pop(role_id, None)
+        for k in self._keys.values():
+            k.roles.discard(role_id)
+
+    def get_role(self, role_id: str) -> Role:
+        return self._roles[role_id]
+
+    # -- API key admin ------------------------------------------------------
+
+    def create_api_key(self, key: str, owner: str,
+                       roles: Sequence[str] = ()) -> ApiKey:
+        if key in self._keys:
+            raise ValueError("API key exists")
+        missing = [r for r in roles if r not in self._roles]
+        if missing:
+            raise KeyError(f"unknown roles: {missing}")
+        rec = ApiKey(key, owner, set(roles))
+        self._keys[key] = rec
+        return rec
+
+    def update_api_key_roles(self, key: str, add: Sequence[str] = (),
+                             remove: Sequence[str] = ()) -> None:
+        rec = self._keys[key]
+        for r in add:
+            if r not in self._roles:
+                raise KeyError(f"unknown role: {r}")
+            rec.roles.add(r)
+        for r in remove:
+            rec.roles.discard(r)
+
+    def delete_api_key(self, key: str) -> None:
+        self._keys.pop(key, None)
+
+    # -- checks -------------------------------------------------------------
+
+    def permissions_for_key(self, key: str) -> Set[str]:
+        rec = self._keys.get(key)
+        if rec is None:
+            return set()
+        out: Set[str] = set()
+        for role_id in rec.roles:
+            role = self._roles.get(role_id)
+            if role is not None:
+                out |= role.permissions
+        return out
+
+    def has_permission(self, key: str, requested: str) -> bool:
+        """True iff ANY permission of ANY of the key's roles implies the
+        requested permission."""
+        req = EmoPermission(requested, self.metadata_fn)
+        return any(
+            EmoPermission(granted, self.metadata_fn).implies(req)
+            for granted in self.permissions_for_key(key)
+        )
+
+    def check_permission(self, key: str, requested: str) -> None:
+        if not self.has_permission(key, requested):
+            raise UnauthorizedException(
+                f"API key not permitted: {requested}"
+            )
+
+
+# ---------------------------------------------------------------------------
+# permission builders (web auth Permissions.java)
+
+
+class Permissions:
+    READ = "read"
+    UPDATE = "update"
+    CREATE_TABLE = "create_table"
+    DROP_TABLE = "drop_table"
+    SET_TABLE_ATTRIBUTES = "set_table_attributes"
+    SIZE = "size"
+
+    @staticmethod
+    def read_sor_table(table: str) -> str:
+        return f"sor|{Permissions.READ}|{escape(table)}"
+
+    @staticmethod
+    def update_sor_table(table: str) -> str:
+        return f"sor|{Permissions.UPDATE}|{escape(table)}"
+
+    @staticmethod
+    def create_sor_table(name: str, placement: str,
+                         attributes: Dict[str, Any]) -> str:
+        attrs = ",".join(
+            f"{k}:{_orison_value(v)}" for k, v in sorted(attributes.items())
+        )
+        body = f"name:{_orison_value(name)},placement:{_orison_value(placement)}"
+        if attrs:
+            body += f",attributes:({attrs})"
+        return f"sor|{Permissions.CREATE_TABLE}|{escape_separators('createTable(' + body + ')')}"
+
+    @staticmethod
+    def drop_sor_table(table: str) -> str:
+        return f"sor|{Permissions.DROP_TABLE}|{escape(table)}"
+
+
+def _orison_value(v: Any) -> str:
+    s = str(v)
+    if re.fullmatch(r"[A-Za-z0-9_.\-]+", s):
+        return s
+    return "'" + s.replace("!", "!!").replace("'", "!'") + "'"
+
+
+def datastore_metadata_fn(datastore) -> MetadataFn:
+    """Adapt a :class:`~emodb_spark.spark.datastore.DataStore` catalog to
+    the (placement, attributes) lookup TableConditionPart needs."""
+
+    def lookup(table: str) -> Tuple[str, Dict[str, Any]]:
+        t = datastore.table_def(table)  # raises KeyError if unknown
+        return t.placement, dict(t.template)
+
+    return lookup
+
+
+class AuthorizingDataStore:
+    """Permission-checking facade over a DataStore — the reference checks
+    permissions in its REST resource layer before touching the store;
+    here the facade plays that role for the embedded API."""
+
+    def __init__(self, datastore, uac: InMemoryUserAccessControl, api_key: str):
+        self.datastore = datastore
+        self.uac = uac
+        self.api_key = api_key
+
+    def _check(self, action: str, table: str) -> None:
+        self.uac.check_permission(self.api_key, f"sor|{action}|{escape(table)}")
+
+    def get(self, table: str, key: str):
+        self._check(Permissions.READ, table)
+        return self.datastore.get(table, key)
+
+    def scan(self, table: str, *args, **kwargs):
+        self._check(Permissions.READ, table)
+        return self.datastore.scan(table, *args, **kwargs)
+
+    def multi_get(self, table: str, *args, **kwargs):
+        self._check(Permissions.READ, table)
+        return self.datastore.multi_get(table, *args, **kwargs)
+
+    def table_approximate_size(self, table: str, *args, **kwargs):
+        self._check(Permissions.SIZE, table)
+        return self.datastore.table_approximate_size(table, *args, **kwargs)
+
+    def update(self, log, table: str, *args, **kwargs):
+        """Check update permission, then delegate to the update log
+        (write path lives in writer.UpdateLog, not DataStore)."""
+        self._check(Permissions.UPDATE, table)
+        return log.append(table, *args, **kwargs)
+
+    def create_table(self, name: str, placement: str = "default",
+                     template: Optional[Dict[str, Any]] = None, **kwargs):
+        req = Permissions.create_sor_table(name, placement, template or {})
+        self.uac.check_permission(self.api_key, req)
+        return self.datastore.create_table(
+            name, placement=placement, template=template, **kwargs
+        )
+
+    def drop_table(self, name: str):
+        self._check(Permissions.DROP_TABLE, name)
+        return self.datastore.drop_table(name)
+
+    def set_table_template(self, name: str, template: Dict[str, Any]):
+        self._check(Permissions.SET_TABLE_ATTRIBUTES, name)
+        return self.datastore.set_table_template(name, template)

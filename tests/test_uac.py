@@ -1,0 +1,240 @@
+"""UAC parity: MatchingPermission strings with condition parts, roles,
+API keys, and the authorizing DataStore facade. Cases mirror web
+auth EmoPermissionTest.java and auth-core MatchingPermission semantics."""
+
+import pytest
+
+from emodb_spark.core.uac import (
+    ApiKey,
+    AuthorizingDataStore,
+    CreateTablePart,
+    EmoPermission,
+    InMemoryUserAccessControl,
+    Permissions,
+    UnauthorizedException,
+    datastore_metadata_fn,
+    escape,
+    parse_create_table,
+    split_permission,
+)
+
+TABLES = {
+    "review:testcustomer": ("ugc_us", {"type": "review", "client": "testcustomer"}),
+    "question:testcustomer": ("ugc_us", {"type": "question", "client": "testcustomer"}),
+    "review:eu": ("ugc_eu", {"type": "review", "client": "eu"}),
+}
+
+
+def meta(table):
+    if table not in TABLES:
+        raise KeyError(table)
+    return TABLES[table]
+
+
+def perm(text):
+    return EmoPermission(text, metadata_fn=meta)
+
+
+def implies(granted, requested):
+    return perm(granted).implies(perm(requested))
+
+
+# -- string mechanics -------------------------------------------------------
+
+def test_split_respects_escaped_separators():
+    assert split_permission("sor|read|weird\\|name") == ["sor", "read", "weird\\|name"]
+    with pytest.raises(ValueError):
+        split_permission("sor||read")
+    with pytest.raises(ValueError):
+        split_permission("  ")
+
+
+def test_escaped_table_name_roundtrip():
+    table = "odd|na*me"
+    assert implies("sor|read|" + escape(table), "sor|read|" + escape(table))
+    # the wildcard is escaped — must NOT behave as a pattern
+    assert not implies("sor|read|" + escape(table), "sor|read|" + escape("odd|naXme"))
+
+
+# -- wildcard / tail semantics (MatchingPermission.implies) -----------------
+
+def test_shorter_grant_implies_narrower_request():
+    assert implies("sor|update", "sor|update|review:testcustomer")
+    assert implies("sor", "sor|update|review:testcustomer")
+    assert not implies("sor|update", "sor|read|review:testcustomer")
+
+
+def test_extra_granted_parts_must_be_wildcards():
+    assert implies("sor|update|*", "sor|update")
+    assert not implies("sor|update|review:testcustomer", "sor|update")
+
+
+def test_full_wildcard_rules():
+    assert implies("sor|*|*", "sor|drop_table|anything")
+    with pytest.raises(ValueError):
+        perm("*|create_table")  # cannot narrow without initial scope
+    with pytest.raises(ValueError):
+        perm("if(or(\"sor\",\"blob\"))|read")  # first part must be constant/any
+    with pytest.raises(ValueError):
+        perm("sor|read|x|y")  # only role context allows 4 parts
+    perm("role|update|group|some-role")  # 4 parts OK in role context
+
+
+def test_name_patterns_are_like_conditions():
+    assert implies("sor|read|review:*", "sor|read|review:testcustomer")
+    assert not implies("sor|read|review:*", "sor|read|question:testcustomer")
+
+
+# -- action condition parts (ConditionPart) ---------------------------------
+
+def test_action_condition_or():
+    granted = 'sor|if(or("create_table","update"))|if(intrinsic("~table":like("review:*")))'
+    assert implies(granted, "sor|update|review:testcustomer")
+    assert not implies(granted, "sor|read|review:testcustomer")
+    assert not implies(granted, "sor|update|question:testcustomer")
+
+
+def test_action_condition_not():
+    granted = 'sor|if(not("drop_table"))|*'
+    assert implies(granted, "sor|read|review:testcustomer")
+    assert not implies(granted, "sor|drop_table|review:testcustomer")
+
+
+def test_condition_implies_condition_via_subset():
+    assert implies('sor|if(in("read","update"))|*', 'sor|if("read")|*')
+    assert not implies('sor|if("read")|*', 'sor|if(in("read","update"))|*')
+
+
+# -- table condition parts (TableConditionPart) -----------------------------
+
+def test_table_template_condition():
+    granted = 'sor|update|if({..,"type":"review"})'
+    assert implies(granted, "sor|update|review:testcustomer")
+    assert not implies(granted, "sor|update|question:testcustomer")
+    # unknown table → metadata inaccessible → deny
+    assert not implies(granted, "sor|update|nope:nope")
+
+
+def test_table_intrinsic_only_condition_needs_no_metadata():
+    granted = 'sor|update|if(intrinsic("~table":like("review:*")))'
+    # "secret:x" isn't in the catalog but the condition is name-only
+    assert not implies(granted, "sor|update|secret:x")
+    assert implies(granted, "sor|update|review:testcustomer")
+
+
+def test_table_placement_condition():
+    granted = 'sor|update|if(intrinsic("~placement":"ugc_us"))'
+    assert implies(granted, "sor|update|review:testcustomer")
+    assert not implies(granted, "sor|update|review:eu")
+
+
+# -- createTable request parts ----------------------------------------------
+
+def test_parse_create_table():
+    ct = parse_create_table("name:'test:table',placement:ugc_us,attributes:(a:b,c:d)")
+    assert ct == CreateTablePart("test:table", "ugc_us", {"a": "b", "c": "d"})
+    with pytest.raises(ValueError):
+        parse_create_table("name:'x',bogus:1")
+
+
+def test_create_table_checked_against_conditions():
+    # name-pattern grant (EmoPermissionTest: create_table via ~table like)
+    granted = 'sor|if(or("create_table","update"))|if(intrinsic("~table":like("test*table")))'
+    assert implies(granted, "sor|create_table|createTable(name:'test:table',placement:ugc_us)")
+    assert not implies(granted, "sor|create_table|createTable(name:'restricted:table',placement:ugc_us)")
+
+    # placement grant
+    granted = 'sor|create_table|if(intrinsic("~placement":"ugc_us"))'
+    assert implies(granted, "sor|create_table|createTable(name:'t:a',placement:ugc_us)")
+    assert not implies(granted, "sor|create_table|createTable(name:'t:a',placement:ugc_eu)")
+
+    # attribute template grant: extra attributes OK, missing/mismatched deny
+    granted = 'sor|create_table|if({..,"a":"b","c":"d"})'
+    ok = "sor|create_table|createTable(name:'t:a',placement:p,attributes:(a:b,c:d))"
+    extra = "sor|create_table|createTable(name:'t:a',placement:p,attributes:(a:b,c:d,e:f))"
+    missing = "sor|create_table|createTable(name:'t:a',placement:p)"
+    partial = "sor|create_table|createTable(name:'t:a',placement:p,attributes:(a:b))"
+    wrong = "sor|create_table|createTable(name:'t:a',placement:p,attributes:(a:b,c:z))"
+    assert implies(granted, ok)
+    assert implies(granted, extra)
+    assert not implies(granted, missing)
+    assert not implies(granted, partial)
+    assert not implies(granted, wrong)
+
+
+def test_create_table_part_not_assignable():
+    uac = InMemoryUserAccessControl(metadata_fn=meta)
+    uac.create_role("r")
+    with pytest.raises(ValueError):
+        uac.grant("r", "sor|create_table|createTable(name:'x',placement:p)")
+
+
+# -- roles + API keys -------------------------------------------------------
+
+def test_key_role_permission_checks():
+    uac = InMemoryUserAccessControl(metadata_fn=meta)
+    uac.create_role("reader", permissions=['sor|read|if({..,"type":"review"})'])
+    uac.create_role("writer", permissions=["sor|update|review:testcustomer"])
+    uac.create_api_key("key1", "alice", roles=["reader"])
+    uac.create_api_key("key2", "bob", roles=["reader", "writer"])
+
+    assert uac.has_permission("key1", Permissions.read_sor_table("review:testcustomer"))
+    assert not uac.has_permission("key1", Permissions.read_sor_table("question:testcustomer"))
+    assert not uac.has_permission("key1", Permissions.update_sor_table("review:testcustomer"))
+    assert uac.has_permission("key2", Permissions.update_sor_table("review:testcustomer"))
+    assert not uac.has_permission("missing-key", Permissions.read_sor_table("review:testcustomer"))
+
+    uac.revoke("writer", "sor|update|review:testcustomer")
+    assert not uac.has_permission("key2", Permissions.update_sor_table("review:testcustomer"))
+
+    with pytest.raises(UnauthorizedException):
+        uac.check_permission("key1", Permissions.drop_sor_table("review:testcustomer"))
+
+
+def test_role_lifecycle_and_key_updates():
+    uac = InMemoryUserAccessControl()
+    uac.create_role("admin", permissions=["sor"])
+    uac.create_api_key("k", "carol", roles=[])
+    assert not uac.has_permission("k", "sor|read|any")
+    uac.update_api_key_roles("k", add=["admin"])
+    assert uac.has_permission("k", "sor|read|any")
+    uac.delete_role("admin")
+    assert not uac.has_permission("k", "sor|read|any")
+    with pytest.raises(KeyError):
+        uac.create_api_key("k2", "dave", roles=["ghost"])
+
+
+# -- the authorizing facade over a real DataStore ---------------------------
+
+def test_authorizing_datastore(spark, tmp_path):
+    from emodb_spark.spark.datastore import DataStore
+
+    ds = DataStore(spark, catalog_path=str(tmp_path / "catalog"))
+    df = spark.createDataFrame(
+        [("r1", "good"), ("r2", "bad")], "id string, verdict string"
+    )
+    ds.create_table("review:client", df=df, key_column="id",
+                    placement="ugc_us", template={"type": "review"})
+    ds.create_table("internal:secrets", df=df, key_column="id",
+                    placement="ugc_us", template={"type": "internal"})
+
+    uac = InMemoryUserAccessControl(metadata_fn=datastore_metadata_fn(ds))
+    uac.create_role("review-reader", permissions=[
+        'sor|read|if({..,"type":"review"})',
+        'sor|create_table|if(intrinsic("~placement":"ugc_us"))',
+    ])
+    uac.create_api_key("alice-key", "alice", roles=["review-reader"])
+
+    authed = AuthorizingDataStore(ds, uac, "alice-key")
+    assert authed.scan("review:client").count() == 2
+    assert authed.get("review:client", "r1") is not None
+    with pytest.raises(UnauthorizedException):
+        authed.scan("internal:secrets")
+    with pytest.raises(UnauthorizedException):
+        authed.drop_table("review:client")
+    # condition-scoped create_table: allowed placement passes, other denied
+    authed.create_table("review:new", df=df, key_column="id",
+                        placement="ugc_us", template={"type": "review"})
+    with pytest.raises(UnauthorizedException):
+        authed.create_table("review:other", df=df, key_column="id",
+                            placement="ugc_eu", template={"type": "review"})
