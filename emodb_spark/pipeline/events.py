@@ -105,6 +105,142 @@ def sessionize_stream(
     )
 
 
+def sessionize_stream_ordinal(
+    events: DataFrame,
+    gap_seconds: int,
+    watermark: str = "1 hour",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming sessionization WITH the per-user 1-based ``session_no``
+    the batch operator emits — the parity gap ``sessionize_stream``
+    documents away is closed here with engine-managed state
+    (``applyInPandasWithState``): per user, the state holds the next
+    ordinal plus every not-yet-finalized session (start, end, n, cents).
+    Like the built-in ``session_window`` state store, sessions MERGE as
+    out-of-order events arrive — each event enters as a singleton
+    session and a single sorted sweep coalesces sessions within
+    ``gap_seconds`` — and a session finalizes (emits, taking the next
+    ordinal) only once the watermark passes its end + gap, via the
+    watermark check and an event-time timeout. Because finalization
+    consumes a start-ordered prefix of the open sessions and the
+    watermark is monotone, ordinals match the batch operator's exactly
+    for any replay whose lateness the watermark covers (an event
+    arriving after its session finalized starts a fresh session — the
+    caveat every watermark-bounded sessionizer carries).
+
+    State per user is O(open sessions); the ordinal counter persists
+    after sessions close so a reappearing user continues numbering
+    (state is never ``remove()``d — at 100 TB scale bound it with a
+    state-store TTL if the user universe is unbounded).
+
+    ``sum_value`` reproduces the batch decimal-exact path: each value is
+    rounded HALF_UP to cents (Spark's double→decimal(12,2) cast) and
+    accumulated as integer cents.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_seconds * 1_000_000
+    out_schema = T.StructType(
+        [
+            T.StructField(user_col, T.LongType()),
+            T.StructField("session_no", T.LongType()),
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+        ]
+    )
+    state_schema = (
+        "next_no long, starts array<long>, ends array<long>,"
+        " ns array<long>, cents array<long>"
+    )
+
+    def _cents(v) -> int:
+        return int(
+            Decimal(repr(float(v))).quantize(Decimal("0.01"), ROUND_HALF_UP)
+            * 100
+        )
+
+    def fold(key, pdfs, state):
+        if state.exists:
+            next_no, starts, ends, ns, cts = state.get
+            open_sessions = [
+                [s, e, n, c] for s, e, n, c in zip(starts, ends, ns, cts)
+            ]
+        else:
+            next_no, open_sessions = 1, []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            for ts, val in zip(pdf[ts_col], pdf[value_col]):
+                tus = ts.value // 1000  # pandas ns → µs
+                open_sessions.append([tus, tus, 1, _cents(val)])
+        # merge sweep: sessions within gap of each other coalesce —
+        # identical to the session_window state store's window merging
+        open_sessions.sort(key=lambda s: (s[0], s[1]))
+        merged = []
+        for s in open_sessions:
+            if merged and s[0] - merged[-1][1] <= gap_us:
+                last = merged[-1]
+                last[1] = max(last[1], s[1])
+                last[2] += s[2]
+                last[3] += s[3]
+            else:
+                merged.append(s)
+        # finalize the start-ordered prefix whose end+gap the watermark
+        # passed: no accepted event can extend or precede those sessions
+        wm = state.getCurrentWatermarkMs()
+        closed = []
+        while merged and merged[0][1] // 1000 + gap_seconds * 1000 <= wm:
+            s = merged.pop(0)
+            closed.append((next_no, s[0], s[1], s[2], s[3]))
+            next_no += 1
+        state.update((
+            next_no,
+            [s[0] for s in merged],
+            [s[1] for s in merged],
+            [s[2] for s in merged],
+            [s[3] for s in merged],
+        ))
+        if merged:
+            deadline_ms = merged[0][1] // 1000 + gap_seconds * 1000
+            state.setTimeoutTimestamp(max(deadline_ms, wm + 1))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    user_col: [int(key[0])] * len(closed),
+                    "session_no": [c[0] for c in closed],
+                    "session_start": pd.to_datetime(
+                        [c[1] for c in closed], unit="us"
+                    ),
+                    "session_end": pd.to_datetime(
+                        [c[2] for c in closed], unit="us"
+                    ),
+                    "n_events": [c[3] for c in closed],
+                    "sum_value": [c[4] / 100.0 for c in closed],
+                }
+            )
+
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(user_col))
+        .applyInPandasWithState(
+            fold,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def windowed_counts_stream(
     events: DataFrame,
     window: str = "1 hour",
