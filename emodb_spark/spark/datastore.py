@@ -261,12 +261,87 @@ class DataStore:
         self.table_def(name).facades.pop(placement, None)
         self._persist_catalog()
 
+    def move_table(
+        self,
+        name: str,
+        dest_placement: str,
+        dest_path: Optional[str] = None,
+        num_partitions: Optional[int] = None,
+    ) -> str:
+        """Move a table to another placement (table
+        AstyanaxTableDAO.java:846-996 move flow, Spark-shaped).
+
+        The reference runs a multi-day state machine (moveStart → copy +
+        write mirroring → promote mirror → flip readers → purge old)
+        because Cassandra storage is live-written; here the update log is
+        the write path and table data is immutable parquet, so the move
+        collapses to: copy the current data to ``dest_path`` (mirror +
+        copy step; ``num_partitions`` is the numShards analog), then flip
+        placement+path in the catalog in ONE atomic persist (the promote
+        step — readers see either the old or the new placement, never a
+        mix). The old files are left in place for the reference's
+        grace-period semantics (readers holding old splits keep working);
+        reclaim them out of band.
+
+        Returns the new data path."""
+        t = self.table_def(name)
+        if dest_placement == t.placement:
+            raise ValueError(f"table {name} is already in {dest_placement}")
+        if dest_placement in t.facades:
+            # moveInternal refuses overlapping mirrors/facades
+            raise ValueError(
+                f"facade exists in {dest_placement}; drop it before moving"
+            )
+        src = t.path  # the PRIMARY storage moves, never a local facade
+        if src is None and t.df is None:
+            raise ValueError(f"table {name} has no data to move")
+        if dest_path is None:
+            if src is None:
+                raise ValueError("dest_path required for DataFrame-backed tables")
+            dest_path = f"{src.rstrip('/')}__moved__{dest_placement}"
+        df = t.df if t.df is not None else self.spark.read.parquet(src)
+        if num_partitions is not None:
+            df = df.repartition(num_partitions)
+        df.write.mode("overwrite").parquet(dest_path)
+        # atomic catalog flip: placement + path change in one persist
+        t.placement = dest_placement
+        t.path = dest_path
+        t.df = None
+        self._persist_catalog()
+        return dest_path
+
+    def promote_facade(self, name: str, placement: str) -> None:
+        """Promote a facade to be the table's primary (the movePromote /
+        PROMOTED state of the reference's move flow, applied to a facade:
+        sor.markdown facade sections). The facade's data becomes the
+        primary storage in its placement; the old primary is retained as
+        a facade in the OLD placement so readers there keep working (the
+        reference keeps the demoted primary as a mirror until purge)."""
+        t = self.table_def(name)
+        if placement not in t.facades:
+            raise KeyError(f"no facade for {name} in {placement}")
+        # demote the PRIMARY path (t.path), not _data_path — that helper
+        # resolves the local facade, which is what's being promoted
+        old_placement, old_path = t.placement, t.path
+        new_path = t.facades.pop(placement)
+        t.placement = placement
+        t.path = new_path
+        t.df = None
+        if old_path is not None:
+            t.facades[old_placement] = old_path
+        self._persist_catalog()
+
     # -- reads ---------------------------------------------------------------
 
     def create_facade(self, name: str, placement: str, path: str) -> None:
         """Register a facade: reads from ``placement`` serve ``path``'s data
         under the same table name (DataStore.java:216-256)."""
-        self.table_def(name).facades[placement] = path
+        t = self.table_def(name)
+        if placement == t.placement:
+            raise ValueError(
+                "cannot create a facade in the table's primary placement"
+            )
+        t.facades[placement] = path
         self._persist_catalog()
 
     def read(self, name: str) -> DataFrame:

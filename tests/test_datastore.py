@@ -167,3 +167,67 @@ def test_table_metadata_surface(store, spark, sf_dir):
     assert store.get_table_options("orders")["facades"] == ["eu"]
     store.drop_facade("orders", "eu")
     assert store.get_table_options("orders")["facades"] == []
+
+
+def test_move_table_between_placements(spark, sf_dir, tmp_path):
+    """move_table: data copied to the destination, placement+path flipped
+    atomically in the catalog, catalog survives a reload, ~placement
+    intrinsic reflects the new placement (AstyanaxTableDAO move flow)."""
+    catalog = str(tmp_path / "catalog.json")
+    ds = DataStore(spark, catalog_path=catalog)
+    ds.create_table(
+        "orders", path=os.path.join(sf_dir, "orders.parquet"),
+        key_column="o_orderkey", placement="ugc_us",
+    )
+    before = ds.read("orders").count()
+
+    dest = str(tmp_path / "orders_eu")
+    got_path = ds.move_table("orders", "ugc_eu", dest_path=dest, num_partitions=4)
+    assert got_path == dest
+    assert ds.get_table_options("orders")["placement"] == "ugc_eu"
+    after = ds.read("orders")
+    assert after.count() == before
+    assert after.select("~placement").first()["~placement"] == "ugc_eu"
+
+    # catalog reload: a fresh DataStore sees the moved table
+    ds2 = DataStore(spark, catalog_path=catalog)
+    assert ds2.get_table_options("orders")["placement"] == "ugc_eu"
+    assert ds2.read("orders").count() == before
+
+    with pytest.raises(ValueError):
+        ds.move_table("orders", "ugc_eu")  # already there
+    ds.create_facade("orders", "apac", dest)
+    with pytest.raises(ValueError):
+        ds.move_table("orders", "apac")  # facade occupies the placement
+
+
+def test_promote_facade_to_primary(spark, sf_dir, tmp_path):
+    """promote_facade: the facade's data becomes primary in its placement;
+    the old primary is demoted to a facade in the old placement."""
+    catalog = str(tmp_path / "catalog.json")
+    ds = DataStore(spark, local_placement="ugc_eu", catalog_path=catalog)
+    src = os.path.join(sf_dir, "customer.parquet")
+    ds.create_table("customer", path=src, key_column="c_custkey",
+                    placement="ugc_us")
+    # facade with REDUCED data so primary vs facade reads are distinct
+    subset = str(tmp_path / "customer_eu")
+    spark.read.parquet(src).limit(10).write.parquet(subset)
+    ds.create_facade("customer", "ugc_eu", subset)
+    with pytest.raises(ValueError):
+        ds.create_facade("customer", "ugc_us", subset)  # primary placement
+
+    full = spark.read.parquet(src).count()
+    assert ds.read("customer").count() == 10  # local facade serves reads
+
+    ds.promote_facade("customer", "ugc_eu")
+    opts = ds.get_table_options("customer")
+    assert opts["placement"] == "ugc_eu"
+    assert opts["facades"] == ["ugc_us"]  # old primary demoted to facade
+    # reads in the new primary placement now serve the promoted data
+    assert ds.read("customer").count() == 10
+    # a reader homed in the old placement still works via the demoted facade
+    ds_us = DataStore(spark, local_placement="ugc_us", catalog_path=catalog)
+    assert ds_us.read("customer").count() == full
+
+    with pytest.raises(KeyError):
+        ds.promote_facade("customer", "nope")
