@@ -806,6 +806,69 @@ ORDER BY freq DESC, word ASC LIMIT 50
 """
 
 
+def q_word_rank_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-rank quality score: mean corpus rank of each doc's words
+    — the integer-exact unigram-LM stand-in (rank sums are exact, so no
+    float-summation drift between engines)."""
+    from emodb_spark.pipeline.text import word_rank_score
+
+    docs = _read(spark, sf_dir, "documents")
+    return word_rank_score(docs)
+
+
+ORACLE_WORD_RANK_SCORE = """
+WITH words AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS word
+  FROM documents
+), vocab AS (
+  SELECT word, COUNT(*) AS freq FROM words GROUP BY word
+), ranks AS (
+  SELECT word,
+         CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, word ASC) AS BIGINT) AS rank
+  FROM vocab
+)
+SELECT id AS doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(rank) AS BIGINT) AS rank_sum,
+       CAST(SUM(rank) AS DOUBLE) / COUNT(*) AS mean_rank
+FROM words JOIN ranks USING (word)
+GROUP BY id
+"""
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic words per doc by the rational tf/df score
+    (order-equivalent to tf-idf within a doc, transcendental-free so the
+    top-k boundary is engine-stable)."""
+    from emodb_spark.pipeline.text import tfidf_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    return tfidf_topk(docs, k=3)
+
+
+ORACLE_TFIDF_TOPK = """
+WITH words AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS word
+  FROM documents
+), tf AS (
+  SELECT id, word, COUNT(*) AS tf FROM words GROUP BY id, word
+), dfreq AS (
+  SELECT word, COUNT(*) AS n_docs FROM tf GROUP BY word
+), scored AS (
+  SELECT id, word, tf, n_docs, CAST(tf AS DOUBLE) / n_docs AS score
+  FROM tf JOIN dfreq USING (word)
+), ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY id
+             ORDER BY score DESC, word ASC) AS BIGINT) AS rnk
+  FROM scored
+)
+SELECT id AS doc_id, word, CAST(tf AS BIGINT) AS tf,
+       CAST(n_docs AS BIGINT) AS n_docs, score, rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+
 def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub demo: deterministically inject emails/phones into a slice of
     the corpus, then detect + redact them (the injection makes the operator's
@@ -1918,6 +1981,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "gopher_quality": q_gopher_quality,
         "vocab_topk": q_vocab_topk,
+        "word_rank_score": q_word_rank_score,
+        "tfidf_topk": q_tfidf_topk,
         "pii_scan": q_pii_scan,
         "corpus_sample": q_corpus_sample,
         "doc_fingerprints": q_doc_fingerprints,
@@ -1983,6 +2048,8 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _oracle_text_stats(),
         "gopher_quality": ORACLE_GOPHER_QUALITY,
         "vocab_topk": ORACLE_VOCAB_TOPK,
+        "word_rank_score": ORACLE_WORD_RANK_SCORE,
+        "tfidf_topk": ORACLE_TFIDF_TOPK,
         "pii_scan": _oracle_pii_scan(),
         "corpus_sample": ORACLE_CORPUS_SAMPLE,
         "doc_fingerprints": ORACLE_DOC_FINGERPRINTS,

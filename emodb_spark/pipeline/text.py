@@ -185,3 +185,90 @@ def winnowing_fingerprints(
         .select("id", "fp")
         .distinct()
     )
+
+
+def word_rank_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frequency-rank quality score: each word's corpus rank (1 = most
+    frequent, ties broken by word asc — a total order), averaged over the
+    document. High mean rank ⇒ the document leans on rare vocabulary —
+    the integer-exact stand-in for a unigram-LM log-probability score
+    (sums of ranks are exact integers, so the score is bit-identical in
+    any engine, unlike log-space sums whose addition order varies).
+
+    Returns (id, n_tokens, rank_sum, mean_rank).
+
+    Scale: one explode feeding two consumers — the vocab aggregate
+    (shuffle keyed on word, map-side combine) and the per-doc aggregate.
+    The rank window runs over the VOCAB, not the corpus (|vocab| ≪
+    corpus; for a 10M+-type vocabulary swap the single-partition
+    row_number for a two-level ranking). Ranks broadcast back to the
+    exploded tokens, so the corpus is shuffled once, on the doc key."""
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("word"),
+    )
+    vocab = words.groupBy("word").agg(F.count("*").alias("freq"))
+    ranks = vocab.select(
+        "word",
+        F.row_number()
+        .over(Window.orderBy(F.desc("freq"), F.asc("word")))
+        .cast("long")
+        .alias("rank"),
+    )
+    return (
+        words.join(F.broadcast(ranks), "word")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("rank").alias("rank_sum"),
+        )
+        .withColumn(
+            "mean_rank", F.col("rank_sum").cast("double") / F.col("n_tokens")
+        )
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k most characteristic words per document by tf-idf. The score
+    is the RATIONAL tf/df (term frequency over document frequency) —
+    order-equivalent to tf·(N/df) and to tf·idf for ranking within a
+    document, but free of transcendentals, so every engine computes the
+    identical correctly-rounded double and the top-k boundary never
+    flips. Ties break by word asc (total order → deterministic top-k).
+
+    Returns (id, word, tf, n_docs, score, rnk), rnk in [1, k].
+
+    Scale: tf is a (doc, word) aggregate (one shuffle, map-side
+    combine); document frequency reuses tf (count per word — the small
+    side, broadcast back); the per-doc top-k window repartitions on the
+    doc key only."""
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("word"),
+    )
+    tf = words.groupBy("id", "word").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("n_docs"))
+    scored = tf.join(F.broadcast(dfreq), "word").withColumn(
+        "score", F.col("tf").cast("double") / F.col("n_docs")
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("word"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("id").alias(id_col), "word", "tf", "n_docs", "score", "rnk"
+        )
+    )

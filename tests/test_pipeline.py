@@ -591,3 +591,41 @@ def test_chunk_audio_windows(spark):
         assert rows[-1]["end_ms"] == dur  # clipped
         assert all(r["end_ms"] - r["start_ms"] <= 1000 for r in rows)
         assert all(len(r["chunk_feature"]) == 8 for r in rows)
+
+
+def test_word_rank_score(spark):
+    """Corpus ranks: 'a' (4 uses) rank 1, 'b' (2) rank 2, 'c'/'d' (1 each)
+    ranks 3/4 by word tie-break; per-doc mean rank is exact."""
+    from emodb_spark.pipeline.text import word_rank_score
+
+    df = spark.createDataFrame(
+        [(1, "a a b c"), (2, "a b d a")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in word_rank_score(df).collect()}
+    # doc1: a(1) a(1) b(2) c(3) -> sum 7 / 4
+    assert got[1]["n_tokens"] == 4 and got[1]["rank_sum"] == 7
+    assert got[1]["mean_rank"] == 7 / 4
+    # doc2: a(1) b(2) d(4) a(1) -> sum 8 / 4
+    assert got[2]["rank_sum"] == 8 and got[2]["mean_rank"] == 2.0
+
+
+def test_tfidf_topk(spark):
+    """tf/df ranking: doc-unique words outrank corpus-wide words; ties
+    break by word asc; rnk is dense 1..k."""
+    from emodb_spark.pipeline.text import tfidf_topk
+
+    df = spark.createDataFrame(
+        [(1, "x x common rare"), (2, "common common y")],
+        "doc_id long, text string",
+    )
+    rows = tfidf_topk(df, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["rnk"], r["word"], r["score"]))
+    for v in by_doc.values():
+        v.sort()
+    # doc1: x tf=2 df=1 -> 2.0 ; rare 1/1=1.0 ; common 1/2=0.5
+    assert [(r, w) for r, w, _ in by_doc[1]] == [(1, "x"), (2, "rare")]
+    assert by_doc[1][0][2] == 2.0
+    # doc2: common tf=2 df=2 -> 1.0 ; y 1/1=1.0 — tie broken by word asc
+    assert [(r, w) for r, w, _ in by_doc[2]] == [(1, "common"), (2, "y")]
