@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "hash_split",            # deterministic train/val/test assignment
     "doc_packing",           # context-window packing (parallel prefix sum)
     "frame_sample",          # multimodal per-frame fan-out (mapInPandas)
+    "word_rank_score",       # corpus-rank quality score (two-phase vocab)
+    "tfidf_topk",            # per-doc top-k by rational tf/df
 ]
 
 
