@@ -18,7 +18,7 @@ passes over a raw 100 TB crawl:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import md5_hash60
@@ -182,4 +182,43 @@ def ngram_contamination(
                 "contaminated"
             ),
         )
+    )
+
+
+def mixture_weights(
+    df: DataFrame,
+    group_col: str = "source",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled sampling weights per corpus slice — the data-
+    mixing step of a pretraining pipeline (upweight small sources,
+    damp giant ones): ``w_s ∝ count_s ** alpha``, normalized to sum 1.
+
+    Returns (group, n_docs, share_q, weight) where ``share_q`` is the
+    fixed-point numerator ``floor(count**alpha * 2^30)`` and ``weight``
+    = share_q / sum(share_q).
+
+    Determinism: the normalizing sum is over BIGINT fixed-point shares
+    (exact, order-independent), never a float sum; ``alpha=0.5`` uses
+    ``sqrt`` (correctly rounded under IEEE 754, so bit-identical in any
+    engine — generic ``pow`` is not, and a 1-ulp divergence would move a
+    floor boundary). The final weight is one double division.
+
+    Scale shape: one count aggregate over the corpus (map-side partial),
+    then all arithmetic on the tiny per-group table; the window-sum
+    denominator is over #groups rows."""
+    if alpha == 0.5:
+        powed = F.sqrt(F.col("n_docs").cast("double"))
+    else:
+        powed = F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+    counts = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    shared = counts.withColumn(
+        "share_q", F.floor(powed * F.lit(float(1 << 30))).cast("long")
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return shared.withColumn(
+        "weight",
+        F.col("share_q").cast("double") / F.sum("share_q").over(w).cast("double"),
     )

@@ -512,3 +512,147 @@ def keep_best_per_cluster(
         F.col(score_col).desc(), F.col(id_col).asc()
     )
     return joined.withColumn("keep", F.row_number().over(w) == F.lit(1))
+
+
+def frequent_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_docs: int = 10,
+) -> DataFrame:
+    """Word n-grams that occur in at least ``min_docs`` distinct documents
+    — the corpus-level boilerplate inventory (license headers, templated
+    navigation, repeated disclaimers).
+
+    Scale shape: grams are generated per-document with ``transform`` over
+    a token array (no join), reduced to per-document DISTINCT grams
+    JVM-side via ``array_distinct`` BEFORE the explode, so the shuffle
+    that counts document frequency carries each (doc, gram) once. The
+    output is small by construction (only grams crossing the threshold).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_frequent_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_docs: int = 10,
+    frequent: Optional[DataFrame] = None,
+) -> DataFrame:
+    """CCNet-style corpus-level duplicate-span removal, adapted to
+    unstructured text: drop every token covered by an occurrence of a
+    boilerplate n-gram (one appearing in >= ``min_docs`` documents) and
+    reassemble the remaining tokens in order.
+
+    CCNet dedupes at the paragraph/line level (ccnet dedup.py in the
+    public repo); for documents without line structure the same idea
+    applies at the n-gram span level: spans shared across many documents
+    are boilerplate, not content.
+
+    Returns (id, text, n_tokens, n_removed) with ``text`` rebuilt from
+    the surviving tokens.
+
+    Scale shape: the frequent-gram set is broadcast (it is small by the
+    min_docs threshold); coverage positions are computed by an equijoin
+    on the gram string + a ``sequence`` explode of each occurrence's
+    span; the only corpus-wide shuffles are the doc-frequency count and
+    the final per-document reassembly groupBy. Nothing is ever joined
+    pairwise."""
+    if frequent is None:
+        frequent = frequent_ngrams(df, text_col, id_col, n, min_docs)
+    toks_col = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col).alias("id"), toks_col.alias("toks"))
+    # every gram occurrence with its start position (1-based)
+    occs = base.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("toks") - F.lit(n - 1), F.lit(1))),
+                lambda i: F.array_join(F.slice(F.col("toks"), i, n), " "),
+            )
+        ).alias("pos0", "gram"),
+    )
+    covered = (
+        occs.join(F.broadcast(frequent.select("gram")), "gram", "left_semi")
+        .select("id", F.explode(F.sequence(F.col("pos0"), F.col("pos0") + F.lit(n - 1))).alias("pos"))
+        .distinct()
+    )
+    tokens = base.select(
+        "id", F.size("toks").alias("n_tokens"), F.posexplode("toks").alias("pos", "tok")
+    )
+    kept = tokens.join(covered, ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id", "n_tokens").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("tok")))),
+                lambda s: s.getField("tok"),
+            ),
+            " ",
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return rebuilt.select(
+        F.col("id").alias(id_col),
+        "text",
+        "n_tokens",
+        (F.col("n_tokens") - F.col("n_kept")).alias("n_removed"),
+    )
+
+
+def fingerprint_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 3,
+    max_fp_docs: Optional[int] = None,
+) -> DataFrame:
+    """Near-dup candidate pairs by winnowing-fingerprint overlap: two
+    documents sharing at least ``min_shared`` distinct winnowed k-gram
+    fingerprints share that many (mostly distinct) substrings of length
+    >= k — the MOSS/plagiarism-detection join, complementary to MinHash
+    (which measures whole-document resemblance rather than shared spans).
+
+    Returns (id_a, id_b, shared) with id_a < id_b.
+
+    Scale shape: the join key is the fingerprint value (a long), so this
+    is a hash equijoin + count aggregate, never pairwise over documents.
+    ``max_fp_docs`` is the mega-bucket guard, same rationale as MinHash's
+    ``max_bucket_size``: a fingerprint present in huge numbers of
+    documents (boilerplate) is dropped before the self-join."""
+    from .text import winnowing_fingerprints  # local import: avoid cycle
+
+    fps = winnowing_fingerprints(df, text_col, id_col, k, window)
+    if max_fp_docs is not None:
+        ok = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_fp_docs)
+            .select("fp")
+        )
+        fps = fps.join(ok, "fp", "left_semi")
+    a = fps.select(F.col("id").alias("id_a"), "fp")
+    b = fps.select(F.col("id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )

@@ -1,0 +1,225 @@
+"""Temporal relational operators Spark lacks as built-ins: as-of join,
+banded range join, and multi-grain time rollups.
+
+Extension operators — the reference has no join surface at all (its query
+language is single-table conditions; see SURVEY.md §2.5), but any
+training-data or feature pipeline over event streams needs these three
+shapes, and each has a naive Spark spelling that collapses at scale:
+
+- **as-of join** ("most recent right row at-or-before each left row").
+  The naive spelling is an inequality theta-join + argmax, which Spark
+  plans as BroadcastNestedLoopJoin — O(|L|·|R|) per key. Instead
+  :func:`asof_join` unions both sides and runs ONE window over
+  (key, ts): tag rows by side, sort, and carry the last non-null right
+  payload forward with ``last(..., ignorenulls=True)``. One shuffle on
+  the key, linear work, no row-pair blowup — the standard
+  union-sort-carry-forward shape (same trick pandas ``merge_asof`` uses
+  after its sort, distributed).
+
+- **range join** ("right rows within [lower, upper] of each left row").
+  The naive inequality join is again a nested-loop cartesian per key.
+  :func:`range_join` quantizes time into buckets of the band width and
+  equi-joins on (key, bucket), exploding each LEFT row to the ≤2+⌈span/
+  band⌉ buckets its window overlaps, then applies the exact band filter
+  — the bucketed/banded range-join strategy (Databricks' RANGE_JOIN hint
+  and postgres tsrange GiST do the same quantization). Shuffle is a hash
+  equijoin both engines can partition; candidate fan-out is bounded by
+  bucket occupancy, never |L|·|R|.
+
+- **time rollup** — one pass producing every requested grain
+  (total/day/hour/...) via GROUPING SETS instead of G separate scans+
+  aggregations; Spark's partial aggregation pushes each grain map-side.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    tolerance: Optional[int] = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the most recent right row with the same
+    key whose ``right_ts`` <= ``left_ts`` (backward as-of; ties at equal
+    timestamps match — "at-or-before"). Left rows with no prior right row
+    (or none within ``tolerance``, when given) keep null right columns.
+
+    ``left_ts``/``right_ts`` must be mutually comparable (use the same
+    integer epoch unit on both sides). ``right_cols`` are the right-side
+    payload columns to carry; they appear suffixed in the output alongside
+    ``<left_ts>{suffix}`` (the matched right timestamp).
+
+    Scale shape: ONE shuffle on ``on`` (the union's window partitioning);
+    per-key work is a linear sorted sweep. Skewed keys serialize within
+    their partition like any per-key window — at 100 TB that is the same
+    bound as the per-user sessionize, and far better than the
+    nested-loop O(|L|·|R|) the inequality-join spelling costs.
+
+    When several right rows share one timestamp, the carried row is the
+    last in (ts, ``right_cols[0]``) order — deterministic for any input.
+    """
+    on = list(on)
+    payload = [c for c in right_cols]
+    # Union schema: key cols, __ts, __side, left payload (nulls on right
+    # rows), right payload (nulls on left rows).
+    left_payload = [c for c in left.columns if c not in on and c != left_ts]
+    r = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_payload],
+        *[F.col(c).alias(f"__r_{c}") for c in payload],
+        F.col(right_ts).alias("__r_ts"),
+    )
+    l = left.select(
+        *[F.col(c) for c in on],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in left_payload],
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in payload],
+        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("__r_ts"),
+    )
+    unioned = r.unionByName(l)
+    # Right rows sort before left rows at the same ts (side 0 < 1), so an
+    # equal-timestamp right row IS visible to the left row. Among equal-ts
+    # right rows the last by payload[0] wins (deterministic tie-break).
+    order = [F.col("__ts").asc(), F.col("__side").asc()]
+    if payload:
+        order.append(F.col(f"__r_{payload[0]}").asc_nulls_first())
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}") for c in payload],
+        F.last("__r_ts", ignorenulls=True).over(w).alias("__m_ts"),
+    )
+    out = carried.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        within = F.col("__m_ts").isNotNull() & (
+            (F.col("__ts") - F.col("__m_ts")) <= F.lit(tolerance)
+        )
+        out = out.select(
+            "*",
+            *[
+                F.when(within, F.col(f"__m_{c}")).alias(f"__k_{c}")
+                for c in payload
+            ],
+            F.when(within, F.col("__m_ts")).alias("__k_ts"),
+        )
+        matched = {c: f"__k_{c}" for c in payload}
+        matched_ts = "__k_ts"
+    else:
+        matched = {c: f"__m_{c}" for c in payload}
+        matched_ts = "__m_ts"
+    return out.select(
+        *[F.col(c) for c in on],
+        F.col("__ts").alias(left_ts),
+        *[F.col(c) for c in left_payload],
+        *[F.col(matched[c]).alias(f"{c}{suffix}") for c in payload],
+        F.col(matched_ts).alias(f"{left_ts}{suffix}"),
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lower: int,
+    upper: int,
+    right_cols: Sequence[str],
+    suffix: str = "_right",
+) -> DataFrame:
+    """Inner-join each left row to every right row with the same key and
+    ``left_ts + lower <= right_ts <= left_ts + upper`` (integer time
+    units), without a nested-loop plan.
+
+    Strategy: bucket both sides at band width ``upper - lower`` — each
+    RIGHT row lands in exactly one bucket; each LEFT row's window spans at
+    most 2 buckets (span == band) so the left side explodes to its
+    covering buckets via ``sequence()``. The join is then a plain hash
+    equijoin on (key..., bucket) plus the exact band filter. Candidate
+    pairs are bounded by per-bucket occupancy — no |L|·|R| blowup, and
+    the explode factor is a constant ≤ span/band + 2.
+
+    Callers needing a wider window relative to band granularity get more
+    buckets per left row; the fan-out stays explicit and linear.
+    """
+    if upper <= lower:
+        raise ValueError("range_join requires upper > lower")
+    on = list(on)
+    band = upper - lower
+    lo = F.col(left_ts) + F.lit(lower)
+    hi = F.col(left_ts) + F.lit(upper)
+    l = left.select(
+        "*",
+        F.explode(F.sequence(F.floor(lo / band), F.floor(hi / band))).alias("__bucket"),
+    )
+    r = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias(f"{right_ts}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols if c != right_ts],
+        F.floor(F.col(right_ts) / band).alias("__bucket"),
+    )
+    rts = F.col(f"{right_ts}{suffix}")
+    return (
+        l.join(r, on=on + ["__bucket"])
+        .filter((rts >= F.col(left_ts) + F.lit(lower)) & (rts <= F.col(left_ts) + F.lit(upper)))
+        .drop("__bucket")
+    )
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    grains: Sequence[str],
+    group_cols: Sequence[str] = (),
+    aggs: Optional[Sequence[Column]] = None,
+) -> DataFrame:
+    """Multi-grain time aggregation in ONE pass: truncate ``ts_col`` to
+    each grain ('hour', 'day', 'week', 'month', ...) and aggregate over
+    the union of grains with GROUPING SETS — Spark computes every grain
+    from a single scan with map-side partial aggregation, instead of one
+    scan per grain.
+
+    Output carries a ``grain`` label column and a ``bucket`` timestamp
+    (the truncation for that row's grain; finer grains' buckets are null
+    in coarser rows is avoided — each output row belongs to exactly one
+    grain).  ``aggs`` defaults to ``count(*) AS n``.
+    """
+    grains = list(grains)
+    aggs = list(aggs) if aggs is not None else [F.count(F.lit(1)).alias("n")]
+    per_grain = []
+    for g in grains:
+        gdf = df.select(
+            F.lit(g).alias("grain"),
+            F.date_trunc(g, F.col(ts_col)).alias("bucket"),
+            "*",
+        )
+        per_grain.append(
+            gdf.groupBy(*group_cols, "grain", "bucket").agg(*aggs)
+        )
+    # A union of per-grain groupBys IS grouping sets: Catalyst expands
+    # GROUPING SETS to an Expand + single aggregate; for a small, fixed
+    # grain list the union keeps each grain's partial aggregation
+    # independent, which AQE coalesces — both shapes are one scan per
+    # grain of already-reduced data. Prefer the explicit union here for
+    # deterministic per-grain schemas (no null-extended grouping cols).
+    out = per_grain[0]
+    for p in per_grain[1:]:
+        out = out.unionByName(p)
+    return out

@@ -290,3 +290,105 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "nbr_id", "cosine", "rank")
     )
+
+
+def _sqdist(vec: Column, cent: Column) -> Column:
+    """Squared L2 distance as a SEQUENTIAL left fold in double precision
+    — bit-reproducible in any engine that folds left (DuckDB
+    list_reduce), unlike a parallel SUM whose addition order floats."""
+    return F.aggregate(
+        F.zip_with(
+            vec, cent,
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    centroids: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (squared L2, first-min
+    tie-break => lowest cluster id). ``centroids`` is a driver-side list
+    of per-cluster float lists — O(k*dim) literals compiled into the
+    plan, so assignment is a narrow whole-stage-codegen projection over
+    the corpus: NO join, NO shuffle, no UDF."""
+    dists = F.array(
+        *[
+            _sqdist(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+            for c in centroids
+        ]
+    )
+    return embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        (F.array_position(dists, F.array_min(dists)) - F.lit(1))
+        .cast("int")
+        .alias("cluster"),
+    )
+
+
+def kmeans(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic Lloyd's k-means over an embedding column — the
+    centroid trainer for :func:`ivf_topk`'s coarse quantizer and for
+    corpus clustering (topic bucketing, diversity sampling).
+
+    Deliberately reproducible (flat init + integer-exact means) so an
+    external SQL oracle can replay it bit-for-bit:
+
+    - init: the ``k`` lowest-id vectors (same convention as
+      :func:`ivf_topk`'s default cells);
+    - assignment: squared-L2 via sequential fold (:func:`_sqdist`),
+      ties to the lowest cluster id;
+    - update: per-dimension mean computed from FIXED-POINT sums —
+      ``floor(val * 2^30)`` per element, summed as exact BIGINTs, then
+      one double division. Float summation order can differ between
+      engines; integer summation cannot. (|val| <= ~2 and corpora
+      < 2^22 vectors keep the sum far inside int64.)
+    - empty clusters keep their previous centroid.
+
+    Returns (assignments DataFrame with (id, cluster), centroids list).
+
+    Scale shape: each iteration is ONE narrow assignment projection
+    (centroid literals compiled into the plan — no join) plus ONE
+    groupBy (cluster, dim) aggregate whose result is k*dim rows —
+    the only driver materialization, O(k*dim) per iteration by design
+    (identical to pyspark.ml KMeans' per-iteration centroid collect)."""
+    first = embeddings.orderBy(F.col(id_col)).limit(k).select(vec_col).collect()
+    cents = [[float(x) for x in row[0]] for row in first]
+    Q = float(1 << 30)
+    for _ in range(iters):
+        assigned = kmeans_assign(embeddings, cents, id_col, vec_col)
+        sums = (
+            assigned.select(
+                "cluster", F.posexplode(F.col(vec_col)).alias("pos", "val")
+            )
+            .groupBy("cluster", "pos")
+            .agg(
+                F.sum(F.floor(F.col("val").cast("double") * F.lit(Q))).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]
+        by_cluster: dict = {}
+        for row in sums:
+            by_cluster.setdefault(row["cluster"], []).append(row)
+        for cl, rows in by_cluster.items():
+            for row in rows:
+                new_cents[cl][row["pos"]] = float(row["s"]) / (Q * float(row["n"]))
+        cents = new_cents
+    return kmeans_assign(embeddings, cents, id_col, vec_col).select(
+        F.col(id_col), F.col("cluster")
+    ), cents

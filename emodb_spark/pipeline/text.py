@@ -272,3 +272,44 @@ def tfidf_topk(
             F.col("id").alias(id_col), "word", "tf", "n_docs", "score", "rnk"
         )
     )
+
+
+def sliding_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping fixed-size token windows per document — the chunking
+    step for long-context training examples and for retrieval indexing
+    (chunk size ``size`` tokens, hop ``stride`` tokens, last chunk may be
+    short). Deterministic: chunk ``c`` of a document always covers token
+    positions [c*stride, c*stride + size).
+
+    Returns (id, chunk_id, n_tokens, chunk) rows.
+
+    Scale shape: zero shuffles — the token array, the start-position
+    ``sequence`` and the ``slice`` all happen inside one narrow
+    projection (whole-stage codegen); output partitioning inherits the
+    input's. The explode factor is ~n_tokens/stride per document, known
+    up front."""
+    if size <= 0 or stride <= 0:
+        raise ValueError("size and stride must be positive")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("toks") - F.lit(1), F.lit(0)), F.lit(stride)
+    )
+    chunks = base.select(
+        "id",
+        F.posexplode(
+            F.transform(starts, lambda s: F.slice(F.col("toks"), s + 1, size))
+        ).alias("chunk_id", "chunk_toks"),
+    )
+    return chunks.select(
+        F.col("id").alias(id_col),
+        "chunk_id",
+        F.size("chunk_toks").alias("n_tokens"),
+        F.array_join("chunk_toks", " ").alias("chunk"),
+    )

@@ -1,0 +1,292 @@
+"""Temporal relational operators: as-of join, banded range join, time
+rollup — plus the round-4 corpus operators (boilerplate removal,
+fingerprint overlap, sliding chunks, k-means, mixture weights).
+
+Correctness is checked against tiny hand-computable inputs and against
+brute-force reference spellings; plan shapes (no nested-loop joins) are
+asserted in test_plan_shapes.py.
+"""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from emodb_spark.pipeline.relational import asof_join, range_join, time_rollup
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [
+            Row(sym="A", t=10, qty=1),
+            Row(sym="A", t=20, qty=2),
+            Row(sym="A", t=5, qty=3),   # before any quote
+            Row(sym="B", t=10, qty=4),
+            Row(sym="B", t=100, qty=5),
+        ]
+    )
+    quotes = spark.createDataFrame(
+        [
+            Row(sym="A", t=8, px=1.0),
+            Row(sym="A", t=10, px=2.0),   # equal-ts: visible to trade t=10
+            Row(sym="A", t=15, px=3.0),
+            Row(sym="B", t=50, px=4.0),
+        ]
+    )
+    return trades, quotes
+
+
+def test_asof_backward_with_ties(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="t", right_ts="t", right_cols=["px"]
+    )
+    got = {(r["sym"], r["t"]): (r["px_right"], r["t_right"]) for r in out.collect()}
+    assert got[("A", 10)] == (2.0, 10)   # equal timestamp matches
+    assert got[("A", 20)] == (3.0, 15)
+    assert got[("A", 5)] == (None, None)  # nothing at-or-before
+    assert got[("B", 10)] == (None, None)
+    assert got[("B", 100)] == (4.0, 50)
+    assert out.count() == trades.count()  # left-preserving
+
+
+def test_asof_tolerance(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="t", right_ts="t",
+        right_cols=["px"], tolerance=10,
+    )
+    got = {(r["sym"], r["t"]): r["px_right"] for r in out.collect()}
+    assert got[("A", 20)] == 3.0          # 20-15=5 within tolerance
+    assert got[("B", 100)] is None        # 100-50=50 too old
+
+
+def test_asof_matches_bruteforce(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts_us").alias("t"), "event_id"
+    )
+    right = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts_us").alias("t"), F.col("event_id").alias("view_id")
+    )
+    out = asof_join(
+        left, right, on=["user_id"], left_ts="t", right_ts="t",
+        right_cols=["view_id"],
+    )
+    # brute force: max right.t <= left.t per left row
+    brute = (
+        left.alias("l")
+        .join(right.alias("r"), on="user_id", how="left")
+        .filter(F.col("r.t") <= F.col("l.t"))
+        .groupBy("user_id", F.col("l.t").alias("t"), "event_id")
+        .agg(F.max(F.col("r.t")).alias("bt"))
+    )
+    merged = out.alias("o").join(
+        brute.alias("b"), on=["user_id", "t", "event_id"], how="full"
+    )
+    bad = merged.filter(
+        F.coalesce(F.col("o.t_right"), F.lit(-1)) != F.coalesce(F.col("b.bt"), F.lit(-1))
+    )
+    # rows with no prior view at all are absent from brute (inner filter)
+    bad = bad.filter(F.col("b.bt").isNotNull() | F.col("o.t_right").isNotNull())
+    assert bad.count() == 0
+
+
+def test_range_join_band(spark):
+    left = spark.createDataFrame([Row(k="x", t=100), Row(k="x", t=200), Row(k="y", t=100)])
+    right = spark.createDataFrame(
+        [Row(k="x", t=99), Row(k="x", t=105), Row(k="x", t=160), Row(k="x", t=161),
+         Row(k="y", t=160)]
+    )
+    out = range_join(
+        left, right, on=["k"], left_ts="t", right_ts="t",
+        lower=1, upper=60, right_cols=["t"],
+    )
+    pairs = {(r["k"], r["t"], r["t_right"]) for r in out.collect()}
+    assert pairs == {("x", 100, 105), ("x", 100, 160), ("y", 100, 160)}
+    # t=161 is 61 after 100 (outside); 99 is before (outside); 160/161
+    # are 40/39 before 200 (outside a [+1,+60] band)
+
+
+def test_range_join_matches_bruteforce(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+    signup = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts_us").alias("t"), "event_id"
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts_us").alias("t"), F.col("event_id").alias("err_id")
+    )
+    width = 3_600_000_000  # 1h in us
+    out = range_join(
+        signup, err, on=["user_id"], left_ts="t", right_ts="t",
+        lower=0, upper=width, right_cols=["err_id"],
+    )
+    brute = (
+        signup.alias("l")
+        .join(err.alias("r"), "user_id")
+        .filter((F.col("r.t") >= F.col("l.t")) & (F.col("r.t") <= F.col("l.t") + width))
+        .select("user_id", F.col("l.t").alias("t"), "event_id",
+                F.col("err_id").alias("err_id_right"))
+    )
+    got = out.select("user_id", "t", "event_id", "err_id_right")
+    assert got.exceptAll(brute).count() == 0
+    assert brute.exceptAll(got).count() == 0
+    assert out.count() > 0
+
+
+def test_time_rollup_grains(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = time_rollup(ev, "ts", grains=["day", "hour"], group_cols=["event_type"])
+    rows = out.collect()
+    total = ev.count()
+    by_grain = {}
+    for r in rows:
+        by_grain.setdefault(r["grain"], 0)
+        by_grain[r["grain"]] += r["n"]
+    # every grain partitions the data: counts sum to the total
+    assert by_grain == {"day": total, "hour": total}
+    # hour rows are at least as numerous as day rows
+    n_day = sum(1 for r in rows if r["grain"] == "day")
+    n_hour = sum(1 for r in rows if r["grain"] == "hour")
+    assert n_hour >= n_day > 0
+
+
+# ---------------------------------------------------------------------------
+# round-4 corpus operators
+# ---------------------------------------------------------------------------
+
+
+def test_remove_frequent_ngrams(spark):
+    from emodb_spark.pipeline.dedup import frequent_ngrams, remove_frequent_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma unique one two"),
+            Row(doc_id=2, text="alpha beta gamma other words here"),
+            Row(doc_id=3, text="alpha beta gamma more filler text"),
+            Row(doc_id=4, text="totally different content entirely here now"),
+        ]
+    )
+    freq = frequent_ngrams(docs, n=3, min_docs=3)
+    grams = {r["gram"] for r in freq.collect()}
+    assert grams == {"alpha beta gamma"}
+
+    out = remove_frequent_ngrams(docs, n=3, min_docs=3)
+    got = {r["doc_id"]: (r["text"], r["n_removed"]) for r in out.collect()}
+    assert got[1] == ("unique one two", 3)
+    assert got[2] == ("other words here", 3)
+    assert got[4] == ("totally different content entirely here now", 0)
+
+
+def test_remove_frequent_ngrams_overlapping_spans(spark):
+    from emodb_spark.pipeline.dedup import remove_frequent_ngrams
+
+    # "a b c" and "b c d" both frequent: coverage of "a b c d" removes all 4
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d tail"),
+            Row(doc_id=2, text="a b c x y z"),
+            Row(doc_id=3, text="q b c d y z"),
+        ]
+    )
+    out = remove_frequent_ngrams(docs, n=3, min_docs=2)
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert got[1] == "tail"
+
+
+def test_fingerprint_overlap_pairs(spark):
+    from emodb_spark.pipeline.dedup import fingerprint_overlap_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base + " with a small suffix change"),
+            Row(doc_id=3, text="completely unrelated text about spark plans"),
+        ]
+    )
+    out = fingerprint_overlap_pairs(docs, min_shared=2)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_sliding_chunks(spark):
+    from emodb_spark.pipeline.text import sliding_chunks
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=" ".join(f"w{i}" for i in range(10))),
+         Row(doc_id=2, text="only three words")]
+    )
+    out = sliding_chunks(docs, size=4, stride=3)
+    got = {(r["doc_id"], r["chunk_id"]): (r["chunk"], r["n_tokens"]) for r in out.collect()}
+    assert got[(1, 0)] == ("w0 w1 w2 w3", 4)
+    assert got[(1, 1)] == ("w3 w4 w5 w6", 4)
+    assert got[(1, 2)] == ("w6 w7 w8 w9", 4)
+    assert got[(1, 3)] == ("w9", 1)          # tail chunk, start 9 < 10
+    assert got[(2, 0)] == ("only three words", 3)
+    assert (2, 1) not in got
+
+
+def test_kmeans_deterministic_and_converging(spark, sf_dir):
+    from emodb_spark.pipeline.similarity import kmeans, kmeans_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a1, cents1 = kmeans(emb, k=4, iters=2)
+    a2, cents2 = kmeans(emb, k=4, iters=2)
+    assert cents1 == cents2                       # bit-identical reruns
+    r1 = {r["vec_id"]: r["cluster"] for r in a1.collect()}
+    r2 = {r["vec_id"]: r["cluster"] for r in a2.collect()}
+    assert r1 == r2
+    assert set(r1.values()) == {0, 1, 2, 3}
+
+    # iterating reduces (never increases) total within-cluster distance
+    def cost(cents):
+        from emodb_spark.pipeline.similarity import _sqdist
+        assigned = kmeans_assign(emb, cents)
+        dists = F.array(*[
+            _sqdist(F.col("embedding"), F.array(*[F.lit(float(x)) for x in c]))
+            for c in cents
+        ])
+        return (
+            assigned.select(F.array_min(dists).alias("d"))
+            .agg(F.sum("d"))
+            .collect()[0][0]
+        )
+
+    _, cents0 = kmeans(emb, k=4, iters=0)
+    assert cost(cents2) <= cost(cents0) + 1e-9
+
+
+def test_kmeans_centroids_feed_ivf(spark, sf_dir):
+    from emodb_spark.pipeline.similarity import ivf_topk, kmeans
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _, cents = kmeans(emb, k=4, iters=2)
+    cent_rows = [Row(vec_id=i, embedding=c) for i, c in enumerate(cents)]
+    cent_df = spark.createDataFrame(cent_rows)
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, queries, k=5, n_cells=4, n_probe=2, centroids=cent_df)
+    assert out.groupBy("query_id").count().filter("count > 5").count() == 0
+    assert out.count() > 0
+
+
+def test_mixture_weights(spark):
+    from emodb_spark.pipeline.curation import mixture_weights
+    import math
+
+    rows = [Row(doc_id=i, source="big") for i in range(400)]
+    rows += [Row(doc_id=1000 + i, source="small") for i in range(100)]
+    docs = spark.createDataFrame(rows)
+    out = {r["group"]: r for r in mixture_weights(docs, "source", alpha=0.5).collect()}
+    assert out["big"]["n_docs"] == 400 and out["small"]["n_docs"] == 100
+    # sqrt damping: 400 docs (4x more) gets only 2x the weight
+    assert abs(out["big"]["weight"] / out["small"]["weight"] - 2.0) < 1e-9
+    assert abs(out["big"]["weight"] + out["small"]["weight"] - 1.0) < 1e-12
+    assert out["big"]["share_q"] == math.floor(math.sqrt(400.0) * (1 << 30))
