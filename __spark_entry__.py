@@ -1937,6 +1937,373 @@ FROM ranked WHERE rank <= 10
 
 
 # ---------------------------------------------------------------------------
+# Round-4 operators: temporal joins, rollups, corpus curation, clustering
+# ---------------------------------------------------------------------------
+
+
+def q_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (extension — Spark has no built-in): each purchase event
+    joined to the user's most recent view at-or-before it, via the
+    union + single-window carry-forward shape (one shuffle on user_id,
+    no inequality nested-loop). Unmatched rows surface as -1 so the
+    output stays integer-typed (no int->float null widening in pandas)."""
+    from emodb_spark.pipeline.relational import asof_join
+
+    ev = _events_ts_us(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts_us").alias("t"), F.col("event_id").alias("purchase_id")
+    )
+    right = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts_us").alias("t"), F.col("event_id").alias("view_id")
+    )
+    out = asof_join(
+        left, right, on=["user_id"], left_ts="t", right_ts="t", right_cols=["view_id"]
+    )
+    return out.select(
+        "user_id",
+        "t",
+        "purchase_id",
+        F.coalesce(F.col("view_id_right"), F.lit(-1).cast("long")).alias("view_id"),
+        F.coalesce(F.col("t_right"), F.lit(-1).cast("long")).alias("view_t"),
+    )
+
+
+ORACLE_ASOF_LAST_VIEW = """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id AS view_id
+  FROM events WHERE event_type = 'view'
+)
+SELECT p.user_id, p.t, p.purchase_id,
+  COALESCE((SELECT v.view_id FROM v
+            WHERE v.user_id = p.user_id AND v.t <= p.t
+            ORDER BY v.t DESC, v.view_id DESC LIMIT 1), -1) AS view_id,
+  COALESCE((SELECT MAX(v.t) FROM v
+            WHERE v.user_id = p.user_id AND v.t <= p.t), -1) AS view_t
+FROM p
+"""
+
+
+def q_event_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join (extension): errors within one hour after each
+    signup, aggregated per signup. The band is quantized into hour
+    buckets so the join is a hash equijoin on (user_id, bucket) — never
+    the BroadcastNestedLoopJoin an inequality join would plan."""
+    from emodb_spark.pipeline.relational import range_join
+
+    ev = _events_ts_us(spark, sf_dir)
+    signup = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts_us").alias("t"), F.col("event_id").alias("signup_id")
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts_us").alias("t"), F.col("event_id").alias("err_id")
+    )
+    hour_us = 3_600_000_000
+    out = range_join(
+        signup, err, on=["user_id"], left_ts="t", right_ts="t",
+        lower=0, upper=hour_us, right_cols=["err_id"],
+    )
+    return out.groupBy("user_id", "t", "signup_id").agg(
+        F.count(F.lit(1)).alias("n_errors"),
+        F.min("err_id_right").alias("first_err"),
+    )
+
+
+ORACLE_EVENT_ERROR_BURST = """
+WITH s AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id AS signup_id
+  FROM events WHERE event_type = 'signup'
+), e AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id AS err_id
+  FROM events WHERE event_type = 'error'
+)
+SELECT s.user_id, s.t, s.signup_id,
+       COUNT(*) AS n_errors, MIN(e.err_id) AS first_err
+FROM s JOIN e ON s.user_id = e.user_id
+  AND e.t >= s.t AND e.t <= s.t + 3600000000
+GROUP BY 1, 2, 3
+"""
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain time rollup (hypertable-rollup analog): day and hour
+    aggregates of the event stream in one pass, decimal-exact sums,
+    integer epoch-us buckets on both engines."""
+    from emodb_spark.pipeline.relational import time_rollup
+
+    ev = _events_ts_us(spark, sf_dir).withColumn(
+        "ts_t", F.timestamp_micros(F.col("ts_us"))
+    )
+    rolled = time_rollup(
+        ev,
+        "ts_t",
+        grains=["day", "hour"],
+        group_cols=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        ],
+    )
+    return rolled.select(
+        "grain", "event_type", F.unix_micros(F.col("bucket")).alias("bucket"), "n", "sum_value"
+    )
+
+
+ORACLE_EVENTS_ROLLUP = """
+SELECT 'day' AS grain, event_type, epoch_us(date_trunc('day', ts)) AS bucket,
+       COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'hour', event_type, epoch_us(date_trunc('hour', ts)),
+       COUNT(*), CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+FROM events GROUP BY 2, 3
+"""
+
+
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-level duplicate-span removal at the bigram
+    level: spans occurring in >= 5% of documents are boilerplate; every
+    covered token is dropped and the text reassembled positionally.
+    Doc-preserving (fully-boilerplate docs keep an empty text row)."""
+    import math
+
+    from emodb_spark.pipeline.dedup import remove_frequent_ngrams
+
+    docs = _read(spark, sf_dir, "documents")
+    min_docs = int(math.ceil(0.05 * docs.count()))
+    return remove_frequent_ngrams(docs, n=2, min_docs=min_docs)
+
+
+ORACLE_BOILERPLATE_REMOVAL = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+), th AS (
+  SELECT CAST(CEIL(0.05 * COUNT(*)) AS BIGINT) AS min_docs FROM documents
+), pos AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks) - 1, 1))) AS i
+  FROM d
+), occ AS (
+  SELECT doc_id, i, array_to_string(toks[i:i+1], ' ') AS gram FROM pos
+), freq AS (
+  SELECT gram FROM (SELECT gram, COUNT(DISTINCT doc_id) AS n FROM occ GROUP BY 1), th
+  WHERE n >= th.min_docs
+), cov AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT o.doc_id, o.i + unnest(generate_series(0, 1)) AS pos
+    FROM occ o JOIN freq USING (gram)
+  )
+), toks AS (
+  SELECT doc_id, n_tokens, pos, toks[pos] AS tok FROM (
+    SELECT doc_id, toks, len(toks) AS n_tokens,
+           unnest(generate_series(1, len(toks))) AS pos
+    FROM d
+  )
+), kept AS (
+  SELECT t.doc_id, t.pos, t.tok FROM toks t
+  LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.doc_id IS NULL
+), rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text, COUNT(*) AS n_kept
+  FROM kept GROUP BY 1
+)
+SELECT d.doc_id, COALESCE(r.text, '') AS text,
+       CAST(len(d.toks) AS INT) AS n_tokens,
+       CAST(len(d.toks) - COALESCE(r.n_kept, 0) AS INT) AS n_removed
+FROM d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+def q_fp_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint overlap near-dups (MOSS-style shared-span
+    detection): pairs sharing >= 2 rare fingerprints. max_fp_docs=5 is
+    the mega-bucket guard — fingerprints common to many docs are shared
+    vocabulary, not shared spans, and would blow up the self-join."""
+    from emodb_spark.pipeline.dedup import fingerprint_overlap_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return fingerprint_overlap_pairs(docs, k=8, window=4, min_shared=2, max_fp_docs=5)
+
+
+ORACLE_FP_OVERLAP_PAIRS = """
+WITH base AS (
+  SELECT doc_id AS id,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+  FROM documents
+), positions AS (
+  SELECT id, t, unnest(generate_series(1, greatest(len(t) - 7, 1))) AS i
+  FROM base
+), hashed AS (
+  SELECT id, (i - 1) // 4 AS bucket,
+         CAST(('0x' || substr(md5(substr(t, i, 8)), 1, 15)) AS BIGINT) AS h
+  FROM positions
+), fps AS (
+  SELECT DISTINCT id, fp FROM (
+    SELECT id, bucket, MIN(h) AS fp FROM hashed GROUP BY id, bucket
+  )
+), ok AS (
+  SELECT fp FROM (SELECT fp, COUNT(*) AS n FROM fps GROUP BY 1) WHERE n <= 5
+), kept AS (
+  SELECT fps.id, fps.fp FROM fps JOIN ok USING (fp)
+)
+SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS shared
+FROM kept a JOIN kept b USING (fp)
+WHERE a.id < b.id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (size 32, stride 24 tokens) — the
+    training-example / retrieval-index segmentation step; zero-shuffle
+    narrow projection."""
+    from emodb_spark.pipeline.text import sliding_chunks
+
+    docs = _read(spark, sf_dir, "documents")
+    return sliding_chunks(docs, size=32, stride=24)
+
+
+ORACLE_DOC_CHUNKS = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+), st AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, greatest(len(toks) - 1, 0), 24)) AS start
+  FROM d
+)
+SELECT doc_id, CAST(start // 24 AS INT) AS chunk_id,
+       CAST(len(toks[start+1:start+32]) AS INT) AS n_tokens,
+       array_to_string(toks[start+1:start+32], ' ') AS chunk
+FROM st
+"""
+
+
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means (k=8, 2 iterations, flat init,
+    fixed-point integer centroid sums) — the IVF coarse-quantizer
+    trainer. The oracle replays both iterations in unrolled SQL; the
+    fixed-point sums make the centroids bit-identical across engines."""
+    from emodb_spark.pipeline.similarity import kmeans
+
+    emb = _read(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans(emb, k=8, iters=2)
+    return assigned
+
+
+def _oracle_kmeans(k: int = 8, iters: int = 2) -> str:
+    sq = (
+        "list_reduce(list_transform(list_zip(e.embedding, c.cvec),"
+        " x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+        " * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (a,b) -> a+b)"
+    )
+    ctes = [
+        f"""c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k})
+)""",
+        """udim AS (
+  SELECT vec_id, dim, embedding[dim] AS val FROM (
+    SELECT vec_id, embedding,
+           unnest(generate_series(1, len(embedding))) AS dim
+    FROM embeddings
+  )
+)""",
+    ]
+    for it in range(iters):
+        ctes.append(
+            f"""a{it} AS (
+  SELECT e.vec_id, c.cluster, {sq} AS dist
+  FROM embeddings e CROSS JOIN c{it} c
+), s{it} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rn
+    FROM a{it}
+  ) WHERE rn = 1
+), dims{it} AS (
+  SELECT s.cluster, u.dim,
+         CAST(SUM(CAST(FLOOR(CAST(u.val AS DOUBLE) * 1073741824) AS BIGINT)) AS DOUBLE)
+         / (1073741824.0 * COUNT(*)) AS cval
+  FROM s{it} s JOIN udim u USING (vec_id)
+  GROUP BY 1, 2
+), c{it + 1} AS (
+  SELECT c.cluster, COALESCE(n.cvec, c.cvec) AS cvec
+  FROM c{it} c LEFT JOIN (
+    SELECT cluster, list(cval ORDER BY dim) AS cvec FROM dims{it} GROUP BY 1
+  ) n USING (cluster)
+)"""
+        )
+    return f"""
+WITH {', '.join(ctes)}
+SELECT vec_id, cluster FROM (
+  SELECT e.vec_id, c.cluster,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {sq} ASC, c.cluster ASC) AS rn
+  FROM embeddings e CROSS JOIN c{iters} c
+) WHERE rn = 1
+"""
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.5) source-mixture sampling weights —
+    the data-mixing step. sqrt is IEEE-exact and the normalizer is an
+    exact BIGINT fixed-point sum, so weights hash-match any engine."""
+    from emodb_spark.pipeline.curation import mixture_weights
+
+    docs = _read(spark, sf_dir, "documents")
+    return mixture_weights(docs, "source", alpha=0.5)
+
+
+ORACLE_MIXTURE_WEIGHTS = """
+WITH c AS (
+  SELECT source AS "group", COUNT(*) AS n_docs FROM documents GROUP BY 1
+), s AS (
+  SELECT "group", n_docs,
+         CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE)) * 1073741824.0) AS BIGINT) AS share_q
+  FROM c
+)
+SELECT "group", n_docs, share_q,
+       CAST(share_q AS DOUBLE) / CAST(SUM(share_q) OVER () AS DOUBLE) AS weight
+FROM s
+"""
+
+
+def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of event value per type. Both
+    engines define quantiles at rank p*(n-1) with linear interpolation
+    and agree bit-for-bit (verified at sf0.01/sf0.1). At 100 TB swap in
+    percentile_approx (t-digest sketch, map-side mergeable) — the exact
+    variant is the oracle-checkable spelling."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))").alias("p"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.col("p")[0].alias("p50"),
+            F.col("p")[1].alias("p90"),
+            F.col("p")[2].alias("p99"),
+        )
+    )
+
+
+ORACLE_EVENT_PERCENTILES = """
+SELECT event_type, COUNT(*) AS n,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       quantile_cont(value, 0.99) AS p99
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -2003,6 +2370,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "audio_chunks": q_audio_chunks,
         "simhash_near_dups": q_simhash_near_dups,
+        "asof_last_view": q_asof_last_view,
+        "event_error_burst": q_event_error_burst,
+        "events_rollup": q_events_rollup,
+        "boilerplate_removal": q_boilerplate_removal,
+        "fp_overlap_pairs": q_fp_overlap_pairs,
+        "doc_chunks": q_doc_chunks,
+        "kmeans_embeddings": q_kmeans_embeddings,
+        "mixture_weights": q_mixture_weights,
+        "event_percentiles": q_event_percentiles,
         "ann_lsh_topk": q_ann_lsh_topk,
     }
 
@@ -2067,5 +2443,14 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample": ORACLE_FRAME_SAMPLE,
         "audio_chunks": ORACLE_AUDIO_CHUNKS,
         "simhash_near_dups": ORACLE_SIMHASH_NEAR_DUPS,
+        "asof_last_view": ORACLE_ASOF_LAST_VIEW,
+        "event_error_burst": ORACLE_EVENT_ERROR_BURST,
+        "events_rollup": ORACLE_EVENTS_ROLLUP,
+        "boilerplate_removal": ORACLE_BOILERPLATE_REMOVAL,
+        "fp_overlap_pairs": ORACLE_FP_OVERLAP_PAIRS,
+        "doc_chunks": ORACLE_DOC_CHUNKS,
+        "kmeans_embeddings": _oracle_kmeans(),
+        "mixture_weights": ORACLE_MIXTURE_WEIGHTS,
+        "event_percentiles": ORACLE_EVENT_PERCENTILES,
         "ann_lsh_topk": _oracle_ann_lsh_topk(),
     }

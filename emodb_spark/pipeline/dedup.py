@@ -592,25 +592,28 @@ def remove_frequent_ngrams(
         .select("id", F.explode(F.sequence(F.col("pos0"), F.col("pos0") + F.lit(n - 1))).alias("pos"))
         .distinct()
     )
-    tokens = base.select(
-        "id", F.size("toks").alias("n_tokens"), F.posexplode("toks").alias("pos", "tok")
-    )
+    tokens = base.select("id", F.posexplode("toks").alias("pos", "tok"))
     kept = tokens.join(covered, ["id", "pos"], "left_anti")
-    rebuilt = kept.groupBy("id", "n_tokens").agg(
+    rebuilt = kept.groupBy("id").agg(
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("tok")))),
                 lambda s: s.getField("tok"),
             ),
             " ",
-        ).alias("text"),
-        F.count(F.lit(1)).alias("n_kept"),
+        ).alias("__text"),
+        F.count(F.lit(1)).alias("__n_kept"),
     )
-    return rebuilt.select(
-        F.col("id").alias(id_col),
-        "text",
-        "n_tokens",
-        (F.col("n_tokens") - F.col("n_kept")).alias("n_removed"),
+    # doc-preserving: a fully-boilerplate document survives with empty text
+    all_docs = base.select("id", F.size("toks").alias("n_tokens"))
+    return (
+        all_docs.join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("__text"), F.lit("")).alias("text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("__n_kept"), F.lit(0))).alias("n_removed"),
+        )
     )
 
 
