@@ -48,6 +48,14 @@ BENCH_QUERIES = [
     "frame_sample",          # multimodal per-frame fan-out (mapInPandas)
     "word_rank_score",       # corpus-rank quality score (two-phase vocab)
     "tfidf_topk",            # per-doc top-k by rational tf/df
+    "asof_last_view",        # as-of join (union + one keyed window)
+    "event_error_burst",     # banded range join (bucket equijoin)
+    "events_rollup",         # multi-grain time rollup in one pass
+    "boilerplate_removal",   # corpus duplicate-span removal
+    "fp_overlap_pairs",      # winnowing-fingerprint overlap near-dups
+    "doc_chunks",            # sliding-window chunking (zero shuffle)
+    "kmeans_embeddings",     # deterministic Lloyd's (IVF trainer)
+    "event_percentiles",     # exact interpolated quantiles per group
 ]
 
 

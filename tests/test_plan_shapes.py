@@ -180,3 +180,55 @@ def test_packing_has_no_global_single_partition_window(spark):
     assert "SPARK_PARTITION_ID" in plan or "__pid" in plan
     # and a range repartition precedes it
     assert "rangepartitioning" in plan.lower()
+
+
+def test_asof_join_single_exchange_no_nested_loop(spark, sf_dir):
+    """as-of must be the union+window shape: one hash exchange on the
+    key, never BroadcastNestedLoopJoin/CartesianProduct (what the
+    naive inequality-join spelling plans)."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.q_asof_last_view(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # exactly one shuffle of the unioned stream (the user_id window);
+    # the source may add an AQE read but no second hashpartitioning key
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1
+
+
+def test_range_join_is_hash_equijoin(spark, sf_dir):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.q_event_error_burst(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_kmeans_assign_has_no_shuffle(spark, sf_dir):
+    """Centroids are plan literals: assignment must be a narrow
+    projection — zero exchanges."""
+    from emodb_spark.pipeline.similarity import kmeans_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = [[0.0] * 64 for _ in range(4)]
+    plan = plan_of(kmeans_assign(emb, cents))
+    assert "Exchange" not in plan
+
+
+def test_doc_chunks_has_no_shuffle(spark, sf_dir):
+    from emodb_spark.pipeline.text import sliding_chunks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(sliding_chunks(docs, size=32, stride=24))
+    assert "Exchange" not in plan
+
+
+def test_boilerplate_broadcasts_frequent_set(spark, sf_dir):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.q_boilerplate_removal(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # frequent grams + LeftSemi
