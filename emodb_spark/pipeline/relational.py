@@ -223,3 +223,47 @@ def time_rollup(
     for p in per_grain[1:]:
         out = out.unionByName(p)
     return out
+
+
+def range_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lower_seconds: int,
+    upper_seconds: int,
+    watermark: str = "1 hour",
+    suffix: str = "_right",
+) -> DataFrame:
+    """Streaming counterpart of :func:`range_join`: a stream-stream inner
+    join under Structured Streaming — Spark's native interval join. Both
+    sides are watermarked and the join carries an event-time range
+    constraint, which is exactly what lets the engine BOUND the join
+    state: a buffered right row is dropped once the left watermark
+    passes ``right_ts - lower``, so state is O(rows within the band),
+    not O(stream).
+
+    ``left_ts``/``right_ts`` must be timestamp columns; the band is
+    ``[left_ts + lower_seconds, left_ts + upper_seconds]`` (matching the
+    batch operator's integer band, in seconds). Inner-join matches emit
+    as they arrive — batch parity is exact for any replay, late rows
+    beyond the watermark excepted.
+
+    All right-side columns come back suffixed (stream-stream joins
+    forbid ambiguous names across sides)."""
+    if upper_seconds <= lower_seconds:
+        raise ValueError("range_join_stream requires upper > lower")
+    on = list(on)
+    l = left.withWatermark(left_ts, watermark)
+    r = right.select(
+        *[F.col(c).alias(f"{c}{suffix}") for c in right.columns]
+    ).withWatermark(f"{right_ts}{suffix}", watermark)
+    rts = F.col(f"{right_ts}{suffix}")
+    cond = (
+        (rts >= F.col(left_ts) + F.expr(f"INTERVAL {int(lower_seconds)} SECONDS"))
+        & (rts <= F.col(left_ts) + F.expr(f"INTERVAL {int(upper_seconds)} SECONDS"))
+    )
+    for k in on:
+        cond = cond & (F.col(k) == F.col(f"{k}{suffix}"))
+    return l.join(r, cond, "inner")

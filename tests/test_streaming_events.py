@@ -163,3 +163,44 @@ def test_streaming_windowed_counts_match_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == batch
+
+
+def test_streaming_range_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream interval join (range_join_stream) produces exactly
+    the batch range_join's pairs: signups joined to errors within one
+    hour after, keyed by user."""
+    from emodb_spark.pipeline.relational import range_join, range_join_stream
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    signup = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("signup_id")
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("err_id")
+    )
+
+    src_l, src_r = str(tmp_path / "l"), str(tmp_path / "r")
+    signup.repartition(2).write.mode("overwrite").parquet(src_l)
+    err.repartition(2).write.mode("overwrite").parquet(src_r)
+    sl = spark.readStream.schema(signup.schema).option("maxFilesPerTrigger", "1").parquet(src_l)
+    sr = spark.readStream.schema(err.schema).option("maxFilesPerTrigger", "1").parquet(src_r)
+
+    joined = range_join_stream(
+        sl, sr, on=["user_id"], left_ts="ts", right_ts="ts",
+        lower_seconds=0, upper_seconds=3600,
+    ).select("user_id", "signup_id", "err_id_right")
+    sink = _run_to_sink(joined, tmp_path, "rjoin")
+    got = spark.read.parquet(sink)
+
+    # batch reference on integer micros
+    b_signup = signup.withColumn("t", F.unix_micros("ts")).drop("ts")
+    b_err = err.withColumn("t", F.unix_micros("ts")).drop("ts")
+    expected = range_join(
+        b_signup, b_err, on=["user_id"], left_ts="t", right_ts="t",
+        lower=0, upper=3_600_000_000, right_cols=["err_id"],
+    ).select("user_id", "signup_id", "err_id_right")
+
+    assert got.count() == expected.count() > 0
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
