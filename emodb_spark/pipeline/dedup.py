@@ -634,27 +634,31 @@ def fingerprint_overlap_pairs(
 
     Returns (id_a, id_b, shared) with id_a < id_b.
 
-    Scale shape: the join key is the fingerprint value (a long), so this
-    is a hash equijoin + count aggregate, never pairwise over documents.
-    ``max_fp_docs`` is the mega-bucket guard, same rationale as MinHash's
-    ``max_bucket_size``: a fingerprint present in huge numbers of
-    documents (boilerplate) is dropped before the self-join."""
+    Scale shape: ONE pass over the fingerprints — group by fingerprint
+    value, guard mega-buckets by doc-list size (a fingerprint present in
+    huge numbers of documents is shared vocabulary, not a shared span),
+    then expand each surviving doc-list to its pairs JVM-side with a
+    nested ``transform`` (bounded by max_fp_docs², so the expansion is a
+    constant factor). A self-join spelling would recompute the whole
+    winnowing lineage per join side AND shuffle it twice; this shape
+    hashes the corpus once and shuffles only (fp, ids) rows."""
     from .text import winnowing_fingerprints  # local import: avoid cycle
 
     fps = winnowing_fingerprints(df, text_col, id_col, k, window)
+    grouped = fps.groupBy("fp").agg(F.array_sort(F.collect_list("id")).alias("ids"))
     if max_fp_docs is not None:
-        ok = (
-            fps.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") <= max_fp_docs)
-            .select("fp")
-        )
-        fps = fps.join(ok, "fp", "left_semi")
-    a = fps.select(F.col("id").alias("id_a"), "fp")
-    b = fps.select(F.col("id").alias("id_b"), "fp")
+        grouped = grouped.filter(F.size("ids") <= max_fp_docs)
+    grouped = grouped.filter(F.size("ids") >= 2)
+    # all ordered pairs (ids is sorted and distinct): for element i, pair
+    # with every element after it
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, size(ids) - i - 1),"
+        " y -> struct(x AS id_a, y AS id_b))))"
+    )
     return (
-        a.join(b, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
+        grouped.select(F.explode(pair_expr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= min_shared)

@@ -164,7 +164,17 @@ def winnowing_fingerprints(
     ~len/window longs per doc."""
     from .dedup import md5_hash60, normalize
 
-    base = df.select(F.col(id_col).alias("id"), normalize(F.col(text_col)).alias("t"))
+    # spread documents across the cluster BEFORE the ~len(t) gram explode:
+    # a compact source file arrives in few partitions, and hashing must
+    # not serialize on them. The count is EXPLICIT (not repartition(col))
+    # because AQE sizes coalescing by pre-explode bytes — tiny here — and
+    # would merge right back to one task; the explode factor is what the
+    # shuffle must anticipate. Never shrinks an already-wide input.
+    sc = df.sparkSession.sparkContext
+    n_spread = max(sc.defaultParallelism, df.rdd.getNumPartitions())
+    base = df.select(
+        F.col(id_col).alias("id"), normalize(F.col(text_col)).alias("t")
+    ).repartition(n_spread, F.col("id"))
     grams = base.select(
         "id",
         F.posexplode(
