@@ -65,6 +65,18 @@ def shingles(text: Column, k: int = 5) -> Column:
     return F.when(n >= k, full).otherwise(F.array(F.array_join(toks, " ")))
 
 
+def spread_by_id(df: DataFrame, col: str = "id") -> DataFrame:
+    """Repartition by id with an EXPLICIT partition count before an
+    explode-heavy stage. A compact source file arrives in few partitions
+    and AQE sizes coalescing by PRE-explode bytes — tiny for document
+    tables — so ``repartition(col)`` alone merges right back to one task
+    and the explode serializes. The explicit count pins the width; it
+    never shrinks an already-wide input."""
+    sc = df.sparkSession.sparkContext
+    n = max(sc.defaultParallelism, df.rdd.getNumPartitions())
+    return df.repartition(n, F.col(col))
+
+
 def shingle_sets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_k: int = 5
 ) -> DataFrame:
@@ -73,11 +85,9 @@ def shingle_sets(
     Compute it once (and optionally persist) instead of re-scanning the
     corpus per stage: at scale the text scan+normalize is the second
     biggest cost after the joins."""
-    return (
+    return spread_by_id(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
-        .repartition(F.col("id"))
-        .select("id", F.array_distinct(shingles(F.col("t"), shingle_k)).alias("sh"))
-    )
+    ).select("id", F.array_distinct(shingles(F.col("t"), shingle_k)).alias("sh"))
 
 
 def minhash_signatures(
@@ -329,8 +339,7 @@ def simhash_signatures(
     else:
         raise ValueError("bits must be 60 or 64")
     ex = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
-        .repartition(F.col("id"))
+        spread_by_id(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")))
         .select("id", shingles(F.col("t"), shingle_k).alias("sh"))
         .select("id", F.explode(F.array_distinct("sh")).alias("s"))
         .select("id", h.alias("h"))
@@ -539,7 +548,8 @@ def frequent_ngrams(
         )
     )
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+        spread_by_id(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select("id", F.explode(grams).alias("gram"))
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
@@ -576,7 +586,9 @@ def remove_frequent_ngrams(
     if frequent is None:
         frequent = frequent_ngrams(df, text_col, id_col, n, min_docs)
     toks_col = F.split(F.trim(F.col(text_col)), r"\s+")
-    base = df.select(F.col(id_col).alias("id"), toks_col.alias("toks"))
+    base = spread_by_id(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
+        "id", toks_col.alias("toks")
+    )
     # every gram occurrence with its start position (1-based)
     occs = base.select(
         "id",

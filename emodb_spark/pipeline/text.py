@@ -164,17 +164,14 @@ def winnowing_fingerprints(
     ~len/window longs per doc."""
     from .dedup import md5_hash60, normalize
 
-    # spread documents across the cluster BEFORE the ~len(t) gram explode:
-    # a compact source file arrives in few partitions, and hashing must
-    # not serialize on them. The count is EXPLICIT (not repartition(col))
-    # because AQE sizes coalescing by pre-explode bytes — tiny here — and
-    # would merge right back to one task; the explode factor is what the
-    # shuffle must anticipate. Never shrinks an already-wide input.
-    sc = df.sparkSession.sparkContext
-    n_spread = max(sc.defaultParallelism, df.rdd.getNumPartitions())
-    base = df.select(
-        F.col(id_col).alias("id"), normalize(F.col(text_col)).alias("t")
-    ).repartition(n_spread, F.col("id"))
+    from .dedup import spread_by_id
+
+    # spread documents across the cluster BEFORE the ~len(t) gram explode
+    # (see spread_by_id: AQE would coalesce a plain repartition(col) of
+    # the tiny pre-explode rows back to one task)
+    base = spread_by_id(
+        df.select(F.col(id_col).alias("id"), normalize(F.col(text_col)).alias("t"))
+    )
     grams = base.select(
         "id",
         F.posexplode(
