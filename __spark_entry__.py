@@ -2193,7 +2193,7 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned
 
 
-def _oracle_kmeans(k: int = 8, iters: int = 2) -> str:
+def _kmeans_ctes(k: int = 8, iters: int = 2):
     sq = (
         "list_reduce(list_transform(list_zip(e.embedding, c.cvec),"
         " x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
@@ -2237,6 +2237,11 @@ def _oracle_kmeans(k: int = 8, iters: int = 2) -> str:
   ) n USING (cluster)
 )"""
         )
+    return ctes, sq
+
+
+def _oracle_kmeans(k: int = 8, iters: int = 2) -> str:
+    ctes, sq = _kmeans_ctes(k, iters)
     return f"""
 WITH {', '.join(ctes)}
 SELECT vec_id, cluster FROM (
@@ -2244,6 +2249,71 @@ SELECT vec_id, cluster FROM (
          ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {sq} ASC, c.cluster ASC) AS rn
   FROM embeddings e CROSS JOIN c{iters} c
 ) WHERE rn = 1
+"""
+
+
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k with a TRAINED coarse quantizer: the
+    deterministic k-means centroids feed ivf_topk's cells (the
+    composition ivf_topk's docstring points at — kmeans replaces the
+    flat lowest-id init). The oracle replays k-means (2 unrolled
+    iterations) AND the full probe/rank flow in one SQL statement."""
+    from emodb_spark.pipeline.similarity import ivf_topk, kmeans
+
+    emb = _read(spark, sf_dir, "embeddings")
+    _, cents = kmeans(emb, k=8, iters=2)
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return ivf_topk(emb, queries, k=10, n_cells=8, n_probe=2, centroids=cent_df)
+
+
+def _oracle_ann_ivf_kmeans(k: int = 8, iters: int = 2) -> str:
+    ctes, _sq = _kmeans_ctes(k, iters)
+    dot = (
+        "list_reduce(list_transform(list_zip({a}, {b}),"
+        " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a,b) -> a+b)"
+    )
+
+    def cos(a, b):
+        return (
+            dot.format(a=a, b=b)
+            + f" / ( sqrt(list_reduce(list_transform({a}, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (a,b) -> a+b))"
+            + f" * sqrt(list_reduce(list_transform({b}, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (a,b) -> a+b)) )"
+        )
+
+    return f"""
+WITH {', '.join(ctes)}, cents AS (
+  SELECT cluster AS cell, cvec AS c_vec FROM c{iters}
+), corpus_scored AS (
+  SELECT e.vec_id AS nbr_id, e.embedding AS nbr_vec, c.cell,
+    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      ORDER BY {cos("e.embedding", "c.c_vec")} DESC, c.cell ASC) AS cr
+  FROM embeddings e CROSS JOIN cents c
+), corpus_cells AS (
+  SELECT nbr_id, nbr_vec, cell FROM corpus_scored WHERE cr = 1
+), q_scored AS (
+  SELECT e.vec_id AS query_id, e.embedding AS q_vec, c.cell,
+    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      ORDER BY {cos("e.embedding", "c.c_vec")} DESC, c.cell ASC) AS cr
+  FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 8
+), probes AS (
+  SELECT query_id, q_vec, cell FROM q_scored WHERE cr <= 2
+), scored AS (
+  SELECT p.query_id, cc.nbr_id, {cos("p.q_vec", "cc.nbr_vec")} AS cos_raw
+  FROM corpus_cells cc JOIN probes p ON cc.cell = p.cell
+  WHERE cc.nbr_id <> p.query_id
+), ranked AS (
+  SELECT query_id, nbr_id, cos_raw,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, nbr_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, nbr_id, ROUND(cos_raw, 8) AS cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10
 """
 
 
@@ -2377,6 +2447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fp_overlap_pairs": q_fp_overlap_pairs,
         "doc_chunks": q_doc_chunks,
         "kmeans_embeddings": q_kmeans_embeddings,
+        "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "mixture_weights": q_mixture_weights,
         "event_percentiles": q_event_percentiles,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -2450,6 +2521,7 @@ def oracle_sql() -> dict[str, str]:
         "fp_overlap_pairs": ORACLE_FP_OVERLAP_PAIRS,
         "doc_chunks": ORACLE_DOC_CHUNKS,
         "kmeans_embeddings": _oracle_kmeans(),
+        "ann_ivf_kmeans": _oracle_ann_ivf_kmeans(),
         "mixture_weights": ORACLE_MIXTURE_WEIGHTS,
         "event_percentiles": ORACLE_EVENT_PERCENTILES,
         "ann_lsh_topk": _oracle_ann_lsh_topk(),
