@@ -290,3 +290,38 @@ def test_mixture_weights(spark):
     assert abs(out["big"]["weight"] / out["small"]["weight"] - 2.0) < 1e-9
     assert abs(out["big"]["weight"] + out["small"]["weight"] - 1.0) < 1e-12
     assert out["big"]["share_q"] == math.floor(math.sqrt(400.0) * (1 << 30))
+
+
+def test_asof_join_random_matches_bruteforce(spark):
+    """20 seeded random datasets with deliberate ts collisions (small key
+    and ts domains force equal-timestamp and no-match edge cases): the
+    windowed as-of must equal a per-row Python brute force everywhere."""
+    import random
+
+    for seed in range(20):
+        rng = random.Random(seed)
+        nkeys = rng.randint(1, 4)
+        lrows = [
+            (rng.randint(0, nkeys), rng.randint(0, 12), 1000 + i)
+            for i in range(rng.randint(1, 25))
+        ]
+        rrows = [
+            (rng.randint(0, nkeys), rng.randint(0, 12), 2000 + i)
+            for i in range(rng.randint(0, 25))
+        ]
+        left = spark.createDataFrame(lrows, "k int, t int, lid int")
+        right = spark.createDataFrame(rrows, "k int, t int, rid int")
+        out = asof_join(
+            left, right, on=["k"], left_ts="t", right_ts="t", right_cols=["rid"]
+        )
+        got = {(r["k"], r["t"], r["lid"]): (r["rid_right"], r["t_right"])
+               for r in out.collect()}
+        assert len(got) == len(lrows)
+        for k, t, lid in lrows:
+            cands = [(rt, rid) for (rk, rt, rid) in rrows if rk == k and rt <= t]
+            # operator tie-break: max ts, then max payload (last in asc order)
+            expect = max(cands) if cands else None
+            if expect is None:
+                assert got[(k, t, lid)] == (None, None), (seed, k, t)
+            else:
+                assert got[(k, t, lid)] == (expect[1], expect[0]), (seed, k, t)
