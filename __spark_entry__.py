@@ -2341,6 +2341,31 @@ FROM s
 """
 
 
+def q_quality_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-fraction retention: keep the longest half of every
+    source (ties by doc_id — a total order, so the integer cutoff is
+    engine-exact). The per-group curation step that keeps small sources
+    alive where a global cutoff would empty them."""
+    from emodb_spark.pipeline.curation import top_fraction_per_group
+
+    docs = _read(spark, sf_dir, "documents")
+    out = top_fraction_per_group(
+        docs.select("doc_id", "source", "n_chars"),
+        group_col="source", score_col="n_chars", frac=0.5,
+    )
+    return out.select("doc_id", "source", "n_chars", "n_group", "keep")
+
+
+ORACLE_QUALITY_RETENTION = """
+SELECT doc_id, source, n_chars,
+       COUNT(*) OVER (PARTITION BY source) AS n_group,
+       ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC)
+         <= CAST(CEIL(0.5 * COUNT(*) OVER (PARTITION BY source)) AS BIGINT) AS keep
+FROM documents
+"""
+
+
+
 def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of event value per type. Both
     engines define quantiles at rank p*(n-1) with linear interpolation
@@ -2449,6 +2474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embeddings": q_kmeans_embeddings,
         "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "mixture_weights": q_mixture_weights,
+        "quality_retention": q_quality_retention,
         "event_percentiles": q_event_percentiles,
         "ann_lsh_topk": q_ann_lsh_topk,
     }
@@ -2523,6 +2549,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_embeddings": _oracle_kmeans(),
         "ann_ivf_kmeans": _oracle_ann_ivf_kmeans(),
         "mixture_weights": ORACLE_MIXTURE_WEIGHTS,
+        "quality_retention": ORACLE_QUALITY_RETENTION,
         "event_percentiles": ORACLE_EVENT_PERCENTILES,
         "ann_lsh_topk": _oracle_ann_lsh_topk(),
     }

@@ -222,3 +222,37 @@ def mixture_weights(
         "weight",
         F.col("share_q").cast("double") / F.sum("share_q").over(w).cast("double"),
     )
+
+
+def top_fraction_per_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str = "doc_id",
+    frac: float = 0.5,
+) -> DataFrame:
+    """Per-group quality retention: keep the top ``frac`` fraction of each
+    group by score (ties broken by id — a total order, so the cutoff is
+    an exact integer both here and in any replaying engine). The standard
+    curation step after scoring: keep the best half of every source
+    rather than the best half overall (which would empty small sources).
+
+    Adds ``n_group`` (group size) and ``keep``; filter ``keep`` for the
+    retained corpus.
+
+    Scale shape: ONE shuffle on the group key; rank and count share the
+    same window partitioning. Group skew = per-source doc counts, the
+    same profile as any per-source aggregate."""
+    w_order = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    w_all = Window.partitionBy(group_col)
+    rn = F.row_number().over(w_order)
+    cnt = F.count(F.lit(1)).over(w_all)
+    return (
+        df.withColumn("n_group", cnt)
+        .withColumn(
+            "keep",
+            rn <= F.ceil(F.lit(float(frac)) * F.col("n_group")).cast("long"),
+        )
+    )

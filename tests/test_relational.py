@@ -325,3 +325,18 @@ def test_asof_join_random_matches_bruteforce(spark):
                 assert got[(k, t, lid)] == (None, None), (seed, k, t)
             else:
                 assert got[(k, t, lid)] == (expect[1], expect[0]), (seed, k, t)
+
+
+def test_top_fraction_per_group(spark):
+    from emodb_spark.pipeline.curation import top_fraction_per_group
+
+    rows = [Row(doc_id=i, source="a", score=i) for i in range(10)]
+    rows += [Row(doc_id=100 + i, source="b", score=5) for i in range(3)]
+    docs = spark.createDataFrame(rows)
+    out = top_fraction_per_group(docs, "source", "score", frac=0.5)
+    kept = {r["doc_id"] for r in out.collect() if r["keep"]}
+    # source a: top 5 of 10 by score desc => ids 5..9
+    assert {5, 6, 7, 8, 9} <= kept
+    assert kept.isdisjoint({0, 1, 2, 3})
+    # source b: all tied, ceil(1.5)=2 kept, lowest ids win the tie
+    assert {100, 101} <= kept and 102 not in kept
