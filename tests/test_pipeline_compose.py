@@ -1,0 +1,120 @@
+"""End-to-end composition: the full training-data pipeline over the
+documents table, each stage feeding the next, with cross-stage
+invariants. Proves the operators compose (schemas line up, determinism
+holds through the chain) — not just that each passes its own gate.
+
+ingest → exact dedup → near-dup clusters → keep-best → decontamination
+→ boilerplate removal → per-source quality retention → mixture weights
+→ train/val/test split → context packing → sliding chunks
+"""
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_full_curation_pipeline_composes(spark, sf_dir):
+    from emodb_spark.pipeline.curation import (
+        hash_split,
+        mixture_weights,
+        ngram_contamination,
+        top_fraction_per_group,
+    )
+    from emodb_spark.pipeline.dedup import (
+        exact_dedup,
+        keep_best_per_cluster,
+        minhash_lsh_candidates,
+        near_dup_clusters,
+        ngram_jaccard,
+        remove_frequent_ngrams,
+    )
+    from emodb_spark.pipeline.packing import pack_documents
+    from emodb_spark.pipeline.text import sliding_chunks, text_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n0 = docs.count()
+
+    # 1. exact dedup (keep the canonical id of every fingerprint group)
+    keepers = exact_dedup(docs, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    deduped = docs.join(keepers, "doc_id")
+    n1 = deduped.count()
+    assert 0 < n1 <= n0
+
+    # 2. near-dup clusters + keep-best (score = n_chars)
+    cands = minhash_lsh_candidates(deduped, "text", "doc_id", max_bucket_size=50)
+    pairs = ngram_jaccard(deduped, pairs=cands, threshold=0.8)
+    clusters = near_dup_clusters(deduped, pairs.select("id_a", "id_b"), id_col="doc_id")
+    best = keep_best_per_cluster(
+        clusters, deduped.select("doc_id", F.col("n_chars").alias("score"))
+    )
+    survivors = best.filter("keep").select("doc_id")
+    n2 = survivors.count()
+    assert 0 < n2 <= n1
+    kept_docs = deduped.join(survivors, "doc_id")
+
+    # 3. decontamination against a fake benchmark (first 5 docs)
+    benchmark = docs.orderBy("doc_id").limit(5).select("text")
+    contam = ngram_contamination(kept_docs, benchmark, shingle_k=5)
+    clean_ids = contam.filter(~F.col("contaminated")).select("doc_id")
+    clean = kept_docs.join(clean_ids, "doc_id")
+    n3 = clean.count()
+    assert 0 < n3 <= n2
+
+    # 4. boilerplate removal (2-grams in >=20% of surviving docs)
+    min_docs = int(math.ceil(0.2 * n3))
+    scrubbed = remove_frequent_ngrams(clean, n=2, min_docs=min_docs)
+    assert scrubbed.count() == n3  # doc-preserving
+    scrubbed = scrubbed.join(clean.select("doc_id", "source"), "doc_id")
+
+    # 5. per-source quality retention (keep longest 70% per source)
+    scored = scrubbed.withColumn("score", F.col("n_tokens") - F.col("n_removed"))
+    retained = top_fraction_per_group(
+        scored, "source", "score", frac=0.7
+    ).filter("keep")
+    n5 = retained.count()
+    assert 0 < n5 <= n3
+
+    # 6. mixture weights over what's left: weights sum to 1
+    weights = mixture_weights(retained, "source", alpha=0.5)
+    tot = weights.agg(F.sum("weight")).collect()[0][0]
+    assert abs(tot - 1.0) < 1e-9
+
+    # 7. split: partitions the retained corpus
+    split = hash_split(retained.select("doc_id", "text", "score"))
+    by_split = dict(
+        (r["split"], r["n"]) for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()
+    )
+    assert sum(by_split.values()) == n5
+    assert by_split.get("train", 0) > by_split.get("val", 0)
+
+    # 8. pack the train split into 4096-token bins by cleaned length
+    train = split.filter("split = 'train'").withColumn(
+        "n_tok", F.greatest(F.col("score"), F.lit(1)).cast("long")
+    )
+    packed = pack_documents(train, capacity=4096, token_col="n_tok", id_col="doc_id")
+    n8 = packed.count()
+    assert n8 == by_split.get("train", 0)
+    # bins are dense from 0 and every doc fits its bin start
+    bins = packed.agg(F.min("bin"), F.max("bin"), F.count_distinct("bin")).collect()[0]
+    assert bins[0] == 0 and bins[2] == bins[1] + 1
+
+    # 9. chunk the packed train docs for the context window
+    chunks = sliding_chunks(
+        split.filter("split = 'train'"), size=64, stride=48
+    )
+    assert chunks.count() >= by_split.get("train", 0)  # >=1 chunk per doc
+    # stats on the final corpus still computable (schema sanity end to end)
+    stats = text_stats(split.filter("split = 'train'"))
+    assert stats.count() == by_split.get("train", 0)
+
+    # determinism: rerunning the whole chain yields the same survivors
+    split2 = hash_split(
+        top_fraction_per_group(scored, "source", "score", frac=0.7)
+        .filter("keep")
+        .select("doc_id", "text", "score")
+    )
+    assert split.select("doc_id", "split").exceptAll(
+        split2.select("doc_id", "split")
+    ).count() == 0
