@@ -58,8 +58,12 @@ def repetition_signals(
     # lambdas index into it many times, and lambda bodies block common-
     # subexpression elimination — inlining tokens(lower(text)) here makes
     # Catalyst re-split the text once per element_at (observed 30x slowdown).
-    base = df.select(
-        F.col(id_col).alias("id"), tokens(F.lower(F.col(text_col))).alias("w")
+    from .dedup import spread_by_id
+
+    # spread before the 3x-tagged gram explode (see dedup.spread_by_id:
+    # AQE would coalesce the tiny pre-explode shuffle back to one task)
+    base = spread_by_id(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
+        "id", tokens(F.lower(F.col(text_col))).alias("w")
     )
     words = F.col("w")
     tagged = F.concat(

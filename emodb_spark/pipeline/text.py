@@ -129,9 +129,10 @@ def corpus_vocab(
     frequency) rides the same aggregate via count(distinct id) — at
     100 TB swap to approx_count_distinct if exactness isn't required.
     """
-    words = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("word"),
+    from .dedup import spread_by_id
+
+    words = spread_by_id(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
+        "id", F.explode(tokens(F.lower(F.col(text_col)))).alias("word")
     )
     return (
         words.groupBy("word")
@@ -216,9 +217,10 @@ def word_rank_score(
     exploded tokens, so the corpus is shuffled once, on the doc key."""
     from pyspark.sql import Window
 
-    words = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("word"),
+    from .dedup import spread_by_id
+
+    words = spread_by_id(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
+        "id", F.explode(tokens(F.lower(F.col(text_col)))).alias("word")
     )
     vocab = words.groupBy("word").agg(F.count("*").alias("freq"))
     ranks = vocab.select(
@@ -262,9 +264,10 @@ def tfidf_topk(
     doc key only."""
     from pyspark.sql import Window
 
-    words = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("word"),
+    from .dedup import spread_by_id
+
+    words = spread_by_id(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
+        "id", F.explode(tokens(F.lower(F.col(text_col)))).alias("word")
     )
     tf = words.groupBy("id", "word").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("word").agg(F.count("*").alias("n_docs"))
