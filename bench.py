@@ -56,6 +56,9 @@ BENCH_QUERIES = [
     "doc_chunks",            # sliding-window chunking (zero shuffle)
     "kmeans_embeddings",     # deterministic Lloyd's (IVF trainer)
     "event_percentiles",     # exact interpolated quantiles per group
+    "ann_ivf_kmeans",        # IVF probe with trained coarse quantizer
+    "quality_retention",     # per-source top-fraction retention
+    "mixture_weights",       # temperature-scaled source mixing
 ]
 
 

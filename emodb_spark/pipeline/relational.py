@@ -69,7 +69,9 @@ def asof_join(
     last in (ts, ``right_cols[0]``) order — deterministic for any input.
     """
     on = list(on)
-    payload = [c for c in right_cols]
+    # the matched right timestamp is always emitted as <left_ts><suffix>;
+    # listing right_ts as payload would duplicate the output column
+    payload = [c for c in right_cols if c != right_ts]
     # Union schema: key cols, __ts, __side, left payload (nulls on right
     # rows), right payload (nulls on left rows).
     left_payload = [c for c in left.columns if c not in on and c != left_ts]
