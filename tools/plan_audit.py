@@ -1,0 +1,77 @@
+"""Physical-plan audit over every declared query: explain (no execution)
+and flag scale anti-patterns.
+
+Flags:
+- CartesianProduct            — always wrong at scale
+- BatchEvalPython             — row-at-a-time Python UDF in the plan
+- BroadcastNestedLoopJoin     — wrong unless one side is O(1) rows
+  (allowlisted per query below: 1-row aggregate cross joins)
+
+Arrow-batched Python (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas)
+is NOT flagged: the delta fold and the schemaless condition path are
+Python by semantics and Arrow-batched by design (SURVEY §2.7).
+
+Usage: python tools/plan_audit.py [sf_dir] [query ...]
+Exit code = number of offending queries.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+# queries where a BroadcastNestedLoopJoin is a deliberate O(1)-row
+# cross join (a 1-row global aggregate joined onto a small table)
+BNLJ_OK = {
+    "corpus_sample",        # 1-row mean group size vs per-group counts
+    "similarity_topk",      # exact baseline: O(#queries) rows broadcast
+                            # against the corpus — the scale paths are
+                            # the LSH/IVF variants, which equijoin
+    "ann_ivf_topk",         # O(n_cells) centroid rows broadcast for the
+    "ann_ivf_kmeans",       # coarse-quantizer assignment fan-out
+}
+
+ALWAYS_BAD = ["CartesianProduct", "BatchEvalPython"]
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entrymod
+    from emodb_spark.spark.session import get_spark
+
+    spark = get_spark(app_name="plan_audit", master="local[4]", shuffle_partitions=8)
+    bad = 0
+    for name, fn in entrymod.queries().items():
+        if only and name not in only:
+            continue
+        try:
+            plan = plan_of(fn(spark, sf_dir))
+        except Exception as e:  # noqa: BLE001 — audit all, report failures
+            print(f"SKIP  {name}: explain failed: {type(e).__name__}: {e}")
+            continue
+        problems = [p for p in ALWAYS_BAD if p in plan]
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            problems.append("BroadcastNestedLoopJoin (not allowlisted)")
+        if problems:
+            bad += 1
+            print(f"FLAG  {name}: {', '.join(problems)}")
+        else:
+            print(f"OK    {name}")
+    print(f"\n{bad} flagged")
+    return bad
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
