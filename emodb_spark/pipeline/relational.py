@@ -269,3 +269,54 @@ def range_join_stream(
     for k in on:
         cond = cond & (F.col(k) == F.col(f"{k}{suffix}"))
     return l.join(r, cond, "inner")
+
+
+def asof_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    tolerance_seconds: int,
+    right_cols: Sequence[str],
+    watermark: str = "1 hour",
+    suffix: str = "_right",
+) -> DataFrame:
+    """Streaming backward as-of with a mandatory tolerance: each left row
+    is matched to the LATEST right row at-or-before it within
+    ``tolerance_seconds``. Built from the two streaming primitives Spark
+    gives us — the interval stream-stream join (state bounded by the
+    tolerance band) followed by an event-time aggregation that keeps the
+    lexicographic max of (right_ts, payload...) per left row (the same
+    tie-break as the batch operator: latest ts, then largest payload).
+
+    Unlike the batch :func:`asof_join`, unmatched left rows are absent
+    (inner-join semantics) and the tolerance is required — an unbounded
+    as-of would need unbounded join state in a stream. Emission follows
+    the watermark (a left row's match finalizes once the watermark
+    passes its timestamp).
+
+    Chained stateful operators (join → aggregation) require Spark 3.5+
+    semantics; both inputs must carry event-time watermarks."""
+    if tolerance_seconds <= 0:
+        raise ValueError("asof_join_stream requires a positive tolerance")
+    on = list(on)
+    payload = [c for c in right_cols if c != right_ts]
+    joined = range_join_stream(
+        left, right, on, left_ts, right_ts,
+        lower_seconds=-tolerance_seconds, upper_seconds=0,
+        watermark=watermark, suffix=suffix,
+    )
+    left_cols = [c for c in left.columns]
+    best = F.max(
+        F.struct(
+            F.col(f"{right_ts}{suffix}").alias("ts"),
+            *[F.col(f"{c}{suffix}").alias(c) for c in payload],
+        )
+    ).alias("__best")
+    grouped = joined.groupBy(*[F.col(c) for c in left_cols]).agg(best)
+    return grouped.select(
+        *left_cols,
+        *[F.col(f"__best.{c}").alias(f"{c}{suffix}") for c in payload],
+        F.col("__best.ts").alias(f"{left_ts}{suffix}"),
+    )

@@ -204,3 +204,50 @@ def test_streaming_range_join_matches_batch(spark, sf_dir, tmp_path):
     assert got.count() == expected.count() > 0
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_streaming_asof_matches_batch_within_tolerance(spark, sf_dir, tmp_path):
+    """Interval join + event-time argmax == the batch as-of (tolerance
+    form) on its matched subset: last view within 2h before each
+    purchase, per user."""
+    from emodb_spark.pipeline.relational import asof_join, asof_join_stream
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    purchase = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    view = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    tol = 2 * 3600
+
+    src_l, src_r = str(tmp_path / "al"), str(tmp_path / "ar")
+    purchase.repartition(2).write.mode("overwrite").parquet(src_l)
+    view.repartition(2).write.mode("overwrite").parquet(src_r)
+    sl = spark.readStream.schema(purchase.schema).option("maxFilesPerTrigger", "1").parquet(src_l)
+    sr = spark.readStream.schema(view.schema).option("maxFilesPerTrigger", "1").parquet(src_r)
+
+    out = asof_join_stream(
+        sl, sr, on=["user_id"], left_ts="ts", right_ts="ts",
+        tolerance_seconds=tol, right_cols=["view_id"],
+    )
+    sink = _run_to_sink(out, tmp_path, "asof")
+    got = spark.read.parquet(sink).select(
+        "user_id", F.unix_micros("ts").alias("t"), "purchase_id",
+        "view_id_right", F.unix_micros("ts_right").alias("vt"),
+    )
+
+    b_purchase = purchase.withColumn("t", F.unix_micros("ts")).drop("ts")
+    b_view = view.withColumn("t", F.unix_micros("ts")).drop("ts")
+    expected = asof_join(
+        b_purchase, b_view, on=["user_id"], left_ts="t", right_ts="t",
+        right_cols=["view_id"], tolerance=tol * 1_000_000,
+    ).filter(F.col("view_id_right").isNotNull()).select(
+        "user_id", "t", "purchase_id",
+        "view_id_right", F.col("t_right").alias("vt"),
+    )
+
+    assert got.count() == expected.count() > 0
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
