@@ -72,6 +72,10 @@ def spread_by_id(df: DataFrame, col: str = "id") -> DataFrame:
     tables — so ``repartition(col)`` alone merges right back to one task
     and the explode serializes. The explicit count pins the width; it
     never shrinks an already-wide input."""
+    if df.isStreaming:
+        # .rdd is illegal on a streaming frame; micro-batch sizing is the
+        # engine's job there — keep the keyed repartition only
+        return df.repartition(F.col(col))
     sc = df.sparkSession.sparkContext
     n = max(sc.defaultParallelism, df.rdd.getNumPartitions())
     return df.repartition(n, F.col(col))

@@ -340,3 +340,18 @@ def test_top_fraction_per_group(spark):
     assert kept.isdisjoint({0, 1, 2, 3})
     # source b: all tied, ceil(1.5)=2 kept, lowest ids win the tie
     assert {100, 101} <= kept and 102 not in kept
+
+
+def test_range_join_negative_lower(spark):
+    """Band [-60, -1]: right rows strictly BEFORE the left row (backward
+    window) — exercises negative bucket arithmetic (floor division)."""
+    left = spark.createDataFrame([Row(k="x", t=100)])
+    right = spark.createDataFrame(
+        [Row(k="x", t=39), Row(k="x", t=40), Row(k="x", t=99), Row(k="x", t=100)]
+    )
+    out = range_join(
+        left, right, on=["k"], left_ts="t", right_ts="t",
+        lower=-60, upper=-1, right_cols=["t"],
+    )
+    got = {r["t_right"] for r in out.collect()}
+    assert got == {40, 99}  # 39 too old, 100 not strictly before
