@@ -279,3 +279,117 @@ def png_resize_fn(target_w: int, target_h: int):
         return small.astype(np.uint8).tobytes()
 
     return resize
+
+
+# --------------------------------------------------------------------------
+# Y4M (YUV4MPEG2) video — uncompressed, header + per-frame planes; the one
+# video container fully decodable with no codec library. Mono and C420*
+# colorspaces supported (Y plane is what the features read).
+
+
+def _y4m_params(data: bytes):
+    """Parse the stream header: returns (w, h, fps_num, fps_den,
+    colorspace, header_end). Raises ValueError on a non-Y4M payload."""
+    if not data.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    end = data.index(b"\n")
+    w = h = None
+    fn, fd = 30, 1
+    cs = "420"
+    for tok in data[10:end].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F":
+            fn, fd = (int(x) for x in val.split(b":"))
+        elif tag == b"C":
+            cs = val.decode()
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    return w, h, fn, fd, cs, end + 1
+
+
+def _y4m_frame_size(w: int, h: int, cs: str) -> int:
+    if cs.startswith("mono"):
+        return w * h
+    if cs.startswith("420"):
+        return w * h + 2 * ((w // 2) * (h // 2))
+    if cs.startswith("422"):
+        return w * h + 2 * ((w // 2) * h)
+    if cs.startswith("444"):
+        return 3 * w * h
+    raise ValueError(f"unsupported Y4M colorspace {cs!r}")
+
+
+def y4m_probe(data: bytes):
+    """(width, height, n_frames, fps) from a Y4M stream — counts FRAME
+    markers without copying plane data."""
+    w, h, fn, fd, cs, pos = _y4m_params(data)
+    fsize = _y4m_frame_size(w, h, cs)
+    n = 0
+    while pos < len(data):
+        if data[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at {pos}")
+        pos = data.index(b"\n", pos) + 1 + fsize
+        n += 1
+    return w, h, n, fn / fd
+
+
+def decode_y4m_frame(data: bytes, idx: int) -> np.ndarray:
+    """Luma (Y) plane of frame ``idx`` as an (h, w) uint8 array."""
+    w, h, _fn, _fd, cs, pos = _y4m_params(data)
+    fsize = _y4m_frame_size(w, h, cs)
+    n = 0
+    while pos < len(data):
+        nl = data.index(b"\n", pos) + 1
+        if n == idx:
+            y = np.frombuffer(data[nl : nl + w * h], dtype=np.uint8)
+            return y.reshape(h, w)
+        pos = nl + fsize
+        n += 1
+    raise IndexError(f"frame {idx} out of range")
+
+
+def encode_y4m(frames, fps: int = 30) -> bytes:
+    """Test helper: mono Y4M from a list of (h, w) uint8 luma arrays."""
+    h, w = frames[0].shape
+    out = [f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 Cmono\n".encode()]
+    for f in frames:
+        assert f.shape == (h, w)
+        out.append(b"FRAME\n")
+        out.append(f.astype(np.uint8).tobytes())
+    return b"".join(out)
+
+
+def video_decoder(content: Optional[bytes], modality: str):
+    """``decoder=`` seam for :func:`~.multimodal.sample_frames`: real Y4M
+    probe — (w, h, n_frames, feature) with the feature the first frame's
+    [mean, std, min, max] luma in [0,1]."""
+    if content is None:
+        return None
+    w, h, n, _fps = y4m_probe(content)
+    y = decode_y4m_frame(content, 0).astype(np.float64) / 255.0
+    feature = [round(float(v), 6) for v in (y.mean(), y.std(), y.min(), y.max())]
+    return w, h, n, feature
+
+
+def y4m_frame_features(bands: int = 8):
+    """``frame_fn=`` factory for :func:`~.multimodal.sample_frames`: real
+    per-frame features — mean luma of ``bands`` horizontal bands (the
+    deterministic, resolution-independent shape a frame-embedding stub
+    should have)."""
+
+    def grab(raw: bytes, idx: int):
+        y = decode_y4m_frame(raw, idx).astype(np.float64) / 255.0
+        h = y.shape[0]
+        edges = [round(i * h / bands) for i in range(bands + 1)]
+        return [
+            round(float(y[edges[i] : max(edges[i + 1], edges[i] + 1)].mean()), 6)
+            for i in range(bands)
+        ]
+
+    return grab

@@ -170,3 +170,50 @@ def test_real_codecs_through_spark_plumbing(spark):
     assert first["chunk_feature"][0] == pytest.approx(
         float(np.sqrt(np.mean(seg**2))), abs=1e-5
     )
+
+
+def test_y4m_roundtrip_and_probe():
+    from emodb_spark.pipeline.codecs import (
+        decode_y4m_frame,
+        encode_y4m,
+        y4m_probe,
+    )
+
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 256, size=(12, 16), dtype=np.uint8) for _ in range(5)]
+    data = encode_y4m(frames, fps=24)
+    w, h, n, fps = y4m_probe(data)
+    assert (w, h, n, fps) == (16, 12, 5, 24.0)
+    for i, f in enumerate(frames):
+        assert (decode_y4m_frame(data, i) == f).all()
+    with pytest.raises(IndexError):
+        decode_y4m_frame(data, 5)
+    with pytest.raises(ValueError):
+        y4m_probe(b"RIFFnotvideo")
+
+
+def test_y4m_real_frames_through_spark_plumbing(spark):
+    """Real Y4M video through sample_frames' mapInPandas seam: frame
+    count from the real header, per-frame features = actual band lumas."""
+    from emodb_spark.pipeline.codecs import (
+        encode_y4m,
+        video_decoder,
+        y4m_frame_features,
+    )
+    from emodb_spark.pipeline.multimodal import make_blob_table, sample_frames
+
+    # 10 frames, each a constant luma = 10*frame_idx
+    frames = [np.full((8, 8), 10 * i, dtype=np.uint8) for i in range(10)]
+    vid = encode_y4m(frames)
+    blobs = make_blob_table(spark, [("vid/a", "video", vid, {"modality": "video"})])
+    rows = {
+        r["frame_idx"]: r
+        for r in sample_frames(
+            blobs, every_n=3, max_frames=4,
+            decoder=video_decoder, frame_fn=y4m_frame_features(4),
+        ).collect()
+    }
+    assert sorted(rows) == [0, 3, 6, 9]  # header-derived count, real stride
+    for idx, r in rows.items():
+        expect = round(10 * idx / 255.0, 6)
+        assert r["frame_feature"] == pytest.approx([expect] * 4, abs=1e-6)
