@@ -1,0 +1,57 @@
+"""Bucketed-table helpers: the co-located-join storage layout.
+
+SCALE.md's join accounting claims "at scale, bucketing orders/lineitem
+by orderkey removes the shuffle entirely" — this module is that claim as
+code. Writing both fact tables with the SAME bucket count and key lets
+Spark's bucketed scan report a compatible output partitioning, so a
+subsequent equijoin on the bucket key plans WITHOUT an Exchange on
+either side (and without a sort, when ``sortBy`` matches the join key).
+
+Local parity note: `bucketBy` requires a catalog table (saveAsTable) —
+Spark's bucket layout is metadata in the metastore, not in the files.
+The helpers therefore manage session-catalog tables; at deployment the
+same calls target the real metastore (or Delta's clustered layout).
+
+Reference analog: none at the storage layer — the reference co-locates
+by Cassandra token ranges (SURVEY §4); bucketing is Spark's equivalent.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 32,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) catalog table
+    keyed for co-located joins on ``key``."""
+    w = df.write.mode(mode).bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+
+
+def co_located_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    left_key: str,
+    right_key: Optional[str] = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join two same-bucket-count tables on their bucket keys. When both
+    were written via :func:`write_bucketed` with equal ``buckets``, the
+    plan contains NO Exchange (asserted in tests/test_bucketing.py) —
+    the 100 TB fact-fact join shape where a shuffle of either side is
+    the dominant cost."""
+    right_key = right_key or left_key
+    l, r = spark.table(left_table), spark.table(right_table)
+    return l.join(r, l[left_key] == r[right_key], how)

@@ -1,0 +1,77 @@
+"""Bucketed co-located joins: the fact-fact join without a shuffle.
+
+Proves SCALE.md's claim in the plan: two tables written with
+write_bucketed(same buckets, same key) join with ZERO Exchange nodes,
+while the plain parquet join of the same data shuffles both sides.
+"""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Force SortMergeJoin so the Exchange comparison is apples-to-apples
+    (broadcast would hide the shuffle question entirely)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, no_broadcast):
+    from emodb_spark.spark.bucketing import co_located_join, write_bucketed
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    write_bucketed(orders, "b_orders", "o_orderkey", buckets=8)
+    write_bucketed(li, "b_lineitem", "l_orderkey", buckets=8)
+    try:
+        joined = co_located_join(spark, "b_orders", "b_lineitem",
+                                 "o_orderkey", "l_orderkey")
+        plan = plan_of(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+
+        # same join over plain parquet shuffles both sides
+        plain = orders.join(li, orders.o_orderkey == li.l_orderkey)
+        assert "Exchange" in plan_of(plain)
+
+        # and the answer is identical
+        a = joined.groupBy().agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(20,2)")).alias("q"),
+        ).collect()[0]
+        b = plain.groupBy().agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(20,2)")).alias("q"),
+        ).collect()[0]
+        assert (a["n"], a["q"]) == (b["n"], b["q"])
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_aggregation_has_no_exchange(spark, sf_dir, no_broadcast):
+    """A groupBy on the bucket key also rides the bucketed layout."""
+    from emodb_spark.spark.bucketing import write_bucketed
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    write_bucketed(li, "b_li_agg", "l_orderkey", buckets=8)
+    try:
+        agg = spark.table("b_li_agg").groupBy("l_orderkey").agg(
+            F.count("*").alias("n")
+        )
+        assert "Exchange" not in plan_of(agg), plan_of(agg)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_li_agg")
