@@ -355,3 +355,31 @@ def test_range_join_negative_lower(spark):
     )
     got = {r["t_right"] for r in out.collect()}
     assert got == {40, 99}  # 39 too old, 100 not strictly before
+
+
+def test_range_join_random_matches_bruteforce(spark):
+    """15 seeded random datasets across band shapes (positive, negative,
+    straddling zero): bucketed range join == per-row Python brute force."""
+    import random
+
+    for seed in range(15):
+        rng = random.Random(100 + seed)
+        lower = rng.choice([-50, -10, 0, 1, 10])
+        upper = lower + rng.choice([1, 7, 40])
+        nkeys = rng.randint(1, 3)
+        lrows = [(rng.randint(0, nkeys), rng.randint(-60, 60), 1000 + i)
+                 for i in range(rng.randint(1, 20))]
+        rrows = [(rng.randint(0, nkeys), rng.randint(-60, 60), 2000 + i)
+                 for i in range(rng.randint(0, 20))]
+        left = spark.createDataFrame(lrows, "k int, t int, lid int")
+        right = spark.createDataFrame(rrows, "k int, t int, rid int")
+        out = range_join(left, right, on=["k"], left_ts="t", right_ts="t",
+                         lower=lower, upper=upper, right_cols=["rid"])
+        got = {(r["k"], r["t"], r["lid"], r["rid_right"]) for r in out.collect()}
+        expect = {
+            (lk, lt, lid, rid)
+            for (lk, lt, lid) in lrows
+            for (rk, rt, rid) in rrows
+            if rk == lk and lt + lower <= rt <= lt + upper
+        }
+        assert got == expect, (seed, lower, upper)
