@@ -660,3 +660,154 @@ class AuthorizingDataStore:
     def set_table_template(self, name: str, template: Dict[str, Any]):
         self._check(Permissions.SET_TABLE_ATTRIBUTES, name)
         return self.datastore.set_table_template(name, template)
+
+
+class AuthorizingBlobStore:
+    """Permission-checking facade over a BlobStore, using the reference's
+    exact permission strings (web BlobStoreResource1.java:
+    blob|read/update/purge/drop_table/set_table_attributes|{table})."""
+
+    def __init__(self, blobstore, uac: InMemoryUserAccessControl, api_key: str):
+        self.blobstore = blobstore
+        self.uac = uac
+        self.api_key = api_key
+
+    def _check(self, action: str, table: str) -> None:
+        self.uac.check_permission(self.api_key, f"blob|{action}|{escape(table)}")
+
+    def get(self, table: str, blob_id: str):
+        self._check(Permissions.READ, table)
+        return self.blobstore.get(table, blob_id)
+
+    def get_range(self, table: str, blob_id: str, *args, **kwargs):
+        self._check(Permissions.READ, table)
+        return self.blobstore.get_range(table, blob_id, *args, **kwargs)
+
+    def metadata(self, table: str, blob_id: str):
+        self._check(Permissions.READ, table)
+        return self.blobstore.metadata(table, blob_id)
+
+    def scan_metadata(self, table: str, *args, **kwargs):
+        self._check(Permissions.READ, table)
+        return self.blobstore.scan_metadata(table, *args, **kwargs)
+
+    def put(self, table: str, *args, **kwargs):
+        self._check(Permissions.UPDATE, table)
+        return self.blobstore.put(table, *args, **kwargs)
+
+    def put_all(self, table: str, *args, **kwargs):
+        self._check(Permissions.UPDATE, table)
+        return self.blobstore.put_all(table, *args, **kwargs)
+
+    def delete(self, table: str, blob_id: str):
+        self._check(Permissions.UPDATE, table)
+        return self.blobstore.delete(table, blob_id)
+
+    def purge(self, table: str):
+        self._check("purge", table)
+        return self.blobstore.purge_table_unsafe(table)
+
+    def drop_table(self, table: str):
+        self._check(Permissions.DROP_TABLE, table)
+        return self.blobstore.drop_table(table)
+
+
+class AuthorizingQueueService:
+    """Permission-checking facade over a QueueService (web
+    QueueResource1.java: queue|post/poll/get_status|{queue})."""
+
+    def __init__(self, queues, uac: InMemoryUserAccessControl, api_key: str):
+        self.queues = queues
+        self.uac = uac
+        self.api_key = api_key
+
+    def _check(self, action: str, queue: str) -> None:
+        self.uac.check_permission(self.api_key, f"queue|{action}|{escape(queue)}")
+
+    def send(self, queue: str, *args, **kwargs):
+        self._check("post", queue)
+        return self.queues.send(queue, *args, **kwargs)
+
+    def send_all(self, queue: str, *args, **kwargs):
+        self._check("post", queue)
+        return self.queues.send_all(queue, *args, **kwargs)
+
+    def poll(self, queue: str, *args, **kwargs):
+        self._check("poll", queue)
+        return self.queues.poll(queue, *args, **kwargs)
+
+    def peek(self, queue: str, *args, **kwargs):
+        self._check("poll", queue)
+        return self.queues.peek(queue, *args, **kwargs)
+
+    def acknowledge(self, queue: str, *args, **kwargs):
+        self._check("poll", queue)
+        return self.queues.acknowledge(queue, *args, **kwargs)
+
+    def renew(self, queue: str, *args, **kwargs):
+        self._check("poll", queue)
+        return self.queues.renew(queue, *args, **kwargs)
+
+    def message_count(self, queue: str, *args, **kwargs):
+        self._check("get_status", queue)
+        return self.queues.message_count(queue, *args, **kwargs)
+
+    def claim_count(self, queue: str, *args, **kwargs):
+        self._check("get_status", queue)
+        return self.queues.claim_count(queue, *args, **kwargs)
+
+    def move(self, from_queue: str, to_queue: str):
+        # reference move checks poll on the source and post on the target
+        # (databus analog: databus|poll|{?from} + databus|subscribe|{?to})
+        self._check("poll", from_queue)
+        self._check("post", to_queue)
+        return self.queues.move(from_queue, to_queue)
+
+
+class AuthorizingDatabus:
+    """Permission-checking facade over a DatabusPoller (web
+    DatabusResource1.java: databus|subscribe/unsubscribe/poll/
+    get_status/inject|{subscription})."""
+
+    def __init__(self, databus, uac: InMemoryUserAccessControl, api_key: str):
+        self.databus = databus
+        self.uac = uac
+        self.api_key = api_key
+
+    def _check(self, action: str, subscription: str) -> None:
+        self.uac.check_permission(
+            self.api_key, f"databus|{action}|{escape(subscription)}"
+        )
+
+    def poll(self, subscription: str, *args, **kwargs):
+        self._check("poll", subscription)
+        return self.databus.poll(subscription, *args, **kwargs)
+
+    def peek(self, subscription: str, *args, **kwargs):
+        self._check("poll", subscription)
+        return self.databus.peek(subscription, *args, **kwargs)
+
+    def acknowledge(self, subscription: str, *args, **kwargs):
+        self._check("poll", subscription)
+        return self.databus.acknowledge(subscription, *args, **kwargs)
+
+    def renew(self, subscription: str, *args, **kwargs):
+        self._check("poll", subscription)
+        return self.databus.renew(subscription, *args, **kwargs)
+
+    def event_count(self, subscription: str, *args, **kwargs):
+        self._check("get_status", subscription)
+        return self.databus.event_count(subscription, *args, **kwargs)
+
+    def claim_count(self, subscription: str, *args, **kwargs):
+        self._check("get_status", subscription)
+        return self.databus.claim_count(subscription, *args, **kwargs)
+
+    def inject_event(self, subscription: str, *args, **kwargs):
+        self._check("inject", subscription)
+        return self.databus.inject_event(subscription, *args, **kwargs)
+
+    def move(self, from_sub: str, to_sub: str):
+        self._check("poll", from_sub)
+        self._check("subscribe", to_sub)
+        return self.databus.move(from_sub, to_sub)

@@ -238,3 +238,67 @@ def test_authorizing_datastore(spark, tmp_path):
     with pytest.raises(UnauthorizedException):
         authed.create_table("review:other", df=df, key_column="id",
                             placement="ugc_eu", template={"type": "review"})
+
+
+def test_authorizing_blobstore(spark, tmp_path):
+    from emodb_spark.core.uac import AuthorizingBlobStore
+    from emodb_spark.spark.blobstore import BlobStore
+
+    bs = BlobStore(spark, str(tmp_path / "blobs"))
+    bs.create_table("photos:cat", placement="media_global")
+    bs.create_table("secrets:vault", placement="media_global")
+    bs.put("photos:cat", "a", b"pixels", {"kind": "jpg"})
+    bs.put("secrets:vault", "s", b"hidden", {})
+
+    uac = InMemoryUserAccessControl()
+    uac.create_role("photo-reader", permissions=["blob|read|photos:*"])
+    uac.create_role("photo-writer", permissions=[
+        "blob|read|photos:*", "blob|update|photos:*",
+    ])
+    uac.create_api_key("reader", "r", roles=["photo-reader"])
+    uac.create_api_key("writer", "w", roles=["photo-writer"])
+
+    r = AuthorizingBlobStore(bs, uac, "reader")
+    assert bytes(r.get("photos:cat", "a")["content"]) == b"pixels"
+    with pytest.raises(UnauthorizedException):
+        r.get("secrets:vault", "s")
+    with pytest.raises(UnauthorizedException):
+        r.put("photos:cat", "b", b"x", {})
+    with pytest.raises(UnauthorizedException):
+        r.drop_table("photos:cat")
+
+    w = AuthorizingBlobStore(bs, uac, "writer")
+    w.put("photos:cat", "b", b"more", {})
+    assert bytes(w.get("photos:cat", "b")["content"]) == b"more"
+    with pytest.raises(UnauthorizedException):
+        w.purge("photos:cat")
+
+
+def test_authorizing_queue_service(spark, tmp_path):
+    from emodb_spark.core.uac import AuthorizingQueueService
+    from emodb_spark.spark.streaming.queues import QueueService
+
+    qs = QueueService(spark, str(tmp_path / "queues"))
+    uac = InMemoryUserAccessControl()
+    uac.create_role("producer", permissions=["queue|post|jobs-*"])
+    uac.create_role("consumer", permissions=[
+        "queue|poll|jobs-*", "queue|get_status|jobs-*",
+    ])
+    uac.create_api_key("prod", "p", roles=["producer"])
+    uac.create_api_key("cons", "c", roles=["consumer"])
+
+    p = AuthorizingQueueService(qs, uac, "prod")
+    p.send("jobs-a", {"n": 1})
+    with pytest.raises(UnauthorizedException):
+        p.poll("jobs-a")
+    with pytest.raises(UnauthorizedException):
+        p.send("other-q", {"n": 2})
+
+    c = AuthorizingQueueService(qs, uac, "cons")
+    msgs = c.poll("jobs-a", limit=10)
+    assert len(msgs) == 1
+    assert c.message_count("jobs-a") >= 0
+    with pytest.raises(UnauthorizedException):
+        c.send("jobs-a", {"n": 3})
+    with pytest.raises(UnauthorizedException):
+        c.move("jobs-a", "jobs-b")  # poll ok but post on target denied
