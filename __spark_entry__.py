@@ -2366,6 +2366,46 @@ FROM documents
 
 
 
+def q_event_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type — integer-exact bins."""
+    from emodb_spark.pipeline.events import value_histogram
+
+    ev = _read(spark, sf_dir, "events")
+    return value_histogram(ev, "value", bin_width=25.0, group_cols=["event_type"])
+
+
+ORACLE_EVENT_HISTOGRAM = """
+SELECT event_type, CAST(FLOOR(value / 25.0) AS BIGINT) AS bin,
+       COUNT(*) AS n,
+       CAST(CAST(FLOOR(value / 25.0) AS BIGINT) * 25.0 AS DOUBLE) AS bin_lo
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric profile with engine-exact moments: mean/variance from
+    DECIMAL sums of x and x^2, so double arithmetic runs once on exact
+    totals and hashes match any engine."""
+    from emodb_spark.pipeline.events import numeric_profile
+
+    ev = _read(spark, sf_dir, "events")
+    return numeric_profile(ev, "value", group_cols=["event_type"])
+
+
+ORACLE_EVENT_PROFILE = """
+SELECT event_type,
+       COUNT(value) AS n,
+       COUNT(*) - COUNT(value) AS n_null,
+       MIN(value) AS vmin, MAX(value) AS vmax,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) / COUNT(value), 6) AS mean,
+       ROUND((CAST(SUM(CAST(value AS DECIMAL(24,6)) * CAST(value AS DECIMAL(24,6))) AS DOUBLE)
+              - (CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE)
+                 * CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE)) / COUNT(value))
+             / COUNT(value), 6) AS variance
+FROM events GROUP BY 1
+"""
+
+
 def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of event value per type. Both
     engines define quantiles at rank p*(n-1) with linear interpolation
@@ -2476,6 +2516,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": q_mixture_weights,
         "quality_retention": q_quality_retention,
         "event_percentiles": q_event_percentiles,
+        "event_histogram": q_event_histogram,
+        "event_profile": q_event_profile,
         "ann_lsh_topk": q_ann_lsh_topk,
     }
 
@@ -2551,5 +2593,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_weights": ORACLE_MIXTURE_WEIGHTS,
         "quality_retention": ORACLE_QUALITY_RETENTION,
         "event_percentiles": ORACLE_EVENT_PERCENTILES,
+        "event_histogram": ORACLE_EVENT_HISTOGRAM,
+        "event_profile": ORACLE_EVENT_PROFILE,
         "ann_lsh_topk": _oracle_ann_lsh_topk(),
     }

@@ -271,3 +271,55 @@ def windowed_counts_stream(
             type_col, "n_events", "sum_value", "n_users_approx",
         )
     )
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str = "value",
+    bin_width: float = 25.0,
+    group_cols=(),
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column (per group): bin =
+    floor(value / bin_width) — the profiling step before outlier
+    filtering or quantile bucketing. One aggregate with map-side
+    partials; bins are exact integers so any engine reproduces them.
+    Returns (group..., bin, n, bin_lo) with bin_lo = bin * bin_width."""
+    b = F.floor(F.col(value_col) / F.lit(float(bin_width))).cast("long")
+    out = (
+        df.groupBy(*group_cols, b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return out.withColumn(
+        "bin_lo", (F.col("bin") * F.lit(float(bin_width))).cast("double")
+    )
+
+
+def numeric_profile(
+    df: DataFrame,
+    value_col: str = "value",
+    group_cols=(),
+) -> DataFrame:
+    """Per-group numeric column profile with ENGINE-EXACT moments: count,
+    nulls, min, max, mean and population variance derived from DECIMAL
+    sums of x and x² (float summation order never enters — the double
+    arithmetic happens once, on exact totals). The schema-profiling
+    operator a pipeline runs before schema checks / normalization."""
+    x = F.col(value_col).cast("decimal(24,6)")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(value_col).alias("n"),
+        (F.count(F.lit(1)) - F.count(value_col)).alias("n_null"),
+        F.min(value_col).alias("vmin"),
+        F.max(value_col).alias("vmax"),
+        F.sum(x).alias("__s1"),
+        F.sum(x * x).alias("__s2"),
+    )
+    s1 = F.col("__s1").cast("double")
+    s2 = F.col("__s2").cast("double")
+    n = F.col("n").cast("double")
+    mean = s1 / n
+    var = (s2 - (s1 * s1) / n) / n
+    return agg.select(
+        *group_cols, "n", "n_null", "vmin", "vmax",
+        F.round(mean, 6).alias("mean"),
+        F.round(var, 6).alias("variance"),
+    )
