@@ -1,0 +1,71 @@
+"""Spark SQL registration of the condition/delta languages.
+
+The reference exposes its languages only through its own REST API
+(SURVEY §2.7 — no UDF surface); a Spark-native engine should ALSO speak
+them from SQL, so `spark.sql` users can filter and transform documents
+without touching the Python API:
+
+    SELECT * FROM docs WHERE emodb_match('{..,"rating":ge(4)}', doc)
+    SELECT emodb_apply('{.., "seen":true}', doc) AS doc FROM docs
+
+Both functions are Arrow-batched pandas UDFs (never row-at-a-time
+Python); the condition/delta strings are parsed ONCE per distinct text
+per batch via the parser's memoization, so constant expressions cost
+one parse per executor. The compiled-Column path
+(:mod:`~emodb_spark.spark.compiler`) remains the hot path for typed
+frames — these are the schemaless SQL entry points.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def register_sql_functions(spark: SparkSession) -> None:
+    """Register ``emodb_match(cond, doc_json)`` and
+    ``emodb_apply(delta, doc_json)`` with the session's SQL catalog."""
+
+    @F.pandas_udf(T.BooleanType())
+    def emodb_match(cond: pd.Series, doc: pd.Series) -> pd.Series:
+        from ..language.ceval import eval_condition
+        from ..language.parser import parse_condition
+
+        out = []
+        for c_text, d_text in zip(cond, doc):
+            if c_text is None or d_text is None:
+                out.append(False)
+                continue
+            try:
+                c = parse_condition(c_text)  # memoized per distinct text
+                out.append(bool(eval_condition(c, json.loads(d_text), None)))
+            except Exception:
+                out.append(False)
+        return pd.Series(out, dtype="bool")
+
+    @F.pandas_udf(T.StringType())
+    def emodb_apply(delta: pd.Series, doc: pd.Series) -> pd.Series:
+        from ..language.deval import UNDEFINED, eval_delta
+        from ..language.parser import parse_delta
+
+        out = []
+        for d_text, j_text in zip(delta, doc):
+            if d_text is None:
+                out.append(j_text)
+                continue
+            try:
+                d = parse_delta(d_text)  # memoized per distinct text
+                cur = json.loads(j_text) if j_text is not None else UNDEFINED
+                nxt = eval_delta(d, cur, {})
+                out.append(None if nxt is UNDEFINED else
+                           json.dumps(nxt, sort_keys=True, separators=(",", ":")))
+            except Exception:
+                out.append(None)
+        return pd.Series(out, dtype="object")
+
+    spark.udf.register("emodb_match", emodb_match)
+    spark.udf.register("emodb_apply", emodb_apply)

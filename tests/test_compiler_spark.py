@@ -332,3 +332,49 @@ def test_fuzz_compiled_matches_interpreter(spark):
                 if got != expected:
                     failures.append((str(c), key, got, expected))
     assert not failures, f"{len(failures)} disagreements; first 5: {failures[:5]}"
+
+
+def test_sql_registered_functions(spark):
+    """emodb_match / emodb_apply from plain spark.sql, Arrow-batched."""
+    import json
+
+    from emodb_spark.language import eval_condition, parse_condition
+    from emodb_spark.spark.sql_functions import register_sql_functions
+
+    register_sql_functions(spark)
+    docs = [
+        {"rating": 5, "status": "APPROVED", "tags": ["a"]},
+        {"rating": 2, "status": "REJECTED", "tags": []},
+        {"rating": 4, "status": "APPROVED"},
+    ]
+    spark.createDataFrame(
+        [(i, json.dumps(d)) for i, d in enumerate(docs)], "id long, doc string"
+    ).createOrReplaceTempView("sqldocs")
+
+    cond = '{..,"rating":ge(4),"status":"APPROVED"}'
+    got = {
+        r["id"]
+        for r in spark.sql(
+            f"SELECT id FROM sqldocs WHERE emodb_match('{cond}', doc)"
+        ).collect()
+    }
+    expect = {
+        i for i, d in enumerate(docs)
+        if eval_condition(parse_condition(cond), d, None)
+    }
+    assert got == expect == {0, 2}
+
+    out = {
+        r["id"]: json.loads(r["doc2"])
+        for r in spark.sql(
+            "SELECT id, emodb_apply('{.., \"seen\":true}', doc) AS doc2 FROM sqldocs"
+        ).collect()
+    }
+    assert all(v["seen"] is True for v in out.values())
+    assert out[0]["rating"] == 5  # original fields preserved
+
+    # delete() maps a document to SQL NULL
+    deleted = spark.sql(
+        "SELECT emodb_apply('delete()', doc) AS d FROM sqldocs"
+    ).collect()
+    assert all(r["d"] is None for r in deleted)
