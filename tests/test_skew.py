@@ -1,0 +1,63 @@
+"""Skew smoke: one user owning ~95% of all events (the adversarial
+shape for every per-key operator). The windowed operators serialize the
+hot key within its partition by design — these tests pin down that they
+stay CORRECT under skew and that cold keys are unaffected, the behavior
+SCALE.md's skew section promises.
+"""
+
+from pyspark.sql import functions as F
+
+
+def _skewed_events(spark, hot_n=20_000, cold_users=50, cold_n=10):
+    hot = spark.range(hot_n).select(
+        F.lit(0).alias("user_id"),
+        (F.lit(1_000_000) + F.col("id") * 7).alias("t"),
+        F.col("id").alias("event_id"),
+    )
+    cold = spark.range(cold_users * cold_n).select(
+        (F.col("id") % cold_users + 1).alias("user_id"),
+        (F.lit(1_000_000) + F.col("id") * 13).alias("t"),
+        (F.lit(1_000_000) + F.col("id")).alias("event_id"),
+    )
+    return hot.unionByName(cold)
+
+
+def test_sessionize_under_skew(spark):
+    from emodb_spark.pipeline.events import sessionize
+
+    ev = _skewed_events(spark).withColumn("value", F.lit(1.0))
+    # gap 100 > stride 7, so the hot user is ONE long session
+    out = sessionize(ev, gap=100, ts_col="t", user_col="user_id",
+                     order_col="event_id", value_col="value")
+    rows = {r["user_id"]: r for r in out.filter(F.col("user_id") == 0).collect()}
+    assert len(rows) == 1 and rows[0]["n_events"] == 20_000
+    assert out.filter(F.col("user_id") > 0).count() > 0
+
+
+def test_asof_join_under_skew(spark):
+    from emodb_spark.pipeline.relational import asof_join
+
+    ev = _skewed_events(spark)
+    left = ev.filter(F.col("event_id") % 2 == 0)
+    right = ev.filter(F.col("event_id") % 2 == 1).select(
+        "user_id", "t", F.col("event_id").alias("rid")
+    )
+    out = asof_join(left, right, on=["user_id"], left_ts="t", right_ts="t",
+                    right_cols=["rid"])
+    assert out.count() == left.count()  # left-preserving under skew
+    # hot-user spot check: each even event matches the odd event just before
+    sample = out.filter((F.col("user_id") == 0) & (F.col("event_id") == 10_000)).collect()[0]
+    assert sample["rid_right"] == 9_999
+
+
+def test_range_join_under_skew(spark):
+    from emodb_spark.pipeline.relational import range_join
+
+    ev = _skewed_events(spark, hot_n=5_000)
+    left = ev.filter(F.col("event_id") % 100 == 0)
+    right = ev.select("user_id", "t", F.col("event_id").alias("rid"))
+    out = range_join(left, right, on=["user_id"], left_ts="t", right_ts="t",
+                     lower=1, upper=70, right_cols=["rid"])
+    # stride 7 on the hot user: exactly 10 events in (t, t+70]
+    hot = out.filter((F.col("user_id") == 0) & (F.col("event_id") == 1_000))
+    assert hot.count() == 10
