@@ -165,17 +165,25 @@ def range_join(
         raise ValueError("range_join requires upper > lower")
     on = list(on)
     band = upper - lower
-    lo = F.col(left_ts) + F.lit(lower)
-    hi = F.col(left_ts) + F.lit(upper)
-    l = left.select(
-        "*",
-        F.explode(F.sequence(F.floor(lo / band), F.floor(hi / band))).alias("__bucket"),
-    )
-    r = right.select(
+
+    def floor_div_exact(df: DataFrame, x, d: int, out: str) -> DataFrame:
+        # exact integer floor division: floor(x/d) via (x - pmod(x,d)) div d.
+        # A double-division floor would silently corrupt buckets once |x|
+        # exceeds 2^53 — int64 NANOSECOND timestamps live there.
+        tmp = f"__{out}_num"
+        df = df.withColumn(tmp, (x - F.pmod(x, F.lit(d))).cast("long"))
+        return df.withColumn(out, F.expr(f"{tmp} div {d}")).drop(tmp)
+
+    l = floor_div_exact(left, F.col(left_ts) + F.lit(lower), band, "__b_lo")
+    l = floor_div_exact(l, F.col(left_ts) + F.lit(upper), band, "__b_hi")
+    l = l.select(
+        "*", F.explode(F.sequence(F.col("__b_lo"), F.col("__b_hi"))).alias("__bucket")
+    ).drop("__b_lo", "__b_hi")
+    r = floor_div_exact(right, F.col(right_ts), band, "__bucket").select(
         *[F.col(c) for c in on],
         F.col(right_ts).alias(f"{right_ts}{suffix}"),
         *[F.col(c).alias(f"{c}{suffix}") for c in right_cols if c != right_ts],
-        F.floor(F.col(right_ts) / band).alias("__bucket"),
+        "__bucket",
     )
     rts = F.col(f"{right_ts}{suffix}")
     return (

@@ -383,3 +383,17 @@ def test_range_join_random_matches_bruteforce(spark):
             if rk == lk and lt + lower <= rt <= lt + upper
         }
         assert got == expect, (seed, lower, upper)
+
+
+def test_range_join_beyond_double_precision(spark):
+    """Nanosecond-epoch timestamps (> 2^53): bucket math must be integer-
+    exact — a double-division floor mis-buckets neighbors up here."""
+    base = 1_700_000_000_000_000_000  # ns epoch, ~1.7e18 >> 2^53
+    left = spark.createDataFrame([("u", base, 1)], "k string, t long, lid int")
+    right = spark.createDataFrame(
+        [("u", base + 500, 10), ("u", base + 1500, 11), ("u", base - 1, 12)],
+        "k string, t long, rid int",
+    )
+    out = range_join(left, right, on=["k"], left_ts="t", right_ts="t",
+                     lower=0, upper=1000, right_cols=["rid"])
+    assert {r["rid_right"] for r in out.collect()} == {10}
