@@ -2406,6 +2406,64 @@ FROM events GROUP BY 1
 """
 
 
+def q_events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native GROUPING SETS with grouping_id: per-type, per-type-per-day
+    and grand-total counts in ONE aggregate (Catalyst Expand + single
+    shuffle) — the multi-grain agg surface beyond the union rollup."""
+    ev = _events_ts_us(spark, sf_dir)
+    day = F.expr("ts_us div 86400000000")
+    base = ev.select(F.col("event_type"), day.alias("day"),
+                     F.col("value").cast("decimal(12,2)").alias("v"))
+    base.createOrReplaceTempView("__gs_events")
+    return spark.sql("""
+        SELECT event_type, day, COUNT(*) AS n,
+               CAST(SUM(v) AS DOUBLE) AS sum_value,
+               CAST(grouping_id(event_type, day) AS INT) AS gid
+        FROM __gs_events
+        GROUP BY GROUPING SETS ((event_type), (event_type, day), ())
+    """)
+
+
+ORACLE_EVENTS_GROUPING_SETS = """
+WITH base AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(value AS DECIMAL(12,2)) AS v
+  FROM events
+)
+SELECT event_type, day, COUNT(*) AS n, CAST(SUM(v) AS DOUBLE) AS sum_value,
+       CAST(GROUPING(event_type, day) AS INT) AS gid
+FROM base
+GROUP BY GROUPING SETS ((event_type), (event_type, day), ())
+"""
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivoted per-day event-type counts (wide features from a long
+    stream — the feature-table shape). Explicit pivot values keep the
+    plan a single aggregate with no value-discovery pre-pass."""
+    ev = _events_ts_us(spark, sf_dir)
+    day = F.expr("ts_us div 86400000000")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.select(day.alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+ORACLE_EVENTS_PIVOT = """
+SELECT epoch_us(ts) // 86400000000 AS day,
+       COALESCE(COUNT(*) FILTER (WHERE event_type = 'click'), 0) AS click,
+       COALESCE(COUNT(*) FILTER (WHERE event_type = 'view'), 0) AS view,
+       COALESCE(COUNT(*) FILTER (WHERE event_type = 'purchase'), 0) AS purchase,
+       COALESCE(COUNT(*) FILTER (WHERE event_type = 'signup'), 0) AS signup,
+       COALESCE(COUNT(*) FILTER (WHERE event_type = 'error'), 0) AS error
+FROM events GROUP BY 1
+"""
+
+
 def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of event value per type. Both
     engines define quantiles at rank p*(n-1) with linear interpolation
@@ -2517,6 +2575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_retention": q_quality_retention,
         "event_percentiles": q_event_percentiles,
         "event_histogram": q_event_histogram,
+        "events_grouping_sets": q_events_grouping_sets,
+        "events_pivot": q_events_pivot,
         "event_profile": q_event_profile,
         "ann_lsh_topk": q_ann_lsh_topk,
     }
@@ -2594,6 +2654,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_retention": ORACLE_QUALITY_RETENTION,
         "event_percentiles": ORACLE_EVENT_PERCENTILES,
         "event_histogram": ORACLE_EVENT_HISTOGRAM,
+        "events_grouping_sets": ORACLE_EVENTS_GROUPING_SETS,
+        "events_pivot": ORACLE_EVENTS_PIVOT,
         "event_profile": ORACLE_EVENT_PROFILE,
         "ann_lsh_topk": _oracle_ann_lsh_topk(),
     }
