@@ -2464,6 +2464,39 @@ FROM events GROUP BY 1
 """
 
 
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup -> click -> purchase) per user: greedy
+    sequence match as ONE groupBy + JVM array fold (events.py:funnel).
+    The oracle replays the equivalent min-chain definition."""
+    from emodb_spark.pipeline.events import funnel
+
+    ev = _events_ts_us(spark, sf_dir)
+    return funnel(ev, ["signup", "click", "purchase"], ts_col="ts_us")
+
+
+ORACLE_EVENT_FUNNEL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+), u AS (
+  SELECT DISTINCT user_id FROM e
+), s1 AS (
+  SELECT user_id, MIN(t) AS t1 FROM e WHERE event_type = 'signup' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, MIN(e.t) AS t2 FROM e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.t > s1.t1 GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, MIN(e.t) AS t3 FROM e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.t > s2.t2 GROUP BY 1
+)
+SELECT u.user_id,
+  CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS steps_completed,
+  COALESCE(t1, -1) AS t1, COALESCE(t2, -1) AS t2, COALESCE(t3, -1) AS t3
+FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+       LEFT JOIN s3 USING (user_id)
+"""
+
+
 def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of event value per type. Both
     engines define quantiles at rank p*(n-1) with linear interpolation
@@ -2577,6 +2610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_histogram": q_event_histogram,
         "events_grouping_sets": q_events_grouping_sets,
         "events_pivot": q_events_pivot,
+        "event_funnel": q_event_funnel,
         "event_profile": q_event_profile,
         "ann_lsh_topk": q_ann_lsh_topk,
     }
@@ -2656,6 +2690,7 @@ def oracle_sql() -> dict[str, str]:
         "event_histogram": ORACLE_EVENT_HISTOGRAM,
         "events_grouping_sets": ORACLE_EVENTS_GROUPING_SETS,
         "events_pivot": ORACLE_EVENTS_PIVOT,
+        "event_funnel": ORACLE_EVENT_FUNNEL,
         "event_profile": ORACLE_EVENT_PROFILE,
         "ann_lsh_topk": _oracle_ann_lsh_topk(),
     }

@@ -323,3 +323,60 @@ def numeric_profile(
         F.round(mean, 6).alias("mean"),
         F.round(var, 6).alias("variance"),
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: for each user, greedily match the step
+    sequence (first occurrence of step 1, then the first occurrence of
+    step 2 STRICTLY after it, ...). The conversion primitive of event
+    analytics ("signup → click → purchase").
+
+    Returns (user, steps_completed, t1..tn) with unmatched step times
+    as -1 (integer-typed output end to end).
+
+    Scale shape: ONE shuffle (the per-user groupBy); the sequence match
+    runs as a JVM ``aggregate`` fold over each user's sorted event array
+    inside whole-stage codegen — no joins, no per-step passes. The
+    greedy fold equals the min-chain definition (t_k = min ts of step k
+    with ts > t_{k-1}), which is what the SQL oracle replays. Hot users
+    serialize within their partition like every per-key operator here.
+    """
+    steps = list(steps)
+    n = len(steps)
+    if n == 0:
+        raise ValueError("funnel requires at least one step")
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("tp")))
+    )
+    steps_lit = F.array(*[F.lit(s) for s in steps])
+    fold = F.aggregate(
+        arr,
+        F.lit([]).cast("array<bigint>"),
+        lambda acc, x: F.when(
+            (F.size(acc) < n)
+            # F.get: 0-based, NULL out of bounds (ANSI element_at throws,
+            # and AND doesn't short-circuit); NULL comparison -> condition
+            # false -> accumulator unchanged, which is the right behavior
+            & (x.getField("tp") == F.get(steps_lit, F.size(acc)))
+            # F.get is 0-based and NULL-safe out of bounds (element_at(-1)
+            # throws under ANSI on the empty accumulator; OR doesn't
+            # short-circuit): TRUE OR NULL = TRUE covers the empty case
+            & ((F.size(acc) == 0) | (x.getField("ts") > F.get(acc, F.size(acc) - 1))),
+            F.concat(acc, F.array(x.getField("ts"))),
+        ).otherwise(acc),
+    )
+    agg = events.groupBy(F.col(user_col)).agg(fold.alias("__times"))
+    return agg.select(
+        user_col,
+        F.size("__times").alias("steps_completed"),
+        *[
+            F.coalesce(F.get("__times", i), F.lit(-1).cast("long")).alias(f"t{i + 1}")
+            for i in range(n)
+        ],
+    )

@@ -397,3 +397,55 @@ def test_range_join_beyond_double_precision(spark):
     out = range_join(left, right, on=["k"], left_ts="t", right_ts="t",
                      lower=0, upper=1000, right_cols=["rid"])
     assert {r["rid_right"] for r in out.collect()} == {10}
+
+
+def test_funnel_greedy_sequence(spark):
+    from emodb_spark.pipeline.events import funnel
+
+    rows = [
+        # user 1 converts: signup@10, click@20 (first after), purchase@30
+        (1, 10, "signup"), (1, 5, "click"), (1, 20, "click"),
+        (1, 25, "click"), (1, 30, "purchase"),
+        # user 2: signup but clicks only BEFORE it
+        (2, 50, "click"), (2, 60, "signup"),
+        # user 3: same-ts click as signup must NOT count (strictly after)
+        (3, 10, "signup"), (3, 10, "click"), (3, 40, "purchase"),
+        # user 4: nothing relevant
+        (4, 1, "error"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, ts long, event_type string")
+    out = {r["user_id"]: r for r in funnel(
+        ev, ["signup", "click", "purchase"], ts_col="ts"
+    ).collect()}
+    assert (out[1]["steps_completed"], out[1]["t1"], out[1]["t2"], out[1]["t3"]) == (3, 10, 20, 30)
+    assert (out[2]["steps_completed"], out[2]["t1"], out[2]["t2"]) == (1, 60, -1)
+    assert out[3]["steps_completed"] == 1   # equal-ts click rejected
+    assert out[4]["steps_completed"] == 0
+
+
+def test_funnel_matches_min_chain(spark, sf_dir):
+    """Greedy fold == the min-chain definition on real events."""
+    from emodb_spark.pipeline.events import funnel
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev.withColumn("tus", F.unix_micros(F.col("ts").cast("timestamp")))
+    got = funnel(ev, ["signup", "click", "purchase"], ts_col="tus")
+
+    s1 = (ev.filter("event_type = 'signup'").groupBy("user_id")
+          .agg(F.min("tus").alias("t1")))
+    s2 = (ev.alias("e").join(s1, "user_id")
+          .filter((F.col("event_type") == "click") & (F.col("tus") > F.col("t1")))
+          .groupBy("user_id", "t1").agg(F.min("tus").alias("t2")))
+    s3 = (ev.alias("e").join(s2, "user_id")
+          .filter((F.col("event_type") == "purchase") & (F.col("tus") > F.col("t2")))
+          .groupBy("user_id", "t1", "t2").agg(F.min("tus").alias("t3")))
+    users = ev.select("user_id").distinct()
+    chain = (users.join(s1, "user_id", "left").join(
+                s2.select("user_id", "t2"), "user_id", "left")
+             .join(s3.select("user_id", "t3"), "user_id", "left")
+             .select("user_id",
+                     F.coalesce("t1", F.lit(-1)).alias("t1"),
+                     F.coalesce("t2", F.lit(-1)).alias("t2"),
+                     F.coalesce("t3", F.lit(-1)).alias("t3")))
+    merged = got.select("user_id", "t1", "t2", "t3").exceptAll(chain)
+    assert merged.count() == 0
