@@ -59,6 +59,11 @@ BENCH_QUERIES = [
     "ann_ivf_kmeans",        # IVF probe with trained coarse quantizer
     "quality_retention",     # per-source top-fraction retention
     "mixture_weights",       # temperature-scaled source mixing
+    "event_histogram",       # fixed-width value bins (integer-exact)
+    "event_profile",         # exact-moment numeric profile
+    "events_grouping_sets",  # one-Expand multi-grain aggregate
+    "events_pivot",          # wide feature table (explicit values)
+    "event_funnel",          # one-shuffle greedy sequence match
 ]
 
 
