@@ -380,3 +380,82 @@ def funnel(
             for i in range(n)
         ],
     )
+
+
+def funnel_stream(
+    events: DataFrame,
+    steps,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming funnel: the same greedy ordered-step match as
+    :func:`funnel`, under Structured Streaming with engine-managed state
+    (``applyInPandasWithState``). Emits one row per user WHEN the funnel
+    completes (all steps matched); partial progress lives in state.
+
+    Out-of-order correctness: the greedy automaton is order-sensitive,
+    so arriving events are BUFFERED in state and only the prefix at or
+    below the current watermark is run through the automaton (sorted by
+    event time) — any event the watermark still admits can reorder the
+    match, so nothing newer is consumed. Parity with the batch operator
+    therefore holds exactly for completions whose lateness the watermark
+    covers. After completion the state clears (a later event starts a
+    fresh funnel).
+
+    State per user is O(pending-within-watermark + len(steps)) — the
+    same bound as the built-in session_window store."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    steps = list(steps)
+    n = len(steps)
+    if n == 0:
+        raise ValueError("funnel_stream requires at least one step")
+    out_schema = T.StructType(
+        [T.StructField(user_col, T.LongType()),
+         T.StructField("steps_completed", T.IntegerType())]
+        + [T.StructField(f"t{i + 1}", T.LongType()) for i in range(n)]
+    )
+    state_schema = "matched array<long>, pts array<long>, ptypes array<string>"
+
+    def fold(key, pdfs, state):
+        if state.exists:
+            matched, pts, ptypes = state.get
+            matched = list(matched)
+            pending = list(zip(pts, ptypes))
+        else:
+            matched, pending = [], []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            for ts, tp in zip(pdf[ts_col], pdf[type_col]):
+                pending.append((ts.value // 1000, tp))  # pandas ns -> µs
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        pending.sort()
+        ready = [p for p in pending if p[0] <= wm_us]
+        pending = [p for p in pending if p[0] > wm_us]
+        for tus, tp in ready:
+            if len(matched) < n and tp == steps[len(matched)] and (
+                not matched or tus > matched[-1]
+            ):
+                matched.append(tus)
+        if len(matched) == n:
+            state.remove()  # completion clears state; later events restart
+            yield pd.DataFrame(
+                {user_col: [int(key[0])], "steps_completed": [n],
+                 **{f"t{i + 1}": [matched[i]] for i in range(n)}}
+            )
+            return
+        state.update((matched, [p[0] for p in pending], [p[1] for p in pending]))
+
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(user_col))
+        .applyInPandasWithState(
+            fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )

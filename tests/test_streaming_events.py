@@ -251,3 +251,24 @@ def test_streaming_asof_matches_batch_within_tolerance(spark, sf_dir, tmp_path):
     assert got.count() == expected.count() > 0
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
+    """funnel_stream completions == batch funnel completions: same users,
+    same step timestamps, with out-of-order arrival (2 shuffled files)."""
+    from emodb_spark.pipeline.events import funnel, funnel_stream
+
+    stream, ev = _events_stream(spark, sf_dir, tmp_path)
+    steps = ["signup", "click", "purchase"]
+    out = funnel_stream(stream, steps, ts_col="ts")
+    sink = _run_to_sink(out, tmp_path, "funnel")
+    got = spark.read.parquet(sink).filter(F.col("user_id") >= 0)
+
+    ev_us = ev.withColumn("tus", F.unix_micros(F.col("ts").cast("timestamp")))
+    expected = funnel(ev_us, steps, ts_col="tus").filter(
+        F.col("steps_completed") == 3
+    )
+    assert got.count() == expected.count() > 0
+    cols = ["user_id", "steps_completed", "t1", "t2", "t3"]
+    assert got.select(cols).exceptAll(expected.select(cols)).count() == 0
+    assert expected.select(cols).exceptAll(got.select(cols)).count() == 0
