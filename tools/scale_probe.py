@@ -1,0 +1,64 @@
+"""Empirical scaling probe: run headline queries at sf0.001 / sf0.01 /
+sf0.1 (1x / 10x / 100x events+lineitem rows) and report how wall time
+grows. A plan that "would scale" shows sublinear-to-linear growth here;
+superlinear growth at 100x toy scale is a red flag long before 100 TB.
+
+Times are best-of-2 noop writes per (query, sf) — same methodology as
+bench.py. Output: one JSON line {query: {sf: sec}} plus a growth factor
+g = t(sf0.1)/t(sf0.01) (events/lineitem grow 10x between those; docs
+grow 10x too, embeddings 4x).
+
+Usage: python tools/scale_probe.py [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+DEFAULT = [
+    "resolve_fold", "scan_condition", "pricing_summary", "top_orders",
+    "minhash_near_dups", "simhash_near_dups", "dedup_clusters",
+    "asof_last_view", "event_error_burst", "event_sessions",
+    "boilerplate_removal", "doc_packing", "event_funnel", "gopher_quality",
+]
+
+
+def main() -> int:
+    only = sys.argv[1:] or DEFAULT
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entrymod
+    from emodb_spark.spark.session import get_spark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="scale_probe", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+    qs = entrymod.queries()
+    out = {}
+    for name in only:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        per_sf = {}
+        for sf_dir in SFS:
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None or dt < best else best
+            per_sf[sf_dir.rsplit("sf", 1)[1]] = round(best, 3)
+            spark.catalog.clearCache()
+        g = round(per_sf["0.1"] / max(per_sf["0.01"], 1e-9), 2)
+        out[name] = {**per_sf, "growth_10x": g}
+        print(f"# {name}: {per_sf} growth(10x data) = {g}x", file=sys.stderr)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
