@@ -2497,6 +2497,34 @@ FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
 """
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention triangle over the event stream — users
+    cohorted by first active day, counted per day-offset. Integer-exact
+    end to end (events.py:cohort_retention)."""
+    from emodb_spark.pipeline.events import cohort_retention
+
+    ev = _events_ts_us(spark, sf_dir)
+    return cohort_retention(ev, ts_col="ts_us")
+
+
+ORACLE_COHORT_RETENTION = """
+WITH active AS (
+  SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS bucket FROM events
+), first AS (
+  SELECT u, MIN(bucket) AS cohort FROM active GROUP BY 1
+), sizes AS (
+  SELECT cohort, COUNT(*) AS cohort_size FROM first GROUP BY 1
+), joined AS (
+  SELECT f.cohort, a.bucket - f.cohort AS "offset", a.u
+  FROM active a JOIN first f USING (u)
+), counts AS (
+  SELECT cohort, "offset", COUNT(*) AS n_active FROM joined GROUP BY 1, 2
+)
+SELECT c.cohort, c."offset", c.n_active, s.cohort_size
+FROM counts c JOIN sizes s USING (cohort)
+"""
+
+
 def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of event value per type. Both
     engines define quantiles at rank p*(n-1) with linear interpolation
@@ -2611,6 +2639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_grouping_sets": q_events_grouping_sets,
         "events_pivot": q_events_pivot,
         "event_funnel": q_event_funnel,
+        "cohort_retention": q_cohort_retention,
         "event_profile": q_event_profile,
         "ann_lsh_topk": q_ann_lsh_topk,
     }
@@ -2691,6 +2720,7 @@ def oracle_sql() -> dict[str, str]:
         "events_grouping_sets": ORACLE_EVENTS_GROUPING_SETS,
         "events_pivot": ORACLE_EVENTS_PIVOT,
         "event_funnel": ORACLE_EVENT_FUNNEL,
+        "cohort_retention": ORACLE_COHORT_RETENTION,
         "event_profile": ORACLE_EVENT_PROFILE,
         "ann_lsh_topk": _oracle_ann_lsh_topk(),
     }

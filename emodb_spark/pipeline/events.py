@@ -459,3 +459,39 @@ def funnel_stream(
             fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    bucket_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Cohort retention table: users are grouped into cohorts by their
+    FIRST active bucket (day by default, over an integer microsecond
+    time column); for each (cohort, offset) the table counts how many of
+    that cohort's users were active ``offset`` buckets after their first
+    — the standard retention triangle, all integer-exact.
+
+    Returns (cohort, offset, n_active, cohort_size).
+
+    Scale shape: one aggregate for first-activity per user, one
+    DISTINCT of (user, bucket) activity, a join back on the user key and
+    the final (cohort, offset) count — three shuffles total, all keyed
+    and combinable map-side; no windows over the whole stream."""
+    b = (F.col(ts_col) - F.pmod(F.col(ts_col), F.lit(bucket_us))) / F.lit(bucket_us)
+    active = (
+        events.select(F.col(user_col).alias("u"), b.cast("long").alias("bucket"))
+        .distinct()
+    )
+    first = active.groupBy("u").agg(F.min("bucket").alias("cohort"))
+    sizes = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    joined = active.join(first, "u").select(
+        "cohort", (F.col("bucket") - F.col("cohort")).alias("offset"), "u"
+    )
+    counts = joined.groupBy("cohort", "offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    return counts.join(sizes, "cohort").select(
+        "cohort", "offset", "n_active", "cohort_size"
+    )

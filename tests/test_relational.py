@@ -449,3 +449,24 @@ def test_funnel_matches_min_chain(spark, sf_dir):
                      F.coalesce("t3", F.lit(-1)).alias("t3")))
     merged = got.select("user_id", "t1", "t2", "t3").exceptAll(chain)
     assert merged.count() == 0
+
+
+def test_cohort_retention_small(spark):
+    from emodb_spark.pipeline.events import cohort_retention
+
+    D = 86_400_000_000
+    rows = [
+        # cohort day 0: users 1,2 ; user 1 returns day 1 and 2, user 2 never
+        (1, 0), (1, D + 5), (1, 2 * D + 5), (2, 10),
+        # cohort day 1: user 3, returns day 2
+        (3, D + 1), (3, 2 * D + 1),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts_us long")
+    out = {(r["cohort"], r["offset"]): (r["n_active"], r["cohort_size"])
+           for r in cohort_retention(ev, ts_col="ts_us").collect()}
+    assert out[(0, 0)] == (2, 2)
+    assert out[(0, 1)] == (1, 2)
+    assert out[(0, 2)] == (1, 2)
+    assert out[(1, 0)] == (1, 1)
+    assert out[(1, 1)] == (1, 1)
+    assert (1, 2) not in out
