@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "events_grouping_sets",  # one-Expand multi-grain aggregate
     "events_pivot",          # wide feature table (explicit values)
     "event_funnel",          # one-shuffle greedy sequence match
+    "cohort_retention",      # retention triangle (integer-exact)
 ]
 
 
