@@ -48,11 +48,16 @@ def asof_join(
     right_cols: Sequence[str],
     tolerance: Optional[int] = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the most recent right row with the same
     key whose ``right_ts`` <= ``left_ts`` (backward as-of; ties at equal
     timestamps match — "at-or-before"). Left rows with no prior right row
     (or none within ``tolerance``, when given) keep null right columns.
+
+    ``direction="forward"`` flips the match to the EARLIEST right row
+    at-or-after each left row (the "next event after" query) — same
+    plan, running on negated integer time.
 
     ``left_ts``/``right_ts`` must be mutually comparable (use the same
     integer epoch unit on both sides). ``right_cols`` are the right-side
@@ -68,6 +73,17 @@ def asof_join(
     When several right rows share one timestamp, the carried row is the
     last in (ts, ``right_cols[0]``) order — deterministic for any input.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction == "forward":
+        out = asof_join(
+            left.withColumn(left_ts, -F.col(left_ts)),
+            right.withColumn(right_ts, -F.col(right_ts)),
+            on, left_ts, right_ts, right_cols, tolerance, suffix,
+        )
+        return out.withColumn(left_ts, -F.col(left_ts)).withColumn(
+            f"{left_ts}{suffix}", -F.col(f"{left_ts}{suffix}")
+        )
     on = list(on)
     # the matched right timestamp is always emitted as <left_ts><suffix>;
     # listing right_ts as payload would duplicate the output column

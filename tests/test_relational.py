@@ -470,3 +470,33 @@ def test_cohort_retention_small(spark):
     assert out[(1, 0)] == (1, 1)
     assert out[(1, 1)] == (1, 1)
     assert (1, 2) not in out
+
+
+def test_asof_forward_random_matches_bruteforce(spark):
+    """Forward as-of (next right at-or-after) vs Python brute force on
+    10 seeded random datasets with ts collisions."""
+    import random
+
+    for seed in range(10):
+        rng = random.Random(300 + seed)
+        nkeys = rng.randint(1, 3)
+        lrows = [(rng.randint(0, nkeys), rng.randint(0, 12), 1000 + i)
+                 for i in range(rng.randint(1, 20))]
+        rrows = [(rng.randint(0, nkeys), rng.randint(0, 12), 2000 + i)
+                 for i in range(rng.randint(0, 20))]
+        left = spark.createDataFrame(lrows, "k int, t int, lid int")
+        right = spark.createDataFrame(rrows, "k int, t int, rid int")
+        out = asof_join(left, right, on=["k"], left_ts="t", right_ts="t",
+                        right_cols=["rid"], direction="forward")
+        got = {(r["k"], r["t"], r["lid"]): (r["rid_right"], r["t_right"])
+               for r in out.collect()}
+        assert len(got) == len(lrows)
+        for k, t, lid in lrows:
+            cands = [(rt, rid) for (rk, rt, rid) in rrows if rk == k and rt >= t]
+            if not cands:
+                assert got[(k, t, lid)] == (None, None), (seed, k, t)
+            else:
+                # earliest ts; among ties the negation picks max rid
+                mt = min(rt for rt, _ in cands)
+                rid = max(rid for rt, rid in cands if rt == mt)
+                assert got[(k, t, lid)] == (rid, mt), (seed, k, t)
