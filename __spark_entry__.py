@@ -2525,6 +2525,39 @@ FROM counts c JOIN sizes s USING (cohort)
 """
 
 
+def q_session_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral corpus: one text document per 30-minute session (event
+    types in sequence) — the events->documents bridge that feeds the
+    text pipeline (events.py:sessions_to_documents)."""
+    from emodb_spark.pipeline.events import sessions_to_documents
+
+    ev = _events_ts_us(spark, sf_dir)
+    return sessions_to_documents(ev, gap=30 * 60 * 1_000_000, ts_col="ts_us")
+
+
+ORACLE_SESSION_DOCUMENTS = """
+WITH ordered AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus, event_type,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id) AS prev
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, tus, event_type,
+         CASE WHEN prev IS NULL OR tus - prev > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+), numbered AS (
+  SELECT user_id, event_id, tus, event_type,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+  FROM flagged
+)
+SELECT user_id, session_no, COUNT(*) AS n_events,
+       string_agg(event_type, ' ' ORDER BY tus, event_id) AS text
+FROM numbered GROUP BY 1, 2
+"""
+
+
 def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of event value per type. Both
     engines define quantiles at rank p*(n-1) with linear interpolation
@@ -2640,6 +2673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": q_events_pivot,
         "event_funnel": q_event_funnel,
         "cohort_retention": q_cohort_retention,
+        "session_documents": q_session_documents,
         "event_profile": q_event_profile,
         "ann_lsh_topk": q_ann_lsh_topk,
     }
@@ -2721,6 +2755,7 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot": ORACLE_EVENTS_PIVOT,
         "event_funnel": ORACLE_EVENT_FUNNEL,
         "cohort_retention": ORACLE_COHORT_RETENTION,
+        "session_documents": ORACLE_SESSION_DOCUMENTS,
         "event_profile": ORACLE_EVENT_PROFILE,
         "ann_lsh_topk": _oracle_ann_lsh_topk(),
     }

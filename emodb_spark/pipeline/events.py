@@ -495,3 +495,55 @@ def cohort_retention(
     return counts.join(sizes, "cohort").select(
         "cohort", "offset", "n_active", "cohort_size"
     )
+
+
+def sessions_to_documents(
+    events: DataFrame,
+    gap: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Behavioral corpus extraction: one TEXT document per session — the
+    user's event types concatenated in (ts, order) sequence. This is the
+    "one training example per session" step the sessionizer exists for:
+    the output feeds the text pipeline (chunking, dedup, packing)
+    unchanged.
+
+    Returns (user, session_no, n_events, text).
+
+    Scale shape: same single exchange as :func:`sessionize` (the session
+    numbering window and the final collect share the user partitioning);
+    the per-session array sort is JVM-side and bounded by session
+    length."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(order_col))
+    prev = F.lag(ts_col).over(w)
+    is_new = (prev.isNull() | ((F.col(ts_col) - prev) > F.lit(gap))).cast("long")
+    numbered = events.withColumn(
+        "__session_no",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        numbered.groupBy(F.col(user_col), F.col("__session_no").alias("session_no"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col(ts_col).alias("ts"),
+                                F.col(order_col).alias("o"),
+                                F.col(type_col).alias("tp"),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("tp"),
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
