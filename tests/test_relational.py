@@ -500,3 +500,27 @@ def test_asof_forward_random_matches_bruteforce(spark):
                 mt = min(rt for rt, _ in cands)
                 rid = max(rid for rt, rid in cands if rt == mt)
                 assert got[(k, t, lid)] == (rid, mt), (seed, k, t)
+
+
+def test_funnel_duplicate_steps(spark):
+    """Repeated step names: each occurrence must be strictly later."""
+    from emodb_spark.pipeline.events import funnel
+
+    rows = [(1, 10, "click"), (1, 10, "click"), (1, 20, "click"),
+            (2, 5, "click")]
+    ev = spark.createDataFrame(rows, "user_id int, ts long, event_type string")
+    out = {r["user_id"]: r for r in funnel(ev, ["click", "click"], ts_col="ts").collect()}
+    assert (out[1]["steps_completed"], out[1]["t1"], out[1]["t2"]) == (2, 10, 20)
+    assert out[2]["steps_completed"] == 1
+
+
+def test_time_rollup_month_grain(spark, sf_dir):
+    from emodb_spark.pipeline.relational import time_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = time_rollup(ev, "ts", grains=["month"], group_cols=["event_type"])
+    rows = out.collect()
+    assert sum(r["n"] for r in rows) == ev.count()
+    assert all(r["grain"] == "month" for r in rows)
