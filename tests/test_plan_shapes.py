@@ -232,3 +232,28 @@ def test_boilerplate_broadcasts_frequent_set(spark, sf_dir):
     plan = plan_of(e.q_boilerplate_removal(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # frequent grams + LeftSemi
+
+
+def test_session_documents_single_exchange(spark, sf_dir):
+    """Numbering window + reassembly share the user partitioning."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.q_session_documents(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_single_exchange(spark, sf_dir):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.q_event_funnel(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1
+    assert "Join" not in plan  # the fold replaces the k-join min-chain
+
+
+def test_cohort_retention_keyed_shuffles_only(spark, sf_dir):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.q_cohort_retention(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
