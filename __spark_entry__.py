@@ -2558,6 +2558,34 @@ FROM numbered GROUP BY 1, 2
 """
 
 
+def q_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth bucketing: decile assignment of event values via
+    ntile(10) over a TOTAL order (value, event_id) — deterministic in
+    any engine, unlike ntile over a partial order. Output: per-decile
+    count + decimal-exact bounds. At 100 TB the global sort becomes
+    approx_percentile cut points; the exact spelling is the gate."""
+    ev = _read(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("value").asc(), F.col("event_id").asc())
+    tiled = ev.select("value", F.ntile(10).over(w).alias("decile"))
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+
+
+ORACLE_VALUE_DECILES = """
+WITH tiled AS (
+  SELECT value, NTILE(10) OVER (ORDER BY value ASC, event_id ASC) AS decile
+  FROM events
+)
+SELECT decile, COUNT(*) AS n, MIN(value) AS lo, MAX(value) AS hi
+FROM tiled GROUP BY 1
+"""
+
+
 def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of event value per type. Both
     engines define quantiles at rank p*(n-1) with linear interpolation
@@ -2628,6 +2656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,
         "cohort_retention": q_cohort_retention,
         "session_documents": q_session_documents,
+        "value_deciles": q_value_deciles,
         "timeline_with_compaction": q_timeline_with_compaction,
         "stash_canonical": q_stash_canonical,
         "blob_store_roundtrip": q_blob_store_roundtrip,
@@ -2755,6 +2784,7 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot": ORACLE_EVENTS_PIVOT,
         "event_funnel": ORACLE_EVENT_FUNNEL,
         "cohort_retention": ORACLE_COHORT_RETENTION,
+        "value_deciles": ORACLE_VALUE_DECILES,
         "session_documents": ORACLE_SESSION_DOCUMENTS,
         "event_profile": ORACLE_EVENT_PROFILE,
         "ann_lsh_topk": _oracle_ann_lsh_topk(),
