@@ -272,3 +272,24 @@ def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
     cols = ["user_id", "steps_completed", "t1", "t2", "t3"]
     assert got.select(cols).exceptAll(expected.select(cols)).count() == 0
     assert expected.select(cols).exceptAll(got.select(cols)).count() == 0
+
+
+def test_streaming_text_stats_matches_batch(spark, sf_dir, tmp_path):
+    """Narrow curation operators stream as-is: text_stats over a file
+    stream equals the batch run row-for-row (no shuffle, no state)."""
+    from emodb_spark.pipeline.text import text_stats
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    src = str(tmp_path / "docs_in")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sink = _run_to_sink(text_stats(stream), tmp_path, "tstats")
+    got = spark.read.parquet(sink)
+    expected = text_stats(docs)
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
