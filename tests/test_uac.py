@@ -302,3 +302,45 @@ def test_authorizing_queue_service(spark, tmp_path):
         c.send("jobs-a", {"n": 3})
     with pytest.raises(UnauthorizedException):
         c.move("jobs-a", "jobs-b")  # poll ok but post on target denied
+
+
+def test_authorizing_databus():
+    from emodb_spark.core.uac import AuthorizingDatabus
+
+    class FakeBus:
+        def __init__(self):
+            self.calls = []
+
+        def __getattr__(self, name):
+            def record(*a, **k):
+                self.calls.append((name, a))
+                return []
+            return record
+
+    uac = InMemoryUserAccessControl()
+    uac.create_role("consumer", permissions=[
+        "databus|poll|feed-*", "databus|get_status|feed-*",
+    ])
+    uac.create_role("operator", permissions=[
+        "databus|poll|feed-*", "databus|subscribe|feed-*",
+        "databus|inject|feed-*",
+    ])
+    uac.create_api_key("cons", "c", roles=["consumer"])
+    uac.create_api_key("ops", "o", roles=["operator"])
+
+    bus = FakeBus()
+    c = AuthorizingDatabus(bus, uac, "cons")
+    c.poll("feed-a")
+    c.event_count("feed-a")
+    with pytest.raises(UnauthorizedException):
+        c.poll("other-sub")
+    with pytest.raises(UnauthorizedException):
+        c.inject_event("feed-a", {"x": 1})
+    with pytest.raises(UnauthorizedException):
+        c.move("feed-a", "feed-b")  # poll ok, subscribe on target denied
+
+    o = AuthorizingDatabus(bus, uac, "ops")
+    o.inject_event("feed-a", {"x": 1})
+    o.move("feed-a", "feed-b")
+    assert ("poll", ("feed-a",)) in bus.calls
+    assert any(c[0] == "move" for c in bus.calls)
