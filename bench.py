@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "events_pivot",          # wide feature table (explicit values)
     "event_funnel",          # one-shuffle greedy sequence match
     "cohort_retention",      # retention triangle (integer-exact)
+    "session_documents",     # behavioral corpus (one doc per session)
+    "value_deciles",         # equi-depth bucketing (total-order ntile)
 ]
 
 
