@@ -2618,6 +2618,141 @@ FROM events GROUP BY 1
 """
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level paragraph dedup: re-chunk each document into
+    10-token paragraphs (the synthetic corpus has no line structure),
+    keep only the globally FIRST occurrence of every distinct paragraph,
+    reassemble. Winner selection is a groupBy-min(struct) — partial
+    aggregation, no hot-paragraph reducer (emodb_spark.pipeline.dedup.
+    paragraph_dedup)."""
+    from emodb_spark.pipeline.dedup import paragraph_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    pre = docs.withColumn(
+        "text", F.regexp_replace(F.col("text"), r"((\S+ ){10})", "$1\n")
+    )
+    return paragraph_dedup(pre, sep="\n")
+
+
+ORACLE_PARAGRAPH_DEDUP = r"""
+WITH pre AS (
+  SELECT doc_id,
+         regexp_replace(text, '((\S+ ){10})', '\1' || chr(10), 'g') AS t
+  FROM documents
+), sp AS (
+  SELECT doc_id, string_split(t, chr(10)) AS ps FROM pre
+), paras AS (
+  SELECT doc_id, pos, ps[pos] AS para,
+         trim(regexp_replace(lower(ps[pos]), '[^a-z0-9]+', ' ', 'g')) AS k
+  FROM (SELECT doc_id, ps, unnest(generate_series(1, len(ps))) AS pos FROM sp)
+  WHERE length(trim(ps[pos])) >= 1
+), kept AS (
+  SELECT doc_id, pos, para FROM (
+    SELECT doc_id, pos, para,
+           ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id, pos) AS rn
+    FROM paras
+  ) WHERE rn = 1
+), rebuilt AS (
+  SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY 1
+), counts AS (
+  SELECT doc_id, COUNT(*) AS n_paras FROM paras GROUP BY 1
+)
+SELECT d.doc_id, COALESCE(r.text, '') AS text,
+       CAST(COALESCE(c.n_paras, 0) AS BIGINT) AS n_paras,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept
+FROM documents d
+LEFT JOIN counts c USING (doc_id)
+LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier over hashed unigram+bigram features
+    (the fastText-style filter-model apply step): model weights are a
+    broadcast (bucket, weight) table, features hash via md5 into 4096
+    buckets, scores are exact integer sums (emodb_spark.pipeline.text.
+    hashed_ngram_scores)."""
+    from emodb_spark.pipeline.text import hash_model_weights, hashed_ngram_scores
+
+    docs = _read(spark, sf_dir, "documents")
+    weights = hash_model_weights(spark, 4096, seed=1)
+    return hashed_ngram_scores(docs, weights, 4096)
+
+
+ORACLE_QUALITY_CLASSIFIER = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                      ' ') AS ws
+  FROM documents
+), feats AS (
+  SELECT doc_id, unnest(ws) AS f FROM toks
+  UNION ALL
+  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS f
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        FROM toks WHERE len(ws) >= 2)
+  UNION ALL
+  SELECT doc_id, array_to_string(ws, ' ') FROM toks WHERE len(ws) < 2
+), hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(f), 1, 15)) AS BIGINT) % 4096 AS bucket
+  FROM feats WHERE f <> ''
+), scored AS (
+  SELECT doc_id, COUNT(*) AS n_features,
+         CAST(SUM((bucket * 2654435761 + 1) % 2001 - 1000) AS BIGINT) AS score
+  FROM hashed GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_features, 0) AS BIGINT) AS n_features,
+       CAST(COALESCE(s.score, 0) AS BIGINT) AS score
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 adjacent word-pair collocations by PMI ratio
+    P(w1 w2)/(P(w1)P(w2)) — corpus phrase mining. Counts are map-side
+    combined groupBys (vocab-sized shuffles); the single IEEE division is
+    the only float op, identical expression shape in both engines
+    (emodb_spark.pipeline.text.collocations)."""
+    from emodb_spark.pipeline.text import collocations
+
+    docs = _read(spark, sf_dir, "documents")
+    return collocations(docs, top_k=30, min_count=5)
+
+
+ORACLE_COLLOCATIONS = r"""
+WITH toks AS (
+  SELECT string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                      ' ') AS ws
+  FROM documents
+), uni AS (
+  SELECT w, COUNT(*) AS c
+  FROM (SELECT unnest(ws) AS w FROM toks)
+  WHERE w <> '' GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS total FROM uni
+), pairs AS (
+  SELECT w1, w2, COUNT(*) AS pair_count FROM (
+    SELECT ws[i] AS w1, ws[i + 1] AS w2
+    FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+          FROM toks WHERE len(ws) >= 2)
+  ) GROUP BY 1, 2 HAVING COUNT(*) >= 5
+)
+SELECT p.w1, p.w2, p.pair_count,
+       CAST(p.pair_count * t.total AS DOUBLE)
+         / CAST(u1.c * u2.c AS DOUBLE) AS pmi
+FROM pairs p
+CROSS JOIN tot t
+JOIN uni u1 ON u1.w = p.w1
+JOIN uni u2 ON u2.w = p.w2
+ORDER BY pmi DESC, p.w1, p.w2
+LIMIT 30
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2633,6 +2768,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Order matters defensively: the r3 driver recorded only the
         # first N-1 declared queries. Never-yet-gated (round-4) queries
         # lead; multi-round-green veterans absorb any tail truncation.
+        "paragraph_dedup": q_paragraph_dedup,
+        "quality_classifier": q_quality_classifier,
+        "collocations": q_collocations,
         "resolve_fold": q_resolve_fold,
         "resolve_compacted": q_resolve_compacted,
         "streaming_fold_parity": q_streaming_fold_parity,
@@ -2710,6 +2848,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
+        "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
+        "collocations": ORACLE_COLLOCATIONS,
         "resolve_fold": ORACLE_RESOLVE_FOLD,
         "resolve_compacted": ORACLE_RESOLVE_FOLD,
         "streaming_fold_parity": ORACLE_RESOLVE_FOLD,

@@ -67,6 +67,9 @@ BENCH_QUERIES = [
     "cohort_retention",      # retention triangle (integer-exact)
     "session_documents",     # behavioral corpus (one doc per session)
     "value_deciles",         # equi-depth bucketing (total-order ntile)
+    "paragraph_dedup",       # C4-style corpus-level paragraph dedup
+    "quality_classifier",    # hashed-feature linear model apply
+    "collocations",          # PMI phrase mining (vocab-sized shuffles)
 ]
 
 

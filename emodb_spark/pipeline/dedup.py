@@ -679,3 +679,74 @@ def fingerprint_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_len: int = 1,
+    normalize_paras: bool = True,
+    join_sep: Optional[str] = None,
+) -> DataFrame:
+    """C4/CCNet-style corpus-level paragraph (line) dedup: keep only the
+    globally FIRST occurrence — smallest ``(doc, position)`` — of every
+    distinct paragraph, drop all later copies, and reassemble each
+    document from its surviving paragraphs in order.
+
+    ``sep`` is the paragraph-split regex (``join_sep`` — default
+    ``"\\n"`` — is the literal used to reassemble); paragraphs shorter than
+    ``min_len`` (after trim) are dropped before dedup; with
+    ``normalize_paras`` the dedup key is the lowercased alnum-collapsed
+    text (the emitted paragraphs keep their original form).
+
+    Returns (id, text, n_paras, n_kept) — doc-preserving: a document
+    whose every paragraph is a later duplicate keeps an empty-text row.
+
+    Scale shape: paragraphs are keyed by their md5 digest; the winner per
+    digest is a groupBy-``min(struct(doc, pos))`` — partial aggregation
+    combines a hot paragraph map-side, so a boilerplate line repeated a
+    billion times never lands on one reducer (a window/row_number
+    spelling would). Winners re-join the paragraph stream on the digest
+    (one-row-per-key build side; AQE skew split applies) and reassembly
+    is one groupBy(doc). Three keyed shuffles, none pairwise, no shuffle
+    carries full document text — only (digest, id, pos) plus the kept
+    paragraphs."""
+    paras = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+        )
+        .filter(F.length(F.trim(F.col("para"))) >= min_len)
+    )
+    key = F.md5(normalize(F.col("para"))) if normalize_paras else F.md5(F.col("para"))
+    keyed = paras.withColumn("__k", key)
+    winners = keyed.groupBy("__k").agg(F.min(F.struct("id", "pos")).alias("w"))
+    kept = (
+        keyed.join(winners, "__k")
+        .where((F.col("id") == F.col("w.id")) & (F.col("pos") == F.col("w.pos")))
+        .select("id", "pos", "para")
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("para")))),
+                lambda s: s.getField("para"),
+            ),
+            join_sep if join_sep is not None else "\n",
+        ).alias("__text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    counts = paras.groupBy("id").agg(F.count(F.lit(1)).alias("__n_paras"))
+    all_docs = df.select(F.col(id_col).alias("id"))
+    return (
+        all_docs.join(counts, "id", "left")
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("__text"), F.lit("")).alias("text"),
+            F.coalesce(F.col("__n_paras"), F.lit(0)).cast("long").alias("n_paras"),
+            F.coalesce(F.col("__n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

@@ -323,3 +323,138 @@ def sliding_chunks(
         F.size("chunk_toks").alias("n_tokens"),
         F.array_join("chunk_toks", " ").alias("chunk"),
     )
+
+
+def hashed_ngram_scores(
+    df: DataFrame,
+    weights: DataFrame,
+    n_buckets: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    use_bigrams: bool = True,
+) -> DataFrame:
+    """Apply a linear text classifier over hashed n-gram features — the
+    fastText / quality-filter-model shape used to score web corpora for
+    retention (each document's score is the sum of learned weights of its
+    hashed unigram+bigram features).
+
+    ``weights`` is a (bucket bigint, weight bigint) model table; a
+    feature's bucket is ``md5_hash60(feature) % n_buckets`` — exact
+    integer arithmetic, so any engine reproduces scores bit-for-bit.
+    Features absent from ``weights`` contribute 0.
+
+    Returns (id, n_features, score) — doc-preserving (a document with no
+    tokens scores 0 over 0 features).
+
+    Scale shape: the model is BROADCAST (hashed models are ~1e6 rows —
+    tiny next to the corpus), feature generation is a narrow explode, and
+    the only corpus-wide shuffle is the per-document sum — which combines
+    map-side. The corpus is never shuffled by feature."""
+    from .dedup import md5_hash60, normalize, shingles
+
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    feats = shingles(F.col("__t"), 1)
+    if use_bigrams:
+        feats = F.concat(feats, shingles(F.col("__t"), 2))
+    feats = F.filter(feats, lambda x: x != F.lit(""))
+    exploded = base.select("id", F.explode_outer(feats).alias("feature"))
+    hashed = exploded.withColumn(
+        "bucket",
+        F.when(
+            F.col("feature").isNotNull(),
+            F.pmod(md5_hash60(F.col("feature")), F.lit(n_buckets)),
+        ),
+    )
+    scored = (
+        hashed.join(F.broadcast(weights), "bucket", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.col("feature")).alias("n_features"),
+            F.coalesce(F.sum("weight"), F.lit(0)).cast("long").alias("score"),
+        )
+    )
+    return scored.select(F.col("id").alias(id_col), "n_features", "score")
+
+
+def hash_model_weights(spark, n_buckets: int, seed: int = 1) -> DataFrame:
+    """Deterministic stand-in for trained classifier weights: bucket b
+    gets weight ``(b * 2654435761 + seed) % 2001 - 1000`` (a Knuth
+    multiplicative scramble into [-1000, 1000]). Real deployments load
+    the trained vector as a (bucket, weight) table instead; the engine
+    shape — broadcast model, hashed-feature join — is identical."""
+    return spark.range(n_buckets).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") * F.lit(2654435761) + F.lit(seed)) % F.lit(2001) - F.lit(1000))
+        .cast("long")
+        .alias("weight"),
+    )
+
+
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 30,
+    min_count: int = 5,
+) -> DataFrame:
+    """Top-k adjacent word-pair collocations ranked by the PMI ratio
+    ``P(w1 w2) / (P(w1) P(w2))`` — corpus phrase mining (the word2vec
+    phrase pass / quality-signal vocabulary step).
+
+    The ratio is computed as ``double(c12 * total) / double(c1 * c2)``:
+    the integer products are exact and the single IEEE division is
+    correctly rounded, so any engine evaluating the same expression shape
+    produces bit-identical doubles (same determinism contract as the
+    cosine fold). Ties break on (w1, w2).
+
+    Returns (w1, w2, pair_count, pmi) — the ``top_k`` rows by
+    (pmi DESC, w1, w2).
+
+    Scale shape: unigram and bigram counts are groupBys with map-side
+    combine (shuffle ~vocab-sized, not corpus-sized); the corpus total is
+    a 1-row broadcast; unigram counts join the (min_count-filtered) pair
+    table on the word key — vocabulary-sized equijoins. Nothing pairwise,
+    no corpus re-shuffle. At extreme scale the bigint products c12*total
+    and c1*c2 can exceed 2^63 — switch the casts to DECIMAL(38,0) there;
+    the double division stays the deterministic step."""
+    from .dedup import normalize
+
+    toks = F.filter(F.split(normalize(F.col(text_col)), " "), lambda t: t != F.lit(""))
+    base = df.select(toks.alias("ws"))
+    n = F.size(F.col("ws"))
+    pairs_arr = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(F.col("ws"), 1, n - F.lit(1)),
+            F.slice(F.col("ws"), 2, n - F.lit(1)),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array())
+    uni = (
+        base.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = uni.agg(F.sum("c").cast("long").alias("total"))
+    pair_counts = (
+        base.select(F.explode(pairs_arr).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )
+    joined = (
+        pair_counts.join(F.broadcast(total))
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+    )
+    scored = joined.select(
+        "w1",
+        "w2",
+        "pair_count",
+        (
+            (F.col("pair_count") * F.col("total")).cast("double")
+            / (F.col("c1") * F.col("c2")).cast("double")
+        ).alias("pmi"),
+    )
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(top_k)

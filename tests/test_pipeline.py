@@ -629,3 +629,85 @@ def test_tfidf_topk(spark):
     assert by_doc[1][0][2] == 2.0
     # doc2: common tf=2 df=2 -> 1.0 ; y 1/1=1.0 — tie broken by word asc
     assert [(r, w) for r, w, _ in by_doc[2]] == [(1, "common"), (2, "y")]
+
+
+def test_paragraph_dedup_keeps_first_occurrence(spark):
+    from emodb_spark.pipeline.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\nshared line\nunique one"),
+            (2, "shared line\ngamma delta"),  # dup of doc 1's paragraph
+            (3, "Shared  LINE!\nepsilon"),  # normalized dup too
+            (4, "shared line"),  # entirely duplicate -> empty text kept
+        ],
+        "doc_id long, text string",
+    )
+    out = paragraph_dedup(docs).orderBy("doc_id").collect()
+    rows = {r["doc_id"]: r for r in out}
+    assert len(rows) == 4  # doc-preserving
+    assert rows[1]["text"] == "alpha beta\nshared line\nunique one"
+    assert rows[1]["n_paras"] == 3 and rows[1]["n_kept"] == 3
+    assert rows[2]["text"] == "gamma delta"
+    assert rows[2]["n_paras"] == 2 and rows[2]["n_kept"] == 1
+    assert rows[3]["text"] == "epsilon"  # normalized form matched doc 1
+    assert rows[4]["text"] == "" and rows[4]["n_kept"] == 0
+
+
+def test_paragraph_dedup_position_breaks_ties_within_doc(spark):
+    from emodb_spark.pipeline.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(7, "same\nsame\nother")], "doc_id long, text string"
+    )
+    out = paragraph_dedup(docs).collect()[0]
+    assert out["text"] == "same\nother"  # first copy survives, second dropped
+    assert out["n_paras"] == 3 and out["n_kept"] == 2
+
+
+def test_hashed_ngram_scores_match_manual(spark):
+    import hashlib
+
+    from emodb_spark.pipeline.text import hash_model_weights, hashed_ngram_scores
+
+    docs = spark.createDataFrame(
+        [(1, "red fox"), (2, ""), (3, "red")], "doc_id long, text string"
+    )
+    nb = 64
+    out = {
+        r["doc_id"]: r
+        for r in hashed_ngram_scores(docs, hash_model_weights(spark, nb), nb).collect()
+    }
+
+    def w(feature):
+        b = int(hashlib.md5(feature.encode()).hexdigest()[:15], 16) % nb
+        return (b * 2654435761 + 1) % 2001 - 1000
+
+    # doc 1: unigrams red, fox + bigram "red fox"
+    assert out[1]["n_features"] == 3
+    assert out[1]["score"] == w("red") + w("fox") + w("red fox")
+    # empty doc is preserved with zero features
+    assert out[2]["n_features"] == 0 and out[2]["score"] == 0
+    # single-token doc: shingles' short-doc fallback emits the whole text
+    # as the "bigram" too
+    assert out[3]["n_features"] == 2 and out[3]["score"] == 2 * w("red")
+
+
+def test_collocations_ranks_fixed_phrase_highest(spark):
+    from emodb_spark.pipeline.text import collocations
+
+    rows = [(i, "new york is big and new york is old") for i in range(5)]
+    rows += [(100 + i, "the cat and the dog and the bird sat") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = collocations(docs, top_k=20, min_count=5).collect()
+    assert out, "expected collocations"
+    by_pair = {(r["w1"], r["w2"]): r for r in out}
+    ny = by_pair[("new", "york")]
+    bs = by_pair[("bird", "sat")]
+    assert ny["pair_count"] == 10 and bs["pair_count"] == 5
+    # PMI(new york) = 10T/(10*10) = T/10; PMI(bird sat) = 5T/(5*5) = T/5 —
+    # the rarer perfectly-associated pair ranks exactly 2x higher
+    assert bs["pmi"] == 2 * ny["pmi"]
+    # diluted "the X" pairs rank below both
+    the_pairs = [r for r in out if r["w1"] == "the"]
+    assert all(r["pmi"] < ny["pmi"] for r in the_pairs)
