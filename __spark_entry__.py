@@ -2753,6 +2753,83 @@ LIMIT 30
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cell-scoped embedding dedup: candidate pairs only
+    within a coarse cell (`label` here; k-means cells via kmeans_assign
+    at scale), exact sequential-fold cosine verify. Threshold 0.35 suits
+    the synthetic embeddings — trained-embedding deployments use ~0.95
+    (emodb_spark.pipeline.similarity.semantic_near_dups)."""
+    from emodb_spark.pipeline.similarity import semantic_near_dups
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return semantic_near_dups(emb, cell_col="label", threshold=0.35)
+
+
+ORACLE_SEMANTIC_DEDUP = """
+WITH e AS (
+  SELECT vec_id, label, embedding FROM embeddings
+)
+SELECT id_a, id_b, cell, ROUND(c, 8) AS cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS cell,
+    list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p,q) -> p+q)
+    / ( sqrt(list_reduce(list_transform(a.embedding,
+               v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (p,q) -> p+q))
+      * sqrt(list_reduce(list_transform(b.embedding,
+               v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (p,q) -> p+q)) ) AS c
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+) WHERE c >= 0.35
+"""
+
+
+def q_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML/markdown cleaning: markup is injected deterministically (the
+    synthetic corpus is plain text), then stripped by the fixed
+    regexp/entity chain — tags out, anchor text kept, entities
+    unescaped, whitespace collapsed (emodb_spark.pipeline.text.
+    strip_markup). Zero-shuffle narrow projection."""
+    from emodb_spark.pipeline.text import strip_markup
+
+    docs = _read(spark, sf_dir, "documents")
+    marked = docs.withColumn(
+        "text",
+        F.concat(
+            F.lit('<html><body class="c">'),
+            F.replace(F.col("text"), F.lit(" data "), F.lit(" <b>data</b> ")),
+            F.lit("</body></html> [home](http://example.com/a?b=1) &amp; &lt;fin&gt;"),
+        ),
+    )
+    return strip_markup(marked)
+
+
+ORACLE_STRIP_MARKUP = r"""
+WITH marked AS (
+  SELECT doc_id,
+         '<html><body class="c">'
+         || replace(text, ' data ', ' <b>data</b> ')
+         || '</body></html> [home](http://example.com/a?b=1) &amp; &lt;fin&gt;'
+         AS text
+  FROM documents
+), sized AS (
+  SELECT doc_id, text, length(text) AS n_chars_before FROM marked
+), cleaned AS (
+  SELECT doc_id, n_chars_before,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(
+             regexp_replace(
+               regexp_replace(text, '\[([^\]]*)\]\(([^)]*)\)', '\1', 'g'),
+               '<[^>]*>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '),
+             '&amp;', '&'),
+           '\s+', ' ', 'g')) AS text
+  FROM sized
+)
+SELECT doc_id, text, CAST(n_chars_before AS INT) AS n_chars_before,
+       CAST(length(text) AS INT) AS n_chars_after
+FROM cleaned
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2771,6 +2848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "quality_classifier": q_quality_classifier,
         "collocations": q_collocations,
+        "semantic_dedup": q_semantic_dedup,
+        "strip_markup": q_strip_markup,
         "resolve_fold": q_resolve_fold,
         "resolve_compacted": q_resolve_compacted,
         "streaming_fold_parity": q_streaming_fold_parity,
@@ -2851,6 +2930,8 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
         "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
         "collocations": ORACLE_COLLOCATIONS,
+        "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
+        "strip_markup": ORACLE_STRIP_MARKUP,
         "resolve_fold": ORACLE_RESOLVE_FOLD,
         "resolve_compacted": ORACLE_RESOLVE_FOLD,
         "streaming_fold_parity": ORACLE_RESOLVE_FOLD,

@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "paragraph_dedup",       # C4-style corpus-level paragraph dedup
     "quality_classifier",    # hashed-feature linear model apply
     "collocations",          # PMI phrase mining (vocab-sized shuffles)
+    "semantic_dedup",        # cell-scoped exact-cosine near-dups
+    "strip_markup",          # HTML/markdown cleaning (zero shuffle)
 ]
 
 

@@ -392,3 +392,53 @@ def kmeans(
     return kmeans_assign(embeddings, cents, id_col, vec_col).select(
         F.col(id_col), F.col("cluster")
     ), cents
+
+
+def semantic_near_dups(
+    embeddings: DataFrame,
+    cell_col: str,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_size: Optional[int] = None,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: exact-cosine near-duplicate pairs
+    generated ONLY within a coarse cell — a k-means cluster from
+    `kmeans_assign` (the SemDeDup recipe), a topic, or any precomputed
+    partition column. Complements `cosine_near_dups` (hyperplane LSH):
+    cells give O(sum |cell|²) candidate pairs with perfect within-cell
+    recall, LSH gives probabilistic global recall.
+
+    Returns (id_a, id_b, cell, cosine) with id_a < id_b; compose with
+    `near_dup_clusters` + `keep_best_per_cluster` for survivor selection.
+
+    Scale shape: ONE self-equijoin keyed on the cell id — never a global
+    cross join; k-means cells bound cell sizes by construction, and
+    ``max_cell_size`` guards degenerate cells (an oversized cell is
+    dropped rather than exploded, same policy as the LSH mega-bucket
+    guard). AQE skew-split handles moderately hot cells."""
+    base = embeddings.select(
+        F.col(cell_col).alias("cell"), F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
+    if max_cell_size is not None:
+        sizes = base.groupBy("cell").agg(F.count(F.lit(1)).alias("__n"))
+        base = (
+            base.join(F.broadcast(sizes.filter(F.col("__n") <= max_cell_size)
+                                  .select("cell")), "cell", "left_semi")
+        )
+    l, r = base.alias("l"), base.alias("r")
+    cand = (
+        l.join(r, "cell")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(
+            "cell",
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.vec").alias("va"),
+            F.col("r.vec").alias("vb"),
+        )
+    )
+    cos = cosine(F.col("va"), F.col("vb"))
+    return cand.filter(cos >= F.lit(threshold)).select(
+        "id_a", "id_b", "cell", F.round(cos, 8).alias("cosine")
+    )

@@ -458,3 +458,29 @@ def collocations(
         ).alias("pmi"),
     )
     return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(top_k)
+
+
+def strip_markup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """HTML/markdown cleaning (the C4/CCNet pre-extraction step for web
+    text): drop markdown links' URLs (keep the anchor text), strip
+    HTML/XML tags, unescape the five common entities, collapse
+    whitespace runs. A fixed, ordered chain of regexp/literal replaces —
+    deterministic and reproducible in ANSI SQL (patterns restricted to
+    the Java-regex ∩ RE2 subset).
+
+    Returns (id, text, n_chars_before, n_chars_after). Zero-shuffle
+    narrow projection — whole-stage codegen end to end."""
+    t = F.col(text_col)
+    cleaned = F.regexp_replace(t, r"\[([^\]]*)\]\(([^)]*)\)", "$1")
+    cleaned = F.regexp_replace(cleaned, "<[^>]*>", " ")
+    for ent, ch in [
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&nbsp;", " "), ("&amp;", "&"),
+    ]:
+        cleaned = F.replace(cleaned, F.lit(ent), F.lit(ch))
+    cleaned = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        cleaned.alias("text"),
+        F.length(t).alias("n_chars_before"),
+        F.length(cleaned).alias("n_chars_after"),
+    )

@@ -711,3 +711,51 @@ def test_collocations_ranks_fixed_phrase_highest(spark):
     # diluted "the X" pairs rank below both
     the_pairs = [r for r in out if r["w1"] == "the"]
     assert all(r["pmi"] < ny["pmi"] for r in the_pairs)
+
+
+def test_semantic_near_dups_cell_scoped(spark):
+    from emodb_spark.pipeline.similarity import semantic_near_dups
+
+    emb = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 0.0]),
+            (2, 0, [1.0, 0.01]),   # near-dup of 1, same cell
+            (3, 1, [1.0, 0.0]),    # identical to 1 but DIFFERENT cell -> unseen
+            (4, 0, [0.0, 1.0]),    # orthogonal, same cell -> below threshold
+        ],
+        "vec_id long, cell int, embedding array<double>",
+    )
+    out = semantic_near_dups(emb, cell_col="cell", threshold=0.9).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert pairs == {(1, 2)}
+    assert out[0]["cosine"] > 0.99
+
+
+def test_semantic_near_dups_max_cell_guard(spark):
+    from emodb_spark.pipeline.similarity import semantic_near_dups
+
+    emb = spark.createDataFrame(
+        [(i, 0, [1.0, 0.0]) for i in range(10)] + [(100, 1, [1.0, 0.0]), (101, 1, [1.0, 0.0])],
+        "vec_id long, cell int, embedding array<double>",
+    )
+    out = semantic_near_dups(emb, cell_col="cell", threshold=0.5, max_cell_size=5).collect()
+    # the 10-vector cell is dropped by the guard; the 2-vector cell survives
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(100, 101)}
+
+
+def test_strip_markup_chain(spark):
+    from emodb_spark.pipeline.text import strip_markup
+
+    docs = spark.createDataFrame(
+        [
+            (1, '<p class="x">Hello <b>world</b></p>'),
+            (2, "See [docs](http://ex.com/a) &amp; &lt;more&gt;"),
+            (3, "plain   text\twith   runs"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in strip_markup(docs).collect()}
+    assert out[1]["text"] == "Hello world"
+    assert out[2]["text"] == "See docs & <more>"
+    assert out[3]["text"] == "plain text with runs"
+    assert out[1]["n_chars_before"] > out[1]["n_chars_after"]
