@@ -257,3 +257,49 @@ def test_cohort_retention_keyed_shuffles_only(spark, sf_dir):
     plan = plan_of(e.q_cohort_retention(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quality_classifier_broadcasts_model(spark, sf_dir):
+    """The (bucket, weight) model must join by broadcast — the exploded
+    feature stream is corpus-sized and must never shuffle by bucket
+    (SCALE.md row)."""
+    from emodb_spark.pipeline.text import hash_model_weights, hashed_ngram_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(hashed_ngram_scores(docs, hash_model_weights(spark, 4096), 4096))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_paragraph_dedup_no_cartesian_keyed_joins_only(spark, sf_dir):
+    """Winner selection joins on the paragraph digest — an equijoin, never
+    a nested loop; reassembly is a keyed groupBy."""
+    from emodb_spark.pipeline.dedup import paragraph_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pre = docs.withColumn(
+        "text", F.regexp_replace(F.col("text"), r"((\S+ ){10})", "$1\n")
+    )
+    plan = plan_of(paragraph_dedup(pre))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_cell_equijoin(spark, sf_dir):
+    """Candidate generation must be an equijoin on the cell id (the
+    id_a < id_b predicate rides as a post-join filter) — never a global
+    nested-loop pair join."""
+    from emodb_spark.pipeline.similarity import semantic_near_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = plan_of(semantic_near_dups(emb, cell_col="label", threshold=0.5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_strip_markup_zero_shuffle(spark, sf_dir):
+    from emodb_spark.pipeline.text import strip_markup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(strip_markup(docs))
+    assert "Exchange" not in plan
