@@ -2830,6 +2830,19 @@ FROM cleaned
 """
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer induction: learn 12 merges from the corpus word
+    frequencies. Deterministic (integer counts, total argmax order,
+    sequential greedy fold) but the data-dependent iteration is not
+    ANSI-SQL-expressible — rows-only gate; conformance is the
+    differential test against a pure-Python BPE reference
+    (tests/test_bpe.py, emodb_spark.pipeline.bpe.bpe_train)."""
+    from emodb_spark.pipeline.bpe import bpe_train
+
+    docs = _read(spark, sf_dir, "documents")
+    return bpe_train(docs, num_merges=12)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2850,6 +2863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         "semantic_dedup": q_semantic_dedup,
         "strip_markup": q_strip_markup,
+        "bpe_merges": q_bpe_merges,
         "resolve_fold": q_resolve_fold,
         "resolve_compacted": q_resolve_compacted,
         "streaming_fold_parity": q_streaming_fold_parity,

@@ -1,0 +1,192 @@
+"""Byte-pair-encoding tokenizer induction and application on Spark.
+
+The training-corpus side of a tokenizer pipeline: learn BPE merges from
+word frequencies, then segment documents with the learned merges. Both
+steps are designed around the classic observation that BPE state is
+VOCABULARY-sized, not corpus-sized:
+
+- `bpe_train`: ONE corpus-wide shuffle builds the (word, count) table;
+  every merge iteration then runs on that small table only (pair-count
+  groupBy + a single-row driver collect for the argmax — O(num_merges)
+  driver rows total, same contract as `similarity.kmeans`).
+- `bpe_token_counts`: each DISTINCT word is segmented once (the chained
+  merge folds run on the vocabulary table), and documents join the
+  resulting (word → n_subtokens) dictionary by BROADCAST — the corpus is
+  never re-shuffled and the fold chain never runs per occurrence.
+
+Merge semantics match the reference BPE (Sennrich et al. 2015, public):
+words split to characters + a `</w>` end marker; each step merges the
+most frequent adjacent symbol pair (ties: lexicographically smallest
+(left, right)), greedily left-to-right and non-overlapping within a word.
+
+Determinism: counts are integers, the argmax order (count DESC, left ASC,
+right ASC) is total, and the greedy merge is a sequential fold — any
+engine reproduces the merge table exactly. The fold is not expressible in
+ANSI SQL for a data-dependent number of steps, so the driver gate for
+this operator is rows-only; conformance is covered by a differential test
+against a pure-Python BPE reference (tests/test_bpe.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+END = "</w>"
+
+
+def _chars_with_end(word: Column) -> Column:
+    """Split a word into single characters + the end-of-word marker."""
+    chars = F.filter(F.split(word, ""), lambda c: c != F.lit(""))
+    return F.concat(chars, F.array(F.lit(END)))
+
+
+def merge_pair_in(syms: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right non-overlapping merge of adjacent
+    (left, right) symbols into ``left+right`` — a sequential fold, the
+    exact reference-BPE within-word merge semantics."""
+    merged = left + right
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def word_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(word, cnt) over the normalized corpus — THE corpus-wide shuffle
+    of BPE training; everything after runs at vocabulary size."""
+    from .dedup import normalize
+
+    toks = F.filter(
+        F.split(normalize(F.col(text_col)), " "), lambda t: t != F.lit("")
+    )
+    return (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _adjacent_pairs(syms: Column) -> Column:
+    n = F.size(syms)
+    return F.zip_with(
+        F.slice(syms, 1, n - F.lit(1)),
+        F.slice(syms, 2, n - F.lit(1)),
+        lambda a, b: F.struct(a.alias("left"), b.alias("right")),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    num_merges: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_pair_count: int = 2,
+    words: Optional[DataFrame] = None,
+    vocab_partitions: int = 4,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Learn ``num_merges`` BPE merges from the corpus. Returns a
+    DataFrame (step, left, right, merged, pair_count) ordered by step —
+    the merge table a tokenizer ships with.
+
+    Stops early when the best remaining pair occurs fewer than
+    ``min_pair_count`` times. Each iteration: one vocabulary-sized
+    pair-count aggregate + a 1-row driver collect. Pending merge folds
+    chain lazily and the symbol table is only re-materialized every
+    ``checkpoint_every`` steps (localCheckpoint) — per-step
+    materialization would pay a full write/read of the vocabulary per
+    merge for no benefit. ``vocab_partitions`` sizes the iteration
+    parallelism (a vocabulary is ~1e5-1e7 rows; raise it at scale)."""
+    spark = df.sparkSession
+    if words is None:
+        words = word_counts(df, text_col, id_col)
+    cur = (
+        words.repartition(vocab_partitions)
+        .select("cnt", _chars_with_end(F.col("w")).alias("syms"))
+        .localCheckpoint(eager=True)
+    )
+
+    out = []
+    pending = 0
+    for step in range(num_merges):
+        pairs = (
+            cur.select(F.explode(_adjacent_pairs(F.col("syms"))).alias("p"), "cnt")
+            .groupBy("p.left", "p.right")
+            .agg(F.sum("cnt").cast("long").alias("pair_count"))
+        )
+        # argmax (count DESC, left ASC, right ASC) as ONE partial-agg
+        # reduction — min of (-count, left, right) structs; a global
+        # orderBy().limit(1) would add a sort + an extra stage per step
+        best = pairs.agg(
+            F.min(
+                F.struct(
+                    (-F.col("pair_count")).alias("nc"), "left", "right"
+                )
+            ).alias("b")
+        ).collect()
+        if not best or best[0]["b"] is None:
+            break
+        b = best[0]["b"]
+        left, right, cnt = b["left"], b["right"], -b["nc"]
+        if cnt < min_pair_count:
+            break
+        out.append((step, left, right, left + right, cnt))
+        cur = cur.select(
+            "cnt", merge_pair_in(F.col("syms"), left, right).alias("syms")
+        )
+        pending += 1
+        if pending >= checkpoint_every:
+            nxt = cur.localCheckpoint(eager=True)
+            cur = nxt
+            pending = 0
+    return spark.createDataFrame(
+        out, "step int, left string, right string, merged string, pair_count long"
+    )
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document BPE token counts under a learned merge list
+    (``[(left, right), ...]`` in merge order).
+
+    Returns (id, n_words, n_bpe_tokens). The fold chain runs ONCE per
+    distinct word (vocabulary table), and documents map through the
+    resulting dictionary with a broadcast join — corpus never
+    re-shuffled, merges never re-applied per occurrence."""
+    from .dedup import normalize
+
+    toks = F.filter(
+        F.split(normalize(F.col(text_col)), " "), lambda t: t != F.lit("")
+    )
+    doc_words = df.select(F.col(id_col).alias("id"), F.explode_outer(toks).alias("w"))
+    vocab = doc_words.select("w").where(F.col("w").isNotNull()).distinct()
+    syms = _chars_with_end(F.col("w"))
+    for left, right in merges:
+        syms = merge_pair_in(syms, left, right)
+    seg = vocab.select("w", F.size(syms).alias("n_sub"))
+    return (
+        doc_words.join(F.broadcast(seg), "w", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.col("w")).alias("n_words"),
+            F.coalesce(F.sum("n_sub"), F.lit(0)).cast("long").alias("n_bpe_tokens"),
+        )
+        .select(F.col("id").alias(id_col), "n_words", "n_bpe_tokens")
+    )

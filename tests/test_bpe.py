@@ -1,0 +1,132 @@
+"""BPE trainer/segmenter: differential conformance against a pure-Python
+reference implementation of classic BPE (character init + </w> marker,
+most-frequent-pair merge, lexicographic tie-break, greedy left-to-right
+within-word application)."""
+
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+END = "</w>"
+
+
+def _norm_words(texts):
+    words = []
+    for t in texts:
+        n = re.sub(r"[^a-z0-9]+", " ", t.lower()).strip()
+        words.extend(w for w in n.split(" ") if w)
+    return words
+
+
+def python_bpe_train(texts, num_merges, min_pair_count=2):
+    vocab = Counter()
+    for w in _norm_words(texts):
+        vocab[tuple(list(w) + [END])] += 1
+    merges = []
+    for step in range(num_merges):
+        pairs = Counter()
+        for syms, cnt in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += cnt
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (a, b), cnt = best
+        if cnt < min_pair_count:
+            break
+        merges.append((step, a, b, a + b, cnt))
+        new_vocab = Counter()
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] += c
+        vocab = new_vocab
+    return merges, vocab
+
+
+TEXTS = [
+    "low lower lowest low low",
+    "new newer newest new new new",
+    "wide wider widest slow slower",
+    "low new wide slow slow slow",
+]
+
+
+def test_bpe_train_matches_python_reference(spark):
+    from emodb_spark.pipeline.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        list(enumerate(TEXTS)), "doc_id long, text string"
+    )
+    got = [
+        (r["step"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_train(docs, num_merges=12).orderBy("step").collect()
+    ]
+    want, _ = python_bpe_train(TEXTS, 12)
+    assert got == want
+
+
+def test_bpe_token_counts_match_python_segmentation(spark):
+    from emodb_spark.pipeline.bpe import bpe_token_counts, bpe_train
+
+    docs = spark.createDataFrame(
+        list(enumerate(TEXTS)), "doc_id long, text string"
+    )
+    merge_rows = bpe_train(docs, num_merges=8).orderBy("step").collect()
+    merges = [(r["left"], r["right"]) for r in merge_rows]
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_token_counts(docs, merges).collect()
+    }
+
+    # python-side segmentation under the same merges
+    def seg_len(word):
+        syms = list(word) + [END]
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    for i, t in enumerate(TEXTS):
+        ws = _norm_words([t])
+        assert got[i] == (len(ws), sum(seg_len(w) for w in ws))
+
+
+def test_bpe_learns_frequent_subwords(spark):
+    from emodb_spark.pipeline.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        list(enumerate(TEXTS)), "doc_id long, text string"
+    )
+    merged = {r["merged"] for r in bpe_train(docs, num_merges=12).collect()}
+    # 'lo'/'ne'/'slo'-family units appear among early merges on this corpus
+    assert any(m.startswith("lo") or m.startswith("ne") or "w" in m for m in merged)
+    assert len(merged) > 0
+
+
+def test_bpe_empty_doc_preserved(spark):
+    from emodb_spark.pipeline.bpe import bpe_token_counts
+
+    docs = spark.createDataFrame(
+        [(1, "hello hello"), (2, "")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in bpe_token_counts(docs, [("l", "l")]).collect()}
+    assert got[2]["n_words"] == 0 and got[2]["n_bpe_tokens"] == 0
+    assert got[1]["n_words"] == 2
+    # hello -> h e ll o </w> = 5 subtokens per word
+    assert got[1]["n_bpe_tokens"] == 10
