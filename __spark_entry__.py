@@ -2843,6 +2843,40 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs, num_merges=12)
 
 
+def q_dataset_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card rollup: per-(source, lang) / per-source / grand-total
+    doc counts, char+token volumes, mean length, exact ppm corpus share —
+    one native ROLLUP aggregate + a 1-row total broadcast
+    (emodb_spark.pipeline.curation.dataset_report)."""
+    from emodb_spark.pipeline.curation import dataset_report
+
+    docs = _read(spark, sf_dir, "documents")
+    return dataset_report(docs)
+
+
+ORACLE_DATASET_REPORT = """
+WITH base AS (
+  SELECT source, lang, length(text) AS nc,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS nt
+  FROM documents
+), tot AS (
+  SELECT COUNT(*) AS total FROM documents
+), rep AS (
+  SELECT source, lang,
+         CAST(GROUPING(source, lang) AS INT) AS gid,
+         COUNT(*) AS n_docs,
+         CAST(SUM(nc) AS BIGINT) AS n_chars,
+         CAST(SUM(nt) AS BIGINT) AS n_tokens
+  FROM base
+  GROUP BY ROLLUP (source, lang)
+)
+SELECT r.source, r.lang, r.gid, r.n_docs, r.n_chars, r.n_tokens,
+       CAST(r.n_chars AS DOUBLE) / r.n_docs AS avg_chars,
+       CAST(r.n_docs * 1000000 // t.total AS BIGINT) AS share_ppm
+FROM rep r CROSS JOIN tot t
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2864,6 +2898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "strip_markup": q_strip_markup,
         "bpe_merges": q_bpe_merges,
+        "dataset_report": q_dataset_report,
         "resolve_fold": q_resolve_fold,
         "resolve_compacted": q_resolve_compacted,
         "streaming_fold_parity": q_streaming_fold_parity,
@@ -2946,6 +2981,7 @@ def oracle_sql() -> dict[str, str]:
         "collocations": ORACLE_COLLOCATIONS,
         "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
         "strip_markup": ORACLE_STRIP_MARKUP,
+        "dataset_report": ORACLE_DATASET_REPORT,
         "resolve_fold": ORACLE_RESOLVE_FOLD,
         "resolve_compacted": ORACLE_RESOLVE_FOLD,
         "streaming_fold_parity": ORACLE_RESOLVE_FOLD,

@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "collocations",          # PMI phrase mining (vocab-sized shuffles)
     "semantic_dedup",        # cell-scoped exact-cosine near-dups
     "strip_markup",          # HTML/markdown cleaning (zero shuffle)
+    "dataset_report",        # dataset-card rollup (one Expand aggregate)
 ]
 
 

@@ -256,3 +256,47 @@ def top_fraction_per_group(
             rn <= F.ceil(F.lit(float(frac)) * F.col("n_group")).cast("long"),
         )
     )
+
+
+def dataset_report(
+    df: DataFrame,
+    group_cols: tuple = ("source", "lang"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dataset-card rollup: per-(source, lang), per-source and
+    grand-total document counts, character/token volumes, mean document
+    length and exact corpus share — the summary table a training-data
+    release ships with.
+
+    ONE native ROLLUP aggregate (Catalyst Expand + a single shuffle with
+    map-side partials) plus a 1-row broadcast of the corpus total.
+    Exactness: integer sums; `share_ppm` is integer floor division;
+    `avg_chars` is the single correctly-rounded IEEE division over exact
+    integers — all engine-bit-identical.
+
+    Returns (group cols..., gid, n_docs, n_chars, n_tokens, avg_chars,
+    share_ppm); `gid` is the grouping_id (0 = detail row, rollup
+    subtotals above)."""
+    from .text import token_count as _tc
+
+    t = F.col(text_col)
+    rep = df.rollup(*[F.col(c) for c in group_cols]).agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length(t)).cast("long").alias("n_chars"),
+        F.sum(_tc(t)).cast("long").alias("n_tokens"),
+    )
+    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        rep.join(F.broadcast(total))
+        .select(
+            *group_cols,
+            "gid",
+            "n_docs",
+            "n_chars",
+            "n_tokens",
+            (F.col("n_chars").cast("double") / F.col("n_docs")).alias("avg_chars"),
+            F.expr("n_docs * 1000000L div __total").alias("share_ppm"),
+        )
+    )

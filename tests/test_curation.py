@@ -98,3 +98,27 @@ def test_corpus_vocab_topk(spark, docs_df):
     assert [r["word"] for r in top] == ["spam", "a", "b"]
     assert top[0]["freq"] == 10 and top[0]["n_docs"] == 1
     assert top[1]["freq"] == 7 and top[1]["n_docs"] == 2
+
+
+def test_dataset_report_rollup_and_shares(spark):
+    from emodb_spark.pipeline.curation import dataset_report
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b", "web", "en"),
+            (2, "c d e", "web", "en"),
+            (3, "f", "web", "de"),
+            (4, "g h", "books", "en"),
+        ],
+        "doc_id long, text string, source string, lang string",
+    )
+    rows = dataset_report(docs).collect()
+    by_key = {(r["source"], r["lang"], r["gid"]): r for r in rows}
+    detail = by_key[("web", "en", 0)]
+    assert detail["n_docs"] == 2 and detail["n_tokens"] == 5
+    assert detail["share_ppm"] == 500000
+    sub = by_key[("web", None, 1)]
+    assert sub["n_docs"] == 3 and sub["share_ppm"] == 750000
+    grand = by_key[(None, None, 3)]
+    assert grand["n_docs"] == 4 and grand["share_ppm"] == 1000000
+    assert grand["avg_chars"] == (3 + 5 + 1 + 3) / 4
