@@ -750,3 +750,52 @@ def paragraph_dedup(
             F.coalesce(F.col("__n_kept"), F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+def paragraph_dedup_stream(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_len: int = 1,
+    normalize_paras: bool = True,
+    ts_col: Optional[str] = None,
+    within_watermark: Optional[str] = None,
+) -> DataFrame:
+    """Streaming paragraph dedup: first ARRIVAL of each distinct
+    paragraph survives (the natural streaming analog of the batch
+    operator's first-(doc, pos) rule — the retained KEY SET is identical,
+    the surviving exemplar may differ when duplicates share a
+    micro-batch; tests/test_streaming_events.py pins this contract).
+
+    Emits kept paragraphs as (id, pos, para, para_key) — reassembly is a
+    downstream batch groupBy, since per-doc aggregation in append mode
+    would gate every document on the watermark.
+
+    State: exact mode (default) keeps one compact md5 key per DISTINCT
+    paragraph ever seen — the streaming state-store analog of the batch
+    winner table. For bounded state pass ``ts_col`` +
+    ``within_watermark`` (e.g. "1 hour"): duplicates are then only
+    suppressed within the watermark horizon
+    (``dropDuplicatesWithinWatermark``), the corpus-dedup trade-off
+    every streaming pipeline makes."""
+    paras = (
+        docs_stream.select(
+            F.col(id_col).alias("id"),
+            *([F.col(ts_col)] if ts_col else []),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+        )
+        .filter(F.length(F.trim(F.col("para"))) >= min_len)
+    )
+    key = (
+        F.md5(normalize(F.col("para"))) if normalize_paras else F.md5(F.col("para"))
+    )
+    keyed = paras.withColumn("para_key", key)
+    if within_watermark is not None:
+        if ts_col is None:
+            raise ValueError("within_watermark requires ts_col")
+        keyed = keyed.withWatermark(ts_col, within_watermark)
+        kept = keyed.dropDuplicatesWithinWatermark(["para_key"])
+    else:
+        kept = keyed.dropDuplicates(["para_key"])
+    return kept.select("id", "pos", "para", "para_key")

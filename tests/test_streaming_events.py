@@ -293,3 +293,39 @@ def test_streaming_text_stats_matches_batch(spark, sf_dir, tmp_path):
     assert got.count() == expected.count()
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_streaming_paragraph_dedup_matches_batch_key_set(spark, sf_dir, tmp_path):
+    """Streaming paragraph dedup keeps exactly one exemplar per distinct
+    paragraph key — the retained KEY SET (and count) must equal the batch
+    operator's, across micro-batches. (Which exemplar survives may differ
+    when duplicates share a batch — pinned here as set equality, not row
+    equality.)"""
+    from emodb_spark.pipeline.dedup import paragraph_dedup, paragraph_dedup_stream
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .withColumn("text", F.regexp_replace(F.col("text"), r"((\S+ ){10})", "$1\n"))
+    )
+    src = str(tmp_path / "pd_in")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sink = _run_to_sink(paragraph_dedup_stream(stream), tmp_path, "pdedup")
+    got = spark.read.parquet(sink)
+
+    batch = paragraph_dedup(docs)
+    # batch kept-paragraph keys: re-derive from the reassembled text
+    batch_keys = (
+        batch.select(F.posexplode(F.split("text", "\n")).alias("pos", "para"))
+        .filter(F.length(F.trim("para")) >= 1)
+        .select(F.md5(F.trim(F.regexp_replace(F.lower("para"), "[^a-z0-9]+", " "))).alias("k"))
+        .distinct()
+    )
+    got_keys = got.select(F.col("para_key").alias("k")).distinct()
+    assert got.count() == got_keys.count()  # exactly one exemplar per key
+    assert got_keys.count() == batch_keys.count()
+    assert got_keys.exceptAll(batch_keys).count() == 0
