@@ -2877,6 +2877,32 @@ FROM rep r CROSS JOIN tot t
 """
 
 
+def q_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-20-per-source sample (eval-set construction):
+    rank by the md5-uniform hash of 'sample/id' within each source, keep
+    the first 20 — identical rows on any rerun/engine
+    (emodb_spark.pipeline.curation.sample_k_per_group)."""
+    from emodb_spark.pipeline.curation import sample_k_per_group
+
+    docs = _read(spark, sf_dir, "documents")
+    return sample_k_per_group(docs, group_col="source", k=20)
+
+
+ORACLE_SAMPLE_PER_SOURCE = """
+WITH h AS (
+  SELECT *, CAST(('0x' || substr(md5('sample/' || CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) AS hv
+  FROM documents
+), r AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn
+  FROM h
+)
+SELECT doc_id, text, lang, source, n_chars, CAST(rn AS INT) AS sample_rank
+FROM r WHERE rn <= 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2899,6 +2925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_markup": q_strip_markup,
         "bpe_merges": q_bpe_merges,
         "dataset_report": q_dataset_report,
+        "sample_per_source": q_sample_per_source,
         "resolve_fold": q_resolve_fold,
         "resolve_compacted": q_resolve_compacted,
         "streaming_fold_parity": q_streaming_fold_parity,
@@ -2982,6 +3009,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
         "strip_markup": ORACLE_STRIP_MARKUP,
         "dataset_report": ORACLE_DATASET_REPORT,
+        "sample_per_source": ORACLE_SAMPLE_PER_SOURCE,
         "resolve_fold": ORACLE_RESOLVE_FOLD,
         "resolve_compacted": ORACLE_RESOLVE_FOLD,
         "streaming_fold_parity": ORACLE_RESOLVE_FOLD,

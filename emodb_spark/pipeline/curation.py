@@ -300,3 +300,50 @@ def dataset_report(
             F.expr("n_docs * 1000000L div __total").alias("share_ppm"),
         )
     )
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+    prefilter_margin: Optional[float] = None,
+    group_counts: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Deterministic EXACT-k sample per group (eval-set construction,
+    per-source audits): within each group, rank documents by the
+    md5-uniform hash of ``salt/id`` (ties by id — a total order) and keep
+    the first k. Re-running, re-partitioning, or re-implementing in
+    another engine selects the identical rows.
+
+    Returns the input columns plus ``sample_rank`` (1..k).
+
+    Scale shape: one shuffle (the per-group window). A mega-group would
+    serialize on one task, so for the 100 TB path pass
+    ``prefilter_margin`` (e.g. 4.0): rows are pre-filtered to hash <
+    margin·k/|group| — a narrow codegen filter using broadcast group
+    counts that keeps ~margin·k rows per group — before the exact window
+    ranks the survivors. The margin makes under-selection vanishingly
+    unlikely (Chernoff); correctness is unchanged whenever at least k
+    rows survive, and callers can assert `sample_rank` counts."""
+    from .dedup import md5_hash60
+
+    h = md5_hash60(F.concat(F.lit(salt + "/"), F.col(id_col).cast("string")))
+    base = df.withColumn("__h", h)
+    if prefilter_margin is not None:
+        if group_counts is None:
+            group_counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+        thresh = F.least(
+            F.lit(float(1 << 60)),
+            F.lit(prefilter_margin * k) * F.lit(float(1 << 60)) / F.col("__n"),
+        )
+        base = base.join(F.broadcast(group_counts), group_col).where(
+            F.col("__h") < thresh
+        ).drop("__n")
+    w = Window.partitionBy(group_col).orderBy(F.col("__h"), F.col(id_col))
+    return (
+        base.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .drop("__h")
+    )

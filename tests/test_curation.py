@@ -122,3 +122,31 @@ def test_dataset_report_rollup_and_shares(spark):
     grand = by_key[(None, None, 3)]
     assert grand["n_docs"] == 4 and grand["share_ppm"] == 1000000
     assert grand["avg_chars"] == (3 + 5 + 1 + 3) / 4
+
+
+def test_sample_k_per_group_exact_and_prefiltered_agree(spark):
+    from emodb_spark.pipeline.curation import sample_k_per_group
+
+    rows = [(i, f"doc {i}", "web" if i % 3 else "books") for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    exact = sample_k_per_group(docs, "source", k=10)
+    pre = sample_k_per_group(docs, "source", k=10, prefilter_margin=4.0)
+    e = {(r["source"], r["sample_rank"], r["doc_id"]) for r in exact.collect()}
+    p = {(r["source"], r["sample_rank"], r["doc_id"]) for r in pre.collect()}
+    assert e == p  # prefilter only bounds the window input, never the answer
+    assert len(e) == 20  # 10 per source, both sources large enough
+    # deterministic across invocations
+    again = {(r["source"], r["sample_rank"], r["doc_id"])
+             for r in sample_k_per_group(docs, "source", k=10).collect()}
+    assert again == e
+
+
+def test_sample_k_per_group_small_group_keeps_all(spark):
+    from emodb_spark.pipeline.curation import sample_k_per_group
+
+    docs = spark.createDataFrame(
+        [(1, "a", "tiny"), (2, "b", "tiny")], "doc_id long, text string, source string"
+    )
+    out = sample_k_per_group(docs, "source", k=10).collect()
+    assert len(out) == 2
+    assert sorted(r["sample_rank"] for r in out) == [1, 2]
