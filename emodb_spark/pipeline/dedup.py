@@ -479,6 +479,7 @@ def near_dup_clusters(
     # most of the wall-clock at small scale, and fusing rounds costs at
     # most one redundant propagation after the fixpoint
     done = 0
+    prev_sum = None
     while done < max_iter:
         cur = labels
         for _ in range(min(2, max_iter - done)):
@@ -489,14 +490,27 @@ def near_dup_clusters(
             cur = cur.unionByName(nbr).groupBy("id").agg(F.min("lab").alias("lab"))
             done += 1
         new_labels = cur.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.lab") != F.col("o.lab"))
-        )
-        labels = new_labels
-        if changed.isEmpty():
-            break
+        if numeric:
+            # labels only ever DECREASE under min-propagation, so an
+            # unchanged exact sum ⟺ fixpoint — one reduce job instead of
+            # the join + isEmpty comparison (DECIMAL(38,0): exact at any
+            # node count, no long overflow)
+            s = new_labels.agg(
+                F.sum(F.col("lab").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
+            labels = new_labels
+            if s == prev_sum:
+                break
+            prev_sum = s
+        else:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.lab") != F.col("o.lab"))
+            )
+            labels = new_labels
+            if changed.isEmpty():
+                break
     return labels.select(F.col("id").alias(id_col), F.col("lab").alias("cluster_id"))
 
 
