@@ -31,6 +31,10 @@ BNLJ_OK = {
                             # the LSH/IVF variants, which equijoin
     "ann_ivf_topk",         # O(n_cells) centroid rows broadcast for the
     "ann_ivf_kmeans",       # coarse-quantizer assignment fan-out
+    "collocations",         # 1-row corpus-total broadcast onto the
+                            # (min_count-filtered) pair table
+    "dataset_report",       # 1-row corpus-total broadcast onto the
+                            # rollup aggregate output
 }
 
 ALWAYS_BAD = ["CartesianProduct", "BatchEvalPython"]
