@@ -759,3 +759,65 @@ def test_strip_markup_chain(spark):
     assert out[2]["text"] == "See docs & <more>"
     assert out[3]["text"] == "plain text with runs"
     assert out[1]["n_chars_before"] > out[1]["n_chars_after"]
+
+
+def test_paragraph_dedup_random_matches_python_brute(spark):
+    """Differential: 8 random corpora (tiny vocab to force cross-doc
+    paragraph collisions) against a sequential Python reference of the
+    keep-global-first rule."""
+    import random
+    import re as _re
+
+    from emodb_spark.pipeline.dedup import paragraph_dedup
+
+    for seed in range(8):
+        rng = random.Random(seed)
+        vocab = ["aa", "bb", "cc"]
+        docs = []
+        for did in range(12):
+            paras = [
+                " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 3)))
+                for _ in range(rng.randint(0, 4))
+            ]
+            docs.append((did, "\n".join(paras)))
+
+        def norm(p):
+            return _re.sub(r"[^a-z0-9]+", " ", p.lower()).strip()
+
+        seen, want = set(), {}
+        for did, text in docs:
+            kept = []
+            n_paras = 0
+            for p in text.split("\n"):
+                if len(p.strip()) < 1:
+                    continue
+                n_paras += 1
+                k = norm(p)
+                if k not in seen:
+                    seen.add(k)
+                    kept.append(p)
+            want[did] = ("\n".join(kept), n_paras, len(kept))
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["text"], r["n_paras"], r["n_kept"])
+            for r in paragraph_dedup(df).collect()
+        }
+        assert got == want, f"seed {seed}"
+
+
+def test_paragraph_dedup_hot_paragraph_skew(spark):
+    """95% of paragraphs identical: the groupBy-min winner aggregation
+    must absorb the hot key map-side and still produce the exact
+    keep-first answer."""
+    from emodb_spark.pipeline.dedup import paragraph_dedup
+
+    rows = [(i, "hot common line\nunique %d" % i) for i in range(2000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(16)
+    out = paragraph_dedup(docs)
+    rows_out = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows_out) == 2000
+    assert rows_out[0]["text"] == "hot common line\nunique 0"
+    for i in (1, 999, 1999):
+        assert rows_out[i]["text"] == "unique %d" % i
+        assert rows_out[i]["n_kept"] == 1 and rows_out[i]["n_paras"] == 2
