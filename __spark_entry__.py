@@ -2903,6 +2903,61 @@ FROM r WHERE rn <= 20
 """
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate-span removal (Lee et al. suffix-array
+    dedup re-expressed as rolling 8-token windows): any 8-token run seen
+    earlier anywhere in the corpus is removed from later documents
+    (emodb_spark.pipeline.dedup.substring_dedup)."""
+    from emodb_spark.pipeline.dedup import substring_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    return substring_dedup(docs, window=8)
+
+
+ORACLE_SUBSTRING_DEDUP = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+  FROM documents
+), wp AS (
+  SELECT doc_id, tk, unnest(generate_series(0, len(tk) - 8)) AS p FROM toks
+), win AS (
+  SELECT doc_id, p,
+         array_to_string(list_slice(tk, p + 1, p + 8), ' ') AS key
+  FROM wp
+), first_occ AS (
+  SELECT key, MIN(doc_id * 1000000 + p) AS mo FROM win GROUP BY key
+), dup AS (
+  SELECT w.doc_id, w.p
+  FROM win w JOIN first_occ f ON w.key = f.key
+  WHERE w.doc_id * 1000000 + w.p <> f.mo
+), covx AS (
+  SELECT doc_id, p, unnest(generate_series(0, 7)) AS i FROM dup
+), cov AS (
+  SELECT DISTINCT doc_id, p + i AS idx FROM covx
+), tokx AS (
+  SELECT doc_id, tk, unnest(generate_series(0, len(tk) - 1)) AS i FROM toks
+), tok AS (
+  SELECT doc_id, i AS idx, tk[i + 1] AS tok FROM tokx
+), kept AS (
+  SELECT t.doc_id, t.idx, t.tok
+  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.idx = c.idx
+  WHERE c.doc_id IS NULL
+), agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text_clean
+  FROM kept GROUP BY doc_id
+), ndup AS (
+  SELECT doc_id, COUNT(*) AS nd FROM cov GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.tk) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(n.nd, 0) AS BIGINT) AS n_dup_tokens,
+       COALESCE(a.text_clean, '') AS text_clean
+FROM toks t
+LEFT JOIN ndup n ON t.doc_id = n.doc_id
+LEFT JOIN agg a ON t.doc_id = a.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2918,6 +2973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Order matters defensively: the r3 driver recorded only the
         # first N-1 declared queries. Never-yet-gated (round-4) queries
         # lead; multi-round-green veterans absorb any tail truncation.
+        "substring_dedup": q_substring_dedup,
         "paragraph_dedup": q_paragraph_dedup,
         "quality_classifier": q_quality_classifier,
         "collocations": q_collocations,
@@ -3003,6 +3059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "substring_dedup": ORACLE_SUBSTRING_DEDUP,
         "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
         "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
         "collocations": ORACLE_COLLOCATIONS,

@@ -821,3 +821,59 @@ def test_paragraph_dedup_hot_paragraph_skew(spark):
     for i in (1, 999, 1999):
         assert rows_out[i]["text"] == "unique %d" % i
         assert rows_out[i]["n_kept"] == 1 and rows_out[i]["n_paras"] == 2
+
+
+def test_substring_dedup_random_matches_python_brute(spark):
+    """Differential: tiny-vocab random corpora (forcing shared 8-token
+    runs) against a sequential Python reference of keep-global-first
+    window coverage removal."""
+    import random
+
+    from emodb_spark.pipeline.dedup import substring_dedup
+
+    W = 4
+    for seed in range(6):
+        rng = random.Random(seed)
+        vocab = ["a", "b"]
+        docs = [
+            (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 24))))
+            for d in range(10)
+        ]
+        first = {}
+        for did, text in sorted(docs):
+            tk = text.split()
+            for p in range(max(0, len(tk) - W + 1)):
+                first.setdefault(" ".join(tk[p : p + W]), (did, p))
+        want = {}
+        for did, text in docs:
+            tk = text.split()
+            covered = set()
+            for p in range(max(0, len(tk) - W + 1)):
+                if first[" ".join(tk[p : p + W])] != (did, p):
+                    covered.update(range(p, p + W))
+            kept = [t for i, t in enumerate(tk) if i not in covered]
+            want[did] = (len(tk), len(covered), " ".join(kept))
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_dup_tokens"], r["text_clean"])
+            for r in substring_dedup(df, window=W).collect()
+        }
+        assert got == want, f"seed {seed}"
+
+
+def test_substring_dedup_edges(spark):
+    """Docs shorter than the window survive untouched; a doc that is an
+    exact copy of an earlier one empties entirely; the first occurrence
+    keeps its text."""
+    from emodb_spark.pipeline.dedup import substring_dedup
+
+    base = "one two three four five six seven eight nine ten"
+    docs = [(1, base), (2, base), (3, "short text"), (4, "ten nine " + base)]
+    out = {r["doc_id"]: r for r in substring_dedup(spark.createDataFrame(
+        docs, "doc_id long, text string"), window=8).collect()}
+    assert out[1]["text_clean"] == base and out[1]["n_dup_tokens"] == 0
+    assert out[2]["text_clean"] == "" and out[2]["n_dup_tokens"] == 10
+    assert out[3]["text_clean"] == "short text" and out[3]["n_tokens"] == 2
+    # doc 4 shares the 8-token runs of `base` starting at its offset 2
+    assert out[4]["text_clean"] == "ten nine" and out[4]["n_dup_tokens"] == 10
