@@ -2958,6 +2958,44 @@ LEFT JOIN agg a ON t.doc_id = a.doc_id
 """
 
 
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM perplexity filter, integer-exact: per-token
+    surprisal is floor(log2 N) - floor(log2 c) whole bits, so both
+    engines compute identical integers (emodb_spark.pipeline.quality.
+    unigram_surprisal)."""
+    from emodb_spark.pipeline.quality import unigram_surprisal
+
+    docs = _read(spark, sf_dir, "documents")
+    return unigram_surprisal(docs)
+
+
+ORACLE_UNIGRAM_SURPRISAL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+  FROM documents
+), counts AS (
+  SELECT t, COUNT(*) AS c FROM tok GROUP BY t
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM counts
+), scored AS (
+  SELECT tok.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM((length(bin(n_total)) - 1) - (length(bin(c)) - 1)) AS BIGINT)
+           AS sb
+  FROM tok JOIN counts USING (t) CROSS JOIN tot
+  GROUP BY tok.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_tokens, 0) AS n_tokens,
+       COALESCE(s.sb, 0) AS surprisal_bits,
+       CAST(CASE WHEN COALESCE(s.n_tokens, 0) > 0
+                 THEN (s.sb * 1000) // s.n_tokens ELSE 0 END AS BIGINT)
+         AS milli_bits_per_token
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2974,6 +3012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # first N-1 declared queries. Never-yet-gated (round-4) queries
         # lead; multi-round-green veterans absorb any tail truncation.
         "substring_dedup": q_substring_dedup,
+        "unigram_surprisal": q_unigram_surprisal,
         "paragraph_dedup": q_paragraph_dedup,
         "quality_classifier": q_quality_classifier,
         "collocations": q_collocations,
@@ -3060,6 +3099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "substring_dedup": ORACLE_SUBSTRING_DEDUP,
+        "unigram_surprisal": ORACLE_UNIGRAM_SURPRISAL,
         "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
         "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
         "collocations": ORACLE_COLLOCATIONS,

@@ -131,3 +131,67 @@ def gopher_filter(
         & (F.col("dup3_frac") <= max_dup3_frac)
     )
     return sig.withColumn("keep", keep)
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unigram-LM surprisal scoring — the CCNet/KenLM "perplexity bucket"
+    quality filter (Wenzek et al. 2020) restated so every engine computes
+    the SAME integers: a token occurring ``c`` times in an ``N``-token
+    corpus scores ``floor(log2 N) - floor(log2 c)`` whole bits of
+    surprisal (``floor(log2 x)`` = binary-digit count − 1 — exact integer
+    arithmetic, no IEEE log whose last bit could differ between engines).
+    High-surprisal documents are full of corpus-rare tokens (likely noise
+    or off-distribution); low-surprisal ones are template boilerplate.
+
+    Returns one row per document:
+    ``(id, n_tokens, surprisal_bits, milli_bits_per_token)`` where the
+    last is ``surprisal_bits * 1000 DIV n_tokens`` (integer division —
+    again engine-exact).
+
+    Scale shape: ONE token explode feeds both the LM and the scoring —
+    counts are a groupBy(token) with map-side partials (hot tokens
+    collapse before the exchange), the corpus total is a 1-row broadcast,
+    and scoring re-joins tokens to counts keyed on the token (AQE
+    broadcasts the count table when the vocabulary is small, skew-splits
+    the join when it is not). No driver state, no pairwise joins; shuffle
+    volume is O(total tokens).
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("t")
+    )
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").cast("long").alias("n_total"))
+    bits = lambda col: (F.length(F.conv(col.cast("string"), 10, 2)) - 1).cast("long")
+    scored = (
+        tok.join(counts, "t")
+        .crossJoin(F.broadcast(total))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(bits(F.col("n_total")) - bits(F.col("c")))
+            .cast("long")
+            .alias("surprisal_bits"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("surprisal_bits"), F.lit(0))
+            .cast("long")
+            .alias("surprisal_bits"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.expr("surprisal_bits * 1000L div n_tokens"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("milli_bits_per_token"),
+        )
+    )

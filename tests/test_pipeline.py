@@ -877,3 +877,34 @@ def test_substring_dedup_edges(spark):
     assert out[3]["text_clean"] == "short text" and out[3]["n_tokens"] == 2
     # doc 4 shares the 8-token runs of `base` starting at its offset 2
     assert out[4]["text_clean"] == "ten nine" and out[4]["n_dup_tokens"] == 10
+
+
+def test_unigram_surprisal_matches_python(spark):
+    """Differential vs a sequential Python reference of the integer
+    bits-of-surprisal rule, including an empty document."""
+    import random
+
+    from emodb_spark.pipeline.quality import unigram_surprisal
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "rareword"]
+    docs = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 20))))
+        for d in range(30)
+    ]
+    from collections import Counter
+
+    cnt = Counter(t for _, x in docs for t in x.split())
+    N = sum(cnt.values())
+    K = N.bit_length() - 1
+    want = {}
+    for d, x in docs:
+        tk = x.split()
+        sb = sum(K - (cnt[t].bit_length() - 1) for t in tk)
+        want[d] = (len(tk), sb, sb * 1000 // len(tk) if tk else 0)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["surprisal_bits"], r["milli_bits_per_token"])
+        for r in unigram_surprisal(df).collect()
+    }
+    assert got == want
