@@ -2996,6 +2996,60 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index term statistics: doc_freq, total occurrences, and
+    the globally first posting per distinct term (emodb_spark.pipeline.
+    text.inverted_index)."""
+    from emodb_spark.pipeline.text import inverted_index
+
+    docs = _read(spark, sf_dir, "documents")
+    return inverted_index(docs)
+
+
+ORACLE_INVERTED_INDEX = r"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+), tokx AS (
+  SELECT doc_id, tk, unnest(generate_series(0, len(tk) - 1)) AS pos FROM base
+), tok AS (
+  SELECT doc_id, pos, tk[pos + 1] AS term FROM tokx
+)
+SELECT term,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+       CAST(COUNT(*) AS BIGINT) AS total_occ,
+       CAST(MIN(doc_id * 1000000 + pos) // 1000000 AS BIGINT) AS first_doc_id,
+       CAST(MIN(doc_id * 1000000 + pos) % 1000000 AS BIGINT) AS first_pos
+FROM tok GROUP BY term
+"""
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact consecutive-token phrase match ('table scan') — zero-shuffle
+    scan-only array-lambda (emodb_spark.pipeline.text.phrase_search)."""
+    from emodb_spark.pipeline.text import phrase_search
+
+    docs = _read(spark, sf_dir, "documents")
+    return phrase_search(docs, "table scan")
+
+
+ORACLE_PHRASE_SEARCH = r"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+), w AS (
+  SELECT doc_id, tk, unnest(generate_series(0, len(tk) - 2)) AS p
+  FROM base WHERE len(tk) >= 2
+), m AS (
+  SELECT doc_id, p FROM w WHERE tk[p + 1] = 'table' AND tk[p + 2] = 'scan'
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(MIN(p) AS BIGINT) AS first_pos
+FROM m GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3013,6 +3067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # lead; multi-round-green veterans absorb any tail truncation.
         "substring_dedup": q_substring_dedup,
         "unigram_surprisal": q_unigram_surprisal,
+        "inverted_index": q_inverted_index,
+        "phrase_search": q_phrase_search,
         "paragraph_dedup": q_paragraph_dedup,
         "quality_classifier": q_quality_classifier,
         "collocations": q_collocations,
@@ -3100,6 +3156,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "substring_dedup": ORACLE_SUBSTRING_DEDUP,
         "unigram_surprisal": ORACLE_UNIGRAM_SURPRISAL,
+        "inverted_index": ORACLE_INVERTED_INDEX,
+        "phrase_search": ORACLE_PHRASE_SEARCH,
         "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
         "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
         "collocations": ORACLE_COLLOCATIONS,

@@ -484,3 +484,95 @@ def strip_markup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         F.length(t).alias("n_chars_before"),
         F.length(cleaned).alias("n_chars_after"),
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    with_postings: bool = False,
+) -> DataFrame:
+    """Inverted-index construction: one row per distinct term with its
+    document frequency, total occurrence count, and the globally first
+    posting (smallest ``(doc, pos)``). With ``with_postings`` the full
+    position-sorted posting list ``array<struct<id,pos>>`` is attached —
+    the search-index building block (the reference's scan API has no
+    text-index analog; this is a training-corpus extension).
+
+    Scale shape: one token explode, one groupBy(term) with map-side
+    partial aggregation — a stopword appearing a billion times combines
+    before the exchange for the scalar stats. ``with_postings`` opts into
+    the one genuinely heavy reduction (collect_list of postings), which
+    is bounded per term by posting-list length, the same cost any search
+    indexer pays; leave it off for stats-only uses.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+    )
+    aggs = [
+        F.countDistinct("id").cast("long").alias("doc_freq"),
+        F.count(F.lit(1)).cast("long").alias("total_occ"),
+        F.min(F.struct("id", "pos")).alias("first"),
+    ]
+    if with_postings:
+        aggs.append(
+            F.array_sort(F.collect_list(F.struct("id", "pos"))).alias("postings")
+        )
+    out = tok.groupBy("term").agg(*aggs)
+    cols = [
+        F.col("term"),
+        F.col("doc_freq"),
+        F.col("total_occ"),
+        F.col("first.id").alias("first_doc_id"),
+        F.col("first.pos").cast("long").alias("first_pos"),
+    ]
+    if with_postings:
+        cols.append(F.col("postings"))
+    return out.select(*cols)
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact consecutive-token phrase match: returns
+    ``(id, n_matches, first_pos)`` for every document containing the
+    phrase at least once.
+
+    Scale shape: ZERO shuffles — the phrase terms are literals folded
+    into a per-row array-lambda over the token array (whole-stage
+    codegen), so this is a pure scan + filter; Parquet column pruning
+    reads only (id, text). The posting-list spelling (n-way self-join of
+    the inverted index) would shuffle |postings| rows per term — only
+    worth it with a pre-materialized index, which ``inverted_index(
+    with_postings=True)`` provides.
+    """
+    words = phrase.split()
+    n = len(words)
+    if n == 0:
+        raise ValueError("empty phrase")
+    tk = tokens(F.col(text_col))
+    match_at = lambda p: F.forall(
+        F.sequence(F.lit(0), F.lit(n - 1)),
+        lambda i: F.element_at(tk, (p + i + 1).cast("int"))
+        == F.element_at(F.array(*[F.lit(w) for w in words]), (i + 1).cast("int")),
+    )
+    starts = F.when(
+        F.size(tk) >= n,
+        F.filter(F.sequence(F.lit(0), F.size(tk) - n), match_at),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            starts.alias("__starts"),
+        )
+        .where(F.size("__starts") > 0)
+        .select(
+            F.col("id").alias(id_col),
+            F.size("__starts").cast("long").alias("n_matches"),
+            F.element_at("__starts", 1).cast("long").alias("first_pos"),
+        )
+    )

@@ -908,3 +908,20 @@ def test_unigram_surprisal_matches_python(spark):
         for r in unigram_surprisal(df).collect()
     }
     assert got == want
+
+
+def test_inverted_index_and_phrase_search(spark):
+    from emodb_spark.pipeline.text import inverted_index, phrase_search
+
+    docs = [(1, "a b c a b"), (2, "b c d"), (3, "x y"), (4, "a b a b a b")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    hits = {r["doc_id"]: (r["n_matches"], r["first_pos"])
+            for r in phrase_search(df, "a b").collect()}
+    assert hits == {1: (2, 0), 4: (3, 0)}
+    assert phrase_search(df, "c d").collect()[0]["doc_id"] == 2
+    idx = {r["term"]: r for r in inverted_index(df).collect()}
+    assert idx["b"]["doc_freq"] == 3 and idx["b"]["total_occ"] == 6
+    assert (idx["d"]["first_doc_id"], idx["d"]["first_pos"]) == (2, 2)
+    post = {r["term"]: r["postings"]
+            for r in inverted_index(df, with_postings=True).collect()}
+    assert [(p["id"], p["pos"]) for p in post["c"]] == [(1, 2), (2, 1)]

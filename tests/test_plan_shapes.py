@@ -303,3 +303,26 @@ def test_strip_markup_zero_shuffle(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = plan_of(strip_markup(docs))
     assert "Exchange" not in plan
+
+
+def test_phrase_search_has_no_exchange(spark, sf_dir):
+    """phrase_search is a pure scan: the phrase literals fold into an
+    array-lambda in codegen — zero shuffles, columns pruned to (id,text)
+    (SCALE.md row)."""
+    from emodb_spark.pipeline.text import phrase_search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(phrase_search(docs, "table scan"))
+    assert "Exchange" not in plan
+    assert "lang" not in plan.split("ReadSchema")[-1]
+
+
+def test_substring_dedup_no_cartesian(spark, sf_dir):
+    """Window-winner join is a keyed equijoin on the digest — no
+    NestedLoop/Cartesian anywhere (SCALE.md row)."""
+    from emodb_spark.pipeline.dedup import substring_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(substring_dedup(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
