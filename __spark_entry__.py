@@ -3050,6 +3050,86 @@ FROM m GROUP BY doc_id
 """
 
 
+def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank (3 iterations, 85% damping) over the
+    winnowing-fingerprint overlap graph — every engine computes identical
+    longs because contributions use integer division (emodb_spark.
+    pipeline.graph.integer_pagerank)."""
+    from emodb_spark.pipeline.dedup import fingerprint_overlap_pairs
+    from emodb_spark.pipeline.graph import integer_pagerank
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = fingerprint_overlap_pairs(
+        docs, k=8, window=4, min_shared=2, max_fp_docs=5
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    return integer_pagerank(edges, iterations=3).select(
+        F.col("id").alias("doc_id"), "degree", "pagerank"
+    )
+
+
+ORACLE_DOC_PAGERANK = """
+WITH base AS (
+  SELECT doc_id AS id,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+  FROM documents
+), positions AS (
+  SELECT id, t, unnest(generate_series(1, greatest(len(t) - 7, 1))) AS i
+  FROM base
+), hashed AS (
+  SELECT id, (i - 1) // 4 AS bucket,
+         CAST(('0x' || substr(md5(substr(t, i, 8)), 1, 15)) AS BIGINT) AS h
+  FROM positions
+), fps AS (
+  SELECT DISTINCT id, fp FROM (
+    SELECT id, bucket, MIN(h) AS fp FROM hashed GROUP BY id, bucket
+  )
+), ok AS (
+  SELECT fp FROM (SELECT fp, COUNT(*) AS n FROM fps GROUP BY 1) WHERE n <= 5
+), kept AS (
+  SELECT fps.id, fps.fp FROM fps JOIN ok USING (fp)
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM kept a JOIN kept b USING (fp)
+  WHERE a.id < b.id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+), e AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), deg AS (
+  SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS degree FROM e GROUP BY src
+), r0 AS (
+  SELECT id, degree, CAST(1000000000000 AS BIGINT) AS rank FROM deg
+), s1 AS (
+  SELECT e.dst AS id, CAST(SUM(r0.rank // r0.degree) AS BIGINT) AS s
+  FROM e JOIN r0 ON e.src = r0.id GROUP BY e.dst
+), r1 AS (
+  SELECT d.id, d.degree,
+         CAST(150000000000 + (85 * COALESCE(s1.s, 0)) // 100 AS BIGINT) AS rank
+  FROM deg d LEFT JOIN s1 USING (id)
+), s2 AS (
+  SELECT e.dst AS id, CAST(SUM(r1.rank // r1.degree) AS BIGINT) AS s
+  FROM e JOIN r1 ON e.src = r1.id GROUP BY e.dst
+), r2 AS (
+  SELECT d.id, d.degree,
+         CAST(150000000000 + (85 * COALESCE(s2.s, 0)) // 100 AS BIGINT) AS rank
+  FROM deg d LEFT JOIN s2 USING (id)
+), s3 AS (
+  SELECT e.dst AS id, CAST(SUM(r2.rank // r2.degree) AS BIGINT) AS s
+  FROM e JOIN r2 ON e.src = r2.id GROUP BY e.dst
+), r3 AS (
+  SELECT d.id, d.degree,
+         CAST(150000000000 + (85 * COALESCE(s3.s, 0)) // 100 AS BIGINT) AS rank
+  FROM deg d LEFT JOIN s3 USING (id)
+)
+SELECT id AS doc_id, degree, rank AS pagerank FROM r3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3069,6 +3149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_surprisal": q_unigram_surprisal,
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
+        "doc_pagerank": q_doc_pagerank,
         "paragraph_dedup": q_paragraph_dedup,
         "quality_classifier": q_quality_classifier,
         "collocations": q_collocations,
@@ -3158,6 +3239,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_surprisal": ORACLE_UNIGRAM_SURPRISAL,
         "inverted_index": ORACLE_INVERTED_INDEX,
         "phrase_search": ORACLE_PHRASE_SEARCH,
+        "doc_pagerank": ORACLE_DOC_PAGERANK,
         "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
         "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
         "collocations": ORACLE_COLLOCATIONS,

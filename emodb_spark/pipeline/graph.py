@@ -1,0 +1,88 @@
+"""Graph analytics over corpus-derived edges.
+
+The near-dup stack already builds document graphs (shared fingerprints,
+LSH buckets — dedup.py); this module ranks inside them. PageRank here is
+**fixed-point integer** arithmetic: ranks are scaled longs, per-edge
+contributions use integer division, and the damping blend is
+``(85 * s) div 100`` — so every engine (Spark, DuckDB, a sequential
+Python loop) computes bit-identical values and the result is
+oracle-checkable exactly, unlike float PageRank whose sum order changes
+the low bits. The deliberate cost is a tiny rank-mass leak per division
+(rounds toward zero), identical everywhere.
+
+Reference has no graph analog (its tables are row stores —
+sor/api/DataStore.java scan surface); this is a training-data extension:
+rank duplicates clusters by centrality, weight crawl sources, etc.
+
+Scale shape (SCALE.md "graph" rows): edges are repartitioned by ``src``
+once and reused across iterations; each iteration is one keyed join
+(rank table onto edges, skew handled by AQE) + one groupBy(dst) with
+map-side partial sums + one left join back onto the static node/degree
+table. No driver state — convergence is fixed-iteration by design (the
+usual 100 TB practice: a bounded number of supersteps, not a fixpoint
+test per round).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**12
+
+
+def integer_pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = SCALE,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list (pass both
+    directions for an undirected graph). Nodes are the union of
+    endpoints; every rank starts at ``scale`` and updates as
+
+        rank'(v) = (100-d)% * scale  +  (d * sum_{u->v} rank(u) div deg(u)) div 100
+
+    with ALL arithmetic on longs. Returns ``(id, degree, pagerank)``.
+
+    Dangling nodes (no out-edges) simply leak their mass, matching the
+    "remove dangling mass" PageRank variant — on the undirected graphs
+    the dedup stack produces, every node has out-degree >= 1.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    deg = e.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .join(deg, "id", "left")
+        .withColumn("degree", F.coalesce(F.col("degree"), F.lit(0)).cast("long"))
+        .persist()
+    )
+    base = scale * (100 - damping_pct) // 100
+    ranked = nodes.withColumn("pagerank", F.lit(scale).cast("long"))
+    for _ in range(iterations):
+        contrib = ranked.where(F.col("degree") > 0).select(
+            F.col("id").alias("src"),
+            F.expr("pagerank div degree").alias("c"),
+        )
+        inc = (
+            e.join(contrib, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("c").cast("long").alias("s"))
+        )
+        ranked = nodes.join(inc, "id", "left").select(
+            "id",
+            "degree",
+            (
+                F.lit(base).cast("long")
+                + F.expr(
+                    f"({damping_pct} * coalesce(s, 0L)) div 100"
+                )
+            ).cast("long").alias("pagerank"),
+        )
+    return ranked

@@ -925,3 +925,59 @@ def test_inverted_index_and_phrase_search(spark):
     post = {r["term"]: r["postings"]
             for r in inverted_index(df, with_postings=True).collect()}
     assert [(p["id"], p["pos"]) for p in post["c"]] == [(1, 2), (2, 1)]
+
+
+def test_integer_pagerank_matches_python(spark):
+    """Differential vs a sequential integer PageRank on random graphs —
+    values must be bit-identical (fixed-point arithmetic, no floats)."""
+    import collections
+    import random
+
+    from emodb_spark.pipeline.graph import integer_pagerank
+
+    def ref_pr(pairs, iters=3, scale=10**12):
+        e = set()
+        for a, b in pairs:
+            e.add((a, b))
+            e.add((b, a))
+        nodes = sorted({x for p in e for x in p})
+        deg = collections.Counter(s for s, _ in e)
+        r = {n: scale for n in nodes}
+        base = scale * 15 // 100
+        for _ in range(iters):
+            inc = collections.defaultdict(int)
+            for s, d in e:
+                inc[d] += r[s] // deg[s]
+            r = {n: base + (85 * inc[n]) // 100 for n in nodes}
+        return {n: (deg[n], r[n]) for n in nodes}
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        pairs = {(rng.randint(0, 25), rng.randint(0, 25)) for _ in range(50)}
+        pairs = [(a, b) for a, b in pairs if a != b]
+        want = ref_pr(pairs)
+        rows = pairs + [(b, a) for a, b in pairs]
+        df = spark.createDataFrame(rows, "src long, dst long")
+        got = {
+            r["id"]: (r["degree"], r["pagerank"])
+            for r in integer_pagerank(df).collect()
+        }
+        assert got == want, f"seed {seed}"
+
+
+def test_integer_pagerank_dangling_and_star(spark):
+    """A directed star a->b,c->b: b is a sink (dangling, keeps base rank
+    contribution only as source of nothing); hub ranks exceed leaf ranks
+    on an undirected star."""
+    from emodb_spark.pipeline.graph import integer_pagerank
+
+    # undirected star: hub 0 with leaves 1..4
+    rows = [(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)]
+    df = spark.createDataFrame(rows, "src long, dst long")
+    out = {r["id"]: r for r in integer_pagerank(df).collect()}
+    assert out[0]["degree"] == 4
+    assert all(out[0]["pagerank"] > out[i]["pagerank"] for i in range(1, 5))
+    # directed-only edge: sink node appears with degree 0
+    d2 = spark.createDataFrame([(1, 2)], "src long, dst long")
+    o2 = {r["id"]: r for r in integer_pagerank(d2).collect()}
+    assert o2[2]["degree"] == 0 and o2[2]["pagerank"] > o2[1]["pagerank"]

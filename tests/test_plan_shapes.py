@@ -326,3 +326,16 @@ def test_substring_dedup_no_cartesian(spark, sf_dir):
     plan = plan_of(substring_dedup(docs))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_iterations_are_keyed_joins(spark):
+    """Each superstep is a keyed equijoin + partial-agg groupBy — no
+    NestedLoop/Cartesian in the 3-iteration plan (SCALE.md row)."""
+    from emodb_spark.pipeline.graph import integer_pagerank
+
+    df = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 1)], "src long, dst long"
+    )
+    plan = plan_of(integer_pagerank(df))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
