@@ -73,6 +73,11 @@ BENCH_QUERIES = [
     "semantic_dedup",        # cell-scoped exact-cosine near-dups
     "strip_markup",          # HTML/markdown cleaning (zero shuffle)
     "dataset_report",        # dataset-card rollup (one Expand aggregate)
+    "substring_dedup",       # exact-substring span removal (rolling windows)
+    "unigram_surprisal",     # integer-exact unigram-LM perplexity filter
+    "inverted_index",        # term stats index (one explode + groupBy)
+    "phrase_search",         # consecutive-token match (zero shuffle)
+    "doc_pagerank",          # fixed-point PageRank (3 supersteps)
 ]
 
 

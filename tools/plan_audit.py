@@ -33,6 +33,8 @@ BNLJ_OK = {
     "ann_ivf_kmeans",       # coarse-quantizer assignment fan-out
     "collocations",         # 1-row corpus-total broadcast onto the
                             # (min_count-filtered) pair table
+    "unigram_surprisal",    # 1-row corpus-total broadcast onto the
+                            # token stream (LM normalizer)
     "dataset_report",       # 1-row corpus-total broadcast onto the
                             # rollup aggregate output
 }
