@@ -3130,6 +3130,68 @@ SELECT id AS doc_id, degree, rank AS pagerank FROM r3
 """
 
 
+def q_event_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling features (ordinal, 7-row moving sum, delta vs
+    previous) — cents fixed-point, one shared window exchange
+    (emodb_spark.pipeline.events.rolling_features)."""
+    from emodb_spark.pipeline.events import rolling_features
+
+    ev = _events_ts_us(spark, sf_dir)
+    return rolling_features(ev)
+
+
+ORACLE_EVENT_ROLLING = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT user_id, event_id, ts_us, cents,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS cum_n,
+       CAST(SUM(cents) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS move_sum,
+       CAST(COALESCE(cents - LAG(cents, 1) OVER w, 0) AS BIGINT) AS delta_prev
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+"""
+
+
+def q_event_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type least-squares value-vs-time trend with exact integer
+    moment sums; the slope is the single IEEE division
+    (emodb_spark.pipeline.events.linear_trend)."""
+    from emodb_spark.pipeline.events import linear_trend
+
+    ev = _events_ts_us(spark, sf_dir)
+    return linear_trend(ev)
+
+
+ORACLE_EVENT_TREND = """
+WITH e AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS x,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y
+  FROM events
+), g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sum_x,
+         CAST(SUM(y) AS BIGINT) AS sum_y,
+         CAST(SUM(x * x) AS BIGINT) AS sum_xx,
+         CAST(SUM(x * y) AS BIGINT) AS sum_xy
+  FROM e GROUP BY event_type
+)
+SELECT event_type, n, sum_x, sum_y,
+       CAST(n * sum_xy - sum_x * sum_y AS BIGINT) AS sxy,
+       CAST(n * sum_xx - sum_x * sum_x AS BIGINT) AS sxx,
+       CASE WHEN n * sum_xx - sum_x * sum_x <> 0
+            THEN CAST(n * sum_xy - sum_x * sum_y AS DOUBLE)
+                 / CAST(n * sum_xx - sum_x * sum_x AS DOUBLE)
+            ELSE 0.0 END AS slope_cents_per_day
+FROM g
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3150,6 +3212,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
         "doc_pagerank": q_doc_pagerank,
+        "event_rolling": q_event_rolling,
+        "event_trend": q_event_trend,
         "paragraph_dedup": q_paragraph_dedup,
         "quality_classifier": q_quality_classifier,
         "collocations": q_collocations,
@@ -3240,6 +3304,8 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": ORACLE_INVERTED_INDEX,
         "phrase_search": ORACLE_PHRASE_SEARCH,
         "doc_pagerank": ORACLE_DOC_PAGERANK,
+        "event_rolling": ORACLE_EVENT_ROLLING,
+        "event_trend": ORACLE_EVENT_TREND,
         "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
         "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
         "collocations": ORACLE_COLLOCATIONS,

@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "inverted_index",        # term stats index (one explode + groupBy)
     "phrase_search",         # consecutive-token match (zero shuffle)
     "doc_pagerank",          # fixed-point PageRank (3 supersteps)
+    "event_rolling",         # per-user rolling features (one exchange)
+    "event_trend",           # exact-moment least-squares trend
 ]
 
 

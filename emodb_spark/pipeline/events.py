@@ -547,3 +547,103 @@ def sessions_to_documents(
             ).alias("text"),
         )
     )
+
+
+def rolling_features(
+    df: DataFrame,
+    user_col: str = "user_id",
+    order_col: str = "event_id",
+    ts_col: str = "ts_us",
+    value_col: str = "value",
+    window_rows: int = 7,
+) -> DataFrame:
+    """Per-entity rolling time-series features: cumulative event ordinal,
+    a trailing ``window_rows``-row moving sum, and the delta vs the
+    previous event — the standard feature-engineering windows for
+    behavioral models.
+
+    Integer-exact across engines: the value is first fixed-pointed to
+    cents via ``floor(value*100 + 0.5)`` (one IEEE multiply+add on the
+    identical input double — bit-identical everywhere — then an exact
+    floor), and every window aggregate after that is long arithmetic.
+    ``delta_prev`` is 0 for the first event (COALESCE keeps the column
+    int64 — a NULL long would surface as float64 in Arrow/pandas and
+    break hash-level comparison).
+
+    Scale shape: ONE exchange — all three windows share the same
+    ``(user, ts, order)`` partitioning and sort, so Catalyst plans a
+    single shuffle + a single sort feeding three frame computations.
+    Rows-frame windows stream in O(window_rows) memory per partition.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(order_col))
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    return (
+        df.withColumn("cents", cents)
+        .select(
+            F.col(user_col),
+            F.col(order_col),
+            F.col(ts_col),
+            F.col("cents"),
+            F.row_number().over(w).cast("long").alias("cum_n"),
+            F.sum("cents")
+            .over(w.rowsBetween(-(window_rows - 1), 0))
+            .cast("long")
+            .alias("move_sum"),
+            F.coalesce(
+                F.col("cents") - F.lag("cents", 1).over(w), F.lit(0)
+            )
+            .cast("long")
+            .alias("delta_prev"),
+        )
+    )
+
+
+def linear_trend(
+    df: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts_us",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-group least-squares trend of value-vs-time with EXACT integer
+    moment sums: x is the epoch day (``ts_us div 86400e6``), y is cents
+    (fixed-pointed as in :func:`rolling_features`), and the slope's
+    numerator/denominator
+
+        sxy = n*Σxy − Σx·Σy        sxx = n*Σx² − (Σx)²
+
+    are plain long arithmetic — engine-bit-identical. ``slope_cents_per_day``
+    is the ONE IEEE division sxy/sxx (correctly rounded from exact longs,
+    so also engine-identical — same policy as the collocations PMI).
+    At 100 TB the products approach int64 range: swap the sums to
+    DECIMAL(38,0) (documented bound: n·Σxy ≤ 9.2e18 holds to ~2e6 rows
+    per group at this value range).
+
+    Scale shape: one partial-agg groupBy — five sums and a count combine
+    map-side; no second pass, no window, no broadcast.
+    """
+    x = F.expr(f"{ts_col} div 86400000000").cast("long")
+    y = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    g = (
+        df.select(F.col(group_col), x.alias("x"), y.alias("y"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sum_x"),
+            F.sum("y").cast("long").alias("sum_y"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sum_xx"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sum_xy"),
+        )
+    )
+    sxy = F.col("n") * F.col("sum_xy") - F.col("sum_x") * F.col("sum_y")
+    sxx = F.col("n") * F.col("sum_xx") - F.col("sum_x") * F.col("sum_x")
+    return g.select(
+        group_col,
+        "n",
+        "sum_x",
+        "sum_y",
+        sxy.cast("long").alias("sxy"),
+        sxx.cast("long").alias("sxx"),
+        F.when(sxx != 0, sxy.cast("double") / sxx.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("slope_cents_per_day"),
+    )

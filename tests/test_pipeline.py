@@ -981,3 +981,53 @@ def test_integer_pagerank_dangling_and_star(spark):
     d2 = spark.createDataFrame([(1, 2)], "src long, dst long")
     o2 = {r["id"]: r for r in integer_pagerank(d2).collect()}
     assert o2[2]["degree"] == 0 and o2[2]["pagerank"] > o2[1]["pagerank"]
+
+
+def test_rolling_features_matches_python(spark):
+    import random
+
+    from emodb_spark.pipeline.events import rolling_features
+
+    rng = random.Random(3)
+    rows = [
+        (u, i, rng.randint(0, 10**7), round(rng.uniform(0, 500), 2))
+        for i, u in enumerate(rng.choices(range(5), k=200))
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts_us long, value double")
+    got = {
+        (r["user_id"], r["event_id"]): (r["cents"], r["cum_n"], r["move_sum"], r["delta_prev"])
+        for r in rolling_features(df, window_rows=3).collect()
+    }
+    import collections, math
+    series = collections.defaultdict(list)
+    for u, i, t, v in rows:
+        series[u].append((t, i, math.floor(v * 100 + 0.5)))
+    want = {}
+    for u, evs in series.items():
+        evs.sort()
+        for k, (t, i, c) in enumerate(evs):
+            ms = sum(x[2] for x in evs[max(0, k - 2) : k + 1])
+            dp = c - evs[k - 1][2] if k else 0
+            want[(u, i)] = (c, k + 1, ms, dp)
+    assert got == want
+
+
+def test_linear_trend_exact_moments(spark):
+    from emodb_spark.pipeline.events import linear_trend
+
+    day = 86400000000
+    rows = [
+        ("a", 0 * day, 1.00), ("a", 1 * day, 2.00), ("a", 2 * day, 3.00),
+        ("b", 0 * day, 5.00), ("b", 1 * day, 5.00),
+        ("c", 3 * day, 7.25),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts_us long, value double")
+    out = {r["event_type"]: r for r in linear_trend(df).collect()}
+    # a: perfect slope of 100 cents/day
+    assert out["a"]["sxy"] == 600 and out["a"]["sxx"] == 6
+    assert out["a"]["slope_cents_per_day"] == 100.0
+    # b: flat
+    assert out["b"]["sxy"] == 0 and out["b"]["slope_cents_per_day"] == 0.0
+    # c: single point -> sxx == 0 -> slope 0 by convention
+    assert out["c"]["sxx"] == 0 and out["c"]["slope_cents_per_day"] == 0.0
+    assert out["c"]["sum_y"] == 725

@@ -339,3 +339,16 @@ def test_pagerank_iterations_are_keyed_joins(spark):
     plan = plan_of(integer_pagerank(df))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rolling_features_single_exchange(spark):
+    """All three window frames share one (user, ts, order) partitioning —
+    exactly one Exchange in the plan (SCALE.md row)."""
+    from emodb_spark.pipeline.events import rolling_features
+
+    df = spark.createDataFrame(
+        [(1, 1, 10, 1.0), (1, 2, 20, 2.0), (2, 3, 5, 3.0)],
+        "user_id long, event_id long, ts_us long, value double",
+    )
+    tree = plan_of(rolling_features(df)).split("\n\n")[0]  # tree only
+    assert tree.count("Exchange") == 1, tree
