@@ -3192,6 +3192,98 @@ FROM g
 """
 
 
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: LEFT SEMI join — orders with at least one late-shipped
+    lineitem, counted per priority. The semi join shuffles only the
+    distinct matching keys; no lineitem columns survive the probe."""
+    orders = _read(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+ORACLE_ORDER_PRIORITY = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def q_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: LEFT OUTER join + double aggregation — the
+    orders-per-customer distribution INCLUDING zero-order customers
+    (the outer side preserves them; the anti-join cohort lands in
+    c_count=0)."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+ORACLE_CUSTOMER_ORDERS = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) GROUP BY c_count
+"""
+
+
+def q_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type 3-sigma outliers with zero floating point — the z-score
+    inequality cross-multiplied into exact long arithmetic
+    (emodb_spark.pipeline.events.exact_outliers)."""
+    from emodb_spark.pipeline.events import exact_outliers
+
+    ev = _read(spark, sf_dir, "events")
+    return exact_outliers(ev, sigmas=3)
+
+
+ORACLE_EVENT_ANOMALIES = """
+WITH v AS (
+  SELECT event_id, event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS sum_x,
+         CAST(SUM(cents * cents) AS BIGINT) AS sum_xx
+  FROM v GROUP BY event_type
+)
+SELECT v.event_id, v.event_type, v.cents,
+       CAST((s.n * v.cents - s.sum_x) * (s.n * v.cents - s.sum_x) AS BIGINT)
+         AS dev2,
+       CAST(9 * (s.n * s.sum_xx - s.sum_x * s.sum_x) AS BIGINT) AS bound
+FROM v JOIN s USING (event_type)
+WHERE (s.n * v.cents - s.sum_x) * (s.n * v.cents - s.sum_x)
+      > 9 * (s.n * s.sum_xx - s.sum_x * s.sum_x)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3214,6 +3306,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pagerank": q_doc_pagerank,
         "event_rolling": q_event_rolling,
         "event_trend": q_event_trend,
+        "order_priority": q_order_priority,
+        "customer_orders": q_customer_orders,
+        "event_anomalies": q_event_anomalies,
         "paragraph_dedup": q_paragraph_dedup,
         "quality_classifier": q_quality_classifier,
         "collocations": q_collocations,
@@ -3306,6 +3401,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_pagerank": ORACLE_DOC_PAGERANK,
         "event_rolling": ORACLE_EVENT_ROLLING,
         "event_trend": ORACLE_EVENT_TREND,
+        "order_priority": ORACLE_ORDER_PRIORITY,
+        "customer_orders": ORACLE_CUSTOMER_ORDERS,
+        "event_anomalies": ORACLE_EVENT_ANOMALIES,
         "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
         "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
         "collocations": ORACLE_COLLOCATIONS,

@@ -80,6 +80,9 @@ BENCH_QUERIES = [
     "doc_pagerank",          # fixed-point PageRank (3 supersteps)
     "event_rolling",         # per-user rolling features (one exchange)
     "event_trend",           # exact-moment least-squares trend
+    "order_priority",        # Q4 shape: correlated left-semi join
+    "customer_orders",       # Q13 shape: outer join + double aggregation
+    "event_anomalies",       # integer-exact 3-sigma outlier flags
 ]
 
 

@@ -647,3 +647,59 @@ def linear_trend(
         .otherwise(F.lit(0.0))
         .alias("slope_cents_per_day"),
     )
+
+
+def exact_outliers(
+    df: DataFrame,
+    group_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    sigmas: int = 3,
+) -> DataFrame:
+    """Per-group z-score outlier flags with ZERO floating point: an event
+    is flagged when ``|x - mean| > sigmas * stddev`` — restated over
+    cents integers as
+
+        (n*x - sum_x)^2  >  sigmas^2 * (n*sum_xx - sum_x^2)
+
+    (multiply both sides by n^2: exact long arithmetic, engine-bit-
+    identical — the usual float z-score differs in the last bit across
+    engines and partitionings). Returns only the flagged rows:
+    ``(id, group, cents, dev2, bound)`` with the two comparison sides
+    exposed for auditing.
+
+    Scale shape: one partial-agg groupBy for the per-group moments (3
+    sums), then the tiny stats table joins back (AQE broadcasts it) and
+    the flag is evaluated inside codegen — the corpus is scanned twice
+    or once-with-cache but never shuffled. Overflow bound: n*x and
+    n*sum_xx must fit int64 — holds to ~3e4 rows/group at cents ≤ 6e4;
+    swap the sums to DECIMAL(38,0) past that (same policy as
+    linear_trend).
+    """
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    vals = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        cents.alias("cents"),
+    )
+    stats = vals.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sum_x"),
+        F.sum(F.col("cents") * F.col("cents")).cast("long").alias("sum_xx"),
+    )
+    dev = F.col("n") * F.col("cents") - F.col("sum_x")
+    dev2 = dev * dev
+    bound = F.lit(sigmas * sigmas) * (
+        F.col("n") * F.col("sum_xx") - F.col("sum_x") * F.col("sum_x")
+    )
+    return (
+        vals.join(stats, "grp")
+        .where(dev2 > bound)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("grp").alias(group_col),
+            F.col("cents"),
+            dev2.cast("long").alias("dev2"),
+            bound.cast("long").alias("bound"),
+        )
+    )

@@ -1031,3 +1031,31 @@ def test_linear_trend_exact_moments(spark):
     # c: single point -> sxx == 0 -> slope 0 by convention
     assert out["c"]["sxx"] == 0 and out["c"]["slope_cents_per_day"] == 0.0
     assert out["c"]["sum_y"] == 725
+
+
+def test_exact_outliers_matches_python(spark):
+    import math
+    import random
+    from collections import defaultdict
+
+    from emodb_spark.pipeline.events import exact_outliers
+
+    rng = random.Random(11)
+    rows = [
+        (i, rng.choice(["a", "b"]), round(rng.expovariate(1 / 50.0), 2))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    got = {r["event_id"] for r in exact_outliers(df, sigmas=3).collect()}
+    groups = defaultdict(list)
+    for i, g, v in rows:
+        groups[g].append((i, math.floor(v * 100 + 0.5)))
+    want = set()
+    for g, vs in groups.items():
+        n = len(vs)
+        sx = sum(c for _, c in vs)
+        sxx = sum(c * c for _, c in vs)
+        for i, c in vs:
+            if (n * c - sx) ** 2 > 9 * (n * sxx - sx * sx):
+                want.add(i)
+    assert got == want and got

@@ -352,3 +352,27 @@ def test_rolling_features_single_exchange(spark):
     )
     tree = plan_of(rolling_features(df)).split("\n\n")[0]  # tree only
     assert tree.count("Exchange") == 1, tree
+
+
+def test_order_priority_is_semi_join(spark, sf_dir):
+    """Q4 shape must plan a LEFT SEMI hash join — lineitem columns never
+    survive the probe, and no lineitem rows are re-shuffled after it."""
+    import __spark_entry__ as entrymod
+
+    plan = plan_of(entrymod.q_order_priority(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_exact_outliers_broadcasts_stats(spark):
+    """The per-group moment table is tiny — it must broadcast back onto
+    the event stream, never shuffle the events by group."""
+    from emodb_spark.pipeline.events import exact_outliers
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 9.0)],
+        "event_id long, event_type string, value double",
+    )
+    plan = plan_of(exact_outliers(df))
+    assert "BroadcastHashJoin" in plan or "Exchange" in plan  # AQE decides
+    assert "CartesianProduct" not in plan
