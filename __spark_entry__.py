@@ -3284,6 +3284,75 @@ WHERE (s.n * v.cents - s.sum_x) * (s.n * v.cents - s.sum_x)
 """
 
 
+def q_snapshot_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time snapshot read: fold only the change-history prefix
+    at-or-before a tick cutoff between step 2 and step 3 of the j-major
+    synthetic log — state must be exactly 'after the amend, before the
+    conditional price-set' (emodb_spark.spark.resolve_ops.resolve_as_of;
+    reference timeline/read-consistency semantics)."""
+    from emodb_spark.spark.resolve_ops import resolve_as_of
+
+    updates = _updates_from_orders(spark, sf_dir, j_major=True)
+    cutoff = _BASE_TICKS + 2 * 10_000_000_000_000 - 1
+    typed = resolve_as_of(updates, cutoff, doc_schema=_FOLD_DOC_SCHEMA)
+    return typed.select(
+        F.col("`~id`").cast("long").alias("id"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice"),
+        F.col("o_orderpriority"),
+    )
+
+
+ORACLE_SNAPSHOT_AS_OF = """
+SELECT o_orderkey AS id, o_orderstatus,
+       CAST(0.0 AS DOUBLE) AS o_totalprice, o_orderpriority
+FROM orders
+"""
+
+
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-2 fluency filter: conditional bits-of-surprisal per bigram
+    via exact binary-digit counts (emodb_spark.pipeline.quality.
+    bigram_surprisal)."""
+    from emodb_spark.pipeline.quality import bigram_surprisal
+
+    docs = _read(spark, sf_dir, "documents")
+    return bigram_surprisal(docs)
+
+
+ORACLE_BIGRAM_SURPRISAL = r"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+), bgx AS (
+  SELECT doc_id, tk, unnest(generate_series(0, len(tk) - 2)) AS i
+  FROM base WHERE len(tk) >= 2
+), bg AS (
+  SELECT doc_id, tk[i + 1] AS w1, tk[i + 2] AS w2 FROM bgx
+), pair_counts AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2
+), ctx_counts AS (
+  SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM pair_counts GROUP BY w1
+), scored AS (
+  SELECT bg.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM((length(bin(c.c1)) - 1) - (length(bin(p.c2)) - 1)) AS BIGINT)
+           AS sb
+  FROM bg
+  JOIN pair_counts p ON bg.w1 = p.w1 AND bg.w2 = p.w2
+  JOIN ctx_counts c ON bg.w1 = c.w1
+  GROUP BY bg.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_bigrams, 0) AS n_bigrams,
+       COALESCE(s.sb, 0) AS surprisal_bits,
+       CAST(CASE WHEN COALESCE(s.n_bigrams, 0) > 0
+                 THEN (s.sb * 1000) // s.n_bigrams ELSE 0 END AS BIGINT)
+         AS milli_bits_per_bigram
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3309,6 +3378,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority": q_order_priority,
         "customer_orders": q_customer_orders,
         "event_anomalies": q_event_anomalies,
+        "snapshot_as_of": q_snapshot_as_of,
+        "bigram_surprisal": q_bigram_surprisal,
         "paragraph_dedup": q_paragraph_dedup,
         "quality_classifier": q_quality_classifier,
         "collocations": q_collocations,
@@ -3404,6 +3475,8 @@ def oracle_sql() -> dict[str, str]:
         "order_priority": ORACLE_ORDER_PRIORITY,
         "customer_orders": ORACLE_CUSTOMER_ORDERS,
         "event_anomalies": ORACLE_EVENT_ANOMALIES,
+        "snapshot_as_of": ORACLE_SNAPSHOT_AS_OF,
+        "bigram_surprisal": ORACLE_BIGRAM_SURPRISAL,
         "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
         "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
         "collocations": ORACLE_COLLOCATIONS,

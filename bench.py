@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "order_priority",        # Q4 shape: correlated left-semi join
     "customer_orders",       # Q13 shape: outer join + double aggregation
     "event_anomalies",       # integer-exact 3-sigma outlier flags
+    "snapshot_as_of",        # point-in-time prefix fold (time travel)
+    "bigram_surprisal",      # conditional bits-of-surprisal (order-2 LM)
 ]
 
 

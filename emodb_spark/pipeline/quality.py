@@ -195,3 +195,77 @@ def unigram_surprisal(
             .alias("milli_bits_per_token"),
         )
     )
+
+
+def bigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bigram-conditional surprisal — the order-2 companion to
+    :func:`unigram_surprisal`: each token after the first scores
+    ``floor(log2 c(prev)) - floor(log2 c(prev,cur))`` whole bits (how
+    surprising is this word GIVEN the previous word), again via exact
+    binary-digit counts so every engine agrees bit-for-bit. Documents
+    full of never-seen-together word pairs (shuffled/garbled text) score
+    high; formulaic text scores near zero — the standard KenLM-ish
+    fluency filter restated deterministically.
+
+    Returns ``(id, n_bigrams, surprisal_bits, milli_bits_per_bigram)``.
+
+    Scale shape: ONE bigram explode (JVM ``transform`` over the token
+    array) feeds the pair counts, the unigram-context counts (an
+    aggregation of the same stream — no second scan of the corpus), and
+    the scoring join; both count joins are keyed equijoins with map-side
+    partials, AQE-broadcast when vocabularies are small.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("tk")
+    )
+    bg = tok.select(
+        "id",
+        F.explode(
+            F.when(
+                F.size("tk") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("tk") - 2),
+                    lambda i: F.struct(
+                        F.element_at(F.col("tk"), (i + 1).cast("int")).alias("w1"),
+                        F.element_at(F.col("tk"), (i + 2).cast("int")).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array()),
+        ).alias("b"),
+    ).select("id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    pair_counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    ctx_counts = pair_counts.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    bits = lambda col: (F.length(F.conv(col.cast("string"), 10, 2)) - 1).cast("long")
+    scored = (
+        bg.join(pair_counts, ["w1", "w2"])
+        .join(ctx_counts, "w1")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(bits(F.col("c1")) - bits(F.col("c2")))
+            .cast("long")
+            .alias("surprisal_bits"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(F.col("surprisal_bits"), F.lit(0))
+            .cast("long")
+            .alias("surprisal_bits"),
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.expr("surprisal_bits * 1000L div n_bigrams"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("milli_bits_per_bigram"),
+        )
+    )

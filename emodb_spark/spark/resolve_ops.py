@@ -185,6 +185,31 @@ def resolve(updates: DataFrame, include_deletes: bool = True) -> DataFrame:
     return out
 
 
+def resolve_as_of(
+    updates: DataFrame,
+    as_of_ticks: int,
+    include_deletes: bool = True,
+    doc_schema: "Optional[T.StructType]" = None,
+) -> DataFrame:
+    """Point-in-time snapshot read: fold ONLY the change-history prefix
+    at-or-before ``as_of_ticks`` (60-bit UUID-epoch 100ns ticks). The
+    reference reads any timestamp by folding the delta prefix — timeline
+    semantics (sor DefaultDataStore.getTimeline / sor.markdown
+    read-consistency); this is the same fold behind a time predicate.
+
+    Scale shape: the cutoff is a codegen filter on the ticks expression
+    BEFORE the fold's one (tbl,key) shuffle — with the log laid out
+    time-partitioned (SCALE.md update-log layout), partition pruning
+    skips every file newer than the cutoff, so a snapshot far in the
+    past reads a prefix of the log, not all of it."""
+    cut = updates.where(
+        change_id_ticks(F.col("change_id")) <= F.lit(int(as_of_ticks))
+    )
+    if doc_schema is not None:
+        return resolve_typed(cut, doc_schema, include_deletes=include_deletes)
+    return resolve(cut, include_deletes)
+
+
 def _changes_rows(tbl: str, key: str, group: pd.DataFrame, presorted: bool = True) -> list:
     from ..core.resolver import Resolver
     from ..core.timeuuid import uuid_sort_key

@@ -1059,3 +1059,41 @@ def test_exact_outliers_matches_python(spark):
             if (n * c - sx) ** 2 > 9 * (n * sxx - sx * sx):
                 want.add(i)
     assert got == want and got
+
+
+def test_bigram_surprisal_matches_python(spark):
+    import random
+    from collections import Counter
+
+    from emodb_spark.pipeline.quality import bigram_surprisal
+
+    rng = random.Random(5)
+    vocab = ["a", "b", "c", "d"]
+    docs = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 15))))
+        for d in range(25)
+    ]
+    pairs = Counter()
+    for _, x in docs:
+        tk = x.split()
+        pairs.update(zip(tk, tk[1:]))
+    ctx = Counter()
+    for (w1, _), c in pairs.items():
+        ctx[w1] += c
+    want = {}
+    for d, x in docs:
+        tk = x.split()
+        bs = [
+            (ctx[w1].bit_length() - 1) - (pairs[(w1, w2)].bit_length() - 1)
+            for w1, w2 in zip(tk, tk[1:])
+        ]
+        n = len(bs)
+        sb = sum(bs)
+        want[d] = (n, sb, sb * 1000 // n if n else 0)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["surprisal_bits"], r["milli_bits_per_bigram"])
+        for r in bigram_surprisal(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+    }
+    assert got == want

@@ -117,3 +117,40 @@ def test_change_id_millis(spark):
     df = spark.createDataFrame([(cid,)], "change_id string")
     got = df.select(change_id_millis(F.col("change_id")).alias("ms")).collect()[0]["ms"]
     assert got == 1700000000000
+
+
+def test_resolve_as_of_prefix_fold(spark):
+    """A tick cutoff folds exactly the history prefix: before-all is
+    empty, mid-history shows intermediate state, after-all equals the
+    full resolve."""
+    import json
+
+    from emodb_spark.core.timeuuid import TimeUUIDGenerator
+    from emodb_spark.spark.resolve_ops import (
+        UPDATES_SCHEMA,
+        change_id_ticks,
+        resolve,
+        resolve_as_of,
+    )
+    from pyspark.sql import functions as F
+
+    gen = TimeUUIDGenerator(node=7, start_millis=1700000000000)
+    ids = [gen.next() for _ in range(3)]
+    log = spark.createDataFrame(
+        [
+            ("t", "k", ids[0], '{"v":1}', []),
+            ("t", "k", ids[1], '{..,"v":2}', []),
+            ("t", "k", ids[2], '{..,"v":3,"w":9}', []),
+        ],
+        UPDATES_SCHEMA,
+    )
+    ticks = [
+        r[0]
+        for r in log.select(change_id_ticks(F.col("change_id"))).collect()
+    ]
+    assert resolve_as_of(log, min(ticks) - 1).count() == 0
+    mid = resolve_as_of(log, sorted(ticks)[1]).collect()
+    assert json.loads(mid[0]["content"]) == {"v": 2}
+    full = resolve_as_of(log, max(ticks)).collect()
+    assert json.loads(full[0]["content"]) == {"v": 3, "w": 9}
+    assert full[0]["content"] == resolve(log).collect()[0]["content"]
