@@ -3353,6 +3353,90 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 
 
+def q_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: the 6-way join — lineitem enriched through orders →
+    customer → nation and supplier → nation, cross-nation revenue matrix.
+    Both nation dims are explicit broadcasts; supplier is AQE's call;
+    the only real shuffle is the final (cust_nation, supp_nation) agg."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    cn = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    sn = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,2)") - _dec("l_discount")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(cn, cust.c_nationkey == F.col("cn_key"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(sn, supp.s_nationkey == F.col("sn_key"))
+        .where(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+ORACLE_NATION_TRADE = """
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+            AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE cn.n_name <> sn.n_name
+GROUP BY 1, 2
+"""
+
+
+def q_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON property extraction: pull props.k out of the
+    free-form JSON column in codegen (get_json_object — no UDF, no
+    pre-parse pass) and aggregate per event type."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").cast("long").alias("n_with_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )
+
+
+ORACLE_EVENT_PROPS = """
+SELECT event_type,
+       CAST(COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS n_with_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3380,6 +3464,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_anomalies": q_event_anomalies,
         "snapshot_as_of": q_snapshot_as_of,
         "bigram_surprisal": q_bigram_surprisal,
+        "nation_trade": q_nation_trade,
+        "event_props": q_event_props,
         "paragraph_dedup": q_paragraph_dedup,
         "quality_classifier": q_quality_classifier,
         "collocations": q_collocations,
@@ -3477,6 +3563,8 @@ def oracle_sql() -> dict[str, str]:
         "event_anomalies": ORACLE_EVENT_ANOMALIES,
         "snapshot_as_of": ORACLE_SNAPSHOT_AS_OF,
         "bigram_surprisal": ORACLE_BIGRAM_SURPRISAL,
+        "nation_trade": ORACLE_NATION_TRADE,
+        "event_props": ORACLE_EVENT_PROPS,
         "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
         "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
         "collocations": ORACLE_COLLOCATIONS,

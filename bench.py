@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "event_anomalies",       # integer-exact 3-sigma outlier flags
     "snapshot_as_of",        # point-in-time prefix fold (time travel)
     "bigram_surprisal",      # conditional bits-of-surprisal (order-2 LM)
+    "nation_trade",          # Q7 shape: 6-way join, broadcast dims
+    "event_props",           # schema-on-read JSON extraction in codegen
 ]
 
 

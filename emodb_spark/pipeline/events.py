@@ -703,3 +703,67 @@ def exact_outliers(
             bound.cast("long").alias("bound"),
         )
     )
+
+
+def exact_outliers_stream(
+    events_stream: DataFrame,
+    stats: DataFrame,
+    group_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    sigmas: int = 3,
+) -> DataFrame:
+    """Streaming anomaly scoring via a STREAM-STATIC join: live events
+    join the pre-computed per-group moment table (``stats`` — the
+    ``(grp, n, sum_x, sum_xx)`` output shape of :func:`exact_outliers`'s
+    aggregation, trained on a historical corpus) and the same
+    cross-multiplied integer inequality flags outliers row-by-row. The
+    static side broadcasts; no watermark or state is needed — scoring is
+    stateless per event, so this works in append mode with zero state
+    store.
+
+    Parity contract (tested): the flagged set equals the batch filter
+    using the same stats table.
+    """
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    vals = events_stream.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        cents.alias("cents"),
+    )
+    dev = F.col("n") * F.col("cents") - F.col("sum_x")
+    dev2 = dev * dev
+    bound = F.lit(sigmas * sigmas) * (
+        F.col("n") * F.col("sum_xx") - F.col("sum_x") * F.col("sum_x")
+    )
+    return (
+        vals.join(F.broadcast(stats), "grp")
+        .where(dev2 > bound)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("grp").alias(group_col),
+            F.col("cents"),
+            dev2.cast("long").alias("dev2"),
+            bound.cast("long").alias("bound"),
+        )
+    )
+
+
+def group_moments(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """The per-group integer moment table ``(grp, n, sum_x, sum_xx)``
+    that :func:`exact_outliers_stream` scores against — split out so a
+    nightly batch can train it and the live stream can reuse it."""
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    return (
+        df.select(F.col(group_col).alias("grp"), cents.alias("cents"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("sum_x"),
+            F.sum(F.col("cents") * F.col("cents")).cast("long").alias("sum_xx"),
+        )
+    )

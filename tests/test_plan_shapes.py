@@ -376,3 +376,13 @@ def test_exact_outliers_broadcasts_stats(spark):
     plan = plan_of(exact_outliers(df))
     assert "BroadcastHashJoin" in plan or "Exchange" in plan  # AQE decides
     assert "CartesianProduct" not in plan
+
+
+def test_nation_trade_broadcasts_dims(spark, sf_dir):
+    """Q7 shape: both nation dims broadcast; no cartesian anywhere in
+    the 6-way join."""
+    import __spark_entry__ as entrymod
+
+    plan = plan_of(entrymod.q_nation_trade(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan

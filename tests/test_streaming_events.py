@@ -329,3 +329,36 @@ def test_streaming_paragraph_dedup_matches_batch_key_set(spark, sf_dir, tmp_path
     assert got.count() == got_keys.count()  # exactly one exemplar per key
     assert got_keys.count() == batch_keys.count()
     assert got_keys.exceptAll(batch_keys).count() == 0
+
+
+def test_streaming_outlier_scoring_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static join parity: scoring the replayed event stream
+    against a batch-trained moment table flags exactly the rows the
+    batch filter flags with the same stats."""
+    from emodb_spark.pipeline.events import exact_outliers_stream, group_moments
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    stats = group_moments(ev)
+    src = str(tmp_path / "score_incoming")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sink = _run_to_sink(exact_outliers_stream(stream, stats), tmp_path, "score")
+    got = {
+        (r["event_id"], r["cents"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    vals = ev.select("event_id", F.col("event_type").alias("grp"), cents.alias("cents"))
+    j = vals.join(stats, "grp")
+    dev = F.col("n") * F.col("cents") - F.col("sum_x")
+    want = {
+        (r["event_id"], r["cents"])
+        for r in j.where(
+            dev * dev > 9 * (F.col("n") * F.col("sum_xx") - F.col("sum_x") * F.col("sum_x"))
+        ).collect()
+    }
+    assert got == want and got
