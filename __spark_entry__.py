@@ -3437,6 +3437,106 @@ FROM events GROUP BY event_type
 """
 
 
+def q_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained curation: keep the most-fluent documents
+    (lowest unigram surprisal) until a 16k-token budget is exhausted —
+    priority order encoded into one integer key, running total via the
+    packing prefix-sum (no single-task window)
+    (emodb_spark.pipeline.curation.token_budget_sample)."""
+    from emodb_spark.pipeline.curation import token_budget_sample
+    from emodb_spark.pipeline.quality import unigram_surprisal
+
+    docs = _read(spark, sf_dir, "documents")
+    scored = unigram_surprisal(docs).withColumn(
+        "__ord",
+        F.col("milli_bits_per_token") * F.lit(10**9) + F.col("doc_id"),
+    )
+    kept = token_budget_sample(scored, budget=16000)
+    return kept.select(
+        "doc_id", "n_tokens", "milli_bits_per_token",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+    )
+
+
+ORACLE_BUDGET_SAMPLE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+  FROM documents
+), counts AS (
+  SELECT t, COUNT(*) AS c FROM tok GROUP BY t
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM counts
+), scored AS (
+  SELECT tok.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM((length(bin(n_total)) - 1) - (length(bin(c)) - 1)) AS BIGINT)
+           AS sb
+  FROM tok JOIN counts USING (t) CROSS JOIN tot
+  GROUP BY tok.doc_id
+), u AS (
+  SELECT d.doc_id,
+         COALESCE(s.n_tokens, 0) AS n_tokens,
+         CAST(CASE WHEN COALESCE(s.n_tokens, 0) > 0
+                   THEN (s.sb * 1000) // s.n_tokens ELSE 0 END AS BIGINT)
+           AS milli_bits_per_token
+  FROM documents d LEFT JOIN scored s USING (doc_id)
+), ordered AS (
+  SELECT doc_id, n_tokens, milli_bits_per_token,
+         CAST(SUM(n_tokens) OVER (
+           ORDER BY milli_bits_per_token, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_tokens
+  FROM u
+)
+SELECT doc_id, n_tokens, milli_bits_per_token, cum_tokens
+FROM ordered WHERE cum_tokens <= 16000
+"""
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization in long form — zero-shuffle
+    codegen; floor(127*x/max_abs + 0.5) on double-widened floats is
+    engine-bit-identical (emodb_spark.pipeline.similarity.
+    quantize_embeddings)."""
+    from emodb_spark.pipeline.similarity import quantize_embeddings
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb)
+
+
+ORACLE_EMBEDDING_QUANTIZE = r"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+           AS max_abs
+  FROM embeddings
+), ex AS (
+  SELECT vec_id, max_abs, embedding,
+         unnest(generate_series(0, len(embedding) - 1)) AS dim
+  FROM base
+)
+SELECT vec_id,
+       CAST(dim AS BIGINT) AS dim,
+       CAST(CASE WHEN max_abs > 0
+                 THEN FLOOR(127.0 * CAST(embedding[dim + 1] AS DOUBLE)
+                            / max_abs + 0.5)
+                 ELSE 0 END AS BIGINT) AS q,
+       max_abs
+FROM ex
+"""
+
+
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal (Arrow-batched mapInPandas;
+    DEFLATE has no SQL analog — rows-only gate, differential-tested
+    against direct zlib) (emodb_spark.pipeline.text.compression_signal)."""
+    from emodb_spark.pipeline.text import compression_signal
+
+    docs = _read(spark, sf_dir, "documents")
+    return compression_signal(docs)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3466,6 +3566,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_surprisal": q_bigram_surprisal,
         "nation_trade": q_nation_trade,
         "event_props": q_event_props,
+        "budget_sample": q_budget_sample,
+        "embedding_quantize": q_embedding_quantize,
+        "compression_ratio": q_compression_ratio,
         "paragraph_dedup": q_paragraph_dedup,
         "quality_classifier": q_quality_classifier,
         "collocations": q_collocations,
@@ -3565,6 +3668,10 @@ def oracle_sql() -> dict[str, str]:
         "bigram_surprisal": ORACLE_BIGRAM_SURPRISAL,
         "nation_trade": ORACLE_NATION_TRADE,
         "event_props": ORACLE_EVENT_PROPS,
+        "budget_sample": ORACLE_BUDGET_SAMPLE,
+        "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
+        # compression_ratio: rows-only by design (zlib has no SQL analog;
+        # differential-tested vs direct zlib in tests/test_pipeline.py)
         "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,
         "quality_classifier": ORACLE_QUALITY_CLASSIFIER,
         "collocations": ORACLE_COLLOCATIONS,

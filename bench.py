@@ -87,6 +87,9 @@ BENCH_QUERIES = [
     "bigram_surprisal",      # conditional bits-of-surprisal (order-2 LM)
     "nation_trade",          # Q7 shape: 6-way join, broadcast dims
     "event_props",           # schema-on-read JSON extraction in codegen
+    "budget_sample",         # token-budget curation (prefix-sum cut)
+    "embedding_quantize",    # int8 quantization (zero shuffle)
+    "compression_ratio",     # zlib signal (Arrow-batched mapInPandas)
 ]
 
 

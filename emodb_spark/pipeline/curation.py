@@ -347,3 +347,31 @@ def sample_k_per_group(
         .filter(F.col("sample_rank") <= k)
         .drop("__h")
     )
+
+
+def token_budget_sample(
+    scored: DataFrame,
+    budget: int,
+    value_col: str = "n_tokens",
+    order_col: str = "__ord",
+    out_col: str = "cum_tokens",
+) -> DataFrame:
+    """Budget-constrained corpus selection: walk documents in priority
+    order (ascending ``order_col`` — encode 'best first' into the key)
+    and keep every document while the running token total stays within
+    ``budget``. This is the 'trim the corpus to N tokens, best first'
+    step every training mixture ends with — expressed as the two-level
+    parallel prefix sum from packing (range repartition + per-partition
+    windows + O(partitions) driver offsets), so there is NO single-task
+    global window at any size.
+
+    ``order_col`` must be unique (it defines the total order); the
+    cut is ``cum_tokens <= budget`` — inclusive prefix, so the first
+    document that would overflow the budget is dropped.
+    """
+    from .packing import global_running_total
+
+    ranked = global_running_total(
+        scored, value_col, order_col, out_col=out_col
+    )
+    return ranked.where(F.col(out_col) <= F.lit(int(budget)))

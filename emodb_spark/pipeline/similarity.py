@@ -442,3 +442,55 @@ def semantic_near_dups(
     return cand.filter(cos >= F.lit(threshold)).select(
         "id_a", "id_b", "cell", F.round(cos, 8).alias("cosine")
     )
+
+
+def quantize_embeddings(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the memory-compression
+    step in front of large ANN indexes (4x smaller vectors, dot products
+    in integer SIMD). Each component maps to
+
+        q_i = floor(127 * x_i / max_abs + 0.5)   (0 for the zero vector)
+
+    with x widened to double FIRST on both engines, so the two IEEE ops
+    and the exact floor give bit-identical integers everywhere.
+
+    Returns the exploded long-form table ``(id, dim, q, max_abs)`` —
+    integer q in [-127, 127], the per-vector scale alongside for
+    dequantization. Long form keeps the oracle comparison scalar (array
+    columns hash unreliably across engines).
+
+    Scale shape: zero shuffles — max_abs, the transform, and the
+    posexplode all run inside one codegen stage over the scan.
+    """
+    x = F.col("x").cast("double")
+    m = F.array_max(
+        F.transform(F.col(vec_col), lambda v: F.abs(v.cast("double")))
+    )
+    return (
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col),
+            m.alias("max_abs"),
+        )
+        .select(
+            "id",
+            "max_abs",
+            F.posexplode(F.col(vec_col)).alias("dim", "x"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("dim").cast("long").alias("dim"),
+            F.when(
+                F.col("max_abs") > 0,
+                F.floor(F.lit(127.0) * x / F.col("max_abs") + F.lit(0.5)),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("q"),
+            F.col("max_abs"),
+        )
+    )

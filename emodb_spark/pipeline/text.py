@@ -576,3 +576,52 @@ def phrase_search(
             F.element_at("__starts", 1).cast("long").alias("first_pos"),
         )
     )
+
+
+def compression_signal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """zlib compression-ratio quality signal — highly compressible text
+    is repetitive boilerplate, incompressible text is noise/binary
+    garbage; training pipelines band-pass on this ratio (RedPajama-v2
+    'ccnet + quality signals' style). Computed with an Arrow-batched
+    ``mapInPandas`` (the sanctioned Python path — per-batch ndarray in,
+    no per-row UDF): DEFLATE has no SQL analog, so this operator is a
+    rows-only gate with a differential test against direct ``zlib``
+    instead of a DuckDB oracle.
+
+    Returns ``(id, n_bytes, n_compressed, ratio_ppm)`` where ratio_ppm =
+    compressed*1_000_000 div raw (integer; 0 for empty docs).
+
+    Scale shape: zero shuffles — one mapInPandas over the scan,
+    projection pruned to (id, text); deterministic for a fixed zlib
+    version+level (pin both in a real deployment)."""
+    import pandas as pd
+
+    lvl = int(level)
+    schema = (
+        f"{id_col} long, n_bytes long, n_compressed long, ratio_ppm long"
+    )
+
+    def _batches(it):
+        import zlib
+
+        for pdf in it:
+            raw = pdf[text_col].fillna("").str.encode("utf-8")
+            nb = raw.str.len().astype("int64")
+            nc = raw.map(lambda b: len(zlib.compress(b, lvl))).astype("int64")
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "n_bytes": nb,
+                    "n_compressed": nc,
+                    "ratio_ppm": (nc * 1_000_000 // nb.clip(lower=1)).where(
+                        nb > 0, 0
+                    ).astype("int64"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(_batches, schema)

@@ -1097,3 +1097,76 @@ def test_bigram_surprisal_matches_python(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_compression_signal_matches_zlib(spark):
+    import zlib
+
+    from emodb_spark.pipeline.text import compression_signal
+
+    docs = [
+        (1, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, ""),
+        (4, "x1z9 q8w2 m4n7 v3b6 k5j0 h2g8 f7d1 s9a4"),
+    ]
+    out = {r["doc_id"]: r for r in compression_signal(
+        spark.createDataFrame(docs, "doc_id long, text string")).collect()}
+    for d, t in docs:
+        raw = t.encode("utf-8")
+        nc = len(zlib.compress(raw, 6))
+        assert out[d]["n_bytes"] == len(raw)
+        assert out[d]["n_compressed"] == nc
+        assert out[d]["ratio_ppm"] == (nc * 1_000_000 // len(raw) if raw else 0)
+    # repetitive text compresses much better than random-ish text
+    assert out[1]["ratio_ppm"] < out[4]["ratio_ppm"]
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    from emodb_spark.pipeline.similarity import quantize_embeddings
+
+    vecs = [
+        (0, [1.0, -0.5, 0.25, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),   # zero vector -> all q == 0
+        (2, [-2.0, 2.0, 1.0, -1.0]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    rows = quantize_embeddings(emb).collect()
+    out = {(r["vec_id"], r["dim"]): r for r in rows}
+    assert out[(0, 0)]["q"] == 127 and out[(0, 1)]["q"] == -63
+    assert all(out[(1, d)]["q"] == 0 for d in range(4))
+    assert out[(2, 0)]["q"] == -127 and out[(2, 2)]["q"] == 64
+    # dequantization error bounded by scale/254 per component
+    for (vid, d), r in out.items():
+        x = vecs[vid][1][d]
+        if r["max_abs"] > 0:
+            assert abs(r["q"] * r["max_abs"] / 127.0 - x) <= r["max_abs"] / 253.0
+
+
+def test_token_budget_sample_prefix_property(spark):
+    """Kept set is exactly the maximal prefix of the priority order whose
+    cumulative weight fits the budget — verified against a sequential
+    scan, across multiple partitioning layouts."""
+    import random
+
+    from emodb_spark.pipeline.curation import token_budget_sample
+
+    rng = random.Random(9)
+    rows = [(i, rng.randint(1, 50), rng.randint(0, 999)) for i in range(300)]
+    want = []
+    acc = 0
+    for i, w, _ in sorted(rows, key=lambda r: r[0]):
+        if acc + w <= 3000:
+            acc += w
+            want.append(i)
+        else:
+            break
+    for parts in (1, 4, 16):
+        df = spark.createDataFrame(
+            rows, "__ord long, n_tokens long, noise long"
+        ).repartition(parts)
+        got = [
+            r["__ord"]
+            for r in token_budget_sample(df, budget=3000).collect()
+        ]
+        assert sorted(got) == want, parts
