@@ -3537,6 +3537,110 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_signal(docs)
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-ordered (compact-forward) triangle counting over the
+    fingerprint-overlap graph — O(m^1.5) wedge bound, all-integer,
+    engine-exact (emodb_spark.pipeline.graph.triangle_counts)."""
+    from emodb_spark.pipeline.dedup import fingerprint_overlap_pairs
+    from emodb_spark.pipeline.graph import triangle_counts
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = fingerprint_overlap_pairs(
+        docs, k=8, window=4, min_shared=2, max_fp_docs=5
+    )
+    return triangle_counts(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    ).select(F.col("id").alias("doc_id"), "degree", "triangles")
+
+
+ORACLE_GRAPH_TRIANGLES = """
+WITH base AS (
+  SELECT doc_id AS id,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+  FROM documents
+), positions AS (
+  SELECT id, t, unnest(generate_series(1, greatest(len(t) - 7, 1))) AS i
+  FROM base
+), hashed AS (
+  SELECT id, (i - 1) // 4 AS bucket,
+         CAST(('0x' || substr(md5(substr(t, i, 8)), 1, 15)) AS BIGINT) AS h
+  FROM positions
+), fps AS (
+  SELECT DISTINCT id, fp FROM (
+    SELECT id, bucket, MIN(h) AS fp FROM hashed GROUP BY id, bucket
+  )
+), ok AS (
+  SELECT fp FROM (SELECT fp, COUNT(*) AS n FROM fps GROUP BY 1) WHERE n <= 5
+), kept AS (
+  SELECT fps.id, fps.fp FROM fps JOIN ok USING (fp)
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM kept a JOIN kept b USING (fp)
+  WHERE a.id < b.id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+), und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+), deg AS (
+  SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS degree FROM und GROUP BY a
+), oriented AS (
+  SELECT u.a, u.b FROM und u
+  JOIN deg da ON u.a = da.id
+  JOIN deg db ON u.b = db.id
+  WHERE da.degree < db.degree
+     OR (da.degree = db.degree AND u.a < u.b)
+), wedges AS (
+  SELECT o1.a AS w, o1.b AS u, o2.b AS v
+  FROM oriented o1 JOIN oriented o2 ON o1.a = o2.a
+  WHERE o1.b < o2.b
+), closing AS (
+  SELECT a AS u, b AS v FROM und WHERE a < b
+), tris AS (
+  SELECT w, u, v FROM wedges JOIN closing USING (u, v)
+), per_node AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS t FROM (
+    SELECT w AS id FROM tris
+    UNION ALL SELECT u AS id FROM tris
+    UNION ALL SELECT v AS id FROM tris
+  ) GROUP BY id
+)
+SELECT d.id AS doc_id, d.degree,
+       CAST(COALESCE(p.t, 0) AS BIGINT) AS triangles
+FROM deg d LEFT JOIN per_node p ON d.id = p.id
+"""
+
+
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle + round-robin shard
+    assignment — global rank via the packing prefix sum, never a
+    single-task window (emodb_spark.pipeline.curation.training_shards)."""
+    from emodb_spark.pipeline.curation import training_shards
+
+    docs = _read(spark, sf_dir, "documents")
+    return training_shards(docs, n_shards=8)
+
+
+ORACLE_TRAINING_SHARDS = """
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 10))
+              AS BIGINT) AS h40
+  FROM documents
+), r AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY h40, doc_id % 1048576) AS BIGINT)
+           AS rk
+  FROM h
+)
+SELECT doc_id,
+       CAST((rk - 1) % 8 AS BIGINT) AS shard,
+       CAST((rk - 1) // 8 + 1 AS BIGINT) AS rank_in_shard
+FROM r
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3569,6 +3673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_sample": q_budget_sample,
         "embedding_quantize": q_embedding_quantize,
         "compression_ratio": q_compression_ratio,
+        "graph_triangles": q_graph_triangles,
+        "training_shards": q_training_shards,
         "paragraph_dedup": q_paragraph_dedup,
         "quality_classifier": q_quality_classifier,
         "collocations": q_collocations,
@@ -3670,6 +3776,8 @@ def oracle_sql() -> dict[str, str]:
         "event_props": ORACLE_EVENT_PROPS,
         "budget_sample": ORACLE_BUDGET_SAMPLE,
         "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
+        "graph_triangles": ORACLE_GRAPH_TRIANGLES,
+        "training_shards": ORACLE_TRAINING_SHARDS,
         # compression_ratio: rows-only by design (zlib has no SQL analog;
         # differential-tested vs direct zlib in tests/test_pipeline.py)
         "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,

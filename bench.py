@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "budget_sample",         # token-budget curation (prefix-sum cut)
     "embedding_quantize",    # int8 quantization (zero shuffle)
     "compression_ratio",     # zlib signal (Arrow-batched mapInPandas)
+    "graph_triangles",       # degree-ordered triangle counting
+    "training_shards",       # deterministic global shuffle + sharding
 ]
 
 

@@ -375,3 +375,51 @@ def token_budget_sample(
         scored, value_col, order_col, out_col=out_col
     )
     return ranked.where(F.col(out_col) <= F.lit(int(budget)))
+
+
+def training_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: str = "shard",
+) -> DataFrame:
+    """Deterministic global training-order shuffle + round-robin shard
+    assignment — the final step of every corpus pipeline: documents get
+    a pseudo-random but RE-RUNNABLE order (md5 of the id under a seed
+    label, like every sampler here — no RNG state, identical on rerun
+    and on any partitioning), then interleave round-robin into
+    ``n_shards`` output shards so each shard is an unbiased slice.
+
+    Returns ``(id, shard, rank_in_shard)`` (0-based shard, 1-based rank).
+
+    Scale shape: the global rank is the packing two-level prefix sum
+    over the 60-bit order key (range repartition + per-partition window
+    + O(partitions) driver offsets) — NO single-task global window, the
+    trap a plain row_number() spelling falls into. The shard id is then
+    pure codegen arithmetic.
+    """
+    from .packing import global_running_total
+
+    h40 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        (h40 * F.lit(1 << 20) + F.pmod(F.col(id_col), F.lit(1 << 20)))
+        .cast("long")
+        .alias("__ord"),
+    ).withColumn("__one", F.lit(1).cast("long"))
+    ranked = global_running_total(keyed, "__one", "__ord", out_col="__rank")
+    return ranked.select(
+        F.col("id").alias(id_col),
+        ((F.col("__rank") - 1) % F.lit(n_shards)).cast("long").alias("shard"),
+        (F.expr(f"(__rank - 1) div {int(n_shards)}") + F.lit(1))
+        .cast("long")
+        .alias("rank_in_shard"),
+    )

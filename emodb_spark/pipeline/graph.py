@@ -86,3 +86,70 @@ def integer_pagerank(
             ).cast("long").alias("pagerank"),
         )
     return ranked
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected simple graph (pass
+    either or both edge directions; the operator canonicalizes). The
+    classic compact-forward / degree-ordered join: orient every edge
+    from the lower-(degree, id) endpoint to the higher, join oriented
+    edges on the shared middle vertex to enumerate each wedge once, then
+    probe the oriented edge set — every triangle is found EXACTLY once.
+
+    Returns ``(id, degree, triangles)`` for every node with >= 1 edge.
+
+    Scale shape: the degree orientation bounds the wedge join — a
+    hub of degree d contributes wedges only through its
+    lower-degree-ordered out-edges (O(m^1.5) total wedges, the
+    theoretical bound), so a celebrity node never explodes the join.
+    Three keyed equijoins + one groupBy; all integer; no floats anywhere
+    so counts are engine-exact.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = und.groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    # orient each edge toward the (degree, id)-larger endpoint
+    da = deg.select(F.col("id").alias("a"), F.col("degree").alias("da"))
+    db = deg.select(F.col("id").alias("b"), F.col("degree").alias("db"))
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .where(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+        )
+        .select("a", "b")
+    )
+    # wedges through the low vertex, then probe the oriented edges
+    o1 = oriented.select(F.col("a").alias("w"), F.col("b").alias("u"))
+    o2 = oriented.select(F.col("a").alias("w"), F.col("b").alias("v"))
+    wedges = o1.join(o2, "w").where(F.col("u") < F.col("v"))
+    closing = oriented.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).union(
+        oriented.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    ).where(F.col("u") < F.col("v")).distinct()
+    tris = wedges.join(closing, ["u", "v"]).select("w", "u", "v")
+    per_node = (
+        tris.select(F.explode(F.array("w", "u", "v")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )
+    return (
+        deg.join(per_node, "id", "left")
+        .select(
+            "id",
+            "degree",
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+        )
+    )

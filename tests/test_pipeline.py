@@ -1170,3 +1170,55 @@ def test_token_budget_sample_prefix_property(spark):
             for r in token_budget_sample(df, budget=3000).collect()
         ]
         assert sorted(got) == want, parts
+
+
+def test_triangle_counts_matches_bruteforce(spark):
+    import itertools
+    import random
+
+    from emodb_spark.pipeline.graph import triangle_counts
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        n = 14
+        pairs = {
+            (a, b)
+            for a in range(n)
+            for b in range(a + 1, n)
+            if rng.random() < 0.35
+        }
+        adj = {i: set() for i in range(n)}
+        for a, b in pairs:
+            adj[a].add(b)
+            adj[b].add(a)
+        want = {}
+        for i in range(n):
+            if not adj[i]:
+                continue
+            t = sum(
+                1
+                for x, y in itertools.combinations(sorted(adj[i]), 2)
+                if y in adj[x]
+            )
+            want[i] = (len(adj[i]), t)
+        df = spark.createDataFrame(list(pairs), "src long, dst long")
+        got = {
+            r["id"]: (r["degree"], r["triangles"])
+            for r in triangle_counts(df).collect()
+        }
+        assert got == want, f"seed {seed}"
+
+
+def test_training_shards_balanced_and_deterministic(spark):
+    from emodb_spark.pipeline.curation import training_shards
+
+    df = spark.createDataFrame([(i,) for i in range(800)], "doc_id long")
+    a = training_shards(df, n_shards=8).collect()
+    b = training_shards(df.repartition(13), n_shards=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # layout-independent
+    from collections import Counter
+
+    sizes = Counter(r["shard"] for r in a)
+    assert set(sizes) == set(range(8)) and max(sizes.values()) - min(sizes.values()) <= 1
+    ranks = Counter((r["shard"], r["rank_in_shard"]) for r in a)
+    assert max(ranks.values()) == 1  # rank unique within shard
