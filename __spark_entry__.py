@@ -3641,6 +3641,110 @@ FROM r
 """
 
 
+def q_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE DAG with per-stage retention
+    accounting: raw → Gopher quality filter → exact dedup (first
+    occurrence per normalized fingerprint) → 16k-token budget cut.
+    Returns (stage, n_docs, n_tokens) — the funnel every dataset card
+    reports. Composes gopher_filter, the exact-dedup winner rule, and
+    token_budget_sample end to end (each stage is itself oracle-checked
+    standalone)."""
+    from emodb_spark.pipeline.curation import token_budget_sample
+    from emodb_spark.pipeline.dedup import normalize
+    from emodb_spark.pipeline.quality import gopher_filter
+
+    docs = _read(spark, sf_dir, "documents")
+    sig = gopher_filter(docs).select("doc_id", "n_tokens", "keep")
+    q = sig.where(F.col("keep"))
+    keyed = q.join(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id", "n_tokens", F.md5(normalize(F.col("text"))).alias("f")
+    )
+    winners = keyed.groupBy("f").agg(F.min("doc_id").alias("w"))
+    dd = (
+        keyed.join(winners, "f")
+        .where(F.col("doc_id") == F.col("w"))
+        .select("doc_id", "n_tokens")
+    )
+    bd = token_budget_sample(
+        dd.withColumn("__ord", F.col("doc_id")), budget=16000
+    ).select("doc_id", "n_tokens")
+
+    def stage(df, name):
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        )
+
+    return (
+        stage(sig, "0_raw")
+        .unionByName(stage(q, "1_quality"))
+        .unionByName(stage(dd, "2_dedup"))
+        .unionByName(stage(bd, "3_budget"))
+    )
+
+
+ORACLE_PIPELINE_FUNNEL = """
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_concat(list_concat(
+    list_transform(w, t -> 'w:' || t),
+    list_transform(generate_series(1, len(w) - 1), i -> '2:' || w[i] || ' ' || w[i+1])),
+    list_transform(generate_series(1, len(w) - 2), i -> '3:' || w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+  )) AS g FROM base
+), counted AS (
+  SELECT doc_id, g, COUNT(*) AS cnt FROM grams GROUP BY doc_id, g
+), per_doc AS (
+  SELECT doc_id,
+    CAST(COALESCE(SUM(cnt) FILTER (WHERE substr(g,1,1) = 'w'), 0) AS BIGINT) AS n_tokens,
+    COALESCE(MAX(cnt) FILTER (WHERE substr(g,1,1) = 'w'), 0) AS max_w,
+    CAST(COALESCE(SUM(cnt) FILTER (WHERE substr(g,1,1) = '2'), 0) AS BIGINT) AS n_2g,
+    COALESCE(MAX(cnt) FILTER (WHERE substr(g,1,1) = '2'), 0) AS max_2g,
+    CAST(COALESCE(SUM(cnt) FILTER (WHERE substr(g,1,1) = '3'), 0) AS BIGINT) AS n_3g,
+    COUNT(*) FILTER (WHERE substr(g,1,1) = '3') AS distinct_3g
+  FROM counted GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, n_tokens,
+    CASE WHEN n_tokens >= 15
+          AND ROUND(CASE WHEN n_tokens > 0 THEN CAST(max_w AS DOUBLE) / n_tokens ELSE CAST(0 AS DOUBLE) END, 6) <= 0.15
+          AND ROUND(CASE WHEN n_2g > 0 THEN CAST(max_2g AS DOUBLE) / n_2g ELSE CAST(0 AS DOUBLE) END, 6) <= 0.20
+          AND ROUND(CASE WHEN n_3g > 0 THEN CAST(n_3g - distinct_3g AS DOUBLE) / n_3g ELSE CAST(0 AS DOUBLE) END, 6) <= 0.35
+         THEN 1 ELSE 0 END AS keep
+  FROM per_doc
+), q AS (
+  SELECT doc_id, n_tokens FROM sig WHERE keep = 1
+), fp AS (
+  SELECT q.doc_id, q.n_tokens,
+         md5(trim(regexp_replace(lower(d.text), '[^a-z0-9]+', ' ', 'g'))) AS f
+  FROM q JOIN documents d USING (doc_id)
+), dd AS (
+  SELECT doc_id, n_tokens FROM (
+    SELECT doc_id, n_tokens, MIN(doc_id) OVER (PARTITION BY f) AS w FROM fp
+  ) WHERE doc_id = w
+), bd AS (
+  SELECT doc_id, n_tokens FROM (
+    SELECT doc_id, n_tokens,
+           SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM dd
+  ) WHERE cum <= 16000
+)
+SELECT '0_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS n_tokens FROM sig
+UNION ALL
+SELECT '1_quality', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM q
+UNION ALL
+SELECT '2_dedup', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM dd
+UNION ALL
+SELECT '3_budget', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) FROM bd
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3675,6 +3779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_ratio": q_compression_ratio,
         "graph_triangles": q_graph_triangles,
         "training_shards": q_training_shards,
+        "pipeline_funnel": q_pipeline_funnel,
         "paragraph_dedup": q_paragraph_dedup,
         "quality_classifier": q_quality_classifier,
         "collocations": q_collocations,
@@ -3778,6 +3883,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
         "graph_triangles": ORACLE_GRAPH_TRIANGLES,
         "training_shards": ORACLE_TRAINING_SHARDS,
+        "pipeline_funnel": ORACLE_PIPELINE_FUNNEL,
         # compression_ratio: rows-only by design (zlib has no SQL analog;
         # differential-tested vs direct zlib in tests/test_pipeline.py)
         "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,

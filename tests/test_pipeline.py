@@ -1222,3 +1222,15 @@ def test_training_shards_balanced_and_deterministic(spark):
     assert set(sizes) == set(range(8)) and max(sizes.values()) - min(sizes.values()) <= 1
     ranks = Counter((r["shard"], r["rank_in_shard"]) for r in a)
     assert max(ranks.values()) == 1  # rank unique within shard
+
+
+def test_pipeline_funnel_monotone(spark, sf_dir):
+    import __spark_entry__ as e
+
+    rows = {r["stage"]: r for r in e.q_pipeline_funnel(spark, sf_dir).collect()}
+    assert list(sorted(rows)) == ["0_raw", "1_quality", "2_dedup", "3_budget"]
+    docs = [rows[s]["n_docs"] for s in sorted(rows)]
+    toks = [rows[s]["n_tokens"] for s in sorted(rows)]
+    assert docs == sorted(docs, reverse=True)  # each stage only removes
+    assert toks == sorted(toks, reverse=True)
+    assert toks[3] <= 16000 and docs[0] > 0
