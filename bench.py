@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "compression_ratio",     # zlib signal (Arrow-batched mapInPandas)
     "graph_triangles",       # degree-ordered triangle counting
     "training_shards",       # deterministic global shuffle + sharding
+    "pipeline_funnel",       # end-to-end curation funnel (one DAG)
 ]
 
 

@@ -386,3 +386,14 @@ def test_nation_trade_broadcasts_dims(spark, sf_dir):
     plan = plan_of(entrymod.q_nation_trade(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_training_shards_no_single_task_window(spark):
+    """The global rank must ride the prefix-sum (range repartition +
+    per-partition-id windows), never one global window task."""
+    from emodb_spark.pipeline.curation import training_shards
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    plan = plan_of(training_shards(df))
+    assert "SPARK_PARTITION_ID" in plan or "__pid" in plan
+    assert "rangepartitioning" in plan.lower()

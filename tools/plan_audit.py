@@ -35,6 +35,8 @@ BNLJ_OK = {
                             # (min_count-filtered) pair table
     "unigram_surprisal",    # 1-row corpus-total broadcast onto the
                             # token stream (LM normalizer)
+    "budget_sample",        # same 1-row LM-total broadcast (composes
+                            # unigram_surprisal for the priority order)
     "dataset_report",       # 1-row corpus-total broadcast onto the
                             # rollup aggregate output
 }
