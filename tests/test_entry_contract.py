@@ -1,0 +1,33 @@
+"""Driver-contract consistency: every declared name resolves, oracles
+map onto declared queries, bench names are declared, and the documented
+rows-only exceptions are exactly the queries without oracles."""
+
+import bench
+import __spark_entry__ as e
+
+
+def test_oracle_keys_subset_of_queries():
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(os_) <= set(qs), set(os_) - set(qs)
+
+
+def test_rows_only_exceptions_documented():
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(qs) - set(os_) == {"bpe_merges", "compression_ratio"}
+
+
+def test_bench_queries_are_declared():
+    qs = e.queries()
+    missing = [n for n in bench.BENCH_QUERIES if n not in qs]
+    assert not missing, missing
+
+
+def test_all_queries_callable_and_unique():
+    qs = e.queries()
+    assert len(qs) == len(set(qs)) >= 100
+    assert all(callable(f) for f in qs.values())
+
+
+def test_oracles_are_nonempty_sql():
+    for name, sql in e.oracle_sql().items():
+        assert isinstance(sql, str) and "SELECT" in sql.upper(), name
