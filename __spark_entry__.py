@@ -3745,6 +3745,114 @@ SELECT '3_budget', CAST(COUNT(*) AS BIGINT),
 """
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k distinct-count sketch per event type — deterministic
+    (keyed md5, no RNG), estimate = (k-1)*2^56 div kth_min on exact
+    longs (emodb_spark.pipeline.sketch.kmv_distinct)."""
+    from emodb_spark.pipeline.sketch import kmv_distinct
+
+    ev = _read(spark, sf_dir, "events")
+    return kmv_distinct(ev, "event_type", "user_id", k=64)
+
+
+ORACLE_KMV_DISTINCT = """
+WITH d AS (
+  SELECT DISTINCT event_type AS grp,
+         CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 14))
+              AS BIGINT) AS h
+  FROM events
+), b AS (
+  SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn FROM d
+), a AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         CAST(MAX(h) AS BIGINT) AS kth_min
+  FROM b WHERE rn <= 64 GROUP BY grp
+)
+SELECT grp AS event_type, n_kept, kth_min,
+       CAST(CASE WHEN n_kept < 64 THEN n_kept
+                 ELSE 4539628424389459968 // kth_min END AS BIGINT)
+         AS est_distinct
+FROM a
+"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user timelines — one
+    window exchange + a 25-group aggregate; ppm shares by integer
+    division (emodb_spark.pipeline.events.event_transitions)."""
+    from emodb_spark.pipeline.events import event_transitions
+
+    ev = _events_ts_us(spark, sf_dir)
+    return event_transitions(ev)
+
+
+ORACLE_EVENT_TRANSITIONS = """
+WITH o AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS to_type
+  FROM events
+), p AS (
+  SELECT event_type AS from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM o WHERE to_type IS NOT NULL GROUP BY 1, 2
+), t AS (
+  SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot FROM p GROUP BY from_type
+)
+SELECT p.from_type, p.to_type, p.n,
+       CAST(p.n * 1000000 // t.tot AS BIGINT) AS ppm
+FROM p JOIN t USING (from_type)
+"""
+
+
+def q_local_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: region-filtered same-nation customer/supplier revenue —
+    region and nation broadcast, the region predicate prunes before the
+    fact joins."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    nation = F.broadcast(_read(spark, sf_dir, "nation"))
+    region = F.broadcast(_read(spark, sf_dir, "region"))
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,2)") - _dec("l_discount")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .where(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+ORACLE_LOCAL_SUPPLY = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+            AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3780,6 +3888,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "training_shards": q_training_shards,
         "pipeline_funnel": q_pipeline_funnel,
+        "kmv_distinct": q_kmv_distinct,
+        "event_transitions": q_event_transitions,
+        "local_supply": q_local_supply,
         "paragraph_dedup": q_paragraph_dedup,
         "quality_classifier": q_quality_classifier,
         "collocations": q_collocations,
@@ -3884,6 +3995,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_triangles": ORACLE_GRAPH_TRIANGLES,
         "training_shards": ORACLE_TRAINING_SHARDS,
         "pipeline_funnel": ORACLE_PIPELINE_FUNNEL,
+        "kmv_distinct": ORACLE_KMV_DISTINCT,
+        "event_transitions": ORACLE_EVENT_TRANSITIONS,
+        "local_supply": ORACLE_LOCAL_SUPPLY,
         # compression_ratio: rows-only by design (zlib has no SQL analog;
         # differential-tested vs direct zlib in tests/test_pipeline.py)
         "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,

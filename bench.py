@@ -93,6 +93,9 @@ BENCH_QUERIES = [
     "graph_triangles",       # degree-ordered triangle counting
     "training_shards",       # deterministic global shuffle + sharding
     "pipeline_funnel",       # end-to-end curation funnel (one DAG)
+    "kmv_distinct",          # deterministic bottom-k cardinality sketch
+    "event_transitions",     # Markov transition matrix (one window)
+    "local_supply",          # Q5 shape: region-filtered broadcast joins
 ]
 
 

@@ -767,3 +767,46 @@ def group_moments(
             F.sum(F.col("cents") * F.col("cents")).cast("long").alias("sum_xx"),
         )
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_us",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: for
+    each ordered pair (from_type, to_type), how often does one follow
+    the other within a user's timeline, and what fraction of the
+    from-type's outgoing transitions is that (ppm — integer division of
+    exact counts, engine-identical). The behavioral-model companion to
+    :func:`funnel`.
+
+    Returns ``(from_type, to_type, n, ppm)``.
+
+    Scale shape: ONE window exchange on the user key (the same
+    (user, ts, order) sort every sequence operator here shares) for the
+    lead(), then a groupBy on the type pair — 25 groups at 5 types —
+    with map-side partials; the per-from totals re-join by broadcast.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(order_col))
+    pairs = (
+        df.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col, 1).over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").cast("long").alias("tot"))
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("n * 1000000L div tot").cast("long").alias("ppm"),
+        )
+    )

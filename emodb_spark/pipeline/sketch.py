@@ -1,0 +1,83 @@
+"""Deterministic mergeable sketches.
+
+Classic sketches (HLL, theta) are randomized; this module uses the KMV
+(k-minimum-values / bottom-k) construction with a KEYED MD5 hash, so the
+sketch — and therefore the estimate — is a pure function of the input
+set: rerun-identical, partitioning-independent, and computable by any
+engine bit-for-bit (the property every oracle gate here depends on).
+Spark's own approx_count_distinct (HLL++) is the drop-in at deployment
+when cross-engine exactness of the ESTIMATE doesn't matter; the KMV
+spelling is the one you can regression-test.
+
+No reference analog (emodb counts exactly — sor getTableApproximateSize
+reads Cassandra estimates); this is a training-pipeline extension for
+cheap cardinality dashboards over 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+HASH_BITS = 56
+HASH_SPACE = 1 << HASH_BITS
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    seed: str = "kmv",
+) -> DataFrame:
+    """Per-group distinct-count estimate from the k smallest 56-bit MD5
+    values of the distinct elements:
+
+        est = (k-1) * 2^56  div  kth_min      (exact when n_distinct < k)
+
+    — the standard KMV estimator with the final division done on exact
+    longs (integer div, engine-identical). Returns
+    ``(group, n_kept, kth_min, est_distinct)``; ``n_kept < k`` means the
+    group was counted exactly.
+
+    Scale shape: one distinct on (group, hash) — map-side partials
+    collapse repeats — then the bottom-k per group. The window spelling
+    here sorts each group's distinct hashes (fine to ~1e6 distinct per
+    group); at 100 TB swap the window for the two-phase bottom-k merge
+    (per-partition k-smallest arrays → array-merge aggregate), which is
+    the same mergeability that makes KMV a sketch. The estimate is
+    unchanged either way — it only reads the k smallest.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(f"{seed}:"), F.col(value_col).cast("string"))
+            ),
+            1,
+            HASH_BITS // 4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    distinct = (
+        df.select(F.col(group_col).alias("grp"), h.alias("h")).distinct()
+    )
+    w = Window.partitionBy("grp").orderBy("h")
+    bottom = distinct.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") <= k
+    )
+    agg = bottom.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.max("h").cast("long").alias("kth_min"),
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept")
+    ).otherwise(F.expr(f"{(k - 1) * HASH_SPACE}L div kth_min"))
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_kept",
+        "kth_min",
+        est.cast("long").alias("est_distinct"),
+    )

@@ -1234,3 +1234,59 @@ def test_pipeline_funnel_monotone(spark, sf_dir):
     assert docs == sorted(docs, reverse=True)  # each stage only removes
     assert toks == sorted(toks, reverse=True)
     assert toks[3] <= 16000 and docs[0] > 0
+
+
+def test_kmv_distinct_exact_below_k_and_bounded_error(spark):
+    import random
+
+    from emodb_spark.pipeline.sketch import kmv_distinct
+
+    rng = random.Random(2)
+    # group "small": 20 distinct (< k -> exact); "big": 5000 distinct
+    rows = [("small", rng.randint(0, 19)) for _ in range(200)]
+    rows += [("big", i) for i in range(5000)] * 2
+    df = spark.createDataFrame(rows, "grp string, v long")
+    out = {r["grp"]: r for r in kmv_distinct(df, "grp", "v", k=64).collect()}
+    assert out["small"]["n_kept"] == 20 and out["small"]["est_distinct"] == 20
+    est = out["big"]["est_distinct"]
+    assert abs(est - 5000) / 5000 < 0.35  # k=64 -> ~12.5% rse; 3 sigma
+    # deterministic: rerun and re-partitioning give identical sketch
+    out2 = {r["grp"]: r for r in
+            kmv_distinct(df.repartition(17), "grp", "v", k=64).collect()}
+    assert {g: (r["kth_min"], r["est_distinct"]) for g, r in out.items()} == {
+        g: (r["kth_min"], r["est_distinct"]) for g, r in out2.items()}
+
+
+def test_event_transitions_matches_python(spark):
+    import random
+    from collections import Counter, defaultdict
+
+    from emodb_spark.pipeline.events import event_transitions
+
+    rng = random.Random(4)
+    rows = [
+        (i, rng.randint(0, 6), rng.randint(0, 10**6), rng.choice("abc"))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, event_type string"
+    )
+    series = defaultdict(list)
+    for eid, u, t, ty in rows:
+        series[u].append((t, eid, ty))
+    pairs = Counter()
+    for u, evs in series.items():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            pairs[(a, b)] += 1
+    tot = Counter()
+    for (a, _), n in pairs.items():
+        tot[a] += n
+    want = {
+        (a, b): (n, n * 1_000_000 // tot[a]) for (a, b), n in pairs.items()
+    }
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["ppm"])
+        for r in event_transitions(df).collect()
+    }
+    assert got == want
