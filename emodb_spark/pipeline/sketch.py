@@ -81,3 +81,75 @@ def kmv_distinct(
         "kth_min",
         est.cast("long").alias("est_distinct"),
     )
+
+
+class KmvStreamState:
+    """Streaming KMV: merge each micro-batch's hashes into a tiny
+    per-group bottom-k state table (parquet) via ``foreachBatch``. KMV's
+    mergeability is exactly why this is correct: the bottom-k of a union
+    is the bottom-k of (bottom-k(A) ∪ bottom-k(B)), and the keyed hash
+    makes the result order- and batching-independent — the streaming
+    sketch equals the batch sketch bit-for-bit (parity-tested).
+
+    State is O(groups * k) rows — always tiny, whatever the stream has
+    seen; the merge is one union + window per batch, executor-side (the
+    driver never touches hash values).
+    """
+
+    def __init__(self, spark, path: str, k: int = 64, seed: str = "kmv"):
+        self.spark, self.path, self.k, self.seed = spark, path, int(k), seed
+
+    def _hash(self, value_col: str):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{self.seed}:"), F.col(value_col).cast("string")
+                    )
+                ),
+                1,
+                HASH_BITS // 4,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    def _prior(self):
+        import os
+
+        if os.path.exists(self.path):
+            return self.spark.read.parquet(self.path)
+        return self.spark.createDataFrame([], "grp string, h long")
+
+    def merge_batch(self, batch_df, group_col: str, value_col: str) -> None:
+        incoming = batch_df.select(
+            F.col(group_col).cast("string").alias("grp"),
+            self._hash(value_col).alias("h"),
+        ).distinct()
+        merged = self._prior().unionByName(incoming).distinct()
+        w = Window.partitionBy("grp").orderBy("h")
+        bottom = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= self.k)
+            .select("grp", "h")
+        )
+        tmp = self.path + "__next"
+        bottom.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        final = self.path
+        if __import__("os").path.exists(final):
+            shutil.rmtree(final)
+        shutil.move(tmp, final)
+
+    def sketch(self) -> DataFrame:
+        agg = self._prior().groupBy("grp").agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.max("h").cast("long").alias("kth_min"),
+        )
+        est = F.when(F.col("n_kept") < self.k, F.col("n_kept")).otherwise(
+            F.expr(f"{(self.k - 1) * HASH_SPACE}L div kth_min")
+        )
+        return agg.select(
+            "grp", "n_kept", "kth_min", est.cast("long").alias("est_distinct")
+        )

@@ -362,3 +362,37 @@ def test_streaming_outlier_scoring_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want and got
+
+
+def test_streaming_kmv_sketch_matches_batch(spark, sf_dir, tmp_path):
+    """KMV mergeability: micro-batch bottom-k merges produce EXACTLY the
+    batch sketch (deterministic keyed hash, order/batching independent)."""
+    from emodb_spark.pipeline.sketch import KmvStreamState, kmv_distinct
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    src = str(tmp_path / "kmv_incoming")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    state = KmvStreamState(spark, str(tmp_path / "kmv_state"), k=64)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    (
+        stream.writeStream.foreachBatch(
+            lambda b, _id: state.merge_batch(b, "event_type", "user_id")
+        )
+        .option("checkpointLocation", str(tmp_path / "kmv_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    got = {
+        r["grp"]: (r["n_kept"], r["kth_min"], r["est_distinct"])
+        for r in state.sketch().collect()
+    }
+    want = {
+        r["event_type"]: (r["n_kept"], r["kth_min"], r["est_distinct"])
+        for r in kmv_distinct(ev, "event_type", "user_id", k=64).collect()
+    }
+    assert got == want and got
