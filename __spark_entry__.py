@@ -17,7 +17,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -3853,6 +3853,109 @@ GROUP BY n_name
 """
 
 
+def q_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source rank normalization of a quality proxy (n_chars):
+    percentile_ppm = (rank-1)*1e6 div (n-1) — integer-exact score
+    normalization so scores are comparable across sources with different
+    scales (the cross-source calibration step before mixing)."""
+    docs = _read(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    n = Window.partitionBy("source")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.row_number().over(w).cast("long").alias("rank_in_source"),
+        F.when(
+            F.count(F.lit(1)).over(n) > 1,
+            F.expr(
+                "(rank_in_source - 1) * 1000000L div "
+                "(count(1) over (partition by source) - 1)"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("percentile_ppm"),
+    )
+
+
+ORACLE_RANK_NORMALIZE = """
+WITH r AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY n_chars, doc_id) AS BIGINT) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM documents
+)
+SELECT doc_id, source, n_chars, rk AS rank_in_source,
+       CAST(CASE WHEN n > 1 THEN (rk - 1) * 1000000 // (n - 1)
+                 ELSE 0 END AS BIGINT) AS percentile_ppm
+FROM r
+"""
+
+
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    document gets 3 pseudo-random partners — md5(doc,slot) mod N, with
+    self-collisions stepped to the next id — no RNG state, identical on
+    rerun and any partitioning; N is a 1-row broadcast and the ids are
+    computed in codegen (no join against the corpus needed for dense
+    0..N-1 ids; at scale, sparse ids add one equijoin on a rank table)."""
+    docs = _read(spark, sf_dir, "documents")
+    total = docs.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    base = docs.select("doc_id").crossJoin(F.broadcast(total))
+    slots = base.select(
+        "doc_id",
+        "n_total",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("slot"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("neg:"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("slot").cast("string"),
+                )
+            ),
+            1,
+            14,
+        ),
+        16,
+        10,
+    ).cast("long")
+    raw = F.pmod(h, F.col("n_total"))
+    neg = F.when(raw != F.col("doc_id"), raw).otherwise(
+        F.pmod(raw + 1, F.col("n_total"))
+    )
+    return slots.select(
+        "doc_id",
+        F.col("slot").cast("long").alias("slot"),
+        neg.cast("long").alias("neg_id"),
+    )
+
+
+ORACLE_NEGATIVE_SAMPLES = """
+WITH t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM documents
+), s AS (
+  SELECT doc_id, unnest([1, 2, 3]) AS slot, n_total
+  FROM documents CROSS JOIN t
+), h AS (
+  SELECT doc_id, slot, n_total,
+         CAST(('0x' || substr(md5('neg:' || CAST(doc_id AS VARCHAR) || ':'
+                                   || CAST(slot AS VARCHAR)), 1, 14))
+              AS BIGINT) % n_total AS raw
+  FROM s
+)
+SELECT doc_id, CAST(slot AS BIGINT) AS slot,
+       CAST(CASE WHEN raw <> doc_id THEN raw
+                 ELSE (raw + 1) % n_total END AS BIGINT) AS neg_id
+FROM h
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3891,6 +3994,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "event_transitions": q_event_transitions,
         "local_supply": q_local_supply,
+        "rank_normalize": q_rank_normalize,
+        "negative_samples": q_negative_samples,
         "paragraph_dedup": q_paragraph_dedup,
         "quality_classifier": q_quality_classifier,
         "collocations": q_collocations,
@@ -3998,6 +4103,8 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct": ORACLE_KMV_DISTINCT,
         "event_transitions": ORACLE_EVENT_TRANSITIONS,
         "local_supply": ORACLE_LOCAL_SUPPLY,
+        "rank_normalize": ORACLE_RANK_NORMALIZE,
+        "negative_samples": ORACLE_NEGATIVE_SAMPLES,
         # compression_ratio: rows-only by design (zlib has no SQL analog;
         # differential-tested vs direct zlib in tests/test_pipeline.py)
         "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,

@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "kmv_distinct",          # deterministic bottom-k cardinality sketch
     "event_transitions",     # Markov transition matrix (one window)
     "local_supply",          # Q5 shape: region-filtered broadcast joins
+    "rank_normalize",        # per-source percentile normalization
+    "negative_samples",      # deterministic contrastive negatives
 ]
 
 

@@ -1290,3 +1290,17 @@ def test_event_transitions_matches_python(spark):
         for r in event_transitions(df).collect()
     }
     assert got == want
+
+
+def test_negative_samples_properties(spark, sf_dir):
+    import __spark_entry__ as e
+
+    rows = e.q_negative_samples(spark, sf_dir).collect()
+    n_docs = len({r["doc_id"] for r in rows})
+    assert len(rows) == 3 * n_docs
+    for r in rows:
+        assert r["neg_id"] != r["doc_id"]          # never self
+        assert 0 <= r["neg_id"] < n_docs           # dense id space
+    # deterministic on rerun
+    again = e.q_negative_samples(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
