@@ -3956,6 +3956,50 @@ FROM h
 """
 
 
+def q_bloom_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Bloom filter (1024 bits / 3 hashes) over normalized
+    content fingerprints — the broadcastable dedup/join pre-filter;
+    bit_or partial aggregation, fixed 16-longs-per-group shape
+    (emodb_spark.pipeline.sketch.bloom_build)."""
+    from emodb_spark.pipeline.dedup import normalize
+    from emodb_spark.pipeline.sketch import bloom_build
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "source", F.md5(normalize(F.col("text"))).alias("fp")
+    )
+    return bloom_build(docs, "source", "fp", m_bits=1024, k_hashes=3)
+
+
+ORACLE_BLOOM_FILTERS = """
+WITH fp AS (
+  SELECT source,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS v
+  FROM documents
+), pos AS (
+  SELECT source,
+         unnest([
+           CAST(('0x' || substr(md5('bloom0:' || v), 1, 14)) AS BIGINT) % 1024,
+           CAST(('0x' || substr(md5('bloom1:' || v), 1, 14)) AS BIGINT) % 1024,
+           CAST(('0x' || substr(md5('bloom2:' || v), 1, 14)) AS BIGINT) % 1024
+         ]) AS p
+  FROM fp
+), bits AS (
+  SELECT source, CAST(p // 64 AS INT) AS word_idx,
+         bit_or(CASE WHEN p % 64 = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                     ELSE CAST(1 AS BIGINT) << CAST(p % 64 AS INT) END) AS bits
+  FROM pos GROUP BY 1, 2
+), grid AS (
+  SELECT DISTINCT f.source, g.word_idx
+  FROM fp f, (SELECT unnest(generate_series(0, 15)) AS word_idx) g
+)
+SELECT grid.source,
+       CAST(grid.word_idx AS BIGINT) AS word_idx,
+       CAST(COALESCE(b.bits, 0) AS BIGINT) AS bits
+FROM grid LEFT JOIN bits b
+  ON grid.source = b.source AND grid.word_idx = b.word_idx
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3996,6 +4040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supply": q_local_supply,
         "rank_normalize": q_rank_normalize,
         "negative_samples": q_negative_samples,
+        "bloom_filters": q_bloom_filters,
         "paragraph_dedup": q_paragraph_dedup,
         "quality_classifier": q_quality_classifier,
         "collocations": q_collocations,
@@ -4105,6 +4150,7 @@ def oracle_sql() -> dict[str, str]:
         "local_supply": ORACLE_LOCAL_SUPPLY,
         "rank_normalize": ORACLE_RANK_NORMALIZE,
         "negative_samples": ORACLE_NEGATIVE_SAMPLES,
+        "bloom_filters": ORACLE_BLOOM_FILTERS,
         # compression_ratio: rows-only by design (zlib has no SQL analog;
         # differential-tested vs direct zlib in tests/test_pipeline.py)
         "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,

@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "local_supply",          # Q5 shape: region-filtered broadcast joins
     "rank_normalize",        # per-source percentile normalization
     "negative_samples",      # deterministic contrastive negatives
+    "bloom_filters",         # per-source Bloom sidecar (bit_or partials)
 ]
 
 

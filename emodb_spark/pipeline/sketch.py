@@ -153,3 +153,126 @@ class KmvStreamState:
         return agg.select(
             "grp", "n_kept", "kth_min", est.cast("long").alias("est_distinct")
         )
+
+
+def bloom_build(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    m_bits: int = 1024,
+    k_hashes: int = 3,
+    seed: str = "bloom",
+) -> DataFrame:
+    """Per-group Bloom filter as ``m_bits/64`` longs: each distinct value
+    sets ``k_hashes`` bit positions (independent keyed md5 hashes), rows
+    aggregate with ``bit_or`` — a pure partial-aggregate, so building a
+    filter over a billion rows shuffles ``groups * m/64`` longs, nothing
+    more. Deterministic (keyed hashes, no RNG): the same set always
+    yields the same bitset, on any engine — oracle-exact.
+
+    Returns ``(group, word_idx, bits)`` — the standard join-pruning
+    sidecar: broadcast it and pre-filter a huge probe side before an
+    expensive join (no false negatives; FP rate ~ (1-e^{-kn/m})^k).
+    """
+    words = m_bits // 64
+    pos = [
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{seed}{i}:"),
+                            F.col(value_col).cast("string"),
+                        )
+                    ),
+                    1,
+                    14,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(m_bits),
+        )
+        for i in range(k_hashes)
+    ]
+    exploded = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.array(*pos)).alias("p"),
+    ).select(
+        "grp",
+        F.expr("p div 64").cast("int").alias("word_idx"),
+        F.expr("shiftleft(1L, cast(pmod(p, 64) as int))").alias("bit"),
+    )
+    built = exploded.groupBy("grp", "word_idx").agg(
+        F.bit_or("bit").cast("long").alias("bits")
+    )
+    # emit all words (unset words as 0) so filters have a fixed shape
+    groups = df.select(F.col(group_col).alias("grp")).distinct()
+    grid = groups.crossJoin(
+        df.sparkSession.range(words).select(F.col("id").cast("int").alias("word_idx"))
+    )
+    return (
+        grid.join(built, ["grp", "word_idx"], "left")
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("word_idx").cast("long").alias("word_idx"),
+            F.coalesce(F.col("bits"), F.lit(0)).cast("long").alias("bits"),
+        )
+    )
+
+
+def bloom_probe(
+    candidates: DataFrame,
+    bloom: DataFrame,
+    group_col: str,
+    value_col: str,
+    m_bits: int = 1024,
+    k_hashes: int = 3,
+    seed: str = "bloom",
+) -> DataFrame:
+    """Membership pre-filter: keep candidate rows whose value hits ALL
+    ``k_hashes`` bits of the group's Bloom filter. The filter table
+    (``groups * m/64`` rows) broadcasts; the probe is a per-row bit test
+    in codegen — no shuffle of the candidate side. No false negatives:
+    every true member survives; false positives pass at the filter's FP
+    rate and must be re-checked by the exact join they were pruning."""
+    probes = []
+    for i in range(k_hashes):
+        p = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{seed}{i}:"),
+                            F.col(value_col).cast("string"),
+                        )
+                    ),
+                    1,
+                    14,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(m_bits),
+        )
+        probes.append(p)
+    out = candidates
+    for i, p in enumerate(probes):
+        out = out.withColumn(f"__p{i}", p)
+    for i in range(k_hashes):
+        b = bloom.select(
+            F.col(group_col),
+            F.col("word_idx").cast("int").alias(f"__w{i}"),
+            F.col("bits").alias(f"__bits{i}"),
+        )
+        out = out.withColumn(
+            f"__w{i}", F.expr(f"__p{i} div 64").cast("int")
+        ).join(F.broadcast(b), [group_col, f"__w{i}"])
+        out = out.where(
+            F.expr(
+                f"(shiftright(__bits{i}, cast(pmod(__p{i}, 64) as int)) & 1) = 1"
+            )
+        )
+    return out.drop(
+        *[c for c in out.columns if c.startswith("__p") or c.startswith("__w") or c.startswith("__bits")]
+    )

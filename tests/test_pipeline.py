@@ -1304,3 +1304,22 @@ def test_negative_samples_properties(spark, sf_dir):
     # deterministic on rerun
     again = e.q_negative_samples(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_bloom_no_false_negatives_and_prunes(spark):
+    from emodb_spark.pipeline.sketch import bloom_build, bloom_probe
+
+    members = spark.createDataFrame(
+        [("g", i) for i in range(100)], "grp string, v long"
+    )
+    bloom = bloom_build(members, "grp", "v", m_bits=1024, k_hashes=3)
+    assert bloom.count() == 16
+    cand = spark.createDataFrame(
+        [("g", i) for i in range(400)], "grp string, v long"
+    )
+    kept = {r["v"] for r in bloom_probe(cand, bloom, "grp", "v").collect()}
+    assert set(range(100)) <= kept            # no false negatives
+    assert len(kept) - 100 < 60               # FP rate well under 20%
+    # determinism: rebuilding on a different layout gives identical bits
+    b2 = bloom_build(members.repartition(7), "grp", "v")
+    assert sorted(map(tuple, bloom.collect())) == sorted(map(tuple, b2.collect()))
