@@ -4000,6 +4000,69 @@ FROM grid LEFT JOIN bits b
 """
 
 
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit (k-anonymity, k=5): group events by the
+    quasi-identifier tuple (event_type, day, value decade) and report
+    every equivalence class smaller than k — the classes where a joined
+    external dataset could re-identify a user. Companion to pii_scan:
+    that finds direct identifiers, this finds identifying COMBINATIONS."""
+    ev = _events_ts_us(spark, sf_dir)
+    day = F.expr("ts_us div 86400000000").cast("long")
+    decade = F.floor(F.col("value") / 10.0).cast("long")
+    return (
+        ev.select(
+            "event_type", day.alias("day"), decade.alias("value_decade")
+        )
+        .groupBy("event_type", "day", "value_decade")
+        .agg(F.count(F.lit(1)).cast("long").alias("class_size"))
+        .where(F.col("class_size") < 5)
+    )
+
+
+ORACLE_K_ANONYMITY = """
+SELECT event_type,
+       epoch_us(ts) // 86400000000 AS day,
+       CAST(FLOOR(value / 10.0) AS BIGINT) AS value_decade,
+       CAST(COUNT(*) AS BIGINT) AS class_size
+FROM events
+GROUP BY 1, 2, 3
+HAVING COUNT(*) < 5
+"""
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (user_id, day) — the
+    Delta/Iceberg OPTIMIZE ZORDER layout primitive as pure codegen bit
+    interleaving; sorting by zkey co-locates rows close in BOTH
+    dimensions (emodb_spark.spark.bucketing.zorder_key)."""
+    from emodb_spark.spark.bucketing import zorder_key
+
+    ev = _events_ts_us(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.expr("ts_us div 86400000000").cast("long").alias("day"),
+    ).select(
+        "event_id",
+        "user_id",
+        "day",
+        zorder_key("user_id", "day", bits=16).cast("long").alias("zkey"),
+    )
+
+
+def _oracle_zorder_layout() -> str:
+    from emodb_spark.spark.bucketing import zorder_sql
+
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) // 86400000000 AS day FROM events
+)
+SELECT event_id, user_id, day,
+       CAST({zorder_sql("user_id", "day", 16)} AS BIGINT) AS zkey
+FROM e
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4041,6 +4104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_normalize": q_rank_normalize,
         "negative_samples": q_negative_samples,
         "bloom_filters": q_bloom_filters,
+        "k_anonymity": q_k_anonymity,
+        "zorder_layout": q_zorder_layout,
         "paragraph_dedup": q_paragraph_dedup,
         "quality_classifier": q_quality_classifier,
         "collocations": q_collocations,
@@ -4151,6 +4216,8 @@ def oracle_sql() -> dict[str, str]:
         "rank_normalize": ORACLE_RANK_NORMALIZE,
         "negative_samples": ORACLE_NEGATIVE_SAMPLES,
         "bloom_filters": ORACLE_BLOOM_FILTERS,
+        "k_anonymity": ORACLE_K_ANONYMITY,
+        "zorder_layout": _oracle_zorder_layout(),
         # compression_ratio: rows-only by design (zlib has no SQL analog;
         # differential-tested vs direct zlib in tests/test_pipeline.py)
         "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,

@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "rank_normalize",        # per-source percentile normalization
     "negative_samples",      # deterministic contrastive negatives
     "bloom_filters",         # per-source Bloom sidecar (bit_or partials)
+    "k_anonymity",           # quasi-identifier privacy audit
+    "zorder_layout",         # Morton clustering key (pure codegen)
 ]
 
 

@@ -55,3 +55,40 @@ def co_located_join(
     right_key = right_key or left_key
     l, r = spark.table(left_table), spark.table(right_table)
     return l.join(r, l[left_key] == r[right_key], how)
+
+
+def zorder_key(x_col: str, y_col: str, bits: int = 16):
+    """Morton / Z-order interleave of the low ``bits`` of two integer
+    columns — the multi-dimensional clustering key behind Delta/Iceberg
+    OPTIMIZE ZORDER: sorting (or range-partitioning) by this key keeps
+    rows that are close in BOTH dimensions in the same files, so range
+    predicates on either column prune file-level min/max zones. Pure
+    codegen bit arithmetic (2*bits shift-mask terms, no UDF), exact on
+    every engine. Column names only (the expression is built as SQL so
+    it stays inside whole-stage codegen).
+    """
+    from pyspark.sql import functions as F
+
+    terms = []
+    for i in range(bits):
+        terms.append(
+            f"shiftleft(shiftright(cast({x_col} as bigint), {i}) & 1, {2 * i})"
+        )
+        terms.append(
+            f"shiftleft(shiftright(cast({y_col} as bigint), {i}) & 1, {2 * i + 1})"
+        )
+    return F.expr(" + ".join(terms))
+
+
+def zorder_sql(x_col: str, y_col: str, bits: int = 16) -> str:
+    """The identical interleave as portable SQL (DuckDB/ANSI ``<<``/``>>``
+    spelling) — used by the oracle gates to prove engine-exactness."""
+    terms = []
+    for i in range(bits):
+        terms.append(
+            f"(((CAST({x_col} AS BIGINT) >> {i}) & 1) << {2 * i})"
+        )
+        terms.append(
+            f"(((CAST({y_col} AS BIGINT) >> {i}) & 1) << {2 * i + 1})"
+        )
+    return " + ".join(terms)

