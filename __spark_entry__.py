@@ -4063,6 +4063,75 @@ FROM e
 """
 
 
+def q_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext-style pair mining (LASER/CCMatrix shape): mutual nearest
+    neighbors between two embedding groups (labels 0 and 1) — a pair
+    survives only when each side is the other's argmax cosine. Both
+    directions reuse cosine_topk's broadcast-queries plan; IEEE
+    commutativity makes cos(a,b) == cos(b,a) bit-exact, so the mutual
+    join is clean."""
+    from emodb_spark.pipeline.similarity import cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("label") == 0)
+    b = emb.filter(F.col("label") == 1)
+    a2b = cosine_topk(
+        b, a.select(F.col("vec_id").alias("query_id"), "embedding"), k=1
+    ).select(
+        F.col("query_id").alias("src_id"),
+        F.col("nbr_id").alias("dst_id"),
+        F.col("cosine"),
+    )
+    b2a = cosine_topk(
+        a, b.select(F.col("vec_id").alias("query_id"), "embedding"), k=1
+    ).select(
+        F.col("query_id").alias("r_src"), F.col("nbr_id").alias("r_dst")
+    )
+    return (
+        a2b.join(
+            b2a,
+            (F.col("src_id") == F.col("r_dst"))
+            & (F.col("dst_id") == F.col("r_src")),
+        )
+        .select(
+            "src_id", "dst_id", F.round(F.col("cosine"), 8).alias("cosine")
+        )
+    )
+
+
+ORACLE_BITEXT_MINING = """
+WITH a AS (
+  SELECT vec_id, embedding FROM embeddings WHERE label = 0
+), b AS (
+  SELECT vec_id, embedding FROM embeddings WHERE label = 1
+), scored AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+    list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p,q) -> p+q)
+    / ( sqrt(list_reduce(list_transform(a.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (p,q) -> p+q))
+      * sqrt(list_reduce(list_transform(b.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (p,q) -> p+q)) )
+    AS cos_raw
+  FROM a, b
+), ab AS (
+  SELECT a_id, b_id, cos_raw FROM (
+    SELECT a_id, b_id, cos_raw,
+           ROW_NUMBER() OVER (PARTITION BY a_id
+                              ORDER BY cos_raw DESC, b_id ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+), ba AS (
+  SELECT a_id, b_id FROM (
+    SELECT a_id, b_id,
+           ROW_NUMBER() OVER (PARTITION BY b_id
+                              ORDER BY cos_raw DESC, a_id ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT ab.a_id AS src_id, ab.b_id AS dst_id, ROUND(ab.cos_raw, 8) AS cosine
+FROM ab JOIN ba ON ab.a_id = ba.a_id AND ab.b_id = ba.b_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4106,6 +4175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_filters": q_bloom_filters,
         "k_anonymity": q_k_anonymity,
         "zorder_layout": q_zorder_layout,
+        "bitext_mining": q_bitext_mining,
         "paragraph_dedup": q_paragraph_dedup,
         "quality_classifier": q_quality_classifier,
         "collocations": q_collocations,
@@ -4218,6 +4288,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_filters": ORACLE_BLOOM_FILTERS,
         "k_anonymity": ORACLE_K_ANONYMITY,
         "zorder_layout": _oracle_zorder_layout(),
+        "bitext_mining": ORACLE_BITEXT_MINING,
         # compression_ratio: rows-only by design (zlib has no SQL analog;
         # differential-tested vs direct zlib in tests/test_pipeline.py)
         "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,

@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "bloom_filters",         # per-source Bloom sidecar (bit_or partials)
     "k_anonymity",           # quasi-identifier privacy audit
     "zorder_layout",         # Morton clustering key (pure codegen)
+    "bitext_mining",         # mutual-NN pair mining across groups
 ]
 
 

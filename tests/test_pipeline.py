@@ -1323,3 +1323,15 @@ def test_bloom_no_false_negatives_and_prunes(spark):
     # determinism: rebuilding on a different layout gives identical bits
     b2 = bloom_build(members.repartition(7), "grp", "v")
     assert sorted(map(tuple, bloom.collect())) == sorted(map(tuple, b2.collect()))
+
+
+def test_bitext_mutual_nn_properties(spark, sf_dir):
+    import __spark_entry__ as e
+
+    rows = e.q_bitext_mining(spark, sf_dir).collect()
+    assert rows
+    # each side appears at most once (mutual argmax is a partial matching)
+    srcs = [r["src_id"] for r in rows]
+    dsts = [r["dst_id"] for r in rows]
+    assert len(srcs) == len(set(srcs)) and len(dsts) == len(set(dsts))
+    assert all(-1.0 <= r["cosine"] <= 1.0 for r in rows)
