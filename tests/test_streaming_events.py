@@ -396,3 +396,48 @@ def test_streaming_kmv_sketch_matches_batch(spark, sf_dir, tmp_path):
         for r in kmv_distinct(ev, "event_type", "user_id", k=64).collect()
     }
     assert got == want and got
+
+
+def test_incremental_view_matches_batch_aggregate(spark, sf_dir, tmp_path):
+    """IVM parity: after micro-batched maintenance the view equals the
+    one-shot batch aggregate (cnt/min/max exactly; sum/avg to 1e-6 —
+    float addition order differs between merge trees)."""
+    from emodb_spark.spark.streaming.materialized import IncrementalView
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    src = str(tmp_path / "ivm_incoming")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    view = IncrementalView(
+        spark, str(tmp_path / "ivm_state"), ["event_type"], "value"
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    (
+        stream.writeStream.foreachBatch(view.merge_batch)
+        .option("checkpointLocation", str(tmp_path / "ivm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    got = {r["event_type"]: r for r in view.view().collect()}
+    want = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("value").alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for t in want:
+        assert got[t]["cnt"] == want[t]["cnt"]
+        assert got[t]["min_"] == want[t]["mn"]
+        assert got[t]["max_"] == want[t]["mx"]
+        assert abs(got[t]["sum_"] - want[t]["s"]) < 1e-6
+        assert abs(got[t]["avg"] - want[t]["s"] / want[t]["cnt"]) < 1e-9
