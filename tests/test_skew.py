@@ -61,3 +61,39 @@ def test_range_join_under_skew(spark):
     # stride 7 on the hot user: exactly 10 events in (t, t+70]
     hot = out.filter((F.col("user_id") == 0) & (F.col("event_id") == 1_000))
     assert hot.count() == 10
+
+
+def test_substring_dedup_under_boilerplate_skew(spark):
+    """2,000 docs share one 8-token boilerplate prefix: the winner
+    aggregation on the window digest must absorb the hot key map-side
+    and remove the span from every doc but the first."""
+    from emodb_spark.pipeline.dedup import substring_dedup
+
+    boiler = "terms of service apply to all content here"
+    rows = [(i, f"{boiler} unique tail {i} x{i}") for i in range(2000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(16)
+    out = {r["doc_id"]: r for r in substring_dedup(docs, window=8).collect()}
+    assert out[0]["n_dup_tokens"] == 0
+    assert out[0]["text_clean"].startswith(boiler)
+    # "unique tail" are shared words too, so windows at offsets 0-2 are
+    # all duplicated -> 10 covered tokens; only the per-doc ids survive
+    for i in (1, 999, 1999):
+        assert out[i]["n_dup_tokens"] == 10
+        assert out[i]["text_clean"] == f"{i} x{i}"
+
+
+def test_event_transitions_under_hot_user_skew(spark):
+    """One user owns 95% of events: the lead() window serializes that
+    user on one task (inherent to per-user order) but the pair counts
+    still combine map-side; result stays exact."""
+    from emodb_spark.pipeline.events import event_transitions
+
+    rows = [(i, 0, i, "ab"[i % 2]) for i in range(20_000)]
+    rows += [(100_000 + i, 1 + (i % 50), i, "c") for i in range(1_000)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, event_type string"
+    ).repartition(16)
+    out = {(r["from_type"], r["to_type"]): r["n"]
+           for r in event_transitions(df).collect()}
+    assert out[("a", "b")] == 10_000 and out[("b", "a")] == 9_999
+    assert out[("c", "c")] == 1_000 - 50  # 50 users x 20 events each
