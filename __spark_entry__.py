@@ -4132,6 +4132,42 @@ FROM ab JOIN ba ON ab.a_id = ba.a_id AND ab.b_id = ba.b_id
 """
 
 
+def q_event_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion: median absolute deviation per event type —
+    two exact interpolated medians (same rank-p*(n-1) definition both
+    engines share, verified bit-exact by event_percentiles). The
+    outlier-resistant companion to the moment-based event_profile; at
+    100 TB both passes swap to percentile_approx."""
+    ev = _read(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("median")
+    )
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .withColumn("__ad", F.abs(F.col("value") - F.col("median")))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.first("median").alias("median"),
+            F.expr("percentile(__ad, 0.5D)").alias("mad"),
+        )
+    )
+
+
+ORACLE_EVENT_MAD = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS median
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ANY_VALUE(m.median) AS median,
+       quantile_cont(abs(e.value - m.median), 0.5) AS mad
+FROM events e JOIN med m USING (event_type)
+GROUP BY e.event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4176,6 +4212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "zorder_layout": q_zorder_layout,
         "bitext_mining": q_bitext_mining,
+        "event_mad": q_event_mad,
         "paragraph_dedup": q_paragraph_dedup,
         "quality_classifier": q_quality_classifier,
         "collocations": q_collocations,
@@ -4289,6 +4326,7 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymity": ORACLE_K_ANONYMITY,
         "zorder_layout": _oracle_zorder_layout(),
         "bitext_mining": ORACLE_BITEXT_MINING,
+        "event_mad": ORACLE_EVENT_MAD,
         # compression_ratio: rows-only by design (zlib has no SQL analog;
         # differential-tested vs direct zlib in tests/test_pipeline.py)
         "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,

@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "k_anonymity",           # quasi-identifier privacy audit
     "zorder_layout",         # Morton clustering key (pure codegen)
     "bitext_mining",         # mutual-NN pair mining across groups
+    "event_mad",             # robust dispersion (two exact medians)
 ]
 
 
