@@ -4168,6 +4168,54 @@ GROUP BY e.event_type
 """
 
 
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-analytics composition: view→purchase conversion latency —
+    the as-of join (one keyed window, no nested loop) feeding exact
+    interpolated percentiles. Returns one row of corpus-level stats."""
+    from emodb_spark.pipeline.relational import asof_join
+
+    ev = _events_ts_us(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts_us").alias("t"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    right = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts_us").alias("t"),
+        F.col("event_id").alias("view_id"),
+    )
+    out = asof_join(
+        left, right, on=["user_id"], left_ts="t", right_ts="t",
+        right_cols=["view_id"],
+    )
+    lat = out.where(F.col("t_right") >= 0).select(
+        (F.col("t") - F.col("t_right")).alias("lat")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.expr("percentile(lat, 0.5D)").alias("p50_latency_us"),
+        F.expr("percentile(lat, 0.9D)").alias("p90_latency_us"),
+        F.max("lat").cast("long").alias("max_latency_us"),
+    )
+
+
+ORACLE_CONVERSION_LATENCY = """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'view'
+), lat AS (
+  SELECT p.t - (SELECT MAX(v.t) FROM v
+                WHERE v.user_id = p.user_id AND v.t <= p.t) AS lat
+  FROM p
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       quantile_cont(lat, 0.5) AS p50_latency_us,
+       quantile_cont(lat, 0.9) AS p90_latency_us,
+       CAST(MAX(lat) AS BIGINT) AS max_latency_us
+FROM lat WHERE lat IS NOT NULL
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4213,6 +4261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": q_zorder_layout,
         "bitext_mining": q_bitext_mining,
         "event_mad": q_event_mad,
+        "conversion_latency": q_conversion_latency,
         "paragraph_dedup": q_paragraph_dedup,
         "quality_classifier": q_quality_classifier,
         "collocations": q_collocations,
@@ -4327,6 +4376,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_layout": _oracle_zorder_layout(),
         "bitext_mining": ORACLE_BITEXT_MINING,
         "event_mad": ORACLE_EVENT_MAD,
+        "conversion_latency": ORACLE_CONVERSION_LATENCY,
         # compression_ratio: rows-only by design (zlib has no SQL analog;
         # differential-tested vs direct zlib in tests/test_pipeline.py)
         "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,

@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "zorder_layout",         # Morton clustering key (pure codegen)
     "bitext_mining",         # mutual-NN pair mining across groups
     "event_mad",             # robust dispersion (two exact medians)
+    "conversion_latency",    # as-of join -> exact percentiles
 ]
 
 
