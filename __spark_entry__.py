@@ -4216,6 +4216,60 @@ FROM lat WHERE lat IS NOT NULL
 """
 
 
+def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test assignment: the split key is the
+    USER's hash, not the row's, so every event of a user lands in one
+    split — the group-integrity rule that prevents cross-split identity
+    leakage in behavioral training data. Returns per (split, event_type)
+    row counts and exact distinct users (disjointness is asserted in the
+    test suite). Zero-shuffle assignment (md5 interval in codegen, same
+    machinery as hash_split) + one partial-agg groupBy."""
+    ev = _read(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("gsplit:"), F.col("user_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    space = 1 << 60
+    t_train, t_val = space * 8 // 10, space * 9 // 10  # exact ints, no
+    # float boundary ambiguity (ADVICE r3: accumulate fractions exactly)
+    split = (
+        F.when(h < t_train, F.lit("train"))
+        .when(h < t_val, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        ev.select(split.alias("split"), "event_type", "user_id")
+        .groupBy("split", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+
+
+ORACLE_GROUP_SPLIT = f"""
+WITH h AS (
+  SELECT event_type, user_id,
+         CAST(('0x' || substr(md5('gsplit:' || CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hv
+  FROM events
+)
+SELECT CASE WHEN hv < {(1 << 60) * 8 // 10} THEN 'train'
+            WHEN hv < {(1 << 60) * 9 // 10} THEN 'val'
+            ELSE 'test' END AS split,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM h
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4262,6 +4316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitext_mining": q_bitext_mining,
         "event_mad": q_event_mad,
         "conversion_latency": q_conversion_latency,
+        "group_split": q_group_split,
         "paragraph_dedup": q_paragraph_dedup,
         "quality_classifier": q_quality_classifier,
         "collocations": q_collocations,
@@ -4377,6 +4432,7 @@ def oracle_sql() -> dict[str, str]:
         "bitext_mining": ORACLE_BITEXT_MINING,
         "event_mad": ORACLE_EVENT_MAD,
         "conversion_latency": ORACLE_CONVERSION_LATENCY,
+        "group_split": ORACLE_GROUP_SPLIT,
         # compression_ratio: rows-only by design (zlib has no SQL analog;
         # differential-tested vs direct zlib in tests/test_pipeline.py)
         "paragraph_dedup": ORACLE_PARAGRAPH_DEDUP,

@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "bitext_mining",         # mutual-NN pair mining across groups
     "event_mad",             # robust dispersion (two exact medians)
     "conversion_latency",    # as-of join -> exact percentiles
+    "group_split",           # leakage-free split by entity hash
 ]
 
 

@@ -1335,3 +1335,24 @@ def test_bitext_mutual_nn_properties(spark, sf_dir):
     dsts = [r["dst_id"] for r in rows]
     assert len(srcs) == len(set(srcs)) and len(dsts) == len(set(dsts))
     assert all(-1.0 <= r["cosine"] <= 1.0 for r in rows)
+
+
+def test_group_split_no_user_straddles(spark, sf_dir):
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    h = F.conv(F.substring(F.md5(F.concat(F.lit("gsplit:"),
+               F.col("user_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    space = 1 << 60
+    split = (F.when(h < space * 8 // 10, "train")
+             .when(h < space * 9 // 10, "val").otherwise("test"))
+    per_user = (ev.select("user_id", split.alias("s"))
+                .groupBy("user_id").agg(F.countDistinct("s").alias("ns")))
+    assert per_user.where(F.col("ns") > 1).count() == 0  # group integrity
+    out = e.q_group_split(spark, sf_dir).collect()
+    splits = {r["split"] for r in out}
+    assert splits == {"train", "val", "test"}
+    n_train = sum(r["n_events"] for r in out if r["split"] == "train")
+    total = sum(r["n_events"] for r in out)
+    assert 0.6 < n_train / total < 0.95  # ~80% by user mass
