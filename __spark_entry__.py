@@ -4270,6 +4270,153 @@ GROUP BY 1, 2
 """
 
 
+def q_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO / copy-on-write upsert: apply a deterministic change
+    batch (two competing updates per touched key — latest-wins, deletes,
+    inserts) to the `orders` snapshot in ONE relational pass
+    (emodb_spark.pipeline.relational.merge_upsert — the batch analog of
+    the reference's per-document delta fold, sor DataStore.java:139)."""
+    from emodb_spark.pipeline.relational import merge_upsert
+
+    base = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    upd1 = base.where(k % 10 == 0).select(
+        k.alias("o_orderkey"),
+        F.col("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+        F.lit(1).alias("ts"), F.lit(False).alias("d"),
+    )
+    upd2 = base.where(k % 10 == 0).select(
+        k.alias("o_orderkey"),
+        F.col("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(2.0)).alias("o_totalprice"),
+        F.lit(2).alias("ts"), F.lit(False).alias("d"),
+    )
+    dels = base.where(k % 10 == 1).select(
+        k.alias("o_orderkey"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(1).alias("ts"), F.lit(True).alias("d"),
+    )
+    ins = base.where(k % 10 == 2).select(
+        (k + 10_000_000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.col("o_totalprice"),
+        F.lit(1).alias("ts"), F.lit(False).alias("d"),
+    )
+    changes = upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
+    return merge_upsert(base, changes, on=["o_orderkey"], ts_col="ts",
+                        delete_col="d")
+
+
+ORACLE_MERGE_ORDERS = """
+WITH changes AS (
+  SELECT o_orderkey AS k, 1 AS ts, FALSE AS del,
+         o_orderstatus AS st, o_totalprice + 1.0 AS price
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, 2, FALSE, o_orderstatus, o_totalprice + 2.0
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, 1, TRUE, NULL, NULL
+  FROM orders WHERE o_orderkey % 10 = 1
+  UNION ALL
+  SELECT o_orderkey + 10000000, 1, FALSE, 'N', o_totalprice
+  FROM orders WHERE o_orderkey % 10 = 2
+),
+latest AS (
+  SELECT k, del, st, price FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts DESC) AS rn
+    FROM changes
+  ) WHERE rn = 1
+)
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderkey NOT IN (SELECT k FROM latest)
+UNION ALL
+SELECT k AS o_orderkey, st AS o_orderstatus, price AS o_totalprice
+FROM latest WHERE NOT del
+"""
+
+
+def q_user_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build: compress each sampled user's event-type
+    stream into validity intervals (valid_from/valid_to/is_current) —
+    the warehouse materialization of the reference's per-document version
+    history (sor timeline, DataStore.java:197), one shared window
+    exchange (emodb_spark.pipeline.relational.scd2_history)."""
+    from emodb_spark.pipeline.relational import scd2_history
+
+    ev = _events_ts_us(spark, sf_dir).where(F.col("user_id") % 20 == 0)
+    out = scd2_history(
+        ev.select("user_id", "ts_us", "event_type"),
+        key="user_id", ts_col="ts_us", attr_cols=["event_type"],
+    )
+    return out.select(
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("valid_from").cast("long").alias("valid_from"),
+        F.col("valid_to").cast("long").alias("valid_to"),
+        F.col("is_current"),
+    )
+
+
+ORACLE_USER_SCD2 = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_type
+  FROM events WHERE user_id % 20 = 0
+),
+chg AS (
+  SELECT user_id, event_type, ts_us,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_type) AS prev
+  FROM ev
+),
+pts AS (
+  SELECT user_id, event_type, ts_us FROM chg
+  WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type,
+       CAST(ts_us AS BIGINT) AS valid_from,
+       CAST(LEAD(ts_us) OVER (PARTITION BY user_id
+                              ORDER BY ts_us, event_type) AS BIGINT)
+         AS valid_to,
+       LEAD(ts_us) OVER (PARTITION BY user_id
+                         ORDER BY ts_us, event_type) IS NULL AS is_current
+FROM pts
+"""
+
+
+def q_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fact-dim equijoin: events joined to customers through
+    emodb_spark.pipeline.relational.salted_join (8 salts — hot users are
+    spread over 8 reducers BEFORE the exchange), aggregated per market
+    segment with integer-exact sums. Semantics ≡ the plain join the
+    oracle runs."""
+    from emodb_spark.pipeline.relational import salted_join
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("user_id").alias("c_custkey"),
+        F.floor(F.col("value")).cast("long").alias("v"),
+    )
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(ev, cust, ["c_custkey"], salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("v").cast("long").alias("sum_floor_value"),
+    )
+
+
+ORACLE_SALTED_HOT_JOIN = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS sum_floor_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4285,6 +4432,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Order matters defensively: the r3 driver recorded only the
         # first N-1 declared queries. Never-yet-gated (round-4) queries
         # lead; multi-round-green veterans absorb any tail truncation.
+        "merge_orders": q_merge_orders,
+        "user_scd2": q_user_scd2,
+        "salted_hot_join": q_salted_hot_join,
         "substring_dedup": q_substring_dedup,
         "unigram_surprisal": q_unigram_surprisal,
         "inverted_index": q_inverted_index,
@@ -4402,6 +4552,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "merge_orders": ORACLE_MERGE_ORDERS,
+        "user_scd2": ORACLE_USER_SCD2,
+        "salted_hot_join": ORACLE_SALTED_HOT_JOIN,
         "substring_dedup": ORACLE_SUBSTRING_DEDUP,
         "unigram_surprisal": ORACLE_UNIGRAM_SURPRISAL,
         "inverted_index": ORACLE_INVERTED_INDEX,

@@ -344,3 +344,137 @@ def asof_join_stream(
         *[F.col(f"__best.{c}").alias(f"{c}{suffix}") for c in payload],
         F.col("__best.ts").alias(f"{left_ts}{suffix}"),
     )
+
+
+def merge_upsert(
+    target: DataFrame,
+    changes: DataFrame,
+    on: Sequence[str],
+    ts_col: str,
+    delete_col: Optional[str] = None,
+) -> DataFrame:
+    """MERGE INTO semantics as a copy-on-write plan: apply a change batch
+    to a snapshot — newest change per key wins, tombstoned keys are
+    deleted, untouched target rows pass through, brand-new keys insert.
+
+    This is the batch analog of the reference's per-document delta fold
+    (sor ``DataStore.java:139`` update + resolve): EmoDB applies deltas
+    one coordinate at a time; a Spark pipeline re-materializing a 100 TB
+    snapshot from a change feed needs the whole batch applied in one
+    relational pass instead. Delta Lake's ``MERGE`` and Iceberg's
+    copy-on-write row-level delete compile to this same shape.
+
+    Plan (2 shuffles, no row-pair blowup):
+      1. newest change per key — one partial-aggregable ``groupBy(on)``
+         ``max_by(struct(payload), ts)`` (ties broken by the later
+         ``ts_col``; callers needing total determinism pass a unique ts
+         such as a time-UUID tick, as the update log does);
+      2. ``target`` LEFT ANTI ``changed-keys`` — drops every overwritten
+         or deleted row; at scale Spark/AQE broadcasts the small changed
+         key set, so the 100 TB target is never shuffled;
+      3. union the surviving target rows with the non-tombstone winners
+         (column-aligned by name).
+
+    ``delete_col``: optional boolean column in ``changes`` marking
+    tombstones. Change rows must carry every target column (plus
+    ``ts_col``/``delete_col``, which are dropped from the output).
+    """
+    on = list(on)
+    payload = [c for c in target.columns if c not in on]
+    missing = [c for c in payload if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changes missing target columns: {missing}")
+    is_del = (
+        F.coalesce(F.col(delete_col), F.lit(False))
+        if delete_col is not None
+        else F.lit(False)
+    )
+    winner = changes.groupBy(*on).agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in payload], is_del.alias("__del")),
+            F.col(ts_col),
+        ).alias("__w")
+    )
+    survivors = target.join(winner.select(*on), on, "left_anti")
+    inserts = winner.where(~F.col("__w.__del")).select(
+        *on, *[F.col(f"__w.{c}").alias(c) for c in payload]
+    )
+    return survivors.unionByName(inserts)
+
+
+def scd2_history(
+    log: DataFrame,
+    key: str,
+    ts_col: str,
+    attr_cols: Sequence[str],
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: compress a change log into
+    validity intervals — one row per (key, distinct consecutive attribute
+    state) with ``valid_from`` / ``valid_to`` (null = current) and
+    ``is_current``.
+
+    The reference keeps full per-document version history and answers
+    "state at time T" by folding the delta prefix (sor timeline,
+    ``DataStore.java:197`` getTimeline; our :func:`~emodb_spark.spark.
+    resolve_ops.resolve_as_of` is the point-read analog). A warehouse
+    wants the inverse materialization: the WHOLE history as interval
+    rows, joinable with ``BETWEEN`` — the classic SCD-2 dimension build.
+
+    Plan: ONE shuffle on ``key`` shared by both windows — ``lag`` drops
+    rows whose tracked attributes equal the previous row's (no state
+    change ⇒ no new interval; null-safe via ``eqNullSafe``), then
+    ``lead`` over the surviving change rows sets each interval's end to
+    the next change's start. Ties on ``ts_col`` are ordered by the full
+    attribute struct for determinism.
+    """
+    attr_cols = list(attr_cols)
+    state = F.struct(*[F.col(c) for c in attr_cols])
+    w = Window.partitionBy(key).orderBy(F.col(ts_col), state)
+    changed = (
+        log.withColumn("__prev", F.lag(state).over(w))
+        .where(F.col("__prev").isNull() | ~state.eqNullSafe(F.col("__prev")))
+        .drop("__prev")
+    )
+    w2 = Window.partitionBy(key).orderBy(F.col(ts_col), state)
+    return (
+        changed.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(F.col(ts_col)).over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(key, *attr_cols, "valid_from", "valid_to", "is_current")
+    )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equijoin: spread each hot left key over ``salts``
+    reducer partitions by salting the left side with a per-row
+    deterministic salt and exploding the right side into ``salts``
+    replicas, then equi-joining on (key..., salt).
+
+    When one key holds 1% of a 100 TB fact table, a plain hash join puts
+    ~1 TB in a single reducer task; AQE's skew-join split handles the
+    common case, but only post-shuffle and only for sort-merge joins —
+    salting bounds the skew BEFORE the exchange and also covers
+    shuffle-hash joins. The right side must be the smaller side (it is
+    replicated ``salts``×); ``how`` may be ``inner`` or ``left`` —
+    semantics are identical to the unsalted join because every right row
+    exists under every salt value.
+
+    The salt is ``xxhash64(whole left row) mod salts`` — deterministic
+    (rerun-identical, no ``rand()``), and uniform even when the join key
+    itself is constant because it hashes ALL left columns.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner'|'left'")
+    on = list(on)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salts))
+    lsalted = left.withColumn("__salt", salt.cast("int"))
+    rsalted = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+    )
+    return lsalted.join(rsalted, on + ["__salt"], how).drop("__salt")

@@ -524,3 +524,140 @@ def test_time_rollup_month_grain(spark, sf_dir):
     rows = out.collect()
     assert sum(r["n"] for r in rows) == ev.count()
     assert all(r["grain"] == "month" for r in rows)
+
+
+# ---------------------------------------------------------------- round 4b
+
+
+def test_merge_upsert_update_insert_delete(spark):
+    from emodb_spark.pipeline.relational import merge_upsert
+
+    target = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")]
+    )
+    changes = spark.createDataFrame(
+        [
+            Row(k=2, v="b1", ts=1, d=False),   # overwritten by ts=3 below
+            Row(k=2, v="b2", ts=3, d=False),   # latest wins
+            Row(k=3, v=None, ts=1, d=True),    # delete
+            Row(k=4, v="new", ts=1, d=False),  # insert
+        ]
+    )
+    out = merge_upsert(target, changes, on=["k"], ts_col="ts", delete_col="d")
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == {1: "a", 2: "b2", 4: "new"}
+
+
+def test_merge_upsert_no_delete_col_and_missing_col_raises(spark):
+    from emodb_spark.pipeline.relational import merge_upsert
+
+    target = spark.createDataFrame([Row(k=1, v="a")])
+    changes = spark.createDataFrame([Row(k=1, v="z", ts=9)])
+    out = merge_upsert(target, changes, on=["k"], ts_col="ts")
+    assert [r["v"] for r in out.collect()] == ["z"]
+    bad = spark.createDataFrame([Row(k=1, ts=9)])
+    with pytest.raises(ValueError, match="missing target columns"):
+        merge_upsert(target, bad, on=["k"], ts_col="ts")
+
+
+def test_merge_upsert_matches_sequential_apply(spark):
+    """Differential: batch merge ≡ applying changes one at a time in ts
+    order (the reference's per-delta semantics)."""
+    import random
+
+    from emodb_spark.pipeline.relational import merge_upsert
+
+    rng = random.Random(7)
+    state = {k: f"v{k}" for k in range(20)}
+    target_rows = [Row(k=k, v=v) for k, v in state.items()]
+    changes = []
+    for ts in range(60):
+        k = rng.randrange(30)
+        if rng.random() < 0.25:
+            changes.append(Row(k=k, v=None, ts=ts, d=True))
+        else:
+            changes.append(Row(k=k, v=f"c{ts}", ts=ts, d=False))
+    expected = dict(state)
+    for ch in changes:  # already in ts order
+        if ch.d:
+            expected.pop(ch.k, None)
+        else:
+            expected[ch.k] = ch.v
+    out = merge_upsert(
+        spark.createDataFrame(target_rows),
+        spark.createDataFrame(changes),
+        on=["k"], ts_col="ts", delete_col="d",
+    )
+    assert {r["k"]: r["v"] for r in out.collect()} == expected
+
+
+def test_scd2_history_intervals(spark):
+    from emodb_spark.pipeline.relational import scd2_history
+
+    log = spark.createDataFrame(
+        [
+            Row(k="u1", ts=1, plan="free"),
+            Row(k="u1", ts=5, plan="free"),   # no change -> no new interval
+            Row(k="u1", ts=9, plan="pro"),
+            Row(k="u1", ts=12, plan="free"),  # back again -> NEW interval
+            Row(k="u2", ts=3, plan="pro"),
+        ]
+    )
+    out = scd2_history(log, "k", "ts", ["plan"]).orderBy("k", "valid_from")
+    rows = [
+        (r["k"], r["plan"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in out.collect()
+    ]
+    assert rows == [
+        ("u1", "free", 1, 9, False),
+        ("u1", "pro", 9, 12, False),
+        ("u1", "free", 12, None, True),
+        ("u2", "pro", 3, None, True),
+    ]
+
+
+def test_scd2_null_attrs_are_states(spark):
+    from emodb_spark.pipeline.relational import scd2_history
+
+    log = spark.createDataFrame(
+        [Row(k="u", ts=1, a=None), Row(k="u", ts=2, a=None),
+         Row(k="u", ts=3, a="x")],
+        "k string, ts long, a string",
+    )
+    out = scd2_history(log, "k", "ts", ["a"]).orderBy("valid_from").collect()
+    assert [(r["a"], r["valid_from"], r["valid_to"]) for r in out] == [
+        (None, 1, 3), ("x", 3, None)
+    ]
+
+
+def test_salted_join_matches_plain_join(spark):
+    from emodb_spark.pipeline.relational import salted_join
+
+    left = spark.createDataFrame(
+        [Row(k=i % 3, payload=i) for i in range(200)]  # k=0,1,2 hot keys
+    )
+    right = spark.createDataFrame(
+        [Row(k=0, name="zero"), Row(k=1, name="one"), Row(k=9, name="none")]
+    )
+    plain = left.join(right, "k").orderBy("payload").collect()
+    salted = salted_join(left, right, ["k"], salts=8).orderBy("payload").collect()
+    assert salted == plain
+    lplain = left.join(right, "k", "left")
+    lsalted = salted_join(left, right, ["k"], salts=8, how="left")
+    assert sorted(map(tuple, lsalted.collect())) == sorted(
+        map(tuple, lplain.collect())
+    )
+
+
+def test_salted_join_spreads_hot_key(spark):
+    from emodb_spark.pipeline.relational import salted_join
+
+    left = spark.createDataFrame([Row(k=1, payload=i) for i in range(500)])
+    right = spark.createDataFrame([Row(k=1, name="hot")])
+    lsalted = left.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(8)).cast("int"),
+    )
+    n_salts = lsalted.select("__salt").distinct().count()
+    assert n_salts == 8  # the single hot key spreads over all 8 buckets
+    assert salted_join(left, right, ["k"], salts=8).count() == 500
