@@ -4417,6 +4417,303 @@ GROUP BY c_mktsegment
 """
 
 
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: supplier(s) with the MAXIMUM half-year revenue — the
+    view-with-global-max rewritten as aggregate + 1-row broadcast cross
+    join (no self-join re-aggregation, no single-partition window over
+    the supplier table). Decimal-exact revenue."""
+    li = _read(spark, sf_dir, "lineitem")
+    supp = _read(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-07-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount"))
+            ).alias("__rev")
+        )
+    )
+    mx = rev.agg(F.max("__rev").alias("__mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("__rev") == F.col("__mx"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name",
+            F.col("__rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+ORACLE_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1995-07-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: revenue from lineitems whose quantity is below 20% of
+    the part's average — the correlated scalar subquery rewritten as a
+    per-part aggregate joined back, with the float threshold
+    cross-multiplied into exact decimal arithmetic
+    (qty < sum/(5·cnt)  ⇔  5·qty·cnt < sum)."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        _read(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#13")
+        .select("p_partkey")
+    )
+    li_b = li.join(part, li.l_partkey == F.col("p_partkey"))
+    stats = li_b.groupBy("l_partkey").agg(
+        F.sum(_dec("l_quantity")).alias("__sum_qty"),
+        F.count(F.lit(1)).alias("__cnt"),
+    )
+    return (
+        li_b.join(stats.withColumnRenamed("l_partkey", "__pk"),
+                  li_b.l_partkey == F.col("__pk"))
+        .where(
+            _dec("l_quantity") * F.lit(5).cast("decimal(12,2)")
+            * F.col("__cnt").cast("decimal(12,2)")
+            < F.col("__sum_qty")
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice")).cast("double").alias("total_price"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+ORACLE_SMALL_QTY_REVENUE = """
+WITH li_b AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#13'
+),
+stats AS (
+  SELECT l_partkey AS pk,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+         COUNT(*) AS cnt
+  FROM li_b GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+         AS total_price,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM li_b JOIN stats ON l_partkey = pk
+WHERE CAST(l_quantity AS DECIMAL(12,2)) * CAST(5 AS DECIMAL(12,2))
+      * CAST(cnt AS DECIMAL(12,2)) < sum_qty
+"""
+
+
+def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: DORMANT customers — above-average positive balance and
+    NO orders since 1999 — 1-row aggregate broadcast for the threshold
+    (the scalar subquery), LEFT ANTI join for NOT EXISTS, threshold
+    compare cross-multiplied into exact decimals (bal·cnt > sum)."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    pos = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.sum(_dec("c_acctbal")).alias("__sum_bal"),
+        F.count(F.lit(1)).alias("__cnt"),
+    )
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .where(
+            _dec("c_acctbal") * F.col("__cnt").cast("decimal(12,2)")
+            > F.col("__sum_bal")
+        )
+        .join(orders.select(F.col("o_custkey").alias("c_custkey")),
+              "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_custs"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
+        )
+    )
+
+
+ORACLE_SALES_OPPORTUNITY = """
+WITH pos AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS sum_bal, COUNT(*) AS cnt
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_custs,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+FROM customer, pos
+WHERE CAST(c_acctbal AS DECIMAL(12,2)) * CAST(cnt AS DECIMAL(12,2)) > sum_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY c_mktsegment
+"""
+
+
+def q_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: revenue lost to returns per customer in a quarter —
+    fact joins + broadcast nation dim, deterministic top-20 (ties broken
+    by customer key so the result SET is order-insensitive-stable)."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    nation = F.broadcast(_read(spark, sf_dir, "nation"))
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,2)") - _dec("l_discount")
+    )
+    per_cust = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(orders.where(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+        ), li.l_orderkey == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).alias("__rev"))
+    )
+    return (
+        per_cust.orderBy(F.col("__rev").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name",
+                F.col("__rev").cast("double").alias("revenue"))
+    )
+
+
+ORACLE_RETURNED_CUSTOMERS = """
+SELECT c_custkey, c_name, n_name, CAST(rev AS DOUBLE) AS revenue FROM (
+  SELECT c_custkey, c_name, n_name,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+           AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1995-07-01'
+  GROUP BY c_custkey, c_name, n_name
+)
+ORDER BY rev DESC, c_custkey LIMIT 20
+"""
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: the cheapest supplier per part — the correlated MIN
+    subquery rewritten as ONE argmin partial aggregate
+    (min(struct(price, suppkey)) — deterministic tie-break inside the
+    aggregate, no re-join against the min). Broadcast part dim."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        _read(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    )
+    best = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.min(
+                F.struct(
+                    _dec("l_extendedprice").alias("price"),
+                    F.col("l_suppkey").alias("sk"),
+                )
+            ).alias("__best")
+        )
+    )
+    return (
+        best.join(part, best.l_partkey == F.col("p_partkey"))
+        .select(
+            "p_partkey", "p_brand",
+            F.col("__best.sk").alias("s_suppkey"),
+            F.col("__best.price").cast("double").alias("min_price"),
+        )
+    )
+
+
+ORACLE_MIN_COST_SUPPLIER = """
+SELECT p_partkey, p_brand, l_suppkey AS s_suppkey,
+       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS min_price
+FROM (
+  SELECT l_partkey, l_suppkey, l_extendedprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_partkey
+           ORDER BY CAST(l_extendedprice AS DECIMAL(12,2)), l_suppkey
+         ) AS rn
+  FROM lineitem
+) JOIN part ON l_partkey = p_partkey
+WHERE rn = 1
+"""
+
+
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: PROMO parts' share of monthly revenue — conditional
+    aggregation over one join, the share as exact integer cents
+    (decimal sums → bigint cents → floor-division ppm: engine-identical,
+    no float division)."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = F.broadcast(_read(spark, sf_dir, "part").select("p_partkey",
+                                                           "p_type"))
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,2)") - _dec("l_discount")
+    )
+    agg = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+        )
+        .join(part, li.l_partkey == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                  .otherwise(F.lit(0).cast("decimal(12,2)"))).alias("__promo"),
+            F.sum(rev).alias("__total"),
+        )
+    )
+    promo_c = (F.col("__promo") * 10_000).cast("long")
+    total_c = (F.col("__total") * 10_000).cast("long")
+    return agg.select(
+        promo_c.alias("promo_cents_x100"),
+        total_c.alias("total_cents_x100"),
+        (promo_c * 1_000_000 / total_c).cast("long").alias("promo_ppm"),
+    )
+
+
+ORACLE_PROMO_SHARE = """
+WITH agg AS (
+  SELECT
+    SUM(CASE WHEN p_type = 'PROMO'
+        THEN CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+        ELSE CAST(0 AS DECIMAL(12,2)) END) AS promo,
+    SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+      AS total
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+    AND l_shipdate < TIMESTAMP '1995-10-01'
+)
+SELECT CAST(promo * 10000 AS BIGINT) AS promo_cents_x100,
+       CAST(total * 10000 AS BIGINT) AS total_cents_x100,
+       CAST(promo * 10000 AS BIGINT) * 1000000
+         // CAST(total * 10000 AS BIGINT) AS promo_ppm
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4435,6 +4732,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_orders": q_merge_orders,
         "user_scd2": q_user_scd2,
         "salted_hot_join": q_salted_hot_join,
+        "top_supplier": q_top_supplier,
+        "small_qty_revenue": q_small_qty_revenue,
+        "sales_opportunity": q_sales_opportunity,
+        "returned_customers": q_returned_customers,
+        "min_cost_supplier": q_min_cost_supplier,
+        "promo_share": q_promo_share,
         "substring_dedup": q_substring_dedup,
         "unigram_surprisal": q_unigram_surprisal,
         "inverted_index": q_inverted_index,
@@ -4555,6 +4858,12 @@ def oracle_sql() -> dict[str, str]:
         "merge_orders": ORACLE_MERGE_ORDERS,
         "user_scd2": ORACLE_USER_SCD2,
         "salted_hot_join": ORACLE_SALTED_HOT_JOIN,
+        "top_supplier": ORACLE_TOP_SUPPLIER,
+        "small_qty_revenue": ORACLE_SMALL_QTY_REVENUE,
+        "sales_opportunity": ORACLE_SALES_OPPORTUNITY,
+        "returned_customers": ORACLE_RETURNED_CUSTOMERS,
+        "min_cost_supplier": ORACLE_MIN_COST_SUPPLIER,
+        "promo_share": ORACLE_PROMO_SHARE,
         "substring_dedup": ORACLE_SUBSTRING_DEDUP,
         "unigram_surprisal": ORACLE_UNIGRAM_SURPRISAL,
         "inverted_index": ORACLE_INVERTED_INDEX,
