@@ -4683,12 +4683,15 @@ def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rev).alias("__total"),
         )
     )
-    promo_c = (F.col("__promo") * 10_000).cast("long")
-    total_c = (F.col("__total") * 10_000).cast("long")
+    # ppm in DECIMAL(38,0) space: cents·10^6 reaches ~2e20 at sf0.1, past
+    # BIGINT — decimal-38 keeps it exact in both engines; `div` floors.
     return agg.select(
-        promo_c.alias("promo_cents_x100"),
-        total_c.alias("total_cents_x100"),
-        (promo_c * 1_000_000 / total_c).cast("long").alias("promo_ppm"),
+        (F.col("__promo") * 10_000).cast("long").alias("promo_cents_x100"),
+        (F.col("__total") * 10_000).cast("long").alias("total_cents_x100"),
+        F.expr(
+            "CAST(CAST(__promo * 10000 AS DECIMAL(38,0)) * 1000000 "
+            "div CAST(__total * 10000 AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("promo_ppm"),
     )
 
 
@@ -4708,9 +4711,43 @@ WITH agg AS (
 )
 SELECT CAST(promo * 10000 AS BIGINT) AS promo_cents_x100,
        CAST(total * 10000 AS BIGINT) AS total_cents_x100,
-       CAST(promo * 10000 AS BIGINT) * 1000000
-         // CAST(total * 10000 AS BIGINT) AS promo_ppm
+       CAST(CAST(promo * 10000 AS HUGEINT) * 1000000
+            // CAST(total * 10000 AS HUGEINT) AS BIGINT) AS promo_ppm
 FROM agg
+"""
+
+
+def q_dup_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplication score (exact ppm of distinct 8-grams
+    shared with another doc) — the Dolma/RPv2-style dedup ANNOTATION:
+    score at curation time, threshold at mix time
+    (emodb_spark.pipeline.dedup.dup_ngram_score)."""
+    from emodb_spark.pipeline.dedup import dup_ngram_score
+
+    return dup_ngram_score(_read(spark, sf_dir, "documents"), n=8)
+
+
+ORACLE_DUP_SCORE = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+), g AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS gram FROM (
+    SELECT doc_id, toks,
+           unnest(generate_series(1, greatest(len(toks) - 7, 1))) AS i
+    FROM d
+  )
+), freq AS (
+  SELECT gram, COUNT(*) AS n_docs FROM g GROUP BY 1
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       CAST(CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+            * 1000000 // COUNT(*) AS BIGINT) AS dup_ppm
+FROM g JOIN freq USING (gram)
+GROUP BY doc_id
 """
 
 
@@ -4732,6 +4769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_orders": q_merge_orders,
         "user_scd2": q_user_scd2,
         "salted_hot_join": q_salted_hot_join,
+        "dup_score": q_dup_score,
         "top_supplier": q_top_supplier,
         "small_qty_revenue": q_small_qty_revenue,
         "sales_opportunity": q_sales_opportunity,
@@ -4858,6 +4896,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_orders": ORACLE_MERGE_ORDERS,
         "user_scd2": ORACLE_USER_SCD2,
         "salted_hot_join": ORACLE_SALTED_HOT_JOIN,
+        "dup_score": ORACLE_DUP_SCORE,
         "top_supplier": ORACLE_TOP_SUPPLIER,
         "small_qty_revenue": ORACLE_SMALL_QTY_REVENUE,
         "sales_opportunity": ORACLE_SALES_OPPORTUNITY,

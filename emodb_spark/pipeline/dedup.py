@@ -915,3 +915,55 @@ def substring_dedup(
         )
     )
     return out
+
+
+def dup_ngram_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document duplication score: the fraction (exact ppm) of the
+    document's DISTINCT word ``n``-grams that also occur in at least one
+    OTHER document — the per-doc annotation form of corpus dedup
+    (Dolma/RedPajama-v2 ship exactly this as a quality signal, letting
+    the trainer threshold at mix time instead of hard-deleting).
+
+    Scale shape (two keyed shuffles, both on bounded rows):
+      1. per-doc DISTINCT grams via ``array_distinct`` BEFORE the explode
+         (each (doc, gram) crosses the wire once — same trick as
+         :func:`frequent_ngrams`), then one ``groupBy(gram)`` doc-freq
+         count. Because grams are pre-distinct per doc, ``count(*)`` IS
+         the distinct-doc count — no count-distinct state.
+      2. doc-freqs joined back to the (doc, gram) pairs on ``gram`` and
+         reduced per doc. The join is a plain hash equijoin both sides
+         already produced; no all-pairs anything.
+    Score is ``shared·10^6 div total`` in long arithmetic —
+    engine-bit-identical, no float division.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+    pairs = (
+        spread_by_id(df.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select("id", F.explode(grams).alias("gram"))
+    )
+    freq = pairs.groupBy("gram").agg(F.count(F.lit(1)).alias("__n_docs"))
+    return (
+        pairs.join(freq, "gram")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("__n_docs") >= 2).cast("long")).alias("n_shared"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_grams",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.expr("n_shared * 1000000L div n_grams").alias("dup_ppm"),
+        )
+    )

@@ -1357,3 +1357,37 @@ def test_group_split_no_user_straddles(spark, sf_dir):
     n_train = sum(r["n_events"] for r in out if r["split"] == "train")
     total = sum(r["n_events"] for r in out)
     assert 0.6 < n_train / total < 0.95  # ~80% by user mass
+
+
+def test_dup_ngram_score_matches_python(spark):
+    """Differential: dup_ngram_score ≡ a direct Python computation of
+    per-doc shared-distinct-ngram fractions."""
+    from emodb_spark.pipeline.dedup import dup_ngram_score
+
+    docs = [
+        (1, "a b c d e"),             # shares its only 3-gram set w/ doc 2
+        (2, "a b c d e"),             # exact dup of 1
+        (3, "a b c x y"),             # shares 'a b c' with 1/2
+        (4, "p q r s t"),             # unique
+        (5, "short"),                 # < n tokens -> single whole-doc gram
+    ]
+    n = 3
+    import collections
+    grams = {}
+    for did, text in docs:
+        toks = text.split()
+        upper = max(len(toks) - (n - 1), 1)
+        gs = {" ".join(toks[i:i + n]) for i in range(upper)}
+        grams[did] = gs
+    df_counts = collections.Counter(g for gs in grams.values() for g in gs)
+    expected = {}
+    for did, gs in grams.items():
+        shared = sum(1 for g in gs if df_counts[g] >= 2)
+        expected[did] = (len(gs), shared, shared * 1_000_000 // len(gs))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_shared"], r["dup_ppm"])
+        for r in dup_ngram_score(df, n=n).collect()
+    }
+    assert out == expected
