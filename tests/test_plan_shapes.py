@@ -397,3 +397,55 @@ def test_training_shards_no_single_task_window(spark):
     plan = plan_of(training_shards(df))
     assert "SPARK_PARTITION_ID" in plan or "__pid" in plan
     assert "rangepartitioning" in plan.lower()
+
+
+def test_scd2_single_exchange(spark):
+    """The change-filter lag window and the valid_to lead window must
+    share ONE hash exchange on the key."""
+    from emodb_spark.pipeline.relational import scd2_history
+
+    log = spark.createDataFrame(
+        [(1, 0, "a")], "k long, ts long, attr string"
+    )
+    tree = plan_of(scd2_history(log, "k", "ts", ["attr"])).split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+
+
+def test_merge_upsert_no_cartesian_anti_join(spark, sf_dir):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.q_merge_orders(spark, sf_dir))
+    assert "Cartesian" not in plan
+    assert "NestedLoop" not in plan
+    assert "LeftAnti" in plan  # survivors = target anti changed-keys
+
+
+def test_salted_join_is_hash_equijoin_on_salt(spark):
+    from emodb_spark.pipeline.relational import salted_join
+
+    left = spark.createDataFrame([(1, 2)], "k long, payload long")
+    right = spark.createDataFrame([(1, "x")], "k long, name string")
+    plan = plan_of(salted_join(left, right, ["k"], salts=8))
+    flat = plan.replace(" ", "")
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert "__salt" in flat  # join key includes the salt column
+
+
+def test_min_cost_supplier_broadcasts_part_no_min_rejoin(spark, sf_dir):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.q_min_cost_supplier(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # argmin is ONE aggregate over lineitem — no second lineitem scan
+    # (the correlated-subquery spelling would scan it twice)
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_top_supplier_max_is_broadcast_not_window(spark, sf_dir):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.q_top_supplier(spark, sf_dir))
+    # the global max arrives via a 1-row broadcast join, never a
+    # single-partition window over the supplier aggregate
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
