@@ -4751,6 +4751,43 @@ GROUP BY doc_id
 """
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage-curve knee: the smallest frequency-ranked vocabulary
+    covering ≥90% of token occurrences — all-integer threshold
+    (cum·10 ≥ total·9), corpus touched once
+    (emodb_spark.pipeline.text.vocab_coverage)."""
+    from emodb_spark.pipeline.text import vocab_coverage
+
+    return vocab_coverage(_read(spark, sf_dir, "documents"))
+
+
+ORACLE_VOCAB_COVERAGE = """
+WITH words AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+    AS word
+  FROM documents
+), vocab AS (
+  SELECT word, COUNT(*) AS freq FROM words GROUP BY word
+), ranked AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, word ASC) AS BIGINT)
+           AS rank,
+         CAST(SUM(freq) OVER (ORDER BY freq DESC, word ASC
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM vocab
+), total AS (
+  SELECT CAST(SUM(freq) AS BIGINT) AS total_tokens,
+         CAST(COUNT(*) AS BIGINT) AS vocab_size
+  FROM vocab
+)
+SELECT total_tokens, vocab_size,
+       CAST(MIN(rank) AS BIGINT) AS cover_rank,
+       CAST(MIN_BY(cum, rank) AS BIGINT) AS covered_tokens
+FROM ranked, total
+WHERE cum * 10 >= total_tokens * 9
+GROUP BY total_tokens, vocab_size
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4770,6 +4807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_scd2": q_user_scd2,
         "salted_hot_join": q_salted_hot_join,
         "dup_score": q_dup_score,
+        "vocab_coverage": q_vocab_coverage,
         "top_supplier": q_top_supplier,
         "small_qty_revenue": q_small_qty_revenue,
         "sales_opportunity": q_sales_opportunity,
@@ -4897,6 +4935,7 @@ def oracle_sql() -> dict[str, str]:
         "user_scd2": ORACLE_USER_SCD2,
         "salted_hot_join": ORACLE_SALTED_HOT_JOIN,
         "dup_score": ORACLE_DUP_SCORE,
+        "vocab_coverage": ORACLE_VOCAB_COVERAGE,
         "top_supplier": ORACLE_TOP_SUPPLIER,
         "small_qty_revenue": ORACLE_SMALL_QTY_REVENUE,
         "sales_opportunity": ORACLE_SALES_OPPORTUNITY,

@@ -105,6 +105,14 @@ BENCH_QUERIES = [
     "event_mad",             # robust dispersion (two exact medians)
     "conversion_latency",    # as-of join -> exact percentiles
     "group_split",           # leakage-free split by entity hash
+    "merge_orders",          # MERGE upsert (copy-on-write change apply)
+    "user_scd2",             # SCD-2 dimension build (one key exchange)
+    "salted_hot_join",       # skew-safe salted equijoin
+    "dup_score",             # per-doc duplication annotation (ppm)
+    "top_supplier",          # Q15: global-max view via 1-row broadcast
+    "min_cost_supplier",     # Q2: argmin partial aggregate
+    "returned_customers",    # Q10: top-20 TakeOrdered
+    "promo_share",           # Q14: integer-exact conditional share
 ]
 
 

@@ -630,3 +630,57 @@ def compression_signal(
             )
 
     return df.select(id_col, text_col).mapInPandas(_batches, schema)
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pct_num: int = 9,
+    pct_den: int = 10,
+) -> DataFrame:
+    """Tokenizer-design primitive: the smallest frequency-ranked
+    vocabulary covering at least ``pct_num/pct_den`` of all token
+    occurrences (default 90%) — the coverage-curve knee every
+    vocab-size decision reads off.
+
+    Returns ONE row: (total_tokens, vocab_size, cover_rank — the min
+    vocabulary size hitting the target, covered_tokens — occurrences
+    covered at that size). All-integer: the threshold compare is
+    ``cum·pct_den ≥ total·pct_num`` — engine-bit-identical.
+
+    Scale: the corpus is touched once (explode → word-count shuffle with
+    map-side combine). The rank/cumsum windows run over the VOCAB
+    (|vocab| ≪ corpus, single-partition — same documented tradeoff as
+    :func:`word_rank_score`; swap in the two-level prefix sum from
+    ``pipeline.packing`` for 10M+-type vocabularies). The 1-row total
+    joins by broadcast."""
+    from pyspark.sql import Window
+
+    from .dedup import spread_by_id
+
+    words = spread_by_id(
+        df.select(F.col(id_col).alias("id"), F.col(text_col))
+    ).select(F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
+    vocab = words.groupBy("word").agg(F.count("*").alias("freq"))
+    w = Window.orderBy(F.desc("freq"), F.asc("word"))
+    ranked = vocab.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.sum("freq")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("cum"),
+    )
+    total = vocab.agg(
+        F.sum("freq").cast("long").alias("total_tokens"),
+        F.count("*").cast("long").alias("vocab_size"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .where(F.col("cum") * pct_den >= F.col("total_tokens") * pct_num)
+        .groupBy("total_tokens", "vocab_size")
+        .agg(
+            F.min("rank").alias("cover_rank"),
+            F.min_by("cum", "rank").alias("covered_tokens"),
+        )
+    )

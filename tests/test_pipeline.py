@@ -1391,3 +1391,17 @@ def test_dup_ngram_score_matches_python(spark):
         for r in dup_ngram_score(df, n=n).collect()
     }
     assert out == expected
+
+
+def test_vocab_coverage_hand_computed(spark):
+    from emodb_spark.pipeline.text import vocab_coverage
+
+    # freqs: a=5, b=3, c=1, d=1  (total 10). 80% target -> a+b=8 covers.
+    docs = [(1, "a a a b b"), (2, "a a b c d")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    r = vocab_coverage(df, pct_num=8, pct_den=10).collect()[0]
+    assert (r["total_tokens"], r["vocab_size"]) == (10, 4)
+    assert (r["cover_rank"], r["covered_tokens"]) == (2, 8)
+    # 100% target -> needs the whole vocab
+    r2 = vocab_coverage(df, pct_num=1, pct_den=1).collect()[0]
+    assert (r2["cover_rank"], r2["covered_tokens"]) == (4, 10)

@@ -39,6 +39,9 @@ BNLJ_OK = {
                             # unigram_surprisal for the priority order)
     "dataset_report",       # 1-row corpus-total broadcast onto the
                             # rollup aggregate output
+    "sales_opportunity",    # 1-row balance-threshold aggregate cross
+                            # joined onto the customer table (Q22's
+                            # scalar subquery)
 }
 
 ALWAYS_BAD = ["CartesianProduct", "BatchEvalPython"]
