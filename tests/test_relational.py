@@ -661,3 +661,49 @@ def test_salted_join_spreads_hot_key(spark):
     n_salts = lsalted.select("__salt").distinct().count()
     assert n_salts == 8  # the single hot key spreads over all 8 buckets
     assert salted_join(left, right, ["k"], salts=8).count() == 500
+
+
+def test_cdc_merge_sink_matches_single_batch_merge(spark, tmp_path):
+    """Streaming CDC apply across micro-batches ≡ one batch merge of the
+    whole change set (changes ordered by ts across batches), and
+    re-applying a batch is idempotent."""
+    from emodb_spark.pipeline.relational import CdcMergeSink, merge_upsert
+
+    target_rows = [Row(k=i, v=f"v{i}") for i in range(10)]
+    changes = (
+        [Row(k=i, v=f"c{i}", ts=1, d=False) for i in range(0, 6)]       # upd
+        + [Row(k=i, v=None, ts=2, d=True) for i in range(3, 8)]         # del
+        + [Row(k=i, v=f"n{i}", ts=3, d=False) for i in range(20, 24)]   # ins
+    )
+    src = str(tmp_path / "cdc_in")
+    snap = str(tmp_path / "cdc_snap")
+    # 3 files -> 3 micro-batches, in ts order
+    for i, chunk in enumerate([changes[:6], changes[6:11], changes[11:]]):
+        spark.createDataFrame(chunk, "k long, v string, ts long, d boolean") \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    target = spark.createDataFrame(target_rows)
+    sink = CdcMergeSink(spark, snap, on=["k"], ts_col="ts", delete_col="d")
+    sink.apply_batch(target.select(
+        "k", "v", F.lit(0).alias("ts"), F.lit(False).alias("d")))  # seed
+
+    stream = (
+        spark.readStream.schema("k long, v string, ts long, d boolean")
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = sink.start(stream, str(tmp_path / "cdc_ckpt"))
+    q.awaitTermination(120)
+
+    got = {r["k"]: r["v"] for r in sink.snapshot().collect()}
+    expected_df = merge_upsert(
+        target,
+        spark.createDataFrame(changes, "k long, v string, ts long, d boolean"),
+        on=["k"], ts_col="ts", delete_col="d",
+    )
+    expected = {r["k"]: r["v"] for r in expected_df.collect()}
+    assert got == expected
+
+    # idempotent re-apply: merging the LAST batch again changes nothing
+    last = spark.createDataFrame(changes[11:], "k long, v string, ts long, d boolean")
+    sink.apply_batch(last)
+    assert {r["k"]: r["v"] for r in sink.snapshot().collect()} == expected
