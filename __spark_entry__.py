@@ -4788,6 +4788,27 @@ GROUP BY total_tokens, vocab_size
 """
 
 
+def q_exact_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard-threshold similarity join: prefix-filtered candidate
+    pairs (SSJoin/PPJoin lemma — guaranteed full recall, rarest-first
+    prefixes keep buckets small) verified with exact intersection —
+    the deterministic counterpart to the MinHash/SimHash paths
+    (emodb_spark.pipeline.dedup.prefix_filter_pairs + ngram_jaccard).
+    Same brute-force oracle as minhash_near_dups: for the exact path,
+    equality is a proof of BOTH precision and recall."""
+    from emodb_spark.pipeline.dedup import (
+        ngram_jaccard, prefix_filter_pairs, shingle_sets,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    sh = shingle_sets(docs, shingle_k=3)
+    sh.persist()
+    pairs = prefix_filter_pairs(
+        docs, shingle_k=3, threshold_num=7, threshold_den=10, sh=sh
+    )
+    return ngram_jaccard(docs, pairs=pairs, shingle_k=3, threshold=0.7, sh=sh)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4808,6 +4829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_hot_join": q_salted_hot_join,
         "dup_score": q_dup_score,
         "vocab_coverage": q_vocab_coverage,
+        "exact_jaccard_join": q_exact_jaccard_join,
         "top_supplier": q_top_supplier,
         "small_qty_revenue": q_small_qty_revenue,
         "sales_opportunity": q_sales_opportunity,
@@ -4936,6 +4958,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_hot_join": ORACLE_SALTED_HOT_JOIN,
         "dup_score": ORACLE_DUP_SCORE,
         "vocab_coverage": ORACLE_VOCAB_COVERAGE,
+        "exact_jaccard_join": ORACLE_MINHASH_NEAR_DUPS,
         "top_supplier": ORACLE_TOP_SUPPLIER,
         "small_qty_revenue": ORACLE_SMALL_QTY_REVENUE,
         "sales_opportunity": ORACLE_SALES_OPPORTUNITY,

@@ -967,3 +967,61 @@ def dup_ngram_score(
             F.expr("n_shared * 1000000L div n_grams").alias("dup_ppm"),
         )
     )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold_num: int = 7,
+    threshold_den: int = 10,
+    sh: Optional[DataFrame] = None,
+) -> DataFrame:
+    """EXACT-recall candidate pairs for a Jaccard-threshold similarity
+    join via prefix filtering (the SSJoin/PPJoin family — Chaudhuri et
+    al. ICDE'06, Xiao et al. WWW'08) — the exact counterpart to the
+    probabilistic MinHash/SimHash candidate generators: every pair with
+    Jaccard ≥ threshold is GUARANTEED to surface.
+
+    Lemma: order every shingle set by one global total order (document
+    frequency asc, shingle asc — rarest first). If J(x,y) ≥ t then
+    |x∩y| ≥ ⌈t·|x|⌉, so x and y must share a token inside their first
+    ``|·| − ⌈t·|·|⌉ + 1`` tokens — the prefixes. Joining on prefix
+    tokens therefore loses nothing; rarest-first makes prefix buckets
+    the SMALLEST ones (the hot shared vocabulary never enters a
+    prefix unless a doc is tiny), which is what keeps the equijoin's
+    fan-out bounded at corpus scale without a recall-costing cap.
+
+    The threshold is the rational ``threshold_num/threshold_den`` —
+    ⌈t·n⌉ computed as ``(num·n + den − 1) div den``: integer-exact,
+    engine-bit-identical.
+
+    Scale shape: one doc-frequency groupBy (map-side combined), one
+    join to attach frequencies, one per-doc window (keyed on the doc —
+    same exchange the shingle explode already created), one equijoin on
+    prefix tokens, distinct. Verify the survivors with
+    :func:`ngram_jaccard` (exact intersection in codegen).
+    """
+    if sh is None:
+        sh = shingle_sets(df, text_col, id_col, shingle_k)
+    items = sh.select("id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    freq = items.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("id").orderBy(F.asc("__df"), F.asc("s"))
+    ceil_tn = F.expr(
+        f"(({threshold_num}L * n) + {threshold_den - 1}L) div {threshold_den}L"
+    )
+    prefix = (
+        items.join(freq, "s")
+        .withColumn("__pos", F.row_number().over(w))
+        .where(F.col("__pos") <= F.col("n") - ceil_tn + F.lit(1))
+        .select("id", "s")
+    )
+    a = prefix.withColumnRenamed("id", "id_a")
+    b = prefix.withColumnRenamed("id", "id_b")
+    return (
+        a.join(b, "s")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )

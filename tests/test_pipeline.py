@@ -1405,3 +1405,64 @@ def test_vocab_coverage_hand_computed(spark):
     # 100% target -> needs the whole vocab
     r2 = vocab_coverage(df, pct_num=1, pct_den=1).collect()[0]
     assert (r2["cover_rank"], r2["covered_tokens"]) == (4, 10)
+
+
+def test_prefix_filter_pairs_complete_vs_bruteforce(spark):
+    """Prefix-filter candidates must contain EVERY pair with Jaccard >=
+    threshold (the SSJoin lemma) — checked against brute force on a
+    random corpus, and the verified join must equal brute force exactly."""
+    import random
+
+    from emodb_spark.pipeline.dedup import (
+        ngram_jaccard, prefix_filter_pairs, shingle_sets,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for did in range(40):
+        base = rng.sample(vocab, rng.randint(5, 12))
+        docs.append((did, " ".join(base)))
+        if rng.random() < 0.4:  # planted near-dup: mutate one token
+            mut = list(base)
+            mut[rng.randrange(len(mut))] = rng.choice(vocab)
+            docs.append((1000 + did, " ".join(mut)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    t_num, t_den = 6, 10
+    # brute force over distinct 2-shingles
+    def sh_of(text):
+        toks = text.split()
+        if len(toks) >= 2:
+            return {" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)}
+        return {text}
+    sets = {did: sh_of(text) for did, text in docs}
+    expected = set()
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if inter * t_den >= t_num * union:
+                expected.add((a, b))
+    assert expected  # the corpus must actually contain near-dups
+
+    sh = shingle_sets(df, shingle_k=2)
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_filter_pairs(
+            df, shingle_k=2, threshold_num=t_num, threshold_den=t_den, sh=sh
+        ).collect()
+    }
+    assert expected <= cands  # full recall — the exactness guarantee
+
+    verified = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard(
+            df, pairs=prefix_filter_pairs(
+                df, shingle_k=2, threshold_num=t_num, threshold_den=t_den, sh=sh
+            ),
+            shingle_k=2, threshold=t_num / t_den, sh=sh,
+        ).collect()
+    }
+    assert verified == expected
