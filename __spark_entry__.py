@@ -4809,6 +4809,52 @@ def q_exact_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard(docs, pairs=pairs, shingle_k=3, threshold=0.7, sh=sh)
 
 
+def q_session_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session co-occurrence matrix: unordered event-type pairs by
+    the number of 30-minute sessions containing both — combinations
+    generated INSIDE the per-session array (no self-join), exact-ppm
+    share (emodb_spark.pipeline.events.session_cooccurrence)."""
+    from emodb_spark.pipeline.events import session_cooccurrence
+
+    ev = _events_ts_us(spark, sf_dir)
+    return session_cooccurrence(ev, gap=30 * 60 * 1_000_000, ts_col="ts_us")
+
+
+ORACLE_SESSION_COOCCURRENCE = """
+WITH ordered AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus, event_type,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id) AS prev
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, tus, event_type,
+         CASE WHEN prev IS NULL OR tus - prev > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+), numbered AS (
+  SELECT user_id, event_type,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_no
+  FROM flagged
+), sess AS (
+  SELECT DISTINCT user_id, session_no, event_type FROM numbered
+), n AS (
+  SELECT COUNT(*) AS n_sessions
+  FROM (SELECT DISTINCT user_id, session_no FROM sess)
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_both,
+       CAST(MIN(n_sessions) AS BIGINT) AS n_sessions,
+       CAST(CAST(COUNT(*) AS BIGINT) * 1000000
+            // CAST(MIN(n_sessions) AS BIGINT) AS BIGINT) AS both_ppm
+FROM sess a
+JOIN sess b ON a.user_id = b.user_id AND a.session_no = b.session_no
+           AND a.event_type < b.event_type, n
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4830,6 +4876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_score": q_dup_score,
         "vocab_coverage": q_vocab_coverage,
         "exact_jaccard_join": q_exact_jaccard_join,
+        "session_cooccurrence": q_session_cooccurrence,
         "top_supplier": q_top_supplier,
         "small_qty_revenue": q_small_qty_revenue,
         "sales_opportunity": q_sales_opportunity,
@@ -4959,6 +5006,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_score": ORACLE_DUP_SCORE,
         "vocab_coverage": ORACLE_VOCAB_COVERAGE,
         "exact_jaccard_join": ORACLE_MINHASH_NEAR_DUPS,
+        "session_cooccurrence": ORACLE_SESSION_COOCCURRENCE,
         "top_supplier": ORACLE_TOP_SUPPLIER,
         "small_qty_revenue": ORACLE_SMALL_QTY_REVENUE,
         "sales_opportunity": ORACLE_SALES_OPPORTUNITY,

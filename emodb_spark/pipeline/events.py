@@ -810,3 +810,60 @@ def event_transitions(
             F.expr("n * 1000000L div tot").cast("long").alias("ppm"),
         )
     )
+
+
+def session_cooccurrence(
+    events: DataFrame,
+    gap: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Within-session co-occurrence counts: for every unordered pair of
+    distinct event types, in how many sessions both appear — the
+    market-basket / co-view matrix behind association and embedding
+    pretraining signals.
+
+    Shape: sessionization's single key exchange, then per-session
+    DISTINCT types as a sorted array and pair generation INSIDE the array
+    (``transform`` with index + ``slice`` — combinations, not a
+    self-join: fan-out is (k choose 2) with k = distinct types per
+    session, naturally tiny), one final pair-count shuffle. The session
+    count arrives by 1-row broadcast; share is exact ppm (long div).
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(order_col))
+    prev = F.lag(ts_col).over(w)
+    is_new = (prev.isNull() | ((F.col(ts_col) - prev) > F.lit(gap))).cast("long")
+    numbered = events.withColumn(
+        "__session_no",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sess = numbered.groupBy(
+        F.col(user_col), F.col("__session_no")
+    ).agg(F.sort_array(F.collect_set(type_col)).alias("types"))
+    arr = F.col("types")
+    pairs = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + F.lit(2), F.greatest(F.size(arr) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("type_a"), y.alias("type_b")),
+            ),
+        )
+    )
+    n_sessions = sess.agg(F.count(F.lit(1)).alias("n_sessions"))
+    return (
+        sess.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.type_a"), F.col("p.type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .crossJoin(F.broadcast(n_sessions))
+        .select(
+            "type_a", "type_b", "n_both",
+            F.col("n_sessions").cast("long").alias("n_sessions"),
+            F.expr("n_both * 1000000L div n_sessions").alias("both_ppm"),
+        )
+    )

@@ -1466,3 +1466,28 @@ def test_prefix_filter_pairs_complete_vs_bruteforce(spark):
         ).collect()
     }
     assert verified == expected
+
+
+def test_session_cooccurrence_hand_computed(spark):
+    from emodb_spark.pipeline.events import session_cooccurrence
+
+    # user 1: session A (t 0-10): types x,y,x -> {x,y}; session B (t 1000+): {x}
+    # user 2: one session: {x,y,z}
+    ev = spark.createDataFrame(
+        [
+            (1, 1, 0, "x"), (2, 1, 5, "y"), (3, 1, 10, "x"),
+            (4, 1, 1000, "x"),
+            (5, 2, 0, "x"), (6, 2, 1, "y"), (7, 2, 2, "z"),
+        ],
+        "event_id long, user_id long, ts long, event_type string",
+    )
+    out = {
+        (r["type_a"], r["type_b"]): (r["n_both"], r["n_sessions"], r["both_ppm"])
+        for r in session_cooccurrence(ev, gap=100).collect()
+    }
+    # 3 sessions total; {x,y} in 2, {x,z} in 1, {y,z} in 1
+    assert out == {
+        ("x", "y"): (2, 3, 666666),
+        ("x", "z"): (1, 3, 333333),
+        ("y", "z"): (1, 3, 333333),
+    }
