@@ -3654,7 +3654,11 @@ def q_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emodb_spark.pipeline.quality import gopher_filter
 
     docs = _read(spark, sf_dir, "documents")
-    sig = gopher_filter(docs).select("doc_id", "n_tokens", "keep")
+    # persist the metadata-sized stage frames (doc_id + n_tokens + flags):
+    # the four stage aggregates otherwise re-run the explode-heavy Gopher
+    # scan 3x and the dedup join 2x. At 100 TB these intermediates are
+    # still O(corpus ids), a purpose-built cache boundary.
+    sig = gopher_filter(docs).select("doc_id", "n_tokens", "keep").persist()
     q = sig.where(F.col("keep"))
     keyed = q.join(docs.select("doc_id", "text"), "doc_id").select(
         "doc_id", "n_tokens", F.md5(normalize(F.col("text"))).alias("f")
@@ -3664,6 +3668,7 @@ def q_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.join(winners, "f")
         .where(F.col("doc_id") == F.col("w"))
         .select("doc_id", "n_tokens")
+        .persist()
     )
     bd = token_budget_sample(
         dd.withColumn("__ord", F.col("doc_id")), budget=16000
@@ -4855,6 +4860,35 @@ GROUP BY 1, 2
 """
 
 
+def q_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy join: customer↔supplier key digits within
+    edit distance 1 — PassJoin pigeonhole halves (exact recall, hash
+    equijoins only) + JVM levenshtein verify
+    (emodb_spark.pipeline.dedup.edit_distance_pairs). The constant
+    'Customer#'/'Supplier#' template is stripped first — half-keys must
+    be selective (documented degenerate case)."""
+    from emodb_spark.pipeline.dedup import edit_distance_pairs
+
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id_a"),
+        F.expr("substring(c_name, 10)").alias("digits"),
+    )
+    supp = _read(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id_b"),
+        F.expr("substring(s_name, 10)").alias("digits"),
+    )
+    return edit_distance_pairs(cust, supp, col="digits", split_at=4)
+
+
+ORACLE_FUZZY_NAME_JOIN = """
+SELECT c_custkey AS id_a, s_suppkey AS id_b,
+       CAST(levenshtein(substring(c_name, 10), substring(s_name, 10))
+            AS INTEGER) AS distance
+FROM customer, supplier
+WHERE levenshtein(substring(c_name, 10), substring(s_name, 10)) <= 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4877,6 +4911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "exact_jaccard_join": q_exact_jaccard_join,
         "session_cooccurrence": q_session_cooccurrence,
+        "fuzzy_name_join": q_fuzzy_name_join,
         "top_supplier": q_top_supplier,
         "small_qty_revenue": q_small_qty_revenue,
         "sales_opportunity": q_sales_opportunity,
@@ -5007,6 +5042,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage": ORACLE_VOCAB_COVERAGE,
         "exact_jaccard_join": ORACLE_MINHASH_NEAR_DUPS,
         "session_cooccurrence": ORACLE_SESSION_COOCCURRENCE,
+        "fuzzy_name_join": ORACLE_FUZZY_NAME_JOIN,
         "top_supplier": ORACLE_TOP_SUPPLIER,
         "small_qty_revenue": ORACLE_SMALL_QTY_REVENUE,
         "sales_opportunity": ORACLE_SALES_OPPORTUNITY,

@@ -113,6 +113,9 @@ BENCH_QUERIES = [
     "min_cost_supplier",     # Q2: argmin partial aggregate
     "returned_customers",    # Q10: top-20 TakeOrdered
     "promo_share",           # Q14: integer-exact conditional share
+    "exact_jaccard_join",    # guaranteed-recall prefix-filter join
+    "session_cooccurrence",  # in-array pair generation (no self-join)
+    "vocab_coverage",        # coverage-curve knee (integer threshold)
 ]
 
 

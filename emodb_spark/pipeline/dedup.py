@@ -1025,3 +1025,83 @@ def prefix_filter_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def edit_distance_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    col: str = "name",
+    id_left: str = "id_a",
+    id_right: str = "id_b",
+    split_at: Optional[int] = None,
+) -> DataFrame:
+    """Exact-recall fuzzy join at edit distance ≤ 1 (the PassJoin /
+    pigeonhole segment principle, Li et al. VLDB'11): if
+    ``lev(a, b) ≤ 1`` the single edit lies in one half of ``a``, so the
+    OTHER half survives in ``b`` verbatim — the first ``split_at`` chars
+    as ``b``'s prefix, or the remaining chars as ``b``'s trailing
+    substring. Candidates are therefore hash EQUIJOINS (one prefix key;
+    three trailing keys per right row covering the ±1 length shift) —
+    never a cartesian — then verified with JVM ``levenshtein`` in
+    codegen. Returns (id_left, id_right, distance ≤ 1) including exact
+    matches (distance 0).
+
+    Requires every string longer than ``split_at`` (raises otherwise:
+    an empty half would degenerate to a match-everything key). Default
+    ``split_at`` = half the corpus-wide MIN length — two 1-row
+    aggregates.
+
+    Scale: bucket sizes are the selectivity of half-strings — fine for
+    natural keys (names, titles, URLs); DEGENERATE for strings sharing
+    a constant template prefix (strip the template first — the query
+    gate does exactly that)."""
+    if split_at is None:
+        mins = [
+            df.agg(F.min(F.length(F.col(col))).alias("m")).collect()[0]["m"]
+            for df in (left, right)
+        ]
+        min_len = min(m for m in mins if m is not None) if any(mins) else 0
+        split_at = max(1, min_len // 2)
+        if min_len <= split_at:
+            raise ValueError(
+                f"strings of length <= split_at={split_at} present; "
+                "edit_distance_pairs needs every string longer than the split"
+            )
+    k = split_at
+    l_ = left.select(
+        F.col(id_left), F.col(col).alias("__a"),
+        F.substring(F.col(col), 1, k).alias("__pfx"),
+        F.expr(f"substring({col}, {k + 1})").alias("__sfx"),
+    )
+    # prefix-key candidates: edit in a's suffix region ⇒ b[0:k] == a[0:k]
+    p = l_.join(
+        right.select(
+            F.col(id_right), F.col(col).alias("__b"),
+            F.substring(F.col(col), 1, k).alias("__pfx"),
+        ),
+        "__pfx",
+    )
+    # trailing-key candidates: edit in a's prefix region ⇒ b ends with
+    # a[k:], whose length is len(a)-k ∈ {len(b)-k-1, len(b)-k, len(b)-k+1}
+    r_sfx = right.select(
+        F.col(id_right), F.col(col).alias("__b"),
+        F.explode(
+            F.array(
+                F.expr(f"substring({col}, {k})"),
+                F.expr(f"substring({col}, {k + 1})"),
+                F.expr(f"substring({col}, {k + 2})"),
+            )
+        ).alias("__sfx"),
+    ).where(F.length("__sfx") > 0)
+    s = l_.join(r_sfx, "__sfx")
+    cand = (
+        p.select(id_left, id_right, "__a", "__b")
+        .unionByName(s.select(id_left, id_right, "__a", "__b"))
+        .distinct()
+    )
+    return cand.where(
+        (F.abs(F.length("__a") - F.length("__b")) <= 1)
+        & (F.levenshtein("__a", "__b") <= 1)
+    ).select(
+        id_left, id_right, F.levenshtein("__a", "__b").alias("distance")
+    )

@@ -31,14 +31,16 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
-        # Large multi-query sessions (the bench runs 70+ distinct plans)
+        # Large multi-query sessions (the bench runs 90+ distinct plans)
         # generate enough whole-stage-codegen classes to fill the JVM's
         # default 240 MB JIT code cache; once full, HotSpot stops
         # compiling and late queries run interpreted 3-4x slower. Size
-        # the cache for the workload (local-mode: driver == executor).
+        # the cache for the workload (local-mode: driver == executor);
+        # 1g observed necessary past ~90 plans (512m re-saturated and
+        # mid-sequence queries ran 3-4x slow again).
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=512m",
+            "-XX:ReservedCodeCacheSize=1g",
         )
         .config("spark.ui.enabled", "false")
     )

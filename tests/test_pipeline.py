@@ -1491,3 +1491,64 @@ def test_session_cooccurrence_hand_computed(spark):
         ("x", "z"): (1, 3, 333333),
         ("y", "z"): (1, 3, 333333),
     }
+
+
+def test_edit_distance_pairs_complete_vs_bruteforce(spark):
+    """PassJoin-half candidates must surface EVERY pair at distance <= 1
+    (insert / delete / substitute), checked against brute force."""
+    import random
+
+    from emodb_spark.pipeline.dedup import edit_distance_pairs
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        dp = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, n + 1):
+                cur = min(dp[j] + 1, dp[j - 1] + 1,
+                          prev + (a[i - 1] != b[j - 1]))
+                prev, dp[j] = dp[j], cur
+        return dp[n]
+
+    rng = random.Random(3)
+    alpha = "abcde"
+    base = ["".join(rng.choice(alpha) for _ in range(rng.randint(4, 8)))
+            for _ in range(25)]
+    mutated = []
+    for i, s in enumerate(base):
+        t = list(s)
+        op = rng.random()
+        pos = rng.randrange(len(t))
+        if op < 0.33:
+            t[pos] = rng.choice(alpha)               # substitute
+        elif op < 0.66:
+            t.insert(pos, rng.choice(alpha))          # insert
+        else:
+            del t[pos]                                # delete
+        mutated.append("".join(t))
+    lrows = [(i, s) for i, s in enumerate(base)]
+    rrows = [(100 + i, s) for i, s in enumerate(mutated)]
+    expected = {
+        (la, rb) for la, a in lrows for rb, b in rrows if lev(a, b) <= 1
+    }
+    assert len(expected) >= 20  # most planted mutations are distance 1
+
+    l = spark.createDataFrame(lrows, "id_a long, name string")
+    r = spark.createDataFrame(rrows, "id_b long, name string")
+    got = {
+        (x["id_a"], x["id_b"])
+        for x in edit_distance_pairs(l, r, split_at=3).collect()
+    }
+    assert got == expected
+
+
+def test_edit_distance_pairs_short_string_guard(spark):
+    import pytest as _pytest
+
+    from emodb_spark.pipeline.dedup import edit_distance_pairs
+
+    l = spark.createDataFrame([(1, "ab")], "id_a long, name string")
+    r = spark.createDataFrame([(2, "a")], "id_b long, name string")
+    with _pytest.raises(ValueError, match="longer than the split"):
+        edit_distance_pairs(l, r)
