@@ -217,3 +217,53 @@ def export_stash_canonical(
         f.write(stash_id)
     os.replace(latest_tmp, os.path.join(root, LATEST_FILE))
     return snap
+
+
+def stash_diff(
+    old_reader: StandardStashReader,
+    new_reader: StandardStashReader,
+    table: str,
+    id_col: str = "~id",
+    sig_col: str = "~signature",
+) -> DataFrame:
+    """Migration-validation diff between two stash snapshots of a table:
+    one row per changed document with ``change`` ∈ added / removed /
+    changed — the check every EmoDB→Spark cutover runs against the last
+    EmoDB-produced stash and the first one this engine produced.
+
+    Uses the chained-MD5 ``~signature`` intrinsic as the version
+    fingerprint when the stash carries it (sor resolver parity — equal
+    signature ⟺ identical delta history, payloads never compared);
+    stashes of parquet-backed tables don't have one, so the fingerprint
+    falls back to an md5 over the canonical JSON of the non-intrinsic
+    columns (sorted names — deterministic).
+
+    Plan: two scans projected to (id, fingerprint), ONE full-outer hash
+    equijoin on the id. No payload columns cross the shuffle; at 100 TB
+    the join carries two slim columns per side.
+    """
+
+    def fingerprint(df: DataFrame, out: str) -> DataFrame:
+        if sig_col in df.columns:
+            sig = F.col(f"`{sig_col}`")
+        else:
+            payload = sorted(c for c in df.columns
+                             if not c.startswith("~"))
+            sig = F.md5(F.to_json(F.struct(*[F.col(f"`{c}`") for c in payload])))
+        return df.select(F.col(f"`{id_col}`").alias("id"), sig.alias(out))
+
+    old_df = fingerprint(old_reader.scan(table), "__old_sig")
+    new_df = fingerprint(new_reader.scan(table), "__new_sig")
+    j = old_df.join(new_df, "id", "full_outer")
+    change = (
+        F.when(F.col("__old_sig").isNull(), F.lit("added"))
+        .when(F.col("__new_sig").isNull(), F.lit("removed"))
+        .when(F.col("__old_sig") != F.col("__new_sig"), F.lit("changed"))
+    )
+    return (
+        j.withColumn("change", change)
+        .where(F.col("change").isNotNull())
+        .select("id", "change",
+                F.col("__old_sig").alias("old_signature"),
+                F.col("__new_sig").alias("new_signature"))
+    )

@@ -116,3 +116,48 @@ def test_stash_errors(spark, tmp_path):
     fixed = FixedStashReader(spark, str(tmp_path / "fixed"))
     with pytest.raises(TableNotStashedError):
         fixed.scan("missing")
+
+
+def test_stash_diff_added_removed_changed(spark, tmp_path, sf_dir):
+    """Diff two snapshots of a table across two stash roots: added /
+    removed / changed docs classified by content fingerprint."""
+    from pyspark.sql import functions as F
+
+    from emodb_spark.spark.stash_layout import stash_diff
+
+    base = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).limit(50)
+    old_pq = str(tmp_path / "old.parquet")
+    new_pq = str(tmp_path / "new.parquet")
+    base.write.parquet(old_pq)
+    (
+        base.filter(F.col("c_custkey") % 10 != 0)            # 5 removed
+        .withColumn(
+            "c_acctbal",
+            F.when(F.col("c_custkey") % 10 == 1,
+                   F.col("c_acctbal") + 1.0)                 # 5 changed
+            .otherwise(F.col("c_acctbal")),
+        )
+        .unionByName(
+            base.filter(F.col("c_custkey") % 10 == 2)
+            .withColumn("c_custkey", F.col("c_custkey") + 100000)  # 5 added
+        )
+        .write.parquet(new_pq)
+    )
+    roots = []
+    for i, pq in enumerate((old_pq, new_pq)):
+        ds = DataStore(spark)
+        ds.create_table("t", path=pq, key_column="c_custkey")
+        root = str(tmp_path / f"stash{i}")
+        export_stash_canonical(ds, root, "2026-08-14-00-00-00", ["t"])
+        roots.append(root)
+
+    diff = stash_diff(
+        StandardStashReader(spark, roots[0]),
+        StandardStashReader(spark, roots[1]),
+        "t",
+    )
+    by_kind = {
+        r["change"]: r["n"]
+        for r in diff.groupBy("change").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_kind == {"added": 5, "removed": 5, "changed": 5}
