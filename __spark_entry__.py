@@ -4889,6 +4889,28 @@ WHERE levenshtein(substring(c_name, 10), substring(s_name, 10)) <= 1
 """
 
 
+def q_event_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE trailing window (7 days): per event, count + integer-
+    cents sum of the same user's trailing week — a RANGE frame over
+    event time, the interval sibling of the ROWS-frame rolling features
+    (emodb_spark.pipeline.events.trailing_time_features)."""
+    from emodb_spark.pipeline.events import trailing_time_features
+
+    ev = _events_ts_us(spark, sf_dir)
+    return trailing_time_features(ev, ts_col="ts_us")
+
+
+ORACLE_EVENT_TRAILING_7D = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT)
+         AS sum_cents_trailing
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4912,6 +4934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_jaccard_join": q_exact_jaccard_join,
         "session_cooccurrence": q_session_cooccurrence,
         "fuzzy_name_join": q_fuzzy_name_join,
+        "event_trailing_7d": q_event_trailing_7d,
         "top_supplier": q_top_supplier,
         "small_qty_revenue": q_small_qty_revenue,
         "sales_opportunity": q_sales_opportunity,
@@ -5043,6 +5066,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_jaccard_join": ORACLE_MINHASH_NEAR_DUPS,
         "session_cooccurrence": ORACLE_SESSION_COOCCURRENCE,
         "fuzzy_name_join": ORACLE_FUZZY_NAME_JOIN,
+        "event_trailing_7d": ORACLE_EVENT_TRAILING_7D,
         "top_supplier": ORACLE_TOP_SUPPLIER,
         "small_qty_revenue": ORACLE_SMALL_QTY_REVENUE,
         "sales_opportunity": ORACLE_SALES_OPPORTUNITY,

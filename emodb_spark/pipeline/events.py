@@ -867,3 +867,35 @@ def session_cooccurrence(
             F.expr("n_both * 1000000L div n_sessions").alias("both_ppm"),
         )
     )
+
+
+def trailing_time_features(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    value_col: str = "value",
+    window_us: int = 7 * 86_400_000_000,
+) -> DataFrame:
+    """Time-RANGE trailing features: for every event, the count and
+    integer-cents sum of the SAME user's events in the trailing
+    ``window_us`` microseconds — a RANGE frame (time interval), not a
+    ROWS frame: burst days contribute everything, quiet days little,
+    which is what churn/abuse features actually want
+    (:func:`rolling_features` is the ROWS-frame sibling).
+
+    One keyed exchange; the range frame is evaluated by Spark's window
+    operator as a sliding bound over the partition-local sort — linear
+    per partition. Cents fixed-point keeps sums integer-exact."""
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).cast("long"))
+        .rangeBetween(-window_us, 0)
+    )
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    return df.select(
+        F.col(user_col),
+        F.col("event_id"),
+        F.col(ts_col),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_trailing"),
+        F.sum(cents).over(w).cast("long").alias("sum_cents_trailing"),
+    )
