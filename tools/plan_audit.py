@@ -42,6 +42,17 @@ BNLJ_OK = {
     "sales_opportunity",    # 1-row balance-threshold aggregate cross
                             # joined onto the customer table (Q22's
                             # scalar subquery)
+    "vocab_coverage",       # 1-row total-tokens aggregate cross joined
+                            # onto the vocab cumsum
+    "session_cooccurrence", # 1-row session-count broadcast for the ppm
+    "negative_samples",     # 1-row corpus-count broadcast (the mod-N
+                            # denominator for dense-id sampling)
+    "bloom_filters",        # O(groups) bitset rows broadcast for the
+                            # probe's codegen bit test (non-equi by
+                            # design: the test IS the membership check)
+    "bitext_mining",        # O(#queries) rows broadcast against the
+                            # corpus — same exact-cosine plan as the
+                            # allowlisted similarity_topk, both ways
 }
 
 ALWAYS_BAD = ["CartesianProduct", "BatchEvalPython"]
