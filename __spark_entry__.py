@@ -4911,6 +4911,51 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
 """
 
 
+def q_bloom_join_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned join — the 100 TB shuffle reducer: the dim side's
+    key set becomes a broadcast Bloom sidecar, the fact side is
+    pre-filtered by a codegen bit test BEFORE its join shuffle (no false
+    negatives; false positives are removed by the exact join that
+    follows). Composes sketch.bloom_build + bloom_probe; result ≡ the
+    plain join the oracle runs."""
+    from emodb_spark.pipeline.sketch import bloom_build, bloom_probe
+
+    dim = (
+        _read(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9000.0)
+        .select("c_custkey", "c_mktsegment")
+    )
+    bloom = bloom_build(
+        dim.select(F.lit("k").alias("g"), "c_custkey"),
+        "g", "c_custkey", m_bits=4096, k_hashes=3,
+    )
+    fact = _read(spark, sf_dir, "events").select(
+        F.lit("k").alias("g"),
+        F.col("user_id").alias("c_custkey"),
+        F.floor(F.col("value")).cast("long").alias("v"),
+    )
+    pruned = bloom_probe(fact, bloom, "g", "c_custkey",
+                         m_bits=4096, k_hashes=3)
+    return (
+        pruned.join(F.broadcast(dim), "c_custkey")  # exact join kills FPs
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("v").cast("long").alias("sum_floor_value"),
+        )
+    )
+
+
+ORACLE_BLOOM_JOIN_REDUCTION = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS sum_floor_value
+FROM events JOIN customer ON user_id = c_custkey
+WHERE c_acctbal > 9000.0
+GROUP BY c_mktsegment
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4935,6 +4980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_cooccurrence": q_session_cooccurrence,
         "fuzzy_name_join": q_fuzzy_name_join,
         "event_trailing_7d": q_event_trailing_7d,
+        "bloom_join_reduction": q_bloom_join_reduction,
         "top_supplier": q_top_supplier,
         "small_qty_revenue": q_small_qty_revenue,
         "sales_opportunity": q_sales_opportunity,
@@ -5067,6 +5113,7 @@ def oracle_sql() -> dict[str, str]:
         "session_cooccurrence": ORACLE_SESSION_COOCCURRENCE,
         "fuzzy_name_join": ORACLE_FUZZY_NAME_JOIN,
         "event_trailing_7d": ORACLE_EVENT_TRAILING_7D,
+        "bloom_join_reduction": ORACLE_BLOOM_JOIN_REDUCTION,
         "top_supplier": ORACLE_TOP_SUPPLIER,
         "small_qty_revenue": ORACLE_SMALL_QTY_REVENUE,
         "sales_opportunity": ORACLE_SALES_OPPORTUNITY,
