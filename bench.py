@@ -116,6 +116,9 @@ BENCH_QUERIES = [
     "exact_jaccard_join",    # guaranteed-recall prefix-filter join
     "session_cooccurrence",  # in-array pair generation (no self-join)
     "vocab_coverage",        # coverage-curve knee (integer threshold)
+    "fuzzy_name_join",       # PassJoin halves + levenshtein verify
+    "event_trailing_7d",     # time-RANGE trailing frame
+    "bloom_join_reduction",  # pre-shuffle bloom bit-test pruning
 ]
 
 
