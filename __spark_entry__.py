@@ -4861,31 +4861,36 @@ GROUP BY 1, 2
 
 
 def q_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity-resolution fuzzy join: customer↔supplier key digits within
-    edit distance 1 — PassJoin pigeonhole halves (exact recall, hash
+    """Entity-resolution fuzzy join: customer↔supplier keys within edit
+    distance 1 — PassJoin pigeonhole halves (exact recall, hash
     equijoins only) + JVM levenshtein verify
-    (emodb_spark.pipeline.dedup.edit_distance_pairs). The constant
-    'Customer#'/'Supplier#' template is stripped first — half-keys must
-    be selective (documented degenerate case)."""
+    (emodb_spark.pipeline.dedup.edit_distance_pairs). Keys are rendered
+    as UNPADDED decimals (+10000 fixes the length) because half-keys
+    must be selective: the zero-padded 'Customer#000000123' spelling
+    puts every row in one shared-prefix bucket and the candidate join
+    degenerates toward all-pairs (the operator's documented caveat,
+    measured 15s vs ~1s at sf0.1)."""
     from emodb_spark.pipeline.dedup import edit_distance_pairs
 
     cust = _read(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("id_a"),
-        F.expr("substring(c_name, 10)").alias("digits"),
+        (F.col("c_custkey") + 10_000).cast("string").alias("digits"),
     )
     supp = _read(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("id_b"),
-        F.expr("substring(s_name, 10)").alias("digits"),
+        (F.col("s_suppkey") + 10_000).cast("string").alias("digits"),
     )
-    return edit_distance_pairs(cust, supp, col="digits", split_at=4)
+    return edit_distance_pairs(cust, supp, col="digits", split_at=3)
 
 
 ORACLE_FUZZY_NAME_JOIN = """
 SELECT c_custkey AS id_a, s_suppkey AS id_b,
-       CAST(levenshtein(substring(c_name, 10), substring(s_name, 10))
+       CAST(levenshtein(CAST(c_custkey + 10000 AS VARCHAR),
+                        CAST(s_suppkey + 10000 AS VARCHAR))
             AS INTEGER) AS distance
 FROM customer, supplier
-WHERE levenshtein(substring(c_name, 10), substring(s_name, 10)) <= 1
+WHERE levenshtein(CAST(c_custkey + 10000 AS VARCHAR),
+                  CAST(s_suppkey + 10000 AS VARCHAR)) <= 1
 """
 
 
