@@ -707,3 +707,50 @@ def test_cdc_merge_sink_matches_single_batch_merge(spark, tmp_path):
     last = spark.createDataFrame(changes[11:], "k long, v string, ts long, d boolean")
     sink.apply_batch(last)
     assert {r["k"]: r["v"] for r in sink.snapshot().collect()} == expected
+
+
+def test_scd2_matches_python_reference_on_random_logs(spark):
+    """Differential: scd2_history ≡ a sequential Python interval builder
+    over random multi-attribute change logs (duplicate states, ties on
+    ts broken by the attribute tuple, nulls as real states)."""
+    import random
+
+    from emodb_spark.pipeline.relational import scd2_history
+
+    rng = random.Random(23)
+    rows = []
+    for k in range(8):
+        t = 0
+        for _ in range(rng.randint(1, 12)):
+            t += rng.randint(0, 3)  # ties possible (delta 0)
+            a = rng.choice(["x", "y", None])
+            b = rng.randint(0, 2)
+            rows.append((f"k{k}", t, a, b))
+
+    # python reference: sort by (ts, (a,b) with None-low ordering), drop
+    # consecutive no-change rows, then close intervals with the next start
+    def keyf(r):
+        return (r[1], (r[2] is not None, r[2] or ""), r[3])
+
+    expected = set()
+    by_k = {}
+    for r in rows:
+        by_k.setdefault(r[0], []).append(r)
+    for k, rs in by_k.items():
+        rs.sort(key=keyf)
+        pts = []
+        prev = object()
+        for _, t, a, b in rs:
+            if (a, b) != prev:
+                pts.append((t, a, b))
+                prev = (a, b)
+        for i, (t, a, b) in enumerate(pts):
+            nxt = pts[i + 1][0] if i + 1 < len(pts) else None
+            expected.add((k, a, b, t, nxt, nxt is None))
+
+    df = spark.createDataFrame(rows, "k string, ts long, a string, b long")
+    got = {
+        (r["k"], r["a"], r["b"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_history(df, "k", "ts", ["a", "b"]).collect()
+    }
+    assert got == expected
