@@ -2754,32 +2754,57 @@ LIMIT 30
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style cell-scoped embedding dedup: candidate pairs only
-    within a coarse cell (`label` here; k-means cells via kmeans_assign
-    at scale), exact sequential-fold cosine verify. Threshold 0.35 suits
+    """SemDeDup-style cell-scoped embedding dedup, the full recipe:
+    k-means cells (deterministic trainer, k=8, 2 iters — cells scale
+    with the corpus when k does, unlike a fixed label column), the
+    ``max_cell_size`` mega-cell guard ACTIVE (oversized cells dropped,
+    not exploded — bounds candidate pairs at any corpus scale), exact
+    sequential-fold cosine verify within cells. Threshold 0.35 suits
     the synthetic embeddings — trained-embedding deployments use ~0.95
-    (emodb_spark.pipeline.similarity.semantic_near_dups)."""
-    from emodb_spark.pipeline.similarity import semantic_near_dups
+    (emodb_spark.pipeline.similarity.semantic_near_dups). The oracle
+    replays the k-means (unrolled SQL), the cell-size guard, and the
+    pair generation in one statement."""
+    from emodb_spark.pipeline.similarity import kmeans, semantic_near_dups
 
     emb = _read(spark, sf_dir, "embeddings")
-    return semantic_near_dups(emb, cell_col="label", threshold=0.35)
+    assigned, _ = kmeans(emb, k=8, iters=2)
+    cells = emb.join(assigned.withColumnRenamed("cluster", "__cell"), "vec_id")
+    return semantic_near_dups(
+        cells, cell_col="__cell", threshold=0.35, max_cell_size=150
+    )
 
 
-ORACLE_SEMANTIC_DEDUP = """
-WITH e AS (
-  SELECT vec_id, label, embedding FROM embeddings
+def _oracle_semantic_dedup(k: int = 8, iters: int = 2, max_cell: int = 150) -> str:
+    ctes, sq = _kmeans_ctes(k, iters)
+    return f"""
+WITH {', '.join(ctes)}, assign AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {sq} ASC, c.cluster ASC) AS rn
+    FROM embeddings e CROSS JOIN c{iters} c
+  ) WHERE rn = 1
+), ok_cells AS (
+  SELECT cluster FROM assign GROUP BY cluster HAVING COUNT(*) <= {max_cell}
+), e2 AS (
+  SELECT e.vec_id, a.cluster AS cell, e.embedding
+  FROM embeddings e
+  JOIN assign a USING (vec_id)
+  JOIN ok_cells oc ON a.cluster = oc.cluster
 )
 SELECT id_a, id_b, cell, ROUND(c, 8) AS cosine FROM (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS cell,
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell,
     list_reduce(list_transform(list_zip(a.embedding, b.embedding),
                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (p,q) -> p+q)
     / ( sqrt(list_reduce(list_transform(a.embedding,
                v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (p,q) -> p+q))
       * sqrt(list_reduce(list_transform(b.embedding,
                v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (p,q) -> p+q)) ) AS c
-  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  FROM e2 a JOIN e2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
 ) WHERE c >= 0.35
 """
+
+
+ORACLE_SEMANTIC_DEDUP = _oracle_semantic_dedup()
 
 
 def q_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -450,34 +450,33 @@ def proportional_allocation(
     alloc = {g: 0 for g, _ in counts}
     live = dict(counts)  # group -> capacity remaining
     remaining = total_k
-    while remaining > 0 and live:
-        total_n = sum(live.values())
-        if total_n == 0:
-            break
-        quota = {g: n * remaining for g, n in live.items()}
+    while remaining > 0:
+        active = {g: n for g, n in live.items() if n > 0}
+        if not active:
+            break  # total_k exceeds total rows: everyone capped at size
+        total_n = sum(active.values())
+        # integer Hamilton quotas over the ACTIVE (uncapped) groups only
+        quota = {g: n * remaining for g, n in active.items()}
         floors = {g: q // total_n for g, q in quota.items()}
-        given = sum(floors.values())
+        extra = remaining - sum(floors.values())  # 0 <= extra < len(active)
         rema = sorted(
-            live,
-            key=lambda g: (-(quota[g] % total_n), -live[g], str(g)),
+            active,
+            key=lambda g: (-(quota[g] % total_n), -active[g], str(g)),
         )
-        for i, g in enumerate(rema):
-            floors[g] += 1 if i < remaining - given else 0
-        # cap at capacity; loop re-apportions any surplus
-        overflow_groups = []
+        for g in rema[:extra]:
+            floors[g] += 1
+        # cap at remaining capacity; any surplus re-apportions next pass
+        got_total = 0
         for g, take in floors.items():
-            cap = live[g]
-            got = min(take, cap)
+            got = min(take, live[g])
             alloc[g] += got
-            live[g] = cap - got
-        remaining -= sum(min(floors[g], n) for g, n in counts if g in floors) if False else (
-            sum(v for v in floors.values()) - sum(
-                max(0, floors[g] - (dict(counts)[g] - (alloc[g] - min(floors[g], alloc[g])))) for g in floors
-            )
-        )
-        # (simpler, correct accounting below)
-        break
-    # NOTE: the loop above is unrolled once; do the exact accounting here.
+            live[g] -= got
+            got_total += got
+        remaining -= got_total
+        # progress guarantee: remaining > 0 and active nonempty implies
+        # got_total >= 1 (floors sum short by < len(active), so at least
+        # one floor+topup is positive), hence termination: each pass
+        # either zeroes `remaining` or caps at least one group.
     return df.sparkSession.createDataFrame(
         [(g, n, alloc[g]) for g, n in counts],
         f"{group_col} string, n_rows long, alloc long",

@@ -1055,18 +1055,21 @@ def edit_distance_pairs(
     natural keys (names, titles, URLs); DEGENERATE for strings sharing
     a constant template prefix (strip the template first — the query
     gate does exactly that)."""
+    mins = [
+        df.agg(F.min(F.length(F.col(col))).alias("m")).collect()[0]["m"]
+        for df in (left, right)
+    ]
+    min_len = min(m for m in mins if m is not None) if any(mins) else 0
     if split_at is None:
-        mins = [
-            df.agg(F.min(F.length(F.col(col))).alias("m")).collect()[0]["m"]
-            for df in (left, right)
-        ]
-        min_len = min(m for m in mins if m is not None) if any(mins) else 0
         split_at = max(1, min_len // 2)
-        if min_len <= split_at:
-            raise ValueError(
-                f"strings of length <= split_at={split_at} present; "
-                "edit_distance_pairs needs every string longer than the split"
-            )
+    # validate for caller-supplied split_at too (r4 ADVICE): a string of
+    # length <= split_at has an EMPTY suffix half, which the trailing-key
+    # join filters out — silent recall loss, not just a bad plan
+    if min_len <= split_at:
+        raise ValueError(
+            f"strings of length <= split_at={split_at} present; "
+            "edit_distance_pairs needs every string longer than the split"
+        )
     k = split_at
     l_ = left.select(
         F.col(id_left), F.col(col).alias("__a"),

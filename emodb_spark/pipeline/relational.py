@@ -523,16 +523,36 @@ class CdcMergeSink:
         drop = {self.ts_col} | ({self.delete_col} if self.delete_col else set())
         return [c for c in batch.columns if c not in drop]
 
-    def snapshot(self) -> Optional[DataFrame]:
+    # Snapshot layout: ``path`` is a ROOT directory holding versioned
+    # snapshot dirs plus a ``_LATEST`` pointer file (one line: the live
+    # dir name) — the same publish idiom as the canonical stash writer
+    # (spark/stash_layout.py: write snapshot-N, os.replace _LATEST).
+    # Readers resolve the pointer; the flip is a single atomic replace,
+    # so a crash at ANY point leaves either the old or the new snapshot
+    # fully live — never a half-deleted target that a foreachBatch
+    # replay would silently rebuild from one batch.
+    _LATEST = "_LATEST"
+
+    def _latest_dir(self) -> Optional[str]:
         import os as _os
 
-        if _os.path.exists(self.path):
-            return self.spark.read.parquet(self.path)
+        ptr = _os.path.join(self.path, self._LATEST)
+        if _os.path.exists(ptr):
+            with open(ptr, encoding="utf-8") as f:
+                name = f.read().strip()
+            cand = _os.path.join(self.path, name)
+            if name and _os.path.isdir(cand):
+                return cand
         return None
+
+    def snapshot(self) -> Optional[DataFrame]:
+        live = self._latest_dir()
+        return self.spark.read.parquet(live) if live else None
 
     def apply_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
         import os as _os
         import shutil as _shutil
+        import uuid as _uuid
 
         if batch.isStreaming:  # foreachBatch hands us a batch frame, but
             raise ValueError("apply_batch expects a materialized batch")
@@ -543,14 +563,22 @@ class CdcMergeSink:
             target, batch, on=self.on, ts_col=self.ts_col,
             delete_col=self.delete_col,
         )
-        tmp = self.path + "._tmp"
+        name = f"snapshot-{batch_id}-{_uuid.uuid4().hex[:8]}"
+        out = _os.path.join(self.path, name)
         writer = merged.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
-        writer.parquet(tmp)
-        if _os.path.exists(self.path):
-            _shutil.rmtree(self.path)
-        _os.rename(tmp, self.path)
+        writer.parquet(out)
+        # atomic pointer flip, then best-effort GC of superseded versions
+        ptr = _os.path.join(self.path, self._LATEST)
+        tmp = ptr + "._tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(name)
+        _os.replace(tmp, ptr)
+        for entry in _os.listdir(self.path):
+            if entry.startswith("snapshot-") and entry != name:
+                _shutil.rmtree(_os.path.join(self.path, entry),
+                               ignore_errors=True)
 
     def start(self, changes_stream: DataFrame, checkpoint: str):
         return (

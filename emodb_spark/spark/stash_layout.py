@@ -26,6 +26,7 @@ store at deployment, never touching data bytes.
 from __future__ import annotations
 
 import os
+import warnings
 from dataclasses import dataclass
 from typing import List, Optional, Sequence
 
@@ -243,8 +244,8 @@ def stash_diff(
     the join carries two slim columns per side.
     """
 
-    def fingerprint(df: DataFrame, out: str) -> DataFrame:
-        if sig_col in df.columns:
+    def fingerprint(df: DataFrame, out: str, use_sig: bool) -> DataFrame:
+        if use_sig:
             sig = F.col(f"`{sig_col}`")
         else:
             payload = sorted(c for c in df.columns
@@ -252,8 +253,22 @@ def stash_diff(
             sig = F.md5(F.to_json(F.struct(*[F.col(f"`{c}`") for c in payload])))
         return df.select(F.col(f"`{id_col}`").alias("id"), sig.alias(out))
 
-    old_df = fingerprint(old_reader.scan(table), "__old_sig")
-    new_df = fingerprint(new_reader.scan(table), "__new_sig")
+    old_scan, new_scan = old_reader.scan(table), new_reader.scan(table)
+    # ~signature fast path ONLY when BOTH snapshots carry it: exactly the
+    # documented cutover case (EmoDB stash vs engine parquet-backed
+    # stash) has it on one side only, and mixing signature-domain and
+    # content-hash-domain fingerprints would report every common doc as
+    # 'changed' (r4 ADVICE). Fall back to content hashing on both sides.
+    use_sig = sig_col in old_scan.columns and sig_col in new_scan.columns
+    if not use_sig and (sig_col in old_scan.columns
+                        or sig_col in new_scan.columns):
+        warnings.warn(
+            f"stash_diff: {sig_col} present on only one snapshot; "
+            "falling back to canonical content hashes on both sides",
+            stacklevel=2,
+        )
+    old_df = fingerprint(old_scan, "__old_sig", use_sig)
+    new_df = fingerprint(new_scan, "__new_sig", use_sig)
     j = old_df.join(new_df, "id", "full_outer")
     change = (
         F.when(F.col("__old_sig").isNull(), F.lit("added"))

@@ -150,3 +150,84 @@ def test_sample_k_per_group_small_group_keeps_all(spark):
     out = sample_k_per_group(docs, "source", k=10).collect()
     assert len(out) == 2
     assert sorted(r["sample_rank"] for r in out) == [1, 2]
+
+
+def _hamilton_reference(counts: dict, total_k: int) -> dict:
+    """Sequential reference: iterated largest-remainder apportionment with
+    capacity caps — same tie order (remainder desc, size desc, name asc)."""
+    alloc = {g: 0 for g in counts}
+    live = dict(counts)
+    remaining = total_k
+    while remaining > 0:
+        active = {g: n for g, n in live.items() if n > 0}
+        if not active:
+            break
+        total_n = sum(active.values())
+        shares = {g: (n * remaining) // total_n for g, n in active.items()}
+        extra = remaining - sum(shares.values())
+        order = sorted(
+            active,
+            key=lambda g: (-((active[g] * remaining) % total_n),
+                           -active[g], str(g)),
+        )
+        for g in order[:extra]:
+            shares[g] += 1
+        got = 0
+        for g, take in shares.items():
+            x = min(take, live[g])
+            alloc[g] += x
+            live[g] -= x
+            got += x
+        remaining -= got
+    return alloc
+
+
+def test_proportional_allocation_differential(spark):
+    """proportional_allocation ≡ the sequential Hamilton reference across
+    random group-size tables, including caps (groups smaller than their
+    share) and over-ask (total_k > total rows)."""
+    import random
+
+    from emodb_spark.pipeline.curation import proportional_allocation
+
+    rng = random.Random(77)
+    for trial in range(6):
+        n_groups = rng.randint(1, 7)
+        counts = {f"g{j}": rng.randint(1, 40) for j in range(n_groups)}
+        total_rows = sum(counts.values())
+        total_k = rng.choice(
+            [1, total_rows // 2 or 1, total_rows, total_rows + 13]
+        )
+        df = spark.createDataFrame(
+            [(f"{g}-{i}", g) for g, n in counts.items() for i in range(n)],
+            "id string, grp string",
+        )
+        got = {
+            r["grp"]: r["alloc"]
+            for r in proportional_allocation(df, "grp", total_k).collect()
+        }
+        want = _hamilton_reference(counts, total_k)
+        assert got == want, f"trial {trial}: {got} != {want}"
+        assert sum(got.values()) == min(total_k, total_rows)
+        assert all(got[g] <= counts[g] for g in counts)
+
+
+def test_proportional_allocation_caps_and_exact_totals(spark):
+    """Over-ask (total_k > total rows) caps every group at its size; a
+    feasible ask allocates EXACTLY total_k (the r4-ADVICE bug: the broken
+    loop silently allocated fewer)."""
+    from emodb_spark.pipeline.curation import proportional_allocation
+
+    rows = [("a", 2), ("b", 98)]
+    df = spark.createDataFrame(
+        [(f"{g}{i}", g) for g, n in rows for i in range(n)],
+        "id string, grp string",
+    )
+    got = {r["grp"]: r["alloc"]
+           for r in proportional_allocation(df, "grp", 50).collect()}
+    assert sum(got.values()) == 50          # exact total, never short
+    assert got == {"a": 1, "b": 49}         # integer Hamilton quotas
+
+    over = {r["grp"]: r["alloc"]
+            for r in proportional_allocation(df, "grp", 150).collect()}
+    assert over == {"a": 2, "b": 98}        # capped at capacity, all rows

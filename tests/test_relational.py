@@ -754,3 +754,34 @@ def test_scd2_matches_python_reference_on_random_logs(spark):
         for r in scd2_history(df, "k", "ts", ["a", "b"]).collect()
     }
     assert got == expected
+
+
+def test_cdc_merge_sink_snapshot_survives_mid_swap_crash(spark, tmp_path):
+    """The snapshot publish is a versioned dir + atomic _LATEST pointer
+    flip (r4 ADVICE: rmtree-then-rename left a window where a crash
+    deleted the whole snapshot and replay silently rebuilt from one
+    batch). Simulate the crash window: a new snapshot dir written but
+    the pointer not yet flipped -> the OLD snapshot is still fully
+    live; after a re-apply the state is correct."""
+    from emodb_spark.pipeline.relational import CdcMergeSink
+
+    snap = str(tmp_path / "cdc_root")
+    sink = CdcMergeSink(spark, snap, on=["k"], ts_col="ts")
+    sink.apply_batch(spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1)], "k long, v string, ts long"))
+    assert {r["k"]: r["v"] for r in sink.snapshot().collect()} == {1: "a", 2: "b"}
+
+    # crash window: an orphan snapshot dir appears, pointer untouched
+    import os as _os
+    orphan = _os.path.join(snap, "snapshot-99-deadbeef")
+    spark.createDataFrame([(9, "X", 9)], "k long, v string, ts long") \
+        .write.parquet(orphan)
+    assert {r["k"]: r["v"] for r in sink.snapshot().collect()} == {1: "a", 2: "b"}
+
+    # recovery: the next apply merges onto the LIVE snapshot and GCs
+    # the orphan
+    sink.apply_batch(spark.createDataFrame(
+        [(2, "b2", 2)], "k long, v string, ts long"), batch_id=1)
+    assert {r["k"]: r["v"] for r in sink.snapshot().collect()} == {1: "a", 2: "b2"}
+    dirs = [d for d in _os.listdir(snap) if d.startswith("snapshot-")]
+    assert len(dirs) == 1  # superseded + orphan dirs cleaned

@@ -161,3 +161,45 @@ def test_stash_diff_added_removed_changed(spark, tmp_path, sf_dir):
         for r in diff.groupBy("change").agg(F.count("*").alias("n")).collect()
     }
     assert by_kind == {"added": 5, "removed": 5, "changed": 5}
+
+
+def test_stash_diff_mixed_signature_falls_back_to_content_hash(
+    spark, tmp_path, monkeypatch
+):
+    """Exactly one snapshot carrying ~signature (the EmoDB-stash vs
+    engine-stash cutover) must NOT mix fingerprint domains — the r4
+    ADVICE failure reported every common doc as 'changed'. Both sides
+    fall back to the canonical content hash, so identical payloads diff
+    clean."""
+    import warnings as _warnings
+
+    from pyspark.sql import functions as F
+
+    from emodb_spark.spark.stash_layout import stash_diff
+
+    base = spark.createDataFrame(
+        [(f"k{i}", i, f"v{i}") for i in range(20)],
+        "`~id` string, n long, v string",
+    )
+    with_sig = base.withColumn("~signature", F.md5(F.col("`~id`")))
+
+    class _FakeReader:
+        def __init__(self, df):
+            self._df = df
+
+        def scan(self, table):
+            return self._df
+
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        diff = stash_diff(_FakeReader(with_sig), _FakeReader(base), "t")
+        assert diff.count() == 0  # identical payloads -> no changes
+    assert any("only one snapshot" in str(w.message) for w in caught)
+
+    # and a real payload change is still detected through the fallback
+    changed = base.withColumn(
+        "v", F.when(F.col("n") == 3, F.lit("CHANGED")).otherwise(F.col("v"))
+    )
+    diff2 = stash_diff(_FakeReader(with_sig), _FakeReader(changed), "t")
+    rows = {r["id"]: r["change"] for r in diff2.collect()}
+    assert rows == {"k3": "changed"}

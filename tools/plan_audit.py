@@ -50,6 +50,10 @@ BNLJ_OK = {
     "bloom_filters",        # O(groups) bitset rows broadcast for the
                             # probe's codegen bit test (non-equi by
                             # design: the test IS the membership check)
+    "bloom_join_reduction", # same O(groups) bitset-sidecar broadcast as
+                            # bloom_filters (the probe side pre-filters
+                            # through the broadcast bitsets before the
+                            # real equijoin)
     "bitext_mining",        # O(#queries) rows broadcast against the
                             # corpus — same exact-cosine plan as the
                             # allowlisted similarity_topk, both ways
