@@ -3462,6 +3462,81 @@ FROM events GROUP BY event_type
 """
 
 
+def q_three_state_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-mode scan with the reference's THREE-STATE semantics
+    (UNDEFINED ≠ JSON null ≠ value; sor-api condition/State.java:6-15,
+    DeltaEvaluator.java:29-34): presence bits derived from the raw JSON
+    document column (compiler.presence_from_json — one JVM
+    json_object_keys per row) let is(undefined) / is(null) / is(defined)
+    / equal(null) compile to codegen Columns. Absent-vs-null variety is
+    injected deterministically (event_id mod 3: absent / null / kept),
+    mirrored exactly in the oracle. Returns per-type counts of each
+    state plus two compiled composite conditions."""
+    from emodb_spark.language import parse_condition
+    from emodb_spark.spark.compiler import compile_condition, presence_from_json
+
+    ev = _read(spark, sf_dir, "events")
+    props2 = (
+        F.when(F.col("event_id") % 3 == 0, F.lit("{}"))
+        .when(F.col("event_id") % 3 == 1, F.lit('{"k":null}'))
+        .otherwise(F.col("props"))
+    )
+    doc = ev.select(
+        "event_type",
+        props2.alias("doc"),
+        F.get_json_object(props2, "$.k").cast("long").alias("k"),
+    )
+    presence = presence_from_json(F.col("doc"), ["k"])
+
+    def cc(text):
+        return compile_condition(parse_condition(text), doc.schema,
+                                 presence=presence)
+
+    return (
+        doc.select(
+            "event_type",
+            cc('{..,"k":is(undefined)}').alias("u"),
+            cc('{..,"k":is(null)}').alias("n"),
+            cc('{..,"k":is(defined)}').alias("d"),
+            cc('or({..,"k":null},{..,"k":gt(50)})').alias("c1"),
+            cc('and({..,"k":is(defined)},not({..,"k":is(null)}))').alias("c2"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("u").cast("long")).alias("n_undefined"),
+            F.sum(F.col("n").cast("long")).alias("n_null"),
+            F.sum(F.col("d").cast("long")).alias("n_defined"),
+            F.sum(F.col("c1").cast("long")).alias("n_null_or_big"),
+            F.sum(F.col("c2").cast("long")).alias("n_value"),
+        )
+    )
+
+
+ORACLE_THREE_STATE_SCAN = """
+WITH p AS (
+  SELECT event_type,
+    CASE WHEN event_id % 3 = 0 THEN '{}'
+         WHEN event_id % 3 = 1 THEN '{"k":null}'
+         ELSE props END AS doc
+  FROM events
+), s AS (
+  SELECT event_type,
+    list_contains(json_keys(doc), 'k') AS present,
+    CAST(json_extract_string(doc, '$.k') AS BIGINT) AS k
+  FROM p
+)
+SELECT event_type,
+  CAST(SUM(CASE WHEN NOT present THEN 1 ELSE 0 END) AS BIGINT) AS n_undefined,
+  CAST(SUM(CASE WHEN present AND k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+  CAST(SUM(CASE WHEN present THEN 1 ELSE 0 END) AS BIGINT) AS n_defined,
+  CAST(SUM(CASE WHEN (present AND k IS NULL) OR COALESCE(k > 50, FALSE)
+       THEN 1 ELSE 0 END) AS BIGINT) AS n_null_or_big,
+  CAST(SUM(CASE WHEN present AND k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_value
+FROM s GROUP BY event_type
+"""
+
+
 def q_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Budget-constrained curation: keep the most-fluent documents
     (lowest unigram surprisal) until a 16k-token budget is exhausted —
@@ -4998,9 +5073,44 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Order matters defensively: the r3 driver recorded only the
-        # first N-1 declared queries. Never-yet-gated (round-4) queries
-        # lead; multi-round-green veterans absorb any tail truncation.
+        # The driver's CORRECTNESS artifact records the FIRST 50
+        # entries. Round-5 window: new queries lead, then the 27
+        # that never had a driver row (r4 verdict item 1), then the
+        # streaming-parity gates + the re-planned doc_packing for
+        # fresh rows (items 2/6). Veterans absorb tail truncation.
+        "three_state_scan": q_three_state_scan,
+        "collocations": q_collocations,
+        "semantic_dedup": q_semantic_dedup,
+        "strip_markup": q_strip_markup,
+        "bpe_merges": q_bpe_merges,
+        "dataset_report": q_dataset_report,
+        "sample_per_source": q_sample_per_source,
+        "asof_last_view": q_asof_last_view,
+        "event_error_burst": q_event_error_burst,
+        "events_rollup": q_events_rollup,
+        "boilerplate_removal": q_boilerplate_removal,
+        "fp_overlap_pairs": q_fp_overlap_pairs,
+        "doc_chunks": q_doc_chunks,
+        "kmeans_embeddings": q_kmeans_embeddings,
+        "ann_ivf_kmeans": q_ann_ivf_kmeans,
+        "mixture_weights": q_mixture_weights,
+        "quality_retention": q_quality_retention,
+        "event_percentiles": q_event_percentiles,
+        "event_histogram": q_event_histogram,
+        "event_profile": q_event_profile,
+        "events_grouping_sets": q_events_grouping_sets,
+        "events_pivot": q_events_pivot,
+        "event_funnel": q_event_funnel,
+        "cohort_retention": q_cohort_retention,
+        "session_documents": q_session_documents,
+        "value_deciles": q_value_deciles,
+        "word_rank_score": q_word_rank_score,
+        "tfidf_topk": q_tfidf_topk,
+        "resolve_fold": q_resolve_fold,
+        "streaming_fold_parity": q_streaming_fold_parity,
+        "stateful_fold_parity": q_stateful_fold_parity,
+        "replication_convergence": q_replication_convergence,
+        "doc_packing": q_doc_packing,
         "merge_orders": q_merge_orders,
         "user_scd2": q_user_scd2,
         "salted_hot_join": q_salted_hot_join,
@@ -5018,6 +5128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_cost_supplier": q_min_cost_supplier,
         "promo_share": q_promo_share,
         "substring_dedup": q_substring_dedup,
+        # ---- 50-slot driver window ends above ----
         "unigram_surprisal": q_unigram_surprisal,
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
@@ -5051,36 +5162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_split": q_group_split,
         "paragraph_dedup": q_paragraph_dedup,
         "quality_classifier": q_quality_classifier,
-        "collocations": q_collocations,
-        "semantic_dedup": q_semantic_dedup,
-        "strip_markup": q_strip_markup,
-        "bpe_merges": q_bpe_merges,
-        "dataset_report": q_dataset_report,
-        "sample_per_source": q_sample_per_source,
-        "resolve_fold": q_resolve_fold,
         "resolve_compacted": q_resolve_compacted,
-        "streaming_fold_parity": q_streaming_fold_parity,
-        "stateful_fold_parity": q_stateful_fold_parity,
-        "replication_convergence": q_replication_convergence,
-        "asof_last_view": q_asof_last_view,
-        "event_error_burst": q_event_error_burst,
-        "events_rollup": q_events_rollup,
-        "boilerplate_removal": q_boilerplate_removal,
-        "fp_overlap_pairs": q_fp_overlap_pairs,
-        "doc_chunks": q_doc_chunks,
-        "kmeans_embeddings": q_kmeans_embeddings,
-        "ann_ivf_kmeans": q_ann_ivf_kmeans,
-        "mixture_weights": q_mixture_weights,
-        "quality_retention": q_quality_retention,
-        "event_percentiles": q_event_percentiles,
-        "event_histogram": q_event_histogram,
-        "event_profile": q_event_profile,
-        "events_grouping_sets": q_events_grouping_sets,
-        "events_pivot": q_events_pivot,
-        "event_funnel": q_event_funnel,
-        "cohort_retention": q_cohort_retention,
-        "session_documents": q_session_documents,
-        "value_deciles": q_value_deciles,
         "timeline_with_compaction": q_timeline_with_compaction,
         "stash_canonical": q_stash_canonical,
         "blob_store_roundtrip": q_blob_store_roundtrip,
@@ -5093,8 +5175,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "gopher_quality": q_gopher_quality,
         "vocab_topk": q_vocab_topk,
-        "word_rank_score": q_word_rank_score,
-        "tfidf_topk": q_tfidf_topk,
         "pii_scan": q_pii_scan,
         "corpus_sample": q_corpus_sample,
         "doc_fingerprints": q_doc_fingerprints,
@@ -5108,7 +5188,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "hash_split": q_hash_split,
         "contamination": q_contamination,
-        "doc_packing": q_doc_packing,
         "frame_sample": q_frame_sample,
         "audio_chunks": q_audio_chunks,
         "simhash_near_dups": q_simhash_near_dups,
@@ -5164,6 +5243,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_surprisal": ORACLE_BIGRAM_SURPRISAL,
         "nation_trade": ORACLE_NATION_TRADE,
         "event_props": ORACLE_EVENT_PROPS,
+        "three_state_scan": ORACLE_THREE_STATE_SCAN,
         "budget_sample": ORACLE_BUDGET_SAMPLE,
         "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
         "graph_triangles": ORACLE_GRAPH_TRIANGLES,

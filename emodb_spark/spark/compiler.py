@@ -11,9 +11,19 @@ double comparison (numeric promotion), non-string columns never match
 
 Typed-mode convention: SQL NULL represents the UNDEFINED (absent) state —
 parquet cannot distinguish a missing key from a null one. ``is(null)`` is
-therefore constant-false in typed mode; use the generic (JSON-string)
-evaluator path for schemaless documents where the distinction matters
-(:func:`condition_udf`).
+therefore constant-false in typed mode by default; use the generic
+(JSON-string) evaluator path for schemaless documents where the
+distinction matters (:func:`condition_udf`), OR pass ``presence`` bits to
+:func:`compile_condition`: one boolean Column per top-level field that is
+TRUE when the field exists in the document (a present JSON null included).
+With a presence bit the reference's three-state semantics
+(sor-api ``condition/State.java:6-15``, ``DeltaEvaluator.java:29-34``)
+compile exactly: ``is(undefined)`` = NOT present, ``is(defined)`` =
+present (null IS a defined state), ``is(null)`` / ``equal(null)`` =
+present AND SQL NULL. :func:`presence_from_json` derives the bits from
+the raw JSON document column that schema-on-read tables already carry.
+Presence applies to TOP-LEVEL fields; nested struct members keep the
+NULL ≡ UNDEFINED convention (parquet group nulls carry no key set).
 
 Every compiled predicate is null-safe: it evaluates to a definite
 true/false, never SQL NULL, so ``not(...)`` composes correctly.
@@ -45,26 +55,36 @@ _UNDEF = _Undef()
 
 
 class _Ref:
-    """A typed reference to the 'current JSON value' being tested."""
+    """A typed reference to the 'current JSON value' being tested.
 
-    def __init__(self, col: Column, dtype: T.DataType):
+    ``present`` (optional) is a definite-boolean Column that is TRUE when
+    the field EXISTS in the document — the presence bit separating the
+    UNDEFINED state from a present JSON null. None = legacy typed-mode
+    convention (SQL NULL ≡ UNDEFINED)."""
+
+    def __init__(self, col: Column, dtype: T.DataType,
+                 present: Optional[Column] = None):
         self.col = col
         self.dtype = dtype
+        self.present = present
 
 
 class _RootDoc:
     """The whole document: its fields are the DataFrame's columns."""
 
-    def __init__(self, schema: T.StructType, exclude: Sequence[str] = ()):
+    def __init__(self, schema: T.StructType, exclude: Sequence[str] = (),
+                 presence: Optional[Dict[str, Column]] = None):
         self.schema = schema
         self.exclude = set(exclude)
+        self.presence = presence or {}
 
     def field(self, name: str) -> Union[_Ref, _Undef]:
         if name in self.exclude:
             return _UNDEF
         for f in self.schema.fields:
             if f.name == name:
-                return _Ref(F.col(f"`{name}`"), f.dataType)
+                return _Ref(F.col(f"`{name}`"), f.dataType,
+                            present=self.presence.get(name))
         return _UNDEF
 
 
@@ -94,6 +114,7 @@ def compile_condition(
     cond: C.Condition,
     schema_or_df: Union[T.StructType, DataFrame],
     intrinsics: Optional[Dict[str, Column]] = None,
+    presence: Optional[Dict[str, Column]] = None,
 ) -> Column:
     """Compile a condition over a document DataFrame.
 
@@ -101,14 +122,33 @@ def compile_condition(
     ``intrinsics`` maps intrinsic names (``~table``, ``~id``, ...) to
     Columns; when the schema itself has ``~``-prefixed columns they are used
     automatically and excluded from the document fields.
+
+    ``presence`` (optional) maps top-level field names to definite-boolean
+    Columns that are TRUE when the field exists in the document — enabling
+    the reference's UNDEFINED ≠ JSON-null distinction in typed mode (see
+    module docstring). Fields without a bit keep NULL ≡ UNDEFINED.
     """
     schema = schema_or_df.schema if isinstance(schema_or_df, DataFrame) else schema_or_df
     intr: Dict[str, Column] = dict(intrinsics or {})
     for f in schema.fields:
         if f.name.startswith("~") and f.name not in intr:
             intr[f.name] = F.col(f"`{f.name}`")
-    root = _RootDoc(schema, exclude=[n for n in intr] if intr else ())
+    root = _RootDoc(schema, exclude=[n for n in intr] if intr else (),
+                    presence=presence)
     return _compile(cond, root, intr)
+
+
+def presence_from_json(json_col: Column, fields: Sequence[str]) -> Dict[str, Column]:
+    """Derive presence bits for ``fields`` from the raw JSON document
+    column that schema-on-read tables carry alongside their typed
+    columns: TRUE iff the key exists at the top level (present JSON null
+    included). Definite booleans (never SQL NULL), evaluated by the JVM
+    ``json_object_keys`` — one shared parse per row, codegen-side."""
+    keys = F.json_object_keys(json_col)
+    return {
+        f: F.coalesce(F.array_contains(keys, F.lit(f)), F.lit(False))
+        for f in fields
+    }
 
 
 def compile_value_condition(cond: C.Condition, col: Column, dtype: T.DataType) -> Column:
@@ -214,6 +254,15 @@ def _compile_is(cond: C.IsCondition, target: Target) -> Column:
     if isinstance(target, _Undef):
         return F.lit(True) if s == "undefined" else F.lit(False)
     dt = target.dtype
+    if target.present is not None:
+        # three-state semantics via the presence bit (State.java:6-15):
+        # a present JSON null is DEFINED and is(null); absent is neither
+        if s == "undefined":
+            return ~target.present
+        if s == "defined":
+            return target.present
+        if s == "null":
+            return target.present & target.col.isNull()
     if s == "undefined":
         return target.col.isNull()
     if s == "defined":
@@ -238,6 +287,9 @@ def _compile_equal(value: Any, target: Target) -> Column:
         return F.lit(False)
     dt = target.dtype
     if value is None:
+        if target.present is not None:
+            # equal(null) matches a PRESENT null (json_equals: None == None)
+            return target.present & target.col.isNull()
         return F.lit(False)  # typed mode cannot hold JSON null (NULL ≡ UNDEFINED)
     if is_bool(value):
         if isinstance(dt, T.BooleanType):

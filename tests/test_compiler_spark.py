@@ -378,3 +378,86 @@ def test_sql_registered_functions(spark):
         "SELECT emodb_apply('delete()', doc) AS d FROM sqldocs"
     ).collect()
     assert all(r["d"] is None for r in deleted)
+
+
+PRESENCE_DOCS = [
+    # (key, json doc): status/rating exercise every absent-vs-null-vs-value
+    # combination; the typed columns are derived from the doc below
+    ("p1", '{"status":"APPROVED","rating":5}'),
+    ("p2", '{"status":null,"rating":5}'),
+    ("p3", '{"rating":null}'),
+    ("p4", '{}'),
+    ("p5", '{"status":null,"rating":null}'),
+    ("p6", '{"status":"SUBMITTED"}'),
+]
+
+PRESENCE_CONDITIONS = [
+    '{..,"status":is(undefined)}',
+    '{..,"status":is(defined)}',     # a present null IS defined
+    '{..,"status":is(null)}',
+    '{..,"status":null}',            # equal(null) ≡ present null
+    '{..,"status":in(null,"APPROVED")}',
+    '{..,"status":~}',
+    '{..,"status":+}',
+    '{..,"status":is(string)}',      # present null is NOT a string
+    '{..,"status":"APPROVED"}',
+    '{..,"rating":is(null)}',
+    '{..,"rating":is(undefined)}',
+    '{..,"rating":is(defined)}',
+    '{..,"rating":gt(3)}',           # comparisons false on null AND undefined
+    'not({..,"status":is(null)})',
+    'and({..,"status":is(defined)},{..,"rating":is(null)})',
+    'or({..,"status":is(undefined)},{..,"rating":5})',
+]
+
+
+def test_presence_bits_give_three_state_parity(spark):
+    """Typed mode WITH presence bits ≡ the interpreter on documents where
+    absent and JSON null differ (reference State.java:6-15 /
+    DeltaEvaluator.java:29-34: UNDEFINED and NULL are distinct states;
+    r4 verdict 'What's missing' #2). The bits come from the raw JSON
+    column via presence_from_json — the schema-on-read shape."""
+    import json
+
+    from emodb_spark.language import parse_condition
+    from emodb_spark.language.ceval import eval_condition
+    from emodb_spark.language.values import UNDEFINED
+    from emodb_spark.spark.compiler import compile_condition, presence_from_json
+
+    df = (
+        spark.createDataFrame(PRESENCE_DOCS, "key string, doc string")
+        .withColumn("status", F.get_json_object("doc", "$.status"))
+        .withColumn(
+            "rating", F.get_json_object("doc", "$.rating").cast("long")
+        )
+    )
+    presence = presence_from_json(F.col("doc"), ["status", "rating"])
+    docs = {k: json.loads(d) for k, d in PRESENCE_DOCS}
+
+    for text in PRESENCE_CONDITIONS:
+        cond = parse_condition(text)
+        got = {
+            r["key"]: r["m"]
+            for r in df.select(
+                "key",
+                compile_condition(
+                    cond, df.schema, presence=presence
+                ).alias("m"),
+            ).collect()
+        }
+        for key, doc in docs.items():
+            want = eval_condition(cond, doc)
+            assert got[key] == want, f"{text} on {doc}: {got[key]} != {want}"
+            assert got[key] is not None  # definite boolean, never SQL NULL
+
+
+def test_presence_bits_default_unchanged(spark, docs_df):
+    """Without presence bits the legacy NULL ≡ UNDEFINED convention is
+    untouched: is(null) stays constant-false."""
+    from emodb_spark.language import parse_condition
+    from emodb_spark.spark.compiler import compile_condition
+
+    col = compile_condition(parse_condition('{..,"status":is(null)}'), docs_df)
+    assert all(
+        not r["m"] for r in docs_df.select(col.alias("m")).collect()
+    )
