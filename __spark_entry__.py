@@ -5066,6 +5066,427 @@ GROUP BY c_mktsegment
 # ---------------------------------------------------------------------------
 
 
+# --------------------------------------------------------------------------
+# Round 5: relational TPC-H shapes expressible on the available columns
+# (no partsupp/commitdate/shipmode in the synthetic schema) + asymmetric
+# containment join, cross-corpus novelty, and a SQL-oracled BPE encoder.
+# --------------------------------------------------------------------------
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: the simplest scan-heavy aggregate — one filter over the
+    fact table, zero joins, one 1-row global sum. Whole-stage codegen
+    end to end; the revenue in exact decimal, reported x10000 (scale-4
+    cleared, so the BIGINT cast truncates nothing on either engine)."""
+    li = _read(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice") * _dec("l_discount")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (_dec("l_discount") >= F.lit("0.05").cast("decimal(12,2)"))
+            & (_dec("l_discount") <= F.lit("0.07").cast("decimal(12,2)"))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(rev).alias("__rev"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+        .select(
+            (F.col("__rev") * 10_000).cast("long").alias("revenue_x10000"),
+            "n_lines",
+        )
+    )
+
+
+ORACLE_FORECAST_REVENUE = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * CAST(l_discount AS DECIMAL(12,2))) * 10000 AS BIGINT)
+    AS revenue_x10000,
+  CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND CAST(l_discount AS DECIMAL(12,2)) BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: a target nation's share of ECONOMY-part revenue sold to
+    AMERICA customers, per order year. Dims (part filtered by type,
+    supplier, both nation legs, region) broadcast; the only big
+    exchanges are lineitem⋈orders and orders⋈customer. Share as exact
+    integer ppm via the DECIMAL(38,0) floor-division idiom."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        _read(spark, sf_dir, "part")
+        .where(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    supp = F.broadcast(
+        _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    n_s = F.broadcast(
+        _read(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    orders = _read(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n_c = F.broadcast(
+        _read(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key")
+        )
+    )
+    region = F.broadcast(
+        _read(spark, sf_dir, "region")
+        .where(F.col("r_name") == "AMERICA")
+        .select("r_regionkey")
+    )
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,2)") - _dec("l_discount")
+    )
+    base = (
+        li.join(part, li.l_partkey == F.col("p_partkey"))
+        .join(supp, li.l_suppkey == F.col("s_suppkey"))
+        .join(n_s, F.col("s_nationkey") == F.col("sn_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n_c, cust.c_nationkey == F.col("cn_key"))
+        .join(region, F.col("cr_key") == F.col("r_regionkey"))
+    )
+    agg = base.groupBy(F.year("o_orderdate").cast("int").alias("o_year")).agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_2", rev)
+            .otherwise(F.lit(0).cast("decimal(12,2)"))
+        ).alias("__t"),
+        F.sum(rev).alias("__a"),
+    )
+    return agg.select(
+        "o_year",
+        (F.col("__t") * 10_000).cast("long").alias("target_x10000"),
+        (F.col("__a") * 10_000).cast("long").alias("total_x10000"),
+        F.expr(
+            "CAST(CAST(__t * 10000 AS DECIMAL(38,0)) * 1000000 "
+            "div CAST(__a * 10000 AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("share_ppm"),
+    )
+
+
+ORACLE_MARKET_SHARE = """
+WITH base AS (
+  SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+    CAST(l_extendedprice AS DECIMAL(12,2))
+      * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS rev,
+    ns.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  JOIN region ON nc.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1998-01-01'
+), agg AS (
+  SELECT o_year,
+    SUM(CASE WHEN supp_nation = 'NATION_2' THEN rev
+        ELSE CAST(0 AS DECIMAL(12,2)) END) AS t,
+    SUM(rev) AS a
+  FROM base GROUP BY o_year
+)
+SELECT CAST(o_year AS INTEGER) AS o_year,
+  CAST(t * 10000 AS BIGINT) AS target_x10000,
+  CAST(a * 10000 AS BIGINT) AS total_x10000,
+  CAST(CAST(t * 10000 AS HUGEINT) * 1000000
+       // CAST(a * 10000 AS HUGEINT) AS BIGINT) AS share_ppm
+FROM agg
+"""
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape (adapted: the synthetic schema has no partsupp, so unit
+    cost = 10% of p_retailprice): profit by supplier nation and order
+    year over STANDARD parts. All dims broadcast; profit in exact
+    decimal at scale 6, reported x1e6 so the BIGINT cast clears the
+    scale with zero truncation on either engine."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        _read(spark, sf_dir, "part")
+        .where(F.col("p_type") == "STANDARD")
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = F.broadcast(
+        _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    nat = F.broadcast(
+        _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,2)") - _dec("l_discount")
+    ) - _dec("l_quantity") * _dec("p_retailprice") * F.lit("0.10").cast(
+        "decimal(12,2)"
+    )
+    return (
+        li.join(part, li.l_partkey == F.col("p_partkey"))
+        .join(supp, li.l_suppkey == F.col("s_suppkey"))
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(profit).alias("__p"))
+        .select(
+            "nation",
+            "o_year",
+            (F.col("__p") * 1_000_000).cast("long").alias("profit_x1e6"),
+        )
+    )
+
+
+ORACLE_PRODUCT_PROFIT = """
+SELECT n_name AS nation,
+  CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+  CAST(SUM(
+    CAST(l_extendedprice AS DECIMAL(12,2))
+      * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+    - CAST(l_quantity AS DECIMAL(12,2))
+      * CAST(p_retailprice AS DECIMAL(12,2))
+      * CAST(0.10 AS DECIMAL(12,2))
+  ) * 1000000 AS BIGINT) AS profit_x1e6
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: orders whose total line quantity exceeds 300 — a
+    fact-side HAVING aggregate first (the selective step), THEN the
+    joins; the order/customer lookups see only the few qualifying keys
+    (AQE broadcasts them). Quantities x100 as exact integers."""
+    li = _read(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("__q"))
+        .where(F.col("__q") > 300)
+    )
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            (_dec("o_totalprice") * 100).cast("long").alias("totalprice_cents"),
+            (F.col("__q") * 100).cast("long").alias("total_qty_x100"),
+        )
+    )
+
+
+ORACLE_LARGE_VOLUME_CUSTOMERS = """
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS q
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300
+)
+SELECT c_name,
+  CAST(c_custkey AS BIGINT) AS c_custkey,
+  CAST(o_orderkey AS BIGINT) AS o_orderkey,
+  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS totalprice_cents,
+  CAST(q * 100 AS BIGINT) AS total_qty_x100
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: OR-of-AND predicate brackets spanning both join sides
+    (brand x quantity-range x size-range) — the disjunction must stay
+    ABOVE the join but each bracket's part-side conjuncts still prune
+    the broadcast build side. One broadcast join, one 1-row sum."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        _read(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#7"))
+            & (F.col("p_size").between(1, 15))
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    q = F.col("l_quantity")
+    bracket = (
+        ((F.col("p_brand") == "Brand#12") & q.between(1, 11)
+         & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & q.between(10, 20)
+           & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#7") & q.between(20, 30)
+           & F.col("p_size").between(1, 15))
+    )
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,2)") - _dec("l_discount")
+    )
+    return (
+        li.join(part, li.l_partkey == F.col("p_partkey"))
+        .where(bracket)
+        .agg(
+            F.sum(rev).alias("__r"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+        .select(
+            (F.col("__r") * 10_000).cast("long").alias("revenue_x10000"),
+            "n_lines",
+        )
+    )
+
+
+ORACLE_BRACKETED_REVENUE = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+    * 10000 AS BIGINT) AS revenue_x10000,
+  CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+       AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+       AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#7' AND l_quantity BETWEEN 20 AND 30
+       AND p_size BETWEEN 1 AND 15)
+"""
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus 3-gram novelty per document: the fraction of a doc's
+    distinct grams first seen in THIS doc under the corpus doc_id order
+    (emodb_spark.pipeline.dedup.ngram_novelty) — the ingest-time 'how
+    much of this is new text' signal. Two keyed aggregates, no joins
+    wider than the gram table."""
+    from emodb_spark.pipeline.dedup import ngram_novelty
+
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_novelty(docs, shingle_k=3)
+
+
+ORACLE_NGRAM_NOVELTY = f"""
+WITH {_SQL_SHINGLES}, first AS (
+  SELECT s, MIN(doc_id) AS first_id FROM shr GROUP BY s
+)
+SELECT shr.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_grams,
+  CAST(SUM(CASE WHEN shr.doc_id = f.first_id THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_novel,
+  CAST(SUM(CASE WHEN shr.doc_id = f.first_id THEN 1 ELSE 0 END) * 1000000
+       // COUNT(*) AS BIGINT) AS novelty_ppm
+FROM shr JOIN first f USING (s)
+GROUP BY shr.doc_id
+"""
+
+
+def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed near-containment join at |A∩B|/|A| >= 7/10: exact-recall
+    prefix-filter candidates (the container side indexed in full —
+    containment is inherently asymmetric), exact intersection verify
+    (emodb_spark.pipeline.dedup.containment_pairs). Oracle: brute-force
+    directed containment — equality proves precision AND recall."""
+    from emodb_spark.pipeline.dedup import containment_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return containment_pairs(docs, shingle_k=3, threshold_num=7, threshold_den=10)
+
+
+ORACLE_CONTAINMENT_JOIN = f"""
+WITH {_SQL_SHINGLES}, sz AS (
+  SELECT doc_id, len(shl) AS n FROM sh
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+  CAST(i AS BIGINT) AS n_common,
+  CAST(na.n AS BIGINT) AS n_a,
+  CAST(i * 1000000 // na.n AS BIGINT) AS containment_ppm
+FROM inter JOIN sz na ON na.doc_id = id_a
+WHERE i * 10 >= 7 * na.n
+"""
+
+
+# A fixed, shipped merge table (the production tokenizer-apply scenario:
+# merges are an artifact, not re-trained per corpus). Chain order matters.
+BPE_FIXED_MERGES = [
+    ("e", "</w>"), ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e</w>"),
+    ("h", "a"), ("ha", "s"), ("has", "h"), ("hash", "</w>"),
+    ("k", "e"), ("ke", "y"), ("key", "</w>"),
+]
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODER under a fixed shipped merge list: per-document word and
+    BPE-token counts (emodb_spark.pipeline.bpe.bpe_token_counts — the
+    merge fold runs once per distinct word, documents map through a
+    broadcast dictionary). The oracle replays the greedy left-to-right
+    non-overlapping merge EXACTLY in SQL via boundary-doubled string
+    replace: symbols joined by '||' (pipe is in no symbol), each merge =
+    replace('|L||R|' -> '|LR|') — the doubled boundary keeps consecutive
+    merges non-overlapping in the same way the fold does."""
+    from emodb_spark.pipeline.bpe import bpe_token_counts
+
+    docs = _read(spark, sf_dir, "documents")
+    return bpe_token_counts(docs, BPE_FIXED_MERGES)
+
+
+def _oracle_bpe_encode() -> str:
+    rep = ("'||' || array_to_string(list_append(string_split(w, ''), '</w>'),"
+           " '||') || '||'")
+    expr = rep
+    for left, right in BPE_FIXED_MERGES:
+        expr = f"replace({expr}, '|{left}||{right}|', '|{left}{right}|')"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS tk
+  FROM documents
+), wf AS (
+  SELECT doc_id, unnest(tk) AS w FROM toks
+), words AS (
+  SELECT doc_id, w FROM wf WHERE w <> ''
+), vocab AS (
+  SELECT DISTINCT w FROM words
+), seg AS (
+  SELECT w,
+    (length({expr}) - length(replace({expr}, '||', '|'))) - 1 AS n_sub
+  FROM vocab
+), per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(n_sub) AS BIGINT) AS n_bpe_tokens
+  FROM words JOIN seg USING (w) GROUP BY doc_id
+)
+SELECT d.doc_id,
+  COALESCE(p.n_words, 0) AS n_words,
+  COALESCE(p.n_bpe_tokens, 0) AS n_bpe_tokens
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
+ORACLE_BPE_ENCODE = _oracle_bpe_encode()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: delta-log fold reproducing `orders`."""
     return q_resolve_fold(spark, SF_SMOKE)
@@ -5079,6 +5500,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming-parity gates + the re-planned doc_packing for
         # fresh rows (items 2/6). Veterans absorb tail truncation.
         "three_state_scan": q_three_state_scan,
+        "forecast_revenue": q_forecast_revenue,
+        "market_share": q_market_share,
+        "product_profit": q_product_profit,
+        "large_volume_customers": q_large_volume_customers,
+        "bracketed_revenue": q_bracketed_revenue,
+        "ngram_novelty": q_ngram_novelty,
+        "containment_join": q_containment_join,
+        "bpe_encode": q_bpe_encode,
         "collocations": q_collocations,
         "semantic_dedup": q_semantic_dedup,
         "strip_markup": q_strip_markup,
@@ -5244,6 +5673,14 @@ def oracle_sql() -> dict[str, str]:
         "nation_trade": ORACLE_NATION_TRADE,
         "event_props": ORACLE_EVENT_PROPS,
         "three_state_scan": ORACLE_THREE_STATE_SCAN,
+        "forecast_revenue": ORACLE_FORECAST_REVENUE,
+        "market_share": ORACLE_MARKET_SHARE,
+        "product_profit": ORACLE_PRODUCT_PROFIT,
+        "large_volume_customers": ORACLE_LARGE_VOLUME_CUSTOMERS,
+        "bracketed_revenue": ORACLE_BRACKETED_REVENUE,
+        "ngram_novelty": ORACLE_NGRAM_NOVELTY,
+        "containment_join": ORACLE_CONTAINMENT_JOIN,
+        "bpe_encode": ORACLE_BPE_ENCODE,
         "budget_sample": ORACLE_BUDGET_SAMPLE,
         "embedding_quantize": ORACLE_EMBEDDING_QUANTIZE,
         "graph_triangles": ORACLE_GRAPH_TRIANGLES,

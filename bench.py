@@ -119,6 +119,15 @@ BENCH_QUERIES = [
     "fuzzy_name_join",       # PassJoin halves + levenshtein verify
     "event_trailing_7d",     # time-RANGE trailing frame
     "bloom_join_reduction",  # pre-shuffle bloom bit-test pruning
+    "three_state_scan",      # presence-bit UNDEFINED/null/value semantics
+    "forecast_revenue",      # Q6: scan-heavy single-filter aggregate
+    "market_share",          # Q8: 7-way join, broadcast dims, ppm share
+    "product_profit",        # Q9 shape: profit by nation x year
+    "large_volume_customers",  # Q18: fact-side HAVING before the joins
+    "bracketed_revenue",     # Q19: OR-of-AND brackets over a join
+    "ngram_novelty",         # cross-corpus first-seen gram ratio
+    "containment_join",      # directed prefix-filtered containment
+    "bpe_encode",            # fixed-merge BPE tokenizer apply
 ]
 
 

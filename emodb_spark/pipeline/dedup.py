@@ -1027,6 +1027,126 @@ def prefix_filter_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    sh: Optional[DataFrame] = None,
+) -> DataFrame:
+    """DIRECTED near-containment join: pairs ``(id_a, id_b)``, a ≠ b,
+    with ``|A∩B| / |A| ≥ num/den`` — "A is (nearly) contained in B",
+    the asymmetric sibling of the Jaccard join (quote detection,
+    benchmark-subset contamination, doc-inclusion lineage; the Jaccard
+    join misses a short doc swallowed by a long one because the union
+    term dilutes the score).
+
+    Exact recall via the containment prefix lemma (PPJoin family, Xiao
+    et al. WWW'08 §containment): if ``|A∩B| ≥ ⌈t·|A|⌉`` then A's first
+    ``|A| − ⌈t·|A|⌉ + 1`` grams in a GLOBAL rarest-first order must
+    intersect B. Candidates = A-prefix grams equijoined against B's
+    FULL gram index (the container side cannot be prefix-pruned —
+    asymmetry is inherent to containment); verification = exact
+    intersection count restricted to candidates. Returns
+    (id_a, id_b, n_common, n_a, containment_ppm) with exact integer ppm.
+
+    Scale shape: one doc-frequency aggregate, one per-doc window on the
+    exchange the explode already created, one prefix×index equijoin
+    (rarest-first keeps prefix buckets small), then a candidate-bounded
+    intersection count. No cartesian at any size.
+    """
+    if sh is None:
+        sh = shingle_sets(df, text_col, id_col, shingle_k)
+    items = sh.select("id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    freq = items.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("id").orderBy(F.asc("__df"), F.asc("s"))
+    ceil_tn = F.expr(
+        f"(({threshold_num}L * n) + {threshold_den - 1}L) div {threshold_den}L"
+    )
+    pref = (
+        items.join(freq, "s")
+        .withColumn("__pos", F.row_number().over(w))
+        .where(F.col("__pos") <= F.col("n") - ceil_tn + F.lit(1))
+        .select(F.col("id").alias("id_a"), "s")
+    )
+    full = items.select(F.col("id").alias("id_b"), "s")
+    cand = (
+        pref.join(full, "s")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ga = sh.select(F.col("id").alias("id_a"), F.explode("sh").alias("s"))
+    gb = sh.select(F.col("id").alias("id_b"), F.explode("sh").alias("s"))
+    inter = (
+        cand.join(ga, "id_a")
+        .join(gb, ["id_b", "s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    na = sh.select(F.col("id").alias("id_a"), F.size("sh").alias("__na"))
+    return (
+        inter.join(na, "id_a")
+        .where(F.col("__i") * threshold_den >= F.lit(threshold_num) * F.col("__na"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("__i").cast("long").alias("n_common"),
+            F.col("__na").cast("long").alias("n_a"),
+            F.expr("CAST(__i * 1000000 div __na AS BIGINT)").alias(
+                "containment_ppm"
+            ),
+        )
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    sh: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Cross-corpus n-gram novelty: per document, the fraction of its
+    DISTINCT word-k-grams that appear first in THIS document under the
+    corpus-wide ``id_col`` order (min-id wins) — the streaming-ingest
+    "how much of this doc is new text" signal; 1.0 = fully novel,
+    near 0 = stitched from earlier documents. Deterministic and
+    integer-exact (ppm by floor division).
+
+    Returns (id, n_grams, n_novel, novelty_ppm).
+
+    Scale shape: one shuffle keyed on the gram (min-id aggregate,
+    map-side combined) and one keyed on the doc id — the same two
+    exchanges every dedup pass already pays; no joins wider than the
+    gram table, no windows.
+    """
+    if sh is None:
+        sh = shingle_sets(df, text_col, id_col, shingle_k)
+    grams = sh.select("id", F.explode("sh").alias("g"))
+    first = grams.groupBy("g").agg(F.min("id").alias("__first"))
+    return (
+        grams.join(first, "g")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("id") == F.col("__first"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_grams",
+            "n_novel",
+            F.expr("CAST(n_novel * 1000000 div n_grams AS BIGINT)").alias(
+                "novelty_ppm"
+            ),
+        )
+    )
+
+
 def edit_distance_pairs(
     left: DataFrame,
     right: DataFrame,

@@ -1608,3 +1608,70 @@ def test_global_running_total_computes_upstream_once(spark):
     # that floor; the r4 un-persisted plan re-ran the upstream per
     # derived job (sampling + totals + result = 3x = 900).
     assert hits.value == 600, f"upstream evaluated {hits.value/300:.1f}x"
+
+
+def _shingles3(text):
+    import re
+
+    tk = [t for t in re.sub(r"[^a-z0-9]+", " ", text.lower()).strip().split(" ")
+          if t]
+    if len(tk) >= 3:
+        return {" ".join(tk[i:i + 3]) for i in range(len(tk) - 2)}
+    return {" ".join(tk)}
+
+
+def test_containment_pairs_matches_brute_force(spark):
+    """Directed near-containment join ≡ brute force, including the
+    asymmetric case a symmetric Jaccard join misses: a short doc fully
+    inside a long one scores containment 1.0 but low Jaccard."""
+    from emodb_spark.pipeline.dedup import containment_pairs
+
+    long_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, long_text),
+        (2, "alpha beta gamma delta"),             # contained in 1
+        (3, "zeta eta theta iota kappa lambda"),   # mostly contained in 1
+        (4, "mu nu xi omicron pi rho"),            # unrelated
+        (5, long_text + " lambda"),                # 1 contained in 5
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["n_a"], r["containment_ppm"])
+        for r in containment_pairs(
+            docs, shingle_k=3, threshold_num=7, threshold_den=10
+        ).collect()
+    }
+    sh = {i: _shingles3(t) for i, t in rows}
+    want = {}
+    for a in sh:
+        for b in sh:
+            if a == b:
+                continue
+            i = len(sh[a] & sh[b])
+            if i * 10 >= 7 * len(sh[a]):
+                want[(a, b)] = (i, len(sh[a]), i * 1_000_000 // len(sh[a]))
+    assert got == want
+    assert (2, 1) in got and (1, 2) not in got  # direction matters
+
+
+def test_ngram_novelty_matches_sequential(spark):
+    """ngram_novelty ≡ a sequential first-seen scan in doc_id order."""
+    from emodb_spark.pipeline.dedup import ngram_novelty
+
+    rows = [
+        (10, "a b c d e f"),
+        (20, "a b c d x y z"),        # shares a prefix with doc 10
+        (30, "p q r s t"),            # fully novel
+        (40, "a b c x y z p q r"),    # everything seen before
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty_ppm"])
+        for r in ngram_novelty(docs, shingle_k=3).collect()
+    }
+    seen: set = set()
+    for i, t in sorted(rows):
+        g = _shingles3(t)
+        novel = len(g - seen)
+        assert got[i] == (len(g), novel, novel * 1_000_000 // len(g)), i
+        seen |= g
