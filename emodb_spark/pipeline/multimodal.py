@@ -113,18 +113,32 @@ def _fake_decode(content: bytes, modality: str):
     return width, height, n_frames, feature
 
 
+def _maybe_spread(blobs: DataFrame, spread: bool) -> DataFrame:
+    """Optionally shuffle blobs by blob_id before decoding. The scan's
+    file splits already give decode parallelism, so the DEFAULT is no
+    shuffle — at 100 TB a repartition here moves every payload byte
+    across the cluster for nothing (measured ~20% of frame_sample at
+    sf0.1, r4 verdict item 8). Opt in with spread=True only when blobs
+    arrive concentrated in a few partitions (a single giant manifest
+    file, a skewed upstream join)."""
+    return blobs.repartition(F.col("blob_id")) if spread else blobs
+
+
 def extract_features(
     blobs: DataFrame,
     modality_attr: str = "modality",
     decoder: Optional[Callable] = None,
     batch_size_hint: int = 64,
+    spread: bool = False,
 ) -> DataFrame:
     """Decode + featurize blobs with mapInPandas (Arrow-batched).
 
-    The real-cluster design: blobs are large, so we repartition by blob_id
-    to spread decode work, stream Arrow batches, and emit small typed
-    feature rows (never re-emit the binary). ``decoder`` defaults to the
-    deterministic fake above."""
+    The real-cluster design: decode on the scan's own partitioning,
+    stream Arrow batches, and emit small typed feature rows (never
+    re-emit the binary); ``spread=True`` adds a blob_id shuffle for
+    sources whose blobs arrive in few partitions (see
+    :func:`_maybe_spread`). ``decoder`` defaults to the deterministic
+    fake above."""
     decode = decoder or _fake_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -144,8 +158,8 @@ def extract_features(
                 out, columns=["blob_id", "modality", "width", "height", "n_frames", "feature"]
             )
 
-    spread = blobs.repartition(F.col("blob_id")).select("blob_id", "content", "attributes")
-    return spread.mapInPandas(run, FEATURE_SCHEMA)
+    spread_df = _maybe_spread(blobs, spread).select("blob_id", "content", "attributes")
+    return spread_df.mapInPandas(run, FEATURE_SCHEMA)
 
 
 def scan_metadata(df: DataFrame, from_blob_id: Optional[str] = None, limit: int = 10) -> DataFrame:
@@ -177,12 +191,14 @@ def sample_frames(
     fps: int = 30,
     decoder: Optional[Callable] = None,
     frame_fn: Optional[Callable] = None,
+    spread: bool = False,
 ) -> DataFrame:
     """Sample frames from video blobs: one output row per sampled frame
     (blob_id, frame_idx, ts_ms, frame_feature) — the fan-out step before
     per-frame embedding/captioning in a multimodal training pipeline.
 
-    Plumbing is real: blobs spread by blob_id (decode parallelism), Arrow
+    Plumbing is real: decode on the scan partitioning (``spread=True``
+    opts into a blob_id shuffle — :func:`_maybe_spread`), Arrow
     batch streaming, the binary payload never re-emitted — only small
     per-frame rows leave the stage. Frame COUNT comes from the container
     header (here the fake decode); indices are [0, every_n, 2·every_n, …]
@@ -212,8 +228,8 @@ def sample_frames(
                 out, columns=["blob_id", "frame_idx", "ts_ms", "frame_feature"]
             )
 
-    spread = blobs.repartition(F.col("blob_id")).select("blob_id", "content")
-    return spread.mapInPandas(run, FRAME_SCHEMA)
+    spread_df = _maybe_spread(blobs, spread).select("blob_id", "content")
+    return spread_df.mapInPandas(run, FRAME_SCHEMA)
 
 
 AUDIO_CHUNK_SCHEMA = (
@@ -234,12 +250,13 @@ def chunk_audio(
     chunk_ms: int = 1000,
     decoder: Optional[Callable] = None,
     chunk_fn: Optional[Callable] = None,
+    spread: bool = False,
 ) -> DataFrame:
     """Chunk audio blobs into fixed-duration windows: one row per chunk
     (blob_id, chunk_idx, start_ms, end_ms, chunk_feature) — the fan-out
     before per-chunk transcription/embedding. The last chunk is clipped
     to the real duration. Same plumbing contract as :func:`sample_frames`
-    (spread by blob_id, Arrow batches, payload never re-emitted); the
+    (scan-partitioned decode, Arrow batches, payload never re-emitted); the
     duration probe and per-chunk features are deterministic fakes with
     injectable real codecs (``decoder``/``chunk_fn``)."""
     probe = decoder or _fake_audio_header
@@ -266,8 +283,8 @@ def chunk_audio(
                               "end_ms", "chunk_feature"]
             )
 
-    spread = blobs.repartition(F.col("blob_id")).select("blob_id", "content")
-    return spread.mapInPandas(run, AUDIO_CHUNK_SCHEMA)
+    spread_df = _maybe_spread(blobs, spread).select("blob_id", "content")
+    return spread_df.mapInPandas(run, AUDIO_CHUNK_SCHEMA)
 
 
 RESIZE_SCHEMA = (
@@ -282,6 +299,7 @@ def resize_images(
     target_h: int = 32,
     decoder: Optional[Callable] = None,
     resize_fn: Optional[Callable] = None,
+    spread: bool = False,
 ) -> DataFrame:
     """Resize/thumbnail image blobs: (blob_id, orig dims, target dims,
     thumbnail bytes). The thumbnail here is a deterministic fake (sha256
@@ -320,5 +338,5 @@ def resize_images(
                          "target_w", "target_h", "thumbnail"],
             )
 
-    spread = blobs.repartition(F.col("blob_id")).select("blob_id", "content")
-    return spread.mapInPandas(run, RESIZE_SCHEMA)
+    spread_df = _maybe_spread(blobs, spread).select("blob_id", "content")
+    return spread_df.mapInPandas(run, RESIZE_SCHEMA)

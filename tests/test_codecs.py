@@ -217,3 +217,47 @@ def test_y4m_real_frames_through_spark_plumbing(spark):
     for idx, r in rows.items():
         expect = round(10 * idx / 255.0, 6)
         assert r["frame_feature"] == pytest.approx([expect] * 4, abs=1e-6)
+
+
+def test_decode_image_jpeg_with_pillow(spark):
+    """JPEG decode through the same seam (r4 verdict item 7) — skips when
+    Pillow is absent (this container), runs green when the cluster image
+    ships it."""
+    import numpy as np
+    import pytest as _pytest
+
+    from emodb_spark.pipeline.codecs import _PILImage, decode_image, image_decoder
+    from emodb_spark.pipeline.multimodal import extract_features, make_blob_table
+
+    if _PILImage is None:
+        with _pytest.raises(NotImplementedError, match="Pillow"):
+            decode_image(b"\xff\xd8\xff\xe0 not-really-a-jpeg")
+        _pytest.skip("Pillow not installed")
+
+    import io as _io
+
+    arr = np.zeros((8, 6, 3), dtype=np.uint8)
+    arr[:, :, 0] = 200
+    buf = _io.BytesIO()
+    _PILImage.fromarray(arr).save(buf, format="JPEG")
+    jpeg = buf.getvalue()
+
+    out = decode_image(jpeg)
+    assert out.shape == (8, 6, 3)
+
+    blobs = make_blob_table(spark, [("j1", "t", jpeg, {"modality": "image"})])
+    row = extract_features(blobs, decoder=image_decoder).collect()[0]
+    assert (row["width"], row["height"], row["n_frames"]) == (6, 8, 1)
+
+
+def test_decode_image_png_without_pillow():
+    """decode_image routes PNG bytes through the from-the-spec path, so
+    PNG works with or without Pillow."""
+    import numpy as np
+
+    from emodb_spark.pipeline.codecs import decode_image, encode_png
+
+    arr = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(4, 3, 3)
+    out = decode_image(encode_png(arr))
+    assert out.shape == (4, 3, 3)
+    assert (np.asarray(out) == arr).all()
