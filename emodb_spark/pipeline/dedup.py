@@ -1175,20 +1175,27 @@ def edit_distance_pairs(
     natural keys (names, titles, URLs); DEGENERATE for strings sharing
     a constant template prefix (strip the template first — the query
     gate does exactly that)."""
-    mins = [
+    min_l, min_r = [
         df.agg(F.min(F.length(F.col(col))).alias("m")).collect()[0]["m"]
         for df in (left, right)
     ]
-    min_len = min(m for m in mins if m is not None) if any(mins) else 0
+    min_l, min_r = min_l or 0, min_r or 0
     if split_at is None:
-        split_at = max(1, min_len // 2)
-    # validate for caller-supplied split_at too (r4 ADVICE): a string of
-    # length <= split_at has an EMPTY suffix half, which the trailing-key
-    # join filters out — silent recall loss, not just a bad plan
-    if min_len <= split_at:
+        split_at = max(1, min(min_l, min_r) // 2)
+    # Validate for caller-supplied split_at too (r4 ADVICE — the silent
+    # recall loss). The exact sound precondition is asymmetric: a LEFT
+    # string of length <= split_at has an empty suffix half, so an edit
+    # in its prefix region can never surface (the trailing-key join
+    # filters empty keys); a RIGHT string only needs length >= split_at
+    # (its single surviving trailing key still covers the +1 length
+    # shift of a left string, and a shorter right can't pair with a
+    # valid left within distance 1 anyway).
+    if min_l <= split_at or min_r < split_at:
         raise ValueError(
-            f"strings of length <= split_at={split_at} present; "
-            "edit_distance_pairs needs every string longer than the split"
+            f"split_at={split_at} too large: left strings must be longer "
+            f"than the split (min {min_l}) and right strings at least "
+            f"split-length (min {min_r}) — shorter strings silently lose "
+            "recall in the trailing-key join"
         )
     k = split_at
     l_ = left.select(

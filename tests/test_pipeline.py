@@ -1548,10 +1548,18 @@ def test_edit_distance_pairs_short_string_guard(spark):
 
     from emodb_spark.pipeline.dedup import edit_distance_pairs
 
+    # left "ab" / right "a" at the derived split 1 is the asymmetric
+    # boundary case that IS exact-recall (right >= split suffices — its
+    # single trailing key covers the +1 shift): must work, not raise
     l = spark.createDataFrame([(1, "ab")], "id_a long, name string")
     r = spark.createDataFrame([(2, "a")], "id_b long, name string")
+    got = edit_distance_pairs(l, r).collect()
+    assert [(x["id_a"], x["id_b"], x["distance"]) for x in got] == [(1, 2, 1)]
+
+    # a left string AT the split length has an empty suffix half: raise
+    l2 = spark.createDataFrame([(1, "a")], "id_a long, name string")
     with _pytest.raises(ValueError, match="longer than the split"):
-        edit_distance_pairs(l, r)
+        edit_distance_pairs(l2, r)
 
 
 def test_edit_distance_pairs_rejects_short_strings_explicit_split(spark):
@@ -1566,8 +1574,15 @@ def test_edit_distance_pairs_rejects_short_strings_explicit_split(spark):
         [(1, "abc"), (2, "abcd")], "id_a long, name string"
     )
     right = spark.createDataFrame([(1, "abcd")], "id_b long, name string")
-    with _pytest.raises(ValueError, match="length <= split_at"):
+    with _pytest.raises(ValueError, match="longer than the split"):
         edit_distance_pairs(left, right, split_at=3).collect()
+    # right side only needs length >= split_at (a length-3 right with a
+    # length-4 left is exactly the single-trailing-key case that stays
+    # exact-recall) — must NOT raise
+    ok_l = spark.createDataFrame([(1, "abcd")], "id_a long, name string")
+    ok_r = spark.createDataFrame([(2, "abc")], "id_b long, name string")
+    got = edit_distance_pairs(ok_l, ok_r, split_at=3).collect()
+    assert [(r["id_a"], r["id_b"], r["distance"]) for r in got] == [(1, 2, 1)]
 
 
 def test_global_running_total_computes_upstream_once(spark):
