@@ -5427,6 +5427,97 @@ WHERE i * 10 >= 7 * na.n
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PPS sampling (classic systematic scheme): documents
+    selected proportionally to n_chars, exactly 100 picks, no RNG —
+    composes the two-level prefix sum (global_running_total) so the
+    cumulative layout never runs through a single-task window
+    (emodb_spark.pipeline.curation.systematic_weighted_sample). The
+    oracle replays the cumulative arithmetic with a SQL window — the
+    partition-independence of the prefix sum IS what's being checked."""
+    from emodb_spark.pipeline.curation import systematic_weighted_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return systematic_weighted_sample(
+        docs, weight_col="n_chars", order_col="doc_id", k=100
+    )
+
+
+ORACLE_WEIGHTED_SAMPLE = """
+WITH c AS (
+  SELECT doc_id, n_chars,
+         SUM(n_chars) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+), t AS (SELECT SUM(n_chars) AS w FROM documents)
+SELECT doc_id, n_chars,
+  CAST(cum * 100 // w - (cum - n_chars) * 100 // w AS BIGINT) AS n_picks
+FROM c, t
+WHERE cum * 100 // w > (cum - n_chars) * 100 // w
+"""
+
+
+def q_stash_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Migration-validation diff between two stash snapshots (the check
+    every EmoDB→Spark cutover runs): export `customer` twice — the
+    second with rows removed (custkey%10=0), changed (%10=1, acctbal+1)
+    and added (%10=2, key+1000000) — through the canonical stash layout,
+    then classify per-document changes by content fingerprint
+    (emodb_spark.spark.stash_layout.stash_diff: one slim full-outer
+    equijoin, payloads never shuffled). The oracle derives the expected
+    classification straight from the base table."""
+    import tempfile
+
+    from emodb_spark.spark.datastore import DataStore
+    from emodb_spark.spark.stash_layout import (
+        StandardStashReader,
+        export_stash_canonical,
+        stash_diff,
+    )
+
+    base = _read(spark, sf_dir, "customer")
+    perturbed = (
+        base.filter(F.col("c_custkey") % 10 != 0)
+        .withColumn(
+            "c_acctbal",
+            F.when(F.col("c_custkey") % 10 == 1, F.col("c_acctbal") + 1.0)
+            .otherwise(F.col("c_acctbal")),
+        )
+        .unionByName(
+            base.filter(F.col("c_custkey") % 10 == 2)
+            .withColumn("c_custkey", F.col("c_custkey") + 1_000_000)
+        )
+    )
+    work = tempfile.mkdtemp(prefix="stash_diff_")
+    newpq = os.path.join(work, "customer_new.parquet")
+    perturbed.write.mode("overwrite").parquet(newpq)
+    roots = []
+    for i, path in enumerate(
+        (os.path.join(sf_dir, "customer.parquet"), newpq)
+    ):
+        ds = DataStore(spark)
+        ds.create_table("customer", path=path, key_column="c_custkey")
+        root = os.path.join(work, f"stash{i}")
+        export_stash_canonical(ds, root, "2026-08-14-00-00-00", ["customer"])
+        roots.append(root)
+    diff = stash_diff(
+        StandardStashReader(spark, roots[0]),
+        StandardStashReader(spark, roots[1]),
+        "customer",
+    )
+    return diff.select(F.col("id").cast("long").alias("c_custkey"), "change")
+
+
+ORACLE_STASH_DIFF = """
+SELECT c_custkey, 'removed' AS change FROM customer WHERE c_custkey % 10 = 0
+UNION ALL
+SELECT c_custkey, 'changed' AS change FROM customer WHERE c_custkey % 10 = 1
+UNION ALL
+SELECT c_custkey + 1000000 AS c_custkey, 'added' AS change
+FROM customer WHERE c_custkey % 10 = 2
+"""
+
+
 # A fixed, shipped merge table (the production tokenizer-apply scenario:
 # merges are an artifact, not re-trained per corpus). Chain order matters.
 BPE_FIXED_MERGES = [
@@ -5500,6 +5591,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming-parity gates + the re-planned doc_packing for
         # fresh rows (items 2/6). Veterans absorb tail truncation.
         "three_state_scan": q_three_state_scan,
+        "weighted_sample": q_weighted_sample,
+        "stash_diff": q_stash_diff,
         "forecast_revenue": q_forecast_revenue,
         "market_share": q_market_share,
         "product_profit": q_product_profit,
@@ -5673,6 +5766,8 @@ def oracle_sql() -> dict[str, str]:
         "nation_trade": ORACLE_NATION_TRADE,
         "event_props": ORACLE_EVENT_PROPS,
         "three_state_scan": ORACLE_THREE_STATE_SCAN,
+        "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
+        "stash_diff": ORACLE_STASH_DIFF,
         "forecast_revenue": ORACLE_FORECAST_REVENUE,
         "market_share": ORACLE_MARKET_SHARE,
         "product_profit": ORACLE_PRODUCT_PROFIT,

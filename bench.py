@@ -128,6 +128,8 @@ BENCH_QUERIES = [
     "ngram_novelty",         # cross-corpus first-seen gram ratio
     "containment_join",      # directed prefix-filtered containment
     "bpe_encode",            # fixed-merge BPE tokenizer apply
+    "weighted_sample",       # systematic PPS picks via two-level prefix sum
+    "stash_diff",            # migration diff (slim full-outer on fingerprints)
 ]
 
 

@@ -481,3 +481,58 @@ def proportional_allocation(
         [(g, n, alloc[g]) for g, n in counts],
         f"{group_col} string, n_rows long, alloc long",
     )
+
+
+def systematic_weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    order_col: str,
+    k: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic probability-proportional-to-size (PPS) sampling via
+    the classic SYSTEMATIC scheme: lay rows end-to-end by their integer
+    weights in ``order_col`` order and take every (W/k)-th position —
+    row i is selected ``floor(c_i·k/W) − floor((c_i−w_i)·k/W)`` times
+    (its pick multiplicity; ≥1 pick is guaranteed whenever
+    ``w_i ≥ W/k``, the classic certainty-inclusion property). Exactly
+    ``k`` picks total, no RNG state, reproducible at any parallelism —
+    the weighted counterpart of ``hash_split`` for corpus-mixing /
+    eval-set construction.
+
+    All-integer: products ``c·k`` stay in BIGINT (requires
+    ``total_weight · k < 2^63`` — at a 1e13-token corpus that allows
+    k up to ~9e5; past that, lift the two products to DECIMAL(38,0)).
+
+    Returns the selected rows as (order_col, weight_col, n_picks).
+
+    Scale shape: composes :func:`~emodb_spark.pipeline.packing.
+    global_running_total` (range repartition + two-level prefix sum —
+    no single-task global window); the total is one extra aggregate on
+    the checkpointed ranged data. The selection predicate is pure
+    codegen.
+    """
+    from .packing import global_running_total
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    run = global_running_total(
+        df.select(F.col(order_col), F.col(weight_col)),
+        value_col=weight_col,
+        order_col=order_col,
+        out_col="__c",
+        num_partitions=num_partitions,
+    )
+    total = run.agg(F.max("__c").alias("w")).collect()[0]["w"]
+    if not total or total <= 0:
+        return df.sparkSession.createDataFrame(
+            [], f"{order_col} long, {weight_col} long, n_picks long"
+        )
+    picks = F.expr(f"__c * {k}L div {total}L") - F.expr(
+        f"(__c - {weight_col}) * {k}L div {total}L"
+    )
+    return (
+        run.withColumn("n_picks", picks.cast("long"))
+        .where(F.col("n_picks") > 0)
+        .select(order_col, weight_col, "n_picks")
+    )

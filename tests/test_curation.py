@@ -231,3 +231,37 @@ def test_proportional_allocation_caps_and_exact_totals(spark):
     over = {r["grp"]: r["alloc"]
             for r in proportional_allocation(df, "grp", 150).collect()}
     assert over == {"a": 2, "b": 98}        # capped at capacity, all rows
+
+
+def test_systematic_weighted_sample_properties(spark):
+    """Exactly k picks total; pick multiplicity proportional to weight;
+    certainty inclusion for weights >= W/k; identical result at any
+    parallelism (the prefix sum is partition-independent)."""
+    import random
+
+    from emodb_spark.pipeline.curation import systematic_weighted_sample
+
+    rng = random.Random(11)
+    rows = [(i, rng.randint(1, 50)) for i in range(200)]
+    rows[7] = (7, 5000)  # dominant weight -> certainty inclusion
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    W = sum(w for _, w in rows)
+    k = 37
+    out = {r["doc_id"]: r["n_picks"]
+           for r in systematic_weighted_sample(
+               df, "n_chars", "doc_id", k=k).collect()}
+    assert sum(out.values()) == k
+    assert out[7] >= (5000 * k) // W >= 1   # big weight guaranteed in
+    # sequential reference
+    want, c = {}, 0
+    for i, w in rows:
+        lo, c = c, c + w
+        n = (c * k) // W - (lo * k) // W
+        if n > 0:
+            want[i] = n
+    assert out == want
+    # parallelism-independent
+    again = {r["doc_id"]: r["n_picks"]
+             for r in systematic_weighted_sample(
+                 df, "n_chars", "doc_id", k=k, num_partitions=3).collect()}
+    assert again == want
