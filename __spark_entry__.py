@@ -5518,6 +5518,58 @@ FROM customer WHERE c_custkey % 10 = 2
 """
 
 
+def q_ivm_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insert-only incremental materialized view (streaming IVM): three
+    micro-batches of events merge into a per-type (cnt, sum, min, max)
+    view via partial-aggregate union — the view state IS the aggregate,
+    no log replay (emodb_spark.spark.streaming.materialized.
+    IncrementalView, the foreachBatch body). Values as integral cents
+    (FLOOR(v*100+0.5) — exact double sums below 2^53, so the maintained
+    view hash-matches the one-shot SQL aggregate). Oracle: the plain
+    batch GROUP BY — batch parity is the IVM correctness contract."""
+    import tempfile
+
+    from emodb_spark.spark.streaming.materialized import IncrementalView
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("double").alias("cents"),
+    )
+    view = IncrementalView(
+        spark, tempfile.mkdtemp(prefix="ivm_view_"),
+        group_cols=["event_type"], value_col="cents",
+    )
+    for i in range(3):  # micro-batch split — any split must give parity
+        view.merge_batch(ev.where(F.col("event_id") % 3 == i))
+    v = view.view()
+    return v.select(
+        "event_type",
+        F.col("cnt").cast("long").alias("n"),
+        F.col("sum_").cast("long").alias("sum_cents"),
+        F.col("min_").cast("long").alias("min_cents"),
+        F.col("max_").cast("long").alias("max_cents"),
+        F.expr("CAST(CAST(sum_ AS BIGINT) div cnt AS BIGINT)").alias(
+            "avg_cents_floor"
+        ),
+    )
+
+
+ORACLE_IVM_VIEW = """
+WITH c AS (
+  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+  CAST(MIN(cents) AS BIGINT) AS min_cents,
+  CAST(MAX(cents) AS BIGINT) AS max_cents,
+  CAST(SUM(cents) // COUNT(*) AS BIGINT) AS avg_cents_floor
+FROM c GROUP BY event_type
+"""
+
+
 # A fixed, shipped merge table (the production tokenizer-apply scenario:
 # merges are an artifact, not re-trained per corpus). Chain order matters.
 BPE_FIXED_MERGES = [
@@ -5593,6 +5645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "three_state_scan": q_three_state_scan,
         "weighted_sample": q_weighted_sample,
         "stash_diff": q_stash_diff,
+        "ivm_view": q_ivm_view,
         "forecast_revenue": q_forecast_revenue,
         "market_share": q_market_share,
         "product_profit": q_product_profit,
@@ -5768,6 +5821,7 @@ def oracle_sql() -> dict[str, str]:
         "three_state_scan": ORACLE_THREE_STATE_SCAN,
         "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
         "stash_diff": ORACLE_STASH_DIFF,
+        "ivm_view": ORACLE_IVM_VIEW,
         "forecast_revenue": ORACLE_FORECAST_REVENUE,
         "market_share": ORACLE_MARKET_SHARE,
         "product_profit": ORACLE_PRODUCT_PROFIT,

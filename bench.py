@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "bpe_encode",            # fixed-merge BPE tokenizer apply
     "weighted_sample",       # systematic PPS picks via two-level prefix sum
     "stash_diff",            # migration diff (slim full-outer on fingerprints)
+    "ivm_view",              # insert-only IVM (3 micro-batches == batch agg)
 ]
 
 

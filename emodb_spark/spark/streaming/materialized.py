@@ -47,11 +47,27 @@ class IncrementalView:
         groups = ", ".join(f"{c} string" for c in self.group_cols)
         return f"{groups}, cnt long, sum_ double, min_ double, max_ double"
 
-    def _prior(self) -> DataFrame:
+    # Same versioned-dir + atomic _LATEST pointer publish as CdcMergeSink
+    # (pipeline/relational.py): rmtree-then-move had a crash window that
+    # lost the whole view between the delete and the rename.
+    _LATEST = "_LATEST"
+
+    def _live_dir(self):
         import os
 
-        if os.path.exists(self.path):
-            return self.spark.read.parquet(self.path)
+        ptr = os.path.join(self.path, self._LATEST)
+        if os.path.exists(ptr):
+            with open(ptr, encoding="utf-8") as f:
+                name = f.read().strip()
+            cand = os.path.join(self.path, name)
+            if name and os.path.isdir(cand):
+                return cand
+        return None
+
+    def _prior(self) -> DataFrame:
+        live = self._live_dir()
+        if live:
+            return self.spark.read.parquet(live)
         return self.spark.createDataFrame([], self._schema())
 
     def _partials(self, df: DataFrame) -> DataFrame:
@@ -76,14 +92,21 @@ class IncrementalView:
                 F.max("max_").cast("double").alias("max_"),
             )
         )
-        tmp = self.path + "__next"
-        merged.write.mode("overwrite").parquet(tmp)
         import os
         import shutil
+        import uuid
 
-        if os.path.exists(self.path):
-            shutil.rmtree(self.path)
-        shutil.move(tmp, self.path)
+        name = f"view-{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(os.path.join(self.path, name))
+        ptr = os.path.join(self.path, self._LATEST)
+        tmp = ptr + "._tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(name)
+        os.replace(tmp, ptr)
+        for entry in os.listdir(self.path):
+            if entry.startswith("view-") and entry != name:
+                shutil.rmtree(os.path.join(self.path, entry),
+                              ignore_errors=True)
 
     def view(self) -> DataFrame:
         return self._prior().select(
