@@ -5518,6 +5518,115 @@ FROM customer WHERE c_custkey % 10 = 2
 """
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality EVAL: recall@10 of the trained-IVF path (k-means
+    coarse quantizer, n_probe=2) against the exact cosine top-k — the
+    measurement every approximate index ships with. Integer ppm; the
+    oracle replays k-means + IVF probe + exact rank + the recall join in
+    one SQL statement."""
+    from emodb_spark.pipeline.similarity import cosine_topk, ivf_topk, kmeans
+
+    emb = _read(spark, sf_dir, "embeddings")
+    _, cents = kmeans(emb, k=8, iters=2)
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    approx = ivf_topk(
+        emb, queries, k=10, n_cells=8, n_probe=2, centroids=cent_df
+    ).select("query_id", "nbr_id")
+    exact = cosine_topk(emb, queries, k=10).select("query_id", "nbr_id")
+    n_exact = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    hits = (
+        exact.join(approx, ["query_id", "nbr_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return (
+        n_exact.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            "n_exact",
+            F.expr(
+                "CAST(COALESCE(n_hits, 0) * 1000000 div n_exact AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+    )
+
+
+def _oracle_ann_recall(k: int = 8, iters: int = 2) -> str:
+    ctes, _sq = _kmeans_ctes(k, iters)
+    dot = (
+        "list_reduce(list_transform(list_zip({a}, {b}),"
+        " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a,b) -> a+b)"
+    )
+
+    def cos(a, b):
+        return (
+            dot.format(a=a, b=b)
+            + f" / ( sqrt(list_reduce(list_transform({a}, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (a,b) -> a+b))"
+            + f" * sqrt(list_reduce(list_transform({b}, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (a,b) -> a+b)) )"
+        )
+
+    return f"""
+WITH {', '.join(ctes)}, cents AS (
+  SELECT cluster AS cell, cvec AS c_vec FROM c{iters}
+), corpus_scored AS (
+  SELECT e.vec_id AS nbr_id, e.embedding AS nbr_vec, c.cell,
+    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      ORDER BY {cos("e.embedding", "c.c_vec")} DESC, c.cell ASC) AS cr
+  FROM embeddings e CROSS JOIN cents c
+), corpus_cells AS (
+  SELECT nbr_id, nbr_vec, cell FROM corpus_scored WHERE cr = 1
+), q_scored AS (
+  SELECT e.vec_id AS query_id, e.embedding AS q_vec, c.cell,
+    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      ORDER BY {cos("e.embedding", "c.c_vec")} DESC, c.cell ASC) AS cr
+  FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 8
+), probes AS (
+  SELECT query_id, q_vec, cell FROM q_scored WHERE cr <= 2
+), ivf AS (
+  SELECT query_id, nbr_id FROM (
+    SELECT p.query_id, cc.nbr_id,
+      ROW_NUMBER() OVER (PARTITION BY p.query_id
+        ORDER BY {cos("p.q_vec", "cc.nbr_vec")} DESC, cc.nbr_id ASC) AS rnk
+    FROM corpus_cells cc JOIN probes p ON cc.cell = p.cell
+    WHERE cc.nbr_id <> p.query_id
+  ) WHERE rnk <= 10
+), qx AS (
+  SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+  WHERE vec_id < 8
+), exact AS (
+  SELECT query_id, nbr_id FROM (
+    SELECT q.query_id, e.vec_id AS nbr_id,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id
+        ORDER BY {cos("q.q_vec", "e.embedding")} DESC, e.vec_id ASC) AS rnk
+    FROM embeddings e, qx q WHERE e.vec_id <> q.query_id
+  ) WHERE rnk <= 10
+), n_exact AS (
+  SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY query_id
+), hits AS (
+  SELECT x.query_id, COUNT(*) AS n_hits
+  FROM exact x JOIN ivf i ON x.query_id = i.query_id AND x.nbr_id = i.nbr_id
+  GROUP BY x.query_id
+)
+SELECT n.query_id,
+  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+  CAST(n.n_exact AS BIGINT) AS n_exact,
+  CAST(COALESCE(h.n_hits, 0) * 1000000 // n.n_exact AS BIGINT) AS recall_ppm
+FROM n_exact n LEFT JOIN hits h USING (query_id)
+"""
+
+
+ORACLE_ANN_RECALL = _oracle_ann_recall()
+
+
 def q_ivm_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Insert-only incremental materialized view (streaming IVM): three
     micro-batches of events merge into a per-type (cnt, sum, min, max)
@@ -5646,6 +5755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "stash_diff": q_stash_diff,
         "ivm_view": q_ivm_view,
+        "ann_recall": q_ann_recall,
         "forecast_revenue": q_forecast_revenue,
         "market_share": q_market_share,
         "product_profit": q_product_profit,
@@ -5822,6 +5932,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
         "stash_diff": ORACLE_STASH_DIFF,
         "ivm_view": ORACLE_IVM_VIEW,
+        "ann_recall": ORACLE_ANN_RECALL,
         "forecast_revenue": ORACLE_FORECAST_REVENUE,
         "market_share": ORACLE_MARKET_SHARE,
         "product_profit": ORACLE_PRODUCT_PROFIT,

@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "weighted_sample",       # systematic PPS picks via two-level prefix sum
     "stash_diff",            # migration diff (slim full-outer on fingerprints)
     "ivm_view",              # insert-only IVM (3 micro-batches == batch agg)
+    "ann_recall",            # recall@10 of trained IVF vs exact top-k
 ]
 
 

@@ -57,6 +57,10 @@ BNLJ_OK = {
     "bitext_mining",        # O(#queries) rows broadcast against the
                             # corpus — same exact-cosine plan as the
                             # allowlisted similarity_topk, both ways
+    "ann_recall",           # composes similarity_topk (exact baseline,
+                            # O(#queries) broadcast) with ann_ivf_kmeans
+                            # (O(n_cells) centroid broadcast) — both
+                            # already allowlisted above
 }
 
 ALWAYS_BAD = ["CartesianProduct", "BatchEvalPython"]
