@@ -523,7 +523,14 @@ def systematic_weighted_sample(
         out_col="__c",
         num_partitions=num_partitions,
     )
-    total = run.agg(F.max("__c").alias("w")).collect()[0]["w"]
+    bounds = run.agg(
+        F.max("__c").alias("w"), F.min(weight_col).alias("mn")
+    ).collect()[0]
+    total = bounds["w"]
+    if bounds["mn"] is not None and bounds["mn"] < 0:
+        # a negative weight breaks the cumulative layout's monotonicity:
+        # picks would silently double-count the overlapped interval
+        raise ValueError("weights must be non-negative")
     if not total or total <= 0:
         return df.sparkSession.createDataFrame(
             [], f"{order_col} long, {weight_col} long, n_picks long"

@@ -1690,3 +1690,47 @@ def test_ngram_novelty_matches_sequential(spark):
         novel = len(g - seen)
         assert got[i] == (len(g), novel, novel * 1_000_000 // len(g)), i
         seen |= g
+
+
+def test_containment_pairs_random_differential(spark):
+    """Property sweep: containment_pairs ≡ brute force over random
+    small-vocab docs at several thresholds (small vocab forces heavy
+    gram sharing — the regime where prefix-filter bugs would show as
+    recall loss)."""
+    import random
+
+    from emodb_spark.pipeline.dedup import containment_pairs
+
+    rng = random.Random(99)
+    vocab = ["w%d" % i for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12))))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = {i: _shingles3(t) for i, t in rows}
+    for num, den in ((1, 2), (7, 10), (9, 10)):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in containment_pairs(
+                docs, shingle_k=3, threshold_num=num, threshold_den=den
+            ).collect()
+        }
+        want = {
+            (a, b)
+            for a in sh for b in sh if a != b
+            and len(sh[a] & sh[b]) * den >= num * len(sh[a])
+        }
+        assert got == want, f"threshold {num}/{den}"
+
+
+def test_weighted_sample_rejects_negative_weights(spark):
+    import pytest as _pytest
+
+    from emodb_spark.pipeline.curation import systematic_weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, -3), (3, 10)], "doc_id long, w long"
+    )
+    with _pytest.raises(ValueError, match="non-negative"):
+        systematic_weighted_sample(df, "w", "doc_id", k=3)
