@@ -5377,10 +5377,13 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emodb_spark.pipeline.dedup.ngram_novelty) — the ingest-time 'how
     much of this is new text' signal. Two keyed aggregates, no joins
     wider than the gram table."""
-    from emodb_spark.pipeline.dedup import ngram_novelty
+    from emodb_spark.pipeline.dedup import ngram_novelty, shingle_sets
 
     docs = _read(spark, sf_dir, "documents")
-    return ngram_novelty(docs, shingle_k=3)
+    # grams feed both the min-id aggregate and the join-back — share one
+    # shingle scan (cache cleared between queries by bench/driver)
+    sh = shingle_sets(docs, shingle_k=3).persist()
+    return ngram_novelty(docs, shingle_k=3, sh=sh)
 
 
 ORACLE_NGRAM_NOVELTY = f"""
@@ -5404,10 +5407,16 @@ def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment is inherently asymmetric), exact intersection verify
     (emodb_spark.pipeline.dedup.containment_pairs). Oracle: brute-force
     directed containment — equality proves precision AND recall."""
-    from emodb_spark.pipeline.dedup import containment_pairs
+    from emodb_spark.pipeline.dedup import containment_pairs, shingle_sets
 
     docs = _read(spark, sf_dir, "documents")
-    return containment_pairs(docs, shingle_k=3, threshold_num=7, threshold_den=10)
+    # one shingle scan shared by prefix construction, the full index,
+    # and both verification sides (same pattern as exact_jaccard_join;
+    # bench/driver clear the cache between queries)
+    sh = shingle_sets(docs, shingle_k=3).persist()
+    return containment_pairs(
+        docs, shingle_k=3, threshold_num=7, threshold_den=10, sh=sh
+    )
 
 
 ORACLE_CONTAINMENT_JOIN = f"""

@@ -216,6 +216,13 @@ def main() -> None:
         # drop any cache a query pinned (e.g. shared shingle sets) so later
         # queries aren't measured under its memory pressure
         spark.catalog.clearCache()
+        # release localCheckpoint blocks too: the ContextCleaner frees a
+        # checkpointed RDD only after the driver-side plan object is
+        # GC'd, so without this the prefix-sum queries' checkpoints pile
+        # up in executor storage across the 100+-query session
+        import gc
+
+        gc.collect()
         if best is None:
             errors[name] = (err or "unknown error")[:500]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
