@@ -4493,6 +4493,117 @@ FROM pts
 """
 
 
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup (the SCD-2 consumer side): each
+    fact event left-joins the dimension version valid just BEFORE it
+    ('what state was this user in when the event arrived') — equijoin
+    on the key plus the half-open interval predicate; per-key history
+    is small, so the interval filter rides the hash join. First events
+    have no prior version → null state. Composes scd2_history
+    (emodb_spark.pipeline.relational) with its own output."""
+    from emodb_spark.pipeline.relational import scd2_history
+
+    ev = _events_ts_us(spark, sf_dir).where(F.col("user_id") % 20 == 0)
+    dim = scd2_history(
+        ev.select("user_id", "ts_us", "event_type"),
+        key="user_id", ts_col="ts_us", attr_cols=["event_type"],
+    ).select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("prior_state"),
+        F.col("valid_from").cast("long").alias("vf"),
+        F.col("valid_to").cast("long").alias("vt"),
+    )
+    t = F.col("ts_us") - 1  # state strictly before the event
+    return (
+        ev.select("user_id", "event_id", "ts_us")
+        .join(
+            dim,
+            (F.col("user_id") == F.col("d_user"))
+            & (F.col("vf") <= t)
+            & (F.col("vt").isNull() | (F.col("vt") > t)),
+            "left",
+        )
+        .select(
+            "user_id",
+            F.col("event_id").cast("long").alias("event_id"),
+            "prior_state",
+        )
+    )
+
+
+ORACLE_SCD2_LOOKUP = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+  FROM events WHERE user_id % 20 = 0
+),
+chg AS (
+  SELECT user_id, event_type, ts_us,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_type) AS prev
+  FROM ev
+),
+pts AS (
+  SELECT user_id, event_type, ts_us FROM chg
+  WHERE prev IS NULL OR prev <> event_type
+),
+hist AS (
+  SELECT user_id, event_type, ts_us AS vf,
+         LEAD(ts_us) OVER (PARTITION BY user_id
+                           ORDER BY ts_us, event_type) AS vt
+  FROM pts
+)
+SELECT e.user_id, CAST(e.event_id AS BIGINT) AS event_id,
+       h.event_type AS prior_state
+FROM ev e LEFT JOIN hist h
+  ON e.user_id = h.user_id
+ AND h.vf <= e.ts_us - 1
+ AND (h.vt IS NULL OR h.vt > e.ts_us - 1)
+"""
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact-fact join via bucketing — THE 100 TB shape where
+    shuffling either side dominates: orders and lineitem written
+    bucketed+sorted on the order key (8 buckets), then joined with NO
+    Exchange on either side (emodb_spark.spark.bucketing; the zero-
+    Exchange plan is asserted in tests/test_bucketing.py). Revenue per
+    order priority in exact decimal; the oracle runs the plain join."""
+    from emodb_spark.spark.bucketing import co_located_join, write_bucketed
+
+    write_bucketed(
+        _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        "r5_orders_bkt", key="o_orderkey", buckets=8,
+    )
+    write_bucketed(
+        _read(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        "r5_lineitem_bkt", key="l_orderkey", buckets=8,
+    )
+    j = co_located_join(
+        spark, "r5_orders_bkt", "r5_lineitem_bkt",
+        left_key="o_orderkey", right_key="l_orderkey",
+    )
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(12,2)") - _dec("l_discount")
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        (F.sum(rev) * 10_000).cast("long").alias("revenue_x10000"),
+    )
+
+
+ORACLE_BUCKETED_JOIN = """
+SELECT o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_lines,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+    * 10000 AS BIGINT) AS revenue_x10000
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 def q_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe fact-dim equijoin: events joined to customers through
     emodb_spark.pipeline.relational.salted_join (8 salts — hot users are
@@ -5765,6 +5876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stash_diff": q_stash_diff,
         "ivm_view": q_ivm_view,
         "ann_recall": q_ann_recall,
+        "scd2_lookup": q_scd2_lookup,
+        "bucketed_join": q_bucketed_join,
         "forecast_revenue": q_forecast_revenue,
         "market_share": q_market_share,
         "product_profit": q_product_profit,
@@ -5942,6 +6055,8 @@ def oracle_sql() -> dict[str, str]:
         "stash_diff": ORACLE_STASH_DIFF,
         "ivm_view": ORACLE_IVM_VIEW,
         "ann_recall": ORACLE_ANN_RECALL,
+        "scd2_lookup": ORACLE_SCD2_LOOKUP,
+        "bucketed_join": ORACLE_BUCKETED_JOIN,
         "forecast_revenue": ORACLE_FORECAST_REVENUE,
         "market_share": ORACLE_MARKET_SHARE,
         "product_profit": ORACLE_PRODUCT_PROFIT,

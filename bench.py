@@ -132,6 +132,8 @@ BENCH_QUERIES = [
     "stash_diff",            # migration diff (slim full-outer on fingerprints)
     "ivm_view",              # insert-only IVM (3 micro-batches == batch agg)
     "ann_recall",            # recall@10 of trained IVF vs exact top-k
+    "scd2_lookup",           # point-in-time dimension version lookup
+    "bucketed_join",         # zero-Exchange co-located fact-fact join
 ]
 
 
