@@ -130,3 +130,49 @@ def test_bpe_empty_doc_preserved(spark):
     assert got[1]["n_words"] == 2
     # hello -> h e ll o </w> = 5 subtokens per word
     assert got[1]["n_bpe_tokens"] == 10
+
+
+def test_boundary_replace_equals_fold_on_random_merges():
+    """The SQL oracle's boundary-doubled string-replace merge must equal
+    the sequential greedy fold for arbitrary words and merge chains —
+    pure-Python property sweep of the equivalence the bpe_encode gate
+    rests on (consecutive merges share no boundary because each match
+    consumes one half of the doubled separator on each side)."""
+    import random
+
+    def fold(syms, left, right):
+        out = []
+        for x in syms:
+            if out and out[-1] == left and x == right:
+                out[-1] = left + right
+            else:
+                out.append(x)
+        return out
+
+    def replace_trick(syms, left, right):
+        B = "\x1f\x1f"
+        s = B + B.join(syms) + B
+        s = s.replace("\x1f" + left + B + right + "\x1f",
+                      "\x1f" + left + right + "\x1f")
+        return [x for x in s.split(B) if x]
+
+    rng = random.Random(5)
+    alpha = "abc"
+    for _ in range(300):
+        word = "".join(rng.choice(alpha) for _ in range(rng.randint(1, 10)))
+        syms = list(word) + ["</w>"]
+        merges = []
+        cur = list(syms)
+        for _ in range(rng.randint(1, 6)):
+            # half the time merge a pair that actually occurs
+            if cur and rng.random() < 0.5 and len(cur) >= 2:
+                i = rng.randrange(len(cur) - 1)
+                merges.append((cur[i], cur[i + 1]))
+            else:
+                merges.append((rng.choice(alpha), rng.choice(alpha)))
+            cur = fold(cur, *merges[-1])
+        a, b = list(syms), list(syms)
+        for left, right in merges:
+            a = fold(a, left, right)
+            b = replace_trick(b, left, right)
+            assert a == b, (word, merges, a, b)
