@@ -461,3 +461,87 @@ def test_presence_bits_default_unchanged(spark, docs_df):
     assert all(
         not r["m"] for r in docs_df.select(col.alias("m")).collect()
     )
+
+
+def test_fuzz_presence_mode_matches_interpreter(spark):
+    """Presence-bit fuzz: random docs where every field is independently
+    ABSENT / JSON null / a value, against random conditions biased
+    toward the three-state operators — compiled (typed + presence bits
+    from the raw JSON) must equal the interpreter everywhere."""
+    import json
+
+    from emodb_spark.spark.compiler import presence_from_json
+
+    rng = _random.Random(20260814)
+    field_pools = {
+        "status": ["APPROVED", "REJECTED", "SUBMITTED"],
+        "rating": [1, 3, 5],
+        "flag": [True, False],
+    }
+
+    def rand_doc():
+        doc = {}
+        for f, pool in field_pools.items():
+            r = rng.random()
+            if r < 0.3:
+                continue            # absent
+            doc[f] = None if r < 0.55 else rng.choice(pool)
+        return doc
+
+    def rand_field_cond(f):
+        pool = field_pools[f]
+        r = rng.random()
+        if r < 0.15:
+            return C.IsCondition(rng.choice(
+                ["undefined", "defined", "null"]))
+        if r < 0.3:
+            return C.equal(None)
+        if r < 0.45:
+            return C.InCondition((None, rng.choice(pool)))
+        if r < 0.6 and f == "rating":
+            return C.ComparisonCondition(
+                rng.choice(["gt", "ge", "lt", "le"]), rng.choice(pool))
+        if r < 0.8:
+            return C.equal(rng.choice(pool))
+        return C.not_(C.IsCondition(rng.choice(["null", "defined"])))
+
+    def rand_cond():
+        fields = rng.sample(list(field_pools), rng.randint(1, 3))
+        cond = C.MapCondition({f: rand_field_cond(f) for f in fields})
+        r = rng.random()
+        if r < 0.2:
+            cond = C.not_(cond)
+        elif r < 0.4:
+            cond = rng.choice([C.and_, C.or_])([cond, rand_cond()])
+        return cond
+
+    docs = [(f"p{i}", json.dumps(rand_doc())) for i in range(40)]
+    df = (
+        spark.createDataFrame(docs, "key string, doc string")
+        .withColumn("status", F.get_json_object("doc", "$.status"))
+        .withColumn("rating",
+                    F.get_json_object("doc", "$.rating").cast("long"))
+        .withColumn("flag",
+                    F.get_json_object("doc", "$.flag").cast("boolean"))
+        .cache()
+    )
+    presence = presence_from_json(F.col("doc"), list(field_pools))
+    parsed = {k: json.loads(d) for k, d in docs}
+
+    conds = [parse_condition(str(rand_cond())) for _ in range(150)]
+    failures = []
+    CHUNK = 50
+    for lo in range(0, len(conds), CHUNK):
+        chunk = conds[lo:lo + CHUNK]
+        cols = [F.col("key")] + [
+            compile_condition(c, df.schema, presence=presence).alias(f"c{j}")
+            for j, c in enumerate(chunk)
+        ]
+        rows = {r["key"]: r for r in df.select(*cols).collect()}
+        for key, doc in parsed.items():
+            for j, c in enumerate(chunk):
+                want = eval_condition(c, doc)
+                got = rows[key][f"c{j}"]
+                if bool(got) != want or got is None:
+                    failures.append((str(c), doc, got, want))
+    assert not failures, f"{len(failures)}; first: {failures[:4]}"
