@@ -18,6 +18,7 @@ by Cassandra token ranges (SURVEY §4); bucketing is Spark's equivalent.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,7 +33,24 @@ def write_bucketed(
     mode: str = "overwrite",
 ) -> None:
     """Persist ``df`` as a bucketed (and optionally sorted) catalog table
-    keyed for co-located joins on ``key``."""
+    keyed for co-located joins on ``key``.
+
+    Overwrite is made idempotent ACROSS sessions: ``saveAsTable`` refuses
+    a managed-table location left behind by a previous session whose
+    catalog entry is gone (LOCATION_ALREADY_EXISTS), so the stale dir is
+    dropped along with any current catalog entry first."""
+    spark = df.sparkSession
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        import shutil
+
+        loc = os.path.join(
+            spark.conf.get(
+                "spark.sql.warehouse.dir", "spark-warehouse"
+            ).removeprefix("file:"),
+            table.lower(),
+        )
+        shutil.rmtree(loc, ignore_errors=True)
     w = df.write.mode(mode).bucketBy(buckets, key)
     if sort:
         w = w.sortBy(key)

@@ -1,62 +1,150 @@
-"""Empirical scaling probe: run headline queries at sf0.001 / sf0.01 /
-sf0.1 (1x / 10x / 100x events+lineitem rows) and report how wall time
-grows. A plan that "would scale" shows sublinear-to-linear growth here;
-superlinear growth at 100x toy scale is a red flag long before 100 TB.
+"""Scale-up probe: emulate sf1 (10x sf0.1) locally and time the heavy
+operators on it — the measured half of SCALE.md's 100 TB argument.
 
-Times are best-of-2 noop writes per (query, sf) — same methodology as
-bench.py. Output: one JSON line {query: {sf: sec}} plus a growth factor
-g = t(sf0.1)/t(sf0.01) (events/lineitem grow 10x between those; docs
-grow 10x too, embeddings 4x).
+Synthesis: each table is N offset copies of sf0.1 with referential
+integrity preserved (order/cust/supp/part keys shifted per copy; the
+nation/region dims stay fixed). Text is vowel-rotated per copy and
+embeddings are cyclically shifted so dedup/ANN inputs stay mostly
+DISTINCT — a naive 10x duplication would turn every near-dup bucket
+into a 10-clone mega-bucket and measure the guards, not the operators.
 
-Usage: python tools/scale_probe.py [query ...]
+Usage: python tools/scale_probe.py [N] [out_dir] [query ...]
+Defaults: N=10, out_dir=/tmp/sf1_probe, a fixed heavy-hitter list.
+Reuses the synthesized dir if it already exists (delete to rebuild).
 """
 
 from __future__ import annotations
 
-import json
 import os
 import sys
 import time
 
-SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+SRC = "/root/testdata/sf0.1"
 
-DEFAULT = [
-    "resolve_fold", "scan_condition", "pricing_summary", "top_orders",
-    "minhash_near_dups", "simhash_near_dups", "dedup_clusters",
-    "asof_last_view", "event_error_burst", "event_sessions",
-    "boilerplate_removal", "doc_packing", "event_funnel", "gopher_quality",
+DEFAULT_QUERIES = [
+    "resolve_fold",
+    "pricing_summary",
+    "market_share",
+    "minhash_near_dups",
+    "exact_jaccard_join",
+    "containment_join",
+    "ngram_novelty",
+    "gopher_quality",
+    "doc_packing",
+    "weighted_sample",
+    "bpe_encode",
+    "kmeans_embeddings",
+    "ann_ivf_kmeans",
+    "semantic_dedup",
+    "event_sessions",
+    "event_trailing_7d",
+    "scd2_lookup",
+    "bucketed_join",
+    "bloom_join_reduction",
+    "tfidf_topk",
 ]
+
+# (table, [key columns to offset by copy_index * stride])
+KEYED = {
+    "region": [],
+    "nation": [],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+STRIDE = 10_000_000  # far above any sf0.1 key
+
+VOWEL_ROTS = ["aeiou", "eioua", "iouae", "ouaei", "uaeio"]
+
+
+def synthesize(spark, out_dir: str, n_copies: int) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    for tbl, keys in KEYED.items():
+        dst = os.path.join(out_dir, f"{tbl}.parquet")
+        if os.path.exists(dst):
+            continue
+        if tbl == "events":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        base = spark.read.parquet(os.path.join(SRC, f"{tbl}.parquet"))
+        if not keys:  # fixed dims: one copy
+            base.write.mode("overwrite").parquet(dst)
+            continue
+        parts = []
+        for i in range(n_copies):
+            c = base
+            for k in keys:
+                c = c.withColumn(k, F.col(k) + F.lit(i * STRIDE))
+            if tbl == "documents":
+                rot = VOWEL_ROTS[i % len(VOWEL_ROTS)]
+                c = c.withColumn("text", F.translate("text", "aeiou", rot))
+            if tbl == "embeddings" and i:
+                shift = (i % 8) + 1
+                n = F.size("embedding")
+                c = c.withColumn(
+                    "embedding",
+                    F.concat(
+                        F.slice("embedding", shift + 1, n - shift),
+                        F.slice("embedding", 1, shift),
+                    ),
+                )
+            parts.append(c)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(dst)
+        print(f"# synthesized {tbl}: {n_copies}x", file=sys.stderr)
 
 
 def main() -> int:
-    only = sys.argv[1:] or DEFAULT
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1_probe"
+    names = sys.argv[3:] or DEFAULT_QUERIES
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
     import __spark_entry__ as entrymod
     from emodb_spark.spark.session import get_spark
 
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = get_spark(app_name="scale_probe", master=f"local[{cpus}]",
-                      shuffle_partitions=int(cpus))
+    spark = get_spark(app_name="scale_probe")
+    synthesize(spark, out_dir, n_copies)
     qs = entrymod.queries()
-    out = {}
-    for name in only:
+
+    import gc
+    import json
+
+    results = {}
+    for name in names:
         fn = qs.get(name)
         if fn is None:
+            print(f"# {name}: not registered", file=sys.stderr)
             continue
-        per_sf = {}
-        for sf_dir in SFS:
-            best = None
+        best = None
+        try:
             for _ in range(2):
                 t0 = time.time()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                fn(spark, out_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
                 dt = time.time() - t0
                 best = dt if best is None or dt < best else best
-            per_sf[sf_dir.rsplit("sf", 1)[1]] = round(best, 3)
+        except Exception as e:  # noqa: BLE001 — probe all, report failures
+            print(f"# {name}: ERROR {type(e).__name__}: {e}", file=sys.stderr)
+            results[name] = None
+            continue
+        finally:
             spark.catalog.clearCache()
-        g = round(per_sf["0.1"] / max(per_sf["0.01"], 1e-9), 2)
-        out[name] = {**per_sf, "growth_10x": g}
-        print(f"# {name}: {per_sf} growth(10x data) = {g}x", file=sys.stderr)
-    print(json.dumps(out))
+            gc.collect()
+        results[name] = round(best, 2)
+        print(f"# {name}: {best:.2f}s", file=sys.stderr)
+    print(json.dumps({"sf_equiv": 0.1 * n_copies, "queries": results}))
     return 0
 
 
