@@ -1734,3 +1734,33 @@ def test_weighted_sample_rejects_negative_weights(spark):
     )
     with _pytest.raises(ValueError, match="non-negative"):
         systematic_weighted_sample(df, "w", "doc_id", k=3)
+
+
+def test_multimodal_spread_opt_in(spark):
+    """spread=True adds the blob_id exchange (for few-partition sources);
+    the default plan has no shuffle before the decode. Results identical."""
+    from emodb_spark.pipeline.multimodal import make_blob_table, sample_frames
+
+    blobs = make_blob_table(
+        spark, [(f"b{i}", "t", f"payload-{i}".encode(), {}) for i in range(6)]
+    )
+    def canon(df):
+        return sorted(
+            (r["blob_id"], r["frame_idx"], r["ts_ms"], tuple(r["frame_feature"]))
+            for r in df.collect()
+        )
+
+    base = canon(sample_frames(blobs))
+    spreaded = canon(sample_frames(blobs, spread=True))
+    assert base == spreaded and base
+
+    def plan(df):
+        import contextlib, io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    assert "Exchange" not in plan(sample_frames(blobs))
+    assert "Exchange" in plan(sample_frames(blobs, spread=True))
