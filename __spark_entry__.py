@@ -5547,6 +5547,171 @@ WHERE i * 10 >= 7 * na.n
 """
 
 
+def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scoring (Xie et al. 2023): score every document by
+    integer-exact bits of likelihood ratio between the target domain's
+    unigram model (sources src0/src1/src2 as the 'high-quality' proxy)
+    and the raw corpus model, add-one smoothed over the raw vocabulary
+    (emodb_spark.pipeline.curation.dsir_importance). Select-by-threshold
+    on milli_bits_per_feat is the DSIR pretraining-data pass. The hashed
+    n_buckets variant (the paper's feature space, and the 100 TB path:
+    feature dim becomes broadcastable) is differential-tested in pytest;
+    the gate runs the token-feature path the SQL oracle can replay."""
+    from emodb_spark.pipeline.curation import dsir_importance
+
+    docs = _read(spark, sf_dir, "documents")
+    target = docs.where(F.col("source").isin("src0", "src1", "src2"))
+    return dsir_importance(docs, target)
+
+
+ORACLE_DSIR_SELECTION = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+  FROM documents
+), tt AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+  FROM documents WHERE source IN ('src0', 'src1', 'src2')
+), raw AS (
+  SELECT t, COUNT(*) AS cr FROM tok GROUP BY t
+), tgt AS (
+  SELECT t, COUNT(*) AS ct FROM tt GROUP BY t
+), feat AS (
+  SELECT raw.t, cr, COALESCE(ct, 0) AS ct
+  FROM raw LEFT JOIN tgt USING (t)
+), c AS (
+  SELECT (SELECT CAST(SUM(cr) AS BIGINT) FROM raw) AS nr,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM raw) AS v,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM tt) AS nt
+), scored AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+         CAST(SUM((length(bin(ct + 1)) - 1) - (length(bin(cr + 1)) - 1))
+              AS BIGINT) AS db
+  FROM tok JOIN feat USING (t)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_feats, 0) AS n_feats,
+       CAST(COALESCE(s.db, 0) + COALESCE(s.n_feats, 0)
+              * ((length(bin(nr + v)) - 1) - (length(bin(nt + v)) - 1))
+            AS BIGINT) AS bits,
+       CAST(CASE WHEN COALESCE(s.n_feats, 0) > 0
+                 THEN (COALESCE(s.db, 0) + s.n_feats
+                         * ((length(bin(nr + v)) - 1)
+                            - (length(bin(nt + v)) - 1))) * 1000
+                      // s.n_feats
+                 ELSE 0 END AS BIGINT) AS milli_bits_per_feat
+FROM documents d LEFT JOIN scored s USING (doc_id) CROSS JOIN c
+"""
+
+
+def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: conditional priority counts per shipping service class.
+    The testdata lineitem carries no l_shipmode/l_commitdate
+    (TESTDATA.md), so the service class is derived — SLOW when the item
+    shipped more than 30 days after the order date — which preserves
+    Q12's plan shape exactly: fact-fact equijoin on the order key, then
+    one hash aggregate with CASE-conditional counts, no second pass.
+    Orders side projects only (key, date, priority) so the shuffle
+    carries three columns."""
+    li = _read(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    slow = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.withColumn("ship_class", F.when(slow, "SLOW").otherwise("FAST"))
+        .groupBy("ship_class")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+ORACLE_SHIPMODE_PRIORITY = """
+SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+            THEN 'SLOW' ELSE 'FAST' END AS ship_class,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: suppliers who were the ONLY late supplier on a
+    multi-supplier finalized order (late = shipped >60 days after the
+    order date — the testdata has no receipt/commit dates). Q21's
+    EXISTS / NOT EXISTS self-joins collapse into ONE per-order aggregate
+    (count distinct suppliers, count distinct late suppliers) joined
+    back to the late lines — every join keyed on l_orderkey, so AQE
+    reuses a single exchange; the supplier name dim is broadcast."""
+    orders = _read(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    l = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("late"),
+    )
+    stats = l.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    waiting = (
+        l.where("late")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            stats.where((F.col("n_supp") > 1) & (F.col("n_late") == 1)),
+            "l_orderkey",
+        )
+    )
+    supp = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+
+
+ORACLE_WAITING_SUPPLIERS = """
+WITH l AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), stats AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+  FROM l GROUP BY l_orderkey
+), waiting AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM l JOIN stats USING (l_orderkey)
+  WHERE late AND n_supp > 1 AND n_late = 1
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM waiting JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+"""
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic PPS sampling (classic systematic scheme): documents
     selected proportionally to n_chars, exactly 100 picks, no RNG —
@@ -5871,6 +6036,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # that never had a driver row (r4 verdict item 1), then the
         # streaming-parity gates + the re-planned doc_packing for
         # fresh rows (items 2/6). Veterans absorb tail truncation.
+        "dsir_selection": q_dsir_selection,
+        "shipmode_priority": q_shipmode_priority,
+        "waiting_suppliers": q_waiting_suppliers,
         "three_state_scan": q_three_state_scan,
         "weighted_sample": q_weighted_sample,
         "stash_diff": q_stash_diff,
@@ -6020,6 +6188,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "dsir_selection": ORACLE_DSIR_SELECTION,
+        "shipmode_priority": ORACLE_SHIPMODE_PRIORITY,
+        "waiting_suppliers": ORACLE_WAITING_SUPPLIERS,
         "merge_orders": ORACLE_MERGE_ORDERS,
         "user_scd2": ORACLE_USER_SCD2,
         "salted_hot_join": ORACLE_SALTED_HOT_JOIN,

@@ -349,6 +349,102 @@ def sample_k_per_group(
     )
 
 
+def dsir_importance(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+    score every raw-corpus document by how much more likely its features
+    are under the TARGET domain's unigram model than under the raw
+    corpus's — the standard "select pretraining data that looks like the
+    high-quality domain" pass.
+
+    Integer-exact so the SQL oracle reproduces it bit-for-bit: per-token
+    log-likelihood ratios are whole bits via floor(log2 x) =
+    length(bin(x)) - 1 (the idiom proven out by ``unigram_surprisal``),
+    with add-one smoothing over the raw vocabulary V:
+
+        bits(doc) = sum_t [ bl(c_target(t)+1) - bl(c_raw(t)+1) ]
+                    + n_tokens * [ bl(N_raw+V) - bl(N_target+V) ]
+
+    Tokens are whitespace words; with ``n_buckets`` set they are hashed
+    into that many buckets first (murmur3 ``F.hash`` — the DSIR paper's
+    hashed feature space). Hashing is the 100 TB path: it bounds the
+    feature table at ``n_buckets`` rows, which this function then
+    BROADCASTS, so the only shuffle left is the per-doc aggregate. The
+    un-hashed path joins on the token (vocab-sized dim — still a plain
+    equijoin, never all-pairs). The 1-row constants (N_raw, N_target, V)
+    ride a broadcast cross join, same as every other 1-row-aggregate
+    query here.
+
+    Returns one row per input doc: (id, n_feats, bits,
+    milli_bits_per_feat) — rank/threshold on the last column to select.
+    No reference analog (emodb has no curation surface); extension
+    operator for the training-data pipeline.
+    """
+    from .text import tokens as _tokens
+
+    feat_of = F.explode(_tokens(F.col(text_col))).alias("__t")
+    tok = docs.select(F.col(id_col), feat_of)
+    ttok = target.select(feat_of)
+    if n_buckets is not None:
+        if n_buckets <= 0:
+            raise ValueError("n_buckets must be positive")
+        b = lambda c: F.pmod(F.hash(c), F.lit(n_buckets))  # noqa: E731
+        tok = tok.select(id_col, b(F.col("__t")).alias("__t"))
+        ttok = ttok.select(b(F.col("__t")).alias("__t"))
+    raw = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__cr"))
+    tgt = ttok.groupBy("__t").agg(F.count(F.lit(1)).alias("__ct"))
+    feat = raw.join(tgt, "__t", "left").na.fill({"__ct": 0})
+    if n_buckets is not None:
+        feat = F.broadcast(feat)
+
+    def bl(col):  # floor(log2 x) for x >= 1, exact in both engines
+        return F.length(F.bin(col)) - F.lit(1)
+
+    feat = feat.withColumn("__d", bl(F.col("__ct") + 1) - bl(F.col("__cr") + 1))
+    consts = raw.agg(
+        F.sum("__cr").cast("long").alias("__nr"),
+        F.count(F.lit(1)).cast("long").alias("__v"),
+    ).crossJoin(ttok.agg(F.count(F.lit(1)).cast("long").alias("__nt")))
+    scored = (
+        tok.join(feat.select("__t", "__d"), "__t")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("__d").cast("long").alias("__db"),
+        )
+    )
+    out = (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .crossJoin(F.broadcast(consts))
+        .withColumn("n_feats", F.coalesce("n_feats", F.lit(0)).cast("long"))
+        .withColumn(
+            "bits",
+            (
+                F.coalesce("__db", F.lit(0))
+                + F.col("n_feats")
+                * (bl(F.col("__nr") + F.col("__v")) - bl(F.col("__nt") + F.col("__v")))
+            ).cast("long"),
+        )
+    )
+    # truncating integer division — verified identical to DuckDB's // on
+    # negative scores (both round toward zero)
+    return out.select(
+        id_col,
+        "n_feats",
+        "bits",
+        F.when(F.col("n_feats") > 0, F.expr("(bits * 1000) div n_feats"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("milli_bits_per_feat"),
+    )
+
+
 def token_budget_sample(
     scored: DataFrame,
     budget: int,

@@ -265,3 +265,71 @@ def test_systematic_weighted_sample_properties(spark):
              for r in systematic_weighted_sample(
                  df, "n_chars", "doc_id", k=k, num_partitions=3).collect()}
     assert again == want
+
+
+def test_dsir_importance_reference_and_hashed(spark):
+    """dsir_importance ≡ a sequential Python reference (add-one smoothed
+    floor-log2 bits); the hashed path ≡ the token path when every token
+    lands in its own bucket is NOT guaranteed (murmur3 collisions), so
+    the hashed path is checked against a Python replay of the SAME
+    bucketing instead."""
+    from pyspark.sql import functions as F
+
+    from emodb_spark.pipeline.curation import dsir_importance
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog ate the cat"),
+        (3, "quantum flux capacitor hums"),
+        (4, "the the the the"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = df.where(F.col("doc_id").isin(1, 2))
+
+    def bl(x):
+        return x.bit_length() - 1
+
+    def reference(feats_by_doc, target_ids):
+        raw, tgt = {}, {}
+        for d, fs in feats_by_doc.items():
+            for f in fs:
+                raw[f] = raw.get(f, 0) + 1
+                if d in target_ids:
+                    tgt[f] = tgt.get(f, 0) + 1
+        nr, nt, v = sum(raw.values()), sum(tgt.values()), len(raw)
+        const = bl(nr + v) - bl(nt + v)
+        out = {}
+        for d, fs in feats_by_doc.items():
+            db = sum(bl(tgt.get(f, 0) + 1) - bl(raw[f] + 1) for f in fs)
+            bits = db + len(fs) * const
+            n = len(fs)
+            milli = int((bits * 1000) / n) if n else 0  # trunc toward 0
+            out[d] = (n, bits, milli)
+        return out
+
+    feats = {d: [t for t in txt.split(" ") if t] for d, txt in rows}
+    want = reference(feats, {1, 2})
+    got = {
+        r["doc_id"]: (r["n_feats"], r["bits"], r["milli_bits_per_feat"])
+        for r in dsir_importance(df, target).collect()
+    }
+    assert got == want
+    # target-domain docs must outscore the alien-vocabulary doc
+    assert got[1][2] > got[3][2] and got[2][2] > got[3][2]
+
+    # hashed path: replay the same murmur3 bucketing in the reference
+    B = 8
+    tok = df.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda t: t != F.lit(""))).alias("t"),
+    ).withColumn("b", F.pmod(F.hash("t"), F.lit(B)))
+    hashed_feats = {d: [] for d, _ in rows}
+    for r in tok.collect():
+        hashed_feats[r["doc_id"]].append(r["b"])
+    want_h = reference(hashed_feats, {1, 2})
+    got_h = {
+        r["doc_id"]: (r["n_feats"], r["bits"], r["milli_bits_per_feat"])
+        for r in dsir_importance(df, target, n_buckets=B).collect()
+    }
+    assert got_h == want_h

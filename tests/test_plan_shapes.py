@@ -213,14 +213,20 @@ def test_range_join_is_hash_equijoin(spark, sf_dir):
 
 
 def test_kmeans_assign_has_no_shuffle(spark, sf_dir):
-    """Centroids are plan literals: assignment must be a narrow
-    projection — zero exchanges."""
+    """Centroids ride ONE broadcast row (constant plan shape across
+    Lloyd iterations): assignment must stay shuffle-free — the only
+    exchange allowed is the O(k*dim)-byte centroid broadcast."""
     from emodb_spark.pipeline.similarity import kmeans_assign
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cents = [[0.0] * 64 for _ in range(4)]
     plan = plan_of(kmeans_assign(emb, cents))
-    assert "Exchange" not in plan
+    shuffles = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+    ]
+    assert shuffles == []
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row centroid ship
 
 
 def test_doc_chunks_has_no_shuffle(spark, sf_dir):

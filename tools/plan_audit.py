@@ -61,6 +61,14 @@ BNLJ_OK = {
                             # O(#queries) broadcast) with ann_ivf_kmeans
                             # (O(n_cells) centroid broadcast) — both
                             # already allowlisted above
+    "dsir_selection",       # 1-row (N_raw, N_target, V) constants
+                            # broadcast onto the per-doc scores (the LM
+                            # normalizers, same as unigram_surprisal)
+    "kmeans_embeddings",    # kmeans_assign ships centroids as ONE
+    "semantic_dedup",       # broadcast row (k x dim doubles) so Lloyd
+                            # iterations reuse a constant plan shape —
+                            # same O(n_cells)-broadcast rationale as
+                            # ann_ivf_topk/ann_ivf_kmeans above
 }
 
 ALWAYS_BAD = ["CartesianProduct", "BatchEvalPython"]
