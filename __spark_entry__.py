@@ -2711,6 +2711,94 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 """
 
 
+def q_train_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN the fastText-style quality filter, bit-reproducibly: 2
+    full-batch gradient steps of a hard-sigmoid linear model over hashed
+    unigram+bigram features, every step in fixed-point integers
+    (emodb_spark.pipeline.text.train_hashed_classifier — the trainer for
+    the model `quality_classifier` applies). Labels: source in
+    src0/src1/src2 (the same 'high-quality domain' proxy as
+    dsir_selection). The oracle replays BOTH training iterations
+    unrolled in SQL — the integer-only contract is what makes a trained
+    model checkable across engines."""
+    from emodb_spark.pipeline.text import train_hashed_classifier
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "__y", F.col("source").isin("src0", "src1", "src2").cast("int")
+    )
+    _, preds = train_hashed_classifier(
+        docs, label_col="__y", n_buckets=4096, iters=2
+    )
+    return preds
+
+
+def _oracle_train_classifier(
+    n_buckets: int = 4096, iters: int = 2, scale: int = 1 << 20,
+    lr_mult: int = 64,
+) -> str:
+    """Unroll the fixed-point training loop as chained CTEs (same
+    generated-SQL approach as _oracle_kmeans)."""
+    S, half = scale, scale // 2
+    head = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                      ' ') AS ws
+  FROM documents
+), feats AS (
+  SELECT doc_id, unnest(ws) AS f FROM toks
+  UNION ALL
+  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS f
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        FROM toks WHERE len(ws) >= 2)
+  UNION ALL
+  SELECT doc_id, array_to_string(ws, ' ') FROM toks WHERE len(ws) < 2
+), hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(f), 1, 15)) AS BIGINT) % {n_buckets} AS bucket
+  FROM feats WHERE f <> ''
+), lab AS (
+  SELECT doc_id,
+         CASE WHEN source IN ('src0', 'src1', 'src2') THEN 1 ELSE 0 END AS y
+  FROM documents
+), c AS (SELECT CAST({lr_mult} * COUNT(*) AS BIGINT) AS lrd FROM documents),
+w0 AS (SELECT DISTINCT bucket, CAST(0 AS BIGINT) AS w FROM hashed)"""
+    its = []
+    for i in range(iters):
+        its.append(f""",
+s{i} AS (
+  SELECT h.doc_id, CAST(COALESCE(SUM(w.w), 0) AS BIGINT) AS score
+  FROM hashed h LEFT JOIN w{i} w USING (bucket) GROUP BY h.doc_id
+), e{i} AS (
+  SELECT l.doc_id,
+         GREATEST(0, LEAST({S}, {half} + (COALESCE(s.score, 0) // 4)))
+           - l.y * {S} AS err
+  FROM lab l LEFT JOIN s{i} s USING (doc_id)
+), g{i} AS (
+  SELECT bucket, CAST(SUM(err) AS BIGINT) AS g
+  FROM hashed JOIN e{i} USING (doc_id) GROUP BY bucket
+), w{i + 1} AS (
+  SELECT w.bucket,
+         CAST(w.w - COALESCE(g.g, 0) // (SELECT lrd FROM c) AS BIGINT) AS w
+  FROM w{i} w LEFT JOIN g{i} g USING (bucket)
+)""")
+    tail = f""",
+sf AS (
+  SELECT h.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_features,
+         CAST(COALESCE(SUM(w.w), 0) AS BIGINT) AS score
+  FROM hashed h LEFT JOIN w{iters} w USING (bucket) GROUP BY h.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_features, 0) AS n_features,
+       COALESCE(s.score, 0) AS score,
+       CAST(GREATEST(0, LEAST({S}, {half} + (COALESCE(s.score, 0) // 4)))
+            AS BIGINT) AS p
+FROM documents d LEFT JOIN sf s USING (doc_id)
+"""
+    return head + "".join(its) + tail
+
+
 def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-30 adjacent word-pair collocations by PMI ratio
     P(w1 w2)/(P(w1)P(w2)) — corpus phrase mining. Counts are map-side
@@ -6037,6 +6125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming-parity gates + the re-planned doc_packing for
         # fresh rows (items 2/6). Veterans absorb tail truncation.
         "dsir_selection": q_dsir_selection,
+        "train_classifier": q_train_classifier,
         "shipmode_priority": q_shipmode_priority,
         "waiting_suppliers": q_waiting_suppliers,
         "three_state_scan": q_three_state_scan,
@@ -6189,6 +6278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "dsir_selection": ORACLE_DSIR_SELECTION,
+        "train_classifier": _oracle_train_classifier(),
         "shipmode_priority": ORACLE_SHIPMODE_PRIORITY,
         "waiting_suppliers": ORACLE_WAITING_SUPPLIERS,
         "merge_orders": ORACLE_MERGE_ORDERS,

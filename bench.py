@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "scd2_lookup",           # point-in-time dimension version lookup
     "bucketed_join",         # zero-Exchange co-located fact-fact join
     "dsir_selection",        # DSIR importance bits (integer-exact LM ratio)
+    "train_classifier",      # fixed-point GD trainer (2 unrolled iters)
     "shipmode_priority",     # Q12 shape: conditional counts after fact join
     "waiting_suppliers",     # Q21 shape: one per-order aggregate, no self-joins
 ]

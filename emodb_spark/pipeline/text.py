@@ -350,7 +350,34 @@ def hashed_ngram_scores(
     tiny next to the corpus), feature generation is a narrow explode, and
     the only corpus-wide shuffle is the per-document sum — which combines
     map-side. The corpus is never shuffled by feature."""
-    from .dedup import md5_hash60, normalize, shingles
+    hashed = hashed_features(
+        df, n_buckets, text_col=text_col, id_col=id_col, use_bigrams=use_bigrams
+    )
+    scored = (
+        hashed.join(F.broadcast(weights), "bucket", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.col("bucket")).alias("n_features"),
+            F.coalesce(F.sum("weight"), F.lit(0)).cast("long").alias("score"),
+        )
+    )
+    return scored.select(F.col("id").alias(id_col), "n_features", "score")
+
+
+def hashed_features(
+    df: DataFrame,
+    n_buckets: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    use_bigrams: bool = True,
+) -> DataFrame:
+    """One row per hashed n-gram OCCURRENCE: (id, bucket). Bucket =
+    ``md5_hash60(feature) % n_buckets`` over normalized unigrams (+
+    bigrams) — the shared feature extractor behind
+    :func:`hashed_ngram_scores` and :func:`train_hashed_classifier`.
+    Documents with no tokens emit one (id, NULL) row (explode_outer) so
+    doc-preserving consumers can left-track them."""
+    from .dedup import md5_hash60, shingles
 
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
     feats = shingles(F.col("__t"), 1)
@@ -358,22 +385,124 @@ def hashed_ngram_scores(
         feats = F.concat(feats, shingles(F.col("__t"), 2))
     feats = F.filter(feats, lambda x: x != F.lit(""))
     exploded = base.select("id", F.explode_outer(feats).alias("feature"))
-    hashed = exploded.withColumn(
-        "bucket",
+    return exploded.select(
+        "id",
         F.when(
             F.col("feature").isNotNull(),
             F.pmod(md5_hash60(F.col("feature")), F.lit(n_buckets)),
-        ),
+        ).alias("bucket"),
     )
-    scored = (
-        hashed.join(F.broadcast(weights), "bucket", "left")
-        .groupBy("id")
-        .agg(
-            F.count(F.col("feature")).alias("n_features"),
-            F.coalesce(F.sum("weight"), F.lit(0)).cast("long").alias("score"),
+
+
+def train_hashed_classifier(
+    df: DataFrame,
+    label_col: str,
+    n_buckets: int,
+    iters: int = 2,
+    lr_den: int | None = None,
+    scale: int = 1 << 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Train a linear quality classifier over hashed n-gram features with
+    full-batch gradient descent — the TRAINER for the fastText-style
+    filter model that :func:`hashed_ngram_scores` applies. Every
+    arithmetic step is integer, so the whole training run is
+    bit-reproducible on any engine (the same contract as the k-means
+    trainer, which lets a SQL oracle replay it end-to-end):
+
+    - weights are fixed-point integers at ``scale`` (real weight = w/S);
+    - the activation is the HARD sigmoid ``p = clamp(S/2 + score//4, 0,
+      S)`` — piecewise linear, so no engine-dependent exp();
+    - per-doc error ``err = p - y*S``; gradient ``g[b] = sum(err over
+      occurrences of b)``; update ``w[b] -= g[b] div lr_den`` with
+      truncating division (identical in Spark ``div`` and DuckDB ``//``,
+      including on negatives).
+
+    ``lr_den`` defaults to ``64 * count(df)`` (learning rate ~1/(64N) in
+    real units). ``label_col`` must be integer 0/1.
+
+    Returns ``(weights, predictions)``: a ``{bucket: int}`` dict of
+    nonzero fixed-point weights, and a doc-preserving DataFrame
+    (id, n_features, score, p) under the FINAL weights — ``p >= S/2``
+    is the keep decision.
+
+    Scale shape: the hashed (id, bucket) occurrence table is pinned once
+    (localCheckpoint — its lineage is the normalize+explode pipeline) and
+    reused for all iterations; each iteration is a broadcast model join +
+    per-doc aggregate (map-side combine) + per-bucket aggregate (at most
+    ``n_buckets`` rows collected to the driver, same O(model) driver
+    state as every production parameter server). The corpus is shuffled
+    by id once per iteration, never by feature.
+
+    Extension operator — no reference analog (emodb has no ML surface).
+    """
+    S = int(scale)
+    spark = df.sparkSession
+    n_docs = df.count()
+    if lr_den is None:
+        lr_den = 64 * max(n_docs, 1)
+    feats = hashed_features(
+        df, n_buckets, text_col=text_col, id_col=id_col
+    ).localCheckpoint(eager=True)
+    labels = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).cast("long").alias("__y"),
+    ).localCheckpoint(eager=True)
+
+    def _weights_df(w: dict):
+        rows = [(int(b), int(v)) for b, v in sorted(w.items())]
+        if not rows:
+            rows = [(-1, 0)]  # placeholder: joins match nothing
+        return spark.createDataFrame(rows, "bucket long, w long")
+
+    def _scores(wdf):
+        """Doc-preserving (id, n_features, score) under weights wdf."""
+        return (
+            feats.join(F.broadcast(wdf), "bucket", "left")
+            .groupBy("id")
+            .agg(
+                F.count(F.col("bucket")).alias("n_features"),
+                F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("score"),
+            )
         )
+
+    def _p(score):
+        return F.greatest(
+            F.lit(0),
+            F.least(F.lit(S), F.lit(S // 2) + F.expr(f"score div 4")),
+        ).cast("long")
+
+    w: dict = {}
+    for _ in range(iters):
+        err = (
+            _scores(_weights_df(w))
+            .join(labels, "id")
+            .select("id", (_p(F.col("score")) - F.col("__y") * F.lit(S)).alias("__e"))
+        )
+        grad = (
+            feats.where(F.col("bucket").isNotNull())
+            .join(err, "id")
+            .groupBy("bucket")
+            .agg(F.sum("__e").cast("long").alias("g"))
+            .collect()
+        )
+        for r in grad:
+            b = int(r["bucket"])
+            # truncating div toward zero, matching SQL integer division
+            step = int(r["g"]) // lr_den if r["g"] >= 0 else -((-int(r["g"])) // lr_den)
+            nw = w.get(b, 0) - step
+            if nw:
+                w[b] = nw
+            else:
+                w.pop(b, None)
+    preds = _scores(_weights_df(w)).select(
+        F.col("id").alias(id_col),
+        "n_features",
+        "score",
+        _p(F.col("score")).alias("p"),
     )
-    return scored.select(F.col("id").alias(id_col), "n_features", "score")
+    return w, preds
 
 
 def hash_model_weights(spark, n_buckets: int, seed: int = 1) -> DataFrame:

@@ -1764,3 +1764,70 @@ def test_multimodal_spread_opt_in(spark):
 
     assert "Exchange" not in plan(sample_frames(blobs))
     assert "Exchange" in plan(sample_frames(blobs, spread=True))
+
+
+def test_train_hashed_classifier_differential_and_learns(spark):
+    """train_hashed_classifier ≡ a sequential Python replay of the same
+    fixed-point arithmetic (hashed features, hard sigmoid, truncating
+    division), and the trained model actually separates the classes."""
+    import hashlib
+
+    from emodb_spark.pipeline.text import train_hashed_classifier
+
+    pos = ["good clean prose here", "clean prose reads well",
+           "good writing reads well", "prose here reads clean"]
+    neg = ["zz qq spam spam", "qq zz zz spam", "spam qq spam zz"]
+    rows = [(i, t, 1) for i, t in enumerate(pos)] + [
+        (100 + i, t, 0) for i, t in enumerate(neg)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    nb, S, iters = 64, 1 << 20, 3
+    lr_den = 8 * len(rows)
+    w, preds = train_hashed_classifier(
+        docs, "y", nb, iters=iters, lr_den=lr_den
+    )
+    got = {r["doc_id"]: (r["n_features"], r["score"], r["p"])
+           for r in preds.collect()}
+
+    # sequential reference over the same feature stream
+    def buckets(text):
+        ws = [t for t in text.lower().split() if t]
+        feats = list(ws)
+        if len(ws) >= 2:
+            feats += [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        else:
+            feats += [" ".join(ws)] if ws else []
+        feats = [f for f in feats if f]
+        return [int(hashlib.md5(f.encode()).hexdigest()[:15], 16) % nb
+                for f in feats]
+
+    bs = {d: buckets(t) for d, t, _ in rows}
+    ys = {d: y for d, _, y in rows}
+
+    def tdiv(a, b):  # truncate toward zero, like Spark div / DuckDB //
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    ref_w = {}
+    for _ in range(iters):
+        grads = {}
+        for d, blist in bs.items():
+            score = sum(ref_w.get(b, 0) for b in blist)
+            p = max(0, min(S, S // 2 + tdiv(score, 4)))
+            err = p - ys[d] * S
+            for b in blist:
+                grads[b] = grads.get(b, 0) + err
+        for b, g in grads.items():
+            ref_w[b] = ref_w.get(b, 0) - tdiv(g, lr_den)
+    want = {}
+    for d, blist in bs.items():
+        score = sum(ref_w.get(b, 0) for b in blist)
+        want[d] = (len(blist), score, max(0, min(S, S // 2 + tdiv(score, 4))))
+    assert got == want
+    assert w == {b: v for b, v in ref_w.items() if v}
+
+    # the model separates the classes: every positive doc's p above
+    # every negative doc's
+    assert min(got[d][2] for d, _, y in rows if y == 1) > max(
+        got[d][2] for d, _, y in rows if y == 0
+    )
