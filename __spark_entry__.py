@@ -2799,6 +2799,87 @@ FROM documents d LEFT JOIN sf s USING (doc_id)
     return head + "".join(its) + tail
 
 
+def q_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence PMI (window=3) — the word2vec/GloVe
+    corpus-prep pass: ordered pairs within 3 positions, ranked by exact
+    integer-product PMI with one IEEE division
+    (emodb_spark.pipeline.text.skipgram_cooccurrence; the window=1
+    special case is `collocations`). Pair generation is a per-doc zip of
+    3 shifted slices — no self-join; vocab-sized aggregates only."""
+    from emodb_spark.pipeline.text import skipgram_cooccurrence
+
+    docs = _read(spark, sf_dir, "documents")
+    return skipgram_cooccurrence(docs, window=3, top_k=50, min_count=5)
+
+
+ORACLE_SKIPGRAM_PMI = r"""
+WITH toks AS (
+  SELECT list_filter(
+           string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ',
+                                            'g')), ' '),
+           x -> x <> '') AS ws
+  FROM documents
+), uni AS (
+  SELECT w, COUNT(*) AS c
+  FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS total FROM uni
+), pairs AS (
+  SELECT w1, w2, COUNT(*) AS pair_count FROM (
+    SELECT ws[i] AS w1, ws[i + 1] AS w2
+    FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+          FROM toks WHERE len(ws) >= 2)
+    UNION ALL
+    SELECT ws[i] AS w1, ws[i + 2] AS w2
+    FROM (SELECT ws, unnest(generate_series(1, len(ws) - 2)) AS i
+          FROM toks WHERE len(ws) >= 3)
+    UNION ALL
+    SELECT ws[i] AS w1, ws[i + 3] AS w2
+    FROM (SELECT ws, unnest(generate_series(1, len(ws) - 3)) AS i
+          FROM toks WHERE len(ws) >= 4)
+  ) GROUP BY 1, 2 HAVING COUNT(*) >= 5
+)
+SELECT p.w1, p.w2, p.pair_count,
+       CAST(p.pair_count * t.total AS DOUBLE)
+         / CAST(u1.c * u2.c AS DOUBLE) AS pmi
+FROM pairs p CROSS JOIN tot t
+JOIN uni u1 ON u1.w = p.w1
+JOIN uni u2 ON u2.w = p.w2
+ORDER BY pmi DESC, p.w1, p.w2
+LIMIT 50
+"""
+
+
+def q_decayed_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted per-user engagement score with INTEGER
+    exponential decay: each event contributes cents >> (age_days div 7),
+    age measured from that user's latest event — halving-per-week with
+    floor/shift arithmetic only, so the decay replays exactly in SQL
+    (emodb_spark.pipeline.events.decayed_user_score). One exchange on
+    the user key (the reference max rides the same window partition)."""
+    from emodb_spark.pipeline.events import decayed_user_score
+
+    ev = _events_ts_us(spark, sf_dir)
+    return decayed_user_score(ev, halflife_days=7, ts_col="ts_us")
+
+
+ORACLE_DECAYED_SCORE = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+         MAX(epoch_us(ts)) OVER (PARTITION BY user_id) AS last_us
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(last_us) AS BIGINT) AS last_ts,
+       CAST(SUM(cents >> CAST(LEAST(
+              ((last_us - ts_us) // 86400000000) // 7, 62) AS INTEGER))
+            AS BIGINT) AS decayed_cents
+FROM e GROUP BY user_id
+"""
+
+
 def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-30 adjacent word-pair collocations by PMI ratio
     P(w1 w2)/(P(w1)P(w2)) — corpus phrase mining. Counts are map-side
@@ -6120,12 +6201,16 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # The driver's CORRECTNESS artifact records the FIRST 50
-        # entries. Round-5 window: new queries lead, then the 27
-        # that never had a driver row (r4 verdict item 1), then the
-        # streaming-parity gates + the re-planned doc_packing for
-        # fresh rows (items 2/6). Veterans absorb tail truncation.
+        # entries. Round-5 window, exactly 50: the 23 queries added
+        # this round, the 27 that never had a driver row (r4 verdict
+        # item 1), then doc_packing (re-planned, item 2) and
+        # resolve_fold at 49-50. Veterans with r1-r4 rows absorb the
+        # tail truncation; do NOT add more entries above them this
+        # round or never-checked queries fall out of the window.
         "dsir_selection": q_dsir_selection,
         "train_classifier": q_train_classifier,
+        "skipgram_pmi": q_skipgram_pmi,
+        "decayed_score": q_decayed_score,
         "shipmode_priority": q_shipmode_priority,
         "waiting_suppliers": q_waiting_suppliers,
         "three_state_scan": q_three_state_scan,
@@ -6170,11 +6255,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_deciles": q_value_deciles,
         "word_rank_score": q_word_rank_score,
         "tfidf_topk": q_tfidf_topk,
+        # slots 49-50: doc_packing re-plan (r4 verdict item 2) and the
+        # fold parity gate; the other streaming gates hold r3 rows and
+        # sit just past the window
+        "doc_packing": q_doc_packing,
         "resolve_fold": q_resolve_fold,
         "streaming_fold_parity": q_streaming_fold_parity,
         "stateful_fold_parity": q_stateful_fold_parity,
         "replication_convergence": q_replication_convergence,
-        "doc_packing": q_doc_packing,
         "merge_orders": q_merge_orders,
         "user_scd2": q_user_scd2,
         "salted_hot_join": q_salted_hot_join,
@@ -6279,6 +6367,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "dsir_selection": ORACLE_DSIR_SELECTION,
         "train_classifier": _oracle_train_classifier(),
+        "skipgram_pmi": ORACLE_SKIPGRAM_PMI,
+        "decayed_score": ORACLE_DECAYED_SCORE,
         "shipmode_priority": ORACLE_SHIPMODE_PRIORITY,
         "waiting_suppliers": ORACLE_WAITING_SUPPLIERS,
         "merge_orders": ORACLE_MERGE_ORDERS,

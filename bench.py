@@ -136,6 +136,8 @@ BENCH_QUERIES = [
     "bucketed_join",         # zero-Exchange co-located fact-fact join
     "dsir_selection",        # DSIR importance bits (integer-exact LM ratio)
     "train_classifier",      # fixed-point GD trainer (2 unrolled iters)
+    "skipgram_pmi",          # window-3 co-occurrence PMI (no self-join)
+    "decayed_score",         # integer halving decay, one keyed exchange
     "shipmode_priority",     # Q12 shape: conditional counts after fact join
     "waiting_suppliers",     # Q21 shape: one per-order aggregate, no self-joins
 ]

@@ -899,3 +899,63 @@ def trailing_time_features(
         F.count(F.lit(1)).over(w).cast("long").alias("n_trailing"),
         F.sum(cents).over(w).cast("long").alias("sum_cents_trailing"),
     )
+
+
+def decayed_user_score(
+    df: DataFrame,
+    halflife_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Recency-weighted per-user engagement score with INTEGER
+    exponential decay: each event contributes ``cents >> (age_days div
+    halflife_days)`` where age is measured back from that user's LATEST
+    event — a halving-per-halflife decay computed entirely with integer
+    floor/shift arithmetic, so any engine reproduces the score exactly
+    (no pow(), no float decay factor). The standard "recent activity
+    matters more" feature for churn/ranking models.
+
+    Using the per-user max timestamp as the reference (rather than a
+    global now()) keeps the operator deterministic over a fixed corpus
+    and needs no 1-row broadcast: the max rides the SAME keyed window
+    partition as the sum, so the whole thing is ONE exchange on the user
+    key. Shift amounts are clamped to 62 to stay in int64 for any age.
+
+    ``ts_col`` must be an epoch-MICROSECONDS bigint (the `ts_us` events
+    convention — `cast(timestamp as long)` would be seconds).
+
+    Returns (user, n_events, last_ts, decayed_cents).
+    """
+    w = Window.partitionBy(user_col)
+    cents = F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+    # age in whole days back from this user's latest event; the max-over
+    # window is written once in SQL and once via F.max but both carry the
+    # same partition spec, so they evaluate in ONE Window operator
+    shift = F.least(
+        F.expr(
+            f"((max(cast({ts_col} as long)) over (partition by {user_col})"
+            f" - cast({ts_col} as long)) div {86400 * 1000 * 1000})"
+            f" div {int(halflife_days)}"
+        ),
+        F.lit(62),
+    ).cast("int")
+    return (
+        df.select(
+            F.col(user_col),
+            cents.alias("__cents"),
+            shift.alias("__s"),
+            F.max(F.col(ts_col)).over(w).alias("__last"),
+        )
+        .select(
+            user_col,
+            "__last",
+            F.expr("shiftright(__cents, __s)").alias("__d"),
+        )
+        .groupBy(user_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("__last").alias("last_ts"),
+            F.sum("__d").cast("long").alias("decayed_cents"),
+        )
+    )

@@ -589,6 +589,80 @@ def collocations(
     return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(top_k)
 
 
+def skipgram_cooccurrence(
+    df: DataFrame,
+    window: int = 3,
+    top_k: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Skip-gram word co-occurrence with PMI ranking — the word2vec /
+    GloVe corpus-prep pass: count ordered pairs (w1 earlier, w2 within
+    the next ``window`` positions), rank by the PMI ratio
+    ``P(pair) / (P(w1) P(w2))`` computed exactly like
+    :func:`collocations` (exact integer products, ONE correctly-rounded
+    IEEE division — bit-identical across engines).
+
+    Returns the ``top_k`` rows of (w1, w2, pair_count, pmi) by
+    (pmi DESC, w1, w2).
+
+    Scale shape: pair generation is a narrow per-doc explode of
+    ``window`` zipped shifts (no self-join); pair and unigram counts are
+    map-side-combined groupBys whose shuffle is vocabulary²-bounded (and
+    cut down by ``min_count`` BEFORE the joins); the corpus total is a
+    1-row broadcast. The corpus itself is scanned twice (pairs +
+    unigrams) and never shuffled. Extension operator — no reference
+    analog."""
+    from .dedup import normalize
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    toks = F.filter(
+        F.split(normalize(F.col(text_col)), " "), lambda t: t != F.lit("")
+    )
+    base = df.select(toks.alias("ws"))
+    n = F.size(F.col("ws"))
+    shifted = [
+        F.when(
+            n >= j + 1,
+            F.zip_with(
+                F.slice(F.col("ws"), 1, n - F.lit(j)),
+                F.slice(F.col("ws"), j + 1, n - F.lit(j)),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        for j in range(1, window + 1)
+    ]
+    pairs = (
+        base.select(F.explode(F.concat(*shifted)).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )
+    uni = (
+        base.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = uni.agg(F.sum("c").cast("long").alias("total"))
+    joined = (
+        pairs.join(F.broadcast(total))
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+    )
+    scored = joined.select(
+        "w1",
+        "w2",
+        "pair_count",
+        (
+            (F.col("pair_count") * F.col("total")).cast("double")
+            / (F.col("c1") * F.col("c2")).cast("double")
+        ).alias("pmi"),
+    )
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(top_k)
+
+
 def strip_markup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """HTML/markdown cleaning (the C4/CCNet pre-extraction step for web
     text): drop markdown links' URLs (keep the anchor text), strip

@@ -49,6 +49,19 @@ def _parse_split_token(split: str):
     return name, lo, hi
 
 
+def _parquet_files(path: str) -> List[str]:
+    """Data files under ``path`` — handles both a single-file parquet and
+    a directory layout."""
+    if os.path.isfile(path):
+        return [path]
+    return [
+        os.path.join(dp, fn)
+        for dp, _, fns in os.walk(path)
+        for fn in fns
+        if fn.endswith(".parquet")
+    ]
+
+
 def _parquet_footer_count(path: str, max_footers: int = 64) -> Optional[int]:
     """Sum of parquet footer row counts under ``path`` — metadata only.
     With more than ``max_footers`` files, reads a deterministic sample of
@@ -102,6 +115,9 @@ class TableDef:
     # facades: same-named table served from another placement's data
     # (DataStore.java:216-256) — placement → parquet location
     facades: Dict[str, str] = field(default_factory=dict)
+    # last analyze_table() output (row/file/byte counts + per-column
+    # null/ndv/min/max) — persisted with the def; None until analyzed
+    stats: Optional[Dict[str, Any]] = None
 
 
 class DataStore:
@@ -140,6 +156,7 @@ class DataStore:
                 placement=doc.get("placement", "default"),
                 template=dict(doc.get("template") or {}),
                 facades=dict(doc.get("facades") or {}),
+                stats=doc.get("stats"),
             )
 
     def _persist_catalog(self) -> None:
@@ -159,6 +176,7 @@ class DataStore:
                 "placement": t.placement,
                 "template": t.template,
                 "facades": t.facades,
+                "stats": t.stats,
             }
             for t in self._tables.values()
             if t.df is None
@@ -226,12 +244,15 @@ class DataStore:
     def get_table_metadata(self, name: str) -> Dict[str, Any]:
         """DataStore.getTableMetadata (DataStore.java:78)."""
         t = self.table_def(name)
-        return {
+        md = {
             "name": t.name,
             "options": self.get_table_options(name),
             "template": dict(t.template),
             "availability": {"placement": t.placement},
         }
+        if t.stats is not None:
+            md["stats"] = t.stats
+        return md
 
     def get_table_template(self, name: str) -> Dict[str, Any]:
         """DataStore.getTableTemplate (DataStore.java:83)."""
@@ -309,6 +330,137 @@ class DataStore:
         t.df = None
         self._persist_catalog()
         return dest_path
+
+    def optimize_table(
+        self,
+        name: str,
+        target_file_bytes: int = 128 << 20,
+        sort_by_key: bool = True,
+    ) -> Dict[str, Any]:
+        """Bin-pack a parquet-backed table's data files — the small-file
+        maintenance pass every long-lived update-log/stash pipeline
+        needs (the storage-compaction counterpart of the reference's
+        delta compaction; on Cassandra that job belongs to the storage
+        engine, on parquet it's ours). Rewrites the table into
+        ``ceil(total_bytes / target_file_bytes)`` files, range-
+        partitioned AND sorted by the key column, so ``get_splits``'s
+        key-range predicates prune whole row groups after the rewrite.
+
+        Same safety idiom as :meth:`move_table`: the rewrite lands in a
+        fresh versioned sibling directory, then the catalog path flips
+        in ONE atomic persist — readers see the old or the new layout,
+        never a mix; the old directory is left for in-flight readers
+        (reclaim out of band).
+
+        Returns {files_before, files_after, bytes, path}. No-ops (and
+        says so) when the table is already at or under the target count.
+        """
+        t = self.table_def(name)
+        src = self._data_path(t)
+        if src is None:
+            raise ValueError(f"table {name} is not parquet-backed")
+        files = _parquet_files(src)
+        total = sum(os.path.getsize(f) for f in files)
+        n_out = max(1, -(-total // int(target_file_bytes)))
+        if len(files) <= n_out:
+            return {
+                "files_before": len(files),
+                "files_after": len(files),
+                "bytes": total,
+                "path": src,
+                "skipped": True,
+            }
+        df = self.spark.read.parquet(src)
+        key = F.col(f"`{t.key_column}`")
+        if sort_by_key:
+            out = df.repartitionByRange(n_out, key).sortWithinPartitions(key)
+        else:
+            out = df.coalesce(n_out)
+        version = 1
+        dest = f"{src.rstrip('/')}__optimized-{version}"
+        while os.path.exists(dest):
+            version += 1
+            dest = f"{src.rstrip('/')}__optimized-{version}"
+        out.write.mode("overwrite").parquet(dest)
+        if t.path == src:
+            t.path = dest
+        else:  # the local facade was the data source
+            t.facades[self.local_placement] = dest
+        self._persist_catalog()
+        after = _parquet_files(dest)
+        return {
+            "files_before": len(files),
+            "files_after": len(after),
+            "bytes": total,
+            "path": dest,
+        }
+
+    def analyze_table(
+        self, name: str, columns: Optional[Sequence[str]] = None
+    ) -> Dict[str, Any]:
+        """Collect table + per-column statistics in ONE aggregate job and
+        persist them with the table definition (the metastore-stats
+        surface Spark's cost-based optimizer and any human operator
+        wants: row/file/byte counts; per column null count, exact
+        distinct count, min, max). Exposed via
+        :meth:`get_table_metadata` and survives the session through the
+        catalog file.
+
+        Exact ``countDistinct`` is deliberate (deterministic, testable);
+        at extreme cardinalities swap in ``approx_count_distinct`` —
+        same single-aggregate shape, HLL-sketch partials."""
+        t = self.table_def(name)
+        df = (
+            t.df
+            if t.df is not None
+            else self.spark.read.parquet(self._data_path(t))
+        )
+        cols = list(columns) if columns is not None else df.columns
+        atomic = {
+            f.name: f.dataType.simpleString()
+            for f in df.schema.fields
+            if f.dataType.simpleString()
+            in ("string", "bigint", "int", "double", "float", "boolean",
+                "date", "timestamp", "timestamp_ntz")
+        }
+        aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+        for c in cols:
+            if c not in atomic:
+                continue
+            q = f"`{c}`"
+            aggs += [
+                F.sum(F.col(q).isNull().cast("long")).alias(f"__null__{c}"),
+                F.countDistinct(F.col(q)).alias(f"__ndv__{c}"),
+                F.min(F.col(q)).cast("string").alias(f"__min__{c}"),
+                F.max(F.col(q)).cast("string").alias(f"__max__{c}"),
+            ]
+        row = df.agg(*aggs).collect()[0].asDict()
+        col_stats = {
+            c: {
+                "type": atomic[c],
+                "null_count": int(row[f"__null__{c}"] or 0),
+                "ndv": int(row[f"__ndv__{c}"] or 0),
+                "min": row[f"__min__{c}"],
+                "max": row[f"__max__{c}"],
+            }
+            for c in cols
+            if c in atomic
+        }
+        path = self._data_path(t) if t.df is None else None
+        n_files = total_bytes = 0
+        if path is not None and os.path.exists(path):
+            fl = _parquet_files(path)
+            n_files = len(fl)
+            total_bytes = sum(os.path.getsize(f) for f in fl)
+        stats = {
+            "row_count": int(row["__n"]),
+            "n_files": n_files,
+            "total_bytes": total_bytes,
+            "columns": col_stats,
+        }
+        t.stats = stats
+        self._persist_catalog()
+        return stats
 
     def promote_facade(self, name: str, placement: str) -> None:
         """Promote a facade to be the table's primary (the movePromote /

@@ -231,3 +231,56 @@ def test_promote_facade_to_primary(spark, sf_dir, tmp_path):
 
     with pytest.raises(KeyError):
         ds.promote_facade("customer", "nope")
+
+
+def test_optimize_table_binpacks_and_prunes(spark, sf_dir, tmp_path):
+    """optimize_table: many small files rewritten into few, rows
+    identical, catalog path flipped atomically (and reload-safe), the
+    rewrite is range-sorted so key-range split predicates still prune,
+    and a second call no-ops."""
+    src = str(tmp_path / "frag")
+    spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).repartition(
+        40
+    ).write.parquet(src)
+    catalog = str(tmp_path / "catalog.json")
+    ds = DataStore(spark, catalog_path=catalog)
+    ds.create_table("orders", path=src, key_column="o_orderkey")
+    before_rows = ds.read("orders").count()
+
+    stats = ds.optimize_table("orders", target_file_bytes=8 << 20)
+    assert stats["files_before"] == 40
+    assert stats["files_after"] < stats["files_before"]
+    assert ds.read("orders").count() == before_rows
+    # sorted rewrite: key-range splits still serve ordered scans
+    splits = ds.get_splits("orders", desired_records_per_split=500)
+    assert len(splits) > 1
+    total = sum(ds.get_split(s).count() for s in splits)
+    assert total == before_rows
+    # catalog reload sees the new path
+    ds2 = DataStore(spark, catalog_path=catalog)
+    assert ds2.read("orders").count() == before_rows
+    assert ds2.table_def("orders").path == stats["path"]
+    # already packed: no-op
+    again = ds2.optimize_table("orders", target_file_bytes=8 << 20)
+    assert again.get("skipped") is True
+
+
+def test_analyze_table_stats_persist(spark, sf_dir, tmp_path):
+    """analyze_table: one-job stats (rows, nulls, exact ndv, min/max)
+    exposed via get_table_metadata and surviving a catalog reload."""
+    catalog = str(tmp_path / "catalog.json")
+    ds = DataStore(spark, catalog_path=catalog)
+    ds.create_table(
+        "nation", path=os.path.join(sf_dir, "nation.parquet"),
+        key_column="n_nationkey",
+    )
+    stats = ds.analyze_table("nation")
+    assert stats["row_count"] == 25
+    ks = stats["columns"]["n_nationkey"]
+    assert ks["ndv"] == 25 and ks["null_count"] == 0
+    assert ks["min"] == "0" and ks["max"] == "24"
+    assert stats["n_files"] >= 1 and stats["total_bytes"] > 0
+    assert ds.get_table_metadata("nation")["stats"] == stats
+    # survives reload
+    ds2 = DataStore(spark, catalog_path=catalog)
+    assert ds2.get_table_metadata("nation")["stats"] == stats

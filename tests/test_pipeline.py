@@ -1831,3 +1831,82 @@ def test_train_hashed_classifier_differential_and_learns(spark):
     assert min(got[d][2] for d, _, y in rows if y == 1) > max(
         got[d][2] for d, _, y in rows if y == 0
     )
+
+
+def test_skipgram_cooccurrence_matches_manual(spark):
+    """window=3 pair counts ≡ a sequential enumeration; window=1 with the
+    same thresholds ≡ collocations' adjacent-pair semantics."""
+    from emodb_spark.pipeline.text import skipgram_cooccurrence
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "a b a b a"), (3, "c c c c")],
+        "doc_id long, text string",
+    )
+    out = skipgram_cooccurrence(docs, window=3, top_k=100, min_count=2)
+    got = {(r["w1"], r["w2"]): r["pair_count"] for r in out.collect()}
+
+    texts = ["a b c a b", "a b a b a", "c c c c"]
+    want: dict = {}
+    for t in texts:
+        ws = t.split()
+        for i, w1 in enumerate(ws):
+            for j in range(1, 4):
+                if i + j < len(ws):
+                    k = (w1, ws[i + j])
+                    want[k] = want.get(k, 0) + 1
+    want = {k: v for k, v in want.items() if v >= 2}
+    assert got == want
+
+
+def test_decayed_user_score_matches_manual(spark):
+    """Integer halving decay ≡ a per-event sequential replay."""
+    from emodb_spark.pipeline.events import decayed_user_score
+
+    US = 86400_000_000
+    rows = [
+        # user 1: events 0, 6, 7, 20 days before the last one
+        (1, 100 * US, 10.0),
+        (1, 94 * US, 10.0),
+        (1, 93 * US, 10.004),   # cents rounds to 1000 (floor + 0.5)
+        (1, 80 * US, 8.0),
+        # user 2: single event
+        (2, 50 * US, 3.21),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_us long, value double")
+    got = {r["user_id"]: r for r in decayed_user_score(
+        df, halflife_days=7, ts_col="ts_us").collect()}
+
+    def expect(events):
+        last = max(t for t, _ in events)
+        total = 0
+        for t, v in events:
+            cents = int((v * 100 + 0.5) // 1)
+            shift = min(((last - t) // US) // 7, 62)
+            total += cents >> shift
+        return last, total
+
+    last1, dec1 = expect([(t, v) for u, t, v in rows if u == 1])
+    assert got[1]["n_events"] == 4
+    assert got[1]["last_ts"] == last1
+    # ages 0, 6, 7, 20 days -> shifts 0, 0, 1, 2
+    assert got[1]["decayed_cents"] == 1000 + 1000 + (1000 >> 1) + (800 >> 2)
+    assert got[1]["decayed_cents"] == dec1
+    assert got[2]["n_events"] == 1 and got[2]["decayed_cents"] == 321
+
+
+def test_decayed_user_score_single_exchange(spark, sf_dir):
+    """The reference-max window and the final groupBy share the user-key
+    partitioning: exactly one shuffle in the plan."""
+    import io, contextlib
+
+    from emodb_spark.pipeline.events import decayed_user_score
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id", "cast(event_id as long) as ts_us", "value"
+    )
+    df = decayed_user_score(ev, ts_col="ts_us")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("Exchange hashpartitioning") <= 1

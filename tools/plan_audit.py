@@ -61,6 +61,9 @@ BNLJ_OK = {
                             # O(#queries) broadcast) with ann_ivf_kmeans
                             # (O(n_cells) centroid broadcast) — both
                             # already allowlisted above
+    "skipgram_pmi",         # 1-row corpus-total broadcast onto the
+                            # (min_count-filtered) pair table — same
+                            # normalizer ship as collocations above
     "dsir_selection",       # 1-row (N_raw, N_target, V) constants
                             # broadcast onto the per-doc scores (the LM
                             # normalizers, same as unigram_surprisal)
