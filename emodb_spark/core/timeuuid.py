@@ -38,15 +38,27 @@ def uuid_sort_key(u) -> Tuple[int, bytes]:
     return (u.time, u.bytes)
 
 
+_ISO_SECOND_CACHE: dict = {}
+
+
 def iso8601(millis: int) -> str:
     """Render epoch millis the way the reference renders intrinsic
     timestamps: ISO-8601 with milliseconds and a literal Z.
-    (f-string assembly — strftime costs ~2× and shows up in fold profiles)"""
-    dt = datetime.fromtimestamp(millis // 1000, tz=timezone.utc)
-    return (
-        f"{dt.year:04d}-{dt.month:02d}-{dt.day:02d}"
-        f"T{dt.hour:02d}:{dt.minute:02d}:{dt.second:02d}.{millis % 1000:03d}Z"
-    )
+    (f-string assembly — strftime costs ~2× and shows up in fold
+    profiles; the second-resolution prefix is memoized because update
+    timestamps cluster heavily within a fold)"""
+    secs = millis // 1000
+    base = _ISO_SECOND_CACHE.get(secs)
+    if base is None:
+        dt = datetime.fromtimestamp(secs, tz=timezone.utc)
+        base = (
+            f"{dt.year:04d}-{dt.month:02d}-{dt.day:02d}"
+            f"T{dt.hour:02d}:{dt.minute:02d}:{dt.second:02d}."
+        )
+        if len(_ISO_SECOND_CACHE) > 65536:
+            _ISO_SECOND_CACHE.clear()
+        _ISO_SECOND_CACHE[secs] = base
+    return f"{base}{millis % 1000:03d}Z"
 
 
 class TimeUUIDGenerator:

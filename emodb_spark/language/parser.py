@@ -16,11 +16,21 @@ Condition:  JSON literal (equal) | ``~``=is(undefined) | ``+``=is(defined) |
 
 from __future__ import annotations
 
+import re
 from functools import lru_cache
 from typing import Any, List, Optional, Tuple
 
 from . import conditions as C
 from . import deltas as D
+
+# lexer fast paths (profiled on the resolve fold: per-char scanning was
+# ~70% of parse time; these collapse the hot loops into C-speed matches
+# with NO grammar change — escapes and odd tokens fall through to the
+# original character-at-a-time code)
+_WS_RE = re.compile(r"[ \t\r\n]+")
+_SIMPLE_STR_RE = re.compile(r'"[^"\\]*"')  # no-escape string body
+_TOKEN_RE = re.compile(r"[0-9A-Za-z+\-._]+")  # ASCII fast path; the
+# char loop below also accepts non-ASCII alphanumerics via isalnum()
 
 
 class ParseError(ValueError):
@@ -40,21 +50,39 @@ class _Tokener:
         return ParseError(message, self.pos, self.text)
 
     def skip_ws(self) -> None:
-        while self.pos < len(self.text) and self.text[self.pos] in " \t\r\n":
-            self.pos += 1
+        text = self.text
+        pos = self.pos
+        if pos < len(text) and text[pos] in " \t\r\n":
+            self.pos = _WS_RE.match(text, pos).end()
 
     def look(self) -> str:
-        self.skip_ws()
-        return self.text[self.pos] if self.pos < len(self.text) else ""
+        # skip_ws inlined: look() is the hottest lexer call and most
+        # grammar text has no whitespace at the cursor
+        text = self.text
+        pos = self.pos
+        if pos < len(text):
+            ch = text[pos]
+            if ch not in " \t\r\n":
+                return ch
+            pos = _WS_RE.match(text, pos).end()
+            self.pos = pos
+            if pos < len(text):
+                return text[pos]
+        return ""
 
     def next_char(self, expected: Optional[str] = None) -> str:
-        self.skip_ws()
-        if self.pos >= len(self.text):
+        text = self.text
+        pos = self.pos
+        if pos < len(text) and text[pos] in " \t\r\n":
+            pos = _WS_RE.match(text, pos).end()
+        if pos >= len(text):
+            self.pos = pos
             raise self.error("unexpected end of input")
-        ch = self.text[self.pos]
+        ch = text[pos]
         if expected is not None and ch != expected:
+            self.pos = pos
             raise self.error(f"expected {expected!r}, found {ch!r}")
-        self.pos += 1
+        self.pos = pos + 1
         return ch
 
     def at_end(self) -> bool:
@@ -64,9 +92,15 @@ class _Tokener:
     # -- literals ---------------------------------------------------------
 
     def next_string(self) -> str:
+        self.skip_ws()
+        text = self.text
+        if self.pos < len(text) and text[self.pos] == '"':
+            m = _SIMPLE_STR_RE.match(text, self.pos)
+            if m is not None:
+                self.pos = m.end()
+                return text[m.start() + 1 : m.end() - 1]
         self.next_char('"')
         out: List[str] = []
-        text = self.text
         while True:
             if self.pos >= len(text):
                 raise self.error("unterminated string")
@@ -112,6 +146,11 @@ class _Tokener:
         self.skip_ws()
         start = self.pos
         text = self.text
+        m = _TOKEN_RE.match(text, start)
+        if m is not None:
+            self.pos = m.end()
+        # the char loop continues past the ASCII fast path so non-ASCII
+        # alphanumerics (isalnum) are still part of one token
         while self.pos < len(text) and (
             text[self.pos].isalnum() or text[self.pos] in "+-._"
         ):
@@ -128,7 +167,7 @@ class _Tokener:
         if token == "false":
             return False
         try:
-            if any(c in token for c in ".eE") and not token.startswith("0x"):
+            if ("." in token or "e" in token or "E" in token) and not token.startswith("0x"):
                 return float(token)
             return int(token)
         except ValueError:

@@ -61,6 +61,10 @@ def json_equals(a: Any, b: Any) -> bool:
     int vs float never compare equal (Integer.equals(Double) is false);
     bool is its own type; maps compare keyset+values; lists compare in order.
     """
+    if a is b:
+        # identity fast path — safe because NaN is excluded from the value
+        # domain (validate_json rejects it), so reflexivity always holds
+        return True
     if a is UNDEFINED or b is UNDEFINED:
         return a is b
     if a is None or b is None:
