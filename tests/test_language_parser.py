@@ -202,3 +202,29 @@ def test_condition_roundtrip_rendering():
         'intrinsic("~table":"x")', "partition(8:3)",
     ]:
         assert str(parse_condition(text)) == text
+
+
+def test_lexer_fast_path_boundaries():
+    """The regex fast paths (whitespace runs, no-escape strings, ASCII
+    tokens) must agree with the character-loop fallbacks on escapes,
+    mixed whitespace, and surrogate pairs."""
+    from emodb_spark.language.parser import parse_condition, parse_delta
+    from emodb_spark.language.ceval import eval_condition
+
+    # escaped quote and backslash force the slow string path
+    c = parse_condition('{..,"k":"a\\"b\\\\c"}')
+    assert eval_condition(c, {"k": 'a"b\\c'})
+    # surrogate-pair escape decodes to one astral char
+    c2 = parse_condition('"\\ud83d\\ude00"')
+    assert eval_condition(c2, "\U0001f600")
+    # whitespace soup between every token
+    d = parse_delta(' { .. ,\t"a"\n:\r1 , "b" : { .. , "c" : 2.5 } } ')
+    from emodb_spark.language.deval import eval_delta
+    from emodb_spark.language.values import UNDEFINED
+
+    assert eval_delta(d, UNDEFINED, {}) == {"a": 1, "b": {"c": 2.5}}
+    # numbers through the token fast path: int, float, exponent, signs
+    d2 = parse_delta("(1, -2, 3.5, 1e3, -2.5E-1)")
+    assert sorted(eval_delta(d2, UNDEFINED, {}), key=str) == sorted(
+        [1, -2, 3.5, 1000.0, -0.25], key=str
+    )
