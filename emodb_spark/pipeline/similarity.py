@@ -504,3 +504,67 @@ def quantize_embeddings(
             F.col("max_abs"),
         )
     )
+
+
+def mmr_diverse_topk(
+    scored: DataFrame,
+    k: int,
+    lambda_ppm: int = 700_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_col: str = "score",
+) -> list:
+    """Maximal Marginal Relevance selection: greedily pick ``k`` items
+    maximizing ``λ·relevance − (1−λ)·max_cosine_to_already_selected`` —
+    the standard diversity-aware subset pass (dedup-by-meaning for
+    few-shot pools, eval sets, seed corpora). λ is given in ppm so the
+    mixing weights are exact integers; the cosine itself is the
+    repo-standard sequential fold (deterministic), and ties break on the
+    lowest id, so the selection is fully reproducible.
+
+    Greedy MMR is inherently sequential in k; the distributed shape is
+    k rounds of (broadcast the last selected vector → update each
+    candidate's running max-similarity → 1-row argmax), i.e. cost
+    O(k · corpus) with ONE driver row per round — the corpus is never
+    pairwise-joined. For k beyond ~hundreds, pre-trim the pool with
+    ``cosine_topk``/``ivf_topk`` first and run MMR on the shortlist.
+
+    Returns the selected ids in pick order (a driver-side list of k).
+    """
+    if k <= 0:
+        return []
+    lam = lambda_ppm / 1_000_000.0
+    pool = scored.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.col(score_col).cast("double").alias("s"),
+        F.lit(float("-inf")).alias("maxsim"),
+    ).localCheckpoint(eager=True)
+    picked: list = []
+    for _ in range(k):
+        cand = pool.where(~F.col("id").isin(picked)) if picked else pool
+        obj = (
+            F.lit(lam) * F.col("s")
+            - F.lit(1.0 - lam)
+            * F.when(F.col("maxsim") == float("-inf"), F.lit(0.0)).otherwise(
+                F.col("maxsim")
+            )
+        ).alias("obj")
+        top = (
+            cand.select("id", "v", obj)
+            .orderBy(F.desc("obj"), F.asc("id"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pick_id, pick_vec = top[0]["id"], [float(x) for x in top[0]["v"]]
+        picked.append(pick_id)
+        vec_lit = F.array(*[F.lit(x) for x in pick_vec])
+        new_sim = _dot(F.col("v"), vec_lit) / (
+            _norm(F.col("v")) * _norm(vec_lit)
+        )
+        pool = pool.select(
+            "id", "v", "s", F.greatest(F.col("maxsim"), new_sim).alias("maxsim")
+        ).localCheckpoint(eager=True)
+    return picked

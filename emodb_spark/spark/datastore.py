@@ -331,6 +331,25 @@ class DataStore:
         self._persist_catalog()
         return dest_path
 
+    def sql(self, query: str) -> DataFrame:
+        """Run plain Spark SQL over the catalog: every registered table
+        is exposed as a temp view through :meth:`read` (so intrinsics,
+        template stamping, and facade routing all apply), and the
+        ``emodb_match``/``emodb_apply`` condition/delta functions are
+        registered — the SQL front door a reference user gets after
+        switching engines:
+
+            ds.sql("SELECT `~id` FROM reviews WHERE rating >= 4")
+
+        View registration is metadata-only (no jobs); Catalyst sees the
+        same pushdown-friendly plans as the DataFrame API."""
+        from .sql_functions import register_sql_functions
+
+        register_sql_functions(self.spark)
+        for name in self._tables:
+            self.read(name).createOrReplaceTempView(name)
+        return self.spark.sql(query)
+
     def optimize_table(
         self,
         name: str,

@@ -466,3 +466,65 @@ def change_id_millis(change_id) -> "F.Column":
     """Epoch millis of a v1 time-UUID string, JVM-side (no UDF)."""
     ticks = change_id_ticks(change_id)
     return ((ticks - F.lit(_UUID_EPOCH_OFFSET_100NS)) / F.lit(10_000)).cast(T.LongType())
+
+
+VALIDATE_SCHEMA = T.StructType(
+    [
+        T.StructField("tbl", T.StringType()),
+        T.StructField("key", T.StringType()),
+        T.StructField("change_id", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def validate_log(updates: DataFrame) -> DataFrame:
+    """Data-quality audit of an update log BEFORE a 100 TB fold: one row
+    per update that would make the fold raise — unparseable delta text,
+    a change_id that is not a v1 time-UUID, or tags over the reference's
+    limits (≤3 tags, each ≤8 chars — sor-api Update.java validation).
+    Empty result ⟺ `resolve()` will not hit a malformed row.
+
+    Zero shuffle: an Arrow-batched mapInPandas over the scan's own
+    partitioning that re-uses the REAL parser (so "valid" here is
+    exactly what the fold accepts, not an approximation). Run it as the
+    gate step of an ingest pipeline; quarantine the returned
+    coordinates and fold the rest."""
+    import uuid as _uuid
+
+    def _check(batches):
+        from ..language.parser import parse_delta
+
+        for pdf in batches:
+            rows = []
+            for tbl, key, cid, delta, tags in zip(
+                pdf["tbl"], pdf["key"], pdf["change_id"], pdf["delta"],
+                pdf["tags"],
+            ):
+                err = None
+                try:
+                    u = _uuid.UUID(cid)
+                    if u.version != 1:
+                        err = f"change_id is not a v1 time-UUID (version {u.version})"
+                except (ValueError, AttributeError, TypeError):
+                    err = "change_id is not a UUID"
+                if err is None:
+                    try:
+                        parse_delta(delta)
+                    except Exception as e:  # noqa: BLE001 — the point is
+                        # to report exactly what the fold would raise
+                        err = f"delta parse: {e}"
+                if err is None and tags is not None:
+                    if len(tags) > 3:
+                        err = f"{len(tags)} tags (limit 3)"
+                    else:
+                        bad = [t for t in tags if t is None or len(t) > 8]
+                        if bad:
+                            err = f"tag over 8 chars: {bad[0]!r}"
+                if err is not None:
+                    rows.append((tbl, key, cid, err[:500]))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VALIDATE_SCHEMA.fields]
+            )
+
+    return updates.mapInPandas(_check, VALIDATE_SCHEMA)

@@ -284,3 +284,56 @@ def test_analyze_table_stats_persist(spark, sf_dir, tmp_path):
     # survives reload
     ds2 = DataStore(spark, catalog_path=catalog)
     assert ds2.get_table_metadata("nation")["stats"] == stats
+
+
+def test_datastore_sql_front_door(spark, sf_dir):
+    """ds.sql: registered tables readable from plain SQL with intrinsics
+    and the emodb_match condition function available."""
+    ds = DataStore(spark)
+    ds.create_table(
+        "nation", path=os.path.join(sf_dir, "nation.parquet"),
+        key_column="n_nationkey", template={"src": "tpch"},
+    )
+    out = ds.sql(
+        "SELECT `~id`, `~table`, src, n_name FROM nation "
+        "WHERE n_regionkey = 1 ORDER BY `~id`"
+    ).collect()
+    assert len(out) == 5
+    assert out[0]["~table"] == "nation" and out[0]["src"] == "tpch"
+    # condition language from SQL
+    matched = ds.sql(
+        "SELECT count(*) AS n FROM nation "
+        "WHERE emodb_match('{..,\"n_regionkey\":1}', "
+        "to_json(struct(n_regionkey)))"
+    ).collect()[0]["n"]
+    assert matched == 5
+
+
+def test_validate_log_flags_exactly_the_bad_rows(spark):
+    """validate_log: clean log -> empty; planted bad delta / bad uuid /
+    oversized tags are each reported with a reason; resolve() succeeds
+    on the quarantine-filtered remainder."""
+    from emodb_spark.core.timeuuid import TimeUUIDGenerator
+    from emodb_spark.spark.resolve_ops import UPDATES_SCHEMA, resolve, validate_log
+
+    gen = TimeUUIDGenerator(node=7, start_millis=1700000000000)
+    good = [("t", f"k{i}", gen.next(), '{"a":1}', []) for i in range(5)]
+    bad = [
+        ("t", "bad1", gen.next(), '{"a":', []),          # parse error
+        ("t", "bad2", "not-a-uuid", '{"a":1}', []),      # bad change id
+        ("t", "bad3", gen.next(), '{"a":1}', ["x"] * 4), # too many tags
+        ("t", "bad4", gen.next(), '{"a":1}', ["waytoolongtag"]),
+    ]
+    df = spark.createDataFrame(good + bad, UPDATES_SCHEMA)
+    flagged = {r["key"]: r["error"] for r in validate_log(df).collect()}
+    assert set(flagged) == {"bad1", "bad2", "bad3", "bad4"}
+    assert "parse" in flagged["bad1"]
+    assert "UUID" in flagged["bad2"]
+    assert "tags" in flagged["bad3"]
+    assert "8 chars" in flagged["bad4"]
+    assert validate_log(spark.createDataFrame(good, UPDATES_SCHEMA)).count() == 0
+    clean = df.join(
+        spark.createDataFrame([(k,) for k in flagged], "key string"),
+        "key", "left_anti",
+    )
+    assert resolve(clean).count() == 5

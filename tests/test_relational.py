@@ -785,3 +785,43 @@ def test_cdc_merge_sink_snapshot_survives_mid_swap_crash(spark, tmp_path):
     assert {r["k"]: r["v"] for r in sink.snapshot().collect()} == {1: "a", 2: "b2"}
     dirs = [d for d in _os.listdir(snap) if d.startswith("snapshot-")]
     assert len(dirs) == 1  # superseded + orphan dirs cleaned
+
+
+def test_mmr_diverse_topk_matches_sequential(spark):
+    """mmr_diverse_topk ≡ a sequential greedy MMR reference; diversity
+    actually kicks in (a near-duplicate of the top pick is displaced by
+    a less-relevant but novel item)."""
+    import math
+
+    from emodb_spark.pipeline.similarity import mmr_diverse_topk
+
+    rows = [
+        (1, [1.0, 0.0, 0.0], 1.00),
+        (2, [0.999, 0.01, 0.0], 0.99),   # near-dup of 1, high score
+        (3, [0.0, 1.0, 0.0], 0.60),      # novel direction, lower score
+        (4, [0.0, 0.0, 1.0], 0.50),
+        (5, [0.7, 0.7, 0.0], 0.55),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, score double")
+    got = mmr_diverse_topk(df, k=3, lambda_ppm=500_000)
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    lam = 0.5
+    pool = {i: (v, s) for i, v, s in rows}
+    maxsim = {i: float("-inf") for i in pool}
+    want = []
+    for _ in range(3):
+        best = max(
+            ((i, lam * s - (1 - lam) * (0.0 if maxsim[i] == float("-inf") else maxsim[i]))
+             for i, (v, s) in pool.items() if i not in want),
+            key=lambda t: (t[1], -t[0]),
+        )[0]
+        want.append(best)
+        bv = pool[best][0]
+        for i, (v, _) in pool.items():
+            maxsim[i] = max(maxsim[i], cos(v, bv))
+    assert got == want
+    assert got[0] == 1 and 2 not in got  # the near-dup is displaced
