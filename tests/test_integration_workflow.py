@@ -90,3 +90,48 @@ def test_full_workflow(spark, tmp_path, review_log):
         log.read().select("tbl", "key", "change_id", "delta", "tags")
     ).collect()}
     assert json.loads(final["demo2"]["content"])["status"] == "APPEALED"
+
+
+def test_operations_day_two(spark, tmp_path, review_log):
+    """Day-2 operations over the same log: validate the log before
+    folding, land the resolved table in a DataStore, query it from
+    plain SQL, fragment + OPTIMIZE it, ANALYZE it, and confirm reads
+    are identical across the rewrite."""
+    import os
+
+    from emodb_spark.spark.datastore import DataStore
+    from emodb_spark.spark.resolve_ops import validate_log
+
+    log = review_log
+    updates = log.read().select("tbl", "key", "change_id", "delta", "tags")
+    # quarantine gate: a clean log validates empty
+    assert validate_log(updates).count() == 0
+
+    resolved = resolve(updates).filter(~F.col("`~deleted`"))
+    # land it fragmented (the small-file problem after many increments)
+    path = str(tmp_path / "reviews")
+    resolved.select(
+        F.col("`~id`").alias("key"), "content"
+    ).repartition(8).write.parquet(path)
+
+    catalog = str(tmp_path / "catalog.json")
+    ds = DataStore(spark, catalog_path=catalog)
+    ds.create_table("reviews", path=path, key_column="key")
+
+    n_sql = ds.sql(
+        "SELECT count(*) AS n FROM reviews "
+        "WHERE emodb_match('{..,\"status\":\"APPROVED\"}', content)"
+    ).collect()[0]["n"]
+    assert n_sql == 1
+
+    before = {r["key"]: r["content"] for r in ds.read("reviews").collect()}
+    stats = ds.optimize_table("reviews", target_file_bytes=64 << 20)
+    assert stats["files_after"] < stats["files_before"]
+    after = {r["key"]: r["content"] for r in ds.read("reviews").collect()}
+    assert after == before  # rewrite is content-identical
+
+    tstats = ds.analyze_table("reviews")
+    assert tstats["row_count"] == 2
+    assert ds.get_table_metadata("reviews")["stats"]["row_count"] == 2
+    # and the SQL view tracks the optimized path
+    assert ds.sql("SELECT count(*) AS n FROM reviews").collect()[0]["n"] == 2
