@@ -32,6 +32,44 @@ _SIMPLE_STR_RE = re.compile(r'"[^"\\]*"')  # no-escape string body
 _TOKEN_RE = re.compile(r"[0-9A-Za-z+\-._]+")  # ASCII fast path; the
 # char loop below also accepts non-ASCII alphanumerics via isalnum()
 
+# Whole-shape fast path for the single most common delta form in real
+# update logs: a FLAT map delta with scalar JSON values,
+# ``{..,"k":1,"s":"x"}`` — one regex match + one pair scan instead of
+# ~8 tokener calls per entry. Anything else (nested deltas, sets,
+# conditionals, `{...}` without `..`, exotic numbers like 0x/+n) simply
+# doesn't match and takes the general recursive-descent path, so the
+# fast path can only ever accept a subset of the grammar, never more.
+_WSO = r"[ \t\r\n]*"
+_STR_PAT = r'"(?:[^"\\]|\\.)*"'
+_NUM_PAT = r"-?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?"
+_SCALAR_PAT = rf"(?:{_STR_PAT}|{_NUM_PAT}|true|false|null)"
+_FLAT_MAP_AT = re.compile(
+    rf"\{{{_WSO}\.\.(?:{_WSO},{_WSO}{_STR_PAT}{_WSO}:{_WSO}{_SCALAR_PAT})*{_WSO}\}}"
+)
+_PAIR_AT = re.compile(rf",{_WSO}({_STR_PAT}){_WSO}:{_WSO}({_SCALAR_PAT})")
+
+
+def _fast_string_value(s: str) -> str:
+    """Decode a quoted span matched by ``_STR_PAT`` with EXACTLY the
+    tokener's escape semantics (incl. surrogate pairs)."""
+    if "\\" not in s:
+        return s[1:-1]
+    return _Tokener(s).next_string()
+
+
+def _fast_scalar_value(s: str):
+    if s[0] == '"':
+        return _fast_string_value(s)
+    if s == "true":
+        return True
+    if s == "false":
+        return False
+    if s == "null":
+        return None
+    if "." in s or "e" in s or "E" in s:
+        return float(s)
+    return int(s)
+
 
 class ParseError(ValueError):
     def __init__(self, message: str, pos: int, text: str):
@@ -298,6 +336,29 @@ def _parse_set_delta(t: _Tokener) -> D.Delta:
 
 
 def _parse_map_delta(t: _Tokener) -> D.Delta:
+    # flat-map fast path (see _FLAT_MAP_AT): the caller's look() already
+    # skipped whitespace, so match directly at the cursor
+    m = _FLAT_MAP_AT.match(t.text, t.pos)
+    if m is not None:
+        try:
+            entries = [
+                (
+                    _fast_string_value(pm.group(1)),
+                    D.literal(_fast_scalar_value(pm.group(2))),
+                )
+                for pm in _PAIR_AT.finditer(t.text, m.start(), m.end())
+            ]
+        except ValueError:
+            entries = None  # odd escape/value: re-parse via the tokener
+        if entries is not None:
+            builder = D.map_builder().remove_rest(False)
+            for k, v in entries:
+                builder.update(k, v)
+            t.pos = m.end()
+            if t.look() == "?":
+                t.next_char("?")
+                builder.delete_if_empty()
+            return builder.build()
     builder = D.map_builder().remove_rest(True)
     t.next_char("{")
     if t.look() != "}":
@@ -506,6 +567,27 @@ def _parse_condition_function(t: _Tokener, name: str) -> C.Condition:
 
 
 def _parse_map_condition(t: _Tokener) -> C.Condition:
+    # flat-map fast path, the condition twin of _parse_map_delta's: each
+    # scalar value is an equality test (the grammar's JSON-literal
+    # condition), so ``{..,"k":1}`` builds matches(k, equal(1)) without
+    # the tokener. Non-scalar sub-conditions (is/gt/like/nested maps/...)
+    # don't match the regex and take the general path.
+    m = _FLAT_MAP_AT.match(t.text, t.pos)
+    if m is not None:
+        try:
+            entries = [
+                (_fast_string_value(pm.group(1)),
+                 C.equal(_fast_scalar_value(pm.group(2))))
+                for pm in _PAIR_AT.finditer(t.text, m.start(), m.end())
+            ]
+        except ValueError:
+            entries = None  # odd escape/value: re-parse via the tokener
+        if entries is not None:
+            builder = C.map_builder()
+            for k, cond in entries:
+                builder.matches(k, cond)
+            t.pos = m.end()
+            return builder.build()
     t.next_char("{")
     if t.look() == "}":
         # {} is an equality test against the empty map.

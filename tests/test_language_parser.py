@@ -228,3 +228,60 @@ def test_lexer_fast_path_boundaries():
     assert sorted(eval_delta(d2, UNDEFINED, {}), key=str) == sorted(
         [1, -2, 3.5, 1000.0, -0.25], key=str
     )
+
+
+def test_flat_map_fast_path_parity_fuzz():
+    """The regex fast path for flat map deltas/conditions must produce
+    the IDENTICAL AST as the general tokener path: randomized keys
+    (escapes, unicode, quote/colon/comma bombs), scalar values (signed
+    ints, floats, exponents, bools, null, tricky strings), and random
+    whitespace, compared against a parse with the fast path disabled."""
+    import random
+    import re as _re
+
+    from emodb_spark.language import parser as P
+
+    rng = random.Random(20260814)
+
+    def rand_key():
+        pool = [
+            "plain", 'a,\\"b\\":1', "tab\\t", "uni\\u00e9", "x" * 30,
+            "quote\\\"q", "back\\\\s", "astral\\ud83d\\ude00", "",
+            "co:lon", "com,ma", "}brace{",
+        ]
+        return rng.choice(pool)
+
+    def rand_val():
+        return rng.choice([
+            "1", "-42", "0", "3.5", "-0.125", "1e3", "-2.5E-2", "true",
+            "false", "null", '"s"', '"a,\\"b\\":1"', '"\\u0041"', '""',
+            '"end}brace"',
+        ])
+
+    def ws():
+        return rng.choice(["", " ", "  ", "\t", "\n", " \t\r\n"])
+
+    disabled = _re.compile(r"(?!x)x")  # matches nothing
+
+    for _ in range(300):
+        n = rng.randint(0, 4)
+        parts = [f'{ws()},{ws()}"{rand_key()}"{ws()}:{ws()}{rand_val()}'
+                 for _ in range(n)]
+        text = "{" + ws() + ".." + "".join(parts) + ws() + "}"
+        if rng.random() < 0.3:
+            text += "?"
+        cond_text = text.rstrip("?")
+
+        fast_d = P.parse_delta.__wrapped__(text) if hasattr(
+            P.parse_delta, "__wrapped__") else P._parse_delta_cached.__wrapped__(text)
+        fast_c = P._parse_condition_cached.__wrapped__(cond_text)
+        saved = P._FLAT_MAP_AT
+        P._FLAT_MAP_AT = disabled
+        try:
+            slow_d = P._parse_delta_cached.__wrapped__(text)
+            slow_c = P._parse_condition_cached.__wrapped__(cond_text)
+        finally:
+            P._FLAT_MAP_AT = saved
+        assert fast_d == slow_d, text
+        assert fast_c == slow_c, cond_text
+        assert str(fast_d) == str(slow_d)
