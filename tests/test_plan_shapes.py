@@ -463,3 +463,17 @@ def test_top_supplier_max_is_broadcast_not_window(spark, sf_dir):
     # single-partition window over the supplier aggregate
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_dsir_hashed_path_broadcasts_features(spark, sf_dir):
+    """With n_buckets set (the 100 TB path) the bounded feature table
+    must ride a BroadcastHashJoin — the corpus is never shuffled by
+    feature; without it the token join is a plain equijoin."""
+    from pyspark.sql import functions as F
+
+    from emodb_spark.pipeline.curation import dsir_importance
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.where(F.col("source") == "src0")
+    hashed = plan_of(dsir_importance(docs, target, n_buckets=1024))
+    assert "BroadcastHashJoin" in hashed
