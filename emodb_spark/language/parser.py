@@ -43,10 +43,17 @@ _WSO = r"[ \t\r\n]*"
 _STR_PAT = r'"(?:[^"\\]|\\.)*"'
 _NUM_PAT = r"-?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?"
 _SCALAR_PAT = rf"(?:{_STR_PAT}|{_NUM_PAT}|true|false|null)"
-_FLAT_MAP_AT = re.compile(
-    rf"\{{{_WSO}\.\.(?:{_WSO},{_WSO}{_STR_PAT}{_WSO}:{_WSO}{_SCALAR_PAT})*{_WSO}\}}"
-)
+_FM_PAT = rf"\{{{_WSO}\.\.(?:{_WSO},{_WSO}{_STR_PAT}{_WSO}:{_WSO}{_SCALAR_PAT})*{_WSO}\}}"
+_FLAT_MAP_AT = re.compile(_FM_PAT)
 _PAIR_AT = re.compile(rf",{_WSO}({_STR_PAT}){_WSO}:{_WSO}({_SCALAR_PAT})")
+# …and the conditional wrapper around flat maps — the canonical
+# read-modify-write shape ``if {..,"k":v} then {..} [else {..}] end``.
+# The ``(?!token-char)`` guard keeps 'end' from matching a prefix of a
+# longer token (the tokener would read 'endless' and error).
+_FLAT_COND_AT = re.compile(
+    rf"if{_WSO}({_FM_PAT}){_WSO}then{_WSO}({_FM_PAT}\??)"
+    rf"(?:{_WSO}else{_WSO}({_FM_PAT}\??))?{_WSO}end(?![0-9A-Za-z+\-._])"
+)
 
 
 def _fast_string_value(s: str) -> str:
@@ -69,6 +76,41 @@ def _fast_scalar_value(s: str):
     if "." in s or "e" in s or "E" in s:
         return float(s)
     return int(s)
+
+
+def _fast_flat_map_delta(span: str, delete_if_empty: bool = False):
+    """MapDelta for a full ``_FM_PAT`` span (optionally ``?``-suffixed);
+    None when a value needs the tokener after all."""
+    try:
+        entries = [
+            (_fast_string_value(pm.group(1)),
+             D.literal(_fast_scalar_value(pm.group(2))))
+            for pm in _PAIR_AT.finditer(span)
+        ]
+    except ValueError:
+        return None
+    builder = D.map_builder().remove_rest(False)
+    for k, v in entries:
+        builder.update(k, v)
+    if delete_if_empty or span.endswith("?"):
+        builder.delete_if_empty()
+    return builder.build()
+
+
+def _fast_flat_map_condition(span: str):
+    """Map condition for a full ``_FM_PAT`` span; None on odd values."""
+    try:
+        entries = [
+            (_fast_string_value(pm.group(1)),
+             C.equal(_fast_scalar_value(pm.group(2))))
+            for pm in _PAIR_AT.finditer(span)
+        ]
+    except ValueError:
+        return None
+    builder = C.map_builder()
+    for k, cond in entries:
+        builder.matches(k, cond)
+    return builder.build()
 
 
 class ParseError(ValueError):
@@ -293,6 +335,20 @@ def _parse_delta(t: _Tokener) -> D.Delta:
         return D.literal(t.next_array())
     if ch == '"':
         return D.literal(t.next_string())
+    if ch == "i":
+        # whole-shape fast path for flat conditionals (see _FLAT_COND_AT)
+        m = _FLAT_COND_AT.match(t.text, t.pos)
+        if m is not None:
+            cond = _fast_flat_map_condition(m.group(1))
+            then_d = _fast_flat_map_delta(m.group(2)) if cond is not None else None
+            if then_d is not None:
+                if m.group(3) is None:
+                    t.pos = m.end()
+                    return D.conditional(cond, then_d)
+                else_d = _fast_flat_map_delta(m.group(3))
+                if else_d is not None:
+                    t.pos = m.end()
+                    return D.conditional(cond, then_d, else_d)
     token = t.next_token()
     if token == "if":
         return _parse_conditional_delta(t)
@@ -340,25 +396,19 @@ def _parse_map_delta(t: _Tokener) -> D.Delta:
     # skipped whitespace, so match directly at the cursor
     m = _FLAT_MAP_AT.match(t.text, t.pos)
     if m is not None:
-        try:
-            entries = [
-                (
-                    _fast_string_value(pm.group(1)),
-                    D.literal(_fast_scalar_value(pm.group(2))),
-                )
-                for pm in _PAIR_AT.finditer(t.text, m.start(), m.end())
-            ]
-        except ValueError:
-            entries = None  # odd escape/value: re-parse via the tokener
-        if entries is not None:
-            builder = D.map_builder().remove_rest(False)
-            for k, v in entries:
-                builder.update(k, v)
-            t.pos = m.end()
-            if t.look() == "?":
-                t.next_char("?")
-                builder.delete_if_empty()
-            return builder.build()
+        save = t.pos
+        # the '?' suffix may be ws-separated from '}' — peek for it with
+        # the tokener before building
+        t.pos = m.end()
+        suffix = t.look() == "?"
+        if suffix:
+            t.next_char("?")
+        node = _fast_flat_map_delta(
+            t.text[m.start() : m.end()], delete_if_empty=suffix
+        )
+        if node is not None:
+            return node
+        t.pos = save  # odd escape/value: re-parse via the tokener
     builder = D.map_builder().remove_rest(True)
     t.next_char("{")
     if t.look() != "}":
@@ -574,20 +624,10 @@ def _parse_map_condition(t: _Tokener) -> C.Condition:
     # don't match the regex and take the general path.
     m = _FLAT_MAP_AT.match(t.text, t.pos)
     if m is not None:
-        try:
-            entries = [
-                (_fast_string_value(pm.group(1)),
-                 C.equal(_fast_scalar_value(pm.group(2))))
-                for pm in _PAIR_AT.finditer(t.text, m.start(), m.end())
-            ]
-        except ValueError:
-            entries = None  # odd escape/value: re-parse via the tokener
-        if entries is not None:
-            builder = C.map_builder()
-            for k, cond in entries:
-                builder.matches(k, cond)
+        node = _fast_flat_map_condition(t.text[m.start() : m.end()])
+        if node is not None:
             t.pos = m.end()
-            return builder.build()
+            return node
     t.next_char("{")
     if t.look() == "}":
         # {} is an equality test against the empty map.

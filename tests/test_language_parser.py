@@ -285,3 +285,62 @@ def test_flat_map_fast_path_parity_fuzz():
         assert fast_d == slow_d, text
         assert fast_c == slow_c, cond_text
         assert str(fast_d) == str(slow_d)
+
+
+def test_flat_conditional_fast_path_parity_fuzz():
+    """The whole-shape conditional fast path (if FM then FM [else FM]
+    end) must produce the identical AST as the tokener, including the
+    ?-suffix on branches, keyword-boundary traps, and fallback shapes
+    (elif, nested non-flat branches)."""
+    import random
+    import re as _re
+
+    from emodb_spark.language import parser as P
+
+    rng = random.Random(99)
+    disabled = _re.compile(r"(?!x)x")
+
+    def fm():
+        n = rng.randint(0, 3)
+        parts = "".join(
+            f',"k{i}":{rng.choice(["1", "-2.5", "true", "null", chr(34) + "v" + chr(34)])}'
+            for i in range(n)
+        )
+        return "{.." + parts + "}"
+
+    cases = []
+    for _ in range(150):
+        ws = rng.choice(["", " ", "\n"])
+        s = f"if{ws}{fm()}{ws}then{ws}{fm()}"
+        if rng.random() < 0.4:
+            s += "?"
+        if rng.random() < 0.6:
+            s += f"{ws}else{ws}{fm()}"
+            if rng.random() < 0.3:
+                s += "?"
+        s += f"{ws}end"
+        cases.append(s)
+    # fallback shapes must still parse identically through the slow path
+    cases += [
+        'if {..,"a":1} then {..,"b":2} elif {..,"c":3} then {..,"d":4} end',
+        'if {..,"a":gt(1)} then {..,"b":2} end',      # non-flat condition
+        'if {..,"a":1} then {..,"b":{..,"c":1}} end', # nested delta
+        'if {..,"a":1} then ~ end',
+        'if {..,"a":1} then {..,"b":2} end ',         # trailing ws
+    ]
+    for s in cases:
+        fast = P._parse_delta_cached.__wrapped__(s)
+        saved_c, saved_m = P._FLAT_COND_AT, P._FLAT_MAP_AT
+        P._FLAT_COND_AT = disabled
+        P._FLAT_MAP_AT = disabled
+        try:
+            slow = P._parse_delta_cached.__wrapped__(s)
+        finally:
+            P._FLAT_COND_AT, P._FLAT_MAP_AT = saved_c, saved_m
+        assert fast == slow, s
+        assert str(fast) == str(slow), s
+    # keyword-boundary trap: 'endx' must NOT satisfy the fast path's end
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        P._parse_delta_cached.__wrapped__('if {..,"a":1} then {..} endx')
