@@ -480,10 +480,12 @@ VALIDATE_SCHEMA = T.StructType(
 
 def validate_log(updates: DataFrame) -> DataFrame:
     """Data-quality audit of an update log BEFORE a 100 TB fold: one row
-    per update that would make the fold raise — unparseable delta text,
-    a change_id that is not a v1 time-UUID, or tags over the reference's
-    limits (≤3 tags, each ≤8 chars — sor-api Update.java validation).
-    Empty result ⟺ `resolve()` will not hit a malformed row.
+    per update the engine would refuse — unparseable delta text or a
+    change_id that is not a v1 time-UUID (both make `resolve()` itself
+    raise), plus tags over the reference's WRITE-path limits (≤3 tags,
+    each ≤8 chars — sor-api Update.java validation; the fold tolerates
+    these but `update_all` would never have accepted them). Empty
+    result ⟹ `resolve()` will not hit a malformed row.
 
     Zero shuffle: an Arrow-batched mapInPandas over the scan's own
     partitioning that re-uses the REAL parser (so "valid" here is

