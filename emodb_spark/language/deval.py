@@ -25,14 +25,11 @@ from .values import UNDEFINED, literal_in, sorted_unique_literals
 
 
 def eval_delta(delta: D.Delta, prior: Any, intrinsics: Optional[Intrinsics]) -> Any:
+    # dispatch ordered by hot-path frequency (literal values and map
+    # merges dominate real logs); the classes are disjoint so order is
+    # semantics-free
     if isinstance(delta, D.Literal):
         return delta.value
-
-    if isinstance(delta, D.Delete):
-        return UNDEFINED
-
-    if isinstance(delta, D.Noop):
-        return prior
 
     if isinstance(delta, D.MapDelta):
         result: dict = {}
@@ -74,5 +71,11 @@ def eval_delta(delta: D.Delta, prior: Any, intrinsics: Optional[Intrinsics]) -> 
         test = eval_condition(delta.test, prior, intrinsics)
         branch = delta.then if test else delta.otherwise
         return eval_delta(branch, prior, intrinsics)
+
+    if isinstance(delta, D.Noop):
+        return prior
+
+    if isinstance(delta, D.Delete):
+        return UNDEFINED
 
     raise TypeError(f"unknown delta node: {type(delta)!r}")
