@@ -1,5 +1,53 @@
 """emodb_spark — a PySpark-native analytics engine with the query and
 data-processing capabilities of bazaarvoice/emodb (reference studied at
-/root/reference; built from scratch, Spark-first)."""
+/root/reference; built from scratch, Spark-first).
+
+Top-level convenience surface for migrating reference users::
+
+    from emodb_spark import DataStore, UpdateLog, resolve
+    from emodb_spark import parse_condition, parse_delta
+
+Everything heavier (streaming, pipeline operators, blob store) lives in
+its submodule — imported lazily here so ``import emodb_spark`` stays
+cheap and never starts the JVM.
+"""
 
 __version__ = "0.1.0"
+
+from .language import (  # noqa: F401 — re-exports (pure Python, no Spark)
+    UNDEFINED,
+    eval_condition,
+    eval_delta,
+    parse_condition,
+    parse_delta,
+)
+
+_LAZY = {
+    "DataStore": ("emodb_spark.spark.datastore", "DataStore"),
+    "UpdateLog": ("emodb_spark.spark.writer", "UpdateLog"),
+    "Update": ("emodb_spark.spark.writer", "Update"),
+    "BlobStore": ("emodb_spark.spark.blobstore", "BlobStore"),
+    "resolve": ("emodb_spark.spark.resolve_ops", "resolve"),
+    "resolve_typed": ("emodb_spark.spark.resolve_ops", "resolve_typed"),
+    "validate_log": ("emodb_spark.spark.resolve_ops", "validate_log"),
+    "compile_condition": ("emodb_spark.spark.compiler", "compile_condition"),
+    "get_spark": ("emodb_spark.spark.session", "get_spark"),
+}
+
+
+def __getattr__(name: str):
+    target = _LAZY.get(name)
+    if target is None:
+        raise AttributeError(f"module 'emodb_spark' has no attribute {name!r}")
+    import importlib
+
+    mod = importlib.import_module(target[0])
+    value = getattr(mod, target[1])
+    globals()[name] = value  # cache for subsequent lookups
+    return value
+
+
+__all__ = [
+    "UNDEFINED", "eval_condition", "eval_delta", "parse_condition",
+    "parse_delta", *sorted(_LAZY),
+]
