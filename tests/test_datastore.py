@@ -390,3 +390,22 @@ def test_validate_log_iff_resolve_raises(spark):
             # still flags the log as one the public API would refuse
             assert not raised
             assert n == len({r[1] for r in rows})
+
+
+def test_datastore_sql_follows_facade_routing(spark, sf_dir, tmp_path):
+    """ds.sql views must serve the LOCAL placement's facade data, like
+    every other read path."""
+    base = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    eu = str(tmp_path / "nation_eu")
+    base.filter(F.col("n_regionkey") == 3).write.parquet(eu)
+
+    ds = DataStore(spark, local_placement="eu")
+    ds.create_table(
+        "nation", path=os.path.join(sf_dir, "nation.parquet"),
+        key_column="n_nationkey",
+    )
+    ds.create_facade("nation", "eu", eu)
+    rows = ds.sql("SELECT `~placement`, count(*) AS n FROM nation GROUP BY 1").collect()
+    assert len(rows) == 1
+    assert rows[0]["~placement"] == "eu"
+    assert rows[0]["n"] == base.filter(F.col("n_regionkey") == 3).count()
