@@ -1910,3 +1910,35 @@ def test_decayed_user_score_single_exchange(spark, sf_dir):
         df.explain("formatted")
     plan = buf.getvalue()
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_star_contraction_cc_matches_minlabel_and_handles_chains(spark):
+    """near_dup_clusters_star ≡ near_dup_clusters on random graphs, and
+    converges on a 64-node CHAIN within O(log n) rounds where min-label
+    would need 63 — the documented adversarial case."""
+    import random
+
+    from emodb_spark.pipeline.dedup import near_dup_clusters, near_dup_clusters_star
+
+    rng = random.Random(17)
+    for trial in range(3):
+        n = 40
+        docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        edges = {(rng.randrange(n), rng.randrange(n)) for _ in range(25)}
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges or [(0, 0)], "id_a long, id_b long")
+        want = {r["doc_id"]: r["cluster_id"]
+                for r in near_dup_clusters(docs, pairs).collect()}
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in near_dup_clusters_star(docs, pairs).collect()}
+        assert got == want, f"trial {trial}"
+
+    # 64-node path: star converges with max_iter=10; every node labels 0
+    n = 64
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in near_dup_clusters_star(docs, chain, max_iter=10).collect()}
+    assert got == {i: 0 for i in range(n)}
