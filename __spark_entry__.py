@@ -6193,6 +6193,179 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 ORACLE_BPE_ENCODE = _oracle_bpe_encode()
 
 
+# ---------------------------------------------------------------------------
+# Round 6: gates for the round-5 library-only operators
+# ---------------------------------------------------------------------------
+
+
+def q_star_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by alternating star contraction
+    (emodb_spark.pipeline.dedup.near_dup_clusters_star, Kiveris 2014) on
+    an adversarially CHAINED graph — the exact shape min-label
+    propagation cannot handle (diameter rounds): orders chained by
+    consecutive orderkey within o_custkey % 100, i.e. 100 path
+    components of ~n/100 nodes each. Star contraction converges in
+    O(log²n) rounds regardless of diameter. The oracle states the
+    component invariant in closed form: every node's label is the
+    minimum orderkey of its chain group."""
+    from emodb_spark.pipeline.dedup import near_dup_clusters_star
+
+    o = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", (F.col("o_custkey") % 100).alias("grp")
+    )
+    w = Window.partitionBy("grp").orderBy("o_orderkey")
+    pairs = o.select(
+        F.col("o_orderkey").alias("id_a"),
+        F.lead("o_orderkey").over(w).alias("id_b"),
+    ).where(F.col("id_b").isNotNull())
+    docs = o.select(F.col("o_orderkey").alias("doc_id"))
+    return near_dup_clusters_star(docs, pairs, id_col="doc_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+ORACLE_STAR_CLUSTERS = """
+SELECT CAST(o_orderkey AS BIGINT) AS doc_id,
+       CAST(MIN(o_orderkey) OVER (PARTITION BY o_custkey % 100) AS BIGINT)
+         AS cluster_id
+FROM orders
+"""
+
+
+MMR_K = 8
+
+
+def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diverse top-k (emodb_spark.pipeline.similarity.
+    mmr_diverse_topk): greedily pick k=8 vectors maximizing
+    λ·relevance − (1−λ)·max-cosine-to-selected, λ=0.7, relevance a
+    deterministic integer-derived score. The oracle replays the greedy
+    selection EXACTLY by unrolling all k rounds into chained 1-row CTEs
+    (the train_classifier idiom) with the same sequential-fold double
+    cosine on both sides; ties break on lowest id, so the pick sequence
+    is bit-reproducible."""
+    from emodb_spark.pipeline.similarity import mmr_diverse_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        "vec_id",
+        "embedding",
+        (((F.col("vec_id") * 37) % 1000).cast("double") / F.lit(1000.0)).alias(
+            "score"
+        ),
+    )
+    picked = mmr_diverse_topk(
+        scored, k=MMR_K, lambda_ppm=700_000, id_col="vec_id",
+        vec_col="embedding", score_col="score",
+    )
+    return spark.createDataFrame(
+        [(i + 1, int(v)) for i, v in enumerate(picked)],
+        "pick_order long, vec_id long",
+    )
+
+
+def _oracle_mmr_select(k: int = MMR_K) -> str:
+    dot = (
+        "list_reduce(list_transform(list_zip({a}, {b}),"
+        " x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a,b) -> a+b)"
+    )
+
+    def cos(a: str, b: str) -> str:
+        return (
+            dot.format(a=a, b=b)
+            + f" / ( sqrt(list_reduce(list_transform({a}, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (a,b) -> a+b))"
+            + f" * sqrt(list_reduce(list_transform({b}, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)), (a,b) -> a+b)) )"
+        )
+
+    lam = "(CAST(700000 AS DOUBLE) / 1000000.0)"
+    om = "(1.0 - (CAST(700000 AS DOUBLE) / 1000000.0))"
+    ctes = [
+        "pool AS (SELECT vec_id AS id, embedding AS v,"
+        " CAST((vec_id * 37) % 1000 AS DOUBLE) / 1000.0 AS s FROM embeddings)",
+        f"p1 AS (SELECT id, v FROM pool"
+        f" ORDER BY {lam} * s - {om} * 0.0 DESC, id ASC LIMIT 1)",
+    ]
+    for r in range(2, k + 1):
+        prevs = ", ".join(f"p{i}" for i in range(1, r))
+        not_in = ", ".join(f"p{i}.id" for i in range(1, r))
+        sims = ", ".join(cos("e.v", f"p{i}.v") for i in range(1, r))
+        maxsim = f"greatest({sims})" if r > 2 else sims
+        ctes.append(
+            f"p{r} AS (SELECT e.id, e.v FROM pool e, {prevs}"
+            f" WHERE e.id NOT IN ({not_in})"
+            f" ORDER BY {lam} * e.s - {om} * {maxsim} DESC, e.id ASC LIMIT 1)"
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS pick_order,"
+        f" CAST(id AS BIGINT) AS vec_id FROM p{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + sel
+
+
+ORACLE_MMR_SELECT = _oracle_mmr_select()
+
+
+def q_validate_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update-log validation gate (emodb_spark.spark.resolve_ops.
+    validate_log): plant one corruption per o_orderkey % 97 residue —
+    0 → non-UUID change id, 4 → v4 (non-time) UUID, 1 → unparseable
+    delta text, 2 → four tags (limit 3), 3 → a 9-char tag (limit 8) —
+    and assert the audit reports exactly the planted coordinates with
+    the right error class and nothing else. Error text is classified
+    into stable kinds Spark-side (parser exception wording is not part
+    of the contract); the oracle recomputes the planted set from the
+    residue rule."""
+    from emodb_spark.spark.resolve_ops import validate_log
+
+    okey = F.col("o_orderkey")
+    m = okey % 97
+    good_cid = _synthetic_change_id(okey, 0)
+    v4_cid = F.concat(
+        F.substring(good_cid, 1, 14), F.lit("4"), F.substring(good_cid, 16, 21)
+    )
+    updates = _read(spark, sf_dir, "orders").select(
+        F.lit("orders").alias("tbl"),
+        okey.cast("string").alias("key"),
+        F.when(m == 0, F.concat(F.lit("not-a-uuid-"), okey.cast("string")))
+        .when(m == 4, v4_cid)
+        .otherwise(good_cid)
+        .alias("change_id"),
+        F.when(m == 1, F.lit('{"o_orderstatus":'))
+        .otherwise(F.lit('{"o_orderstatus":"NEW"}'))
+        .alias("delta"),
+        F.when(m == 2, F.array(F.lit("a"), F.lit("b"), F.lit("c"), F.lit("d")))
+        .when(m == 3, F.array(F.lit("ninechars")))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("tags"),
+    )
+    err = F.col("error")
+    return validate_log(updates).select(
+        "key",
+        F.when(err == "change_id is not a UUID", F.lit("bad_uuid"))
+        .when(err.startswith("change_id is not a v1"), F.lit("bad_version"))
+        .when(err.startswith("delta parse"), F.lit("parse"))
+        .when(err.endswith("(limit 3)"), F.lit("too_many_tags"))
+        .when(err.startswith("tag over 8"), F.lit("tag_too_long"))
+        .otherwise(err)
+        .alias("error_kind"),
+    )
+
+
+ORACLE_VALIDATE_LOG = """
+SELECT CAST(o_orderkey AS VARCHAR) AS key,
+  CASE o_orderkey % 97
+    WHEN 0 THEN 'bad_uuid'
+    WHEN 4 THEN 'bad_version'
+    WHEN 1 THEN 'parse'
+    WHEN 2 THEN 'too_many_tags'
+    WHEN 3 THEN 'tag_too_long'
+  END AS error_kind
+FROM orders WHERE o_orderkey % 97 IN (0, 1, 2, 3, 4)
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on sf0.001: delta-log fold reproducing `orders`."""
     return q_resolve_fold(spark, SF_SMOKE)
@@ -6200,13 +6373,68 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # The driver's CORRECTNESS artifact records the FIRST 50
-        # entries. Round-5 window, exactly 50: the 23 queries added
-        # this round, the 27 that never had a driver row (r4 verdict
-        # item 1), then doc_packing (re-planned, item 2) and
-        # resolve_fold at 49-50. Veterans with r1-r4 rows absorb the
-        # tail truncation; do NOT add more entries above them this
-        # round or never-checked queries fall out of the window.
+        # Round-6 window (first 50 = the driver CORRECTNESS window):
+        # 3 new gates for the round-5 library-only operators, the 10
+        # stale-kernel veterans the r5 verdict asks to re-witness (the
+        # r5 lexer fast paths rewrote the fold/condition kernel under
+        # them; event_sessions additionally retires the stale r3 red
+        # row), then the 37 oldest driver rows (r3). Three r3-row
+        # queries defer to r7 (window arithmetic): ann_lsh_topk,
+        # audio_chunks, simhash_near_dups — they lead the tail.
+        "star_clusters": q_star_clusters,
+        "mmr_select": q_mmr_select,
+        "validate_log": q_validate_log,
+        "resolve_compacted": q_resolve_compacted,
+        "streaming_fold_parity": q_streaming_fold_parity,
+        "stateful_fold_parity": q_stateful_fold_parity,
+        "snapshot_as_of": q_snapshot_as_of,
+        "timeline_with_compaction": q_timeline_with_compaction,
+        "replication_convergence": q_replication_convergence,
+        "event_sessions": q_event_sessions,
+        "condition_generic_json": q_condition_generic_json,
+        "scan_condition": q_scan_condition,
+        "scan_condition_complex": q_scan_condition_complex,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "blob_ranged_read": q_blob_ranged_read,
+        "blob_store_roundtrip": q_blob_store_roundtrip,
+        "contamination": q_contamination,
+        "corpus_sample": q_corpus_sample,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_exact": q_dedup_exact,
+        "dedup_keep_best": q_dedup_keep_best,
+        "doc_fingerprints": q_doc_fingerprints,
+        "embedding_near_dups": q_embedding_near_dups,
+        "event_consolidation": q_event_consolidation,
+        "events_windowed": q_events_windowed,
+        "frame_sample": q_frame_sample,
+        "gopher_quality": q_gopher_quality,
+        "hash_split": q_hash_split,
+        "incremental_dedup": q_incremental_dedup,
+        "lang_distribution": q_lang_distribution,
+        "minhash_near_dups": q_minhash_near_dups,
+        "multi_get": q_multi_get,
+        "multimodal_features": q_multimodal_features,
+        "partition_shard_scan": q_partition_shard_scan,
+        "pii_scan": q_pii_scan,
+        "pricing_summary": q_pricing_summary,
+        "quality_docs_join": q_quality_docs_join,
+        "queue_dedup": q_queue_dedup,
+        "revenue_by_nation": q_revenue_by_nation,
+        "scan_condition_arrays": q_scan_condition_arrays,
+        "scan_paged": q_scan_paged,
+        "similarity_topk": q_similarity_topk,
+        "splits_scan": q_splits_scan,
+        "stash_canonical": q_stash_canonical,
+        "stash_roundtrip": q_stash_roundtrip,
+        "table_size": q_table_size,
+        "text_stats": q_text_stats,
+        "timeline_events": q_timeline_events,
+        "top_orders": q_top_orders,
+        "vocab_topk": q_vocab_topk,
+        # ---- 50-slot driver window ends above ----
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "audio_chunks": q_audio_chunks,
+        "simhash_near_dups": q_simhash_near_dups,
         "dsir_selection": q_dsir_selection,
         "train_classifier": q_train_classifier,
         "skipgram_pmi": q_skipgram_pmi,
@@ -6255,14 +6483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_deciles": q_value_deciles,
         "word_rank_score": q_word_rank_score,
         "tfidf_topk": q_tfidf_topk,
-        # slots 49-50: doc_packing re-plan (r4 verdict item 2) and the
-        # fold parity gate; the other streaming gates hold r3 rows and
-        # sit just past the window
         "doc_packing": q_doc_packing,
         "resolve_fold": q_resolve_fold,
-        "streaming_fold_parity": q_streaming_fold_parity,
-        "stateful_fold_parity": q_stateful_fold_parity,
-        "replication_convergence": q_replication_convergence,
         "merge_orders": q_merge_orders,
         "user_scd2": q_user_scd2,
         "salted_hot_join": q_salted_hot_join,
@@ -6280,7 +6502,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_cost_supplier": q_min_cost_supplier,
         "promo_share": q_promo_share,
         "substring_dedup": q_substring_dedup,
-        # ---- 50-slot driver window ends above ----
         "unigram_surprisal": q_unigram_surprisal,
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
@@ -6290,7 +6511,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority": q_order_priority,
         "customer_orders": q_customer_orders,
         "event_anomalies": q_event_anomalies,
-        "snapshot_as_of": q_snapshot_as_of,
         "bigram_surprisal": q_bigram_surprisal,
         "nation_trade": q_nation_trade,
         "event_props": q_event_props,
@@ -6314,57 +6534,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_split": q_group_split,
         "paragraph_dedup": q_paragraph_dedup,
         "quality_classifier": q_quality_classifier,
-        "resolve_compacted": q_resolve_compacted,
-        "timeline_with_compaction": q_timeline_with_compaction,
-        "stash_canonical": q_stash_canonical,
-        "blob_store_roundtrip": q_blob_store_roundtrip,
-        "events_windowed": q_events_windowed,
-        "event_sessions": q_event_sessions,
-        "scan_condition": q_scan_condition,
-        "scan_condition_arrays": q_scan_condition_arrays,
-        "partition_shard_scan": q_partition_shard_scan,
-        "condition_generic_json": q_condition_generic_json,
-        "text_stats": q_text_stats,
-        "gopher_quality": q_gopher_quality,
-        "vocab_topk": q_vocab_topk,
-        "pii_scan": q_pii_scan,
-        "corpus_sample": q_corpus_sample,
-        "doc_fingerprints": q_doc_fingerprints,
-        "similarity_topk": q_similarity_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "multimodal_features": q_multimodal_features,
-        "embedding_near_dups": q_embedding_near_dups,
-        "minhash_near_dups": q_minhash_near_dups,
-        "incremental_dedup": q_incremental_dedup,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_keep_best": q_dedup_keep_best,
-        "hash_split": q_hash_split,
-        "contamination": q_contamination,
-        "frame_sample": q_frame_sample,
-        "audio_chunks": q_audio_chunks,
-        "simhash_near_dups": q_simhash_near_dups,
-        "scan_condition_complex": q_scan_condition_complex,
-        "multi_get": q_multi_get,
-        "scan_paged": q_scan_paged,
-        "table_size": q_table_size,
-        "timeline_events": q_timeline_events,
-        "event_consolidation": q_event_consolidation,
-        "queue_dedup": q_queue_dedup,
-        "pricing_summary": q_pricing_summary,
-        "revenue_by_nation": q_revenue_by_nation,
-        "top_orders": q_top_orders,
-        "dedup_exact": q_dedup_exact,
-        "lang_distribution": q_lang_distribution,
-        "quality_docs_join": q_quality_docs_join,
-        "splits_scan": q_splits_scan,
-        "stash_roundtrip": q_stash_roundtrip,
-        "blob_ranged_read": q_blob_ranged_read,
-        "ann_lsh_topk": q_ann_lsh_topk,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "star_clusters": ORACLE_STAR_CLUSTERS,
+        "mmr_select": ORACLE_MMR_SELECT,
+        "validate_log": ORACLE_VALIDATE_LOG,
         "dsir_selection": ORACLE_DSIR_SELECTION,
         "train_classifier": _oracle_train_classifier(),
         "skipgram_pmi": ORACLE_SKIPGRAM_PMI,
