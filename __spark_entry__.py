@@ -38,6 +38,28 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _release_on_gc(result: DataFrame, *pinned: DataFrame) -> DataFrame:
+    """Leak contract for gates that persist()/cache() an upstream frame:
+    tie the pinned storage to the RETURNED DataFrame's lifetime. The
+    persisted frame stays lazy (bench timings unchanged), and when the
+    caller drops the result and driver GC runs, the blocks are
+    unpersisted — so any harness importing queries() is leak-free, not
+    just bench.py (which additionally clearCache()s per query). The
+    finalizer swallows errors: a stopped SparkSession at interpreter
+    shutdown must not raise from GC."""
+    import weakref
+
+    def _release(frames=pinned):
+        for f in frames:
+            try:
+                f.unpersist()
+            except Exception:  # noqa: BLE001 — GC-time JVM teardown races
+                pass
+
+    weakref.finalize(result, _release)
+    return result
+
+
 def _events_ts_us(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events with a normalized `ts_us` bigint column (epoch microseconds),
     derived from whichever physical type the parquet stores:
@@ -1091,11 +1113,14 @@ def q_resolve_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     base, tail = compact(updates, int(cutoff_millis))
     resolved = resolve_with_base(base, tail)
     parsed = resolved.withColumn("__doc", F.from_json("content", _FOLD_DOC_SCHEMA))
-    return parsed.select(
-        F.col("`~id`").cast("long").alias("id"),
-        F.col("__doc.o_orderstatus").alias("o_orderstatus"),
-        F.col("__doc.o_totalprice").alias("o_totalprice"),
-        F.col("__doc.o_orderpriority").alias("o_orderpriority"),
+    return _release_on_gc(
+        parsed.select(
+            F.col("`~id`").cast("long").alias("id"),
+            F.col("__doc.o_orderstatus").alias("o_orderstatus"),
+            F.col("__doc.o_totalprice").alias("o_totalprice"),
+            F.col("__doc.o_orderpriority").alias("o_orderpriority"),
+        ),
+        updates,
     )
 
 
@@ -1395,7 +1420,9 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one shingle scan shared by signature generation and verification
     sh = shingle_sets(docs, shingle_k=3).persist()
     cands = minhash_lsh_candidates(docs, num_hashes=48, bands=24, shingle_k=3, sh=sh)
-    return ngram_jaccard(docs, pairs=cands, shingle_k=3, threshold=0.7, sh=sh)
+    return _release_on_gc(
+        ngram_jaccard(docs, pairs=cands, shingle_k=3, threshold=0.7, sh=sh), sh
+    )
 
 
 ORACLE_MINHASH_NEAR_DUPS = f"""
@@ -1466,7 +1493,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_sets(docs, shingle_k=3).persist()
     cands = minhash_lsh_candidates(docs, num_hashes=48, bands=24, shingle_k=3, sh=sh)
     pairs = ngram_jaccard(docs, pairs=cands, shingle_k=3, threshold=0.7, sh=sh)
-    return near_dup_clusters(docs, pairs)
+    return _release_on_gc(near_dup_clusters(docs, pairs), sh)
 
 
 ORACLE_DEDUP_CLUSTERS = f"""
@@ -1517,7 +1544,7 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = docs.select(
         "doc_id", F.round(alpha_ratio(F.col("text")), 6).alias("score")
     )
-    return keep_best_per_cluster(clusters, scores)
+    return _release_on_gc(keep_best_per_cluster(clusters, scores), sh)
 
 
 ORACLE_DEDUP_KEEP_BEST_TEMPLATE = """
@@ -3950,11 +3977,13 @@ def q_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
         )
 
-    return (
+    return _release_on_gc(
         stage(sig, "0_raw")
         .unionByName(stage(q, "1_quality"))
         .unionByName(stage(dd, "2_dedup"))
-        .unionByName(stage(bd, "3_budget"))
+        .unionByName(stage(bd, "3_budget")),
+        sig,
+        dd,
     )
 
 
@@ -5191,7 +5220,9 @@ def q_exact_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = prefix_filter_pairs(
         docs, shingle_k=3, threshold_num=7, threshold_den=10, sh=sh
     )
-    return ngram_jaccard(docs, pairs=pairs, shingle_k=3, threshold=0.7, sh=sh)
+    return _release_on_gc(
+        ngram_jaccard(docs, pairs=pairs, shingle_k=3, threshold=0.7, sh=sh), sh
+    )
 
 
 def q_session_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5663,7 +5694,7 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grams feed both the min-id aggregate and the join-back — share one
     # shingle scan (cache cleared between queries by bench/driver)
     sh = shingle_sets(docs, shingle_k=3).persist()
-    return ngram_novelty(docs, shingle_k=3, sh=sh)
+    return _release_on_gc(ngram_novelty(docs, shingle_k=3, sh=sh), sh)
 
 
 ORACLE_NGRAM_NOVELTY = f"""
@@ -5694,8 +5725,11 @@ def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and both verification sides (same pattern as exact_jaccard_join;
     # bench/driver clear the cache between queries)
     sh = shingle_sets(docs, shingle_k=3).persist()
-    return containment_pairs(
-        docs, shingle_k=3, threshold_num=7, threshold_den=10, sh=sh
+    return _release_on_gc(
+        containment_pairs(
+            docs, shingle_k=3, threshold_num=7, threshold_den=10, sh=sh
+        ),
+        sh,
     )
 
 
@@ -6203,15 +6237,17 @@ def q_star_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emodb_spark.pipeline.dedup.near_dup_clusters_star, Kiveris 2014) on
     an adversarially CHAINED graph — the exact shape min-label
     propagation cannot handle (diameter rounds): orders chained by
-    consecutive orderkey within o_custkey % 100, i.e. 100 path
-    components of ~n/100 nodes each. Star contraction converges in
-    O(log²n) rounds regardless of diameter. The oracle states the
+    consecutive orderkey within fixed keyspace buckets of 256
+    (≈64-order paths at every sf, so round count — log(diameter) — is
+    scale-invariant and the bench measures per-round edge throughput,
+    not a diameter that grows with sf). Min-label would need ~64 rounds
+    here; star contraction converges in ~8. The oracle states the
     component invariant in closed form: every node's label is the
     minimum orderkey of its chain group."""
     from emodb_spark.pipeline.dedup import near_dup_clusters_star
 
     o = _read(spark, sf_dir, "orders").select(
-        "o_orderkey", (F.col("o_custkey") % 100).alias("grp")
+        "o_orderkey", (F.col("o_orderkey") / F.lit(256)).cast("long").alias("grp")
     )
     w = Window.partitionBy("grp").orderBy("o_orderkey")
     pairs = o.select(
@@ -6227,7 +6263,7 @@ def q_star_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_STAR_CLUSTERS = """
 SELECT CAST(o_orderkey AS BIGINT) AS doc_id,
-       CAST(MIN(o_orderkey) OVER (PARTITION BY o_custkey % 100) AS BIGINT)
+       CAST(MIN(o_orderkey) OVER (PARTITION BY o_orderkey // 256) AS BIGINT)
          AS cluster_id
 FROM orders
 """

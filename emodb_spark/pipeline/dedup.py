@@ -552,9 +552,13 @@ def near_dup_clusters_star(
         .localCheckpoint(eager=True)
     )
 
+    # join hints: `mins` is O(nodes) — at corpus scale it is NOT
+    # broadcastable, so pin the honest plan (shuffle-hash on the node
+    # key) instead of letting the local-mode optimizer pick a broadcast
+    # whose driver round-trip also dominates small iterations.
     def large_star(e):
         sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        mins = sym.groupBy("a").agg(F.min("b").alias("mn"))
+        mins = sym.groupBy("a").agg(F.min("b").alias("mn")).hint("shuffle_hash")
         m = F.least(F.col("mn"), F.col("a")).alias("m")
         return (
             sym.join(mins, "a")
@@ -570,7 +574,7 @@ def near_dup_clusters_star(
         o = e.select(
             F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
         )
-        mins = o.groupBy("a").agg(F.min("b").alias("m"))
+        mins = o.groupBy("a").agg(F.min("b").alias("m")).hint("shuffle_hash")
         nbrs = o.join(mins, "a").select(F.col("b").alias("a"), F.col("m").alias("b"))
         centers = mins.select(F.col("a"), F.col("m").alias("b"))
         return (
@@ -579,23 +583,40 @@ def near_dup_clusters_star(
             .distinct()
         )
 
+    converged = False
     for _ in range(max_iter):
-        new_e = small_star(large_star(E)).localCheckpoint(eager=True)
-        # exact fixpoint: identical edge sets (both directions of except)
-        if new_e.count() == E.count() and new_e.exceptAll(E).isEmpty():
-            E = new_e
+        E = small_star(large_star(E)).localCheckpoint(eager=True)
+        # Termination: small_star output is always oriented big → small,
+        # so the edge set is a union of DISJOINT min-centered stars as
+        # soon as no node is both a source and a target (one cheap
+        # semi-join on two long columns). Disjoint stars are exactly the
+        # LS/SS fixpoint: large_star maps each star to itself (the
+        # center is its star's minimum), and small_star regenerates the
+        # same edges — and since both transformations preserve the
+        # component partition (Kiveris 2014 Lemma 1), each center is the
+        # MIN of its original component. This detects convergence the
+        # round it happens — an edge-set-equality check (count +
+        # exceptAll, the previous implementation) needs one extra
+        # no-change round to observe it and pays a full multiset
+        # difference every round.
+        if (
+            E.select("a")
+            .join(E.select(F.col("b").alias("a")), "a", "left_semi")
+            .isEmpty()
+        ):
+            converged = True
             break
-        E = new_e
 
-    labels = (
-        nodes.join(E.select(F.col("a").alias("id"), F.col("b").alias("lab")), "id", "left")
-        .select("id", F.coalesce("lab", F.col("id")).alias("lab"))
-        # at the fixpoint each star is disjoint with the component min at
-        # its center, so the join is 1:1 — the min is a no-cost guard for
-        # a non-converged early stop (max_iter hit)
-        .groupBy("id")
-        .agg(F.min("lab").alias("lab"))
-    )
+    labels = nodes.join(
+        E.select(F.col("a").alias("id"), F.col("b").alias("lab")), "id", "left"
+    ).select("id", F.coalesce("lab", F.col("id")).alias("lab"))
+    if not converged:
+        # max_iter exhausted without reaching disjoint stars: a node may
+        # still carry several outgoing edges — keep the result a valid
+        # (if unconverged) labeling with a min per node. At the fixpoint
+        # the stars are disjoint, the join is 1:1, and this extra
+        # shuffle is skipped.
+        labels = labels.groupBy("id").agg(F.min("lab").alias("lab"))
     return labels.select(F.col("id").alias(id_col), F.col("lab").alias("cluster_id"))
 
 

@@ -31,3 +31,19 @@ def test_all_queries_callable_and_unique():
 def test_oracles_are_nonempty_sql():
     for name, sql in e.oracle_sql().items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+
+
+def test_release_on_gc_unpersists(spark):
+    """Gates that persist() tie the pinned frame to the returned
+    DataFrame's lifetime: dropping the result must unpersist."""
+    import gc
+
+    import __spark_entry__ as entry
+
+    pinned = spark.range(10).persist()
+    pinned.count()
+    assert pinned.storageLevel.useMemory
+    result = entry._release_on_gc(pinned.select("id"), pinned)
+    del result
+    gc.collect()
+    assert not pinned.storageLevel.useMemory
