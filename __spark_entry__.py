@@ -549,14 +549,19 @@ SELECT user_id, event_id, event_type, value FROM (
 
 
 def q_condition_generic_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schemaless path: condition language interpreted over a JSON column
-    (events.props) via the Arrow-batched interpreter UDF."""
+    """Schemaless path: condition language COMPILED over a JSON column
+    (events.props) into JVM-side VARIANT expressions — no Python in the
+    plan (emodb_spark.spark.compiler.condition_column_json; the
+    Arrow-batched interpreter UDF remains the fallback for
+    non-compilable shapes and is differential-tested in pytest)."""
     from emodb_spark.language import parse_condition
-    from emodb_spark.spark.compiler import condition_udf
+    from emodb_spark.spark.compiler import condition_column_json
 
     ev = _read(spark, sf_dir, "events")
     cond = parse_condition('{..,"k":gt(50)}')
-    return ev.filter(condition_udf(cond)(F.col("props"))).select("event_id", "props")
+    return ev.filter(condition_column_json(cond, F.col("props"))).select(
+        "event_id", "props"
+    )
 
 
 ORACLE_CONDITION_GENERIC_JSON = """

@@ -25,7 +25,7 @@ BENCH_QUERIES = [
     "scan_condition_complex",
     "multi_get",
     "event_consolidation",   # databus poll consolidation shape
-    "condition_generic_json",  # interpreter UDF path
+    "condition_generic_json",  # schemaless compiled VARIANT path
     # analytics
     "pricing_summary",
     "revenue_by_nation",

@@ -545,3 +545,143 @@ def test_fuzz_presence_mode_matches_interpreter(spark):
                 if bool(got) != want or got is None:
                     failures.append((str(c), doc, got, want))
     assert not failures, f"{len(failures)}; first: {failures[:4]}"
+
+
+# ---------------------------------------------------------------------------
+# Compiled generic (VARIANT) path ≡ interpreter — the schemaless hot path
+# ---------------------------------------------------------------------------
+
+from emodb_spark.spark.compiler import (  # noqa: E402
+    CompileError,
+    compile_json_condition,
+    compile_json_condition_fast,
+    condition_column_json,
+)
+
+_JSON_SCALARS = [
+    5, 5.0, "5", -3, 0, 0.1, 1e3, 2**40, 2**52, True, False, None,
+    "APPROVED", "", "a", "\U00010000x", "Z*?", 4.5, -1.5, 1e300, 3, 1,
+]
+
+
+def _rand_json_value(rng, depth=0):
+    r = rng.random()
+    if r < 0.7 or depth >= 2:
+        return rng.choice(_JSON_SCALARS)
+    if r < 0.85:
+        return [_rand_json_value(rng, depth + 1) for _ in range(rng.randint(0, 3))]
+    return {"status": rng.choice(_JSON_SCALARS)}
+
+
+def _rand_json_doc(rng):
+    doc = {}
+    for field in _FIELD_TYPES:
+        r = rng.random()
+        if r < 0.15:
+            continue  # missing key (UNDEFINED)
+        if r < 0.25:
+            doc[field] = None  # present JSON null
+        else:
+            doc[field] = _rand_json_value(rng)
+    if rng.random() < 0.5:
+        doc["photo"] = (
+            {"status": rng.choice(_JSON_SCALARS)}
+            if rng.random() < 0.7
+            else rng.choice(_JSON_SCALARS)
+        )
+    return doc
+
+
+def test_fuzz_json_compiled_matches_interpreter(spark):
+    """compile_json_condition (VARIANT expressions, zero Python) must
+    agree with the tree-walking interpreter on every doc × condition —
+    including three-state (missing vs null), strict int/float typing,
+    numeric promotion, arrays, nested maps, and junk documents."""
+    rng = _random.Random(20260814)
+    docs = [json.dumps(_rand_json_doc(rng)) for _ in range(40)]
+    docs += ['not json', '', 'null', '5', '[1,2]', '{}',
+             '{"rating":9007199254740993}', '{"rating":5.00}',
+             '{"status":{"deep":{"x":1}}}', None]
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)],
+                               "i long, doc string").cache()
+
+    conds, n_compiled, n_fast, n_fallback = [], 0, 0, 0
+    while len(conds) < 200:
+        conds.append(parse_condition(str(_rand_condition(rng))))
+
+    failures = []
+    CHUNK = 40
+    for lo in range(0, len(conds), CHUNK):
+        chunk = conds[lo : lo + CHUNK]
+        cols = [F.col("i")]
+        compiled_idx = []  # (j, tier) pairs — both tiers must agree
+        for j, c in enumerate(chunk):
+            tiers = 0
+            try:
+                cols.append(
+                    compile_json_condition_fast(c, F.col("doc")).alias(f"f{j}")
+                )
+                compiled_idx.append((j, f"f{j}"))
+                n_fast += 1
+                tiers += 1
+            except CompileError:
+                pass
+            try:
+                cols.append(compile_json_condition(c, F.col("doc")).alias(f"c{j}"))
+                compiled_idx.append((j, f"c{j}"))
+                tiers += 1
+            except CompileError:
+                pass
+            n_compiled += 1 if tiers else 0
+            n_fallback += 0 if tiers else 1
+        rows = {r["i"]: r for r in df.select(*cols).collect()}
+        for i, d in enumerate(docs):
+            try:
+                doc = json.loads(d) if d is not None else None
+            except (ValueError, TypeError):
+                doc = None
+            for j, alias in compiled_idx:
+                expected = (
+                    bool(eval_condition(chunk[j], doc, None))
+                    if doc is not None or d == "null"
+                    else False
+                )
+                if d == "null":
+                    expected = bool(eval_condition(chunk[j], None, None))
+                got = bool(rows[i][alias])
+                if got != expected:
+                    failures.append((alias, str(chunk[j]), d, got, expected))
+    assert not failures, f"{len(failures)} disagreements; first 5: {failures[:5]}"
+    # the generator must exercise every tier meaningfully
+    assert n_compiled >= 100, n_compiled
+    assert n_fast >= 25, n_fast
+    assert n_fallback >= 10, n_fallback
+
+
+def test_json_front_door_falls_back(spark):
+    """condition_column_json: compilable shapes produce a VARIANT plan
+    (no Python evaluator); interpreter-only shapes still filter
+    correctly through the Arrow UDF."""
+    df = spark.createDataFrame(
+        [(1, '{"k": 51}'), (2, '{"k": 50}'), (3, '{"k": "51"}'),
+         (4, '{"k": null}'), (5, '{}'), (6, "junk")],
+        "i long, doc string",
+    )
+    cond = parse_condition('{..,"k":gt(50)}')
+    out = df.filter(condition_column_json(cond, F.col("doc")))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert [r["i"] for r in out.collect()] == [1]
+
+    deep = parse_condition('{..,"k":{"a":1}}')  # deep equality → interpreter
+    out2 = df.filter(condition_column_json(deep, F.col("doc")))
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan2
+    assert out2.count() == 0
+
+    three_state = parse_condition('{..,"k":is(null)}')
+    assert [r["i"] for r in
+            df.filter(condition_column_json(three_state, F.col("doc"))).collect()] == [4]
+    undef = parse_condition('{..,"k":is(undefined)}')
+    assert [r["i"] for r in
+            df.filter(condition_column_json(undef, F.col("doc"))).collect()] == [5]
