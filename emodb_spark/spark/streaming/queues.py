@@ -51,8 +51,9 @@ CLAIMS_SCHEMA = T.StructType(
 # Append-only ack tombstones: kind='id' hides one message, kind='payload'
 # hides every duplicate of a payload (dedup queues) SENT UP TO the ack
 # time (``upto`` ticks — a payload re-sent later is a new message and must
-# survive). Acks never rewrite the message store — they anti-join at read;
-# compact() folds them in later.
+# survive), kind='queue' hides EVERYTHING sent up to ``upto`` (transport-
+# mode purge, where the topic can't be rewritten). Acks never rewrite the
+# message store — they anti-join at read; compact() folds them in later.
 ACKS_SCHEMA = T.StructType(
     [
         T.StructField("queue", T.StringType(), False),
@@ -68,10 +69,15 @@ class QueueService:
                  clock=None, transport=None):
         """``transport``: None (default — parquet dirs under ``base_path``)
         or a :class:`~emodb_spark.spark.streaming.transport.KafkaTransport`.
-        In Kafka mode ``send_all`` publishes to the topic and
-        :meth:`read_stream` consumes it; claim/ack/peek stay file-mode
-        only — a Kafka consumer's checkpointed offsets supersede the claim
-        model (same note as DatabusPoller)."""
+        In transport mode the MESSAGES live in the topic (``send_all``
+        publishes, :meth:`read_stream` consumes, batch consumers read it
+        back through ``transport.source``) while claims and acks stay in
+        the tiny parquet side tables under ``base_path`` — the same split
+        the reference runs (fat payload flow on the bus, O(in-flight)
+        claim state in its claim DAOs; event/db ClaimStore). poll/ack/
+        renew/peek/move/purge therefore behave identically in both modes;
+        only :meth:`compact` differs (a topic can't be rewritten — acks
+        are kept and the bytes age out via broker retention)."""
         self.spark = spark
         self.base = base_path
         self.dedup = dedup
@@ -125,11 +131,19 @@ class QueueService:
     def _kafka_write(self, df: DataFrame) -> None:
         from .transport import encode_kafka
 
-        encoded = encode_kafka(df, MESSAGES_SCHEMA, ["queue", "msg_id"])
-        w = encoded.write.format("kafka")
-        for k, v in self.transport.writer_options().items():
-            w = w.option(k, v)
-        w.save()
+        self.transport.sink(encode_kafka(df, MESSAGES_SCHEMA, ["queue", "msg_id"]))
+
+    def _messages(self) -> DataFrame:
+        """The full message flow as a batch DataFrame — parquet dir in
+        file mode, the topic (earliest..latest) in transport mode."""
+        if self.transport is not None:
+            from .transport import decode_kafka
+
+            return decode_kafka(
+                self.transport.source(self.spark, streaming=False),
+                MESSAGES_SCHEMA,
+            )
+        return self._read(self._messages_path(), MESSAGES_SCHEMA)
 
     def read_stream(self, queue: Optional[str] = None) -> DataFrame:
         """The message flow as a Structured Streaming source
@@ -139,10 +153,10 @@ class QueueService:
         if self.transport is not None:
             from .transport import decode_kafka
 
-            reader = self.spark.readStream.format("kafka")
-            for k, v in self.transport.reader_options().items():
-                reader = reader.option(k, v)
-            df = decode_kafka(reader.load(), MESSAGES_SCHEMA)
+            df = decode_kafka(
+                self.transport.source(self.spark, streaming=True),
+                MESSAGES_SCHEMA,
+            )
         else:
             df = self.spark.readStream.schema(MESSAGES_SCHEMA).parquet(
                 self._messages_path()
@@ -191,11 +205,21 @@ class QueueService:
     def _unacked(self, queue: str) -> DataFrame:
         """This queue's messages minus ack tombstones (anti-joins — the
         message store itself is never rewritten on ack)."""
-        msgs = self._read(self._messages_path(), MESSAGES_SCHEMA).filter(
-            F.col("queue") == queue
-        )
+        msgs = self._messages().filter(F.col("queue") == queue)
         acks = self._read(self._acks_path(), ACKS_SCHEMA).filter(
             F.col("queue") == queue
+        )
+        # queue-wide purge watermarks (transport mode): anti-join on the
+        # queue key with a tick bound — a broadcast hash join against an
+        # O(purges) side, zero extra driver jobs, no-op when none exist
+        by_queue = acks.filter(F.col("kind") == "queue").select(
+            F.col("queue").alias("__pq"), F.col("upto").alias("__pu")
+        )
+        msgs = msgs.join(
+            by_queue,
+            (F.col("queue") == F.col("__pq"))
+            & (change_id_ticks(F.col("msg_id")) <= F.col("__pu")),
+            "left_anti",
         )
         by_id = acks.filter(F.col("kind") == "id").select(
             "queue", F.col("val").alias("msg_id")
@@ -259,7 +283,7 @@ class QueueService:
             # including their monotonic +1-tick bumps
             upto = (self._clock() + 1) * 10_000 + _UUID_EPOCH_OFFSET_100NS - 1
             doomed = (
-                self._read(self._messages_path(), MESSAGES_SCHEMA)
+                self._messages()
                 .filter((F.col("queue") == queue) & F.col("msg_id").isin(msg_ids))
                 .select("payload")
                 .distinct()
@@ -276,15 +300,23 @@ class QueueService:
         """Maintenance sweep: fold ack tombstones into the message store
         (drop acked messages, clear the queue's tombstones) and rewrite
         claims to a single file dropping expired ones — bounds the
-        small-file growth from per-poll/ack appends."""
-        visible = self._unacked(queue)
-        others = self._read(self._messages_path(), MESSAGES_SCHEMA).filter(
-            F.col("queue") != queue
-        )
-        self._overwrite(self._messages_path(), others.unionByName(visible))
-        if os.path.exists(self._acks_path()):
-            acks = self._read(self._acks_path(), ACKS_SCHEMA)
-            self._overwrite(self._acks_path(), acks.filter(F.col("queue") != queue))
+        small-file growth from per-poll/ack appends.
+
+        Transport mode: the topic can't be rewritten, so only the claims
+        side-table is compacted here — ack tombstones MUST be kept (they
+        are the only record of deletion; the message bytes age out via
+        broker retention, the reference's model for its bus channels)."""
+        if self.transport is None:
+            visible = self._unacked(queue)
+            others = self._read(self._messages_path(), MESSAGES_SCHEMA).filter(
+                F.col("queue") != queue
+            )
+            self._overwrite(self._messages_path(), others.unionByName(visible))
+            if os.path.exists(self._acks_path()):
+                acks = self._read(self._acks_path(), ACKS_SCHEMA)
+                self._overwrite(
+                    self._acks_path(), acks.filter(F.col("queue") != queue)
+                )
         if os.path.exists(self._claims_path()):
             now = self._clock()
             live = self._read(self._claims_path(), CLAIMS_SCHEMA).filter(
@@ -386,6 +418,18 @@ class QueueService:
         return self._job_tracker.status(job_id)
 
     def purge(self, queue: str) -> None:
+        """Empty a queue. File mode rewrites the stores; transport mode
+        appends a queue-wide tombstone (kind='queue') covering everything
+        sent up to now — identical observable semantics, and later sends
+        to the same queue are NOT affected (the ``upto`` tick bound)."""
+        if self.transport is not None:
+            from ..resolve_ops import _UUID_EPOCH_OFFSET_100NS
+
+            upto = (self._clock() + 1) * 10_000 + _UUID_EPOCH_OFFSET_100NS - 1
+            self.spark.createDataFrame(
+                [(queue, "queue", "", upto)], ACKS_SCHEMA
+            ).write.mode("append").parquet(self._acks_path())
+            return
         msgs = self._read(self._messages_path(), MESSAGES_SCHEMA)
         self._overwrite(self._messages_path(), msgs.filter(F.col("queue") != queue))
         if os.path.exists(self._acks_path()):

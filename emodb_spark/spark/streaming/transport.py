@@ -23,9 +23,19 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Dict, List
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# The Kafka connector's record shape (the subset the codec needs); the
+# parquet-topic stand-in below stores exactly this so both transports are
+# indistinguishable downstream of sink()/source().
+WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType(), True),
+        T.StructField("value", T.BinaryType(), True),
+    ]
+)
 
 
 @dataclass(frozen=True)
@@ -52,6 +62,54 @@ class KafkaTransport:
             "subscribe": self.topic,
             **self.options,
         }
+
+    # -- physical topic I/O (services call these; the parquet stand-in
+    # overrides them, so every transport-mode code path is exercisable
+    # without a broker) --------------------------------------------------
+
+    def sink(self, wire: DataFrame) -> None:
+        """Publish (key, value) wire rows to the topic."""
+        w = wire.write.format("kafka")
+        for k, v in self.writer_options().items():
+            w = w.option(k, v)
+        w.save()
+
+    def source(self, spark: SparkSession, streaming: bool) -> DataFrame:
+        """The topic as a (key, value, ...) DataFrame — batch reads span
+        earliest..latest unless overridden via ``options``."""
+        reader = (spark.readStream if streaming else spark.read).format("kafka")
+        for k, v in self.reader_options().items():
+            reader = reader.option(k, v)
+        return reader.load()
+
+
+@dataclass(frozen=True)
+class ParquetTopicTransport:
+    """Broker-free topic: an append-only parquet dir holding the SAME
+    wire records (binary key/value) the Kafka connector would produce.
+    Drop-in for dev/CI and single-box runs — services route through
+    sink()/source() identically, so swapping in a real
+    :class:`KafkaTransport` is pure configuration. Ordering note: like
+    Kafka, records for one key stay in append order within a partition
+    file; consumers that need per-key order sort on the decoded payload's
+    time-UUID (exactly what the queue/log readers do)."""
+
+    path: str
+
+    def sink(self, wire: DataFrame) -> None:
+        wire.select(
+            F.col("key").cast("binary").alias("key"),
+            F.col("value").cast("binary").alias("value"),
+        ).write.mode("append").parquet(self.path)
+
+    def source(self, spark: SparkSession, streaming: bool) -> DataFrame:
+        if streaming:
+            return spark.readStream.schema(WIRE_SCHEMA).parquet(self.path)
+        import os
+
+        if not os.path.exists(self.path):
+            return spark.createDataFrame([], WIRE_SCHEMA)
+        return spark.read.schema(WIRE_SCHEMA).parquet(self.path)
 
 
 def encode_kafka(df: DataFrame, schema: T.StructType,

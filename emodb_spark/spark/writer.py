@@ -147,26 +147,58 @@ class UpdateLog:
     def _kafka_write(self, df: DataFrame) -> None:
         from .streaming.transport import encode_kafka
 
-        encoded = encode_kafka(df, LOG_SCHEMA, ["tbl", "key"])
-        w = encoded.write.format("kafka")
-        for k, v in self.transport.writer_options().items():
-            w = w.option(k, v)
-        w.save()
+        self.transport.sink(encode_kafka(df, LOG_SCHEMA, ["tbl", "key"]))
 
     def _kafka_source(self, streaming: bool) -> DataFrame:
-        reader = (self.spark.readStream if streaming else self.spark.read).format(
-            "kafka"
-        )
-        for k, v in self.transport.reader_options().items():
-            reader = reader.option(k, v)
-        return reader.load()
+        return self.transport.source(self.spark, streaming)
+
+    # -- transport-mode purge tombstones ----------------------------------
+    #
+    # A Kafka topic can't be partially rewritten, so purge() appends a
+    # (tbl, upto-ticks) watermark to a tiny parquet side table and every
+    # reader drops that table's records at-or-below the watermark. Same
+    # observable semantics as the file-mode partition delete; the bytes
+    # themselves age out via broker retention (the reference's purge is
+    # likewise an admin-tier unsafe op — DataStore.purgeTableUnsafe).
+
+    def _purges_path(self) -> str:
+        return self.path + "._purges"
+
+    def _purge_bounds(self) -> Dict[str, int]:
+        p = self._purges_path()
+        if not os.path.exists(p):
+            return {}
+        out: Dict[str, int] = {}
+        for r in self.spark.read.parquet(p).groupBy("tbl").agg(
+            F.max("upto").alias("upto")
+        ).collect():  # O(purged tables) — admin-op metadata, not data
+            out[r["tbl"]] = r["upto"]
+        return out
+
+    def _purge_filter(self, df: DataFrame) -> DataFrame:
+        """Drop purged (tbl, ≤upto) rows. Bounds are embedded as literals
+        at plan-build time — a stream started before a purge keeps its
+        view (exactly the file-mode behavior, where a running stream has
+        already listed the partition files)."""
+        bounds = self._purge_bounds()
+        if not bounds:
+            return df
+        from .resolve_ops import change_id_ticks
+
+        ticks = change_id_ticks(F.col("change_id"))
+        cond = F.lit(True)
+        for tbl, upto in bounds.items():
+            cond = cond & ~((F.col("tbl") == F.lit(tbl)) & (ticks <= F.lit(upto)))
+        return df.filter(cond)
 
     def read(self) -> DataFrame:
         """The log as a batch DataFrame (UPDATES_SCHEMA + audit)."""
         if self.transport is not None:
             from .streaming.transport import decode_kafka
 
-            return decode_kafka(self._kafka_source(streaming=False), LOG_SCHEMA)
+            return self._purge_filter(
+                decode_kafka(self._kafka_source(streaming=False), LOG_SCHEMA)
+            )
         return self.spark.read.schema(LOG_SCHEMA).parquet(self.path)
 
     def read_stream(self) -> DataFrame:
@@ -182,7 +214,9 @@ class UpdateLog:
         if self.transport is not None:
             from .streaming.transport import decode_kafka
 
-            return decode_kafka(self._kafka_source(streaming=True), LOG_SCHEMA)
+            return self._purge_filter(
+                decode_kafka(self._kafka_source(streaming=True), LOG_SCHEMA)
+            )
         return self.spark.readStream.schema(LOG_SCHEMA).parquet(self.path)
 
     def refs(self) -> DataFrame:
@@ -213,22 +247,31 @@ class UpdateLog:
     def purge(self, table: str) -> None:
         """Drop one table's updates (DataStore.purgeTableUnsafe).
 
-        The log is partitioned by ``tbl``, so a purge is a partition-dir
-        delete — O(one table's files), no rewrite of the rest of the log
-        (at 100 TB a full-log rewrite per purge would be absurd). Falls
-        back to a filtered rewrite only if the layout is unexpectedly
-        unpartitioned."""
+        File mode: the log is partitioned by ``tbl``, so a purge is a
+        partition-dir delete — O(one table's files), no rewrite of the
+        rest of the log (at 100 TB a full-log rewrite per purge would be
+        absurd); falls back to a filtered rewrite only if the layout is
+        unexpectedly unpartitioned. Transport (Kafka) mode: appends a
+        purge watermark covering everything published up to now — every
+        reader (batch, stream, refs) hides those records; the topic bytes
+        age out via broker retention/deleteRecords."""
         if self.transport is not None:
-            # Kafka mode: readers consult the topic, not self.path, so a
-            # filtered parquet rewrite would silently change nothing they
-            # see. Topic truncation (delete-records / retention) is a
-            # broker admin op outside this facade's scope.
-            raise NotImplementedError(
-                "purge() is file-mode only; with a Kafka transport use "
-                "broker-side deleteRecords/retention to drop a table's "
-                "updates (claim/ack are scoped the same way in "
-                "QueueService)"
+            import time as _time
+
+            from .resolve_ops import _UUID_EPOCH_OFFSET_100NS
+
+            # end of the current millisecond: covers ids stamped this ms
+            # including their monotonic +1-tick bumps (same idiom as
+            # QueueService payload acks)
+            upto = (
+                (int(_time.time() * 1000) + 1) * 10_000
+                + _UUID_EPOCH_OFFSET_100NS
+                - 1
             )
+            self.spark.createDataFrame(
+                [(table, upto)], "tbl string, upto long"
+            ).write.mode("append").parquet(self._purges_path())
+            return
         import shutil as _shutil
         from urllib.parse import unquote
 

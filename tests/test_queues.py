@@ -1,9 +1,16 @@
 """Queue / DedupQueue service: send/peek/poll/ack/renew/move/purge with
-claim semantics (queue-api BaseQueueService.java:13-74)."""
+claim semantics (queue-api BaseQueueService.java:13-74).
+
+The semantics tests run as a file/kafka-transport matrix (``make_queue``):
+kafka mode keeps messages in a topic (ParquetTopicTransport — the
+broker-free stand-in with the connector's exact wire contract) while
+claims/acks stay in the parquet side tables, and every operation must
+behave identically."""
 
 import pytest
 
 from emodb_spark.spark.streaming.queues import QueueService
+from emodb_spark.spark.streaming.transport import ParquetTopicTransport
 
 
 class FakeClock:
@@ -22,8 +29,24 @@ def clock():
     return FakeClock()
 
 
-def test_send_peek_poll_ack(spark, tmp_path, clock):
-    q = QueueService(spark, str(tmp_path / "q"), clock=clock)
+@pytest.fixture(params=["file", "kafka"])
+def make_queue(spark, tmp_path, clock, request):
+    """Factory for a QueueService in either transport mode; one topic per
+    service name so tests can run several services side by side."""
+
+    def mk(name="q", **kw):
+        if request.param == "kafka":
+            kw.setdefault(
+                "transport", ParquetTopicTransport(str(tmp_path / f"{name}.topic"))
+            )
+        return QueueService(spark, str(tmp_path / name), clock=clock, **kw)
+
+    mk.mode = request.param
+    return mk
+
+
+def test_send_peek_poll_ack(make_queue, clock):
+    q = make_queue("q")
     q.send_all("jobs", [{"n": 1}, {"n": 2}, {"n": 3}])
 
     # peek is non-destructive
@@ -51,8 +74,8 @@ def test_send_peek_poll_ack(spark, tmp_path, clock):
     assert q.message_count("jobs") == 0
 
 
-def test_renew_extends_claim(spark, tmp_path, clock):
-    q = QueueService(spark, str(tmp_path / "q"), clock=clock)
+def test_renew_extends_claim(make_queue, clock):
+    q = make_queue("q")
     q.send("jobs", {"n": 1})
     got = q.poll("jobs", claim_ttl_s=10)
     clock.advance(8_000)
@@ -63,8 +86,8 @@ def test_renew_extends_claim(spark, tmp_path, clock):
     assert len(q.poll("jobs")) == 1  # renewed claim finally lapsed
 
 
-def test_dedup_queue(spark, tmp_path, clock):
-    q = QueueService(spark, str(tmp_path / "q"), dedup=True, clock=clock)
+def test_dedup_queue(make_queue, clock):
+    q = make_queue("q", dedup=True)
     q.send_all("dq", [{"x": 1}, {"x": 1}, {"x": 2}, {"x": 1}])
     # duplicates collapse between polls (DedupQueue.java:42-46)
     got = q.poll("dq", limit=10)
@@ -76,8 +99,8 @@ def test_dedup_queue(spark, tmp_path, clock):
     assert q.message_count("dq") == 0
 
 
-def test_move_and_purge(spark, tmp_path, clock):
-    q = QueueService(spark, str(tmp_path / "q"), clock=clock)
+def test_move_and_purge(make_queue):
+    q = make_queue("q")
     q.send_all("a", [{"i": i} for i in range(4)])
     moved = q.move("a", "b")
     assert moved == 4
@@ -129,8 +152,8 @@ def test_move_async_job(spark, tmp_path, clock):
         q.job_status("bogus")
 
 
-def test_message_count_up_to(spark, tmp_path, clock):
-    q = QueueService(spark, str(tmp_path / "q"), clock=clock)
+def test_message_count_up_to(make_queue):
+    q = make_queue("q")
     q.send_all("big", [{"i": i} for i in range(20)])
     # exact count short-circuits at the limit (count-up-to semantics)
     assert q.message_count("big", up_to=5) == 6
@@ -269,3 +292,53 @@ def test_dedup_payload_ack_does_not_eat_future_sends(spark, tmp_path, clock):
     assert q.message_count("jobs") == 1  # NOT hidden by the old tombstone
     q.compact("jobs")
     assert q.message_count("jobs") == 1  # and compaction preserved it
+
+
+def test_kafka_purge_is_tombstone_and_future_sends_survive(spark, tmp_path, clock):
+    """Transport-mode purge can't rewrite the topic: it appends a
+    queue-wide tombstone bounded at 'now', so everything already sent is
+    hidden but a later send to the same queue is delivered."""
+    q = QueueService(
+        spark, str(tmp_path / "q"), clock=clock,
+        transport=ParquetTopicTransport(str(tmp_path / "q.topic")),
+    )
+    q.send_all("jobs", [{"n": 1}, {"n": 2}])
+    q.purge("jobs")
+    assert q.message_count("jobs") == 0
+    # the topic itself was NOT rewritten — both records still on the wire
+    assert spark.read.parquet(str(tmp_path / "q.topic")).count() == 2
+
+    clock.advance(5)  # past the tombstone's end-of-millisecond bound
+    q.send("jobs", {"n": 3})
+    assert [m["payload"]["n"] for m in q.peek("jobs")] == [3]
+    # other queues unaffected
+    q.send("other", {"n": 9})
+    assert q.message_count("other") == 1
+
+
+def test_kafka_compact_keeps_acks_and_compacts_claims(spark, tmp_path, clock):
+    """Transport-mode compact only rewrites the claims side table (expired
+    claims dropped to one file); ack tombstones MUST survive — they are
+    the only deletion record while the topic retains the bytes."""
+    import os
+
+    base = str(tmp_path / "q")
+    q = QueueService(
+        spark, base, clock=clock,
+        transport=ParquetTopicTransport(str(tmp_path / "q.topic")),
+    )
+    q.send_all("jobs", [{"n": i} for i in range(4)])
+    got = q.poll("jobs", claim_ttl_s=1, limit=2)
+    q.acknowledge("jobs", [m["id"] for m in got])
+    clock.advance(5_000)
+    q.compact("jobs")
+    # acked stay hidden after compaction (tombstones kept)
+    assert q.message_count("jobs") == 2
+    from emodb_spark.spark.streaming.queues import ACKS_SCHEMA
+
+    acks = spark.read.schema(ACKS_SCHEMA).parquet(os.path.join(base, "acks"))
+    assert acks.count() == 2
+    # claims rewritten to a single file with expired ones dropped
+    claim_files = _files(os.path.join(base, "claims"))
+    assert len(claim_files) == 1
+    assert q.claim_count("jobs") == 0

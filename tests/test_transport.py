@@ -123,3 +123,65 @@ def test_queue_kafka_send_and_stream(spark, tmp_path, monkeypatch):
      .trigger(availableNow=True).start().awaitTermination(120))
     out = spark.read.schema(MESSAGES_SCHEMA).parquet(sink).collect()
     assert len(out) == 1 and json.loads(out[0]["payload"]) == {"n": 7}
+
+
+def test_parquet_topic_transport_end_to_end(spark, tmp_path):
+    """The broker-free topic: UpdateLog publishes through the REAL
+    sink()/source() path (no monkeypatching) and reads back its own
+    records — batch and streaming — with the connector's wire contract
+    (binary key/value)."""
+    from emodb_spark.spark.streaming.transport import (
+        WIRE_SCHEMA,
+        ParquetTopicTransport,
+    )
+
+    t = ParquetTopicTransport(str(tmp_path / "topic"))
+    log = UpdateLog(spark, str(tmp_path / "state"), transport=t)
+    log.update("t:a", "k1", '{"v":1}', tags=["etl"])
+    log.update("t:a", "k2", '{"v":2}')
+
+    wire = spark.read.schema(WIRE_SCHEMA).parquet(str(tmp_path / "topic"))
+    assert wire.schema == WIRE_SCHEMA and wire.count() == 2
+
+    rows = {r["key"]: r for r in log.read().collect()}
+    assert rows["k1"]["delta"] == '{"v":1}' and rows["k1"]["tags"] == ["etl"]
+    assert log.read_stream_raw().isStreaming
+
+    sink = str(tmp_path / "sink")
+    (log.read_stream().writeStream.format("parquet").option("path", sink)
+     .option("checkpointLocation", str(tmp_path / "ckpt"))
+     .trigger(availableNow=True).start().awaitTermination(120))
+    got = spark.read.parquet(sink)
+    assert got.count() == 2
+
+
+def test_update_log_kafka_purge_watermark(spark, tmp_path):
+    """Transport-mode purge: a watermark hides everything the table
+    published so far from read()/refs()/read_stream, without touching the
+    topic bytes; other tables and post-purge writes are unaffected."""
+    from emodb_spark.spark.streaming.transport import ParquetTopicTransport
+
+    t = ParquetTopicTransport(str(tmp_path / "topic"))
+    log = UpdateLog(spark, str(tmp_path / "state"), transport=t)
+    log.update("t:a", "k1", '{"v":1}')
+    log.update("t:b", "k9", '{"v":9}')
+
+    log.purge("t:a")
+    after = log.read()
+    assert {r["tbl"] for r in after.collect()} == {"t:b"}
+    assert {r["tbl"] for r in log.refs().collect()} == {"t:b"}
+    # topic untouched — the bytes age out via broker retention
+    assert spark.read.parquet(str(tmp_path / "topic")).count() == 2
+
+    # a post-purge write to the purged table is visible again
+    log.update("t:a", "k1", '{"v":2}')
+    rows = [(r["tbl"], r["delta"]) for r in log.read().collect()]
+    assert ("t:a", '{"v":2}') in rows and ("t:a", '{"v":1}') not in rows
+
+    # the streaming view honors the watermark too
+    sink = str(tmp_path / "sink")
+    (log.read_stream().writeStream.format("parquet").option("path", sink)
+     .option("checkpointLocation", str(tmp_path / "ckpt"))
+     .trigger(availableNow=True).start().awaitTermination(120))
+    got = [(r["tbl"], r["delta"]) for r in spark.read.parquet(sink).collect()]
+    assert sorted(got) == sorted([("t:b", '{"v":9}'), ("t:a", '{"v":2}')])
