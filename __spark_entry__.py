@@ -570,6 +570,41 @@ WHERE CAST(props->>'k' AS BIGINT) > 50
 """
 
 
+def q_condition_variant_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schemaless VARIANT tier: a string/array/nested-map condition
+    compiled onto try_parse_json + schema_of_variant/try_variant_get
+    (emodb_spark.spark.compiler.compile_json_condition) — the zero-Python
+    generic path for exactly the shapes the scalar fast tier refuses
+    (string in(), nested map conditions, is(array)). The JSON document is
+    built JVM-side from event columns so the oracle recomputes from the
+    same columns."""
+    from emodb_spark.language import parse_condition
+    from emodb_spark.spark.compiler import compile_json_condition
+
+    ev = _read(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(
+            F.col("event_type").alias("t"),
+            F.array(F.col("user_id")).alias("ids"),
+            F.struct(F.col("user_id").alias("u")).alias("who"),
+        )
+    )
+    cond = parse_condition(
+        '{..,"t":in("click","purchase"),"who":{..,"u":gt(75)},"ids":is(array)}'
+    )
+    return (
+        ev.withColumn("__doc", doc)
+        .filter(compile_json_condition(cond, F.col("__doc")))
+        .select("event_id", "event_type", "user_id")
+    )
+
+
+ORACLE_CONDITION_VARIANT_SCAN = """
+SELECT event_id, event_type, user_id FROM events
+WHERE event_type IN ('click', 'purchase') AND user_id > 75
+"""
+
+
 def q_queue_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DedupQueue semantics (event dedup/DedupQueue.java): identical
     payloads in a queue collapse; first id wins."""
@@ -584,6 +619,54 @@ ORACLE_QUEUE_DEDUP = """
 SELECT event_type AS queue, props AS payload,
        MIN(event_id) AS first_id, COUNT(*) AS n_msgs
 FROM events GROUP BY event_type, props
+"""
+
+
+def q_queue_kafka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-transport QueueService end-to-end (round-6 transport-mode
+    claim/ack parity): messages live in a topic (ParquetTopicTransport —
+    the connector's exact wire contract) while claims/acks stay in the
+    parquet side tables. Send 300 deterministic events as messages, poll
+    them all (ttl 0 so the claims lapse immediately), ack the low-value
+    ones, and return the still-visible payloads — which must equal the
+    high-value subset the oracle computes straight from the table."""
+    import tempfile
+
+    from emodb_spark.spark.streaming.queues import QueueService
+    from emodb_spark.spark.streaming.transport import ParquetTopicTransport
+
+    rows = (
+        _read(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 7 == 0)
+        .select(
+            "event_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .orderBy("event_id")
+        .limit(300)
+        .collect()  # bounded: 300 tiny rows, the send_all client surface
+    )
+    base = tempfile.mkdtemp(prefix="emodb_queue_kafka_")
+    q = QueueService(
+        spark, base, transport=ParquetTopicTransport(base + ".topic")
+    )
+    q.send_all("gate", [{"c": r["cents"], "e": r["event_id"]} for r in rows])
+    polled = q.poll("gate", claim_ttl_s=0, limit=300)
+    q.acknowledge(
+        "gate", [m["id"] for m in polled if m["payload"]["c"] < 10_000]
+    )
+    return q._visible("gate").select(
+        F.get_json_object("payload", "$.e").cast("long").alias("event_id"),
+        F.get_json_object("payload", "$.c").cast("long").alias("cents"),
+    )
+
+
+ORACLE_QUEUE_KAFKA = """
+WITH sent AS (
+  SELECT event_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_id % 7 = 0 ORDER BY event_id LIMIT 300
+)
+SELECT event_id, cents FROM sent WHERE cents >= 10000
 """
 
 
@@ -6415,16 +6498,23 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Round-6 window (first 50 = the driver CORRECTNESS window):
-        # 3 new gates for the round-5 library-only operators, the 10
-        # stale-kernel veterans the r5 verdict asks to re-witness (the
-        # r5 lexer fast paths rewrote the fold/condition kernel under
-        # them; event_sessions additionally retires the stale r3 red
-        # row), then the 37 oldest driver rows (r3). Three r3-row
-        # queries defer to r7 (window arithmetic): ann_lsh_topk,
+        # 5 new gates (star/MMR/validate_log for the round-5 library-only
+        # operators; condition_variant_scan + queue_kafka for this
+        # round's VARIANT compile tier and kafka-transport queue),
+        # doc_pagerank (kernel re-planned this round: persisted edge
+        # list), the 10 stale-kernel veterans the r5 verdict asks to
+        # re-witness (the r5 lexer fast paths rewrote the fold/condition
+        # kernel under them; event_sessions additionally retires the
+        # stale r3 red row), then the oldest driver rows (r3). Six
+        # r3-row queries defer to r7 (window arithmetic):
+        # timeline_events, top_orders, vocab_topk, ann_lsh_topk,
         # audio_chunks, simhash_near_dups — they lead the tail.
         "star_clusters": q_star_clusters,
         "mmr_select": q_mmr_select,
         "validate_log": q_validate_log,
+        "condition_variant_scan": q_condition_variant_scan,
+        "queue_kafka": q_queue_kafka,
+        "doc_pagerank": q_doc_pagerank,
         "resolve_compacted": q_resolve_compacted,
         "streaming_fold_parity": q_streaming_fold_parity,
         "stateful_fold_parity": q_stateful_fold_parity,
@@ -6469,10 +6559,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stash_roundtrip": q_stash_roundtrip,
         "table_size": q_table_size,
         "text_stats": q_text_stats,
+        # ---- 50-slot driver window ends above ----
         "timeline_events": q_timeline_events,
         "top_orders": q_top_orders,
         "vocab_topk": q_vocab_topk,
-        # ---- 50-slot driver window ends above ----
         "ann_lsh_topk": q_ann_lsh_topk,
         "audio_chunks": q_audio_chunks,
         "simhash_near_dups": q_simhash_near_dups,
@@ -6546,7 +6636,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_surprisal": q_unigram_surprisal,
         "inverted_index": q_inverted_index,
         "phrase_search": q_phrase_search,
-        "doc_pagerank": q_doc_pagerank,
         "event_rolling": q_event_rolling,
         "event_trend": q_event_trend,
         "order_priority": q_order_priority,
@@ -6583,6 +6672,8 @@ def oracle_sql() -> dict[str, str]:
         "star_clusters": ORACLE_STAR_CLUSTERS,
         "mmr_select": ORACLE_MMR_SELECT,
         "validate_log": ORACLE_VALIDATE_LOG,
+        "condition_variant_scan": ORACLE_CONDITION_VARIANT_SCAN,
+        "queue_kafka": ORACLE_QUEUE_KAFKA,
         "dsir_selection": ORACLE_DSIR_SELECTION,
         "train_classifier": _oracle_train_classifier(),
         "skipgram_pmi": ORACLE_SKIPGRAM_PMI,

@@ -25,7 +25,8 @@ BENCH_QUERIES = [
     "scan_condition_complex",
     "multi_get",
     "event_consolidation",   # databus poll consolidation shape
-    "condition_generic_json",  # schemaless compiled VARIANT path
+    "condition_generic_json",  # schemaless compiled path (fast from_json tier)
+    "condition_variant_scan",  # schemaless compiled VARIANT tier
     # analytics
     "pricing_summary",
     "revenue_by_nation",

@@ -84,8 +84,22 @@ def synthesize(spark, out_dir: str, n_copies: int) -> None:
             if tbl == "documents":
                 rot = VOWEL_ROTS[i % len(VOWEL_ROTS)]
                 c = c.withColumn("text", F.translate("text", "aeiou", rot))
+                # beyond 5 copies the vowel rotations repeat — compose a
+                # per-block Caesar shift so a 100-copy (sf10) corpus stays
+                # mostly DISTINCT for dedup; copies 0-4 are untouched,
+                # keeping the published sf1 probe rows reproducible
+                caesar = (i // len(VOWEL_ROTS)) % 25
+                if caesar:
+                    az = "abcdefghijklmnopqrstuvwxyz"
+                    c = c.withColumn(
+                        "text",
+                        F.translate("text", az, az[caesar:] + az[:caesar]),
+                    )
             if tbl == "embeddings" and i:
-                shift = (i % 8) + 1
+                # cycle within the full 64-dim space (norm-preserving);
+                # (i%8)+1 for the first 8 copies preserves the sf1 probe,
+                # and i<=8 maps identically under the wider modulus
+                shift = (i % 63) + 1 if i > 8 else (i % 8) + 1
                 n = F.size("embedding")
                 c = c.withColumn(
                     "embedding",
