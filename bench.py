@@ -27,6 +27,7 @@ BENCH_QUERIES = [
     "event_consolidation",   # databus poll consolidation shape
     "condition_generic_json",  # schemaless compiled path (fast from_json tier)
     "condition_variant_scan",  # schemaless compiled VARIANT tier
+    "heavy_hitters",         # two-pass count-min hot keys
     # analytics
     "pricing_summary",
     "revenue_by_nation",
@@ -235,6 +236,14 @@ def main() -> None:
         import gc
 
         gc.collect()
+        # JVM-side too: the round-6 drift analysis attributed the r5
+        # late-session ~2x inflation on several queries to accumulated
+        # old-gen/storage pressure, not plans — nudge the JVM between
+        # queries (outside the timed region) so position matters less
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001 — purely advisory
+            pass
         if best is None:
             errors[name] = (err or "unknown error")[:500]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)

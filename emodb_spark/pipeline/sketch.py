@@ -276,3 +276,73 @@ def bloom_probe(
     return out.drop(
         *[c for c in out.columns if c.startswith("__p") or c.startswith("__w") or c.startswith("__bits")]
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    threshold: int,
+    buckets: int = 4096,
+    depth: int = 3,
+    seed: str = "cms",
+) -> DataFrame:
+    """Exact heavy hitters WITHOUT a full-cardinality shuffle: the
+    two-pass count-min pattern (Cormode & Muthukrishnan 2005, applied
+    relationally).
+
+    Pass 1 counts ``depth`` independent hash buckets of every value —
+    ``depth`` aggregates of width ``buckets`` that combine map-side, so
+    the only shuffle is O(buckets x depth) rows regardless of input
+    cardinality. A value with true count >= threshold necessarily lands
+    in buckets whose counts are all >= threshold (counts only overstate),
+    so the heavy buckets of every level form a candidate filter with NO
+    false negatives. Pass 2 keeps rows whose value hits a heavy bucket
+    at EVERY level (pure codegen filter against broadcast literal
+    arrays — no join) and exact-counts only those: the second shuffle is
+    O(candidate occurrences).
+
+    Returns ``(value_col, n)`` with ``n >= threshold`` — exactly the true
+    heavy hitters with exact counts, deterministically (xxhash64 is a
+    fixed function of value and seed). Tune ``buckets`` so the heavy-
+    bucket fraction stays small: at 100 TB the full groupBy alternative
+    shuffles the entire long tail (quadrillions of (token,1) pairs →
+    vocabulary-sized exchange), while this plan's exchanges are the
+    sketch width plus the heavy candidates.
+
+    No reference analog (extension, SURVEY §2.5 family); the sketch
+    family note at the top of this module applies — deterministic by
+    construction, so oracle gates can demand exact equality.
+    """
+    v = F.col(value_col)
+    levels = [
+        F.pmod(F.xxhash64(v, F.lit(f"{seed}:{d}")), F.lit(buckets))
+        for d in range(depth)
+    ]
+    # pass 1: ONE scan — all depth levels in a single O(buckets x depth)
+    # aggregate (posexplode of the per-level bucket ids; partial counts
+    # combine map-side before the tiny exchange)
+    heavy_rows = (
+        df.select(F.posexplode(F.array(*levels)).alias("lvl", "b"))
+        .groupBy("lvl", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= threshold)
+        .collect()  # O(heavy buckets) <= buckets*depth — sketch metadata
+    )
+    heavy_per_level = {d: [] for d in range(depth)}
+    for r in heavy_rows:
+        heavy_per_level[r["lvl"]].append(r["b"])
+    cand = df
+    for d, bucket in enumerate(levels):
+        heavy = heavy_per_level[d]
+        if not heavy:
+            return (
+                df.select(v.alias(value_col))
+                .limit(0)
+                .withColumn("n", F.lit(0).cast("long"))
+            )
+        cand = cand.filter(bucket.isin(heavy))
+    return (
+        cand.groupBy(v.alias(value_col))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") >= threshold)
+    )

@@ -1942,3 +1942,40 @@ def test_star_contraction_cc_matches_minlabel_and_handles_chains(spark):
     got = {r["doc_id"]: r["cluster_id"]
            for r in near_dup_clusters_star(docs, chain, max_iter=10).collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_heavy_hitters_exact_vs_groupby(spark):
+    """Two-pass count-min heavy hitters must return EXACTLY the true
+    heavy set with exact counts (candidate filter has no false
+    negatives; pass 2 removes the false positives) — differential
+    against a plain groupBy, with a Zipf-ish head, a long tail, and an
+    adversarial small bucket space to force collisions."""
+    import random
+
+    from emodb_spark.pipeline.sketch import heavy_hitters
+
+    rng = random.Random(20260814)
+    rows = []
+    for tok in ("alpha", "beta", "gamma"):  # heavy head
+        rows += [(tok,)] * rng.randint(40, 60)
+    rows += [("mid%d" % i,) for i in range(30) for _ in range(rng.randint(2, 9))]
+    rows += [("tail%d" % i,) for i in range(500)]  # all-unique tail
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "token string")
+
+    exact = {
+        (r["token"], r["n"])
+        for r in df.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") >= 10).collect()
+    }
+    for buckets in (4096, 16):  # 16 → guaranteed collisions: pass 2 must prune
+        got = {
+            (r["token"], r["n"])
+            for r in heavy_hitters(df, "token", threshold=10,
+                                   buckets=buckets).collect()
+        }
+        assert got == exact, (buckets, got ^ exact)
+
+    # threshold above every count → empty, with the declared schema
+    empty = heavy_hitters(df, "token", threshold=10_000)
+    assert empty.columns == ["token", "n"] and empty.count() == 0
