@@ -346,3 +346,110 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .filter(F.col("n") >= threshold)
     )
+
+
+class CmsStreamState:
+    """Streaming count-min state: merge each micro-batch's bucket counts
+    into an O(buckets x depth) parquet state table via ``foreachBatch``.
+    Counter addition is trivially mergeable, so the streaming sketch
+    equals the batch sketch exactly whatever the batching (parity-
+    tested) — the incremental half of :func:`heavy_hitters`: the stream
+    maintains pass 1 continuously, and a candidate read
+    (:meth:`heavy_candidates`) costs O(heavy buckets), never a corpus
+    scan. Running pass 2 (exact counts) over the accumulated corpus —
+    e.g. the stream's sink table — stays a batch concern, exactly like
+    the reference's split between live counters and stored rows.
+
+    Uses the same ``xxhash64(value, seed:level) % buckets`` layout as
+    :func:`heavy_hitters` so states and batch runs are interchangeable.
+    """
+
+    def __init__(self, spark, path: str, buckets: int = 4096,
+                 depth: int = 3, seed: str = "cms"):
+        self.spark, self.path = spark, path
+        self.buckets, self.depth, self.seed = int(buckets), int(depth), seed
+
+    def _levels(self, value_col: str):
+        v = F.col(value_col)
+        return [
+            F.pmod(F.xxhash64(v, F.lit(f"{self.seed}:{d}")),
+                   F.lit(self.buckets))
+            for d in range(self.depth)
+        ]
+
+    def _prior(self):
+        import os
+
+        if os.path.exists(self.path):
+            return self.spark.read.parquet(self.path)
+        return self.spark.createDataFrame([], "lvl int, b long, n long")
+
+    def merge_batch(self, batch_df, value_col: str) -> None:
+        incoming = (
+            batch_df.select(
+                F.posexplode(F.array(*self._levels(value_col))).alias("lvl", "b")
+            )
+            .groupBy("lvl", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        merged = (
+            self._prior()
+            .unionByName(incoming)
+            .groupBy("lvl", "b")
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+        tmp = self.path + "__next"
+        merged.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        if __import__("os").path.exists(self.path):
+            shutil.rmtree(self.path)
+        shutil.move(tmp, self.path)
+
+    def sketch(self) -> DataFrame:
+        """The counter table (lvl, b, n) — O(buckets x depth) rows."""
+        return self._prior()
+
+    def estimate(self, values: DataFrame, value_col: str) -> DataFrame:
+        """Point estimates: min over levels of the value's bucket counts
+        (the classic CMS upper bound; never under the true count)."""
+        lv = values.select(
+            value_col,
+            F.posexplode(F.array(*self._levels(value_col))).alias("lvl", "b"),
+        )
+        return (
+            lv.join(self._prior(), ["lvl", "b"], "left")
+            .groupBy(value_col)
+            .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).cast("long").alias("est"))
+        )
+
+    def heavy_candidates(self, threshold: int):
+        """Per-level heavy bucket ids (dict lvl -> [b...]) — the pass-1
+        output of :func:`heavy_hitters`, read from state in O(heavy)."""
+        rows = self._prior().filter(F.col("n") >= threshold).collect()
+        out = {d: [] for d in range(self.depth)}
+        for r in rows:
+            out[r["lvl"]].append(r["b"])
+        return out
+
+    def filter_heavy(self, df: DataFrame, value_col: str,
+                     threshold: int) -> DataFrame:
+        """Pass 2 against the streaming state: exact counts (>= threshold)
+        of the rows in ``df`` whose value is CMS-heavy in the state. When
+        ``df`` is everything the state has counted, this equals
+        :func:`heavy_hitters` on it exactly."""
+        heavy = self.heavy_candidates(threshold)
+        cand = df
+        for d, bucket in enumerate(self._levels(value_col)):
+            if not heavy[d]:
+                return (
+                    df.select(value_col)
+                    .limit(0)
+                    .withColumn("n", F.lit(0).cast("long"))
+                )
+            cand = cand.filter(bucket.isin(heavy[d]))
+        return (
+            cand.groupBy(value_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .filter(F.col("n") >= threshold)
+        )

@@ -441,3 +441,59 @@ def test_incremental_view_matches_batch_aggregate(spark, sf_dir, tmp_path):
         assert got[t]["max_"] == want[t]["mx"]
         assert abs(got[t]["sum_"] - want[t]["s"]) < 1e-6
         assert abs(got[t]["avg"] - want[t]["s"] / want[t]["cnt"]) < 1e-9
+
+
+def test_streaming_cms_heavy_hitters_matches_batch(spark, sf_dir, tmp_path):
+    """Counter mergeability: micro-batch CMS merges produce exactly the
+    batch sketch, and pass-2 against the streamed state equals
+    heavy_hitters() on the full corpus — including exact counts."""
+    from emodb_spark.pipeline.sketch import CmsStreamState, heavy_hitters
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    src = str(tmp_path / "cms_incoming")
+    li.select("l_partkey").repartition(4).write.mode("overwrite").parquet(src)
+    state = CmsStreamState(spark, str(tmp_path / "cms_state"), buckets=512)
+    stream = (
+        spark.readStream.schema("l_partkey long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    (
+        stream.writeStream.foreachBatch(
+            lambda b, _id: state.merge_batch(b, "l_partkey")
+        )
+        .option("checkpointLocation", str(tmp_path / "cms_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+    threshold = 8
+    got = {
+        (r["l_partkey"], r["n"])
+        for r in state.filter_heavy(li, "l_partkey", threshold).collect()
+    }
+    want = {
+        (r["l_partkey"], r["n"])
+        for r in heavy_hitters(li, "l_partkey", threshold, buckets=512).collect()
+    }
+    exact = {
+        (r["l_partkey"], r["n"])
+        for r in li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") >= threshold)
+        .collect()
+    }
+    assert got == want == exact and got
+    # CMS point estimates never undercount (upper-bound property)
+    est = {
+        r["l_partkey"]: r["est"]
+        for r in state.estimate(
+            li.select("l_partkey").distinct(), "l_partkey"
+        ).collect()
+    }
+    true = {
+        r["l_partkey"]: r["n"]
+        for r in li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n")).collect()
+    }
+    assert all(est[k] >= n for k, n in true.items())
