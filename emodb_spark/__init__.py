@@ -31,6 +31,9 @@ _LAZY = {
     "resolve_typed": ("emodb_spark.spark.resolve_ops", "resolve_typed"),
     "validate_log": ("emodb_spark.spark.resolve_ops", "validate_log"),
     "compile_condition": ("emodb_spark.spark.compiler", "compile_condition"),
+    "condition_column_json": (
+        "emodb_spark.spark.compiler", "condition_column_json"
+    ),
     "get_spark": ("emodb_spark.spark.session", "get_spark"),
 }
 

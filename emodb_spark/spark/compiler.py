@@ -720,22 +720,95 @@ def compile_json_condition(cond: C.Condition, json_col: Column) -> Column:
     return _def(root.isNotNull() & _jc(cond, root))
 
 
-def condition_column_json(cond: C.Condition, json_col: Column) -> Column:
-    """Generic-path front door, three tiers: the consolidated from_json
-    scalar compile when the shape allows (one parse per type-class —
-    the cheapest plan, measured ~2× the VARIANT tier and ~2× the Arrow
-    UDF on a JSON range scan), else the VARIANT compile (one parse per
-    operator, but covers strings, arrays, nested maps, three-state —
-    still zero Python), else the Arrow-batched interpreter UDF. Callers
-    always get a correct filter and the best available JVM plan."""
+def _jc_cost(cond: C.Condition, seen=None, path: str = "$") -> int:
+    """Estimated DISTINCT variant-op count of the VARIANT compile —
+    codegen CSE collapses identical (path, op) expressions (measured:
+    4 identical refs cost the same as 1), so cost counts unique ops.
+    Calibrated on sf0.1: each distinct op ≈ 0.3 s per 1M rows."""
+    if seen is None:
+        seen = set()
+
+    def op(tag: str) -> int:
+        key = (path, tag)
+        if key in seen:
+            return 0
+        seen.add(key)
+        return 1
+
+    if isinstance(cond, C.ConstantCondition):
+        return 0
+    if isinstance(cond, (C.AndCondition, C.OrCondition)):
+        return sum(_jc_cost(c, seen, path) for c in cond.conditions)
+    if isinstance(cond, C.NotCondition):
+        return _jc_cost(cond.condition, seen, path)
+    if isinstance(cond, C.EqualCondition):
+        if cond.value is None:
+            return op("isnull")
+        tag = ("bool" if is_bool(cond.value)
+               else "num" if is_number(cond.value) else "str")
+        return op("sov") + op(f"cast:{tag}")
+    if isinstance(cond, C.InCondition):
+        return sum(
+            _jc_cost(C.EqualCondition(v), seen, path) for v in cond.values
+        )
+    if isinstance(cond, C.ComparisonCondition):
+        if isinstance(cond.value, str):
+            return op("sov") + op("cast:str")
+        return op("sov") + op("cast:num") + op("cast:dbl")
+    if isinstance(cond, C.IsCondition):
+        return op("isnull") if cond.state in ("undefined", "defined") else op("sov")
+    if isinstance(cond, C.LikeCondition):
+        return op("sov") + op("cast:str")
+    if isinstance(cond, C.ContainsCondition):
+        # exists() evaluates per element — CSE doesn't amortize inside
+        # the lambda, so each sought value pays its ops per array element
+        return op("cast:arr") + 2 * max(len(cond.values), 1)
+    if isinstance(cond, C.MapCondition):
+        total = op("sov")
+        for key, sub in cond.entries.items():
+            child = f"{path}.{key}"
+            total += 1 if (child, "get") not in seen else 0
+            seen.add((child, "get"))
+            total += _jc_cost(sub, seen, child)
+        return total
+    return 99  # uncompilable shapes never reach the cost decision
+
+
+#: VARIANT-vs-UDF break-even in distinct ops: per-op ≈ 0.3 s/M rows,
+#: Arrow interpreter ≈ 0.9 s/M rows flat on these documents (measured
+#: sf0.1, local[32]) — beyond ~4 ops the JVM plan loses to the UDF.
+VARIANT_MAX_OPS = 4
+
+
+def condition_column_json(cond: C.Condition, json_col: Column,
+                          variant_max_ops: int = VARIANT_MAX_OPS) -> Column:
+    """Generic-path front door, three tiers chosen by measured cost:
+
+    1. the consolidated from_json scalar compile when the shape allows
+       (one parse per type-class shared across keys — the cheapest plan;
+       ~0.6 s/M-row scan at sf0.1),
+    2. the VARIANT compile (strings, arrays, nested maps, three-state —
+       zero Python) when its distinct-op estimate stays at or under
+       ``variant_max_ops`` (each distinct schema_of_variant/variant_get
+       costs ≈ 0.3 s per 1M rows; identical ops are codegen-CSE'd),
+    3. the Arrow-batched interpreter UDF — flat ≈ 0.9 s per 1M rows
+       here, which beats an op-heavy VARIANT plan (measured 2.9 s vs
+       0.9 s on a 7-op condition) but loses to cheap JVM plans and pays
+       Python-worker transfer that grows with document size.
+
+    Callers always get a correct filter and the best measured plan;
+    raise ``variant_max_ops`` to force more shapes JVM-side (e.g. when
+    Python workers are the cluster bottleneck)."""
     try:
         return compile_json_condition_fast(cond, json_col)
     except CompileError:
         pass
-    try:
-        return compile_json_condition(cond, json_col)
-    except CompileError:
-        return condition_udf(cond)(json_col)
+    if _jc_cost(cond) <= variant_max_ops:
+        try:
+            return compile_json_condition(cond, json_col)
+        except CompileError:
+            return condition_udf(cond)(json_col)
+    return condition_udf(cond)(json_col)
 
 
 # ---------------------------------------------------------------------------
