@@ -655,7 +655,7 @@ def q_queue_kafka(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.acknowledge(
         "gate", [m["id"] for m in polled if m["payload"]["c"] < 10_000]
     )
-    return q._visible("gate").select(
+    return q.visible("gate").select(
         F.get_json_object("payload", "$.e").cast("long").alias("event_id"),
         F.get_json_object("payload", "$.c").cast("long").alias("cents"),
     )
@@ -691,7 +691,11 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     value hits a heavy bucket at every level (codegen isin filter). The
     construction is deterministic and has no false negatives, so the
     result is exactly the true heavy set and the oracle demands exact
-    equality."""
+    equality. buckets is auto-sized from one cheap count
+    (next_pow2(4*N/threshold)) so the candidate filter provably prunes —
+    the r6 fixed default (4096) saturated ~96% of buckets at this
+    threshold, degenerating pass 2 into the full groupBy it exists to
+    avoid."""
     from emodb_spark.pipeline.sketch import heavy_hitters
 
     li = _read(spark, sf_dir, "lineitem")
@@ -701,6 +705,88 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_HEAVY_HITTERS = """
 SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n
 FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 45
+"""
+
+
+def q_cms_stream_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min state, oracle-gated end to end: lineitem is
+    split into 3 deterministic micro-batches (l_linenumber % 3), each
+    merged into a CmsStreamState (emodb_spark.pipeline.sketch) — the
+    exact kernel the foreachBatch stream runs — then pass 2
+    (filter_heavy) exact-counts the CMS-heavy candidates over the full
+    corpus. Counter addition is mergeable, so the state equals the batch
+    sketch whatever the batching, and the candidate filter has no false
+    negatives while the final >=threshold filter removes false
+    positives: the output is EXACTLY the true heavy set — oracle = plain
+    groupBy-HAVING. State lives in a session temp dir (the returned
+    plan's broadcast side reads it lazily)."""
+    import tempfile
+
+    from emodb_spark.pipeline.sketch import CmsStreamState
+
+    li = _read(spark, sf_dir, "lineitem").select("l_partkey", "l_linenumber")
+    base = tempfile.mkdtemp(prefix="emodb_cms_gate_")
+    # 16384 buckets keeps the state (buckets*depth rows) cheap to merge
+    # per micro-batch while the candidate filter still prunes >90% of
+    # corpus rows at sf0.1 (the degeneracy guard would fall back to the
+    # plain groupBy if a stream outgrew the width)
+    state = CmsStreamState(
+        spark, os.path.join(base, "state"), buckets=16384, depth=3
+    )
+    for b in range(3):
+        state.merge_batch(li.filter(F.col("l_linenumber") % 3 == b), "l_partkey")
+    return state.filter_heavy(li.select("l_partkey"), "l_partkey", threshold=45)
+
+
+ORACLE_CMS_STREAM_HEAVY = """
+SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 45
+"""
+
+
+def q_kmv_stream_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KMV bottom-k state, oracle-gated: events split into 3
+    deterministic micro-batches (event_id % 3) merged through
+    KmvStreamState — correct because bottom-k(A ∪ B) =
+    bottom-k(bottom-k(A) ∪ bottom-k(B)) — then the state's sketch():
+    per-group (n_kept, kth_min, est_distinct). The keyed-MD5 hash makes
+    the whole state bit-reproducible in DuckDB (md5 + substr + hex cast
+    replay, same (k-1)*2^56 div kth_min estimator), so the oracle
+    demands exact equality — batch ≡ stream ≡ cross-engine."""
+    import tempfile
+
+    from emodb_spark.pipeline.sketch import KmvStreamState
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type", "user_id", "event_id"
+    )
+    base = tempfile.mkdtemp(prefix="emodb_kmv_gate_")
+    state = KmvStreamState(spark, os.path.join(base, "state"), k=64)
+    for b in range(3):
+        state.merge_batch(
+            ev.filter(F.col("event_id") % 3 == b), "event_type", "user_id"
+        )
+    return state.sketch()
+
+
+ORACLE_KMV_STREAM_EST = """
+WITH d AS (
+  SELECT DISTINCT CAST(event_type AS VARCHAR) AS grp,
+         CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 14))
+              AS BIGINT) AS h
+  FROM events
+), b AS (
+  SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn FROM d
+), a AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         CAST(MAX(h) AS BIGINT) AS kth_min
+  FROM b WHERE rn <= 64 GROUP BY grp
+)
+SELECT grp, n_kept, kth_min,
+       CAST(CASE WHEN n_kept < 64 THEN n_kept
+                 ELSE 4539628424389459968 // kth_min END AS BIGINT)
+         AS est_distinct
+FROM a
 """
 
 
@@ -6530,6 +6616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r3-row queries defer to r7 (window arithmetic): text_stats,
         # timeline_events, top_orders, vocab_topk, ann_lsh_topk,
         # audio_chunks, simhash_near_dups — they lead the tail.
+        "cms_stream_heavy": q_cms_stream_heavy,
+        "kmv_stream_est": q_kmv_stream_est,
         "star_clusters": q_star_clusters,
         "mmr_select": q_mmr_select,
         "validate_log": q_validate_log,
@@ -6691,6 +6779,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "cms_stream_heavy": ORACLE_CMS_STREAM_HEAVY,
+        "kmv_stream_est": ORACLE_KMV_STREAM_EST,
         "star_clusters": ORACLE_STAR_CLUSTERS,
         "mmr_select": ORACLE_MMR_SELECT,
         "validate_log": ORACLE_VALIDATE_LOG,

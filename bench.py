@@ -28,6 +28,8 @@ BENCH_QUERIES = [
     "condition_generic_json",  # schemaless compiled path (fast from_json tier)
     "condition_variant_scan",  # schemaless compiled VARIANT tier
     "heavy_hitters",         # two-pass count-min hot keys
+    "cms_stream_heavy",      # streaming CMS state fold + exact pass 2
+    "kmv_stream_est",        # streaming KMV bottom-k state
     # analytics
     "pricing_summary",
     "revenue_by_nation",

@@ -101,3 +101,13 @@ class TimeUUIDGenerator:
                 self._node & 0xFFFFFFFFFFFF,
             )
             return str(_uuid.UUID(fields=fields))
+
+    @property
+    def last_100ns(self) -> int:
+        """UUID-epoch timestamp (100ns ticks) of the newest id this
+        generator has issued — 0 (or the deterministic start) if none.
+        Lets callers (e.g. transport-mode purge) pick a watermark that
+        covers every issued id even when the deterministic clock runs
+        ahead of wall time."""
+        with self._lock:
+            return self._last_100ns

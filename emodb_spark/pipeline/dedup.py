@@ -520,6 +520,7 @@ def near_dup_clusters_star(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     contraction (Kiveris et al. 2014, "Connected Components in MapReduce
@@ -584,29 +585,48 @@ def near_dup_clusters_star(
         )
 
     converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         E = small_star(large_star(E)).localCheckpoint(eager=True)
         # Termination: small_star output is always oriented big → small,
-        # so the edge set is a union of DISJOINT min-centered stars as
-        # soon as no node is both a source and a target (one cheap
-        # semi-join on two long columns). Disjoint stars are exactly the
-        # LS/SS fixpoint: large_star maps each star to itself (the
-        # center is its star's minimum), and small_star regenerates the
-        # same edges — and since both transformations preserve the
-        # component partition (Kiveris 2014 Lemma 1), each center is the
-        # MIN of its original component. This detects convergence the
-        # round it happens — an edge-set-equality check (count +
-        # exceptAll, the previous implementation) needs one extra
-        # no-change round to observe it and pays a full multiset
-        # difference every round.
-        if (
+        # so the edge set is a union of DISJOINT min-centered stars
+        # exactly when BOTH (1) no node is both a source and a target
+        # (two-level structure) AND (2) every source keeps a single
+        # target. Condition (1) alone is NOT sufficient: on edges
+        # (1,10),(2,11),(3,10),(3,11) — one connected component — no
+        # node is both source and target, yet node 3 sits in two
+        # "stars" and declaring convergence there would split the
+        # component (and skip the min-per-node fallback, emitting
+        # duplicate id rows). Disjoint stars ARE the LS/SS fixpoint:
+        # large_star maps each star to itself (the center, being
+        # smaller than every leaf, is its star's minimum) and
+        # small_star regenerates the same edges — and since both
+        # transformations preserve the component partition (Kiveris
+        # 2014 Lemma 1), each center is the MIN of its original
+        # component. Both violation probes are unioned into ONE lazy
+        # plan so isEmpty() is a single short-circuiting job; E is
+        # distinct, so count(*) per source counts distinct targets.
+        multi_target = (
+            E.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1)
+            .select(F.lit(1).alias("viol"))
+        )
+        two_level_break = (
             E.select("a")
             .join(E.select(F.col("b").alias("a")), "a", "left_semi")
-            .isEmpty()
-        ):
+            .select(F.lit(1).alias("viol"))
+        )
+        if multi_target.unionAll(two_level_break).isEmpty():
             converged = True
             break
 
+    if stats is not None:
+        # observability for scale probes: round count is the log-diameter
+        # claim made concrete (SCALE.md "star_clusters at 10x")
+        stats["rounds"] = rounds
+        stats["converged"] = converged
     labels = nodes.join(
         E.select(F.col("a").alias("id"), F.col("b").alias("lab")), "id", "left"
     ).select("id", F.coalesce("lab", F.col("id")).alias("lab"))

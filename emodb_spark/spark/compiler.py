@@ -640,8 +640,16 @@ def _jc_contains(cond: C.ContainsCondition, v: Column) -> Column:
         return F.lit(True)
     if cond.containment == C.ContainsCondition.ONLY:
         raise CompileError("containsOnly(non-empty) needs the interpreter")
-    tests = [F.exists(arr, lambda e, val=val: _jc_equal(val, e))
-             for val in cond.values]
+
+    # Bind the literal through a factory, NOT a `val=val` default arg:
+    # F.exists introspects the lambda's arity, and a 2-parameter lambda
+    # is the (element, index) form — the default-arg spelling bound
+    # `val` to the INDEX column, so every contains() raised here and
+    # silently fell back to the Arrow tier (found r7).
+    def _test(val):
+        return F.exists(arr, lambda e: _jc_equal(val, e))
+
+    tests = [_test(val) for val in cond.values]
     out = tests[0]
     for t in tests[1:]:
         out = (out & t) if cond.containment == C.ContainsCondition.ALL else (out | t)
@@ -777,11 +785,35 @@ def _jc_cost(cond: C.Condition, seen=None, path: str = "$") -> int:
 #: VARIANT-vs-UDF break-even in distinct ops: per-op ≈ 0.3 s/M rows,
 #: Arrow interpreter ≈ 0.9 s/M rows flat on these documents (measured
 #: sf0.1, local[32]) — beyond ~4 ops the JVM plan loses to the UDF.
+#: These constants are THIS box's measurements; on a cluster where
+#: Python workers are the bottleneck (or documents are much larger,
+#: inflating Arrow transfer) the break-even moves. Override per session
+#: via ``spark.conf.set("spark.emodb.variantMaxOps", N)`` after one
+#: timed probe (SCALE.md "VARIANT tier calibration"): time a
+#: representative condition on the VARIANT tier (compile_json_condition)
+#: and on the Arrow tier (condition_udf) over ~1M rows, then set
+#: N = floor(arrow_sec / variant_sec_per_op).
 VARIANT_MAX_OPS = 4
+VARIANT_MAX_OPS_CONF = "spark.emodb.variantMaxOps"
+
+
+def _variant_max_ops_default() -> int:
+    """The session's calibrated break-even, else the module default."""
+    try:
+        from pyspark.sql import SparkSession
+
+        s = SparkSession.getActiveSession()
+        if s is not None:
+            v = s.conf.get(VARIANT_MAX_OPS_CONF, None)
+            if v is not None:
+                return int(v)
+    except Exception:
+        pass
+    return VARIANT_MAX_OPS
 
 
 def condition_column_json(cond: C.Condition, json_col: Column,
-                          variant_max_ops: int = VARIANT_MAX_OPS) -> Column:
+                          variant_max_ops: int | None = None) -> Column:
     """Generic-path front door, three tiers chosen by measured cost:
 
     1. the consolidated from_json scalar compile when the shape allows
@@ -798,7 +830,11 @@ def condition_column_json(cond: C.Condition, json_col: Column,
 
     Callers always get a correct filter and the best measured plan;
     raise ``variant_max_ops`` to force more shapes JVM-side (e.g. when
-    Python workers are the cluster bottleneck)."""
+    Python workers are the cluster bottleneck) — per call here, or for
+    the whole session via the ``spark.emodb.variantMaxOps`` conf (see
+    the module-level calibration note above ``VARIANT_MAX_OPS``)."""
+    if variant_max_ops is None:
+        variant_max_ops = _variant_max_ops_default()
     try:
         return compile_json_condition_fast(cond, json_col)
     except CompileError:

@@ -165,9 +165,13 @@ class QueueService:
 
     # -- consumer ----------------------------------------------------------
 
-    def _visible(self, queue: str) -> DataFrame:
-        """Unclaimed (or claim-expired) messages of a queue; the dedup
-        variant collapses identical payloads keeping the oldest id."""
+    def visible(self, queue: str) -> DataFrame:
+        """PUBLIC peek surface: the queue's currently-visible messages —
+        unclaimed (or claim-expired), un-acked, un-purged — as a
+        DataFrame (queue, msg_id, payload), unlimited (the row-limited
+        client spelling is :meth:`peek`; the reference's peek is public
+        surface too — queue-api QueueService.peek). The dedup variant
+        collapses identical payloads keeping the oldest id."""
         now = self._clock()
         msgs = self._unacked(queue)
         claims = self._read(self._claims_path(), CLAIMS_SCHEMA).filter(
@@ -245,13 +249,13 @@ class QueueService:
 
     def peek(self, queue: str, limit: int = 10) -> List[dict]:
         """Non-destructive inspection (BaseQueueService.peek)."""
-        rows = self._visible(queue).orderBy(*self._time_order()).limit(limit).collect()
+        rows = self.visible(queue).orderBy(*self._time_order()).limit(limit).collect()
         return [{"id": r["msg_id"], "payload": json.loads(r["payload"])} for r in rows]
 
     def poll(self, queue: str, claim_ttl_s: int = 30, limit: int = 10) -> List[dict]:
         """Claim up to ``limit`` messages for ``claim_ttl_s`` (at-least-once:
         unacked claims expire and messages become visible again)."""
-        rows = self._visible(queue).orderBy(*self._time_order()).limit(limit).collect()
+        rows = self.visible(queue).orderBy(*self._time_order()).limit(limit).collect()
         if rows:
             until = self._clock() + claim_ttl_s * 1000
             claim_rows = [(queue, r["msg_id"], until) for r in rows]
@@ -327,7 +331,7 @@ class QueueService:
     def message_count(self, queue: str, up_to: Optional[int] = None) -> int:
         """getMessageCountUpTo (BaseQueueService.java:45): exact count,
         short-circuited at ``up_to``."""
-        df = self._visible(queue)
+        df = self.visible(queue)
         if up_to is not None:
             return df.limit(up_to + 1).count()
         return df.count()
@@ -361,7 +365,7 @@ class QueueService:
         the driver. ``persist`` pins one snapshot of the visible set so
         the destination write and the ack write cannot diverge (claims
         expiring between the two actions would otherwise change the set)."""
-        visible = self._visible(from_queue).persist()
+        visible = self.visible(from_queue).persist()
         try:
             n = visible.count()
             if n == 0:

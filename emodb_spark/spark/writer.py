@@ -258,7 +258,8 @@ class UpdateLog:
         if self.transport is not None:
             import time as _time
 
-            from .resolve_ops import _UUID_EPOCH_OFFSET_100NS
+            from .resolve_ops import _UUID_EPOCH_OFFSET_100NS, change_id_ticks
+            from .streaming.transport import decode_kafka
 
             # end of the current millisecond: covers ids stamped this ms
             # including their monotonic +1-tick bumps (same idiom as
@@ -268,6 +269,23 @@ class UpdateLog:
                 + _UUID_EPOCH_OFFSET_100NS
                 - 1
             )
+            # Wall clock alone is NOT a valid watermark: a deterministic
+            # generator (fixed start_millis, +1ms per id) or a
+            # caller-supplied change_id can tick past wall time, and
+            # file-mode purge drops ALL of the table's rows regardless.
+            # Cover both: the generator's newest issued tick, and the
+            # newest tick actually on the topic for this table (one
+            # max-aggregate over the unfiltered log — purge is a rare
+            # admin op, the scan is acceptable and exact).
+            upto = max(upto, self._gen.last_100ns)
+            published = (
+                decode_kafka(self._kafka_source(streaming=False), LOG_SCHEMA)
+                .filter(F.col("tbl") == F.lit(table))
+                .agg(F.max(change_id_ticks(F.col("change_id"))).alias("mx"))
+                .collect()
+            )
+            if published and published[0]["mx"] is not None:
+                upto = max(upto, int(published[0]["mx"]))
             self.spark.createDataFrame(
                 [(table, upto)], "tbl string, upto long"
             ).write.mode("append").parquet(self._purges_path())

@@ -685,3 +685,40 @@ def test_json_front_door_falls_back(spark):
     undef = parse_condition('{..,"k":is(undefined)}')
     assert [r["i"] for r in
             df.filter(condition_column_json(undef, F.col("doc"))).collect()] == [5]
+
+
+def test_variant_max_ops_session_conf_override(spark):
+    """spark.emodb.variantMaxOps recalibrates the VARIANT-vs-Arrow
+    break-even per session (the shipped constant is a single-box
+    measurement): 0 forces every non-fast-tier shape to the Arrow UDF,
+    a high value forces them JVM-side — same rows either way."""
+    from emodb_spark.spark.compiler import VARIANT_MAX_OPS_CONF
+
+    df = spark.createDataFrame(
+        [(1, '{"k": [1, 3]}'), (2, '{"k": [2]}'), (3, '{"k": 3}'), (4, "{}")],
+        "i long, doc string",
+    )
+    # array containsAny: fast (scalar) tier can't express it → the
+    # tiered choice is VARIANT vs Arrow, decided by the conf. Its
+    # _jc_cost is 5 — above the shipped default of 4, so with no conf
+    # set it routes to Arrow; a recalibrated session flips it JVM-side.
+    cond = parse_condition('{..,"k":containsAny(3)}')
+
+    def plan_of(out):
+        return out._jdf.queryExecution().executedPlan().toString()
+
+    out = df.filter(condition_column_json(cond, F.col("doc")))
+    assert "ArrowEvalPython" in plan_of(out)  # default break-even: UDF
+    assert [r["i"] for r in out.collect()] == [1]
+
+    spark.conf.set(VARIANT_MAX_OPS_CONF, "16")
+    try:
+        out_hi = df.filter(condition_column_json(cond, F.col("doc")))
+        assert "ArrowEvalPython" not in plan_of(out_hi)  # VARIANT tier
+        assert [r["i"] for r in out_hi.collect()] == [1]
+        # an explicit per-call value still wins over the session conf
+        out0 = df.filter(condition_column_json(cond, F.col("doc"),
+                                               variant_max_ops=0))
+        assert "ArrowEvalPython" in plan_of(out0)
+    finally:
+        spark.conf.unset(VARIANT_MAX_OPS_CONF)

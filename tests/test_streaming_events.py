@@ -497,3 +497,87 @@ def test_streaming_cms_heavy_hitters_matches_batch(spark, sf_dir, tmp_path):
         .agg(F.count(F.lit(1)).cast("long").alias("n")).collect()
     }
     assert all(est[k] >= n for k, n in true.items())
+
+
+def test_stream_state_swap_survives_crash_windows(spark, tmp_path):
+    """Regression (r6 advisory): the state swap used rmtree(state) then
+    move(next, state) — a crash between the two left NO state dir and the
+    sketch silently restarted from empty. The fixed swap (write __next,
+    move live aside to __old, promote, drop __old) must leave a readable,
+    current state at every crash point, for reads AND the next merge."""
+    import shutil
+
+    from emodb_spark.pipeline.sketch import CmsStreamState
+
+    path = str(tmp_path / "cms_state")
+    state = CmsStreamState(spark, path, buckets=64, depth=2)
+    b1 = spark.range(100).select((F.col("id") % 7).cast("string").alias("v"))
+    b2 = spark.range(50).select((F.col("id") % 7).cast("string").alias("v"))
+    state.merge_batch(b1, "v")
+    total_after_b1 = state.sketch().groupBy("lvl").agg(F.sum("n").alias("s"))
+    assert {r["s"] for r in total_after_b1.collect()} == {100}
+
+    # crash window A: __next fully written, promote never happened
+    # (simulate: next merge wrote __next then died before the swap)
+    state2 = CmsStreamState(spark, path, buckets=64, depth=2)
+    incoming = (
+        b2.select(
+            F.posexplode(F.array(*state2._levels("v"))).alias("lvl", "b")
+        )
+        .groupBy("lvl", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    merged = (
+        state2._prior().unionByName(incoming).groupBy("lvl", "b")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    merged.write.mode("overwrite").parquet(path + "__next")
+    # crash window B: live dir moved aside, promote not done — the worst
+    # case for the old code (state dir missing entirely)
+    shutil.move(path, path + "__old")
+    # reads fall back to the completed __next
+    assert {
+        r["s"]
+        for r in CmsStreamState(spark, path, buckets=64, depth=2)
+        .sketch().groupBy("lvl").agg(F.sum("n").alias("s")).collect()
+    } == {150}
+    # the next merge repairs (promotes __next, drops __old) then merges
+    b3 = spark.range(25).select((F.col("id") % 7).cast("string").alias("v"))
+    state3 = CmsStreamState(spark, path, buckets=64, depth=2)
+    state3.merge_batch(b3, "v")
+    assert {
+        r["s"]
+        for r in state3.sketch().groupBy("lvl").agg(F.sum("n").alias("s")).collect()
+    } == {175}
+    import os
+
+    assert os.path.exists(path)
+    assert not os.path.exists(path + "__old")
+    assert not os.path.exists(path + "__next")
+
+
+def test_cms_filter_heavy_degenerate_state_falls_back(spark, tmp_path):
+    """A state too narrow for the threshold (mean bucket load >= threshold
+    → ~every bucket heavy) cannot prune; filter_heavy must warn and fall
+    back to the plain groupBy — and stay exact."""
+    import warnings
+
+    from emodb_spark.pipeline.sketch import CmsStreamState
+
+    df = spark.range(4_000).select(
+        (F.col("id") % 400).cast("string").alias("v")
+    )
+    state = CmsStreamState(spark, str(tmp_path / "narrow"), buckets=16, depth=2)
+    state.merge_batch(df, "v")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = {(r["v"], r["n"]) for r in state.filter_heavy(df, "v", 10).collect()}
+    exact = {
+        (r["v"], r["n"])
+        for r in df.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") >= 10)
+        .collect()
+    }
+    assert got == exact and len(got) == 400
+    assert any("degenerate" in str(c.message) for c in caught)

@@ -185,3 +185,33 @@ def test_update_log_kafka_purge_watermark(spark, tmp_path):
      .trigger(availableNow=True).start().awaitTermination(120))
     got = [(r["tbl"], r["delta"]) for r in spark.read.parquet(sink).collect()]
     assert sorted(got) == sorted([("t:b", '{"v":9}'), ("t:a", '{"v":2}')])
+
+
+def test_update_log_kafka_purge_covers_ahead_of_wall_clock(spark, tmp_path):
+    """Regression (r6 advisory): transport-mode purge must hide records
+    whose change-id ticks run AHEAD of wall clock — a deterministic
+    generator with a future start_millis (the class's own synthetic-log
+    mode), or a caller-supplied change_id. File-mode purge drops ALL of
+    a table's rows regardless of ticks; transport mode must match."""
+    import time
+
+    from emodb_spark.core.timeuuid import TimeUUIDGenerator
+    from emodb_spark.spark.streaming.transport import ParquetTopicTransport
+
+    future_ms = int(time.time() * 1000) + 3_600_000  # one hour ahead
+    gen = TimeUUIDGenerator(node=7, start_millis=future_ms)
+    t = ParquetTopicTransport(str(tmp_path / "topic"))
+    log = UpdateLog(spark, str(tmp_path / "state"), generator=gen, transport=t)
+    log.update("t:a", "k1", '{"v":1}')
+    log.update("t:a", "k2", '{"v":2}')
+    log.update("t:b", "k9", '{"v":9}')
+
+    log.purge("t:a")
+    assert {r["tbl"] for r in log.read().collect()} == {"t:b"}
+
+    # a caller-supplied change id even further ahead, purged again
+    far = TimeUUIDGenerator(node=8, start_millis=future_ms + 3_600_000).next()
+    log.update_all([Update("t:a", "k3", '{"v":3}', change_id=far)])
+    assert {r["key"] for r in log.read().collect()} == {"k9", "k3"}
+    log.purge("t:a")
+    assert {r["tbl"] for r in log.read().collect()} == {"t:b"}
