@@ -16,6 +16,10 @@ Kafka hash-partitions by key, so all deltas of one document land in one
 partition in order, preserving the per-key fold ordering the resolver
 depends on (same guarantee the reference gets from its Kafka ref topics —
 megabus MegabusRefTopic partitioning).
+
+The connector-facing contract (format, reader/writer options, record
+shape) is pinned broker-free by tests/test_transport_contract.py, which
+also carries the deployment checklist (jar, offsets, retention).
 """
 
 from __future__ import annotations
