@@ -4719,6 +4719,39 @@ FROM lat WHERE lat IS NOT NULL
 """
 
 
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (emodb_spark.pipeline.curation.
+    source_cap_sample): no source contributes more than 40 documents,
+    keeping its best by (n_chars desc, doc_id asc) — the web-corpus
+    "domain quota" op. The row_number window compiles to a MAP-SIDE
+    WindowGroupLimit below the Exchange (plan-asserted in
+    test_curation.py), so a mega-source ships `cap` rows, not all of
+    them — the optimizer already runs the two-phase top-k plan."""
+    from emodb_spark.pipeline.curation import source_cap_sample
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return source_cap_sample(
+        docs, "source", "n_chars", cap=40
+    ).select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("cap_rank").cast("long").alias("cap_rank"),
+    )
+
+
+ORACLE_SOURCE_CAP = """
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(rn AS BIGINT) AS cap_rank
+FROM (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents)
+WHERE rn <= 40
+"""
+
+
 def q_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-free train/val/test assignment: the split key is the
     USER's hash, not the row's, so every event of a user lands in one
@@ -6608,21 +6641,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
-        # Round-6 window (first 50 = the driver CORRECTNESS window):
-        # 5 new gates (star/MMR/validate_log for the round-5 library-only
-        # operators; condition_variant_scan + queue_kafka for this
-        # round's VARIANT compile tier and kafka-transport queue),
-        # doc_pagerank (kernel re-planned this round: persisted edge
-        # list), the 10 stale-kernel veterans the r5 verdict asks to
-        # re-witness (the r5 lexer fast paths rewrote the fold/condition
-        # kernel under them; event_sessions additionally retires the
-        # stale r3 red row), then the oldest driver rows (r3). Seven
-        # r3-row queries defer to r7 (window arithmetic): text_stats,
-        # timeline_events, top_orders, vocab_topk, ann_lsh_topk,
-        # audio_chunks, simhash_near_dups — they lead the tail.
+    all_q = {
         "cms_stream_heavy": q_cms_stream_heavy,
         "kmv_stream_est": q_kmv_stream_est,
+        "source_cap": q_source_cap,
         "star_clusters": q_star_clusters,
         "mmr_select": q_mmr_select,
         "validate_log": q_validate_log,
@@ -6780,12 +6802,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "quality_classifier": q_quality_classifier,
     }
+    # The driver records CORRECTNESS from the FIRST 50 entries, so the
+    # window below leads the dict. Round-7 window: the 2 never-witnessed
+    # gates (streaming sketch states), the 7 gates whose kernels round 7
+    # rewrote (sketch two-pass/broadcast pass 2, star convergence probe,
+    # VARIANT contains + session-conf tiering, queue public peek), then
+    # the stalest driver rows — all 7 remaining r3 rows and the oldest
+    # 41-slot cut of the r4 rows (alphabetical; the 13 r4 rows that
+    # didn't fit defer to r8: promo_share..zorder_layout tail noted in
+    # COVERAGE.md). Everything else keeps its registry order behind the
+    # window and is re-verified by tools/oracle_check.py instead.
+    window = [
+        "cms_stream_heavy", "kmv_stream_est", "source_cap",
+        "heavy_hitters", "star_clusters", "condition_generic_json",
+        "condition_variant_scan", "queue_kafka", "queue_dedup",
+        "kmv_distinct",
+        # r3 driver rows (the oldest anywhere)
+        "ann_lsh_topk", "audio_chunks", "simhash_near_dups", "text_stats",
+        "timeline_events", "top_orders", "vocab_topk",
+        # r4 driver rows, oldest cut (alphabetical)
+        "bigram_surprisal", "bitext_mining", "bloom_filters",
+        "bloom_join_reduction", "budget_sample", "compression_ratio",
+        "conversion_latency", "customer_orders", "dup_score",
+        "embedding_quantize", "event_anomalies", "event_mad",
+        "event_props", "event_rolling", "event_trailing_7d",
+        "event_transitions", "event_trend", "exact_jaccard_join",
+        "fuzzy_name_join", "graph_triangles", "group_split",
+        "inverted_index", "k_anonymity", "local_supply", "merge_orders",
+        "min_cost_supplier", "nation_trade", "negative_samples",
+        "order_priority", "paragraph_dedup", "phrase_search",
+        "pipeline_funnel", "quality_classifier",
+    ]
+    assert len(window) == 50 and len(set(window)) == 50
+    out = {k: all_q[k] for k in window}
+    out.update((k, v) for k, v in all_q.items() if k not in out)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
     return {
         "cms_stream_heavy": ORACLE_CMS_STREAM_HEAVY,
         "kmv_stream_est": ORACLE_KMV_STREAM_EST,
+        "source_cap": ORACLE_SOURCE_CAP,
         "star_clusters": ORACLE_STAR_CLUSTERS,
         "mmr_select": ORACLE_MMR_SELECT,
         "validate_log": ORACLE_VALIDATE_LOG,

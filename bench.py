@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "heavy_hitters",         # two-pass count-min hot keys
     "cms_stream_heavy",      # streaming CMS state fold + exact pass 2
     "kmv_stream_est",        # streaming KMV bottom-k state
+    "source_cap",            # domain quota via map-side WindowGroupLimit
     # analytics
     "pricing_summary",
     "revenue_by_nation",

@@ -302,6 +302,42 @@ def dataset_report(
     )
 
 
+def source_cap_sample(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str = "doc_id",
+    cap: int = 1000,
+) -> DataFrame:
+    """Per-source ABSOLUTE cap — the "domain quota" curation op: no one
+    source may contribute more than ``cap`` documents, and the ones kept
+    are its best (rank by score desc, ties by id asc — a total order, so
+    the selection is deterministic and replayable in any engine).
+    Complements :func:`top_fraction_per_group` (relative retention) and
+    :func:`sample_k_per_group` (uniform, score-blind): web-scale corpora
+    cap domains to stop boilerplate-heavy mega-domains from dominating
+    the mixture.
+
+    Returns the input columns plus ``cap_rank`` (1..cap).
+
+    Scale shape: ONE shuffle on the source key — and the mega-domain
+    problem solves itself in the physical plan: Spark's WindowGroupLimit
+    rule turns the ``row_number() <= cap`` filter into a MAP-SIDE group
+    limit (plan-asserted in tests), so every task emits at most ``cap``
+    rows per source BEFORE the exchange; a billion-row domain ships
+    ``cap`` rows, not a billion, and the post-shuffle task ranks at most
+    ``tasks_upstream * cap`` survivors. (This is why the op uses the
+    window spelling rather than a hand-rolled two-phase top-k — the
+    optimizer already runs the two-phase plan.)"""
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("cap_rank", F.row_number().over(w))
+        .filter(F.col("cap_rank") <= F.lit(int(cap)))
+    )
+
+
 def sample_k_per_group(
     df: DataFrame,
     group_col: str,

@@ -124,6 +124,37 @@ def test_dataset_report_rollup_and_shares(spark):
     assert grand["avg_chars"] == (3 + 5 + 1 + 3) / 4
 
 
+def test_source_cap_sample_exact_and_mapside_limited(spark):
+    """Domain cap: keeps exactly the top-cap docs per source by
+    (score desc, id asc) — differential vs a driver-side sort — and the
+    physical plan must carry a WindowGroupLimit BELOW the Exchange (the
+    map-side group limit that makes a mega-domain ship `cap` rows, not
+    all of them)."""
+    from emodb_spark.pipeline.curation import source_cap_sample
+
+    rows = [(i, ("web" if i % 3 else "books"), (i * 37) % 100) for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, score long")
+    out = source_cap_sample(docs, "source", "score", cap=25)
+    got = {(r["source"], r["cap_rank"], r["doc_id"]) for r in out.collect()}
+
+    want = set()
+    for src in ("web", "books"):
+        grp = sorted(
+            [r for r in rows if r[1] == src], key=lambda r: (-r[2], r[0])
+        )[:25]
+        want |= {(src, i + 1, r[0]) for i, r in enumerate(grp)}
+    assert got == want and len(got) == 50
+
+    # single executed-plan tree (parents above children): the PARTIAL
+    # (map-side, pre-shuffle) limit is a WindowGroupLimit printed BELOW
+    # the Exchange line
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.rindex("WindowGroupLimit") > plan.index("Exchange"), (
+        "expected a map-side WindowGroupLimit below the Exchange:\n" + plan
+    )
+
+
 def test_sample_k_per_group_exact_and_prefiltered_agree(spark):
     from emodb_spark.pipeline.curation import sample_k_per_group
 
