@@ -724,19 +724,15 @@ def q_cms_stream_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from emodb_spark.pipeline.sketch import CmsStreamState
 
-    from emodb_spark.pipeline.sketch import _next_pow2
-
     li = _read(spark, sf_dir, "lineitem").select("l_partkey", "l_linenumber")
     base = tempfile.mkdtemp(prefix="emodb_cms_gate_")
-    # size the state for the stream it will absorb, same rule as
-    # heavy_hitters' auto-sizing (next_pow2(4N/threshold), floor 16384):
-    # a stream that outgrows a fixed width saturates the sketch — the
-    # sf1 probe measured 16381/16384 buckets heavy for a static 16384 at
-    # 10x data, at which point filter_heavy's guard falls back to the
-    # plain groupBy (correct but sketch-less)
-    width = max(16384, _next_pow2(4 * li.count() // 45))
-    state = CmsStreamState(
-        spark, os.path.join(base, "state"), buckets=width, depth=3
+    # size the state for the stream it will absorb (a static width
+    # saturates at scale: the sf1 probe measured 16381/16384 buckets
+    # heavy for a fixed 16384 at 10x data, degrading filter_heavy to
+    # its plain-groupBy fallback)
+    state = CmsStreamState.sized_for(
+        spark, os.path.join(base, "state"),
+        expected_rows=li.count(), threshold=45,
     )
     for b in range(3):
         state.merge_batch(li.filter(F.col("l_linenumber") % 3 == b), "l_partkey")

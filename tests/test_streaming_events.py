@@ -556,6 +556,23 @@ def test_stream_state_swap_survives_crash_windows(spark, tmp_path):
     assert not os.path.exists(path + "__next")
 
 
+def test_cms_state_sized_for_matches_autosize_rule(spark, tmp_path):
+    """sized_for applies heavy_hitters' next_pow2(4N/threshold) rule with
+    the same clamps — an up-front width choice because streaming state
+    width is fixed at creation."""
+    from emodb_spark.pipeline.sketch import CmsStreamState
+
+    s = CmsStreamState.sized_for(spark, str(tmp_path / "a"),
+                                 expected_rows=600_000, threshold=45)
+    assert s.buckets == 65536  # next_pow2(53333)
+    tiny = CmsStreamState.sized_for(spark, str(tmp_path / "b"),
+                                    expected_rows=10, threshold=100)
+    assert tiny.buckets == 64  # floor
+    big = CmsStreamState.sized_for(spark, str(tmp_path / "c"),
+                                   expected_rows=10**9, threshold=1)
+    assert big.buckets == 1 << 20  # clamp
+
+
 def test_cms_filter_heavy_degenerate_state_falls_back(spark, tmp_path):
     """A state too narrow for the threshold (mean bucket load >= threshold
     → ~every bucket heavy) cannot prune; filter_heavy must warn and fall
