@@ -386,13 +386,35 @@ def heavy_hitters(
     v = F.col(value_col)
     if buckets is None:
         n_rows = df.count()  # one metadata-cheap pass; see docstring
-        buckets = max(
-            64,
-            min(
-                max_buckets,
-                _next_pow2(size_factor * max(n_rows, 1) // max(threshold, 1)),
-            ),
-        )
+        target = _next_pow2(size_factor * max(n_rows, 1) // max(threshold, 1))
+        buckets = max(64, min(max_buckets, target))
+        if threshold * 2 <= n_rows // buckets:
+            # mean bucket load is already >= 2x threshold at the widest
+            # width we'll build: essentially every occupied bucket will
+            # be heavy, so pass 1 would scan the corpus just to discover
+            # saturation. This is the DENSE heavy-hitters regime
+            # (threshold far below N/max_buckets — the heavy set is a
+            # big fraction of the key space); skip the sketch up front.
+            # NOTE deliberately conservative (2x, not the Markov-vacuous
+            # 1/size_factor point): a merely-clamped width often still
+            # prunes — measured at the sf10 probe, a 2^20-wide sketch at
+            # mean load 57 vs threshold 45 kept heavy fractions under
+            # the 50% guard and beat the plain groupBy — and the
+            # post-pass-1 guard still catches anything this pre-check
+            # lets through.
+            warnings.warn(
+                f"heavy_hitters: mean bucket load {n_rows // buckets} >= "
+                f"2x threshold {threshold} at the widest width "
+                f"({buckets}) — dense-heavy regime, using the plain "
+                f"groupBy. Raise max_buckets or threshold to use the "
+                f"sketch.",
+                stacklevel=2,
+            )
+            return (
+                df.groupBy(v.alias(value_col))
+                .agg(F.count(F.lit(1)).cast("long").alias("n"))
+                .filter(F.col("n") >= threshold)
+            )
     levels = [
         F.pmod(F.xxhash64(v, F.lit(f"{seed}:{d}")), F.lit(buckets))
         for d in range(depth)

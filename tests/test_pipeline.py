@@ -2017,6 +2017,35 @@ def test_heavy_hitters_exact_vs_groupby(spark):
     assert empty.columns == ["token", "n"] and empty.count() == 0
 
 
+def test_heavy_hitters_dense_regime_skips_sketch_upfront(spark):
+    """When the auto-size target exceeds max_buckets the Markov bound is
+    vacuous (mean load >= threshold/size_factor) — heavy_hitters must
+    skip pass 1 entirely (dense-heavy regime) and return the exact plain
+    groupBy, with a warning naming the regime."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from emodb_spark.pipeline.sketch import heavy_hitters
+
+    df = spark.range(2_000).select((F.col("id") % 200).cast("string").alias("v"))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = {
+            (r["v"], r["n"])
+            for r in heavy_hitters(df, "v", threshold=5, max_buckets=64).collect()
+        }
+    exact = {
+        (r["v"], r["n"])
+        for r in df.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") >= 5)
+        .collect()
+    }
+    assert got == exact and len(got) == 200
+    assert any("dense-heavy" in str(c.message) for c in caught)
+
+
 def test_heavy_hitters_autosize_actually_prunes(spark):
     """Regression (r6 judge): at the gate's own shape — low threshold,
     big corpus — the OLD fixed default (4096 buckets) marked ~96% of
