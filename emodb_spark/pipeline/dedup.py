@@ -557,18 +557,6 @@ def near_dup_clusters_star(
     # broadcastable, so pin the honest plan (shuffle-hash on the node
     # key) instead of letting the local-mode optimizer pick a broadcast
     # whose driver round-trip also dominates small iterations.
-    def large_star(e):
-        sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        mins = sym.groupBy("a").agg(F.min("b").alias("mn")).hint("shuffle_hash")
-        m = F.least(F.col("mn"), F.col("a")).alias("m")
-        return (
-            sym.join(mins, "a")
-            .where(F.col("b") > F.col("a"))
-            .select(F.col("b").alias("a"), m.alias("b"))
-            .where(F.col("a") != F.col("b"))
-            .distinct()
-        )
-
     def small_star(e):
         # orient big -> small, then point every neighbor AND the center
         # at the center's minimum
@@ -587,40 +575,68 @@ def near_dup_clusters_star(
     converged = False
     rounds = 0
     for _ in range(max_iter):
-        rounds += 1
-        E = small_star(large_star(E)).localCheckpoint(eager=True)
-        # Termination: small_star output is always oriented big → small,
-        # so the edge set is a union of DISJOINT min-centered stars
+        # One tagged symmetrization + ONE O(nodes) aggregate serves both
+        # the convergence probe and large_star's per-node minimum — the
+        # probe reuses the shuffle the round pays anyway (checkpointed,
+        # O(nodes) rows), so detecting convergence is a cheap isEmpty on
+        # cached blocks AND it fires on loop ENTRY, skipping the final
+        # round's LS/SS entirely.
+        #
+        # Termination condition: small_star output is always oriented
+        # big → small, so E is a union of DISJOINT min-centered stars
         # exactly when BOTH (1) no node is both a source and a target
-        # (two-level structure) AND (2) every source keeps a single
-        # target. Condition (1) alone is NOT sufficient: on edges
-        # (1,10),(2,11),(3,10),(3,11) — one connected component — no
-        # node is both source and target, yet node 3 sits in two
-        # "stars" and declaring convergence there would split the
-        # component (and skip the min-per-node fallback, emitting
-        # duplicate id rows). Disjoint stars ARE the LS/SS fixpoint:
-        # large_star maps each star to itself (the center, being
-        # smaller than every leaf, is its star's minimum) and
+        # AND (2) every source keeps a single target. Condition (1)
+        # alone is NOT sufficient: on edges (1,10),(2,11),(3,10),(3,11)
+        # — one connected component — no node is both source and
+        # target, yet node 3 sits in two "stars"; declaring convergence
+        # there would split the component (and skip the min-per-node
+        # fallback, emitting duplicate id rows). Both are per-NODE
+        # properties of the tagged aggregate: `od` = out-degree
+        # (E is distinct, so rows = distinct targets), `deg` = total
+        # incident edges; a node violates iff od > 1 (two targets) or
+        # 0 < od < deg (source AND target). Disjoint stars ARE the
+        # LS/SS fixpoint: large_star maps each star to itself (the
+        # center, smaller than every leaf, is its star's minimum) and
         # small_star regenerates the same edges — and since both
         # transformations preserve the component partition (Kiveris
         # 2014 Lemma 1), each center is the MIN of its original
-        # component. Both violation probes are unioned into ONE lazy
-        # plan so isEmpty() is a single short-circuiting job; E is
-        # distinct, so count(*) per source counts distinct targets.
-        multi_target = (
-            E.groupBy("a")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .filter(F.col("c") > 1)
-            .select(F.lit(1).alias("viol"))
+        # component.
+        sym = E.select("a", "b", F.lit(1).alias("fwd")).unionAll(
+            E.select(
+                F.col("b").alias("a"), F.col("a").alias("b"),
+                F.lit(0).alias("fwd"),
+            )
         )
-        two_level_break = (
-            E.select("a")
-            .join(E.select(F.col("b").alias("a")), "a", "left_semi")
-            .select(F.lit(1).alias("viol"))
+        mins = (
+            sym.groupBy("a")
+            .agg(
+                F.min("b").alias("mn"),
+                F.sum("fwd").alias("od"),
+                F.count(F.lit(1)).alias("deg"),
+            )
+            .localCheckpoint(eager=True)
         )
-        if multi_target.unionAll(two_level_break).isEmpty():
+        if (
+            mins.filter(
+                (F.col("od") > 1)
+                | ((F.col("od") > 0) & (F.col("od") < F.col("deg")))
+            ).isEmpty()
+        ):
             converged = True
             break
+        rounds += 1
+        m = F.least(F.col("mn"), F.col("a")).alias("m")
+        # no distinct on the large-star output: duplicates are bounded
+        # (≤2x, one per sym direction) and small_star's own groupBy +
+        # final distinct normalize them — dropping the exchange saves
+        # one of the round's six shuffles
+        large = (
+            sym.join(mins.select("a", "mn").hint("shuffle_hash"), "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), m.alias("b"))
+            .where(F.col("a") != F.col("b"))
+        )
+        E = small_star(large).localCheckpoint(eager=True)
 
     if stats is not None:
         # observability for scale probes: round count is the log-diameter
