@@ -128,6 +128,38 @@ def minhash_signatures(
     )
 
 
+def minhash_band_plan(num_hashes: int, jaccard_threshold: float) -> dict:
+    """Choose the LSH banding (bands B, rows R = num_hashes/B) whose
+    S-curve threshold best matches a target Jaccard similarity — the
+    standard (1/B)^(1/R) ≈ t rule (Leskovec/Rajaraman/Ullman, "Mining of
+    Massive Datasets" ch. 3, public), evaluated exactly over the
+    divisors of ``num_hashes``.
+
+    Returns {bands, rows, threshold, p_at_threshold, candidates} where
+    ``threshold`` is the plan's S-curve midpoint (1/B)^(1/R),
+    ``p_at_threshold`` = 1-(1-t^R)^B is the capture probability AT the
+    target (recall proxy), and ``candidates`` lists every divisor plan
+    with its curve midpoint for callers that want to trade recall
+    against candidate volume themselves. Drives the ``bands`` knob of
+    :func:`minhash_lsh_candidates` / :func:`near_dup_clusters`: more
+    bands → curve shifts left (higher recall, more candidate pairs);
+    fewer → right (fewer FPs, can miss borderline pairs)."""
+    t = float(jaccard_threshold)
+    if not 0.0 < t < 1.0:
+        raise ValueError("jaccard_threshold must be in (0, 1)")
+    plans = []
+    for bands in range(1, num_hashes + 1):
+        if num_hashes % bands:
+            continue
+        rows = num_hashes // bands
+        mid = (1.0 / bands) ** (1.0 / rows)
+        p_at_t = 1.0 - (1.0 - t ** rows) ** bands
+        plans.append({"bands": bands, "rows": rows, "threshold": mid,
+                      "p_at_threshold": p_at_t})
+    best = min(plans, key=lambda p: abs(p["threshold"] - t))
+    return {**best, "candidates": plans}
+
+
 def _band_buckets(with_sig: DataFrame, bands: int, rows: int) -> DataFrame:
     """(id, band, bucket) rows: one bucket hash per signature band."""
     band_entries = F.explode(

@@ -251,6 +251,43 @@ def test_jpeg_baseline_roundtrip_from_spec():
         decode_jpeg(encode_jpeg(flat)).astype(int) - 130))) == 0
 
 
+def test_jpeg_roundtrip_property_random_images():
+    """Property sweep: random content, shapes, qualities and sampling
+    modes all round-trip with bounded error (quantization error scales
+    with 1/quality; high-frequency noise is the worst case for DCT
+    coding, so the bound is loose but must hold)."""
+    from hypothesis import given, settings, strategies as st
+    import numpy as np
+
+    from emodb_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        chans=st.sampled_from([0, 3]),
+        quality=st.integers(70, 100),
+        subsample=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(h, w, chans, quality, subsample, seed):
+        rng = np.random.RandomState(seed)
+        shape = (h, w) if chans == 0 else (h, w, 3)
+        # smooth-ish content (random low-res upsampled): the codec's
+        # target regime; pure white noise at q70 can exceed any fixed
+        # bound by design of lossy DCT coding
+        low = rng.randint(0, 256, ((h + 3) // 4, (w + 3) // 4) + shape[2:])
+        arr = np.repeat(np.repeat(low, 4, axis=0), 4, axis=1)[:h, :w].astype(np.uint8)
+        if chans == 0 and subsample:
+            subsample = False  # grayscale has no chroma to subsample
+        out = decode_jpeg(encode_jpeg(arr, quality=quality, subsample=subsample))
+        assert out.shape == arr.shape and out.dtype == np.uint8
+        err = int(np.max(np.abs(out.astype(int) - arr.astype(int))))
+        assert err <= 130, (h, w, chans, quality, subsample, err)
+
+    check()
+
+
 def test_jpeg_unsupported_modes_name_pillow():
     """Progressive (SOF2) and 12-bit streams raise NotImplementedError
     pointing at Pillow — the capability-gate idiom, not a wrong decode."""

@@ -46,6 +46,36 @@ def test_exact_dedup(spark, docs_df):
     assert out[5] == 1
 
 
+def test_minhash_band_plan_matches_s_curve_math():
+    """Band planner: exact (1/B)^(1/R) midpoints over the divisors of
+    num_hashes, monotone recall-vs-precision trade, and the chosen plan
+    is the closest midpoint to the target."""
+    from emodb_spark.pipeline.dedup import minhash_band_plan
+
+    plan = minhash_band_plan(32, 0.5)
+    assert plan["bands"] * plan["rows"] == 32
+    assert abs(plan["threshold"] - (1 / plan["bands"]) ** (1 / plan["rows"])) < 1e-12
+    # every candidate is a divisor plan; midpoints increase with rows
+    cands = sorted(plan["candidates"], key=lambda p: p["rows"])
+    assert all(32 % p["bands"] == 0 for p in cands)
+    mids = [p["threshold"] for p in cands]
+    assert mids == sorted(mids)
+    # the chosen plan is the argmin distance to the target
+    best = min(cands, key=lambda p: abs(p["threshold"] - 0.5))
+    assert (plan["bands"], plan["rows"]) == (best["bands"], best["rows"])
+    # capture probability at the target is the textbook 1-(1-t^R)^B
+    t, B, R = 0.5, plan["bands"], plan["rows"]
+    assert abs(plan["p_at_threshold"] - (1 - (1 - t ** R) ** B)) < 1e-12
+    # a near-certain-duplicate pair (t=0.9) is captured with high prob
+    hi = 1 - (1 - 0.9 ** R) ** B
+    assert hi > 0.95
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        minhash_band_plan(32, 1.5)
+
+
 def test_minhash_finds_near_dups(spark, docs_df):
     pairs = minhash_lsh_candidates(docs_df, num_hashes=32, bands=16, shingle_k=3)
     verified = ngram_jaccard(docs_df, pairs=pairs, shingle_k=3, threshold=0.5)
