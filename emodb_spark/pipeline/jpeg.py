@@ -302,9 +302,14 @@ def _block_grid(plane: np.ndarray) -> np.ndarray:
 
 
 def encode_jpeg(arr: np.ndarray, quality: int = 85,
-                subsample: bool = False) -> bytes:
+                subsample: bool = False, restart_interval: int = 0) -> bytes:
     """Baseline JFIF encoder: grayscale (H,W) / (H,W,1) or RGB (H,W,3).
-    ``subsample=True`` emits 4:2:0 chroma (box-averaged), else 4:4:4."""
+    ``subsample=True`` emits 4:2:0 chroma (box-averaged), else 4:4:4.
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    every that many MCUs (DC predictors reset, bitstream byte-aligned)
+    — the resync mechanism real-world encoders use so one corrupt MCU
+    doesn't kill the rest of the scan; also exercises the decoder's
+    restart path in CI."""
     arr = np.asarray(arr)
     if arr.ndim == 3 and arr.shape[2] == 1:
         arr = arr[:, :, 0]
@@ -357,6 +362,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
     for tc_th, bits, vals in huffs:
         seg = bytes([tc_th]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, int(restart_interval))
     sos = bytes([ncomp])
     for i in range(ncomp):
         sos += bytes([i + 1, 0x00 if (gray or i == 0) else 0x11])
@@ -385,8 +392,16 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
     mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
     preds = [0] * ncomp
+    mcu_count = 0
+    rst = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                wtr.flush()  # byte-align before the marker (F.1.2.3)
+                wtr.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                preds = [0] * ncomp
+            mcu_count += 1
             for ci in range(ncomp):
                 hh, vv = samp[ci]
                 dc_codes = dc_l if (gray or ci == 0) else dc_c

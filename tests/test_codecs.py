@@ -288,6 +288,31 @@ def test_jpeg_roundtrip_property_random_images():
     check()
 
 
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn: encoder emits restart markers every N MCUs (byte-align,
+    DC reset), decoder resyncs through them — same pixels as the
+    marker-free stream."""
+    import numpy as np
+
+    from emodb_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    h, w = 24, 40  # 3x5 MCUs grayscale, 2x3 at 4:2:0
+    rng = np.random.RandomState(7)
+    low = rng.randint(0, 256, (h // 4, w // 4))
+    g = np.repeat(np.repeat(low, 4, 0), 4, 1).astype(np.uint8)
+    plainb = encode_jpeg(g, quality=90)
+    rstb = encode_jpeg(g, quality=90, restart_interval=2)
+    assert b"\xff\xdd" in rstb and b"\xff\xd0" in rstb
+    assert np.array_equal(decode_jpeg(rstb), decode_jpeg(plainb))
+
+    rgb = np.repeat(np.repeat(
+        rng.randint(0, 256, (h // 4, w // 4, 3)), 4, 0), 4, 1).astype(np.uint8)
+    a = decode_jpeg(encode_jpeg(rgb, quality=88, subsample=True))
+    b = decode_jpeg(encode_jpeg(rgb, quality=88, subsample=True,
+                                restart_interval=1))
+    assert np.array_equal(a, b)
+
+
 def test_jpeg_unsupported_modes_name_pillow():
     """Progressive (SOF2) and 12-bit streams raise NotImplementedError
     pointing at Pillow — the capability-gate idiom, not a wrong decode."""

@@ -42,6 +42,12 @@ DEFAULT_QUERIES = [
     "bucketed_join",
     "bloom_join_reduction",
     "tfidf_topk",
+    # r6/r7 heavy operators (see SCALE.md round-7 sections)
+    "star_clusters",
+    "heavy_hitters",
+    "cms_stream_heavy",
+    "kmv_stream_est",
+    "source_cap",
 ]
 
 # (table, [key columns to offset by copy_index * stride])
