@@ -6829,8 +6829,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_priority", "paragraph_dedup", "phrase_search",
         "pipeline_funnel", "quality_classifier",
     ]
-    assert len(window) == 50 and len(set(window)) == 50
-    out = {k: all_q[k] for k in window}
+    # window integrity (size 50, no dupes, all registered) is enforced
+    # by tests/test_entry_registry.py — NOT asserted here, so a bad edit
+    # degrades to a reordered registry instead of killing every driver
+    # correctness row at once
+    out = {k: all_q[k] for k in window if k in all_q}
     out.update((k, v) for k, v in all_q.items() if k not in out)
     return out
 

@@ -33,6 +33,33 @@ def test_oracles_are_nonempty_sql():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
 
 
+def test_correctness_window_is_exactly_50_registered_names():
+    """The driver records CORRECTNESS from the FIRST 50 queries() entries;
+    the window list in queries() must therefore hold exactly 50 unique,
+    registered names. Enforced here (not at runtime) so a bad edit fails
+    CI instead of killing every driver correctness row at once."""
+    import ast
+    import inspect
+
+    src = inspect.getsource(e.queries)
+    tree = ast.parse(src)
+    windows = [
+        node.value
+        for node in ast.walk(tree)
+        if isinstance(node, ast.Assign)
+        and any(getattr(t, "id", None) == "window" for t in node.targets)
+    ]
+    assert len(windows) == 1
+    names = [ast.literal_eval(elt) for elt in windows[0].elts]
+    assert len(names) == 50, len(names)
+    assert len(set(names)) == 50
+    qs = e.queries()
+    unknown = [n for n in names if n not in qs]
+    assert not unknown, unknown
+    # and the dict the driver sees really leads with the window
+    assert list(qs)[:50] == names
+
+
 def test_release_on_gc_unpersists(spark):
     """Gates that persist() tie the pinned frame to the returned
     DataFrame's lifetime: dropping the result must unpersist."""
