@@ -205,6 +205,7 @@ def _resolve_with_base_partition(batches):
         rows = []
         for (tbl, key), g in body.groupby(["tbl", "key"], sort=False):
             resolver = Resolver(tbl, key)
+            cutoff = -1
             for row in g.itertuples(index=False):
                 if row.kind == 0:
                     resolver.restore(
@@ -217,6 +218,17 @@ def _resolve_with_base_partition(batches):
                         last_mutate_at=row.last_mutate_at,
                         last_tags=tuple(row.last_tags) if row.last_tags is not None else (),
                     )
+                    cutoff = int(row.cutoff_ticks)
+                elif int(row.ticks) <= cutoff:
+                    # "behind the compaction": a delta at-or-before the
+                    # key's Compaction cutoff arrived after the base was
+                    # folded (multi-DC late replay). The reference's
+                    # resolver skips it — the Compaction record subsumes
+                    # everything up to its cutoff id (sor core
+                    # DefaultResolver/AbstractCompactor semantics; the
+                    # compactor deletes those deltas outright) — so we
+                    # must too, or base+tail and full-log reads diverge.
+                    continue
                 else:
                     resolver.update(
                         row.change_id,
@@ -269,6 +281,9 @@ def resolve_with_base(base: DataFrame, tail: DataFrame, include_deletes: bool = 
         F.lit(None).cast("string").alias("delta"),
         F.lit(None).cast("array<string>").alias("tags"),
         F.lit(-1).cast("long").alias("ticks"),
+        F.coalesce(
+            change_id_ticks(F.col("cutoff_change_id")), F.lit(-1)
+        ).alias("cutoff_ticks"),
     )
     t = tail.select(
         "tbl", "key",
@@ -282,6 +297,7 @@ def resolve_with_base(base: DataFrame, tail: DataFrame, include_deletes: bool = 
         F.lit(None).cast("array<string>").alias("last_tags"),
         "change_id", "delta", "tags",
         change_id_ticks(F.col("change_id")).alias("ticks"),
+        F.lit(-1).cast("long").alias("cutoff_ticks"),
     )
     merged = (
         b.unionByName(t)

@@ -138,6 +138,46 @@ def test_timeline_surfaces_audit_map(spark, tmp_path):
     assert all(r["audit"] is None and r["tags"] is None for r in hidden)
 
 
+def test_late_delta_behind_compaction_is_ignored(spark, log):
+    """Multi-DC late replay (reference MultiDCCompactionTest shape): a
+    delta whose change id is AT-OR-BEFORE a key's Compaction cutoff
+    arrives after the base was folded. The reference resolver skips it —
+    the Compaction record subsumes everything up to its cutoff (the
+    compactor deletes those deltas outright) — so resolve_with_base must
+    produce the same answer with or without the straggler, and a replay
+    of the exact cutoff delta is likewise a no-op."""
+    base, tail = compact(log, CUTOFF)
+
+    # a straggler OLDER than k00's compacted prefix (ticks << cutoff id)
+    gen_old = TimeUUIDGenerator(node=99, start_millis=1699999999000)
+    straggler = spark.createDataFrame(
+        [("t1", "k00", gen_old.next(), '{..,"s":"GHOST","late":1}', [])],
+        UPDATES_SCHEMA,
+    )
+    # replay of k01's exact cutoff change id (duplicate delivery)
+    k01_cutoff = {
+        r["key"]: r["cutoff_change_id"] for r in base.collect()
+    }["k01"]
+    replay = spark.createDataFrame(
+        [("t1", "k01", k01_cutoff, '{..,"s":"MID"}', [])], UPDATES_SCHEMA
+    )
+
+    clean = {_key(r): r for r in resolve_with_base(base, tail).collect()}
+    dirty = {
+        _key(r): r
+        for r in resolve_with_base(
+            base, tail.unionByName(straggler).unionByName(replay)
+        ).collect()
+    }
+    assert set(clean) == set(dirty)
+    for k in clean:
+        c, d = clean[k], dirty[k]
+        assert d["content"] == c["content"], k
+        assert d["~version"] == c["~version"], k
+        assert d["~signature"] == c["~signature"], k
+    assert '"GHOST"' not in (dirty[("t1", "k00")]["content"] or "")
+
+
 def test_compact_full_history_matches_prefix(spark, log):
     from emodb_spark.spark.compaction import compact_full
 
