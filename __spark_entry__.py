@@ -1087,6 +1087,57 @@ FROM ranked WHERE rnk <= 3
 """
 
 
+def q_card_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-validated card scrub (emodb_spark.pipeline.curation.
+    luhn_card_scan): deterministic injection puts a valid PAN on every
+    3rd doc, an invalid-checksum 16-digit run on every 5th, and a
+    dash-separated valid PAN on every 9th; the operator must redact
+    exactly the Luhn-valid ones (regex+checksum+replace all JVM-side —
+    nested higher-order expressions, no UDF). The oracle replays the
+    injection and replaces the two known-valid literals; the Luhn math
+    itself is differential-tested in pytest against a python
+    implementation on random digit runs."""
+    from emodb_spark.pipeline.curation import luhn_card_scan
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    t = F.col("text")
+    t = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(t, F.lit(" pay 4242424242424242 ok")),
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(t, F.lit(" ref 1234567890123456 x")),
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 9 == 0,
+        F.concat(t, F.lit(" alt 4111-1111-1111-1111 end")),
+    ).otherwise(t)
+    out = luhn_card_scan(docs.select("doc_id", t.alias("text")))
+    return out.select(
+        "doc_id", "n_cards", F.md5("redacted").alias("redacted_md5")
+    )
+
+
+ORACLE_CARD_SCAN = """
+WITH with_inj AS (
+  SELECT doc_id,
+    text
+      || CASE WHEN doc_id % 3 = 0 THEN ' pay 4242424242424242 ok' ELSE '' END
+      || CASE WHEN doc_id % 5 = 0 THEN ' ref 1234567890123456 x' ELSE '' END
+      || CASE WHEN doc_id % 9 = 0 THEN ' alt 4111-1111-1111-1111 end' ELSE '' END
+      AS t
+  FROM documents
+)
+SELECT doc_id,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+     + CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_cards,
+  md5(replace(replace(t, '4242424242424242', '<CARD>'),
+              '4111-1111-1111-1111', '<CARD>')) AS redacted_md5
+FROM with_inj
+"""
+
+
 def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub demo: deterministically inject emails/phones into a slice of
     the corpus, then detect + redact them (the injection makes the operator's
@@ -6641,6 +6692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_stream_heavy": q_cms_stream_heavy,
         "kmv_stream_est": q_kmv_stream_est,
         "source_cap": q_source_cap,
+        "card_scan": q_card_scan,
         "star_clusters": q_star_clusters,
         "mmr_select": q_mmr_select,
         "validate_log": q_validate_log,
@@ -6809,7 +6861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # COVERAGE.md). Everything else keeps its registry order behind the
     # window and is re-verified by tools/oracle_check.py instead.
     window = [
-        "cms_stream_heavy", "kmv_stream_est", "source_cap",
+        "cms_stream_heavy", "kmv_stream_est", "source_cap", "card_scan",
         "heavy_hitters", "star_clusters", "condition_generic_json",
         "condition_variant_scan", "queue_kafka", "queue_dedup",
         "kmv_distinct",
@@ -6827,7 +6879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index", "k_anonymity", "local_supply", "merge_orders",
         "min_cost_supplier", "nation_trade", "negative_samples",
         "order_priority", "paragraph_dedup", "phrase_search",
-        "pipeline_funnel", "quality_classifier",
+        "pipeline_funnel",
     ]
     # window integrity (size 50, no dupes, all registered) is enforced
     # by tests/test_entry_registry.py — NOT asserted here, so a bad edit
@@ -6843,6 +6895,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_stream_heavy": ORACLE_CMS_STREAM_HEAVY,
         "kmv_stream_est": ORACLE_KMV_STREAM_EST,
         "source_cap": ORACLE_SOURCE_CAP,
+        "card_scan": ORACLE_CARD_SCAN,
         "star_clusters": ORACLE_STAR_CLUSTERS,
         "mmr_select": ORACLE_MMR_SELECT,
         "validate_log": ORACLE_VALIDATE_LOG,

@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "cms_stream_heavy",      # streaming CMS state fold + exact pass 2
     "kmv_stream_est",        # streaming KMV bottom-k state
     "source_cap",            # domain quota via map-side WindowGroupLimit
+    "card_scan",             # Luhn-validated PII scrub, pure codegen
     # analytics
     "pricing_summary",
     "revenue_by_nation",

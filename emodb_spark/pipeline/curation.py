@@ -59,6 +59,60 @@ def redact_pii(
     )
 
 
+def luhn_card_scan(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token: str = "<CARD>",
+) -> DataFrame:
+    """Credit-card PII with CHECKSUM validation, entirely JVM-side: the
+    regex alone over-fires on any long digit run (order ids, phone
+    numbers, timestamps), so candidates are kept only when the Luhn
+    check digit validates — the standard practitioner rule for card
+    detectors. No UDF anywhere: candidates via ``regexp_extract_all``,
+    the Luhn sum as a nested higher-order expression
+    (``filter(cands, x -> aggregate(positions, ...) % 10 = 0)``), and
+    redaction by folding ``replace`` over the valid matches — the whole
+    operator stays inside codegen/eval on the JVM, zero Python in the
+    plan.
+
+    Returns (id, n_cards, redacted). Scale: pure per-row expressions,
+    no shuffle, no join — a 100 TB scrub is exactly one scan.
+    """
+    t = F.col(text_col)
+    # 13-19 digits, optional single space/dash separators, not embedded
+    # in a longer digit run
+    cand_re = r"(?<![\d-])(?:\d[ -]?){12,18}\d(?![\d-])"
+    cands = F.regexp_extract_all(t, F.lit(cand_re), 0)
+
+    def luhn_ok(x):
+        digits = F.reverse(F.regexp_replace(x, r"[ -]", ""))
+        n = F.length(digits)
+        total = F.aggregate(
+            F.sequence(F.lit(1), n),
+            F.lit(0),
+            lambda acc, i: acc
+            + F.when(
+                i % 2 == 1, F.substring(digits, i, 1).cast("int")
+            ).otherwise(
+                F.substring(digits, i, 1).cast("int") * 2
+                - F.when(F.substring(digits, i, 1).cast("int") >= 5,
+                         F.lit(9)).otherwise(F.lit(0))
+            ),
+        )
+        return (n >= 13) & (n <= 19) & (total % 10 == 0)
+
+    valid = F.filter(cands, luhn_ok)
+    redacted = F.aggregate(
+        valid, t, lambda acc, x: F.replace(acc, x, F.lit(token))
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(valid).cast("long").alias("n_cards"),
+        redacted.alias("redacted"),
+    )
+
+
 def balanced_sample(
     df: DataFrame,
     group_col: str = "source",

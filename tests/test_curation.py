@@ -124,6 +124,46 @@ def test_dataset_report_rollup_and_shares(spark):
     assert grand["avg_chars"] == (3 + 5 + 1 + 3) / 4
 
 
+def test_luhn_card_scan_validates_checksum_jvm_side(spark):
+    """Card detector: regex candidates are kept only when Luhn-valid —
+    differential vs a python Luhn on random digit runs, plus the classic
+    fixtures; the plan must contain no Python eval nodes."""
+    import random
+
+    from emodb_spark.pipeline.curation import luhn_card_scan
+
+    def luhn(s):
+        d = [int(c) for c in s[::-1]]
+        return sum(d[0::2]) + sum(x * 2 - (9 if x >= 5 else 0)
+                                  for x in d[1::2])
+
+    rng = random.Random(4)
+    rows = [
+        (0, "pay 4242424242424242 now"),            # valid
+        (1, "pay 4111111111111111 now"),            # valid
+        (2, "ref 1234567890123456 thing"),          # invalid checksum
+        (3, "card 4242-4242-4242-4242 dashed"),     # valid, separated
+        (4, "id 12345678901234567890123 toolong"),  # >19 digits: no match
+        (5, "call 555-0123"),                       # too short: no match
+        (6, "two 4242424242424242 and 1234567890123456"),
+    ]
+    want = {0: 1, 1: 1, 2: 0, 3: 1, 4: 0, 5: 0, 6: 1}
+    for i in range(7, 27):  # random 13-19 digit runs, labeled by real Luhn
+        s = "".join(rng.choice("0123456789") for _ in range(rng.randint(13, 19)))
+        rows.append((i, f"n {s} ."))
+        want[i] = 1 if luhn(s) % 10 == 0 else 0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = luhn_card_scan(df)
+    got = {r["doc_id"]: (r["n_cards"], r["redacted"]) for r in out.collect()}
+    assert {k: v[0] for k, v in got.items()} == want
+    assert got[0][1] == "pay <CARD> now"
+    assert got[3][1] == "card <CARD> dashed"
+    assert got[2][1] == rows[2][1]                      # invalid untouched
+    assert got[6][1] == "two <CARD> and 1234567890123456"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+
+
 def test_source_cap_sample_exact_and_mapside_limited(spark):
     """Domain cap: keeps exactly the top-cap docs per source by
     (score desc, id asc) — differential vs a driver-side sort — and the
