@@ -1138,6 +1138,48 @@ FROM with_inj
 """
 
 
+def q_iban_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IBAN scrub with mod-97 validation (emodb_spark.pipeline.curation.
+    iban_scan) — injection-replay oracle like card_scan: a valid IBAN on
+    every 4th doc, a checksum-corrupted one on every 6th; only the valid
+    literal may be redacted. The mod-97 arithmetic (incremental
+    per-character modulus via aggregate, zero Python) is
+    differential-tested in pytest against python big-int math on
+    generated IBANs."""
+    from emodb_spark.pipeline.curation import iban_scan
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    t = F.col("text")
+    t = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(t, F.lit(" acct GB82WEST12345698765432 ok")),
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 6 == 0,
+        F.concat(t, F.lit(" ref GB82WEST12345698765431 x")),
+    ).otherwise(t)
+    out = iban_scan(docs.select("doc_id", t.alias("text")))
+    return out.select(
+        "doc_id", "n_ibans", F.md5("redacted").alias("redacted_md5")
+    )
+
+
+ORACLE_IBAN_SCAN = """
+WITH with_inj AS (
+  SELECT doc_id,
+    text
+      || CASE WHEN doc_id % 4 = 0 THEN ' acct GB82WEST12345698765432 ok' ELSE '' END
+      || CASE WHEN doc_id % 6 = 0 THEN ' ref GB82WEST12345698765431 x' ELSE '' END
+      AS t
+  FROM documents
+)
+SELECT doc_id,
+  CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_ibans,
+  md5(replace(t, 'GB82WEST12345698765432', '<IBAN>')) AS redacted_md5
+FROM with_inj
+"""
+
+
 def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub demo: deterministically inject emails/phones into a slice of
     the corpus, then detect + redact them (the injection makes the operator's
@@ -6693,6 +6735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_stream_est": q_kmv_stream_est,
         "source_cap": q_source_cap,
         "card_scan": q_card_scan,
+        "iban_scan": q_iban_scan,
         "star_clusters": q_star_clusters,
         "mmr_select": q_mmr_select,
         "validate_log": q_validate_log,
@@ -6896,6 +6939,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_stream_est": ORACLE_KMV_STREAM_EST,
         "source_cap": ORACLE_SOURCE_CAP,
         "card_scan": ORACLE_CARD_SCAN,
+        "iban_scan": ORACLE_IBAN_SCAN,
         "star_clusters": ORACLE_STAR_CLUSTERS,
         "mmr_select": ORACLE_MMR_SELECT,
         "validate_log": ORACLE_VALIDATE_LOG,

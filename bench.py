@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "kmv_stream_est",        # streaming KMV bottom-k state
     "source_cap",            # domain quota via map-side WindowGroupLimit
     "card_scan",             # Luhn-validated PII scrub, pure codegen
+    "iban_scan",             # mod-97 IBAN scrub, pure codegen
     # analytics
     "pricing_summary",
     "revenue_by_nation",

@@ -113,6 +113,56 @@ def luhn_card_scan(
     )
 
 
+def iban_scan(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token: str = "<IBAN>",
+) -> DataFrame:
+    """IBAN PII with mod-97 checksum validation (ISO 13616), JVM-side —
+    the companion to :func:`luhn_card_scan`. Candidates are
+    2-letter country + 2 check digits + 11..30 alphanumerics; validation
+    rearranges (body ++ country ++ check), maps letters A..Z → 10..35,
+    and requires the big number ≡ 1 (mod 97). The modulus is computed
+    incrementally per character (``acc*10+d mod 97`` / two steps for
+    letters) with ``aggregate`` over character positions, so the
+    arbitrary-precision arithmetic never materializes — zero Python,
+    zero shuffle.
+
+    Returns (id, n_ibans, redacted)."""
+    t = F.col(text_col)
+    cand_re = r"\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b"
+    cands = F.regexp_extract_all(t, F.lit(cand_re), 0)
+
+    def mod97_ok(x):
+        # rearranged string: body then country+check digits
+        r = F.concat(F.substring(x, 5, 34), F.substring(x, 1, 4))
+        n = F.length(r)
+
+        def step(acc, i):
+            ch = F.substring(r, i, 1)
+            code = F.ascii(ch)
+            is_digit = (code >= 48) & (code <= 57)
+            # digit: acc*10 + d; letter (value 10..35): two digit-steps
+            return F.when(
+                is_digit, (acc * 10 + (code - 48)) % 97
+            ).otherwise(
+                (acc * 100 + (code - 55)) % 97
+            )
+
+        return F.aggregate(F.sequence(F.lit(1), n), F.lit(0), step) == 1
+
+    valid = F.filter(cands, mod97_ok)
+    redacted = F.aggregate(
+        valid, t, lambda acc, x: F.replace(acc, x, F.lit(token))
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(valid).cast("long").alias("n_ibans"),
+        redacted.alias("redacted"),
+    )
+
+
 def balanced_sample(
     df: DataFrame,
     group_col: str = "source",

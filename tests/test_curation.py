@@ -164,6 +164,49 @@ def test_luhn_card_scan_validates_checksum_jvm_side(spark):
     assert "Python" not in plan
 
 
+def test_iban_scan_mod97_jvm_side(spark):
+    """IBAN detector: mod-97 (ISO 13616) computed incrementally with
+    aggregate over character positions — differential vs python int
+    arithmetic on generated IBANs (valid by construction and corrupted),
+    plus known fixtures; no Python in the plan."""
+    import random
+
+    from emodb_spark.pipeline.curation import iban_scan
+
+    def to_num(s):
+        return int("".join(str(int(c, 36)) for c in s[4:] + s[:4]))
+
+    def make_valid(cc, body):
+        # choose check digits so the rearranged number ≡ 1 (mod 97)
+        chk = 98 - to_num(cc + "00" + body) % 97
+        return f"{cc}{chk:02d}{body}"
+
+    rng = random.Random(11)
+    rows = [
+        (0, "send to GB82WEST12345698765432 please"),   # textbook valid
+        (1, "send to GB82WEST12345698765431 please"),   # corrupted digit
+        (2, "acct DE89370400440532013000 end"),         # valid
+        (3, "no iban here 1234"),
+    ]
+    want = {0: 1, 1: 0, 2: 1, 3: 0}
+    alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    for i in range(4, 24):
+        body = "".join(rng.choice(alpha) for _ in range(rng.randint(11, 26)))
+        cc = rng.choice(["DE", "FR", "GB", "NL"])
+        iban = make_valid(cc, body)
+        if i % 3 == 0:  # corrupt a third of them
+            iban = iban[:-1] + ("0" if iban[-1] != "0" else "1")
+        rows.append((i, f"ref {iban} ."))
+        want[i] = 1 if to_num(iban) % 97 == 1 else 0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = iban_scan(df)
+    got = {r["doc_id"]: (r["n_ibans"], r["redacted"]) for r in out.collect()}
+    assert {k: v[0] for k, v in got.items()} == want
+    assert got[0][1] == "send to <IBAN> please"
+    assert got[1][1] == rows[1][1]
+    assert "Python" not in out._jdf.queryExecution().executedPlan().toString()
+
+
 def test_source_cap_sample_exact_and_mapside_limited(spark):
     """Domain cap: keeps exactly the top-cap docs per source by
     (score desc, id asc) — differential vs a driver-side sort — and the
