@@ -206,6 +206,7 @@ def _resolve_with_base_partition(batches):
         for (tbl, key), g in body.groupby(["tbl", "key"], sort=False):
             resolver = Resolver(tbl, key)
             cutoff = -1
+            cutoff_cid = ""
             for row in g.itertuples(index=False):
                 if row.kind == 0:
                     resolver.restore(
@@ -219,7 +220,10 @@ def _resolve_with_base_partition(batches):
                         last_tags=tuple(row.last_tags) if row.last_tags is not None else (),
                     )
                     cutoff = int(row.cutoff_ticks)
-                elif int(row.ticks) <= cutoff:
+                    cutoff_cid = row.cutoff_cid or ""
+                elif int(row.ticks) < cutoff or (
+                    int(row.ticks) == cutoff and row.change_id <= cutoff_cid
+                ):
                     # "behind the compaction": a delta at-or-before the
                     # key's Compaction cutoff arrived after the base was
                     # folded (multi-DC late replay). The reference's
@@ -228,6 +232,11 @@ def _resolve_with_base_partition(batches):
                     # DefaultResolver/AbstractCompactor semantics; the
                     # compactor deletes those deltas outright) — so we
                     # must too, or base+tail and full-log reads diverge.
+                    # The comparison is on the SAME (ticks, change_id)
+                    # total order the base fold and _presort use: a delta
+                    # sharing the cutoff tick but with a change_id after
+                    # cutoff_change_id is logically past the compaction
+                    # and must still be applied.
                     continue
                 else:
                     resolver.update(
@@ -284,6 +293,7 @@ def resolve_with_base(base: DataFrame, tail: DataFrame, include_deletes: bool = 
         F.coalesce(
             change_id_ticks(F.col("cutoff_change_id")), F.lit(-1)
         ).alias("cutoff_ticks"),
+        F.col("cutoff_change_id").alias("cutoff_cid"),
     )
     t = tail.select(
         "tbl", "key",
@@ -298,6 +308,7 @@ def resolve_with_base(base: DataFrame, tail: DataFrame, include_deletes: bool = 
         "change_id", "delta", "tags",
         change_id_ticks(F.col("change_id")).alias("ticks"),
         F.lit(-1).cast("long").alias("cutoff_ticks"),
+        F.lit(None).cast("string").alias("cutoff_cid"),
     )
     merged = (
         b.unionByName(t)

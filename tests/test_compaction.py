@@ -178,6 +178,70 @@ def test_late_delta_behind_compaction_is_ignored(spark, log):
     assert '"GHOST"' not in (dirty[("t1", "k00")]["content"] or "")
 
 
+def _same_tick_uuid(change_id: str, node: int, clock_seq: int) -> str:
+    """A v1 UUID with the SAME 60-bit timestamp as ``change_id`` but a
+    different node/clock-seq, so it shares the tick and differs only in
+    the string tiebreak."""
+    import uuid as _uuid
+
+    u = _uuid.UUID(change_id)
+    ts = u.time
+    fields = (
+        ts & 0xFFFFFFFF,
+        (ts >> 32) & 0xFFFF,
+        ((ts >> 48) & 0x0FFF) | 0x1000,
+        ((clock_seq & 0x3FFF) | 0x8000) >> 8,
+        ((clock_seq & 0x3FFF) | 0x8000) & 0xFF,
+        node & 0xFFFFFFFFFFFF,
+    )
+    return str(_uuid.UUID(fields=fields))
+
+
+def test_cutoff_tie_break_is_ticks_then_change_id(spark, log):
+    """The compaction cutoff is a (ticks, change_id) position, not a tick:
+    a multi-DC delta sharing the cutoff TICK but whose change_id sorts
+    AFTER cutoff_change_id is logically past the Compaction and must be
+    applied (base+tail ≡ full-log), while one sorting BEFORE it is
+    subsumed and dropped (AbstractCompactor orders by TimeUUIDs natural
+    order — timestamp then remaining bits — not timestamp alone)."""
+    base, tail = compact(log, CUTOFF)
+    k01_cutoff = {
+        r["key"]: r["cutoff_change_id"] for r in base.collect()
+    }["k01"]
+
+    # same tick, string sorts AFTER the cutoff id (node=ff..f) → applied
+    after_id = _same_tick_uuid(k01_cutoff, node=0xFFFFFFFFFFFF, clock_seq=0x3FFF)
+    assert after_id > k01_cutoff
+    after = spark.createDataFrame(
+        [("t1", "k01", after_id, '{..,"tie":"AFTER"}', [])], UPDATES_SCHEMA
+    )
+    full = {
+        _key(r): r for r in resolve(log.unionByName(after)).collect()
+    }
+    merged = {
+        _key(r): r
+        for r in resolve_with_base(base, tail.unionByName(after)).collect()
+    }
+    assert '"AFTER"' in (merged[("t1", "k01")]["content"] or "")
+    for fld in ("content", "~version", "~signature"):
+        assert merged[("t1", "k01")][fld] == full[("t1", "k01")][fld]
+
+    # same tick, string sorts BEFORE the cutoff id (node=0) → subsumed
+    before_id = _same_tick_uuid(k01_cutoff, node=0, clock_seq=0)
+    assert before_id < k01_cutoff
+    before = spark.createDataFrame(
+        [("t1", "k01", before_id, '{..,"tie":"BEFORE"}', [])], UPDATES_SCHEMA
+    )
+    clean = {_key(r): r for r in resolve_with_base(base, tail).collect()}
+    dirty = {
+        _key(r): r
+        for r in resolve_with_base(base, tail.unionByName(before)).collect()
+    }
+    assert '"BEFORE"' not in (dirty[("t1", "k01")]["content"] or "")
+    for fld in ("content", "~version", "~signature"):
+        assert dirty[("t1", "k01")][fld] == clean[("t1", "k01")][fld]
+
+
 def test_compact_full_history_matches_prefix(spark, log):
     from emodb_spark.spark.compaction import compact_full
 
