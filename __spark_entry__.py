@@ -1695,10 +1695,13 @@ toks AS (
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidates verified by exact Jaccard (scale path).
 
-    Oracle: brute-force all-pairs exact Jaccard in DuckDB. Equality IS the
-    recall check — 24 bands × 2 rows give miss probability (1-j²)^24
-    ≈ 1e-7 per pair at the 0.7 threshold, so the LSH-pruned result must
-    contain every qualifying pair."""
+    Banding comes from the DEFAULT planner path (bands=None →
+    minhash_band_plan recall-first mode): for K=48 at j=0.7 with the
+    0.999 recall floor it selects 24 bands × 2 rows. Oracle: brute-force
+    all-pairs exact Jaccard in DuckDB. Equality IS the recall check —
+    24×2 gives miss probability (1-j²)^24 ≈ 1e-7 per pair at the 0.7
+    threshold, so the LSH-pruned result must contain every qualifying
+    pair."""
     from emodb_spark.pipeline.dedup import (
         minhash_lsh_candidates,
         ngram_jaccard,
@@ -1708,7 +1711,9 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     # one shingle scan shared by signature generation and verification
     sh = shingle_sets(docs, shingle_k=3).persist()
-    cands = minhash_lsh_candidates(docs, num_hashes=48, bands=24, shingle_k=3, sh=sh)
+    cands = minhash_lsh_candidates(
+        docs, num_hashes=48, shingle_k=3, sh=sh, jaccard_threshold=0.7
+    )  # bands planned: 24x2 (recall-first, p_miss ~1e-7 at j=0.7)
     return _release_on_gc(
         ngram_jaccard(docs, pairs=cands, shingle_k=3, threshold=0.7, sh=sh), sh
     )
@@ -1780,7 +1785,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     sh = shingle_sets(docs, shingle_k=3).persist()
-    cands = minhash_lsh_candidates(docs, num_hashes=48, bands=24, shingle_k=3, sh=sh)
+    cands = minhash_lsh_candidates(
+        docs, num_hashes=48, shingle_k=3, sh=sh, jaccard_threshold=0.7
+    )  # bands planned: 24x2 (recall-first, p_miss ~1e-7 at j=0.7)
     pairs = ngram_jaccard(docs, pairs=cands, shingle_k=3, threshold=0.7, sh=sh)
     return _release_on_gc(near_dup_clusters(docs, pairs), sh)
 
@@ -1827,7 +1834,9 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents")
     sh = shingle_sets(docs, shingle_k=3).persist()
-    cands = minhash_lsh_candidates(docs, num_hashes=48, bands=24, shingle_k=3, sh=sh)
+    cands = minhash_lsh_candidates(
+        docs, num_hashes=48, shingle_k=3, sh=sh, jaccard_threshold=0.7
+    )  # bands planned: 24x2 (recall-first, p_miss ~1e-7 at j=0.7)
     pairs = ngram_jaccard(docs, pairs=cands, shingle_k=3, threshold=0.7, sh=sh)
     clusters = near_dup_clusters(docs, pairs)
     scores = docs.select(
@@ -6894,40 +6903,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
     }
     # The driver records CORRECTNESS from the FIRST 50 entries, so the
-    # window below leads the dict. Round-7 window: the 2 never-witnessed
-    # gates (streaming sketch states), the 7 gates whose kernels round 7
-    # rewrote (sketch two-pass/broadcast pass 2, star convergence probe,
-    # VARIANT contains + session-conf tiering, queue public peek), then
-    # the stalest driver rows — all 7 remaining r3 rows and the oldest
-    # 41-slot cut of the r4 rows (alphabetical; the 13 r4 rows that
-    # didn't fit defer to r8: promo_share..zorder_layout tail noted in
-    # COVERAGE.md). Everything else keeps its registry order behind the
-    # window and is re-verified by tools/oracle_check.py instead.
+    # window below leads the dict. Round-8 window: the 1 never-witnessed
+    # gate (iban_scan, landed after the r7 window froze), the gates whose
+    # kernels round 8 touched (resolve_compacted — cutoff tie-break now
+    # (ticks, change_id); minhash_near_dups — band planner is the default
+    # banding path), all 15 remaining r4-era rows, then the oldest
+    # alphabetical cut of the r5 rows. Rows-only queries
+    # (compression_ratio, bpe_merges) are EXCLUDED by design: the driver
+    # can only ever record `no_oracle` for them, which wastes a
+    # certifiable slot (r7 verdict What's-wrong #1); they stay
+    # differential-tested in pytest. The 17 r5 rows that didn't fit defer
+    # to r9 (resolve_fold..word_rank_score, noted in COVERAGE.md).
+    # Everything else keeps its registry order behind the window and is
+    # re-verified by tools/oracle_check.py instead.
     window = [
-        "cms_stream_heavy", "kmv_stream_est", "source_cap", "card_scan",
-        "heavy_hitters", "star_clusters", "condition_generic_json",
-        "condition_variant_scan", "queue_kafka", "queue_dedup",
-        "kmv_distinct",
-        # r3 driver rows (the oldest anywhere)
-        "ann_lsh_topk", "audio_chunks", "simhash_near_dups", "text_stats",
-        "timeline_events", "top_orders", "vocab_topk",
-        # r4 driver rows, oldest cut (alphabetical)
-        "bigram_surprisal", "bitext_mining", "bloom_filters",
-        "bloom_join_reduction", "budget_sample", "compression_ratio",
-        "conversion_latency", "customer_orders", "dup_score",
-        "embedding_quantize", "event_anomalies", "event_mad",
-        "event_props", "event_rolling", "event_trailing_7d",
-        "event_transitions", "event_trend", "exact_jaccard_join",
-        "fuzzy_name_join", "graph_triangles", "group_split",
-        "inverted_index", "k_anonymity", "local_supply", "merge_orders",
-        "min_cost_supplier", "nation_trade", "negative_samples",
-        "order_priority", "paragraph_dedup", "phrase_search",
-        "pipeline_funnel",
+        "iban_scan",
+        # kernels changed in round 8
+        "resolve_compacted", "minhash_near_dups",
+        # r4 driver rows (the oldest anywhere) — all 15 retire this round
+        "promo_share", "quality_classifier", "rank_normalize",
+        "returned_customers", "sales_opportunity", "salted_hot_join",
+        "session_cooccurrence", "small_qty_revenue", "substring_dedup",
+        "top_supplier", "training_shards", "unigram_surprisal",
+        "user_scd2", "vocab_coverage", "zorder_layout",
+        # r5 driver rows, oldest cut (alphabetical; bpe_merges excluded —
+        # rows-only by design)
+        "ann_ivf_kmeans", "ann_recall", "asof_last_view",
+        "boilerplate_removal", "bpe_encode", "bracketed_revenue",
+        "bucketed_join", "cohort_retention", "collocations",
+        "containment_join", "dataset_report", "decayed_score",
+        "doc_chunks", "doc_packing", "dsir_selection",
+        "event_error_burst", "event_funnel", "event_histogram",
+        "event_percentiles", "event_profile", "events_grouping_sets",
+        "events_pivot", "events_rollup", "forecast_revenue",
+        "fp_overlap_pairs", "ivm_view", "kmeans_embeddings",
+        "large_volume_customers", "market_share", "mixture_weights",
+        "ngram_novelty", "product_profit",
     ]
-    # window integrity (size 50, no dupes, all registered) is enforced
-    # by tests/test_entry_registry.py — NOT asserted here, so a bad edit
-    # degrades to a reordered registry instead of killing every driver
-    # correctness row at once
+    # window integrity (size 50, no dupes, all registered, no rows-only
+    # queries) is enforced by tests/test_entry_contract.py — NOT asserted
+    # here, so a bad edit degrades to a reordered registry instead of
+    # killing every driver correctness row at once
     out = {k: all_q[k] for k in window if k in all_q}
     out.update((k, v) for k, v in all_q.items() if k not in out)
     return out

@@ -18,10 +18,13 @@ aggregate) — no Python UDFs in the hot path.
 
 from __future__ import annotations
 
+import logging
 from typing import Optional
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
 
 
 def normalize(text: Column) -> Column:
@@ -128,22 +131,37 @@ def minhash_signatures(
     )
 
 
-def minhash_band_plan(num_hashes: int, jaccard_threshold: float) -> dict:
-    """Choose the LSH banding (bands B, rows R = num_hashes/B) whose
-    S-curve threshold best matches a target Jaccard similarity — the
-    standard (1/B)^(1/R) ≈ t rule (Leskovec/Rajaraman/Ullman, "Mining of
-    Massive Datasets" ch. 3, public), evaluated exactly over the
-    divisors of ``num_hashes``.
+def minhash_band_plan(
+    num_hashes: int,
+    jaccard_threshold: float,
+    recall_target: Optional[float] = None,
+) -> dict:
+    """Choose the LSH banding (bands B, rows R = num_hashes/B) for a
+    target Jaccard similarity — the standard (1/B)^(1/R) S-curve rule
+    (Leskovec/Rajaraman/Ullman, "Mining of Massive Datasets" ch. 3,
+    public), evaluated exactly over the divisors of ``num_hashes``.
+
+    Two planning modes:
+    - ``recall_target=None`` (classification): the plan whose S-curve
+      midpoint (1/B)^(1/R) best matches the threshold — balanced
+      FP/FN around t.
+    - ``recall_target=r`` (dedup, the :func:`minhash_lsh_candidates`
+      default): among plans whose capture probability AT the threshold,
+      p = 1-(1-t^R)^B, is >= r, pick the HIGHEST midpoint — the fewest
+      false-positive candidates that still guarantee the recall. Dedup
+      wants this mode: a missed pair is a duplicate kept forever, while
+      a false candidate just costs one exact-Jaccard verification. If no
+      divisor plan reaches r, returns the max-recall plan (and callers
+      should raise num_hashes).
 
     Returns {bands, rows, threshold, p_at_threshold, candidates} where
-    ``threshold`` is the plan's S-curve midpoint (1/B)^(1/R),
-    ``p_at_threshold`` = 1-(1-t^R)^B is the capture probability AT the
-    target (recall proxy), and ``candidates`` lists every divisor plan
-    with its curve midpoint for callers that want to trade recall
-    against candidate volume themselves. Drives the ``bands`` knob of
-    :func:`minhash_lsh_candidates` / :func:`near_dup_clusters`: more
-    bands → curve shifts left (higher recall, more candidate pairs);
-    fewer → right (fewer FPs, can miss borderline pairs)."""
+    ``threshold`` is the chosen plan's S-curve midpoint,
+    ``p_at_threshold`` its capture probability at the target, and
+    ``candidates`` every divisor plan for callers that want to trade
+    recall against candidate volume themselves. Drives the ``bands``
+    knob of :func:`minhash_lsh_candidates` / :func:`near_dup_clusters`:
+    more bands → curve shifts left (higher recall, more candidate
+    pairs); fewer → right (fewer FPs, can miss borderline pairs)."""
     t = float(jaccard_threshold)
     if not 0.0 < t < 1.0:
         raise ValueError("jaccard_threshold must be in (0, 1)")
@@ -156,7 +174,14 @@ def minhash_band_plan(num_hashes: int, jaccard_threshold: float) -> dict:
         p_at_t = 1.0 - (1.0 - t ** rows) ** bands
         plans.append({"bands": bands, "rows": rows, "threshold": mid,
                       "p_at_threshold": p_at_t})
-    best = min(plans, key=lambda p: abs(p["threshold"] - t))
+    if recall_target is None:
+        best = min(plans, key=lambda p: abs(p["threshold"] - t))
+    else:
+        feasible = [p for p in plans if p["p_at_threshold"] >= recall_target]
+        if feasible:
+            best = max(feasible, key=lambda p: p["threshold"])
+        else:
+            best = max(plans, key=lambda p: p["p_at_threshold"])
     return {**best, "candidates": plans}
 
 
@@ -185,15 +210,25 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 32,
-    bands: int = 8,
+    bands: Optional[int] = None,
     shingle_k: int = 5,
     max_bucket_size: Optional[int] = None,
     sh: Optional[DataFrame] = None,
+    jaccard_threshold: float = 0.7,
+    recall_target: float = 0.999,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
     B bands of R=K/B rows each: docs agreeing on all R minhashes of any band
     land in the same bucket. Returns distinct (id_a, id_b) with id_a < id_b.
+
+    ``bands=None`` (default) plans the banding analytically:
+    :func:`minhash_band_plan` picks the divisor of ``num_hashes`` with the
+    fewest expected false-positive candidates whose S-curve still captures
+    a >= ``recall_target`` fraction of true pairs at ``jaccard_threshold``
+    (recall-first — a missed pair is a duplicate kept forever; a false
+    candidate costs one exact-Jaccard check). The chosen plan is logged.
+    An explicit ``bands`` wins and skips the planner.
 
     ``max_bucket_size`` is the mega-bucket guard for the 100 TB path:
     boilerplate text (license headers, templated pages) can put millions of
@@ -202,6 +237,24 @@ def minhash_lsh_candidates(
     are better handled by exact dedup, which collapses identical content
     without pairwise joins). Trades bounded recall loss on ultra-common
     content for a hard cap of cap²/2 pairs per bucket."""
+    if bands is None:
+        plan = minhash_band_plan(num_hashes, jaccard_threshold, recall_target)
+        bands = plan["bands"]
+        _log.info(
+            "minhash_lsh_candidates: planned banding %dx%d for K=%d "
+            "(S-curve midpoint %.3f, capture at j=%.2f: %.6f)",
+            plan["bands"], plan["rows"], num_hashes,
+            plan["threshold"], jaccard_threshold, plan["p_at_threshold"],
+        )
+        if plan["p_at_threshold"] < recall_target:
+            _log.warning(
+                "minhash_lsh_candidates: no banding of K=%d reaches "
+                "recall %.3f at j=%.2f (best %.6f) — raise num_hashes",
+                num_hashes, recall_target, jaccard_threshold,
+                plan["p_at_threshold"],
+            )
+    elif num_hashes % bands:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
     rows = num_hashes // bands
     with_sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, sh=sh)
     buckets = _band_buckets(with_sig, bands, rows)

@@ -58,6 +58,12 @@ def test_correctness_window_is_exactly_50_registered_names():
     assert not unknown, unknown
     # and the dict the driver sees really leads with the window
     assert list(qs)[:50] == names
+    # every window slot must be certifiable: a rows-only query (no
+    # oracle_sql entry) can only ever record `no_oracle`, wasting one of
+    # the 50 driver-green slots (r7 verdict What's-wrong #1)
+    orc = e.oracle_sql()
+    not_gated = [n for n in names if n not in orc]
+    assert not not_gated, not_gated
 
 
 def test_release_on_gc_unpersists(spark):

@@ -76,6 +76,44 @@ def test_minhash_band_plan_matches_s_curve_math():
         minhash_band_plan(32, 1.5)
 
 
+def test_minhash_band_plan_recall_mode():
+    """recall_target mode: the plan with the HIGHEST midpoint (fewest
+    false candidates) whose capture at the threshold still meets the
+    target; falls back to max-recall when no divisor plan reaches it."""
+    from emodb_spark.pipeline.dedup import minhash_band_plan
+
+    plan = minhash_band_plan(48, 0.7, recall_target=0.999)
+    assert (plan["bands"], plan["rows"]) == (24, 2)
+    assert plan["p_at_threshold"] >= 0.999
+    # every feasible plan has midpoint <= the chosen one
+    for p in plan["candidates"]:
+        if p["p_at_threshold"] >= 0.999:
+            assert p["threshold"] <= plan["threshold"] + 1e-12
+    # infeasible target → the max-recall plan (B=K, R=1)
+    fallback = minhash_band_plan(4, 0.05, recall_target=0.999999999)
+    assert fallback["p_at_threshold"] == max(
+        p["p_at_threshold"] for p in fallback["candidates"]
+    )
+
+
+def test_minhash_lsh_default_bands_planned(spark, docs_df):
+    """bands=None (the default) must plan the banding and return the
+    same candidate set as the equivalent explicit banding; a
+    non-divisor explicit bands raises."""
+    from emodb_spark.pipeline.dedup import minhash_lsh_candidates as mlc
+
+    planned = mlc(docs_df, num_hashes=32, shingle_k=3, jaccard_threshold=0.7)
+    explicit = mlc(docs_df, num_hashes=32, bands=16, shingle_k=3)
+    assert {tuple(r) for r in planned.collect()} == {
+        tuple(r) for r in explicit.collect()
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mlc(docs_df, num_hashes=32, bands=7, shingle_k=3)
+
+
 def test_minhash_finds_near_dups(spark, docs_df):
     pairs = minhash_lsh_candidates(docs_df, num_hashes=32, bands=16, shingle_k=3)
     verified = ngram_jaccard(docs_df, pairs=pairs, shingle_k=3, threshold=0.5)
