@@ -3,10 +3,21 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"q": sec, ...}, "sf": <sf>}
+   "queries": {"q": sec, ...}, "sf": ...}
 
 Each query is forced end-to-end with the noop writer (full computation, no
 driver collect overhead).
+
+ISOLATION (default ON): queries run in fresh-JVM batches of
+$SPARK_GRAFT_ISOLATE_BATCH (default 16) via child processes, so a query's
+timing no longer depends on its position in a 100+-query session
+(accumulated old-gen/storage pressure inflated late-session timings up to
+~2x — SCALE.md r6/r7 isolation studies). Each child pays its own JVM start
++ warmup OUTSIDE the timed region; within a batch, clearCache + gc +
+System.gc run between queries as before. `--no-isolate` (or
+SPARK_GRAFT_ISOLATE=0) restores the legacy single-session run for quick
+iteration; `--isolate-batch N` tunes the batch size (1 = fully isolated,
+slowest, cleanest).
 """
 
 from __future__ import annotations
@@ -14,6 +25,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
 import time
 
@@ -153,21 +165,9 @@ BENCH_QUERIES = [
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
-
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    import __spark_entry__ as entrymod
-    from emodb_spark.spark.session import get_spark
-
-    spark = get_spark(app_name="emodb_spark_bench")
-    qs = entrymod.queries()
-
-    # warm the JVM (shuffle/join/agg codegen), the Python worker pool and
-    # the fold path so the timed queries measure steady state, not
-    # one-time JIT/startup costs
+def _warmup(spark, sf_dir: str, names) -> None:
+    """One-time JVM/Python-worker/page-cache warmup so timed queries
+    measure steady state, not JIT/startup costs. OUTSIDE the timed region."""
     from pyspark.sql import functions as F
 
     warm = spark.range(100_000).repartition(8, "id")
@@ -200,9 +200,18 @@ def main() -> None:
         UPDATES_SCHEMA,
     )
     resolve(tiny_log).write.format("noop").mode("overwrite").save()
+
+
+def _run_queries(spark, qs, names, sf_dir: str):
+    """Time each query best-of-2 with inter-query cache/GC hygiene.
+    Returns (timings, errors)."""
+    import gc
+
     # the dedup plans JIT over ~2 executions — run each once untimed so
     # the timed best-of-2 measures steady state, not codegen compilation
     for warm_q in ("minhash_near_dups", "simhash_near_dups"):
+        if warm_q not in names:
+            continue
         try:
             qs[warm_q](spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception as e:  # noqa: BLE001 — warmup must never kill the bench
@@ -211,8 +220,7 @@ def main() -> None:
 
     timings = {}
     errors = {}
-    total = 0.0
-    for name in BENCH_QUERIES:
+    for name in names:
         fn = qs.get(name)
         if fn is None:
             errors[name] = "not in queries()"
@@ -237,9 +245,7 @@ def main() -> None:
         # release localCheckpoint blocks too: the ContextCleaner frees a
         # checkpointed RDD only after the driver-side plan object is
         # GC'd, so without this the prefix-sum queries' checkpoints pile
-        # up in executor storage across the 100+-query session
-        import gc
-
+        # up in executor storage across the session
         gc.collect()
         # JVM-side too: the round-6 drift analysis attributed the r5
         # late-session ~2x inflation on several queries to accumulated
@@ -255,8 +261,91 @@ def main() -> None:
             continue
         best = round(best, 3)
         timings[name] = best
-        total += best
         print(f"# {name}: {best:.2f}s", file=sys.stderr)
+    return timings, errors
+
+
+def _child(names, sf_dir: str) -> None:
+    """Batch worker: fresh JVM, warmup, run the subset, print ONE JSON
+    line {"timings": ..., "errors": ...} as the LAST stdout line."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entrymod
+    from emodb_spark.spark.session import get_spark
+
+    spark = get_spark(app_name="emodb_spark_bench_child")
+    qs = entrymod.queries()
+    _warmup(spark, sf_dir, names)
+    timings, errors = _run_queries(spark, qs, names, sf_dir)
+    print(json.dumps({"timings": timings, "errors": errors}))
+
+
+def _isolated_run(names, sf_dir: str, batch: int):
+    """Run queries in fresh-JVM child processes, `batch` per child."""
+    timings = {}
+    errors = {}
+    here = os.path.abspath(__file__)
+    for i in range(0, len(names), batch):
+        chunk = names[i:i + batch]
+        cmd = [sys.executable, here, "--child", "--queries", ",".join(chunk)]
+        try:
+            proc = subprocess.run(
+                cmd, stdout=subprocess.PIPE, stderr=sys.stderr,
+                timeout=3600, check=False,
+            )
+            last = proc.stdout.decode().strip().splitlines()[-1]
+            out = json.loads(last)
+            timings.update(out["timings"])
+            errors.update(out["errors"])
+        except Exception as e:  # noqa: BLE001 — a dead child must not zero
+            # the artifact; every query in the chunk gets an error row
+            for name in chunk:
+                if name not in timings:
+                    errors[name] = f"child failed: {type(e).__name__}: {e}"[:200]
+    return timings, errors
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    argv = sys.argv[1:]
+    if "--child" in argv:
+        names = argv[argv.index("--queries") + 1].split(",")
+        _child(names, sf_dir)
+        return
+
+    isolate = os.environ.get("SPARK_GRAFT_ISOLATE", "1") != "0"
+    if "--no-isolate" in argv:
+        isolate = False
+    batch = int(os.environ.get("SPARK_GRAFT_ISOLATE_BATCH", "16"))
+    if "--isolate-batch" in argv:
+        batch = int(argv[argv.index("--isolate-batch") + 1])
+        isolate = True
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entrymod
+
+    if isolate:
+        # registry lookup only (no Spark in the parent): child processes
+        # own the JVMs, so each batch starts from a clean heap
+        qs = entrymod.queries()
+        names = [n for n in BENCH_QUERIES if n in qs]
+        timings, errors = _isolated_run(names, sf_dir, batch)
+        for n in BENCH_QUERIES:
+            if n not in qs:
+                errors[n] = "not in queries()"
+        all_registered = set(qs)
+    else:
+        from emodb_spark.spark.session import get_spark
+
+        spark = get_spark(app_name="emodb_spark_bench")
+        qs = entrymod.queries()
+        _warmup(spark, sf_dir, BENCH_QUERIES)
+        timings, errors = _run_queries(spark, qs, BENCH_QUERIES, sf_dir)
+        all_registered = set(qs)
+
+    total = round(sum(timings.values()), 3)
 
     # The driver captures only the LAST ~2000 chars of output and parses
     # the JSON line from that window (BENCH_r04 recorded parsed=null when
@@ -266,16 +355,18 @@ def main() -> None:
     # to this script for the judge.
     full = {
         "metric": "emodb_spark_bench_total",
-        "value": round(total, 3),
+        "value": total,
         "unit": "sec",
         "n_queries": len(timings),
         "queries": timings,
         "sf": sf,
+        "isolated": isolate,
+        "batch_size": batch if isolate else None,
         # no silent caps: registered queries NOT in BENCH_QUERIES — I/O
         # round-trip gates (stash/blob/queue writers), streaming-parity
         # folds and tiny metadata scans whose time is fixed setup cost,
         # not operator throughput. Listed so coverage gaps are explicit.
-        "not_benched": sorted(set(qs) - set(BENCH_QUERIES)),
+        "not_benched": sorted(all_registered - set(BENCH_QUERIES)),
     }
     if errors:
         full["errors"] = errors

@@ -454,6 +454,14 @@ class Role:
     id: str
     group: str = "_"
     permissions: Set[str] = field(default_factory=set)
+    name: Optional[str] = None
+    description: Optional[str] = None
+
+
+# sentinel distinguishing "leave unchanged" from an explicit None (the
+# reference's UpdateEmoRoleRequest tracks isNamePresent/isDescriptionPresent
+# for exactly this reason — its serializer omits unset fields)
+_UNSET = object()
 
 
 @dataclass
@@ -492,6 +500,60 @@ class InMemoryUserAccessControl:
 
     def revoke(self, role_id: str, permission: str) -> None:
         self._roles[role_id].permissions.discard(permission)
+
+    def update_role(
+        self,
+        role_id: str,
+        name=_UNSET,
+        description=_UNSET,
+        grant: Sequence[str] = (),
+        revoke: Sequence[str] = (),
+        revoke_other_permissions: bool = False,
+    ) -> Role:
+        """Update an existing role — uac-api UpdateEmoRoleRequest.java
+        semantics via auth-store TableRoleManagerDAO.updateRole:
+
+        - only explicitly provided values change (``name``/``description``
+          use a present-vs-unset sentinel, matching isNamePresent/
+          isDescriptionPresent);
+        - permissions update INCREMENTALLY: ``grant`` adds, ``revoke``
+          removes, everything else stays — unless
+          ``revoke_other_permissions`` (PermissionUpdateRequest.revokeRest)
+          is set, which drops every existing permission not explicitly
+          granted in THIS request;
+        - granting and revoking the same permission is an error
+          (UpdateEmoRoleRequest.grantPermissions checkArgument);
+        - a granted permission must be assignable
+          (InvalidEmoPermissionException), validated BEFORE any mutation so
+          a bad request leaves the role untouched;
+        - an unknown role raises (EmoRoleNotFoundException).
+
+        API keys holding the role see the change immediately — key
+        permissions are derived from role membership at check time, the
+        in-memory analogue of the reference's permission re-resolution."""
+        role = self._roles.get(role_id)
+        if role is None:
+            raise KeyError(f"unknown role: {role_id}")
+        grant_set, revoke_set = set(grant), set(revoke)
+        both = grant_set & revoke_set
+        if both:
+            raise ValueError(
+                f"Cannot both grant and revoke the same permission: {sorted(both)}"
+            )
+        # validate every grant before mutating anything (atomicity — the
+        # reference DAO rolls back metadata if the permission update fails)
+        for p in grant_set:
+            if not EmoPermission(p, self.metadata_fn).assignable:
+                raise ValueError(f"permission not assignable: {p}")
+        if name is not _UNSET:
+            role.name = name
+        if description is not _UNSET:
+            role.description = description
+        if revoke_other_permissions:
+            role.permissions &= grant_set
+        role.permissions |= grant_set
+        role.permissions -= revoke_set
+        return role
 
     def delete_role(self, role_id: str) -> None:
         self._roles.pop(role_id, None)

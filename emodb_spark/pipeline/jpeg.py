@@ -179,8 +179,12 @@ class _BitReader:
 
     def _fill(self) -> None:
         d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated JPEG scan (entropy data ends mid-MCU)")
         b = d[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(d):
+                raise ValueError("truncated JPEG scan (dangling 0xFF)")
             nxt = d[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -216,6 +220,8 @@ class _BitReader:
         self.nbits = 0
         d = self.data
         while True:
+            if self.pos + 1 >= len(d):
+                raise ValueError("truncated JPEG scan (no RST marker before EOF)")
             b = d[self.pos]
             if b == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
                 self.pos += 2
@@ -437,6 +443,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos + 4 <= n:
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        # B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while data[pos + 1] == 0xFF and pos + 2 < n:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -444,6 +453,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # standalone
         (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        if pos + seglen > n:
+            raise ValueError("truncated JPEG header segment")
         body = data[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
             p = 0

@@ -798,18 +798,30 @@ VARIANT_MAX_OPS_CONF = "spark.emodb.variantMaxOps"
 
 
 def _variant_max_ops_default() -> int:
-    """The session's calibrated break-even, else the module default."""
+    """The session's calibrated break-even, else the module default.
+
+    Only the session LOOKUP is guarded (no active session / conf access
+    failure falls back silently); a malformed conf VALUE raises — a user
+    who set ``spark.emodb.variantMaxOps=4ops`` wants their calibration
+    applied, not silently replaced by the module default."""
+    v = None
     try:
         from pyspark.sql import SparkSession
 
         s = SparkSession.getActiveSession()
         if s is not None:
             v = s.conf.get(VARIANT_MAX_OPS_CONF, None)
-            if v is not None:
-                return int(v)
     except Exception:
-        pass
-    return VARIANT_MAX_OPS
+        return VARIANT_MAX_OPS
+    if v is None:
+        return VARIANT_MAX_OPS
+    try:
+        return int(v)
+    except ValueError:
+        raise ValueError(
+            f"invalid {VARIANT_MAX_OPS_CONF}={v!r}: expected an integer "
+            "op-count break-even (see compiler.VARIANT_MAX_OPS)"
+        ) from None
 
 
 def condition_column_json(cond: C.Condition, json_col: Column,

@@ -313,6 +313,40 @@ def test_jpeg_restart_markers_roundtrip():
     assert np.array_equal(a, b)
 
 
+def test_jpeg_truncated_scan_and_fill_bytes():
+    """Robustness (T.81 edge shapes): a truncated entropy-coded segment
+    raises a diagnosable ValueError (not a bare IndexError), and
+    spec-legal 0xFF fill bytes before a header marker (B.1.1.2) decode
+    fine."""
+    import numpy as np
+    import pytest as _pytest
+
+    from emodb_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    g = np.repeat(np.repeat(
+        np.arange(16, dtype=np.uint8).reshape(4, 4) * 16, 4, 0), 4, 1)
+    full = encode_jpeg(g, quality=90)
+
+    # cut mid-scan (strip EOI and a chunk of entropy data) — small cuts
+    # land in entropy data ("scan"), bigger ones may reach back into a
+    # header segment ("header segment"); both must diagnose, not IndexError
+    assert full.endswith(b"\xff\xd9")
+    for cut in (3, 8):
+        with _pytest.raises(ValueError, match="truncated JPEG"):
+            decode_jpeg(full[:-cut])
+    # truncated restart-interval stream: cut inside the entropy data (past
+    # SOS) so the RST resync hits EOF mid-scan
+    rst = encode_jpeg(g, quality=90, restart_interval=1)
+    sos_end = rst.index(b"\xff\xda") + 14  # SOS marker + header, 1 component
+    with _pytest.raises(ValueError, match="truncated JPEG scan"):
+        decode_jpeg(rst[: max(sos_end + 2, len(rst) - 6)])
+
+    # 0xFF fill bytes before a marker are legal padding, not an error
+    sof_at = full.index(b"\xff\xc0")
+    padded = full[:sof_at] + b"\xff\xff\xff" + full[sof_at:]
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(full))
+
+
 def test_jpeg_unsupported_modes_name_pillow():
     """Progressive (SOF2) and 12-bit streams raise NotImplementedError
     pointing at Pillow — the capability-gate idiom, not a wrong decode."""

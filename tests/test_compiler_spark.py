@@ -722,3 +722,14 @@ def test_variant_max_ops_session_conf_override(spark):
         assert "ArrowEvalPython" in plan_of(out0)
     finally:
         spark.conf.unset(VARIANT_MAX_OPS_CONF)
+
+    # a malformed conf value must raise, not silently fall back to the
+    # module default (the user's calibration would never take effect)
+    spark.conf.set(VARIANT_MAX_OPS_CONF, "4ops")
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="variantMaxOps"):
+            df.filter(condition_column_json(cond, F.col("doc")))
+    finally:
+        spark.conf.unset(VARIANT_MAX_OPS_CONF)

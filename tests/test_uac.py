@@ -204,6 +204,69 @@ def test_role_lifecycle_and_key_updates():
         uac.create_api_key("k2", "dave", roles=["ghost"])
 
 
+def test_update_role_incremental_grant_revoke():
+    """uac-api UpdateEmoRoleRequest: permissions update incrementally —
+    grant adds, revoke removes, everything not mentioned stays — and keys
+    holding the role see the change immediately."""
+    uac = InMemoryUserAccessControl()
+    uac.create_role("writer", permissions=["sor|read|t-*", "sor|update|t-*"])
+    uac.create_api_key("k", "erin", roles=["writer"])
+    assert uac.has_permission("k", "sor|update|t-1")
+
+    role = uac.update_role(
+        "writer", grant=["databus|poll|feed-*"], revoke=["sor|update|t-*"]
+    )
+    assert role.permissions == {"sor|read|t-*", "databus|poll|feed-*"}
+    assert uac.has_permission("k", "databus|poll|feed-a")
+    assert not uac.has_permission("k", "sor|update|t-1")
+    assert uac.has_permission("k", "sor|read|t-1")  # untouched perm stays
+
+    # name/description: only explicitly provided values change, and an
+    # explicit None is distinct from unset (isNamePresent semantics)
+    uac.update_role("writer", name="Writer", description="rw role")
+    assert uac.get_role("writer").name == "Writer"
+    uac.update_role("writer", description=None)
+    r = uac.get_role("writer")
+    assert r.name == "Writer" and r.description is None
+
+
+def test_update_role_revoke_other_permissions():
+    """setRevokeOtherPermissions(true) == PermissionUpdateRequest.revokeRest:
+    every existing permission not explicitly granted in THIS request is
+    dropped."""
+    uac = InMemoryUserAccessControl()
+    uac.create_role("mixed", permissions=["sor|read|a", "sor|read|b", "blob|read|c"])
+    role = uac.update_role(
+        "mixed", grant=["sor|read|a", "queue|post|q1"],
+        revoke_other_permissions=True,
+    )
+    assert role.permissions == {"sor|read|a", "queue|post|q1"}
+
+
+def test_update_role_validation():
+    """Error shapes: unknown role (EmoRoleNotFoundException), grant∩revoke
+    (checkArgument), non-assignable grant (InvalidEmoPermissionException)
+    — and a failed request leaves the role untouched (the DAO's rollback
+    contract)."""
+    uac = InMemoryUserAccessControl()
+    uac.create_role("r1", permissions=["sor|read|t"])
+
+    with pytest.raises(KeyError):
+        uac.update_role("ghost", grant=["sor|read|x"])
+    with pytest.raises(ValueError):
+        uac.update_role("r1", grant=["sor|read|x"], revoke=["sor|read|x"])
+    # a createTable(...) part is never assignable to a role (reference
+    # CreateTablePart); the bad grant must not mutate anything
+    with pytest.raises(ValueError):
+        uac.update_role(
+            "r1", name="half-applied",
+            grant=["sor|read|ok", "sor|create_table|createTable(name:'x',placement:p)"],
+        )
+    r = uac.get_role("r1")
+    assert r.permissions == {"sor|read|t"}
+    assert r.name is None
+
+
 # -- the authorizing facade over a real DataStore ---------------------------
 
 def test_authorizing_datastore(spark, tmp_path):
