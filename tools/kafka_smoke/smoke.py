@@ -1,0 +1,75 @@
+"""Deployment smoke test: the queue_kafka gate's flow against a REAL
+Kafka broker through the REAL connector (``format("kafka")``).
+
+This is the one path CI cannot execute (the sandbox has no broker and no
+spark-sql-kafka jar); tests/test_transport_contract.py pins the exact
+format, reader/writer options, and (key, value) wire schema that this
+script exercises for real — so a pass here plus a green contract test
+means transport mode is pure configuration.
+
+Run (needs docker + network for the connector jar download):
+
+    docker compose -f tools/kafka_smoke/docker-compose.yml up -d
+    python tools/kafka_smoke/smoke.py
+    docker compose -f tools/kafka_smoke/docker-compose.yml down -v
+
+Env knobs: KAFKA_BOOTSTRAP (default localhost:9092),
+SPARK_KAFKA_PACKAGE (default the spark-sql-kafka coordinate matching the
+installed pyspark version).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+
+def main() -> int:
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+    import pyspark
+    from pyspark.sql import SparkSession
+
+    bootstrap = os.environ.get("KAFKA_BOOTSTRAP", "localhost:9092")
+    package = os.environ.get(
+        "SPARK_KAFKA_PACKAGE",
+        f"org.apache.spark:spark-sql-kafka-0-10_2.13:{pyspark.__version__}",
+    )
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("emodb_kafka_smoke")
+        .config("spark.jars.packages", package)
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+
+    from emodb_spark.spark.streaming.queues import QueueService
+    from emodb_spark.spark.streaming.transport import KafkaTransport
+
+    topic = f"emodb-smoke-{int(time.time())}"  # fresh topic per run
+    base = tempfile.mkdtemp(prefix="emodb_kafka_smoke_")
+    q = QueueService(
+        spark, base, transport=KafkaTransport(bootstrap, topic)
+    )
+
+    # the queue_kafka gate's exact flow: send -> poll (claims lapse) ->
+    # ack the low-value half -> the visible remainder is the high half
+    msgs = [{"c": c, "e": i} for i, c in enumerate(range(0, 30000, 100))]
+    q.send_all("gate", msgs)
+    polled = q.poll("gate", claim_ttl_s=0, limit=len(msgs))
+    assert len(polled) == len(msgs), f"polled {len(polled)} of {len(msgs)}"
+    q.acknowledge("gate", [m["id"] for m in polled if m["payload"]["c"] < 10_000])
+    visible = q.visible("gate").count()
+    expect = sum(1 for m in msgs if m["c"] >= 10_000)
+    assert visible == expect, f"visible {visible}, expected {expect}"
+
+    # message_count rides the same topic read
+    assert q.message_count("gate") == expect
+    print(f"OK: {len(msgs)} sent, {visible} visible after ack "
+          f"(topic {topic} via {bootstrap})")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
