@@ -6912,8 +6912,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (compression_ratio, bpe_merges) are EXCLUDED by design: the driver
     # can only ever record `no_oracle` for them, which wastes a
     # certifiable slot (r7 verdict What's-wrong #1); they stay
-    # differential-tested in pytest. The 17 r5 rows that didn't fit defer
-    # to r9 (resolve_fold..word_rank_score, noted in COVERAGE.md).
+    # differential-tested in pytest. The 18 r5 rows that didn't fit defer
+    # to r9 (quality_retention..word_rank_score, noted in COVERAGE.md).
     # Everything else keeps its registry order behind the window and is
     # re-verified by tools/oracle_check.py instead.
     window = [

@@ -377,6 +377,44 @@ def heavy_hitters(
     candidates; ``max_buckets`` (default 2^20, ~3M counters at depth 3)
     keeps pass 1's exchange and driver collect trivially small.
 
+    Choosing depth/threshold at scale — the measured decision rule
+    (three data points, SCALE.md r6/r7; single box, local[32]):
+
+    ========================================  ======================
+    regime (N rows, distinct D, threshold t)  measurement
+    ========================================  ======================
+    bench: N=600k, t=45, heavy=16             sketch 1.0-1.3 s; candidates
+                                              17k of 600k rows (pass 2
+                                              shuffles 3% of the corpus)
+    rare:  N=60M, D≈60M, t=5000, heavy=7      sketch 9.1 s vs groupBy
+                                              17.1 s; depth=2 → 5.3 s,
+                                              depth=1 → 6.2 s
+    dense: N=60M, D=2M (mean load 30), t=45   pre-check fires (mean
+                                              57 ≥ 2t) → plain groupBy;
+                                              a clamped 2^20 sketch
+                                              still finished in 1.9 s
+    ========================================  ======================
+
+    Rule of thumb a 100 TB user can apply without re-deriving:
+
+    * dense regime (``t`` within ~2x of ``N / min(next_pow2(4N/t),
+      max_buckets)``, i.e. the heavy set is a large fraction of the key
+      space): the sketch cannot prune — this function detects it and
+      falls back to the plain groupBy automatically; just call it.
+    * rare regime (heavy values are a sliver of a huge key space — the
+      token-stats shape): the sketch wins and the win WIDENS on a
+      network-bound cluster (exchange: O(buckets x depth) vs D partial
+      rows — 196k vs ~60M at the probe). ``depth=2`` was the measured
+      single-box sweet spot (pass 1 pushes depth x N rows through the
+      map-side partial agg, so depth is paid on the corpus scan);
+      keep ``depth=3`` (default) when pass-2 candidate volume matters
+      more than pass-1 CPU — each extra level multiplies the
+      false-positive rate by the per-level collision odds.
+    * streaming arrivals: :meth:`CmsStreamState.sized_for` applies this
+      same sizing to an unbounded stream from its expected per-window
+      volume (a static width saturated 16381/16384 buckets at a 10x
+      probe — size from volume, don't guess).
+
     No reference analog (extension, SURVEY §2.5 family); the sketch
     family note at the top of this module applies — deterministic by
     construction, so oracle gates can demand exact equality.

@@ -1,0 +1,138 @@
+"""Measure the streaming resolver's state-store scaling claim (SCALE.md
+"streaming resolver" row): per-micro-batch I/O is O(touched buckets), not
+O(total state) — merge_batch reads only the partition-pruned buckets its
+keys hash into and rewrites only those.
+
+Because a bucket's byte-size grows with total state at a FIXED bucket
+count, the 100 TB provisioning rule is "scale n_buckets with the corpus so
+bucket size stays bounded" (the same rule as any partitioned store). The
+probe measures all three cells:
+
+  A. 250k-key state,  64 buckets  — baseline
+  B. 2.5M-key state, 640 buckets  — 10x state, SAME bucket byte-size:
+     a batch touching 4 buckets should cost ~what it costs in A (flat)
+  C. 2.5M-key state,  64 buckets  — 10x state, 10x bucket byte-size:
+     the same batch pays ~10x the state read — the knob, measured
+
+Each cell: build the state once (one big merge_batch of create deltas),
+then time a 10k-delta amendment batch confined to buckets {0..3}
+(best-of-2; second run is an idempotent replay, exercising the change_id
+high-water skip on the same bytes). Fresh session per run recommended
+(the gc gotcha — see SCALE.md methodology note).
+
+Usage: python tools/probe_streaming_state.py [out_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+BASE_TICKS = 140_000_000_000_000_000
+
+
+def _change_id(key_col, step: int):
+    from pyspark.sql import functions as F
+
+    ticks = (key_col * 4 + F.lit(step)) * F.lit(10_000) + F.lit(BASE_TICKS)
+    hex15 = F.lpad(F.lower(F.conv(ticks.cast("string"), 10, 16)), 15, "0")
+    return F.concat(
+        F.substring(hex15, 8, 8), F.lit("-"), F.substring(hex15, 4, 4),
+        F.lit("-1"), F.substring(hex15, 1, 3), F.lit("-8000-001c42000009"),
+    )
+
+
+def _deltas(spark, n_keys: int, step: int, delta_text: str):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(n_keys).select(
+            F.lit("t").alias("tbl"),
+            F.col("id").cast("string").alias("key"),
+            _change_id(F.col("id"), step).alias("change_id"),
+            F.lit(delta_text).alias("delta"),
+            F.array().cast("array<string>").alias("tags"),
+        )
+    )
+
+
+def main() -> int:
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/probe_stream_state"
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from pyspark.sql import functions as F
+
+    from emodb_spark.spark.session import get_spark
+    from emodb_spark.spark.streaming.databus import (
+        ResolvedStateStore,
+        merge_batch,
+    )
+
+    spark = get_spark(app_name="probe_streaming_state")
+    cells = [
+        ("A_250k_64b", 250_000, 64),
+        ("B_2.5M_640b", 2_500_000, 640),
+        ("C_2.5M_64b", 2_500_000, 64),
+    ]
+    results = {}
+    for name, n_keys, n_buckets in cells:
+        path = os.path.join(out, name)
+        store = ResolvedStateStore(spark, path, n_buckets=n_buckets)
+        if not os.path.exists(path):
+            t0 = time.time()
+            merge_batch(
+                spark, store, _deltas(spark, n_keys, 0, '{"v":1,"s":"NEW"}')
+            ).write.format("noop").mode("overwrite").save()
+            print(f"# {name}: built {n_keys} keys in {time.time()-t0:.1f}s",
+                  file=sys.stderr)
+
+        # 10k amendment deltas confined to buckets {0..3}: the touched
+        # state read is 4 buckets whatever the total state size
+        keys04 = (
+            spark.range(n_keys)
+            .select(F.col("id"))
+            .filter(
+                F.pmod(
+                    F.xxhash64(F.lit("t"), F.col("id").cast("string")),
+                    F.lit(n_buckets),
+                ) < 4
+            )
+            .limit(10_000)
+        )
+        batch = keys04.select(
+            F.lit("t").alias("tbl"),
+            F.col("id").cast("string").alias("key"),
+            _change_id(F.col("id"), 1).alias("change_id"),
+            F.lit('{..,"v":2}').alias("delta"),
+            F.array().cast("array<string>").alias("tags"),
+        ).cache()
+        batch.count()
+
+        best = None
+        for rep in range(2):
+            work = path + f".rep{rep}"
+            shutil.copytree(path, work)  # pristine state per rep
+            rep_store = ResolvedStateStore(spark, work, n_buckets=n_buckets)
+            t0 = time.time()
+            merge_batch(spark, rep_store, batch).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+            shutil.rmtree(work)
+        batch.unpersist()
+        spark.catalog.clearCache()
+        import gc
+
+        gc.collect()
+        results[name] = round(best, 2)
+        print(f"# {name}: batch merge {best:.2f}s "
+              f"(state {n_keys} keys / {n_buckets} buckets)", file=sys.stderr)
+    print(json.dumps(results))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
