@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "source_cap",            # domain quota via map-side WindowGroupLimit
     "card_scan",             # Luhn-validated PII scrub, pure codegen
     "iban_scan",             # mod-97 IBAN scrub, pure codegen
+    "secret_scan",           # Renyi-2-entropy secret scrub, pure codegen
+    "bm25_topk",             # integer fixed-point BM25 retrieval
     # analytics
     "pricing_summary",
     "revenue_by_nation",

@@ -786,6 +786,117 @@ def phrase_search(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    queries,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """BM25 ranked retrieval: top-k documents per query string, with the
+    Okapi saturation + length normalization computed EXACTLY in integer
+    fixed-point — the scored companion to :func:`inverted_index` /
+    :func:`phrase_search` (no reference analog; training-corpus search
+    extension).
+
+    Scoring, per matched term (k1 = 6/5, b = 3/4 — the textbook
+    defaults as exact rationals):
+
+    - saturation * length-norm: ``tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))``
+      with ``avgdl = total_tokens/N`` clears to the single integer
+      fraction ``44*tf*total / (20*tf*total + 6*total + 18*dl*N)``,
+      floored at ``scale`` ppm.
+    - IDF: the Robertson–Sparck-Jones ODDS ``(N-df+0.5)/(df+0.5)`` —
+      i.e. ``(2N-2df+1)/(2df+1)`` — floored at ``scale`` ppm, WITHOUT
+      the usual log. The log dampens cross-term magnitudes but is
+      transcendental (engine-varying last-ulp); raw odds keep each
+      term's ranking monotone in df and the whole score bit-replicable
+      by any engine — the same trade documented at
+      :func:`tfidf_topk`. Rare terms weigh relatively more than under
+      log-IDF; for top-k retrieval on keyword queries the ordering is
+      the practical concern and stays BM25-shaped.
+
+    Plan shape: one token explode filtered to the (tiny) query
+    vocabulary BEFORE the groupBy — the corpus-sized aggregation is
+    only over matching occurrences; df/N/total ride broadcast joins
+    (1-row corpus stats, term stats); final top-k is one
+    ``row_number <= k`` window per query, which Spark turns into a
+    map-side WindowGroupLimit below the exchange. Ties break by doc id.
+
+    Overflow note for the very large: ``scale*44*tf*total`` must fit
+    int64 — at corpora past ~1e11 tokens lower ``scale`` (ppm precision
+    is overkill for ranking) or score per shard.
+
+    Returns ``(query, rank, doc_id, score)`` with ``score`` in scaled
+    fixed-point (``idf_scaled * satur_scaled // scale`` summed over the
+    query's matched terms)."""
+    from pyspark.sql import Window
+
+    queries = list(queries)
+    if not queries:
+        raise ValueError("no queries")
+    spark = df.sparkSession
+    qterms = spark.createDataFrame(
+        [(q, t) for q in queries for t in dict.fromkeys(q.split())],
+        "query string, term string",
+    )
+    vocab = sorted({t for q in queries for t in q.split()})
+
+    base = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("tk"))
+    dl = base.select("id", F.size("tk").cast("long").alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total"),
+    )
+    tf = (
+        base.select("id", F.explode("tk").alias("term"))
+        .filter(F.col("term").isin(vocab))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, "id")
+        .join(F.broadcast(corpus))  # 1-row corpus stats
+    )
+    s = F.lit(int(scale))
+    # exact integral division (SQL `div` / IntegralDivide — NOT `/`,
+    # which is double division and rounds past 2^53)
+    idiv = lambda a, b: F.call_function("div", a, b)  # noqa: E731
+    idf_scaled = idiv(
+        s * (2 * F.col("n_docs") - 2 * F.col("df") + 1),
+        2 * F.col("df") + 1,
+    )
+    satur_scaled = idiv(
+        s * 44 * F.col("tf") * F.col("total"),
+        20 * F.col("tf") * F.col("total")
+        + 6 * F.col("total")
+        + 18 * F.col("dl") * F.col("n_docs"),
+    )
+    per_term = scored.select(
+        "id", "term", idiv(idf_scaled * satur_scaled, s).alias("term_score")
+    )
+    per_query = (
+        per_term.join(F.broadcast(qterms), "term")
+        .groupBy("query", "id")
+        .agg(F.sum("term_score").cast("long").alias("score"))
+    )
+    w = Window.partitionBy("query").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        per_query.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("id").alias(id_col),
+            "score",
+        )
+    )
+
+
 def compression_signal(
     df: DataFrame,
     text_col: str = "text",

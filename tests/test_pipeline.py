@@ -2172,3 +2172,59 @@ def test_heavy_hitters_autosize_actually_prunes(spark):
         cand = cand.filter(lv.isin(per[d]))
     n_cand = cand.count()
     assert n_cand < n * 0.1, f"candidates {n_cand} not << input {n}"
+
+
+def test_bm25_topk_exact_fixed_point(spark):
+    """BM25 top-k: integer fixed-point scoring differentially checked
+    against a python implementation of the SAME rational formulas
+    (k1=6/5, b=3/4, raw-odds IDF), plus ranking sanity — a doc saturated
+    with the query term must not beat a shorter doc at the same tf (the
+    length norm), and ties break by doc id."""
+    from emodb_spark.pipeline.text import bm25_topk
+
+    docs = [
+        (1, "spark shuffle spark shuffle spark"),
+        (2, "spark shuffle"),
+        (3, "spark " + "filler " * 30),
+        (4, "nothing relevant here at all"),
+        (5, "shuffle shuffle shuffle shuffle shuffle shuffle"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [
+        (r["query"], r["rank"], r["doc_id"], r["score"])
+        for r in bm25_topk(df, ["spark shuffle"], k=5)
+        .orderBy("query", "rank")
+        .collect()
+    ]
+
+    # python replay of the exact integer math
+    toks = {i: t.split() for i, t in docs}
+    N = len(docs)
+    total = sum(len(v) for v in toks.values())
+    S = 1_000_000
+
+    def score(doc_id):
+        out = 0
+        for term in dict.fromkeys("spark shuffle".split()):
+            tf = toks[doc_id].count(term)
+            if not tf:
+                continue
+            dfr = sum(1 for v in toks.values() if term in v)
+            idf = (S * (2 * N - 2 * dfr + 1)) // (2 * dfr + 1)
+            dl = len(toks[doc_id])
+            sat = (S * 44 * tf * total) // (
+                20 * tf * total + 6 * total + 18 * dl * N
+            )
+            out += (idf * sat) // S
+        return out
+
+    want = sorted(
+        ((i, score(i)) for i in toks if score(i) > 0),
+        key=lambda p: (-p[1], p[0]),
+    )
+    assert got == [
+        ("spark shuffle", r + 1, i, s) for r, (i, s) in enumerate(want)
+    ]
+    # length norm: doc 3 (tf=1, long) scores below doc 2 (tf=1, short)
+    scores = {i: s for _, _, i, s in got}
+    assert scores[2] > scores[3]

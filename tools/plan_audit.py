@@ -57,6 +57,9 @@ BNLJ_OK = {
     "bitext_mining",        # O(#queries) rows broadcast against the
                             # corpus — same exact-cosine plan as the
                             # allowlisted similarity_topk, both ways
+    "bm25_topk",            # 1-row corpus stats (N docs, total tokens)
+                            # broadcast onto the query-vocab tf rows
+                            # (the BM25 normalizer constants)
     "ann_recall",           # composes similarity_topk (exact baseline,
                             # O(#queries) broadcast) with ann_ivf_kmeans
                             # (O(n_cells) centroid broadcast) — both
