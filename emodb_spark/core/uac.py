@@ -586,6 +586,23 @@ class InMemoryUserAccessControl:
         for r in remove:
             rec.roles.discard(r)
 
+    def migrate_api_key(self, old_key: str, new_key: str) -> ApiKey:
+        """Rotate an API key's authentication secret — uac-api
+        migrateApiKey via auth-core InMemoryAuthIdentityManager.
+        migrateIdentity: the identity (owner + role grants) is unchanged,
+        only the secret moves; the new secret must not collide
+        (IdentityExistsException), an unknown old key raises
+        (EmoApiKeyNotFoundException), and the old secret stops
+        authenticating immediately."""
+        if new_key in self._keys:
+            raise ValueError("API key exists")
+        if old_key not in self._keys:
+            raise KeyError(f"unknown API key: {old_key}")
+        rec = self._keys.pop(old_key)
+        rec.key = new_key
+        self._keys[new_key] = rec
+        return rec
+
     def delete_api_key(self, key: str) -> None:
         self._keys.pop(key, None)
 

@@ -267,6 +267,26 @@ def test_update_role_validation():
     assert r.name is None
 
 
+def test_migrate_api_key_rotates_secret_only():
+    """uac-api migrateApiKey (auth-core migrateIdentity): owner + role
+    grants survive the rotation, the old secret stops authenticating,
+    a colliding new secret and an unknown old key both raise."""
+    uac = InMemoryUserAccessControl()
+    uac.create_role("reader", permissions=["sor|read|t-*"])
+    uac.create_api_key("old-secret", "frank", roles=["reader"])
+    uac.create_api_key("taken", "grace", roles=[])
+
+    rec = uac.migrate_api_key("old-secret", "new-secret")
+    assert rec.owner == "frank" and rec.roles == {"reader"}
+    assert uac.has_permission("new-secret", "sor|read|t-1")
+    assert not uac.has_permission("old-secret", "sor|read|t-1")
+
+    with pytest.raises(ValueError):
+        uac.migrate_api_key("new-secret", "taken")
+    with pytest.raises(KeyError):
+        uac.migrate_api_key("old-secret", "another")  # old already rotated
+
+
 # -- the authorizing facade over a real DataStore ---------------------------
 
 def test_authorizing_datastore(spark, tmp_path):
