@@ -210,10 +210,16 @@ def _run_queries(spark, qs, names, sf_dir: str):
     import gc
 
     # the dedup plans JIT over ~2 executions — run each once untimed so
-    # the timed best-of-2 measures steady state, not codegen compilation
-    for warm_q in ("minhash_near_dups", "simhash_near_dups"):
-        if warm_q not in names:
-            continue
+    # the timed best-of-2 measures steady state, not codegen compilation.
+    # The batch LEADER gets the same treatment: in isolated mode the
+    # first query of a fresh JVM otherwise absorbs the residual C2
+    # compilation the generic warmup doesn't cover (measured ~1.3x
+    # leader inflation in the dual-run study)
+    warm_set = [n for n in ("minhash_near_dups", "simhash_near_dups")
+                if n in names]
+    if names and names[0] not in warm_set:
+        warm_set.insert(0, names[0])
+    for warm_q in warm_set:
         try:
             qs[warm_q](spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception as e:  # noqa: BLE001 — warmup must never kill the bench
@@ -227,10 +233,15 @@ def _run_queries(spark, qs, names, sf_dir: str):
         if fn is None:
             errors[name] = "not in queries()"
             continue
-        # best-of-2: report steady state, not residual JIT/page-cache noise
+        # best-of-2 (best-of-3 for sub-2s queries, where scheduler/GC
+        # jitter is a visible fraction of the runtime — the dual-run
+        # study showed the <2s population carries most of the
+        # run-over-run variance): report steady state, not noise
         best = None
         err = None
-        for _ in range(2):
+        for rep in range(3):
+            if rep == 2 and (best is None or best >= 2.0):
+                break
             try:
                 t0 = time.time()
                 df = fn(spark, sf_dir)
