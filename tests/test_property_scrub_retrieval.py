@@ -1,0 +1,98 @@
+"""Property tests for the round-8 integer-exact kernels: the secret
+scrub's Rényi-2 collision test and BM25's fixed-point scoring. Both claim
+"any engine replays this bit-for-bit BECAUSE it is integer arithmetic" —
+the sweep checks the Spark HOF/column math against direct python integer
+math on randomized inputs (the same differential strategy as the Luhn /
+mod-97 scrubs, widened by hypothesis).
+
+Spark jobs are expensive per example, so each property batches all
+hypothesis-generated cases into ONE DataFrame and compares the full
+result map (examples are still independently generated/shrunk)."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+ALPHABET = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/=_-"
+
+token_st = st.text(alphabet=ALPHABET, min_size=1, max_size=40)
+# a line: 1-4 candidate-ish tokens separated by spaces/punctuation
+line_st = st.lists(token_st, min_size=1, max_size=4).map(" see ".join)
+
+
+def _py_secret_ok(tok: str) -> bool:
+    if len(tok) < 20:
+        return False
+    if not re.search(r"\d", tok) or not re.search(r"[A-Za-z]", tok):
+        return False
+    c = Counter(tok)
+    coll = sum(v * v for v in c.values())
+    return coll * 1_000_000 <= 71_774 * len(tok) ** 2
+
+
+_CAND = re.compile(r"(?<![A-Za-z0-9+/=_\-])[A-Za-z0-9+/=_\-]{20,}(?![A-Za-z0-9+/=_\-])")
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(line_st, min_size=1, max_size=8))
+def test_secret_scan_matches_python_counter(spark, texts):
+    from emodb_spark.pipeline.curation import secret_scan
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["n_secrets"], r["redacted"])
+           for r in secret_scan(df).collect()}
+    for i, t in enumerate(texts):
+        valid = [m for m in _CAND.findall(t) if _py_secret_ok(m)]
+        red = t
+        for m in valid:
+            red = red.replace(m, "<SECRET>")
+        assert got[i] == (len(valid), red), (t, got[i])
+
+
+word_st = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+)
+doc_st = st.lists(word_st, min_size=1, max_size=12).map(" ".join)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(doc_st, min_size=2, max_size=8), st.integers(1, 3))
+def test_bm25_matches_python_integer_math(spark, docs, n_qwords):
+    from emodb_spark.pipeline.text import bm25_topk
+
+    query = " ".join(["alpha", "beta", "gamma"][:n_qwords])
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = [
+        (r["rank"], r["doc_id"], r["score"])
+        for r in bm25_topk(df, [query], k=len(docs)).orderBy("rank").collect()
+    ]
+
+    toks = {i: t.split() for i, t in enumerate(docs)}
+    N = len(docs)
+    total = sum(len(v) for v in toks.values())
+    S = 1_000_000
+
+    def score(i):
+        out = 0
+        for term in dict.fromkeys(query.split()):
+            tf = toks[i].count(term)
+            if not tf:
+                continue
+            dfr = sum(1 for v in toks.values() if term in v)
+            idf = (S * (2 * N - 2 * dfr + 1)) // (2 * dfr + 1)
+            dl = len(toks[i])
+            sat = (S * 44 * tf * total) // (20 * tf * total + 6 * total + 18 * dl * N)
+            out += (idf * sat) // S
+        return out
+
+    want = sorted(((i, score(i)) for i in toks if score(i) > 0),
+                  key=lambda p: (-p[1], p[0]))
+    assert got == [(r + 1, i, s) for r, (i, s) in enumerate(want)]
