@@ -128,3 +128,40 @@ class CompactionControlSource:
         if not pins:
             return int(requested_millis)
         return min(int(requested_millis), min(pins))
+
+
+# -- full-consistency timestamp (the cutoff chooser) ------------------------
+
+#: CompositeConsistencyTimeProvider.FIXED_MINIMUM_LAG — compaction never
+#: chases writes closer than a minute behind now
+FCT_MIN_LAG_MS = 60_000
+#: CompositeConsistencyTimeProvider.FIXED_MAXIMUM_LAG — rows never stay
+#: uncompacted longer than 10 days just because a provider stalls
+FCT_MAX_LAG_MS = 10 * 24 * 3600 * 1000
+
+
+def full_consistency_timestamp(
+    now_ms: int,
+    provider_timestamps=(),
+    control: Optional["CompactionControlSource"] = None,
+    placement: str = "default",
+) -> int:
+    """Choose the compaction cutoff — table/db/consistency/
+    CompositeConsistencyTimeProvider.getMaxTimeStamp, plus the stash-pin
+    clamp the reference applies separately (DefaultDataStore.java:429).
+
+    The cutoff is the OLDEST of the providers' full-consistency
+    timestamps (in the reference: Cassandra hinted-handoff high-water +
+    a configured min replication lag; in this engine: whatever
+    consistency signals the deployment has, e.g. the cross-DC
+    replication module's applied high-water or a streaming watermark),
+    hard-clamped into [now - 10 days, now - 1 minute] so a stalled
+    provider can neither stop compaction forever nor let it chase the
+    write head, then clamped behind any live stash pins. Feed the result
+    to :func:`emodb_spark.spark.compaction.compact`."""
+    ts = min([int(now_ms), *map(int, provider_timestamps)])
+    ts = max(ts, int(now_ms) - FCT_MAX_LAG_MS)
+    ts = min(ts, int(now_ms) - FCT_MIN_LAG_MS)
+    if control is not None:
+        ts = control.effective_cutoff(ts, placement, now_millis=now_ms)
+    return ts

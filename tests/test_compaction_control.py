@@ -108,3 +108,33 @@ def test_stash_export_pins_then_releases(spark, tmp_path):
     assert seen["pinned"] == ("daily", 1_770_000_123_000)
     assert seen["released"] == "daily"
     assert ctl.all_stash_times() == {}  # no pin outlives the scan
+
+
+def test_full_consistency_timestamp_composite_clamps():
+    """FullConsistencyTest shape (sor consistency/FullConsistencyTest.java):
+    a 5s provider lag still yields >= 1 min compaction lag; an 11-day-lagged
+    provider is clamped to 10 days; a live stash pin older than the FCT
+    wins."""
+    from emodb_spark.spark.compaction_control import (
+        FCT_MAX_LAG_MS,
+        FCT_MIN_LAG_MS,
+        CompactionControlSource,
+        full_consistency_timestamp,
+    )
+
+    now = 1_700_000_000_000
+    # lag 5s -> hard minimum 1 minute applies
+    assert full_consistency_timestamp(now, [now - 5_000]) == now - FCT_MIN_LAG_MS
+    # 11-day lag -> hard maximum 10 days applies
+    assert (full_consistency_timestamp(now, [now - 11 * 24 * 3600 * 1000])
+            == now - FCT_MAX_LAG_MS)
+    # in-range providers: the oldest wins
+    assert (full_consistency_timestamp(now, [now - 300_000, now - 120_000])
+            == now - 300_000)
+    # no providers: now - min lag
+    assert full_consistency_timestamp(now) == now - FCT_MIN_LAG_MS
+    # a live stash pin older than the FCT clamps further
+    ctl = CompactionControlSource(clock=lambda: now)
+    ctl.update_stash_time("scan1", now - 900_000, ["default"], now + 3_600_000)
+    assert (full_consistency_timestamp(now, [now - 300_000], control=ctl)
+            == now - 900_000)
