@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "iban_scan",             # mod-97 IBAN scrub, pure codegen
     "secret_scan",           # Renyi-2-entropy secret scrub, pure codegen
     "bm25_topk",             # integer fixed-point BM25 retrieval
+    "pq_topk",               # product-quantization ADC top-k (int64)
     # analytics
     "pricing_summary",
     "revenue_by_nation",

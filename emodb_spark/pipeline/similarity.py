@@ -568,3 +568,172 @@ def mmr_diverse_topk(
             "id", "v", "s", F.greatest(F.col("maxsim"), new_sim).alias("maxsim")
         ).localCheckpoint(eager=True)
     return picked
+
+
+# -- product quantization (PQ) ----------------------------------------------
+
+PQ_SCALE = 1 << 20  # fixed-point quantization for codebooks and queries
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 4,
+    sub_k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Train product-quantization codebooks (Jégou/Douze/Schmid 2011,
+    "Product Quantization for Nearest Neighbor Search" — public): the
+    vector space splits into ``m`` contiguous subspaces and each gets its
+    own ``sub_k``-centroid codebook from the SAME deterministic Lloyd's
+    trainer as :func:`kmeans` (flat init, integer-exact means), so an
+    external SQL oracle can replay the training bit-for-bit per
+    subspace. Returns ``m`` lists of ``sub_k`` float centroids
+    (dim/m each).
+
+    Scale shape: m trainings over narrow slices — each iteration is one
+    assignment projection + one O(sub_k * dim/m) aggregate; nothing
+    corpus-sized ever reaches the driver."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    sub_d = dim // m
+    books = []
+    for j in range(m):
+        sliced = embeddings.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * sub_d + 1, sub_d).alias(vec_col),
+        )
+        _, cents = kmeans(sliced, k=sub_k, iters=iters,
+                          id_col=id_col, vec_col=vec_col)
+        books.append(cents)
+    return books
+
+
+def _pq_quantize(books: list, scale: int = PQ_SCALE) -> list:
+    """floor(c * scale) per centroid element — after this every distance
+    in encode/ADC is exact int64 arithmetic (the repo's house rule:
+    integer math is the only float-free way two engines agree
+    bit-for-bit)."""
+    import math
+
+    return [
+        [[int(math.floor(x * scale)) for x in c] for c in book]
+        for book in books
+    ]
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    books_q: list,
+    scale: int = PQ_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``m`` one-byte codes: per subspace, the
+    argmin-integer-distance centroid (ties to the lowest code). Returns
+    EXPLODED ``(id, j, code)`` rows — the relational layout ADC joins
+    against (m rows per vector; at 100 TB this is the 16-64x compressed
+    representation that replaces the float corpus).
+
+    The quantized codebooks ride ONE broadcast row (same idiom as
+    :func:`kmeans_assign` — constant plan shape, no per-literal
+    re-analysis), encode is a narrow projection, the explode is
+    shuffle-free."""
+    m = len(books_q)
+    sub_d = len(books_q[0][0])
+    spark = embeddings.sparkSession
+    books_df = spark.createDataFrame(
+        [(books_q,)], "__books array<array<array<long>>>"
+    )
+
+    def code_for(j: int):
+        qslice = F.transform(
+            F.slice(F.col(vec_col), j * sub_d + 1, sub_d),
+            lambda v: F.floor(v.cast("double") * F.lit(float(scale))).cast("long"),
+        )
+        dists = F.transform(
+            F.element_at("__books", j + 1),
+            lambda c: F.aggregate(
+                F.zip_with(qslice, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        return (F.array_position(dists, F.array_min(dists)) - F.lit(1)).cast("int")
+
+    coded = embeddings.crossJoin(F.broadcast(books_df)).select(
+        F.col(id_col).alias("id"),
+        F.array(*[code_for(j) for j in range(m)]).alias("__codes"),
+    )
+    return coded.select(
+        "id", F.posexplode("__codes").alias("j", "code")
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    m: int = 4,
+    sub_k: int = 16,
+    iters: int = 2,
+    n_queries: int = 8,
+    k: int = 10,
+    scale: int = PQ_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ approximate top-k by Asymmetric Distance Computation: queries
+    stay exact (quantized full-precision slices), the corpus is its PQ
+    codes, and a query×subspace×code LOOKUP TABLE of integer distances
+    replaces every vector arithmetic at query time.
+
+    Plan shape — the reason PQ works at 100 TB: the corpus-sized side is
+    the (id, j, code) code table (m small ints per vector, 16-64x
+    smaller than the float corpus); the LUT is n_queries * m * sub_k
+    rows (512 here) broadcast into an EQUIJOIN on (j, code); the ADC
+    distance is a map-side partial SUM per (query, vector). No BNLJ on
+    the corpus path, no floats anywhere past training — the returned
+    ``dist_q`` is exact int64, so the oracle hash-matches.
+
+    Returns (query_id, nbr_id, dist_q, rank<=k), self-matches excluded,
+    ties by nbr_id."""
+    books_q = _pq_quantize(
+        pq_codebooks(embeddings, m, sub_k, iters, id_col, vec_col), scale
+    )
+    sub_d = len(books_q[0][0])
+    enc = pq_encode(embeddings, books_q, scale, id_col, vec_col)
+
+    # bounded point read: n_queries query vectors -> driver LUT
+    import math
+
+    qrows = (
+        embeddings.filter(F.col(id_col) < n_queries)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    lut = []
+    for r in qrows:
+        qv = [int(math.floor(float(x) * scale)) for x in r[vec_col]]
+        for j in range(m):
+            qs = qv[j * sub_d:(j + 1) * sub_d]
+            for c, cent in enumerate(books_q[j]):
+                d = sum((a - b) * (a - b) for a, b in zip(qs, cent))
+                lut.append((int(r[id_col]), j, c, d))
+    spark = embeddings.sparkSession
+    lut_df = spark.createDataFrame(
+        lut, "query_id long, j int, code int, d long"
+    )
+
+    scored = (
+        enc.join(F.broadcast(lut_df), ["j", "code"])
+        .filter(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", F.col("id").alias("nbr_id"))
+        .agg(F.sum("d").alias("dist_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist_q"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "dist_q", F.col("rank").cast("int").alias("rank"))
+    )

@@ -60,6 +60,9 @@ BNLJ_OK = {
     "bm25_topk",            # 1-row corpus stats (N docs, total tokens)
                             # broadcast onto the query-vocab tf rows
                             # (the BM25 normalizer constants)
+    "pq_topk",              # 1-row quantized-codebook broadcast for the
+                            # encode argmin (the kmeans_assign idiom);
+                            # the query-time path is a (j, code) equijoin
     "ann_recall",           # composes similarity_topk (exact baseline,
                             # O(#queries) broadcast) with ann_ivf_kmeans
                             # (O(n_cells) centroid broadcast) — both
