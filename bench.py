@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "secret_scan",           # Renyi-2-entropy secret scrub, pure codegen
     "bm25_topk",             # integer fixed-point BM25 retrieval
     "pq_topk",               # product-quantization ADC top-k (int64)
+    "pq_recall",             # PQ recall@10 vs exact quantized-L2
     # analytics
     "pricing_summary",
     "revenue_by_nation",

@@ -789,3 +789,85 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "nbr_id", "dist_q", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def pq_recall(
+    embeddings: DataFrame,
+    m: int = 4,
+    sub_k: int = 16,
+    iters: int = 2,
+    n_queries: int = 8,
+    k: int = 10,
+    scale: int = PQ_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """recall@k of :func:`pq_adc_topk` against the EXACT top-k in the
+    same quantized-L2 metric — the eval every compressed index ships
+    with (the PQ analogue of the IVF ``ann_recall`` gate). Both sides
+    share the 2^20 fixed-point quantization, so exact distances, PQ
+    distances, the intersection count, and the ppm recall are all
+    integer-exact.
+
+    Plan shape: the exact baseline broadcasts the n_queries quantized
+    query vectors over the corpus (the allowlisted O(#queries)-row
+    idiom); the approximate side is :func:`pq_adc_topk`'s code-table
+    equijoin; recall is a left-semi-sized join of two k-row-per-query
+    frames. Returns (query_id, hits, recall_ppm)."""
+    import math
+
+    approx = pq_adc_topk(
+        embeddings, m, sub_k, iters, n_queries, k, scale, id_col, vec_col
+    )
+
+    spark = embeddings.sparkSession
+    qrows = (
+        embeddings.filter(F.col(id_col) < n_queries)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    q_df = spark.createDataFrame(
+        [
+            (int(r[id_col]),
+             [int(math.floor(float(x) * scale)) for x in r[vec_col]])
+            for r in qrows
+        ],
+        "query_id long, qv array<long>",
+    )
+    corpus_q = embeddings.select(
+        F.col(id_col).alias("nbr_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda v: F.floor(v.cast("double") * F.lit(float(scale))).cast("long"),
+        ).alias("cv"),
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist_q"), F.asc("nbr_id"))
+    exact = (
+        corpus_q.crossJoin(F.broadcast(q_df))
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .select("query_id", "nbr_id", dist.alias("dist_q"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id")
+    )
+    hits = (
+        exact.join(approx.select("query_id", "nbr_id"), ["query_id", "nbr_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+    )
+    return (
+        exact.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            (F.coalesce(F.col("hits"), F.lit(0)) * F.lit(1_000_000) / F.lit(k))
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )

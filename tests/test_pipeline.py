@@ -2292,3 +2292,59 @@ def test_pq_adc_topk_integer_exact(spark):
     assert got == want
     # the planted near-dup of vec 0 must be its top PQ neighbor
     assert got[0][:2] == (0, 9)
+
+
+def test_pq_recall_counts_exact_hits(spark):
+    """pq_recall: hits = |PQ top-k ∩ exact quantized-L2 top-k| per query,
+    ppm integer-exact — checked against a python replay on the planted
+    near-dup corpus; a perfect-codebook corner (corpus == codebook
+    vectors, sub_k >= corpus) must give recall 1.0."""
+    import math
+    import random
+
+    from emodb_spark.pipeline.similarity import (
+        PQ_SCALE,
+        _pq_quantize,
+        pq_adc_topk,
+        pq_codebooks,
+        pq_recall,
+    )
+
+    rng = random.Random(11)
+    base = [[rng.uniform(-0.5, 0.5) for _ in range(8)] for _ in range(24)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "vec_id long, embedding array<float>"
+    )
+    m, sub_k, iters, nq, k = 2, 4, 2, 3, 5
+    got = {r["query_id"]: (r["hits"], r["recall_ppm"])
+           for r in pq_recall(df, m, sub_k, iters, n_queries=nq, k=k).collect()}
+
+    # python replay: exact quantized-L2 top-k vs the operator's PQ top-k
+    pq = {}
+    for r in pq_adc_topk(df, m, sub_k, iters, n_queries=nq, k=k).collect():
+        pq.setdefault(r["query_id"], set()).add(r["nbr_id"])
+    data = {i: v for i, v in enumerate(base)}
+
+    def q(v):
+        return [math.floor(x * PQ_SCALE) for x in v]
+
+    for qi in range(nq):
+        qv = q(data[qi])
+        scores = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(qv, q(v))), i)
+            for i, v in data.items() if i != qi
+        )
+        exact = {i for _, i in scores[:k]}
+        hits = len(exact & pq[qi])
+        assert got[qi] == (hits, hits * 1_000_000 // k), qi
+
+    # corner: sub_k >= corpus and 1 iteration from flat init makes every
+    # vector its own codeword in each subspace -> ADC == exact -> recall 1
+    tiny = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base[:6])],
+        "vec_id long, embedding array<float>",
+    )
+    perfect = {r["query_id"]: r["recall_ppm"]
+               for r in pq_recall(tiny, m=2, sub_k=6, iters=0,
+                                  n_queries=2, k=3).collect()}
+    assert all(v == 1_000_000 for v in perfect.values()), perfect

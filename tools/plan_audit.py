@@ -63,6 +63,9 @@ BNLJ_OK = {
     "pq_topk",              # 1-row quantized-codebook broadcast for the
                             # encode argmin (the kmeans_assign idiom);
                             # the query-time path is a (j, code) equijoin
+    "pq_recall",            # composes pq_topk with the exact baseline's
+                            # O(#queries)-row broadcast (the allowlisted
+                            # similarity_topk idiom)
     "ann_recall",           # composes similarity_topk (exact baseline,
                             # O(#queries) broadcast) with ann_ivf_kmeans
                             # (O(n_cells) centroid broadcast) — both
