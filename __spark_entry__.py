@@ -1235,8 +1235,9 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval (emodb_spark.pipeline.text.bm25_topk): top-10
     docs for two keyword queries, Okapi saturation + length norm as exact
     integer fixed-point (k1=6/5, b=3/4 rationals cleared to one integer
-    fraction; raw-odds IDF instead of its log — transcendental-free, so
-    the oracle can replay the identical // arithmetic). Corpus stats ride
+    fraction; raw-odds IDF applied as an exact rational AFTER the
+    ppm-scaled saturation — transcendental-free AND int64-safe to ~2e12
+    docs, so the oracle can replay the identical // arithmetic). Corpus stats ride
     a 1-row broadcast; the top-k window compiles to a map-side
     WindowGroupLimit."""
     from emodb_spark.pipeline.text import bm25_topk
@@ -1268,10 +1269,9 @@ WITH qterms(query, term) AS (
   SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
 ), per_term AS (
   SELECT tf.doc_id, tf.term,
-    (CAST(1000000 AS HUGEINT) * (2 * c.n_docs - 2 * d.df + 1) // (2 * d.df + 1))
-    * (CAST(1000000 AS HUGEINT) * 44 * tf.tf * c.total
+    (CAST(1000000 AS HUGEINT) * 44 * tf.tf * c.total
        // (20 * tf.tf * c.total + 6 * c.total + 18 * l.dl * c.n_docs))
-    // 1000000 AS term_score
+    * (2 * c.n_docs - 2 * d.df + 1) // (2 * d.df + 1) AS term_score
   FROM tf JOIN dft d USING (term) JOIN dl l USING (doc_id), corpus c
 ), per_query AS (
   SELECT q.query, p.doc_id, CAST(SUM(p.term_score) AS BIGINT) AS score
@@ -7176,9 +7176,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (compression_ratio, bpe_merges) are EXCLUDED by design: the driver
     # can only ever record `no_oracle` for them, which wastes a
     # certifiable slot (r7 verdict What's-wrong #1); they stay
-    # differential-tested in pytest. The 22 r5 rows that didn't fit defer
-    # to r9 (market_share, mixture_weights, ngram_novelty, product_profit,
-    # quality_retention..word_rank_score — noted in COVERAGE.md).
+    # differential-tested in pytest. 21 r5 rows defer to r9
+    # (market_share, mixture_weights, ngram_novelty, product_profit,
+    # quality_retention..word_rank_score — the full list in COVERAGE.md;
+    # rows-only bpe_merges stays permanently behind).
     # Everything else keeps its registry order behind the window and is
     # re-verified by tools/oracle_check.py instead.
     window = [

@@ -169,7 +169,7 @@ BENCH_QUERIES = [
 ]
 
 
-def _warmup(spark, sf_dir: str, names) -> None:
+def _warmup(spark, sf_dir: str) -> None:
     """One-time JVM/Python-worker/page-cache warmup so timed queries
     measure steady state, not JIT/startup costs. OUTSIDE the timed region."""
     from pyspark.sql import functions as F
@@ -289,7 +289,7 @@ def _child(names, sf_dir: str) -> None:
 
     spark = get_spark(app_name="emodb_spark_bench_child")
     qs = entrymod.queries()
-    _warmup(spark, sf_dir, names)
+    _warmup(spark, sf_dir)
     timings, errors = _run_queries(spark, qs, names, sf_dir)
     print(json.dumps({"timings": timings, "errors": errors}))
 
@@ -331,12 +331,12 @@ def main() -> None:
         return
 
     isolate = os.environ.get("SPARK_GRAFT_ISOLATE", "1") != "0"
-    if "--no-isolate" in argv:
-        isolate = False
     batch = int(os.environ.get("SPARK_GRAFT_ISOLATE_BATCH", "16"))
     if "--isolate-batch" in argv:
         batch = int(argv[argv.index("--isolate-batch") + 1])
         isolate = True
+    if "--no-isolate" in argv:  # an explicit opt-out always wins
+        isolate = False
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod
@@ -356,7 +356,7 @@ def main() -> None:
 
         spark = get_spark(app_name="emodb_spark_bench")
         qs = entrymod.queries()
-        _warmup(spark, sf_dir, BENCH_QUERIES)
+        _warmup(spark, sf_dir)
         timings, errors = _run_queries(spark, qs, BENCH_QUERIES, sf_dir)
         all_registered = set(qs)
 
@@ -404,10 +404,17 @@ def main() -> None:
     while len(json.dumps({**out, "queries": keep})) > 1800 and keep:
         # drop the fastest remaining query until the line fits
         del keep[by_time[len(keep) - 1][0]]
+    if errors:
+        # include errors BEFORE sizing the line: an isolated-mode child
+        # death stamps every query of its chunk, and errors appended
+        # after the trim overflowed the driver's ~2000-char tail capture
+        # (the exact BENCH_r04 parsed=null failure) on the runs where
+        # the errors mattered most
+        out["errors"] = {k: v[:80] for k, v in list(errors.items())[:5]}
+        while len(json.dumps({**out, "queries": keep})) > 1800 and keep:
+            del keep[by_time[len(keep) - 1][0]]
     out["queries"] = keep
     out["queries_omitted"] = len(timings) - len(keep)
-    if errors:
-        out["errors"] = {k: v[:80] for k, v in list(errors.items())[:5]}
     print(json.dumps(out))
 
 

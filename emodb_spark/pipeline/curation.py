@@ -190,12 +190,19 @@ def secret_scan(
     bit-replicable by any engine — the same trick as the repo's other
     transcendental-free scores.
 
-    The entropy test is computed as an O(n^2) pairwise character
-    comparison per CANDIDATE (sum over i of #{j: x_j = x_i} = sum
-    cnt^2) in nested higher-order expressions — candidates are rare and
-    short, so this beats materializing histograms, and the operator
-    stays zero-Python zero-shuffle like its siblings: a 100 TB scrub is
-    one scan.
+    The entropy test materializes the histogram over the (fixed,
+    68-char) token alphabet: cnt_c = n - length(replace(x, c, '')) per
+    alphabet char, summed as cnt_c^2 in one fold — O(68n) per candidate,
+    so a multi-kilobyte base64 blob (PEM body, data-URI) costs a linear
+    scan, not the O(n^2) pairwise comparison a naive spelling would
+    (1e10 ops on a 100 KB candidate). The operator stays zero-Python
+    zero-shuffle like its siblings: a 100 TB scrub is one scan.
+
+    Redaction is boundary-aware: each valid candidate is replaced via a
+    lookaround-anchored regex (the candidate's own bytes can legally
+    appear INSIDE a longer alphabet run — e.g. a secret embedded in a
+    bigger blob — and a plain substring replace would corrupt that run
+    without redacting it).
 
     Known trade-off of the 3.8-bit rule (document, don't hide): tokens
     with repeated chars slip through (AWS's doc example
@@ -210,27 +217,45 @@ def secret_scan(
     cand_re = rf"(?<![{alpha}])[{alpha}]{{{min_len},}}(?![{alpha}])"
     cands = F.regexp_extract_all(t, F.lit(cand_re), 0)
 
+    alphabet_chars = (
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/=_-"
+    )
+    alpha_arr = F.array(*[F.lit(c) for c in alphabet_chars])
+
     def secret_ok(x):
-        n = F.length(x)
+        n = F.length(x).cast("long")
         mixed = x.rlike("[0-9]") & x.rlike("[A-Za-z]")
-        pos = F.sequence(F.lit(1), n)
-        # sum over i of #{j: x_j == x_i}  ==  sum over chars of cnt^2
+        # histogram over the fixed alphabet: cnt_c = n - len(drop c);
+        # collision index = sum cnt_c^2 (chars outside the alphabet
+        # cannot occur — the candidate regex is the alphabet)
         coll = F.aggregate(
-            pos,
+            alpha_arr,
             F.lit(0).cast("long"),
-            lambda acc, i: acc
-            + F.size(
-                F.filter(pos, lambda j: F.substring(x, j, 1) == F.substring(x, i, 1))
-            ),
+            lambda acc, c: acc
+            + (n - F.length(F.replace(x, c)).cast("long"))
+            * (n - F.length(F.replace(x, c)).cast("long")),
         )
         return mixed & (
             coll * F.lit(1_000_000)
-            <= F.lit(int(max_collision_ppm)) * n.cast("long") * n.cast("long")
+            <= F.lit(int(max_collision_ppm)) * n * n
         )
 
     valid = F.filter(cands, secret_ok)
+    # boundary-aware replace: anchor with the candidate-regex lookarounds
+    # so an occurrence embedded in a longer alphabet run is left alone
+    # ('+' is the only regex metachar in the alphabet — escape it)
     redacted = F.aggregate(
-        valid, t, lambda acc, x: F.replace(acc, x, F.lit(token))
+        valid,
+        t,
+        lambda acc, x: F.regexp_replace(
+            acc,
+            F.concat(
+                F.lit(rf"(?<![{alpha}])"),
+                F.replace(x, F.lit("+"), F.lit(r"\+")),
+                F.lit(rf"(?![{alpha}])"),
+            ),
+            F.lit(token),
+        ),
     )
     return df.select(
         F.col(id_col),

@@ -447,11 +447,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         while data[pos + 1] == 0xFF and pos + 2 < n:
             pos += 1
         marker = data[pos + 1]
+        if marker == 0xFF:  # fill bytes ran into EOF — no marker follows
+            raise ValueError("truncated JPEG header segment")
         pos += 2
         if marker == 0xD9:  # EOI
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # standalone
+        if pos + 2 > n:
+            raise ValueError("truncated JPEG header segment")
         (seglen,) = struct.unpack(">H", data[pos : pos + 2])
         if pos + seglen > n:
             raise ValueError("truncated JPEG header segment")

@@ -808,14 +808,17 @@ def bm25_topk(
       fraction ``44*tf*total / (20*tf*total + 6*total + 18*dl*N)``,
       floored at ``scale`` ppm.
     - IDF: the Robertson–Sparck-Jones ODDS ``(N-df+0.5)/(df+0.5)`` —
-      i.e. ``(2N-2df+1)/(2df+1)`` — floored at ``scale`` ppm, WITHOUT
-      the usual log. The log dampens cross-term magnitudes but is
-      transcendental (engine-varying last-ulp); raw odds keep each
-      term's ranking monotone in df and the whole score bit-replicable
-      by any engine — the same trade documented at
-      :func:`tfidf_topk`. Rare terms weigh relatively more than under
-      log-IDF; for top-k retrieval on keyword queries the ordering is
-      the practical concern and stays BM25-shaped.
+      i.e. ``(2N-2df+1)/(2df+1)`` — applied as an exact rational to the
+      ppm-scaled saturation, WITHOUT the usual log. The log dampens
+      cross-term magnitudes but is transcendental (engine-varying
+      last-ulp); raw odds keep each term's ranking monotone in df and
+      the whole score bit-replicable by any engine — the same trade
+      documented at :func:`tfidf_topk`. Rare terms weigh relatively
+      more than under log-IDF; for top-k retrieval on keyword queries
+      the ordering is the practical concern and stays BM25-shaped.
+      The ppm scale lives ONLY in the saturation factor (bounded by
+      (k1+1)*scale whatever the corpus), so the odds product stays in
+      int64 to ~2e12 documents.
 
     Plan shape: one token explode filtered to the (tiny) query
     vocabulary BEFORE the groupBy — the corpus-sized aggregation is
@@ -824,16 +827,17 @@ def bm25_topk(
     ``row_number <= k`` window per query, which Spark turns into a
     map-side WindowGroupLimit below the exchange. Ties break by doc id.
 
-    Overflow note for the very large: ``scale*44*tf*total`` must fit
-    int64 — at corpora past ~1e11 tokens lower ``scale`` (ppm precision
-    is overkill for ranking) or score per shard.
+    Overflow note for the very large: the saturation numerator
+    ``scale*44*tf*total`` must fit int64 — at corpora approaching ~1e11
+    tokens lower ``scale`` (ppm precision is overkill for ranking) or
+    score per shard.
 
     Returns ``(query, rank, doc_id, score)`` with ``score`` in scaled
     fixed-point (``idf_scaled * satur_scaled // scale`` summed over the
     query's matched terms)."""
     from pyspark.sql import Window
 
-    queries = list(queries)
+    queries = list(dict.fromkeys(queries))  # a repeat would double-count
     if not queries:
         raise ValueError("no queries")
     spark = df.sparkSession
@@ -866,18 +870,23 @@ def bm25_topk(
     # exact integral division (SQL `div` / IntegralDivide — NOT `/`,
     # which is double division and rounds past 2^53)
     idiv = lambda a, b: F.call_function("div", a, b)  # noqa: E731
-    idf_scaled = idiv(
-        s * (2 * F.col("n_docs") - 2 * F.col("df") + 1),
-        2 * F.col("df") + 1,
-    )
     satur_scaled = idiv(
         s * 44 * F.col("tf") * F.col("total"),
         20 * F.col("tf") * F.col("total")
         + 6 * F.col("total")
         + 18 * F.col("dl") * F.col("n_docs"),
     )
+    # IDF as the raw-odds rational applied AFTER the ppm-scaled
+    # saturation: satur_scaled is bounded by (k1+1)*scale regardless of
+    # corpus size, so satur_scaled * (2N+1) stays inside int64 to ~2e12
+    # documents (a ppm-scaled idf * ppm-scaled satur product overflowed
+    # at ~6M docs)
     per_term = scored.select(
-        "id", "term", idiv(idf_scaled * satur_scaled, s).alias("term_score")
+        "id", "term",
+        idiv(
+            satur_scaled * (2 * F.col("n_docs") - 2 * F.col("df") + 1),
+            2 * F.col("df") + 1,
+        ).alias("term_score"),
     )
     per_query = (
         per_term.join(F.broadcast(qterms), "term")

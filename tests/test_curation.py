@@ -485,7 +485,9 @@ def test_secret_scan_entropy_validated_jvm_side(spark):
         valid = [m for m in pat.findall(text) if py_secret(m)]
         red = text
         for m in valid:
-            red = red.replace(m, "<SECRET>")
+            red = re.sub(
+                r"(?<![A-Za-z0-9+/=_\-])" + re.escape(m) + r"(?![A-Za-z0-9+/=_\-])",
+                "<SECRET>", red)
         assert out[doc_id]["n_secrets"] == len(valid), doc_id
         assert out[doc_id]["redacted"] == red, doc_id
     assert out[1]["n_secrets"] == 1 and out[7]["n_secrets"] == 2
@@ -493,3 +495,20 @@ def test_secret_scan_entropy_validated_jvm_side(spark):
 
     plan = secret_scan(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_secret_scan_embedded_run_not_corrupted(spark):
+    """Boundary-aware redaction: a valid secret's byte sequence embedded
+    INSIDE a longer alphabet run (e.g. a bigger blob containing it) must
+    not be rewritten — only standalone occurrences are candidates."""
+    from emodb_spark.pipeline.curation import secret_scan
+
+    secret = "sk_live_A7f3K9mQ2xB8pR5tW1zD4"
+    low_entropy_host = "aaaaaaaaaa" + secret + "aaaaaaaaaa"  # fails entropy
+    df = spark.createDataFrame(
+        [(1, f"standalone {secret} and embedded {low_entropy_host} end")],
+        "doc_id long, text string",
+    )
+    r = secret_scan(df).collect()[0]
+    assert r["n_secrets"] == 1
+    assert f"standalone <SECRET> and embedded {low_entropy_host} end" == r["redacted"]

@@ -2210,12 +2210,11 @@ def test_bm25_topk_exact_fixed_point(spark):
             if not tf:
                 continue
             dfr = sum(1 for v in toks.values() if term in v)
-            idf = (S * (2 * N - 2 * dfr + 1)) // (2 * dfr + 1)
             dl = len(toks[doc_id])
             sat = (S * 44 * tf * total) // (
                 20 * tf * total + 6 * total + 18 * dl * N
             )
-            out += (idf * sat) // S
+            out += sat * (2 * N - 2 * dfr + 1) // (2 * dfr + 1)
         return out
 
     want = sorted(

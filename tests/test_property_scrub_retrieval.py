@@ -51,7 +51,10 @@ def test_secret_scan_matches_python_counter(spark, texts):
         valid = [m for m in _CAND.findall(t) if _py_secret_ok(m)]
         red = t
         for m in valid:
-            red = red.replace(m, "<SECRET>")
+            red = re.sub(
+                r"(?<![A-Za-z0-9+/=_\-])" + re.escape(m)
+                + r"(?![A-Za-z0-9+/=_\-])",
+                "<SECRET>", red)
         assert got[i] == (len(valid), red), (t, got[i])
 
 
@@ -87,10 +90,9 @@ def test_bm25_matches_python_integer_math(spark, docs, n_qwords):
             if not tf:
                 continue
             dfr = sum(1 for v in toks.values() if term in v)
-            idf = (S * (2 * N - 2 * dfr + 1)) // (2 * dfr + 1)
             dl = len(toks[i])
             sat = (S * 44 * tf * total) // (20 * tf * total + 6 * total + 18 * dl * N)
-            out += (idf * sat) // S
+            out += sat * (2 * N - 2 * dfr + 1) // (2 * dfr + 1)
         return out
 
     want = sorted(((i, score(i)) for i in toks if score(i) > 0),
