@@ -103,8 +103,17 @@ def luhn_card_scan(
         return (n >= 13) & (n <= 19) & (total % 10 == 0)
 
     valid = F.filter(cands, luhn_ok)
+    # boundary-aware replace (see secret_scan): a PAN's digits embedded
+    # inside a longer digit run are not a candidate and must not be
+    # rewritten; candidate chars (digits, space, dash) are regex-literal
     redacted = F.aggregate(
-        valid, t, lambda acc, x: F.replace(acc, x, F.lit(token))
+        valid,
+        t,
+        lambda acc, x: F.regexp_replace(
+            acc,
+            F.concat(F.lit(r"(?<![\d-])"), x, F.lit(r"(?![\d-])")),
+            F.lit(token),
+        ),
     )
     return df.select(
         F.col(id_col),
@@ -153,8 +162,16 @@ def iban_scan(
         return F.aggregate(F.sequence(F.lit(1), n), F.lit(0), step) == 1
 
     valid = F.filter(cands, mod97_ok)
+    # boundary-aware replace (see secret_scan): IBAN chars are regex-
+    # literal uppercase alnums, anchor with the candidate's \b edges
     redacted = F.aggregate(
-        valid, t, lambda acc, x: F.replace(acc, x, F.lit(token))
+        valid,
+        t,
+        lambda acc, x: F.regexp_replace(
+            acc,
+            F.concat(F.lit(r"\b"), x, F.lit(r"\b")),
+            F.lit(token),
+        ),
     )
     return df.select(
         F.col(id_col),

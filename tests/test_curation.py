@@ -512,3 +512,26 @@ def test_secret_scan_embedded_run_not_corrupted(spark):
     r = secret_scan(df).collect()[0]
     assert r["n_secrets"] == 1
     assert f"standalone <SECRET> and embedded {low_entropy_host} end" == r["redacted"]
+
+
+def test_card_iban_scan_embedded_runs_not_corrupted(spark):
+    """Boundary-aware redaction for the checksum scrubs too: a valid
+    PAN's digits inside a longer digit run, or a valid IBAN's chars
+    inside a longer alnum run, are not candidates and must survive."""
+    from emodb_spark.pipeline.curation import iban_scan, luhn_card_scan
+
+    pan = "4242424242424242"
+    host = "99" + pan + "77"  # 20-digit run: not a valid candidate span
+    c = luhn_card_scan(spark.createDataFrame(
+        [(1, f"pay {pan} ref {host} end")], "doc_id long, text string"
+    )).collect()[0]
+    assert c["n_cards"] == 1
+    assert c["redacted"] == f"pay <CARD> ref {host} end"
+
+    iban = "GB82WEST12345698765432"
+    ihost = "XX" + iban + "99"
+    i = iban_scan(spark.createDataFrame(
+        [(1, f"acct {iban} blob {ihost} end")], "doc_id long, text string"
+    )).collect()[0]
+    assert i["n_ibans"] == 1
+    assert i["redacted"] == f"acct <IBAN> blob {ihost} end"
