@@ -209,7 +209,10 @@ def secret_scan(
 
     The entropy test materializes the histogram over the (fixed,
     68-char) token alphabet: cnt_c = n - length(replace(x, c, '')) per
-    alphabet char, summed as cnt_c^2 in one fold — O(68n) per candidate,
+    alphabet char computed ONCE (a ``transform`` to the counts array,
+    then one sum-of-squares fold — squaring inside a single fold would
+    evaluate each count's replace/length pass twice) — O(68n) per
+    candidate,
     so a multi-kilobyte base64 blob (PEM body, data-URI) costs a linear
     scan, not the O(n^2) pairwise comparison a naive spelling would
     (1e10 ops on a 100 KB candidate). The operator stays zero-Python
@@ -244,13 +247,16 @@ def secret_scan(
         mixed = x.rlike("[0-9]") & x.rlike("[A-Za-z]")
         # histogram over the fixed alphabet: cnt_c = n - len(drop c);
         # collision index = sum cnt_c^2 (chars outside the alphabet
-        # cannot occur — the candidate regex is the alphabet)
+        # cannot occur — the candidate regex is the alphabet). The
+        # counts materialize ONCE via transform, then one
+        # sum-of-squares fold — 68 replace/length passes per
+        # candidate, not 136 (squaring inside the fold evaluated the
+        # count expression twice unless codegen happened to CSE it)
+        counts = F.transform(
+            alpha_arr, lambda c: n - F.length(F.replace(x, c)).cast("long")
+        )
         coll = F.aggregate(
-            alpha_arr,
-            F.lit(0).cast("long"),
-            lambda acc, c: acc
-            + (n - F.length(F.replace(x, c)).cast("long"))
-            * (n - F.length(F.replace(x, c)).cast("long")),
+            counts, F.lit(0).cast("long"), lambda acc, cnt: acc + cnt * cnt
         )
         return mixed & (
             coll * F.lit(1_000_000)

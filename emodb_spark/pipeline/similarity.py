@@ -756,25 +756,39 @@ def pq_adc_topk(
     sub_d = len(books_q[0][0])
     enc = pq_encode(embeddings, books_q, scale, id_col, vec_col)
 
-    # bounded point read: n_queries query vectors -> driver LUT
-    import math
+    # bounded point read: n_queries query vectors -> driver LUT. The
+    # distance table is one vectorized int64 einsum over
+    # (queries x subspaces x codes), not a Python triple loop — a
+    # 10k-query batch is a few numpy ops, O(n_queries) driver rows of
+    # assembly. floor(float64(x)*scale) here is the same IEEE
+    # multiply+floor the engine-side quantization performs, so the LUT
+    # stays bit-identical to the looped spelling.
+    import numpy as np
+    import pandas as pd
 
     qrows = (
         embeddings.filter(F.col(id_col) < n_queries)
         .select(id_col, vec_col)
         .collect()
     )
-    lut = []
-    for r in qrows:
-        qv = [int(math.floor(float(x) * scale)) for x in r[vec_col]]
-        for j in range(m):
-            qs = qv[j * sub_d:(j + 1) * sub_d]
-            for c, cent in enumerate(books_q[j]):
-                d = sum((a - b) * (a - b) for a, b in zip(qs, cent))
-                lut.append((int(r[id_col]), j, c, d))
+    qids = np.array([int(r[id_col]) for r in qrows], dtype=np.int64)
+    qmat = np.floor(
+        np.array([[float(x) for x in r[vec_col]] for r in qrows],
+                 dtype=np.float64) * float(scale)
+    ).astype(np.int64).reshape(len(qrows), m, sub_d)
+    books_arr = np.asarray(books_q, dtype=np.int64)  # (m, sub_k, sub_d)
+    diff = qmat[:, :, None, :] - books_arr[None, :, :, :]
+    d_tab = np.einsum("qjkd,qjkd->qjk", diff, diff)  # exact int64
+    nq, sk = len(qids), books_arr.shape[1]
+    lut_pdf = pd.DataFrame({
+        "query_id": np.repeat(qids, m * sk),
+        "j": np.tile(np.repeat(np.arange(m, dtype=np.int32), sk), nq),
+        "code": np.tile(np.arange(sk, dtype=np.int32), nq * m),
+        "d": d_tab.reshape(-1),
+    })
     spark = embeddings.sparkSession
     lut_df = spark.createDataFrame(
-        lut, "query_id long, j int, code int, d long"
+        lut_pdf, "query_id long, j int, code int, d long"
     )
 
     scored = (

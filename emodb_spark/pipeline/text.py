@@ -793,6 +793,7 @@ def bm25_topk(
     text_col: str = "text",
     id_col: str = "doc_id",
     scale: int = 1_000_000,
+    exact: bool = True,
 ) -> DataFrame:
     """BM25 ranked retrieval: top-k documents per query string, with the
     Okapi saturation + length normalization computed EXACTLY in integer
@@ -830,11 +831,22 @@ def bm25_topk(
     Overflow note for the very large: the saturation numerator
     ``scale*44*tf*total`` must fit int64 — at corpora approaching ~1e11
     tokens lower ``scale`` (ppm precision is overkill for ranking) or
-    score per shard.
+    score per shard. The bound is ENFORCED: a row whose numerator would
+    wrap raises (``raise_error``) instead of silently returning a
+    wrapped score that a HUGEINT oracle would quietly diverge from —
+    the check is one extra long comparison per matched occurrence,
+    inside codegen.
+
+    ``exact=False`` switches the IDF to the textbook log form
+    ``ln((N-df+0.5)/(df+0.5)+1)`` (Robertson's floor-at-zero variant)
+    and returns DOUBLE scores — standard BM25 numbers for users who
+    want them, at the cost of bit-replicability (transcendental; NOT
+    oracle-gated — differential-tested for rank agreement against the
+    integer path instead).
 
     Returns ``(query, rank, doc_id, score)`` with ``score`` in scaled
     fixed-point (``idf_scaled * satur_scaled // scale`` summed over the
-    query's matched terms)."""
+    query's matched terms) when ``exact``, else double."""
     from pyspark.sql import Window
 
     queries = list(dict.fromkeys(queries))  # a repeat would double-count
@@ -870,8 +882,61 @@ def bm25_topk(
     # exact integral division (SQL `div` / IntegralDivide — NOT `/`,
     # which is double division and rounds past 2^53)
     idiv = lambda a, b: F.call_function("div", a, b)  # noqa: E731
+    w = Window.partitionBy("query").orderBy(F.desc("score"), F.asc("id"))
+    if not exact:
+        # textbook float BM25: satur * ln((N-df+0.5)/(df+0.5)+1)
+        # (Robertson's +1 variant, non-negative for df up to N)
+        satur = (
+            F.lit(44.0) * F.col("tf") * F.col("total")
+        ) / (
+            F.lit(20.0) * F.col("tf") * F.col("total")
+            + F.lit(6.0) * F.col("total")
+            + F.lit(18.0) * F.col("dl") * F.col("n_docs")
+        )
+        log_idf = F.log(
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        per_query = (
+            scored.select("id", "term", (satur * log_idf).alias("term_score"))
+            .join(F.broadcast(qterms), "term")
+            .groupBy("query", "id")
+            .agg(F.sum("term_score").cast("double").alias("score"))
+        )
+        return (
+            per_query.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query",
+                F.col("rank").cast("long").alias("rank"),
+                F.col("id").alias(id_col),
+                "score",
+            )
+        )
+    # fail-loud overflow guard: Spark (non-ANSI) silently WRAPS int64
+    # multiplication, so a corpus past the documented ~1e11-token bound
+    # would return corrupted scores while a HUGEINT oracle diverges
+    # silently. tf <= (int64_max div (44*scale)) div total <=> the
+    # numerator fits; one long comparison per matched occurrence,
+    # inside codegen
+    max_tf = idiv(idiv(F.lit((1 << 63) - 1), s * 44), F.col("total"))
+    guarded_num = F.when(
+        F.col("tf") <= max_tf, s * 44 * F.col("tf") * F.col("total")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "bm25_topk: saturation numerator scale*44*tf*total "
+                "overflows int64 (tf=%s, total=%s, scale="
+                + str(int(scale))
+                + ") — lower `scale` or score per shard",
+                F.col("tf"),
+                F.col("total"),
+            )
+        ).cast("long")
+    )
     satur_scaled = idiv(
-        s * 44 * F.col("tf") * F.col("total"),
+        guarded_num,
         20 * F.col("tf") * F.col("total")
         + 6 * F.col("total")
         + 18 * F.col("dl") * F.col("n_docs"),
@@ -893,7 +958,6 @@ def bm25_topk(
         .groupBy("query", "id")
         .agg(F.sum("term_score").cast("long").alias("score"))
     )
-    w = Window.partitionBy("query").orderBy(F.desc("score"), F.asc("id"))
     return (
         per_query.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

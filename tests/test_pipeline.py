@@ -2174,6 +2174,77 @@ def test_heavy_hitters_autosize_actually_prunes(spark):
     assert n_cand < n * 0.1, f"candidates {n_cand} not << input {n}"
 
 
+def test_bm25_topk_overflow_raises(spark):
+    """The int64 guard on the saturation numerator fails LOUDLY: an
+    absurd `scale` pushes scale*44*tf*total past int64 on a tiny corpus,
+    and the query must raise (Spark's non-ANSI default would otherwise
+    silently wrap and return corrupted scores)."""
+    import pytest
+
+    from emodb_spark.pipeline.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [(1, "spark shuffle spark"), (2, "spark filler data rows")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="overflows int64"):
+        bm25_topk(df, ["spark"], k=2, scale=1 << 55).collect()
+
+
+def test_bm25_topk_log_idf_mode(spark):
+    """exact=False float log-IDF mode: single-term ranking must equal
+    the integer path exactly (one term => IDF is a per-term constant,
+    so both orderings are monotone in the same saturation factor);
+    multi-term rankings may legitimately differ (raw odds vs log damping
+    weigh rare terms differently) but must stay BM25-shaped: positive
+    descending scores and substantial top-k overlap on the fixtures."""
+    import math
+
+    from emodb_spark.pipeline.text import bm25_topk
+
+    docs = [
+        (1, "spark shuffle spark shuffle spark"),
+        (2, "spark shuffle"),
+        (3, "spark " + "filler " * 30),
+        (4, "nothing relevant here at all"),
+        (5, "shuffle shuffle shuffle shuffle shuffle shuffle"),
+        (6, "rare spark"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def ranking(queries, exact):
+        rows = (
+            bm25_topk(df, queries, k=6, exact=exact)
+            .orderBy("query", "rank")
+            .collect()
+        )
+        out = {}
+        for r in rows:
+            out.setdefault(r["query"], []).append((r["doc_id"], r["score"]))
+        return out
+
+    ex = ranking(["spark"], True)["spark"]
+    fl = ranking(["spark"], False)["spark"]
+    assert [d for d, _ in ex] == [d for d, _ in fl]
+    # float scores are the textbook formula
+    toks = {i: t.split() for i, t in docs}
+    N, total = len(docs), sum(len(v) for v in toks.values())
+    dfr = sum(1 for v in toks.values() if "spark" in v)
+    for doc_id, score in fl:
+        tf, dl = toks[doc_id].count("spark"), len(toks[doc_id])
+        sat = (44.0 * tf * total) / (20.0 * tf * total + 6.0 * total + 18.0 * dl * N)
+        want = sat * math.log((N - dfr + 0.5) / (dfr + 0.5) + 1.0)
+        assert abs(score - want) < 1e-9
+    # multi-term: same candidate set, sane shape, large overlap
+    ex2 = ranking(["rare shuffle"], True)["rare shuffle"]
+    fl2 = ranking(["rare shuffle"], False)["rare shuffle"]
+    assert {d for d, _ in ex2} == {d for d, _ in fl2}
+    scores = [s for _, s in fl2]
+    assert scores == sorted(scores, reverse=True) and scores[-1] > 0
+    top3_overlap = len({d for d, _ in ex2[:3]} & {d for d, _ in fl2[:3]})
+    assert top3_overlap >= 2
+
+
 def test_bm25_topk_exact_fixed_point(spark):
     """BM25 top-k: integer fixed-point scoring differentially checked
     against a python implementation of the SAME rational formulas
