@@ -206,9 +206,11 @@ def _warmup(spark, sf_dir: str) -> None:
     resolve(tiny_log).write.format("noop").mode("overwrite").save()
 
 
-def _run_queries(spark, qs, names, sf_dir: str):
+def _run_queries(spark, qs, names, sf_dir: str, emit=None):
     """Time each query best-of-2 with inter-query cache/GC hygiene.
-    Returns (timings, errors)."""
+    Returns (timings, errors). ``emit(record)`` (child mode) streams one
+    per-query result as it lands, so a chunk that later crashes or hits
+    the batch timeout still contributes everything it completed."""
     import gc
 
     # the dedup plans JIT over ~2 executions — run each once untimed so
@@ -242,17 +244,25 @@ def _run_queries(spark, qs, names, sf_dir: str):
         best = None
         err = None
         for rep in range(3):
-            if rep == 2 and (best is None or best >= 2.0):
+            # slow queries settle in two reps; but a query with NO
+            # success yet keeps its remaining attempts — a double flake
+            # used to be stamped as an error with a retry still unused
+            if rep == 2 and best is not None and best >= 2.0:
                 break
+            t0 = time.time()
             try:
-                t0 = time.time()
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 dt = time.time() - t0
             except Exception as e:  # noqa: BLE001 — one bad query must not
-                # zero the whole artifact; record and keep benching
+                # zero the whole artifact; record, retry (flakes deserve
+                # the remaining reps), but don't re-run an expensive
+                # deterministic failure: a >60s time-to-raise is a
+                # computation that died, not a scheduler hiccup
                 err = f"{type(e).__name__}: {e}"
-                break
+                if time.time() - t0 > 60:
+                    break
+                continue
             best = dt if best is None or dt < best else best
         # drop any cache a query pinned (e.g. shared shingle sets) so later
         # queries aren't measured under its memory pressure
@@ -273,50 +283,99 @@ def _run_queries(spark, qs, names, sf_dir: str):
         if best is None:
             errors[name] = (err or "unknown error")[:500]
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            if emit is not None:
+                emit({"q": name, "err": errors[name][:200]})
             continue
         best = round(best, 3)
         timings[name] = best
         print(f"# {name}: {best:.2f}s", file=sys.stderr)
+        if emit is not None:
+            emit({"q": name, "t": best})
     return timings, errors
 
 
 def _child(names, sf_dir: str) -> None:
-    """Batch worker: fresh JVM, warmup, run the subset, print ONE JSON
-    line {"timings": ..., "errors": ...} as the LAST stdout line."""
+    """Batch worker: fresh JVM, warmup, run the subset. Streams one JSON
+    line per completed query ({"q": name, "t"|"err": ...}) so a crash or
+    the chunk timeout loses only the in-flight query, then prints the
+    full {"timings": ..., "errors": ..., "load1": ...} summary as the
+    LAST stdout line. load1 = 1-min load average at (start, end) of the
+    batch — the artifact-side witness for machine-load-shifted totals
+    (the r8 cross-run drift was uniform ~10% under background load)."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod
     from emodb_spark.spark.session import get_spark
 
+    load0 = round(os.getloadavg()[0], 2)
     spark = get_spark(app_name="emodb_spark_bench_child")
     qs = entrymod.queries()
     _warmup(spark, sf_dir)
-    timings, errors = _run_queries(spark, qs, names, sf_dir)
-    print(json.dumps({"timings": timings, "errors": errors}))
+
+    def emit(rec):
+        print(json.dumps(rec), flush=True)
+
+    timings, errors = _run_queries(spark, qs, names, sf_dir, emit=emit)
+    print(json.dumps({
+        "timings": timings, "errors": errors,
+        "load1": [load0, round(os.getloadavg()[0], 2)],
+    }))
 
 
 def _isolated_run(names, sf_dir: str, batch: int):
-    """Run queries in fresh-JVM child processes, `batch` per child."""
+    """Run queries in fresh-JVM child processes, `batch` per child.
+    Returns (timings, errors, batch_loads). A child that crashes or hits
+    the chunk timeout no longer zeroes its whole chunk: the per-query
+    stream lines it printed before dying are salvaged, and only the
+    queries it never reached get stamped."""
     timings = {}
     errors = {}
+    batch_loads = []
     here = os.path.abspath(__file__)
     for i in range(0, len(names), batch):
         chunk = names[i:i + batch]
         cmd = [sys.executable, here, "--child", "--queries", ",".join(chunk)]
+        child_err = None
         try:
             proc = subprocess.run(
                 cmd, stdout=subprocess.PIPE, stderr=sys.stderr,
                 timeout=3600, check=False,
             )
-            last = proc.stdout.decode().strip().splitlines()[-1]
-            out = json.loads(last)
-            timings.update(out["timings"])
-            errors.update(out["errors"])
-        except Exception as e:  # noqa: BLE001 — a dead child must not zero
-            # the artifact; every query in the chunk gets an error row
+            out_bytes = proc.stdout or b""
+        except subprocess.TimeoutExpired as e:
+            out_bytes = e.stdout or b""
+            child_err = "child timeout (3600s)"
+        except Exception as e:  # noqa: BLE001
+            out_bytes = b""
+            child_err = f"child failed: {type(e).__name__}: {e}"[:200]
+        stream_t, stream_e, final = {}, {}, None
+        for line in out_bytes.decode(errors="replace").splitlines():
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            if "timings" in rec:
+                final = rec
+            elif "q" in rec:
+                if "t" in rec:
+                    stream_t[rec["q"]] = rec["t"]
+                else:
+                    stream_e[rec["q"]] = rec.get("err", "error")
+        if final is not None:
+            timings.update(final["timings"])
+            errors.update(final["errors"])
+            batch_loads.append(final.get("load1"))
+        else:
+            # partial chunk: keep what completed, stamp the rest
+            timings.update(stream_t)
+            errors.update(stream_e)
+            batch_loads.append(None)
             for name in chunk:
-                if name not in timings:
-                    errors[name] = f"child failed: {type(e).__name__}: {e}"[:200]
-    return timings, errors
+                if name not in stream_t and name not in stream_e:
+                    errors[name] = child_err or "child died mid-chunk"
+    return timings, errors, batch_loads
 
 
 def main() -> None:
@@ -346,7 +405,7 @@ def main() -> None:
         # own the JVMs, so each batch starts from a clean heap
         qs = entrymod.queries()
         names = [n for n in BENCH_QUERIES if n in qs]
-        timings, errors = _isolated_run(names, sf_dir, batch)
+        timings, errors, batch_loads = _isolated_run(names, sf_dir, batch)
         for n in BENCH_QUERIES:
             if n not in qs:
                 errors[n] = "not in queries()"
@@ -358,6 +417,7 @@ def main() -> None:
         qs = entrymod.queries()
         _warmup(spark, sf_dir)
         timings, errors = _run_queries(spark, qs, BENCH_QUERIES, sf_dir)
+        batch_loads = []
         all_registered = set(qs)
 
     total = round(sum(timings.values()), 3)
@@ -377,6 +437,11 @@ def main() -> None:
         "sf": sf,
         "isolated": isolate,
         "batch_size": batch if isolate else None,
+        # per-batch (start, end) 1-min load averages: a uniform total
+        # shift between identical-code runs is attributable to machine
+        # load from the artifact alone (r8 What's-wrong #1) — stays in
+        # BENCH_FULL.json only, the printed line must remain <1800 chars
+        "batch_load1": batch_loads,
         # no silent caps: registered queries NOT in BENCH_QUERIES — I/O
         # round-trip gates (stash/blob/queue writers), streaming-parity
         # folds and tiny metadata scans whose time is fixed setup cost,
@@ -398,6 +463,7 @@ def main() -> None:
     # the printed line must stay <1800 chars for the driver's tail parse:
     # the full not_benched list lives in BENCH_FULL.json, count here
     out["n_not_benched"] = len(out.pop("not_benched"))
+    out.pop("batch_load1", None)
     out["full"] = "BENCH_FULL.json"
     by_time = sorted(timings.items(), key=lambda kv: -kv[1])
     keep = dict(by_time)
