@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "bm25_topk",             # integer fixed-point BM25 retrieval
     "pq_topk",               # product-quantization ADC top-k (int64)
     "pq_recall",             # PQ recall@10 vs exact quantized-L2
+    "ivfpq_topk",            # IVFADC: probed-cells ADC over PQ residuals
+    "ivfpq_recall",          # IVFADC recall@10 vs exact quantized-L2
     # analytics
     "pricing_summary",
     "revenue_by_nation",

@@ -805,6 +805,349 @@ def pq_adc_topk(
     )
 
 
+# -- IVFADC: inverted file + product-quantized residuals ---------------------
+
+
+def _int_sqdist(a: Column, b: Column) -> Column:
+    """Squared L2 between two long arrays — exact int64 fold."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _quantize_col(vec: Column, scale: int) -> Column:
+    """floor(double(v) * scale) per element — the repo's standard
+    fixed-point quantization (one IEEE multiply + exact floor, so every
+    engine lands on the same int64)."""
+    return F.transform(
+        vec, lambda v: F.floor(v.cast("double") * F.lit(float(scale))).cast("long")
+    )
+
+
+def _tdiv(s: int, n: int) -> int:
+    """Truncate-toward-zero integer division — matches SQL integral
+    division (Spark `div`, DuckDB `//`), NOT Python's flooring `//`
+    (which differs on negative sums; residual sums are signed)."""
+    q = abs(s) // n
+    return q if s >= 0 else -q
+
+
+def _int_kmeans(qdf: DataFrame, vec_col: str, k: int, iters: int,
+                id_col: str = "id") -> list:
+    """Deterministic Lloyd's k-means over a QUANTIZED (long-array)
+    column, integer end-to-end: flat init (k lowest-id vectors),
+    assignment by exact int64 squared-L2 (ties to the lowest cluster),
+    update = truncated integer mean (sum div n — no floats anywhere, so
+    any engine replays training bit-for-bit without fixed-point-sum
+    gymnastics). Empty clusters keep their previous centroid.
+
+    Per iteration: ONE narrow assignment projection (centroids ride a
+    1-row broadcast — constant plan shape) + ONE (cluster, dim)
+    aggregate whose k*dim-row result is the only driver
+    materialization. Returns the centroid list (k x dim ints)."""
+    spark = qdf.sparkSession
+    init = qdf.orderBy(F.col(id_col)).limit(k).select(vec_col).collect()
+    cents = [[int(x) for x in r[0]] for r in init]
+    for _ in range(iters):
+        cents_df = spark.createDataFrame([(cents,)], "__cents array<array<long>>")
+        dists = F.transform(
+            F.col("__cents"), lambda c: _int_sqdist(F.col(vec_col), c)
+        )
+        sums = (
+            qdf.crossJoin(F.broadcast(cents_df))
+            .select(
+                (F.array_position(dists, F.array_min(dists)) - 1)
+                .cast("int")
+                .alias("cluster"),
+                F.posexplode(F.col(vec_col)).alias("pos", "val"),
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()  # k*dim rows — the only materialization
+        )
+        new = [list(c) for c in cents]
+        for row in sums:
+            new[row["cluster"]][row["pos"]] = _tdiv(int(row["s"]), int(row["n"]))
+        cents = new
+    return cents
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    sub_k: int = 16,
+    iters: int = 2,
+    n_queries: int = 8,
+    k: int = 10,
+    scale: int = PQ_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC — the composition Jégou/Douze/Schmid 2011 §V ship as the
+    actual system: a k-means coarse quantizer (inverted file) splits the
+    corpus into ``n_cells`` Voronoi cells, each vector's RESIDUAL
+    (vector − its cell centroid) is product-quantized, and a query runs
+    ADC against ONLY its ``n_probe`` nearest cells' code lists — so
+    per-query cost is O(probed codes), not the full code table that
+    :func:`pq_adc_topk` scans. This is the missing scale piece between
+    :func:`ivf_topk` (probes, but full-precision vectors) and
+    :func:`pq_adc_topk` (compressed, but exhaustive).
+
+    Everything after the initial ``floor(v * 2^20)`` quantization is
+    EXACT int64 — coarse k-means, residuals (integer subtraction),
+    sub-codebook k-means (truncated-integer means), encode argmins, and
+    the ADC lookup distances — so an external SQL oracle replays the
+    whole pipeline bit-for-bit (the same house rule as
+    :func:`pq_adc_topk`, now without even fixed-point sums: integer
+    in, integer out).
+
+    Plan shape at 100 TB: ONE corpus pass assigns cells and
+    materializes residuals (at real scale this lands as the
+    cell-partitioned compressed index, and codebooks train on a
+    sample); the persistent representation is the (id, cell, j, code)
+    table — m bytes-ish per vector; the query side is an
+    ``n_queries * n_probe * m * sub_k``-row broadcast LUT equijoined on
+    (cell, j, code), so a cell no query probes is never read past the
+    join's build side, and the ADC distance is a map-side partial SUM.
+    Training is the measured joint-subspace idiom (one assignment
+    projection + one aggregate per Lloyd iteration).
+
+    Returns (query_id, nbr_id, dist_q, rank<=k) — dist_q in quantized
+    residual-L2, self-matches excluded, ties by nbr_id."""
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    vq = embeddings.select(
+        F.col(id_col).alias("id"), _quantize_col(F.col(vec_col), scale).alias("q")
+    )
+    # coarse quantizer: integer k-means over the quantized corpus
+    cents = _int_kmeans(vq, "q", n_cells, iters)
+    dim = len(cents[0])
+    if dim % m:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    sub_d = dim // m
+
+    # one corpus pass: nearest cell (ties -> lowest) + integer residual
+    cents_df = spark.createDataFrame([(cents,)], "__cents array<array<long>>")
+    cdists = F.transform(F.col("__cents"), lambda c: _int_sqdist(F.col("q"), c))
+    resid = (
+        vq.crossJoin(F.broadcast(cents_df))
+        .select(
+            "id",
+            "q",
+            "__cents",
+            (F.array_position(cdists, F.array_min(cdists)) - 1)
+            .cast("int")
+            .alias("cell"),
+        )
+        .select(
+            "id",
+            "cell",
+            F.zip_with(
+                F.col("q"),
+                F.element_at("__cents", F.col("cell") + 1),
+                lambda a, b: a - b,
+            ).alias("rv"),
+        )
+        .localCheckpoint(eager=True)  # reused: training iters + encode
+    )
+
+    # sub-codebooks: joint integer Lloyd on residual slices (one
+    # assignment projection + one (j, cluster, dim) aggregate per iter)
+    init = resid.orderBy("id").limit(sub_k).select("rv").collect()
+    books = [
+        [[int(x) for x in r[0][j * sub_d:(j + 1) * sub_d]] for r in init]
+        for j in range(m)
+    ]
+
+    def books_broadcast(bks):
+        return spark.createDataFrame([(bks,)], "__books array<array<array<long>>>")
+
+    def code_for(j: int):
+        sl = F.slice(F.col("rv"), j * sub_d + 1, sub_d)
+        d = F.transform(F.element_at("__books", j + 1), lambda c: _int_sqdist(sl, c))
+        return (F.array_position(d, F.array_min(d)) - 1).cast("int")
+
+    for _ in range(iters):
+        sums = (
+            resid.crossJoin(F.broadcast(books_broadcast(books)))
+            .select(
+                F.col("rv"),
+                F.array(*[code_for(j) for j in range(m)]).alias("__cls"),
+            )
+            .select(
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            F.element_at("__cls", j + 1).alias("cluster"),
+                            F.slice(F.col("rv"), j * sub_d + 1, sub_d).alias("sl"),
+                        )
+                        for j in range(m)
+                    ])
+                ).alias("e")
+            )
+            .select("e.j", "e.cluster", F.posexplode("e.sl").alias("pos", "val"))
+            .groupBy("j", "cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()  # m * sub_k * sub_d rows — the only materialization
+        )
+        new_books = [[list(c) for c in b] for b in books]
+        for row in sums:
+            new_books[row["j"]][row["cluster"]][row["pos"]] = _tdiv(
+                int(row["s"]), int(row["n"])
+            )
+        books = new_books  # empty clusters keep their previous centroid
+
+    # encode: the persistent compressed index (id, cell, j, code)
+    enc = (
+        resid.crossJoin(F.broadcast(books_broadcast(books)))
+        .select(
+            "id",
+            "cell",
+            F.posexplode(
+                F.array(*[code_for(j) for j in range(m)])
+            ).alias("j", "code"),
+        )
+    )
+
+    # query side, all vectorized numpy (bounded: n_queries rows):
+    # probe cells -> per-cell query residual -> integer distance LUT
+    qrows = (
+        embeddings.filter(F.col(id_col) < n_queries)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    qids = np.array([int(r[id_col]) for r in qrows], dtype=np.int64)
+    qmat = np.floor(
+        np.array([[float(x) for x in r[vec_col]] for r in qrows],
+                 dtype=np.float64) * float(scale)
+    ).astype(np.int64)
+    cents_np = np.asarray(cents, dtype=np.int64)      # (n_cells, dim)
+    books_np = np.asarray(books, dtype=np.int64)      # (m, sub_k, sub_d)
+    dcell = qmat[:, None, :] - cents_np[None, :, :]
+    d2cells = np.einsum("qcd,qcd->qc", dcell, dcell)  # (nq, n_cells)
+    # stable sort: equal distances keep ascending cell order (the same
+    # (dist, cell) tie-break the corpus assignment uses)
+    probe_idx = np.argsort(d2cells, axis=1, kind="stable")[:, :n_probe]
+    qres = (qmat[:, None, :] - cents_np[probe_idx]).reshape(
+        len(qids), n_probe, m, sub_d
+    )
+    diff = qres[:, :, :, None, :] - books_np[None, None, :, :, :]
+    d_tab = np.einsum("qpjkd,qpjkd->qpjk", diff, diff)  # exact int64
+    nq, sk = len(qids), books_np.shape[1]
+    lut_pdf = pd.DataFrame({
+        "query_id": np.repeat(qids, n_probe * m * sk),
+        "cell": np.repeat(probe_idx.astype(np.int32).reshape(-1), m * sk),
+        "j": np.tile(np.repeat(np.arange(m, dtype=np.int32), sk), nq * n_probe),
+        "code": np.tile(np.arange(sk, dtype=np.int32), nq * n_probe * m),
+        "d": d_tab.reshape(-1),
+    })
+    lut_df = spark.createDataFrame(
+        lut_pdf, "query_id long, cell int, j int, code int, d long"
+    )
+
+    # ADC over probed cells ONLY: the (cell, j, code) equijoin carries
+    # the probe restriction — codes in unprobed cells never match
+    scored = (
+        enc.join(F.broadcast(lut_df), ["cell", "j", "code"])
+        .filter(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", F.col("id").alias("nbr_id"))
+        .agg(F.sum("d").alias("dist_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist_q"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "nbr_id", "dist_q", F.col("rank").cast("int").alias("rank")
+        )
+    )
+
+
+def ivfpq_recall(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    sub_k: int = 16,
+    iters: int = 2,
+    n_queries: int = 8,
+    k: int = 10,
+    scale: int = PQ_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """recall@k of :func:`ivfpq_topk` against the EXACT top-k in the
+    same quantized-L2 metric (full vectors, no compression) — the
+    IVFADC analogue of :func:`pq_recall`. IVFADC recall is bounded by
+    the probe step (a true neighbor in an unprobed cell is lost no
+    matter how good the codebooks), so this gate measures the
+    nprobe/compression trade jointly; integer-exact ppm.
+
+    Plan shape: the exact baseline broadcasts the n_queries quantized
+    query vectors over the corpus (the allowlisted O(#queries) eval
+    idiom — never a production plan); the approximate side is the
+    probed-cells ADC equijoin. Returns (query_id, hits, recall_ppm)."""
+    approx = ivfpq_topk(
+        embeddings, n_cells, n_probe, m, sub_k, iters, n_queries, k,
+        scale, id_col, vec_col,
+    )
+    spark = embeddings.sparkSession
+    vq = embeddings.select(
+        F.col(id_col).alias("nbr_id"),
+        _quantize_col(F.col(vec_col), scale).alias("cv"),
+    )
+    qrows = (
+        embeddings.filter(F.col(id_col) < n_queries)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    import math
+
+    q_df = spark.createDataFrame(
+        [
+            (int(r[id_col]),
+             [int(math.floor(float(x) * scale)) for x in r[vec_col]])
+            for r in qrows
+        ],
+        "query_id long, qv array<long>",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist_q"), F.asc("nbr_id"))
+    exact = (
+        vq.crossJoin(F.broadcast(q_df))
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .select(
+            "query_id", "nbr_id",
+            _int_sqdist(F.col("qv"), F.col("cv")).alias("dist_q"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id")
+    )
+    hits = (
+        exact.join(approx.select("query_id", "nbr_id"), ["query_id", "nbr_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+    )
+    return (
+        exact.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            (F.coalesce(F.col("hits"), F.lit(0)) * F.lit(1_000_000) / F.lit(k))
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )
+
+
 def pq_recall(
     embeddings: DataFrame,
     m: int = 4,

@@ -2364,6 +2364,130 @@ def test_pq_adc_topk_integer_exact(spark):
     assert got[0][:2] == (0, 9)
 
 
+def test_ivfpq_topk_full_python_replay(spark):
+    """IVFADC: the ENTIRE pipeline — integer coarse k-means, residuals,
+    truncated-integer-mean sub-codebook Lloyd, encode argmins, probe
+    selection, probed-cells ADC — replayed in pure python from the same
+    inputs, row-for-row equal (the operator is integer end-to-end, so
+    the replay is exact, not approximate)."""
+    import math
+    import random
+
+    from emodb_spark.pipeline.similarity import PQ_SCALE, ivfpq_topk
+
+    rng = random.Random(13)
+    dim, n = 8, 40
+    base = [[rng.uniform(-0.5, 0.5) for _ in range(dim)] for _ in range(n)]
+    base[7] = [v + 0.01 for v in base[1]]  # planted near-dup of vec 1
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "vec_id long, embedding array<float>"
+    )
+    n_cells, n_probe, m, sub_k, iters, nq, k = 3, 2, 2, 4, 2, 3, 5
+    got = [
+        (r["query_id"], r["nbr_id"], r["dist_q"], r["rank"])
+        for r in ivfpq_topk(df, n_cells, n_probe, m, sub_k, iters, nq, k)
+        .orderBy("query_id", "rank").collect()
+    ]
+
+    S = PQ_SCALE
+    # collect back so the replay sees the same float32-rounded values
+    data = {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in df.collect()}
+    vq = {i: [math.floor(x * S) for x in v] for i, v in data.items()}
+
+    def tdiv(s, n_):
+        q_ = abs(s) // n_
+        return q_ if s >= 0 else -q_
+
+    def sq(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def int_kmeans(vecs, k_, iters_):
+        ids = sorted(vecs)
+        cents = [list(vecs[i]) for i in ids[:k_]]
+        for _ in range(iters_):
+            assign = {
+                i: min(range(k_), key=lambda c: (sq(vecs[i], cents[c]), c))
+                for i in ids
+            }
+            new = [list(c) for c in cents]
+            for cl in range(k_):
+                members = [i for i in ids if assign[i] == cl]
+                for p in range(len(cents[0])):
+                    if members:
+                        new[cl][p] = tdiv(
+                            sum(vecs[i][p] for i in members), len(members)
+                        )
+            cents = new
+        return cents
+
+    cents = int_kmeans(vq, n_cells, iters)
+    cell = {
+        i: min(range(n_cells), key=lambda c: (sq(vq[i], cents[c]), c))
+        for i in vq
+    }
+    rv = {i: [a - b for a, b in zip(vq[i], cents[cell[i]])] for i in vq}
+    sub_d = dim // m
+    books = [
+        int_kmeans({i: rv[i][j * sub_d:(j + 1) * sub_d] for i in rv},
+                   sub_k, iters)
+        for j in range(m)
+    ]
+    enc = {
+        i: [
+            min(range(sub_k),
+                key=lambda c: (sq(rv[i][j * sub_d:(j + 1) * sub_d],
+                                  books[j][c]), c))
+            for j in range(m)
+        ]
+        for i in rv
+    }
+    want = []
+    for qi in range(nq):
+        probes = [c for _, c in sorted((sq(vq[qi], cents[c]), c)
+                                       for c in range(n_cells))[:n_probe]]
+        scores = []
+        for i in vq:
+            if i == qi or cell[i] not in probes:
+                continue
+            qrv = [a - b for a, b in zip(vq[qi], cents[cell[i]])]
+            d = sum(sq(qrv[j * sub_d:(j + 1) * sub_d], books[j][enc[i][j]])
+                    for j in range(m))
+            scores.append((d, i))
+        scores.sort()
+        want += [(qi, i, d, r + 1) for r, (d, i) in enumerate(scores[:k])]
+    assert got == want
+
+
+def test_ivfpq_recall_perfect_corner(spark):
+    """With every cell probed (n_probe = n_cells) and sub_k >= corpus
+    (each residual is its own codebook centroid after Lloyd), the ADC
+    distance telescopes to the exact quantized-L2 — recall must be
+    exactly 1.0; and recall_ppm must equal hits * 1e6 / k in general."""
+    import random
+
+    from emodb_spark.pipeline.similarity import ivfpq_recall
+
+    rng = random.Random(17)
+    base = [[rng.uniform(-0.5, 0.5) for _ in range(8)] for _ in range(20)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "vec_id long, embedding array<float>"
+    )
+    rows = ivfpq_recall(
+        df, n_cells=3, n_probe=3, m=2, sub_k=20, iters=2, n_queries=3, k=5
+    ).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert (r["hits"], r["recall_ppm"]) == (5, 1_000_000)
+    # restricted probes: recall may drop but stays consistent with hits
+    rows2 = ivfpq_recall(
+        df, n_cells=4, n_probe=1, m=2, sub_k=4, iters=2, n_queries=3, k=5
+    ).collect()
+    for r in rows2:
+        assert 0 <= r["hits"] <= 5
+        assert r["recall_ppm"] == r["hits"] * 1_000_000 // 5
+
+
 def test_pq_recall_counts_exact_hits(spark):
     """pq_recall: hits = |PQ top-k ∩ exact quantized-L2 top-k| per query,
     ppm integer-exact — checked against a python replay on the planted

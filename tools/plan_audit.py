@@ -66,6 +66,15 @@ BNLJ_OK = {
     "pq_recall",            # composes pq_topk with the exact baseline's
                             # O(#queries)-row broadcast (the allowlisted
                             # similarity_topk idiom)
+    "ivfpq_topk",           # 1-row broadcasts for the coarse-centroid
+                            # assignment/residual projection and the
+                            # sub-codebook encode argmin (the pq_topk
+                            # idiom); the query-time ADC path is a
+                            # (cell, j, code) equijoin over probed
+                            # cells only
+    "ivfpq_recall",         # composes ivfpq_topk with the exact
+                            # baseline's O(#queries)-row broadcast (the
+                            # allowlisted similarity_topk eval idiom)
     "ann_recall",           # composes similarity_topk (exact baseline,
                             # O(#queries) broadcast) with ann_ivf_kmeans
                             # (O(n_cells) centroid broadcast) — both
