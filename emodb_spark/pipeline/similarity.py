@@ -874,53 +874,26 @@ def _int_kmeans(qdf: DataFrame, vec_col: str, k: int, iters: int,
     return cents
 
 
-def ivfpq_topk(
+def ivfpq_index(
     embeddings: DataFrame,
     n_cells: int = 8,
-    n_probe: int = 2,
     m: int = 4,
     sub_k: int = 16,
     iters: int = 2,
-    n_queries: int = 8,
-    k: int = 10,
     scale: int = PQ_SCALE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """IVFADC — the composition Jégou/Douze/Schmid 2011 §V ship as the
-    actual system: a k-means coarse quantizer (inverted file) splits the
-    corpus into ``n_cells`` Voronoi cells, each vector's RESIDUAL
-    (vector − its cell centroid) is product-quantized, and a query runs
-    ADC against ONLY its ``n_probe`` nearest cells' code lists — so
-    per-query cost is O(probed codes), not the full code table that
-    :func:`pq_adc_topk` scans. This is the missing scale piece between
-    :func:`ivf_topk` (probes, but full-precision vectors) and
-    :func:`pq_adc_topk` (compressed, but exhaustive).
-
-    Everything after the initial ``floor(v * 2^20)`` quantization is
-    EXACT int64 — coarse k-means, residuals (integer subtraction),
-    sub-codebook k-means (truncated-integer means), encode argmins, and
-    the ADC lookup distances — so an external SQL oracle replays the
-    whole pipeline bit-for-bit (the same house rule as
-    :func:`pq_adc_topk`, now without even fixed-point sums: integer
-    in, integer out).
-
-    Plan shape at 100 TB: ONE corpus pass assigns cells and
-    materializes residuals (at real scale this lands as the
-    cell-partitioned compressed index, and codebooks train on a
-    sample); the persistent representation is the (id, cell, j, code)
-    table — m bytes-ish per vector; the query side is an
-    ``n_queries * n_probe * m * sub_k``-row broadcast LUT equijoined on
-    (cell, j, code), so a cell no query probes is never read past the
-    join's build side, and the ADC distance is a map-side partial SUM.
-    Training is the measured joint-subspace idiom (one assignment
-    projection + one aggregate per Lloyd iteration).
-
-    Returns (query_id, nbr_id, dist_q, rank<=k) — dist_q in quantized
-    residual-L2, self-matches excluded, ties by nbr_id."""
-    import numpy as np
-    import pandas as pd
-
+):
+    """Build the IVFADC index (the offline half of :func:`ivfpq_topk`,
+    exposed separately because a real deployment builds ONCE and
+    queries many times): integer coarse k-means over the quantized
+    corpus, one pass assigning cells + materializing integer residuals,
+    joint-subspace integer Lloyd for the sub-codebooks, and the encode
+    projection. Returns ``(enc, cents, books)`` where ``enc`` is the
+    persistent (id, cell, j, code) DataFrame (the 16-64x compressed
+    corpus representation — at 100 TB, write THIS to parquet
+    partitioned by cell) and cents/books are the driver-side integer
+    codebooks (O(model) lists — persist alongside)."""
     spark = embeddings.sparkSession
     vq = embeddings.select(
         F.col(id_col).alias("id"), _quantize_col(F.col(vec_col), scale).alias("q")
@@ -1015,17 +988,33 @@ def ivfpq_topk(
             ).alias("j", "code"),
         )
     )
+    return enc, cents, books
 
-    # query side, all vectorized numpy (bounded: n_queries rows):
-    # probe cells -> per-cell query residual -> integer distance LUT
-    qrows = (
-        embeddings.filter(F.col(id_col) < n_queries)
-        .select(id_col, vec_col)
-        .collect()
-    )
-    qids = np.array([int(r[id_col]) for r in qrows], dtype=np.int64)
+
+def ivfpq_query(
+    enc: DataFrame,
+    cents: list,
+    books: list,
+    qrows: list,
+    n_probe: int = 2,
+    k: int = 10,
+    scale: int = PQ_SCALE,
+) -> DataFrame:
+    """Query an IVFADC index from :func:`ivfpq_index`: ``qrows`` is a
+    driver-side list of ``(query_id, vector)`` pairs (bounded — the
+    query batch). Probe selection, per-cell query residuals and the
+    integer distance LUT are one vectorized numpy pass; the ADC itself
+    is the broadcast-LUT equijoin on (cell, j, code) — codes in
+    unprobed cells never match, so per-query cost is O(probed codes)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = enc.sparkSession
+    m = len(books)
+    sub_d = len(books[0][0])
+    qids = np.array([int(i) for i, _ in qrows], dtype=np.int64)
     qmat = np.floor(
-        np.array([[float(x) for x in r[vec_col]] for r in qrows],
+        np.array([[float(x) for x in v] for _, v in qrows],
                  dtype=np.float64) * float(scale)
     ).astype(np.int64)
     cents_np = np.asarray(cents, dtype=np.int64)      # (n_cells, dim)
@@ -1068,6 +1057,63 @@ def ivfpq_topk(
             "query_id", "nbr_id", "dist_q", F.col("rank").cast("int").alias("rank")
         )
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    sub_k: int = 16,
+    iters: int = 2,
+    n_queries: int = 8,
+    k: int = 10,
+    scale: int = PQ_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC — the composition Jégou/Douze/Schmid 2011 §V ship as the
+    actual system: a k-means coarse quantizer (inverted file) splits the
+    corpus into ``n_cells`` Voronoi cells, each vector's RESIDUAL
+    (vector − its cell centroid) is product-quantized, and a query runs
+    ADC against ONLY its ``n_probe`` nearest cells' code lists — so
+    per-query cost is O(probed codes), not the full code table that
+    :func:`pq_adc_topk` scans. This is the missing scale piece between
+    :func:`ivf_topk` (probes, but full-precision vectors) and
+    :func:`pq_adc_topk` (compressed, but exhaustive). Composes
+    :func:`ivfpq_index` (build once) + :func:`ivfpq_query` (per batch).
+
+    Everything after the initial ``floor(v * 2^20)`` quantization is
+    EXACT int64 — coarse k-means, residuals (integer subtraction),
+    sub-codebook k-means (truncated-integer means), encode argmins, and
+    the ADC lookup distances — so an external SQL oracle replays the
+    whole pipeline bit-for-bit (the same house rule as
+    :func:`pq_adc_topk`, now without even fixed-point sums: integer
+    in, integer out).
+
+    Plan shape at 100 TB: ONE corpus pass assigns cells and
+    materializes residuals (at real scale this lands as the
+    cell-partitioned compressed index, and codebooks train on a
+    sample); the persistent representation is the (id, cell, j, code)
+    table — m small ints per vector; the query side is an
+    ``n_queries * n_probe * m * sub_k``-row broadcast LUT equijoined on
+    (cell, j, code), so a cell no query probes is never read past the
+    join's build side, and the ADC distance is a map-side partial SUM.
+    Training is the measured joint-subspace idiom (one assignment
+    projection + one aggregate per Lloyd iteration).
+
+    Returns (query_id, nbr_id, dist_q, rank<=k) — dist_q in quantized
+    residual-L2, self-matches excluded, ties by nbr_id."""
+    enc, cents, books = ivfpq_index(
+        embeddings, n_cells, m, sub_k, iters, scale, id_col, vec_col
+    )
+    qrows = [
+        (int(r[id_col]), list(r[vec_col]))
+        for r in embeddings.filter(F.col(id_col) < n_queries)
+        .select(id_col, vec_col)
+        .collect()
+    ]
+    return ivfpq_query(enc, cents, books, qrows, n_probe, k, scale)
 
 
 def ivfpq_recall(
