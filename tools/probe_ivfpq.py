@@ -1,0 +1,88 @@
+"""IVFADC scale probe: evidence that the QUERY path costs O(probed
+codes), not O(corpus) — the provisioning claim behind ivfpq_topk's
+100 TB story (grow n_cells with the corpus so cell size stays constant,
+and per-query ADC cost stays flat at fixed n_probe).
+
+Measures, for each (dir, n_cells) configuration:
+  - index build time (one corpus pass + training + encode; corpus-linear
+    by design — the offline half),
+  - ivfpq_query wall time at n_probe = 2 and n_probe = n_cells (full
+    scan ~= pq_topk's exhaustive ADC), best-of-2 after a warm run,
+  - the probed-candidate count (distinct (query, nbr) pairs through the
+    ADC join) — the exact row-level witness of the probe restriction.
+
+Usage: python tools/probe_ivfpq.py  (expects /tmp/sf1_probe synthesized
+by tools/scale_probe.py; skips missing dirs). Prints one JSON line per
+configuration.
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import os
+import sys
+import time
+
+CONFIGS = [
+    # (dir, n_cells) — sf1 at 10x cells keeps the cell size ~constant
+    ("/root/testdata/sf0.1", 8),
+    ("/tmp/sf1_probe", 8),    # 10x corpus, same cells -> 10x cell size
+    ("/tmp/sf1_probe", 80),   # 10x corpus, 10x cells -> flat cell size
+]
+
+
+def main() -> int:
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from pyspark.sql import functions as F
+
+    from emodb_spark.pipeline.similarity import ivfpq_index, ivfpq_query
+    from emodb_spark.spark.session import get_spark
+
+    spark = get_spark(app_name="probe_ivfpq")
+    for sf_dir, n_cells in CONFIGS:
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        if not os.path.exists(path):
+            print(f"# missing {path} — run tools/scale_probe.py first",
+                  file=sys.stderr)
+            continue
+        emb = spark.read.parquet(path)
+        n_corpus = emb.count()
+        t0 = time.time()
+        enc, cents, books = ivfpq_index(emb, n_cells=n_cells)
+        enc = enc.localCheckpoint(eager=True)  # the persisted index
+        build_s = round(time.time() - t0, 2)
+        qrows = [
+            (int(r["vec_id"]), list(r["embedding"]))
+            for r in emb.filter(F.col("vec_id") < 8)
+            .select("vec_id", "embedding").collect()
+        ]
+        rec = {
+            "dir": sf_dir, "n_corpus": n_corpus, "n_cells": n_cells,
+            "build_s": build_s,
+        }
+        for n_probe in (2, n_cells):
+            best, cand = None, None
+            for _ in range(3):  # first run warms the query plan
+                gc.collect()
+                t0 = time.time()
+                ivfpq_query(enc, cents, books, qrows, n_probe=n_probe) \
+                    .write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                if best is None or dt < best:
+                    best = dt
+            cand = (
+                ivfpq_query(enc, cents, books, qrows, n_probe=n_probe,
+                            k=1 << 30)
+                .count()
+            )
+            rec[f"query_s_probe{n_probe}"] = round(best, 2)
+            rec[f"candidates_probe{n_probe}"] = cand
+        print(json.dumps(rec), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
