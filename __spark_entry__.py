@@ -1286,6 +1286,93 @@ SELECT query, CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
 """
 
 
+def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (emodb_spark.pipeline.
+    text.rrf_fuse — Cormack et al. 2009, c=60): fuses bm25_topk (scored,
+    saturation+length-norm) with coverage_topk (conjunctive-leaning:
+    #distinct matched terms first) over the same two keyword queries,
+    top-20 lists fused to a top-10. Fused score = Σ 1e6 div (60+rank) —
+    integer-exact, so the oracle replays both rankers and the fusion in
+    one SQL statement. The fusion inputs are k-per-query rows; the
+    corpus appears only inside the two rankers."""
+    from emodb_spark.pipeline.text import bm25_topk, coverage_topk, rrf_fuse
+
+    docs = _read(spark, sf_dir, "documents")
+    queries = ["table scan", "spark shuffle partition"]
+    bm25 = bm25_topk(docs, queries, k=20)
+    cov = coverage_topk(docs, queries, k=20)
+    return rrf_fuse([bm25, cov], k=10)
+
+
+ORACLE_HYBRID_RETRIEVAL = r"""
+WITH qterms(query, term) AS (
+  VALUES ('table scan', 'table'), ('table scan', 'scan'),
+         ('spark shuffle partition', 'spark'),
+         ('spark shuffle partition', 'shuffle'),
+         ('spark shuffle partition', 'partition')
+), base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+), dl AS (
+  SELECT doc_id, len(tk) AS dl FROM base
+), corpus AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS total FROM dl
+), tok AS (
+  SELECT doc_id, unnest(tk) AS term FROM base
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+  WHERE term IN (SELECT DISTINCT term FROM qterms)
+  GROUP BY 1, 2
+), dft AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), per_term AS (
+  SELECT tf.doc_id, tf.term,
+    (CAST(1000000 AS HUGEINT) * 44 * tf.tf * c.total
+       // (20 * tf.tf * c.total + 6 * c.total + 18 * l.dl * c.n_docs))
+    * (2 * c.n_docs - 2 * d.df + 1) // (2 * d.df + 1) AS term_score
+  FROM tf JOIN dft d USING (term) JOIN dl l USING (doc_id), corpus c
+), bm25q AS (
+  SELECT q.query, p.doc_id, CAST(SUM(p.term_score) AS BIGINT) AS score
+  FROM per_term p JOIN qterms q USING (term)
+  GROUP BY 1, 2
+), bm25r AS (
+  SELECT query, doc_id, rank FROM (
+    SELECT query, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query
+             ORDER BY score DESC, doc_id) AS rank
+    FROM bm25q
+  ) WHERE rank <= 20
+), covq AS (
+  SELECT q.query, t.doc_id,
+         COUNT(*) AS n_terms, SUM(t.tf) AS sum_tf
+  FROM tf t JOIN qterms q USING (term)
+  GROUP BY 1, 2
+), covr AS (
+  SELECT query, doc_id, rank FROM (
+    SELECT query, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query
+             ORDER BY n_terms DESC, sum_tf DESC, doc_id) AS rank
+    FROM covq
+  ) WHERE rank <= 20
+), contrib AS (
+  SELECT query, doc_id, 1000000 // (60 + rank) AS rrf FROM bm25r
+  UNION ALL
+  SELECT query, doc_id, 1000000 // (60 + rank) AS rrf FROM covr
+), fused AS (
+  SELECT query, doc_id, CAST(SUM(rrf) AS BIGINT) AS rrf_score,
+         CAST(COUNT(*) AS BIGINT) AS n_systems
+  FROM contrib GROUP BY 1, 2
+)
+SELECT query, CAST(rank AS BIGINT) AS rank, doc_id, rrf_score, n_systems
+FROM (
+  SELECT query, doc_id, rrf_score, n_systems,
+         ROW_NUMBER() OVER (PARTITION BY query
+           ORDER BY rrf_score DESC, doc_id) AS rank
+  FROM fused
+) WHERE rank <= 10
+"""
+
+
 def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub demo: deterministically inject emails/phones into a slice of
     the corpus, then detect + redact them (the injection makes the operator's
@@ -7187,6 +7274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
         "ivfpq_recall": q_ivfpq_recall,
+        "hybrid_retrieval": q_hybrid_retrieval,
         "pq_recall": q_pq_recall,
         "star_clusters": q_star_clusters,
         "mmr_select": q_mmr_select,
@@ -7368,7 +7456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-verified by tools/oracle_check.py instead.
     window = [
         # r9-new gates
-        "ivfpq_topk", "ivfpq_recall",
+        "ivfpq_topk", "ivfpq_recall", "hybrid_retrieval",
         # kernels changed in round 9
         "pq_topk", "pq_recall", "secret_scan", "bm25_topk",
         # r5-era driver rows — all 21 retire this round
@@ -7386,7 +7474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups", "event_consolidation", "event_sessions",
         "events_windowed", "frame_sample", "gopher_quality", "hash_split",
         "incremental_dedup", "lang_distribution", "mmr_select",
-        "multi_get", "multimodal_features", "partition_shard_scan",
+        "multi_get", "multimodal_features",
     ]
     # window integrity (size 50, no dupes, all registered, no rows-only
     # queries) is enforced by tests/test_entry_contract.py — NOT asserted
@@ -7410,6 +7498,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_recall": ORACLE_PQ_RECALL,
         "ivfpq_topk": ORACLE_IVFPQ_TOPK,
         "ivfpq_recall": ORACLE_IVFPQ_RECALL,
+        "hybrid_retrieval": ORACLE_HYBRID_RETRIEVAL,
         "star_clusters": ORACLE_STAR_CLUSTERS,
         "mmr_select": ORACLE_MMR_SELECT,
         "validate_log": ORACLE_VALIDATE_LOG,

@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "pq_recall",             # PQ recall@10 vs exact quantized-L2
     "ivfpq_topk",            # IVFADC: probed-cells ADC over PQ residuals
     "ivfpq_recall",          # IVFADC recall@10 vs exact quantized-L2
+    "hybrid_retrieval",      # RRF fusion of bm25 + coverage rankings
     # analytics
     "pricing_summary",
     "revenue_by_nation",

@@ -970,6 +970,133 @@ def bm25_topk(
     )
 
 
+def coverage_topk(
+    df: DataFrame,
+    queries,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Boolean-coverage ranked retrieval: documents ranked per query by
+    (#distinct matched query terms DESC, total matched tf DESC, doc id
+    ASC) — the conjunctive-leaning baseline every lexical stack pairs
+    with a scored ranker (docs matching ALL terms beat docs repeating
+    one term, the exact failure mode BM25's per-term sum can have on
+    short keyword queries). Integer-exact by construction: counts only.
+
+    Same plan shape as :func:`bm25_topk`: tokenize once, filter to the
+    (tiny) query vocabulary BEFORE the groupBy, one (query, doc)
+    aggregate, map-side WindowGroupLimit top-k.
+
+    Returns ``(query, rank, doc_id, n_terms, sum_tf)``."""
+    from pyspark.sql import Window
+
+    queries = list(dict.fromkeys(queries))
+    if not queries:
+        raise ValueError("no queries")
+    spark = df.sparkSession
+    qterms = spark.createDataFrame(
+        [(q, t) for q in queries for t in dict.fromkeys(q.split())],
+        "query string, term string",
+    )
+    vocab = sorted({t for q in queries for t in q.split()})
+    tf = (
+        df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("tk"))
+        .select("id", F.explode("tk").alias("term"))
+        .filter(F.col("term").isin(vocab))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    per_query = (
+        tf.join(F.broadcast(qterms), "term")
+        .groupBy("query", "id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("tf").cast("long").alias("sum_tf"),
+        )
+    )
+    w = Window.partitionBy("query").orderBy(
+        F.desc("n_terms"), F.desc("sum_tf"), F.asc("id")
+    )
+    return (
+        per_query.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("id").alias(id_col),
+            "n_terms",
+            "sum_tf",
+        )
+    )
+
+
+def rrf_fuse(
+    rankings,
+    k: int = 10,
+    c: int = 60,
+    query_col: str = "query",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009, the
+    standard score-free hybrid-retrieval combiner): fused score =
+    Σ_systems scale div (c + rank) — a document absent from a system's
+    list simply contributes nothing. Integer-exact (one integral
+    division per list entry, ppm scale), so rankings fuse identically
+    on any engine; c=60 is the published default.
+
+    Use it to fuse :func:`bm25_topk` with :func:`coverage_topk` (two
+    lexical views) or with a dense ranking from
+    ``similarity.cosine_topk``/``ivfpq_topk`` — anything shaped
+    (query, doc, rank).
+
+    Scale shape: the inputs are already top-k-per-query (k·|queries|
+    rows each — tiny regardless of corpus size); fusion is one union +
+    one (query, doc) aggregate + one window. The corpus never appears.
+
+    Returns ``(query, rank, doc_id, rrf_score, n_systems)`` with ties
+    by doc id."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    if not rankings:
+        raise ValueError("no rankings to fuse")
+    contrib = F.call_function(
+        "div", F.lit(int(scale)), F.lit(int(c)) + F.col(rank_col).cast("long")
+    )
+    parts = [
+        r.select(
+            F.col(query_col).alias("query"),
+            F.col(id_col).alias("id"),
+            contrib.alias("__rrf"),
+        )
+        for r in rankings
+    ]
+    fused = (
+        reduce(lambda a, b: a.unionByName(b), parts)
+        .groupBy("query", "id")
+        .agg(
+            F.sum("__rrf").cast("long").alias("rrf_score"),
+            F.count(F.lit(1)).cast("long").alias("n_systems"),
+        )
+    )
+    w = Window.partitionBy("query").orderBy(F.desc("rrf_score"), F.asc("id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("id").alias(id_col),
+            "rrf_score",
+            "n_systems",
+        )
+    )
+
+
 def compression_signal(
     df: DataFrame,
     text_col: str = "text",

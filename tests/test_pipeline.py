@@ -2174,6 +2174,53 @@ def test_heavy_hitters_autosize_actually_prunes(spark):
     assert n_cand < n * 0.1, f"candidates {n_cand} not << input {n}"
 
 
+def test_rrf_fuse_and_coverage(spark):
+    """coverage_topk ranks by (#distinct matched terms, total tf, id) —
+    a doc matching BOTH query terms must outrank a doc repeating one
+    term; rrf_fuse sums 1e6 div (c+rank) per system (python-replayed),
+    absent docs contribute nothing, ties break by id."""
+    from emodb_spark.pipeline.text import bm25_topk, coverage_topk, rrf_fuse
+
+    docs = [
+        (1, "spark shuffle"),                      # both terms once
+        (2, "spark spark spark spark spark"),      # one term, high tf
+        (3, "shuffle data and more data here"),
+        (4, "nothing relevant"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    cov = [
+        (r["rank"], r["doc_id"], r["n_terms"], r["sum_tf"])
+        for r in coverage_topk(df, ["spark shuffle"], k=4)
+        .orderBy("rank").collect()
+    ]
+    # doc 1 (2 terms) beats doc 2 (1 term, tf 5) beats doc 3 (1 term, tf 1)
+    assert [(c[1], c[2]) for c in cov] == [(1, 2), (2, 1), (3, 1)]
+
+    bm25 = bm25_topk(df, ["spark shuffle"], k=4)
+    fused = rrf_fuse([bm25, coverage_topk(df, ["spark shuffle"], k=4)], k=4)
+    got = {r["doc_id"]: (r["rank"], r["rrf_score"], r["n_systems"])
+           for r in fused.collect()}
+    bm_ranks = {r["doc_id"]: r["rank"] for r in bm25.collect()}
+    cov_ranks = {c[1]: c[0] for c in cov}
+    want_scores = {}
+    for d in set(bm_ranks) | set(cov_ranks):
+        s = 0
+        n = 0
+        for ranks in (bm_ranks, cov_ranks):
+            if d in ranks:
+                s += 1_000_000 // (60 + ranks[d])
+                n += 1
+        want_scores[d] = (s, n)
+    order = sorted(want_scores, key=lambda d: (-want_scores[d][0], d))
+    for rank, d in enumerate(order, 1):
+        assert got[d] == (rank, want_scores[d][0], want_scores[d][1])
+    # one-system fusion is rank-preserving
+    solo = rrf_fuse([bm25], k=4).collect()
+    assert {(r["doc_id"], r["rank"]) for r in solo} == set(
+        (d, r) for d, r in bm_ranks.items()
+    )
+
+
 def test_bm25_topk_overflow_raises(spark):
     """The int64 guard on the saturation numerator fails LOUDLY: an
     absurd `scale` pushes scale*44*tf*total past int64 on a tiny corpus,

@@ -60,6 +60,9 @@ BNLJ_OK = {
     "bm25_topk",            # 1-row corpus stats (N docs, total tokens)
                             # broadcast onto the query-vocab tf rows
                             # (the BM25 normalizer constants)
+    "hybrid_retrieval",     # composes bm25_topk (same 1-row corpus
+                            # stats broadcast); the fusion itself is a
+                            # union + aggregate over k-per-query rows
     "pq_topk",              # 1-row quantized-codebook broadcast for the
                             # encode argmin (the kmeans_assign idiom);
                             # the query-time path is a (j, code) equijoin
