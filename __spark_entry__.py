@@ -6706,7 +6706,7 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_ivfpq(n_cells: int = 8, n_probe: int = 2, m: int = 4,
                   sub_k: int = 16, iters: int = 2, nq: int = 8, k: int = 10,
                   dim: int = 64, scale: int = 1 << 20,
-                  with_recall: bool = False) -> str:
+                  with_recall: bool = False, with_mrr: bool = False) -> str:
     """Replays ivfpq_topk end-to-end in DuckDB. Integer throughout:
     after vq = floor(double(v)*scale), coarse k-means, residuals,
     sub-codebook k-means, encode and ADC are all int64 — the centroid
@@ -6822,8 +6822,27 @@ bd{it}_{j} AS (
     FROM scored
   ) WHERE rank <= {k}
 )"""
-    if not with_recall:
+    if not with_recall and not with_mrr:
         return prefix + "\nSELECT query_id, nbr_id, dist_q, rank FROM ranked"
+    if with_mrr:
+        return prefix + f""", exact1 AS (
+  SELECT query_id, nbr_id FROM (
+    SELECT e.vec_id AS query_id, c.vec_id AS nbr_id,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        ORDER BY {ilq.format(a='e.q', b='c.q')} ASC, c.vec_id ASC) AS rank
+    FROM vq e CROSS JOIN vq c
+    WHERE e.vec_id < {nq} AND c.vec_id <> e.vec_id
+  ) WHERE rank <= 1
+), firstr AS (
+  SELECT t.query_id, MIN(p.rank) AS first
+  FROM exact1 t LEFT JOIN ranked p USING (query_id, nbr_id)
+  GROUP BY 1
+)
+SELECT query_id, CAST(COALESCE(first, 0) AS BIGINT) AS first_rank,
+       CAST(CASE WHEN first IS NULL THEN 0
+                 ELSE 1000000 // first END AS BIGINT) AS rr
+FROM firstr
+"""
     return prefix + f""", exactq AS (
   SELECT query_id, nbr_id FROM (
     SELECT e.vec_id AS query_id, c.vec_id AS nbr_id,
@@ -6845,6 +6864,31 @@ FROM (SELECT DISTINCT query_id FROM exactq) q LEFT JOIN hits h USING (query_id)
 
 ORACLE_IVFPQ_TOPK = _oracle_ivfpq()
 ORACLE_IVFPQ_RECALL = _oracle_ivfpq(with_recall=True)
+ORACLE_IVFPQ_MRR = _oracle_ivfpq(with_mrr=True)
+
+
+def q_ivfpq_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-sensitivity EVAL for the compressed index: reciprocal rank
+    of the TRUE nearest neighbor (exact quantized-L2 top-1) inside
+    ivfpq_topk's top-10 (emodb_spark.pipeline.text.mrr_eval over
+    similarity.exact_quantized_topk — recall@k says the neighbor made
+    the list, RR says how close to the top; rr = 1e6 div first_rank,
+    0 on a miss, integer-exact). The oracle replays the IVFADC pipeline
+    + the exact top-1 + the rank join in one SQL statement."""
+    from emodb_spark.pipeline.similarity import (
+        exact_quantized_topk,
+        ivfpq_topk,
+    )
+    from emodb_spark.pipeline.text import mrr_eval
+
+    emb = _read(spark, sf_dir, "embeddings")
+    approx = ivfpq_topk(
+        emb, n_cells=8, n_probe=2, m=4, sub_k=16, iters=2, n_queries=8, k=10
+    )
+    truth = exact_quantized_topk(emb, n_queries=8, k=1)
+    return mrr_eval(
+        approx, truth, query_col="query_id", id_col="nbr_id"
+    )
 
 
 def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7275,6 +7319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": q_ivfpq_topk,
         "ivfpq_recall": q_ivfpq_recall,
         "hybrid_retrieval": q_hybrid_retrieval,
+        "ivfpq_mrr": q_ivfpq_mrr,
         "pq_recall": q_pq_recall,
         "star_clusters": q_star_clusters,
         "mmr_select": q_mmr_select,
@@ -7456,7 +7501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-verified by tools/oracle_check.py instead.
     window = [
         # r9-new gates
-        "ivfpq_topk", "ivfpq_recall", "hybrid_retrieval",
+        "ivfpq_topk", "ivfpq_recall", "ivfpq_mrr", "hybrid_retrieval",
         # kernels changed in round 9
         "pq_topk", "pq_recall", "secret_scan", "bm25_topk",
         # r5-era driver rows — all 21 retire this round
@@ -7474,8 +7519,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups", "event_consolidation", "event_sessions",
         "events_windowed", "frame_sample", "gopher_quality", "hash_split",
         "incremental_dedup", "lang_distribution", "mmr_select",
-        "multi_get", "multimodal_features",
-    ]
+        "multi_get",
+    ]  # next r6-era rows (multimodal_features, partition_shard_scan,
+    #    pii_scan, pricing_summary, ...) defer to r10 — see COVERAGE.md
     # window integrity (size 50, no dupes, all registered, no rows-only
     # queries) is enforced by tests/test_entry_contract.py — NOT asserted
     # here, so a bad edit degrades to a reordered registry instead of
@@ -7499,6 +7545,7 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_topk": ORACLE_IVFPQ_TOPK,
         "ivfpq_recall": ORACLE_IVFPQ_RECALL,
         "hybrid_retrieval": ORACLE_HYBRID_RETRIEVAL,
+        "ivfpq_mrr": ORACLE_IVFPQ_MRR,
         "star_clusters": ORACLE_STAR_CLUSTERS,
         "mmr_select": ORACLE_MMR_SELECT,
         "validate_log": ORACLE_VALIDATE_LOG,

@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "ivfpq_topk",            # IVFADC: probed-cells ADC over PQ residuals
     "ivfpq_recall",          # IVFADC recall@10 vs exact quantized-L2
     "hybrid_retrieval",      # RRF fusion of bm25 + coverage rankings
+    "ivfpq_mrr",             # reciprocal rank of the true NN in IVFADC
     # analytics
     "pricing_summary",
     "revenue_by_nation",

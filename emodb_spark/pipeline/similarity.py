@@ -1116,6 +1116,54 @@ def ivfpq_topk(
     return ivfpq_query(enc, cents, books, qrows, n_probe, k, scale)
 
 
+def exact_quantized_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    scale: int = PQ_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k in the quantized-L2 metric (full vectors, integer
+    distances) — the ground-truth baseline the PQ/IVFADC recall and MRR
+    gates certify against. Deliberately the allowlisted O(#queries)
+    eval idiom: the n_queries quantized query vectors broadcast over
+    one corpus scan; never a production plan. Returns
+    (query_id, nbr_id, rank), self-matches excluded, ties by nbr_id."""
+    import math
+
+    spark = embeddings.sparkSession
+    vq = embeddings.select(
+        F.col(id_col).alias("nbr_id"),
+        _quantize_col(F.col(vec_col), scale).alias("cv"),
+    )
+    qrows = (
+        embeddings.filter(F.col(id_col) < n_queries)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    q_df = spark.createDataFrame(
+        [
+            (int(r[id_col]),
+             [int(math.floor(float(x) * scale)) for x in r[vec_col]])
+            for r in qrows
+        ],
+        "query_id long, qv array<long>",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist_q"), F.asc("nbr_id"))
+    return (
+        vq.crossJoin(F.broadcast(q_df))
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .select(
+            "query_id", "nbr_id",
+            _int_sqdist(F.col("qv"), F.col("cv")).alias("dist_q"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def ivfpq_recall(
     embeddings: DataFrame,
     n_cells: int = 8,
@@ -1144,38 +1192,9 @@ def ivfpq_recall(
         embeddings, n_cells, n_probe, m, sub_k, iters, n_queries, k,
         scale, id_col, vec_col,
     )
-    spark = embeddings.sparkSession
-    vq = embeddings.select(
-        F.col(id_col).alias("nbr_id"),
-        _quantize_col(F.col(vec_col), scale).alias("cv"),
-    )
-    qrows = (
-        embeddings.filter(F.col(id_col) < n_queries)
-        .select(id_col, vec_col)
-        .collect()
-    )
-    import math
-
-    q_df = spark.createDataFrame(
-        [
-            (int(r[id_col]),
-             [int(math.floor(float(x) * scale)) for x in r[vec_col]])
-            for r in qrows
-        ],
-        "query_id long, qv array<long>",
-    )
-    w = Window.partitionBy("query_id").orderBy(F.asc("dist_q"), F.asc("nbr_id"))
-    exact = (
-        vq.crossJoin(F.broadcast(q_df))
-        .filter(F.col("nbr_id") != F.col("query_id"))
-        .select(
-            "query_id", "nbr_id",
-            _int_sqdist(F.col("qv"), F.col("cv")).alias("dist_q"),
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "nbr_id")
-    )
+    exact = exact_quantized_topk(
+        embeddings, n_queries, k, scale, id_col, vec_col
+    ).select("query_id", "nbr_id")
     hits = (
         exact.join(approx.select("query_id", "nbr_id"), ["query_id", "nbr_id"])
         .groupBy("query_id")

@@ -1097,6 +1097,56 @@ def rrf_fuse(
     )
 
 
+def mrr_eval(
+    ranking: DataFrame,
+    truth: DataFrame,
+    query_col: str = "query",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Reciprocal-rank eval, integer-exact: for each query, the rank of
+    the FIRST relevant result in ``ranking`` (per ``truth``'s
+    (query, id) relevant pairs), and ``rr = scale div first_rank``
+    (0 when no relevant result made the list). The mean over queries is
+    MRR — left to the caller/report so per-query rows stay certifiable.
+    The rank-sensitivity complement to the recall@k gates
+    (:func:`emodb_spark.pipeline.similarity.pq_recall` /
+    ``ivfpq_recall``): recall says the neighbor made the list, RR says
+    how close to the top. Works on any (query, id, rank) frame —
+    :func:`bm25_topk`, :func:`rrf_fuse`, or the ANN top-ks (pass
+    query_col='query_id', id_col='nbr_id').
+
+    Scale shape: both inputs are k-per-query / relevant-per-query rows
+    — corpus-free; one join + one (query) aggregate.
+
+    Returns ``(query, first_rank, rr)`` with first_rank 0 when missed."""
+    r = ranking.select(
+        F.col(query_col).alias("__q"),
+        F.col(id_col).alias("__id"),
+        F.col(rank_col).cast("long").alias("__rank"),
+    )
+    t = truth.select(
+        F.col(query_col).alias("__q"), F.col(id_col).alias("__id")
+    )
+    first = (
+        t.join(r, ["__q", "__id"], "left")
+        .groupBy("__q")
+        .agg(F.min("__rank").alias("__first"))
+    )
+    return first.select(
+        F.col("__q").alias(query_col),
+        F.coalesce(F.col("__first"), F.lit(0)).cast("long").alias("first_rank"),
+        F.when(
+            F.col("__first").isNotNull(),
+            F.call_function("div", F.lit(int(scale)), F.col("__first")),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rr"),
+    )
+
+
 def compression_signal(
     df: DataFrame,
     text_col: str = "text",

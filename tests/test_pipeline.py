@@ -2174,6 +2174,30 @@ def test_heavy_hitters_autosize_actually_prunes(spark):
     assert n_cand < n * 0.1, f"candidates {n_cand} not << input {n}"
 
 
+def test_mrr_eval_integer_exact(spark):
+    """mrr_eval: rr = 1e6 div (rank of FIRST relevant), 0 on a miss;
+    multiple relevant docs take the best-ranked one."""
+    from emodb_spark.pipeline.text import mrr_eval
+
+    ranking = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 11, 2), ("q1", 12, 3),
+         ("q2", 20, 1), ("q2", 21, 2),
+         ("q3", 30, 1)],
+        "query string, doc_id long, rank long",
+    )
+    truth = spark.createDataFrame(
+        [("q1", 12), ("q2", 21), ("q2", 20), ("q3", 99)],
+        "query string, doc_id long",
+    )
+    got = {r["query"]: (r["first_rank"], r["rr"])
+           for r in mrr_eval(ranking, truth).collect()}
+    assert got == {
+        "q1": (3, 1_000_000 // 3),   # single relevant at rank 3
+        "q2": (1, 1_000_000),        # best of two relevant -> rank 1
+        "q3": (0, 0),                # relevant doc missed the list
+    }
+
+
 def test_rrf_fuse_and_coverage(spark):
     """coverage_topk ranks by (#distinct matched terms, total tf, id) —
     a doc matching BOTH query terms must outrank a doc repeating one

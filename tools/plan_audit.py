@@ -78,6 +78,9 @@ BNLJ_OK = {
     "ivfpq_recall",         # composes ivfpq_topk with the exact
                             # baseline's O(#queries)-row broadcast (the
                             # allowlisted similarity_topk eval idiom)
+    "ivfpq_mrr",            # same composition: ivfpq_topk + the exact
+                            # quantized-L2 top-1 baseline's O(#queries)
+                            # broadcast; the RR join is k-per-query rows
     "ann_recall",           # composes similarity_topk (exact baseline,
                             # O(#queries) broadcast) with ann_ivf_kmeans
                             # (O(n_cells) centroid broadcast) — both
