@@ -1294,14 +1294,14 @@ def q_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-20 lists fused to a top-10. Fused score = Σ 1e6 div (60+rank) —
     integer-exact, so the oracle replays both rankers and the fusion in
     one SQL statement. The fusion inputs are k-per-query rows; the
-    corpus appears only inside the two rankers."""
-    from emodb_spark.pipeline.text import bm25_topk, coverage_topk, rrf_fuse
+    corpus is tokenized ONCE (hybrid_topk pins the shared query-vocab
+    tf frame for both rankers)."""
+    from emodb_spark.pipeline.text import hybrid_topk
 
     docs = _read(spark, sf_dir, "documents")
-    queries = ["table scan", "spark shuffle partition"]
-    bm25 = bm25_topk(docs, queries, k=20)
-    cov = coverage_topk(docs, queries, k=20)
-    return rrf_fuse([bm25, cov], k=10)
+    return hybrid_topk(
+        docs, ["table scan", "spark shuffle partition"], k_each=20, k=10
+    )
 
 
 ORACLE_HYBRID_RETRIEVAL = r"""
@@ -6660,7 +6660,7 @@ def _oracle_pq_topk(m: int = 4, sub_k: int = 16, iters: int = 2,
   GROUP BY 1
 )
 SELECT q.query_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
-       CAST(COALESCE(h.hits, 0) * 1000000 / {k} AS BIGINT) AS recall_ppm
+       CAST(COALESCE(h.hits, 0) * 1000000 // {k} AS BIGINT) AS recall_ppm
 FROM (SELECT DISTINCT query_id FROM exactq) q LEFT JOIN hits h USING (query_id)
 """
 
@@ -6857,7 +6857,7 @@ FROM firstr
   GROUP BY 1
 )
 SELECT q.query_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
-       CAST(COALESCE(h.hits, 0) * 1000000 / {k} AS BIGINT) AS recall_ppm
+       CAST(COALESCE(h.hits, 0) * 1000000 // {k} AS BIGINT) AS recall_ppm
 FROM (SELECT DISTINCT query_id FROM exactq) q LEFT JOIN hits h USING (query_id)
 """
 
@@ -7486,7 +7486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # fail-loud int64 overflow guard in the saturation numerator), then
     # ALL 21 remaining r5-era driver rows retire (the r8 verdict's
     # What's-missing #1 list), and the oldest alphabetical cut of the
-    # r6-era rows fills the rest (19 r6 rows defer to r10:
+    # r6-era rows fills the rest (21 r6 rows defer to r10:
+    # multimodal_features, partition_shard_scan,
     # pii_scan, pricing_summary, quality_docs_join,
     # replication_convergence, revenue_by_nation, scan_condition,
     # scan_condition_arrays, scan_condition_complex, scan_paged,

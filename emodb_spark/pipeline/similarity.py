@@ -1012,6 +1012,11 @@ def ivfpq_query(
     spark = enc.sparkSession
     m = len(books)
     sub_d = len(books[0][0])
+    n_probe = min(n_probe, len(cents))  # probing past every cell is a full scan
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, nbr_id long, dist_q long, rank int"
+        )
     qids = np.array([int(i) for i, _ in qrows], dtype=np.int64)
     qmat = np.floor(
         np.array([[float(x) for x in v] for _, v in qrows],
@@ -1164,6 +1169,31 @@ def exact_quantized_topk(
     )
 
 
+def _recall_gate(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """Shared recall tail for the PQ/IVFADC gates: hits = |approx ∩
+    exact| per query, recall_ppm = hits*1e6 div k — INTEGRAL division
+    on both engines (a float divide-then-cast truncates on Spark but
+    rounds on DuckDB's CAST, diverging whenever k doesn't divide).
+    Returns (query_id, hits, recall_ppm)."""
+    hits = (
+        exact.join(approx.select("query_id", "nbr_id"), ["query_id", "nbr_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+    )
+    h = F.coalesce(F.col("hits"), F.lit(0))
+    return (
+        exact.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            h.cast("long").alias("hits"),
+            F.call_function("div", h * F.lit(1_000_000), F.lit(int(k)))
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )
+
+
 def ivfpq_recall(
     embeddings: DataFrame,
     n_cells: int = 8,
@@ -1195,22 +1225,7 @@ def ivfpq_recall(
     exact = exact_quantized_topk(
         embeddings, n_queries, k, scale, id_col, vec_col
     ).select("query_id", "nbr_id")
-    hits = (
-        exact.join(approx.select("query_id", "nbr_id"), ["query_id", "nbr_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
-    )
-    return (
-        exact.select("query_id").distinct()
-        .join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
-            (F.coalesce(F.col("hits"), F.lit(0)) * F.lit(1_000_000) / F.lit(k))
-            .cast("long")
-            .alias("recall_ppm"),
-        )
-    )
+    return _recall_gate(exact, approx, k)
 
 
 def pq_recall(
@@ -1236,60 +1251,10 @@ def pq_recall(
     idiom); the approximate side is :func:`pq_adc_topk`'s code-table
     equijoin; recall is a left-semi-sized join of two k-row-per-query
     frames. Returns (query_id, hits, recall_ppm)."""
-    import math
-
     approx = pq_adc_topk(
         embeddings, m, sub_k, iters, n_queries, k, scale, id_col, vec_col
     )
-
-    spark = embeddings.sparkSession
-    qrows = (
-        embeddings.filter(F.col(id_col) < n_queries)
-        .select(id_col, vec_col)
-        .collect()
-    )
-    q_df = spark.createDataFrame(
-        [
-            (int(r[id_col]),
-             [int(math.floor(float(x) * scale)) for x in r[vec_col]])
-            for r in qrows
-        ],
-        "query_id long, qv array<long>",
-    )
-    corpus_q = embeddings.select(
-        F.col(id_col).alias("nbr_id"),
-        F.transform(
-            F.col(vec_col),
-            lambda v: F.floor(v.cast("double") * F.lit(float(scale))).cast("long"),
-        ).alias("cv"),
-    )
-    dist = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    w = Window.partitionBy("query_id").orderBy(F.asc("dist_q"), F.asc("nbr_id"))
-    exact = (
-        corpus_q.crossJoin(F.broadcast(q_df))
-        .filter(F.col("nbr_id") != F.col("query_id"))
-        .select("query_id", "nbr_id", dist.alias("dist_q"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "nbr_id")
-    )
-    hits = (
-        exact.join(approx.select("query_id", "nbr_id"), ["query_id", "nbr_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
-    )
-    return (
-        exact.select("query_id").distinct()
-        .join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
-            (F.coalesce(F.col("hits"), F.lit(0)) * F.lit(1_000_000) / F.lit(k))
-            .cast("long")
-            .alias("recall_ppm"),
-        )
-    )
+    exact = exact_quantized_topk(
+        embeddings, n_queries, k, scale, id_col, vec_col
+    ).select("query_id", "nbr_id")
+    return _recall_gate(exact, approx, k)

@@ -786,6 +786,35 @@ def phrase_search(
     )
 
 
+def _query_tf(df: DataFrame, queries, text_col: str, id_col: str):
+    """Shared lexical-retrieval prefix for :func:`bm25_topk` /
+    :func:`coverage_topk` / :func:`hybrid_topk`: dedup the queries
+    (a repeat would double-count), build the (query, term) pairs,
+    tokenize the corpus ONCE and aggregate term frequencies over the
+    query vocabulary only (the filter runs BEFORE the groupBy, so the
+    corpus-sized aggregation is only over matching occurrences).
+    Returns ``(qterms, base, tf)`` with base = (id, tk)."""
+    queries = list(dict.fromkeys(queries))
+    if not queries:
+        raise ValueError("no queries")
+    spark = df.sparkSession
+    qterms = spark.createDataFrame(
+        [(q, t) for q in queries for t in dict.fromkeys(q.split())],
+        "query string, term string",
+    )
+    vocab = sorted({t for q in queries for t in q.split()})
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("tk")
+    )
+    tf = (
+        base.select("id", F.explode("tk").alias("term"))
+        .filter(F.col("term").isin(vocab))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    return qterms, base, tf
+
+
 def bm25_topk(
     df: DataFrame,
     queries,
@@ -847,29 +876,28 @@ def bm25_topk(
     Returns ``(query, rank, doc_id, score)`` with ``score`` in scaled
     fixed-point (``idf_scaled * satur_scaled // scale`` summed over the
     query's matched terms) when ``exact``, else double."""
+    qterms, base, tf = _query_tf(df, queries, text_col, id_col)
+    return _bm25_from(qterms, base, tf, k, id_col, scale, exact)
+
+
+def _bm25_from(
+    qterms: DataFrame,
+    base: DataFrame,
+    tf: DataFrame,
+    k: int,
+    id_col: str,
+    scale: int,
+    exact: bool,
+) -> DataFrame:
+    """BM25 scoring from a prepared :func:`_query_tf` triple (shared
+    with :func:`hybrid_topk`, which reuses one tf pass for both
+    rankers)."""
     from pyspark.sql import Window
 
-    queries = list(dict.fromkeys(queries))  # a repeat would double-count
-    if not queries:
-        raise ValueError("no queries")
-    spark = df.sparkSession
-    qterms = spark.createDataFrame(
-        [(q, t) for q in queries for t in dict.fromkeys(q.split())],
-        "query string, term string",
-    )
-    vocab = sorted({t for q in queries for t in q.split()})
-
-    base = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("tk"))
     dl = base.select("id", F.size("tk").cast("long").alias("dl"))
     corpus = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("total"),
-    )
-    tf = (
-        base.select("id", F.explode("tk").alias("term"))
-        .filter(F.col("term").isin(vocab))
-        .groupBy("id", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
 
@@ -989,24 +1017,17 @@ def coverage_topk(
     aggregate, map-side WindowGroupLimit top-k.
 
     Returns ``(query, rank, doc_id, n_terms, sum_tf)``."""
+    qterms, _base, tf = _query_tf(df, queries, text_col, id_col)
+    return _coverage_from(qterms, tf, k, id_col)
+
+
+def _coverage_from(
+    qterms: DataFrame, tf: DataFrame, k: int, id_col: str
+) -> DataFrame:
+    """Coverage ranking from a prepared :func:`_query_tf` pair (shared
+    with :func:`hybrid_topk`)."""
     from pyspark.sql import Window
 
-    queries = list(dict.fromkeys(queries))
-    if not queries:
-        raise ValueError("no queries")
-    spark = df.sparkSession
-    qterms = spark.createDataFrame(
-        [(q, t) for q in queries for t in dict.fromkeys(q.split())],
-        "query string, term string",
-    )
-    vocab = sorted({t for q in queries for t in q.split()})
-    tf = (
-        df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("tk"))
-        .select("id", F.explode("tk").alias("term"))
-        .filter(F.col("term").isin(vocab))
-        .groupBy("id", "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    )
     per_query = (
         tf.join(F.broadcast(qterms), "term")
         .groupBy("query", "id")
@@ -1029,6 +1050,33 @@ def coverage_topk(
             "sum_tf",
         )
     )
+
+
+def hybrid_topk(
+    df: DataFrame,
+    queries,
+    k_each: int = 20,
+    k: int = 10,
+    c: int = 60,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """One-pass hybrid lexical retrieval: BM25 (scored) + coverage
+    (conjunctive) fused with :func:`rrf_fuse`. Unlike fusing the two
+    public rankers separately, the corpus is tokenized and
+    tf-aggregated ONCE — the shared query-vocab tf frame is pinned
+    (localCheckpoint) and both rankers read it, so the dominant
+    corpus-scan cost does not double at scale (BM25's length/corpus
+    stats are its own cheap aggregate over the same tokenized base).
+
+    Returns :func:`rrf_fuse`'s ``(query, rank, doc_id, rrf_score,
+    n_systems)``."""
+    qterms, base, tf = _query_tf(df, queries, text_col, id_col)
+    tf = tf.localCheckpoint(eager=True)  # shared by both rankers
+    bm25 = _bm25_from(qterms, base, tf, k_each, id_col, scale, True)
+    cov = _coverage_from(qterms, tf, k_each, id_col)
+    return rrf_fuse([bm25, cov], k=k, c=c, id_col=id_col, scale=scale)
 
 
 def rrf_fuse(
