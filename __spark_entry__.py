@@ -6669,6 +6669,32 @@ ORACLE_PQ_TOPK = _oracle_pq_topk()
 ORACLE_PQ_RECALL = _oracle_pq_topk(with_recall=True)
 
 
+_IVFPQ_INDEX_CACHE: dict = {}
+
+
+def _ivfpq_gate_index(spark: SparkSession, sf_dir: str):
+    """One IVFADC index build shared by the three ivfpq gates
+    (topk / recall / mrr) — they certify the SAME index at the same
+    fixed parameters, and rebuilding it per gate is exactly the
+    anti-pattern the ivfpq_index/ivfpq_query split exists to avoid
+    (build once, query per batch). Keyed by Spark applicationId so a
+    fresh session (bench child JVMs) rebuilds; `enc` is eagerly
+    localCheckpointed so reuse is materialized, and the whole build is
+    deterministic (integer k-means, flat init), so every gate sees the
+    identical index the oracle replays."""
+    from emodb_spark.pipeline.similarity import ivfpq_index
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IVFPQ_INDEX_CACHE:
+        emb = _read(spark, sf_dir, "embeddings")
+        enc, cents, books = ivfpq_index(emb, n_cells=8, m=4, sub_k=16, iters=2)
+        _IVFPQ_INDEX_CACHE.clear()  # one live session at a time
+        _IVFPQ_INDEX_CACHE[key] = (
+            enc.localCheckpoint(eager=True), cents, books,
+        )
+    return _IVFPQ_INDEX_CACHE[key]
+
+
 def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC (emodb_spark.pipeline.similarity.ivfpq_topk — Jégou et
     al. 2011 §V, the inverted-file + product-quantized-residuals
@@ -6684,7 +6710,8 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _read(spark, sf_dir, "embeddings")
     return ivfpq_topk(
-        emb, n_cells=8, n_probe=2, m=4, sub_k=16, iters=2, n_queries=8, k=10
+        emb, n_cells=8, n_probe=2, m=4, sub_k=16, iters=2, n_queries=8, k=10,
+        index=_ivfpq_gate_index(spark, sf_dir),
     )
 
 
@@ -6699,7 +6726,8 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _read(spark, sf_dir, "embeddings")
     return ivfpq_recall(
-        emb, n_cells=8, n_probe=2, m=4, sub_k=16, iters=2, n_queries=8, k=10
+        emb, n_cells=8, n_probe=2, m=4, sub_k=16, iters=2, n_queries=8, k=10,
+        index=_ivfpq_gate_index(spark, sf_dir),
     )
 
 
@@ -6883,7 +6911,8 @@ def q_ivfpq_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _read(spark, sf_dir, "embeddings")
     approx = ivfpq_topk(
-        emb, n_cells=8, n_probe=2, m=4, sub_k=16, iters=2, n_queries=8, k=10
+        emb, n_cells=8, n_probe=2, m=4, sub_k=16, iters=2, n_queries=8, k=10,
+        index=_ivfpq_gate_index(spark, sf_dir),
     )
     truth = exact_quantized_topk(emb, n_queries=8, k=1)
     return mrr_eval(

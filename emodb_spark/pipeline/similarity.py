@@ -834,6 +834,41 @@ def _tdiv(s: int, n: int) -> int:
     return q if s >= 0 else -q
 
 
+def _int_assign(vq: DataFrame, vec_col: str, cents: list,
+                id_col: str = "id") -> DataFrame:
+    """Nearest-centroid assignment over a quantized (long-array) column
+    as a BROADCAST EQUIJOIN instead of an interpreted-HOF scan:
+    posexplode the vector, join the (cluster, pos, cval) centroid table
+    on pos, partial-aggregate the (id, cluster) squared-L2 map-side,
+    then a min-struct picks the smallest distance with ties to the
+    LOWEST cluster (exactly the order array_position-of-array_min
+    gave). Same exact int64 math, ~10x faster: Spark evaluates
+    transform/aggregate lambdas interpreted per element, so the HOF
+    spelling cost ~12 s per fresh plan on a 2k x 64-dim x 8-cell
+    assignment where this codegen'd join+agg runs in ~1 s. At scale
+    the join stays broadcast (k*dim centroid rows) and the n*k partial
+    rows combine map-side before one narrow shuffle.
+
+    Returns (id_col, cluster int)."""
+    spark = vq.sparkSession
+    crows = [
+        (ci, pi, int(v)) for ci, row in enumerate(cents) for pi, v in enumerate(row)
+    ]
+    cdf = spark.createDataFrame(crows, "cluster int, pos int, cval long")
+    diff = F.col("val") - F.col("cval")
+    d2 = (
+        vq.select(F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "val"))
+        .join(F.broadcast(cdf), "pos")
+        .groupBy(id_col, "cluster")
+        .agg(F.sum(diff * diff).alias("d2"))
+    )
+    return (
+        d2.groupBy(id_col)
+        .agg(F.min(F.struct(F.col("d2"), F.col("cluster"))).alias("b"))
+        .select(F.col(id_col), F.col("b.cluster").cast("int").alias("cluster"))
+    )
+
+
 def _int_kmeans(qdf: DataFrame, vec_col: str, k: int, iters: int,
                 id_col: str = "id") -> list:
     """Deterministic Lloyd's k-means over a QUANTIZED (long-array)
@@ -843,26 +878,17 @@ def _int_kmeans(qdf: DataFrame, vec_col: str, k: int, iters: int,
     any engine replays training bit-for-bit without fixed-point-sum
     gymnastics). Empty clusters keep their previous centroid.
 
-    Per iteration: ONE narrow assignment projection (centroids ride a
-    1-row broadcast — constant plan shape) + ONE (cluster, dim)
-    aggregate whose k*dim-row result is the only driver
+    Per iteration: ONE :func:`_int_assign` equijoin (broadcast
+    centroid table — constant plan shape, whole-stage codegen) + ONE
+    (cluster, dim) aggregate whose k*dim-row result is the only driver
     materialization. Returns the centroid list (k x dim ints)."""
-    spark = qdf.sparkSession
     init = qdf.orderBy(F.col(id_col)).limit(k).select(vec_col).collect()
     cents = [[int(x) for x in r[0]] for r in init]
     for _ in range(iters):
-        cents_df = spark.createDataFrame([(cents,)], "__cents array<array<long>>")
-        dists = F.transform(
-            F.col("__cents"), lambda c: _int_sqdist(F.col(vec_col), c)
-        )
+        asn = _int_assign(qdf, vec_col, cents, id_col)
         sums = (
-            qdf.crossJoin(F.broadcast(cents_df))
-            .select(
-                (F.array_position(dists, F.array_min(dists)) - 1)
-                .cast("int")
-                .alias("cluster"),
-                F.posexplode(F.col(vec_col)).alias("pos", "val"),
-            )
+            qdf.join(asn, id_col)
+            .select("cluster", F.posexplode(F.col(vec_col)).alias("pos", "val"))
             .groupBy("cluster", "pos")
             .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()  # k*dim rows — the only materialization
@@ -905,89 +931,83 @@ def ivfpq_index(
         raise ValueError(f"m={m} must divide dim={dim}")
     sub_d = dim // m
 
-    # one corpus pass: nearest cell (ties -> lowest) + integer residual
-    cents_df = spark.createDataFrame([(cents,)], "__cents array<array<long>>")
-    cdists = F.transform(F.col("__cents"), lambda c: _int_sqdist(F.col("q"), c))
+    # one corpus pass: nearest cell (ties -> lowest, the _int_assign
+    # equijoin) + integer residual via a broadcast (cell, carr) join —
+    # zip_with here is dim ops per row, not the k*dim*2 HOF scan
+    asn = _int_assign(vq, "q", cents).withColumnRenamed("cluster", "cell")
+    carr = spark.createDataFrame(
+        [(ci, [int(v) for v in row]) for ci, row in enumerate(cents)],
+        "cell int, carr array<long>",
+    )
     resid = (
-        vq.crossJoin(F.broadcast(cents_df))
-        .select(
-            "id",
-            "q",
-            "__cents",
-            (F.array_position(cdists, F.array_min(cdists)) - 1)
-            .cast("int")
-            .alias("cell"),
-        )
+        vq.join(asn, "id")
+        .join(F.broadcast(carr), "cell")
         .select(
             "id",
             "cell",
-            F.zip_with(
-                F.col("q"),
-                F.element_at("__cents", F.col("cell") + 1),
-                lambda a, b: a - b,
-            ).alias("rv"),
+            F.zip_with(F.col("q"), F.col("carr"), lambda a, b: a - b).alias("rv"),
         )
         .localCheckpoint(eager=True)  # reused: training iters + encode
     )
 
+    # residual slices keyed by (subspace j, in-slice pos sp) — the
+    # exploded view every sub-book assignment/update equijoin rides
+    rex = resid.select(
+        "id", F.posexplode("rv").alias("pos", "val")
+    ).select(
+        "id",
+        F.call_function("div", F.col("pos"), F.lit(sub_d)).cast("int").alias("j"),
+        F.pmod(F.col("pos"), F.lit(sub_d)).cast("int").alias("sp"),
+        "val",
+    )
+
+    def codes_for(bks: list) -> DataFrame:
+        """(id, j, code) — nearest sub-centroid per (vector, subspace),
+        ties to the lowest code: the same broadcast-equijoin +
+        min-struct shape as _int_assign, all m subspaces in one plan."""
+        brows = [
+            (j, ci, sp, int(v))
+            for j, book in enumerate(bks)
+            for ci, c in enumerate(book)
+            for sp, v in enumerate(c)
+        ]
+        bdf = spark.createDataFrame(brows, "j int, code int, sp int, bval long")
+        diff = F.col("val") - F.col("bval")
+        d2 = (
+            rex.join(F.broadcast(bdf), ["j", "sp"])
+            .groupBy("id", "j", "code")
+            .agg(F.sum(diff * diff).alias("d2"))
+        )
+        return (
+            d2.groupBy("id", "j")
+            .agg(F.min(F.struct(F.col("d2"), F.col("code"))).alias("b"))
+            .select("id", "j", F.col("b.code").cast("int").alias("code"))
+        )
+
     # sub-codebooks: joint integer Lloyd on residual slices (one
-    # assignment projection + one (j, cluster, dim) aggregate per iter)
+    # assignment equijoin + one (j, cluster, dim) aggregate per iter)
     init = resid.orderBy("id").limit(sub_k).select("rv").collect()
     books = [
         [[int(x) for x in r[0][j * sub_d:(j + 1) * sub_d]] for r in init]
         for j in range(m)
     ]
-
-    def books_broadcast(bks):
-        return spark.createDataFrame([(bks,)], "__books array<array<array<long>>>")
-
-    def code_for(j: int):
-        sl = F.slice(F.col("rv"), j * sub_d + 1, sub_d)
-        d = F.transform(F.element_at("__books", j + 1), lambda c: _int_sqdist(sl, c))
-        return (F.array_position(d, F.array_min(d)) - 1).cast("int")
-
     for _ in range(iters):
         sums = (
-            resid.crossJoin(F.broadcast(books_broadcast(books)))
-            .select(
-                F.col("rv"),
-                F.array(*[code_for(j) for j in range(m)]).alias("__cls"),
-            )
-            .select(
-                F.explode(
-                    F.array(*[
-                        F.struct(
-                            F.lit(j).alias("j"),
-                            F.element_at("__cls", j + 1).alias("cluster"),
-                            F.slice(F.col("rv"), j * sub_d + 1, sub_d).alias("sl"),
-                        )
-                        for j in range(m)
-                    ])
-                ).alias("e")
-            )
-            .select("e.j", "e.cluster", F.posexplode("e.sl").alias("pos", "val"))
-            .groupBy("j", "cluster", "pos")
+            codes_for(books)
+            .join(rex, ["id", "j"])
+            .groupBy("j", "code", "sp")
             .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()  # m * sub_k * sub_d rows — the only materialization
         )
         new_books = [[list(c) for c in b] for b in books]
         for row in sums:
-            new_books[row["j"]][row["cluster"]][row["pos"]] = _tdiv(
+            new_books[row["j"]][row["code"]][row["sp"]] = _tdiv(
                 int(row["s"]), int(row["n"])
             )
         books = new_books  # empty clusters keep their previous centroid
 
     # encode: the persistent compressed index (id, cell, j, code)
-    enc = (
-        resid.crossJoin(F.broadcast(books_broadcast(books)))
-        .select(
-            "id",
-            "cell",
-            F.posexplode(
-                F.array(*[code_for(j) for j in range(m)])
-            ).alias("j", "code"),
-        )
-    )
+    enc = codes_for(books).join(asn, "id").select("id", "cell", "j", "code")
     return enc, cents, books
 
 
@@ -1076,6 +1096,7 @@ def ivfpq_topk(
     scale: int = PQ_SCALE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index=None,
 ) -> DataFrame:
     """IVFADC — the composition Jégou/Douze/Schmid 2011 §V ship as the
     actual system: a k-means coarse quantizer (inverted file) splits the
@@ -1108,9 +1129,16 @@ def ivfpq_topk(
     projection + one aggregate per Lloyd iteration).
 
     Returns (query_id, nbr_id, dist_q, rank<=k) — dist_q in quantized
-    residual-L2, self-matches excluded, ties by nbr_id."""
-    enc, cents, books = ivfpq_index(
-        embeddings, n_cells, m, sub_k, iters, scale, id_col, vec_col
+    residual-L2, self-matches excluded, ties by nbr_id. Pass a prebuilt
+    ``index=(enc, cents, books)`` from :func:`ivfpq_index` to skip the
+    build (the deployment shape: build once, query per batch — the
+    recall/MRR gates share one build this way)."""
+    enc, cents, books = (
+        index
+        if index is not None
+        else ivfpq_index(
+            embeddings, n_cells, m, sub_k, iters, scale, id_col, vec_col
+        )
     )
     qrows = [
         (int(r[id_col]), list(r[vec_col]))
@@ -1206,6 +1234,7 @@ def ivfpq_recall(
     scale: int = PQ_SCALE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index=None,
 ) -> DataFrame:
     """recall@k of :func:`ivfpq_topk` against the EXACT top-k in the
     same quantized-L2 metric (full vectors, no compression) — the
@@ -1220,7 +1249,7 @@ def ivfpq_recall(
     probed-cells ADC equijoin. Returns (query_id, hits, recall_ppm)."""
     approx = ivfpq_topk(
         embeddings, n_cells, n_probe, m, sub_k, iters, n_queries, k,
-        scale, id_col, vec_col,
+        scale, id_col, vec_col, index=index,
     )
     exact = exact_quantized_topk(
         embeddings, n_queries, k, scale, id_col, vec_col
