@@ -307,6 +307,24 @@ def _sqdist(vec: Column, cent: Column) -> Column:
     )
 
 
+def _argmin_idx(dists: Column, n: int) -> Column:
+    """argmin over a length-``n`` distance array in ONE pass, ties to
+    the LOWEST index: zip each distance with its index into a struct
+    and take ``array_min`` (struct ordering compares distance first,
+    then index — exactly the order ``array_position(x, array_min(x))``
+    selects). The position-of-min spelling plants the distance
+    subtree in the plan TWICE, and Spark evaluates higher-order-
+    function lambdas interpreted with no common-subexpression
+    elimination, so it pays the full fold twice per row. Same math,
+    same tie-break, half the interpreted work."""
+    z = F.zip_with(
+        dists,
+        F.sequence(F.lit(0), F.lit(n - 1)),
+        lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+    )
+    return F.array_min(z)["i"].cast("int")
+
+
 def kmeans_assign(
     embeddings: DataFrame,
     centroids: list,
@@ -336,9 +354,7 @@ def kmeans_assign(
         .select(
             F.col(id_col),
             F.col(vec_col),
-            (F.array_position(dists, F.array_min(dists)) - F.lit(1))
-            .cast("int")
-            .alias("cluster"),
+            _argmin_idx(dists, len(cents_row)).alias("cluster"),
         )
     )
 
@@ -371,10 +387,10 @@ def kmeans(
     Returns (assignments DataFrame with (id, cluster), centroids list).
 
     Scale shape: each iteration is ONE narrow assignment projection
-    (centroid literals compiled into the plan — no join) plus ONE
-    groupBy (cluster, dim) aggregate whose result is k*dim rows —
-    the only driver materialization, O(k*dim) per iteration by design
-    (identical to pyspark.ml KMeans' per-iteration centroid collect)."""
+    (centroids ride a 1-row broadcast — no join) plus ONE groupBy
+    (cluster, dim) aggregate whose result is k*dim rows — the only
+    driver materialization, O(k*dim) per iteration by design (identical
+    to pyspark.ml KMeans' per-iteration centroid collect)."""
     first = embeddings.orderBy(F.col(id_col)).limit(k).select(vec_col).collect()
     cents = [[float(x) for x in row[0]] for row in first]
     Q = float(1 << 30)
@@ -625,9 +641,7 @@ def pq_codebooks(
             dists = F.transform(
                 F.element_at("__books", j + 1), lambda c: _sqdist(sl, c)
             )
-            return (
-                F.array_position(dists, F.array_min(dists)) - F.lit(1)
-            ).cast("int")
+            return _argmin_idx(dists, sub_k)
 
         assigned = embeddings.crossJoin(F.broadcast(books_df)).select(
             F.col(vec_col),
@@ -713,7 +727,7 @@ def pq_encode(
                 lambda acc, x: acc + x,
             ),
         )
-        return (F.array_position(dists, F.array_min(dists)) - F.lit(1)).cast("int")
+        return _argmin_idx(dists, len(books_q[0]))
 
     coded = embeddings.crossJoin(F.broadcast(books_df)).select(
         F.col(id_col).alias("id"),
