@@ -6734,7 +6734,8 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_ivfpq(n_cells: int = 8, n_probe: int = 2, m: int = 4,
                   sub_k: int = 16, iters: int = 2, nq: int = 8, k: int = 10,
                   dim: int = 64, scale: int = 1 << 20,
-                  with_recall: bool = False, with_mrr: bool = False) -> str:
+                  with_recall: bool = False, with_mrr: bool = False,
+                  with_ndcg: bool = False) -> str:
     """Replays ivfpq_topk end-to-end in DuckDB. Integer throughout:
     after vq = floor(double(v)*scale), coarse k-means, residuals,
     sub-codebook k-means, encode and ADC are all int64 — the centroid
@@ -6850,8 +6851,45 @@ bd{it}_{j} AS (
     FROM scored
   ) WHERE rank <= {k}
 )"""
-    if not with_recall and not with_mrr:
+    if not with_recall and not with_mrr and not with_ndcg:
         return prefix + "\nSELECT query_id, nbr_id, dist_q, rank FROM ranked"
+    if with_ndcg:
+        # binary-relevance nDCG@k against the exact quantized-L2 top-k:
+        # the ppm rank discounts are the SAME literal constants
+        # text.DCG_WEIGHTS_PPM uses — neither engine computes a log
+        from emodb_spark.pipeline.text import DCG_WEIGHTS_PPM
+
+        wt_rows = ", ".join(
+            f"({r + 1}, {w})" for r, w in enumerate(DCG_WEIGHTS_PPM[:k])
+        )
+        return prefix + f""", exactq AS (
+  SELECT query_id, nbr_id FROM (
+    SELECT e.vec_id AS query_id, c.vec_id AS nbr_id,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        ORDER BY {ilq.format(a='e.q', b='c.q')} ASC, c.vec_id ASC) AS rank
+    FROM vq e CROSS JOIN vq c
+    WHERE e.vec_id < {nq} AND c.vec_id <> e.vec_id
+  ) WHERE rank <= {k}
+), wt(rank, w) AS (SELECT * FROM (VALUES {wt_rows})),
+nrel AS (
+  SELECT query_id, COUNT(*) AS n FROM exactq GROUP BY 1
+), dcgt AS (
+  SELECT p.query_id, CAST(SUM(w.w) AS BIGINT) AS dcg
+  FROM ranked p
+  JOIN exactq x USING (query_id, nbr_id)
+  JOIN wt w ON w.rank = p.rank
+  GROUP BY 1
+), idcgt AS (
+  SELECT n.query_id, CAST(SUM(w.w) AS BIGINT) AS idcg
+  FROM nrel n JOIN wt w ON w.rank <= LEAST({k}, n.n)
+  GROUP BY 1
+)
+SELECT n.query_id,
+       CAST(COALESCE(d.dcg, 0) AS BIGINT) AS dcg,
+       i.idcg AS idcg,
+       CAST(COALESCE(d.dcg, 0) * 1000000 // i.idcg AS BIGINT) AS ndcg_ppm
+FROM nrel n JOIN idcgt i USING (query_id) LEFT JOIN dcgt d USING (query_id)
+"""
     if with_mrr:
         return prefix + f""", exact1 AS (
   SELECT query_id, nbr_id FROM (
@@ -6893,6 +6931,35 @@ FROM (SELECT DISTINCT query_id FROM exactq) q LEFT JOIN hits h USING (query_id)
 ORACLE_IVFPQ_TOPK = _oracle_ivfpq()
 ORACLE_IVFPQ_RECALL = _oracle_ivfpq(with_recall=True)
 ORACLE_IVFPQ_MRR = _oracle_ivfpq(with_mrr=True)
+ORACLE_IVFPQ_NDCG = _oracle_ivfpq(with_ndcg=True)
+
+
+def q_ivfpq_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-discounted ranking EVAL for the compressed index:
+    binary-relevance nDCG@10 of ivfpq_topk against the exact
+    quantized-L2 top-10 (emodb_spark.pipeline.text.ndcg_eval over
+    similarity.exact_quantized_topk) — recall@k counts the hits, RR
+    scores the first, nDCG scores ALL hits by how high they ranked.
+    Integer-exact: the rank discounts are the shared ppm constants
+    DCG_WEIGHTS_PPM (= floor(1e6/log2(rank+1)) — no engine computes a
+    log) and ndcg_ppm = dcg*1e6 div idcg is integral division on both
+    engines. The oracle replays the IVFADC pipeline + exact top-k +
+    the discount joins in one SQL statement."""
+    from emodb_spark.pipeline.similarity import (
+        exact_quantized_topk,
+        ivfpq_topk,
+    )
+    from emodb_spark.pipeline.text import ndcg_eval
+
+    emb = _read(spark, sf_dir, "embeddings")
+    approx = ivfpq_topk(
+        emb, n_cells=8, n_probe=2, m=4, sub_k=16, iters=2, n_queries=8, k=10,
+        index=_ivfpq_gate_index(spark, sf_dir),
+    )
+    truth = exact_quantized_topk(emb, n_queries=8, k=10)
+    return ndcg_eval(
+        approx, truth, k=10, query_col="query_id", id_col="nbr_id"
+    )
 
 
 def q_ivfpq_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7349,6 +7416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_recall": q_ivfpq_recall,
         "hybrid_retrieval": q_hybrid_retrieval,
         "ivfpq_mrr": q_ivfpq_mrr,
+        "ivfpq_ndcg": q_ivfpq_ndcg,
         "pq_recall": q_pq_recall,
         "star_clusters": q_star_clusters,
         "mmr_select": q_mmr_select,
@@ -7531,7 +7599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-verified by tools/oracle_check.py instead.
     window = [
         # r9-new gates
-        "ivfpq_topk", "ivfpq_recall", "ivfpq_mrr", "hybrid_retrieval",
+        "ivfpq_topk", "ivfpq_recall", "ivfpq_mrr", "ivfpq_ndcg",
+        "hybrid_retrieval",
         # kernels changed in round 9
         "pq_topk", "pq_recall", "secret_scan", "bm25_topk",
         # r5-era driver rows — all 21 retire this round
@@ -7549,9 +7618,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups", "event_consolidation", "event_sessions",
         "events_windowed", "frame_sample", "gopher_quality", "hash_split",
         "incremental_dedup", "lang_distribution", "mmr_select",
-        "multi_get",
-    ]  # next r6-era rows (multimodal_features, partition_shard_scan,
-    #    pii_scan, pricing_summary, ...) defer to r10 — see COVERAGE.md
+    ]  # next r6-era rows (multi_get, multimodal_features,
+    #    partition_shard_scan, pii_scan, pricing_summary, ...) defer to
+    #    r10 — see COVERAGE.md
     # window integrity (size 50, no dupes, all registered, no rows-only
     # queries) is enforced by tests/test_entry_contract.py — NOT asserted
     # here, so a bad edit degrades to a reordered registry instead of
@@ -7576,6 +7645,7 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_recall": ORACLE_IVFPQ_RECALL,
         "hybrid_retrieval": ORACLE_HYBRID_RETRIEVAL,
         "ivfpq_mrr": ORACLE_IVFPQ_MRR,
+        "ivfpq_ndcg": ORACLE_IVFPQ_NDCG,
         "star_clusters": ORACLE_STAR_CLUSTERS,
         "mmr_select": ORACLE_MMR_SELECT,
         "validate_log": ORACLE_VALIDATE_LOG,

@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "ivfpq_recall",          # IVFADC recall@10 vs exact quantized-L2
     "hybrid_retrieval",      # RRF fusion of bm25 + coverage rankings
     "ivfpq_mrr",             # reciprocal rank of the true NN in IVFADC
+    "ivfpq_ndcg",            # nDCG@10 of IVFADC vs exact quantized-L2
     # analytics
     "pricing_summary",
     "revenue_by_nation",

@@ -1195,6 +1195,82 @@ def mrr_eval(
     )
 
 
+#: floor(1e6 / log2(rank+1)) for ranks 1..10 — the standard DCG
+#: position discounts, pre-scaled to ppm integers so NO engine ever
+#: computes a logarithm (same transcendental-free house rule as the
+#: BM25 raw-odds IDF); tests/test_pipeline.py re-derives them from
+#: math.log2 to guard the constants.
+DCG_WEIGHTS_PPM = (
+    1000000, 630929, 500000, 430676, 386852,
+    356207, 333333, 315464, 301029, 289064,
+)
+
+
+def ndcg_eval(
+    ranking: DataFrame,
+    truth: DataFrame,
+    k: int = 10,
+    query_col: str = "query",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    weights_ppm=None,
+) -> DataFrame:
+    """nDCG@k with binary relevance, integer-exact: DCG = Σ over the
+    ranking's relevant hits of the ppm rank discount (``weights_ppm``,
+    default :data:`DCG_WEIGHTS_PPM` = floor(1e6/log2(rank+1))), IDCG =
+    the best achievable DCG for that query (the first
+    ``min(k, #relevant)`` discounts), ``ndcg_ppm = dcg*1e6 div idcg``
+    — INTEGRAL division on both engines. Completes the ranking-eval
+    family: recall@k (made the list), RR (how high the first hit),
+    nDCG (how high ALL the hits, position-discounted). The discounts
+    are shared literal constants, so an external SQL oracle replays the
+    whole eval without computing a logarithm.
+
+    Scale shape: both inputs are k-per-query / relevant-per-query rows
+    — corpus-free; one join + two (query) aggregates, the discount
+    lookup an element_at into a k-literal array.
+
+    Returns ``(query, dcg, idcg, ndcg_ppm)`` — dcg 0 when nothing
+    relevant made the list; one row per truth query."""
+    w = list(weights_ppm if weights_ppm is not None else DCG_WEIGHTS_PPM)
+    if len(w) < k:
+        raise ValueError(f"need >= {k} rank weights, got {len(w)}")
+    w = [int(x) for x in w[:k]]
+    prefix = []
+    s = 0
+    for x in w:
+        s += x
+        prefix.append(s)
+    warr = F.array(*[F.lit(x) for x in w])
+    parr = F.array(*[F.lit(x) for x in prefix])
+
+    r = ranking.select(
+        F.col(query_col).alias("__q"),
+        F.col(id_col).alias("__id"),
+        F.col(rank_col).cast("int").alias("__rank"),
+    ).filter(F.col("__rank") <= k)
+    t = truth.select(F.col(query_col).alias("__q"), F.col(id_col).alias("__id"))
+    dcg = (
+        r.join(t, ["__q", "__id"])
+        .groupBy("__q")
+        .agg(F.sum(F.element_at(warr, F.col("__rank"))).alias("__dcg"))
+    )
+    per_q = t.groupBy("__q").agg(F.count(F.lit(1)).alias("__n"))
+    idcg = F.element_at(parr, F.least(F.lit(k), F.col("__n")).cast("int"))
+    d = F.coalesce(F.col("__dcg"), F.lit(0)).cast("long")
+    return (
+        per_q.join(dcg, "__q", "left")
+        .select(
+            F.col("__q").alias(query_col),
+            d.alias("dcg"),
+            idcg.cast("long").alias("idcg"),
+            F.call_function("div", d * F.lit(1_000_000), idcg)
+            .cast("long")
+            .alias("ndcg_ppm"),
+        )
+    )
+
+
 def compression_signal(
     df: DataFrame,
     text_col: str = "text",

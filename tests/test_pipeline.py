@@ -2613,3 +2613,42 @@ def test_pq_recall_counts_exact_hits(spark):
                for r in pq_recall(tiny, m=2, sub_k=6, iters=0,
                                   n_queries=2, k=3).collect()}
     assert all(v == 1_000_000 for v in perfect.values()), perfect
+
+
+def test_ndcg_eval_binary_relevance(spark):
+    """ndcg_eval: the ppm discount constants must equal
+    floor(1e6/log2(rank+1)); a perfect ranking scores exactly 1e6 ppm;
+    a total miss scores 0; a partial ranking matches the hand fold,
+    with IDCG truncated at min(k, #relevant)."""
+    import math
+
+    from emodb_spark.pipeline.text import DCG_WEIGHTS_PPM, ndcg_eval
+
+    assert list(DCG_WEIGHTS_PPM) == [
+        math.floor(1_000_000 / math.log2(r + 1)) for r in range(1, 11)
+    ]
+
+    k = 5
+    w = DCG_WEIGHTS_PPM[:k]
+    ranking = spark.createDataFrame(
+        # q1: perfect (ranks 1..5 all relevant); q2: hits at ranks 2 and
+        # 4 only; q3: nothing relevant made the list
+        [(1, i, r) for r, i in enumerate([10, 11, 12, 13, 14], 1)]
+        + [(2, 20, 1), (2, 21, 2), (2, 22, 3), (2, 23, 4), (2, 24, 5)]
+        + [(3, 30, 1), (3, 31, 2)],
+        "query long, doc_id long, rank long",
+    )
+    truth = spark.createDataFrame(
+        [(1, i) for i in (10, 11, 12, 13, 14)]
+        + [(2, 21), (2, 23), (2, 99)]       # 3 relevant, 2 found
+        + [(3, 77), (3, 78)],               # 2 relevant, 0 found
+        "query long, doc_id long",
+    )
+    rows = {r["query"]: r for r in ndcg_eval(ranking, truth, k=k).collect()}
+    assert rows[1]["dcg"] == sum(w) and rows[1]["ndcg_ppm"] == 1_000_000
+    dcg2 = w[1] + w[3]
+    idcg2 = sum(w[:3])  # min(k, 3 relevant)
+    assert rows[2]["dcg"] == dcg2 and rows[2]["idcg"] == idcg2
+    assert rows[2]["ndcg_ppm"] == dcg2 * 1_000_000 // idcg2
+    assert rows[3]["dcg"] == 0 and rows[3]["ndcg_ppm"] == 0
+    assert rows[3]["idcg"] == sum(w[:2])

@@ -81,6 +81,10 @@ BNLJ_OK = {
     "ivfpq_mrr",            # same composition: ivfpq_topk + the exact
                             # quantized-L2 top-1 baseline's O(#queries)
                             # broadcast; the RR join is k-per-query rows
+    "ivfpq_ndcg",           # same composition: ivfpq_topk + the exact
+                            # top-k baseline's O(#queries) broadcast;
+                            # the DCG discount lookup is a k-literal
+                            # element_at over k-per-query rows
     "ann_recall",           # composes similarity_topk (exact baseline,
                             # O(#queries) broadcast) with ann_ivf_kmeans
                             # (O(n_cells) centroid broadcast) — both
