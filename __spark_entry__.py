@@ -6530,6 +6530,34 @@ FROM customer WHERE c_custkey % 10 = 2
 """
 
 
+_PQ_INDEX_CACHE: dict = {}
+
+
+def _pq_gate_index(spark: SparkSession, sf_dir: str):
+    """One PQ build (codebooks + encoded corpus) shared by the pq_topk
+    and pq_recall gates — same rationale and keying as
+    _ivfpq_gate_index: they certify the SAME fixed-parameter index, the
+    build is deterministic, and `enc` is eagerly localCheckpointed so
+    reuse is materialized."""
+    from emodb_spark.pipeline.similarity import (
+        PQ_SCALE,
+        _pq_quantize,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PQ_INDEX_CACHE:
+        emb = _read(spark, sf_dir, "embeddings")
+        books_q = _pq_quantize(
+            pq_codebooks(emb, m=4, sub_k=16, iters=2), PQ_SCALE
+        )
+        enc = pq_encode(emb, books_q, PQ_SCALE)
+        _PQ_INDEX_CACHE.clear()  # one live session at a time
+        _PQ_INDEX_CACHE[key] = (enc.localCheckpoint(eager=True), books_q)
+    return _PQ_INDEX_CACHE[key]
+
+
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-k (emodb_spark.pipeline.similarity.
     pq_adc_topk — Jégou et al. 2011): m=4 subspace codebooks from the
@@ -6544,7 +6572,10 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emodb_spark.pipeline.similarity import pq_adc_topk
 
     emb = _read(spark, sf_dir, "embeddings")
-    return pq_adc_topk(emb, m=4, sub_k=16, iters=2, n_queries=8, k=10)
+    return pq_adc_topk(
+        emb, m=4, sub_k=16, iters=2, n_queries=8, k=10,
+        index=_pq_gate_index(spark, sf_dir),
+    )
 
 
 def _oracle_pq_topk(m: int = 4, sub_k: int = 16, iters: int = 2,
@@ -6998,7 +7029,10 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emodb_spark.pipeline.similarity import pq_recall
 
     emb = _read(spark, sf_dir, "embeddings")
-    return pq_recall(emb, m=4, sub_k=16, iters=2, n_queries=8, k=10)
+    return pq_recall(
+        emb, m=4, sub_k=16, iters=2, n_queries=8, k=10,
+        index=_pq_gate_index(spark, sf_dir),
+    )
 
 
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -748,6 +748,7 @@ def pq_adc_topk(
     scale: int = PQ_SCALE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index=None,
 ) -> DataFrame:
     """PQ approximate top-k by Asymmetric Distance Computation: queries
     stay exact (quantized full-precision slices), the corpus is its PQ
@@ -763,12 +764,18 @@ def pq_adc_topk(
     ``dist_q`` is exact int64, so the oracle hash-matches.
 
     Returns (query_id, nbr_id, dist_q, rank<=k), self-matches excluded,
-    ties by nbr_id."""
-    books_q = _pq_quantize(
-        pq_codebooks(embeddings, m, sub_k, iters, id_col, vec_col), scale
-    )
+    ties by nbr_id. Pass a prebuilt ``index=(enc, books_q)`` (the
+    encoded corpus + quantized codebooks) to skip training+encode —
+    the build-once/query-per-batch deployment shape; the pq_topk and
+    pq_recall gates share one build this way."""
+    if index is not None:
+        enc, books_q = index
+    else:
+        books_q = _pq_quantize(
+            pq_codebooks(embeddings, m, sub_k, iters, id_col, vec_col), scale
+        )
+        enc = pq_encode(embeddings, books_q, scale, id_col, vec_col)
     sub_d = len(books_q[0][0])
-    enc = pq_encode(embeddings, books_q, scale, id_col, vec_col)
 
     # bounded point read: n_queries query vectors -> driver LUT. The
     # distance table is one vectorized int64 einsum over
@@ -1281,6 +1288,7 @@ def pq_recall(
     scale: int = PQ_SCALE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index=None,
 ) -> DataFrame:
     """recall@k of :func:`pq_adc_topk` against the EXACT top-k in the
     same quantized-L2 metric — the eval every compressed index ships
@@ -1295,7 +1303,8 @@ def pq_recall(
     equijoin; recall is a left-semi-sized join of two k-row-per-query
     frames. Returns (query_id, hits, recall_ppm)."""
     approx = pq_adc_topk(
-        embeddings, m, sub_k, iters, n_queries, k, scale, id_col, vec_col
+        embeddings, m, sub_k, iters, n_queries, k, scale, id_col, vec_col,
+        index=index,
     )
     exact = exact_quantized_topk(
         embeddings, n_queries, k, scale, id_col, vec_col
