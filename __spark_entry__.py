@@ -6530,15 +6530,38 @@ FROM customer WHERE c_custkey % 10 = 2
 """
 
 
-_PQ_INDEX_CACHE: dict = {}
+_GATE_INDEX_CACHE: dict = {}
+
+
+def _gate_index(kind: str, params: tuple, spark: SparkSession,
+                sf_dir: str, build):
+    """Session-scoped cache for deterministic gate index builds (the
+    build-once/query-per-batch deployment shape the ivfpq_index /
+    ivfpq_query and pq codebook/encode splits exist for). Keyed by
+    (kind, BUILD PARAMS, applicationId, sf_dir) — the params in the key
+    mean a future gate variant with different n_cells/m/sub_k can never
+    silently certify a stale differently-parameterized index — and
+    entries from dead sessions are evicted so no cross-JVM DataFrame
+    leaks. ``build()`` returns a tuple whose first element is the
+    encoded-corpus DataFrame; it is eagerly localCheckpointed so reuse
+    is materialized, and every build is deterministic (integer k-means,
+    flat init), so each gate sees the identical index its oracle
+    replays."""
+    app = spark.sparkContext.applicationId
+    key = (kind, params, app, sf_dir)
+    if key not in _GATE_INDEX_CACHE:
+        for stale in [k for k in _GATE_INDEX_CACHE if k[2] != app]:
+            del _GATE_INDEX_CACHE[stale]
+        built = build()
+        _GATE_INDEX_CACHE[key] = (
+            built[0].localCheckpoint(eager=True), *built[1:],
+        )
+    return _GATE_INDEX_CACHE[key]
 
 
 def _pq_gate_index(spark: SparkSession, sf_dir: str):
     """One PQ build (codebooks + encoded corpus) shared by the pq_topk
-    and pq_recall gates — same rationale and keying as
-    _ivfpq_gate_index: they certify the SAME fixed-parameter index, the
-    build is deterministic, and `enc` is eagerly localCheckpointed so
-    reuse is materialized."""
+    and pq_recall gates — they certify the SAME fixed-parameter index."""
     from emodb_spark.pipeline.similarity import (
         PQ_SCALE,
         _pq_quantize,
@@ -6546,16 +6569,16 @@ def _pq_gate_index(spark: SparkSession, sf_dir: str):
         pq_encode,
     )
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _PQ_INDEX_CACHE:
+    def build():
         emb = _read(spark, sf_dir, "embeddings")
         books_q = _pq_quantize(
             pq_codebooks(emb, m=4, sub_k=16, iters=2), PQ_SCALE
         )
-        enc = pq_encode(emb, books_q, PQ_SCALE)
-        _PQ_INDEX_CACHE.clear()  # one live session at a time
-        _PQ_INDEX_CACHE[key] = (enc.localCheckpoint(eager=True), books_q)
-    return _PQ_INDEX_CACHE[key]
+        return pq_encode(emb, books_q, PQ_SCALE), books_q
+
+    return _gate_index(
+        "pq", ("m4", "sub_k16", "iters2"), spark, sf_dir, build
+    )
 
 
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6700,30 +6723,20 @@ ORACLE_PQ_TOPK = _oracle_pq_topk()
 ORACLE_PQ_RECALL = _oracle_pq_topk(with_recall=True)
 
 
-_IVFPQ_INDEX_CACHE: dict = {}
-
-
 def _ivfpq_gate_index(spark: SparkSession, sf_dir: str):
-    """One IVFADC index build shared by the three ivfpq gates
-    (topk / recall / mrr) — they certify the SAME index at the same
-    fixed parameters, and rebuilding it per gate is exactly the
-    anti-pattern the ivfpq_index/ivfpq_query split exists to avoid
-    (build once, query per batch). Keyed by Spark applicationId so a
-    fresh session (bench child JVMs) rebuilds; `enc` is eagerly
-    localCheckpointed so reuse is materialized, and the whole build is
-    deterministic (integer k-means, flat init), so every gate sees the
-    identical index the oracle replays."""
+    """One IVFADC index build shared by the four ivfpq gates
+    (topk / recall / mrr / ndcg) — they certify the SAME index at the
+    same fixed parameters, and rebuilding it per gate is exactly the
+    anti-pattern the ivfpq_index/ivfpq_query split exists to avoid."""
     from emodb_spark.pipeline.similarity import ivfpq_index
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _IVFPQ_INDEX_CACHE:
+    def build():
         emb = _read(spark, sf_dir, "embeddings")
-        enc, cents, books = ivfpq_index(emb, n_cells=8, m=4, sub_k=16, iters=2)
-        _IVFPQ_INDEX_CACHE.clear()  # one live session at a time
-        _IVFPQ_INDEX_CACHE[key] = (
-            enc.localCheckpoint(eager=True), cents, books,
-        )
-    return _IVFPQ_INDEX_CACHE[key]
+        return ivfpq_index(emb, n_cells=8, m=4, sub_k=16, iters=2)
+
+    return _gate_index(
+        "ivfpq", ("n_cells8", "m4", "sub_k16", "iters2"), spark, sf_dir, build
+    )
 
 
 def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

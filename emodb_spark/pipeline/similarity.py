@@ -775,6 +775,10 @@ def pq_adc_topk(
             pq_codebooks(embeddings, m, sub_k, iters, id_col, vec_col), scale
         )
         enc = pq_encode(embeddings, books_q, scale, id_col, vec_col)
+    # the codebooks are authoritative for the geometry — a prebuilt
+    # index may have been trained with a different m than the caller's
+    # default, and trusting the parameter would mis-slice the LUT
+    m = len(books_q)
     sub_d = len(books_q[0][0])
 
     # bounded point read: n_queries query vectors -> driver LUT. The
@@ -1027,8 +1031,14 @@ def ivfpq_index(
             )
         books = new_books  # empty clusters keep their previous centroid
 
-    # encode: the persistent compressed index (id, cell, j, code)
-    enc = codes_for(books).join(asn, "id").select("id", "cell", "j", "code")
+    # encode: the persistent compressed index (id, cell, j, code) —
+    # (id, cell) comes off the CHECKPOINTED resid, not `asn`, so the
+    # coarse assignment never re-runs past the residual pass
+    enc = (
+        codes_for(books)
+        .join(resid.select("id", "cell"), "id")
+        .select("id", "cell", "j", "code")
+    )
     return enc, cents, books
 
 

@@ -1249,7 +1249,12 @@ def ndcg_eval(
         F.col(id_col).alias("__id"),
         F.col(rank_col).cast("int").alias("__rank"),
     ).filter(F.col("__rank") <= k)
-    t = truth.select(F.col(query_col).alias("__q"), F.col(id_col).alias("__id"))
+    # duplicate (query, id) judgment rows (common in merged relevance
+    # files) must not double-count a hit's discount or inflate IDCG's
+    # relevant-count — mrr_eval gets this for free from MIN
+    t = truth.select(
+        F.col(query_col).alias("__q"), F.col(id_col).alias("__id")
+    ).distinct()
     dcg = (
         r.join(t, ["__q", "__id"])
         .groupBy("__q")

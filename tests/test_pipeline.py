@@ -2640,7 +2640,9 @@ def test_ndcg_eval_binary_relevance(spark):
     )
     truth = spark.createDataFrame(
         [(1, i) for i in (10, 11, 12, 13, 14)]
-        + [(2, 21), (2, 23), (2, 99)]       # 3 relevant, 2 found
+        + [(2, 21), (2, 23), (2, 99), (2, 23)]  # 3 relevant, 2 found —
+        # the duplicated (2, 23) judgment must not double-count the
+        # discount or inflate the idcg relevant-count
         + [(3, 77), (3, 78)],               # 2 relevant, 0 found
         "query long, doc_id long",
     )
