@@ -6779,7 +6779,7 @@ def _oracle_ivfpq(n_cells: int = 8, n_probe: int = 2, m: int = 4,
                   sub_k: int = 16, iters: int = 2, nq: int = 8, k: int = 10,
                   dim: int = 64, scale: int = 1 << 20,
                   with_recall: bool = False, with_mrr: bool = False,
-                  with_ndcg: bool = False) -> str:
+                  with_ndcg: bool = False, sdc_threshold: int = 0) -> str:
     """Replays ivfpq_topk end-to-end in DuckDB. Integer throughout:
     after vq = floor(double(v)*scale), coarse k-means, residuals,
     sub-codebook k-means, encode and ADC are all int64 — the centroid
@@ -6895,6 +6895,29 @@ bd{it}_{j} AS (
     FROM scored
   ) WHERE rank <= {k}
 )"""
+    if sdc_threshold:
+        # symmetric distance computation: code-to-code LUT per subspace
+        # (b{iters}_{j} x itself), pair candidates from the same-cell
+        # self-join of enc, distance = SUM of LUT hits over the m codes
+        sdl_parts = [
+            f"""SELECT {j} AS j, x.cluster AS ca, y.cluster AS cb,
+    {ilq.format(a='x.cvec', b='y.cvec')} AS d
+  FROM b{iters}_{j} x CROSS JOIN b{iters}_{j} y"""
+            for j in range(m)
+        ]
+        return prefix + f""", sdl AS (
+  {' UNION ALL '.join(sdl_parts)}
+), sp AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.j, a.code AS ca, b.code AS cb
+  FROM enc a JOIN enc b ON a.cell = b.cell AND a.j = b.j
+  WHERE a.vec_id < b.vec_id
+), summed AS (
+  SELECT id_a, id_b, CAST(SUM(l.d) AS BIGINT) AS dist_q
+  FROM sp s JOIN sdl l ON s.j = l.j AND s.ca = l.ca AND s.cb = l.cb
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, dist_q FROM summed WHERE dist_q <= {sdc_threshold}
+"""
     if not with_recall and not with_mrr and not with_ndcg:
         return prefix + "\nSELECT query_id, nbr_id, dist_q, rank FROM ranked"
     if with_ndcg:
@@ -6976,6 +6999,28 @@ ORACLE_IVFPQ_TOPK = _oracle_ivfpq()
 ORACLE_IVFPQ_RECALL = _oracle_ivfpq(with_recall=True)
 ORACLE_IVFPQ_MRR = _oracle_ivfpq(with_mrr=True)
 ORACLE_IVFPQ_NDCG = _oracle_ivfpq(with_ndcg=True)
+SDC_THRESHOLD = 180_000_000_000  # ~0.16 in unit-vector L2 at scale 2^20
+ORACLE_SDC_NEAR_DUPS = _oracle_ivfpq(sdc_threshold=SDC_THRESHOLD)
+
+
+def q_sdc_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs by SYMMETRIC distance computation over
+    the IVFADC index (emodb_spark.pipeline.similarity.sdc_near_dups —
+    Jégou 2011 §III.B): both sides are PQ codes, pair distance =
+    Σ_j LUT_j[code_a][code_b] with one broadcast m*sub_k^2 integer
+    table, candidates = the same-coarse-cell self-join of the
+    (id, cell, j, code) table. The float corpus never participates at
+    pair time — the compressed-corpus member of the dedup family
+    (cosine_near_dups and semantic_near_dups need the vectors). The
+    oracle replays index build + code-to-code LUT + self-join +
+    threshold in one SQL statement, exact int64 throughout."""
+    from emodb_spark.pipeline.similarity import sdc_near_dups
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return sdc_near_dups(
+        emb, threshold=SDC_THRESHOLD, n_cells=8, m=4, sub_k=16, iters=2,
+        index=_ivfpq_gate_index(spark, sf_dir),
+    )
 
 
 def q_ivfpq_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7464,6 +7509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_retrieval": q_hybrid_retrieval,
         "ivfpq_mrr": q_ivfpq_mrr,
         "ivfpq_ndcg": q_ivfpq_ndcg,
+        "sdc_near_dups": q_sdc_near_dups,
         "pq_recall": q_pq_recall,
         "star_clusters": q_star_clusters,
         "mmr_select": q_mmr_select,
@@ -7647,7 +7693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window = [
         # r9-new gates
         "ivfpq_topk", "ivfpq_recall", "ivfpq_mrr", "ivfpq_ndcg",
-        "hybrid_retrieval",
+        "sdc_near_dups", "hybrid_retrieval",
         # kernels changed in round 9
         "pq_topk", "pq_recall", "secret_scan", "bm25_topk",
         # r5-era driver rows — all 21 retire this round
@@ -7664,8 +7710,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best", "doc_fingerprints", "doc_pagerank",
         "embedding_near_dups", "event_consolidation", "event_sessions",
         "events_windowed", "frame_sample", "gopher_quality", "hash_split",
-        "incremental_dedup", "lang_distribution", "mmr_select",
-    ]  # next r6-era rows (multi_get, multimodal_features,
+        "incremental_dedup", "lang_distribution",
+    ]  # next r6-era rows (mmr_select, multi_get, multimodal_features,
     #    partition_shard_scan, pii_scan, pricing_summary, ...) defer to
     #    r10 — see COVERAGE.md
     # window integrity (size 50, no dupes, all registered, no rows-only
@@ -7693,6 +7739,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_retrieval": ORACLE_HYBRID_RETRIEVAL,
         "ivfpq_mrr": ORACLE_IVFPQ_MRR,
         "ivfpq_ndcg": ORACLE_IVFPQ_NDCG,
+        "sdc_near_dups": ORACLE_SDC_NEAR_DUPS,
         "star_clusters": ORACLE_STAR_CLUSTERS,
         "mmr_select": ORACLE_MMR_SELECT,
         "validate_log": ORACLE_VALIDATE_LOG,

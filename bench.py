@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "hybrid_retrieval",      # RRF fusion of bm25 + coverage rankings
     "ivfpq_mrr",             # reciprocal rank of the true NN in IVFADC
     "ivfpq_ndcg",            # nDCG@10 of IVFADC vs exact quantized-L2
+    "sdc_near_dups",         # symmetric-distance near-dup pairs (codes only)
     # analytics
     "pricing_summary",
     "revenue_by_nation",

@@ -1180,6 +1180,84 @@ def ivfpq_topk(
     return ivfpq_query(enc, cents, books, qrows, n_probe, k, scale)
 
 
+def sdc_near_dups(
+    embeddings: DataFrame,
+    threshold: int,
+    n_cells: int = 8,
+    m: int = 4,
+    sub_k: int = 16,
+    iters: int = 2,
+    scale: int = PQ_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index=None,
+) -> DataFrame:
+    """Semantic near-dup pairs by Symmetric Distance Computation over
+    the IVFADC index (Jégou/Douze/Schmid 2011 §III.B: when BOTH sides
+    are encoded, dist(x, y) ≈ Σ_j LUT_j[code_j(x)][code_j(y)] with one
+    sub_k x sub_k integer distance table per subspace) — the
+    compressed-corpus member of the dedup family. Where
+    :func:`cosine_near_dups` and :func:`semantic_near_dups` need float
+    vectors at pair time, SDC needs ONLY the (id, cell, j, code) table:
+    at 100 TB the float corpus never participates — pairs come from a
+    SELF-JOIN of the compressed index bucketed by coarse cell (same
+    cell ⇒ candidates, the IVF analogue of an LSH band bucket, with the
+    standard recall caveat that cross-cell near-dups are not candidates)
+    and the m * sub_k^2 LUT rides one broadcast.
+
+    Everything after the 2^20 quantize is exact int64 (the LUT is an
+    einsum over the integer codebooks, the pair distance a SUM of LUT
+    hits), so an external SQL oracle replays index build + LUT +
+    self-join + threshold bit-for-bit.
+
+    Plan shape: enc ⋈ enc on (cell, j) with id_a < id_b — a bucket
+    equijoin whose skew guard is the coarse-cell provisioning rule
+    (grow n_cells with the corpus; see SCALE.md's IVFADC probe) — then
+    one broadcast LUT equijoin on (j, ca, cb) and a map-side partial
+    SUM per pair. Returns (id_a, id_b, dist_q) with dist_q <=
+    ``threshold`` in quantized squared-L2 units (scale^2 per unit
+    distance)."""
+    import numpy as np
+    import pandas as pd
+
+    enc, cents, books = (
+        index
+        if index is not None
+        else ivfpq_index(
+            embeddings, n_cells, m, sub_k, iters, scale, id_col, vec_col
+        )
+    )
+    spark = enc.sparkSession
+    books_np = np.asarray(books, dtype=np.int64)  # (m, sub_k, sub_d)
+    diff = books_np[:, :, None, :] - books_np[:, None, :, :]
+    d_tab = np.einsum("mabd,mabd->mab", diff, diff)  # exact int64
+    mm, sk = d_tab.shape[0], d_tab.shape[1]
+    lut_df = spark.createDataFrame(
+        pd.DataFrame({
+            "j": np.repeat(np.arange(mm, dtype=np.int32), sk * sk),
+            "ca": np.tile(np.repeat(np.arange(sk, dtype=np.int32), sk), mm),
+            "cb": np.tile(np.arange(sk, dtype=np.int32), mm * sk),
+            "d": d_tab.reshape(-1),
+        }),
+        "j int, ca int, cb int, d long",
+    )
+    a = enc.select(
+        F.col("id").alias("id_a"), "cell", "j", F.col("code").alias("ca")
+    )
+    b = enc.select(
+        F.col("id").alias("id_b"), "cell", "j", F.col("code").alias("cb")
+    )
+    return (
+        a.join(b, ["cell", "j"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(F.broadcast(lut_df), ["j", "ca", "cb"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("d").alias("dist_q"))
+        .filter(F.col("dist_q") <= F.lit(int(threshold)))
+        .select("id_a", "id_b", F.col("dist_q").cast("long").alias("dist_q"))
+    )
+
+
 def exact_quantized_topk(
     embeddings: DataFrame,
     n_queries: int = 8,

@@ -2654,3 +2654,72 @@ def test_ndcg_eval_binary_relevance(spark):
     assert rows[2]["ndcg_ppm"] == dcg2 * 1_000_000 // idcg2
     assert rows[3]["dcg"] == 0 and rows[3]["ndcg_ppm"] == 0
     assert rows[3]["idcg"] == sum(w[:2])
+
+
+def test_sdc_near_dups_python_replay(spark):
+    """sdc_near_dups: pair distances must equal a pure-python SDC
+    replay (encode each vector, sum per-subspace code-to-code squared
+    L2 between codebook entries) over same-cell pairs; planted
+    identical vectors share codes, so their SDC distance is exactly 0
+    and they must surface at any threshold."""
+    import random
+
+    from emodb_spark.pipeline.similarity import (
+        PQ_SCALE,
+        ivfpq_index,
+        sdc_near_dups,
+    )
+
+    rng = random.Random(23)
+    base = [[rng.uniform(-0.5, 0.5) for _ in range(8)] for _ in range(18)]
+    base.append(list(base[3]))  # id 18 == id 3 -> SDC distance 0
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "vec_id long, embedding array<float>"
+    )
+    n_cells, m, sub_k, iters = 3, 2, 4, 2
+    enc, cents, books = ivfpq_index(
+        df, n_cells=n_cells, m=m, sub_k=sub_k, iters=iters
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist_q"]
+        for r in sdc_near_dups(
+            df, threshold=1 << 62, n_cells=n_cells, m=m, sub_k=sub_k,
+            iters=iters, index=(enc, cents, books),
+        ).collect()
+    }
+
+    # python replay from the same index artifacts
+    enc_rows = enc.collect()
+    cell_of, codes_of = {}, {}
+    for r in enc_rows:
+        cell_of[r["id"]] = r["cell"]
+        codes_of.setdefault(r["id"], {})[r["j"]] = r["code"]
+    sub_d = len(books[0][0])
+    lut = [
+        [
+            [
+                sum((books[j][a][p] - books[j][b][p]) ** 2 for p in range(sub_d))
+                for b in range(sub_k)
+            ]
+            for a in range(sub_k)
+        ]
+        for j in range(m)
+    ]
+    want = {}
+    ids = sorted(cell_of)
+    for x in ids:
+        for y in ids:
+            if x < y and cell_of[x] == cell_of[y]:
+                want[(x, y)] = sum(
+                    lut[j][codes_of[x][j]][codes_of[y][j]] for j in range(m)
+                )
+    assert got == want
+    # the planted duplicate shares every code with its source
+    if cell_of[3] == cell_of[18]:
+        assert got[(3, 18)] == 0
+    # LUT symmetry + zero diagonal (the SDC table invariants)
+    for j in range(m):
+        for a in range(sub_k):
+            assert lut[j][a][a] == 0
+            for b in range(sub_k):
+                assert lut[j][a][b] == lut[j][b][a]

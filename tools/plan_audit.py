@@ -85,6 +85,10 @@ BNLJ_OK = {
                             # top-k baseline's O(#queries) broadcast;
                             # the DCG discount lookup is a k-literal
                             # element_at over k-per-query rows
+    "sdc_near_dups",        # shares the ivfpq index build; the pair
+                            # path itself is a (cell, j) bucket
+                            # equijoin + an O(m*sub_k^2)-row broadcast
+                            # LUT equijoin — no BNLJ on the pair path
     "ann_recall",           # composes similarity_topk (exact baseline,
                             # O(#queries) broadcast) with ann_ivf_kmeans
                             # (O(n_cells) centroid broadcast) — both
