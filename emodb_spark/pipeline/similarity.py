@@ -1208,7 +1208,11 @@ def sdc_near_dups(
     Everything after the 2^20 quantize is exact int64 (the LUT is an
     einsum over the integer codebooks, the pair distance a SUM of LUT
     hits), so an external SQL oracle replays index build + LUT +
-    self-join + threshold bit-for-bit.
+    self-join + threshold bit-for-bit. A property worth noting: the
+    codes encode RESIDUALS, and same-cell pairs share their centroid,
+    so the residual difference IS the vector difference (the centroid
+    cancels) — within a cell, SDC approximates the true pair distance
+    with only code-quantization error, no coarse-quantizer error.
 
     Plan shape: enc ⋈ enc on (cell, j) with id_a < id_b — a bucket
     equijoin whose skew guard is the coarse-cell provisioning rule
