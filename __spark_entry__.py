@@ -6779,7 +6779,7 @@ def _oracle_ivfpq(n_cells: int = 8, n_probe: int = 2, m: int = 4,
                   sub_k: int = 16, iters: int = 2, nq: int = 8, k: int = 10,
                   dim: int = 64, scale: int = 1 << 20,
                   with_recall: bool = False, with_mrr: bool = False,
-                  with_ndcg: bool = False, sdc_threshold: int = 0) -> str:
+                  with_ndcg: bool = False, sdc_threshold=None) -> str:
     """Replays ivfpq_topk end-to-end in DuckDB. Integer throughout:
     after vq = floor(double(v)*scale), coarse k-means, residuals,
     sub-codebook k-means, encode and ADC are all int64 — the centroid
@@ -6895,7 +6895,11 @@ bd{it}_{j} AS (
     FROM scored
   ) WHERE rank <= {k}
 )"""
-    if sdc_threshold:
+    if sdc_threshold is not None:
+        # (0 is a valid threshold — exact-code duplicates — so the gate
+        # is `is not None`, and SDC is exclusive of the eval tails)
+        if with_recall or with_mrr or with_ndcg:
+            raise ValueError("sdc_threshold is exclusive of the eval tails")
         # symmetric distance computation: code-to-code LUT per subspace
         # (b{iters}_{j} x itself), pair candidates from the same-cell
         # self-join of enc, distance = SUM of LUT hits over the m codes
@@ -6999,7 +7003,7 @@ ORACLE_IVFPQ_TOPK = _oracle_ivfpq()
 ORACLE_IVFPQ_RECALL = _oracle_ivfpq(with_recall=True)
 ORACLE_IVFPQ_MRR = _oracle_ivfpq(with_mrr=True)
 ORACLE_IVFPQ_NDCG = _oracle_ivfpq(with_ndcg=True)
-SDC_THRESHOLD = 180_000_000_000  # ~0.16 in unit-vector L2 at scale 2^20
+SDC_THRESHOLD = 180_000_000_000  # ~0.16 unit-vector SQUARED L2 at scale 2^20
 ORACLE_SDC_NEAR_DUPS = _oracle_ivfpq(sdc_threshold=SDC_THRESHOLD)
 
 
@@ -7016,9 +7020,10 @@ def q_sdc_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold in one SQL statement, exact int64 throughout."""
     from emodb_spark.pipeline.similarity import sdc_near_dups
 
-    emb = _read(spark, sf_dir, "embeddings")
+    # embeddings=None: with a prebuilt index the pair path touches only
+    # the code table — the float corpus genuinely never participates
     return sdc_near_dups(
-        emb, threshold=SDC_THRESHOLD, n_cells=8, m=4, sub_k=16, iters=2,
+        None, threshold=SDC_THRESHOLD, n_cells=8, m=4, sub_k=16, iters=2,
         index=_ivfpq_gate_index(spark, sf_dir),
     )
 

@@ -1181,7 +1181,7 @@ def ivfpq_topk(
 
 
 def sdc_near_dups(
-    embeddings: DataFrame,
+    embeddings: Optional[DataFrame],
     threshold: int,
     n_cells: int = 8,
     m: int = 4,
@@ -1218,9 +1218,10 @@ def sdc_near_dups(
     equijoin whose skew guard is the coarse-cell provisioning rule
     (grow n_cells with the corpus; see SCALE.md's IVFADC probe) — then
     one broadcast LUT equijoin on (j, ca, cb) and a map-side partial
-    SUM per pair. Returns (id_a, id_b, dist_q) with dist_q <=
-    ``threshold`` in quantized squared-L2 units (scale^2 per unit
-    distance)."""
+    SUM per pair. With a prebuilt ``index=``, ``embeddings`` may be
+    None — the pair path touches only the code table. Returns
+    (id_a, id_b, dist_q) with dist_q <= ``threshold`` in quantized
+    squared-L2 units (scale^2 per unit distance)."""
     import numpy as np
     import pandas as pd
 

@@ -2714,9 +2714,10 @@ def test_sdc_near_dups_python_replay(spark):
                     lut[j][codes_of[x][j]][codes_of[y][j]] for j in range(m)
                 )
     assert got == want
-    # the planted duplicate shares every code with its source
-    if cell_of[3] == cell_of[18]:
-        assert got[(3, 18)] == 0
+    # identical vectors must land in the same cell (deterministic
+    # assignment) and share every code — SDC distance exactly 0
+    assert cell_of[3] == cell_of[18]
+    assert got[(3, 18)] == 0
     # LUT symmetry + zero diagonal (the SDC table invariants)
     for j in range(m):
         for a in range(sub_k):
