@@ -63,18 +63,14 @@ BNLJ_OK = {
     "hybrid_retrieval",     # composes bm25_topk (same 1-row corpus
                             # stats broadcast); the fusion itself is a
                             # union + aggregate over k-per-query rows
-    "pq_topk",              # 1-row quantized-codebook broadcast for the
-                            # encode argmin (the kmeans_assign idiom);
-                            # the query-time path is a (j, code) equijoin
+    # NOTE: pq_topk, ivfpq_topk and sdc_near_dups are deliberately NOT
+    # allowlisted since the r9 equijoin rewrite + shared gate index:
+    # their returned plans are pure equijoins over the checkpointed
+    # code table (the training-time 1-row codebook broadcasts live
+    # behind the eager checkpoint), so the audit proves them BNLJ-free.
     "pq_recall",            # composes pq_topk with the exact baseline's
                             # O(#queries)-row broadcast (the allowlisted
                             # similarity_topk idiom)
-    "ivfpq_topk",           # 1-row broadcasts for the coarse-centroid
-                            # assignment/residual projection and the
-                            # sub-codebook encode argmin (the pq_topk
-                            # idiom); the query-time ADC path is a
-                            # (cell, j, code) equijoin over probed
-                            # cells only
     "ivfpq_recall",         # composes ivfpq_topk with the exact
                             # baseline's O(#queries)-row broadcast (the
                             # allowlisted similarity_topk eval idiom)
@@ -85,10 +81,6 @@ BNLJ_OK = {
                             # top-k baseline's O(#queries) broadcast;
                             # the DCG discount lookup is a k-literal
                             # element_at over k-per-query rows
-    "sdc_near_dups",        # shares the ivfpq index build; the pair
-                            # path itself is a (cell, j) bucket
-                            # equijoin + an O(m*sub_k^2)-row broadcast
-                            # LUT equijoin — no BNLJ on the pair path
     "ann_recall",           # composes similarity_topk (exact baseline,
                             # O(#queries) broadcast) with ann_ivf_kmeans
                             # (O(n_cells) centroid broadcast) — both
