@@ -6779,7 +6779,8 @@ def _oracle_ivfpq(n_cells: int = 8, n_probe: int = 2, m: int = 4,
                   sub_k: int = 16, iters: int = 2, nq: int = 8, k: int = 10,
                   dim: int = 64, scale: int = 1 << 20,
                   with_recall: bool = False, with_mrr: bool = False,
-                  with_ndcg: bool = False, sdc_threshold=None) -> str:
+                  with_ndcg: bool = False, sdc_threshold=None,
+                  rerank_k=None) -> str:
     """Replays ivfpq_topk end-to-end in DuckDB. Integer throughout:
     after vq = floor(double(v)*scale), coarse k-means, residuals,
     sub-codebook k-means, encode and ADC are all int64 — the centroid
@@ -6922,6 +6923,25 @@ bd{it}_{j} AS (
 )
 SELECT id_a, id_b, dist_q FROM summed WHERE dist_q <= {sdc_threshold}
 """
+    if rerank_k is not None:
+        # re-rank with source coding: `ranked` is the ADC shortlist
+        # (this oracle's k = the shortlist size); only those rows join
+        # back to the full quantized vectors for the exact distance
+        return prefix + f""", rer AS (
+  SELECT p.query_id, p.nbr_id,
+    {ilq.format(a='q.q', b='c.q')} AS dist_exact
+  FROM ranked p
+  JOIN vq q ON q.vec_id = p.query_id
+  JOIN vq c ON c.vec_id = p.nbr_id
+)
+SELECT query_id, nbr_id, CAST(dist_exact AS BIGINT) AS dist_exact,
+       CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, nbr_id, dist_exact,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY dist_exact ASC, nbr_id ASC) AS rank
+  FROM rer
+) WHERE rank <= {rerank_k}
+"""
     if not with_recall and not with_mrr and not with_ndcg:
         return prefix + "\nSELECT query_id, nbr_id, dist_q, rank FROM ranked"
     if with_ndcg:
@@ -7005,6 +7025,26 @@ ORACLE_IVFPQ_MRR = _oracle_ivfpq(with_mrr=True)
 ORACLE_IVFPQ_NDCG = _oracle_ivfpq(with_ndcg=True)
 SDC_THRESHOLD = 180_000_000_000  # ~0.16 unit-vector SQUARED L2 at scale 2^20
 ORACLE_SDC_NEAR_DUPS = _oracle_ivfpq(sdc_threshold=SDC_THRESHOLD)
+ORACLE_IVFPQ_RERANK = _oracle_ivfpq(k=30, rerank_k=10)
+
+
+def q_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC + re-ranking (emodb_spark.pipeline.similarity.
+    ivfpq_rerank_topk — Jégou et al. 2011, re-rank with source coding):
+    the compressed index proposes a 30-candidate shortlist per query,
+    only those rows join back to the full quantized vectors, and the
+    top-10 ranks on the EXACT quantized-L2 distance — the published
+    candidate-then-verify refinement that removes quantization error
+    from the final ranking while touching the full-precision corpus for
+    n_queries*shortlist rows only. The oracle replays the IVFADC
+    shortlist + the join-back + the exact re-rank in one statement."""
+    from emodb_spark.pipeline.similarity import ivfpq_rerank_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return ivfpq_rerank_topk(
+        emb, n_cells=8, n_probe=2, m=4, sub_k=16, iters=2, n_queries=8,
+        k=10, shortlist=30, index=_ivfpq_gate_index(spark, sf_dir),
+    )
 
 
 def q_sdc_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7515,6 +7555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_mrr": q_ivfpq_mrr,
         "ivfpq_ndcg": q_ivfpq_ndcg,
         "sdc_near_dups": q_sdc_near_dups,
+        "ivfpq_rerank": q_ivfpq_rerank,
         "pq_recall": q_pq_recall,
         "star_clusters": q_star_clusters,
         "mmr_select": q_mmr_select,
@@ -7698,7 +7739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window = [
         # r9-new gates
         "ivfpq_topk", "ivfpq_recall", "ivfpq_mrr", "ivfpq_ndcg",
-        "sdc_near_dups", "hybrid_retrieval",
+        "ivfpq_rerank", "sdc_near_dups", "hybrid_retrieval",
         # kernels changed in round 9
         "pq_topk", "pq_recall", "secret_scan", "bm25_topk",
         # r5-era driver rows — all 21 retire this round
@@ -7715,10 +7756,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best", "doc_fingerprints", "doc_pagerank",
         "embedding_near_dups", "event_consolidation", "event_sessions",
         "events_windowed", "frame_sample", "gopher_quality", "hash_split",
-        "incremental_dedup", "lang_distribution",
-    ]  # next r6-era rows (mmr_select, multi_get, multimodal_features,
-    #    partition_shard_scan, pii_scan, pricing_summary, ...) defer to
-    #    r10 — see COVERAGE.md
+        "incremental_dedup",
+    ]  # next r6-era rows (lang_distribution, mmr_select, multi_get,
+    #    multimodal_features, partition_shard_scan, pii_scan, ...)
+    #    defer to r10 — see COVERAGE.md
     # window integrity (size 50, no dupes, all registered, no rows-only
     # queries) is enforced by tests/test_entry_contract.py — NOT asserted
     # here, so a bad edit degrades to a reordered registry instead of
@@ -7745,6 +7786,7 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_mrr": ORACLE_IVFPQ_MRR,
         "ivfpq_ndcg": ORACLE_IVFPQ_NDCG,
         "sdc_near_dups": ORACLE_SDC_NEAR_DUPS,
+        "ivfpq_rerank": ORACLE_IVFPQ_RERANK,
         "star_clusters": ORACLE_STAR_CLUSTERS,
         "mmr_select": ORACLE_MMR_SELECT,
         "validate_log": ORACLE_VALIDATE_LOG,

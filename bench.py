@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "ivfpq_mrr",             # reciprocal rank of the true NN in IVFADC
     "ivfpq_ndcg",            # nDCG@10 of IVFADC vs exact quantized-L2
     "sdc_near_dups",         # symmetric-distance near-dup pairs (codes only)
+    "ivfpq_rerank",          # ADC shortlist re-ranked on exact distances
     # analytics
     "pricing_summary",
     "revenue_by_nation",

@@ -1180,6 +1180,73 @@ def ivfpq_topk(
     return ivfpq_query(enc, cents, books, qrows, n_probe, k, scale)
 
 
+def ivfpq_rerank_topk(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    sub_k: int = 16,
+    iters: int = 2,
+    n_queries: int = 8,
+    k: int = 10,
+    shortlist: int = 30,
+    scale: int = PQ_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index=None,
+) -> DataFrame:
+    """IVFADC + re-ranking (Jégou/Tavenard/Douze/Amsaleg 2011,
+    "Searching in one billion vectors: re-rank with source coding" —
+    the published refinement step the IVFADC serving stack ships): the
+    compressed index proposes a ``shortlist`` of candidates per query
+    (cheap, O(probed codes)), then ONLY those shortlist rows join back
+    to the full quantized vectors for an EXACT distance, and the final
+    top-``k`` ranks on that — quantization error is gone from the
+    ranking, and the full-precision corpus is touched for
+    ``n_queries * shortlist`` rows instead of a scan.
+
+    Plan shape: the shortlist is k'-per-query rows (corpus-free once
+    produced); the refinement is one equijoin of those rows against the
+    quantized corpus projection on id — at 100 TB this is the classic
+    candidate-then-verify shape (same as the MinHash verify step), and
+    the exact distance is the order-free integer fold, so the oracle
+    replays shortlist + join + re-rank bit-for-bit.
+
+    Returns (query_id, nbr_id, dist_exact, rank<=k) in exact
+    quantized-L2, ties by nbr_id."""
+    short = ivfpq_topk(
+        embeddings, n_cells, n_probe, m, sub_k, iters, n_queries,
+        shortlist, scale, id_col, vec_col, index=index,
+    ).select("query_id", "nbr_id")
+    vq = embeddings.select(
+        F.col(id_col).alias("nbr_id"),
+        _quantize_col(F.col(vec_col), scale).alias("cv"),
+    )
+    qv = embeddings.select(
+        F.col(id_col).alias("query_id"),
+        _quantize_col(F.col(vec_col), scale).alias("qv"),
+    ).filter(F.col("query_id") < n_queries)
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("dist_exact"), F.asc("nbr_id")
+    )
+    return (
+        short.join(vq, "nbr_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "nbr_id",
+            _int_sqdist(F.col("qv"), F.col("cv")).alias("dist_exact"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "nbr_id",
+            F.col("dist_exact").cast("long").alias("dist_exact"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def sdc_near_dups(
     embeddings: Optional[DataFrame],
     threshold: int,

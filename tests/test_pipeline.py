@@ -2724,3 +2724,53 @@ def test_sdc_near_dups_python_replay(spark):
             assert lut[j][a][a] == 0
             for b in range(sub_k):
                 assert lut[j][a][b] == lut[j][b][a]
+
+
+def test_ivfpq_rerank_exact_over_shortlist(spark):
+    """ivfpq_rerank_topk: the re-ranked distances must be the EXACT
+    quantized-L2 values (python replay), the ranking must equal
+    brute-force-over-the-shortlist, and every re-ranked neighbor must
+    come from the ADC shortlist."""
+    import math
+    import random
+
+    from emodb_spark.pipeline.similarity import (
+        PQ_SCALE,
+        ivfpq_rerank_topk,
+        ivfpq_topk,
+    )
+
+    rng = random.Random(31)
+    base = [[rng.uniform(-0.5, 0.5) for _ in range(8)] for _ in range(20)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "vec_id long, embedding array<float>"
+    )
+    kw = dict(n_cells=3, n_probe=2, m=2, sub_k=4, iters=2, n_queries=3)
+    short = {
+        (r["query_id"], r["nbr_id"])
+        for r in ivfpq_topk(df, k=8, **kw).collect()
+    }
+    got = ivfpq_rerank_topk(df, k=4, shortlist=8, **kw).collect()
+
+    q = [[int(math.floor(float(x) * PQ_SCALE)) for x in v] for v in base]
+    for r in got:
+        assert (r["query_id"], r["nbr_id"]) in short
+        want = sum(
+            (a - b) ** 2 for a, b in zip(q[r["query_id"]], q[r["nbr_id"]])
+        )
+        assert r["dist_exact"] == want
+    # per query: ranks are 1..min(4, |shortlist rows|) ordered by the
+    # exact distance with nbr_id tie-break
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        keys = [(r["dist_exact"], r["nbr_id"]) for r in rows]
+        assert keys == sorted(keys)
+        cand = sorted(
+            (sum((a - b) ** 2 for a, b in zip(q[qid], q[n])), n)
+            for qq, n in short if qq == qid
+        )[: len(rows)]
+        assert keys == cand

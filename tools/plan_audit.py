@@ -81,6 +81,8 @@ BNLJ_OK = {
                             # top-k baseline's O(#queries) broadcast;
                             # the DCG discount lookup is a k-literal
                             # element_at over k-per-query rows
+    # (ivfpq_rerank needs no entry: the shortlist is BNLJ-free and the
+    # quantized-query side joins on query_id — a broadcast HASH join)
     "ann_recall",           # composes similarity_topk (exact baseline,
                             # O(#queries) broadcast) with ann_ivf_kmeans
                             # (O(n_cells) centroid broadcast) — both
