@@ -7026,6 +7026,32 @@ ORACLE_IVFPQ_NDCG = _oracle_ivfpq(with_ndcg=True)
 SDC_THRESHOLD = 180_000_000_000  # ~0.16 unit-vector SQUARED L2 at scale 2^20
 ORACLE_SDC_NEAR_DUPS = _oracle_ivfpq(sdc_threshold=SDC_THRESHOLD)
 ORACLE_IVFPQ_RERANK = _oracle_ivfpq(k=30, rerank_k=10)
+# encoding against FROZEN codebooks is a pure per-vector function, so
+# new-arrival rows are exactly the full rebuild's rows for those ids —
+# the oracle replays the build and selects the arrival slice of enc
+ORACLE_IVFPQ_APPEND = (
+    _oracle_ivfpq().rsplit("SELECT", 1)[0]
+    + "SELECT vec_id AS id, cell, j, code FROM enc WHERE vec_id % 5 = 0"
+)
+
+
+def q_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index APPEND path (emodb_spark.pipeline.similarity.
+    ivfpq_encode_new): vectors with vec_id % 5 == 0 play the newly
+    arrived batch and are encoded against the session's FROZEN IVFADC
+    codebooks — nearest cell + integer residual + m sub-codes in one
+    pass, producing (id, cell, j, code) rows that union onto the
+    existing code table with no retrain (at 100 TB: append to the
+    cell-partitioned index). Encoding is a pure function of
+    (vector, cents, books), so the rows equal the full rebuild's rows
+    for those ids — the oracle replays the build and selects the
+    arrival slice."""
+    from emodb_spark.pipeline.similarity import ivfpq_encode_new
+
+    emb = _read(spark, sf_dir, "embeddings")
+    _, cents, books = _ivfpq_gate_index(spark, sf_dir)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    return ivfpq_encode_new(batch, cents, books)
 
 
 def q_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7556,6 +7582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_ndcg": q_ivfpq_ndcg,
         "sdc_near_dups": q_sdc_near_dups,
         "ivfpq_rerank": q_ivfpq_rerank,
+        "ivfpq_append": q_ivfpq_append,
         "pq_recall": q_pq_recall,
         "star_clusters": q_star_clusters,
         "mmr_select": q_mmr_select,
@@ -7739,7 +7766,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window = [
         # r9-new gates
         "ivfpq_topk", "ivfpq_recall", "ivfpq_mrr", "ivfpq_ndcg",
-        "ivfpq_rerank", "sdc_near_dups", "hybrid_retrieval",
+        "ivfpq_rerank", "ivfpq_append", "sdc_near_dups",
+        "hybrid_retrieval",
         # kernels changed in round 9
         "pq_topk", "pq_recall", "secret_scan", "bm25_topk",
         # r5-era driver rows — all 21 retire this round
@@ -7756,10 +7784,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best", "doc_fingerprints", "doc_pagerank",
         "embedding_near_dups", "event_consolidation", "event_sessions",
         "events_windowed", "frame_sample", "gopher_quality", "hash_split",
-        "incremental_dedup",
-    ]  # next r6-era rows (lang_distribution, mmr_select, multi_get,
-    #    multimodal_features, partition_shard_scan, pii_scan, ...)
-    #    defer to r10 — see COVERAGE.md
+    ]  # next r6-era rows (incremental_dedup, lang_distribution,
+    #    mmr_select, multi_get, multimodal_features,
+    #    partition_shard_scan, ...) defer to r10 — see COVERAGE.md
     # window integrity (size 50, no dupes, all registered, no rows-only
     # queries) is enforced by tests/test_entry_contract.py — NOT asserted
     # here, so a bad edit degrades to a reordered registry instead of
@@ -7787,6 +7814,7 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_ndcg": ORACLE_IVFPQ_NDCG,
         "sdc_near_dups": ORACLE_SDC_NEAR_DUPS,
         "ivfpq_rerank": ORACLE_IVFPQ_RERANK,
+        "ivfpq_append": ORACLE_IVFPQ_APPEND,
         "star_clusters": ORACLE_STAR_CLUSTERS,
         "mmr_select": ORACLE_MMR_SELECT,
         "validate_log": ORACLE_VALIDATE_LOG,

@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "ivfpq_ndcg",            # nDCG@10 of IVFADC vs exact quantized-L2
     "sdc_near_dups",         # symmetric-distance near-dup pairs (codes only)
     "ivfpq_rerank",          # ADC shortlist re-ranked on exact distances
+    "ivfpq_append",          # new arrivals encoded against frozen codebooks
     # analytics
     "pricing_summary",
     "revenue_by_nation",

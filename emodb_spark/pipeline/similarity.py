@@ -925,6 +925,106 @@ def _int_kmeans(qdf: DataFrame, vec_col: str, k: int, iters: int,
     return cents
 
 
+def _residual_pass(vq: DataFrame, cents: list) -> DataFrame:
+    """(id, cell, rv) — nearest coarse cell (the :func:`_int_assign`
+    equijoin) + the integer residual vector via a broadcast
+    (cell, carr) join; zip_with here is dim ops per row, not a
+    k*dim HOF scan. One pass over the quantized input."""
+    spark = vq.sparkSession
+    asn = _int_assign(vq, "q", cents).withColumnRenamed("cluster", "cell")
+    carr = spark.createDataFrame(
+        [(ci, [int(v) for v in row]) for ci, row in enumerate(cents)],
+        "cell int, carr array<long>",
+    )
+    return (
+        vq.join(asn, "id")
+        .join(F.broadcast(carr), "cell")
+        .select(
+            "id",
+            "cell",
+            F.zip_with(F.col("q"), F.col("carr"), lambda a, b: a - b).alias("rv"),
+        )
+    )
+
+
+def _residual_slices(resid: DataFrame, sub_d: int) -> DataFrame:
+    """(id, j, sp, val) — residual elements keyed by (subspace j,
+    in-slice position sp): the exploded view every sub-book
+    assignment/update equijoin rides."""
+    return resid.select(
+        "id", F.posexplode("rv").alias("pos", "val")
+    ).select(
+        "id",
+        F.call_function("div", F.col("pos"), F.lit(sub_d)).cast("int").alias("j"),
+        F.pmod(F.col("pos"), F.lit(sub_d)).cast("int").alias("sp"),
+        "val",
+    )
+
+
+def _subcode_assign(rex: DataFrame, bks: list) -> DataFrame:
+    """(id, j, code) — nearest sub-centroid per (vector, subspace),
+    ties to the lowest code: the same broadcast-equijoin + min-struct
+    shape as :func:`_int_assign`, all m subspaces in one plan."""
+    spark = rex.sparkSession
+    brows = [
+        (j, ci, sp, int(v))
+        for j, book in enumerate(bks)
+        for ci, c in enumerate(book)
+        for sp, v in enumerate(c)
+    ]
+    bdf = spark.createDataFrame(brows, "j int, code int, sp int, bval long")
+    diff = F.col("val") - F.col("bval")
+    d2 = (
+        rex.join(F.broadcast(bdf), ["j", "sp"])
+        .groupBy("id", "j", "code")
+        .agg(F.sum(diff * diff).alias("d2"))
+    )
+    return (
+        d2.groupBy("id", "j")
+        .agg(F.min(F.struct(F.col("d2"), F.col("code"))).alias("b"))
+        .select("id", "j", F.col("b.code").cast("int").alias("code"))
+    )
+
+
+def ivfpq_encode_new(
+    new_embeddings: DataFrame,
+    cents: list,
+    books: list,
+    scale: int = PQ_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode NEW arrivals against an EXISTING IVFADC index — the
+    append path a growing corpus needs: coarse quantizer and
+    sub-codebooks stay FROZEN (cents/books from :func:`ivfpq_index`),
+    each new vector gets its nearest cell, integer residual and m
+    sub-codes in one pass, and the returned (id, cell, j, code) rows
+    union straight onto the existing code table (at 100 TB: append to
+    the cell-partitioned parquet index — no retrain, no touch of the
+    already-encoded corpus). Periodic retraining is a policy decision
+    on codebook drift, not a correctness requirement — encoding is a
+    pure function of (vector, cents, books).
+
+    Because encoding is per-vector math against frozen codebooks, the
+    rows produced here are IDENTICAL to what a full rebuild would
+    assign the same vectors — the oracle (and a unit test) exploit
+    exactly that identity. Same plan shapes as the build: one
+    _int_assign equijoin, one broadcast residual join, one sub-code
+    equijoin."""
+    vq = new_embeddings.select(
+        F.col(id_col).alias("id"), _quantize_col(F.col(vec_col), scale).alias("q")
+    )
+    dim = len(cents[0])
+    m = len(books)
+    sub_d = dim // m
+    resid = _residual_pass(vq, cents)
+    return (
+        _subcode_assign(_residual_slices(resid, sub_d), books)
+        .join(resid.select("id", "cell"), "id")
+        .select("id", "cell", "j", "code")
+    )
+
+
 def ivfpq_index(
     embeddings: DataFrame,
     n_cells: int = 8,
@@ -959,55 +1059,16 @@ def ivfpq_index(
     # one corpus pass: nearest cell (ties -> lowest, the _int_assign
     # equijoin) + integer residual via a broadcast (cell, carr) join —
     # zip_with here is dim ops per row, not the k*dim*2 HOF scan
-    asn = _int_assign(vq, "q", cents).withColumnRenamed("cluster", "cell")
-    carr = spark.createDataFrame(
-        [(ci, [int(v) for v in row]) for ci, row in enumerate(cents)],
-        "cell int, carr array<long>",
-    )
-    resid = (
-        vq.join(asn, "id")
-        .join(F.broadcast(carr), "cell")
-        .select(
-            "id",
-            "cell",
-            F.zip_with(F.col("q"), F.col("carr"), lambda a, b: a - b).alias("rv"),
-        )
-        .localCheckpoint(eager=True)  # reused: training iters + encode
+    resid = _residual_pass(vq, cents).localCheckpoint(
+        eager=True  # reused: training iters + encode
     )
 
     # residual slices keyed by (subspace j, in-slice pos sp) — the
     # exploded view every sub-book assignment/update equijoin rides
-    rex = resid.select(
-        "id", F.posexplode("rv").alias("pos", "val")
-    ).select(
-        "id",
-        F.call_function("div", F.col("pos"), F.lit(sub_d)).cast("int").alias("j"),
-        F.pmod(F.col("pos"), F.lit(sub_d)).cast("int").alias("sp"),
-        "val",
-    )
+    rex = _residual_slices(resid, sub_d)
 
     def codes_for(bks: list) -> DataFrame:
-        """(id, j, code) — nearest sub-centroid per (vector, subspace),
-        ties to the lowest code: the same broadcast-equijoin +
-        min-struct shape as _int_assign, all m subspaces in one plan."""
-        brows = [
-            (j, ci, sp, int(v))
-            for j, book in enumerate(bks)
-            for ci, c in enumerate(book)
-            for sp, v in enumerate(c)
-        ]
-        bdf = spark.createDataFrame(brows, "j int, code int, sp int, bval long")
-        diff = F.col("val") - F.col("bval")
-        d2 = (
-            rex.join(F.broadcast(bdf), ["j", "sp"])
-            .groupBy("id", "j", "code")
-            .agg(F.sum(diff * diff).alias("d2"))
-        )
-        return (
-            d2.groupBy("id", "j")
-            .agg(F.min(F.struct(F.col("d2"), F.col("code"))).alias("b"))
-            .select("id", "j", F.col("b.code").cast("int").alias("code"))
-        )
+        return _subcode_assign(rex, bks)
 
     # sub-codebooks: joint integer Lloyd on residual slices (one
     # assignment equijoin + one (j, cluster, dim) aggregate per iter)

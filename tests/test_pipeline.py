@@ -2774,3 +2774,31 @@ def test_ivfpq_rerank_exact_over_shortlist(spark):
             for qq, n in short if qq == qid
         )[: len(rows)]
         assert keys == cand
+
+
+def test_ivfpq_encode_new_matches_rebuild(spark):
+    """ivfpq_encode_new: encoding a slice against FROZEN codebooks is a
+    pure per-vector function, so its rows must be exactly the full
+    build's enc rows for those ids — the identity the append gate's
+    oracle relies on."""
+    import random
+
+    from emodb_spark.pipeline.similarity import ivfpq_encode_new, ivfpq_index
+
+    rng = random.Random(41)
+    base = [[rng.uniform(-0.5, 0.5) for _ in range(8)] for _ in range(20)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "vec_id long, embedding array<float>"
+    )
+    enc, cents, books = ivfpq_index(df, n_cells=3, m=2, sub_k=4, iters=2)
+    want = {
+        (r["id"], r["j"]): (r["cell"], r["code"])
+        for r in enc.collect() if r["id"] % 5 == 0
+    }
+    got = {
+        (r["id"], r["j"]): (r["cell"], r["code"])
+        for r in ivfpq_encode_new(
+            df.filter("vec_id % 5 = 0"), cents, books
+        ).collect()
+    }
+    assert got == want and len(got) == 2 * 4  # 4 ids x m=2 subspaces
