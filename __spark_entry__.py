@@ -6780,7 +6780,7 @@ def _oracle_ivfpq(n_cells: int = 8, n_probe: int = 2, m: int = 4,
                   dim: int = 64, scale: int = 1 << 20,
                   with_recall: bool = False, with_mrr: bool = False,
                   with_ndcg: bool = False, sdc_threshold=None,
-                  rerank_k=None) -> str:
+                  rerank_k=None, append_mod=None) -> str:
     """Replays ivfpq_topk end-to-end in DuckDB. Integer throughout:
     after vq = floor(double(v)*scale), coarse k-means, residuals,
     sub-codebook k-means, encode and ADC are all int64 — the centroid
@@ -6923,7 +6923,19 @@ bd{it}_{j} AS (
 )
 SELECT id_a, id_b, dist_q FROM summed WHERE dist_q <= {sdc_threshold}
 """
+    if append_mod is not None:
+        # frozen-codebook encoding is a pure per-vector function, so
+        # the arrival slice of the full rebuild's enc IS the append
+        # path's output (the identity the unit test also certifies)
+        if with_recall or with_mrr or with_ndcg or rerank_k is not None:
+            raise ValueError("append_mod is exclusive of the eval tails")
+        return prefix + (
+            f"\nSELECT vec_id AS id, cell, j, code FROM enc"
+            f" WHERE vec_id % {append_mod} = 0"
+        )
     if rerank_k is not None:
+        if with_recall or with_mrr or with_ndcg:
+            raise ValueError("rerank_k is exclusive of the eval tails")
         # re-rank with source coding: `ranked` is the ADC shortlist
         # (this oracle's k = the shortlist size); only those rows join
         # back to the full quantized vectors for the exact distance
@@ -7026,13 +7038,7 @@ ORACLE_IVFPQ_NDCG = _oracle_ivfpq(with_ndcg=True)
 SDC_THRESHOLD = 180_000_000_000  # ~0.16 unit-vector SQUARED L2 at scale 2^20
 ORACLE_SDC_NEAR_DUPS = _oracle_ivfpq(sdc_threshold=SDC_THRESHOLD)
 ORACLE_IVFPQ_RERANK = _oracle_ivfpq(k=30, rerank_k=10)
-# encoding against FROZEN codebooks is a pure per-vector function, so
-# new-arrival rows are exactly the full rebuild's rows for those ids —
-# the oracle replays the build and selects the arrival slice of enc
-ORACLE_IVFPQ_APPEND = (
-    _oracle_ivfpq().rsplit("SELECT", 1)[0]
-    + "SELECT vec_id AS id, cell, j, code FROM enc WHERE vec_id % 5 = 0"
-)
+ORACLE_IVFPQ_APPEND = _oracle_ivfpq(append_mod=5)
 
 
 def q_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:

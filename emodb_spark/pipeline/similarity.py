@@ -1017,7 +1017,10 @@ def ivfpq_encode_new(
     dim = len(cents[0])
     m = len(books)
     sub_d = dim // m
-    resid = _residual_pass(vq, cents)
+    # checkpointed for the same reason ivfpq_index checkpoints resid:
+    # it feeds BOTH the sub-code assignment and the (id, cell) join —
+    # uncheckpointed, the coarse-assignment subtree would run twice
+    resid = _residual_pass(vq, cents).localCheckpoint(eager=True)
     return (
         _subcode_assign(_residual_slices(resid, sub_d), books)
         .join(resid.select("id", "cell"), "id")
