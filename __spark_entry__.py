@@ -6533,35 +6533,39 @@ FROM customer WHERE c_custkey % 10 = 2
 _GATE_INDEX_CACHE: dict = {}
 
 
-def _gate_index(kind: str, params: tuple, spark: SparkSession,
+def _gate_index(kind: str, params: dict, spark: SparkSession,
                 sf_dir: str, build):
     """Session-scoped cache for deterministic gate index builds (the
     build-once/query-per-batch deployment shape the ivfpq_index /
     ivfpq_query and pq codebook/encode splits exist for). Keyed by
-    (kind, BUILD PARAMS, applicationId, sf_dir) — the params in the key
-    mean a future gate variant with different n_cells/m/sub_k can never
-    silently certify a stale differently-parameterized index — and
-    entries from dead sessions are evicted so no cross-JVM DataFrame
-    leaks. ``build()`` returns a tuple whose first element is the
-    encoded-corpus DataFrame; it is eagerly localCheckpointed so reuse
-    is materialized, and every build is deterministic (integer k-means,
-    flat init), so each gate sees the identical index its oracle
-    replays."""
+    (kind, BUILD PARAMS, applicationId, sf_dir) — ``params`` is ONE
+    dict that is both hashed into the key and passed to ``build(params)``
+    to be splatted into the index call, so the key can never drift from
+    the parameters the build actually used (a hand-written key string
+    next to literal kwargs could) — and entries from dead sessions are
+    evicted so no cross-JVM DataFrame leaks. ``build(params)`` returns a
+    tuple; a DataFrame first element is eagerly localCheckpointed so
+    reuse is materialized, and every build is deterministic (integer
+    k-means, flat init), so each gate sees the identical index its
+    oracle replays."""
     app = spark.sparkContext.applicationId
-    key = (kind, params, app, sf_dir)
+    key = (kind, tuple(sorted(params.items())), app, sf_dir)
     if key not in _GATE_INDEX_CACHE:
         for stale in [k for k in _GATE_INDEX_CACHE if k[2] != app]:
             del _GATE_INDEX_CACHE[stale]
-        built = build()
-        _GATE_INDEX_CACHE[key] = (
-            built[0].localCheckpoint(eager=True), *built[1:],
-        )
+        built = build(params)
+        first = built[0]
+        if isinstance(first, DataFrame):
+            first = first.localCheckpoint(eager=True)
+        _GATE_INDEX_CACHE[key] = (first, *built[1:])
     return _GATE_INDEX_CACHE[key]
 
 
 def _pq_gate_index(spark: SparkSession, sf_dir: str):
     """One PQ build (codebooks + encoded corpus) shared by the pq_topk
-    and pq_recall gates — they certify the SAME fixed-parameter index."""
+    and pq_recall gates — they certify the SAME fixed-parameter index.
+    The tuple carries the build scale (similarity.pq_adc_topk's index
+    contract) so query paths can never quantize at a different scale."""
     from emodb_spark.pipeline.similarity import (
         PQ_SCALE,
         _pq_quantize,
@@ -6569,16 +6573,32 @@ def _pq_gate_index(spark: SparkSession, sf_dir: str):
         pq_encode,
     )
 
-    def build():
+    def build(p):
         emb = _read(spark, sf_dir, "embeddings")
-        books_q = _pq_quantize(
-            pq_codebooks(emb, m=4, sub_k=16, iters=2), PQ_SCALE
-        )
-        return pq_encode(emb, books_q, PQ_SCALE), books_q
+        books_q = _pq_quantize(pq_codebooks(emb, **p), PQ_SCALE)
+        return pq_encode(emb, books_q, PQ_SCALE), books_q, PQ_SCALE
 
     return _gate_index(
-        "pq", ("m4", "sub_k16", "iters2"), spark, sf_dir, build
+        "pq", dict(m=4, sub_k=16, iters=2), spark, sf_dir, build
     )
+
+
+def _ivfpq_gate_qrows(spark: SparkSession, sf_dir: str):
+    """The 8 gate query vectors, collected ONCE per session and shared
+    by every eval composing the ivfpq gate index (topk / recall / mrr /
+    ndcg / rerank each used to re-run the same bounded corpus filter)."""
+    def build(p):
+        emb = _read(spark, sf_dir, "embeddings")
+        return ([
+            (int(r["vec_id"]), list(r["embedding"]))
+            for r in emb.filter(F.col("vec_id") < p["n_queries"])
+            .select("vec_id", "embedding")
+            .collect()
+        ],)
+
+    return _gate_index(
+        "ivfpq_qrows", dict(n_queries=8), spark, sf_dir, build
+    )[0]
 
 
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6724,18 +6744,20 @@ ORACLE_PQ_RECALL = _oracle_pq_topk(with_recall=True)
 
 
 def _ivfpq_gate_index(spark: SparkSession, sf_dir: str):
-    """One IVFADC index build shared by the four ivfpq gates
-    (topk / recall / mrr / ndcg) — they certify the SAME index at the
-    same fixed parameters, and rebuilding it per gate is exactly the
-    anti-pattern the ivfpq_index/ivfpq_query split exists to avoid."""
+    """One IVFADC index build shared by the ivfpq gates (topk / recall /
+    mrr / ndcg / rerank / append / sdc / knn_join) — they certify the
+    SAME index at the same fixed parameters, and rebuilding it per gate
+    is exactly the anti-pattern the ivfpq_index/ivfpq_query split
+    exists to avoid. Returns similarity.ivfpq_index's 4-tuple
+    (enc, cents, books, scale)."""
     from emodb_spark.pipeline.similarity import ivfpq_index
 
-    def build():
+    def build(p):
         emb = _read(spark, sf_dir, "embeddings")
-        return ivfpq_index(emb, n_cells=8, m=4, sub_k=16, iters=2)
+        return ivfpq_index(emb, **p)
 
     return _gate_index(
-        "ivfpq", ("n_cells8", "m4", "sub_k16", "iters2"), spark, sf_dir, build
+        "ivfpq", dict(n_cells=8, m=4, sub_k=16, iters=2), spark, sf_dir, build
     )
 
 
@@ -6756,6 +6778,7 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(
         emb, n_cells=8, n_probe=2, m=4, sub_k=16, iters=2, n_queries=8, k=10,
         index=_ivfpq_gate_index(spark, sf_dir),
+        qrows=_ivfpq_gate_qrows(spark, sf_dir),
     )
 
 
@@ -6772,6 +6795,7 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_recall(
         emb, n_cells=8, n_probe=2, m=4, sub_k=16, iters=2, n_queries=8, k=10,
         index=_ivfpq_gate_index(spark, sf_dir),
+        qrows=_ivfpq_gate_qrows(spark, sf_dir),
     )
 
 
@@ -6780,33 +6804,53 @@ def _oracle_ivfpq(n_cells: int = 8, n_probe: int = 2, m: int = 4,
                   dim: int = 64, scale: int = 1 << 20,
                   with_recall: bool = False, with_mrr: bool = False,
                   with_ndcg: bool = False, sdc_threshold=None,
-                  rerank_k=None, append_mod=None) -> str:
+                  rerank_k=None, append_mod=None, train_limit=None,
+                  sdc_probe: int = 1, knn=None) -> str:
     """Replays ivfpq_topk end-to-end in DuckDB. Integer throughout:
     after vq = floor(double(v)*scale), coarse k-means, residuals,
     sub-codebook k-means, encode and ADC are all int64 — the centroid
     update is SUM // COUNT, DuckDB's `//` truncating toward zero
-    exactly like the driver-side _tdiv and Spark's `div`."""
+    exactly like the driver-side _tdiv and Spark's `div`.
+
+    ``train_limit``: both quantizers train on the ORDER BY vec_id
+    LIMIT N slice (the deterministic sample rule ivfpq_index uses);
+    the full-corpus resid/enc/query CTEs are untouched.
+    ``sdc_probe > 1``: the multi-probe SDC pair tail (one side
+    re-encoded in its sdc_probe nearest cells; pairs take the MIN over
+    their <=2 match directions). ``knn=(nq, k, n_probe)``: the
+    DataFrame-native compressed kNN-join tail (query side probe-encoded,
+    code-to-code LUT distances, top-k per query)."""
     sub_d = dim // m
     ilq = ("list_reduce(list_transform(list_zip({a}, {b}),"
            " x -> (x[1]-x[2])*(x[1]-x[2])), (acc,v) -> acc+v)")
+    # training source: the sampled slice when train_limit is set (the
+    # resid/enc/query CTEs always ride the full corpus)
+    tv = "tvq" if train_limit is not None else "vq"
+    tr = "tresid" if train_limit is not None else "resid"
     ctes = [f"""vq AS (
   SELECT vec_id, list_transform(embedding,
     v -> CAST(FLOOR(CAST(v AS DOUBLE)*{scale}.0) AS BIGINT)) AS q
   FROM embeddings
-)""", f"""k0 AS (
-  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id)-1 AS INT) AS cluster, q AS cvec
-  FROM (SELECT vec_id, q FROM vq ORDER BY vec_id LIMIT {n_cells})
-)""", f"""qdim AS (
-  SELECT vec_id, dim, q[dim] AS val FROM (
-    SELECT vec_id, q, unnest(generate_series(1, {dim})) AS dim FROM vq
-  )
 )"""]
+    if train_limit is not None:
+        ctes.append(f"""tvq AS (
+  SELECT vec_id, q FROM vq ORDER BY vec_id LIMIT {train_limit}
+)""")
+    ctes.append(f"""k0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id)-1 AS INT) AS cluster, q AS cvec
+  FROM (SELECT vec_id, q FROM {tv} ORDER BY vec_id LIMIT {n_cells})
+)""")
+    ctes.append(f"""qdim AS (
+  SELECT vec_id, dim, q[dim] AS val FROM (
+    SELECT vec_id, q, unnest(generate_series(1, {dim})) AS dim FROM {tv}
+  )
+)""")
     for it in range(iters):
         ctes.append(f"""ka{it} AS (
   SELECT v.vec_id, c.cluster,
     ROW_NUMBER() OVER (PARTITION BY v.vec_id
       ORDER BY {ilq.format(a='v.q', b='c.cvec')} ASC, c.cluster ASC) AS rn
-  FROM vq v CROSS JOIN k{it} c
+  FROM {tv} v CROSS JOIN k{it} c
 ), ks{it} AS (SELECT vec_id, cluster FROM ka{it} WHERE rn = 1),
 kd{it} AS (
   SELECT s.cluster, u.dim, CAST(SUM(u.val) AS BIGINT) // COUNT(*) AS cval
@@ -6817,27 +6861,33 @@ kd{it} AS (
     SELECT cluster, list(cval ORDER BY dim) AS cvec FROM kd{it} GROUP BY 1
   ) n USING (cluster)
 )""")
-    ctes.append(f"""resid AS (
+
+    def resid_cte(name: str, src: str) -> str:
+        return f"""{name} AS (
   SELECT vec_id, cell, list_transform(list_zip(q, cvec), x -> x[1]-x[2]) AS rv
   FROM (
     SELECT v.vec_id, c.cluster AS cell, v.q, c.cvec,
       ROW_NUMBER() OVER (PARTITION BY v.vec_id
         ORDER BY {ilq.format(a='v.q', b='c.cvec')} ASC, c.cluster ASC) AS rn
-    FROM vq v CROSS JOIN k{iters} c
+    FROM {src} v CROSS JOIN k{iters} c
   ) WHERE rn = 1
-)""")
+)"""
+
+    ctes.append(resid_cte("resid", "vq"))
+    if train_limit is not None:
+        ctes.append(resid_cte("tresid", "tvq"))
     for j in range(m):
         lo, hi = j * sub_d + 1, (j + 1) * sub_d
         rsl = f"r.rv[{lo}:{hi}]"
         ctes.append(f"""b0_{j} AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id)-1 AS INT) AS cluster,
          rv[{lo}:{hi}] AS cvec
-  FROM (SELECT vec_id, rv FROM resid ORDER BY vec_id LIMIT {sub_k})
+  FROM (SELECT vec_id, rv FROM {tr} ORDER BY vec_id LIMIT {sub_k})
 )""")
         ctes.append(f"""rdim_{j} AS (
   SELECT vec_id, dim, sl[dim] AS val FROM (
     SELECT vec_id, rv[{lo}:{hi}] AS sl,
-           unnest(generate_series(1, {sub_d})) AS dim FROM resid
+           unnest(generate_series(1, {sub_d})) AS dim FROM {tr}
   )
 )""")
         for it in range(iters):
@@ -6845,7 +6895,7 @@ kd{it} AS (
   SELECT r.vec_id, b.cluster,
     ROW_NUMBER() OVER (PARTITION BY r.vec_id
       ORDER BY {ilq.format(a=rsl, b='b.cvec')} ASC, b.cluster ASC) AS rn
-  FROM resid r CROSS JOIN b{it}_{j} b
+  FROM {tr} r CROSS JOIN b{it}_{j} b
 ), bs{it}_{j} AS (SELECT vec_id, cluster FROM ba{it}_{j} WHERE rn = 1),
 bd{it}_{j} AS (
   SELECT s.cluster, u.dim, CAST(SUM(u.val) AS BIGINT) // COUNT(*) AS cval
@@ -7055,7 +7105,7 @@ def q_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emodb_spark.pipeline.similarity import ivfpq_encode_new
 
     emb = _read(spark, sf_dir, "embeddings")
-    _, cents, books = _ivfpq_gate_index(spark, sf_dir)
+    _, cents, books, _ = _ivfpq_gate_index(spark, sf_dir)
     batch = emb.filter(F.col("vec_id") % 5 == 0)
     return ivfpq_encode_new(batch, cents, books)
 
@@ -7076,6 +7126,7 @@ def q_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_rerank_topk(
         emb, n_cells=8, n_probe=2, m=4, sub_k=16, iters=2, n_queries=8,
         k=10, shortlist=30, index=_ivfpq_gate_index(spark, sf_dir),
+        qrows=_ivfpq_gate_qrows(spark, sf_dir),
     )
 
 
@@ -7118,11 +7169,12 @@ def q_ivfpq_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emodb_spark.pipeline.text import ndcg_eval
 
     emb = _read(spark, sf_dir, "embeddings")
+    qrows = _ivfpq_gate_qrows(spark, sf_dir)
     approx = ivfpq_topk(
         emb, n_cells=8, n_probe=2, m=4, sub_k=16, iters=2, n_queries=8, k=10,
-        index=_ivfpq_gate_index(spark, sf_dir),
+        index=_ivfpq_gate_index(spark, sf_dir), qrows=qrows,
     )
-    truth = exact_quantized_topk(emb, n_queries=8, k=10)
+    truth = exact_quantized_topk(emb, n_queries=8, k=10, qrows=qrows)
     return ndcg_eval(
         approx, truth, k=10, query_col="query_id", id_col="nbr_id"
     )
@@ -7143,11 +7195,12 @@ def q_ivfpq_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emodb_spark.pipeline.text import mrr_eval
 
     emb = _read(spark, sf_dir, "embeddings")
+    qrows = _ivfpq_gate_qrows(spark, sf_dir)
     approx = ivfpq_topk(
         emb, n_cells=8, n_probe=2, m=4, sub_k=16, iters=2, n_queries=8, k=10,
-        index=_ivfpq_gate_index(spark, sf_dir),
+        index=_ivfpq_gate_index(spark, sf_dir), qrows=qrows,
     )
-    truth = exact_quantized_topk(emb, n_queries=8, k=1)
+    truth = exact_quantized_topk(emb, n_queries=8, k=1, qrows=qrows)
     return mrr_eval(
         approx, truth, query_col="query_id", id_col="nbr_id"
     )

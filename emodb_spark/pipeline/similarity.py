@@ -764,12 +764,20 @@ def pq_adc_topk(
     ``dist_q`` is exact int64, so the oracle hash-matches.
 
     Returns (query_id, nbr_id, dist_q, rank<=k), self-matches excluded,
-    ties by nbr_id. Pass a prebuilt ``index=(enc, books_q)`` (the
-    encoded corpus + quantized codebooks) to skip training+encode —
+    ties by nbr_id. Pass a prebuilt ``index=(enc, books_q[, scale])``
+    (the encoded corpus + quantized codebooks) to skip training+encode —
     the build-once/query-per-batch deployment shape; the pq_topk and
-    pq_recall gates share one build this way."""
+    pq_recall gates share one build this way. A 3-tuple's trailing
+    scale OVERRIDES the parameter the same way the codebooks override
+    ``m`` — an index built at a different scale would quantize queries
+    inconsistently and return wrong distances with no error (2-tuples
+    keep the caller's scale; callers constructing those own the scale
+    contract)."""
     if index is not None:
-        enc, books_q = index
+        if len(index) == 3:
+            enc, books_q, scale = index
+        else:
+            enc, books_q = index
     else:
         books_q = _pq_quantize(
             pq_codebooks(embeddings, m, sub_k, iters, id_col, vec_col), scale
@@ -894,6 +902,84 @@ def _int_assign(vq: DataFrame, vec_col: str, cents: list,
     )
 
 
+def _int_assign_topn(vq: DataFrame, vec_col: str, cents: list, n: int,
+                     id_col: str = "id") -> DataFrame:
+    """Top-``n`` nearest centroids per vector — the multi-probe
+    generalization of :func:`_int_assign` (n=1 picks the identical
+    row): same broadcast posexplode equijoin + map-side partial L2,
+    then a row_number window ordered (d2 asc, cluster asc) keeps the n
+    closest cells. Returns (id_col, cell int, prank int 1..n)."""
+    spark = vq.sparkSession
+    crows = [
+        (ci, pi, int(v)) for ci, row in enumerate(cents) for pi, v in enumerate(row)
+    ]
+    cdf = spark.createDataFrame(crows, "cluster int, pos int, cval long")
+    diff = F.col("val") - F.col("cval")
+    d2 = (
+        vq.select(F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "val"))
+        .join(F.broadcast(cdf), "pos")
+        .groupBy(id_col, "cluster")
+        .agg(F.sum(diff * diff).alias("d2"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.asc("d2"), F.asc("cluster"))
+    return (
+        d2.withColumn("prank", F.row_number().over(w))
+        .filter(F.col("prank") <= n)
+        .select(
+            F.col(id_col),
+            F.col("cluster").cast("int").alias("cell"),
+            F.col("prank").cast("int").alias("prank"),
+        )
+    )
+
+
+def _probe_encode(vq: DataFrame, cents: list, books: list,
+                  n_probe: int) -> DataFrame:
+    """Encode each vector in EACH of its ``n_probe`` nearest coarse
+    cells — the residual is taken against THAT cell's centroid, so a
+    code-to-code (SDC) lookup between two vectors matched in the same
+    cell sees residuals relative to the SAME centroid and the centroid
+    cancels exactly (the property that keeps within-cell SDC error
+    code-quantization-only; re-encoding per probed cell is what
+    preserves it across probes, where a shared-residual spelling would
+    reintroduce the centroid difference). prank=1 rows are bit-identical
+    to the primary encode.
+
+    Plan: one multi-probe assignment (broadcast equijoin + window), one
+    broadcast (cell, carr) residual join producing n_probe rows per
+    vector, one (id, cell)-keyed sub-code equijoin. Returns
+    (id, cell, prank, j, code)."""
+    spark = vq.sparkSession
+    sub_d = len(books[0][0])
+    asn = _int_assign_topn(vq, "q", cents, n_probe)
+    carr = spark.createDataFrame(
+        [(ci, [int(v) for v in row]) for ci, row in enumerate(cents)],
+        "cell int, carr array<long>",
+    )
+    resid = (
+        vq.join(asn, "id")
+        .join(F.broadcast(carr), "cell")
+        .select(
+            "id", "cell", "prank",
+            F.zip_with(F.col("q"), F.col("carr"), lambda a, b: a - b).alias("rv"),
+        )
+        .localCheckpoint(eager=True)  # feeds slices AND the prank join
+    )
+    rex = resid.select(
+        "id", "cell", F.posexplode("rv").alias("pos", "val")
+    ).select(
+        "id", "cell",
+        F.call_function("div", F.col("pos"), F.lit(sub_d)).cast("int").alias("j"),
+        F.pmod(F.col("pos"), F.lit(sub_d)).cast("int").alias("sp"),
+        "val",
+    )
+    return (
+        _subcode_assign(rex, books, keys=("id", "cell"))
+        .join(resid.select("id", "cell", "prank"), ["id", "cell"])
+        .select("id", "cell", "prank", "j", "code")
+    )
+
+
 def _int_kmeans(qdf: DataFrame, vec_col: str, k: int, iters: int,
                 id_col: str = "id") -> list:
     """Deterministic Lloyd's k-means over a QUANTIZED (long-array)
@@ -961,10 +1047,14 @@ def _residual_slices(resid: DataFrame, sub_d: int) -> DataFrame:
     )
 
 
-def _subcode_assign(rex: DataFrame, bks: list) -> DataFrame:
-    """(id, j, code) — nearest sub-centroid per (vector, subspace),
+def _subcode_assign(rex: DataFrame, bks: list,
+                    keys: tuple = ("id",)) -> DataFrame:
+    """(*keys, j, code) — nearest sub-centroid per (vector, subspace),
     ties to the lowest code: the same broadcast-equijoin + min-struct
-    shape as :func:`_int_assign`, all m subspaces in one plan."""
+    shape as :func:`_int_assign`, all m subspaces in one plan. ``keys``
+    defaults to the single vector id; the multi-probe paths pass
+    ("id", "cell") so one vector's re-encodings in several probed cells
+    stay distinct rows."""
     spark = rex.sparkSession
     brows = [
         (j, ci, sp, int(v))
@@ -976,14 +1066,28 @@ def _subcode_assign(rex: DataFrame, bks: list) -> DataFrame:
     diff = F.col("val") - F.col("bval")
     d2 = (
         rex.join(F.broadcast(bdf), ["j", "sp"])
-        .groupBy("id", "j", "code")
+        .groupBy(*keys, "j", "code")
         .agg(F.sum(diff * diff).alias("d2"))
     )
     return (
-        d2.groupBy("id", "j")
+        d2.groupBy(*keys, "j")
         .agg(F.min(F.struct(F.col("d2"), F.col("code"))).alias("b"))
-        .select("id", "j", F.col("b.code").cast("int").alias("code"))
+        .select(*keys, "j", F.col("b.code").cast("int").alias("code"))
     )
+
+
+def _unpack_ivfpq_index(index, scale: int):
+    """Normalize a prebuilt ``index=`` tuple to (enc, cents, books,
+    scale). A 4-tuple carries the BUILD-TIME quantization scale, which
+    overrides the caller's parameter exactly the way the codebooks
+    override ``m``: an index built at a different scale would quantize
+    queries inconsistently and return wrong distances with no error.
+    3-tuples (the pre-r10 shape) fall back to the caller's scale —
+    callers constructing those by hand own the scale contract."""
+    if len(index) == 4:
+        return index
+    enc, cents, books = index
+    return enc, cents, books, scale
 
 
 def ivfpq_encode_new(
@@ -1037,23 +1141,50 @@ def ivfpq_index(
     scale: int = PQ_SCALE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_limit: Optional[int] = None,
 ):
     """Build the IVFADC index (the offline half of :func:`ivfpq_topk`,
     exposed separately because a real deployment builds ONCE and
     queries many times): integer coarse k-means over the quantized
     corpus, one pass assigning cells + materializing integer residuals,
     joint-subspace integer Lloyd for the sub-codebooks, and the encode
-    projection. Returns ``(enc, cents, books)`` where ``enc`` is the
-    persistent (id, cell, j, code) DataFrame (the 16-64x compressed
+    projection. Returns ``(enc, cents, books, scale)`` where ``enc`` is
+    the persistent (id, cell, j, code) DataFrame (the 16-64x compressed
     corpus representation — at 100 TB, write THIS to parquet
     partitioned by cell) and cents/books are the driver-side integer
-    codebooks (O(model) lists — persist alongside)."""
+    codebooks (O(model) lists — persist alongside; the trailing scale
+    makes the tuple self-describing so query paths can never quantize
+    at a different scale than the build).
+
+    ``train_limit``: train BOTH quantizers on only the ``train_limit``
+    LOWEST-id vectors — the universal at-scale practice (codebooks
+    converge on a sample; FAISS et al. train on ~1e5-1e6 vectors
+    regardless of corpus size). The sample rule is deterministic (the
+    same flat-init ordering the k-means init already uses), so an
+    external SQL oracle replays it as an ``ORDER BY id LIMIT N`` slice.
+    With it, every Lloyd pass scans O(train_limit); the only
+    full-corpus work left is the single assignment+encode pass — build
+    cost decouples from corpus size. ``None`` trains on the full corpus
+    (bit-identical to the pre-r10 behavior)."""
     spark = embeddings.sparkSession
     vq = embeddings.select(
         F.col(id_col).alias("id"), _quantize_col(F.col(vec_col), scale).alias("q")
     )
-    # coarse quantizer: integer k-means over the quantized corpus
-    cents = _int_kmeans(vq, "q", n_cells, iters)
+    if train_limit is not None:
+        if train_limit < max(n_cells, sub_k):
+            raise ValueError(
+                f"train_limit={train_limit} must cover the flat init "
+                f"(max(n_cells={n_cells}, sub_k={sub_k}))"
+            )
+        # deterministic training sample — checkpointed because every
+        # Lloyd iteration of both quantizers re-reads it
+        tvq = vq.orderBy("id").limit(int(train_limit)).localCheckpoint(
+            eager=True
+        )
+    else:
+        tvq = vq
+    # coarse quantizer: integer k-means over the (sampled) corpus
+    cents = _int_kmeans(tvq, "q", n_cells, iters)
     dim = len(cents[0])
     if dim % m:
         raise ValueError(f"m={m} must divide dim={dim}")
@@ -1063,27 +1194,33 @@ def ivfpq_index(
     # equijoin) + integer residual via a broadcast (cell, carr) join —
     # zip_with here is dim ops per row, not the k*dim*2 HOF scan
     resid = _residual_pass(vq, cents).localCheckpoint(
-        eager=True  # reused: training iters + encode
+        eager=True  # reused: (full-corpus training) + encode
+    )
+    # sub-book training residuals: the sample's own residual pass when
+    # sampling (tvq is tiny and checkpointed, so this is O(sample) —
+    # and encoding is a pure per-vector function, so these rows equal
+    # the full pass's rows for the same ids); the full resid otherwise
+    tresid = (
+        resid
+        if train_limit is None
+        else _residual_pass(tvq, cents).localCheckpoint(eager=True)
     )
 
     # residual slices keyed by (subspace j, in-slice pos sp) — the
     # exploded view every sub-book assignment/update equijoin rides
-    rex = _residual_slices(resid, sub_d)
-
-    def codes_for(bks: list) -> DataFrame:
-        return _subcode_assign(rex, bks)
+    trex = _residual_slices(tresid, sub_d)
 
     # sub-codebooks: joint integer Lloyd on residual slices (one
     # assignment equijoin + one (j, cluster, dim) aggregate per iter)
-    init = resid.orderBy("id").limit(sub_k).select("rv").collect()
+    init = tresid.orderBy("id").limit(sub_k).select("rv").collect()
     books = [
         [[int(x) for x in r[0][j * sub_d:(j + 1) * sub_d]] for r in init]
         for j in range(m)
     ]
     for _ in range(iters):
         sums = (
-            codes_for(books)
-            .join(rex, ["id", "j"])
+            _subcode_assign(trex, books)
+            .join(trex, ["id", "j"])
             .groupBy("j", "code", "sp")
             .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()  # m * sub_k * sub_d rows — the only materialization
@@ -1099,11 +1236,11 @@ def ivfpq_index(
     # (id, cell) comes off the CHECKPOINTED resid, not `asn`, so the
     # coarse assignment never re-runs past the residual pass
     enc = (
-        codes_for(books)
+        _subcode_assign(_residual_slices(resid, sub_d), books)
         .join(resid.select("id", "cell"), "id")
         .select("id", "cell", "j", "code")
     )
-    return enc, cents, books
+    return enc, cents, books, scale
 
 
 def ivfpq_query(
@@ -1192,6 +1329,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index=None,
+    qrows: Optional[list] = None,
 ) -> DataFrame:
     """IVFADC — the composition Jégou/Douze/Schmid 2011 §V ship as the
     actual system: a k-means coarse quantizer (inverted file) splits the
@@ -1227,20 +1365,22 @@ def ivfpq_topk(
     residual-L2, self-matches excluded, ties by nbr_id. Pass a prebuilt
     ``index=(enc, cents, books)`` from :func:`ivfpq_index` to skip the
     build (the deployment shape: build once, query per batch — the
-    recall/MRR gates share one build this way)."""
-    enc, cents, books = (
-        index
-        if index is not None
-        else ivfpq_index(
-            embeddings, n_cells, m, sub_k, iters, scale, id_col, vec_col
-        )
+    recall/MRR gates share one build this way). ``qrows`` short-circuits
+    the query-vector collect with a prebuilt [(id, vector), ...] list —
+    gates composing several evals over one shared index pass it so the
+    corpus filter runs once, not once per gate."""
+    enc, cents, books, scale = _unpack_ivfpq_index(
+        index, scale
+    ) if index is not None else ivfpq_index(
+        embeddings, n_cells, m, sub_k, iters, scale, id_col, vec_col
     )
-    qrows = [
-        (int(r[id_col]), list(r[vec_col]))
-        for r in embeddings.filter(F.col(id_col) < n_queries)
-        .select(id_col, vec_col)
-        .collect()
-    ]
+    if qrows is None:
+        qrows = [
+            (int(r[id_col]), list(r[vec_col]))
+            for r in embeddings.filter(F.col(id_col) < n_queries)
+            .select(id_col, vec_col)
+            .collect()
+        ]
     return ivfpq_query(enc, cents, books, qrows, n_probe, k, scale)
 
 
@@ -1258,6 +1398,7 @@ def ivfpq_rerank_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index=None,
+    qrows: Optional[list] = None,
 ) -> DataFrame:
     """IVFADC + re-ranking (Jégou/Tavenard/Douze/Amsaleg 2011,
     "Searching in one billion vectors: re-rank with source coding" —
@@ -1278,18 +1419,31 @@ def ivfpq_rerank_topk(
 
     Returns (query_id, nbr_id, dist_exact, rank<=k) in exact
     quantized-L2, ties by nbr_id."""
+    import math
+
+    if index is not None:
+        _, _, _, scale = _unpack_ivfpq_index(index, scale)
     short = ivfpq_topk(
         embeddings, n_cells, n_probe, m, sub_k, iters, n_queries,
-        shortlist, scale, id_col, vec_col, index=index,
+        shortlist, scale, id_col, vec_col, index=index, qrows=qrows,
     ).select("query_id", "nbr_id")
     vq = embeddings.select(
         F.col(id_col).alias("nbr_id"),
         _quantize_col(F.col(vec_col), scale).alias("cv"),
     )
-    qv = embeddings.select(
-        F.col(id_col).alias("query_id"),
-        _quantize_col(F.col(vec_col), scale).alias("qv"),
-    ).filter(F.col("query_id") < n_queries)
+    if qrows is not None:
+        qv = embeddings.sparkSession.createDataFrame(
+            [
+                (int(i), [int(math.floor(float(x) * scale)) for x in v])
+                for i, v in qrows
+            ],
+            "query_id long, qv array<long>",
+        )
+    else:
+        qv = embeddings.select(
+            F.col(id_col).alias("query_id"),
+            _quantize_col(F.col(vec_col), scale).alias("qv"),
+        ).filter(F.col("query_id") < n_queries)
     w = Window.partitionBy("query_id").orderBy(
         F.asc("dist_exact"), F.asc("nbr_id")
     )
@@ -1311,6 +1465,28 @@ def ivfpq_rerank_topk(
     )
 
 
+def _sdc_lut_df(spark: SparkSession, books: list) -> DataFrame:
+    """The m * sub_k^2 code-to-code integer distance table
+    (j, ca, cb, d) every SDC consumer broadcasts — one exact int64
+    numpy einsum over the integer codebooks (symmetric in ca/cb)."""
+    import numpy as np
+    import pandas as pd
+
+    books_np = np.asarray(books, dtype=np.int64)  # (m, sub_k, sub_d)
+    diff = books_np[:, :, None, :] - books_np[:, None, :, :]
+    d_tab = np.einsum("mabd,mabd->mab", diff, diff)  # exact int64
+    mm, sk = d_tab.shape[0], d_tab.shape[1]
+    return spark.createDataFrame(
+        pd.DataFrame({
+            "j": np.repeat(np.arange(mm, dtype=np.int32), sk * sk),
+            "ca": np.tile(np.repeat(np.arange(sk, dtype=np.int32), sk), mm),
+            "cb": np.tile(np.arange(sk, dtype=np.int32), mm * sk),
+            "d": d_tab.reshape(-1),
+        }),
+        "j int, ca int, cb int, d long",
+    )
+
+
 def sdc_near_dups(
     embeddings: Optional[DataFrame],
     threshold: int,
@@ -1322,6 +1498,7 @@ def sdc_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index=None,
+    n_probe: int = 1,
 ) -> DataFrame:
     """Semantic near-dup pairs by Symmetric Distance Computation over
     the IVFADC index (Jégou/Douze/Schmid 2011 §III.B: when BOTH sides
@@ -1350,47 +1527,170 @@ def sdc_near_dups(
     (grow n_cells with the corpus; see SCALE.md's IVFADC probe) — then
     one broadcast LUT equijoin on (j, ca, cb) and a map-side partial
     SUM per pair. With a prebuilt ``index=``, ``embeddings`` may be
-    None — the pair path touches only the code table. Returns
-    (id_a, id_b, dist_q) with dist_q <= ``threshold`` in quantized
-    squared-L2 units (scale^2 per unit distance)."""
-    import numpy as np
-    import pandas as pd
+    None — the n_probe=1 pair path touches only the code table.
 
-    enc, cents, books = (
-        index
-        if index is not None
-        else ivfpq_index(
-            embeddings, n_cells, m, sub_k, iters, scale, id_col, vec_col
-        )
+    ``n_probe > 1`` is the MULTI-PROBE recall mitigation for the
+    same-cell candidate rule's one caveat (near-pairs straddling a
+    Voronoi boundary are lost — the MinHash multi-band analogue): one
+    side of the join additionally carries each vector RE-ENCODED in its
+    2nd..n_probe-th nearest cells (:func:`_probe_encode` — re-encoding
+    per probed cell keeps the matched pair's residuals relative to the
+    SAME centroid, so the centroid still cancels and SDC error stays
+    code-quantization-only). A pair is a candidate when either side's
+    primary cell is in the other's probe set; a pair matched in both
+    directions takes the MIN approximate distance (deterministic).
+    Candidates grow ~n_probe-fold — the measured recall-vs-cost knob.
+    Requires ``embeddings`` (the probe side re-encodes from vectors).
+
+    Returns (id_a, id_b, dist_q) with dist_q <= ``threshold`` in
+    quantized squared-L2 units (scale^2 per unit distance)."""
+    if embeddings is None and index is None:
+        raise ValueError("sdc_near_dups: embeddings required when index is None")
+    enc, cents, books, scale = _unpack_ivfpq_index(
+        index, scale
+    ) if index is not None else ivfpq_index(
+        embeddings, n_cells, m, sub_k, iters, scale, id_col, vec_col
     )
     spark = enc.sparkSession
-    books_np = np.asarray(books, dtype=np.int64)  # (m, sub_k, sub_d)
-    diff = books_np[:, :, None, :] - books_np[:, None, :, :]
-    d_tab = np.einsum("mabd,mabd->mab", diff, diff)  # exact int64
-    mm, sk = d_tab.shape[0], d_tab.shape[1]
-    lut_df = spark.createDataFrame(
-        pd.DataFrame({
-            "j": np.repeat(np.arange(mm, dtype=np.int32), sk * sk),
-            "ca": np.tile(np.repeat(np.arange(sk, dtype=np.int32), sk), mm),
-            "cb": np.tile(np.arange(sk, dtype=np.int32), mm * sk),
-            "d": d_tab.reshape(-1),
-        }),
-        "j int, ca int, cb int, d long",
+    lut_df = _sdc_lut_df(spark, books)
+    if n_probe <= 1:
+        a = enc.select(
+            F.col("id").alias("id_a"), "cell", "j", F.col("code").alias("ca")
+        )
+        b = enc.select(
+            F.col("id").alias("id_b"), "cell", "j", F.col("code").alias("cb")
+        )
+        return (
+            a.join(b, ["cell", "j"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .join(F.broadcast(lut_df), ["j", "ca", "cb"])
+            .groupBy("id_a", "id_b")
+            .agg(F.sum("d").alias("dist_q"))
+            .filter(F.col("dist_q") <= F.lit(int(threshold)))
+            .select("id_a", "id_b", F.col("dist_q").cast("long").alias("dist_q"))
+        )
+    if embeddings is None:
+        raise ValueError(
+            "sdc_near_dups: embeddings required when n_probe > 1 "
+            "(the probe side re-encodes vectors in their 2nd.. cells)"
+        )
+    vq = embeddings.select(
+        F.col(id_col).alias("id"), _quantize_col(F.col(vec_col), scale).alias("q")
     )
+    penc = _probe_encode(vq, cents, books, n_probe)
     a = enc.select(
         F.col("id").alias("id_a"), "cell", "j", F.col("code").alias("ca")
     )
-    b = enc.select(
+    b = penc.select(
         F.col("id").alias("id_b"), "cell", "j", F.col("code").alias("cb")
     )
-    return (
+    # ordered match: one primary-side cell per id_a, distinct probe
+    # cells per id_b => at most ONE matching cell per ordered pair, so
+    # the (id_a, id_b) SUM is exactly the m LUT hits of that match;
+    # the unordered pair then takes the MIN over its <=2 directions
+    ordered = (
         a.join(b, ["cell", "j"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("id_a") != F.col("id_b"))
         .join(F.broadcast(lut_df), ["j", "ca", "cb"])
         .groupBy("id_a", "id_b")
-        .agg(F.sum("d").alias("dist_q"))
+        .agg(F.sum("d").alias("dd"))
+    )
+    return (
+        ordered.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "dd",
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.min("dd").alias("dist_q"))
         .filter(F.col("dist_q") <= F.lit(int(threshold)))
         .select("id_a", "id_b", F.col("dist_q").cast("long").alias("dist_q"))
+    )
+
+
+def ivfpq_knn_join(
+    embeddings: Optional[DataFrame],
+    queries: Optional[DataFrame] = None,
+    k: int = 10,
+    n_probe: int = 2,
+    n_cells: int = 8,
+    m: int = 4,
+    sub_k: int = 16,
+    iters: int = 2,
+    scale: int = PQ_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index=None,
+) -> DataFrame:
+    """DataFrame-native compressed kNN JOIN — the query-batch path
+    :func:`ivfpq_query` cannot serve: that API takes a driver-side
+    ``qrows`` list (fine to ~100k queries), but a corpus-vs-corpus kNN
+    join or a query set too large to collect needs both sides to stay
+    DataFrames. This is the SDC spelling of that join (Jégou 2011
+    §III.B): the query side is encoded against the FROZEN codebooks in
+    each of its ``n_probe`` nearest cells (:func:`_probe_encode` — the
+    re-encode keeps matched residuals relative to the same centroid),
+    candidates come from the (cell, j) equijoin against the corpus code
+    table, the distance is the broadcast m*sub_k^2 code-to-code LUT
+    summed per pair, and the final top-k is one row_number window per
+    query (map-side WindowGroupLimit).
+
+    Nothing collects to the driver: per-query cost is O(probed codes),
+    the same provisioning law as :func:`ivfpq_query`, and the plan is
+    equijoin-only. Distances are symmetric-SDC (both sides compressed),
+    one quantization-error step coarser than ADC — the documented trade
+    for a fully distributed query side; re-rank survivors with
+    :func:`ivfpq_rerank_topk`'s verify join where exactness matters.
+
+    ``queries=None`` means self-join (corpus vs corpus — every vector
+    retrieves its k nearest co-corpus members; self-matches excluded by
+    id). Returns (query_id, nbr_id, dist_q, rank<=k), ties by nbr_id;
+    everything after the 2^20 quantize is exact int64, so an external
+    SQL oracle replays build + probe-encode + join bit-for-bit."""
+    if embeddings is None and (index is None or queries is None):
+        raise ValueError(
+            "ivfpq_knn_join: embeddings required unless both index= and "
+            "queries= are supplied"
+        )
+    enc, cents, books, scale = _unpack_ivfpq_index(
+        index, scale
+    ) if index is not None else ivfpq_index(
+        embeddings, n_cells, m, sub_k, iters, scale, id_col, vec_col
+    )
+    qside = queries if queries is not None else embeddings
+    qvq = qside.select(
+        F.col(id_col).alias("id"), _quantize_col(F.col(vec_col), scale).alias("q")
+    )
+    penc = _probe_encode(qvq, cents, books, n_probe)
+    lut_df = _sdc_lut_df(enc.sparkSession, books)
+    scored = (
+        penc.select(
+            F.col("id").alias("query_id"), "cell", "j", F.col("code").alias("ca")
+        )
+        .join(
+            enc.select(
+                F.col("id").alias("nbr_id"), "cell", "j",
+                F.col("code").alias("cb"),
+            ),
+            ["cell", "j"],
+        )
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .join(F.broadcast(lut_df), ["j", "ca", "cb"])
+        # distinct probe cells per query + one primary cell per corpus
+        # vector => at most one matching cell per (query, nbr), so this
+        # SUM is exactly the m LUT hits of that match
+        .groupBy("query_id", "nbr_id")
+        .agg(F.sum("d").alias("dist_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist_q"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "nbr_id",
+            F.col("dist_q").cast("long").alias("dist_q"),
+            F.col("rank").cast("int").alias("rank"),
+        )
     )
 
 
@@ -1401,13 +1701,16 @@ def exact_quantized_topk(
     scale: int = PQ_SCALE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    qrows: Optional[list] = None,
 ) -> DataFrame:
     """Exact top-k in the quantized-L2 metric (full vectors, integer
     distances) — the ground-truth baseline the PQ/IVFADC recall and MRR
     gates certify against. Deliberately the allowlisted O(#queries)
     eval idiom: the n_queries quantized query vectors broadcast over
-    one corpus scan; never a production plan. Returns
-    (query_id, nbr_id, rank), self-matches excluded, ties by nbr_id."""
+    one corpus scan; never a production plan. ``qrows`` short-circuits
+    the query collect with a prebuilt [(id, vector), ...] list (shared
+    across composed eval gates). Returns (query_id, nbr_id, rank),
+    self-matches excluded, ties by nbr_id."""
     import math
 
     spark = embeddings.sparkSession
@@ -1415,16 +1718,17 @@ def exact_quantized_topk(
         F.col(id_col).alias("nbr_id"),
         _quantize_col(F.col(vec_col), scale).alias("cv"),
     )
-    qrows = (
-        embeddings.filter(F.col(id_col) < n_queries)
-        .select(id_col, vec_col)
-        .collect()
-    )
+    if qrows is None:
+        qrows = [
+            (r[id_col], r[vec_col])
+            for r in embeddings.filter(F.col(id_col) < n_queries)
+            .select(id_col, vec_col)
+            .collect()
+        ]
     q_df = spark.createDataFrame(
         [
-            (int(r[id_col]),
-             [int(math.floor(float(x) * scale)) for x in r[vec_col]])
-            for r in qrows
+            (int(i), [int(math.floor(float(x) * scale)) for x in v])
+            for i, v in qrows
         ],
         "query_id long, qv array<long>",
     )
@@ -1480,6 +1784,7 @@ def ivfpq_recall(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index=None,
+    qrows: Optional[list] = None,
 ) -> DataFrame:
     """recall@k of :func:`ivfpq_topk` against the EXACT top-k in the
     same quantized-L2 metric (full vectors, no compression) — the
@@ -1492,12 +1797,14 @@ def ivfpq_recall(
     query vectors over the corpus (the allowlisted O(#queries) eval
     idiom — never a production plan); the approximate side is the
     probed-cells ADC equijoin. Returns (query_id, hits, recall_ppm)."""
+    if index is not None:
+        _, _, _, scale = _unpack_ivfpq_index(index, scale)
     approx = ivfpq_topk(
         embeddings, n_cells, n_probe, m, sub_k, iters, n_queries, k,
-        scale, id_col, vec_col, index=index,
+        scale, id_col, vec_col, index=index, qrows=qrows,
     )
     exact = exact_quantized_topk(
-        embeddings, n_queries, k, scale, id_col, vec_col
+        embeddings, n_queries, k, scale, id_col, vec_col, qrows=qrows
     ).select("query_id", "nbr_id")
     return _recall_gate(exact, approx, k)
 
@@ -1526,6 +1833,8 @@ def pq_recall(
     idiom); the approximate side is :func:`pq_adc_topk`'s code-table
     equijoin; recall is a left-semi-sized join of two k-row-per-query
     frames. Returns (query_id, hits, recall_ppm)."""
+    if index is not None and len(index) == 3:
+        scale = index[2]  # build-time scale overrides (see pq_adc_topk)
     approx = pq_adc_topk(
         embeddings, m, sub_k, iters, n_queries, k, scale, id_col, vec_col,
         index=index,

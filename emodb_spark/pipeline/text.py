@@ -858,13 +858,14 @@ def bm25_topk(
     map-side WindowGroupLimit below the exchange. Ties break by doc id.
 
     Overflow note for the very large: the saturation numerator
-    ``scale*44*tf*total`` must fit int64 — at corpora approaching ~1e11
-    tokens lower ``scale`` (ppm precision is overkill for ranking) or
-    score per shard. The bound is ENFORCED: a row whose numerator would
-    wrap raises (``raise_error``) instead of silently returning a
-    wrapped score that a HUGEINT oracle would quietly diverge from —
-    the check is one extra long comparison per matched occurrence,
-    inside codegen.
+    ``scale*44*tf*total`` and every denominator term (including the
+    numerator-independent ``18*dl*n_docs``) must fit int64 — at corpora
+    approaching ~1e11 tokens lower ``scale`` (ppm precision is overkill
+    for ranking) or score per shard. The bounds are ENFORCED on both
+    sides of the division: a row that would wrap raises
+    (``raise_error``) instead of silently returning a wrapped score
+    that a HUGEINT oracle would quietly diverge from — a handful of
+    long comparisons per matched occurrence, inside codegen.
 
     ``exact=False`` switches the IDF to the textbook log form
     ``ln((N-df+0.5)/(df+0.5)+1)`` (Robertson's floor-at-zero variant)
@@ -945,21 +946,37 @@ def _bm25_from(
     # fail-loud overflow guard: Spark (non-ANSI) silently WRAPS int64
     # multiplication, so a corpus past the documented ~1e11-token bound
     # would return corrupted scores while a HUGEINT oracle diverges
-    # silently. tf <= (int64_max div (44*scale)) div total <=> the
-    # numerator fits; one long comparison per matched occurrence,
-    # inside codegen
-    max_tf = idiv(idiv(F.lit((1 << 63) - 1), s * 44), F.col("total"))
+    # silently. Guarded on BOTH sides of the division: the numerator
+    # (tf <= (int64_max div (44*scale)) div total) AND every denominator
+    # term — each term is bounded by int64_max div 3, so their sum fits
+    # without a wider intermediate (the denominator's 18*dl*n_docs term
+    # is independent of the numerator bound and could wrap alone, e.g.
+    # one very long document in a ~1e11-document corpus). A handful of
+    # long comparisons per matched occurrence, inside codegen.
+    i64 = (1 << 63) - 1
+    third = i64 // 3
+    max_tf_num = idiv(idiv(F.lit(i64), s * 44), F.col("total"))
+    max_tf_den = idiv(F.lit(third // 20), F.col("total"))
+    max_dl_den = idiv(F.lit(third // 18), F.col("n_docs"))
+    fits = (
+        (F.col("tf") <= max_tf_num)
+        & (F.col("tf") <= max_tf_den)
+        & (F.col("dl") <= max_dl_den)
+        & (F.col("total") <= F.lit(third // 6))
+    )
     guarded_num = F.when(
-        F.col("tf") <= max_tf, s * 44 * F.col("tf") * F.col("total")
+        fits, s * 44 * F.col("tf") * F.col("total")
     ).otherwise(
         F.raise_error(
             F.format_string(
-                "bm25_topk: saturation numerator scale*44*tf*total "
-                "overflows int64 (tf=%s, total=%s, scale="
+                "bm25_topk: scaled saturation term overflows int64 "
+                "(tf=%s, dl=%s, total=%s, n_docs=%s, scale="
                 + str(int(scale))
                 + ") — lower `scale` or score per shard",
                 F.col("tf"),
+                F.col("dl"),
                 F.col("total"),
+                F.col("n_docs"),
             )
         ).cast("long")
     )

@@ -2677,7 +2677,7 @@ def test_sdc_near_dups_python_replay(spark):
         [(i, v) for i, v in enumerate(base)], "vec_id long, embedding array<float>"
     )
     n_cells, m, sub_k, iters = 3, 2, 4, 2
-    enc, cents, books = ivfpq_index(
+    enc, cents, books, _scale = ivfpq_index(
         df, n_cells=n_cells, m=m, sub_k=sub_k, iters=iters
     )
     got = {
@@ -2790,7 +2790,7 @@ def test_ivfpq_encode_new_matches_rebuild(spark):
     df = spark.createDataFrame(
         [(i, v) for i, v in enumerate(base)], "vec_id long, embedding array<float>"
     )
-    enc, cents, books = ivfpq_index(df, n_cells=3, m=2, sub_k=4, iters=2)
+    enc, cents, books, _ = ivfpq_index(df, n_cells=3, m=2, sub_k=4, iters=2)
     want = {
         (r["id"], r["j"]): (r["cell"], r["code"])
         for r in enc.collect() if r["id"] % 5 == 0
@@ -2802,3 +2802,206 @@ def test_ivfpq_encode_new_matches_rebuild(spark):
         ).collect()
     }
     assert got == want and len(got) == 2 * 4  # 4 ids x m=2 subspaces
+
+
+def test_ivfpq_index_train_limit(spark):
+    """ivfpq_index(train_limit=N): (a) a limit covering the whole
+    corpus is bit-identical to no limit; (b) a genuine sample still
+    encodes EVERY corpus vector (training scans shrink, the encode pass
+    doesn't) and its rows equal ivfpq_encode_new against the same
+    frozen codebooks (encoding stays a pure per-vector function);
+    (c) a limit smaller than the flat init fails loudly."""
+    import random
+
+    import pytest
+
+    from emodb_spark.pipeline.similarity import ivfpq_encode_new, ivfpq_index
+
+    rng = random.Random(57)
+    base = [[rng.uniform(-0.5, 0.5) for _ in range(8)] for _ in range(24)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "vec_id long, embedding array<float>"
+    )
+    full = ivfpq_index(df, n_cells=3, m=2, sub_k=4, iters=2)
+    capped = ivfpq_index(df, n_cells=3, m=2, sub_k=4, iters=2, train_limit=24)
+    assert capped[1] == full[1] and capped[2] == full[2]
+    assert sorted(map(tuple, capped[0].collect())) == sorted(
+        map(tuple, full[0].collect())
+    )
+
+    enc, cents, books, _ = ivfpq_index(
+        df, n_cells=3, m=2, sub_k=4, iters=2, train_limit=8
+    )
+    rows = enc.collect()
+    assert {r["id"] for r in rows} == set(range(24))  # everyone encoded
+    want = {(r["id"], r["j"]): (r["cell"], r["code"]) for r in rows}
+    got = {
+        (r["id"], r["j"]): (r["cell"], r["code"])
+        for r in ivfpq_encode_new(df, cents, books).collect()
+    }
+    assert got == want
+
+    with pytest.raises(ValueError, match="train_limit"):
+        ivfpq_index(df, n_cells=3, m=2, sub_k=4, iters=2, train_limit=2)
+
+
+def test_probe_encode_prank1_matches_enc(spark):
+    """_probe_encode: the prank=1 rows re-derive each vector's PRIMARY
+    encode, so they must be bit-identical to the index's enc rows — the
+    identity that makes multi-probe SDC's n_probe=1 degenerate to the
+    plain same-cell path."""
+    import random
+
+    from emodb_spark.pipeline.similarity import (
+        _probe_encode,
+        _quantize_col,
+        ivfpq_index,
+    )
+
+    rng = random.Random(71)
+    base = [[rng.uniform(-0.5, 0.5) for _ in range(8)] for _ in range(20)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "vec_id long, embedding array<float>"
+    )
+    enc, cents, books, scale = ivfpq_index(df, n_cells=4, m=2, sub_k=4, iters=2)
+    vq = df.select(
+        F.col("vec_id").alias("id"),
+        _quantize_col(F.col("embedding"), scale).alias("q"),
+    )
+    penc = _probe_encode(vq, cents, books, n_probe=2)
+    p1 = {
+        (r["id"], r["j"]): (r["cell"], r["code"])
+        for r in penc.collect() if r["prank"] == 1
+    }
+    want = {(r["id"], r["j"]): (r["cell"], r["code"]) for r in enc.collect()}
+    assert p1 == want
+    # prank=2 rows exist for every vector and name a DIFFERENT cell
+    p2_cells = {
+        r["id"]: r["cell"] for r in penc.collect() if r["prank"] == 2
+    }
+    assert set(p2_cells) == set(range(20))
+    assert all(p2_cells[i] != want[(i, 0)][0] for i in range(20))
+
+
+def test_sdc_near_dups_multiprobe_superset(spark):
+    """sdc_near_dups(n_probe=2): every n_probe=1 pair must survive with
+    the IDENTICAL distance (same-cell residuals still cancel their
+    shared centroid; the second probe can only ADD boundary-straddling
+    candidates, never change a same-cell distance)."""
+    import random
+
+    from emodb_spark.pipeline.similarity import ivfpq_index, sdc_near_dups
+
+    rng = random.Random(93)
+    base = [[rng.uniform(-0.5, 0.5) for _ in range(8)] for _ in range(30)]
+    base.append(list(base[7]))  # planted dup -> distance 0 pair
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "vec_id long, embedding array<float>"
+    )
+    idx = ivfpq_index(df, n_cells=4, m=2, sub_k=4, iters=2)
+    thr = 1 << 62
+    one = {
+        (r["id_a"], r["id_b"]): r["dist_q"]
+        for r in sdc_near_dups(df, threshold=thr, index=idx).collect()
+    }
+    two = {
+        (r["id_a"], r["id_b"]): r["dist_q"]
+        for r in sdc_near_dups(df, threshold=thr, index=idx, n_probe=2).collect()
+    }
+    assert set(one) <= set(two)
+    assert all(two[p] == d for p, d in one.items())
+    assert len(two) > len(one)  # boundary pairs actually appear
+    assert two[(7, 30)] == 0    # planted dup survives at distance 0
+
+
+def test_sdc_near_dups_requires_inputs(spark):
+    """sdc_near_dups fails loudly (not with an opaque AttributeError)
+    when neither embeddings nor a prebuilt index is supplied, and when
+    multi-probe is asked for without the vectors it must re-encode."""
+    import random
+
+    import pytest
+
+    from emodb_spark.pipeline.similarity import ivfpq_index, sdc_near_dups
+
+    with pytest.raises(ValueError, match="embeddings required"):
+        sdc_near_dups(None, threshold=1)
+
+    rng = random.Random(11)
+    df = spark.createDataFrame(
+        [(i, [rng.uniform(-0.5, 0.5) for _ in range(8)]) for i in range(16)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = ivfpq_index(df, n_cells=2, m=2, sub_k=4, iters=1)
+    with pytest.raises(ValueError, match="n_probe"):
+        sdc_near_dups(None, threshold=1, index=idx, n_probe=2)
+
+
+def test_ivfpq_knn_join_python_replay(spark):
+    """ivfpq_knn_join with n_probe=n_cells (probe everything) must
+    equal a pure-python SDC ranking over ALL pairs: for each query, the
+    query's code in the NEIGHBOR's primary cell (residual vs that
+    cell's centroid) scores against the neighbor's stored code via the
+    code-to-code LUT — exactly what the distributed probe-encode +
+    (cell, j) equijoin computes. Ties by nbr_id; self excluded."""
+    import random
+
+    from emodb_spark.pipeline.similarity import ivfpq_index, ivfpq_knn_join
+
+    rng = random.Random(29)
+    n, dim, n_cells, m, sub_k = 22, 8, 3, 2, 4
+    scale = 1 << 20
+    base = [[rng.uniform(-0.5, 0.5) for _ in range(dim)] for _ in range(n)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "vec_id long, embedding array<float>"
+    )
+    idx = ivfpq_index(df, n_cells=n_cells, m=m, sub_k=sub_k, iters=2)
+    enc, cents, books, _ = idx
+    k = 5
+    got = {
+        (r["query_id"], r["rank"]): (r["nbr_id"], r["dist_q"])
+        for r in ivfpq_knn_join(df, k=k, n_probe=n_cells, index=idx).collect()
+    }
+
+    # python replay from the index artifacts
+    import math
+
+    sub_d = dim // m
+    qv = [[int(math.floor(float(x) * scale)) for x in v] for v in base]
+    enc_rows = enc.collect()
+    cell_of, code_of = {}, {}
+    for r in enc_rows:
+        cell_of[r["id"]] = r["cell"]
+        code_of.setdefault(r["id"], {})[r["j"]] = r["code"]
+
+    def sub_code(vec, cell, j):
+        res = [vec[p] - cents[cell][p] for p in range(dim)]
+        sl = res[j * sub_d:(j + 1) * sub_d]
+        best = min(
+            range(sub_k),
+            key=lambda c: (
+                sum((sl[p] - books[j][c][p]) ** 2 for p in range(sub_d)), c
+            ),
+        )
+        return best
+
+    want = {}
+    for qid in range(n):
+        scoredq = []
+        for nid in range(n):
+            if nid == qid:
+                continue
+            c = cell_of[nid]
+            d = sum(
+                sum(
+                    (books[j][sub_code(qv[qid], c, j)][p]
+                     - books[j][code_of[nid][j]][p]) ** 2
+                    for p in range(sub_d)
+                )
+                for j in range(m)
+            )
+            scoredq.append((d, nid))
+        scoredq.sort()
+        for rank, (d, nid) in enumerate(scoredq[:k], 1):
+            want[(qid, rank)] = (nid, d)
+    assert got == want

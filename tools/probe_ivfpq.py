@@ -51,7 +51,7 @@ def main() -> int:
         emb = spark.read.parquet(path)
         n_corpus = emb.count()
         t0 = time.time()
-        enc, cents, books = ivfpq_index(emb, n_cells=n_cells)
+        enc, cents, books, _ = ivfpq_index(emb, n_cells=n_cells)
         enc = enc.localCheckpoint(eager=True)  # the persisted index
         build_s = round(time.time() - t0, 2)
         qrows = [
