@@ -57,6 +57,9 @@ BENCH_QUERIES = [
     "sdc_near_dups",         # symmetric-distance near-dup pairs (codes only)
     "ivfpq_rerank",          # ADC shortlist re-ranked on exact distances
     "ivfpq_append",          # new arrivals encoded against frozen codebooks
+    "ivfpq_sample_train",    # codebooks trained on the lowest-256-id sample
+    "ivfpq_knn_join",        # DataFrame-native compressed kNN (SDC equijoin)
+    "sdc_multiprobe",        # 2nd-nearest-cell probe pairs (boundary recall)
     # analytics
     "pricing_summary",
     "revenue_by_nation",
