@@ -6805,7 +6805,8 @@ def _oracle_ivfpq(n_cells: int = 8, n_probe: int = 2, m: int = 4,
                   with_recall: bool = False, with_mrr: bool = False,
                   with_ndcg: bool = False, sdc_threshold=None,
                   rerank_k=None, append_mod=None, train_limit=None,
-                  sdc_probe: int = 1, knn=None) -> str:
+                  sdc_probe: int = 1, knn=None,
+                  sdc_verify_slack=None) -> str:
     """Replays ivfpq_topk end-to-end in DuckDB. Integer throughout:
     after vq = floor(double(v)*scale), coarse k-means, residuals,
     sub-codebook k-means, encode and ADC are all int64 — the centroid
@@ -7008,36 +7009,57 @@ SELECT query_id, nbr_id, dist_q, CAST(rank AS INT) AS rank FROM (
         # is `is not None`, and SDC is exclusive of the eval tails)
         if with_recall or with_mrr or with_ndcg:
             raise ValueError("sdc_threshold is exclusive of the eval tails")
+        # candidate threshold: the slacked one when a verify tail
+        # follows (candidates over-generate, exactly like MinHash bands
+        # before the Jaccard verify)
+        cand_thr = (
+            sdc_threshold * sdc_verify_slack
+            if sdc_verify_slack is not None else sdc_threshold
+        )
         if sdc_probe > 1:
             # multi-probe: one side re-encoded in its sdc_probe nearest
             # cells; a pair matched in both directions takes MIN(dd)
-            return prefix + f""", {sdl_cte()},
+            body = f""", {sdl_cte()},
 {qenc_ctes(sdc_probe, '')}, ordered AS (
   SELECT a.vec_id AS id_a, p.vec_id AS id_b, CAST(SUM(l.d) AS BIGINT) AS dd
   FROM enc a
   JOIN qenc p ON a.cell = p.cell AND a.j = p.j AND a.vec_id <> p.vec_id
   JOIN sdl l ON l.j = a.j AND l.ca = a.code AND l.cb = p.code
   GROUP BY 1, 2
-), mp AS (
-  SELECT LEAST(id_a, id_b) AS pa, GREATEST(id_a, id_b) AS pb,
-         MIN(dd) AS dist_q
-  FROM ordered GROUP BY 1, 2
-)
-SELECT pa AS id_a, pb AS id_b, CAST(dist_q AS BIGINT) AS dist_q
-FROM mp WHERE dist_q <= {sdc_threshold}
-"""
-        # symmetric distance computation: pair candidates from the
-        # same-cell self-join of enc, distance = SUM of LUT hits
-        return prefix + f""", {sdl_cte()}, sp AS (
+), sdpairs AS (
+  SELECT pa AS id_a, pb AS id_b, CAST(dist_q AS BIGINT) AS dist_q FROM (
+    SELECT LEAST(id_a, id_b) AS pa, GREATEST(id_a, id_b) AS pb,
+           MIN(dd) AS dist_q
+    FROM ordered GROUP BY 1, 2
+  ) WHERE dist_q <= {cand_thr}
+)"""
+        else:
+            # symmetric distance computation: pair candidates from the
+            # same-cell self-join of enc, distance = SUM of LUT hits
+            body = f""", {sdl_cte()}, sp AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.j, a.code AS ca, b.code AS cb
   FROM enc a JOIN enc b ON a.cell = b.cell AND a.j = b.j
   WHERE a.vec_id < b.vec_id
-), summed AS (
-  SELECT id_a, id_b, CAST(SUM(l.d) AS BIGINT) AS dist_q
-  FROM sp s JOIN sdl l ON s.j = l.j AND s.ca = l.ca AND s.cb = l.cb
-  GROUP BY 1, 2
+), sdpairs AS (
+  SELECT id_a, id_b, dist_q FROM (
+    SELECT id_a, id_b, CAST(SUM(l.d) AS BIGINT) AS dist_q
+    FROM sp s JOIN sdl l ON s.j = l.j AND s.ca = l.ca AND s.cb = l.cb
+    GROUP BY 1, 2
+  ) WHERE dist_q <= {cand_thr}
+)"""
+        if sdc_verify_slack is None:
+            return prefix + body + "\nSELECT id_a, id_b, dist_q FROM sdpairs\n"
+        # candidate-then-verify: exact quantized-L2 on candidate pairs
+        # only, final filter at the TRUE threshold
+        return prefix + body + f""", ver AS (
+  SELECT c.id_a, c.id_b,
+    {ilq.format(a='a.q', b='b.q')} AS dist_exact
+  FROM sdpairs c
+  JOIN vq a ON a.vec_id = c.id_a
+  JOIN vq b ON b.vec_id = c.id_b
 )
-SELECT id_a, id_b, dist_q FROM summed WHERE dist_q <= {sdc_threshold}
+SELECT id_a, id_b, CAST(dist_exact AS BIGINT) AS dist_exact
+FROM ver WHERE dist_exact <= {sdc_threshold}
 """
     if append_mod is not None:
         # frozen-codebook encoding is a pure per-vector function, so
@@ -7154,6 +7176,12 @@ ORACLE_IVFPQ_NDCG = _oracle_ivfpq(with_ndcg=True)
 SDC_THRESHOLD = 180_000_000_000  # ~0.16 unit-vector SQUARED L2 at scale 2^20
 ORACLE_SDC_NEAR_DUPS = _oracle_ivfpq(sdc_threshold=SDC_THRESHOLD)
 ORACLE_SDC_MULTIPROBE = _oracle_ivfpq(sdc_threshold=SDC_THRESHOLD, sdc_probe=2)
+# verified pairs rank on EXACT distances, which sit well above the SDC
+# estimates (matching codes snap to 0) — the verify gate needs its own
+# threshold in exact-distance units (~1.1x the sf0.01 minimum pair)
+SDC_VERIFY_THRESHOLD = 1_250_000_000_000
+ORACLE_SDC_VERIFIED = _oracle_ivfpq(
+    sdc_threshold=SDC_VERIFY_THRESHOLD, sdc_probe=2, sdc_verify_slack=2)
 ORACLE_IVFPQ_SAMPLE_TRAIN = _oracle_ivfpq(train_limit=256)
 ORACLE_IVFPQ_KNN_JOIN = _oracle_ivfpq(knn=(24, 5, 2))
 ORACLE_IVFPQ_RERANK = _oracle_ivfpq(k=30, rerank_k=10)
@@ -7285,6 +7313,26 @@ def q_sdc_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     return sdc_near_dups(
         emb, threshold=SDC_THRESHOLD, n_probe=2,
+        index=_ivfpq_gate_index(spark, sf_dir),
+    )
+
+
+def q_sdc_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CANDIDATE-THEN-VERIFY semantic dedup (emodb_spark.pipeline.
+    similarity.sdc_verified_near_dups): multi-probe SDC proposes pairs
+    at a 2x-slacked threshold (absorbing code-quantization error the
+    way MinHash bands over-generate before the Jaccard verify), then
+    ONLY those pair rows join back to the quantized vectors for the
+    EXACT integer distance and the final filter runs at the true
+    threshold — exact distances for O(candidates) rows, never a corpus
+    scan, and downstream dedup decisions rest on REAL distances. The
+    oracle replays build + probe re-encode + slacked candidates +
+    verify join + exact filter in one SQL statement."""
+    from emodb_spark.pipeline.similarity import sdc_verified_near_dups
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return sdc_verified_near_dups(
+        emb, threshold=SDC_VERIFY_THRESHOLD, slack_num=2, n_probe=2,
         index=_ivfpq_gate_index(spark, sf_dir),
     )
 
@@ -7781,6 +7829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_sample_train": q_ivfpq_sample_train,
         "ivfpq_knn_join": q_ivfpq_knn_join,
         "sdc_multiprobe": q_sdc_multiprobe,
+        "sdc_verified": q_sdc_verified,
         "ivfpq_rerank": q_ivfpq_rerank,
         "ivfpq_append": q_ivfpq_append,
         "pq_recall": q_pq_recall,
@@ -7963,6 +8012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window = [
         # r10-new gates
         "ivfpq_sample_train", "ivfpq_knn_join", "sdc_multiprobe",
+        "sdc_verified",
         # kernels changed in round 10
         "ivfpq_topk", "ivfpq_recall", "ivfpq_mrr", "ivfpq_ndcg",
         "ivfpq_rerank", "ivfpq_append", "sdc_near_dups",
@@ -7983,8 +8033,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk", "audio_chunks", "bigram_surprisal",
         "bitext_mining", "bloom_filters", "bloom_join_reduction",
         "budget_sample", "card_scan", "cms_stream_heavy",
-        "condition_generic_json", "condition_variant_scan",
-    ]  # remaining r7-era rows (conversion_latency, customer_orders,
+        "condition_generic_json",
+    ]  # remaining r7-era rows (condition_variant_scan,
+    #    conversion_latency, customer_orders,
     #    dup_score, ...) defer to r11 — see COVERAGE.md
     # window integrity (size 50, no dupes, all registered, no rows-only
     # queries) is enforced by tests/test_entry_contract.py — NOT asserted
@@ -8015,6 +8066,7 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_sample_train": ORACLE_IVFPQ_SAMPLE_TRAIN,
         "ivfpq_knn_join": ORACLE_IVFPQ_KNN_JOIN,
         "sdc_multiprobe": ORACLE_SDC_MULTIPROBE,
+        "sdc_verified": ORACLE_SDC_VERIFIED,
         "ivfpq_rerank": ORACLE_IVFPQ_RERANK,
         "ivfpq_append": ORACLE_IVFPQ_APPEND,
         "star_clusters": ORACLE_STAR_CLUSTERS,

@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "ivfpq_sample_train",    # codebooks trained on the lowest-256-id sample
     "ivfpq_knn_join",        # DataFrame-native compressed kNN (SDC equijoin)
     "sdc_multiprobe",        # 2nd-nearest-cell probe pairs (boundary recall)
+    "sdc_verified",          # SDC candidates -> exact verify join dedup
     # analytics
     "pricing_summary",
     "revenue_by_nation",

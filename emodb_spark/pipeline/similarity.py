@@ -598,6 +598,7 @@ def pq_codebooks(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_limit: Optional[int] = None,
 ) -> list:
     """Train product-quantization codebooks (Jégou/Douze/Schmid 2011,
     "Product Quantization for Nearest Neighbor Search" — public): the
@@ -615,15 +616,33 @@ def pq_codebooks(
     2m driver-scheduled rounds for the same math — measured 10.4 s vs
     2.6 s at the gate). The per-subspace results are bit-identical to
     independent trainings: the fixed-point sums group by (subspace,
-    cluster, dim), so nothing crosses subspace boundaries."""
+    cluster, dim), so nothing crosses subspace boundaries.
+
+    ``train_limit``: train on only the ``train_limit`` LOWEST-id
+    vectors (deterministic — the flat-init ordering — so an oracle
+    replays the sample as an ORDER BY id LIMIT N slice). Codebooks
+    converge on a sample, so at 100 TB every Lloyd pass scans
+    O(train_limit) and build cost decouples from corpus size; ``None``
+    trains on everything (bit-identical to the prior behavior)."""
     dim = len(embeddings.select(vec_col).first()[0])
     if dim % m:
         raise ValueError(f"m={m} must divide dim={dim}")
     sub_d = dim // m
     spark = embeddings.sparkSession
+    if train_limit is not None:
+        if train_limit < sub_k:
+            raise ValueError(
+                f"train_limit={train_limit} must cover the flat init (sub_k={sub_k})"
+            )
+        # checkpointed: every Lloyd iteration re-reads the sample
+        train = embeddings.orderBy(F.col(id_col)).limit(
+            int(train_limit)
+        ).localCheckpoint(eager=True)
+    else:
+        train = embeddings
 
     first = (
-        embeddings.orderBy(F.col(id_col)).limit(sub_k).select(vec_col).collect()
+        train.orderBy(F.col(id_col)).limit(sub_k).select(vec_col).collect()
     )
     books = [
         [[float(x) for x in row[0][j * sub_d:(j + 1) * sub_d]] for row in first]
@@ -643,7 +662,7 @@ def pq_codebooks(
             )
             return _argmin_idx(dists, sub_k)
 
-        assigned = embeddings.crossJoin(F.broadcast(books_df)).select(
+        assigned = train.crossJoin(F.broadcast(books_df)).select(
             F.col(vec_col),
             F.array(*[cluster_for(j) for j in range(m)]).alias("__cls"),
         )
@@ -1605,6 +1624,62 @@ def sdc_near_dups(
         .agg(F.min("dd").alias("dist_q"))
         .filter(F.col("dist_q") <= F.lit(int(threshold)))
         .select("id_a", "id_b", F.col("dist_q").cast("long").alias("dist_q"))
+    )
+
+
+def sdc_verified_near_dups(
+    embeddings: DataFrame,
+    threshold: int,
+    slack_num: int = 2,
+    n_cells: int = 8,
+    m: int = 4,
+    sub_k: int = 16,
+    iters: int = 2,
+    scale: int = PQ_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index=None,
+    n_probe: int = 1,
+) -> DataFrame:
+    """CANDIDATE-THEN-VERIFY semantic dedup — the composition that
+    removes :func:`sdc_near_dups`'s one remaining approximation: SDC
+    proposes candidate pairs at a SLACKED threshold
+    (``threshold * slack_num``, absorbing code-quantization error the
+    same way MinHash banding over-generates before its Jaccard verify),
+    then ONLY those pair rows join back to the quantized vectors for
+    the EXACT integer distance, and the final filter is at the true
+    ``threshold``. Exact distances are computed for O(candidate pairs)
+    rows, never a corpus scan — the same verify-join shape as
+    :func:`ivfpq_rerank_topk` and the MinHash verify step.
+
+    Returned distances are EXACT quantized-L2, so downstream dedup
+    decisions (cluster, keep-best) rest on real distances; the recall
+    caveat shrinks to pairs whose SDC estimate exceeds the slacked
+    threshold (quantified by the SCALE.md multi-probe table —
+    ``n_probe`` composes for boundary recall). Returns
+    (id_a, id_b, dist_exact <= threshold)."""
+    cands = sdc_near_dups(
+        embeddings, int(threshold) * int(slack_num), n_cells, m, sub_k,
+        iters, scale, id_col, vec_col, index=index, n_probe=n_probe,
+    ).select("id_a", "id_b")
+    if index is not None:
+        _, _, _, scale = _unpack_ivfpq_index(index, scale)
+    vq = embeddings.select(
+        F.col(id_col).alias("id"), _quantize_col(F.col(vec_col), scale).alias("qv")
+    )
+    a = vq.select(F.col("id").alias("id_a"), F.col("qv").alias("qa"))
+    b = vq.select(F.col("id").alias("id_b"), F.col("qv").alias("qb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a", "id_b",
+            _int_sqdist(F.col("qa"), F.col("qb")).alias("dist_exact"),
+        )
+        .filter(F.col("dist_exact") <= F.lit(int(threshold)))
+        .select(
+            "id_a", "id_b", F.col("dist_exact").cast("long").alias("dist_exact")
+        )
     )
 
 

@@ -3005,3 +3005,83 @@ def test_ivfpq_knn_join_python_replay(spark):
         for rank, (d, nid) in enumerate(scoredq[:k], 1):
             want[(qid, rank)] = (nid, d)
     assert got == want
+
+
+def test_pq_codebooks_train_limit(spark):
+    """pq_codebooks(train_limit=N): a limit covering the whole corpus is
+    bit-identical to no limit; a genuine sample equals training on the
+    sliced DataFrame directly (the ORDER BY id LIMIT N contract); a
+    limit under the flat init fails loudly."""
+    import random
+
+    import pytest
+
+    from emodb_spark.pipeline.similarity import pq_codebooks
+
+    rng = random.Random(63)
+    base = [[rng.uniform(-0.5, 0.5) for _ in range(8)] for _ in range(20)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "vec_id long, embedding array<float>"
+    )
+    full = pq_codebooks(df, m=2, sub_k=4, iters=2)
+    assert pq_codebooks(df, m=2, sub_k=4, iters=2, train_limit=20) == full
+
+    sampled = pq_codebooks(df, m=2, sub_k=4, iters=2, train_limit=8)
+    direct = pq_codebooks(
+        df.filter(F.col("vec_id") < 8), m=2, sub_k=4, iters=2
+    )
+    assert sampled == direct and sampled != full
+
+    with pytest.raises(ValueError, match="train_limit"):
+        pq_codebooks(df, m=2, sub_k=4, iters=2, train_limit=2)
+
+
+def test_sdc_verified_near_dups_exact(spark):
+    """sdc_verified_near_dups: every returned pair's dist_exact must
+    equal the true integer quantized-L2 distance (python replay), every
+    pair must be within threshold, and the verified set must contain
+    every candidate pair whose TRUE distance <= threshold (verify can
+    only reject candidates, and at full slack the planted dup and its
+    same-cell cohort survive)."""
+    import math
+    import random
+
+    from emodb_spark.pipeline.similarity import (
+        ivfpq_index,
+        sdc_near_dups,
+        sdc_verified_near_dups,
+    )
+
+    rng = random.Random(83)
+    base = [[rng.uniform(-0.5, 0.5) for _ in range(8)] for _ in range(30)]
+    base.append(list(base[5]))  # planted dup
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "vec_id long, embedding array<float>"
+    )
+    idx = ivfpq_index(df, n_cells=4, m=2, sub_k=4, iters=2)
+    scale = idx[3]
+    thr = 3 * (10 ** 10)
+    got = {
+        (r["id_a"], r["id_b"]): r["dist_exact"]
+        for r in sdc_verified_near_dups(
+            df, threshold=thr, slack_num=2, n_probe=2, index=idx
+        ).collect()
+    }
+
+    qv = [[int(math.floor(float(x) * scale)) for x in v] for v in base]
+
+    def exact(a, b):
+        return sum((qv[a][p] - qv[b][p]) ** 2 for p in range(8))
+
+    assert got, "planted dup must produce at least one pair"
+    for (a, b), d in got.items():
+        assert d == exact(a, b) and d <= thr
+    assert got[(5, 30)] == 0
+    # containment: every candidate whose TRUE distance clears the
+    # threshold must survive the verify join
+    cands = sdc_near_dups(
+        df, threshold=thr * 2, n_probe=2, index=idx
+    ).collect()
+    for r in cands:
+        if exact(r["id_a"], r["id_b"]) <= thr:
+            assert (r["id_a"], r["id_b"]) in got

@@ -1,0 +1,102 @@
+"""Round-10 IVFADC probes.
+
+A. SAMPLE-TRAINED CODEBOOKS — does ivfpq_index(train_limit=N) decouple
+   build cost from corpus size? Times the full build at sf0.1 (~20k
+   vectors, n_cells=8) and the synthesized sf1 (~200k vectors,
+   n_cells=80 per the provisioning rule), full-corpus training vs a
+   fixed 2048-vector training sample. Expectation: the Lloyd passes
+   (the per-iteration corpus scans) go O(sample); the single
+   assignment+encode pass stays linear — so sampled build time should
+   grow FAR slower than 10x.
+
+B. MULTI-PROBE SDC — recall-vs-cost of sdc_near_dups(n_probe=2) at the
+   sf1/80-cell provisioning point, where round 9 measured the same-cell
+   rule's boundary loss (38,474 dup pairs at 8 cells vs 8,388 at 80
+   cells — the cells-shrink recall gap this knob targets). Reports pair
+   counts, candidate (ordered-match) counts and wall time for
+   n_probe=1 vs 2.
+
+Usage: python tools/probe_ivfpq_r10.py  (expects /tmp/sf1_probe from
+tools/scale_probe.py; falls back to sf0.1-only if missing)
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SF1 = "/tmp/sf1_probe"
+TRAIN = 2048
+SDC_THRESHOLD = 180_000_000_000  # the gate threshold
+
+
+def main() -> int:
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from emodb_spark.pipeline.similarity import ivfpq_index, sdc_near_dups
+    from emodb_spark.spark.session import get_spark
+
+    spark = get_spark(app_name="probe_ivfpq_r10")
+
+    # -- A: build-cost decoupling ------------------------------------
+    for sf_dir, n_cells in ((SF01, 8), (SF1, 80)):
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        if not os.path.exists(path):
+            print(f"# missing {path} — run tools/scale_probe.py first",
+                  file=sys.stderr)
+            continue
+        emb = spark.read.parquet(path)
+        n_corpus = emb.count()
+        rec = {"probe": "sample_train", "dir": sf_dir,
+               "n_corpus": n_corpus, "n_cells": n_cells}
+        for label, tl in (("full", None), (f"sample{TRAIN}", TRAIN)):
+            gc.collect()
+            spark.catalog.clearCache()
+            t0 = time.time()
+            enc, _, _, _ = ivfpq_index(
+                emb, n_cells=n_cells, train_limit=tl
+            )
+            enc.write.format("noop").mode("overwrite").save()
+            rec[f"build_s_{label}"] = round(time.time() - t0, 2)
+        print(json.dumps(rec), flush=True)
+
+    # -- B: multi-probe SDC recall-vs-cost ---------------------------
+    path = os.path.join(SF1, "embeddings.parquet")
+    if not os.path.exists(path):
+        print("# missing sf1 probe data — B skipped", file=sys.stderr)
+        return 0
+    emb = spark.read.parquet(path)
+    idx = ivfpq_index(emb, n_cells=80)
+    idx = (idx[0].localCheckpoint(eager=True), *idx[1:])
+    for n_probe in (1, 2):
+        gc.collect()
+        t0 = time.time()
+        pairs = sdc_near_dups(
+            emb, threshold=SDC_THRESHOLD, index=idx, n_probe=n_probe
+        )
+        n_pairs = pairs.count()
+        dt = round(time.time() - t0, 2)
+        # candidate volume: same-cell ordered matches (pairs the LUT
+        # join actually scores), measured as the unthresholded count
+        t1 = time.time()
+        cand = sdc_near_dups(
+            emb, threshold=1 << 62, index=idx, n_probe=n_probe
+        ).count()
+        print(json.dumps({
+            "probe": "sdc_multiprobe", "n_cells": 80, "n_probe": n_probe,
+            "pairs_at_gate_threshold": n_pairs, "pairs_s": dt,
+            "candidates_scored": cand,
+            "candidates_s": round(time.time() - t1, 2),
+        }), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
