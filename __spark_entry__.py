@@ -6761,6 +6761,31 @@ def _ivfpq_gate_index(spark: SparkSession, sf_dir: str):
     )
 
 
+def _ivfpq_gate_penc(spark: SparkSession, sf_dir: str):
+    """The n_probe=2 multi-probe encode of the full corpus against the
+    shared gate index, computed ONCE per session (checkpointed by
+    _gate_index) — sdc_multiprobe and sdc_verified both consume it, and
+    rebuilding it per gate is the same anti-pattern the index cache
+    exists to avoid."""
+    from emodb_spark.pipeline.similarity import (
+        _probe_encode,
+        _quantize_col,
+    )
+
+    def build(p):
+        _, cents, books, scale = _ivfpq_gate_index(spark, sf_dir)
+        emb = _read(spark, sf_dir, "embeddings")
+        vq = emb.select(
+            F.col("vec_id").alias("id"),
+            _quantize_col(F.col("embedding"), scale).alias("q"),
+        )
+        return (_probe_encode(vq, cents, books, p["n_probe"]),)
+
+    return _gate_index(
+        "ivfpq_penc", dict(n_probe=2), spark, sf_dir, build
+    )[0]
+
+
 def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC (emodb_spark.pipeline.similarity.ivfpq_topk — Jégou et
     al. 2011 §V, the inverted-file + product-quantized-residuals
@@ -6984,9 +7009,15 @@ bd{it}_{j} AS (
   {' UNION ALL '.join(qenc_parts)}
 )"""
 
+    if sdc_verify_slack is not None and sdc_threshold is None:
+        raise ValueError("sdc_verify_slack requires sdc_threshold")
     if knn is not None:
         # DataFrame-native compressed kNN join: query side probe-encoded,
         # (cell, j) equijoin vs enc, code-to-code LUT distance, top-k
+        if (with_recall or with_mrr or with_ndcg
+                or sdc_threshold is not None or rerank_k is not None
+                or append_mod is not None):
+            raise ValueError("knn is exclusive of the other tails")
         knn_nq, knn_k, knn_np = knn
         return prefix + f""", {sdl_cte()},
 {qenc_ctes(knn_np, f' WHERE v.vec_id < {knn_nq}')}, kscored AS (
@@ -7291,9 +7322,11 @@ def q_ivfpq_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emodb_spark.pipeline.similarity import ivfpq_knn_join
 
     emb = _read(spark, sf_dir, "embeddings")
+    # exclude_self=True: the gate's query frame is a slice of the SAME
+    # corpus, so id equality genuinely means "the same vector"
     return ivfpq_knn_join(
         emb, queries=emb.filter(F.col("vec_id") < 24), k=5, n_probe=2,
-        index=_ivfpq_gate_index(spark, sf_dir),
+        index=_ivfpq_gate_index(spark, sf_dir), exclude_self=True,
     )
 
 
@@ -7314,6 +7347,7 @@ def q_sdc_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sdc_near_dups(
         emb, threshold=SDC_THRESHOLD, n_probe=2,
         index=_ivfpq_gate_index(spark, sf_dir),
+        penc=_ivfpq_gate_penc(spark, sf_dir),
     )
 
 
@@ -7334,6 +7368,7 @@ def q_sdc_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sdc_verified_near_dups(
         emb, threshold=SDC_VERIFY_THRESHOLD, slack_num=2, n_probe=2,
         index=_ivfpq_gate_index(spark, sf_dir),
+        penc=_ivfpq_gate_penc(spark, sf_dir),
     )
 
 

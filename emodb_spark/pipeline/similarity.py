@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -1095,6 +1095,23 @@ def _subcode_assign(rex: DataFrame, bks: list,
     )
 
 
+def _qrows_df(spark: SparkSession, qrows: list, scale: int,
+              id_name: str) -> DataFrame:
+    """Quantize a driver-side [(id, vector), ...] batch into a
+    (id_name long, qv array<long>) DataFrame — ONE spelling of the
+    floor(float64(x)*scale) contract the oracles replay bit-for-bit,
+    shared by every eval that materializes query vectors."""
+    import math
+
+    return spark.createDataFrame(
+        [
+            (int(i), [int(math.floor(float(x) * scale)) for x in v])
+            for i, v in qrows
+        ],
+        f"{id_name} long, qv array<long>",
+    )
+
+
 def _unpack_ivfpq_index(index, scale: int):
     """Normalize a prebuilt ``index=`` tuple to (enc, cents, books,
     scale). A 4-tuple carries the BUILD-TIME quantization scale, which
@@ -1382,8 +1399,12 @@ def ivfpq_topk(
 
     Returns (query_id, nbr_id, dist_q, rank<=k) — dist_q in quantized
     residual-L2, self-matches excluded, ties by nbr_id. Pass a prebuilt
-    ``index=(enc, cents, books)`` from :func:`ivfpq_index` to skip the
-    build (the deployment shape: build once, query per batch — the
+    ``index=(enc, cents, books, scale)`` from :func:`ivfpq_index` to
+    skip the build (the canonical 4-tuple carries the build scale so
+    queries can never quantize inconsistently; legacy 3-tuples fall
+    back to the caller's scale parameter — see
+    :func:`_unpack_ivfpq_index`). This is the deployment shape: build
+    once, query per batch — the
     recall/MRR gates share one build this way). ``qrows`` short-circuits
     the query-vector collect with a prebuilt [(id, vector), ...] list —
     gates composing several evals over one shared index pass it so the
@@ -1438,8 +1459,6 @@ def ivfpq_rerank_topk(
 
     Returns (query_id, nbr_id, dist_exact, rank<=k) in exact
     quantized-L2, ties by nbr_id."""
-    import math
-
     if index is not None:
         _, _, _, scale = _unpack_ivfpq_index(index, scale)
     short = ivfpq_topk(
@@ -1451,13 +1470,7 @@ def ivfpq_rerank_topk(
         _quantize_col(F.col(vec_col), scale).alias("cv"),
     )
     if qrows is not None:
-        qv = embeddings.sparkSession.createDataFrame(
-            [
-                (int(i), [int(math.floor(float(x) * scale)) for x in v])
-                for i, v in qrows
-            ],
-            "query_id long, qv array<long>",
-        )
+        qv = _qrows_df(embeddings.sparkSession, qrows, scale, "query_id")
     else:
         qv = embeddings.select(
             F.col(id_col).alias("query_id"),
@@ -1518,6 +1531,7 @@ def sdc_near_dups(
     vec_col: str = "embedding",
     index=None,
     n_probe: int = 1,
+    penc: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Semantic near-dup pairs by Symmetric Distance Computation over
     the IVFADC index (Jégou/Douze/Schmid 2011 §III.B: when BOTH sides
@@ -1559,7 +1573,10 @@ def sdc_near_dups(
     primary cell is in the other's probe set; a pair matched in both
     directions takes the MIN approximate distance (deterministic).
     Candidates grow ~n_probe-fold — the measured recall-vs-cost knob.
-    Requires ``embeddings`` (the probe side re-encodes from vectors).
+    Requires ``embeddings`` (the probe side re-encodes from vectors)
+    unless a prebuilt ``penc`` from :func:`_probe_encode` is supplied —
+    gates composing several SDC consumers over one index share the
+    probe encode that way.
 
     Returns (id_a, id_b, dist_q) with dist_q <= ``threshold`` in
     quantized squared-L2 units (scale^2 per unit distance)."""
@@ -1588,15 +1605,17 @@ def sdc_near_dups(
             .filter(F.col("dist_q") <= F.lit(int(threshold)))
             .select("id_a", "id_b", F.col("dist_q").cast("long").alias("dist_q"))
         )
-    if embeddings is None:
-        raise ValueError(
-            "sdc_near_dups: embeddings required when n_probe > 1 "
-            "(the probe side re-encodes vectors in their 2nd.. cells)"
+    if penc is None:
+        if embeddings is None:
+            raise ValueError(
+                "sdc_near_dups: embeddings required when n_probe > 1 "
+                "(the probe side re-encodes vectors in their 2nd.. cells)"
+            )
+        vq = embeddings.select(
+            F.col(id_col).alias("id"),
+            _quantize_col(F.col(vec_col), scale).alias("q"),
         )
-    vq = embeddings.select(
-        F.col(id_col).alias("id"), _quantize_col(F.col(vec_col), scale).alias("q")
-    )
-    penc = _probe_encode(vq, cents, books, n_probe)
+        penc = _probe_encode(vq, cents, books, n_probe)
     a = enc.select(
         F.col("id").alias("id_a"), "cell", "j", F.col("code").alias("ca")
     )
@@ -1640,6 +1659,7 @@ def sdc_verified_near_dups(
     vec_col: str = "embedding",
     index=None,
     n_probe: int = 1,
+    penc: Optional[DataFrame] = None,
 ) -> DataFrame:
     """CANDIDATE-THEN-VERIFY semantic dedup — the composition that
     removes :func:`sdc_near_dups`'s one remaining approximation: SDC
@@ -1651,6 +1671,9 @@ def sdc_verified_near_dups(
     ``threshold``. Exact distances are computed for O(candidate pairs)
     rows, never a corpus scan — the same verify-join shape as
     :func:`ivfpq_rerank_topk` and the MinHash verify step.
+    ``embeddings`` is always required here (the verify join re-reads
+    the vectors); ``penc`` forwards a prebuilt multi-probe encode to
+    the candidate stage (see :func:`sdc_near_dups`).
 
     Returned distances are EXACT quantized-L2, so downstream dedup
     decisions (cluster, keep-best) rest on real distances; the recall
@@ -1658,9 +1681,15 @@ def sdc_verified_near_dups(
     threshold (quantified by the SCALE.md multi-probe table —
     ``n_probe`` composes for boundary recall). Returns
     (id_a, id_b, dist_exact <= threshold)."""
+    if embeddings is None:
+        raise ValueError(
+            "sdc_verified_near_dups: embeddings required (the verify "
+            "join re-reads the vectors)"
+        )
     cands = sdc_near_dups(
         embeddings, int(threshold) * int(slack_num), n_cells, m, sub_k,
         iters, scale, id_col, vec_col, index=index, n_probe=n_probe,
+        penc=penc,
     ).select("id_a", "id_b")
     if index is not None:
         _, _, _, scale = _unpack_ivfpq_index(index, scale)
@@ -1696,6 +1725,7 @@ def ivfpq_knn_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index=None,
+    exclude_self: Optional[bool] = None,
 ) -> DataFrame:
     """DataFrame-native compressed kNN JOIN — the query-batch path
     :func:`ivfpq_query` cannot serve: that API takes a driver-side
@@ -1719,7 +1749,14 @@ def ivfpq_knn_join(
 
     ``queries=None`` means self-join (corpus vs corpus — every vector
     retrieves its k nearest co-corpus members; self-matches excluded by
-    id). Returns (query_id, nbr_id, dist_q, rank<=k), ties by nbr_id;
+    id). ``exclude_self`` controls the id-equality exclusion
+    explicitly: it defaults to True only when the query side shares the
+    corpus's id space (queries=None), because excluding by raw id
+    equality against a SEPARATE query table whose ids merely coincide
+    with corpus ids would silently drop valid neighbors — pass True
+    when a separate query frame genuinely shares ids (e.g. a filtered
+    corpus slice). Returns (query_id, nbr_id, dist_q, rank<=k), ties by
+    nbr_id;
     everything after the 2^20 quantize is exact int64, so an external
     SQL oracle replays build + probe-encode + join bit-for-bit."""
     if embeddings is None and (index is None or queries is None):
@@ -1732,6 +1769,8 @@ def ivfpq_knn_join(
     ) if index is not None else ivfpq_index(
         embeddings, n_cells, m, sub_k, iters, scale, id_col, vec_col
     )
+    if exclude_self is None:
+        exclude_self = queries is None
     qside = queries if queries is not None else embeddings
     qvq = qside.select(
         F.col(id_col).alias("id"), _quantize_col(F.col(vec_col), scale).alias("q")
@@ -1749,7 +1788,10 @@ def ivfpq_knn_join(
             ),
             ["cell", "j"],
         )
-        .filter(F.col("query_id") != F.col("nbr_id"))
+        .filter(
+            (F.col("query_id") != F.col("nbr_id"))
+            if exclude_self else F.lit(True)
+        )
         .join(F.broadcast(lut_df), ["j", "ca", "cb"])
         # distinct probe cells per query + one primary cell per corpus
         # vector => at most one matching cell per (query, nbr), so this
@@ -1786,8 +1828,6 @@ def exact_quantized_topk(
     the query collect with a prebuilt [(id, vector), ...] list (shared
     across composed eval gates). Returns (query_id, nbr_id, rank),
     self-matches excluded, ties by nbr_id."""
-    import math
-
     spark = embeddings.sparkSession
     vq = embeddings.select(
         F.col(id_col).alias("nbr_id"),
@@ -1800,13 +1840,7 @@ def exact_quantized_topk(
             .select(id_col, vec_col)
             .collect()
         ]
-    q_df = spark.createDataFrame(
-        [
-            (int(i), [int(math.floor(float(x) * scale)) for x in v])
-            for i, v in qrows
-        ],
-        "query_id long, qv array<long>",
-    )
+    q_df = _qrows_df(spark, qrows, scale, "query_id")
     w = Window.partitionBy("query_id").orderBy(F.asc("dist_q"), F.asc("nbr_id"))
     return (
         vq.crossJoin(F.broadcast(q_df))

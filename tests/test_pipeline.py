@@ -3085,3 +3085,39 @@ def test_sdc_verified_near_dups_exact(spark):
     for r in cands:
         if exact(r["id_a"], r["id_b"]) <= thr:
             assert (r["id_a"], r["id_b"]) in got
+
+
+def test_ivfpq_knn_join_exclude_self_default(spark):
+    """exclude_self defaults by id-space: a separate query table whose
+    ids merely coincide with corpus ids keeps those corpus rows as
+    candidates (no silent drop), while the self-join still excludes
+    them; sdc_verified fails loudly without embeddings."""
+    import random
+
+    import pytest
+
+    from emodb_spark.pipeline.similarity import (
+        ivfpq_index,
+        ivfpq_knn_join,
+        sdc_verified_near_dups,
+    )
+
+    rng = random.Random(37)
+    base = [[rng.uniform(-0.5, 0.5) for _ in range(8)] for _ in range(18)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "vec_id long, embedding array<float>"
+    )
+    idx = ivfpq_index(df, n_cells=2, m=2, sub_k=4, iters=1)
+    # a distinct query table reusing id 3 for a DIFFERENT vector: the
+    # corpus's own vector 3 must stay a candidate for it
+    q = spark.createDataFrame(
+        [(3, [x * 0.9 for x in base[7]])], "vec_id long, embedding array<float>"
+    )
+    got = ivfpq_knn_join(df, queries=q, k=18, n_probe=2, index=idx).collect()
+    assert any(r["nbr_id"] == 3 for r in got)
+    # self-join: never a self match
+    selfj = ivfpq_knn_join(df, k=5, n_probe=2, index=idx).collect()
+    assert all(r["query_id"] != r["nbr_id"] for r in selfj)
+
+    with pytest.raises(ValueError, match="embeddings required"):
+        sdc_verified_near_dups(None, threshold=1, index=idx)
