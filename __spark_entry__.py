@@ -7215,6 +7215,8 @@ ORACLE_SDC_VERIFIED = _oracle_ivfpq(
     sdc_threshold=SDC_VERIFY_THRESHOLD, sdc_probe=2, sdc_verify_slack=2)
 ORACLE_IVFPQ_SAMPLE_TRAIN = _oracle_ivfpq(train_limit=256)
 ORACLE_IVFPQ_KNN_JOIN = _oracle_ivfpq(knn=(24, 5, 2))
+# the ADC join IS ivfpq_topk's math at a bigger query set — same replay
+ORACLE_IVFPQ_ADC_JOIN = _oracle_ivfpq(nq=24, k=5)
 ORACLE_IVFPQ_RERANK = _oracle_ivfpq(k=30, rerank_k=10)
 ORACLE_IVFPQ_APPEND = _oracle_ivfpq(append_mod=5)
 
@@ -7325,6 +7327,26 @@ def q_ivfpq_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exclude_self=True: the gate's query frame is a slice of the SAME
     # corpus, so id equality genuinely means "the same vector"
     return ivfpq_knn_join(
+        emb, queries=emb.filter(F.col("vec_id") < 24), k=5, n_probe=2,
+        index=_ivfpq_gate_index(spark, sf_dir), exclude_self=True,
+    )
+
+
+def q_ivfpq_adc_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-native ADC kNN join (emodb_spark.pipeline.similarity.
+    ivfpq_adc_join): ivfpq_query's exact-query-side asymmetric distance
+    WITHOUT the driver-side qrows collect — the per-query LUT is built
+    as a DataFrame (query residual slices x broadcast codebook entries),
+    then the same (cell, j, code) equijoin against the code table. One
+    quantization-error step better than the symmetric knn join (ADC vs
+    SDC, Jégou 2011 §III.C) for query batches too large to collect.
+    Distances are differential-tested identical to ivfpq_query; the
+    oracle is the standard IVFADC replay at the gate's query set."""
+    from emodb_spark.pipeline.similarity import ivfpq_adc_join
+
+    emb = _read(spark, sf_dir, "embeddings")
+    # exclude_self=True: the query frame is a slice of the SAME corpus
+    return ivfpq_adc_join(
         emb, queries=emb.filter(F.col("vec_id") < 24), k=5, n_probe=2,
         index=_ivfpq_gate_index(spark, sf_dir), exclude_self=True,
     )
@@ -7863,6 +7885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sdc_near_dups": q_sdc_near_dups,
         "ivfpq_sample_train": q_ivfpq_sample_train,
         "ivfpq_knn_join": q_ivfpq_knn_join,
+        "ivfpq_adc_join": q_ivfpq_adc_join,
         "sdc_multiprobe": q_sdc_multiprobe,
         "sdc_verified": q_sdc_verified,
         "ivfpq_rerank": q_ivfpq_rerank,
@@ -8046,8 +8069,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-verified by tools/oracle_check.py instead.
     window = [
         # r10-new gates
-        "ivfpq_sample_train", "ivfpq_knn_join", "sdc_multiprobe",
-        "sdc_verified",
+        "ivfpq_sample_train", "ivfpq_knn_join", "ivfpq_adc_join",
+        "sdc_multiprobe", "sdc_verified",
         # kernels changed in round 10
         "ivfpq_topk", "ivfpq_recall", "ivfpq_mrr", "ivfpq_ndcg",
         "ivfpq_rerank", "ivfpq_append", "sdc_near_dups",
@@ -8068,9 +8091,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk", "audio_chunks", "bigram_surprisal",
         "bitext_mining", "bloom_filters", "bloom_join_reduction",
         "budget_sample", "card_scan", "cms_stream_heavy",
-        "condition_generic_json",
-    ]  # remaining r7-era rows (condition_variant_scan,
-    #    conversion_latency, customer_orders,
+    ]  # remaining r7-era rows (condition_generic_json,
+    #    condition_variant_scan, conversion_latency, customer_orders,
     #    dup_score, ...) defer to r11 — see COVERAGE.md
     # window integrity (size 50, no dupes, all registered, no rows-only
     # queries) is enforced by tests/test_entry_contract.py — NOT asserted
@@ -8100,6 +8122,7 @@ def oracle_sql() -> dict[str, str]:
         "sdc_near_dups": ORACLE_SDC_NEAR_DUPS,
         "ivfpq_sample_train": ORACLE_IVFPQ_SAMPLE_TRAIN,
         "ivfpq_knn_join": ORACLE_IVFPQ_KNN_JOIN,
+        "ivfpq_adc_join": ORACLE_IVFPQ_ADC_JOIN,
         "sdc_multiprobe": ORACLE_SDC_MULTIPROBE,
         "sdc_verified": ORACLE_SDC_VERIFIED,
         "ivfpq_rerank": ORACLE_IVFPQ_RERANK,

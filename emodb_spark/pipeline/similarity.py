@@ -1811,6 +1811,119 @@ def ivfpq_knn_join(
     )
 
 
+def ivfpq_adc_join(
+    embeddings: Optional[DataFrame],
+    queries: Optional[DataFrame] = None,
+    k: int = 10,
+    n_probe: int = 2,
+    n_cells: int = 8,
+    m: int = 4,
+    sub_k: int = 16,
+    iters: int = 2,
+    scale: int = PQ_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index=None,
+    exclude_self: Optional[bool] = None,
+) -> DataFrame:
+    """DataFrame-native ADC kNN join — :func:`ivfpq_query`'s exact
+    query side (asymmetric distance: the query keeps its full residual,
+    only the corpus is compressed) WITHOUT the driver-side ``qrows``
+    collect: the per-query distance LUT is computed AS A DATAFRAME —
+    query residual slices equijoined to the broadcast codebook entries,
+    one (query, cell, j, code, d) row per probed-cell table entry —
+    so unbounded query sets run with one quantization-error step less
+    than :func:`ivfpq_knn_join`'s symmetric SDC (the published
+    ADC-beats-SDC trade, Jégou 2011 §III.C), at the cost of an
+    n_q·n_probe·m·sub_k-row LUT frame instead of the corpus-invariant
+    m·sub_k² code-to-code table.
+
+    Plan: one multi-probe assignment (broadcast equijoin + window), one
+    broadcast residual join, one broadcast (j, code, sp) codebook
+    equijoin + map-side partial SUM building the LUT, then the
+    (cell, j, code) equijoin against the code table (Catalyst/AQE picks
+    broadcast vs shuffle by the query batch's actual size) and a
+    row_number window per query. Distances are IDENTICAL to
+    :func:`ivfpq_query` on the same index (differential-tested).
+    ``exclude_self`` follows :func:`ivfpq_knn_join`'s contract.
+    Returns (query_id, nbr_id, dist_q, rank<=k), ties by nbr_id."""
+    if embeddings is None and (index is None or queries is None):
+        raise ValueError(
+            "ivfpq_adc_join: embeddings required unless both index= and "
+            "queries= are supplied"
+        )
+    enc, cents, books, scale = _unpack_ivfpq_index(
+        index, scale
+    ) if index is not None else ivfpq_index(
+        embeddings, n_cells, m, sub_k, iters, scale, id_col, vec_col
+    )
+    if exclude_self is None:
+        exclude_self = queries is None
+    qside = queries if queries is not None else embeddings
+    spark = enc.sparkSession
+    sub_d = len(books[0][0])
+    qvq = qside.select(
+        F.col(id_col).alias("id"), _quantize_col(F.col(vec_col), scale).alias("q")
+    )
+    asn = _int_assign_topn(qvq, "q", cents, n_probe)
+    carr = spark.createDataFrame(
+        [(ci, [int(v) for v in row]) for ci, row in enumerate(cents)],
+        "cell int, carr array<long>",
+    )
+    qrex = (
+        qvq.join(asn, "id")
+        .join(F.broadcast(carr), "cell")
+        .select(
+            F.col("id").alias("query_id"), "cell",
+            F.posexplode(
+                F.zip_with(F.col("q"), F.col("carr"), lambda a, b: a - b)
+            ).alias("pos", "val"),
+        )
+        .select(
+            "query_id", "cell",
+            F.call_function("div", F.col("pos"), F.lit(sub_d))
+            .cast("int").alias("j"),
+            F.pmod(F.col("pos"), F.lit(sub_d)).cast("int").alias("sp"),
+            "val",
+        )
+    )
+    brows = [
+        (j, ci, sp, int(v))
+        for j, book in enumerate(books)
+        for ci, c in enumerate(book)
+        for sp, v in enumerate(c)
+    ]
+    bdf = spark.createDataFrame(brows, "j int, code int, sp int, bval long")
+    diff = F.col("val") - F.col("bval")
+    lut = (
+        qrex.join(F.broadcast(bdf), ["j", "sp"])
+        .groupBy("query_id", "cell", "j", "code")
+        .agg(F.sum(diff * diff).alias("d"))
+    )
+    scored = (
+        enc.select(
+            F.col("id").alias("nbr_id"), "cell", "j", "code"
+        )
+        .join(lut, ["cell", "j", "code"])
+        .filter(
+            (F.col("query_id") != F.col("nbr_id"))
+            if exclude_self else F.lit(True)
+        )
+        .groupBy("query_id", "nbr_id")
+        .agg(F.sum("d").alias("dist_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist_q"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "nbr_id",
+            F.col("dist_q").cast("long").alias("dist_q"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def exact_quantized_topk(
     embeddings: DataFrame,
     n_queries: int = 8,

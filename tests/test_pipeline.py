@@ -3121,3 +3121,46 @@ def test_ivfpq_knn_join_exclude_self_default(spark):
 
     with pytest.raises(ValueError, match="embeddings required"):
         sdc_verified_near_dups(None, threshold=1, index=idx)
+
+
+def test_ivfpq_adc_join_matches_ivfpq_query(spark):
+    """ivfpq_adc_join is the DataFrame-native spelling of ivfpq_query's
+    ADC: on the same index and query set the (query_id, nbr_id, dist_q,
+    rank) rows must be IDENTICAL (both compute the probed-cells
+    asymmetric distance), and the distributed LUT must not change the
+    integer math."""
+    import random
+
+    from emodb_spark.pipeline.similarity import (
+        ivfpq_adc_join,
+        ivfpq_index,
+        ivfpq_query,
+    )
+
+    rng = random.Random(49)
+    base = [[rng.uniform(-0.5, 0.5) for _ in range(8)] for _ in range(25)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "vec_id long, embedding array<float>"
+    )
+    idx = ivfpq_index(df, n_cells=3, m=2, sub_k=4, iters=2)
+    enc, cents, books, _ = idx
+    nq, k, n_probe = 6, 7, 2
+    # collect from the DataFrame (array<float> is float32 — handing
+    # ivfpq_query the original float64 lists would quantize a few
+    # elements differently than the engine-side path sees them)
+    qrows = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in df.filter(F.col("vec_id") < nq)
+        .select("vec_id", "embedding").collect()
+    ]
+    want = sorted(
+        map(tuple, ivfpq_query(enc, cents, books, qrows,
+                               n_probe=n_probe, k=k).collect())
+    )
+    got = sorted(
+        map(tuple, ivfpq_adc_join(
+            df, queries=df.filter(F.col("vec_id") < nq), k=k,
+            n_probe=n_probe, index=idx, exclude_self=True,
+        ).collect())
+    )
+    assert got == want and len(got) == nq * k
