@@ -365,6 +365,7 @@ def kmeans(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_limit: Optional[int] = None,
 ):
     """Deterministic Lloyd's k-means over an embedding column — the
     centroid trainer for :func:`ivf_topk`'s coarse quantizer and for
@@ -390,12 +391,30 @@ def kmeans(
     (centroids ride a 1-row broadcast — no join) plus ONE groupBy
     (cluster, dim) aggregate whose result is k*dim rows — the only
     driver materialization, O(k*dim) per iteration by design (identical
-    to pyspark.ml KMeans' per-iteration centroid collect)."""
-    first = embeddings.orderBy(F.col(id_col)).limit(k).select(vec_col).collect()
+    to pyspark.ml KMeans' per-iteration centroid collect).
+
+    ``train_limit``: train on only the ``train_limit`` LOWEST-id
+    vectors (the deterministic flat-init ordering — an oracle replays
+    it as ORDER BY id LIMIT N), so each iteration's assignment scan is
+    O(sample); the returned assignments still cover the FULL corpus
+    (the final assignment pass is the one full scan). ``None`` keeps
+    the full-corpus training (bit-identical to the prior behavior)."""
+    if train_limit is not None:
+        if train_limit < k:
+            raise ValueError(
+                f"train_limit={train_limit} must cover the flat init (k={k})"
+            )
+        # checkpointed: every Lloyd iteration re-reads the sample
+        train = embeddings.orderBy(F.col(id_col)).limit(
+            int(train_limit)
+        ).localCheckpoint(eager=True)
+    else:
+        train = embeddings
+    first = train.orderBy(F.col(id_col)).limit(k).select(vec_col).collect()
     cents = [[float(x) for x in row[0]] for row in first]
     Q = float(1 << 30)
     for _ in range(iters):
-        assigned = kmeans_assign(embeddings, cents, id_col, vec_col)
+        assigned = kmeans_assign(train, cents, id_col, vec_col)
         sums = (
             assigned.select(
                 "cluster", F.posexplode(F.col(vec_col)).alias("pos", "val")

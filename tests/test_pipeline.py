@@ -3164,3 +3164,32 @@ def test_ivfpq_adc_join_matches_ivfpq_query(spark):
         ).collect())
     )
     assert got == want and len(got) == nq * k
+
+
+def test_kmeans_train_limit(spark):
+    """kmeans(train_limit=N): full-coverage limit is bit-identical to
+    no limit; a genuine sample trains centroids equal to training on
+    the sliced frame while the returned ASSIGNMENTS still cover the
+    full corpus; an under-init limit fails loudly."""
+    import random
+
+    import pytest
+
+    from emodb_spark.pipeline.similarity import kmeans
+
+    rng = random.Random(77)
+    base = [[rng.uniform(-0.5, 0.5) for _ in range(8)] for _ in range(24)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "vec_id long, embedding array<float>"
+    )
+    _, full_c = kmeans(df, k=3, iters=2)
+    _, capped_c = kmeans(df, k=3, iters=2, train_limit=24)
+    assert capped_c == full_c
+
+    asn, samp_c = kmeans(df, k=3, iters=2, train_limit=8)
+    _, direct_c = kmeans(df.filter(F.col("vec_id") < 8), k=3, iters=2)
+    assert samp_c == direct_c and samp_c != full_c
+    assert {r["vec_id"] for r in asn.collect()} == set(range(24))
+
+    with pytest.raises(ValueError, match="train_limit"):
+        kmeans(df, k=3, iters=2, train_limit=2)
