@@ -8075,6 +8075,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk", "ivfpq_recall", "ivfpq_mrr", "ivfpq_ndcg",
         "ivfpq_rerank", "ivfpq_append", "sdc_near_dups",
         "pq_topk", "pq_recall", "bm25_topk", "hybrid_retrieval",
+        # float-kmeans consumers (train_limit plumbing — a default-path
+        # no-op, re-witnessed anyway per the kernel-change rule)
+        "kmeans_embeddings", "ann_ivf_kmeans", "ann_recall",
+        "semantic_dedup",
         # r6-era driver rows — all 25 retire this round (rotation debt
         # fully paid)
         "incremental_dedup", "lang_distribution", "mmr_select",
@@ -8089,9 +8093,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7-era rows, oldest cut (alphabetical; compression_ratio is
         # rows-only and contract-excluded)
         "ann_lsh_topk", "audio_chunks", "bigram_surprisal",
-        "bitext_mining", "bloom_filters", "bloom_join_reduction",
-        "budget_sample", "card_scan", "cms_stream_heavy",
-    ]  # remaining r7-era rows (condition_generic_json,
+        "bitext_mining", "bloom_filters",
+    ]  # remaining r7-era rows (bloom_join_reduction, budget_sample,
+    #    card_scan, cms_stream_heavy, condition_generic_json,
     #    condition_variant_scan, conversion_latency, customer_orders,
     #    dup_score, ...) defer to r11 — see COVERAGE.md
     # window integrity (size 50, no dupes, all registered, no rows-only
