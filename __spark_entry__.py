@@ -7352,6 +7352,36 @@ def q_ivfpq_adc_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfpq_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index PERSISTENCE roundtrip (emodb_spark.pipeline.similarity.
+    ivfpq_save / ivfpq_load): the session's IVFADC index is written in
+    the prescribed 100 TB layout — the (id, cell, j, code) code table
+    as parquet PARTITIONED BY cell (probed cells prune to their own
+    files; the inverted-file seek is Spark partition pruning) plus one
+    JSON sidecar row with codebooks + build scale — then reloaded and
+    queried. The loaded index must answer IDENTICALLY to the in-memory
+    build, so the oracle is the standard IVFADC replay: this gate
+    certifies that nothing about the persisted layout (partition
+    column round-trip, sidecar integer fidelity) perturbs results."""
+    import tempfile
+
+    from emodb_spark.pipeline.similarity import (
+        ivfpq_load,
+        ivfpq_save,
+        ivfpq_topk,
+    )
+
+    idx = _ivfpq_gate_index(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="ivfpq_idx_")
+    ivfpq_save(idx, work)
+    loaded = ivfpq_load(spark, work)
+    emb = _read(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb, n_probe=2, n_queries=8, k=10, index=loaded,
+        qrows=_ivfpq_gate_qrows(spark, sf_dir),
+    )
+
+
 def q_sdc_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MULTI-PROBE SDC near-dup pairs (emodb_spark.pipeline.similarity.
     sdc_near_dups(n_probe=2)): the recall mitigation for same-cell
@@ -7886,6 +7916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_sample_train": q_ivfpq_sample_train,
         "ivfpq_knn_join": q_ivfpq_knn_join,
         "ivfpq_adc_join": q_ivfpq_adc_join,
+        "ivfpq_persist": q_ivfpq_persist,
         "sdc_multiprobe": q_sdc_multiprobe,
         "sdc_verified": q_sdc_verified,
         "ivfpq_rerank": q_ivfpq_rerank,
@@ -8070,7 +8101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window = [
         # r10-new gates
         "ivfpq_sample_train", "ivfpq_knn_join", "ivfpq_adc_join",
-        "sdc_multiprobe", "sdc_verified",
+        "sdc_multiprobe", "sdc_verified", "ivfpq_persist",
         # kernels changed in round 10
         "ivfpq_topk", "ivfpq_recall", "ivfpq_mrr", "ivfpq_ndcg",
         "ivfpq_rerank", "ivfpq_append", "sdc_near_dups",
@@ -8093,8 +8124,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7-era rows, oldest cut (alphabetical; compression_ratio is
         # rows-only and contract-excluded)
         "ann_lsh_topk", "audio_chunks", "bigram_surprisal",
-        "bitext_mining", "bloom_filters",
-    ]  # remaining r7-era rows (bloom_join_reduction, budget_sample,
+        "bitext_mining",
+    ]  # remaining r7-era rows (bloom_filters,
+    #    bloom_join_reduction, budget_sample,
     #    card_scan, cms_stream_heavy, condition_generic_json,
     #    condition_variant_scan, conversion_latency, customer_orders,
     #    dup_score, ...) defer to r11 — see COVERAGE.md
@@ -8127,6 +8159,7 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_sample_train": ORACLE_IVFPQ_SAMPLE_TRAIN,
         "ivfpq_knn_join": ORACLE_IVFPQ_KNN_JOIN,
         "ivfpq_adc_join": ORACLE_IVFPQ_ADC_JOIN,
+        "ivfpq_persist": ORACLE_IVFPQ_TOPK,
         "sdc_multiprobe": ORACLE_SDC_MULTIPROBE,
         "sdc_verified": ORACLE_SDC_VERIFIED,
         "ivfpq_rerank": ORACLE_IVFPQ_RERANK,

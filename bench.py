@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "ivfpq_sample_train",    # codebooks trained on the lowest-256-id sample
     "ivfpq_knn_join",        # DataFrame-native compressed kNN (SDC equijoin)
     "ivfpq_adc_join",        # DataFrame-native ADC kNN (exact query side)
+    "ivfpq_persist",         # save/load roundtrip (cell-partitioned layout)
     "sdc_multiprobe",        # 2nd-nearest-cell probe pairs (boundary recall)
     "sdc_verified",          # SDC candidates -> exact verify join dedup
     # analytics

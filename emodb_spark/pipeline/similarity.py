@@ -1298,6 +1298,48 @@ def ivfpq_index(
     return enc, cents, books, scale
 
 
+def ivfpq_save(index, path: str) -> None:
+    """Persist an IVFADC index in the layout every docstring here
+    prescribes for 100 TB: the (id, cell, j, code) code table as
+    parquet PARTITIONED BY cell (so a query's probed cells prune to
+    their own files — partition pruning does the inverted-file seek)
+    plus one JSON sidecar row carrying the codebooks and the build
+    scale. Both writes go through Spark, so the path may be any
+    Hadoop-visible filesystem (local, HDFS, object store)."""
+    import os
+
+    enc, cents, books, scale = _unpack_ivfpq_index(index, PQ_SCALE)
+    spark = enc.sparkSession
+    enc.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "enc")
+    )
+    meta = spark.createDataFrame(
+        [([[int(v) for v in c] for c in cents],
+          [[[int(v) for v in sc] for sc in b] for b in books],
+          int(scale))],
+        "cents array<array<long>>, books array<array<array<long>>>, "
+        "scale long",
+    )
+    meta.coalesce(1).write.mode("overwrite").json(os.path.join(path, "meta"))
+
+
+def ivfpq_load(spark: SparkSession, path: str):
+    """Load an index persisted by :func:`ivfpq_save` — returns the
+    canonical (enc, cents, books, scale) 4-tuple, drop-in for every
+    ``index=`` parameter in this module. The code table stays lazy
+    (scanned with cell-partition pruning at query time); only the
+    O(model) sidecar row is collected."""
+    import os
+
+    enc = spark.read.parquet(os.path.join(path, "enc")).select(
+        "id", F.col("cell").cast("int").alias("cell"), "j", "code"
+    )
+    row = spark.read.json(os.path.join(path, "meta")).collect()[0]
+    cents = [[int(v) for v in c] for c in row["cents"]]
+    books = [[[int(v) for v in sc] for sc in b] for b in row["books"]]
+    return enc, cents, books, int(row["scale"])
+
+
 def ivfpq_query(
     enc: DataFrame,
     cents: list,

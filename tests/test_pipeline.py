@@ -3193,3 +3193,45 @@ def test_kmeans_train_limit(spark):
 
     with pytest.raises(ValueError, match="train_limit"):
         kmeans(df, k=3, iters=2, train_limit=2)
+
+
+def test_ivfpq_save_load_roundtrip(spark, tmp_path):
+    """ivfpq_save/ivfpq_load: the persisted cell-partitioned code
+    table + codebook sidecar reload into a drop-in index — query
+    results on the loaded index are IDENTICAL to the in-memory one,
+    and the layout is genuinely partitioned by cell."""
+    import os
+    import random
+
+    from emodb_spark.pipeline.similarity import (
+        ivfpq_index,
+        ivfpq_load,
+        ivfpq_query,
+        ivfpq_save,
+    )
+
+    rng = random.Random(19)
+    base = [[rng.uniform(-0.5, 0.5) for _ in range(8)] for _ in range(20)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "vec_id long, embedding array<float>"
+    )
+    idx = ivfpq_index(df, n_cells=3, m=2, sub_k=4, iters=2)
+    path = str(tmp_path / "ivfpq_idx")
+    ivfpq_save(idx, path)
+    loaded = ivfpq_load(spark, path)
+    assert loaded[1] == idx[1] and loaded[2] == idx[2] and loaded[3] == idx[3]
+    qrows = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in df.filter(F.col("vec_id") < 4)
+        .select("vec_id", "embedding").collect()
+    ]
+    want = sorted(map(tuple, ivfpq_query(
+        idx[0], idx[1], idx[2], qrows, n_probe=2, k=5).collect()))
+    got = sorted(map(tuple, ivfpq_query(
+        loaded[0], loaded[1], loaded[2], qrows, n_probe=2, k=5).collect()))
+    assert got == want
+    # the on-disk layout is partitioned by cell (the IVF seek = Spark
+    # partition pruning)
+    assert any(
+        d.startswith("cell=") for d in os.listdir(os.path.join(path, "enc"))
+    )
