@@ -1396,7 +1396,18 @@ def ivfpq_query(
     )
 
     # ADC over probed cells ONLY: the (cell, j, code) equijoin carries
-    # the probe restriction — codes in unprobed cells never match
+    # the probe restriction — codes in unprobed cells never match. The
+    # probed set is also known driver-side, so a STATIC cell filter is
+    # pushed ahead of the join: on a cell-PARTITIONED persisted index
+    # (ivfpq_save's layout) this becomes parquet partition pruning —
+    # the inverted-file seek — which the join alone does not get
+    # (measured: Spark's dynamic partition pruning declines the
+    # filterless broadcast build side). Guarded to small literal lists
+    # (bounded by n_cells; a batch probing most cells gains nothing
+    # and huge In-lists cost driver-side plan analysis).
+    probed_cells = sorted({int(c) for row in probe_idx for c in row})
+    if len(probed_cells) <= 256:
+        enc = enc.filter(F.col("cell").isin(probed_cells))
     scored = (
         enc.join(F.broadcast(lut_df), ["cell", "j", "code"])
         .filter(F.col("id") != F.col("query_id"))

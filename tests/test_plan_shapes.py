@@ -477,3 +477,44 @@ def test_dsir_hashed_path_broadcasts_features(spark, sf_dir):
     target = docs.where(F.col("source") == "src0")
     hashed = plan_of(dsir_importance(docs, target, n_buckets=1024))
     assert "BroadcastHashJoin" in hashed
+
+
+def test_ivfpq_persisted_query_prunes_partitions(spark, tmp_path):
+    """The inverted-file seek on a persisted index is real partition
+    pruning: ivfpq_query pushes its driver-known probed-cell set as a
+    STATIC filter, so the cell-partitioned parquet scan must show a
+    PartitionFilters `cell IN (...)` entry with only the probed cells
+    (Spark's dynamic pruning declines the filterless broadcast build
+    side — measured — so the static filter is load-bearing)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from emodb_spark.pipeline.similarity import (
+        ivfpq_index,
+        ivfpq_load,
+        ivfpq_query,
+        ivfpq_save,
+    )
+
+    rng = random.Random(53)
+    base = [[rng.uniform(-0.5, 0.5) for _ in range(8)] for _ in range(24)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "vec_id long, embedding array<float>"
+    )
+    idx = ivfpq_index(df, n_cells=4, m=2, sub_k=4, iters=1)
+    path = str(tmp_path / "pq_idx")
+    ivfpq_save(idx, path)
+    enc, cents, books, scale = ivfpq_load(spark, path)
+    qrows = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in df.filter(F.col("vec_id") < 2)
+        .select("vec_id", "embedding").collect()
+    ]
+    q = ivfpq_query(enc, cents, books, qrows, n_probe=2, k=3)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [
+        l for l in plan.splitlines()
+        if "FileScan" in l and "PartitionFilters" in l and "cell" in l
+    ]
+    assert any("cell" in l and " IN " in l for l in scan_lines), plan[:2000]
