@@ -6831,7 +6831,7 @@ def _oracle_ivfpq(n_cells: int = 8, n_probe: int = 2, m: int = 4,
                   with_ndcg: bool = False, sdc_threshold=None,
                   rerank_k=None, append_mod=None, train_limit=None,
                   sdc_probe: int = 1, knn=None,
-                  sdc_verify_slack=None) -> str:
+                  sdc_verify_slack=None, knn_rerank=None) -> str:
     """Replays ivfpq_topk end-to-end in DuckDB. Integer throughout:
     after vq = floor(double(v)*scale), coarse k-means, residuals,
     sub-codebook k-means, encode and ADC are all int64 — the centroid
@@ -6845,7 +6845,10 @@ def _oracle_ivfpq(n_cells: int = 8, n_probe: int = 2, m: int = 4,
     re-encoded in its sdc_probe nearest cells; pairs take the MIN over
     their <=2 match directions). ``knn=(nq, k, n_probe)``: the
     DataFrame-native compressed kNN-join tail (query side probe-encoded,
-    code-to-code LUT distances, top-k per query)."""
+    code-to-code LUT distances, top-k per query); ``knn_rerank=K``
+    composes on it — knn's k becomes the SHORTLIST size, those rows
+    join back to the full quantized vectors for the exact distance and
+    the final top-K ranks on that (the verify-join shape, ranked)."""
     sub_d = dim // m
     ilq = ("list_reduce(list_transform(list_zip({a}, {b}),"
            " x -> (x[1]-x[2])*(x[1]-x[2])), (acc,v) -> acc+v)")
@@ -7011,6 +7014,8 @@ bd{it}_{j} AS (
 
     if sdc_verify_slack is not None and sdc_threshold is None:
         raise ValueError("sdc_verify_slack requires sdc_threshold")
+    if knn_rerank is not None and knn is None:
+        raise ValueError("knn_rerank composes on knn (the shortlist)")
     if knn is not None:
         # DataFrame-native compressed kNN join: query side probe-encoded,
         # (cell, j) equijoin vs enc, code-to-code LUT distance, top-k
@@ -7019,7 +7024,7 @@ bd{it}_{j} AS (
                 or append_mod is not None):
             raise ValueError("knn is exclusive of the other tails")
         knn_nq, knn_k, knn_np = knn
-        return prefix + f""", {sdl_cte()},
+        body = prefix + f""", {sdl_cte()},
 {qenc_ctes(knn_np, f' WHERE v.vec_id < {knn_nq}')}, kscored AS (
   SELECT q.vec_id AS query_id, e.vec_id AS nbr_id,
          CAST(SUM(l.d) AS BIGINT) AS dist_q
@@ -7027,13 +7032,40 @@ bd{it}_{j} AS (
   JOIN enc e ON q.cell = e.cell AND q.j = e.j AND q.vec_id <> e.vec_id
   JOIN sdl l ON l.j = q.j AND l.ca = q.code AND l.cb = e.code
   GROUP BY 1, 2
-)
+)"""
+        if knn_rerank is None:
+            return body + f"""
 SELECT query_id, nbr_id, dist_q, CAST(rank AS INT) AS rank FROM (
   SELECT query_id, nbr_id, dist_q,
          ROW_NUMBER() OVER (PARTITION BY query_id
            ORDER BY dist_q ASC, nbr_id ASC) AS rank
   FROM kscored
 ) WHERE rank <= {knn_k}
+"""
+        # exact re-rank over the SDC shortlist: knn_k-per-query rows
+        # join back to the full quantized vectors, top-knn_rerank on
+        # the exact integer distance (the verify-join shape, ranked)
+        return body + f""", kshort AS (
+  SELECT query_id, nbr_id FROM (
+    SELECT query_id, nbr_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY dist_q ASC, nbr_id ASC) AS rank
+    FROM kscored
+  ) WHERE rank <= {knn_k}
+), krer AS (
+  SELECT s.query_id, s.nbr_id,
+    {ilq.format(a='q.q', b='c.q')} AS dist_exact
+  FROM kshort s
+  JOIN vq q ON q.vec_id = s.query_id
+  JOIN vq c ON c.vec_id = s.nbr_id
+)
+SELECT query_id, nbr_id, CAST(dist_exact AS BIGINT) AS dist_exact,
+       CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, nbr_id, dist_exact,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY dist_exact ASC, nbr_id ASC) AS rank
+  FROM krer
+) WHERE rank <= {knn_rerank}
 """
     if sdc_threshold is not None:
         # (0 is a valid threshold — exact-code duplicates — so the gate

@@ -16,10 +16,44 @@ cartesian blowup.
 
 from __future__ import annotations
 
-from typing import Optional
+import logging
+from typing import NamedTuple, Optional
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
+
+
+class IvfPqIndex(NamedTuple):
+    """The canonical IVFADC index — what :func:`ivfpq_index` /
+    :func:`ivfpq_load` return and every ``index=`` parameter in the
+    ivfpq family accepts. A NamedTuple IS a tuple, so the historical
+    positional 4-tuple contract (enc, cents, books, scale) is
+    unchanged; the names exist so callers never misapply the OTHER
+    family's positional convention (a PQ 3-tuple's trailing element is
+    the scale, an ivfpq legacy 3-tuple's is the books — the named types
+    make the scale explicit in both)."""
+
+    enc: DataFrame     # (id, cell, j, code) — the compressed corpus
+    cents: list        # n_cells x dim integer coarse centroids
+    books: list        # m x sub_k x sub_d integer sub-codebooks
+    scale: int         # build-time fixed-point quantization scale
+
+
+class PqIndex(NamedTuple):
+    """The canonical flat-PQ index — the 3-tuple
+    :func:`pq_adc_topk` / :func:`pq_recall` accept as ``index=``:
+    (enc, books_q, scale). Distinct from :class:`IvfPqIndex` on
+    purpose: the trailing element here is the SCALE (there are no
+    coarse centroids), whereas an ivfpq LEGACY 3-tuple's trailing
+    element is the books — constructing either as its named type
+    instead of a bare tuple makes that divergence impossible to
+    misapply."""
+
+    enc: DataFrame     # (id, j, code) — the flat code table
+    books_q: list      # m x sub_k x sub_d QUANTIZED sub-codebooks
+    scale: int         # the scale books_q was quantized at
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -985,23 +1019,31 @@ def _probe_encode(vq: DataFrame, cents: list, books: list,
 
     Plan: one multi-probe assignment (broadcast equijoin + window), one
     broadcast (cell, carr) residual join producing n_probe rows per
-    vector, one (id, cell)-keyed sub-code equijoin. Returns
-    (id, cell, prank, j, code)."""
+    vector, one (id, cell)-keyed sub-code equijoin. Only the
+    ASSIGNMENT (id, cell, prank — three ints per probed row) is
+    checkpointed: it feeds both the residual compute and the final
+    prank join, and it is the expensive part (a corpus shuffle +
+    window). Residual vectors are recomputed from it in one cheap
+    broadcast join and never materialize — an n_probe x corpus x dim
+    int64 checkpoint here would be the one data-sized spill in an
+    otherwise O(model)-materialization family (the r10 advisory).
+    Returns (id, cell, prank, j, code)."""
     spark = vq.sparkSession
     sub_d = len(books[0][0])
-    asn = _int_assign_topn(vq, "q", cents, n_probe)
+    asn = _int_assign_topn(vq, "q", cents, n_probe).localCheckpoint(
+        eager=True  # 3 ints per probed row; feeds resid AND the prank join
+    )
     carr = spark.createDataFrame(
         [(ci, [int(v) for v in row]) for ci, row in enumerate(cents)],
         "cell int, carr array<long>",
     )
     resid = (
-        vq.join(asn, "id")
+        vq.join(asn.select("id", "cell"), "id")
         .join(F.broadcast(carr), "cell")
         .select(
-            "id", "cell", "prank",
+            "id", "cell",
             F.zip_with(F.col("q"), F.col("carr"), lambda a, b: a - b).alias("rv"),
         )
-        .localCheckpoint(eager=True)  # feeds slices AND the prank join
     )
     rex = resid.select(
         "id", "cell", F.posexplode("rv").alias("pos", "val")
@@ -1013,7 +1055,7 @@ def _probe_encode(vq: DataFrame, cents: list, books: list,
     )
     return (
         _subcode_assign(rex, books, keys=("id", "cell"))
-        .join(resid.select("id", "cell", "prank"), ["id", "cell"])
+        .join(asn.select("id", "cell", "prank"), ["id", "cell"])
         .select("id", "cell", "prank", "j", "code")
     )
 
@@ -1131,18 +1173,20 @@ def _qrows_df(spark: SparkSession, qrows: list, scale: int,
     )
 
 
-def _unpack_ivfpq_index(index, scale: int):
-    """Normalize a prebuilt ``index=`` tuple to (enc, cents, books,
-    scale). A 4-tuple carries the BUILD-TIME quantization scale, which
-    overrides the caller's parameter exactly the way the codebooks
-    override ``m``: an index built at a different scale would quantize
-    queries inconsistently and return wrong distances with no error.
-    3-tuples (the pre-r10 shape) fall back to the caller's scale —
-    callers constructing those by hand own the scale contract."""
+def _unpack_ivfpq_index(index, scale: int) -> IvfPqIndex:
+    """Normalize a prebuilt ``index=`` tuple to :class:`IvfPqIndex`
+    (enc, cents, books, scale). A 4-tuple carries the BUILD-TIME
+    quantization scale, which overrides the caller's parameter exactly
+    the way the codebooks override ``m``: an index built at a different
+    scale would quantize queries inconsistently and return wrong
+    distances with no error. 3-tuples (the pre-r10 shape) fall back to
+    the caller's scale — callers constructing those by hand own the
+    scale contract (and should prefer constructing the named types,
+    which make the PQ-vs-ivfpq trailing-element divergence explicit)."""
     if len(index) == 4:
-        return index
+        return IvfPqIndex(*index)
     enc, cents, books = index
-    return enc, cents, books, scale
+    return IvfPqIndex(enc, cents, books, scale)
 
 
 def ivfpq_encode_new(
@@ -1295,7 +1339,7 @@ def ivfpq_index(
         .join(resid.select("id", "cell"), "id")
         .select("id", "cell", "j", "code")
     )
-    return enc, cents, books, scale
+    return IvfPqIndex(enc, cents, books, scale)
 
 
 def ivfpq_save(index, path: str) -> None:
@@ -1337,7 +1381,67 @@ def ivfpq_load(spark: SparkSession, path: str):
     row = spark.read.json(os.path.join(path, "meta")).collect()[0]
     cents = [[int(v) for v in c] for c in row["cents"]]
     books = [[[int(v) for v in sc] for sc in b] for b in row["books"]]
-    return enc, cents, books, int(row["scale"])
+    return IvfPqIndex(enc, cents, books, int(row["scale"]))
+
+
+CURRENT_FILE = "_CURRENT"  # the stash _LATEST idiom, applied to indexes
+
+
+def ivfpq_publish(index, root: str) -> str:
+    """RETRAIN-AND-SWAP publish: write the index to the next versioned
+    directory under ``root`` (``v00001``, ``v00002``, ...) via
+    :func:`ivfpq_save`, then flip the ``_CURRENT`` pointer file
+    atomically (write-temp + rename — the same ``_LATEST`` idiom the
+    stash exporter uses, stash_layout.py, so readers following the
+    pointer never observe a half-written index). Returns the version
+    directory.
+
+    This is the retrain recipe the append path needs: encode arrivals
+    against frozen codebooks (:func:`ivfpq_encode_new`) until recall
+    drift crosses the budget (SCALE.md's r11 drift table quantifies
+    the decay — retrain when the appended-since-training fraction
+    passes ~50%), then rebuild with ``ivfpq_index(train_limit=...)``
+    (O(sample) Lloyd passes + one encode pass) and publish here; the
+    old version stays on disk for in-flight readers and rollback —
+    the same versioned-dir + one-atomic-flip shape as
+    DataStore.move_table (datastore.py). The pointer flip is a local
+    rename; an object-store deployment swaps it for a conditional
+    put of the same one-line file."""
+    import os
+
+    os.makedirs(root, exist_ok=True)
+    versions = [
+        d for d in os.listdir(root)
+        if d.startswith("v") and d[1:].isdigit()
+    ]
+    nxt = max((int(d[1:]) for d in versions), default=0) + 1
+    vname = f"v{nxt:05d}"
+    ivfpq_save(index, os.path.join(root, vname))
+    tmp = os.path.join(root, CURRENT_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(vname)
+    os.replace(tmp, os.path.join(root, CURRENT_FILE))
+    return os.path.join(root, vname)
+
+
+def ivfpq_current_version(root: str) -> str:
+    """The version directory ``_CURRENT`` points at (resolved per call,
+    so a publisher flipping mid-session is picked up by the next
+    reader). Raises FileNotFoundError when nothing was published."""
+    import os
+
+    with open(os.path.join(root, CURRENT_FILE)) as f:
+        vname = f.read().strip()
+    return os.path.join(root, vname)
+
+
+def ivfpq_load_current(spark: SparkSession, root: str) -> IvfPqIndex:
+    """Load the index ``_CURRENT`` points at — the reader half of
+    :func:`ivfpq_publish`: queries composed on the returned
+    :class:`IvfPqIndex` always run against the newest published
+    version, and a retrain-and-swap is invisible to them beyond the
+    pointer flip."""
+    return ivfpq_load(spark, ivfpq_current_version(root))
 
 
 def ivfpq_query(
@@ -1408,6 +1512,16 @@ def ivfpq_query(
     probed_cells = sorted({int(c) for row in probe_idx for c in row})
     if len(probed_cells) <= 256:
         enc = enc.filter(F.col("cell").isin(probed_cells))
+    else:
+        # perf-only, but invisible without this: on a cell-partitioned
+        # persisted index the static filter IS the inverted-file seek,
+        # so a batch wide enough to disengage it reads every partition
+        _log.warning(
+            "ivfpq_query: batch probes %d distinct cells (> 256) — "
+            "static partition filter disabled; a persisted index loses "
+            "partition pruning for this batch (split the query batch "
+            "to re-engage it)", len(probed_cells),
+        )
     scored = (
         enc.join(F.broadcast(lut_df), ["cell", "j", "code"])
         .filter(F.col("id") != F.col("query_id"))
@@ -1991,6 +2105,94 @@ def ivfpq_adc_join(
         .select(
             "query_id", "nbr_id",
             F.col("dist_q").cast("long").alias("dist_q"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def ivfpq_knn_rerank(
+    embeddings: DataFrame,
+    queries: Optional[DataFrame] = None,
+    k: int = 10,
+    shortlist_k: Optional[int] = None,
+    mode: str = "sdc",
+    n_probe: int = 2,
+    n_cells: int = 8,
+    m: int = 4,
+    sub_k: int = 16,
+    iters: int = 2,
+    scale: int = PQ_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index=None,
+    exclude_self: Optional[bool] = None,
+) -> DataFrame:
+    """DataFrame-native EXACT re-rank over the kNN-join shortlists —
+    the composition that closes the serving stack: :func:`ivfpq_knn_join`
+    (``mode="sdc"``) / :func:`ivfpq_adc_join` (``mode="adc"``) propose a
+    ``shortlist_k``-per-query candidate list with both sides staying
+    DataFrames, then ONLY those shortlist rows equijoin back to the
+    quantized vectors on BOTH sides for the exact integer distance, and
+    the final top-``k`` ranks on that (Jégou/Tavenard/Douze/Amsaleg
+    2011 re-rank-with-source-coding — the same refinement
+    :func:`ivfpq_rerank_topk` ships, WITHOUT its driver-side ``qrows``
+    contract: unbounded query batches re-rank distributed). It is
+    :func:`sdc_verified_near_dups`'s verify-join shape generalized from
+    threshold pairs to ranked lists.
+
+    ``embeddings`` (the corpus) is always required — the verify join
+    re-reads the vectors; ``index=`` still skips the build. Exact
+    distances are computed for O(n_q * shortlist_k) rows, never a
+    corpus scan, and everything after the 2^20 quantize is int64, so
+    the oracle replays shortlist + verify join + re-rank bit-for-bit.
+    ``shortlist_k`` defaults to ``3*k`` (the measured-good rerank
+    provisioning in SCALE.md's rerank study). With ``mode="adc"`` the
+    shortlist is differential-identical to :func:`ivfpq_query`'s, so
+    the result is row-equal to :func:`ivfpq_rerank_topk` on the same
+    index (pinned by a unit test). Returns
+    (query_id, nbr_id, dist_exact, rank<=k), ties by nbr_id."""
+    if embeddings is None:
+        raise ValueError(
+            "ivfpq_knn_rerank: embeddings required (the verify join "
+            "re-reads the corpus vectors)"
+        )
+    if mode not in ("sdc", "adc"):
+        raise ValueError(f"ivfpq_knn_rerank: unknown mode {mode!r}")
+    if shortlist_k is None:
+        shortlist_k = 3 * k
+    join_fn = ivfpq_knn_join if mode == "sdc" else ivfpq_adc_join
+    short = join_fn(
+        embeddings, queries=queries, k=shortlist_k, n_probe=n_probe,
+        n_cells=n_cells, m=m, sub_k=sub_k, iters=iters, scale=scale,
+        id_col=id_col, vec_col=vec_col, index=index,
+        exclude_self=exclude_self,
+    ).select("query_id", "nbr_id")
+    if index is not None:
+        _, _, _, scale = _unpack_ivfpq_index(index, scale)
+    qside = queries if queries is not None else embeddings
+    qv = qside.select(
+        F.col(id_col).alias("query_id"),
+        _quantize_col(F.col(vec_col), scale).alias("qv"),
+    )
+    cv = embeddings.select(
+        F.col(id_col).alias("nbr_id"),
+        _quantize_col(F.col(vec_col), scale).alias("cv"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("dist_exact"), F.asc("nbr_id")
+    )
+    return (
+        short.join(qv, "query_id")
+        .join(cv, "nbr_id")
+        .select(
+            "query_id", "nbr_id",
+            _int_sqdist(F.col("qv"), F.col("cv")).alias("dist_exact"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "nbr_id",
+            F.col("dist_exact").cast("long").alias("dist_exact"),
             F.col("rank").cast("int").alias("rank"),
         )
     )

@@ -3235,3 +3235,166 @@ def test_ivfpq_save_load_roundtrip(spark, tmp_path):
     assert any(
         d.startswith("cell=") for d in os.listdir(os.path.join(path, "enc"))
     )
+
+
+def test_ivfpq_knn_rerank_adc_matches_rerank_topk(spark):
+    """ivfpq_knn_rerank(mode="adc") is ivfpq_rerank_topk WITHOUT the
+    driver-side qrows contract: the ADC shortlist is differential-
+    identical to ivfpq_query's (pinned by the adc_join test), so on the
+    same index, query set and shortlist size the exact-reranked rows
+    must be IDENTICAL."""
+    import random
+
+    from emodb_spark.pipeline.similarity import (
+        ivfpq_index,
+        ivfpq_knn_rerank,
+        ivfpq_rerank_topk,
+    )
+
+    rng = random.Random(53)
+    base = [[rng.uniform(-0.5, 0.5) for _ in range(8)] for _ in range(25)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "vec_id long, embedding array<float>"
+    )
+    idx = ivfpq_index(df, n_cells=3, m=2, sub_k=4, iters=2)
+    nq, k, short = 6, 5, 12
+    qrows = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in df.filter(F.col("vec_id") < nq)
+        .select("vec_id", "embedding").collect()
+    ]
+    want = sorted(map(tuple, ivfpq_rerank_topk(
+        df, n_probe=2, n_queries=nq, k=k, shortlist=short,
+        index=idx, qrows=qrows,
+    ).collect()))
+    got = sorted(map(tuple, ivfpq_knn_rerank(
+        df, queries=df.filter(F.col("vec_id") < nq), k=k,
+        shortlist_k=short, mode="adc", n_probe=2, index=idx,
+        exclude_self=True,
+    ).collect()))
+    assert got == want and len(got) == nq * k
+
+
+def test_ivfpq_knn_rerank_sdc_exact_when_shortlist_covers(spark):
+    """With n_probe=n_cells and a shortlist covering the whole corpus,
+    the SDC shortlist proposes every (query, nbr) pair, so the exact
+    re-rank must equal the brute-force exact quantized top-k — ranks
+    AND distances (the composition removes ALL approximation when the
+    shortlist covers). Also pins the mode/input validation."""
+    import random
+
+    import pytest as _pytest
+
+    from emodb_spark.pipeline.similarity import (
+        exact_quantized_topk,
+        ivfpq_index,
+        ivfpq_knn_rerank,
+    )
+
+    rng = random.Random(61)
+    base = [[rng.uniform(-0.5, 0.5) for _ in range(8)] for _ in range(22)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "vec_id long, embedding array<float>"
+    )
+    idx = ivfpq_index(df, n_cells=3, m=2, sub_k=4, iters=2)
+    nq, k = 5, 6
+    got = sorted(map(tuple, ivfpq_knn_rerank(
+        df, queries=df.filter(F.col("vec_id") < nq), k=k,
+        shortlist_k=30, mode="sdc", n_probe=3, index=idx,
+        exclude_self=True,
+    ).select("query_id", "nbr_id", "rank").collect()))
+    want = sorted(map(tuple, exact_quantized_topk(
+        df, n_queries=nq, k=k,
+    ).select(
+        "query_id", "nbr_id", F.col("rank").cast("int").alias("rank")
+    ).collect()))
+    assert got == want and len(got) == nq * k
+
+    with _pytest.raises(ValueError, match="embeddings required"):
+        ivfpq_knn_rerank(None, queries=df, index=idx)
+    with _pytest.raises(ValueError, match="unknown mode"):
+        ivfpq_knn_rerank(df, mode="exact")
+
+
+def test_ivfpq_publish_load_current_swap(spark, tmp_path):
+    """ivfpq_publish/ivfpq_load_current: versioned dirs + the atomic
+    _CURRENT flip — readers see v1 until v2 publishes, then v2; the old
+    version stays on disk (rollback + in-flight readers); query results
+    through the pointer are identical to querying the published index
+    directly."""
+    import os
+    import random
+
+    from emodb_spark.pipeline.similarity import (
+        ivfpq_current_version,
+        ivfpq_index,
+        ivfpq_load_current,
+        ivfpq_publish,
+        ivfpq_query,
+    )
+
+    rng = random.Random(67)
+    base = [[rng.uniform(-0.5, 0.5) for _ in range(8)] for _ in range(24)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "vec_id long, embedding array<float>"
+    )
+    root = str(tmp_path / "idx_root")
+    idx1 = ivfpq_index(df, n_cells=3, m=2, sub_k=4, iters=2)
+    v1 = ivfpq_publish(idx1, root)
+    assert ivfpq_current_version(root) == v1 and v1.endswith("v00001")
+
+    qrows = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in df.filter(F.col("vec_id") < 4)
+        .select("vec_id", "embedding").collect()
+    ]
+    cur = ivfpq_load_current(spark, root)
+    got1 = sorted(map(tuple, ivfpq_query(
+        cur.enc, cur.cents, cur.books, qrows, n_probe=2, k=5).collect()))
+    want1 = sorted(map(tuple, ivfpq_query(
+        idx1.enc, idx1.cents, idx1.books, qrows, n_probe=2, k=5).collect()))
+    assert got1 == want1
+
+    # retrain (sampled — the at-scale recipe) and swap
+    idx2 = ivfpq_index(df, n_cells=3, m=2, sub_k=4, iters=2, train_limit=8)
+    v2 = ivfpq_publish(idx2, root)
+    assert ivfpq_current_version(root) == v2 and v2.endswith("v00002")
+    assert os.path.isdir(v1)  # old version retained
+    cur2 = ivfpq_load_current(spark, root)
+    assert cur2.cents == idx2.cents and cur2.books == idx2.books
+    got2 = sorted(map(tuple, ivfpq_query(
+        cur2.enc, cur2.cents, cur2.books, qrows, n_probe=2, k=5).collect()))
+    want2 = sorted(map(tuple, ivfpq_query(
+        idx2.enc, idx2.cents, idx2.books, qrows, n_probe=2, k=5).collect()))
+    assert got2 == want2 and idx2.cents != idx1.cents
+
+
+def test_ivfpq_named_index_types(spark):
+    """IvfPqIndex/PqIndex are tuples (positional contracts unchanged)
+    with named fields carrying the scale explicitly — the r10 advisory
+    on positional-length dispatch divergence between the families."""
+    import random
+
+    from emodb_spark.pipeline.similarity import (
+        PQ_SCALE,
+        IvfPqIndex,
+        PqIndex,
+        _pq_quantize,
+        ivfpq_index,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    rng = random.Random(71)
+    base = [[rng.uniform(-0.5, 0.5) for _ in range(8)] for _ in range(18)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "vec_id long, embedding array<float>"
+    )
+    idx = ivfpq_index(df, n_cells=3, m=2, sub_k=4, iters=2)
+    assert isinstance(idx, IvfPqIndex) and isinstance(idx, tuple)
+    enc, cents, books, scale = idx  # positional unpack still works
+    assert idx.scale == scale == PQ_SCALE and idx.books is books
+
+    books_q = _pq_quantize(pq_codebooks(df, m=2, sub_k=4, iters=2), PQ_SCALE)
+    pidx = PqIndex(pq_encode(df, books_q, PQ_SCALE), books_q, PQ_SCALE)
+    assert len(pidx) == 3 and pidx.scale == PQ_SCALE and pidx[2] == PQ_SCALE
