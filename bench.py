@@ -63,6 +63,9 @@ BENCH_QUERIES = [
     "ivfpq_persist",         # save/load roundtrip (cell-partitioned layout)
     "sdc_multiprobe",        # 2nd-nearest-cell probe pairs (boundary recall)
     "sdc_verified",          # SDC candidates -> exact verify join dedup
+    "ivfpq_knn_rerank",      # exact re-rank over the SDC kNN-join shortlist
+    "ivfpq_adc_rerank",      # exact re-rank over the ADC-join shortlist
+    "ivfpq_retrain_swap",    # versioned publish + _CURRENT pointer flip
     # analytics
     "pricing_summary",
     "revenue_by_nation",
@@ -392,6 +395,21 @@ def _isolated_run(names, sf_dir: str, batch: int):
     return timings, errors, batch_loads
 
 
+def _loaded_chunks(names, batch: int, batch_loads, bound: float):
+    """Queries whose batch ran under ambient load: chunk i covers
+    names[i*batch:(i+1)*batch] and is flagged when EITHER end of its
+    (start, end) 1-min load-average pair exceeds ``bound``. A None
+    load record (child died) is skipped — those queries are already
+    error-stamped. Pure function so the rerun policy is unit-testable."""
+    flagged = []
+    for i, ld in enumerate(batch_loads):
+        if not ld:
+            continue
+        if max(ld) > bound:
+            flagged.extend(names[i * batch:(i + 1) * batch])
+    return flagged
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -420,6 +438,32 @@ def main() -> None:
         qs = entrymod.queries()
         names = [n for n in BENCH_QUERIES if n in qs]
         timings, errors, batch_loads = _isolated_run(names, sf_dir, batch)
+        # LOAD-AWARE RERUN: identical-code runs spread 167-217s under
+        # ambient load (r10 closing note), so a batch whose (start, end)
+        # 1-min load average exceeds the bound gets ONE automatic
+        # re-measurement; BOTH numbers land in the artifact and the
+        # official timing takes the min (min-of-runs measures the code,
+        # the raw pair preserves the evidence) — the committed artifact
+        # self-corrects instead of requiring a hand-picked quiet run.
+        load_bound = float(os.environ.get(
+            "SPARK_GRAFT_LOAD_BOUND", (os.cpu_count() or 8) / 4
+        ))
+        load_reruns = {}
+        rerun_names = _loaded_chunks(names, batch, batch_loads, load_bound)
+        rerun_names = [n for n in rerun_names if n in timings]
+        if rerun_names and os.environ.get("SPARK_GRAFT_LOAD_RERUN", "1") != "0":
+            print(
+                f"# load-aware rerun: {len(rerun_names)} queries from "
+                f"batches whose load1 exceeded {load_bound:.1f}",
+                file=sys.stderr,
+            )
+            re_t, _re_e, re_loads = _isolated_run(rerun_names, sf_dir, batch)
+            for q, t2 in re_t.items():
+                t1 = timings[q]
+                load_reruns[q] = {"first": t1, "rerun": t2}
+                if t2 < t1:
+                    timings[q] = t2
+            batch_loads.extend(re_loads)
         for n in BENCH_QUERIES:
             if n not in qs:
                 errors[n] = "not in queries()"
@@ -432,6 +476,8 @@ def main() -> None:
         _warmup(spark, sf_dir)
         timings, errors = _run_queries(spark, qs, BENCH_QUERIES, sf_dir)
         batch_loads = []
+        load_reruns = {}
+        load_bound = None
         all_registered = set(qs)
 
     total = round(sum(timings.values()), 3)
@@ -456,6 +502,11 @@ def main() -> None:
         # load from the artifact alone (r8 What's-wrong #1) — stays in
         # BENCH_FULL.json only, the printed line must remain <1800 chars
         "batch_load1": batch_loads,
+        # queries automatically re-measured because their batch ran
+        # under ambient load (> load_bound): {q: {first, rerun}} — the
+        # official timing above is the min of the pair
+        "load_bound": load_bound,
+        "load_reruns": load_reruns,
         # no silent caps: registered queries NOT in BENCH_QUERIES — I/O
         # round-trip gates (stash/blob/queue writers), streaming-parity
         # folds and tiny metadata scans whose time is fixed setup cost,
@@ -478,6 +529,8 @@ def main() -> None:
     # the full not_benched list lives in BENCH_FULL.json, count here
     out["n_not_benched"] = len(out.pop("not_benched"))
     out.pop("batch_load1", None)
+    out.pop("load_bound", None)
+    out["n_load_rerun"] = len(out.pop("load_reruns") or {})
     out["full"] = "BENCH_FULL.json"
     by_time = sorted(timings.items(), key=lambda kv: -kv[1])
     keep = dict(by_time)

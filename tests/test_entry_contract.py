@@ -80,3 +80,16 @@ def test_release_on_gc_unpersists(spark):
     del result
     gc.collect()
     assert not pinned.storageLevel.useMemory
+
+
+def test_loaded_chunks_rerun_policy():
+    """bench._loaded_chunks flags exactly the queries whose batch's
+    (start, end) load1 pair crossed the bound; None records (dead
+    child) are skipped — those queries are already error-stamped."""
+    names = [f"q{i}" for i in range(8)]
+    loads = [[1.0, 2.0], [9.0, 1.0], None, [1.0, 8.5]]
+    got = bench._loaded_chunks(names, 2, loads, 8.0)
+    assert got == ["q2", "q3", "q6", "q7"]
+    assert bench._loaded_chunks(names, 2, loads, 100.0) == []
+    # batch bigger than the name list: the slice naturally truncates
+    assert bench._loaded_chunks(["a"], 4, [[50, 50]], 8.0) == ["a"]
