@@ -8242,10 +8242,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # exact re-rank over the kNN-join shortlists; ivfpq_retrain_swap —
     # versioned publish + _CURRENT pointer flip), then the 13 gates
     # whose kernels round 11 touched (_probe_encode now checkpoints only
-    # the assignment -> sdc_near_dups/sdc_multiprobe/sdc_verified/
-    # ivfpq_knn_join; ivfpq_index/ivfpq_load return the named
-    # IvfPqIndex and ivfpq_query gained the guard warning -> the rest
-    # of the ivfpq family; pq/bm25/kmeans kernels are UNTOUCHED this
+    # the assignment -> sdc_multiprobe/sdc_verified/ivfpq_knn_join;
+    # ivfpq_index/ivfpq_load return the named IvfPqIndex,
+    # _unpack_ivfpq_index constructs it, and ivfpq_query gained the
+    # guard warning -> sdc_near_dups and the rest of the ivfpq family;
+    # pq/bm25/kmeans kernels are UNTOUCHED this
     # round, no re-witness), then the oldest-alphabetical 34 of the 45
     # window-eligible r7-era driver rows. The remaining ELEVEN r7-era
     # rows (phrase_search, pipeline_funnel, queue_dedup, queue_kafka,

@@ -1400,7 +1400,9 @@ def ivfpq_publish(index, root: str) -> str:
     against frozen codebooks (:func:`ivfpq_encode_new`) until recall
     drift crosses the budget (SCALE.md's r11 drift table quantifies
     the decay — retrain when the appended-since-training fraction
-    passes ~50%), then rebuild with ``ivfpq_index(train_limit=...)``
+    passes ~25-50%, or sooner when recall on queries from the NEW
+    distribution is load-bearing: that is where the measured loss
+    concentrates), then rebuild with ``ivfpq_index(train_limit=...)``
     (O(sample) Lloyd passes + one encode pass) and publish here; the
     old version stays on disk for in-flight readers and rollback —
     the same versioned-dir + one-atomic-flip shape as

@@ -1,0 +1,160 @@
+"""Round-11 IVFADC probe: APPEND-PATH RECALL DRIFT.
+
+ivfpq_encode_new encodes arrivals against FROZEN codebooks — correct by
+construction (encoding is a pure per-vector function), but as the
+appended-since-training fraction grows the codebooks describe a
+shrinking share of the corpus, so recall against the full corpus can
+decay. This probe quantifies that decay and calibrates the retrain
+trigger ivfpq_publish documents:
+
+  base corpus B (trained + encoded) -> append f*|B| new vectors with
+  ivfpq_encode_new (f = 0.25 / 0.5 / 1.0) -> recall@10 over the FINAL
+  corpus, queries drawn half from B and half from the arrivals, vs the
+  SAME-PARAMS full rebuild on the final corpus (codebooks retrained on
+  everything).
+
+Both builds train FULL-corpus on purpose: ivfpq_index(train_limit=N)
+samples the lowest-N ids, so a train-limited rebuild of a grown corpus
+would train on the SAME ids as the base build and measure zero drift
+artifactually. The synthesized arrivals are cyclic shifts of the base
+vectors (tools/scale_probe.py), i.e. a genuine distribution shift —
+the hard case for frozen codebooks.
+
+Usage: python tools/probe_ivfpq_drift_r11.py
+(expects /tmp/sf1_probe from tools/scale_probe.py; falls back to the
+sf0.1 2k-vector corpus if missing)
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SF1 = "/tmp/sf1_probe"
+K = 10
+N_PROBE = 2
+N_QUERIES = 128
+
+
+def main() -> int:
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from emodb_spark.pipeline.similarity import (
+        IvfPqIndex,
+        ivfpq_encode_new,
+        ivfpq_index,
+        ivfpq_recall,
+    )
+    from emodb_spark.spark.session import get_spark
+
+    spark = get_spark(app_name="probe_ivfpq_drift_r11")
+    path = os.path.join(SF1, "embeddings.parquet")
+    n_cells = 24
+    if not os.path.exists(path):
+        path = os.path.join(SF01, "embeddings.parquet")
+        n_cells = 8
+        print(f"# sf1 probe data missing — falling back to {path}",
+              file=sys.stderr)
+    emb = spark.read.parquet(path)
+    n_total = emb.count()
+    # base = lowest half of the id space; arrivals appended in id order
+    ids = sorted(r[0] for r in emb.select("vec_id").collect())
+    n_base = n_total // 2
+    base_max = ids[n_base - 1]
+    base = emb.filter(F.col("vec_id") <= base_max)
+
+    t0 = time.time()
+    bidx = ivfpq_index(base, n_cells=n_cells)
+    benc = bidx.enc.localCheckpoint(eager=True)
+    print(json.dumps({
+        "probe": "append_drift", "corpus": path, "n_total": n_total,
+        "n_base": n_base, "n_cells": n_cells,
+        "base_build_s": round(time.time() - t0, 2),
+    }), flush=True)
+
+    for frac in (0.25, 0.5, 1.0):
+        n_app = int(n_base * frac)
+        app_max = ids[n_base + n_app - 1]
+        arrivals = emb.filter(
+            (F.col("vec_id") > base_max) & (F.col("vec_id") <= app_max)
+        )
+        final = emb.filter(F.col("vec_id") <= app_max)
+        # queries: 32 from the base, 32 from the arrivals (evenly spaced)
+        qids = (
+            ids[: n_base : max(1, n_base // (N_QUERIES // 2))][: N_QUERIES // 2]
+            + ids[n_base : n_base + n_app : max(1, n_app // (N_QUERIES // 2))][
+                : N_QUERIES // 2
+            ]
+        )
+        qrows = [
+            (int(r["vec_id"]), list(r["embedding"]))
+            for r in final.filter(F.col("vec_id").isin(qids))
+            .select("vec_id", "embedding").collect()
+        ]
+
+        def avg_recall(index, n_probe=N_PROBE):
+            """(overall, base-queries, arrival-queries) mean recall_ppm
+            — the split shows WHERE the frozen codebooks lose recall.
+            n_probe=n_cells (exhaustive probing) isolates CODEBOOK
+            drift: with every cell probed, recall loss is purely
+            code-quantization error, the thing frozen codebooks
+            accumulate — at the serving point (n_probe=2) probe loss
+            dominates and drowns the signal."""
+            rows = ivfpq_recall(
+                final, n_probe=n_probe, k=K, index=index, qrows=qrows
+            ).collect()
+            overall = sum(r["recall_ppm"] for r in rows) // len(rows)
+            b = [r["recall_ppm"] for r in rows if r["query_id"] <= base_max]
+            a = [r["recall_ppm"] for r in rows if r["query_id"] > base_max]
+            return overall, sum(b) // len(b), sum(a) // len(a)
+
+        gc.collect()
+        spark.catalog.clearCache()
+        # -- append path: frozen codebooks, arrivals encoded on top
+        t0 = time.time()
+        app_enc = ivfpq_encode_new(arrivals, bidx.cents, bidx.books)
+        aidx = IvfPqIndex(
+            benc.unionByName(app_enc), bidx.cents, bidx.books, bidx.scale
+        )
+        rec_a, rec_a_base, rec_a_arr = avg_recall(aidx)
+        cb_a, cb_a_base, cb_a_arr = avg_recall(aidx, n_probe=n_cells)
+        t_append = round(time.time() - t0, 2)
+
+        # -- rebuild: same params, codebooks retrained on the final corpus
+        t0 = time.time()
+        ridx = ivfpq_index(final, n_cells=n_cells)
+        rec_r, rec_r_base, rec_r_arr = avg_recall(ridx)
+        cb_r, cb_r_base, cb_r_arr = avg_recall(ridx, n_probe=n_cells)
+        t_rebuild = round(time.time() - t0, 2)
+
+        print(json.dumps({
+            "probe": "append_drift", "appended_frac": frac,
+            "n_final": n_base + n_app,
+            # serving point (n_probe=2): probe loss + codebook loss
+            "recall_ppm_append": rec_a,
+            "recall_ppm_rebuild": rec_r,
+            "drift_ppm": rec_r - rec_a,
+            "append_base_q": rec_a_base, "append_arrival_q": rec_a_arr,
+            "rebuild_base_q": rec_r_base, "rebuild_arrival_q": rec_r_arr,
+            # exhaustive probing (n_probe=n_cells): pure CODEBOOK drift
+            "codebook_ppm_append": cb_a,
+            "codebook_ppm_rebuild": cb_r,
+            "codebook_drift_ppm": cb_r - cb_a,
+            "codebook_append_base_q": cb_a_base,
+            "codebook_append_arrival_q": cb_a_arr,
+            "codebook_rebuild_base_q": cb_r_base,
+            "codebook_rebuild_arrival_q": cb_r_arr,
+            "append_eval_s": t_append, "rebuild_eval_s": t_rebuild,
+        }), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
