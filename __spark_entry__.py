@@ -7259,6 +7259,11 @@ ORACLE_IVFPQ_ADC_RERANK = _oracle_ivfpq(nq=24, k=15, rerank_k=5)
 # like the sample-retrained rebuild (k=12 keeps it distinct from the
 # sample_train gate's query shape)
 ORACLE_IVFPQ_RETRAIN_SWAP = _oracle_ivfpq(train_limit=256, k=12)
+# streaming index maintenance: base-trained save + micro-batched
+# appends must equal the one-shot base-trained build (train-on-base ==
+# the lowest-256-id slice, so the train_limit replay IS the oracle;
+# k=9 keeps the output distinct from the other train_limit gates)
+ORACLE_IVFPQ_STREAM_APPEND = _oracle_ivfpq(train_limit=256, k=9)
 ORACLE_IVFPQ_RERANK = _oracle_ivfpq(k=30, rerank_k=10)
 ORACLE_IVFPQ_APPEND = _oracle_ivfpq(append_mod=5)
 
@@ -7438,6 +7443,63 @@ def _ivfpq_gate_savedir(spark: SparkSession, sf_dir: str) -> str:
         return (work,)
 
     return _gate_index("ivfpq_savedir", {}, spark, sf_dir, build)[0]
+
+
+def q_ivfpq_stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING INDEX MAINTENANCE (emodb_spark.pipeline.similarity.
+    ivfpq_append_to_saved — the foreachBatch body): the index is built
+    and SAVED on the lowest-256-id base corpus, then the remaining
+    vectors arrive in three micro-batches, each encoded against the
+    persisted sidecar's frozen codebooks and APPENDED to the
+    cell-partitioned parquet in place; the reloaded index must answer
+    EXACTLY like a one-shot build whose codebooks trained on that same
+    base — the oracle is the train_limit=256 replay (encoding is a pure
+    per-vector function, so ANY micro-batch split appends the identical
+    code table: the batch-parity contract the streaming fold gates use,
+    applied to index maintenance). The save + 3 appends run once per
+    session; the load + query run per invocation."""
+    from emodb_spark.pipeline.similarity import ivfpq_load, ivfpq_topk
+
+    loaded = ivfpq_load(spark, _ivfpq_gate_stream_dir(spark, sf_dir))
+    emb = _read(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb, n_probe=2, n_queries=8, k=9, index=loaded,
+        qrows=_ivfpq_gate_qrows(spark, sf_dir),
+    )
+
+
+def _ivfpq_gate_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Base-corpus index saved + arrivals appended in 3 micro-batches,
+    once per session; removed at interpreter exit."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from emodb_spark.pipeline.similarity import (
+        ivfpq_append_to_saved,
+        ivfpq_index,
+        ivfpq_save,
+    )
+
+    def build(p):
+        work = tempfile.mkdtemp(prefix="ivfpq_stream_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        emb = _read(spark, sf_dir, "embeddings")
+        base_n = p.pop("base_n")
+        ivfpq_save(ivfpq_index(emb.filter(F.col("vec_id") < base_n), **p),
+                   work)
+        arrivals = emb.filter(F.col("vec_id") >= base_n)
+        for i in range(3):  # any micro-batch split must give parity
+            ivfpq_append_to_saved(
+                arrivals.filter(F.col("vec_id") % 3 == i), work
+            )
+        return (work,)
+
+    return _gate_index(
+        "ivfpq_stream",
+        dict(n_cells=8, m=4, sub_k=16, iters=2, base_n=256),
+        spark, sf_dir, build,
+    )[0]
 
 
 def q_ivfpq_knn_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8073,6 +8135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_knn_rerank": q_ivfpq_knn_rerank,
         "ivfpq_adc_rerank": q_ivfpq_adc_rerank,
         "ivfpq_retrain_swap": q_ivfpq_retrain_swap,
+        "ivfpq_stream_append": q_ivfpq_stream_append,
         "ivfpq_persist": q_ivfpq_persist,
         "sdc_multiprobe": q_sdc_multiprobe,
         "sdc_verified": q_sdc_verified,
@@ -8237,22 +8300,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
     }
     # The driver records CORRECTNESS from the FIRST 50 entries, so the
-    # window below leads the dict. Round-11 window: the THREE r11-new
+    # window below leads the dict. Round-11 window: the FOUR r11-new
     # gates lead (ivfpq_knn_rerank / ivfpq_adc_rerank — DataFrame-native
     # exact re-rank over the kNN-join shortlists; ivfpq_retrain_swap —
-    # versioned publish + _CURRENT pointer flip), then the 13 gates
+    # versioned publish + _CURRENT pointer flip; ivfpq_stream_append —
+    # micro-batched append to the persisted layout), then the 13 gates
     # whose kernels round 11 touched (_probe_encode now checkpoints only
     # the assignment -> sdc_multiprobe/sdc_verified/ivfpq_knn_join;
     # ivfpq_index/ivfpq_load return the named IvfPqIndex,
     # _unpack_ivfpq_index constructs it, and ivfpq_query gained the
     # guard warning -> sdc_near_dups and the rest of the ivfpq family;
     # pq/bm25/kmeans kernels are UNTOUCHED this
-    # round, no re-witness), then the oldest-alphabetical 34 of the 45
-    # window-eligible r7-era driver rows. The remaining ELEVEN r7-era
-    # rows (phrase_search, pipeline_funnel, queue_dedup, queue_kafka,
-    # simhash_near_dups, source_cap, star_clusters, text_stats,
-    # timeline_events, top_orders, vocab_topk) defer to r12 — they are
-    # judge-green via tools/oracle_check.py every round; see COVERAGE.md.
+    # round, no re-witness), then the oldest-alphabetical 33 of the 45
+    # window-eligible r7-era driver rows. The remaining TWELVE r7-era
+    # rows (paragraph_dedup, phrase_search, pipeline_funnel, queue_dedup,
+    # queue_kafka, simhash_near_dups, source_cap, star_clusters,
+    # text_stats, timeline_events, top_orders, vocab_topk) defer to r12
+    # — they are judge-green via tools/oracle_check.py every round; see
+    # COVERAGE.md.
     # Rows-only queries (compression_ratio, bpe_merges) are EXCLUDED by
     # design: the driver can only ever record `no_oracle` for them,
     # which wastes a certifiable slot; they stay differential-tested in
@@ -8262,13 +8327,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window = [
         # r11-new gates
         "ivfpq_knn_rerank", "ivfpq_adc_rerank", "ivfpq_retrain_swap",
+        "ivfpq_stream_append",
         # kernels changed in round 11 (probe-encode checkpoint slim +
         # named index types + the ivfpq_query guard warning)
         "sdc_near_dups", "sdc_multiprobe", "sdc_verified",
         "ivfpq_knn_join", "ivfpq_adc_join", "ivfpq_topk",
         "ivfpq_recall", "ivfpq_mrr", "ivfpq_ndcg", "ivfpq_rerank",
         "ivfpq_append", "ivfpq_sample_train", "ivfpq_persist",
-        # r7-era rows, oldest 34 alphabetical (compression_ratio is
+        # r7-era rows, oldest 33 alphabetical (compression_ratio is
         # rows-only and contract-excluded)
         "bloom_filters", "bloom_join_reduction", "budget_sample",
         "card_scan", "cms_stream_heavy", "condition_generic_json",
@@ -8280,7 +8346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters", "inverted_index", "k_anonymity", "kmv_distinct",
         "kmv_stream_est", "local_supply", "merge_orders",
         "min_cost_supplier", "nation_trade", "negative_samples",
-        "order_priority", "paragraph_dedup",
+        "order_priority",
     ]
     # window integrity (size 50, no dupes, all registered, no rows-only
     # queries) is enforced by tests/test_entry_contract.py — NOT asserted
@@ -8314,6 +8380,7 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_knn_rerank": ORACLE_IVFPQ_KNN_RERANK,
         "ivfpq_adc_rerank": ORACLE_IVFPQ_ADC_RERANK,
         "ivfpq_retrain_swap": ORACLE_IVFPQ_RETRAIN_SWAP,
+        "ivfpq_stream_append": ORACLE_IVFPQ_STREAM_APPEND,
         "ivfpq_persist": ORACLE_IVFPQ_TOPK,
         "sdc_multiprobe": ORACLE_SDC_MULTIPROBE,
         "sdc_verified": ORACLE_SDC_VERIFIED,

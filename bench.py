@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "ivfpq_knn_rerank",      # exact re-rank over the SDC kNN-join shortlist
     "ivfpq_adc_rerank",      # exact re-rank over the ADC-join shortlist
     "ivfpq_retrain_swap",    # versioned publish + _CURRENT pointer flip
+    "ivfpq_stream_append",   # micro-batched append to the persisted layout
     # analytics
     "pricing_summary",
     "revenue_by_nation",

@@ -1437,6 +1437,46 @@ def ivfpq_current_version(root: str) -> str:
     return os.path.join(root, vname)
 
 
+def ivfpq_append_to_saved(
+    new_embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """STREAMING INDEX MAINTENANCE: encode an arrival batch against the
+    codebooks persisted at ``path`` (:func:`ivfpq_save`'s sidecar) and
+    APPEND the (id, cell, j, code) rows to the cell-partitioned parquet
+    in place — this is the ``foreachBatch`` body that keeps a persisted
+    index fresh as a corpus ingests::
+
+        arrivals.writeStream.foreachBatch(
+            lambda batch, _id: ivfpq_append_to_saved(batch, path))
+
+    Because encoding is a pure per-vector function of frozen codebooks
+    (:func:`ivfpq_encode_new`), ANY micro-batch split appends the
+    identical code table a one-shot encode would — the same
+    batch-parity contract the streaming fold gates certify (and the
+    idempotence caveat is the same: a replayed micro-batch appends
+    duplicate rows, so an exactly-once sink or a dedup-on-read guard
+    is the deployment's responsibility, exactly as with every
+    append-only parquet sink in this repo). At 100 TB the append
+    touches only the arriving rows' cell partitions; the
+    already-encoded corpus is never rewritten. Retrain policy stays
+    with :func:`ivfpq_publish`."""
+    import os
+
+    spark = new_embeddings.sparkSession
+    row = spark.read.json(os.path.join(path, "meta")).collect()[0]
+    cents = [[int(v) for v in c] for c in row["cents"]]
+    books = [[[int(v) for v in sc] for sc in b] for b in row["books"]]
+    enc_new = ivfpq_encode_new(
+        new_embeddings, cents, books, int(row["scale"]), id_col, vec_col
+    )
+    enc_new.write.mode("append").partitionBy("cell").parquet(
+        os.path.join(path, "enc")
+    )
+
+
 def ivfpq_load_current(spark: SparkSession, root: str) -> IvfPqIndex:
     """Load the index ``_CURRENT`` points at — the reader half of
     :func:`ivfpq_publish`: queries composed on the returned

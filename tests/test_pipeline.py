@@ -3398,3 +3398,61 @@ def test_ivfpq_named_index_types(spark):
     books_q = _pq_quantize(pq_codebooks(df, m=2, sub_k=4, iters=2), PQ_SCALE)
     pidx = PqIndex(pq_encode(df, books_q, PQ_SCALE), books_q, PQ_SCALE)
     assert len(pidx) == 3 and pidx.scale == PQ_SCALE and pidx[2] == PQ_SCALE
+
+
+def test_ivfpq_append_to_saved_microbatch_parity(spark, tmp_path):
+    """ivfpq_append_to_saved (the foreachBatch body): a base-trained
+    saved index plus arrivals appended in THREE micro-batches must
+    reload as exactly the code table a one-shot encode of everything
+    against the same codebooks gives — batch parity applied to index
+    maintenance — and queries on the reloaded index must match the
+    in-memory composition."""
+    import random
+
+    from emodb_spark.pipeline.similarity import (
+        IvfPqIndex,
+        ivfpq_append_to_saved,
+        ivfpq_encode_new,
+        ivfpq_index,
+        ivfpq_load,
+        ivfpq_query,
+        ivfpq_save,
+    )
+
+    rng = random.Random(73)
+    base_v = [[rng.uniform(-0.5, 0.5) for _ in range(8)] for _ in range(26)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base_v)],
+        "vec_id long, embedding array<float>",
+    )
+    base = df.filter(F.col("vec_id") < 13)
+    arrivals = df.filter(F.col("vec_id") >= 13)
+    idx = ivfpq_index(base, n_cells=3, m=2, sub_k=4, iters=2)
+    path = str(tmp_path / "stream_idx")
+    ivfpq_save(idx, path)
+    for i in range(3):  # any split must give parity
+        ivfpq_append_to_saved(arrivals.filter(F.col("vec_id") % 3 == i), path)
+    loaded = ivfpq_load(spark, path)
+
+    want_enc = sorted(map(tuple, idx.enc.unionByName(
+        ivfpq_encode_new(arrivals, idx.cents, idx.books)
+    ).collect()))
+    got_enc = sorted(map(tuple, loaded.enc.collect()))
+    assert got_enc == want_enc
+    assert loaded.cents == idx.cents and loaded.books == idx.books
+
+    qrows = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in df.filter(F.col("vec_id") < 4)
+        .select("vec_id", "embedding").collect()
+    ]
+    mem = IvfPqIndex(
+        idx.enc.unionByName(ivfpq_encode_new(arrivals, idx.cents, idx.books)),
+        idx.cents, idx.books, idx.scale,
+    )
+    want = sorted(map(tuple, ivfpq_query(
+        mem.enc, mem.cents, mem.books, qrows, n_probe=2, k=5).collect()))
+    got = sorted(map(tuple, ivfpq_query(
+        loaded.enc, loaded.cents, loaded.books, qrows, n_probe=2, k=5
+    ).collect()))
+    assert got == want
