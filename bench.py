@@ -446,8 +446,14 @@ def main() -> None:
         # official timing takes the min (min-of-runs measures the code,
         # the raw pair preserves the evidence) — the committed artifact
         # self-corrects instead of requiring a hand-picked quiet run.
+        # Bound default cpus/2: calibrated on a QUIET box (r11) where
+        # the bench's OWN sequential children read start/end load1 of
+        # 3-14.5 (the 1-min average carries each child's 32-thread work
+        # across batch boundaries) — cpus/4 flagged half the batches as
+        # self-load false positives; external load stacks ON TOP of
+        # that band, so genuinely ambient-loaded runs still trip cpus/2.
         load_bound = float(os.environ.get(
-            "SPARK_GRAFT_LOAD_BOUND", (os.cpu_count() or 8) / 4
+            "SPARK_GRAFT_LOAD_BOUND", (os.cpu_count() or 8) / 2
         ))
         load_reruns = {}
         rerun_names = _loaded_chunks(names, batch, batch_loads, load_bound)
