@@ -7445,6 +7445,82 @@ def _ivfpq_gate_savedir(spark: SparkSession, sf_dir: str) -> str:
     return _gate_index("ivfpq_savedir", {}, spark, sf_dir, build)[0]
 
 
+def q_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized retrieval (emodb_spark.pipeline.similarity.
+    binary_quantize + hamming_topk): sign-bit packing (v>=0 -> 1,
+    MSB-first integer fold into 8-bit words — no shift builtins, no
+    overflow, bit-identical on both engines), then exact top-10 under
+    Hamming distance (bit_count(xor) folded across words, pure codegen)
+    for 8 broadcast queries over one packed-projection scan — the
+    cheapest retrieval tier below PQ: 32x smaller than float32, the
+    sign-LSH angular-distance approximation (Charikar 2002). The
+    oracle replays packing + distance + ranking in one SQL statement."""
+    from emodb_spark.pipeline.similarity import hamming_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return hamming_topk(emb, n_queries=8, k=10, word_bits=8)
+
+
+def q_hamming_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GUARANTEED-RECALL Hamming near-dups (emodb_spark.pipeline.
+    similarity.hamming_near_dups): the pigeonhole banding PassJoin
+    applies to strings, applied to bits — 64 sign bits split into 16
+    four-bit bands (auto-selected: the widest divisor yielding
+    threshold+1 bands), so two vectors within 15 differing bits MUST
+    share a band and the same-(band, value) equijoin proposes every
+    true pair; exact bit_count verify filters. Unlike MinHash/SimHash
+    banding the recall is 1.0 by construction, so the oracle is the
+    BRUTE-FORCE pair scan + threshold — certifying the guarantee, not
+    just the plan."""
+    from emodb_spark.pipeline.similarity import hamming_near_dups
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return hamming_near_dups(emb, threshold=15)
+
+
+def _oracle_hamming(word_bits: int, nq=None, k=None, threshold=None,
+                    dim: int = 64) -> str:
+    """Sign-bit packing + Hamming distance in DuckDB: the identical
+    MSB-first integer fold (acc*2 + bit) and bit_count(xor) word fold
+    the engine runs — integer end-to-end, so packing, distances, ranks
+    and thresholds replay bit-for-bit."""
+    n_words = dim // word_bits
+    hd = ("list_reduce(list_transform(list_zip({a}, {b}), "
+          "x -> bit_count(xor(CAST(x[1] AS BIGINT), CAST(x[2] AS BIGINT)))), "
+          "(a, b) -> a + b)")
+    prefix = f"""WITH w AS (
+  SELECT vec_id, list_transform(generate_series(0, {n_words - 1}), wi ->
+    list_reduce(list_transform(generate_series(1, {word_bits}), bi ->
+      CASE WHEN embedding[wi*{word_bits} + bi] >= 0 THEN 1 ELSE 0 END),
+      (a, b) -> a*2 + b)) AS words
+  FROM embeddings
+)"""
+    if threshold is not None:
+        # banding is recall-complete, so the oracle is the brute-force
+        # pair scan — it certifies the guarantee itself
+        return prefix + f"""
+SELECT id_a, id_b, hamming FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST({hd.format(a='a.words', b='b.words')} AS BIGINT) AS hamming
+  FROM w a JOIN w b ON a.vec_id < b.vec_id
+) WHERE hamming <= {threshold}
+"""
+    return prefix + f"""
+SELECT query_id, nbr_id, hamming, CAST(rank AS INT) AS rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+         CAST({hd.format(a='q.words', b='c.words')} AS BIGINT) AS hamming,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           ORDER BY {hd.format(a='q.words', b='c.words')} ASC,
+                    c.vec_id ASC) AS rank
+  FROM w q JOIN w c ON q.vec_id < {nq} AND c.vec_id <> q.vec_id
+) WHERE rank <= {k}
+"""
+
+
+ORACLE_HAMMING_TOPK = _oracle_hamming(word_bits=8, nq=8, k=10)
+ORACLE_HAMMING_NEAR_DUPS = _oracle_hamming(word_bits=4, threshold=15)
+
+
 def q_ivfpq_stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING INDEX MAINTENANCE (emodb_spark.pipeline.similarity.
     ivfpq_append_to_saved — the foreachBatch body): the index is built
@@ -8136,6 +8212,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_adc_rerank": q_ivfpq_adc_rerank,
         "ivfpq_retrain_swap": q_ivfpq_retrain_swap,
         "ivfpq_stream_append": q_ivfpq_stream_append,
+        "hamming_topk": q_hamming_topk,
+        "hamming_near_dups": q_hamming_near_dups,
         "ivfpq_persist": q_ivfpq_persist,
         "sdc_multiprobe": q_sdc_multiprobe,
         "sdc_verified": q_sdc_verified,
@@ -8300,22 +8378,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
     }
     # The driver records CORRECTNESS from the FIRST 50 entries, so the
-    # window below leads the dict. Round-11 window: the FOUR r11-new
+    # window below leads the dict. Round-11 window: the SIX r11-new
     # gates lead (ivfpq_knn_rerank / ivfpq_adc_rerank — DataFrame-native
     # exact re-rank over the kNN-join shortlists; ivfpq_retrain_swap —
     # versioned publish + _CURRENT pointer flip; ivfpq_stream_append —
-    # micro-batched append to the persisted layout), then the 13 gates
+    # micro-batched append to the persisted layout; hamming_topk /
+    # hamming_near_dups — sign-bit binary quantization with
+    # guaranteed-recall pigeonhole banding), then the 13 gates
     # whose kernels round 11 touched (_probe_encode now checkpoints only
     # the assignment -> sdc_multiprobe/sdc_verified/ivfpq_knn_join;
     # ivfpq_index/ivfpq_load return the named IvfPqIndex,
     # _unpack_ivfpq_index constructs it, and ivfpq_query gained the
     # guard warning -> sdc_near_dups and the rest of the ivfpq family;
     # pq/bm25/kmeans kernels are UNTOUCHED this
-    # round, no re-witness), then the oldest-alphabetical 33 of the 45
-    # window-eligible r7-era driver rows. The remaining TWELVE r7-era
-    # rows (paragraph_dedup, phrase_search, pipeline_funnel, queue_dedup,
-    # queue_kafka, simhash_near_dups, source_cap, star_clusters,
-    # text_stats, timeline_events, top_orders, vocab_topk) defer to r12
+    # round, no re-witness), then the oldest-alphabetical 31 of the 45
+    # window-eligible r7-era driver rows. The remaining FOURTEEN r7-era
+    # rows (negative_samples, order_priority, paragraph_dedup,
+    # phrase_search, pipeline_funnel, queue_dedup, queue_kafka,
+    # simhash_near_dups, source_cap, star_clusters, text_stats,
+    # timeline_events, top_orders, vocab_topk) defer to r12
     # — they are judge-green via tools/oracle_check.py every round; see
     # COVERAGE.md.
     # Rows-only queries (compression_ratio, bpe_merges) are EXCLUDED by
@@ -8327,14 +8408,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window = [
         # r11-new gates
         "ivfpq_knn_rerank", "ivfpq_adc_rerank", "ivfpq_retrain_swap",
-        "ivfpq_stream_append",
+        "ivfpq_stream_append", "hamming_topk", "hamming_near_dups",
         # kernels changed in round 11 (probe-encode checkpoint slim +
         # named index types + the ivfpq_query guard warning)
         "sdc_near_dups", "sdc_multiprobe", "sdc_verified",
         "ivfpq_knn_join", "ivfpq_adc_join", "ivfpq_topk",
         "ivfpq_recall", "ivfpq_mrr", "ivfpq_ndcg", "ivfpq_rerank",
         "ivfpq_append", "ivfpq_sample_train", "ivfpq_persist",
-        # r7-era rows, oldest 33 alphabetical (compression_ratio is
+        # r7-era rows, oldest 31 alphabetical (compression_ratio is
         # rows-only and contract-excluded)
         "bloom_filters", "bloom_join_reduction", "budget_sample",
         "card_scan", "cms_stream_heavy", "condition_generic_json",
@@ -8345,8 +8426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_name_join", "graph_triangles", "group_split",
         "heavy_hitters", "inverted_index", "k_anonymity", "kmv_distinct",
         "kmv_stream_est", "local_supply", "merge_orders",
-        "min_cost_supplier", "nation_trade", "negative_samples",
-        "order_priority",
+        "min_cost_supplier", "nation_trade",
     ]
     # window integrity (size 50, no dupes, all registered, no rows-only
     # queries) is enforced by tests/test_entry_contract.py — NOT asserted
@@ -8381,6 +8461,8 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_adc_rerank": ORACLE_IVFPQ_ADC_RERANK,
         "ivfpq_retrain_swap": ORACLE_IVFPQ_RETRAIN_SWAP,
         "ivfpq_stream_append": ORACLE_IVFPQ_STREAM_APPEND,
+        "hamming_topk": ORACLE_HAMMING_TOPK,
+        "hamming_near_dups": ORACLE_HAMMING_NEAR_DUPS,
         "ivfpq_persist": ORACLE_IVFPQ_TOPK,
         "sdc_multiprobe": ORACLE_SDC_MULTIPROBE,
         "sdc_verified": ORACLE_SDC_VERIFIED,

@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "ivfpq_adc_rerank",      # exact re-rank over the ADC-join shortlist
     "ivfpq_retrain_swap",    # versioned publish + _CURRENT pointer flip
     "ivfpq_stream_append",   # micro-batched append to the persisted layout
+    "hamming_topk",          # binary-quantized retrieval (bit_count(xor))
+    "hamming_near_dups",     # guaranteed-recall pigeonhole band join
     # analytics
     "pricing_summary",
     "revenue_by_nation",

@@ -2240,6 +2240,169 @@ def ivfpq_knn_rerank(
     )
 
 
+def binary_quantize(
+    embeddings: DataFrame,
+    word_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SIGN-BIT binary quantization: each dimension becomes one bit
+    (v >= 0 → 1), packed MSB-first into ``dim / word_bits``-long words
+    — 32x smaller than float32 at word_bits=32, the cheapest retrieval
+    tier below PQ (binary embeddings: Hamming distance approximates
+    angular distance for zero-centered vectors — the classic sign-LSH
+    identity, Charikar 2002, applied to the RAW dims). Words are small
+    ints built by an integer fold (acc*2 + bit), so both engines pack
+    bit-identically with no shift builtins and no int64 overflow
+    (word_bits <= 32 enforced); the whole projection is one
+    whole-stage-codegen expression, zero Python, zero shuffle.
+
+    Returns (id, words array<long>). ``word_bits`` is also the BAND
+    width :func:`hamming_near_dups` buckets on — smaller words = more
+    bands = a larger guaranteed threshold but more candidate
+    collisions (2^word_bits bucket values)."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    if word_bits < 1 or word_bits > 32:
+        raise ValueError(f"word_bits={word_bits} must be in 1..32")
+    if dim % word_bits:
+        raise ValueError(f"word_bits={word_bits} must divide dim={dim}")
+    n_words = dim // word_bits
+    words = F.expr(
+        f"transform(sequence(0, {n_words - 1}), wi -> "
+        f"aggregate(slice({vec_col}, wi*{word_bits}+1, {word_bits}), 0L, "
+        f"(acc, v) -> acc*2 + (CASE WHEN v >= 0 THEN 1 ELSE 0 END)))"
+    )
+    return embeddings.select(
+        F.col(id_col).alias("id"), words.alias("words")
+    )
+
+
+def hamming_dist(a: Column, b: Column) -> Column:
+    """Hamming distance between two packed word arrays — one zip_with
+    of bit_count(xor) plus an integer fold; exact, engine-agnostic."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+
+
+def hamming_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    word_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k under sign-bit Hamming distance — retrieval over the
+    binary-quantized corpus: the n_queries packed query rows broadcast
+    over one corpus scan of the WORDS projection (dim/8 bytes per
+    vector at word_bits=8 — at 100 TB the scan reads the packed
+    sidecar, never the float corpus), distance is bit_count(xor) folded
+    across words (pure codegen), top-k is one window per query.
+    The allowlisted O(#queries) eval idiom; the banded join
+    (:func:`hamming_near_dups`) is the all-pairs scale path.
+    Returns (query_id, nbr_id, hamming, rank<=k), self-matches
+    excluded, ties by nbr_id."""
+    vq = binary_quantize(embeddings, word_bits, id_col, vec_col)
+    qdf = F.broadcast(
+        vq.filter(F.col("id") < n_queries).select(
+            F.col("id").alias("query_id"), F.col("words").alias("qw")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("nbr_id"))
+    return (
+        vq.select(F.col("id").alias("nbr_id"), "words")
+        .crossJoin(qdf)
+        .filter(F.col("nbr_id") != F.col("query_id"))
+        .select(
+            "query_id", "nbr_id",
+            hamming_dist(F.col("qw"), F.col("words")).alias("hamming"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "nbr_id",
+            F.col("hamming").cast("long").alias("hamming"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def hamming_near_dups(
+    embeddings: DataFrame,
+    threshold: int,
+    word_bits: Optional[int] = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """GUARANTEED-RECALL Hamming near-dup pairs over the binary
+    quantization — the pigeonhole banding PassJoin applies to strings,
+    applied to bits: split the dim bits into ``n_words >= threshold+1``
+    bands; two vectors within ``threshold`` differing bits CANNOT
+    differ in every band, so the same-(band, value) equijoin proposes
+    every true pair (recall 1.0 by construction — same guarantee class
+    as :func:`exact_jaccard_join`, unlike the probabilistic
+    MinHash/SimHash banding), and the exact bit_count verify keeps only
+    real ones.
+
+    ``word_bits=None`` picks the WIDEST divisor of dim that still
+    yields threshold+1 bands (fewest candidate collisions under the
+    guarantee). The trade is explicit: 2^word_bits bucket values per
+    band, so candidates ~ n_words * sum over buckets of c^2 — wider
+    words shrink buckets exponentially but cap the guaranteed
+    threshold at dim/word_bits - 1; a skewed sign distribution (e.g. a
+    mostly-positive region packing many vectors into the all-ones
+    word) concentrates buckets exactly like LSH mega-buckets, and the
+    same n_cells-style provisioning applies: size word_bits to the
+    corpus, not the other way around. Plan: one packed projection, one
+    (band, value) self-equijoin, DISTINCT pair set, one verify join on
+    O(candidate) rows. Returns (id_a, id_b, hamming <= threshold)."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    if threshold < 0 or threshold >= dim:
+        raise ValueError(f"threshold={threshold} must be in 0..dim-1")
+    if word_bits is None:
+        word_bits = next(
+            (wb for wb in range(min(32, dim // (threshold + 1)), 0, -1)
+             if dim % wb == 0),
+            None,
+        )
+        if word_bits is None:  # dim/(threshold+1) < 1 is caught above
+            raise ValueError(
+                f"no word width yields {threshold + 1} bands over dim={dim}"
+            )
+    if dim // word_bits < threshold + 1:
+        raise ValueError(
+            f"word_bits={word_bits} gives {dim // word_bits} bands — "
+            f"the pigeonhole guarantee needs >= threshold+1 = {threshold + 1}"
+        )
+    vq = binary_quantize(embeddings, word_bits, id_col, vec_col)
+    ex = vq.select("id", "words", F.posexplode("words").alias("j", "wval"))
+    cands = (
+        ex.select(F.col("id").alias("id_a"), "j", "wval")
+        .join(
+            ex.select(F.col("id").alias("id_b"), "j", "wval"),
+            ["j", "wval"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = vq.select(F.col("id").alias("id_a"), F.col("words").alias("wa"))
+    b = vq.select(F.col("id").alias("id_b"), F.col("words").alias("wb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a", "id_b",
+            hamming_dist(F.col("wa"), F.col("wb")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= F.lit(int(threshold)))
+        .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+    )
+
+
 def exact_quantized_topk(
     embeddings: DataFrame,
     n_queries: int = 8,

@@ -3456,3 +3456,87 @@ def test_ivfpq_append_to_saved_microbatch_parity(spark, tmp_path):
         loaded.enc, loaded.cents, loaded.books, qrows, n_probe=2, k=5
     ).collect()))
     assert got == want
+
+
+def test_binary_quantize_and_hamming_match_python(spark):
+    """binary_quantize packs sign bits MSB-first into dim/word_bits
+    words exactly like a python reference, and hamming_topk's distances
+    and ranks equal the brute-force reference (ties by nbr_id)."""
+    import random
+
+    from emodb_spark.pipeline.similarity import binary_quantize, hamming_topk
+
+    rng = random.Random(79)
+    base = [[rng.uniform(-0.5, 0.5) for _ in range(16)] for _ in range(20)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "vec_id long, embedding array<float>"
+    )
+
+    def pack(v, wb):
+        words = []
+        for w in range(len(v) // wb):
+            acc = 0
+            for x in v[w * wb:(w + 1) * wb]:
+                acc = acc * 2 + (1 if x >= 0 else 0)
+            words.append(acc)
+        return words
+
+    got = {r["id"]: list(r["words"])
+           for r in binary_quantize(df, word_bits=4).collect()}
+    assert got == {i: pack(v, 4) for i, v in enumerate(base)}
+
+    def hd(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    packs = {i: pack(v, 8) for i, v in enumerate(base)}
+    nq, k = 4, 5
+    want = []
+    for q in range(nq):
+        nbrs = sorted(
+            ((hd(packs[q], packs[i]), i) for i in packs if i != q)
+        )[:k]
+        want += [(q, i, d, r + 1) for r, (d, i) in enumerate(nbrs)]
+    got_tk = sorted(map(tuple, hamming_topk(df, n_queries=nq, k=k).collect()))
+    assert got_tk == sorted(want)
+
+
+def test_hamming_near_dups_guaranteed_recall(spark):
+    """hamming_near_dups returns EXACTLY the brute-force threshold
+    pairs (pigeonhole banding is recall-complete, the verify join kills
+    false candidates) — across several word widths including the
+    auto-selected one; under-banded widths fail loudly."""
+    import random
+
+    import pytest as _pytest
+
+    from emodb_spark.pipeline.similarity import hamming_near_dups
+
+    rng = random.Random(83)
+    base = [[rng.uniform(-0.5, 0.5) for _ in range(16)] for _ in range(24)]
+    # plant near-identical pairs: tiny perturbations flip few signs
+    base[20] = [x + 0.01 for x in base[0]]
+    base[21] = [x - 0.005 for x in base[5]]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "vec_id long, embedding array<float>"
+    )
+
+    def pack_bits(v):
+        return [1 if x >= 0 else 0 for x in v]
+
+    bits = {i: pack_bits(v) for i, v in enumerate(base)}
+    thr = 5
+    want = sorted(
+        (a, b, sum(x != y for x, y in zip(bits[a], bits[b])))
+        for a in bits for b in bits if a < b
+        if sum(x != y for x, y in zip(bits[a], bits[b])) <= thr
+    )
+    assert want  # the planted pairs make the test non-vacuous
+    for wb in (1, 2, None):  # None auto-picks dim//(thr+1) -> 2
+        got = sorted(map(tuple, hamming_near_dups(
+            df, threshold=thr, word_bits=wb).collect()))
+        assert got == want, wb
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        hamming_near_dups(df, threshold=5, word_bits=8)  # only 2 bands
+    with _pytest.raises(ValueError, match="threshold"):
+        hamming_near_dups(df, threshold=16)

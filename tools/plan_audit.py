@@ -57,6 +57,12 @@ BNLJ_OK = {
     "bitext_mining",        # O(#queries) rows broadcast against the
                             # corpus — same exact-cosine plan as the
                             # allowlisted similarity_topk, both ways
+    "hamming_topk",         # O(#queries) packed-word rows broadcast
+                            # against the packed-projection scan — the
+                            # similarity_topk eval idiom at the binary
+                            # tier; the all-pairs scale path is
+                            # hamming_near_dups' banded EQUIJOIN, which
+                            # is deliberately not allowlisted
     "bm25_topk",            # 1-row corpus stats (N docs, total tokens)
                             # broadcast onto the query-vocab tf rows
                             # (the BM25 normalizer constants)
