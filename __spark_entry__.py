@@ -7463,19 +7463,22 @@ def q_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_hamming_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GUARANTEED-RECALL Hamming near-dups (emodb_spark.pipeline.
-    similarity.hamming_near_dups): the pigeonhole banding PassJoin
-    applies to strings, applied to bits — 64 sign bits split into 16
-    four-bit bands (auto-selected: the widest divisor yielding
-    threshold+1 bands), so two vectors within 15 differing bits MUST
-    share a band and the same-(band, value) equijoin proposes every
-    true pair; exact bit_count verify filters. Unlike MinHash/SimHash
-    banding the recall is 1.0 by construction, so the oracle is the
-    BRUTE-FORCE pair scan + threshold — certifying the guarantee, not
-    just the plan."""
+    similarity.hamming_near_dups): multi-index Hamming search
+    (Norouzi 2012) as a banded equijoin — 64 sign bits split into four
+    16-bit bands matched at radius 3 (one side's band values explode
+    into their 697 within-radius XOR variants, a literal mask array in
+    codegen), so two vectors within 15 differing bits MUST match in
+    some band (pigeonhole: 4 bands x (3+1) > 15) and the exact
+    bit_count verify filters. The measured point: exact-band matching
+    at this threshold needs 4-bit bands and degenerates to 64%-of-all-
+    pairs candidates; radius-3 16-bit bands carry the same guarantee on
+    exponentially smaller buckets (SCALE.md r11). Recall is 1.0 by
+    construction, so the oracle is the BRUTE-FORCE pair scan +
+    threshold — certifying the guarantee, not just the plan."""
     from emodb_spark.pipeline.similarity import hamming_near_dups
 
     emb = _read(spark, sf_dir, "embeddings")
-    return hamming_near_dups(emb, threshold=15)
+    return hamming_near_dups(emb, threshold=15, word_bits=16, band_radius=3)
 
 
 def _oracle_hamming(word_bits: int, nq=None, k=None, threshold=None,

@@ -2334,57 +2334,101 @@ def hamming_near_dups(
     embeddings: DataFrame,
     threshold: int,
     word_bits: Optional[int] = None,
+    band_radius: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """GUARANTEED-RECALL Hamming near-dup pairs over the binary
-    quantization — the pigeonhole banding PassJoin applies to strings,
-    applied to bits: split the dim bits into ``n_words >= threshold+1``
-    bands; two vectors within ``threshold`` differing bits CANNOT
-    differ in every band, so the same-(band, value) equijoin proposes
-    every true pair (recall 1.0 by construction — same guarantee class
-    as :func:`exact_jaccard_join`, unlike the probabilistic
-    MinHash/SimHash banding), and the exact bit_count verify keeps only
+    quantization — multi-index Hamming search (Norouzi/Punjani/Fleet
+    2012, public) as a banded equijoin: split the dim bits into
+    ``n_words`` bands; if two vectors differ in <= ``threshold`` bits
+    total, SOME band differs in <= floor(threshold / n_words) bits
+    (pigeonhole), so matching bands at ``band_radius`` proposes every
+    true pair (recall 1.0 by construction — same guarantee class as
+    :func:`exact_jaccard_join`, unlike the probabilistic
+    MinHash/SimHash banding) and the exact bit_count verify keeps only
     real ones.
 
-    ``word_bits=None`` picks the WIDEST divisor of dim that still
-    yields threshold+1 bands (fewest candidate collisions under the
-    guarantee). The trade is explicit: 2^word_bits bucket values per
-    band, so candidates ~ n_words * sum over buckets of c^2 — wider
-    words shrink buckets exponentially but cap the guaranteed
-    threshold at dim/word_bits - 1; a skewed sign distribution (e.g. a
-    mostly-positive region packing many vectors into the all-ones
-    word) concentrates buckets exactly like LSH mega-buckets, and the
-    same n_cells-style provisioning applies: size word_bits to the
-    corpus, not the other way around. Plan: one packed projection, one
-    (band, value) self-equijoin, DISTINCT pair set, one verify join on
+    ``band_radius=0`` is the exact-band-match special case (needs
+    ``n_words >= threshold+1`` — PassJoin's pigeonhole applied to
+    bits); ``band_radius=r > 0`` needs only
+    ``n_words * (r+1) >= threshold+1`` and matches bands by
+    ENUMERATION: one side of the self-join explodes each band value
+    into its sum(C(word_bits, 0..r)) within-radius-r variants (a
+    literal XOR-mask array, pure codegen — no extra join), so WIDER
+    bands carry the same threshold with exponentially smaller buckets.
+    Measured at 20k vectors / threshold 15 over 64 bits (SCALE.md
+    r11): exact-match banding needs 4-bit bands and degenerates to
+    128.8M candidates (64% of all pairs, the mega-bucket cliff on
+    skewed sign bits), while 16-bit bands at radius 3 carry the same
+    guarantee on ~697x-fewer-collision buckets. The provisioning rule:
+    pick the WIDEST bands the enumeration budget allows
+    (sum C(word_bits, 0..r) rows per vector per band), exactly the
+    n_cells-style corpus sizing. ``word_bits=None`` picks the widest
+    divisor of dim satisfying the guarantee at the given radius. Plan:
+    one packed projection, one (band, value) self-equijoin (one side
+    enumerated when r > 0), DISTINCT pair set, one verify join on
     O(candidate) rows. Returns (id_a, id_b, hamming <= threshold)."""
+    import itertools
+
     dim = len(embeddings.select(vec_col).first()[0])
     if threshold < 0 or threshold >= dim:
         raise ValueError(f"threshold={threshold} must be in 0..dim-1")
+    if band_radius < 0:
+        raise ValueError(f"band_radius={band_radius} must be >= 0")
+    need = (threshold + 1 + band_radius) // (band_radius + 1)  # ceil
     if word_bits is None:
         word_bits = next(
-            (wb for wb in range(min(32, dim // (threshold + 1)), 0, -1)
+            (wb for wb in range(min(32, dim // need), 0, -1)
              if dim % wb == 0),
             None,
         )
-        if word_bits is None:  # dim/(threshold+1) < 1 is caught above
+        if word_bits is None:
             raise ValueError(
-                f"no word width yields {threshold + 1} bands over dim={dim}"
+                f"no word width yields {need} bands over dim={dim} at "
+                f"band_radius={band_radius}"
             )
-    if dim // word_bits < threshold + 1:
+    n_words = dim // word_bits
+    if n_words * (band_radius + 1) < threshold + 1:
         raise ValueError(
-            f"word_bits={word_bits} gives {dim // word_bits} bands — "
-            f"the pigeonhole guarantee needs >= threshold+1 = {threshold + 1}"
+            f"word_bits={word_bits} gives {n_words} bands at radius "
+            f"{band_radius} — the pigeonhole guarantee needs "
+            f"n_words*(radius+1) >= threshold+1 = {threshold + 1}"
+        )
+    if band_radius > word_bits:
+        raise ValueError(
+            f"band_radius={band_radius} exceeds word_bits={word_bits}"
         )
     vq = binary_quantize(embeddings, word_bits, id_col, vec_col)
     ex = vq.select("id", "words", F.posexplode("words").alias("j", "wval"))
+    probe = ex.select(F.col("id").alias("id_b"), "j", "wval")
+    if band_radius > 0:
+        # enumerate the within-radius variants of ONE side's band value
+        # by exploding a 1-ROW broadcast mask array (sum C(word_bits,
+        # 0..r) masks) — linear generation, and the array ships once
+        # per executor instead of re-materializing per row (a literal
+        # CreateArray of ~700 elements measured 4x slower end-to-end:
+        # it is rebuilt for every probe row); the 1-row cross join is
+        # the repo's allowlisted O(1)-row broadcast idiom
+        masks = [
+            sum(1 << b for b in bits)
+            for r in range(band_radius + 1)
+            for bits in itertools.combinations(range(word_bits), r)
+        ]
+        mask_row = probe.sparkSession.createDataFrame(
+            [(masks,)], "__masks array<long>"
+        )
+        probe = (
+            probe.crossJoin(F.broadcast(mask_row))
+            .select("id_b", "j", F.explode("__masks").alias("mask"), "wval")
+            .select(
+                "id_b", "j",
+                F.col("wval").bitwiseXOR(F.col("mask")).alias("wval"),
+            )
+        )
     cands = (
         ex.select(F.col("id").alias("id_a"), "j", "wval")
-        .join(
-            ex.select(F.col("id").alias("id_b"), "j", "wval"),
-            ["j", "wval"],
-        )
+        .join(probe, ["j", "wval"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()

@@ -3535,8 +3535,16 @@ def test_hamming_near_dups_guaranteed_recall(spark):
         got = sorted(map(tuple, hamming_near_dups(
             df, threshold=thr, word_bits=wb).collect()))
         assert got == want, wb
+    # multi-index Hamming (band_radius > 0): wider bands, enumerated
+    # matching — same recall guarantee, so the SAME exact pair set
+    for wb, r in ((8, 2), (4, 1), (None, 2), (16, 5)):
+        got = sorted(map(tuple, hamming_near_dups(
+            df, threshold=thr, word_bits=wb, band_radius=r).collect()))
+        assert got == want, (wb, r)
 
     with _pytest.raises(ValueError, match="pigeonhole"):
         hamming_near_dups(df, threshold=5, word_bits=8)  # only 2 bands
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        hamming_near_dups(df, threshold=5, word_bits=16, band_radius=2)
     with _pytest.raises(ValueError, match="threshold"):
         hamming_near_dups(df, threshold=16)

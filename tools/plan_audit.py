@@ -60,9 +60,13 @@ BNLJ_OK = {
     "hamming_topk",         # O(#queries) packed-word rows broadcast
                             # against the packed-projection scan — the
                             # similarity_topk eval idiom at the binary
-                            # tier; the all-pairs scale path is
-                            # hamming_near_dups' banded EQUIJOIN, which
-                            # is deliberately not allowlisted
+                            # tier
+    "hamming_near_dups",    # 1-row broadcast of the multi-index
+                            # XOR-mask array (the enumeration side of
+                            # the radius-r band match) cross joined
+                            # onto the probe rows before the explode —
+                            # the candidate join itself is a pure
+                            # (band, value) EQUIJOIN
     "bm25_topk",            # 1-row corpus stats (N docs, total tokens)
                             # broadcast onto the query-vocab tf rows
                             # (the BM25 normalizer constants)

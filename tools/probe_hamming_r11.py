@@ -1,0 +1,108 @@
+"""Round-11 Hamming banding probe: candidate volume vs band width.
+
+hamming_near_dups' pigeonhole guarantee costs candidates: each of the
+n_words bands buckets the corpus into 2^word_bits values, so candidate
+pairs ~ sum over (band, value) of c^2 — and sign-bit buckets are
+SKEWED (a mostly-positive dimension region packs many vectors into the
+same word value), the LSH mega-bucket shape. This probe measures the
+real candidate volume, verified-pair count and wall time at the sf1
+probe corpus for several (threshold, word_bits) provisioning points.
+
+Usage: python tools/probe_hamming_r11.py  (expects /tmp/sf1_probe)
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+SF1 = "/tmp/sf1_probe"
+
+
+def main() -> int:
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from emodb_spark.pipeline.similarity import (
+        binary_quantize,
+        hamming_near_dups,
+    )
+    from emodb_spark.spark.session import get_spark
+
+    spark = get_spark(app_name="probe_hamming_r11")
+    path = os.path.join(SF1, "embeddings.parquet")
+    if not os.path.exists(path):
+        path = os.path.join(
+            os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+            "embeddings.parquet",
+        )
+        print(f"# sf1 probe missing — falling back to {path}", file=sys.stderr)
+    emb = spark.read.parquet(path)
+    n = emb.count()
+
+    import itertools
+
+    for threshold, wb, radius in (
+        (15, 4, 0),    # exact-band match at the loose threshold: the
+                       # mega-bucket cliff (4-bit buckets on skewed signs)
+        (15, 16, 3),   # multi-index Hamming: same guarantee, wide bands
+        (15, 8, 1),    # the intermediate provisioning point
+        (7, 8, 0),     # exact-band match where the threshold is tight
+        (3, 16, 0),
+    ):
+        gc.collect()
+        spark.catalog.clearCache()
+        # candidate volume: the banded (enumerated when radius>0)
+        # equijoin's DISTINCT pair count — what the verify join scores
+        vq = binary_quantize(emb, word_bits=wb)
+        ex = vq.select("id", F.posexplode("words").alias("j", "wval"))
+        probe = ex.select(F.col("id").alias("id_b"), "j", "wval")
+        if radius:
+            masks = [
+                sum(1 << b for b in bits)
+                for r in range(radius + 1)
+                for bits in itertools.combinations(range(wb), r)
+            ]
+            mrow = spark.createDataFrame([(masks,)], "__m array<long>")
+            probe = (
+                probe.crossJoin(F.broadcast(mrow))
+                .select("id_b", "j", F.explode("__m").alias("mask"), "wval")
+                .select("id_b", "j",
+                        F.col("wval").bitwiseXOR(F.col("mask")).alias("wval"))
+            )
+        t0 = time.time()
+        cands = (
+            ex.select(F.col("id").alias("id_a"), "j", "wval")
+            .join(probe, ["j", "wval"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct().count()
+        )
+        t_cand = round(time.time() - t0, 2)
+        t0 = time.time()
+        pairs = hamming_near_dups(
+            emb, threshold=threshold, word_bits=wb, band_radius=radius
+        ).count()
+        t_all = round(time.time() - t0, 2)
+        # the hottest single bucket — the skew the docstring warns about
+        hot = (
+            ex.groupBy("j", "wval").count()
+            .agg(F.max("count")).first()[0]
+        )
+        print(json.dumps({
+            "probe": "hamming_banding", "n_corpus": n,
+            "threshold": threshold, "word_bits": wb, "bands": 64 // wb,
+            "band_radius": radius,
+            "candidate_pairs": cands, "verified_pairs": pairs,
+            "hottest_bucket": hot,
+            "candidates_s": t_cand, "end_to_end_s": t_all,
+        }), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
