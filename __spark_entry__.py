@@ -7482,11 +7482,20 @@ def q_hamming_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_hamming(word_bits: int, nq=None, k=None, threshold=None,
-                    dim: int = 64) -> str:
+                    dim: int = 64, knn_radius=None,
+                    with_recall: bool = False) -> str:
     """Sign-bit packing + Hamming distance in DuckDB: the identical
     MSB-first integer fold (acc*2 + bit) and bit_count(xor) word fold
     the engine runs — integer end-to-end, so packing, distances, ranks
-    and thresholds replay bit-for-bit."""
+    and thresholds replay bit-for-bit. ``knn_radius`` switches to the
+    multi-index kNN-join replay (band rows, query-side mask
+    enumeration, candidate DISTINCT, exact distance, top-k) — the
+    candidate generation MUST be replayed because recall is bounded by
+    the guarantee horizon, so which pairs are even scored is part of
+    the contract; ``with_recall`` composes the hits/ppm tail against
+    the exact full-scan ranking."""
+    import itertools
+
     n_words = dim // word_bits
     hd = ("list_reduce(list_transform(list_zip({a}, {b}), "
           "x -> bit_count(xor(CAST(x[1] AS BIGINT), CAST(x[2] AS BIGINT)))), "
@@ -7498,6 +7507,61 @@ def _oracle_hamming(word_bits: int, nq=None, k=None, threshold=None,
       (a, b) -> a*2 + b)) AS words
   FROM embeddings
 )"""
+    if knn_radius is not None:
+        masks = [
+            sum(1 << b for b in bits)
+            for r in range(knn_radius + 1)
+            for bits in itertools.combinations(range(word_bits), r)
+        ]
+        mask_list = ", ".join(str(m) for m in masks)
+        body = prefix + f""", bx AS (
+  SELECT vec_id, j, words[j + 1] AS wval FROM (
+    SELECT vec_id, words,
+           unnest(generate_series(0, {n_words - 1})) AS j FROM w
+  )
+), qx AS (
+  SELECT b.vec_id AS query_id, b.j,
+         xor(CAST(b.wval AS BIGINT), m.mask) AS wval
+  FROM bx b CROSS JOIN (SELECT unnest([{mask_list}]) AS mask) m
+  WHERE b.vec_id < {nq}
+), cand AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS nbr_id
+  FROM qx q JOIN bx c ON q.j = c.j AND q.wval = c.wval
+  WHERE c.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, nbr_id, hamming,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY hamming ASC, nbr_id ASC) AS rank FROM (
+    SELECT d.query_id, d.nbr_id,
+           CAST({hd.format(a='q.words', b='c.words')} AS BIGINT) AS hamming
+    FROM cand d
+    JOIN w q ON q.vec_id = d.query_id
+    JOIN w c ON c.vec_id = d.nbr_id
+  )
+)"""
+        if not with_recall:
+            return body + f"""
+SELECT query_id, nbr_id, hamming, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+        return body + f""", exactq AS (
+  SELECT query_id, nbr_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        ORDER BY {hd.format(a='q.words', b='c.words')} ASC,
+                 c.vec_id ASC) AS rank
+    FROM w q JOIN w c ON q.vec_id < {nq} AND c.vec_id <> q.vec_id
+  ) WHERE rank <= {k}
+), hits AS (
+  SELECT x.query_id, COUNT(*) AS hits
+  FROM exactq x JOIN (SELECT query_id, nbr_id FROM ranked
+                      WHERE rank <= {k}) p USING (query_id, nbr_id)
+  GROUP BY 1
+)
+SELECT q.query_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       CAST(COALESCE(h.hits, 0) * 1000000 // {k} AS BIGINT) AS recall_ppm
+FROM (SELECT DISTINCT query_id FROM exactq) q LEFT JOIN hits h USING (query_id)
+"""
     if threshold is not None:
         # banding is recall-complete, so the oracle is the brute-force
         # pair scan — it certifies the guarantee itself
@@ -7522,6 +7586,47 @@ SELECT query_id, nbr_id, hamming, CAST(rank AS INT) AS rank FROM (
 
 ORACLE_HAMMING_TOPK = _oracle_hamming(word_bits=8, nq=8, k=10)
 ORACLE_HAMMING_NEAR_DUPS = _oracle_hamming(word_bits=4, threshold=15)
+ORACLE_HAMMING_KNN_JOIN = _oracle_hamming(word_bits=8, nq=24, k=5,
+                                          knn_radius=1)
+ORACLE_HAMMING_KNN_RECALL = _oracle_hamming(word_bits=8, nq=8, k=10,
+                                            knn_radius=1, with_recall=True)
+
+
+def q_hamming_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming kNN JOIN (emodb_spark.pipeline.similarity.
+    hamming_knn_join): the binary tier's batch retrieval path — both
+    sides stay DataFrames, candidates from the multi-index band match
+    (each query's 8-bit band values enumerated into their 9
+    within-radius-1 XOR variants, equijoined against the corpus
+    bands), exact bit_count distance, top-5 window per query.
+    Single-shot Norouzi 2012: neighbors within 8*(1+1)-1 = 15 bits are
+    guaranteed candidates, farther ones best-effort — a query may
+    return < k rows; hamming_knn_recall measures the horizon. The
+    oracle replays packing + enumeration + band join + ranking —
+    candidate generation is PART of the contract here."""
+    from emodb_spark.pipeline.similarity import hamming_knn_join
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return hamming_knn_join(
+        emb, queries=emb.filter(F.col("vec_id") < 24), k=5,
+        word_bits=8, band_radius=1, exclude_self=True,
+    )
+
+
+def q_hamming_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall EVAL for the Hamming kNN join (emodb_spark.pipeline.
+    similarity.hamming_knn_recall): recall@10 of the single-shot
+    multi-index join against the exact full-scan Hamming top-10 — the
+    gauge for the (word_bits, band_radius) guarantee horizon (true
+    neighbors beyond n_words*(radius+1)-1 bits are only best-effort
+    candidates). Integer-exact ppm via the shared recall tail; the
+    oracle replays BOTH sides and the hit join."""
+    from emodb_spark.pipeline.similarity import hamming_knn_recall
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return hamming_knn_recall(
+        emb, n_queries=8, k=10, word_bits=8, band_radius=1
+    )
 
 
 def q_ivfpq_stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8217,6 +8322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_stream_append": q_ivfpq_stream_append,
         "hamming_topk": q_hamming_topk,
         "hamming_near_dups": q_hamming_near_dups,
+        "hamming_knn_join": q_hamming_knn_join,
+        "hamming_knn_recall": q_hamming_knn_recall,
         "ivfpq_persist": q_ivfpq_persist,
         "sdc_multiprobe": q_sdc_multiprobe,
         "sdc_verified": q_sdc_verified,
@@ -8381,25 +8488,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
     }
     # The driver records CORRECTNESS from the FIRST 50 entries, so the
-    # window below leads the dict. Round-11 window: the SIX r11-new
+    # window below leads the dict. Round-11 window: the EIGHT r11-new
     # gates lead (ivfpq_knn_rerank / ivfpq_adc_rerank — DataFrame-native
     # exact re-rank over the kNN-join shortlists; ivfpq_retrain_swap —
     # versioned publish + _CURRENT pointer flip; ivfpq_stream_append —
     # micro-batched append to the persisted layout; hamming_topk /
-    # hamming_near_dups — sign-bit binary quantization with
-    # guaranteed-recall pigeonhole banding), then the 13 gates
+    # hamming_near_dups / hamming_knn_join / hamming_knn_recall —
+    # sign-bit binary quantization with multi-index banding: guaranteed
+    # near-dup recall, kNN join, and the horizon eval), then the 13 gates
     # whose kernels round 11 touched (_probe_encode now checkpoints only
     # the assignment -> sdc_multiprobe/sdc_verified/ivfpq_knn_join;
     # ivfpq_index/ivfpq_load return the named IvfPqIndex,
     # _unpack_ivfpq_index constructs it, and ivfpq_query gained the
     # guard warning -> sdc_near_dups and the rest of the ivfpq family;
     # pq/bm25/kmeans kernels are UNTOUCHED this
-    # round, no re-witness), then the oldest-alphabetical 31 of the 45
-    # window-eligible r7-era driver rows. The remaining FOURTEEN r7-era
-    # rows (negative_samples, order_priority, paragraph_dedup,
-    # phrase_search, pipeline_funnel, queue_dedup, queue_kafka,
-    # simhash_near_dups, source_cap, star_clusters, text_stats,
-    # timeline_events, top_orders, vocab_topk) defer to r12
+    # round, no re-witness), then the oldest-alphabetical 29 of the 45
+    # window-eligible r7-era driver rows. The remaining SIXTEEN r7-era
+    # rows (min_cost_supplier, nation_trade, negative_samples,
+    # order_priority, paragraph_dedup, phrase_search, pipeline_funnel,
+    # queue_dedup, queue_kafka, simhash_near_dups, source_cap,
+    # star_clusters, text_stats, timeline_events, top_orders,
+    # vocab_topk) defer to r12
     # — they are judge-green via tools/oracle_check.py every round; see
     # COVERAGE.md.
     # Rows-only queries (compression_ratio, bpe_merges) are EXCLUDED by
@@ -8412,13 +8521,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r11-new gates
         "ivfpq_knn_rerank", "ivfpq_adc_rerank", "ivfpq_retrain_swap",
         "ivfpq_stream_append", "hamming_topk", "hamming_near_dups",
+        "hamming_knn_join", "hamming_knn_recall",
         # kernels changed in round 11 (probe-encode checkpoint slim +
         # named index types + the ivfpq_query guard warning)
         "sdc_near_dups", "sdc_multiprobe", "sdc_verified",
         "ivfpq_knn_join", "ivfpq_adc_join", "ivfpq_topk",
         "ivfpq_recall", "ivfpq_mrr", "ivfpq_ndcg", "ivfpq_rerank",
         "ivfpq_append", "ivfpq_sample_train", "ivfpq_persist",
-        # r7-era rows, oldest 31 alphabetical (compression_ratio is
+        # r7-era rows, oldest 29 alphabetical (compression_ratio is
         # rows-only and contract-excluded)
         "bloom_filters", "bloom_join_reduction", "budget_sample",
         "card_scan", "cms_stream_heavy", "condition_generic_json",
@@ -8429,7 +8539,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_name_join", "graph_triangles", "group_split",
         "heavy_hitters", "inverted_index", "k_anonymity", "kmv_distinct",
         "kmv_stream_est", "local_supply", "merge_orders",
-        "min_cost_supplier", "nation_trade",
     ]
     # window integrity (size 50, no dupes, all registered, no rows-only
     # queries) is enforced by tests/test_entry_contract.py — NOT asserted
@@ -8466,6 +8575,8 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_stream_append": ORACLE_IVFPQ_STREAM_APPEND,
         "hamming_topk": ORACLE_HAMMING_TOPK,
         "hamming_near_dups": ORACLE_HAMMING_NEAR_DUPS,
+        "hamming_knn_join": ORACLE_HAMMING_KNN_JOIN,
+        "hamming_knn_recall": ORACLE_HAMMING_KNN_RECALL,
         "ivfpq_persist": ORACLE_IVFPQ_TOPK,
         "sdc_multiprobe": ORACLE_SDC_MULTIPROBE,
         "sdc_verified": ORACLE_SDC_VERIFIED,

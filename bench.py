@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "ivfpq_stream_append",   # micro-batched append to the persisted layout
     "hamming_topk",          # binary-quantized retrieval (bit_count(xor))
     "hamming_near_dups",     # guaranteed-recall pigeonhole band join
+    "hamming_knn_join",      # multi-index Hamming kNN (banded candidates)
+    "hamming_knn_recall",    # guarantee-horizon recall eval
     # analytics
     "pricing_summary",
     "revenue_by_nation",

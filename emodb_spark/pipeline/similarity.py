@@ -2369,8 +2369,6 @@ def hamming_near_dups(
     one packed projection, one (band, value) self-equijoin (one side
     enumerated when r > 0), DISTINCT pair set, one verify join on
     O(candidate) rows. Returns (id_a, id_b, hamming <= threshold)."""
-    import itertools
-
     dim = len(embeddings.select(vec_col).first()[0])
     if threshold < 0 or threshold >= dim:
         raise ValueError(f"threshold={threshold} must be in 0..dim-1")
@@ -2410,13 +2408,8 @@ def hamming_near_dups(
         # CreateArray of ~700 elements measured 4x slower end-to-end:
         # it is rebuilt for every probe row); the 1-row cross join is
         # the repo's allowlisted O(1)-row broadcast idiom
-        masks = [
-            sum(1 << b for b in bits)
-            for r in range(band_radius + 1)
-            for bits in itertools.combinations(range(word_bits), r)
-        ]
         mask_row = probe.sparkSession.createDataFrame(
-            [(masks,)], "__masks array<long>"
+            [(_hamming_masks(word_bits, band_radius),)], "__masks array<long>"
         )
         probe = (
             probe.crossJoin(F.broadcast(mask_row))
@@ -2445,6 +2438,140 @@ def hamming_near_dups(
         .filter(F.col("hamming") <= F.lit(int(threshold)))
         .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
     )
+
+
+def _hamming_masks(word_bits: int, radius: int) -> list:
+    """All XOR masks with popcount <= radius over word_bits bits — the
+    multi-index enumeration set, sum(C(word_bits, 0..radius)) masks."""
+    import itertools
+
+    return [
+        sum(1 << b for b in bits)
+        for r in range(radius + 1)
+        for bits in itertools.combinations(range(word_bits), r)
+    ]
+
+
+def hamming_knn_join(
+    embeddings: DataFrame,
+    queries: Optional[DataFrame] = None,
+    k: int = 10,
+    word_bits: int = 8,
+    band_radius: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: Optional[bool] = None,
+) -> DataFrame:
+    """kNN JOIN in Hamming space over the binary quantization — the
+    all-pairs/batch retrieval path :func:`hamming_topk`'s broadcast
+    eval idiom cannot serve: both sides stay DataFrames, candidates
+    come from the multi-index band match (each query band value
+    enumerated into its within-``band_radius`` XOR variants — the
+    1-row broadcast mask idiom — equijoined against the corpus bands),
+    then the EXACT bit_count distance ranks a top-``k`` window per
+    query. Single-shot multi-index search (Norouzi 2012 run at one
+    fixed radius instead of the paper's progressive widening, which is
+    inherently sequential): every neighbor within
+    ``n_words*(band_radius+1) - 1`` bits is GUARANTEED a candidate
+    (the pigeonhole bound), farther neighbors are best-effort — so a
+    query may return fewer than k rows when its k-th neighbor lies
+    beyond the guarantee horizon; measure with
+    :func:`hamming_knn_recall` and provision (word_bits, band_radius)
+    to push the horizon past the working distance, exactly the
+    n_probe/n_cells trade of the ivfpq tier. Deterministic end-to-end
+    (integer packing, integer distance), so the oracle replays packing
+    + enumeration + band join + ranking bit-for-bit.
+
+    ``queries=None`` means corpus-vs-corpus self-kNN; ``exclude_self``
+    follows :func:`ivfpq_knn_join`'s contract. Returns
+    (query_id, nbr_id, hamming, rank<=k), ties by nbr_id."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    if word_bits < 1 or word_bits > 32 or dim % word_bits:
+        raise ValueError(f"word_bits={word_bits} must divide dim={dim} (<=32)")
+    if band_radius < 0 or band_radius > word_bits:
+        raise ValueError(f"band_radius={band_radius} must be in 0..word_bits")
+    if exclude_self is None:
+        exclude_self = queries is None
+    qside = queries if queries is not None else embeddings
+    cvq = binary_quantize(embeddings, word_bits, id_col, vec_col)
+    qvq = binary_quantize(qside, word_bits, id_col, vec_col)
+    cx = cvq.select(
+        F.col("id").alias("nbr_id"), F.posexplode("words").alias("j", "wval")
+    )
+    qx = qvq.select(
+        F.col("id").alias("query_id"), F.posexplode("words").alias("j", "wval")
+    )
+    if band_radius > 0:
+        mask_row = qx.sparkSession.createDataFrame(
+            [(_hamming_masks(word_bits, band_radius),)], "__masks array<long>"
+        )
+        qx = (
+            qx.crossJoin(F.broadcast(mask_row))
+            .select("query_id", "j", F.explode("__masks").alias("mask"), "wval")
+            .select(
+                "query_id", "j",
+                F.col("wval").bitwiseXOR(F.col("mask")).alias("wval"),
+            )
+        )
+    cands = (
+        qx.join(cx, ["j", "wval"])
+        .filter(
+            (F.col("query_id") != F.col("nbr_id"))
+            if exclude_self else F.lit(True)
+        )
+        .select("query_id", "nbr_id")
+        .distinct()
+    )
+    qw = qvq.select(F.col("id").alias("query_id"), F.col("words").alias("qw"))
+    cw = cvq.select(F.col("id").alias("nbr_id"), F.col("words").alias("cw"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("nbr_id"))
+    return (
+        cands.join(qw, "query_id")
+        .join(cw, "nbr_id")
+        .select(
+            "query_id", "nbr_id",
+            hamming_dist(F.col("qw"), F.col("cw")).alias("hamming"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "nbr_id",
+            F.col("hamming").cast("long").alias("hamming"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def hamming_knn_recall(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    word_bits: int = 8,
+    band_radius: int = 1,
+    topk_word_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """recall@k of :func:`hamming_knn_join` against the EXACT Hamming
+    top-k (:func:`hamming_topk` — a full scan, always right) on the
+    same query set — the eval that calibrates the (word_bits,
+    band_radius) guarantee horizon: neighbors beyond
+    ``n_words*(band_radius+1) - 1`` bits are only best-effort
+    candidates, so recall measures how much of the true top-k lies
+    past the horizon at this provisioning point. Integer-exact ppm
+    (the shared :func:`_recall_gate` tail). Returns
+    (query_id, hits, recall_ppm)."""
+    approx = hamming_knn_join(
+        embeddings,
+        queries=embeddings.filter(F.col(id_col) < n_queries),
+        k=k, word_bits=word_bits, band_radius=band_radius,
+        id_col=id_col, vec_col=vec_col, exclude_self=True,
+    )
+    exact = hamming_topk(
+        embeddings, n_queries=n_queries, k=k, word_bits=topk_word_bits,
+        id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "nbr_id")
+    return _recall_gate(exact, approx, k)
 
 
 def exact_quantized_topk(

@@ -3548,3 +3548,56 @@ def test_hamming_near_dups_guaranteed_recall(spark):
         hamming_near_dups(df, threshold=5, word_bits=16, band_radius=2)
     with _pytest.raises(ValueError, match="threshold"):
         hamming_near_dups(df, threshold=16)
+
+
+def test_hamming_knn_join_matches_topk_within_horizon(spark):
+    """hamming_knn_join: with the guarantee horizon n_words*(r+1)-1
+    covering every true neighbor distance, the join must equal the
+    exact hamming_topk on the same query set — and at a tight horizon
+    it returns exactly the within-horizon prefix of the true ranking
+    (candidates beyond the horizon are best-effort, never wrong).
+    hamming_knn_recall must report 1e6 ppm at the covering point."""
+    import random
+
+    from emodb_spark.pipeline.similarity import (
+        hamming_knn_join,
+        hamming_knn_recall,
+        hamming_topk,
+    )
+
+    rng = random.Random(89)
+    base = [[rng.uniform(-0.5, 0.5) for _ in range(16)] for _ in range(22)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "vec_id long, embedding array<float>"
+    )
+    nq, k = 5, 6
+    want = sorted(map(tuple, hamming_topk(
+        df, n_queries=nq, k=k, word_bits=8).collect()))
+    # horizon = 8 bands * (1+1) - 1 = 15 >= dim-1: every pair guaranteed
+    got = sorted(map(tuple, hamming_knn_join(
+        df, queries=df.filter(F.col("vec_id") < nq), k=k,
+        word_bits=2, band_radius=1, exclude_self=True,
+    ).collect()))
+    assert got == want and len(got) == nq * k
+
+    rec = hamming_knn_recall(
+        df, n_queries=nq, k=k, word_bits=2, band_radius=1
+    ).collect()
+    assert len(rec) == nq
+    assert all(r["recall_ppm"] == 1_000_000 for r in rec)
+
+    # tight horizon (2 bands * 1 - 1 = 1 bit): results are a SUBSET of
+    # the exact ranking rows restricted to candidates — every returned
+    # (query, nbr) pair must genuinely be within-ranked, i.e. its
+    # hamming matches the exact distance
+    import itertools as _it
+    tight = hamming_knn_join(
+        df, queries=df.filter(F.col("vec_id") < nq), k=k,
+        word_bits=8, band_radius=0, exclude_self=True,
+    ).collect()
+    def hd_py(a, b):
+        return sum(
+            (x >= 0) != (y >= 0) for x, y in zip(a, b)
+        )
+    for r in tight:
+        assert r["hamming"] == hd_py(base[r["query_id"]], base[r["nbr_id"]])

@@ -67,6 +67,12 @@ BNLJ_OK = {
                             # onto the probe rows before the explode —
                             # the candidate join itself is a pure
                             # (band, value) EQUIJOIN
+    "hamming_knn_join",     # same 1-row mask-array broadcast on the
+                            # query side; candidates and the verify
+                            # join are equijoins
+    "hamming_knn_recall",   # composes hamming_knn_join (mask
+                            # broadcast) + hamming_topk's allowlisted
+                            # O(#queries) exact baseline broadcast
     "bm25_topk",            # 1-row corpus stats (N docs, total tokens)
                             # broadcast onto the query-vocab tf rows
                             # (the BM25 normalizer constants)
