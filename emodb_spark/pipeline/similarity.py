@@ -2478,7 +2478,12 @@ def hamming_knn_join(
     beyond the guarantee horizon; measure with
     :func:`hamming_knn_recall` and provision (word_bits, band_radius)
     to push the horizon past the working distance, exactly the
-    n_probe/n_cells trade of the ivfpq tier. Deterministic end-to-end
+    n_probe/n_cells trade of the ivfpq tier. Provision the BANDS with
+    the corpus too: fixed-width bands bucket into a constant
+    2^word_bits values, so candidates grow ~n² — measured 10x corpus =
+    16.8x wall at 8-bit/radius-1 vs 1.8x after re-provisioning to
+    16-bit/radius-3 (SAME horizon, 256x finer buckets; SCALE.md r11
+    self-kNN table). Deterministic end-to-end
     (integer packing, integer distance), so the oracle replays packing
     + enumeration + band join + ranking bit-for-bit.
 

@@ -128,3 +128,55 @@ def test_delta_eval_total(delta, value):
     result = eval_delta(delta, value, None)
     if result is not UNDEFINED:
         json.dumps(result)  # must be valid JSON
+
+
+# ---- Hamming banding invariants (pure math both engines rely on) ----
+
+@given(
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=0, max_value=4),
+)
+@settings(max_examples=60, deadline=None)
+def test_hamming_masks_complete_and_within_radius(word_bits, radius):
+    """_hamming_masks(wb, r) is exactly the set of XOR masks with
+    popcount <= r over wb bits: right count (sum C(wb, 0..r)), all
+    distinct, all within radius, all within the word width."""
+    from math import comb
+
+    from emodb_spark.pipeline.similarity import _hamming_masks
+
+    radius = min(radius, word_bits)
+    masks = _hamming_masks(word_bits, radius)
+    assert len(masks) == len(set(masks)) == sum(
+        comb(word_bits, r) for r in range(radius + 1)
+    )
+    assert all(0 <= m < (1 << word_bits) for m in masks)
+    assert all(bin(m).count("1") <= radius for m in masks)
+
+
+@given(
+    st.integers(min_value=0, max_value=(1 << 32) - 1),
+    st.integers(min_value=0, max_value=(1 << 32) - 1),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=0, max_value=3),
+)
+@settings(max_examples=120, deadline=None)
+def test_hamming_pigeonhole_guarantee(a, b, n_words, radius):
+    """The guarantee hamming_near_dups/hamming_knn_join rest on: for
+    ANY two 32-bit patterns split into n_words bands, if the total
+    Hamming distance is <= n_words*(radius+1) - 1, then SOME band
+    differs in <= radius bits (so radius-r band matching proposes the
+    pair). Pure pigeonhole — verified over random patterns and band
+    layouts."""
+    word_bits = 32 // n_words
+    total = bin(a ^ b).count("1")
+    # restrict to the bits the bands actually cover
+    covered = word_bits * n_words
+    mask = (1 << covered) - 1
+    total = bin((a ^ b) & mask).count("1")
+    band_dists = [
+        bin(((a ^ b) >> (w * word_bits)) & ((1 << word_bits) - 1)).count("1")
+        for w in range(n_words)
+    ]
+    if total <= n_words * (radius + 1) - 1:
+        assert min(band_dists) <= radius

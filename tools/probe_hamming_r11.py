@@ -104,5 +104,49 @@ def main() -> int:
     return 0
 
 
+def knn_self_join_probe() -> int:
+    """Corpus-vs-corpus Hamming self-kNN wall time at 2k vs 20k vectors
+    (the all-pairs binary-retrieval shape): candidates are the
+    multi-index band matches, so work scales with bucket collision
+    counts, not n^2. Run: python -c "import sys; sys.path.insert(0,
+    'tools'); import probe_hamming_r11 as p; p.knn_self_join_probe()"
+    from the repo root."""
+    import gc
+    import json
+    import os
+    import sys
+    import time
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from emodb_spark.pipeline.similarity import hamming_knn_join
+    from emodb_spark.spark.session import get_spark
+
+    spark = get_spark(app_name="probe_hamming_knn")
+    for path in (
+        os.path.join(
+            os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+            "embeddings.parquet",
+        ),
+        os.path.join(SF1, "embeddings.parquet"),
+    ):
+        if not os.path.exists(path):
+            continue
+        emb = spark.read.parquet(path)
+        n = emb.count()
+        gc.collect()
+        spark.catalog.clearCache()
+        t0 = time.time()
+        rows = hamming_knn_join(
+            emb, k=10, word_bits=8, band_radius=1
+        ).count()
+        print(json.dumps({
+            "probe": "hamming_self_knn", "n_corpus": n,
+            "k": 10, "word_bits": 8, "band_radius": 1,
+            "result_rows": rows, "wall_s": round(time.time() - t0, 2),
+        }), flush=True)
+    return 0
+
 if __name__ == "__main__":
     raise SystemExit(main())
