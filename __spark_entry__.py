@@ -6831,7 +6831,8 @@ def _oracle_ivfpq(n_cells: int = 8, n_probe: int = 2, m: int = 4,
                   with_ndcg: bool = False, sdc_threshold=None,
                   rerank_k=None, append_mod=None, train_limit=None,
                   sdc_probe: int = 1, knn=None,
-                  sdc_verify_slack=None, knn_rerank=None) -> str:
+                  sdc_verify_slack=None, knn_rerank=None,
+                  cascade=None, cascade_recall: bool = False) -> str:
     """Replays ivfpq_topk end-to-end in DuckDB. Integer throughout:
     after vq = floor(double(v)*scale), coarse k-means, residuals,
     sub-codebook k-means, encode and ADC are all int64 — the centroid
@@ -6980,6 +6981,125 @@ bd{it}_{j} AS (
     # (each vector's residual AND codes in its np nearest cells — the
     # same "centroid cancels per matched cell" property the engine's
     # _probe_encode preserves)
+    if cascade is not None:
+        # TIERED CASCADE replay: Hamming prefilter (sign-bit packing +
+        # multi-index band enumeration + exact bit_count top-prefilter)
+        # -> PQ shortlist (candidate pairs priced against the index's
+        # DECODED reconstruction cent[cell]+concat_j books[code] — the
+        # disjoint-subspace identity makes ||q - recon||^2 equal the
+        # summed LUT ADC distance exactly) -> exact re-rank on the full
+        # quantized vectors. All three tiers integer, so the funnel
+        # replays bit-for-bit; cascade_recall composes the hits/ppm
+        # tail against the exact quantized-L2 top-k.
+        import itertools
+
+        cq, cpre, cshort, cwb, crad = cascade
+        cnw = dim // cwb
+        hdx = ("list_reduce(list_transform(list_zip({a}, {b}), "
+               "x -> bit_count(xor(CAST(x[1] AS BIGINT), "
+               "CAST(x[2] AS BIGINT)))), (a, b) -> a + b)")
+        masks = [
+            sum(1 << b for b in bits)
+            for r in range(crad + 1)
+            for bits in itertools.combinations(range(cwb), r)
+        ]
+        mask_list = ", ".join(str(mk) for mk in masks)
+        rsub_parts = [
+            f"""SELECT e.vec_id, e.j, b.cvec
+  FROM enc e JOIN b{iters}_{j} b ON e.j = {j} AND b.cluster = e.code"""
+            for j in range(m)
+        ]
+        body = prefix + f""", w AS (
+  SELECT vec_id, list_transform(generate_series(0, {cnw - 1}), wi ->
+    list_reduce(list_transform(generate_series(1, {cwb}), bi ->
+      CASE WHEN embedding[wi*{cwb} + bi] >= 0 THEN 1 ELSE 0 END),
+      (a, b) -> a*2 + b)) AS words
+  FROM embeddings
+), bx AS (
+  SELECT vec_id, j, words[j + 1] AS wval FROM (
+    SELECT vec_id, words,
+           unnest(generate_series(0, {cnw - 1})) AS j FROM w
+  )
+), qx AS (
+  SELECT b.vec_id AS query_id, b.j,
+         xor(CAST(b.wval AS BIGINT), mk.mask) AS wval
+  FROM bx b CROSS JOIN (SELECT unnest([{mask_list}]) AS mask) mk
+  WHERE b.vec_id < {cq}
+), cand AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS nbr_id
+  FROM qx q JOIN bx c ON q.j = c.j AND q.wval = c.wval
+  WHERE c.vec_id <> q.query_id
+), hpre AS (
+  SELECT query_id, nbr_id FROM (
+    SELECT query_id, nbr_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY hamming ASC, nbr_id ASC) AS rank FROM (
+      SELECT d.query_id, d.nbr_id,
+             CAST({hdx.format(a='q.words', b='c.words')} AS BIGINT) AS hamming
+      FROM cand d
+      JOIN w q ON q.vec_id = d.query_id
+      JOIN w c ON c.vec_id = d.nbr_id
+    )
+  ) WHERE rank <= {cpre}
+), rsub AS (
+  {' UNION ALL '.join(rsub_parts)}
+), rflat AS (
+  SELECT vec_id, flatten(list(cvec ORDER BY j)) AS rfull
+  FROM rsub GROUP BY 1
+), recon AS (
+  SELECT f.vec_id,
+         list_transform(list_zip(kc.cvec, f.rfull), x -> x[1]+x[2]) AS recv
+  FROM rflat f
+  JOIN (SELECT vec_id, cell FROM resid) rc USING (vec_id)
+  JOIN k{iters} kc ON kc.cluster = rc.cell
+), cstage2 AS (
+  SELECT query_id, nbr_id FROM (
+    SELECT query_id, nbr_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY dist_adc ASC, nbr_id ASC) AS rank FROM (
+      SELECT p.query_id, p.nbr_id,
+             {ilq.format(a='q.q', b='r.recv')} AS dist_adc
+      FROM hpre p
+      JOIN vq q ON q.vec_id = p.query_id
+      JOIN recon r ON r.vec_id = p.nbr_id
+    )
+  ) WHERE rank <= {cshort}
+), cfin AS (
+  SELECT query_id, nbr_id, CAST(dist_exact AS BIGINT) AS dist_exact,
+         CAST(rank AS INT) AS rank FROM (
+    SELECT query_id, nbr_id, dist_exact,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY dist_exact ASC, nbr_id ASC) AS rank FROM (
+      SELECT s.query_id, s.nbr_id,
+             {ilq.format(a='q.q', b='c.q')} AS dist_exact
+      FROM cstage2 s
+      JOIN vq q ON q.vec_id = s.query_id
+      JOIN vq c ON c.vec_id = s.nbr_id
+    )
+  ) WHERE rank <= {k}
+)"""
+        if not cascade_recall:
+            return body + (
+                "\nSELECT query_id, nbr_id, dist_exact, rank FROM cfin\n"
+            )
+        return body + f""", exactq AS (
+  SELECT query_id, nbr_id FROM (
+    SELECT e.vec_id AS query_id, c.vec_id AS nbr_id,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        ORDER BY {ilq.format(a='e.q', b='c.q')} ASC, c.vec_id ASC) AS rank
+    FROM vq e CROSS JOIN vq c
+    WHERE e.vec_id < {cq} AND c.vec_id <> e.vec_id
+  ) WHERE rank <= {k}
+), hits AS (
+  SELECT x.query_id, COUNT(*) AS hits
+  FROM exactq x JOIN cfin p USING (query_id, nbr_id)
+  GROUP BY 1
+)
+SELECT q.query_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       CAST(COALESCE(h.hits, 0) * 1000000 // {k} AS BIGINT) AS recall_ppm
+FROM (SELECT DISTINCT query_id FROM exactq) q LEFT JOIN hits h USING (query_id)
+"""
+
     def sdl_cte() -> str:
         sdl_parts = [
             f"""SELECT {j} AS j, x.cluster AS ca, y.cluster AS cb,
@@ -7264,6 +7384,10 @@ ORACLE_IVFPQ_RETRAIN_SWAP = _oracle_ivfpq(train_limit=256, k=12)
 # the lowest-256-id slice, so the train_limit replay IS the oracle;
 # k=9 keeps the output distinct from the other train_limit gates)
 ORACLE_IVFPQ_STREAM_APPEND = _oracle_ivfpq(train_limit=256, k=9)
+ORACLE_CASCADE_TOPK = _oracle_ivfpq(k=5, cascade=(8, 40, 15, 8, 1))
+ORACLE_CASCADE_RECALL = _oracle_ivfpq(
+    k=10, cascade=(8, 40, 20, 8, 1), cascade_recall=True
+)
 ORACLE_IVFPQ_RERANK = _oracle_ivfpq(k=30, rerank_k=10)
 ORACLE_IVFPQ_APPEND = _oracle_ivfpq(append_mod=5)
 
@@ -7626,6 +7750,93 @@ def q_hamming_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     return hamming_knn_recall(
         emb, n_queries=8, k=10, word_bits=8, band_radius=1
+    )
+
+
+def _hamming_gate_savedir(spark: SparkSession, sf_dir: str) -> str:
+    """The binary tier, SAVED once per session (hamming_save's packed
+    words parquet + meta sidecar) to a temp dir removed at interpreter
+    exit — the ivfpq_persist pattern applied to the words sidecar, so
+    the persistence gate re-loads and re-queries per invocation
+    without re-paying (or leaking) the write."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from emodb_spark.pipeline.similarity import hamming_save
+
+    def build(p):
+        work = tempfile.mkdtemp(prefix="hamming_idx_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        hamming_save(_read(spark, sf_dir, "embeddings"), work, **p)
+        return (work,)
+
+    return _gate_index(
+        "hamming_savedir", dict(word_bits=8), spark, sf_dir, build
+    )[0]
+
+
+def q_hamming_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-tier PERSISTENCE roundtrip (emodb_spark.pipeline.
+    similarity.hamming_save / hamming_load): the packed-words sidecar
+    is written once per session — (id, words) parquet, dim/8 bytes of
+    payload per vector at word_bits=8, plus a (dim, word_bits) meta
+    row so a reader can never band at a different width — then
+    reloaded and queried through hamming_topk's index= path, which at
+    100 TB is THE point of the tier: the retrieval scan reads the
+    32x-smaller sidecar, never the float corpus (the claim
+    hamming_topk's docstring makes, now backed by an API + this
+    gate). The loaded words must answer identically to an in-memory
+    re-pack, so the oracle is the standard packing + distance +
+    ranking replay."""
+    from emodb_spark.pipeline.similarity import hamming_load, hamming_topk
+
+    idx = hamming_load(spark, _hamming_gate_savedir(spark, sf_dir))
+    return hamming_topk(None, n_queries=8, k=10, index=idx)
+
+
+def q_cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIERED CASCADE retrieval (emodb_spark.pipeline.similarity.
+    cascade_knn_rerank) — the three cost tiers composed into the
+    100 TB funnel, cheapest data first: a Hamming prefilter over the
+    sign-bit words (multi-index band equijoin, 8-bit bands at radius
+    1) proposes 40 candidates per query; ONLY those pairs are priced
+    at ADC fidelity against the IVFADC index's decoded reconstruction
+    (cent[cell] + concat_j books[code] — ||q-recon||^2 equals the
+    probed-LUT ADC distance exactly, so the middle tier needs no cell
+    probing) keeping 15; the survivors join the full quantized
+    vectors for the exact top-5. Full-precision rows touched:
+    O(n_q * 15). Integer end-to-end — the oracle replays packing,
+    band enumeration, prefilter ranking, index build, reconstruction,
+    ADC shortlist and exact re-rank in ONE SQL statement."""
+    from emodb_spark.pipeline.similarity import cascade_knn_rerank
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return cascade_knn_rerank(
+        emb, queries=emb.filter(F.col("vec_id") < 8), k=5,
+        prefilter_k=40, shortlist_k=15, word_bits=8, band_radius=1,
+        index=_ivfpq_gate_index(spark, sf_dir), exclude_self=True,
+    )
+
+
+def q_cascade_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall EVAL for the tiered cascade (emodb_spark.pipeline.
+    similarity.cascade_knn_recall): recall@10 of the
+    Hamming->ADC->exact funnel against the exact quantized-L2 top-10.
+    The cascade's final tier ranks in exactly the ground-truth
+    metric, so every missing hit is a CANDIDATE loss — prefilter
+    horizon (n_words*(radius+1)-1 bits) or funnel width — never a
+    ranking error; compare with ivfpq_recall at matched cost to pick
+    probe-based vs cascade retrieval (SCALE.md r12 tables both).
+    Integer-exact ppm via the shared recall tail; the oracle replays
+    the full funnel AND the exact baseline."""
+    from emodb_spark.pipeline.similarity import cascade_knn_recall
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return cascade_knn_recall(
+        emb, n_queries=8, k=10, prefilter_k=40, shortlist_k=20,
+        word_bits=8, band_radius=1,
+        index=_ivfpq_gate_index(spark, sf_dir),
     )
 
 
@@ -8324,6 +8535,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_near_dups": q_hamming_near_dups,
         "hamming_knn_join": q_hamming_knn_join,
         "hamming_knn_recall": q_hamming_knn_recall,
+        "hamming_persist": q_hamming_persist,
+        "cascade_topk": q_cascade_topk,
+        "cascade_recall": q_cascade_recall,
         "ivfpq_persist": q_ivfpq_persist,
         "sdc_multiprobe": q_sdc_multiprobe,
         "sdc_verified": q_sdc_verified,
@@ -8488,28 +8702,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
     }
     # The driver records CORRECTNESS from the FIRST 50 entries, so the
-    # window below leads the dict. Round-11 window: the EIGHT r11-new
-    # gates lead (ivfpq_knn_rerank / ivfpq_adc_rerank — DataFrame-native
-    # exact re-rank over the kNN-join shortlists; ivfpq_retrain_swap —
-    # versioned publish + _CURRENT pointer flip; ivfpq_stream_append —
-    # micro-batched append to the persisted layout; hamming_topk /
-    # hamming_near_dups / hamming_knn_join / hamming_knn_recall —
-    # sign-bit binary quantization with multi-index banding: guaranteed
-    # near-dup recall, kNN join, and the horizon eval), then the 13 gates
-    # whose kernels round 11 touched (_probe_encode now checkpoints only
-    # the assignment -> sdc_multiprobe/sdc_verified/ivfpq_knn_join;
-    # ivfpq_index/ivfpq_load return the named IvfPqIndex,
-    # _unpack_ivfpq_index constructs it, and ivfpq_query gained the
-    # guard warning -> sdc_near_dups and the rest of the ivfpq family;
-    # pq/bm25/kmeans kernels are UNTOUCHED this
-    # round, no re-witness), then the oldest-alphabetical 29 of the 45
-    # window-eligible r7-era driver rows. The remaining SIXTEEN r7-era
-    # rows (min_cost_supplier, nation_trade, negative_samples,
-    # order_priority, paragraph_dedup, phrase_search, pipeline_funnel,
-    # queue_dedup, queue_kafka, simhash_near_dups, source_cap,
-    # star_clusters, text_stats, timeline_events, top_orders,
-    # vocab_topk) defer to r12
-    # — they are judge-green via tools/oracle_check.py every round; see
+    # window below leads the dict. Round-12 window: the THREE r12-new
+    # gates lead (hamming_persist — the packed-words sidecar
+    # save/load roundtrip, closing the binary tier's persistence gap;
+    # cascade_topk / cascade_recall — the tiered Hamming-prefilter ->
+    # ADC-shortlist -> exact-re-rank funnel and its recall eval), then
+    # the SIX gates whose kernels round 12 touched (the hamming family
+    # gained index= plumbing and the query-dim guard ->
+    # hamming_topk/hamming_near_dups/hamming_knn_join/
+    # hamming_knn_recall; ivfpq_publish gained the local-root check +
+    # atomic exclusive-mkdir version claim -> ivfpq_retrain_swap;
+    # ivfpq_append_to_saved gained the _BATCH_WM idempotence watermark
+    # -> ivfpq_stream_append; every other ivfpq/pq kernel is UNTOUCHED
+    # this round, no re-witness), then the final SIXTEEN r7-era driver
+    # rows (min_cost_supplier..vocab_topk — rotation debt to ZERO:
+    # after this window no driver row is older than r8), then the
+    # oldest-alphabetical 25 of the 43 r8-era rows
+    # (asof_last_view..ivm_view). The remaining EIGHTEEN r8-era rows
+    # defer to r13: large_volume_customers, minhash_near_dups,
+    # promo_share, quality_classifier, rank_normalize,
+    # resolve_compacted, returned_customers, sales_opportunity,
+    # salted_hot_join, session_cooccurrence, small_qty_revenue,
+    # substring_dedup, top_supplier, training_shards,
+    # unigram_surprisal, user_scd2, vocab_coverage, zorder_layout
+    # — each judge-green via tools/oracle_check.py every round; see
     # COVERAGE.md.
     # Rows-only queries (compression_ratio, bpe_merges) are EXCLUDED by
     # design: the driver can only ever record `no_oracle` for them,
@@ -8518,27 +8734,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Everything else keeps its registry order behind the window and is
     # re-verified by tools/oracle_check.py instead.
     window = [
-        # r11-new gates
-        "ivfpq_knn_rerank", "ivfpq_adc_rerank", "ivfpq_retrain_swap",
-        "ivfpq_stream_append", "hamming_topk", "hamming_near_dups",
-        "hamming_knn_join", "hamming_knn_recall",
-        # kernels changed in round 11 (probe-encode checkpoint slim +
-        # named index types + the ivfpq_query guard warning)
-        "sdc_near_dups", "sdc_multiprobe", "sdc_verified",
-        "ivfpq_knn_join", "ivfpq_adc_join", "ivfpq_topk",
-        "ivfpq_recall", "ivfpq_mrr", "ivfpq_ndcg", "ivfpq_rerank",
-        "ivfpq_append", "ivfpq_sample_train", "ivfpq_persist",
-        # r7-era rows, oldest 29 alphabetical (compression_ratio is
-        # rows-only and contract-excluded)
-        "bloom_filters", "bloom_join_reduction", "budget_sample",
-        "card_scan", "cms_stream_heavy", "condition_generic_json",
-        "condition_variant_scan", "conversion_latency", "customer_orders",
-        "dup_score", "embedding_quantize", "event_anomalies",
-        "event_mad", "event_props", "event_rolling", "event_trailing_7d",
-        "event_transitions", "event_trend", "exact_jaccard_join",
-        "fuzzy_name_join", "graph_triangles", "group_split",
-        "heavy_hitters", "inverted_index", "k_anonymity", "kmv_distinct",
-        "kmv_stream_est", "local_supply", "merge_orders",
+        # r12-new gates
+        "hamming_persist", "cascade_topk", "cascade_recall",
+        # kernels changed in round 12 (hamming index= plumbing +
+        # query-dim guard; publish local-root check + atomic version
+        # claim; append _BATCH_WM watermark)
+        "hamming_topk", "hamming_near_dups", "hamming_knn_join",
+        "hamming_knn_recall", "ivfpq_retrain_swap", "ivfpq_stream_append",
+        # the final 16 r7-era rows — rotation debt to zero
+        "min_cost_supplier", "nation_trade", "negative_samples",
+        "order_priority", "paragraph_dedup", "phrase_search",
+        "pipeline_funnel", "queue_dedup", "queue_kafka",
+        "simhash_near_dups", "source_cap", "star_clusters",
+        "text_stats", "timeline_events", "top_orders", "vocab_topk",
+        # r8-era rows, oldest 25 alphabetical
+        "asof_last_view", "boilerplate_removal", "bpe_encode",
+        "bracketed_revenue", "bucketed_join", "cohort_retention",
+        "collocations", "containment_join", "dataset_report",
+        "decayed_score", "doc_chunks", "doc_packing", "dsir_selection",
+        "event_error_burst", "event_funnel", "event_histogram",
+        "event_percentiles", "event_profile", "events_grouping_sets",
+        "events_pivot", "events_rollup", "forecast_revenue",
+        "fp_overlap_pairs", "iban_scan", "ivm_view",
     ]
     # window integrity (size 50, no dupes, all registered, no rows-only
     # queries) is enforced by tests/test_entry_contract.py — NOT asserted
@@ -8577,6 +8794,9 @@ def oracle_sql() -> dict[str, str]:
         "hamming_near_dups": ORACLE_HAMMING_NEAR_DUPS,
         "hamming_knn_join": ORACLE_HAMMING_KNN_JOIN,
         "hamming_knn_recall": ORACLE_HAMMING_KNN_RECALL,
+        "hamming_persist": ORACLE_HAMMING_TOPK,
+        "cascade_topk": ORACLE_CASCADE_TOPK,
+        "cascade_recall": ORACLE_CASCADE_RECALL,
         "ivfpq_persist": ORACLE_IVFPQ_TOPK,
         "sdc_multiprobe": ORACLE_SDC_MULTIPROBE,
         "sdc_verified": ORACLE_SDC_VERIFIED,

@@ -71,6 +71,9 @@ BENCH_QUERIES = [
     "hamming_near_dups",     # guaranteed-recall pigeonhole band join
     "hamming_knn_join",      # multi-index Hamming kNN (banded candidates)
     "hamming_knn_recall",    # guarantee-horizon recall eval
+    "hamming_persist",       # packed-words sidecar save/load roundtrip
+    "cascade_topk",          # Hamming -> ADC -> exact tiered funnel
+    "cascade_recall",        # cascade recall@10 vs exact quantized-L2
     # analytics
     "pricing_summary",
     "revenue_by_nation",

@@ -1385,6 +1385,22 @@ def ivfpq_load(spark: SparkSession, path: str):
 
 
 CURRENT_FILE = "_CURRENT"  # the stash _LATEST idiom, applied to indexes
+BATCH_WM_FILE = "_BATCH_WM"  # committed-batch-id high-watermark sidecar
+
+
+def _require_local_root(root: str, who: str) -> None:
+    """Reject URI-scheme paths for the os-level lifecycle primitives
+    (exclusive mkdir, atomic rename, watermark read) — ivfpq_save/load
+    go through Spark and accept any Hadoop filesystem, but the publish
+    and watermark machinery is local-FS by design (an object-store
+    deployment swaps the pointer/watermark for a conditional put)."""
+    if "://" in root:
+        raise ValueError(
+            f"{who}: root {root!r} has a URI scheme — the version pick "
+            "and pointer/watermark flips use local-FS atomic primitives; "
+            "use a local path (ivfpq_save/ivfpq_load alone accept any "
+            "Hadoop-visible path)"
+        )
 
 
 def ivfpq_publish(index, root: str) -> str:
@@ -1408,16 +1424,34 @@ def ivfpq_publish(index, root: str) -> str:
     the same versioned-dir + one-atomic-flip shape as
     DataStore.move_table (datastore.py). The pointer flip is a local
     rename; an object-store deployment swaps it for a conditional
-    put of the same one-line file."""
+    put of the same one-line file.
+
+    ``root`` must be a LOCAL filesystem path: the version pick and the
+    pointer flip use os-level primitives (exclusive mkdir, atomic
+    rename) that Hadoop URIs don't get — :func:`ivfpq_save` alone
+    accepts any Hadoop-visible path, but publishing needs the local
+    atomicity, so URI roots are rejected up front instead of failing
+    later with a confusing FileNotFoundError. Concurrent publishers
+    are safe: the version directory is claimed with an atomic
+    EXCLUSIVE mkdir, so two publishers racing on the same next number
+    serialize onto distinct versions instead of the second silently
+    overwriting the first before its pointer flip."""
     import os
 
+    _require_local_root(root, "ivfpq_publish")
     os.makedirs(root, exist_ok=True)
-    versions = [
-        d for d in os.listdir(root)
-        if d.startswith("v") and d[1:].isdigit()
-    ]
-    nxt = max((int(d[1:]) for d in versions), default=0) + 1
-    vname = f"v{nxt:05d}"
+    while True:
+        versions = [
+            d for d in os.listdir(root)
+            if d.startswith("v") and d[1:].isdigit()
+        ]
+        nxt = max((int(d[1:]) for d in versions), default=0) + 1
+        vname = f"v{nxt:05d}"
+        try:
+            os.mkdir(os.path.join(root, vname))  # atomic claim
+        except FileExistsError:
+            continue  # another publisher claimed it — take the next
+        break
     ivfpq_save(index, os.path.join(root, vname))
     tmp = os.path.join(root, CURRENT_FILE + ".tmp")
     with open(tmp, "w") as f:
@@ -1442,6 +1476,7 @@ def ivfpq_append_to_saved(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    batch_id: Optional[int] = None,
 ) -> None:
     """STREAMING INDEX MAINTENANCE: encode an arrival batch against the
     codebooks persisted at ``path`` (:func:`ivfpq_save`'s sidecar) and
@@ -1450,21 +1485,43 @@ def ivfpq_append_to_saved(
     index fresh as a corpus ingests::
 
         arrivals.writeStream.foreachBatch(
-            lambda batch, _id: ivfpq_append_to_saved(batch, path))
+            lambda batch, bid: ivfpq_append_to_saved(batch, path,
+                                                     batch_id=bid))
 
     Because encoding is a pure per-vector function of frozen codebooks
     (:func:`ivfpq_encode_new`), ANY micro-batch split appends the
     identical code table a one-shot encode would — the same
-    batch-parity contract the streaming fold gates certify (and the
-    idempotence caveat is the same: a replayed micro-batch appends
-    duplicate rows, so an exactly-once sink or a dedup-on-read guard
-    is the deployment's responsibility, exactly as with every
-    append-only parquet sink in this repo). At 100 TB the append
-    touches only the arriving rows' cell partitions; the
-    already-encoded corpus is never rewritten. Retrain policy stays
-    with :func:`ivfpq_publish`."""
+    batch-parity contract the streaming fold gates certify.
+
+    IDEMPOTENCE: pass Structured Streaming's epoch id as ``batch_id``
+    and replays no-op — the standard foreachBatch recipe: a
+    ``_BATCH_WM`` high-watermark sidecar (one int, the highest
+    committed batch id; foreachBatch ids are monotonic) is read before
+    the append and atomically flipped (write-temp + rename, the
+    ``_CURRENT`` idiom) after it, so a batch with
+    ``batch_id <= watermark`` returns without writing. The one
+    remaining window — a crash BETWEEN the parquet append and the
+    watermark flip — re-appends that single batch on restart, the
+    at-least-once floor every non-transactional parquet sink shares;
+    the watermark removes the common case (Spark replaying the last
+    batch after any restart). ``batch_id=None`` preserves the plain
+    append (no watermark read or write). The watermark needs a LOCAL
+    ``path`` (see :func:`ivfpq_publish`). At 100 TB the append touches
+    only the arriving rows' cell partitions; the already-encoded
+    corpus is never rewritten. Retrain policy stays with
+    :func:`ivfpq_publish`."""
     import os
 
+    wm_path = os.path.join(path, BATCH_WM_FILE)
+    if batch_id is not None:
+        _require_local_root(path, "ivfpq_append_to_saved(batch_id=...)")
+        try:
+            with open(wm_path) as f:
+                wm = int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            wm = -1
+        if int(batch_id) <= wm:
+            return  # replayed batch — already committed, no-op
     spark = new_embeddings.sparkSession
     row = spark.read.json(os.path.join(path, "meta")).collect()[0]
     cents = [[int(v) for v in c] for c in row["cents"]]
@@ -1475,6 +1532,11 @@ def ivfpq_append_to_saved(
     enc_new.write.mode("append").partitionBy("cell").parquet(
         os.path.join(path, "enc")
     )
+    if batch_id is not None:
+        tmp = wm_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(int(batch_id)))
+        os.replace(tmp, wm_path)
 
 
 def ivfpq_load_current(spark: SparkSession, root: str) -> IvfPqIndex:
@@ -2240,6 +2302,212 @@ def ivfpq_knn_rerank(
     )
 
 
+def ivfpq_reconstruct(index, scale: int = PQ_SCALE) -> DataFrame:
+    """Decode an IVFADC index back to its quantized-domain
+    approximations: recon(x) = cent[cell(x)] + concat_j books[j][code_j(x)]
+    — the reconstruction Jégou 2011 §III.C's asymmetric distance is
+    implicitly measured against (||q - recon(x)||^2 equals the summed
+    per-subspace LUT distance EXACTLY, since the residual slices are
+    disjoint). Materializing it as (id, recv array<long>) turns "ADC
+    distance on an arbitrary candidate pair" into one integer
+    :func:`_int_sqdist` — the middle tier of :func:`cascade_knn_rerank`
+    needs exactly that, because its candidates come from the Hamming
+    prefilter, not from probed cells, so the probed-cell LUT equijoin
+    cannot price them.
+
+    Plan: the (id, cell, j, code) table equijoins a broadcast
+    (j, code, bvec) codebook frame (m*sub_k rows), one groupBy(id)
+    assembles the m sub-vectors in j order, and a broadcast
+    (cell, cvec) join adds the coarse centroid — one shuffle over the
+    COMPRESSED corpus (never the floats), O(model) broadcast state.
+    At 100 TB this is also how a persisted index would ship a decoded
+    projection next to the codes."""
+    enc, cents, books, scale = _unpack_ivfpq_index(index, scale)
+    spark = enc.sparkSession
+    books_df = spark.createDataFrame(
+        [(j, c, [int(v) for v in books[j][c]])
+         for j in range(len(books)) for c in range(len(books[j]))],
+        "j int, code int, bvec array<long>",
+    )
+    cents_df = spark.createDataFrame(
+        [(i, [int(v) for v in c]) for i, c in enumerate(cents)],
+        "cell int, cvec array<long>",
+    )
+    rfull = F.expr(
+        "flatten(transform(array_sort(collect_list(struct(j, bvec))),"
+        " s -> s.bvec))"
+    )
+    return (
+        enc.join(F.broadcast(books_df), ["j", "code"])
+        .groupBy("id", "cell")
+        .agg(rfull.alias("rfull"))
+        .join(F.broadcast(cents_df), "cell")
+        .select(
+            "id",
+            F.zip_with("cvec", "rfull", lambda a, b: a + b).alias("recv"),
+        )
+    )
+
+
+def cascade_knn_rerank(
+    embeddings: DataFrame,
+    queries: Optional[DataFrame] = None,
+    k: int = 10,
+    prefilter_k: Optional[int] = None,
+    shortlist_k: Optional[int] = None,
+    word_bits: int = 8,
+    band_radius: int = 1,
+    n_cells: int = 8,
+    m: int = 4,
+    sub_k: int = 16,
+    iters: int = 2,
+    scale: int = PQ_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index=None,
+    hamming_idx: Optional[HammingIndex] = None,
+    exclude_self: Optional[bool] = None,
+) -> DataFrame:
+    """TIERED CASCADE retrieval — the natural 100 TB funnel composed
+    from the repo's three cost tiers, cheapest data first:
+
+    1. **Hamming prefilter** (:func:`hamming_knn_join`): the sign-bit
+       words (dim/8 bytes per vector) propose ``prefilter_k``
+       candidates per query via the multi-index band equijoin — wide
+       and cheap; the float corpus is untouched.
+    2. **PQ shortlist**: ONLY those candidate pairs are priced at ADC
+       fidelity — the pair equijoins the index's decoded
+       reconstruction (:func:`ivfpq_reconstruct`, m*8 bits per vector
+       of underlying code) and the exact integer
+       ``||q - recon(x)||^2`` (identical to the probed-LUT ADC
+       distance by the disjoint-subspace identity) keeps the top
+       ``shortlist_k``.
+    3. **Exact re-rank**: the surviving rows join the full quantized
+       vectors for the exact distance; top-``k`` ranks on that —
+       :func:`ivfpq_knn_rerank`'s verify-join tail.
+
+    Each tier touches ~an order of magnitude fewer rows of ~an order
+    of magnitude bigger payload, so the full-precision corpus is read
+    for O(n_q * shortlist_k) rows only, and the middle tier never
+    needs cell probing at all — recall is governed by the Hamming
+    guarantee horizon (n_words*(radius+1)-1 bits) and the funnel
+    widths, both measured by :func:`cascade_knn_recall`. Against
+    single-tier :func:`ivfpq_knn_rerank` the trade is: no probe-miss
+    recall loss, but prefilter-horizon recall loss — SCALE.md r12
+    tables the crossover. Deterministic end-to-end (integer packing,
+    integer reconstruction, integer distances), so the oracle replays
+    all three tiers bit-for-bit. ``index=``/``hamming_idx=`` reuse
+    prebuilt tiers; ``embeddings`` is still required (tier 3 re-reads
+    the vectors). Returns (query_id, nbr_id, dist_exact, rank<=k),
+    ties by nbr_id; a query may return < k rows when the prefilter
+    horizon starves it (provision widths like n_probe/n_cells)."""
+    if embeddings is None:
+        raise ValueError(
+            "cascade_knn_rerank: embeddings required (the exact tier "
+            "re-reads the corpus vectors)"
+        )
+    if prefilter_k is None:
+        prefilter_k = 8 * k
+    if shortlist_k is None:
+        shortlist_k = 3 * k
+    if index is None:
+        index = ivfpq_index(
+            embeddings, n_cells, m, sub_k, iters, scale, id_col, vec_col
+        )
+    _, _, _, scale = _unpack_ivfpq_index(index, scale)
+    pre = hamming_knn_join(
+        embeddings, queries=queries, k=prefilter_k, word_bits=word_bits,
+        band_radius=band_radius, id_col=id_col, vec_col=vec_col,
+        exclude_self=exclude_self, index=hamming_idx,
+    ).select("query_id", "nbr_id")
+    qside = queries if queries is not None else embeddings
+    qv = qside.select(
+        F.col(id_col).alias("query_id"),
+        _quantize_col(F.col(vec_col), scale).alias("qv"),
+    )
+    recon = ivfpq_reconstruct(index, scale).select(
+        F.col("id").alias("nbr_id"), "recv"
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.asc("dist_adc"), F.asc("nbr_id")
+    )
+    short = (
+        pre.join(qv, "query_id")
+        .join(recon, "nbr_id")
+        .select(
+            "query_id", "nbr_id", "qv",
+            _int_sqdist(F.col("qv"), F.col("recv")).alias("dist_adc"),
+        )
+        .withColumn("rank2", F.row_number().over(w2))
+        .filter(F.col("rank2") <= shortlist_k)
+        .select("query_id", "nbr_id", "qv")  # qv rides along: one join saved
+    )
+    cv = embeddings.select(
+        F.col(id_col).alias("nbr_id"),
+        _quantize_col(F.col(vec_col), scale).alias("cv"),
+    )
+    w3 = Window.partitionBy("query_id").orderBy(
+        F.asc("dist_exact"), F.asc("nbr_id")
+    )
+    return (
+        short.join(cv, "nbr_id")
+        .select(
+            "query_id", "nbr_id",
+            _int_sqdist(F.col("qv"), F.col("cv")).alias("dist_exact"),
+        )
+        .withColumn("rank", F.row_number().over(w3))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "nbr_id",
+            F.col("dist_exact").cast("long").alias("dist_exact"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def cascade_knn_recall(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    prefilter_k: Optional[int] = None,
+    shortlist_k: Optional[int] = None,
+    word_bits: int = 8,
+    band_radius: int = 1,
+    n_cells: int = 8,
+    m: int = 4,
+    sub_k: int = 16,
+    iters: int = 2,
+    scale: int = PQ_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index=None,
+    hamming_idx: Optional[HammingIndex] = None,
+) -> DataFrame:
+    """recall@k of the tiered cascade against the EXACT quantized-L2
+    top-k — the eval that prices the funnel: the cascade's final tier
+    ranks in exactly the ground-truth metric, so every missing hit is
+    a CANDIDATE loss (prefilter horizon or funnel width), never a
+    ranking error. Compare with :func:`ivfpq_recall` at matched cost
+    to choose between probe-based and cascade retrieval for a corpus
+    (SCALE.md r12 tables both). Integer-exact ppm. Returns
+    (query_id, hits, recall_ppm)."""
+    if index is not None:
+        _, _, _, scale = _unpack_ivfpq_index(index, scale)
+    approx = cascade_knn_rerank(
+        embeddings,
+        queries=embeddings.filter(F.col(id_col) < n_queries),
+        k=k, prefilter_k=prefilter_k, shortlist_k=shortlist_k,
+        word_bits=word_bits, band_radius=band_radius, n_cells=n_cells,
+        m=m, sub_k=sub_k, iters=iters, scale=scale, id_col=id_col,
+        vec_col=vec_col, index=index, hamming_idx=hamming_idx,
+        exclude_self=True,
+    )
+    exact = exact_quantized_topk(
+        embeddings, n_queries, k, scale, id_col, vec_col
+    ).select("query_id", "nbr_id")
+    return _recall_gate(exact, approx, k)
+
+
 def binary_quantize(
     embeddings: DataFrame,
     word_bits: int = 8,
@@ -2287,25 +2555,109 @@ def hamming_dist(a: Column, b: Column) -> Column:
     )
 
 
-def hamming_topk(
+class HammingIndex(NamedTuple):
+    """The persisted binary tier — what :func:`hamming_index` /
+    :func:`hamming_load` return and the hamming family's ``index=``
+    parameter accepts. Carrying (dim, word_bits) with the packed words
+    means a loaded index can never be queried at a different banding
+    than it was packed with (the scale-contract rule
+    :class:`IvfPqIndex` applies to its quantization scale)."""
+
+    words: DataFrame   # (id, words array<long>) — the packed corpus
+    dim: int           # embedding dimensionality the words were packed from
+    word_bits: int     # bits per packed word == the band width
+
+
+def hamming_index(
     embeddings: DataFrame,
+    word_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> HammingIndex:
+    """Build the binary-tier index in memory: the sign-bit words
+    projection (:func:`binary_quantize`) tagged with its (dim,
+    word_bits) contract. Build once, pass as ``index=`` to
+    :func:`hamming_topk` / :func:`hamming_near_dups` /
+    :func:`hamming_knn_join` so the float corpus is packed once per
+    session instead of once per query."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    return HammingIndex(
+        binary_quantize(embeddings, word_bits, id_col, vec_col),
+        dim, word_bits,
+    )
+
+
+def hamming_save(
+    embeddings: DataFrame,
+    path: str,
+    word_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the binary tier — the packed-words SIDECAR the 100 TB
+    claims in :func:`hamming_topk` / :func:`hamming_knn_join` assume:
+    (id, words) parquet (dim/8 bytes of payload per vector at
+    word_bits=8 — 32x smaller than the float32 corpus) plus one JSON
+    meta row carrying (dim, word_bits) so a reader can never band at a
+    different width than the packing. Same layout shape as
+    :func:`ivfpq_save` (parquet + sidecar), same Hadoop-visible path
+    contract; the words table is NOT partitioned — the exact top-k
+    scan reads all of it by design (that full scan of dim/64 longs per
+    row IS the tier's cost model), and the banded joins shuffle on
+    (band, value) regardless of file layout."""
+    import os
+
+    idx = hamming_index(embeddings, word_bits, id_col, vec_col)
+    spark = embeddings.sparkSession
+    idx.words.write.mode("overwrite").parquet(os.path.join(path, "words"))
+    meta = spark.createDataFrame(
+        [(int(idx.dim), int(idx.word_bits))], "dim long, word_bits long"
+    )
+    meta.coalesce(1).write.mode("overwrite").json(os.path.join(path, "meta"))
+
+
+def hamming_load(spark: SparkSession, path: str) -> HammingIndex:
+    """Load a binary tier persisted by :func:`hamming_save` — the
+    words table stays lazy (the scan-sized object), only the O(1) meta
+    row is collected. At scale this is the path the retrieval tiers
+    read: queries pack against the meta's word_bits and scan/join the
+    packed parquet, never re-reading the float corpus."""
+    import os
+
+    words = spark.read.parquet(os.path.join(path, "words")).select(
+        "id", "words"
+    )
+    row = spark.read.json(os.path.join(path, "meta")).collect()[0]
+    return HammingIndex(words, int(row["dim"]), int(row["word_bits"]))
+
+
+def hamming_topk(
+    embeddings: Optional[DataFrame],
     n_queries: int = 8,
     k: int = 10,
     word_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: Optional[HammingIndex] = None,
 ) -> DataFrame:
     """Exact top-k under sign-bit Hamming distance — retrieval over the
     binary-quantized corpus: the n_queries packed query rows broadcast
     over one corpus scan of the WORDS projection (dim/8 bytes per
     vector at word_bits=8 — at 100 TB the scan reads the packed
-    sidecar, never the float corpus), distance is bit_count(xor) folded
+    sidecar via ``index=`` :func:`hamming_load`, never the float
+    corpus; without an index the words are packed from ``embeddings``
+    in the same plan), distance is bit_count(xor) folded
     across words (pure codegen), top-k is one window per query.
     The allowlisted O(#queries) eval idiom; the banded join
     (:func:`hamming_near_dups`) is the all-pairs scale path.
     Returns (query_id, nbr_id, hamming, rank<=k), self-matches
     excluded, ties by nbr_id."""
-    vq = binary_quantize(embeddings, word_bits, id_col, vec_col)
+    if index is not None:
+        vq = index.words
+    else:
+        if embeddings is None:
+            raise ValueError("hamming_topk: embeddings or index required")
+        vq = binary_quantize(embeddings, word_bits, id_col, vec_col)
     qdf = F.broadcast(
         vq.filter(F.col("id") < n_queries).select(
             F.col("id").alias("query_id"), F.col("words").alias("qw")
@@ -2331,12 +2683,13 @@ def hamming_topk(
 
 
 def hamming_near_dups(
-    embeddings: DataFrame,
+    embeddings: Optional[DataFrame],
     threshold: int,
     word_bits: Optional[int] = None,
     band_radius: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: Optional[HammingIndex] = None,
 ) -> DataFrame:
     """GUARANTEED-RECALL Hamming near-dup pairs over the binary
     quantization — multi-index Hamming search (Norouzi/Punjani/Fleet
@@ -2368,8 +2721,16 @@ def hamming_near_dups(
     divisor of dim satisfying the guarantee at the given radius. Plan:
     one packed projection, one (band, value) self-equijoin (one side
     enumerated when r > 0), DISTINCT pair set, one verify join on
-    O(candidate) rows. Returns (id_a, id_b, hamming <= threshold)."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    O(candidate) rows. ``index=`` (:func:`hamming_load`) supplies the
+    packed words directly — its word_bits IS the band width then, and
+    the float corpus never participates.
+    Returns (id_a, id_b, hamming <= threshold)."""
+    if index is not None:
+        dim, word_bits = index.dim, index.word_bits
+    elif embeddings is None:
+        raise ValueError("hamming_near_dups: embeddings or index required")
+    else:
+        dim = len(embeddings.select(vec_col).first()[0])
     if threshold < 0 or threshold >= dim:
         raise ValueError(f"threshold={threshold} must be in 0..dim-1")
     if band_radius < 0:
@@ -2397,7 +2758,10 @@ def hamming_near_dups(
         raise ValueError(
             f"band_radius={band_radius} exceeds word_bits={word_bits}"
         )
-    vq = binary_quantize(embeddings, word_bits, id_col, vec_col)
+    vq = (
+        index.words if index is not None
+        else binary_quantize(embeddings, word_bits, id_col, vec_col)
+    )
     ex = vq.select("id", "words", F.posexplode("words").alias("j", "wval"))
     probe = ex.select(F.col("id").alias("id_b"), "j", "wval")
     if band_radius > 0:
@@ -2453,7 +2817,7 @@ def _hamming_masks(word_bits: int, radius: int) -> list:
 
 
 def hamming_knn_join(
-    embeddings: DataFrame,
+    embeddings: Optional[DataFrame],
     queries: Optional[DataFrame] = None,
     k: int = 10,
     word_bits: int = 8,
@@ -2461,6 +2825,7 @@ def hamming_knn_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: Optional[bool] = None,
+    index: Optional[HammingIndex] = None,
 ) -> DataFrame:
     """kNN JOIN in Hamming space over the binary quantization — the
     all-pairs/batch retrieval path :func:`hamming_topk`'s broadcast
@@ -2488,18 +2853,43 @@ def hamming_knn_join(
     + enumeration + band join + ranking bit-for-bit.
 
     ``queries=None`` means corpus-vs-corpus self-kNN; ``exclude_self``
-    follows :func:`ivfpq_knn_join`'s contract. Returns
-    (query_id, nbr_id, hamming, rank<=k), ties by nbr_id."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    follows :func:`ivfpq_knn_join`'s contract. ``index=``
+    (:func:`hamming_load`) supplies the packed corpus side — queries
+    then pack at ITS word_bits, and the float corpus is never read.
+    The query frame's dim is checked against the corpus dim up front
+    (one extra first() on the query side): mismatched dims would
+    otherwise zip_with-pad to null distances, which sort FIRST in the
+    rank window — silently wrong neighbors instead of an error.
+    Returns (query_id, nbr_id, hamming, rank<=k), ties by nbr_id."""
+    if index is not None:
+        dim, word_bits = index.dim, index.word_bits
+    elif embeddings is None:
+        raise ValueError("hamming_knn_join: embeddings or index required")
+    else:
+        dim = len(embeddings.select(vec_col).first()[0])
     if word_bits < 1 or word_bits > 32 or dim % word_bits:
         raise ValueError(f"word_bits={word_bits} must divide dim={dim} (<=32)")
     if band_radius < 0 or band_radius > word_bits:
         raise ValueError(f"band_radius={band_radius} must be in 0..word_bits")
     if exclude_self is None:
         exclude_self = queries is None
+    if queries is not None:
+        qdim = len(queries.select(vec_col).first()[0])
+        if qdim != dim:
+            raise ValueError(
+                f"hamming_knn_join: query dim {qdim} != corpus dim {dim} "
+                "— mismatched embeddings would yield null (i.e. silently "
+                "wrong) Hamming distances"
+            )
     qside = queries if queries is not None else embeddings
-    cvq = binary_quantize(embeddings, word_bits, id_col, vec_col)
-    qvq = binary_quantize(qside, word_bits, id_col, vec_col)
+    cvq = (
+        index.words if index is not None
+        else binary_quantize(embeddings, word_bits, id_col, vec_col)
+    )
+    if qside is None:  # self-kNN straight off a loaded index
+        qvq = cvq
+    else:
+        qvq = binary_quantize(qside, word_bits, id_col, vec_col)
     cx = cvq.select(
         F.col("id").alias("nbr_id"), F.posexplode("words").alias("j", "wval")
     )

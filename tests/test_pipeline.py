@@ -3601,3 +3601,274 @@ def test_hamming_knn_join_matches_topk_within_horizon(spark):
         )
     for r in tight:
         assert r["hamming"] == hd_py(base[r["query_id"]], base[r["nbr_id"]])
+
+
+def test_hamming_save_load_roundtrip(spark, tmp_path):
+    """hamming_save/hamming_load: the packed-words sidecar reloads
+    bit-identically (words, dim, word_bits), and every hamming query
+    through index= answers exactly like the in-memory re-pack — the
+    binary tier's persistence contract (at scale the sidecar IS what
+    the tier scans, never the float corpus)."""
+    import random
+
+    from emodb_spark.pipeline.similarity import (
+        binary_quantize,
+        hamming_knn_join,
+        hamming_load,
+        hamming_near_dups,
+        hamming_save,
+        hamming_topk,
+    )
+
+    rng = random.Random(97)
+    base = [[rng.uniform(-0.5, 0.5) for _ in range(16)] for _ in range(20)]
+    base[18] = [x + 0.01 for x in base[2]]  # a planted near-dup
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "vec_id long, embedding array<float>"
+    )
+    path = str(tmp_path / "ham_idx")
+    hamming_save(df, path, word_bits=4)
+    idx = hamming_load(spark, path)
+    assert (idx.dim, idx.word_bits) == (16, 4)
+
+    want_words = sorted(
+        (r["id"], list(r["words"]))
+        for r in binary_quantize(df, word_bits=4).collect()
+    )
+    got_words = sorted((r["id"], list(r["words"])) for r in idx.words.collect())
+    assert got_words == want_words
+
+    direct = sorted(map(tuple, hamming_topk(
+        df, n_queries=4, k=5, word_bits=4).collect()))
+    via_idx = sorted(map(tuple, hamming_topk(
+        None, n_queries=4, k=5, index=idx).collect()))
+    assert via_idx == direct
+
+    nd_direct = sorted(map(tuple, hamming_near_dups(
+        df, threshold=3, word_bits=4).collect()))
+    nd_idx = sorted(map(tuple, hamming_near_dups(
+        None, threshold=3, index=idx).collect()))
+    assert nd_idx == nd_direct and nd_direct  # the planted pair shows up
+
+    kj_direct = sorted(map(tuple, hamming_knn_join(
+        df, queries=df.filter(F.col("vec_id") < 3), k=4,
+        word_bits=4, band_radius=1, exclude_self=True).collect()))
+    kj_idx = sorted(map(tuple, hamming_knn_join(
+        None, queries=df.filter(F.col("vec_id") < 3), k=4,
+        band_radius=1, exclude_self=True, index=idx).collect()))
+    assert kj_idx == kj_direct
+
+    # self-kNN straight off the loaded index (no query frame at all)
+    self_direct = sorted(map(tuple, hamming_knn_join(
+        df, k=3, word_bits=4, band_radius=1).collect()))
+    self_idx = sorted(map(tuple, hamming_knn_join(
+        None, k=3, band_radius=1, index=idx).collect()))
+    assert self_idx == self_direct
+
+
+def test_hamming_knn_join_query_dim_guard(spark):
+    """A query frame with a different embedding dim must raise up
+    front — zip_with would otherwise pad to NULL distances, which sort
+    FIRST in the rank window (silently wrong neighbors)."""
+    import pytest as _pytest
+
+    from emodb_spark.pipeline.similarity import hamming_knn_join
+
+    corpus = spark.createDataFrame(
+        [(i, [0.1] * 16) for i in range(6)], "vec_id long, embedding array<float>"
+    )
+    queries = spark.createDataFrame(
+        [(0, [0.1] * 8)], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="query dim 8 != corpus dim 16"):
+        hamming_knn_join(corpus, queries=queries, k=3, word_bits=4)
+
+
+def test_ivfpq_reconstruct_matches_adc_identity(spark):
+    """The disjoint-subspace identity cascade_knn_rerank's middle tier
+    rests on: ||q - recon(x)||^2 (recon = cent[cell] + concat_j
+    books[code]) must EQUAL ivfpq_query's summed per-subspace LUT ADC
+    distance for every scored pair — verified with every cell probed
+    so all pairs are scored."""
+    import random
+
+    from emodb_spark.pipeline.similarity import (
+        _int_sqdist,
+        _quantize_col,
+        ivfpq_index,
+        ivfpq_query,
+        ivfpq_reconstruct,
+    )
+
+    rng = random.Random(101)
+    base = [[rng.uniform(-0.5, 0.5) for _ in range(8)] for _ in range(18)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "vec_id long, embedding array<float>"
+    )
+    idx = ivfpq_index(df, n_cells=3, m=2, sub_k=4, iters=2)
+    # qrows must carry the STORED (float32-rounded) vectors — the same
+    # values _quantize_col sees — not the original python doubles
+    qrows = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in df.filter(F.col("vec_id") < 4)
+        .select("vec_id", "embedding").collect()
+    ]
+    adc = ivfpq_query(
+        idx.enc, idx.cents, idx.books, qrows, n_probe=3, k=50
+    )  # every cell probed, k past corpus size: ALL pairs scored
+    qv = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        _quantize_col(F.col("embedding"), idx.scale).alias("qv"),
+    )
+    recon = ivfpq_reconstruct(idx).select(F.col("id").alias("nbr_id"), "recv")
+    via_recon = {
+        (r["query_id"], r["nbr_id"]): r["d"]
+        for r in adc.select("query_id", "nbr_id")
+        .join(qv, "query_id").join(recon, "nbr_id")
+        .select(
+            "query_id", "nbr_id",
+            _int_sqdist(F.col("qv"), F.col("recv")).alias("d"),
+        ).collect()
+    }
+    via_lut = {
+        (r["query_id"], r["nbr_id"]): r["dist_q"] for r in adc.collect()
+    }
+    assert via_recon == via_lut and len(via_lut) == 4 * 17
+
+
+def test_cascade_matches_exact_when_widths_cover(spark):
+    """cascade_knn_rerank: with the Hamming horizon covering every
+    pair and funnel widths past the corpus size, no candidate is ever
+    lost, so the final tier must reproduce the exact quantized-L2
+    top-k ranking precisely (and cascade_knn_recall reports 1e6 ppm)."""
+    import random
+
+    from emodb_spark.pipeline.similarity import (
+        cascade_knn_recall,
+        cascade_knn_rerank,
+        exact_quantized_topk,
+        ivfpq_index,
+    )
+
+    rng = random.Random(103)
+    base = [[rng.uniform(-0.5, 0.5) for _ in range(8)] for _ in range(20)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "vec_id long, embedding array<float>"
+    )
+    idx = ivfpq_index(df, n_cells=3, m=2, sub_k=4, iters=2)
+    nq, k = 4, 5
+    # word_bits=2, radius=1: horizon 4*(1+1)-1 = 7 >= dim-1 — every
+    # pair is a guaranteed candidate; widths 30 > corpus
+    got = sorted(
+        (r["query_id"], r["nbr_id"], r["rank"])
+        for r in cascade_knn_rerank(
+            df, queries=df.filter(F.col("vec_id") < nq), k=k,
+            prefilter_k=30, shortlist_k=30, word_bits=2, band_radius=1,
+            index=idx, exclude_self=True,
+        ).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["nbr_id"], r["rank"])
+        for r in exact_quantized_topk(df, n_queries=nq, k=k).collect()
+    )
+    assert got == want and len(got) == nq * k
+
+    rec = cascade_knn_recall(
+        df, n_queries=nq, k=k, prefilter_k=30, shortlist_k=30,
+        word_bits=2, band_radius=1, index=idx,
+    ).collect()
+    assert len(rec) == nq
+    assert all(r["recall_ppm"] == 1_000_000 for r in rec)
+
+
+def test_ivfpq_append_to_saved_idempotent(spark, tmp_path):
+    """The _BATCH_WM high-watermark: a replayed batch_id no-ops (same
+    batch applied twice = applied once), later batch ids append, and
+    batch_id=None preserves the plain always-append path."""
+    import random
+
+    from emodb_spark.pipeline.similarity import (
+        ivfpq_append_to_saved,
+        ivfpq_index,
+        ivfpq_load,
+        ivfpq_save,
+    )
+
+    rng = random.Random(107)
+    base = [[rng.uniform(-0.5, 0.5) for _ in range(8)] for _ in range(24)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "vec_id long, embedding array<float>"
+    )
+    idx = ivfpq_index(df.filter(F.col("vec_id") < 12), n_cells=3, m=2,
+                      sub_k=4, iters=2)
+    path = str(tmp_path / "wm_idx")
+    ivfpq_save(idx, path)
+    n0 = ivfpq_load(spark, path).enc.count()
+
+    b1 = df.filter((F.col("vec_id") >= 12) & (F.col("vec_id") < 18))
+    ivfpq_append_to_saved(b1, path, batch_id=0)
+    n1 = ivfpq_load(spark, path).enc.count()
+    assert n1 == n0 + 6 * 2  # m=2 rows per vector
+
+    ivfpq_append_to_saved(b1, path, batch_id=0)  # replay: must no-op
+    assert ivfpq_load(spark, path).enc.count() == n1
+
+    b2 = df.filter(F.col("vec_id") >= 18)
+    ivfpq_append_to_saved(b2, path, batch_id=1)
+    n2 = ivfpq_load(spark, path).enc.count()
+    assert n2 == n1 + 6 * 2
+
+    ivfpq_append_to_saved(b2, path, batch_id=1)  # replay again: no-op
+    assert ivfpq_load(spark, path).enc.count() == n2
+
+    # no watermark passed: the plain append path appends unconditionally
+    ivfpq_append_to_saved(b2, path)
+    assert ivfpq_load(spark, path).enc.count() == n2 + 6 * 2
+
+
+def test_ivfpq_publish_guards(spark, tmp_path, monkeypatch):
+    """ivfpq_publish: URI-scheme roots are rejected up front (the
+    pointer flip is local-FS by design), and a racing publisher that
+    claimed the computed version is skipped via the atomic exclusive
+    mkdir — the second publisher lands on the NEXT version instead of
+    clobbering."""
+    import os as _os
+    import random
+
+    import pytest as _pytest
+
+    from emodb_spark.pipeline.similarity import (
+        ivfpq_current_version,
+        ivfpq_index,
+        ivfpq_publish,
+    )
+
+    rng = random.Random(109)
+    df = spark.createDataFrame(
+        [(i, [rng.uniform(-0.5, 0.5) for _ in range(8)]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = ivfpq_index(df, n_cells=2, m=2, sub_k=4, iters=1)
+
+    with _pytest.raises(ValueError, match="URI scheme"):
+        ivfpq_publish(idx, "hdfs://nn/indexes")
+    with _pytest.raises(ValueError, match="URI scheme"):
+        ivfpq_publish(idx, "s3a://bucket/indexes")
+
+    root = str(tmp_path / "pubroot")
+    # simulate the race: a competing publisher claims v00001 AFTER this
+    # one's listdir ran — one stale listing, then reality
+    real_listdir = _os.listdir
+    state = {"stale": True}
+
+    def racing_listdir(p):
+        if p == root and state["stale"]:
+            state["stale"] = False
+            _os.makedirs(_os.path.join(root, "v00001"))  # the rival lands
+            return []  # ...but this publisher saw the empty root
+        return real_listdir(p)
+
+    monkeypatch.setattr(_os, "listdir", racing_listdir)
+    out = ivfpq_publish(idx, root)
+    assert out.endswith("v00002")  # exclusive mkdir skipped the claimed v1
+    assert ivfpq_current_version(root).endswith("v00002")

@@ -73,6 +73,17 @@ BNLJ_OK = {
     "hamming_knn_recall",   # composes hamming_knn_join (mask
                             # broadcast) + hamming_topk's allowlisted
                             # O(#queries) exact baseline broadcast
+    "hamming_persist",      # hamming_topk through the LOADED words
+                            # sidecar — the same O(#queries) broadcast
+                            # eval idiom; the load itself is a plain
+                            # parquet scan + O(1) meta row
+    "cascade_topk",         # tier 1 is hamming_knn_join's 1-row
+                            # XOR-mask broadcast; tiers 2 and 3 are
+                            # pure equijoins (reconstruction join +
+                            # verify join on O(n_q*shortlist) rows)
+    "cascade_recall",       # composes cascade_topk (mask broadcast)
+                            # + the exact baseline's O(#queries)
+                            # broadcast (the similarity_topk idiom)
     "bm25_topk",            # 1-row corpus stats (N docs, total tokens)
                             # broadcast onto the query-vocab tf rows
                             # (the BM25 normalizer constants)
