@@ -1,0 +1,180 @@
+"""Round-12 cascade probe: recall-vs-cost of the tiered funnel.
+
+cascade_knn_rerank (Hamming prefilter -> ADC-reconstruction shortlist
+-> exact re-rank) against single-tier ivfpq_knn_rerank (probe-encode
+SDC shortlist -> exact re-rank) on the same index, query set and
+ground truth (exact quantized-L2 top-k). The question the table
+answers: where does prefilter-horizon recall loss beat probe-miss
+recall loss, and at what wall cost per provisioning point.
+
+Both retrievals run from PREBUILT structures (the ivfpq index and the
+packed-words projection, both eagerly checkpointed) so the walls are
+query-path walls — the deployment shape where both tiers are
+persisted (ivfpq_save / hamming_save) and the build is amortized.
+
+Usage: python tools/probe_cascade_r12.py  (expects /tmp/sf1_probe from
+tools/scale_probe.py; falls back to $SPARK_GRAFT_SF_DIR)
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+SF1 = "/tmp/sf1_probe"
+NQ, K = 32, 10
+
+
+def main() -> int:
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from emodb_spark.pipeline.similarity import (
+        HammingIndex,
+        _recall_gate,
+        binary_quantize,
+        cascade_knn_rerank,
+        exact_quantized_topk,
+        ivfpq_index,
+        ivfpq_knn_rerank,
+        ivfpq_reconstruct,
+    )
+    from emodb_spark.spark.session import get_spark
+
+    spark = get_spark(app_name="probe_cascade_r12")
+    path = os.path.join(SF1, "embeddings.parquet")
+    if not os.path.exists(path):
+        path = os.path.join(
+            os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+            "embeddings.parquet",
+        )
+        print(f"# sf1 probe missing — falling back to {path}", file=sys.stderr)
+    emb = spark.read.parquet(path).localCheckpoint(eager=True)
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") < NQ)
+
+    # shared prebuilt structures: corpus-sized cells (~625 rows/cell at
+    # 20k), sample-trained like any at-scale build; words checkpointed
+    # to stand in for the persisted hamming_save sidecar
+    idx = ivfpq_index(
+        emb, n_cells=32, m=4, sub_k=16, iters=2, train_limit=1024
+    )
+    idx = idx._replace(enc=idx.enc.localCheckpoint(eager=True))
+    ham = {
+        wb: HammingIndex(
+            binary_quantize(emb, word_bits=wb).localCheckpoint(eager=True),
+            64, wb,
+        )
+        for wb in (8, 16)
+    }
+    # the cascade's middle tier reads the decoded reconstruction; at
+    # scale it would be persisted next to the codes — checkpoint it too
+    # so the probe prices the QUERY path (recomputing it per query
+    # batch would double-charge the cascade for a build-time artifact)
+    recon = ivfpq_reconstruct(idx).localCheckpoint(eager=True)
+
+    exact = exact_quantized_topk(
+        emb, n_queries=NQ, k=K
+    ).select("query_id", "nbr_id").localCheckpoint(eager=True)
+
+    def measure(tag, df):
+        gc.collect()
+        t0 = time.time()
+        rows = df.collect()
+        wall = time.time() - t0
+        rec = _recall_gate(
+            exact, spark.createDataFrame(rows, df.schema), K
+        ).agg(F.avg("recall_ppm")).first()[0]
+        print(json.dumps({
+            "probe": tag, "n": n, "nq": NQ, "k": K,
+            "wall_s": round(wall, 2),
+            "avg_recall_ppm": int(rec),
+            "rows": len(rows),
+        }))
+
+    for n_probe in (2, 4, 8):
+        measure(
+            f"single_tier_sdc_np{n_probe}",
+            ivfpq_knn_rerank(
+                emb, queries=queries, k=K, shortlist_k=3 * K, mode="sdc",
+                n_probe=n_probe, index=idx, exclude_self=True,
+            ),
+        )
+    for wb, rad, pre in (
+        (8, 1, 80),     # horizon 15 bits, cheap enumeration (9 masks)
+        (8, 1, 160),    # wider funnel, same horizon
+        (16, 3, 80),    # same horizon, 256x finer buckets (697 masks)
+        (16, 3, 160),
+    ):
+        # hamming_idx supplies the packed words; index supplies the
+        # codes+recon — but cascade_knn_rerank recomputes recon from
+        # the index per call, so substitute the checkpointed one by
+        # replaying its tail inline for a fair query-path wall
+        pre_df = None
+        from emodb_spark.pipeline.similarity import (
+            _int_sqdist,
+            _quantize_col,
+            hamming_knn_join,
+        )
+        from pyspark.sql import Window
+
+        def cascade_prebuilt(prefilter_k, shortlist_k, wbits, radius):
+            prec = hamming_knn_join(
+                None, queries=queries, k=prefilter_k, band_radius=radius,
+                exclude_self=True, index=ham[wbits],
+            ).select("query_id", "nbr_id")
+            qv = queries.select(
+                F.col("vec_id").alias("query_id"),
+                _quantize_col(F.col("embedding"), idx.scale).alias("qv"),
+            )
+            rc = recon.select(F.col("id").alias("nbr_id"), "recv")
+            w2 = Window.partitionBy("query_id").orderBy(
+                F.asc("dist_adc"), F.asc("nbr_id"))
+            short = (
+                prec.join(qv, "query_id").join(rc, "nbr_id")
+                .select("query_id", "nbr_id", "qv",
+                        _int_sqdist(F.col("qv"), F.col("recv")).alias("dist_adc"))
+                .withColumn("r2", F.row_number().over(w2))
+                .filter(F.col("r2") <= shortlist_k)
+                .select("query_id", "nbr_id", "qv")
+            )
+            cv = emb.select(
+                F.col("vec_id").alias("nbr_id"),
+                _quantize_col(F.col("embedding"), idx.scale).alias("cv"),
+            )
+            w3 = Window.partitionBy("query_id").orderBy(
+                F.asc("dist_exact"), F.asc("nbr_id"))
+            return (
+                short.join(cv, "nbr_id")
+                .select("query_id", "nbr_id",
+                        _int_sqdist(F.col("qv"), F.col("cv")).alias("dist_exact"))
+                .withColumn("rank", F.row_number().over(w3))
+                .filter(F.col("rank") <= K)
+                .select("query_id", "nbr_id",
+                        F.col("dist_exact").cast("long").alias("dist_exact"),
+                        F.col("rank").cast("int").alias("rank"))
+            )
+
+        measure(
+            f"cascade_wb{wb}_r{rad}_pre{pre}",
+            cascade_prebuilt(pre, 3 * K, wb, rad),
+        )
+    # the one-shot API path (packs words + reconstructs inline) for an
+    # honest end-to-end number including the per-call build overhead
+    measure(
+        "cascade_api_wb8_r1_pre80",
+        cascade_knn_rerank(
+            emb, queries=queries, k=K, prefilter_k=80, shortlist_k=3 * K,
+            word_bits=8, band_radius=1, index=idx, exclude_self=True,
+        ),
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
