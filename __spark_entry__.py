@@ -7795,6 +7795,47 @@ def q_hamming_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_topk(None, n_queries=8, k=10, index=idx)
 
 
+def q_hamming_stream_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING MAINTENANCE for the binary tier (emodb_spark.pipeline.
+    similarity.hamming_append_to_saved — the foreachBatch body): the
+    words sidecar is SAVED on the lowest-256-id base corpus, then the
+    remaining vectors arrive in three micro-batches (each with its
+    epoch id, exercising the _BATCH_WM idempotence watermark), each
+    packed at the SIDECAR's word_bits and appended; the reloaded index
+    must answer EXACTLY like a one-shot pack of the full corpus —
+    packing is a pure per-vector function, so this is the batch-parity
+    contract applied to the words sidecar, and the oracle is the
+    standard full-corpus packing + distance + ranking replay."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from emodb_spark.pipeline.similarity import (
+        hamming_append_to_saved,
+        hamming_load,
+        hamming_save,
+        hamming_topk,
+    )
+
+    def build(p):
+        work = tempfile.mkdtemp(prefix="hamming_stream_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        emb = _read(spark, sf_dir, "embeddings")
+        hamming_save(emb.filter(F.col("vec_id") < 256), work, **p)
+        rest = emb.filter(F.col("vec_id") >= 256)
+        for i in range(3):  # any split must give parity
+            hamming_append_to_saved(
+                rest.filter(F.col("vec_id") % 3 == i), work, batch_id=i
+            )
+        return (work,)
+
+    work = _gate_index(
+        "hamming_stream", dict(word_bits=8), spark, sf_dir, build
+    )[0]
+    idx = hamming_load(spark, work)
+    return hamming_topk(None, n_queries=8, k=10, index=idx)
+
+
 def q_cascade_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIERED CASCADE retrieval (emodb_spark.pipeline.similarity.
     cascade_knn_rerank) — the three cost tiers composed into the
@@ -8536,6 +8577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_knn_join": q_hamming_knn_join,
         "hamming_knn_recall": q_hamming_knn_recall,
         "hamming_persist": q_hamming_persist,
+        "hamming_stream_append": q_hamming_stream_append,
         "cascade_topk": q_cascade_topk,
         "cascade_recall": q_cascade_recall,
         "ivfpq_persist": q_ivfpq_persist,
@@ -8702,9 +8744,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
     }
     # The driver records CORRECTNESS from the FIRST 50 entries, so the
-    # window below leads the dict. Round-12 window: the THREE r12-new
+    # window below leads the dict. Round-12 window: the FOUR r12-new
     # gates lead (hamming_persist — the packed-words sidecar
     # save/load roundtrip, closing the binary tier's persistence gap;
+    # hamming_stream_append — micro-batched maintenance of that
+    # sidecar with the _BATCH_WM idempotence watermark;
     # cascade_topk / cascade_recall — the tiered Hamming-prefilter ->
     # ADC-shortlist -> exact-re-rank funnel and its recall eval), then
     # the SIX gates whose kernels round 12 touched (the hamming family
@@ -8717,14 +8761,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this round, no re-witness), then the final SIXTEEN r7-era driver
     # rows (min_cost_supplier..vocab_topk — rotation debt to ZERO:
     # after this window no driver row is older than r8), then the
-    # oldest-alphabetical 25 of the 43 r8-era rows
-    # (asof_last_view..ivm_view). The remaining EIGHTEEN r8-era rows
-    # defer to r13: large_volume_customers, minhash_near_dups,
-    # promo_share, quality_classifier, rank_normalize,
-    # resolve_compacted, returned_customers, sales_opportunity,
-    # salted_hot_join, session_cooccurrence, small_qty_revenue,
-    # substring_dedup, top_supplier, training_shards,
-    # unigram_surprisal, user_scd2, vocab_coverage, zorder_layout
+    # oldest-alphabetical 24 of the 43 r8-era rows
+    # (asof_last_view..iban_scan). The remaining NINETEEN r8-era rows
+    # defer to r13: ivm_view, large_volume_customers,
+    # minhash_near_dups, promo_share, quality_classifier,
+    # rank_normalize, resolve_compacted, returned_customers,
+    # sales_opportunity, salted_hot_join, session_cooccurrence,
+    # small_qty_revenue, substring_dedup, top_supplier,
+    # training_shards, unigram_surprisal, user_scd2, vocab_coverage,
+    # zorder_layout
     # — each judge-green via tools/oracle_check.py every round; see
     # COVERAGE.md.
     # Rows-only queries (compression_ratio, bpe_merges) are EXCLUDED by
@@ -8735,7 +8780,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-verified by tools/oracle_check.py instead.
     window = [
         # r12-new gates
-        "hamming_persist", "cascade_topk", "cascade_recall",
+        "hamming_persist", "hamming_stream_append",
+        "cascade_topk", "cascade_recall",
         # kernels changed in round 12 (hamming index= plumbing +
         # query-dim guard; publish local-root check + atomic version
         # claim; append _BATCH_WM watermark)
@@ -8747,7 +8793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_funnel", "queue_dedup", "queue_kafka",
         "simhash_near_dups", "source_cap", "star_clusters",
         "text_stats", "timeline_events", "top_orders", "vocab_topk",
-        # r8-era rows, oldest 25 alphabetical
+        # r8-era rows, oldest 24 alphabetical
         "asof_last_view", "boilerplate_removal", "bpe_encode",
         "bracketed_revenue", "bucketed_join", "cohort_retention",
         "collocations", "containment_join", "dataset_report",
@@ -8755,7 +8801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_error_burst", "event_funnel", "event_histogram",
         "event_percentiles", "event_profile", "events_grouping_sets",
         "events_pivot", "events_rollup", "forecast_revenue",
-        "fp_overlap_pairs", "iban_scan", "ivm_view",
+        "fp_overlap_pairs", "iban_scan",
     ]
     # window integrity (size 50, no dupes, all registered, no rows-only
     # queries) is enforced by tests/test_entry_contract.py — NOT asserted
@@ -8795,6 +8841,7 @@ def oracle_sql() -> dict[str, str]:
         "hamming_knn_join": ORACLE_HAMMING_KNN_JOIN,
         "hamming_knn_recall": ORACLE_HAMMING_KNN_RECALL,
         "hamming_persist": ORACLE_HAMMING_TOPK,
+        "hamming_stream_append": ORACLE_HAMMING_TOPK,
         "cascade_topk": ORACLE_CASCADE_TOPK,
         "cascade_recall": ORACLE_CASCADE_RECALL,
         "ivfpq_persist": ORACLE_IVFPQ_TOPK,

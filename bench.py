@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "hamming_knn_join",      # multi-index Hamming kNN (banded candidates)
     "hamming_knn_recall",    # guarantee-horizon recall eval
     "hamming_persist",       # packed-words sidecar save/load roundtrip
+    "hamming_stream_append", # micro-batched words-sidecar maintenance
     "cascade_topk",          # Hamming -> ADC -> exact tiered funnel
     "cascade_recall",        # cascade recall@10 vs exact quantized-L2
     # analytics

@@ -1342,14 +1342,22 @@ def ivfpq_index(
     return IvfPqIndex(enc, cents, books, scale)
 
 
-def ivfpq_save(index, path: str) -> None:
+def ivfpq_save(index, path: str, with_recon: bool = False) -> None:
     """Persist an IVFADC index in the layout every docstring here
     prescribes for 100 TB: the (id, cell, j, code) code table as
     parquet PARTITIONED BY cell (so a query's probed cells prune to
     their own files — partition pruning does the inverted-file seek)
     plus one JSON sidecar row carrying the codebooks and the build
     scale. Both writes go through Spark, so the path may be any
-    Hadoop-visible filesystem (local, HDFS, object store)."""
+    Hadoop-visible filesystem (local, HDFS, object store).
+
+    ``with_recon=True`` additionally materializes the decoded
+    reconstruction (:func:`ivfpq_reconstruct` — (id, recv) parquet)
+    next to the codes: the cascade's middle tier
+    (:func:`cascade_knn_rerank`) prices candidates against exactly
+    this projection, so persisting it at publish time turns a
+    per-query-batch compressed-corpus shuffle into a plain scan
+    (:func:`ivfpq_load_recon`)."""
     import os
 
     enc, cents, books, scale = _unpack_ivfpq_index(index, PQ_SCALE)
@@ -1365,6 +1373,20 @@ def ivfpq_save(index, path: str) -> None:
         "scale long",
     )
     meta.coalesce(1).write.mode("overwrite").json(os.path.join(path, "meta"))
+    if with_recon:
+        ivfpq_reconstruct(index, scale).write.mode("overwrite").parquet(
+            os.path.join(path, "recon")
+        )
+
+
+def ivfpq_load_recon(spark: SparkSession, path: str) -> DataFrame:
+    """Load the decoded-reconstruction projection persisted by
+    :func:`ivfpq_save(with_recon=True)` — (id, recv array<long>), the
+    frame :func:`cascade_knn_rerank` accepts as ``recon=`` so its
+    middle tier reads a scan instead of re-deriving the decode."""
+    import os
+
+    return spark.read.parquet(os.path.join(path, "recon")).select("id", "recv")
 
 
 def ivfpq_load(spark: SparkSession, path: str):
@@ -2366,6 +2388,7 @@ def cascade_knn_rerank(
     vec_col: str = "embedding",
     index=None,
     hamming_idx: Optional[HammingIndex] = None,
+    recon: Optional[DataFrame] = None,
     exclude_self: Optional[bool] = None,
 ) -> DataFrame:
     """TIERED CASCADE retrieval — the natural 100 TB funnel composed
@@ -2396,8 +2419,10 @@ def cascade_knn_rerank(
     recall loss, but prefilter-horizon recall loss — SCALE.md r12
     tables the crossover. Deterministic end-to-end (integer packing,
     integer reconstruction, integer distances), so the oracle replays
-    all three tiers bit-for-bit. ``index=``/``hamming_idx=`` reuse
-    prebuilt tiers; ``embeddings`` is still required (tier 3 re-reads
+    all three tiers bit-for-bit. ``index=``/``hamming_idx=``/``recon=``
+    reuse prebuilt tiers (``recon`` from :func:`ivfpq_load_recon` — at
+    scale the decode is persisted at publish time, SCALE.md r12);
+    ``embeddings`` is still required (tier 3 re-reads
     the vectors). Returns (query_id, nbr_id, dist_exact, rank<=k),
     ties by nbr_id; a query may return < k rows when the prefilter
     horizon starves it (provision widths like n_probe/n_cells)."""
@@ -2425,9 +2450,9 @@ def cascade_knn_rerank(
         F.col(id_col).alias("query_id"),
         _quantize_col(F.col(vec_col), scale).alias("qv"),
     )
-    recon = ivfpq_reconstruct(index, scale).select(
-        F.col("id").alias("nbr_id"), "recv"
-    )
+    if recon is None:
+        recon = ivfpq_reconstruct(index, scale)
+    recon = recon.select(F.col("id").alias("nbr_id"), "recv")
     w2 = Window.partitionBy("query_id").orderBy(
         F.asc("dist_adc"), F.asc("nbr_id")
     )
@@ -2482,6 +2507,7 @@ def cascade_knn_recall(
     vec_col: str = "embedding",
     index=None,
     hamming_idx: Optional[HammingIndex] = None,
+    recon: Optional[DataFrame] = None,
 ) -> DataFrame:
     """recall@k of the tiered cascade against the EXACT quantized-L2
     top-k — the eval that prices the funnel: the cascade's final tier
@@ -2500,7 +2526,7 @@ def cascade_knn_recall(
         word_bits=word_bits, band_radius=band_radius, n_cells=n_cells,
         m=m, sub_k=sub_k, iters=iters, scale=scale, id_col=id_col,
         vec_col=vec_col, index=index, hamming_idx=hamming_idx,
-        exclude_self=True,
+        recon=recon, exclude_self=True,
     )
     exact = exact_quantized_topk(
         embeddings, n_queries, k, scale, id_col, vec_col
@@ -2629,6 +2655,62 @@ def hamming_load(spark: SparkSession, path: str) -> HammingIndex:
     )
     row = spark.read.json(os.path.join(path, "meta")).collect()[0]
     return HammingIndex(words, int(row["dim"]), int(row["word_bits"]))
+
+
+def hamming_append_to_saved(
+    new_embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_id: Optional[int] = None,
+) -> None:
+    """STREAMING MAINTENANCE for the binary tier — the ``foreachBatch``
+    body that keeps a :func:`hamming_save` sidecar fresh as a corpus
+    ingests (the words analogue of :func:`ivfpq_append_to_saved`)::
+
+        arrivals.writeStream.foreachBatch(
+            lambda batch, bid: hamming_append_to_saved(batch, path,
+                                                       batch_id=bid))
+
+    Arrivals pack at the SIDECAR's word_bits (read from the meta row,
+    so an append can never band differently than the base) and append
+    to the words parquet; packing is a pure per-vector function, so
+    any micro-batch split appends the identical projection a one-shot
+    re-pack would — the same batch-parity contract as the ivfpq
+    append, with the same ``_BATCH_WM`` idempotence watermark
+    (``batch_id`` replays no-op; ``None`` = plain append; local
+    ``path`` required for the watermark). The arriving batch's dim is
+    checked against the sidecar's — a mismatched producer would
+    otherwise poison every later query with null distances."""
+    import os
+
+    wm_path = os.path.join(path, BATCH_WM_FILE)
+    if batch_id is not None:
+        _require_local_root(path, "hamming_append_to_saved(batch_id=...)")
+        try:
+            with open(wm_path) as f:
+                wm = int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            wm = -1
+        if int(batch_id) <= wm:
+            return  # replayed batch — already committed, no-op
+    spark = new_embeddings.sparkSession
+    row = spark.read.json(os.path.join(path, "meta")).collect()[0]
+    dim, word_bits = int(row["dim"]), int(row["word_bits"])
+    bdim = len(new_embeddings.select(vec_col).first()[0])
+    if bdim != dim:
+        raise ValueError(
+            f"hamming_append_to_saved: batch dim {bdim} != sidecar dim "
+            f"{dim} — appending would poison queries with null distances"
+        )
+    binary_quantize(new_embeddings, word_bits, id_col, vec_col).write.mode(
+        "append"
+    ).parquet(os.path.join(path, "words"))
+    if batch_id is not None:
+        tmp = wm_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(int(batch_id)))
+        os.replace(tmp, wm_path)
 
 
 def hamming_topk(

@@ -3872,3 +3872,99 @@ def test_ivfpq_publish_guards(spark, tmp_path, monkeypatch):
     out = ivfpq_publish(idx, root)
     assert out.endswith("v00002")  # exclusive mkdir skipped the claimed v1
     assert ivfpq_current_version(root).endswith("v00002")
+
+
+def test_hamming_append_to_saved_parity_and_idempotence(spark, tmp_path):
+    """hamming_append_to_saved: base save + any micro-batch split must
+    reload as exactly the one-shot pack of the full corpus (packing is
+    a pure per-vector function); replayed batch_ids no-op via the
+    shared _BATCH_WM watermark; a batch with a different dim raises
+    instead of poisoning later queries."""
+    import random
+
+    import pytest as _pytest
+
+    from emodb_spark.pipeline.similarity import (
+        binary_quantize,
+        hamming_append_to_saved,
+        hamming_load,
+        hamming_save,
+        hamming_topk,
+    )
+
+    rng = random.Random(113)
+    base = [[rng.uniform(-0.5, 0.5) for _ in range(16)] for _ in range(24)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "vec_id long, embedding array<float>"
+    )
+    path = str(tmp_path / "ham_stream")
+    hamming_save(df.filter(F.col("vec_id") < 10), path, word_bits=4)
+    rest = df.filter(F.col("vec_id") >= 10)
+    for i in range(3):
+        hamming_append_to_saved(rest.filter(F.col("vec_id") % 3 == i),
+                                path, batch_id=i)
+    idx = hamming_load(spark, path)
+    want = sorted((r["id"], list(r["words"]))
+                  for r in binary_quantize(df, word_bits=4).collect())
+    got = sorted((r["id"], list(r["words"])) for r in idx.words.collect())
+    assert got == want
+
+    # queries through the appended sidecar == the one-shot pack
+    tk_direct = sorted(map(tuple, hamming_topk(
+        df, n_queries=4, k=5, word_bits=4).collect()))
+    tk_idx = sorted(map(tuple, hamming_topk(
+        None, n_queries=4, k=5, index=idx).collect()))
+    assert tk_idx == tk_direct
+
+    # replayed epoch: no-op (the ivfpq watermark recipe, shared file)
+    n = idx.words.count()
+    hamming_append_to_saved(rest, path, batch_id=2)
+    assert hamming_load(spark, path).words.count() == n
+    # a NEW epoch appends
+    hamming_append_to_saved(rest.filter(F.col("vec_id") == 23),
+                            path, batch_id=3)
+    assert hamming_load(spark, path).words.count() == n + 1
+
+    bad = spark.createDataFrame(
+        [(99, [0.1] * 8)], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="batch dim 8 != sidecar dim 16"):
+        hamming_append_to_saved(bad, path, batch_id=4)
+
+
+def test_ivfpq_save_with_recon_and_cascade_reuse(spark, tmp_path):
+    """ivfpq_save(with_recon=True) persists the decoded reconstruction
+    next to the codes; ivfpq_load_recon must return exactly
+    ivfpq_reconstruct's rows, and cascade_knn_rerank(recon=loaded)
+    must equal the derive-inline cascade row for row."""
+    import random
+
+    from emodb_spark.pipeline.similarity import (
+        cascade_knn_rerank,
+        ivfpq_index,
+        ivfpq_load_recon,
+        ivfpq_reconstruct,
+        ivfpq_save,
+    )
+
+    rng = random.Random(127)
+    base = [[rng.uniform(-0.5, 0.5) for _ in range(8)] for _ in range(20)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "vec_id long, embedding array<float>"
+    )
+    idx = ivfpq_index(df, n_cells=3, m=2, sub_k=4, iters=2)
+    path = str(tmp_path / "recon_idx")
+    ivfpq_save(idx, path, with_recon=True)
+    loaded = ivfpq_load_recon(spark, path)
+    want_recon = sorted((r["id"], list(r["recv"]))
+                        for r in ivfpq_reconstruct(idx).collect())
+    got_recon = sorted((r["id"], list(r["recv"])) for r in loaded.collect())
+    assert got_recon == want_recon
+
+    kw = dict(queries=df.filter(F.col("vec_id") < 4), k=4, prefilter_k=12,
+              shortlist_k=8, word_bits=2, band_radius=1, index=idx,
+              exclude_self=True)
+    inline = sorted(map(tuple, cascade_knn_rerank(df, **kw).collect()))
+    reused = sorted(map(tuple, cascade_knn_rerank(
+        df, recon=loaded, **kw).collect()))
+    assert reused == inline

@@ -77,6 +77,10 @@ BNLJ_OK = {
                             # sidecar — the same O(#queries) broadcast
                             # eval idiom; the load itself is a plain
                             # parquet scan + O(1) meta row
+    "hamming_stream_append",  # same hamming_topk tail over the
+                            # base+appended sidecar (the appends happen
+                            # in the session-cached build, not in the
+                            # returned plan)
     "cascade_topk",         # tier 1 is hamming_knn_join's 1-row
                             # XOR-mask broadcast; tiers 2 and 3 are
                             # pure equijoins (reconstruction join +
