@@ -7708,6 +7708,62 @@ SELECT query_id, nbr_id, hamming, CAST(rank AS INT) AS rank FROM (
 """
 
 
+def _oracle_hamming_clusters(threshold: int, word_bits: int = 8,
+                             dim: int = 64) -> str:
+    """Brute-force Hamming pairs + recursive-CTE min-label components —
+    the dedup_clusters oracle shape at the binary tier. Because the
+    engine's pair stage is recall-complete by construction (pigeonhole
+    banding + exact verify), clustering the BRUTE-FORCE pairs must give
+    identical labels — the oracle certifies the guarantee composed
+    through connected components, not just the plan."""
+    n_words = dim // word_bits
+    hd = ("list_reduce(list_transform(list_zip({a}, {b}), "
+          "x -> bit_count(xor(CAST(x[1] AS BIGINT), CAST(x[2] AS BIGINT)))), "
+          "(a, b) -> a + b)")
+    return f"""WITH RECURSIVE w AS (
+  SELECT vec_id, list_transform(generate_series(0, {n_words - 1}), wi ->
+    list_reduce(list_transform(generate_series(1, {word_bits}), bi ->
+      CASE WHEN embedding[wi*{word_bits} + bi] >= 0 THEN 1 ELSE 0 END),
+      (a, b) -> a*2 + b)) AS words
+  FROM embeddings
+), hp AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM w a JOIN w b ON a.vec_id < b.vec_id
+  WHERE {hd.format(a='a.words', b='b.words')} <= {threshold}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM hp
+  UNION ALL
+  SELECT id_b, id_a FROM hp
+), reach(id, lab) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS vec_id, MIN(lab) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+ORACLE_HAMMING_CLUSTERS = _oracle_hamming_clusters(threshold=20)
+
+
+def q_hamming_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-tier near-dup CLUSTERING (emodb_spark.pipeline.
+    similarity.hamming_dup_clusters): the guaranteed-recall banded
+    pairs (threshold 20 over 64 sign bits — 8-bit bands at radius 2,
+    pigeonhole 8*(2+1) > 20) feed min-label connected components, so
+    every vector gets its cluster's smallest id — "keep one copy per
+    Hamming cluster" is a filter on the result. The pair stage being
+    recall-complete BY CONSTRUCTION, the oracle clusters the
+    BRUTE-FORCE pair scan with a recursive CTE: equality certifies the
+    guarantee composed through the component fixpoint."""
+    from emodb_spark.pipeline.similarity import hamming_dup_clusters
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return hamming_dup_clusters(
+        emb, threshold=20, word_bits=8, band_radius=2
+    )
+
+
 ORACLE_HAMMING_TOPK = _oracle_hamming(word_bits=8, nq=8, k=10)
 ORACLE_HAMMING_NEAR_DUPS = _oracle_hamming(word_bits=4, threshold=15)
 ORACLE_HAMMING_KNN_JOIN = _oracle_hamming(word_bits=8, nq=24, k=5,
@@ -8578,6 +8634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_knn_recall": q_hamming_knn_recall,
         "hamming_persist": q_hamming_persist,
         "hamming_stream_append": q_hamming_stream_append,
+        "hamming_clusters": q_hamming_clusters,
         "cascade_topk": q_cascade_topk,
         "cascade_recall": q_cascade_recall,
         "ivfpq_persist": q_ivfpq_persist,
@@ -8744,11 +8801,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
     }
     # The driver records CORRECTNESS from the FIRST 50 entries, so the
-    # window below leads the dict. Round-12 window: the FOUR r12-new
+    # window below leads the dict. Round-12 window: the FIVE r12-new
     # gates lead (hamming_persist — the packed-words sidecar
     # save/load roundtrip, closing the binary tier's persistence gap;
     # hamming_stream_append — micro-batched maintenance of that
     # sidecar with the _BATCH_WM idempotence watermark;
+    # hamming_clusters — guaranteed-recall pairs -> min-label
+    # connected components, the dedup family's clustering tail at the
+    # binary tier;
     # cascade_topk / cascade_recall — the tiered Hamming-prefilter ->
     # ADC-shortlist -> exact-re-rank funnel and its recall eval), then
     # the SIX gates whose kernels round 12 touched (the hamming family
@@ -8761,9 +8821,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this round, no re-witness), then the final SIXTEEN r7-era driver
     # rows (min_cost_supplier..vocab_topk — rotation debt to ZERO:
     # after this window no driver row is older than r8), then the
-    # oldest-alphabetical 24 of the 43 r8-era rows
-    # (asof_last_view..iban_scan). The remaining NINETEEN r8-era rows
-    # defer to r13: ivm_view, large_volume_customers,
+    # oldest-alphabetical 23 of the 43 r8-era rows
+    # (asof_last_view..fp_overlap_pairs). The remaining TWENTY r8-era
+    # rows defer to r13: iban_scan, ivm_view, large_volume_customers,
     # minhash_near_dups, promo_share, quality_classifier,
     # rank_normalize, resolve_compacted, returned_customers,
     # sales_opportunity, salted_hot_join, session_cooccurrence,
@@ -8780,7 +8840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-verified by tools/oracle_check.py instead.
     window = [
         # r12-new gates
-        "hamming_persist", "hamming_stream_append",
+        "hamming_persist", "hamming_stream_append", "hamming_clusters",
         "cascade_topk", "cascade_recall",
         # kernels changed in round 12 (hamming index= plumbing +
         # query-dim guard; publish local-root check + atomic version
@@ -8793,7 +8853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_funnel", "queue_dedup", "queue_kafka",
         "simhash_near_dups", "source_cap", "star_clusters",
         "text_stats", "timeline_events", "top_orders", "vocab_topk",
-        # r8-era rows, oldest 24 alphabetical
+        # r8-era rows, oldest 23 alphabetical
         "asof_last_view", "boilerplate_removal", "bpe_encode",
         "bracketed_revenue", "bucketed_join", "cohort_retention",
         "collocations", "containment_join", "dataset_report",
@@ -8801,7 +8861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_error_burst", "event_funnel", "event_histogram",
         "event_percentiles", "event_profile", "events_grouping_sets",
         "events_pivot", "events_rollup", "forecast_revenue",
-        "fp_overlap_pairs", "iban_scan",
+        "fp_overlap_pairs",
     ]
     # window integrity (size 50, no dupes, all registered, no rows-only
     # queries) is enforced by tests/test_entry_contract.py — NOT asserted
@@ -8842,6 +8902,7 @@ def oracle_sql() -> dict[str, str]:
         "hamming_knn_recall": ORACLE_HAMMING_KNN_RECALL,
         "hamming_persist": ORACLE_HAMMING_TOPK,
         "hamming_stream_append": ORACLE_HAMMING_TOPK,
+        "hamming_clusters": ORACLE_HAMMING_CLUSTERS,
         "cascade_topk": ORACLE_CASCADE_TOPK,
         "cascade_recall": ORACLE_CASCADE_RECALL,
         "ivfpq_persist": ORACLE_IVFPQ_TOPK,

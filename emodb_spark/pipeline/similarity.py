@@ -2886,6 +2886,45 @@ def hamming_near_dups(
     )
 
 
+def hamming_dup_clusters(
+    embeddings: Optional[DataFrame],
+    threshold: int,
+    word_bits: Optional[int] = None,
+    band_radius: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index: Optional[HammingIndex] = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup CLUSTERING at the binary tier — the pairs → components
+    composition every dedup family here ends in (minhash has
+    `dedup_clusters`, embeddings have `semantic_dedup`): the
+    guaranteed-recall banded pairs (:func:`hamming_near_dups`) feed
+    min-label connected components
+    (:func:`emodb_spark.pipeline.dedup.near_dup_clusters` — the same
+    fixpoint propagation, with :func:`near_dup_clusters_star` as the
+    adversarial-chain scale path), so every vector is labeled with its
+    cluster's smallest id and "keep one copy per Hamming cluster" is a
+    filter. Because the pair stage is recall-complete BY CONSTRUCTION
+    (pigeonhole banding + exact verify), the clusters equal the
+    brute-force-pairs clusters exactly — the oracle certifies that via
+    a recursive-CTE replay over the brute-force pair scan. ``index=``
+    runs the whole clustering off the persisted words sidecar; the
+    float corpus never participates. Returns (id_col, cluster_id)."""
+    from .dedup import near_dup_clusters
+
+    pairs = hamming_near_dups(
+        embeddings, threshold, word_bits=word_bits,
+        band_radius=band_radius, id_col=id_col, vec_col=vec_col,
+        index=index,
+    ).select("id_a", "id_b")
+    nodes = (
+        embeddings.select(F.col(id_col)) if embeddings is not None
+        else index.words.select(F.col("id").alias(id_col))
+    )
+    return near_dup_clusters(nodes, pairs, id_col=id_col, max_iter=max_iter)
+
+
 def _hamming_masks(word_bits: int, radius: int) -> list:
     """All XOR masks with popcount <= radius over word_bits bits — the
     multi-index enumeration set, sum(C(word_bits, 0..radius)) masks."""

@@ -3968,3 +3968,57 @@ def test_ivfpq_save_with_recon_and_cascade_reuse(spark, tmp_path):
     reused = sorted(map(tuple, cascade_knn_rerank(
         df, recon=loaded, **kw).collect()))
     assert reused == inline
+
+
+def test_hamming_dup_clusters_match_brute_force(spark):
+    """hamming_dup_clusters: banded pairs -> min-label components must
+    equal components over the BRUTE-FORCE threshold pairs (the pair
+    stage is recall-complete by construction), including through a
+    loaded words sidecar, and transitive chains merge (a~b, b~c => one
+    cluster even when a!~c)."""
+    import random
+
+    from emodb_spark.pipeline.dedup import near_dup_clusters
+    from emodb_spark.pipeline.similarity import (
+        hamming_dup_clusters,
+        hamming_index,
+        hamming_near_dups,
+    )
+
+    rng = random.Random(131)
+    base = [[rng.uniform(-0.5, 0.5) for _ in range(16)] for _ in range(24)]
+    # plant a CHAIN: 20 ~ 0 (1 flip), 21 ~ 20 (2 flips from 20, 3 from 0)
+    base[20] = list(base[0]); base[20][0] = -base[0][0] or -0.1
+    base[21] = list(base[20]); base[21][1] = -base[20][1] or -0.1
+    base[21][2] = -base[20][2] or -0.1
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "vec_id long, embedding array<float>"
+    )
+    thr = 2
+
+    def hd_py(a, b):
+        return sum((x >= 0) != (y >= 0) for x, y in zip(a, b))
+
+    brute = [
+        (i, j) for i in range(24) for j in range(i + 1, 24)
+        if hd_py(base[i], base[j]) <= thr
+    ]
+    pairs_df = spark.createDataFrame(brute or [(0, 0)], "id_a long, id_b long")
+    if not brute:
+        pairs_df = pairs_df.limit(0)
+    want = sorted(map(tuple, near_dup_clusters(
+        df.select("vec_id"), pairs_df, id_col="vec_id").collect()))
+
+    got = sorted(map(tuple, hamming_dup_clusters(
+        df, threshold=thr, word_bits=4, band_radius=1).collect()))
+    assert got == want and len(got) == 24
+
+    # chain transitivity: 0, 20, 21 share a cluster label
+    labels = dict(got)
+    assert labels[20] == labels[0] and labels[21] == labels[0]
+
+    # identical run off the in-memory index (words only, no floats)
+    idx = hamming_index(df, word_bits=4)
+    via_idx = sorted(map(tuple, hamming_dup_clusters(
+        None, threshold=thr, band_radius=1, index=idx).collect()))
+    assert via_idx == got

@@ -81,6 +81,9 @@ BNLJ_OK = {
                             # base+appended sidecar (the appends happen
                             # in the session-cached build, not in the
                             # returned plan)
+    "hamming_clusters",     # hamming_near_dups' 1-row mask broadcast
+                            # feeding min-label CC (whose propagation
+                            # joins are broadcast HASH joins on ids)
     "cascade_topk",         # tier 1 is hamming_knn_join's 1-row
                             # XOR-mask broadcast; tiers 2 and 3 are
                             # pure equijoins (reconstruction join +
