@@ -7746,6 +7746,57 @@ SELECT id AS vec_id, MIN(lab) AS cluster_id FROM reach GROUP BY id
 ORACLE_HAMMING_CLUSTERS = _oracle_hamming_clusters(threshold=20)
 
 
+def _oracle_hamming_incremental(threshold: int, batch_mod: int = 5,
+                                word_bits: int = 8, dim: int = 64) -> str:
+    """Brute-force batch-vs-corpus Hamming pairs — banding is
+    recall-complete, so the cross scan IS the oracle (the
+    incremental_dedup shape at the binary tier)."""
+    n_words = dim // word_bits
+    hd = ("list_reduce(list_transform(list_zip({a}, {b}), "
+          "x -> bit_count(xor(CAST(x[1] AS BIGINT), CAST(x[2] AS BIGINT)))), "
+          "(a, b) -> a + b)")
+    return f"""WITH w AS (
+  SELECT vec_id, list_transform(generate_series(0, {n_words - 1}), wi ->
+    list_reduce(list_transform(generate_series(1, {word_bits}), bi ->
+      CASE WHEN embedding[wi*{word_bits} + bi] >= 0 THEN 1 ELSE 0 END),
+      (a, b) -> a*2 + b)) AS words
+  FROM embeddings
+)
+SELECT batch_id, corpus_id, hamming FROM (
+  SELECT b.vec_id AS batch_id, c.vec_id AS corpus_id,
+         CAST({hd.format(a='b.words', b='c.words')} AS BIGINT) AS hamming
+  FROM w b JOIN w c
+    ON b.vec_id % {batch_mod} = 0 AND c.vec_id % {batch_mod} <> 0
+) WHERE hamming <= {threshold}
+"""
+
+
+ORACLE_HAMMING_INCREMENTAL = _oracle_hamming_incremental(threshold=20)
+
+
+def q_hamming_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup at the binary tier (emodb_spark.
+    pipeline.similarity.hamming_incremental_near_dups): vectors with
+    vec_id % 5 == 0 play the newly arrived batch, the rest the stored
+    corpus; the BATCH side's band values enumerate into their
+    within-radius-2 XOR variants (37 masks over 8-bit bands —
+    pigeonhole 8*(2+1) > 20 keeps recall 1.0) and equijoin the corpus
+    bands, exact bit_count verify at threshold 20. The corpus is
+    probed in place — no self-join, and with a persisted sidecar no
+    re-pack (the incremental_dedup shape at the binary tier). The
+    oracle is the BRUTE-FORCE cross scan, certifying the guarantee."""
+    from emodb_spark.pipeline.similarity import (
+        hamming_incremental_near_dups,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return hamming_incremental_near_dups(
+        emb.filter(F.col("vec_id") % 5 != 0),
+        emb.filter(F.col("vec_id") % 5 == 0),
+        threshold=20, word_bits=8, band_radius=2,
+    )
+
+
 def q_hamming_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-tier near-dup CLUSTERING (emodb_spark.pipeline.
     similarity.hamming_dup_clusters): the guaranteed-recall banded
@@ -8635,6 +8686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_persist": q_hamming_persist,
         "hamming_stream_append": q_hamming_stream_append,
         "hamming_clusters": q_hamming_clusters,
+        "hamming_incremental": q_hamming_incremental,
         "cascade_topk": q_cascade_topk,
         "cascade_recall": q_cascade_recall,
         "ivfpq_persist": q_ivfpq_persist,
@@ -8801,14 +8853,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
     }
     # The driver records CORRECTNESS from the FIRST 50 entries, so the
-    # window below leads the dict. Round-12 window: the FIVE r12-new
+    # window below leads the dict. Round-12 window: the SIX r12-new
     # gates lead (hamming_persist — the packed-words sidecar
     # save/load roundtrip, closing the binary tier's persistence gap;
     # hamming_stream_append — micro-batched maintenance of that
     # sidecar with the _BATCH_WM idempotence watermark;
     # hamming_clusters — guaranteed-recall pairs -> min-label
     # connected components, the dedup family's clustering tail at the
-    # binary tier;
+    # binary tier; hamming_incremental — batch-vs-corpus ingestion
+    # dedup probing the corpus bands in place, the incremental_dedup
+    # shape at the binary tier;
     # cascade_topk / cascade_recall — the tiered Hamming-prefilter ->
     # ADC-shortlist -> exact-re-rank funnel and its recall eval), then
     # the SIX gates whose kernels round 12 touched (the hamming family
@@ -8821,9 +8875,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this round, no re-witness), then the final SIXTEEN r7-era driver
     # rows (min_cost_supplier..vocab_topk — rotation debt to ZERO:
     # after this window no driver row is older than r8), then the
-    # oldest-alphabetical 23 of the 43 r8-era rows
-    # (asof_last_view..fp_overlap_pairs). The remaining TWENTY r8-era
-    # rows defer to r13: iban_scan, ivm_view, large_volume_customers,
+    # oldest-alphabetical 22 of the 43 r8-era rows
+    # (asof_last_view..forecast_revenue). The remaining TWENTY-ONE
+    # r8-era rows defer to r13: fp_overlap_pairs, iban_scan, ivm_view,
+    # large_volume_customers,
     # minhash_near_dups, promo_share, quality_classifier,
     # rank_normalize, resolve_compacted, returned_customers,
     # sales_opportunity, salted_hot_join, session_cooccurrence,
@@ -8841,7 +8896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window = [
         # r12-new gates
         "hamming_persist", "hamming_stream_append", "hamming_clusters",
-        "cascade_topk", "cascade_recall",
+        "hamming_incremental", "cascade_topk", "cascade_recall",
         # kernels changed in round 12 (hamming index= plumbing +
         # query-dim guard; publish local-root check + atomic version
         # claim; append _BATCH_WM watermark)
@@ -8853,7 +8908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_funnel", "queue_dedup", "queue_kafka",
         "simhash_near_dups", "source_cap", "star_clusters",
         "text_stats", "timeline_events", "top_orders", "vocab_topk",
-        # r8-era rows, oldest 23 alphabetical
+        # r8-era rows, oldest 22 alphabetical
         "asof_last_view", "boilerplate_removal", "bpe_encode",
         "bracketed_revenue", "bucketed_join", "cohort_retention",
         "collocations", "containment_join", "dataset_report",
@@ -8861,7 +8916,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_error_burst", "event_funnel", "event_histogram",
         "event_percentiles", "event_profile", "events_grouping_sets",
         "events_pivot", "events_rollup", "forecast_revenue",
-        "fp_overlap_pairs",
     ]
     # window integrity (size 50, no dupes, all registered, no rows-only
     # queries) is enforced by tests/test_entry_contract.py — NOT asserted
@@ -8903,6 +8957,7 @@ def oracle_sql() -> dict[str, str]:
         "hamming_persist": ORACLE_HAMMING_TOPK,
         "hamming_stream_append": ORACLE_HAMMING_TOPK,
         "hamming_clusters": ORACLE_HAMMING_CLUSTERS,
+        "hamming_incremental": ORACLE_HAMMING_INCREMENTAL,
         "cascade_topk": ORACLE_CASCADE_TOPK,
         "cascade_recall": ORACLE_CASCADE_RECALL,
         "ivfpq_persist": ORACLE_IVFPQ_TOPK,

@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "hamming_persist",       # packed-words sidecar save/load roundtrip
     "hamming_stream_append", # micro-batched words-sidecar maintenance
     "hamming_clusters",      # guaranteed-recall pairs -> min-label CC
+    "hamming_incremental",   # batch-vs-corpus ingestion dedup (binary tier)
     "cascade_topk",          # Hamming -> ADC -> exact tiered funnel
     "cascade_recall",        # cascade recall@10 vs exact quantized-L2
     # analytics

@@ -2886,6 +2886,124 @@ def hamming_near_dups(
     )
 
 
+def hamming_incremental_near_dups(
+    corpus: Optional[DataFrame],
+    batch: DataFrame,
+    threshold: int,
+    word_bits: Optional[int] = None,
+    band_radius: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index: Optional[HammingIndex] = None,
+) -> DataFrame:
+    """Near-dup pairs BETWEEN a new batch and an existing corpus at the
+    binary tier — continuous-ingestion dedup, the Hamming sibling of
+    :func:`emodb_spark.pipeline.dedup.incremental_near_dups` (MinHash):
+    each arriving batch is checked against what's already stored, never
+    against itself (intra-batch dups are a separate, much smaller
+    :func:`hamming_near_dups` run; batch and corpus ids are expected
+    disjoint). Returns (batch_id, corpus_id, hamming <= threshold) —
+    the batch rows to reject or link.
+
+    Same pigeonhole guarantee as :func:`hamming_near_dups`
+    (n_words*(band_radius+1) >= threshold+1 ⇒ recall 1.0 BY
+    CONSTRUCTION — the brute-force cross scan is the oracle), but the
+    join is batch-vs-corpus instead of a self-join: the BATCH side is
+    the one enumerated into its within-radius XOR mask variants (it is
+    the small side, so the enumeration blow-up rides the broadcast),
+    and with ``index=`` the corpus bands come straight off the
+    persisted words sidecar — at 100 TB the corpus is probed in place:
+    no re-pack, no corpus shuffle beyond the (band, value) equijoin,
+    the float corpus never read. The batch's dim is checked against
+    the corpus/sidecar dim up front (mismatches would null-pad to
+    silently wrong distances)."""
+    if index is not None:
+        dim, word_bits = index.dim, index.word_bits
+    elif corpus is None:
+        raise ValueError(
+            "hamming_incremental_near_dups: corpus or index required"
+        )
+    else:
+        dim = len(corpus.select(vec_col).first()[0])
+    if threshold < 0 or threshold >= dim:
+        raise ValueError(f"threshold={threshold} must be in 0..dim-1")
+    if band_radius < 0:
+        raise ValueError(f"band_radius={band_radius} must be >= 0")
+    need = (threshold + 1 + band_radius) // (band_radius + 1)  # ceil
+    if word_bits is None:
+        word_bits = next(
+            (wb for wb in range(min(32, dim // need), 0, -1)
+             if dim % wb == 0),
+            None,
+        )
+        if word_bits is None:
+            raise ValueError(
+                f"no word width yields {need} bands over dim={dim} at "
+                f"band_radius={band_radius}"
+            )
+    n_words = dim // word_bits
+    if n_words * (band_radius + 1) < threshold + 1:
+        raise ValueError(
+            f"word_bits={word_bits} gives {n_words} bands at radius "
+            f"{band_radius} — the pigeonhole guarantee needs "
+            f"n_words*(radius+1) >= threshold+1 = {threshold + 1}"
+        )
+    if band_radius > word_bits:
+        raise ValueError(
+            f"band_radius={band_radius} exceeds word_bits={word_bits}"
+        )
+    bdim = len(batch.select(vec_col).first()[0])
+    if bdim != dim:
+        raise ValueError(
+            f"hamming_incremental_near_dups: batch dim {bdim} != corpus "
+            f"dim {dim} — mismatched embeddings would yield null (i.e. "
+            "silently wrong) Hamming distances"
+        )
+    cvq = (
+        index.words if index is not None
+        else binary_quantize(corpus, word_bits, id_col, vec_col)
+    )
+    bvq = binary_quantize(batch, word_bits, id_col, vec_col)
+    cx = cvq.select(
+        F.col("id").alias("corpus_id"), F.posexplode("words").alias("j", "wval")
+    )
+    bx = bvq.select(
+        F.col("id").alias("batch_id"), F.posexplode("words").alias("j", "wval")
+    )
+    if band_radius > 0:
+        mask_row = bx.sparkSession.createDataFrame(
+            [(_hamming_masks(word_bits, band_radius),)], "__masks array<long>"
+        )
+        bx = (
+            bx.crossJoin(F.broadcast(mask_row))
+            .select("batch_id", "j", F.explode("__masks").alias("mask"), "wval")
+            .select(
+                "batch_id", "j",
+                F.col("wval").bitwiseXOR(F.col("mask")).alias("wval"),
+            )
+        )
+    cands = (
+        bx.join(cx, ["j", "wval"])
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    b = bvq.select(F.col("id").alias("batch_id"), F.col("words").alias("bw"))
+    c = cvq.select(F.col("id").alias("corpus_id"), F.col("words").alias("cw"))
+    return (
+        cands.join(b, "batch_id")
+        .join(c, "corpus_id")
+        .select(
+            "batch_id", "corpus_id",
+            hamming_dist(F.col("bw"), F.col("cw")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= F.lit(int(threshold)))
+        .select(
+            "batch_id", "corpus_id",
+            F.col("hamming").cast("long").alias("hamming"),
+        )
+    )
+
+
 def hamming_dup_clusters(
     embeddings: Optional[DataFrame],
     threshold: int,

@@ -4022,3 +4022,58 @@ def test_hamming_dup_clusters_match_brute_force(spark):
     via_idx = sorted(map(tuple, hamming_dup_clusters(
         None, threshold=thr, band_radius=1, index=idx).collect()))
     assert via_idx == got
+
+
+def test_hamming_incremental_matches_brute_cross(spark):
+    """hamming_incremental_near_dups returns EXACTLY the brute-force
+    batch-vs-corpus threshold pairs (banding recall-complete, batch
+    side enumerated), identically through a prebuilt words index, and
+    a mismatched batch dim raises up front."""
+    import random
+
+    import pytest as _pytest
+
+    from emodb_spark.pipeline.similarity import (
+        hamming_incremental_near_dups,
+        hamming_index,
+    )
+
+    rng = random.Random(137)
+    base = [[rng.uniform(-0.5, 0.5) for _ in range(16)] for _ in range(30)]
+    base[25] = [x + 0.01 for x in base[3]]   # batch 25 dups corpus 3
+    base[10] = [x - 0.005 for x in base[4]]  # corpus-corpus: must NOT appear
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "vec_id long, embedding array<float>"
+    )
+    batch = df.filter(F.col("vec_id") % 5 == 0)
+    corpus = df.filter(F.col("vec_id") % 5 != 0)
+    thr = 3
+
+    def hd_py(a, b):
+        return sum((x >= 0) != (y >= 0) for x, y in zip(a, b))
+
+    want = sorted(
+        (i, j, hd_py(base[i], base[j]))
+        for i in range(30) if i % 5 == 0
+        for j in range(30) if j % 5 != 0
+        if hd_py(base[i], base[j]) <= thr
+    )
+    got = sorted(map(tuple, hamming_incremental_near_dups(
+        corpus, batch, threshold=thr, word_bits=4, band_radius=1
+    ).collect()))
+    assert got == want
+    assert (25, 3, hd_py(base[25], base[3])) in got  # the planted pair
+    assert not any(a % 5 != 0 for a, _, _ in got)    # batch side only
+
+    idx = hamming_index(corpus, word_bits=4)
+    via_idx = sorted(map(tuple, hamming_incremental_near_dups(
+        None, batch, threshold=thr, band_radius=1, index=idx
+    ).collect()))
+    assert via_idx == got
+
+    bad = spark.createDataFrame(
+        [(99, [0.1] * 8)], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="batch dim 8 != corpus dim 16"):
+        hamming_incremental_near_dups(corpus, bad, threshold=3,
+                                      word_bits=4, band_radius=1)

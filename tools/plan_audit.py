@@ -84,6 +84,9 @@ BNLJ_OK = {
     "hamming_clusters",     # hamming_near_dups' 1-row mask broadcast
                             # feeding min-label CC (whose propagation
                             # joins are broadcast HASH joins on ids)
+    "hamming_incremental",  # the same 1-row mask broadcast on the
+                            # BATCH side; the corpus probe and verify
+                            # are pure equijoins
     "cascade_topk",         # tier 1 is hamming_knn_join's 1-row
                             # XOR-mask broadcast; tiers 2 and 3 are
                             # pure equijoins (reconstruction join +
