@@ -1379,6 +1379,32 @@ def ivfpq_save(index, path: str, with_recon: bool = False) -> None:
         )
 
 
+def ivfpq_compact_saved(spark: SparkSession, path: str) -> None:
+    """Bin-pack an append-accumulated saved index IN PLACE: every
+    :func:`ivfpq_append_to_saved` micro-batch adds one file per
+    touched cell partition, so after N batches a probed cell reads N
+    small files — the same small-files decay
+    ``DataStore.optimize_table`` exists for, applied to the index
+    layout. One shuffle of the COMPRESSED codes clusters each cell
+    back into its own task, and the shared transactional
+    write-tmp-then-rewrite idiom (io_util.overwrite_dir) keeps the
+    swap crash-safe; codebooks/meta are untouched, and a unit test
+    pins answers unchanged. For a PUBLISHED root prefer
+    compact-by-republish — ``ivfpq_publish(ivfpq_load_current(spark,
+    root), root)`` — which gives in-flight readers the versioned-dir
+    guarantee instead of an in-place rewrite."""
+    import os
+
+    from ..spark.io_util import overwrite_dir
+
+    enc = (
+        spark.read.parquet(os.path.join(path, "enc"))
+        .select("id", "cell", "j", "code")
+        .repartition("cell")
+    )
+    overwrite_dir(spark, os.path.join(path, "enc"), enc, partition_by="cell")
+
+
 def ivfpq_load_recon(spark: SparkSession, path: str) -> DataFrame:
     """Load the decoded-reconstruction projection persisted by
     :func:`ivfpq_save(with_recon=True)` — (id, recv array<long>), the
@@ -2655,6 +2681,69 @@ def hamming_load(spark: SparkSession, path: str) -> HammingIndex:
     )
     row = spark.read.json(os.path.join(path, "meta")).collect()[0]
     return HammingIndex(words, int(row["dim"]), int(row["word_bits"]))
+
+
+def hamming_provision(
+    dim: int, threshold: int, mask_budget: int = 1024
+) -> tuple:
+    """The banding provisioning rule as an API — pick the WIDEST bands
+    the enumeration budget allows (SCALE.md r11's measured rule, until
+    now prose in the :func:`hamming_near_dups` docstring): returns
+    (word_bits, band_radius) with the pigeonhole guarantee
+    n_words*(radius+1) >= threshold+1 held and the per-band
+    enumeration sum(C(word_bits, 0..radius)) <= ``mask_budget``.
+    Wider bands mean exponentially finer buckets (2^word_bits values)
+    — the anti-mega-bucket lever — at linear enumeration cost, so the
+    widest affordable width wins; re-call with a larger budget as the
+    corpus grows (10x corpus at a fixed width measured 16.8x wall vs
+    1.8x re-provisioned, SCALE.md r11). The shipped gate points are
+    fixpoints: (64, 15, 1024) -> (16, 3) and (64, 15, 100) -> (8, 1).
+    A starved budget degrades to 1-bit exact-match bands — always
+    affordable (1 mask) but exactly the narrow-band mega-bucket cliff
+    the SCALE.md study measures, so treat a (1, 0) answer as "raise
+    the budget", not a provisioning."""
+    import math
+
+    for wb in range(min(32, dim), 0, -1):
+        if dim % wb:
+            continue
+        n_words = dim // wb
+        radius = max(0, -(-(threshold + 1) // n_words) - 1)  # ceil - 1
+        if radius > wb:
+            continue
+        masks = sum(math.comb(wb, k) for k in range(radius + 1))
+        if masks <= mask_budget:
+            return wb, radius
+    raise ValueError(
+        f"no (word_bits, band_radius) over dim={dim} carries "
+        f"threshold={threshold} within mask_budget={mask_budget}"
+    )
+
+
+def hamming_compact_saved(
+    spark: SparkSession, path: str, target_files: Optional[int] = None
+) -> None:
+    """Bin-pack an append-accumulated words sidecar IN PLACE — the
+    :func:`ivfpq_compact_saved` idiom for the binary tier: every
+    :func:`hamming_append_to_saved` micro-batch adds files, and the
+    top-k scan reads all of them; one coalescing rewrite through the
+    shared transactional write-tmp-then-rewrite helper restores a
+    scan-sized file count. ``target_files=None`` lets the scan's own
+    small-file packing (maxPartitionBytes bins) pick the task — and
+    therefore file — count, which is right when the appends were
+    data-sized; pass an explicit ``target_files`` to force
+    consolidation of many tiny appends. Meta untouched; answers
+    pinned unchanged by a unit test."""
+    import os
+
+    from ..spark.io_util import overwrite_dir
+
+    words = spark.read.parquet(os.path.join(path, "words")).select(
+        "id", "words"
+    )
+    if target_files is not None:
+        words = words.coalesce(int(target_files))
+    overwrite_dir(spark, os.path.join(path, "words"), words)
 
 
 def hamming_append_to_saved(

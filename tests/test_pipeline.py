@@ -4077,3 +4077,97 @@ def test_hamming_incremental_matches_brute_cross(spark):
     with _pytest.raises(ValueError, match="batch dim 8 != corpus dim 16"):
         hamming_incremental_near_dups(corpus, bad, threshold=3,
                                       word_bits=4, band_radius=1)
+
+
+def test_hamming_provision_rule():
+    """hamming_provision returns the widest bands the enumeration
+    budget allows with the pigeonhole guarantee held — pinned to the
+    SCALE.md r11 measured points and checked for guarantee validity
+    across a sweep."""
+    import math
+
+    import pytest as _pytest
+
+    from emodb_spark.pipeline.similarity import hamming_provision
+
+    assert hamming_provision(64, 15, mask_budget=1024) == (16, 3)
+    assert hamming_provision(64, 15, mask_budget=100) == (8, 1)
+    assert hamming_provision(64, 3, mask_budget=1024) == (32, 1)
+    for dim, thr, budget in [(64, 15, 1024), (64, 31, 64), (128, 20, 512),
+                             (16, 7, 16), (64, 63, 10_000_000)]:
+        wb, r = hamming_provision(dim, thr, budget)
+        n_words = dim // wb
+        assert n_words * (r + 1) >= thr + 1          # guarantee
+        assert sum(math.comb(wb, k) for k in range(r + 1)) <= budget
+    # a starved budget degrades to 1-bit exact-match bands — the
+    # always-affordable floor (and the mega-bucket cliff the SCALE.md
+    # study warns about: too small a budget = narrow bands)
+    assert hamming_provision(8, 7, mask_budget=1) == (1, 0)
+
+
+def test_compact_saved_shrinks_files_and_preserves_answers(spark, tmp_path):
+    """ivfpq_compact_saved / hamming_compact_saved: after micro-batch
+    appends the layouts accumulate small files; compaction must shrink
+    the parquet file count and leave every answer bit-identical."""
+    import glob
+    import random
+
+    from emodb_spark.pipeline.similarity import (
+        hamming_append_to_saved,
+        hamming_compact_saved,
+        hamming_load,
+        hamming_save,
+        hamming_topk,
+        ivfpq_append_to_saved,
+        ivfpq_compact_saved,
+        ivfpq_index,
+        ivfpq_load,
+        ivfpq_query,
+        ivfpq_save,
+    )
+
+    def nfiles(d):
+        return len(glob.glob(f"{d}/**/*.parquet", recursive=True))
+
+    rng = random.Random(139)
+    base = [[rng.uniform(-0.5, 0.5) for _ in range(8)] for _ in range(30)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "vec_id long, embedding array<float>"
+    )
+    qrows = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in df.filter(F.col("vec_id") < 3)
+        .select("vec_id", "embedding").collect()
+    ]
+
+    ipath = str(tmp_path / "cidx")
+    idx = ivfpq_index(df.filter(F.col("vec_id") < 12), n_cells=3, m=2,
+                      sub_k=4, iters=2)
+    ivfpq_save(idx, ipath)
+    rest = df.filter(F.col("vec_id") >= 12)
+    for i in range(4):
+        ivfpq_append_to_saved(rest.filter(F.col("vec_id") % 4 == i), ipath)
+    before_files = nfiles(f"{ipath}/enc")
+    li = ivfpq_load(spark, ipath)
+    before = sorted(map(tuple, ivfpq_query(
+        li.enc, li.cents, li.books, qrows, n_probe=2, k=5).collect()))
+    ivfpq_compact_saved(spark, ipath)
+    after_files = nfiles(f"{ipath}/enc")
+    assert after_files < before_files
+    la = ivfpq_load(spark, ipath)
+    after = sorted(map(tuple, ivfpq_query(
+        la.enc, la.cents, la.books, qrows, n_probe=2, k=5).collect()))
+    assert after == before
+
+    hpath = str(tmp_path / "cham")
+    hamming_save(df.filter(F.col("vec_id") < 12), hpath, word_bits=4)
+    for i in range(4):
+        hamming_append_to_saved(rest.filter(F.col("vec_id") % 4 == i), hpath)
+    before_files = nfiles(f"{hpath}/words")
+    before = sorted(map(tuple, hamming_topk(
+        None, n_queries=3, k=5, index=hamming_load(spark, hpath)).collect()))
+    hamming_compact_saved(spark, hpath)
+    assert nfiles(f"{hpath}/words") < before_files
+    after = sorted(map(tuple, hamming_topk(
+        None, n_queries=3, k=5, index=hamming_load(spark, hpath)).collect()))
+    assert after == before
