@@ -111,63 +111,22 @@ def main() -> int:
         (16, 3, 80),    # same horizon, 256x finer buckets (697 masks)
         (16, 3, 160),
     ):
-        # hamming_idx supplies the packed words; index supplies the
-        # codes+recon — but cascade_knn_rerank recomputes recon from
-        # the index per call, so substitute the checkpointed one by
-        # replaying its tail inline for a fair query-path wall
-        pre_df = None
-        from emodb_spark.pipeline.similarity import (
-            _int_sqdist,
-            _quantize_col,
-            hamming_knn_join,
-        )
-        from pyspark.sql import Window
-
-        def cascade_prebuilt(prefilter_k, shortlist_k, wbits, radius):
-            prec = hamming_knn_join(
-                None, queries=queries, k=prefilter_k, band_radius=radius,
-                exclude_self=True, index=ham[wbits],
-            ).select("query_id", "nbr_id")
-            qv = queries.select(
-                F.col("vec_id").alias("query_id"),
-                _quantize_col(F.col("embedding"), idx.scale).alias("qv"),
-            )
-            rc = recon.select(F.col("id").alias("nbr_id"), "recv")
-            w2 = Window.partitionBy("query_id").orderBy(
-                F.asc("dist_adc"), F.asc("nbr_id"))
-            short = (
-                prec.join(qv, "query_id").join(rc, "nbr_id")
-                .select("query_id", "nbr_id", "qv",
-                        _int_sqdist(F.col("qv"), F.col("recv")).alias("dist_adc"))
-                .withColumn("r2", F.row_number().over(w2))
-                .filter(F.col("r2") <= shortlist_k)
-                .select("query_id", "nbr_id", "qv")
-            )
-            cv = emb.select(
-                F.col("vec_id").alias("nbr_id"),
-                _quantize_col(F.col("embedding"), idx.scale).alias("cv"),
-            )
-            w3 = Window.partitionBy("query_id").orderBy(
-                F.asc("dist_exact"), F.asc("nbr_id"))
-            return (
-                short.join(cv, "nbr_id")
-                .select("query_id", "nbr_id",
-                        _int_sqdist(F.col("qv"), F.col("cv")).alias("dist_exact"))
-                .withColumn("rank", F.row_number().over(w3))
-                .filter(F.col("rank") <= K)
-                .select("query_id", "nbr_id",
-                        F.col("dist_exact").cast("long").alias("dist_exact"),
-                        F.col("rank").cast("int").alias("rank"))
-            )
-
+        # hamming_idx supplies the packed words, index the codes, and
+        # the checkpointed recon stands in for the persisted projection
+        # (ivfpq_load_recon's shape) — the full prebuilt-tier API path
         measure(
             f"cascade_wb{wb}_r{rad}_pre{pre}",
-            cascade_prebuilt(pre, 3 * K, wb, rad),
+            cascade_knn_rerank(
+                emb, queries=queries, k=K, prefilter_k=pre,
+                shortlist_k=3 * K, word_bits=wb, band_radius=rad,
+                index=idx, hamming_idx=ham[wb], recon=recon,
+                exclude_self=True,
+            ),
         )
-    # the one-shot API path (packs words + reconstructs inline) for an
-    # honest end-to-end number including the per-call build overhead
+    # the derive-inline path (packs words + reconstructs per call) for
+    # an honest end-to-end number including the per-call build overhead
     measure(
-        "cascade_api_wb8_r1_pre80",
+        "cascade_inline_wb8_r1_pre80",
         cascade_knn_rerank(
             emb, queries=queries, k=K, prefilter_k=80, shortlist_k=3 * K,
             word_bits=8, band_radius=1, index=idx, exclude_self=True,
