@@ -7797,6 +7797,93 @@ def q_hamming_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _oracle_hamming_ingest(threshold: int, batch_mod: int = 5,
+                           word_bits: int = 8, dim: int = 64) -> str:
+    """One-shot replay of dedup-on-ingest: accepted = batch rows with
+    NO corpus row within threshold, restricted to each intra-clean
+    cluster's min-label representative (recursive CTE over the
+    brute-force clean-pair scan — both stages recall-complete in the
+    engine, so the brute-force replay must match exactly)."""
+    n_words = dim // word_bits
+    hd = ("list_reduce(list_transform(list_zip({a}, {b}), "
+          "x -> bit_count(xor(CAST(x[1] AS BIGINT), CAST(x[2] AS BIGINT)))), "
+          "(a, b) -> a + b)")
+    return f"""WITH RECURSIVE w AS (
+  SELECT vec_id, list_transform(generate_series(0, {n_words - 1}), wi ->
+    list_reduce(list_transform(generate_series(1, {word_bits}), bi ->
+      CASE WHEN embedding[wi*{word_bits} + bi] >= 0 THEN 1 ELSE 0 END),
+      (a, b) -> a*2 + b)) AS words
+  FROM embeddings
+), clean AS (
+  SELECT b.vec_id, b.words FROM w b
+  WHERE b.vec_id % {batch_mod} = 0 AND NOT EXISTS (
+    SELECT 1 FROM w c WHERE c.vec_id % {batch_mod} <> 0
+      AND {hd.format(a='b.words', b='c.words')} <= {threshold}
+  )
+), cp AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM clean a JOIN clean b ON a.vec_id < b.vec_id
+  WHERE {hd.format(a='a.words', b='b.words')} <= {threshold}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cp
+  UNION ALL
+  SELECT id_b, id_a FROM cp
+), reach(id, lab) AS (
+  SELECT vec_id, vec_id FROM clean
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS vec_id FROM (
+  SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id
+) WHERE id = cluster_id
+"""
+
+
+ORACLE_HAMMING_INGEST = _oracle_hamming_ingest(threshold=20)
+
+
+def q_hamming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP-ON-INGEST at the binary tier (emodb_spark.pipeline.
+    similarity.hamming_ingest_dedup — the foreachBatch body composing
+    the whole maintenance family): the words sidecar is SAVED on the
+    corpus slice (vec_id % 5 != 0), then the batch slice ingests ONCE
+    per session — rows within 20 bits of the stored corpus rejected
+    (guaranteed-recall cross probe), survivors clustered intra-batch
+    and only each cluster's smallest-id representative accepted (the
+    deterministic keep-one rule), accepted words appended under the
+    _BATCH_WM epoch watermark. Returns the accepted ids; both stages
+    are recall-complete, so the oracle replays the one-shot semantics
+    brute-force (NOT EXISTS cross scan + recursive-CTE components over
+    the clean pairs) and must match exactly."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from emodb_spark.pipeline.similarity import (
+        hamming_ingest_dedup,
+        hamming_save,
+    )
+
+    def build(p):
+        work = tempfile.mkdtemp(prefix="hamming_ingest_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        emb = _read(spark, sf_dir, "embeddings")
+        hamming_save(emb.filter(F.col("vec_id") % 5 != 0), work,
+                     word_bits=p["word_bits"])
+        accepted = hamming_ingest_dedup(
+            emb.filter(F.col("vec_id") % 5 == 0), work,
+            threshold=p["threshold"], band_radius=p["band_radius"],
+            batch_id=0,
+        )
+        return (accepted,)
+
+    return _gate_index(
+        "hamming_ingest",
+        dict(word_bits=8, threshold=20, band_radius=2),
+        spark, sf_dir, build,
+    )[0]
+
+
 def q_hamming_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-tier near-dup CLUSTERING (emodb_spark.pipeline.
     similarity.hamming_dup_clusters): the guaranteed-recall banded
@@ -8687,6 +8774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_stream_append": q_hamming_stream_append,
         "hamming_clusters": q_hamming_clusters,
         "hamming_incremental": q_hamming_incremental,
+        "hamming_ingest": q_hamming_ingest,
         "cascade_topk": q_cascade_topk,
         "cascade_recall": q_cascade_recall,
         "ivfpq_persist": q_ivfpq_persist,
@@ -8853,7 +8941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
     }
     # The driver records CORRECTNESS from the FIRST 50 entries, so the
-    # window below leads the dict. Round-12 window: the SIX r12-new
+    # window below leads the dict. Round-12 window: the SEVEN r12-new
     # gates lead (hamming_persist — the packed-words sidecar
     # save/load roundtrip, closing the binary tier's persistence gap;
     # hamming_stream_append — micro-batched maintenance of that
@@ -8862,7 +8950,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # connected components, the dedup family's clustering tail at the
     # binary tier; hamming_incremental — batch-vs-corpus ingestion
     # dedup probing the corpus bands in place, the incremental_dedup
-    # shape at the binary tier;
+    # shape at the binary tier; hamming_ingest — dedup-on-ingest, the
+    # foreachBatch body composing cross-probe rejection, intra-batch
+    # cluster-representative selection and the watermarked append;
     # cascade_topk / cascade_recall — the tiered Hamming-prefilter ->
     # ADC-shortlist -> exact-re-rank funnel and its recall eval), then
     # the SIX gates whose kernels round 12 touched (the hamming family
@@ -8875,10 +8965,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this round, no re-witness), then the final SIXTEEN r7-era driver
     # rows (min_cost_supplier..vocab_topk — rotation debt to ZERO:
     # after this window no driver row is older than r8), then the
-    # oldest-alphabetical 22 of the 43 r8-era rows
-    # (asof_last_view..forecast_revenue). The remaining TWENTY-ONE
-    # r8-era rows defer to r13: fp_overlap_pairs, iban_scan, ivm_view,
-    # large_volume_customers,
+    # oldest-alphabetical 21 of the 43 r8-era rows
+    # (asof_last_view..events_rollup). The remaining TWENTY-TWO
+    # r8-era rows defer to r13: forecast_revenue, fp_overlap_pairs,
+    # iban_scan, ivm_view, large_volume_customers,
     # minhash_near_dups, promo_share, quality_classifier,
     # rank_normalize, resolve_compacted, returned_customers,
     # sales_opportunity, salted_hot_join, session_cooccurrence,
@@ -8896,7 +8986,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window = [
         # r12-new gates
         "hamming_persist", "hamming_stream_append", "hamming_clusters",
-        "hamming_incremental", "cascade_topk", "cascade_recall",
+        "hamming_incremental", "hamming_ingest",
+        "cascade_topk", "cascade_recall",
         # kernels changed in round 12 (hamming index= plumbing +
         # query-dim guard; publish local-root check + atomic version
         # claim; append _BATCH_WM watermark)
@@ -8908,14 +8999,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_funnel", "queue_dedup", "queue_kafka",
         "simhash_near_dups", "source_cap", "star_clusters",
         "text_stats", "timeline_events", "top_orders", "vocab_topk",
-        # r8-era rows, oldest 22 alphabetical
+        # r8-era rows, oldest 21 alphabetical
         "asof_last_view", "boilerplate_removal", "bpe_encode",
         "bracketed_revenue", "bucketed_join", "cohort_retention",
         "collocations", "containment_join", "dataset_report",
         "decayed_score", "doc_chunks", "doc_packing", "dsir_selection",
         "event_error_burst", "event_funnel", "event_histogram",
         "event_percentiles", "event_profile", "events_grouping_sets",
-        "events_pivot", "events_rollup", "forecast_revenue",
+        "events_pivot", "events_rollup",
     ]
     # window integrity (size 50, no dupes, all registered, no rows-only
     # queries) is enforced by tests/test_entry_contract.py — NOT asserted
@@ -8958,6 +9049,7 @@ def oracle_sql() -> dict[str, str]:
         "hamming_stream_append": ORACLE_HAMMING_TOPK,
         "hamming_clusters": ORACLE_HAMMING_CLUSTERS,
         "hamming_incremental": ORACLE_HAMMING_INCREMENTAL,
+        "hamming_ingest": ORACLE_HAMMING_INGEST,
         "cascade_topk": ORACLE_CASCADE_TOPK,
         "cascade_recall": ORACLE_CASCADE_RECALL,
         "ivfpq_persist": ORACLE_IVFPQ_TOPK,

@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "hamming_stream_append", # micro-batched words-sidecar maintenance
     "hamming_clusters",      # guaranteed-recall pairs -> min-label CC
     "hamming_incremental",   # batch-vs-corpus ingestion dedup (binary tier)
+    "hamming_ingest",        # dedup-on-ingest foreachBatch composition
     "cascade_topk",          # Hamming -> ADC -> exact tiered funnel
     "cascade_recall",        # cascade recall@10 vs exact quantized-L2
     # analytics

@@ -2565,6 +2565,7 @@ def binary_quantize(
     word_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """SIGN-BIT binary quantization: each dimension becomes one bit
     (v >= 0 → 1), packed MSB-first into ``dim / word_bits``-long words
@@ -2580,8 +2581,11 @@ def binary_quantize(
     Returns (id, words array<long>). ``word_bits`` is also the BAND
     width :func:`hamming_near_dups` buckets on — smaller words = more
     bands = a larger guaranteed threshold but more candidate
-    collisions (2^word_bits bucket values)."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    collisions (2^word_bits bucket values). ``dim=`` skips the O(1)
+    first() probe — required when the frame may be EMPTY (a
+    foreachBatch body's micro-batch), where the probe would raise."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
     if word_bits < 1 or word_bits > 32:
         raise ValueError(f"word_bits={word_bits} must be in 1..32")
     if dim % word_bits:
@@ -2752,6 +2756,7 @@ def hamming_append_to_saved(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     batch_id: Optional[int] = None,
+    dim: Optional[int] = None,
 ) -> None:
     """STREAMING MAINTENANCE for the binary tier — the ``foreachBatch``
     body that keeps a :func:`hamming_save` sidecar fresh as a corpus
@@ -2770,7 +2775,9 @@ def hamming_append_to_saved(
     (``batch_id`` replays no-op; ``None`` = plain append; local
     ``path`` required for the watermark). The arriving batch's dim is
     checked against the sidecar's — a mismatched producer would
-    otherwise poison every later query with null distances."""
+    otherwise poison every later query with null distances; passing
+    ``dim=`` (already-verified, e.g. by :func:`hamming_ingest_dedup`)
+    skips that probe so EMPTY micro-batches append cleanly."""
     import os
 
     wm_path = os.path.join(path, BATCH_WM_FILE)
@@ -2785,16 +2792,18 @@ def hamming_append_to_saved(
             return  # replayed batch — already committed, no-op
     spark = new_embeddings.sparkSession
     row = spark.read.json(os.path.join(path, "meta")).collect()[0]
-    dim, word_bits = int(row["dim"]), int(row["word_bits"])
-    bdim = len(new_embeddings.select(vec_col).first()[0])
-    if bdim != dim:
+    sdim, word_bits = int(row["dim"]), int(row["word_bits"])
+    bdim = dim if dim is not None else len(
+        new_embeddings.select(vec_col).first()[0]
+    )
+    if bdim != sdim:
         raise ValueError(
             f"hamming_append_to_saved: batch dim {bdim} != sidecar dim "
-            f"{dim} — appending would poison queries with null distances"
+            f"{sdim} — appending would poison queries with null distances"
         )
-    binary_quantize(new_embeddings, word_bits, id_col, vec_col).write.mode(
-        "append"
-    ).parquet(os.path.join(path, "words"))
+    binary_quantize(
+        new_embeddings, word_bits, id_col, vec_col, dim=sdim
+    ).write.mode("append").parquet(os.path.join(path, "words"))
     if batch_id is not None:
         tmp = wm_path + ".tmp"
         with open(tmp, "w") as f:
@@ -3091,6 +3100,93 @@ def hamming_incremental_near_dups(
             F.col("hamming").cast("long").alias("hamming"),
         )
     )
+
+
+def hamming_ingest_dedup(
+    batch: DataFrame,
+    path: str,
+    threshold: int,
+    band_radius: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_id: Optional[int] = None,
+) -> DataFrame:
+    """DEDUP-ON-INGEST at the binary tier — the ``foreachBatch`` body
+    that composes the whole maintenance family into the op a
+    continuous ingestion pipeline actually runs::
+
+        arrivals.writeStream.foreachBatch(
+            lambda b, bid: sink(hamming_ingest_dedup(b, path, 15,
+                                                     batch_id=bid)))
+
+    Three steps, all off the persisted words sidecar: (1) batch rows
+    within ``threshold`` bits of the STORED corpus are rejected
+    (:func:`hamming_incremental_near_dups` — corpus probed in place,
+    guaranteed recall); (2) the survivors are clustered intra-batch
+    (:func:`hamming_dup_clusters`) and only each cluster's smallest-id
+    representative survives — the deterministic, parallel "keep one
+    copy" rule (a greedy sequential scan would accept chain members a
+    cluster rejects; cluster-representative is the repo's standard
+    keep-best shape and replays in SQL); (3) the accepted rows' words
+    APPEND to the sidecar (:func:`hamming_append_to_saved`), so the
+    next batch deduplicates against them too. Returns the accepted ids
+    (one ``id_col`` column), eagerly materialized BEFORE the append —
+    the returned frame must not recompute against the corpus it just
+    mutated. ``batch_id`` rides the sidecar's ``_BATCH_WM`` watermark:
+    a replayed epoch neither re-appends nor re-accepts (returns an
+    empty frame — the batch was already ingested; exactly-once
+    delivery of the accepted set is the caller's sink's job, as for
+    every foreachBatch body in this repo). Uses the sidecar's own
+    word_bits; the pigeonhole guarantee is validated for both the
+    cross check and the intra clustering."""
+    import os
+
+    spark = batch.sparkSession
+    if batch_id is not None:
+        _require_local_root(path, "hamming_ingest_dedup(batch_id=...)")
+        try:
+            with open(os.path.join(path, BATCH_WM_FILE)) as f:
+                wm = int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            wm = -1
+        if int(batch_id) <= wm:
+            return spark.createDataFrame([], f"{id_col} long")
+    idx = hamming_load(spark, path)
+    if batch.isEmpty():  # foreachBatch delivers empty epochs — commit
+        hamming_append_to_saved(
+            batch, path, id_col=id_col, vec_col=vec_col,
+            batch_id=batch_id, dim=idx.dim,
+        )
+        return spark.createDataFrame([], f"{id_col} long")
+    cross = hamming_incremental_near_dups(
+        None, batch, threshold, band_radius=band_radius,
+        id_col=id_col, vec_col=vec_col, index=idx,
+    )
+    clean = batch.join(
+        cross.select(F.col("batch_id").alias(id_col)).distinct(),
+        id_col, "left_anti",
+    )
+    # cluster the survivors through a frame-side index (words packed
+    # at the SIDECAR's width, dim supplied) — `clean` may be EMPTY
+    # when the whole batch was corpus-duplicated, and a first() probe
+    # there would raise
+    clean_idx = HammingIndex(
+        binary_quantize(clean, idx.word_bits, id_col, vec_col, dim=idx.dim),
+        idx.dim, idx.word_bits,
+    )
+    clusters = hamming_dup_clusters(
+        None, threshold, band_radius=band_radius, id_col=id_col,
+        vec_col=vec_col, index=clean_idx,
+    )
+    accepted_ids = clusters.filter(
+        F.col(id_col) == F.col("cluster_id")
+    ).select(id_col).localCheckpoint(eager=True)
+    accepted = batch.join(accepted_ids, id_col, "left_semi")
+    hamming_append_to_saved(
+        accepted, path, id_col=id_col, vec_col=vec_col,
+        batch_id=batch_id, dim=idx.dim,
+    )
+    return accepted_ids
 
 
 def hamming_dup_clusters(

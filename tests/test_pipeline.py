@@ -4171,3 +4171,80 @@ def test_compact_saved_shrinks_files_and_preserves_answers(spark, tmp_path):
     after = sorted(map(tuple, hamming_topk(
         None, n_queries=3, k=5, index=hamming_load(spark, hpath)).collect()))
     assert after == before
+
+
+def test_hamming_ingest_dedup_sequential_semantics(spark, tmp_path):
+    """hamming_ingest_dedup: batch rows near the stored corpus are
+    rejected, intra-batch survivors keep one cluster representative,
+    accepted words append so the NEXT batch dedups against them;
+    replayed epochs no-op (empty return, no append); empty batches
+    commit their epoch. Verified against a python reference of the
+    one-shot semantics per batch."""
+    import random
+
+    from emodb_spark.pipeline.similarity import (
+        hamming_ingest_dedup,
+        hamming_load,
+        hamming_save,
+    )
+
+    rng = random.Random(149)
+    base = [[rng.uniform(-0.5, 0.5) for _ in range(16)] for _ in range(36)]
+    base[24] = [x + 0.01 for x in base[1]]    # b1 row dups corpus
+    base[26] = [x - 0.01 for x in base[25]]   # b1 intra pair: keep 25
+    base[30] = [x + 0.005 for x in base[25]]  # b2 row dups b1-ACCEPTED 25
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "vec_id long, embedding array<float>"
+    )
+    corpus = df.filter(F.col("vec_id") < 24)
+    b1 = df.filter((F.col("vec_id") >= 24) & (F.col("vec_id") < 30))
+    b2 = df.filter(F.col("vec_id") >= 30)
+    thr = 2
+
+    def hd_py(a, b):
+        return sum((x >= 0) != (y >= 0) for x, y in zip(a, b))
+
+    def ref_ingest(stored_ids, batch_ids):
+        clean = [b for b in batch_ids
+                 if all(hd_py(base[b], base[s]) > thr for s in stored_ids)]
+        # min-label components over clean pairs
+        lab = {i: i for i in clean}
+        changed = True
+        while changed:
+            changed = False
+            for a in clean:
+                for b in clean:
+                    if hd_py(base[a], base[b]) <= thr and lab[b] < lab[a]:
+                        lab[a] = lab[b]; changed = True
+        return sorted(i for i in clean if lab[i] == i)
+
+    path = str(tmp_path / "ingest")
+    hamming_save(corpus, path, word_bits=4)
+
+    stored = list(range(24))
+    want1 = ref_ingest(stored, [24, 25, 26, 27, 28, 29])
+    got1 = sorted(r["vec_id"] for r in hamming_ingest_dedup(
+        b1, path, threshold=thr, band_radius=1, batch_id=0).collect())
+    assert got1 == want1 and 24 not in got1 and 26 not in got1
+
+    n_after1 = hamming_load(spark, path).words.count()
+    assert n_after1 == 24 + len(got1)
+
+    # replayed epoch: empty return, sidecar unchanged
+    assert hamming_ingest_dedup(
+        b1, path, threshold=thr, band_radius=1, batch_id=0).count() == 0
+    assert hamming_load(spark, path).words.count() == n_after1
+
+    # second batch dedups against corpus AND batch-1 acceptances
+    want2 = ref_ingest(stored + got1, [30, 31, 32, 33, 34, 35])
+    got2 = sorted(r["vec_id"] for r in hamming_ingest_dedup(
+        b2, path, threshold=thr, band_radius=1, batch_id=1).collect())
+    assert got2 == want2 and 30 not in got2  # dup of ACCEPTED 25
+
+    # empty epoch commits cleanly
+    empty = b2.limit(0)
+    assert hamming_ingest_dedup(
+        empty, path, threshold=thr, band_radius=1, batch_id=2).count() == 0
+    # and a replay of it stays a no-op
+    assert hamming_ingest_dedup(
+        empty, path, threshold=thr, band_radius=1, batch_id=2).count() == 0

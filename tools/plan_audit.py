@@ -87,6 +87,10 @@ BNLJ_OK = {
     "hamming_incremental",  # the same 1-row mask broadcast on the
                             # BATCH side; the corpus probe and verify
                             # are pure equijoins
+    "hamming_ingest",       # returns a checkpointed accepted-ids
+                            # frame (the ingest ran in the cached
+                            # session build); composes the mask
+                            # broadcast + CC hash joins
     "cascade_topk",         # tier 1 is hamming_knn_join's 1-row
                             # XOR-mask broadcast; tiers 2 and 3 are
                             # pure equijoins (reconstruction join +
