@@ -3165,8 +3165,12 @@ def hamming_ingest_dedup(
     clean = batch.join(
         cross.select(F.col("batch_id").alias(id_col)).distinct(),
         id_col, "left_anti",
-    )
-    # cluster the survivors through a frame-side index (words packed
+    ).localCheckpoint(eager=True)
+    # ^ eager: `clean`'s lineage embeds the whole cross-probe, and the
+    # clustering fixpoint + the accepted checkpoint would re-evaluate
+    # it ~3x (measured 2x+ of the op's wall at sf0.1); the frame is
+    # micro-batch-sized by contract, so pinning it is cheap.
+    # Cluster the survivors through a frame-side index (words packed
     # at the SIDECAR's width, dim supplied) — `clean` may be EMPTY
     # when the whole batch was corpus-duplicated, and a first() probe
     # there would raise
