@@ -1436,6 +1436,33 @@ CURRENT_FILE = "_CURRENT"  # the stash _LATEST idiom, applied to indexes
 BATCH_WM_FILE = "_BATCH_WM"  # committed-batch-id high-watermark sidecar
 
 
+def _read_batch_wm(path: str) -> int:
+    """The committed-batch-id high-watermark (-1 when absent/corrupt) —
+    the single reader for every ``_BATCH_WM`` sidecar (ivfpq words and
+    hamming words share the recipe; fixes to it belong here, not in
+    per-call-site copies)."""
+    import os
+
+    try:
+        with open(os.path.join(path, BATCH_WM_FILE)) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return -1
+
+
+def _commit_batch_wm(path: str, batch_id: int) -> None:
+    """Atomically advance the ``_BATCH_WM`` watermark (write-temp +
+    rename, the ``_CURRENT`` idiom) — the single writer, see
+    :func:`_read_batch_wm`."""
+    import os
+
+    wm_path = os.path.join(path, BATCH_WM_FILE)
+    tmp = wm_path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(int(batch_id)))
+    os.replace(tmp, wm_path)
+
+
 def _require_local_root(root: str, who: str) -> None:
     """Reject URI-scheme paths for the os-level lifecycle primitives
     (exclusive mkdir, atomic rename, watermark read) — ivfpq_save/load
@@ -1451,7 +1478,7 @@ def _require_local_root(root: str, who: str) -> None:
         )
 
 
-def ivfpq_publish(index, root: str) -> str:
+def ivfpq_publish(index, root: str, with_recon: bool = False) -> str:
     """RETRAIN-AND-SWAP publish: write the index to the next versioned
     directory under ``root`` (``v00001``, ``v00002``, ...) via
     :func:`ivfpq_save`, then flip the ``_CURRENT`` pointer file
@@ -1481,9 +1508,16 @@ def ivfpq_publish(index, root: str) -> str:
     atomicity, so URI roots are rejected up front instead of failing
     later with a confusing FileNotFoundError. Concurrent publishers
     are safe: the version directory is claimed with an atomic
-    EXCLUSIVE mkdir, so two publishers racing on the same next number
-    serialize onto distinct versions instead of the second silently
-    overwriting the first before its pointer flip."""
+    EXCLUSIVE mkdir (racing publishers serialize onto distinct
+    versions instead of the second silently overwriting the first),
+    and the pointer flip is ADVANCE-ONLY under an exclusive flock —
+    a slow publisher finishing after a newer one has flipped leaves
+    the newer pointer in place, so readers never observe the current
+    index go backward. ``with_recon=True`` forwards to
+    :func:`ivfpq_save` so the published version also carries the
+    decoded-reconstruction sidecar the cascade's middle tier reads
+    (:func:`ivfpq_load_recon`)."""
+    import fcntl
     import os
 
     _require_local_root(root, "ivfpq_publish")
@@ -1500,11 +1534,23 @@ def ivfpq_publish(index, root: str) -> str:
         except FileExistsError:
             continue  # another publisher claimed it — take the next
         break
-    ivfpq_save(index, os.path.join(root, vname))
-    tmp = os.path.join(root, CURRENT_FILE + ".tmp")
-    with open(tmp, "w") as f:
-        f.write(vname)
-    os.replace(tmp, os.path.join(root, CURRENT_FILE))
+    ivfpq_save(index, os.path.join(root, vname), with_recon=with_recon)
+    # advance-only flip, serialized by an exclusive lock: without it,
+    # last-writer-wins would let a SLOW publisher regress the pointer
+    # over a newer publish that flipped while it was still saving
+    with open(os.path.join(root, CURRENT_FILE + ".lock"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        cur = -1
+        try:
+            with open(os.path.join(root, CURRENT_FILE)) as f:
+                cur = int(f.read().strip().lstrip("v"))
+        except (FileNotFoundError, ValueError):
+            pass
+        if nxt > cur:
+            tmp = os.path.join(root, CURRENT_FILE + ".tmp")
+            with open(tmp, "w") as f:
+                f.write(vname)
+            os.replace(tmp, os.path.join(root, CURRENT_FILE))
     return os.path.join(root, vname)
 
 
@@ -1554,37 +1600,45 @@ def ivfpq_append_to_saved(
     the watermark removes the common case (Spark replaying the last
     batch after any restart). ``batch_id=None`` preserves the plain
     append (no watermark read or write). The watermark needs a LOCAL
-    ``path`` (see :func:`ivfpq_publish`). At 100 TB the append touches
-    only the arriving rows' cell partitions; the already-encoded
-    corpus is never rewritten. Retrain policy stays with
-    :func:`ivfpq_publish`."""
+    ``path`` (see :func:`ivfpq_publish`). When the layout carries a
+    RECON sidecar (:func:`ivfpq_save(with_recon=True)`), the arriving
+    rows' reconstructions append to it too — reconstruction is the
+    same pure per-vector function of the frozen codebooks, and a
+    stale recon would make :func:`cascade_knn_rerank`'s inner join
+    silently drop appended vectors from every result. At 100 TB the
+    append touches only the arriving rows' cell partitions; the
+    already-encoded corpus is never rewritten. Retrain policy stays
+    with :func:`ivfpq_publish`."""
     import os
 
-    wm_path = os.path.join(path, BATCH_WM_FILE)
     if batch_id is not None:
         _require_local_root(path, "ivfpq_append_to_saved(batch_id=...)")
-        try:
-            with open(wm_path) as f:
-                wm = int(f.read().strip())
-        except (FileNotFoundError, ValueError):
-            wm = -1
-        if int(batch_id) <= wm:
+        if int(batch_id) <= _read_batch_wm(path):
             return  # replayed batch — already committed, no-op
     spark = new_embeddings.sparkSession
     row = spark.read.json(os.path.join(path, "meta")).collect()[0]
     cents = [[int(v) for v in c] for c in row["cents"]]
     books = [[[int(v) for v in sc] for sc in b] for b in row["books"]]
+    scale = int(row["scale"])
     enc_new = ivfpq_encode_new(
-        new_embeddings, cents, books, int(row["scale"]), id_col, vec_col
+        new_embeddings, cents, books, scale, id_col, vec_col
     )
+    recon_dir = os.path.join(path, "recon")
+    # (the recon probe is an os-level check, like the watermark — on a
+    # non-local layout keep the recon fresh by republishing instead)
+    if os.path.exists(recon_dir):
+        # enc_new feeds BOTH the code append and the recon append —
+        # pin it so the coarse/sub-code assignment runs once
+        enc_new = enc_new.localCheckpoint(eager=True)
     enc_new.write.mode("append").partitionBy("cell").parquet(
         os.path.join(path, "enc")
     )
+    if os.path.exists(recon_dir):
+        ivfpq_reconstruct(
+            IvfPqIndex(enc_new, cents, books, scale), scale
+        ).write.mode("append").parquet(recon_dir)
     if batch_id is not None:
-        tmp = wm_path + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(int(batch_id)))
-        os.replace(tmp, wm_path)
+        _commit_batch_wm(path, batch_id)
 
 
 def ivfpq_load_current(spark: SparkSession, root: str) -> IvfPqIndex:
@@ -2757,6 +2811,7 @@ def hamming_append_to_saved(
     vec_col: str = "embedding",
     batch_id: Optional[int] = None,
     dim: Optional[int] = None,
+    sidecar: Optional[HammingIndex] = None,
 ) -> None:
     """STREAMING MAINTENANCE for the binary tier — the ``foreachBatch``
     body that keeps a :func:`hamming_save` sidecar fresh as a corpus
@@ -2777,22 +2832,22 @@ def hamming_append_to_saved(
     checked against the sidecar's — a mismatched producer would
     otherwise poison every later query with null distances; passing
     ``dim=`` (already-verified, e.g. by :func:`hamming_ingest_dedup`)
-    skips that probe so EMPTY micro-batches append cleanly."""
+    skips that probe so EMPTY micro-batches append cleanly, and
+    ``sidecar=`` (the :class:`HammingIndex` from
+    ``hamming_load(path)`` — the SAME path's meta, nothing else)
+    skips the per-epoch meta re-read on the hot streaming path."""
     import os
 
-    wm_path = os.path.join(path, BATCH_WM_FILE)
     if batch_id is not None:
         _require_local_root(path, "hamming_append_to_saved(batch_id=...)")
-        try:
-            with open(wm_path) as f:
-                wm = int(f.read().strip())
-        except (FileNotFoundError, ValueError):
-            wm = -1
-        if int(batch_id) <= wm:
+        if int(batch_id) <= _read_batch_wm(path):
             return  # replayed batch — already committed, no-op
     spark = new_embeddings.sparkSession
-    row = spark.read.json(os.path.join(path, "meta")).collect()[0]
-    sdim, word_bits = int(row["dim"]), int(row["word_bits"])
+    if sidecar is not None:
+        sdim, word_bits = sidecar.dim, sidecar.word_bits
+    else:
+        row = spark.read.json(os.path.join(path, "meta")).collect()[0]
+        sdim, word_bits = int(row["dim"]), int(row["word_bits"])
     bdim = dim if dim is not None else len(
         new_embeddings.select(vec_col).first()[0]
     )
@@ -2805,10 +2860,7 @@ def hamming_append_to_saved(
         new_embeddings, word_bits, id_col, vec_col, dim=sdim
     ).write.mode("append").parquet(os.path.join(path, "words"))
     if batch_id is not None:
-        tmp = wm_path + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(int(batch_id)))
-        os.replace(tmp, wm_path)
+        _commit_batch_wm(path, batch_id)
 
 
 def hamming_topk(
@@ -3050,7 +3102,16 @@ def hamming_incremental_near_dups(
         raise ValueError(
             f"band_radius={band_radius} exceeds word_bits={word_bits}"
         )
-    bdim = len(batch.select(vec_col).first()[0])
+    brow = batch.select(vec_col).first()
+    if brow is None:
+        # an EMPTY micro-batch (routine under foreachBatch): no pairs,
+        # schema derived from the batch so sinks union cleanly
+        return batch.select(
+            F.col(id_col).alias("batch_id"),
+            F.col(id_col).alias("corpus_id"),
+            F.lit(0).cast("long").alias("hamming"),
+        ).limit(0)
+    bdim = len(brow[0])
     if bdim != dim:
         raise ValueError(
             f"hamming_incremental_near_dups: batch dim {bdim} != corpus "
@@ -3139,25 +3200,19 @@ def hamming_ingest_dedup(
     every foreachBatch body in this repo). Uses the sidecar's own
     word_bits; the pigeonhole guarantee is validated for both the
     cross check and the intra clustering."""
-    import os
-
     spark = batch.sparkSession
+    empty_ids = batch.select(id_col).limit(0)  # schema follows the batch
     if batch_id is not None:
         _require_local_root(path, "hamming_ingest_dedup(batch_id=...)")
-        try:
-            with open(os.path.join(path, BATCH_WM_FILE)) as f:
-                wm = int(f.read().strip())
-        except (FileNotFoundError, ValueError):
-            wm = -1
-        if int(batch_id) <= wm:
-            return spark.createDataFrame([], f"{id_col} long")
+        if int(batch_id) <= _read_batch_wm(path):
+            return empty_ids
     idx = hamming_load(spark, path)
     if batch.isEmpty():  # foreachBatch delivers empty epochs — commit
         hamming_append_to_saved(
             batch, path, id_col=id_col, vec_col=vec_col,
-            batch_id=batch_id, dim=idx.dim,
+            batch_id=batch_id, dim=idx.dim, sidecar=idx,
         )
-        return spark.createDataFrame([], f"{id_col} long")
+        return empty_ids
     cross = hamming_incremental_near_dups(
         None, batch, threshold, band_radius=band_radius,
         id_col=id_col, vec_col=vec_col, index=idx,
@@ -3188,7 +3243,7 @@ def hamming_ingest_dedup(
     accepted = batch.join(accepted_ids, id_col, "left_semi")
     hamming_append_to_saved(
         accepted, path, id_col=id_col, vec_col=vec_col,
-        batch_id=batch_id, dim=idx.dim,
+        batch_id=batch_id, dim=idx.dim, sidecar=idx,
     )
     return accepted_ids
 

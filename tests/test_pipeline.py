@@ -4248,3 +4248,117 @@ def test_hamming_ingest_dedup_sequential_semantics(spark, tmp_path):
     # and a replay of it stays a no-op
     assert hamming_ingest_dedup(
         empty, path, threshold=thr, band_radius=1, batch_id=2).count() == 0
+
+
+def test_ivfpq_append_refreshes_recon_sidecar(spark, tmp_path):
+    """With a recon sidecar present, ivfpq_append_to_saved appends the
+    arriving rows' reconstructions too — a stale recon would make
+    cascade_knn_rerank's inner join silently drop appended vectors;
+    the refreshed sidecar must equal a full recompute off the
+    reloaded index."""
+    import random
+
+    from emodb_spark.pipeline.similarity import (
+        ivfpq_append_to_saved,
+        ivfpq_index,
+        ivfpq_load,
+        ivfpq_load_recon,
+        ivfpq_reconstruct,
+        ivfpq_save,
+    )
+
+    rng = random.Random(151)
+    base = [[rng.uniform(-0.5, 0.5) for _ in range(8)] for _ in range(24)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "vec_id long, embedding array<float>"
+    )
+    idx = ivfpq_index(df.filter(F.col("vec_id") < 12), n_cells=3, m=2,
+                      sub_k=4, iters=2)
+    path = str(tmp_path / "recon_fresh")
+    ivfpq_save(idx, path, with_recon=True)
+    ivfpq_append_to_saved(df.filter(F.col("vec_id") >= 12), path, batch_id=0)
+
+    got = sorted((r["id"], list(r["recv"]))
+                 for r in ivfpq_load_recon(spark, path).collect())
+    want = sorted((r["id"], list(r["recv"]))
+                  for r in ivfpq_reconstruct(ivfpq_load(spark, path)).collect())
+    assert got == want
+    assert {i for i, _ in got} == set(range(24))  # appended ids present
+
+    # replayed epoch: neither codes nor recon double-append
+    ivfpq_append_to_saved(df.filter(F.col("vec_id") >= 12), path, batch_id=0)
+    assert ivfpq_load_recon(spark, path).count() == 24
+
+
+def test_ivfpq_publish_pointer_never_regresses(spark, tmp_path):
+    """The pointer flip is advance-only: a publish that lands a LOWER
+    version than the current pointer (the slow-publisher race) must
+    leave the newer pointer in place; a normal publish advances."""
+    import os as _os
+    import random
+
+    from emodb_spark.pipeline.similarity import (
+        ivfpq_index,
+        ivfpq_publish,
+    )
+
+    rng = random.Random(157)
+    df = spark.createDataFrame(
+        [(i, [rng.uniform(-0.5, 0.5) for _ in range(8)]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = ivfpq_index(df, n_cells=2, m=2, sub_k=4, iters=1)
+    root = str(tmp_path / "adv")
+    _os.makedirs(root)
+    # a newer publisher already flipped to v00009; this publisher's
+    # claim (next after the v00008 dir) is NOT newer than the pointer
+    _os.makedirs(_os.path.join(root, "v00008"))
+    with open(_os.path.join(root, "_CURRENT"), "w") as f:
+        f.write("v00009")
+    out = ivfpq_publish(idx, root)
+    assert out.endswith("v00009")  # claimed the next free dir...
+    with open(_os.path.join(root, "_CURRENT")) as f:
+        assert f.read() == "v00009"  # ...but did not regress the pointer
+    # a genuinely newer publish advances it
+    out2 = ivfpq_publish(idx, root)
+    assert out2.endswith("v00010")
+    with open(_os.path.join(root, "_CURRENT")) as f:
+        assert f.read() == "v00010"
+
+
+def test_hamming_streaming_edges_empty_and_schema(spark, tmp_path):
+    """hamming_incremental_near_dups returns a schema-correct empty
+    frame for an empty micro-batch (no TypeError from the dim probe),
+    and hamming_ingest_dedup's replay/empty returns carry the BATCH's
+    id type, not a hardcoded long."""
+    from emodb_spark.pipeline.similarity import (
+        hamming_incremental_near_dups,
+        hamming_index,
+        hamming_ingest_dedup,
+        hamming_save,
+    )
+
+    corpus = spark.createDataFrame(
+        [(f"c{i}", [0.1] * 16) for i in range(6)],
+        "vec_id string, embedding array<float>",
+    )
+    empty = corpus.limit(0)
+    idx = hamming_index(corpus, word_bits=4)
+    out = hamming_incremental_near_dups(
+        None, empty, threshold=3, band_radius=1, index=idx
+    )
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "batch_id", "corpus_id", "hamming"]
+    assert out.schema["batch_id"].dataType.simpleString() == "string"
+
+    path = str(tmp_path / "str_ingest")
+    hamming_save(corpus, path, word_bits=4)
+    acc = hamming_ingest_dedup(empty, path, threshold=3, band_radius=1,
+                               batch_id=0)
+    assert acc.count() == 0
+    assert acc.schema["vec_id"].dataType.simpleString() == "string"
+    # replay path: same schema
+    acc2 = hamming_ingest_dedup(empty, path, threshold=3, band_radius=1,
+                                batch_id=0)
+    assert acc2.schema == acc.schema
