@@ -7797,6 +7797,62 @@ def q_hamming_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-tier PERSISTENCE (emodb_spark.pipeline.dedup.
+    minhash_save_buckets / minhash_load_buckets /
+    minhash_append_buckets): the corpus band buckets — the
+    once-materialized artifact incremental_near_dups' docstring has
+    always prescribed persisting — are SAVED on the lowest-300-id
+    corpus slice, the remaining corpus rows arrive in two epoch-tagged
+    appends (signatures are a pure per-doc function, so appends equal
+    a one-shot build; the shared _BATCH_WM watermark makes replays
+    no-op), and the arriving batch probes the LOADED table: banding
+    parameters come from the artifact's own meta row, and the corpus
+    text is re-read only for the O(candidates) verify rows. Results
+    must equal the recompute-everything run, so the oracle is the
+    standard brute-force cross-Jaccard replay (the incremental_dedup
+    oracle)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from emodb_spark.pipeline.dedup import (
+        incremental_near_dups,
+        minhash_append_buckets,
+        minhash_load_buckets,
+        minhash_save_buckets,
+    )
+
+    def build(p):
+        work = tempfile.mkdtemp(prefix="minhash_buckets_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        docs = _read(spark, sf_dir, "documents")
+        corpus = docs.filter(F.col("doc_id") % 5 != 0)
+        minhash_save_buckets(
+            corpus.filter(F.col("doc_id") < 300), work, **p
+        )
+        for i in range(2):
+            minhash_append_buckets(
+                corpus.filter(
+                    (F.col("doc_id") >= 300) & (F.col("doc_id") % 2 == i)
+                ),
+                work, batch_id=i,
+            )
+        return (work,)
+
+    work = _gate_index(
+        "minhash_buckets", dict(num_hashes=48, bands=24, shingle_k=3),
+        spark, sf_dir, build,
+    )[0]
+    docs = _read(spark, sf_dir, "documents")
+    return incremental_near_dups(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+        threshold=0.7,
+        corpus_buckets=minhash_load_buckets(spark, work),
+    )
+
+
 def _oracle_hamming_ingest(threshold: int, batch_mod: int = 5,
                            word_bits: int = 8, dim: int = 64) -> str:
     """One-shot replay of dedup-on-ingest: accepted = batch rows with
@@ -8775,6 +8831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_clusters": q_hamming_clusters,
         "hamming_incremental": q_hamming_incremental,
         "hamming_ingest": q_hamming_ingest,
+        "minhash_persist": q_minhash_persist,
         "cascade_topk": q_cascade_topk,
         "cascade_recall": q_cascade_recall,
         "ivfpq_persist": q_ivfpq_persist,
@@ -8941,7 +8998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
     }
     # The driver records CORRECTNESS from the FIRST 50 entries, so the
-    # window below leads the dict. Round-12 window: the SEVEN r12-new
+    # window below leads the dict. Round-12 window: the EIGHT r12-new
     # gates lead (hamming_persist — the packed-words sidecar
     # save/load roundtrip, closing the binary tier's persistence gap;
     # hamming_stream_append — micro-batched maintenance of that
@@ -8953,6 +9010,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # shape at the binary tier; hamming_ingest — dedup-on-ingest, the
     # foreachBatch body composing cross-probe rejection, intra-batch
     # cluster-representative selection and the watermarked append;
+    # minhash_persist — the corpus band-bucket artifact persisted,
+    # epoch-appended and probed through its own meta, the
+    # incremental_near_dups deployment shape made API;
     # cascade_topk / cascade_recall — the tiered Hamming-prefilter ->
     # ADC-shortlist -> exact-re-rank funnel and its recall eval), then
     # the SIX gates whose kernels round 12 touched (the hamming family
@@ -8965,10 +9025,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this round, no re-witness), then the final SIXTEEN r7-era driver
     # rows (min_cost_supplier..vocab_topk — rotation debt to ZERO:
     # after this window no driver row is older than r8), then the
-    # oldest-alphabetical 21 of the 43 r8-era rows
-    # (asof_last_view..events_rollup). The remaining TWENTY-TWO
-    # r8-era rows defer to r13: forecast_revenue, fp_overlap_pairs,
-    # iban_scan, ivm_view, large_volume_customers,
+    # oldest-alphabetical 20 of the 43 r8-era rows
+    # (asof_last_view..events_pivot). The remaining TWENTY-THREE
+    # r8-era rows defer to r13: events_rollup, forecast_revenue,
+    # fp_overlap_pairs, iban_scan, ivm_view, large_volume_customers,
     # minhash_near_dups, promo_share, quality_classifier,
     # rank_normalize, resolve_compacted, returned_customers,
     # sales_opportunity, salted_hot_join, session_cooccurrence,
@@ -8986,7 +9046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window = [
         # r12-new gates
         "hamming_persist", "hamming_stream_append", "hamming_clusters",
-        "hamming_incremental", "hamming_ingest",
+        "hamming_incremental", "hamming_ingest", "minhash_persist",
         "cascade_topk", "cascade_recall",
         # kernels changed in round 12 (hamming index= plumbing +
         # query-dim guard; publish local-root check + atomic version
@@ -8999,14 +9059,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_funnel", "queue_dedup", "queue_kafka",
         "simhash_near_dups", "source_cap", "star_clusters",
         "text_stats", "timeline_events", "top_orders", "vocab_topk",
-        # r8-era rows, oldest 21 alphabetical
+        # r8-era rows, oldest 20 alphabetical
         "asof_last_view", "boilerplate_removal", "bpe_encode",
         "bracketed_revenue", "bucketed_join", "cohort_retention",
         "collocations", "containment_join", "dataset_report",
         "decayed_score", "doc_chunks", "doc_packing", "dsir_selection",
         "event_error_burst", "event_funnel", "event_histogram",
         "event_percentiles", "event_profile", "events_grouping_sets",
-        "events_pivot", "events_rollup",
+        "events_pivot",
     ]
     # window integrity (size 50, no dupes, all registered, no rows-only
     # queries) is enforced by tests/test_entry_contract.py — NOT asserted
@@ -9050,6 +9110,7 @@ def oracle_sql() -> dict[str, str]:
         "hamming_clusters": ORACLE_HAMMING_CLUSTERS,
         "hamming_incremental": ORACLE_HAMMING_INCREMENTAL,
         "hamming_ingest": ORACLE_HAMMING_INGEST,
+        "minhash_persist": ORACLE_INCREMENTAL_DEDUP,
         "cascade_topk": ORACLE_CASCADE_TOPK,
         "cascade_recall": ORACLE_CASCADE_RECALL,
         "ivfpq_persist": ORACLE_IVFPQ_TOPK,

@@ -19,7 +19,7 @@ aggregate) — no Python UDFs in the hot path.
 from __future__ import annotations
 
 import logging
-from typing import Optional
+from typing import NamedTuple, Optional
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -324,6 +324,115 @@ def ngram_jaccard(
     )
 
 
+class MinHashBuckets(NamedTuple):
+    """The persisted LSH artifact — what :func:`minhash_save_buckets` /
+    :func:`minhash_load_buckets` return and
+    :func:`incremental_near_dups` accepts as ``corpus_buckets=``.
+    Carrying the banding parameters with the bucket table means a
+    loaded artifact can never be probed at a different (num_hashes,
+    bands, shingle_k) than it was built with — the
+    :class:`~emodb_spark.pipeline.similarity.HammingIndex` contract
+    applied to the MinHash tier. The bucket table is ~bands*8 bytes
+    per doc (vs the text-sized shingle sets, which are NOT persisted:
+    the exact-Jaccard verify re-shingles only candidate corpus rows,
+    O(candidates) instead of a corpus-sized sidecar)."""
+
+    buckets: DataFrame  # (id, band, bucket) — the corpus band buckets
+    num_hashes: int
+    bands: int
+    shingle_k: int
+
+
+def minhash_save_buckets(
+    corpus_df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> None:
+    """Persist the corpus band buckets — the once-materialized artifact
+    :func:`incremental_near_dups`'s docstring has always prescribed for
+    deployment ("persist them and append each accepted batch's
+    buckets"), now an API: (id, band, bucket) parquet PARTITIONED BY
+    band (a probe for one band's buckets prunes to its own files) plus
+    one meta row pinning (num_hashes, bands, shingle_k). At 100 TB the
+    arriving batches probe this table in place; the corpus text is
+    re-read only for the O(candidates) verify rows."""
+    import os
+
+    rows = num_hashes // bands
+    bc = _band_buckets(
+        minhash_signatures(
+            corpus_df, text_col, id_col, num_hashes, shingle_k
+        ),
+        bands, rows,
+    )
+    bc.write.mode("overwrite").partitionBy("band").parquet(
+        os.path.join(path, "buckets")
+    )
+    spark = corpus_df.sparkSession
+    meta = spark.createDataFrame(
+        [(int(num_hashes), int(bands), int(shingle_k))],
+        "num_hashes long, bands long, shingle_k long",
+    )
+    meta.coalesce(1).write.mode("overwrite").json(os.path.join(path, "meta"))
+
+
+def minhash_load_buckets(spark, path: str) -> MinHashBuckets:
+    """Load a bucket artifact persisted by :func:`minhash_save_buckets`
+    — the bucket table stays lazy; only the O(1) meta row collects."""
+    import os
+
+    buckets = spark.read.parquet(os.path.join(path, "buckets")).select(
+        "id", F.col("band").cast("int").alias("band"), "bucket"
+    )
+    row = spark.read.json(os.path.join(path, "meta")).collect()[0]
+    return MinHashBuckets(
+        buckets, int(row["num_hashes"]), int(row["bands"]),
+        int(row["shingle_k"]),
+    )
+
+
+def minhash_append_buckets(
+    new_df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_id: Optional[int] = None,
+) -> None:
+    """STREAMING MAINTENANCE for the bucket artifact — the
+    ``foreachBatch`` body that keeps :func:`minhash_save_buckets`'s
+    table fresh as accepted batches land: arrivals are signed and
+    bucketed at the ARTIFACT's own (num_hashes, bands, shingle_k)
+    (read from the meta row, so appends can never band differently
+    than the base) and appended to the band-partitioned parquet.
+    Signatures are a pure per-doc function, so any micro-batch split
+    appends identical rows; the ``_BATCH_WM`` epoch watermark
+    (shared recipe — similarity._read_batch_wm) makes replays no-op."""
+    import os
+
+    from .similarity import _commit_batch_wm, _read_batch_wm, _require_local_root
+
+    if batch_id is not None:
+        _require_local_root(path, "minhash_append_buckets(batch_id=...)")
+        if int(batch_id) <= _read_batch_wm(path):
+            return  # replayed batch — already committed, no-op
+    spark = new_df.sparkSession
+    row = spark.read.json(os.path.join(path, "meta")).collect()[0]
+    num_hashes, bands = int(row["num_hashes"]), int(row["bands"])
+    shingle_k = int(row["shingle_k"])
+    _band_buckets(
+        minhash_signatures(new_df, text_col, id_col, num_hashes, shingle_k),
+        bands, num_hashes // bands,
+    ).write.mode("append").partitionBy("band").parquet(
+        os.path.join(path, "buckets")
+    )
+    if batch_id is not None:
+        _commit_batch_wm(path, batch_id)
+
+
 def incremental_near_dups(
     corpus_df: DataFrame,
     batch_df: DataFrame,
@@ -334,6 +443,7 @@ def incremental_near_dups(
     shingle_k: int = 5,
     threshold: float = 0.7,
     max_bucket_size: Optional[int] = None,
+    corpus_buckets: Optional[MinHashBuckets] = None,
 ) -> DataFrame:
     """Near-dup pairs BETWEEN a new batch and an existing corpus.
 
@@ -344,18 +454,33 @@ def incremental_near_dups(
     rows to reject or link.
 
     Scale shape: the corpus' band buckets are a once-materialized artifact
-    (recompute here for self-containment; persist them in deployment and
-    append each accepted batch's buckets). The batch side is small, so its
+    — pass ``corpus_buckets=`` (:func:`minhash_load_buckets`) to probe the
+    PERSISTED table: its own (num_hashes, bands, shingle_k) override the
+    parameters, and the corpus text is then touched only for the
+    O(candidates) verify rows (``corpus_df`` stays required for exactly
+    that join). Without it the buckets are recomputed here for
+    self-containment. The batch side is small, so its
     bucket table BROADCASTS — the 100 TB corpus is probed in place with no
     shuffle and no self-join. ``max_bucket_size`` caps boilerplate mega-
     buckets on the corpus side before the probe."""
+    if corpus_buckets is not None:
+        num_hashes = corpus_buckets.num_hashes
+        bands = corpus_buckets.bands
+        shingle_k = corpus_buckets.shingle_k
     rows = num_hashes // bands
-    sh_c = shingle_sets(corpus_df, text_col, id_col, shingle_k)
     sh_b = shingle_sets(batch_df, text_col, id_col, shingle_k)
-    bc = _band_buckets(
-        minhash_signatures(corpus_df, text_col, id_col, num_hashes, shingle_k, sh=sh_c),
-        bands, rows,
-    )
+    if corpus_buckets is not None:
+        bc = corpus_buckets.buckets
+        sh_c = None  # shingled AFTER candidates — O(candidates) rows
+    else:
+        sh_c = shingle_sets(corpus_df, text_col, id_col, shingle_k)
+        bc = _band_buckets(
+            minhash_signatures(
+                corpus_df, text_col, id_col, num_hashes, shingle_k,
+                sh=sh_c,
+            ),
+            bands, rows,
+        )
     bb = _band_buckets(
         minhash_signatures(batch_df, text_col, id_col, num_hashes, shingle_k, sh=sh_b),
         bands, rows,
@@ -373,6 +498,14 @@ def incremental_near_dups(
         .select(F.col("batch_id"), F.col("id").alias("corpus_id"))
         .distinct()
     )
+    if sh_c is None:
+        # persisted-bucket probe: the corpus text is read only for the
+        # candidate rows' verify (the docstring's 100 TB contract)
+        cand_rows = corpus_df.join(
+            cands.select(F.col("corpus_id").alias(id_col)).distinct(),
+            id_col, "left_semi",
+        )
+        sh_c = shingle_sets(cand_rows, text_col, id_col, shingle_k)
     joined = (
         cands.join(
             sh_b.select(F.col("id").alias("batch_id"), F.col("sh").alias("sh_b")),

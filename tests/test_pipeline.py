@@ -4362,3 +4362,45 @@ def test_hamming_streaming_edges_empty_and_schema(spark, tmp_path):
     acc2 = hamming_ingest_dedup(empty, path, threshold=3, band_radius=1,
                                 batch_id=0)
     assert acc2.schema == acc.schema
+
+
+def test_minhash_bucket_artifact_roundtrip(spark, tmp_path):
+    """minhash_save_buckets/load/append: the persisted band-bucket
+    artifact probes identically to a recompute-everything run, appends
+    are batch-parity (pure per-doc signatures) with replay no-ops, and
+    the loaded meta's banding parameters OVERRIDE the caller's."""
+    from emodb_spark.pipeline.dedup import (
+        incremental_near_dups,
+        minhash_append_buckets,
+        minhash_load_buckets,
+        minhash_save_buckets,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox jumps over dog number {i} "
+              + ("lazily " * (i % 3)))
+         for i in range(20)]
+        + [(20, "the quick brown fox jumps over dog number 3 ")],
+        "doc_id long, text string",
+    )
+    batch = docs.filter(F.col("doc_id") >= 18)
+    corpus = docs.filter(F.col("doc_id") < 18)
+    kw = dict(num_hashes=16, bands=8, shingle_k=2)
+    direct = sorted(map(tuple, incremental_near_dups(
+        corpus, batch, threshold=0.5, **kw).collect()))
+
+    path = str(tmp_path / "mh")
+    minhash_save_buckets(corpus.filter(F.col("doc_id") < 10), path, **kw)
+    minhash_append_buckets(
+        corpus.filter(F.col("doc_id") >= 10), path, batch_id=0)
+    mb = minhash_load_buckets(spark, path)
+    assert (mb.num_hashes, mb.bands, mb.shingle_k) == (16, 8, 2)
+    # caller passes WRONG banding params — the artifact's meta wins
+    via = sorted(map(tuple, incremental_near_dups(
+        corpus, batch, threshold=0.5, num_hashes=4, bands=2, shingle_k=9,
+        corpus_buckets=mb).collect()))
+    assert via == direct and direct  # the planted dup pair surfaces
+
+    n = mb.buckets.count()
+    minhash_append_buckets(corpus.limit(5), path, batch_id=0)  # replay
+    assert minhash_load_buckets(spark, path).buckets.count() == n
