@@ -369,9 +369,14 @@ def minhash_save_buckets(
         ),
         bands, rows,
     )
-    bc.write.mode("overwrite").partitionBy("band").parquet(
-        os.path.join(path, "buckets")
-    )
+    # cluster by band before the partitioned write: without it every
+    # write task emits one file into EVERY band dir (tasks x bands
+    # small files per save/append — measured 2,304 files after one
+    # save + two appends at sf0.1, and the probe's first call spent
+    # more time listing files than scanning them)
+    bc.repartition("band").write.mode("overwrite").partitionBy(
+        "band"
+    ).parquet(os.path.join(path, "buckets"))
     spark = corpus_df.sparkSession
     meta = spark.createDataFrame(
         [(int(num_hashes), int(bands), int(shingle_k))],
@@ -426,11 +431,32 @@ def minhash_append_buckets(
     _band_buckets(
         minhash_signatures(new_df, text_col, id_col, num_hashes, shingle_k),
         bands, num_hashes // bands,
-    ).write.mode("append").partitionBy("band").parquet(
+    ).repartition("band").write.mode("append").partitionBy("band").parquet(
         os.path.join(path, "buckets")
-    )
+    )  # band-clustered: one file per touched band per epoch
     if batch_id is not None:
         _commit_batch_wm(path, batch_id)
+
+
+def minhash_compact_buckets(spark, path: str) -> None:
+    """Bin-pack an append-accumulated bucket artifact IN PLACE — the
+    ivfpq/hamming compactor idiom for the MinHash tier: each epoch
+    append adds one file per touched band, so after many epochs a
+    probe lists/opens per-band file counts linear in epochs; one
+    compressed-domain shuffle re-clusters each band through the shared
+    transactional write-tmp-then-rewrite helper. Meta untouched;
+    answers pinned unchanged by a unit test."""
+    import os
+
+    from ..spark.io_util import overwrite_dir
+
+    bc = (
+        spark.read.parquet(os.path.join(path, "buckets"))
+        .select("id", F.col("band").cast("int").alias("band"), "bucket")
+        .repartition("band")
+    )
+    overwrite_dir(spark, os.path.join(path, "buckets"), bc,
+                  partition_by="band")
 
 
 def incremental_near_dups(

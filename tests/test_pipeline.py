@@ -4404,3 +4404,19 @@ def test_minhash_bucket_artifact_roundtrip(spark, tmp_path):
     n = mb.buckets.count()
     minhash_append_buckets(corpus.limit(5), path, batch_id=0)  # replay
     assert minhash_load_buckets(spark, path).buckets.count() == n
+
+    # compaction: fewer files, identical probe results
+    import glob
+
+    from emodb_spark.pipeline.dedup import minhash_compact_buckets
+
+    before_files = len(glob.glob(f"{path}/buckets/**/*.parquet",
+                                 recursive=True))
+    minhash_compact_buckets(spark, path)
+    after_files = len(glob.glob(f"{path}/buckets/**/*.parquet",
+                                recursive=True))
+    assert after_files < before_files
+    via2 = sorted(map(tuple, incremental_near_dups(
+        corpus, batch, threshold=0.5,
+        corpus_buckets=minhash_load_buckets(spark, path)).collect()))
+    assert via2 == direct
