@@ -359,9 +359,20 @@ def minhash_save_buckets(
     band (a probe for one band's buckets prunes to its own files) plus
     one meta row pinning (num_hashes, bands, shingle_k). At 100 TB the
     arriving batches probe this table in place; the corpus text is
-    re-read only for the O(candidates) verify rows."""
+    re-read only for the O(candidates) verify rows. Rebuilding at an
+    existing path resets any ``_BATCH_WM`` watermark — committed epoch
+    ids belong to the old base, and keeping them would make a fresh
+    stream's early appends silently no-op."""
     import os
 
+    from .similarity import _reset_batch_wm
+
+    if bands < 1 or num_hashes % bands:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes} — a "
+            "persisted artifact would otherwise bake the silently "
+            "truncated banding into its meta forever"
+        )
     rows = num_hashes // bands
     bc = _band_buckets(
         minhash_signatures(
@@ -383,6 +394,7 @@ def minhash_save_buckets(
         "num_hashes long, bands long, shingle_k long",
     )
     meta.coalesce(1).write.mode("overwrite").json(os.path.join(path, "meta"))
+    _reset_batch_wm(path)  # a rebuilt base invalidates committed epochs
 
 
 def minhash_load_buckets(spark, path: str) -> MinHashBuckets:
@@ -406,6 +418,7 @@ def minhash_append_buckets(
     text_col: str = "text",
     id_col: str = "doc_id",
     batch_id: Optional[int] = None,
+    artifact: Optional[MinHashBuckets] = None,
 ) -> None:
     """STREAMING MAINTENANCE for the bucket artifact — the
     ``foreachBatch`` body that keeps :func:`minhash_save_buckets`'s
@@ -415,7 +428,11 @@ def minhash_append_buckets(
     than the base) and appended to the band-partitioned parquet.
     Signatures are a pure per-doc function, so any micro-batch split
     appends identical rows; the ``_BATCH_WM`` epoch watermark
-    (shared recipe — similarity._read_batch_wm) makes replays no-op."""
+    (shared recipe — similarity._read_batch_wm) makes replays no-op.
+    ``artifact=`` (the :class:`MinHashBuckets` from
+    ``minhash_load_buckets(path)`` — the SAME path's meta, nothing
+    else) skips the per-epoch meta re-read on the hot streaming path
+    (the hamming_append_to_saved ``sidecar=`` precedent)."""
     import os
 
     from .similarity import _commit_batch_wm, _read_batch_wm, _require_local_root
@@ -424,10 +441,14 @@ def minhash_append_buckets(
         _require_local_root(path, "minhash_append_buckets(batch_id=...)")
         if int(batch_id) <= _read_batch_wm(path):
             return  # replayed batch — already committed, no-op
-    spark = new_df.sparkSession
-    row = spark.read.json(os.path.join(path, "meta")).collect()[0]
-    num_hashes, bands = int(row["num_hashes"]), int(row["bands"])
-    shingle_k = int(row["shingle_k"])
+    if artifact is not None:
+        num_hashes, bands = artifact.num_hashes, artifact.bands
+        shingle_k = artifact.shingle_k
+    else:
+        spark = new_df.sparkSession
+        row = spark.read.json(os.path.join(path, "meta")).collect()[0]
+        num_hashes, bands = int(row["num_hashes"]), int(row["bands"])
+        shingle_k = int(row["shingle_k"])
     _band_buckets(
         minhash_signatures(new_df, text_col, id_col, num_hashes, shingle_k),
         bands, num_hashes // bands,
@@ -444,7 +465,11 @@ def minhash_compact_buckets(spark, path: str) -> None:
     append adds one file per touched band, so after many epochs a
     probe lists/opens per-band file counts linear in epochs; one
     compressed-domain shuffle re-clusters each band through the shared
-    transactional write-tmp-then-rewrite helper. Meta untouched;
+    transactional write-tmp-then-rewrite helper. REQUIRES an exclusive
+    writer: quiesce appenders first — an append landing between the
+    compaction's read and its rewrite is deleted by the rewrite, and
+    its committed watermark makes the replay a no-op (rows gone for
+    good). Meta untouched;
     answers pinned unchanged by a unit test."""
     import os
 
@@ -470,6 +495,7 @@ def incremental_near_dups(
     threshold: float = 0.7,
     max_bucket_size: Optional[int] = None,
     corpus_buckets: Optional[MinHashBuckets] = None,
+    validate_coverage: bool = False,
 ) -> DataFrame:
     """Near-dup pairs BETWEEN a new batch and an existing corpus.
 
@@ -484,8 +510,14 @@ def incremental_near_dups(
     PERSISTED table: its own (num_hashes, bands, shingle_k) override the
     parameters, and the corpus text is then touched only for the
     O(candidates) verify rows (``corpus_df`` stays required for exactly
-    that join). Without it the buckets are recomputed here for
-    self-containment. The batch side is small, so its
+    that join). INVARIANT of the persisted path: every id in the bucket
+    artifact must be present in ``corpus_df`` — a candidate whose text
+    row is missing (artifact appended but the corpus-store write lagged,
+    or a pre-filtered ``corpus_df``) would otherwise vanish from the
+    verify with no error, ADMITTING a true near-duplicate.
+    ``validate_coverage=True`` spends one extra count job to raise on
+    exactly that divergence. Without ``corpus_buckets`` the buckets are
+    recomputed here for self-containment. The batch side is small, so its
     bucket table BROADCASTS — the 100 TB corpus is probed in place with no
     shuffle and no self-join. ``max_bucket_size`` caps boilerplate mega-
     buckets on the corpus side before the probe."""
@@ -527,10 +559,22 @@ def incremental_near_dups(
     if sh_c is None:
         # persisted-bucket probe: the corpus text is read only for the
         # candidate rows' verify (the docstring's 100 TB contract)
-        cand_rows = corpus_df.join(
-            cands.select(F.col("corpus_id").alias(id_col)).distinct(),
-            id_col, "left_semi",
-        )
+        cand_ids = cands.select(
+            F.col("corpus_id").alias(id_col)
+        ).distinct()
+        if validate_coverage:
+            missing = cand_ids.join(
+                corpus_df.select(id_col), id_col, "left_anti"
+            ).count()
+            if missing:
+                raise ValueError(
+                    f"incremental_near_dups: {missing} candidate corpus "
+                    "id(s) from the bucket artifact are missing from "
+                    "corpus_df — the artifact and the corpus store have "
+                    "diverged; verifying would silently ADMIT their "
+                    "duplicates"
+                )
+        cand_rows = corpus_df.join(cand_ids, id_col, "left_semi")
         sh_c = shingle_sets(cand_rows, text_col, id_col, shingle_k)
     joined = (
         cands.join(

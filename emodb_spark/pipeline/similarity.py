@@ -1377,6 +1377,7 @@ def ivfpq_save(index, path: str, with_recon: bool = False) -> None:
         ivfpq_reconstruct(index, scale).write.mode("overwrite").parquet(
             os.path.join(path, "recon")
         )
+    _reset_batch_wm(path)  # a rebuilt base invalidates committed epochs
 
 
 def ivfpq_compact_saved(spark: SparkSession, path: str) -> None:
@@ -1389,7 +1390,11 @@ def ivfpq_compact_saved(spark: SparkSession, path: str) -> None:
     back into its own task, and the shared transactional
     write-tmp-then-rewrite idiom (io_util.overwrite_dir) keeps the
     swap crash-safe; codebooks/meta are untouched, and a unit test
-    pins answers unchanged. For a PUBLISHED root prefer
+    pins answers unchanged. REQUIRES an exclusive writer: quiesce
+    appenders first — an append landing between the compaction's read
+    and its rewrite is deleted by the rewrite, and its committed
+    watermark makes the replay a no-op (rows gone for good). For a
+    PUBLISHED root prefer
     compact-by-republish — ``ivfpq_publish(ivfpq_load_current(spark,
     root), root)`` — which gives in-flight readers the versioned-dir
     guarantee instead of an in-place rewrite."""
@@ -1461,6 +1466,19 @@ def _commit_batch_wm(path: str, batch_id: int) -> None:
     with open(tmp, "w") as f:
         f.write(str(int(batch_id)))
     os.replace(tmp, wm_path)
+
+
+def _reset_batch_wm(path: str) -> None:
+    """Delete a stale ``_BATCH_WM`` when a base artifact is REBUILT at
+    an existing path: committed epoch ids belong to the old base, and
+    leaving them would make a fresh stream's early epochs silently
+    no-op (`batch_id <= stale watermark`), permanently dropping their
+    rows. Every ``*_save`` entry point calls this."""
+    import contextlib
+    import os
+
+    with contextlib.suppress(FileNotFoundError, NotADirectoryError):
+        os.remove(os.path.join(path, BATCH_WM_FILE))
 
 
 def _require_local_root(root: str, who: str) -> None:
@@ -2724,6 +2742,7 @@ def hamming_save(
         [(int(idx.dim), int(idx.word_bits))], "dim long, word_bits long"
     )
     meta.coalesce(1).write.mode("overwrite").json(os.path.join(path, "meta"))
+    _reset_batch_wm(path)  # a rebuilt base invalidates committed epochs
 
 
 def hamming_load(spark: SparkSession, path: str) -> HammingIndex:
@@ -2786,7 +2805,10 @@ def hamming_compact_saved(
     :func:`hamming_append_to_saved` micro-batch adds files, and the
     top-k scan reads all of them; one coalescing rewrite through the
     shared transactional write-tmp-then-rewrite helper restores a
-    scan-sized file count. ``target_files=None`` lets the scan's own
+    scan-sized file count. REQUIRES an exclusive writer (quiesce
+    appenders first — the ivfpq compactor's caveat applies verbatim:
+    a concurrent append is deleted by the rewrite and its committed
+    watermark blocks the replay). ``target_files=None`` lets the scan's own
     small-file packing (maxPartitionBytes bins) pick the task — and
     therefore file — count, which is right when the appends were
     data-sized; pass an explicit ``target_files`` to force

@@ -4420,3 +4420,69 @@ def test_minhash_bucket_artifact_roundtrip(spark, tmp_path):
         corpus, batch, threshold=0.5,
         corpus_buckets=minhash_load_buckets(spark, path)).collect()))
     assert via2 == direct
+
+
+def test_artifact_guards_wm_reset_bands_and_coverage(spark, tmp_path):
+    """Review-pass guards: (1) re-saving a base artifact RESETS the
+    _BATCH_WM watermark so a fresh stream's early epochs aren't
+    silently swallowed (all three tiers); (2) minhash_save_buckets
+    rejects bands that don't divide num_hashes; (3) the persisted
+    probe's validate_coverage raises when the artifact and corpus_df
+    diverge; (4) minhash_append_buckets(artifact=) skips the meta read
+    but appends identically."""
+    import pytest as _pytest
+
+    from emodb_spark.pipeline.dedup import (
+        incremental_near_dups,
+        minhash_append_buckets,
+        minhash_load_buckets,
+        minhash_save_buckets,
+    )
+    from emodb_spark.pipeline.similarity import (
+        hamming_append_to_saved,
+        hamming_load,
+        hamming_save,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"some shared text body number {i} with words") for i in range(12)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "guards")
+    kw = dict(num_hashes=16, bands=8, shingle_k=2)
+    minhash_save_buckets(docs.filter(F.col("doc_id") < 6), path, **kw)
+    minhash_append_buckets(docs.filter(F.col("doc_id") >= 6), path,
+                           batch_id=5)
+    n_full = minhash_load_buckets(spark, path).buckets.count()
+    # REBUILD the base at the same path: watermark must reset, so a
+    # fresh stream's batch_id=0 append is NOT swallowed
+    minhash_save_buckets(docs.filter(F.col("doc_id") < 6), path, **kw)
+    minhash_append_buckets(docs.filter(F.col("doc_id") >= 6), path,
+                           batch_id=0,
+                           artifact=minhash_load_buckets(spark, path))
+    assert minhash_load_buckets(spark, path).buckets.count() == n_full
+
+    with _pytest.raises(ValueError, match="must divide num_hashes"):
+        minhash_save_buckets(docs, str(tmp_path / "bad"), num_hashes=32,
+                             bands=12, shingle_k=2)
+
+    # coverage divergence: probe with a corpus_df missing artifact rows
+    mb = minhash_load_buckets(spark, path)
+    batch = docs.filter(F.col("doc_id") < 2)  # near-dups of corpus rows
+    holey = docs.filter(F.col("doc_id") >= 6)  # artifact has 0..11
+    with _pytest.raises(ValueError, match="diverged"):
+        incremental_near_dups(holey, batch, threshold=0.2,
+                              corpus_buckets=mb, validate_coverage=True)
+
+    # hamming tier: same watermark reset on re-save
+    emb = spark.createDataFrame(
+        [(i, [0.1 * ((i + j) % 5 - 2) for j in range(16)]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    hp = str(tmp_path / "hguards")
+    hamming_save(emb.filter(F.col("vec_id") < 4), hp, word_bits=4)
+    hamming_append_to_saved(emb.filter(F.col("vec_id") >= 4), hp, batch_id=7)
+    n = hamming_load(spark, hp).words.count()
+    hamming_save(emb.filter(F.col("vec_id") < 4), hp, word_bits=4)  # rebuild
+    hamming_append_to_saved(emb.filter(F.col("vec_id") >= 4), hp, batch_id=0)
+    assert hamming_load(spark, hp).words.count() == n
