@@ -362,9 +362,13 @@ def minhash_save_buckets(
     re-read only for the O(candidates) verify rows. Rebuilding at an
     existing path resets any ``_BATCH_WM`` watermark — committed epoch
     ids belong to the old base, and keeping them would make a fresh
-    stream's early appends silently no-op."""
+    stream's early appends silently no-op — and holds the artifact's
+    maintenance lock EXCLUSIVE
+    (:func:`emodb_spark.spark.io_util.maintenance_lock`): a rebuild
+    racing an in-flight appender raises instead of interleaving."""
     import os
 
+    from ..spark.io_util import maintenance_lock
     from .similarity import _reset_batch_wm
 
     if bands < 1 or num_hashes % bands:
@@ -380,21 +384,24 @@ def minhash_save_buckets(
         ),
         bands, rows,
     )
-    # cluster by band before the partitioned write: without it every
-    # write task emits one file into EVERY band dir (tasks x bands
-    # small files per save/append — measured 2,304 files after one
-    # save + two appends at sf0.1, and the probe's first call spent
-    # more time listing files than scanning them)
-    bc.repartition("band").write.mode("overwrite").partitionBy(
-        "band"
-    ).parquet(os.path.join(path, "buckets"))
-    spark = corpus_df.sparkSession
-    meta = spark.createDataFrame(
-        [(int(num_hashes), int(bands), int(shingle_k))],
-        "num_hashes long, bands long, shingle_k long",
-    )
-    meta.coalesce(1).write.mode("overwrite").json(os.path.join(path, "meta"))
-    _reset_batch_wm(path)  # a rebuilt base invalidates committed epochs
+    with maintenance_lock(path, exclusive=True, who="minhash_save_buckets"):
+        # cluster by band before the partitioned write: without it every
+        # write task emits one file into EVERY band dir (tasks x bands
+        # small files per save/append — measured 2,304 files after one
+        # save + two appends at sf0.1, and the probe's first call spent
+        # more time listing files than scanning them)
+        bc.repartition("band").write.mode("overwrite").partitionBy(
+            "band"
+        ).parquet(os.path.join(path, "buckets"))
+        spark = corpus_df.sparkSession
+        meta = spark.createDataFrame(
+            [(int(num_hashes), int(bands), int(shingle_k))],
+            "num_hashes long, bands long, shingle_k long",
+        )
+        meta.coalesce(1).write.mode("overwrite").json(
+            os.path.join(path, "meta")
+        )
+        _reset_batch_wm(path)  # a rebuilt base invalidates committed epochs
 
 
 def minhash_load_buckets(spark, path: str) -> MinHashBuckets:
@@ -429,34 +436,50 @@ def minhash_append_buckets(
     Signatures are a pure per-doc function, so any micro-batch split
     appends identical rows; the ``_BATCH_WM`` epoch watermark
     (shared recipe — similarity._read_batch_wm) makes replays no-op.
-    ``artifact=`` (the :class:`MinHashBuckets` from
+    The watermark is a SINGLE scalar per artifact — one appending
+    stream only: two concurrent streams would interleave their epoch
+    counters and silently no-op each other's batches (fan multiple
+    sources into one foreachBatch writer upstream). The at-least-once
+    crash window (buckets appended, watermark not committed) replays
+    as exact row copies; :func:`minhash_compact_buckets`'s dedupe
+    removes precisely them. The body holds the artifact's maintenance
+    lock SHARED (:func:`emodb_spark.spark.io_util.maintenance_lock`),
+    so an append racing a compaction blocks instead of being deleted
+    by the rewrite. ``artifact=`` (the :class:`MinHashBuckets` from
     ``minhash_load_buckets(path)`` — the SAME path's meta, nothing
     else) skips the per-epoch meta re-read on the hot streaming path
     (the hamming_append_to_saved ``sidecar=`` precedent)."""
     import os
 
+    from ..spark.io_util import maintenance_lock
     from .similarity import _commit_batch_wm, _read_batch_wm, _require_local_root
 
-    if batch_id is not None:
-        _require_local_root(path, "minhash_append_buckets(batch_id=...)")
-        if int(batch_id) <= _read_batch_wm(path):
-            return  # replayed batch — already committed, no-op
-    if artifact is not None:
-        num_hashes, bands = artifact.num_hashes, artifact.bands
-        shingle_k = artifact.shingle_k
-    else:
-        spark = new_df.sparkSession
-        row = spark.read.json(os.path.join(path, "meta")).collect()[0]
-        num_hashes, bands = int(row["num_hashes"]), int(row["bands"])
-        shingle_k = int(row["shingle_k"])
-    _band_buckets(
-        minhash_signatures(new_df, text_col, id_col, num_hashes, shingle_k),
-        bands, num_hashes // bands,
-    ).repartition("band").write.mode("append").partitionBy("band").parquet(
-        os.path.join(path, "buckets")
-    )  # band-clustered: one file per touched band per epoch
-    if batch_id is not None:
-        _commit_batch_wm(path, batch_id)
+    with maintenance_lock(
+        path, exclusive=False, who="minhash_append_buckets"
+    ):
+        if batch_id is not None:
+            _require_local_root(path, "minhash_append_buckets(batch_id=...)")
+            if int(batch_id) <= _read_batch_wm(path):
+                return  # replayed batch — already committed, no-op
+        if artifact is not None:
+            num_hashes, bands = artifact.num_hashes, artifact.bands
+            shingle_k = artifact.shingle_k
+        else:
+            spark = new_df.sparkSession
+            row = spark.read.json(os.path.join(path, "meta")).collect()[0]
+            num_hashes, bands = int(row["num_hashes"]), int(row["bands"])
+            shingle_k = int(row["shingle_k"])
+        _band_buckets(
+            minhash_signatures(new_df, text_col, id_col, num_hashes,
+                               shingle_k),
+            bands, num_hashes // bands,
+        ).repartition("band").write.mode("append").partitionBy(
+            "band"
+        ).parquet(
+            os.path.join(path, "buckets")
+        )  # band-clustered: one file per touched band per epoch
+        if batch_id is not None:
+            _commit_batch_wm(path, batch_id)
 
 
 def minhash_compact_buckets(spark, path: str) -> None:
@@ -465,23 +488,39 @@ def minhash_compact_buckets(spark, path: str) -> None:
     append adds one file per touched band, so after many epochs a
     probe lists/opens per-band file counts linear in epochs; one
     compressed-domain shuffle re-clusters each band through the shared
-    transactional write-tmp-then-rewrite helper. REQUIRES an exclusive
-    writer: quiesce appenders first — an append landing between the
-    compaction's read and its rewrite is deleted by the rewrite, and
-    its committed watermark makes the replay a no-op (rows gone for
-    good). Meta untouched;
-    answers pinned unchanged by a unit test."""
+    write-tmp-then-rewrite helper (io_util.overwrite_dir — recoverable
+    from the tmp sibling after a crash, NOT atomic: quiesce readers of
+    this root during the rewrite). Writer safety is ENFORCED: the
+    compactor takes the artifact's maintenance lock EXCLUSIVE
+    (:func:`emodb_spark.spark.io_util.maintenance_lock`, appenders
+    hold it shared), so the formerly documented row-loss interleaving
+    (append deleted by the rewrite, replay blocked by its committed
+    watermark) now raises until appenders drain. Compaction also
+    DEDUPES exact duplicate (id, band, bucket) rows — the append
+    path's at-least-once crash-window replays, which would otherwise
+    inflate candidate multiplicity; signatures are deterministic, so
+    full-row dedupe removes precisely them, riding the same single
+    band-clustered exchange (window-lag over the band partition, no
+    extra shuffle). Meta untouched; answers pinned unchanged by a
+    unit test."""
     import os
 
-    from ..spark.io_util import overwrite_dir
+    from pyspark.sql import Window
 
-    bc = (
-        spark.read.parquet(os.path.join(path, "buckets"))
-        .select("id", F.col("band").cast("int").alias("band"), "bucket")
-        .repartition("band")
-    )
-    overwrite_dir(spark, os.path.join(path, "buckets"), bc,
-                  partition_by="band")
+    from ..spark.io_util import maintenance_lock, overwrite_dir
+
+    with maintenance_lock(path, exclusive=True, who="minhash_compact_buckets"):
+        w = Window.partitionBy("band").orderBy("id", "bucket")
+        row = F.struct("id", "bucket")
+        bc = (
+            spark.read.parquet(os.path.join(path, "buckets"))
+            .select("id", F.col("band").cast("int").alias("band"), "bucket")
+            .withColumn("__prev", F.lag(row).over(w))
+            .filter(F.col("__prev").isNull() | (F.col("__prev") != row))
+            .drop("__prev")
+        )
+        overwrite_dir(spark, os.path.join(path, "buckets"), bc,
+                      partition_by="band")
 
 
 def incremental_near_dups(

@@ -1357,27 +1357,52 @@ def ivfpq_save(index, path: str, with_recon: bool = False) -> None:
     (:func:`cascade_knn_rerank`) prices candidates against exactly
     this projection, so persisting it at publish time turns a
     per-query-batch compressed-corpus shuffle into a plain scan
-    (:func:`ivfpq_load_recon`)."""
+    (:func:`ivfpq_load_recon`). A recon layout requires a LOCAL
+    ``path``: :func:`ivfpq_append_to_saved`'s recon-freshness probe is
+    an os-level check that is silently False for Hadoop URIs, which
+    would leave the persisted recon stale and make the cascade's inner
+    join drop every appended vector — rejected up front instead.
+    Re-saving at an existing path with ``with_recon=False`` DELETES a
+    previously written recon sidecar: its rows decode the OLD
+    codebooks, and leaving it in place would silently price cascade
+    candidates (and anchor recon appends) against the superseded
+    index. Rebuilds hold the artifact's maintenance lock EXCLUSIVE
+    (:func:`emodb_spark.spark.io_util.maintenance_lock`) — a save
+    racing an in-flight appender raises instead of interleaving."""
     import os
+    import shutil
 
+    from ..spark.io_util import maintenance_lock
+
+    if with_recon:
+        _require_local_root(path, "ivfpq_save(with_recon=True)")
     enc, cents, books, scale = _unpack_ivfpq_index(index, PQ_SCALE)
     spark = enc.sparkSession
-    enc.write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(path, "enc")
-    )
-    meta = spark.createDataFrame(
-        [([[int(v) for v in c] for c in cents],
-          [[[int(v) for v in sc] for sc in b] for b in books],
-          int(scale))],
-        "cents array<array<long>>, books array<array<array<long>>>, "
-        "scale long",
-    )
-    meta.coalesce(1).write.mode("overwrite").json(os.path.join(path, "meta"))
-    if with_recon:
-        ivfpq_reconstruct(index, scale).write.mode("overwrite").parquet(
-            os.path.join(path, "recon")
+    with maintenance_lock(path, exclusive=True, who="ivfpq_save"):
+        enc.write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(path, "enc")
         )
-    _reset_batch_wm(path)  # a rebuilt base invalidates committed epochs
+        meta = spark.createDataFrame(
+            [([[int(v) for v in c] for c in cents],
+              [[[int(v) for v in sc] for sc in b] for b in books],
+              int(scale))],
+            "cents array<array<long>>, books array<array<array<long>>>, "
+            "scale long",
+        )
+        meta.coalesce(1).write.mode("overwrite").json(
+            os.path.join(path, "meta")
+        )
+        if with_recon:
+            ivfpq_reconstruct(index, scale).write.mode("overwrite").parquet(
+                os.path.join(path, "recon")
+            )
+        elif "://" not in path:
+            # stale sidecar from a previous with_recon=True save: its
+            # reconstructions decode the OLD codebooks (same reason the
+            # watermark resets below) — with_recon=True layouts are
+            # local-only (above), so an os-level delete covers all of them
+            shutil.rmtree(os.path.join(path, "recon"), ignore_errors=True)
+        _reset_batch_wm(path)  # a rebuilt base invalidates committed epochs
 
 
 def ivfpq_compact_saved(spark: SparkSession, path: str) -> None:
@@ -1387,27 +1412,59 @@ def ivfpq_compact_saved(spark: SparkSession, path: str) -> None:
     small files — the same small-files decay
     ``DataStore.optimize_table`` exists for, applied to the index
     layout. One shuffle of the COMPRESSED codes clusters each cell
-    back into its own task, and the shared transactional
-    write-tmp-then-rewrite idiom (io_util.overwrite_dir) keeps the
-    swap crash-safe; codebooks/meta are untouched, and a unit test
-    pins answers unchanged. REQUIRES an exclusive writer: quiesce
-    appenders first — an append landing between the compaction's read
-    and its rewrite is deleted by the rewrite, and its committed
-    watermark makes the replay a no-op (rows gone for good). For a
-    PUBLISHED root prefer
-    compact-by-republish — ``ivfpq_publish(ivfpq_load_current(spark,
-    root), root)`` — which gives in-flight readers the versioned-dir
-    guarantee instead of an in-place rewrite."""
+    back into its own task; the rewrite goes through the shared
+    write-tmp-then-rewrite helper (io_util.overwrite_dir — recoverable
+    from the tmp sibling after a crash, NOT atomic: quiesce readers of
+    an unpublished root, or compact a PUBLISHED root by republish —
+    ``ivfpq_publish(ivfpq_load_current(spark, root), root)`` — which
+    gives in-flight readers the versioned-dir guarantee). Codebooks
+    and meta are untouched; a unit test pins answers unchanged.
+
+    Compaction also DEDUPES exact duplicate (id, cell, j, code) rows —
+    and full recon rows, when the layout carries the sidecar: the
+    append path's one at-least-once window (a crash between a batch's
+    parquet append and its watermark commit replays the batch) leaves
+    exact row duplicates, which double-count per-subspace terms in
+    :func:`ivfpq_query`'s grouped ADC sum — corrupted distances, worse
+    than duplicate output rows. Encoding is deterministic under frozen
+    codebooks, so replay duplicates are EXACT row copies and full-row
+    dedupe removes precisely them (recovery from that crash window =
+    run this compactor before resuming the stream, or re-save). The
+    dedupe rides the same single cell-clustered exchange (window-lag
+    over the cell partition), so it costs no extra shuffle.
+
+    Writer safety is ENFORCED, not advisory: the compactor takes the
+    artifact's maintenance lock EXCLUSIVE
+    (:func:`emodb_spark.spark.io_util.maintenance_lock`) while
+    appenders hold it shared — an append racing the rewrite (formerly
+    "rows gone for good": deleted by the rewrite while its committed
+    watermark blocks the replay) now makes this call raise until
+    appenders drain."""
     import os
 
-    from ..spark.io_util import overwrite_dir
+    from ..spark.io_util import maintenance_lock, overwrite_dir
 
-    enc = (
-        spark.read.parquet(os.path.join(path, "enc"))
-        .select("id", "cell", "j", "code")
-        .repartition("cell")
-    )
-    overwrite_dir(spark, os.path.join(path, "enc"), enc, partition_by="cell")
+    with maintenance_lock(path, exclusive=True, who="ivfpq_compact_saved"):
+        w = Window.partitionBy("cell").orderBy("id", "j", "code")
+        row = F.struct("id", "j", "code")
+        enc = (
+            spark.read.parquet(os.path.join(path, "enc"))
+            .select("id", "cell", "j", "code")
+            .withColumn("__prev", F.lag(row).over(w))
+            .filter(F.col("__prev").isNull() | (F.col("__prev") != row))
+            .drop("__prev")
+        )
+        overwrite_dir(
+            spark, os.path.join(path, "enc"), enc, partition_by="cell"
+        )
+        recon_dir = os.path.join(path, "recon")
+        if "://" not in path and os.path.exists(recon_dir):
+            recon = (
+                spark.read.parquet(recon_dir)
+                .select("id", "recv")
+                .dropDuplicates()
+            )
+            overwrite_dir(spark, recon_dir, recon)
 
 
 def ivfpq_load_recon(spark: SparkSession, path: str) -> DataFrame:
@@ -1616,47 +1673,74 @@ def ivfpq_append_to_saved(
     watermark flip — re-appends that single batch on restart, the
     at-least-once floor every non-transactional parquet sink shares;
     the watermark removes the common case (Spark replaying the last
-    batch after any restart). ``batch_id=None`` preserves the plain
-    append (no watermark read or write). The watermark needs a LOCAL
-    ``path`` (see :func:`ivfpq_publish`). When the layout carries a
-    RECON sidecar (:func:`ivfpq_save(with_recon=True)`), the arriving
-    rows' reconstructions append to it too — reconstruction is the
-    same pure per-vector function of the frozen codebooks, and a
-    stale recon would make :func:`cascade_knn_rerank`'s inner join
-    silently drop appended vectors from every result. At 100 TB the
-    append touches only the arriving rows' cell partitions; the
+    batch after any restart). Replay duplicates are EXACT row copies
+    (encoding is deterministic under frozen codebooks) and would
+    double-count per-subspace terms in :func:`ivfpq_query`'s grouped
+    ADC sum, so recovery from that window is mechanical: run
+    :func:`ivfpq_compact_saved` (which full-row-dedupes exactly these)
+    before resuming the stream, or re-save. The watermark is a SINGLE
+    scalar per artifact — one appending stream only: two concurrent
+    streams would interleave their independent epoch counters and
+    silently no-op each other's batches (run one
+    foreachBatch writer per artifact; fan multiple sources into it
+    upstream). ``batch_id=None`` preserves the plain append (no
+    watermark read or write). The watermark needs a LOCAL ``path``
+    (see :func:`ivfpq_publish`). When the layout carries a RECON
+    sidecar (:func:`ivfpq_save(with_recon=True)` — local-only, so the
+    os-level freshness probe here is sound), the arriving rows'
+    reconstructions append to it too — reconstruction is the same
+    pure per-vector function of the frozen codebooks, and a stale
+    recon would make :func:`cascade_knn_rerank`'s inner join silently
+    drop appended vectors from every result. The recon rows land
+    BEFORE the enc rows: a crash between the two appends then leaves
+    a recon-only orphan (invisible — :func:`ivfpq_query` and the
+    cascade key off enc rows, and the compactor's dedupe absorbs the
+    replay's second copy) instead of enc rows whose reconstructions
+    are missing. The whole body holds the artifact's maintenance lock
+    SHARED (:func:`emodb_spark.spark.io_util.maintenance_lock`): an
+    append can no longer interleave with a compaction's read→rewrite
+    (which would delete its rows while the committed watermark blocks
+    the replay) — it blocks until the compactor finishes. At 100 TB
+    the append touches only the arriving rows' cell partitions; the
     already-encoded corpus is never rewritten. Retrain policy stays
     with :func:`ivfpq_publish`."""
     import os
 
-    if batch_id is not None:
-        _require_local_root(path, "ivfpq_append_to_saved(batch_id=...)")
-        if int(batch_id) <= _read_batch_wm(path):
-            return  # replayed batch — already committed, no-op
-    spark = new_embeddings.sparkSession
-    row = spark.read.json(os.path.join(path, "meta")).collect()[0]
-    cents = [[int(v) for v in c] for c in row["cents"]]
-    books = [[[int(v) for v in sc] for sc in b] for b in row["books"]]
-    scale = int(row["scale"])
-    enc_new = ivfpq_encode_new(
-        new_embeddings, cents, books, scale, id_col, vec_col
-    )
-    recon_dir = os.path.join(path, "recon")
-    # (the recon probe is an os-level check, like the watermark — on a
-    # non-local layout keep the recon fresh by republishing instead)
-    if os.path.exists(recon_dir):
-        # enc_new feeds BOTH the code append and the recon append —
-        # pin it so the coarse/sub-code assignment runs once
-        enc_new = enc_new.localCheckpoint(eager=True)
-    enc_new.write.mode("append").partitionBy("cell").parquet(
-        os.path.join(path, "enc")
-    )
-    if os.path.exists(recon_dir):
-        ivfpq_reconstruct(
-            IvfPqIndex(enc_new, cents, books, scale), scale
-        ).write.mode("append").parquet(recon_dir)
-    if batch_id is not None:
-        _commit_batch_wm(path, batch_id)
+    from ..spark.io_util import maintenance_lock
+
+    with maintenance_lock(
+        path, exclusive=False, who="ivfpq_append_to_saved"
+    ):
+        if batch_id is not None:
+            _require_local_root(path, "ivfpq_append_to_saved(batch_id=...)")
+            if int(batch_id) <= _read_batch_wm(path):
+                return  # replayed batch — already committed, no-op
+        spark = new_embeddings.sparkSession
+        row = spark.read.json(os.path.join(path, "meta")).collect()[0]
+        cents = [[int(v) for v in c] for c in row["cents"]]
+        books = [[[int(v) for v in sc] for sc in b] for b in row["books"]]
+        scale = int(row["scale"])
+        enc_new = ivfpq_encode_new(
+            new_embeddings, cents, books, scale, id_col, vec_col
+        )
+        recon_dir = os.path.join(path, "recon")
+        # (the recon probe is an os-level check, like the watermark —
+        # sound because with_recon layouts are local-only at save time)
+        has_recon = "://" not in path and os.path.exists(recon_dir)
+        if has_recon:
+            # enc_new feeds BOTH the code append and the recon append —
+            # pin it so the coarse/sub-code assignment runs once
+            enc_new = enc_new.localCheckpoint(eager=True)
+            # recon first: a crash between the appends leaves a harmless
+            # recon-only orphan, never enc rows with missing recon
+            ivfpq_reconstruct(
+                IvfPqIndex(enc_new, cents, books, scale), scale
+            ).write.mode("append").parquet(recon_dir)
+        enc_new.write.mode("append").partitionBy("cell").parquet(
+            os.path.join(path, "enc")
+        )
+        if batch_id is not None:
+            _commit_batch_wm(path, batch_id)
 
 
 def ivfpq_load_current(spark: SparkSession, root: str) -> IvfPqIndex:
@@ -2732,17 +2816,25 @@ def hamming_save(
     contract; the words table is NOT partitioned — the exact top-k
     scan reads all of it by design (that full scan of dim/64 longs per
     row IS the tier's cost model), and the banded joins shuffle on
-    (band, value) regardless of file layout."""
+    (band, value) regardless of file layout. Rebuilds hold the
+    artifact's maintenance lock EXCLUSIVE
+    (:func:`emodb_spark.spark.io_util.maintenance_lock`) — a save
+    racing an in-flight appender raises instead of interleaving."""
     import os
+
+    from ..spark.io_util import maintenance_lock
 
     idx = hamming_index(embeddings, word_bits, id_col, vec_col)
     spark = embeddings.sparkSession
-    idx.words.write.mode("overwrite").parquet(os.path.join(path, "words"))
-    meta = spark.createDataFrame(
-        [(int(idx.dim), int(idx.word_bits))], "dim long, word_bits long"
-    )
-    meta.coalesce(1).write.mode("overwrite").json(os.path.join(path, "meta"))
-    _reset_batch_wm(path)  # a rebuilt base invalidates committed epochs
+    with maintenance_lock(path, exclusive=True, who="hamming_save"):
+        idx.words.write.mode("overwrite").parquet(os.path.join(path, "words"))
+        meta = spark.createDataFrame(
+            [(int(idx.dim), int(idx.word_bits))], "dim long, word_bits long"
+        )
+        meta.coalesce(1).write.mode("overwrite").json(
+            os.path.join(path, "meta")
+        )
+        _reset_batch_wm(path)  # a rebuilt base invalidates committed epochs
 
 
 def hamming_load(spark: SparkSession, path: str) -> HammingIndex:
@@ -2804,26 +2896,38 @@ def hamming_compact_saved(
     :func:`ivfpq_compact_saved` idiom for the binary tier: every
     :func:`hamming_append_to_saved` micro-batch adds files, and the
     top-k scan reads all of them; one coalescing rewrite through the
-    shared transactional write-tmp-then-rewrite helper restores a
-    scan-sized file count. REQUIRES an exclusive writer (quiesce
-    appenders first — the ivfpq compactor's caveat applies verbatim:
-    a concurrent append is deleted by the rewrite and its committed
-    watermark blocks the replay). ``target_files=None`` lets the scan's own
-    small-file packing (maxPartitionBytes bins) pick the task — and
-    therefore file — count, which is right when the appends were
-    data-sized; pass an explicit ``target_files`` to force
-    consolidation of many tiny appends. Meta untouched; answers
+    shared write-tmp-then-rewrite helper (io_util.overwrite_dir —
+    recoverable from the tmp sibling after a crash, NOT atomic:
+    quiesce readers of this root during the rewrite) restores a
+    scan-sized file count. Writer safety is ENFORCED: the compactor
+    takes the artifact's maintenance lock EXCLUSIVE
+    (:func:`emodb_spark.spark.io_util.maintenance_lock`, appenders
+    hold it shared), so the formerly documented row-loss interleaving
+    (append deleted by the rewrite, replay blocked by its committed
+    watermark) now raises until appenders drain. Compaction also
+    full-row-DEDUPES (id, words): the append path's at-least-once
+    crash window (append landed, watermark not committed) replays as
+    exact row copies, and duplicates would surface the same id twice
+    in every top-k/near-dup result; packing is deterministic, so
+    full-row dedupe removes precisely the replays. ``target_files=None``
+    lets the scan's own small-file packing (maxPartitionBytes bins)
+    pick the task — and therefore file — count, which is right when
+    the appends were data-sized; pass an explicit ``target_files`` to
+    force consolidation of many tiny appends. Meta untouched; answers
     pinned unchanged by a unit test."""
     import os
 
-    from ..spark.io_util import overwrite_dir
+    from ..spark.io_util import maintenance_lock, overwrite_dir
 
-    words = spark.read.parquet(os.path.join(path, "words")).select(
-        "id", "words"
-    )
-    if target_files is not None:
-        words = words.coalesce(int(target_files))
-    overwrite_dir(spark, os.path.join(path, "words"), words)
+    with maintenance_lock(path, exclusive=True, who="hamming_compact_saved"):
+        words = (
+            spark.read.parquet(os.path.join(path, "words"))
+            .select("id", "words")
+            .dropDuplicates()
+        )
+        if target_files is not None:
+            words = words.coalesce(int(target_files))
+        overwrite_dir(spark, os.path.join(path, "words"), words)
 
 
 def hamming_append_to_saved(
@@ -2850,7 +2954,15 @@ def hamming_append_to_saved(
     re-pack would — the same batch-parity contract as the ivfpq
     append, with the same ``_BATCH_WM`` idempotence watermark
     (``batch_id`` replays no-op; ``None`` = plain append; local
-    ``path`` required for the watermark). The arriving batch's dim is
+    ``path`` required for the watermark; SINGLE appending stream per
+    artifact — two concurrent streams would interleave their epoch
+    counters and silently no-op each other's batches — and the same
+    at-least-once crash window, whose exact-copy replays
+    :func:`hamming_compact_saved`'s full-row dedupe removes). The
+    body holds the artifact's maintenance lock SHARED
+    (:func:`emodb_spark.spark.io_util.maintenance_lock`), so an
+    append racing a compaction blocks instead of being deleted by
+    the rewrite. The arriving batch's dim is
     checked against the sidecar's — a mismatched producer would
     otherwise poison every later query with null distances; passing
     ``dim=`` (already-verified, e.g. by :func:`hamming_ingest_dedup`)
@@ -2860,29 +2972,34 @@ def hamming_append_to_saved(
     skips the per-epoch meta re-read on the hot streaming path."""
     import os
 
-    if batch_id is not None:
-        _require_local_root(path, "hamming_append_to_saved(batch_id=...)")
-        if int(batch_id) <= _read_batch_wm(path):
-            return  # replayed batch — already committed, no-op
-    spark = new_embeddings.sparkSession
-    if sidecar is not None:
-        sdim, word_bits = sidecar.dim, sidecar.word_bits
-    else:
-        row = spark.read.json(os.path.join(path, "meta")).collect()[0]
-        sdim, word_bits = int(row["dim"]), int(row["word_bits"])
-    bdim = dim if dim is not None else len(
-        new_embeddings.select(vec_col).first()[0]
-    )
-    if bdim != sdim:
-        raise ValueError(
-            f"hamming_append_to_saved: batch dim {bdim} != sidecar dim "
-            f"{sdim} — appending would poison queries with null distances"
+    from ..spark.io_util import maintenance_lock
+
+    with maintenance_lock(
+        path, exclusive=False, who="hamming_append_to_saved"
+    ):
+        if batch_id is not None:
+            _require_local_root(path, "hamming_append_to_saved(batch_id=...)")
+            if int(batch_id) <= _read_batch_wm(path):
+                return  # replayed batch — already committed, no-op
+        spark = new_embeddings.sparkSession
+        if sidecar is not None:
+            sdim, word_bits = sidecar.dim, sidecar.word_bits
+        else:
+            row = spark.read.json(os.path.join(path, "meta")).collect()[0]
+            sdim, word_bits = int(row["dim"]), int(row["word_bits"])
+        bdim = dim if dim is not None else len(
+            new_embeddings.select(vec_col).first()[0]
         )
-    binary_quantize(
-        new_embeddings, word_bits, id_col, vec_col, dim=sdim
-    ).write.mode("append").parquet(os.path.join(path, "words"))
-    if batch_id is not None:
-        _commit_batch_wm(path, batch_id)
+        if bdim != sdim:
+            raise ValueError(
+                f"hamming_append_to_saved: batch dim {bdim} != sidecar dim "
+                f"{sdim} — appending would poison queries with null distances"
+            )
+        binary_quantize(
+            new_embeddings, word_bits, id_col, vec_col, dim=sdim
+        ).write.mode("append").parquet(os.path.join(path, "words"))
+        if batch_id is not None:
+            _commit_batch_wm(path, batch_id)
 
 
 def hamming_topk(

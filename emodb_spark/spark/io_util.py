@@ -2,10 +2,67 @@
 
 from __future__ import annotations
 
+import contextlib
 import shutil
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
+
+MAINT_LOCK_FILE = "_MAINT.lock"  # writer-coordination flock sidecar
+
+
+@contextlib.contextmanager
+def maintenance_lock(
+    path: str, *, exclusive: bool, who: str, wait: Optional[bool] = None
+):
+    """Writer coordination for an append-accumulated artifact directory
+    (the publish-pointer flock idiom, ivfpq_publish, applied to the
+    append/compact race): APPENDERS hold the lock SHARED for the span
+    of their read-watermark → write → commit-watermark body, COMPACTORS
+    (and base re-saves) hold it EXCLUSIVE for their read → rewrite.
+    Without it, an append landing between a compaction's read and its
+    rewrite is deleted by the rewrite — and because the append's
+    ``_BATCH_WM`` was already committed, the stream's replay no-ops:
+    rows gone for good. With it that interleaving is a mechanical
+    impossibility: concurrent appenders share; an appender arriving
+    mid-compaction blocks until the rewrite finishes (``wait`` defaults
+    True for shared acquisition — an append is never lost, it just
+    lands on the compacted table); a compactor arriving mid-append
+    RAISES by default (``wait`` defaults False for exclusive
+    acquisition — "quiesce appenders first" becomes an error instead
+    of silent row loss; pass ``wait=True`` to block until they drain).
+
+    flock scopes to the open file description, so two handles in one
+    process conflict exactly like two processes — unit-testable without
+    forking. URI-scheme paths skip locking entirely (no local FS to
+    flock; an object-store deployment coordinates writers externally,
+    the same carve-out as the ``_BATCH_WM`` watermark)."""
+    import fcntl
+    import os
+
+    if "://" in path:
+        yield
+        return
+    if wait is None:
+        wait = not exclusive
+    os.makedirs(path, exist_ok=True)
+    flags = fcntl.LOCK_EX if exclusive else fcntl.LOCK_SH
+    with open(os.path.join(path, MAINT_LOCK_FILE), "w") as lock:
+        if wait:
+            fcntl.flock(lock, flags)
+        else:
+            try:
+                fcntl.flock(lock, flags | fcntl.LOCK_NB)
+            except BlockingIOError:
+                raise RuntimeError(
+                    f"{who}: another maintenance writer holds "
+                    f"{os.path.join(path, MAINT_LOCK_FILE)} — an append "
+                    "racing a compaction/rebuild would be deleted by the "
+                    "rewrite while its committed watermark blocks the "
+                    "replay (permanent row loss). Quiesce appenders "
+                    "first, or pass wait=True to block until they drain."
+                ) from None
+        yield
 
 
 def overwrite_dir(
@@ -15,12 +72,22 @@ def overwrite_dir(
     schema=None,
     partition_by: Optional[str] = None,
 ) -> None:
-    """Transactionally replace a parquet dir with ``df``'s rows: write to
-    a tmp sibling (breaking lineage on the source files so the overwrite
-    doesn't read what it's deleting), rewrite the target, remove the tmp.
-    The single implementation of the idiom — keep crash-safety fixes here,
-    not in per-module copies. (Delta/Iceberg replace this wholesale on a
-    cluster.)"""
+    """Replace a parquet dir with ``df``'s rows: write to a tmp sibling
+    (breaking lineage on the source files so the overwrite doesn't read
+    what it's deleting), rewrite the target, remove the tmp. The single
+    implementation of the idiom — keep crash-safety fixes here, not in
+    per-module copies.
+
+    Crash semantics — RECOVERABLE, not atomic: the final step is a
+    plain Spark overwrite of the live directory, so a crash mid-rewrite
+    leaves it partially deleted with the only complete copy stranded in
+    ``<path>._tmp`` (recover by copying the tmp over the target), and a
+    concurrent READER can observe a partially rewritten dir — quiesce
+    readers for in-place rewrites of unpublished roots, or prefer the
+    versioned-dir + pointer-flip publish (ivfpq_publish) where readers
+    need isolation. Writer-vs-writer races are the caller's lock
+    (:func:`maintenance_lock`). (Delta/Iceberg replace this wholesale
+    on a cluster.)"""
     tmp = path + "._tmp"
     w = df.write.mode("overwrite")
     if partition_by:

@@ -4173,6 +4173,206 @@ def test_compact_saved_shrinks_files_and_preserves_answers(spark, tmp_path):
     assert after == before
 
 
+def test_maintenance_lock_enforces_append_compact_exclusion(spark, tmp_path):
+    """The append/compact race is a mechanical error now, not an ops
+    convention: with an appender's SHARED lock held, every compactor
+    (and base re-save) raises instead of silently deleting the
+    in-flight append's rows; with a compactor's EXCLUSIVE lock held,
+    a non-waiting shared acquisition raises too (the appenders' real
+    path blocks — wait=True — so an append is delayed, never lost).
+    flock scopes to the open file description, so two handles in one
+    process conflict exactly like two processes would."""
+    import random
+
+    from emodb_spark.pipeline.dedup import (
+        minhash_compact_buckets,
+        minhash_save_buckets,
+    )
+    from emodb_spark.pipeline.similarity import (
+        hamming_compact_saved,
+        hamming_save,
+        ivfpq_compact_saved,
+        ivfpq_index,
+        ivfpq_save,
+    )
+    from emodb_spark.spark.io_util import maintenance_lock
+
+    rng = random.Random(211)
+    df = spark.createDataFrame(
+        [(i, [rng.uniform(-0.5, 0.5) for _ in range(8)]) for i in range(16)],
+        "vec_id long, embedding array<float>",
+    )
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i} epsilon zeta") for i in range(12)],
+        "doc_id long, text string",
+    )
+    ipath, hpath, mpath = (str(tmp_path / d) for d in ("i", "h", "m"))
+    ivfpq_save(ivfpq_index(df, n_cells=2, m=2, sub_k=4, iters=2), ipath)
+    hamming_save(df, hpath, word_bits=4)
+    minhash_save_buckets(docs, mpath, num_hashes=8, bands=4, shingle_k=3)
+
+    for path, compact in (
+        (ipath, lambda: ivfpq_compact_saved(spark, ipath)),
+        (hpath, lambda: hamming_compact_saved(spark, hpath)),
+        (mpath, lambda: minhash_compact_buckets(spark, mpath)),
+    ):
+        with maintenance_lock(path, exclusive=False, who="test-appender"):
+            with pytest.raises(RuntimeError, match="maintenance writer"):
+                compact()
+        compact()  # appender gone: the same call succeeds
+
+    # compactor side held: a save (exclusive) and a non-waiting shared
+    # acquisition both raise; the appenders' wait=True path would block
+    with maintenance_lock(hpath, exclusive=True, who="test-compactor"):
+        with pytest.raises(RuntimeError, match="maintenance writer"):
+            hamming_save(df, hpath, word_bits=4)
+        with pytest.raises(RuntimeError, match="maintenance writer"):
+            with maintenance_lock(hpath, exclusive=False,
+                                  who="test-appender", wait=False):
+                pass
+
+    # concurrent appenders SHARE — no false serialization
+    with maintenance_lock(hpath, exclusive=False, who="a1"):
+        with maintenance_lock(hpath, exclusive=False, who="a2", wait=False):
+            pass
+
+    # URI-scheme roots skip locking (object stores coordinate externally)
+    with maintenance_lock("s3://bucket/idx", exclusive=True, who="t"):
+        pass
+
+
+def test_compactors_dedupe_crash_window_replays(spark, tmp_path):
+    """The at-least-once crash window (batch appended, watermark not
+    committed) replays a batch as EXACT row copies; duplicated enc
+    rows double-count per-subspace terms in the grouped ADC sum —
+    corrupted distances, not just duplicate output rows. Compaction
+    full-row-dedupes all three artifacts (enc + recon, words, band
+    buckets), so recovery is mechanical: compact, then resume."""
+    import random
+
+    from emodb_spark.pipeline.dedup import (
+        incremental_near_dups,
+        minhash_append_buckets,
+        minhash_compact_buckets,
+        minhash_load_buckets,
+        minhash_save_buckets,
+    )
+    from emodb_spark.pipeline.similarity import (
+        hamming_append_to_saved,
+        hamming_compact_saved,
+        hamming_load,
+        hamming_topk,
+        ivfpq_append_to_saved,
+        ivfpq_compact_saved,
+        ivfpq_index,
+        ivfpq_load,
+        ivfpq_load_recon,
+        ivfpq_query,
+        ivfpq_save,
+    )
+
+    rng = random.Random(223)
+    base = [[rng.uniform(-0.5, 0.5) for _ in range(8)] for _ in range(24)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)],
+        "vec_id long, embedding array<float>",
+    )
+    old, batch = df.filter(F.col("vec_id") < 16), df.filter(F.col("vec_id") >= 16)
+    qrows = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in old.limit(3).collect()
+    ]
+
+    # --- ivfpq: enc + recon both deduped, ADC sums healed -------------
+    ipath = str(tmp_path / "idx")
+    idx = ivfpq_index(old, n_cells=2, m=2, sub_k=4, iters=2)
+    ivfpq_save(idx, ipath, with_recon=True)
+    ivfpq_append_to_saved(batch, ipath)
+    li = ivfpq_load(spark, ipath)
+    ref = sorted(map(tuple, ivfpq_query(
+        li.enc, li.cents, li.books, qrows, n_probe=2, k=5).collect()))
+    n_enc = li.enc.count()
+    n_recon = ivfpq_load_recon(spark, ipath).count()
+    ivfpq_append_to_saved(batch, ipath)  # the crash-window replay
+    assert ivfpq_load(spark, ipath).enc.count() == n_enc + batch.count() * 2
+    ivfpq_compact_saved(spark, ipath)
+    la = ivfpq_load(spark, ipath)
+    assert la.enc.count() == n_enc
+    assert ivfpq_load_recon(spark, ipath).count() == n_recon
+    assert sorted(map(tuple, ivfpq_query(
+        la.enc, la.cents, la.books, qrows, n_probe=2, k=5).collect())) == ref
+
+    # --- hamming: words deduped --------------------------------------
+    from emodb_spark.pipeline.similarity import hamming_save
+
+    hpath = str(tmp_path / "ham")
+    hamming_save(old, hpath, word_bits=4)
+    hamming_append_to_saved(batch, hpath)
+    ref_h = sorted(map(tuple, hamming_topk(
+        None, n_queries=3, k=5, index=hamming_load(spark, hpath)).collect()))
+    n_words = hamming_load(spark, hpath).words.count()
+    hamming_append_to_saved(batch, hpath)  # replay
+    assert hamming_load(spark, hpath).words.count() == n_words + batch.count()
+    hamming_compact_saved(spark, hpath)
+    assert hamming_load(spark, hpath).words.count() == n_words
+    assert sorted(map(tuple, hamming_topk(
+        None, n_queries=3, k=5,
+        index=hamming_load(spark, hpath)).collect())) == ref_h
+
+    # --- minhash: band buckets deduped -------------------------------
+    docs = spark.createDataFrame(
+        [(i, f"one two three four five {i % 4} six seven eight")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    probe = docs.filter(F.col("doc_id") % 5 == 0)
+    mpath = str(tmp_path / "mh")
+    minhash_save_buckets(corpus.filter(F.col("doc_id") < 10), mpath,
+                         num_hashes=8, bands=4, shingle_k=3)
+    late = corpus.filter(F.col("doc_id") >= 10)
+    minhash_append_buckets(late, mpath)
+    ref_m = sorted(map(tuple, incremental_near_dups(
+        corpus, probe, threshold=0.5,
+        corpus_buckets=minhash_load_buckets(spark, mpath)).collect()))
+    n_b = minhash_load_buckets(spark, mpath).buckets.count()
+    minhash_append_buckets(late, mpath)  # replay
+    assert minhash_load_buckets(spark, mpath).buckets.count() > n_b
+    minhash_compact_buckets(spark, mpath)
+    assert minhash_load_buckets(spark, mpath).buckets.count() == n_b
+    assert sorted(map(tuple, incremental_near_dups(
+        corpus, probe, threshold=0.5,
+        corpus_buckets=minhash_load_buckets(spark, mpath)).collect())) == ref_m
+
+
+def test_ivfpq_save_recon_lifecycle(spark, tmp_path):
+    """ivfpq_save at an existing path: with_recon=False DELETES a
+    previously written recon sidecar (its rows decode the OLD
+    codebooks — left in place, the cascade and the recon appender
+    would silently price against the superseded index), and
+    with_recon=True rejects URI-scheme paths up front (the appender's
+    recon-freshness probe is os-level and silently False for URIs,
+    which would strand the persisted recon stale)."""
+    import os
+    import random
+
+    from emodb_spark.pipeline.similarity import ivfpq_index, ivfpq_save
+
+    rng = random.Random(229)
+    df = spark.createDataFrame(
+        [(i, [rng.uniform(-0.5, 0.5) for _ in range(8)]) for i in range(16)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = ivfpq_index(df, n_cells=2, m=2, sub_k=4, iters=2)
+    path = str(tmp_path / "ridx")
+    ivfpq_save(idx, path, with_recon=True)
+    assert os.path.exists(os.path.join(path, "recon"))
+    ivfpq_save(idx, path, with_recon=False)  # rebuild without recon
+    assert not os.path.exists(os.path.join(path, "recon"))
+    with pytest.raises(ValueError, match="URI scheme"):
+        ivfpq_save(idx, "hdfs://nn/idx", with_recon=True)
+
+
 def test_hamming_ingest_dedup_sequential_semantics(spark, tmp_path):
     """hamming_ingest_dedup: batch rows near the stored corpus are
     rejected, intra-batch survivors keep one cluster representative,
