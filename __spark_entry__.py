@@ -7853,6 +7853,95 @@ def q_minhash_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ORACLE_MINHASH_INGEST = f"""
+WITH RECURSIVE {_SQL_SHINGLES}, sz AS (
+  SELECT doc_id, len(shl) AS n FROM sh
+), xinter AS (
+  SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id, COUNT(*) AS i
+  FROM shr b JOIN shr c ON b.s = c.s
+  WHERE b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+  GROUP BY 1, 2
+), rejected AS (
+  SELECT DISTINCT batch_id FROM xinter
+  JOIN sz nb ON nb.doc_id = batch_id
+  JOIN sz nc ON nc.doc_id = corpus_id
+  WHERE CAST(i AS DOUBLE) / (nb.n + nc.n - i) >= 0.7
+), clean AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id % 5 = 0
+    AND doc_id NOT IN (SELECT batch_id FROM rejected)
+), cinter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id
+  WHERE a.doc_id IN (SELECT doc_id FROM clean)
+    AND b.doc_id IN (SELECT doc_id FROM clean)
+  GROUP BY 1, 2
+), cpairs AS (
+  SELECT id_a, id_b FROM cinter
+  JOIN sz na ON na.doc_id = id_a
+  JOIN sz nb ON nb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.7
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cpairs
+  UNION ALL
+  SELECT id_b, id_a FROM cpairs
+), reach(id, lab) AS (
+  SELECT doc_id, doc_id FROM clean
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id FROM (
+  SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id
+) WHERE id = cluster_id
+"""
+
+
+def q_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP-ON-INGEST at the MinHash tier (emodb_spark.pipeline.dedup.
+    minhash_ingest_dedup — the foreachBatch body composing the bucket-
+    artifact family, the hamming_ingest shape for documents): the band
+    buckets are SAVED on the corpus slice (doc_id % 5 != 0), then the
+    batch slice ingests ONCE per session — docs whose exact Jaccard
+    against the stored corpus reaches 0.7 rejected (artifact probed in
+    place, text re-read only for the O(candidates) verify), survivors
+    clustered intra-batch and only each cluster's smallest-id
+    representative accepted, accepted buckets appended under the
+    _BATCH_WM epoch watermark. Returns the accepted ids. Recall is the
+    24x2 S-curve (per-pair miss ~1e-7 at j=0.7 — the same regime every
+    minhash gate certifies), so the oracle is the brute-force one-shot
+    replay: NOT-IN cross-Jaccard reject + recursive-CTE components
+    over the clean pairs, and must match exactly."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from emodb_spark.pipeline.dedup import (
+        minhash_ingest_dedup,
+        minhash_save_buckets,
+    )
+
+    def build(p):
+        work = tempfile.mkdtemp(prefix="minhash_ingest_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        docs = _read(spark, sf_dir, "documents")
+        corpus = docs.filter(F.col("doc_id") % 5 != 0)
+        minhash_save_buckets(
+            corpus, work, num_hashes=p["num_hashes"], bands=p["bands"],
+            shingle_k=p["shingle_k"],
+        )
+        accepted = minhash_ingest_dedup(
+            docs.filter(F.col("doc_id") % 5 == 0), corpus, work,
+            threshold=p["threshold"], batch_id=0,
+        )
+        return (accepted,)
+
+    return _gate_index(
+        "minhash_ingest",
+        dict(num_hashes=48, bands=24, shingle_k=3, threshold=0.7),
+        spark, sf_dir, build,
+    )[0]
+
+
 def _oracle_hamming_ingest(threshold: int, batch_mod: int = 5,
                            word_bits: int = 8, dim: int = 64) -> str:
     """One-shot replay of dedup-on-ingest: accepted = batch rows with
@@ -8831,6 +8920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_clusters": q_hamming_clusters,
         "hamming_incremental": q_hamming_incremental,
         "hamming_ingest": q_hamming_ingest,
+        "minhash_ingest": q_minhash_ingest,
         "minhash_persist": q_minhash_persist,
         "cascade_topk": q_cascade_topk,
         "cascade_recall": q_cascade_recall,
@@ -8998,43 +9088,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
     }
     # The driver records CORRECTNESS from the FIRST 50 entries, so the
-    # window below leads the dict. Round-12 window: the EIGHT r12-new
-    # gates lead (hamming_persist — the packed-words sidecar
-    # save/load roundtrip, closing the binary tier's persistence gap;
-    # hamming_stream_append — micro-batched maintenance of that
-    # sidecar with the _BATCH_WM idempotence watermark;
-    # hamming_clusters — guaranteed-recall pairs -> min-label
-    # connected components, the dedup family's clustering tail at the
-    # binary tier; hamming_incremental — batch-vs-corpus ingestion
-    # dedup probing the corpus bands in place, the incremental_dedup
-    # shape at the binary tier; hamming_ingest — dedup-on-ingest, the
-    # foreachBatch body composing cross-probe rejection, intra-batch
-    # cluster-representative selection and the watermarked append;
-    # minhash_persist — the corpus band-bucket artifact persisted,
-    # epoch-appended and probed through its own meta, the
-    # incremental_near_dups deployment shape made API;
-    # cascade_topk / cascade_recall — the tiered Hamming-prefilter ->
-    # ADC-shortlist -> exact-re-rank funnel and its recall eval), then
-    # the SIX gates whose kernels round 12 touched (the hamming family
-    # gained index= plumbing and the query-dim guard ->
-    # hamming_topk/hamming_near_dups/hamming_knn_join/
-    # hamming_knn_recall; ivfpq_publish gained the local-root check +
-    # atomic exclusive-mkdir version claim -> ivfpq_retrain_swap;
-    # ivfpq_append_to_saved gained the _BATCH_WM idempotence watermark
-    # -> ivfpq_stream_append; every other ivfpq/pq kernel is UNTOUCHED
-    # this round, no re-witness), then the final SIXTEEN r7-era driver
-    # rows (min_cost_supplier..vocab_topk — rotation debt to ZERO:
-    # after this window no driver row is older than r8), then the
-    # oldest-alphabetical 20 of the 43 r8-era rows
-    # (asof_last_view..events_pivot). The remaining TWENTY-THREE
-    # r8-era rows defer to r13: events_rollup, forecast_revenue,
-    # fp_overlap_pairs, iban_scan, ivm_view, large_volume_customers,
-    # minhash_near_dups, promo_share, quality_classifier,
-    # rank_normalize, resolve_compacted, returned_customers,
-    # sales_opportunity, salted_hot_join, session_cooccurrence,
-    # small_qty_revenue, substring_dedup, top_supplier,
-    # training_shards, unigram_surprisal, user_scd2, vocab_coverage,
-    # zorder_layout
+    # window below leads the dict. Round-13 window: the ONE r13-new
+    # gate leads (minhash_ingest — dedup-on-ingest at the MinHash
+    # tier, the foreachBatch body composing artifact-probe rejection,
+    # intra-batch cluster-representative selection and the watermarked
+    # bucket append, mirroring hamming_ingest), then the NINE gates
+    # whose kernels round 13 touched (the whole persistence family
+    # gained the maintenance flock — appenders shared, compactors and
+    # base re-saves exclusive — plus compaction-time full-row dedupe
+    # of crash-window replays; ivfpq_save additionally deletes a stale
+    # recon sidecar on with_recon=False rebuilds, rejects URI paths
+    # for with_recon=True, and ivfpq_append_to_saved writes recon rows
+    # BEFORE enc rows -> ivfpq_persist, ivfpq_retrain_swap,
+    # ivfpq_stream_append, cascade_topk, cascade_recall,
+    # hamming_persist, hamming_stream_append, hamming_ingest,
+    # minhash_persist; the non-persisted kernels are UNTOUCHED this
+    # round, no re-witness), then the final TWENTY-THREE r8-era driver
+    # rows (events_rollup..zorder_layout — rotation debt to ZERO
+    # again: after this window no driver row is older than r9), then
+    # the oldest-alphabetical 17 of the 38 r9-era rows
+    # (ann_ivf_topk..hash_split). The remaining TWENTY-ONE r9-era rows
+    # defer to r14: market_share, mixture_weights, ngram_novelty,
+    # product_profit, quality_retention, resolve_fold,
+    # sample_per_source, scd2_lookup, secret_scan, session_documents,
+    # shipmode_priority, skipgram_pmi, stash_diff, strip_markup,
+    # tfidf_topk, three_state_scan, train_classifier, value_deciles,
+    # waiting_suppliers, weighted_sample, word_rank_score
     # — each judge-green via tools/oracle_check.py every round; see
     # COVERAGE.md.
     # Rows-only queries (compression_ratio, bpe_merges) are EXCLUDED by
@@ -9044,29 +9123,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Everything else keeps its registry order behind the window and is
     # re-verified by tools/oracle_check.py instead.
     window = [
-        # r12-new gates
-        "hamming_persist", "hamming_stream_append", "hamming_clusters",
-        "hamming_incremental", "hamming_ingest", "minhash_persist",
-        "cascade_topk", "cascade_recall",
-        # kernels changed in round 12 (hamming index= plumbing +
-        # query-dim guard; publish local-root check + atomic version
-        # claim; append _BATCH_WM watermark)
-        "hamming_topk", "hamming_near_dups", "hamming_knn_join",
-        "hamming_knn_recall", "ivfpq_retrain_swap", "ivfpq_stream_append",
-        # the final 16 r7-era rows — rotation debt to zero
-        "min_cost_supplier", "nation_trade", "negative_samples",
-        "order_priority", "paragraph_dedup", "phrase_search",
-        "pipeline_funnel", "queue_dedup", "queue_kafka",
-        "simhash_near_dups", "source_cap", "star_clusters",
-        "text_stats", "timeline_events", "top_orders", "vocab_topk",
-        # r8-era rows, oldest 20 alphabetical
-        "asof_last_view", "boilerplate_removal", "bpe_encode",
-        "bracketed_revenue", "bucketed_join", "cohort_retention",
-        "collocations", "containment_join", "dataset_report",
-        "decayed_score", "doc_chunks", "doc_packing", "dsir_selection",
-        "event_error_burst", "event_funnel", "event_histogram",
-        "event_percentiles", "event_profile", "events_grouping_sets",
-        "events_pivot",
+        # r13-new gate
+        "minhash_ingest",
+        # kernels changed in round 13 (maintenance flock on the
+        # append/compact/re-save paths; compaction-time dedupe of
+        # crash-window replays; recon lifecycle fixes + recon-first
+        # append ordering)
+        "ivfpq_persist", "ivfpq_retrain_swap", "ivfpq_stream_append",
+        "cascade_topk", "cascade_recall", "hamming_persist",
+        "hamming_stream_append", "hamming_ingest", "minhash_persist",
+        # the final 23 r8-era rows — rotation debt to zero again
+        "events_rollup", "forecast_revenue", "fp_overlap_pairs",
+        "iban_scan", "ivm_view", "large_volume_customers",
+        "minhash_near_dups", "promo_share", "quality_classifier",
+        "rank_normalize", "resolve_compacted", "returned_customers",
+        "sales_opportunity", "salted_hot_join", "session_cooccurrence",
+        "small_qty_revenue", "substring_dedup", "top_supplier",
+        "training_shards", "unigram_surprisal", "user_scd2",
+        "vocab_coverage", "zorder_layout",
+        # r9-era rows, oldest 17 alphabetical
+        "ann_ivf_topk", "blob_ranged_read", "blob_store_roundtrip",
+        "contamination", "corpus_sample", "dedup_clusters",
+        "dedup_exact", "dedup_keep_best", "doc_fingerprints",
+        "doc_pagerank", "embedding_near_dups", "event_consolidation",
+        "event_sessions", "events_windowed", "frame_sample",
+        "gopher_quality", "hash_split",
     ]
     # window integrity (size 50, no dupes, all registered, no rows-only
     # queries) is enforced by tests/test_entry_contract.py — NOT asserted
@@ -9110,6 +9191,7 @@ def oracle_sql() -> dict[str, str]:
         "hamming_clusters": ORACLE_HAMMING_CLUSTERS,
         "hamming_incremental": ORACLE_HAMMING_INCREMENTAL,
         "hamming_ingest": ORACLE_HAMMING_INGEST,
+        "minhash_ingest": ORACLE_MINHASH_INGEST,
         "minhash_persist": ORACLE_INCREMENTAL_DEDUP,
         "cascade_topk": ORACLE_CASCADE_TOPK,
         "cascade_recall": ORACLE_CASCADE_RECALL,

@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "hamming_clusters",      # guaranteed-recall pairs -> min-label CC
     "hamming_incremental",   # batch-vs-corpus ingestion dedup (binary tier)
     "hamming_ingest",        # dedup-on-ingest foreachBatch composition
+    "minhash_ingest",        # dedup-on-ingest composition, MinHash tier
     "minhash_persist",       # band-bucket artifact save/append/probe
     "cascade_topk",          # Hamming -> ADC -> exact tiered funnel
     "cascade_recall",        # cascade recall@10 vs exact quantized-L2

@@ -637,6 +637,116 @@ def incremental_near_dups(
     )
 
 
+def minhash_ingest_dedup(
+    batch_df: DataFrame,
+    corpus_df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    max_bucket_size: Optional[int] = None,
+    batch_id: Optional[int] = None,
+    validate_coverage: bool = False,
+) -> DataFrame:
+    """DEDUP-ON-INGEST at the MinHash tier — the ``foreachBatch`` body
+    that composes the whole bucket-artifact family into the op a
+    continuous text-ingestion pipeline actually runs (the
+    :func:`emodb_spark.pipeline.similarity.hamming_ingest_dedup` shape
+    applied to documents)::
+
+        arrivals.writeStream.foreachBatch(
+            lambda b, bid: sink(minhash_ingest_dedup(
+                b, corpus_store, path, batch_id=bid)))
+
+    Three steps, all at the persisted artifact's own banding: (1)
+    batch docs whose exact Jaccard against the STORED corpus reaches
+    ``threshold`` are rejected (:func:`incremental_near_dups` probing
+    the band-bucket artifact in place — the corpus text is re-read
+    only for the O(candidates) verify rows; ``corpus_df`` is the
+    corpus STORE that join needs, and ``validate_coverage=True``
+    raises if the artifact has ids the store lacks instead of silently
+    ADMITTING their duplicates); (2) the survivors are clustered
+    intra-batch (banded candidates + exact-Jaccard verify + min-label
+    components — the :func:`near_dup_clusters` composition) and only
+    each cluster's smallest-id representative survives: the
+    deterministic, parallel "keep one copy" rule — a greedy sequential
+    scan would accept chain members a cluster rejects, and
+    cluster-representative replays in SQL; (3) the accepted docs'
+    band buckets APPEND to the artifact
+    (:func:`minhash_append_buckets`), so the next batch deduplicates
+    against them too. Returns the accepted ids (one ``id_col``
+    column), eagerly materialized BEFORE the append — the returned
+    frame must not recompute against the artifact it just mutated.
+    Persisting the accepted docs' TEXT into the corpus store feeding
+    ``corpus_df`` is the caller's sink's job (do it in the same
+    foreachBatch body, after this returns — the coverage invariant
+    points the right way: the artifact may briefly trail the store,
+    never lead it past a crash, because a replayed epoch no-ops the
+    append while the store's sink replays its own write).
+
+    ``batch_id`` rides the artifact's ``_BATCH_WM`` watermark: a
+    replayed epoch neither re-appends nor re-accepts (returns an empty
+    frame — the batch was already ingested; exactly-once delivery of
+    the accepted set is the caller's sink's job, as for every
+    foreachBatch body in this repo). Same single-stream contract as
+    the appender it wraps. Empty epochs commit the watermark and
+    return the empty frame. Unlike the binary tier there is no
+    pigeonhole guarantee — recall is the banding's S-curve (pick the
+    artifact's banding with :func:`minhash_band_plan`'s recall-first
+    mode); at 24x2 over K=48 the per-pair miss probability at j=0.7
+    is ~1e-7, which is why the gate's oracle can be the brute-force
+    replay."""
+    from .similarity import _read_batch_wm, _require_local_root
+
+    spark = batch_df.sparkSession
+    empty_ids = batch_df.select(id_col).limit(0)  # schema follows the batch
+    if batch_id is not None:
+        _require_local_root(path, "minhash_ingest_dedup(batch_id=...)")
+        if int(batch_id) <= _read_batch_wm(path):
+            return empty_ids
+    artifact = minhash_load_buckets(spark, path)
+    if batch_df.isEmpty():  # foreachBatch delivers empty epochs — commit
+        minhash_append_buckets(
+            batch_df, path, text_col=text_col, id_col=id_col,
+            batch_id=batch_id, artifact=artifact,
+        )
+        return empty_ids
+    cross = incremental_near_dups(
+        corpus_df, batch_df, text_col=text_col, id_col=id_col,
+        threshold=threshold, max_bucket_size=max_bucket_size,
+        corpus_buckets=artifact, validate_coverage=validate_coverage,
+    )
+    clean = batch_df.join(
+        cross.select(F.col("batch_id").alias(id_col)).distinct(),
+        id_col, "left_anti",
+    ).localCheckpoint(eager=True)
+    # ^ eager: `clean`'s lineage embeds the whole artifact probe + text
+    # verify, and the intra clustering below would re-evaluate it per
+    # fixpoint round (the hamming_ingest_dedup measurement: 2x+ of the
+    # op's wall); the frame is micro-batch-sized by contract.
+    sh = shingle_sets(clean, text_col, id_col, artifact.shingle_k)
+    cands = minhash_lsh_candidates(
+        clean, text_col, id_col, num_hashes=artifact.num_hashes,
+        bands=artifact.bands, shingle_k=artifact.shingle_k,
+        max_bucket_size=max_bucket_size, sh=sh,
+        jaccard_threshold=threshold,
+    )
+    pairs = ngram_jaccard(
+        clean, pairs=cands, text_col=text_col, id_col=id_col,
+        shingle_k=artifact.shingle_k, threshold=threshold, sh=sh,
+    ).select("id_a", "id_b")
+    clusters = near_dup_clusters(clean, pairs, id_col=id_col)
+    accepted_ids = clusters.filter(
+        F.col(id_col) == F.col("cluster_id")
+    ).select(id_col).localCheckpoint(eager=True)
+    accepted = batch_df.join(accepted_ids, id_col, "left_semi")
+    minhash_append_buckets(
+        accepted, path, text_col=text_col, id_col=id_col,
+        batch_id=batch_id, artifact=artifact,
+    )
+    return accepted_ids
+
+
 _BIT_MASKS = [1 << i for i in range(63)] + [-(1 << 63)]
 
 

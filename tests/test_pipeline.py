@@ -4450,6 +4450,113 @@ def test_hamming_ingest_dedup_sequential_semantics(spark, tmp_path):
         empty, path, threshold=thr, band_radius=1, batch_id=2).count() == 0
 
 
+def test_minhash_ingest_dedup_sequential_semantics(spark, tmp_path):
+    """minhash_ingest_dedup: batch docs near the stored corpus are
+    rejected (artifact probed in place, exact-Jaccard verify),
+    intra-batch survivors keep one cluster representative, acceptances
+    append to the bucket artifact so the NEXT batch dedups against
+    them, replayed epochs no-op, empty epochs commit, and the
+    coverage guard raises when the artifact leads the corpus store.
+    Reference = a sequential Python replay of the same exact-Jaccard
+    semantics (24x2 banding's per-pair miss probability ~1e-7 makes
+    the exact replay the expected answer, same as the gate oracles)."""
+    import random
+    import re
+
+    from emodb_spark.pipeline.dedup import (
+        minhash_ingest_dedup,
+        minhash_load_buckets,
+        minhash_save_buckets,
+    )
+
+    rng = random.Random(157)
+    vocab = [f"w{i:03d}" for i in range(400)]
+
+    def make_doc():
+        return [rng.choice(vocab) for _ in range(30)]
+
+    words = {i: make_doc() for i in range(10)}            # stored corpus
+    words[10] = words[1][:-2] + ["zza", "zzb"]            # b1: dups corpus 1
+    words[11] = make_doc()
+    words[12] = words[11][:-2] + ["zzc", "zzd"]           # b1 intra: keep 11
+    words[13], words[14], words[15] = make_doc(), make_doc(), make_doc()
+    words[16] = words[11][:-2] + ["zze", "zzf"]           # b2: dups ACCEPTED 11
+    words[17], words[18] = make_doc(), make_doc()
+    texts = {i: " ".join(ws) for i, ws in words.items()}
+
+    def sh_py(i, k=3):
+        tk = re.sub(r"[^a-z0-9]+", " ", texts[i].lower()).strip().split(" ")
+        if len(tk) >= k:
+            return {" ".join(tk[j:j + k]) for j in range(len(tk) - k + 1)}
+        return {" ".join(tk)}
+
+    def jac(a, b):
+        sa, sb = sh_py(a), sh_py(b)
+        return len(sa & sb) / len(sa | sb)
+
+    def ref_ingest(stored, batch):
+        clean = [b for b in batch
+                 if all(jac(b, s) < 0.7 for s in stored)]
+        lab = {i: i for i in clean}
+        changed = True
+        while changed:
+            changed = False
+            for a in clean:
+                for b in clean:
+                    if jac(a, b) >= 0.7 and lab[b] < lab[a]:
+                        lab[a] = lab[b]
+                        changed = True
+        return sorted(i for i in clean if lab[i] == i)
+
+    def mkdf(ids):
+        return spark.createDataFrame(
+            [(i, texts[i]) for i in ids], "doc_id long, text string"
+        )
+
+    path = str(tmp_path / "mh_ingest")
+    stored = list(range(10))
+    minhash_save_buckets(mkdf(stored), path, num_hashes=48, bands=24,
+                         shingle_k=3)
+
+    b1_ids = [10, 11, 12, 13, 14, 15]
+    want1 = ref_ingest(stored, b1_ids)
+    got1 = sorted(r["doc_id"] for r in minhash_ingest_dedup(
+        mkdf(b1_ids), mkdf(stored), path, batch_id=0).collect())
+    assert got1 == want1
+    assert 10 not in got1 and 12 not in got1 and 11 in got1
+
+    n_after1 = minhash_load_buckets(spark, path).buckets.count()
+    assert n_after1 == (len(stored) + len(got1)) * 24  # one row per band
+
+    # replayed epoch: empty return, artifact unchanged
+    assert minhash_ingest_dedup(
+        mkdf(b1_ids), mkdf(stored), path, batch_id=0).count() == 0
+    assert minhash_load_buckets(spark, path).buckets.count() == n_after1
+
+    # second batch dedups against corpus AND batch-1 acceptances
+    stored2 = stored + got1
+    b2_ids = [16, 17, 18]
+    want2 = ref_ingest(stored2, b2_ids)
+    got2 = sorted(r["doc_id"] for r in minhash_ingest_dedup(
+        mkdf(b2_ids), mkdf(stored2), path, batch_id=1).collect())
+    assert got2 == want2 and 16 not in got2  # dup of ACCEPTED 11
+
+    # coverage guard: a corpus store MISSING an accepted id that the
+    # probe candidates hit must raise, not silently admit the duplicate
+    with pytest.raises(ValueError, match="diverged"):
+        minhash_ingest_dedup(
+            mkdf([16]), mkdf(stored), path, batch_id=5,
+            validate_coverage=True,
+        )
+
+    # empty epoch commits cleanly, and its replay stays a no-op
+    empty = mkdf(b2_ids).limit(0)
+    assert minhash_ingest_dedup(
+        empty, mkdf(stored2 + got2), path, batch_id=2).count() == 0
+    assert minhash_ingest_dedup(
+        empty, mkdf(stored2 + got2), path, batch_id=2).count() == 0
+
+
 def test_ivfpq_append_refreshes_recon_sidecar(spark, tmp_path):
     """With a recon sidecar present, ivfpq_append_to_saved appends the
     arriving rows' reconstructions too — a stale recon would make
