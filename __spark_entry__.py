@@ -7942,6 +7942,97 @@ def q_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )[0]
 
 
+def q_hamming_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned PUBLISH for the binary tier (emodb_spark.pipeline.
+    similarity.hamming_publish / hamming_load_current — the shared
+    io_util.publish_version machinery: atomic exclusive-mkdir version
+    claim + advance-only _CURRENT flip under flock): v00001 publishes
+    a DECOY — a partial corpus packed at word_bits=16 — and v00002 the
+    full corpus at word_bits=8 (the re-provisioning swap: a new
+    packing width publishes as the next version while readers drain
+    off the old, the reader-safe alternative to in-place compaction).
+    The reader follows the pointer and must answer EXACTLY like an
+    in-memory re-pack of the full corpus at 8-bit words — a stale
+    pointer, a half-flip, or meta/words mixed across versions
+    hash-mismatches against the standard packing + ranking replay."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from emodb_spark.pipeline.similarity import (
+        hamming_load_current,
+        hamming_publish,
+        hamming_topk,
+    )
+
+    def build(p):
+        root = tempfile.mkdtemp(prefix="hamming_pub_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        emb = _read(spark, sf_dir, "embeddings")
+        hamming_publish(emb.filter(F.col("vec_id") < 300), root,
+                        word_bits=p["decoy_bits"])
+        hamming_publish(emb, root, word_bits=p["word_bits"])
+        return (root,)
+
+    root = _gate_index(
+        "hamming_publish", dict(word_bits=8, decoy_bits=16),
+        spark, sf_dir, build,
+    )[0]
+    return hamming_topk(
+        None, n_queries=8, k=10, index=hamming_load_current(spark, root)
+    )
+
+
+def q_minhash_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned PUBLISH for the MinHash bucket artifact
+    (emodb_spark.pipeline.dedup.minhash_publish_buckets /
+    minhash_load_current_buckets): v00001 publishes a DECOY — a
+    partial corpus at a DIFFERENT banding (32x16) — and v00002 the
+    full corpus slice at the gate regime (48 hashes, 24 bands,
+    3-shingles): the re-banding swap, where the new meta row travels
+    atomically with the pointer so a reader can never mix the old
+    bucket table with the new banding. The loaded-current probe must
+    equal the recompute-everything run — the brute-force
+    cross-Jaccard oracle (the incremental_dedup regime), so a stale
+    pointer or mixed-version read hash-mismatches."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from emodb_spark.pipeline.dedup import (
+        incremental_near_dups,
+        minhash_load_current_buckets,
+        minhash_publish_buckets,
+    )
+
+    def build(p):
+        root = tempfile.mkdtemp(prefix="minhash_pub_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        docs = _read(spark, sf_dir, "documents")
+        corpus = docs.filter(F.col("doc_id") % 5 != 0)
+        minhash_publish_buckets(
+            corpus.filter(F.col("doc_id") < 300), root,
+            num_hashes=32, bands=16, shingle_k=p["shingle_k"],
+        )
+        minhash_publish_buckets(
+            corpus, root, num_hashes=p["num_hashes"], bands=p["bands"],
+            shingle_k=p["shingle_k"],
+        )
+        return (root,)
+
+    root = _gate_index(
+        "minhash_publish", dict(num_hashes=48, bands=24, shingle_k=3),
+        spark, sf_dir, build,
+    )[0]
+    docs = _read(spark, sf_dir, "documents")
+    return incremental_near_dups(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+        threshold=0.7,
+        corpus_buckets=minhash_load_current_buckets(spark, root),
+    )
+
+
 def _oracle_hamming_ingest(threshold: int, batch_mod: int = 5,
                            word_bits: int = 8, dim: int = 64) -> str:
     """One-shot replay of dedup-on-ingest: accepted = batch rows with
@@ -8922,6 +9013,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_ingest": q_hamming_ingest,
         "minhash_ingest": q_minhash_ingest,
         "minhash_persist": q_minhash_persist,
+        "hamming_publish": q_hamming_publish,
+        "minhash_publish": q_minhash_publish,
         "cascade_topk": q_cascade_topk,
         "cascade_recall": q_cascade_recall,
         "ivfpq_persist": q_ivfpq_persist,
@@ -9088,11 +9181,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
     }
     # The driver records CORRECTNESS from the FIRST 50 entries, so the
-    # window below leads the dict. Round-13 window: the ONE r13-new
-    # gate leads (minhash_ingest — dedup-on-ingest at the MinHash
+    # window below leads the dict. Round-13 window: the THREE r13-new
+    # gates lead (minhash_ingest — dedup-on-ingest at the MinHash
     # tier, the foreachBatch body composing artifact-probe rejection,
     # intra-batch cluster-representative selection and the watermarked
-    # bucket append, mirroring hamming_ingest), then the NINE gates
+    # bucket append, mirroring hamming_ingest; hamming_publish /
+    # minhash_publish — the versioned-dir + advance-only _CURRENT
+    # lifecycle generalized to the binary and MinHash tiers via the
+    # shared io_util.publish_version, each certifying a v1-decoy ->
+    # v2 swap where a stale pointer or mixed-version read
+    # hash-mismatches), then the NINE gates
     # whose kernels round 13 touched (the whole persistence family
     # gained the maintenance flock — appenders shared, compactors and
     # base re-saves exclusive — plus compaction-time full-row dedupe
@@ -9106,14 +9204,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round, no re-witness), then the final TWENTY-THREE r8-era driver
     # rows (events_rollup..zorder_layout — rotation debt to ZERO
     # again: after this window no driver row is older than r9), then
-    # the oldest-alphabetical 17 of the 38 r9-era rows
-    # (ann_ivf_topk..hash_split). The remaining TWENTY-ONE r9-era rows
-    # defer to r14: market_share, mixture_weights, ngram_novelty,
-    # product_profit, quality_retention, resolve_fold,
-    # sample_per_source, scd2_lookup, secret_scan, session_documents,
-    # shipmode_priority, skipgram_pmi, stash_diff, strip_markup,
-    # tfidf_topk, three_state_scan, train_classifier, value_deciles,
-    # waiting_suppliers, weighted_sample, word_rank_score
+    # the oldest-alphabetical 15 of the 38 r9-era rows
+    # (ann_ivf_topk..frame_sample). The remaining TWENTY-THREE r9-era
+    # rows defer to r14: gopher_quality, hash_split, market_share,
+    # mixture_weights, ngram_novelty, product_profit,
+    # quality_retention, resolve_fold, sample_per_source, scd2_lookup,
+    # secret_scan, session_documents, shipmode_priority, skipgram_pmi,
+    # stash_diff, strip_markup, tfidf_topk, three_state_scan,
+    # train_classifier, value_deciles, waiting_suppliers,
+    # weighted_sample, word_rank_score
     # — each judge-green via tools/oracle_check.py every round; see
     # COVERAGE.md.
     # Rows-only queries (compression_ratio, bpe_merges) are EXCLUDED by
@@ -9123,8 +9222,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Everything else keeps its registry order behind the window and is
     # re-verified by tools/oracle_check.py instead.
     window = [
-        # r13-new gate
-        "minhash_ingest",
+        # r13-new gates
+        "minhash_ingest", "hamming_publish", "minhash_publish",
         # kernels changed in round 13 (maintenance flock on the
         # append/compact/re-save paths; compaction-time dedupe of
         # crash-window replays; recon lifecycle fixes + recon-first
@@ -9141,13 +9240,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_qty_revenue", "substring_dedup", "top_supplier",
         "training_shards", "unigram_surprisal", "user_scd2",
         "vocab_coverage", "zorder_layout",
-        # r9-era rows, oldest 17 alphabetical
+        # r9-era rows, oldest 15 alphabetical
         "ann_ivf_topk", "blob_ranged_read", "blob_store_roundtrip",
         "contamination", "corpus_sample", "dedup_clusters",
         "dedup_exact", "dedup_keep_best", "doc_fingerprints",
         "doc_pagerank", "embedding_near_dups", "event_consolidation",
         "event_sessions", "events_windowed", "frame_sample",
-        "gopher_quality", "hash_split",
     ]
     # window integrity (size 50, no dupes, all registered, no rows-only
     # queries) is enforced by tests/test_entry_contract.py — NOT asserted
@@ -9193,6 +9291,8 @@ def oracle_sql() -> dict[str, str]:
         "hamming_ingest": ORACLE_HAMMING_INGEST,
         "minhash_ingest": ORACLE_MINHASH_INGEST,
         "minhash_persist": ORACLE_INCREMENTAL_DEDUP,
+        "hamming_publish": ORACLE_HAMMING_TOPK,
+        "minhash_publish": ORACLE_INCREMENTAL_DEDUP,
         "cascade_topk": ORACLE_CASCADE_TOPK,
         "cascade_recall": ORACLE_CASCADE_RECALL,
         "ivfpq_persist": ORACLE_IVFPQ_TOPK,

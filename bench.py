@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "hamming_ingest",        # dedup-on-ingest foreachBatch composition
     "minhash_ingest",        # dedup-on-ingest composition, MinHash tier
     "minhash_persist",       # band-bucket artifact save/append/probe
+    "hamming_publish",       # versioned publish + _CURRENT flip, binary tier
+    "minhash_publish",       # versioned publish + _CURRENT flip, MinHash tier
     "cascade_topk",          # Hamming -> ADC -> exact tiered funnel
     "cascade_recall",        # cascade recall@10 vs exact quantized-L2
     # analytics
@@ -535,14 +537,27 @@ def main() -> None:
     }
     if errors:
         full["errors"] = errors
+    here = os.path.dirname(os.path.abspath(__file__))
     try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_FULL.json"), "w"
-        ) as f:
+        with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
             json.dump(full, f, indent=1, sort_keys=True)
     except OSError as e:
         print(f"# BENCH_FULL.json write failed: {e}", file=sys.stderr)
+    if load_reruns:
+        # a loaded run's evidence must survive the clean rerun that
+        # follows it: BENCH_FULL.json is overwritten by every run (the
+        # r12 trigger's numbers survived only in the run log — judge
+        # finding), so a run that actually triggered the load-rerun
+        # mechanism ALSO writes a standalone artifact that nothing
+        # overwrites (timestamped; commit the interesting ones)
+        try:
+            stamp = time.strftime("%Y%m%dT%H%M%S")
+            with open(
+                os.path.join(here, f"BENCH_loaded_{stamp}.json"), "w"
+            ) as f:
+                json.dump(full, f, indent=1, sort_keys=True)
+        except OSError as e:
+            print(f"# BENCH_loaded write failed: {e}", file=sys.stderr)
 
     out = dict(full)
     # the printed line must stay <1800 chars for the driver's tail parse:

@@ -482,6 +482,55 @@ def minhash_append_buckets(
             _commit_batch_wm(path, batch_id)
 
 
+def minhash_publish_buckets(
+    corpus_df: DataFrame,
+    root: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> str:
+    """Versioned publish for the MinHash bucket artifact —
+    ivfpq_publish's retrain-and-swap lifecycle at this tier: write a
+    fresh :func:`minhash_save_buckets` layout into the next ``vNNNNN``
+    dir under ``root`` and flip the ``_CURRENT`` pointer advance-only
+    (the shared :func:`emodb_spark.spark.io_util.publish_version`
+    machinery). Returns the version directory.
+
+    Why the tier needs it: :func:`minhash_compact_buckets` rewrites
+    the live dir in place — recoverable but not atomic, so its readers
+    must be quiesced; publish-then-flip is the reader-safe alternative
+    (compact a published root by republishing). And RE-BANDING — a new
+    (num_hashes, bands, shingle_k) as the corpus or threshold changes,
+    e.g. from :func:`minhash_band_plan` — is exactly a retrain: the
+    new banding publishes as the next version, whose meta row the
+    readers pick up atomically with the pointer (a reader can never
+    mix the old table with the new banding). ``root`` must be local
+    (see the shared helper)."""
+    from ..spark.io_util import publish_version
+
+    return publish_version(
+        root,
+        lambda vdir: minhash_save_buckets(
+            corpus_df, vdir, text_col=text_col, id_col=id_col,
+            num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+        ),
+        "minhash_publish_buckets",
+    )
+
+
+def minhash_load_current_buckets(spark, root: str) -> MinHashBuckets:
+    """Load the bucket artifact ``_CURRENT`` points at — the reader
+    half of :func:`minhash_publish_buckets`: probes composed on the
+    returned :class:`MinHashBuckets` always band at the newest
+    published meta, and a re-banding swap is invisible to them beyond
+    the pointer flip."""
+    from ..spark.io_util import current_version
+
+    return minhash_load_buckets(spark, current_version(root))
+
+
 def minhash_compact_buckets(spark, path: str) -> None:
     """Bin-pack an append-accumulated bucket artifact IN PLACE — the
     ivfpq/hamming compactor idiom for the MinHash tier: each epoch

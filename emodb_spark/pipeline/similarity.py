@@ -1494,7 +1494,8 @@ def ivfpq_load(spark: SparkSession, path: str):
     return IvfPqIndex(enc, cents, books, int(row["scale"]))
 
 
-CURRENT_FILE = "_CURRENT"  # the stash _LATEST idiom, applied to indexes
+from ..spark.io_util import CURRENT_FILE  # noqa: E402 — shared _LATEST idiom
+
 BATCH_WM_FILE = "_BATCH_WM"  # committed-batch-id high-watermark sidecar
 
 
@@ -1591,53 +1592,25 @@ def ivfpq_publish(index, root: str, with_recon: bool = False) -> str:
     index go backward. ``with_recon=True`` forwards to
     :func:`ivfpq_save` so the published version also carries the
     decoded-reconstruction sidecar the cascade's middle tier reads
-    (:func:`ivfpq_load_recon`)."""
-    import fcntl
-    import os
+    (:func:`ivfpq_load_recon`). The claim/flip machinery is the shared
+    :func:`emodb_spark.spark.io_util.publish_version` — one
+    implementation for every artifact tier."""
+    from ..spark.io_util import publish_version
 
-    _require_local_root(root, "ivfpq_publish")
-    os.makedirs(root, exist_ok=True)
-    while True:
-        versions = [
-            d for d in os.listdir(root)
-            if d.startswith("v") and d[1:].isdigit()
-        ]
-        nxt = max((int(d[1:]) for d in versions), default=0) + 1
-        vname = f"v{nxt:05d}"
-        try:
-            os.mkdir(os.path.join(root, vname))  # atomic claim
-        except FileExistsError:
-            continue  # another publisher claimed it — take the next
-        break
-    ivfpq_save(index, os.path.join(root, vname), with_recon=with_recon)
-    # advance-only flip, serialized by an exclusive lock: without it,
-    # last-writer-wins would let a SLOW publisher regress the pointer
-    # over a newer publish that flipped while it was still saving
-    with open(os.path.join(root, CURRENT_FILE + ".lock"), "w") as lock:
-        fcntl.flock(lock, fcntl.LOCK_EX)
-        cur = -1
-        try:
-            with open(os.path.join(root, CURRENT_FILE)) as f:
-                cur = int(f.read().strip().lstrip("v"))
-        except (FileNotFoundError, ValueError):
-            pass
-        if nxt > cur:
-            tmp = os.path.join(root, CURRENT_FILE + ".tmp")
-            with open(tmp, "w") as f:
-                f.write(vname)
-            os.replace(tmp, os.path.join(root, CURRENT_FILE))
-    return os.path.join(root, vname)
+    return publish_version(
+        root,
+        lambda vdir: ivfpq_save(index, vdir, with_recon=with_recon),
+        "ivfpq_publish",
+    )
 
 
 def ivfpq_current_version(root: str) -> str:
     """The version directory ``_CURRENT`` points at (resolved per call,
     so a publisher flipping mid-session is picked up by the next
     reader). Raises FileNotFoundError when nothing was published."""
-    import os
+    from ..spark.io_util import current_version
 
-    with open(os.path.join(root, CURRENT_FILE)) as f:
-        vname = f.read().strip()
-    return os.path.join(root, vname)
+    return current_version(root)
 
 
 def ivfpq_append_to_saved(
@@ -2850,6 +2823,51 @@ def hamming_load(spark: SparkSession, path: str) -> HammingIndex:
     )
     row = spark.read.json(os.path.join(path, "meta")).collect()[0]
     return HammingIndex(words, int(row["dim"]), int(row["word_bits"]))
+
+
+def hamming_publish(
+    embeddings: DataFrame,
+    root: str,
+    word_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Versioned publish for the binary tier — :func:`ivfpq_publish`'s
+    retrain-and-swap lifecycle applied to the words sidecar: write a
+    fresh :func:`hamming_save` layout into the next ``vNNNNN`` dir
+    under ``root`` and flip the ``_CURRENT`` pointer advance-only (the
+    shared :func:`emodb_spark.spark.io_util.publish_version` machinery:
+    atomic exclusive-mkdir version claim, flock-serialized flip).
+    Returns the version directory.
+
+    Why the tier needs it: :func:`hamming_compact_saved` rewrites the
+    live dir IN PLACE — recoverable but not atomic, so its readers
+    must be quiesced. Publish-then-flip is the reader-safe alternative
+    (in-flight readers keep the old version; compact a published root
+    by republishing), and re-provisioning (a new ``word_bits`` as the
+    corpus grows — :func:`hamming_provision`) is exactly a retrain:
+    the new packing publishes as the next version while readers drain
+    off the old one. ``root`` must be local (see
+    :func:`ivfpq_publish`)."""
+    from ..spark.io_util import publish_version
+
+    return publish_version(
+        root,
+        lambda vdir: hamming_save(embeddings, vdir, word_bits=word_bits,
+                                  id_col=id_col, vec_col=vec_col),
+        "hamming_publish",
+    )
+
+
+def hamming_load_current(spark: SparkSession, root: str) -> HammingIndex:
+    """Load the binary-tier sidecar ``_CURRENT`` points at — the reader
+    half of :func:`hamming_publish`: queries composed on the returned
+    :class:`HammingIndex` always band at the newest published packing
+    (its meta rides the version dir), and a re-provisioning swap is
+    invisible to them beyond the pointer flip."""
+    from ..spark.io_util import current_version
+
+    return hamming_load(spark, current_version(root))
 
 
 def hamming_provision(

@@ -65,6 +65,87 @@ def maintenance_lock(
         yield
 
 
+CURRENT_FILE = "_CURRENT"  # the stash _LATEST idiom, applied to artifacts
+
+
+def publish_version(root: str, save, who: str) -> str:
+    """RETRAIN-AND-SWAP publish, generalized from ivfpq_publish so every
+    persisted artifact tier (ivfpq index, hamming words sidecar, minhash
+    band buckets) shares ONE implementation of the lifecycle: claim the
+    next versioned directory under ``root`` (``v00001``, ``v00002``, …)
+    with an atomic EXCLUSIVE mkdir (racing publishers serialize onto
+    distinct versions instead of the second silently overwriting the
+    first), call ``save(version_dir)`` to write the artifact, then flip
+    the ``_CURRENT`` pointer file atomically (write-temp + rename — the
+    stash ``_LATEST`` idiom) ADVANCE-ONLY under an exclusive flock: a
+    slow publisher finishing after a newer one has flipped leaves the
+    newer pointer in place, so readers never observe the current
+    artifact go backward. Returns the version directory.
+
+    This versioned-dir + one-atomic-flip shape is also the READER-SAFE
+    alternative to in-place compaction: :func:`overwrite_dir` rewrites
+    are only recoverable, not atomic, so compact a PUBLISHED root by
+    republishing (readers keep the old version until the flip) instead
+    of rewriting the live dir under them.
+
+    ``root`` must be a LOCAL filesystem path: the version claim and the
+    pointer flip use os-level primitives (exclusive mkdir, atomic
+    rename, flock) that Hadoop URIs don't get — an object-store
+    deployment swaps the pointer for a conditional put."""
+    import fcntl
+    import os
+
+    if "://" in root:
+        raise ValueError(
+            f"{who}: root {root!r} has a URI scheme — the version claim "
+            "and pointer flip use local-FS atomic primitives; use a "
+            "local path (the per-version save alone accepts any "
+            "Hadoop-visible path)"
+        )
+    os.makedirs(root, exist_ok=True)
+    while True:
+        versions = [
+            d for d in os.listdir(root)
+            if d.startswith("v") and d[1:].isdigit()
+        ]
+        nxt = max((int(d[1:]) for d in versions), default=0) + 1
+        vname = f"v{nxt:05d}"
+        try:
+            os.mkdir(os.path.join(root, vname))  # atomic claim
+        except FileExistsError:
+            continue  # another publisher claimed it — take the next
+        break
+    save(os.path.join(root, vname))
+    # advance-only flip, serialized by an exclusive lock: without it,
+    # last-writer-wins would let a SLOW publisher regress the pointer
+    # over a newer publish that flipped while it was still saving
+    with open(os.path.join(root, CURRENT_FILE + ".lock"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        cur = -1
+        try:
+            with open(os.path.join(root, CURRENT_FILE)) as f:
+                cur = int(f.read().strip().lstrip("v"))
+        except (FileNotFoundError, ValueError):
+            pass
+        if nxt > cur:
+            tmp = os.path.join(root, CURRENT_FILE + ".tmp")
+            with open(tmp, "w") as f:
+                f.write(vname)
+            os.replace(tmp, os.path.join(root, CURRENT_FILE))
+    return os.path.join(root, vname)
+
+
+def current_version(root: str) -> str:
+    """The version directory ``_CURRENT`` points at (resolved per call,
+    so a publisher flipping mid-session is picked up by the next
+    reader). Raises FileNotFoundError when nothing was published."""
+    import os
+
+    with open(os.path.join(root, CURRENT_FILE)) as f:
+        vname = f.read().strip()
+    return os.path.join(root, vname)
+
+
 def overwrite_dir(
     spark: SparkSession,
     path: str,

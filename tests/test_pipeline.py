@@ -3874,6 +3874,80 @@ def test_ivfpq_publish_guards(spark, tmp_path, monkeypatch):
     assert ivfpq_current_version(root).endswith("v00002")
 
 
+def test_hamming_and_minhash_publish_roundtrip(spark, tmp_path):
+    """hamming_publish / minhash_publish_buckets: the versioned-dir +
+    advance-only _CURRENT flip lifecycle (shared publish_version
+    machinery) applied to the binary and MinHash tiers — a second
+    publish (re-provisioned packing / re-banded buckets) lands as
+    v00002, readers following the pointer answer exactly like a fresh
+    build of the new version, and URI roots are rejected up front."""
+    import random
+
+    from emodb_spark.pipeline.dedup import (
+        incremental_near_dups,
+        minhash_load_buckets,
+        minhash_load_current_buckets,
+        minhash_publish_buckets,
+        minhash_save_buckets,
+    )
+    from emodb_spark.pipeline.similarity import (
+        hamming_load_current,
+        hamming_publish,
+        hamming_topk,
+    )
+
+    rng = random.Random(163)
+    df = spark.createDataFrame(
+        [(i, [rng.uniform(-0.5, 0.5) for _ in range(16)]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    hroot = str(tmp_path / "hpub")
+    v1 = hamming_publish(df.filter(F.col("vec_id") < 20), hroot, word_bits=4)
+    assert v1.endswith("v00001")
+    # re-provisioned re-publish: full corpus at a different word width
+    v2 = hamming_publish(df, hroot, word_bits=8)
+    assert v2.endswith("v00002")
+    cur = hamming_load_current(spark, hroot)
+    assert cur.word_bits == 8 and cur.words.count() == 30
+    got = sorted(map(tuple, hamming_topk(
+        None, n_queries=3, k=5, index=cur).collect()))
+    want = sorted(map(tuple, hamming_topk(
+        df, n_queries=3, k=5, word_bits=8).collect()))
+    assert got == want
+
+    with pytest.raises(ValueError, match="URI scheme"):
+        hamming_publish(df, "s3a://bucket/ham")
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta {i % 6} gamma delta epsilon zeta eta")
+         for i in range(24)],
+        "doc_id long, text string",
+    )
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    probe = docs.filter(F.col("doc_id") % 5 == 0)
+    mroot = str(tmp_path / "mpub")
+    minhash_publish_buckets(corpus.filter(F.col("doc_id") < 12), mroot,
+                            num_hashes=8, bands=4, shingle_k=3)
+    # re-banded re-publish over the full corpus
+    v2 = minhash_publish_buckets(corpus, mroot, num_hashes=16, bands=8,
+                                 shingle_k=3)
+    assert v2.endswith("v00002")
+    art = minhash_load_current_buckets(spark, mroot)
+    assert art.num_hashes == 16 and art.bands == 8  # v2's meta, atomically
+    got = sorted(map(tuple, incremental_near_dups(
+        corpus, probe, threshold=0.5, corpus_buckets=art).collect()))
+    ref_path = str(tmp_path / "mref")
+    minhash_save_buckets(corpus, ref_path, num_hashes=16, bands=8,
+                         shingle_k=3)
+    want = sorted(map(tuple, incremental_near_dups(
+        corpus, probe, threshold=0.5,
+        corpus_buckets=minhash_load_buckets(spark, ref_path)).collect()))
+    assert got == want
+
+    with pytest.raises(ValueError, match="URI scheme"):
+        minhash_publish_buckets(corpus, "hdfs://nn/mh")
+
+
 def test_hamming_append_to_saved_parity_and_idempotence(spark, tmp_path):
     """hamming_append_to_saved: base save + any micro-batch split must
     reload as exactly the one-shot pack of the full corpus (packing is

@@ -77,6 +77,11 @@ BNLJ_OK = {
                             # sidecar — the same O(#queries) broadcast
                             # eval idiom; the load itself is a plain
                             # parquet scan + O(1) meta row
+    "hamming_publish",      # hamming_topk through the _CURRENT
+                            # version's words sidecar — identical tail
+                            # to hamming_persist (the publishes ran in
+                            # the session-cached build; the pointer
+                            # resolve is one driver-side file read)
     "hamming_stream_append",  # same hamming_topk tail over the
                             # base+appended sidecar (the appends happen
                             # in the session-cached build, not in the

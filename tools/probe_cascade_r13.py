@@ -1,0 +1,149 @@
+"""Round-13 cascade probe: the prefilter-WIDTH knob at the PROVISIONED
+banding.
+
+SCALE.md's r12 table measured the width knob (prefilter_k 80 -> 160)
+at +5.3 recall points for the 8-bit/r1 banding and +1.6 for the
+provisioned 16-bit/r3 banding (hamming_provision(64, 15, 1024) ->
+(16, 3)); this probe extends the sweep (160 -> 320 -> 640 -> 1280) at
+BOTH bandings to close the frontier table: where does the provisioned
+point's recall saturate, and what does each doubling cost in wall?
+Saturation is expected at the prefilter's own recall ceiling — the
+Hamming tier is horizon-bounded (neighbors beyond
+n_words*(radius+1)-1 sign bits are invisible at ANY width), so the
+curve should flatten at the horizon-limited recall, not climb to
+100%.
+
+Same prebuilt-structure methodology as probe_cascade_r12 (walls are
+query-path only; every tier the cascade reads is checkpointed to
+stand in for its persisted artifact).
+
+Usage: python tools/probe_cascade_r13.py  (expects /tmp/sf1_probe from
+tools/scale_probe.py; falls back to $SPARK_GRAFT_SF_DIR)
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+SF1 = "/tmp/sf1_probe"
+NQ, K = 32, 10
+
+
+def main() -> int:
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from emodb_spark.pipeline.similarity import (
+        HammingIndex,
+        _recall_gate,
+        binary_quantize,
+        cascade_knn_rerank,
+        exact_quantized_topk,
+        ivfpq_index,
+        ivfpq_knn_rerank,
+        ivfpq_reconstruct,
+    )
+    from emodb_spark.spark.session import get_spark
+
+    spark = get_spark(app_name="probe_cascade_r13")
+    path = os.path.join(SF1, "embeddings.parquet")
+    if not os.path.exists(path):
+        path = os.path.join(
+            os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+            "embeddings.parquet",
+        )
+        print(f"# sf1 probe missing — falling back to {path}", file=sys.stderr)
+    emb = spark.read.parquet(path).localCheckpoint(eager=True)
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") < NQ)
+
+    # identical build to probe_cascade_r12 so rows are comparable
+    idx = ivfpq_index(
+        emb, n_cells=32, m=4, sub_k=16, iters=2, train_limit=1024
+    )
+    idx = idx._replace(enc=idx.enc.localCheckpoint(eager=True))
+    ham = {
+        wb: HammingIndex(
+            binary_quantize(emb, word_bits=wb).localCheckpoint(eager=True),
+            64, wb,
+        )
+        for wb in (8, 16)
+    }
+    recon = ivfpq_reconstruct(idx).localCheckpoint(eager=True)
+    exact = exact_quantized_topk(
+        emb, n_queries=NQ, k=K
+    ).select("query_id", "nbr_id").localCheckpoint(eager=True)
+
+    def measure(tag, df):
+        gc.collect()
+        t0 = time.time()
+        rows = df.collect()
+        wall = time.time() - t0
+        rec = _recall_gate(
+            exact, spark.createDataFrame(rows, df.schema), K
+        ).agg(F.avg("recall_ppm")).first()[0]
+        print(json.dumps({
+            "probe": tag, "n": n, "nq": NQ, "k": K,
+            "wall_s": round(wall, 2),
+            "avg_recall_ppm": int(rec),
+            "rows": len(rows),
+        }))
+
+    # single-tier anchors: the r12 best point (shortlist 30) and the
+    # SAME retrieval at the widened shortlist — the fair comparison for
+    # the joint-knob cascade rows below (the shortlist knob helps the
+    # single tier too; comparing a wide cascade against a narrow
+    # single-tier would overstate the cascade's lead)
+    for np_, sl in ((2, 3 * K), (2, 120), (4, 120), (8, 120)):
+        measure(
+            f"single_tier_adc_np{np_}_sl{sl}",
+            ivfpq_knn_rerank(
+                emb, queries=queries, k=K, shortlist_k=sl, mode="adc",
+                n_probe=np_, index=idx, exclude_self=True,
+            ),
+        )
+    # PREFILTER-ONLY width sweep at both bandings, fixed shortlist 30;
+    # 160 repeats the r12 anchor row so drift between probe runs is
+    # visible in the artifact itself. Expected (and measured): the
+    # knob saturates then INVERTS — the fixed 30-slot ADC shortlist
+    # becomes the binding filter, and deeper Hamming tails feed it
+    # quantization-noise candidates that crowd out true neighbors.
+    for wb, rad in ((8, 1), (16, 3)):
+        for pre in (160, 320, 640, 1280):
+            measure(
+                f"cascade_wb{wb}_r{rad}_pre{pre}",
+                cascade_knn_rerank(
+                    emb, queries=queries, k=K, prefilter_k=pre,
+                    shortlist_k=3 * K, word_bits=wb, band_radius=rad,
+                    index=idx, hamming_idx=ham[wb], recon=recon,
+                    exclude_self=True,
+                ),
+            )
+    # JOINT widening — the true recall knob: scale shortlist with the
+    # prefilter so every tier stays a funnel (pre -> sl -> k) and no
+    # single tier becomes the binding filter
+    for wb, rad, pre, sl in (
+        (8, 1, 640, 60), (8, 1, 1280, 60), (8, 1, 1280, 120),
+        (8, 1, 1280, 240), (8, 1, 2560, 240), (8, 1, 2560, 480),
+        (16, 3, 320, 60), (16, 3, 640, 120),
+    ):
+        measure(
+            f"cascade_wb{wb}_r{rad}_pre{pre}_sl{sl}",
+            cascade_knn_rerank(
+                emb, queries=queries, k=K, prefilter_k=pre,
+                shortlist_k=sl, word_bits=wb, band_radius=rad,
+                index=idx, hamming_idx=ham[wb], recon=recon,
+                exclude_self=True,
+            ),
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
