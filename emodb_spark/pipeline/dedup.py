@@ -426,6 +426,7 @@ def minhash_append_buckets(
     id_col: str = "doc_id",
     batch_id: Optional[int] = None,
     artifact: Optional[MinHashBuckets] = None,
+    stream: str = "",
 ) -> None:
     """STREAMING MAINTENANCE for the bucket artifact — the
     ``foreachBatch`` body that keeps :func:`minhash_save_buckets`'s
@@ -436,10 +437,11 @@ def minhash_append_buckets(
     Signatures are a pure per-doc function, so any micro-batch split
     appends identical rows; the ``_BATCH_WM`` epoch watermark
     (shared recipe — similarity._read_batch_wm) makes replays no-op.
-    The watermark is a SINGLE scalar per artifact — one appending
-    stream only: two concurrent streams would interleave their epoch
-    counters and silently no-op each other's batches (fan multiple
-    sources into one foreachBatch writer upstream). The at-least-once
+    The watermark is one scalar PER STREAM — epoch ids are only
+    monotone within a foreachBatch stream, so a second concurrent
+    producer passes its own ``stream`` id (``_BATCH_WM.<stream>``)
+    instead of interleaving counters on the shared default; re-saves
+    reset all streams' watermarks. The at-least-once
     crash window (buckets appended, watermark not committed) replays
     as exact row copies; :func:`minhash_compact_buckets`'s dedupe
     removes precisely them. The body holds the artifact's maintenance
@@ -459,7 +461,7 @@ def minhash_append_buckets(
     ):
         if batch_id is not None:
             _require_local_root(path, "minhash_append_buckets(batch_id=...)")
-            if int(batch_id) <= _read_batch_wm(path):
+            if int(batch_id) <= _read_batch_wm(path, stream):
                 return  # replayed batch — already committed, no-op
         if artifact is not None:
             num_hashes, bands = artifact.num_hashes, artifact.bands
@@ -479,7 +481,7 @@ def minhash_append_buckets(
             os.path.join(path, "buckets")
         )  # band-clustered: one file per touched band per epoch
         if batch_id is not None:
-            _commit_batch_wm(path, batch_id)
+            _commit_batch_wm(path, batch_id, stream)
 
 
 def minhash_publish_buckets(
@@ -696,6 +698,7 @@ def minhash_ingest_dedup(
     max_bucket_size: Optional[int] = None,
     batch_id: Optional[int] = None,
     validate_coverage: bool = False,
+    stream: str = "",
 ) -> DataFrame:
     """DEDUP-ON-INGEST at the MinHash tier — the ``foreachBatch`` body
     that composes the whole bucket-artifact family into the op a
@@ -737,8 +740,11 @@ def minhash_ingest_dedup(
     replayed epoch neither re-appends nor re-accepts (returns an empty
     frame — the batch was already ingested; exactly-once delivery of
     the accepted set is the caller's sink's job, as for every
-    foreachBatch body in this repo). Same single-stream contract as
-    the appender it wraps. Empty epochs commit the watermark and
+    foreachBatch body in this repo). ``stream`` scopes the watermark
+    like the appender it wraps — but concurrent ingest streams also
+    race each other's probe-then-append windows, so prefer one ingest
+    stream per artifact and fan sources into it upstream. Empty
+    epochs commit the watermark and
     return the empty frame. Unlike the binary tier there is no
     pigeonhole guarantee — recall is the banding's S-curve (pick the
     artifact's banding with :func:`minhash_band_plan`'s recall-first
@@ -751,13 +757,13 @@ def minhash_ingest_dedup(
     empty_ids = batch_df.select(id_col).limit(0)  # schema follows the batch
     if batch_id is not None:
         _require_local_root(path, "minhash_ingest_dedup(batch_id=...)")
-        if int(batch_id) <= _read_batch_wm(path):
+        if int(batch_id) <= _read_batch_wm(path, stream):
             return empty_ids
     artifact = minhash_load_buckets(spark, path)
     if batch_df.isEmpty():  # foreachBatch delivers empty epochs — commit
         minhash_append_buckets(
             batch_df, path, text_col=text_col, id_col=id_col,
-            batch_id=batch_id, artifact=artifact,
+            batch_id=batch_id, artifact=artifact, stream=stream,
         )
         return empty_ids
     cross = incremental_near_dups(
@@ -791,7 +797,7 @@ def minhash_ingest_dedup(
     accepted = batch_df.join(accepted_ids, id_col, "left_semi")
     minhash_append_buckets(
         accepted, path, text_col=text_col, id_col=id_col,
-        batch_id=batch_id, artifact=artifact,
+        batch_id=batch_id, artifact=artifact, stream=stream,
     )
     return accepted_ids
 

@@ -1499,27 +1499,46 @@ from ..spark.io_util import CURRENT_FILE  # noqa: E402 — shared _LATEST idiom
 BATCH_WM_FILE = "_BATCH_WM"  # committed-batch-id high-watermark sidecar
 
 
-def _read_batch_wm(path: str) -> int:
+def _wm_file(path: str, stream: str) -> str:
+    """The watermark sidecar for one appending stream: ``_BATCH_WM``
+    for the default stream, ``_BATCH_WM.<stream>`` for a named one —
+    epoch ids are only monotone WITHIN a foreachBatch stream, so each
+    stream gets its own high-watermark (two streams sharing one scalar
+    would interleave their counters and silently no-op each other's
+    batches). Stream ids are restricted to a filename-safe alphabet so
+    a caller-supplied id can't escape the artifact directory."""
+    import os
+    import re
+
+    if not stream:
+        return os.path.join(path, BATCH_WM_FILE)
+    if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", stream):
+        raise ValueError(
+            f"stream id {stream!r} must be 1-64 chars of [A-Za-z0-9._-] "
+            "(it names a watermark file inside the artifact dir)"
+        )
+    return os.path.join(path, f"{BATCH_WM_FILE}.{stream}")
+
+
+def _read_batch_wm(path: str, stream: str = "") -> int:
     """The committed-batch-id high-watermark (-1 when absent/corrupt) —
     the single reader for every ``_BATCH_WM`` sidecar (ivfpq words and
     hamming words share the recipe; fixes to it belong here, not in
     per-call-site copies)."""
-    import os
-
     try:
-        with open(os.path.join(path, BATCH_WM_FILE)) as f:
+        with open(_wm_file(path, stream)) as f:
             return int(f.read().strip())
     except (FileNotFoundError, ValueError):
         return -1
 
 
-def _commit_batch_wm(path: str, batch_id: int) -> None:
-    """Atomically advance the ``_BATCH_WM`` watermark (write-temp +
-    rename, the ``_CURRENT`` idiom) — the single writer, see
-    :func:`_read_batch_wm`."""
+def _commit_batch_wm(path: str, batch_id: int, stream: str = "") -> None:
+    """Atomically advance the stream's ``_BATCH_WM`` watermark
+    (write-temp + rename, the ``_CURRENT`` idiom) — the single writer,
+    see :func:`_read_batch_wm`."""
     import os
 
-    wm_path = os.path.join(path, BATCH_WM_FILE)
+    wm_path = _wm_file(path, stream)
     tmp = wm_path + ".tmp"
     with open(tmp, "w") as f:
         f.write(str(int(batch_id)))
@@ -1527,16 +1546,20 @@ def _commit_batch_wm(path: str, batch_id: int) -> None:
 
 
 def _reset_batch_wm(path: str) -> None:
-    """Delete a stale ``_BATCH_WM`` when a base artifact is REBUILT at
-    an existing path: committed epoch ids belong to the old base, and
-    leaving them would make a fresh stream's early epochs silently
-    no-op (`batch_id <= stale watermark`), permanently dropping their
-    rows. Every ``*_save`` entry point calls this."""
+    """Delete stale ``_BATCH_WM`` sidecars — ALL streams' — when a base
+    artifact is REBUILT at an existing path: committed epoch ids belong
+    to the old base, and leaving them would make a fresh stream's early
+    epochs silently no-op (`batch_id <= stale watermark`), permanently
+    dropping their rows. Every ``*_save`` entry point calls this."""
     import contextlib
+    import glob
     import os
 
-    with contextlib.suppress(FileNotFoundError, NotADirectoryError):
-        os.remove(os.path.join(path, BATCH_WM_FILE))
+    for f in [os.path.join(path, BATCH_WM_FILE)] + glob.glob(
+            os.path.join(glob.escape(path), BATCH_WM_FILE + ".*")):
+        # includes any *.tmp strays from a crashed commit — stale too
+        with contextlib.suppress(FileNotFoundError, NotADirectoryError):
+            os.remove(f)
 
 
 def _require_local_root(root: str, who: str) -> None:
@@ -1619,6 +1642,7 @@ def ivfpq_append_to_saved(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     batch_id: Optional[int] = None,
+    stream: str = "",
 ) -> None:
     """STREAMING INDEX MAINTENANCE: encode an arrival batch against the
     codebooks persisted at ``path`` (:func:`ivfpq_save`'s sidecar) and
@@ -1651,12 +1675,14 @@ def ivfpq_append_to_saved(
     double-count per-subspace terms in :func:`ivfpq_query`'s grouped
     ADC sum, so recovery from that window is mechanical: run
     :func:`ivfpq_compact_saved` (which full-row-dedupes exactly these)
-    before resuming the stream, or re-save. The watermark is a SINGLE
-    scalar per artifact — one appending stream only: two concurrent
-    streams would interleave their independent epoch counters and
-    silently no-op each other's batches (run one
-    foreachBatch writer per artifact; fan multiple sources into it
-    upstream). ``batch_id=None`` preserves the plain append (no
+    before resuming the stream, or re-save. The watermark is one
+    scalar PER STREAM: epoch ids are only monotone within one
+    foreachBatch stream, so a second concurrent producer must pass its
+    own ``stream`` id (its watermark lives in ``_BATCH_WM.<stream>``)
+    — two streams sharing the default scalar would interleave their
+    independent epoch counters and silently no-op each other's
+    batches. Re-saves reset ALL streams' watermarks.
+    ``batch_id=None`` preserves the plain append (no
     watermark read or write). The watermark needs a LOCAL ``path``
     (see :func:`ivfpq_publish`). When the layout carries a RECON
     sidecar (:func:`ivfpq_save(with_recon=True)` — local-only, so the
@@ -1686,7 +1712,7 @@ def ivfpq_append_to_saved(
     ):
         if batch_id is not None:
             _require_local_root(path, "ivfpq_append_to_saved(batch_id=...)")
-            if int(batch_id) <= _read_batch_wm(path):
+            if int(batch_id) <= _read_batch_wm(path, stream):
                 return  # replayed batch — already committed, no-op
         spark = new_embeddings.sparkSession
         row = spark.read.json(os.path.join(path, "meta")).collect()[0]
@@ -1713,7 +1739,7 @@ def ivfpq_append_to_saved(
             os.path.join(path, "enc")
         )
         if batch_id is not None:
-            _commit_batch_wm(path, batch_id)
+            _commit_batch_wm(path, batch_id, stream)
 
 
 def ivfpq_load_current(spark: SparkSession, root: str) -> IvfPqIndex:
@@ -2956,6 +2982,7 @@ def hamming_append_to_saved(
     batch_id: Optional[int] = None,
     dim: Optional[int] = None,
     sidecar: Optional[HammingIndex] = None,
+    stream: str = "",
 ) -> None:
     """STREAMING MAINTENANCE for the binary tier — the ``foreachBatch``
     body that keeps a :func:`hamming_save` sidecar fresh as a corpus
@@ -2972,9 +2999,11 @@ def hamming_append_to_saved(
     re-pack would — the same batch-parity contract as the ivfpq
     append, with the same ``_BATCH_WM`` idempotence watermark
     (``batch_id`` replays no-op; ``None`` = plain append; local
-    ``path`` required for the watermark; SINGLE appending stream per
-    artifact — two concurrent streams would interleave their epoch
-    counters and silently no-op each other's batches — and the same
+    ``path`` required for the watermark; one watermark PER STREAM —
+    epoch ids are only monotone within a foreachBatch stream, so a
+    second concurrent producer passes its own ``stream`` id
+    (``_BATCH_WM.<stream>``) instead of interleaving counters on the
+    shared default — and the same
     at-least-once crash window, whose exact-copy replays
     :func:`hamming_compact_saved`'s full-row dedupe removes). The
     body holds the artifact's maintenance lock SHARED
@@ -2997,7 +3026,7 @@ def hamming_append_to_saved(
     ):
         if batch_id is not None:
             _require_local_root(path, "hamming_append_to_saved(batch_id=...)")
-            if int(batch_id) <= _read_batch_wm(path):
+            if int(batch_id) <= _read_batch_wm(path, stream):
                 return  # replayed batch — already committed, no-op
         spark = new_embeddings.sparkSession
         if sidecar is not None:
@@ -3017,7 +3046,7 @@ def hamming_append_to_saved(
             new_embeddings, word_bits, id_col, vec_col, dim=sdim
         ).write.mode("append").parquet(os.path.join(path, "words"))
         if batch_id is not None:
-            _commit_batch_wm(path, batch_id)
+            _commit_batch_wm(path, batch_id, stream)
 
 
 def hamming_topk(
@@ -3328,6 +3357,7 @@ def hamming_ingest_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     batch_id: Optional[int] = None,
+    stream: str = "",
 ) -> DataFrame:
     """DEDUP-ON-INGEST at the binary tier — the ``foreachBatch`` body
     that composes the whole maintenance family into the op a
@@ -3354,20 +3384,24 @@ def hamming_ingest_dedup(
     a replayed epoch neither re-appends nor re-accepts (returns an
     empty frame — the batch was already ingested; exactly-once
     delivery of the accepted set is the caller's sink's job, as for
-    every foreachBatch body in this repo). Uses the sidecar's own
+    every foreachBatch body in this repo; ``stream`` scopes the
+    watermark when more than one ingest stream feeds one artifact —
+    note that concurrent ingest streams ALSO race each other's
+    probe-then-append windows, so prefer one ingest stream per
+    artifact and fan sources into it upstream). Uses the sidecar's own
     word_bits; the pigeonhole guarantee is validated for both the
     cross check and the intra clustering."""
     spark = batch.sparkSession
     empty_ids = batch.select(id_col).limit(0)  # schema follows the batch
     if batch_id is not None:
         _require_local_root(path, "hamming_ingest_dedup(batch_id=...)")
-        if int(batch_id) <= _read_batch_wm(path):
+        if int(batch_id) <= _read_batch_wm(path, stream):
             return empty_ids
     idx = hamming_load(spark, path)
     if batch.isEmpty():  # foreachBatch delivers empty epochs — commit
         hamming_append_to_saved(
             batch, path, id_col=id_col, vec_col=vec_col,
-            batch_id=batch_id, dim=idx.dim, sidecar=idx,
+            batch_id=batch_id, dim=idx.dim, sidecar=idx, stream=stream,
         )
         return empty_ids
     cross = hamming_incremental_near_dups(
@@ -3400,7 +3434,7 @@ def hamming_ingest_dedup(
     accepted = batch.join(accepted_ids, id_col, "left_semi")
     hamming_append_to_saved(
         accepted, path, id_col=id_col, vec_col=vec_col,
-        batch_id=batch_id, dim=idx.dim, sidecar=idx,
+        batch_id=batch_id, dim=idx.dim, sidecar=idx, stream=stream,
     )
     return accepted_ids
 

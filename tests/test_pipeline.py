@@ -3874,6 +3874,64 @@ def test_ivfpq_publish_guards(spark, tmp_path, monkeypatch):
     assert ivfpq_current_version(root).endswith("v00002")
 
 
+def test_stream_scoped_watermarks_interleave_safely(spark, tmp_path):
+    """Two foreachBatch producers appending to ONE artifact: each
+    stream's epoch counter is independent (epoch ids are only monotone
+    within a stream), so the watermark is scoped per stream id —
+    interleaved epochs commit, each stream's replays no-op without
+    touching the other's progress, and a base re-save resets ALL
+    streams' watermarks. Sharing the default scalar would have let
+    stream B's epoch 1 silently no-op stream A's epoch 0 replay — and
+    vice versa. Bad stream ids (path escapes) are rejected."""
+    import random
+
+    from emodb_spark.pipeline.similarity import (
+        hamming_append_to_saved,
+        hamming_load,
+        hamming_save,
+    )
+
+    rng = random.Random(167)
+    df = spark.createDataFrame(
+        [(i, [rng.uniform(-0.5, 0.5) for _ in range(8)]) for i in range(24)],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "two_streams")
+    hamming_save(df.filter(F.col("vec_id") < 8), path, word_bits=4)
+
+    a0 = df.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 12))
+    b0 = df.filter((F.col("vec_id") >= 12) & (F.col("vec_id") < 16))
+    a1 = df.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 20))
+    b1 = df.filter(F.col("vec_id") >= 20)
+
+    def n():
+        return hamming_load(spark, path).words.count()
+
+    # interleaved epochs from two streams, with replays in between
+    hamming_append_to_saved(a0, path, batch_id=0, stream="a")
+    assert n() == 12
+    hamming_append_to_saved(b0, path, batch_id=0, stream="b")
+    assert n() == 16  # stream b's epoch 0 is NOT stream a's epoch 0
+    hamming_append_to_saved(a0, path, batch_id=0, stream="a")  # replay
+    assert n() == 16
+    hamming_append_to_saved(b1, path, batch_id=1, stream="b")
+    assert n() == 20
+    hamming_append_to_saved(a1, path, batch_id=1, stream="a")
+    assert n() == 24
+    hamming_append_to_saved(b1, path, batch_id=1, stream="b")  # replay
+    hamming_append_to_saved(a0, path, batch_id=0, stream="a")  # old epoch
+    assert n() == 24
+
+    # a rebuild resets EVERY stream's watermark: early epochs land again
+    hamming_save(df.filter(F.col("vec_id") < 8), path, word_bits=4)
+    hamming_append_to_saved(a0, path, batch_id=0, stream="a")
+    hamming_append_to_saved(b0, path, batch_id=0, stream="b")
+    assert n() == 16
+
+    with pytest.raises(ValueError, match="stream id"):
+        hamming_append_to_saved(a0, path, batch_id=2, stream="../evil")
+
+
 def test_hamming_and_minhash_publish_roundtrip(spark, tmp_path):
     """hamming_publish / minhash_publish_buckets: the versioned-dir +
     advance-only _CURRENT flip lifecycle (shared publish_version
