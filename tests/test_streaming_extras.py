@@ -204,3 +204,199 @@ def test_poll_unknown_or_expired_subscription_raises(spark, tmp_path):
     clock.now += 31_000  # lease expires
     with pytest.raises(KeyError):
         poller.poll("s1")
+
+
+def test_hamming_ingest_dedup_under_real_writestream(spark, tmp_path):
+    """The dedup-on-ingest body driven by an ACTUAL Structured
+    Streaming query (readStream parquet source -> writeStream
+    .foreachBatch), not a synchronous call: Spark supplies the epoch
+    ids, the checkpoint carries them across a QUERY RESTART (the
+    production pattern: availableNow run, more data lands, restart
+    from the same checkpoint), and the sequential semantics must match
+    a Python replay — epoch 2's batch dedups against the corpus PLUS
+    epoch 1's acceptances because the first run's append landed."""
+    import random
+
+    from emodb_spark.pipeline.similarity import (
+        hamming_ingest_dedup,
+        hamming_load,
+        hamming_save,
+    )
+
+    rng = random.Random(173)
+    base = [[rng.uniform(-0.5, 0.5) for _ in range(8)] for _ in range(26)]
+    base[16] = [x + 0.01 for x in base[1]]    # epoch-1 row dups corpus 1
+    base[19] = [x + 0.01 for x in base[17]]   # epoch-2 row dups e1 row 17
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)],
+        "vec_id long, embedding array<float>",
+    )
+    thr, rad = 2, 1
+
+    def hd_py(a, b):
+        return sum((x >= 0) != (y >= 0) for x, y in zip(a, b))
+
+    def ref_ingest(stored, batch):
+        clean = [b for b in batch
+                 if all(hd_py(base[b], base[s]) > thr for s in stored)]
+        lab = {i: i for i in clean}
+        changed = True
+        while changed:
+            changed = False
+            for a in clean:
+                for b in clean:
+                    if hd_py(base[a], base[b]) <= thr and lab[b] < lab[a]:
+                        lab[a] = lab[b]
+                        changed = True
+        return sorted(i for i in clean if lab[i] == i)
+
+    path = str(tmp_path / "sidecar")
+    hamming_save(df.filter(F.col("vec_id") < 16), path, word_bits=4)
+
+    arrivals = str(tmp_path / "arrivals")
+    ck = str(tmp_path / "ck")
+    accepted_log = []
+
+    def body(batch, bid):
+        got = sorted(
+            r["vec_id"] for r in hamming_ingest_dedup(
+                batch, path, threshold=thr, band_radius=rad, batch_id=bid,
+            ).collect()
+        )
+        accepted_log.append((bid, got))
+
+    def run_stream():
+        q = (
+            spark.readStream
+            .schema("vec_id long, embedding array<float>")
+            .parquet(arrivals)
+            .writeStream.foreachBatch(body)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # epoch 0: ids 16-20 land, stream runs to completion
+    df.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 21)).write.mode(
+        "append"
+    ).parquet(arrivals)
+    run_stream()
+    want0 = ref_ingest(list(range(16)), [16, 17, 18, 19, 20])
+    assert accepted_log == [(0, want0)] and 16 not in want0
+
+    # epoch 1: ids 21-25 land; RESTART from the same checkpoint — the
+    # epoch id advances and the batch dedups against e0's acceptances
+    df.filter(F.col("vec_id") >= 21).write.mode("append").parquet(arrivals)
+    run_stream()
+    want1 = ref_ingest(list(range(16)) + want0, [21, 22, 23, 24, 25])
+    assert accepted_log[1] == (1, want1)
+    assert hamming_load(spark, path).words.count() == \
+        16 + len(want0) + len(want1)
+
+
+def test_minhash_ingest_dedup_under_real_writestream(spark, tmp_path):
+    """The MinHash ingest body in a real foreachBatch loop, INCLUDING
+    the caller-side store write its docstring prescribes: each epoch
+    appends the accepted docs' TEXT to the corpus store after the
+    body returns, so the next epoch's coverage invariant (every
+    artifact id present in corpus_df) holds by construction —
+    validate_coverage=True is left ON to prove it. Checkpointed
+    restart between epochs, Python exact-Jaccard replay as the
+    reference."""
+    import random
+    import re
+
+    from emodb_spark.pipeline.dedup import (
+        minhash_ingest_dedup,
+        minhash_load_buckets,
+        minhash_save_buckets,
+    )
+
+    rng = random.Random(179)
+    vocab = [f"w{i:03d}" for i in range(300)]
+
+    def make_doc():
+        return [rng.choice(vocab) for _ in range(24)]
+
+    words = {i: make_doc() for i in range(8)}             # stored corpus
+    words[8] = words[2][:-2] + ["zza", "zzb"]             # e0: dups corpus 2
+    words[9], words[10] = make_doc(), make_doc()
+    words[11] = words[9][:-2] + ["zzc", "zzd"]            # e1: dups e0's 9
+    words[12] = make_doc()
+    texts = {i: " ".join(ws) for i, ws in words.items()}
+
+    def sh_py(i, k=3):
+        tk = re.sub(r"[^a-z0-9]+", " ", texts[i].lower()).strip().split(" ")
+        return {" ".join(tk[j:j + k]) for j in range(len(tk) - k + 1)}
+
+    def jac(a, b):
+        sa, sb = sh_py(a), sh_py(b)
+        return len(sa & sb) / len(sa | sb)
+
+    def ref_ingest(stored, batch):
+        clean = [b for b in batch
+                 if all(jac(b, s) < 0.7 for s in stored)]
+        lab = {i: i for i in clean}
+        changed = True
+        while changed:
+            changed = False
+            for a in clean:
+                for b in clean:
+                    if jac(a, b) >= 0.7 and lab[b] < lab[a]:
+                        lab[a] = lab[b]
+                        changed = True
+        return sorted(i for i in clean if lab[i] == i)
+
+    def mkdf(ids):
+        return spark.createDataFrame(
+            [(i, texts[i]) for i in ids], "doc_id long, text string"
+        )
+
+    path = str(tmp_path / "buckets")
+    store = str(tmp_path / "store")   # the corpus text store
+    minhash_save_buckets(mkdf(range(8)), path, num_hashes=16, bands=16,
+                         shingle_k=3)
+    mkdf(range(8)).write.mode("append").parquet(store)
+
+    arrivals = str(tmp_path / "docs_in")
+    ck = str(tmp_path / "ck2")
+    accepted_log = []
+
+    def body(batch, bid):
+        corpus_df = spark.read.parquet(store)
+        accepted = minhash_ingest_dedup(
+            batch, corpus_df, path, batch_id=bid, threshold=0.7,
+            validate_coverage=True,
+        )
+        got = sorted(r["doc_id"] for r in accepted.collect())
+        accepted_log.append((bid, got))
+        # the caller's sink: persist the accepted TEXT after the body —
+        # the artifact may trail the store past a crash, never lead it
+        batch.join(accepted, "doc_id", "left_semi").write.mode(
+            "append"
+        ).parquet(store)
+
+    def run_stream():
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(arrivals)
+            .writeStream.foreachBatch(body)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    mkdf([8, 9, 10]).write.mode("append").parquet(arrivals)
+    run_stream()
+    want0 = ref_ingest(list(range(8)), [8, 9, 10])
+    assert accepted_log == [(0, want0)] and 8 not in want0
+
+    mkdf([11, 12]).write.mode("append").parquet(arrivals)
+    run_stream()
+    want1 = ref_ingest(list(range(8)) + want0, [11, 12])
+    assert accepted_log[1] == (1, want1)
+    art = minhash_load_buckets(spark, path)
+    assert art.buckets.select("id").distinct().count() == \
+        8 + len(want0) + len(want1)
