@@ -4673,6 +4673,13 @@ def test_minhash_ingest_dedup_sequential_semantics(spark, tmp_path):
         mkdf(b2_ids), mkdf(stored2), path, batch_id=1).collect())
     assert got2 == want2 and 16 not in got2  # dup of ACCEPTED 11
 
+    # whole batch corpus-duplicated: clean set is EMPTY — the epoch
+    # still commits (empty append) and returns the empty frame
+    n_after2 = minhash_load_buckets(spark, path).buckets.count()
+    assert minhash_ingest_dedup(
+        mkdf([16]), mkdf(stored2 + got2), path, batch_id=2).count() == 0
+    assert minhash_load_buckets(spark, path).buckets.count() == n_after2
+
     # coverage guard: a corpus store MISSING an accepted id that the
     # probe candidates hit must raise, not silently admit the duplicate
     with pytest.raises(ValueError, match="diverged"):
@@ -4684,9 +4691,9 @@ def test_minhash_ingest_dedup_sequential_semantics(spark, tmp_path):
     # empty epoch commits cleanly, and its replay stays a no-op
     empty = mkdf(b2_ids).limit(0)
     assert minhash_ingest_dedup(
-        empty, mkdf(stored2 + got2), path, batch_id=2).count() == 0
+        empty, mkdf(stored2 + got2), path, batch_id=3).count() == 0
     assert minhash_ingest_dedup(
-        empty, mkdf(stored2 + got2), path, batch_id=2).count() == 0
+        empty, mkdf(stored2 + got2), path, batch_id=3).count() == 0
 
 
 def test_ivfpq_append_refreshes_recon_sidecar(spark, tmp_path):

@@ -1,0 +1,104 @@
+"""Stateful property test for the persisted-artifact lifecycle: random
+interleavings of append / watermark-replay / crash-window-replay /
+compact / re-save against a hamming words sidecar must always agree
+with a driver-side Python model of the committed rows.
+
+The hamming sidecar is the test vehicle because all three tiers share
+the machinery under test (the `_BATCH_WM` watermark recipe, the
+maintenance lock, the compact-time full-row dedupe live in one place
+— similarity.py watermark helpers + io_util); the ivfpq and minhash
+tiers have their own deterministic pins in test_pipeline.py.
+
+Invariants after EVERY op:
+  1. the loaded (id, words) SET equals the engine's own packing of the
+     model's live id set (no lost appends, no resurrected rows after a
+     re-save, replays invisible);
+  2. the loaded row COUNT equals live rows + outstanding crash-window
+     duplicates (crash replays add exact copies; compaction removes
+     exactly them and nothing else).
+"""
+
+import random
+import shutil
+import tempfile
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+DIM, WB = 8, 4
+N, BASE, SLICE = 40, 8, 4
+
+op_st = st.lists(
+    st.sampled_from(["append", "replay", "crash_replay", "compact",
+                     "resave"]),
+    min_size=1, max_size=6,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(ops=op_st)
+def test_sidecar_lifecycle_matches_model(spark, ops):
+    from emodb_spark.pipeline.similarity import (
+        binary_quantize,
+        hamming_append_to_saved,
+        hamming_compact_saved,
+        hamming_load,
+        hamming_save,
+    )
+
+    rng = random.Random(193)
+    vecs = [[rng.uniform(-1.0, 1.0) for _ in range(DIM)] for _ in range(N)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    # expected packed words per id, computed once via the engine itself
+    # (the property under test is the LIFECYCLE, not the packing — the
+    # packing has its own oracle gates)
+    ref = {r["id"]: tuple(r["words"])
+           for r in binary_quantize(df, WB).collect()}
+
+    def slice_df(ids):
+        return df.filter(F.col("vec_id").isin(ids))
+
+    work = tempfile.mkdtemp(prefix="lifecycle_prop_")
+    try:
+        hamming_save(slice_df(list(range(BASE))), work, word_bits=WB)
+        live = set(range(BASE))
+        epoch, next_id, dup_rows, last_slice = -1, BASE, 0, None
+        for op in ops:
+            if op == "append" and next_id + SLICE <= N:
+                ids = list(range(next_id, next_id + SLICE))
+                next_id += SLICE
+                epoch += 1
+                hamming_append_to_saved(slice_df(ids), work, batch_id=epoch)
+                live |= set(ids)
+                last_slice = ids
+            elif op == "replay" and last_slice is not None:
+                # foreachBatch replay of a COMMITTED epoch: watermark
+                # makes it a no-op — the model does not change
+                hamming_append_to_saved(slice_df(last_slice), work,
+                                        batch_id=epoch)
+            elif op == "crash_replay" and last_slice is not None:
+                # the at-least-once crash window: the batch's rows
+                # landed but the watermark commit was lost, so the
+                # stream re-appends exact copies on restart
+                hamming_append_to_saved(slice_df(last_slice), work,
+                                        batch_id=None)
+                dup_rows += len(last_slice)
+            elif op == "compact":
+                hamming_compact_saved(spark, work)
+                dup_rows = 0
+            elif op == "resave":
+                hamming_save(slice_df(list(range(BASE))), work,
+                             word_bits=WB)
+                live = set(range(BASE))
+                epoch, next_id, dup_rows, last_slice = -1, BASE, 0, None
+            # invariants hold after EVERY op, not just at the end
+            rows = [(r["id"], tuple(r["words"]))
+                    for r in hamming_load(spark, work).words.collect()]
+            assert set(rows) == {(i, ref[i]) for i in live}
+            assert len(rows) == len(live) + dup_rows
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
