@@ -556,19 +556,17 @@ def minhash_compact_buckets(spark, path: str) -> None:
     unit test."""
     import os
 
-    from pyspark.sql import Window
-
-    from ..spark.io_util import maintenance_lock, overwrite_dir
+    from ..spark.io_util import (
+        dedupe_exact_rows,
+        maintenance_lock,
+        overwrite_dir,
+    )
 
     with maintenance_lock(path, exclusive=True, who="minhash_compact_buckets"):
-        w = Window.partitionBy("band").orderBy("id", "bucket")
-        row = F.struct("id", "bucket")
-        bc = (
+        bc = dedupe_exact_rows(
             spark.read.parquet(os.path.join(path, "buckets"))
-            .select("id", F.col("band").cast("int").alias("band"), "bucket")
-            .withColumn("__prev", F.lag(row).over(w))
-            .filter(F.col("__prev").isNull() | (F.col("__prev") != row))
-            .drop("__prev")
+            .select("id", F.col("band").cast("int").alias("band"), "bucket"),
+            partition_col="band",
         )
         overwrite_dir(spark, os.path.join(path, "buckets"), bc,
                       partition_by="band")
@@ -699,6 +697,7 @@ def minhash_ingest_dedup(
     batch_id: Optional[int] = None,
     validate_coverage: bool = False,
     stream: str = "",
+    artifact: Optional[MinHashBuckets] = None,
 ) -> DataFrame:
     """DEDUP-ON-INGEST at the MinHash tier — the ``foreachBatch`` body
     that composes the whole bucket-artifact family into the op a
@@ -731,75 +730,127 @@ def minhash_ingest_dedup(
     frame must not recompute against the artifact it just mutated.
     Persisting the accepted docs' TEXT into the corpus store feeding
     ``corpus_df`` is the caller's sink's job (do it in the same
-    foreachBatch body, after this returns — the coverage invariant
-    points the right way: the artifact may briefly trail the store,
-    never lead it past a crash, because a replayed epoch no-ops the
-    append while the store's sink replays its own write).
+    foreachBatch body, after this returns).
 
-    ``batch_id`` rides the artifact's ``_BATCH_WM`` watermark: a
-    replayed epoch neither re-appends nor re-accepts (returns an empty
-    frame — the batch was already ingested; exactly-once delivery of
-    the accepted set is the caller's sink's job, as for every
-    foreachBatch body in this repo). ``stream`` scopes the watermark
-    like the appender it wraps — but concurrent ingest streams also
-    race each other's probe-then-append windows, so prefer one ingest
-    stream per artifact and fan sources into it upstream. Empty
-    epochs commit the watermark and
-    return the empty frame. Unlike the binary tier there is no
-    pigeonhole guarantee — recall is the banding's S-curve (pick the
-    artifact's banding with :func:`minhash_band_plan`'s recall-first
-    mode); at 24x2 over K=48 the per-pair miss probability at j=0.7
-    is ~1e-7, which is why the gate's oracle can be the brute-force
-    replay."""
-    from .similarity import _read_batch_wm, _require_local_root
+    ``batch_id`` rides the artifact's ``_BATCH_WM`` watermark AND a
+    durable per-epoch accepted-set record (``_accepted/``), persisted
+    BEFORE the bucket append: a replayed epoch — whatever the crash
+    split (before the append, between append and watermark, or after
+    the watermark but before the CALLER's store write) — returns the
+    SAME accepted ids instead of recomputing (a recompute after a
+    partial append would self-match the batch against its own
+    appended buckets and reject everything) or returning empty (which
+    would leave the store permanently trailing the artifact — exactly
+    the divergence ``validate_coverage`` treats as fatal, wedging the
+    stream). The caller's store write therefore just needs to be
+    idempotent per doc id. ``stream`` scopes the watermark and the
+    accepted record like the appender it wraps — but concurrent
+    ingest streams also race each other's probe-then-append windows,
+    so prefer one ingest stream per artifact and fan sources into it
+    upstream. The whole probe→append span holds the artifact's
+    maintenance lock SHARED, so a compactor cannot rewrite the
+    buckets under the in-flight probe. Empty epochs commit the
+    watermark and return the empty frame. ``artifact=`` (from
+    ``minhash_load_buckets(path)`` — the SAME path, nothing else)
+    reuses the immutable banding meta to skip the per-epoch meta
+    collect; the bucket TABLE is still re-read fresh every epoch — a
+    cached frame's file listing would not see prior epochs' appends,
+    silently skipping dedup against them. Unlike the binary tier
+    there is no pigeonhole guarantee — recall is the banding's
+    S-curve (pick the artifact's banding with
+    :func:`minhash_band_plan`'s recall-first mode); at 24x2 over K=48
+    the per-pair miss probability at j=0.7 is ~1e-7, which is why the
+    gate's oracle can be the brute-force replay."""
+    import os
+
+    from ..spark.io_util import maintenance_lock
+    from .similarity import (
+        _accepted_dir,
+        _persist_accepted,
+        _read_accepted,
+        _read_batch_wm,
+        _require_local_root,
+    )
 
     spark = batch_df.sparkSession
     empty_ids = batch_df.select(id_col).limit(0)  # schema follows the batch
-    if batch_id is not None:
-        _require_local_root(path, "minhash_ingest_dedup(batch_id=...)")
-        if int(batch_id) <= _read_batch_wm(path, stream):
+    with maintenance_lock(path, exclusive=False, who="minhash_ingest_dedup"):
+        acc_dir = None
+        if batch_id is not None:
+            _require_local_root(path, "minhash_ingest_dedup(batch_id=...)")
+            acc_dir = _accepted_dir(path, stream, batch_id)
+            if int(batch_id) <= _read_batch_wm(path, stream):
+                # already ingested — hand the caller's sink the same
+                # accepted set so IT can replay its own store write
+                persisted = _read_accepted(spark, acc_dir, empty_ids.schema)
+                return persisted if persisted is not None else empty_ids
+        if artifact is not None:
+            # banding-meta reuse only — the bucket table is re-read
+            # fresh so the probe sees every earlier epoch's appends
+            art = MinHashBuckets(
+                spark.read.parquet(os.path.join(path, "buckets")).select(
+                    "id", F.col("band").cast("int").alias("band"), "bucket"
+                ),
+                artifact.num_hashes, artifact.bands, artifact.shingle_k,
+            )
+        else:
+            art = minhash_load_buckets(spark, path)
+        if batch_df.isEmpty():  # foreachBatch delivers empty epochs — commit
+            if acc_dir is not None:
+                _persist_accepted(empty_ids, acc_dir)
+            minhash_append_buckets(
+                batch_df, path, text_col=text_col, id_col=id_col,
+                batch_id=batch_id, artifact=art, stream=stream,
+            )
             return empty_ids
-    artifact = minhash_load_buckets(spark, path)
-    if batch_df.isEmpty():  # foreachBatch delivers empty epochs — commit
-        minhash_append_buckets(
-            batch_df, path, text_col=text_col, id_col=id_col,
-            batch_id=batch_id, artifact=artifact, stream=stream,
+        accepted_ids = (
+            _read_accepted(spark, acc_dir, empty_ids.schema)
+            if acc_dir is not None else None
         )
-        return empty_ids
-    cross = incremental_near_dups(
-        corpus_df, batch_df, text_col=text_col, id_col=id_col,
-        threshold=threshold, max_bucket_size=max_bucket_size,
-        corpus_buckets=artifact, validate_coverage=validate_coverage,
-    )
-    clean = batch_df.join(
-        cross.select(F.col("batch_id").alias(id_col)).distinct(),
-        id_col, "left_anti",
-    ).localCheckpoint(eager=True)
-    # ^ eager: `clean`'s lineage embeds the whole artifact probe + text
-    # verify, and the intra clustering below would re-evaluate it per
-    # fixpoint round (the hamming_ingest_dedup measurement: 2x+ of the
-    # op's wall); the frame is micro-batch-sized by contract.
-    sh = shingle_sets(clean, text_col, id_col, artifact.shingle_k)
-    cands = minhash_lsh_candidates(
-        clean, text_col, id_col, num_hashes=artifact.num_hashes,
-        bands=artifact.bands, shingle_k=artifact.shingle_k,
-        max_bucket_size=max_bucket_size, sh=sh,
-        jaccard_threshold=threshold,
-    )
-    pairs = ngram_jaccard(
-        clean, pairs=cands, text_col=text_col, id_col=id_col,
-        shingle_k=artifact.shingle_k, threshold=threshold, sh=sh,
-    ).select("id_a", "id_b")
-    clusters = near_dup_clusters(clean, pairs, id_col=id_col)
-    accepted_ids = clusters.filter(
-        F.col(id_col) == F.col("cluster_id")
-    ).select(id_col).localCheckpoint(eager=True)
-    accepted = batch_df.join(accepted_ids, id_col, "left_semi")
-    minhash_append_buckets(
-        accepted, path, text_col=text_col, id_col=id_col,
-        batch_id=batch_id, artifact=artifact, stream=stream,
-    )
-    return accepted_ids
+        if accepted_ids is None:
+            cross = incremental_near_dups(
+                corpus_df, batch_df, text_col=text_col, id_col=id_col,
+                threshold=threshold, max_bucket_size=max_bucket_size,
+                corpus_buckets=art, validate_coverage=validate_coverage,
+            )
+            clean = batch_df.join(
+                cross.select(F.col("batch_id").alias(id_col)).distinct(),
+                id_col, "left_anti",
+            ).localCheckpoint(eager=True)
+            # ^ eager: `clean`'s lineage embeds the whole artifact probe +
+            # text verify, and the intra clustering below would
+            # re-evaluate it per fixpoint round (the hamming_ingest_dedup
+            # measurement: 2x+ of the op's wall); the frame is
+            # micro-batch-sized by contract.
+            sh = shingle_sets(clean, text_col, id_col, art.shingle_k)
+            cands = minhash_lsh_candidates(
+                clean, text_col, id_col, num_hashes=art.num_hashes,
+                bands=art.bands, shingle_k=art.shingle_k,
+                max_bucket_size=max_bucket_size, sh=sh,
+                jaccard_threshold=threshold,
+            )
+            pairs = ngram_jaccard(
+                clean, pairs=cands, text_col=text_col, id_col=id_col,
+                shingle_k=art.shingle_k, threshold=threshold, sh=sh,
+            ).select("id_a", "id_b")
+            clusters = near_dup_clusters(clean, pairs, id_col=id_col)
+            accepted_ids = clusters.filter(
+                F.col(id_col) == F.col("cluster_id")
+            ).select(id_col).localCheckpoint(eager=True)
+            if acc_dir is not None:
+                # durable BEFORE the append — the decision must never be
+                # recomputed after any of the batch's buckets have landed
+                _persist_accepted(accepted_ids, acc_dir)
+        # else: complete accepted record, uncommitted watermark — the
+        # crash hit between record/append and commit; the durable
+        # decision stands, and the re-append lands exact duplicate rows
+        # that minhash_compact_buckets dedupes
+        accepted = batch_df.join(accepted_ids, id_col, "left_semi")
+        minhash_append_buckets(
+            accepted, path, text_col=text_col, id_col=id_col,
+            batch_id=batch_id, artifact=art, stream=stream,
+        )
+        return accepted_ids
 
 
 _BIT_MASKS = [1 << i for i in range(63)] + [-(1 << 63)]

@@ -1442,27 +1442,25 @@ def ivfpq_compact_saved(spark: SparkSession, path: str) -> None:
     appenders drain."""
     import os
 
-    from ..spark.io_util import maintenance_lock, overwrite_dir
+    from ..spark.io_util import (
+        dedupe_exact_rows,
+        maintenance_lock,
+        overwrite_dir,
+    )
 
     with maintenance_lock(path, exclusive=True, who="ivfpq_compact_saved"):
-        w = Window.partitionBy("cell").orderBy("id", "j", "code")
-        row = F.struct("id", "j", "code")
-        enc = (
+        enc = dedupe_exact_rows(
             spark.read.parquet(os.path.join(path, "enc"))
-            .select("id", "cell", "j", "code")
-            .withColumn("__prev", F.lag(row).over(w))
-            .filter(F.col("__prev").isNull() | (F.col("__prev") != row))
-            .drop("__prev")
+            .select("id", "cell", "j", "code"),
+            partition_col="cell",
         )
         overwrite_dir(
             spark, os.path.join(path, "enc"), enc, partition_by="cell"
         )
         recon_dir = os.path.join(path, "recon")
         if "://" not in path and os.path.exists(recon_dir):
-            recon = (
-                spark.read.parquet(recon_dir)
-                .select("id", "recv")
-                .dropDuplicates()
+            recon = dedupe_exact_rows(
+                spark.read.parquet(recon_dir).select("id", "recv")
             )
             overwrite_dir(spark, recon_dir, recon)
 
@@ -1535,11 +1533,17 @@ def _read_batch_wm(path: str, stream: str = "") -> int:
 def _commit_batch_wm(path: str, batch_id: int, stream: str = "") -> None:
     """Atomically advance the stream's ``_BATCH_WM`` watermark
     (write-temp + rename, the ``_CURRENT`` idiom) — the single writer,
-    see :func:`_read_batch_wm`."""
+    see :func:`_read_batch_wm`. The temp suffix contains ``~``, which
+    the stream-id alphabet rejects, so no stream's watermark file can
+    collide with another stream's in-flight temp (a ``.tmp`` suffix
+    would collide with a stream literally named ``tmp``: the default
+    stream's temp write would truncate-and-steal that stream's
+    committed watermark, re-opening the duplicate-replay window the
+    per-stream scoping closed)."""
     import os
 
     wm_path = _wm_file(path, stream)
-    tmp = wm_path + ".tmp"
+    tmp = wm_path + ".tmp~"
     with open(tmp, "w") as f:
         f.write(str(int(batch_id)))
     os.replace(tmp, wm_path)
@@ -1550,16 +1554,74 @@ def _reset_batch_wm(path: str) -> None:
     artifact is REBUILT at an existing path: committed epoch ids belong
     to the old base, and leaving them would make a fresh stream's early
     epochs silently no-op (`batch_id <= stale watermark`), permanently
-    dropping their rows. Every ``*_save`` entry point calls this."""
+    dropping their rows. The ingest bodies' durable accepted-set dirs
+    (:func:`_accepted_dir`) belong to the old base for the same reason
+    and are removed too. Every ``*_save`` entry point calls this."""
     import contextlib
     import glob
     import os
+    import shutil
 
     for f in [os.path.join(path, BATCH_WM_FILE)] + glob.glob(
             os.path.join(glob.escape(path), BATCH_WM_FILE + ".*")):
-        # includes any *.tmp strays from a crashed commit — stale too
+        # includes any *.tmp~ strays from a crashed commit — stale too
         with contextlib.suppress(FileNotFoundError, NotADirectoryError):
             os.remove(f)
+    shutil.rmtree(os.path.join(path, "_accepted"), ignore_errors=True)
+
+
+def _accepted_dir(path: str, stream: str, batch_id: int) -> str:
+    """The durable accepted-set location for one (stream, epoch) of an
+    ingest body: the decision "which batch rows were accepted" must
+    survive a crash BETWEEN the artifact append and the caller's
+    corpus-store write — a replayed epoch that returned an empty frame
+    would leave the store permanently trailing the artifact (every
+    later probe of the orphaned ids either raises the coverage guard
+    forever or silently ADMITS their duplicates). Persisting the set
+    before the append makes the whole epoch replayable: the replay
+    returns the SAME accepted ids, so the caller's sink can redo its
+    own write. The dir is scoped per stream (stream ids share the
+    watermark's filename-safe alphabet) under ``_accepted/``, which
+    :func:`_reset_batch_wm` clears on re-save."""
+    import os
+
+    _wm_file(path, stream)  # reuse the stream-id validation
+    return os.path.join(path, "_accepted", stream or "_", str(int(batch_id)))
+
+
+def _persist_accepted(ids_df: DataFrame, acc_dir: str) -> None:
+    """Durably record an epoch's accepted-id set (overwrite — a crashed
+    earlier attempt's partial dir is replaced wholesale), and prune the
+    stream's OLDER epochs: foreachBatch replays only the last
+    uncommitted epoch, so once this epoch's decision is durable the
+    predecessors are dead weight."""
+    import contextlib
+    import os
+    import shutil
+
+    ids_df.write.mode("overwrite").parquet(acc_dir)
+    stream_dir = os.path.dirname(acc_dir)
+    me = os.path.basename(acc_dir)
+    with contextlib.suppress(FileNotFoundError, NotADirectoryError):
+        for d in os.listdir(stream_dir):
+            if d != me and d.isdigit() and int(d) < int(me):
+                shutil.rmtree(os.path.join(stream_dir, d),
+                              ignore_errors=True)
+
+
+def _read_accepted(spark: SparkSession, acc_dir: str, schema) -> Optional[DataFrame]:
+    """Load a persisted accepted-id set (None when the epoch has no
+    complete record — no ``_SUCCESS`` marker means a crashed persist,
+    whose replay recomputes from scratch; a missing dir on a COMMITTED
+    epoch means a pre-durability artifact, where the legacy
+    empty-frame contract is all that can be honored). The explicit
+    schema keeps empty sets readable (a zero-row parquet dir carries
+    no inferable schema)."""
+    import os
+
+    if not os.path.exists(os.path.join(acc_dir, "_SUCCESS")):
+        return None
+    return spark.read.schema(schema).parquet(acc_dir)
 
 
 def _require_local_root(root: str, who: str) -> None:
@@ -2961,13 +3023,16 @@ def hamming_compact_saved(
     pinned unchanged by a unit test."""
     import os
 
-    from ..spark.io_util import maintenance_lock, overwrite_dir
+    from ..spark.io_util import (
+        dedupe_exact_rows,
+        maintenance_lock,
+        overwrite_dir,
+    )
 
     with maintenance_lock(path, exclusive=True, who="hamming_compact_saved"):
-        words = (
+        words = dedupe_exact_rows(
             spark.read.parquet(os.path.join(path, "words"))
             .select("id", "words")
-            .dropDuplicates()
         )
         if target_files is not None:
             words = words.coalesce(int(target_files))
@@ -3358,6 +3423,7 @@ def hamming_ingest_dedup(
     vec_col: str = "embedding",
     batch_id: Optional[int] = None,
     stream: str = "",
+    sidecar: Optional[HammingIndex] = None,
 ) -> DataFrame:
     """DEDUP-ON-INGEST at the binary tier — the ``foreachBatch`` body
     that composes the whole maintenance family into the op a
@@ -3380,63 +3446,118 @@ def hamming_ingest_dedup(
     next batch deduplicates against them too. Returns the accepted ids
     (one ``id_col`` column), eagerly materialized BEFORE the append —
     the returned frame must not recompute against the corpus it just
-    mutated. ``batch_id`` rides the sidecar's ``_BATCH_WM`` watermark:
-    a replayed epoch neither re-appends nor re-accepts (returns an
-    empty frame — the batch was already ingested; exactly-once
-    delivery of the accepted set is the caller's sink's job, as for
-    every foreachBatch body in this repo; ``stream`` scopes the
-    watermark when more than one ingest stream feeds one artifact —
-    note that concurrent ingest streams ALSO race each other's
-    probe-then-append windows, so prefer one ingest stream per
-    artifact and fan sources into it upstream). Uses the sidecar's own
-    word_bits; the pigeonhole guarantee is validated for both the
-    cross check and the intra clustering."""
+    mutated. ``batch_id`` rides the sidecar's ``_BATCH_WM`` watermark
+    AND a durable per-epoch accepted-set record (``_accepted/``): the
+    accepted ids are persisted BEFORE the append, so a replayed epoch
+    — whether the crash hit before the append, between the append and
+    the watermark commit, or after the commit but before the CALLER's
+    own sink write — returns the SAME accepted ids instead of
+    recomputing (a recompute after a partial append would self-match
+    the batch against its own appended words and reject everything)
+    or returning empty (which would leave a caller's store
+    permanently trailing the artifact — the divergence the coverage
+    guards treat as fatal). Exactly-once delivery into the caller's
+    sink is thus an idempotent-write problem on the caller's side, as
+    for every foreachBatch body in this repo. ``stream`` scopes the
+    watermark and the accepted record when more than one ingest
+    stream feeds one artifact — note that concurrent ingest streams
+    ALSO race each other's probe-then-append windows, so prefer one
+    ingest stream per artifact and fan sources into it upstream. The
+    whole probe→append span holds the artifact's maintenance lock
+    SHARED, so a compactor cannot rewrite the sidecar under the
+    in-flight probe. ``sidecar=`` (from ``hamming_load(path)`` — the
+    SAME path, nothing else) reuses the immutable meta (dim,
+    word_bits) to skip the per-epoch meta collect; the words TABLE is
+    still re-read fresh every epoch — a cached frame's file listing
+    would not see prior epochs' appends, silently skipping dedup
+    against them. Uses the sidecar's own word_bits; the pigeonhole
+    guarantee is validated for both the cross check and the intra
+    clustering."""
+    import os
+
+    from ..spark.io_util import maintenance_lock
+
     spark = batch.sparkSession
     empty_ids = batch.select(id_col).limit(0)  # schema follows the batch
-    if batch_id is not None:
-        _require_local_root(path, "hamming_ingest_dedup(batch_id=...)")
-        if int(batch_id) <= _read_batch_wm(path, stream):
+    with maintenance_lock(path, exclusive=False, who="hamming_ingest_dedup"):
+        acc_dir = None
+        if batch_id is not None:
+            _require_local_root(path, "hamming_ingest_dedup(batch_id=...)")
+            acc_dir = _accepted_dir(path, stream, batch_id)
+            if int(batch_id) <= _read_batch_wm(path, stream):
+                # already ingested — hand the caller's sink the same
+                # accepted set so IT can replay its own write (empty
+                # only for pre-durability artifacts with no record)
+                persisted = _read_accepted(spark, acc_dir, empty_ids.schema)
+                return persisted if persisted is not None else empty_ids
+        if sidecar is not None:
+            # meta reuse only — the words table is re-read fresh so the
+            # probe sees every earlier epoch's appends
+            idx = HammingIndex(
+                spark.read.parquet(os.path.join(path, "words")).select(
+                    "id", "words"
+                ),
+                sidecar.dim, sidecar.word_bits,
+            )
+        else:
+            idx = hamming_load(spark, path)
+        if batch.isEmpty():  # foreachBatch delivers empty epochs — commit
+            if acc_dir is not None:
+                _persist_accepted(empty_ids, acc_dir)
+            hamming_append_to_saved(
+                batch, path, id_col=id_col, vec_col=vec_col,
+                batch_id=batch_id, dim=idx.dim, sidecar=idx, stream=stream,
+            )
             return empty_ids
-    idx = hamming_load(spark, path)
-    if batch.isEmpty():  # foreachBatch delivers empty epochs — commit
+        accepted_ids = (
+            _read_accepted(spark, acc_dir, empty_ids.schema)
+            if acc_dir is not None else None
+        )
+        if accepted_ids is None:
+            cross = hamming_incremental_near_dups(
+                None, batch, threshold, band_radius=band_radius,
+                id_col=id_col, vec_col=vec_col, index=idx,
+            )
+            clean = batch.join(
+                cross.select(F.col("batch_id").alias(id_col)).distinct(),
+                id_col, "left_anti",
+            ).localCheckpoint(eager=True)
+            # ^ eager: `clean`'s lineage embeds the whole cross-probe, and
+            # the clustering fixpoint + the accepted checkpoint would
+            # re-evaluate it ~3x (measured 2x+ of the op's wall at sf0.1);
+            # the frame is micro-batch-sized by contract, so pinning it is
+            # cheap.
+            # Cluster the survivors through a frame-side index (words
+            # packed at the SIDECAR's width, dim supplied) — `clean` may
+            # be EMPTY when the whole batch was corpus-duplicated, and a
+            # first() probe there would raise
+            clean_idx = HammingIndex(
+                binary_quantize(clean, idx.word_bits, id_col, vec_col,
+                                dim=idx.dim),
+                idx.dim, idx.word_bits,
+            )
+            clusters = hamming_dup_clusters(
+                None, threshold, band_radius=band_radius, id_col=id_col,
+                vec_col=vec_col, index=clean_idx,
+            )
+            accepted_ids = clusters.filter(
+                F.col(id_col) == F.col("cluster_id")
+            ).select(id_col).localCheckpoint(eager=True)
+            if acc_dir is not None:
+                # durable BEFORE the append: see the docstring's crash
+                # analysis — the decision must never be recomputed after
+                # any of the batch's words have landed
+                _persist_accepted(accepted_ids, acc_dir)
+        # else: a complete accepted record exists but the watermark was
+        # never committed — the crash hit between the record/append and
+        # the commit; the durable decision stands, and the re-append
+        # below lands exact duplicate rows that compaction dedupes
+        accepted = batch.join(accepted_ids, id_col, "left_semi")
         hamming_append_to_saved(
-            batch, path, id_col=id_col, vec_col=vec_col,
+            accepted, path, id_col=id_col, vec_col=vec_col,
             batch_id=batch_id, dim=idx.dim, sidecar=idx, stream=stream,
         )
-        return empty_ids
-    cross = hamming_incremental_near_dups(
-        None, batch, threshold, band_radius=band_radius,
-        id_col=id_col, vec_col=vec_col, index=idx,
-    )
-    clean = batch.join(
-        cross.select(F.col("batch_id").alias(id_col)).distinct(),
-        id_col, "left_anti",
-    ).localCheckpoint(eager=True)
-    # ^ eager: `clean`'s lineage embeds the whole cross-probe, and the
-    # clustering fixpoint + the accepted checkpoint would re-evaluate
-    # it ~3x (measured 2x+ of the op's wall at sf0.1); the frame is
-    # micro-batch-sized by contract, so pinning it is cheap.
-    # Cluster the survivors through a frame-side index (words packed
-    # at the SIDECAR's width, dim supplied) — `clean` may be EMPTY
-    # when the whole batch was corpus-duplicated, and a first() probe
-    # there would raise
-    clean_idx = HammingIndex(
-        binary_quantize(clean, idx.word_bits, id_col, vec_col, dim=idx.dim),
-        idx.dim, idx.word_bits,
-    )
-    clusters = hamming_dup_clusters(
-        None, threshold, band_radius=band_radius, id_col=id_col,
-        vec_col=vec_col, index=clean_idx,
-    )
-    accepted_ids = clusters.filter(
-        F.col(id_col) == F.col("cluster_id")
-    ).select(id_col).localCheckpoint(eager=True)
-    accepted = batch.join(accepted_ids, id_col, "left_semi")
-    hamming_append_to_saved(
-        accepted, path, id_col=id_col, vec_col=vec_col,
-        batch_id=batch_id, dim=idx.dim, sidecar=idx, stream=stream,
-    )
-    return accepted_ids
+        return accepted_ids
 
 
 def hamming_dup_clusters(

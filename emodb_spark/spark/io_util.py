@@ -146,6 +146,36 @@ def current_version(root: str) -> str:
     return os.path.join(root, vname)
 
 
+def dedupe_exact_rows(df: DataFrame, partition_col: Optional[str] = None):
+    """Remove EXACT duplicate rows — the compactors' crash-window-replay
+    healer, one implementation for all three artifact tiers (the
+    appenders' at-least-once window replays a batch as exact row
+    copies; encoding/packing/signing are deterministic, so full-row
+    dedupe removes precisely the replays and nothing legitimate).
+
+    With ``partition_col`` the dedupe rides the partitioned write's own
+    clustering exchange: a window-lag over the partition ordered by the
+    remaining columns makes duplicates adjacent, so the plan is exactly
+    ONE Exchange hashpartitioning(partition_col) (verified via
+    executedPlan) — no extra shuffle over a plain repartition. Without
+    it, a full-row dropDuplicates (one exchange over the compressed
+    rows — the unpartitioned artifacts are words/bucket-sized, never
+    corpus-sized)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if partition_col is None:
+        return df.dropDuplicates()
+    rest = [c for c in df.columns if c != partition_col]
+    w = Window.partitionBy(partition_col).orderBy(*rest)
+    row = F.struct(*rest)
+    return (
+        df.withColumn("__prev", F.lag(row).over(w))
+        .filter(F.col("__prev").isNull() | (F.col("__prev") != row))
+        .drop("__prev")
+    )
+
+
 def overwrite_dir(
     spark: SparkSession,
     path: str,

@@ -4562,9 +4562,11 @@ def test_hamming_ingest_dedup_sequential_semantics(spark, tmp_path):
     n_after1 = hamming_load(spark, path).words.count()
     assert n_after1 == 24 + len(got1)
 
-    # replayed epoch: empty return, sidecar unchanged
-    assert hamming_ingest_dedup(
-        b1, path, threshold=thr, band_radius=1, batch_id=0).count() == 0
+    # replayed epoch: returns the PERSISTED accepted set (so a caller's
+    # crashed sink can redo its own write), sidecar unchanged
+    assert sorted(r["vec_id"] for r in hamming_ingest_dedup(
+        b1, path, threshold=thr, band_radius=1, batch_id=0
+    ).collect()) == got1
     assert hamming_load(spark, path).words.count() == n_after1
 
     # second batch dedups against corpus AND batch-1 acceptances
@@ -4580,6 +4582,65 @@ def test_hamming_ingest_dedup_sequential_semantics(spark, tmp_path):
     # and a replay of it stays a no-op
     assert hamming_ingest_dedup(
         empty, path, threshold=thr, band_radius=1, batch_id=2).count() == 0
+
+
+def test_ingest_crash_windows_replay_durably(spark, tmp_path):
+    """The ingest bodies' crash windows, replayed: the accepted-set
+    decision is durable BEFORE the append, so (a) a replay after the
+    watermark commit was lost (crash between append and commit)
+    returns the SAME accepted ids — NOT a recompute, which would
+    self-match the batch against its own appended words and reject
+    everything, and NOT empty, which would strand a caller's store
+    behind the artifact forever — while the duplicate appended rows
+    heal at compaction; and (b) a stale preloaded sidecar handle
+    (sidecar=) only reuses the immutable meta — the words table is
+    re-read fresh, so later epochs still dedup against earlier
+    epochs' acceptances."""
+    import os
+    import random
+
+    from emodb_spark.pipeline.similarity import (
+        hamming_ingest_dedup,
+        hamming_load,
+        hamming_save,
+        hamming_compact_saved,
+    )
+
+    rng = random.Random(181)
+    base = [[rng.uniform(-0.5, 0.5) for _ in range(16)] for _ in range(28)]
+    base[20] = [x + 0.01 for x in base[17]]   # e2 row dups e1's row 17
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "crash_ingest")
+    hamming_save(df.filter(F.col("vec_id") < 16), path, word_bits=4)
+    stale_handle = hamming_load(spark, path)  # preloaded BEFORE appends
+
+    b1 = df.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 20))
+    got1 = sorted(r["vec_id"] for r in hamming_ingest_dedup(
+        b1, path, threshold=2, band_radius=1, batch_id=0).collect())
+    n1 = hamming_load(spark, path).words.count()
+    assert n1 == 16 + len(got1)
+
+    # crash window: the epoch's rows and accepted record landed but the
+    # watermark commit was lost — simulate by deleting the watermark
+    os.remove(os.path.join(path, "_BATCH_WM"))
+    replay = sorted(r["vec_id"] for r in hamming_ingest_dedup(
+        b1, path, threshold=2, band_radius=1, batch_id=0).collect())
+    assert replay == got1              # durable decision, not a recompute
+    assert hamming_load(spark, path).words.count() == n1 + len(got1)
+    hamming_compact_saved(spark, path)  # the documented recovery
+    assert hamming_load(spark, path).words.count() == n1
+
+    # stale handle: meta reused, table re-read — vec 20 dups e1's
+    # ACCEPTED 17 and must be rejected even though the handle predates it
+    b2 = df.filter(F.col("vec_id") >= 20)
+    got2 = sorted(r["vec_id"] for r in hamming_ingest_dedup(
+        b2, path, threshold=2, band_radius=1, batch_id=1,
+        sidecar=stale_handle).collect())
+    assert 20 not in got2
+    assert 17 in got1  # the premise of the rejection above
 
 
 def test_minhash_ingest_dedup_sequential_semantics(spark, tmp_path):
@@ -4660,9 +4721,10 @@ def test_minhash_ingest_dedup_sequential_semantics(spark, tmp_path):
     n_after1 = minhash_load_buckets(spark, path).buckets.count()
     assert n_after1 == (len(stored) + len(got1)) * 24  # one row per band
 
-    # replayed epoch: empty return, artifact unchanged
-    assert minhash_ingest_dedup(
-        mkdf(b1_ids), mkdf(stored), path, batch_id=0).count() == 0
+    # replayed epoch: returns the PERSISTED accepted set (so a caller's
+    # crashed store write can be redone), artifact unchanged
+    assert sorted(r["doc_id"] for r in minhash_ingest_dedup(
+        mkdf(b1_ids), mkdf(stored), path, batch_id=0).collect()) == got1
     assert minhash_load_buckets(spark, path).buckets.count() == n_after1
 
     # second batch dedups against corpus AND batch-1 acceptances
