@@ -1581,25 +1581,48 @@ def _accepted_dir(path: str, stream: str, batch_id: int) -> str:
     before the append makes the whole epoch replayable: the replay
     returns the SAME accepted ids, so the caller's sink can redo its
     own write. The dir is scoped per stream (stream ids share the
-    watermark's filename-safe alphabet) under ``_accepted/``, which
-    :func:`_reset_batch_wm` clears on re-save."""
+    watermark's filename-safe alphabet; the DEFAULT stream maps to a
+    name containing ``~``, which that alphabet rejects, so no named
+    stream can collide with it — a plain ``_`` would alias stream
+    ``"_"`` onto the default stream's records, handing one stream's
+    accepted ids to the other's sink on replay) under ``_accepted/``,
+    which :func:`_reset_batch_wm` clears on re-save."""
     import os
 
     _wm_file(path, stream)  # reuse the stream-id validation
-    return os.path.join(path, "_accepted", stream or "_", str(int(batch_id)))
+    return os.path.join(
+        path, "_accepted", stream or "~default~", str(int(batch_id))
+    )
+
+
+ACCEPTED_OK_FILE = "_ACCEPTED_OK"  # library-owned completion marker
 
 
 def _persist_accepted(ids_df: DataFrame, acc_dir: str) -> None:
-    """Durably record an epoch's accepted-id set (overwrite — a crashed
-    earlier attempt's partial dir is replaced wholesale), and prune the
+    """Durably record an epoch's accepted-id set, and prune the
     stream's OLDER epochs: foreachBatch replays only the last
     uncommitted epoch, so once this epoch's decision is durable the
-    predecessors are dead weight."""
+    predecessors are dead weight. Completion is marked by a
+    library-owned ``_ACCEPTED_OK`` file rather than Spark's
+    ``_SUCCESS`` (which disappears under
+    ``mapreduce.fileoutputcommitter.marksuccessfuljobs=false`` — a
+    common tuning that would silently demote every replay to the
+    unsafe recompute path). Marker ordering makes retries safe: the
+    stale marker is removed BEFORE the overwrite (a crash mid-rewrite
+    must read as incomplete, never as complete-with-partial-rows) and
+    written back only after the parquet lands; the accepted dirs live
+    on the local FS by contract (``batch_id`` requires a local root),
+    so the os-level marker is sound."""
     import contextlib
     import os
     import shutil
 
+    marker = os.path.join(acc_dir, ACCEPTED_OK_FILE)
+    with contextlib.suppress(FileNotFoundError, NotADirectoryError):
+        os.remove(marker)
     ids_df.write.mode("overwrite").parquet(acc_dir)
+    with open(marker, "w"):
+        pass
     stream_dir = os.path.dirname(acc_dir)
     me = os.path.basename(acc_dir)
     with contextlib.suppress(FileNotFoundError, NotADirectoryError):
@@ -1611,15 +1634,16 @@ def _persist_accepted(ids_df: DataFrame, acc_dir: str) -> None:
 
 def _read_accepted(spark: SparkSession, acc_dir: str, schema) -> Optional[DataFrame]:
     """Load a persisted accepted-id set (None when the epoch has no
-    complete record — no ``_SUCCESS`` marker means a crashed persist,
-    whose replay recomputes from scratch; a missing dir on a COMMITTED
-    epoch means a pre-durability artifact, where the legacy
-    empty-frame contract is all that can be honored). The explicit
-    schema keeps empty sets readable (a zero-row parquet dir carries
-    no inferable schema)."""
+    complete record — a missing ``_ACCEPTED_OK`` marker means a
+    crashed persist, whose replay recomputes from scratch, safe
+    because the persist strictly precedes the append; a missing dir
+    on a COMMITTED epoch means a pre-durability artifact, where the
+    legacy empty-frame contract is all that can be honored). The
+    explicit schema keeps empty sets readable (a zero-row parquet dir
+    carries no inferable schema)."""
     import os
 
-    if not os.path.exists(os.path.join(acc_dir, "_SUCCESS")):
+    if not os.path.exists(os.path.join(acc_dir, ACCEPTED_OK_FILE)):
         return None
     return spark.read.schema(schema).parquet(acc_dir)
 

@@ -3931,6 +3931,14 @@ def test_stream_scoped_watermarks_interleave_safely(spark, tmp_path):
     with pytest.raises(ValueError, match="stream id"):
         hamming_append_to_saved(a0, path, batch_id=2, stream="../evil")
 
+    # the default stream's durable-accepted dir cannot alias any NAMED
+    # stream's: "~default~" contains a char the stream alphabet rejects
+    # (a plain "_" would hand stream "_"'s accepted ids to the default
+    # stream's sink on replay, and vice versa)
+    from emodb_spark.pipeline.similarity import _accepted_dir
+
+    assert _accepted_dir(path, "", 5) != _accepted_dir(path, "_", 5)
+
 
 def test_hamming_and_minhash_publish_roundtrip(spark, tmp_path):
     """hamming_publish / minhash_publish_buckets: the versioned-dir +
