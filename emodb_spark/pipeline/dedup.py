@@ -533,6 +533,50 @@ def minhash_load_current_buckets(spark, root: str) -> MinHashBuckets:
     return minhash_load_buckets(spark, current_version(root))
 
 
+def minhash_compact_published(spark, path_root: str) -> str:
+    """COMPACTION-BY-REPUBLISH for a published bucket root — the
+    :func:`emodb_spark.pipeline.similarity.ivfpq_compact_published`
+    shape at the MinHash tier (the in-place
+    :func:`minhash_compact_buckets` refuses the version dir
+    ``_CURRENT`` points at): snapshot the current version's buckets
+    under its maintenance lock held EXCLUSIVE (a straggler appender
+    raises instead of landing rows the snapshot misses),
+    full-row-dedupe the crash-window replays riding the band
+    partition's own exchange, write buckets + the pinned banding meta
+    as the NEXT version, flip the pointer advance-only. Readers drain
+    off the old version; nothing is rewritten under them. Returns the
+    new version directory."""
+    import os
+
+    from ..spark.io_util import (
+        current_version,
+        dedupe_exact_rows,
+        maintenance_lock,
+        publish_version,
+    )
+
+    cur = current_version(path_root)
+    with maintenance_lock(cur, exclusive=True,
+                          who="minhash_compact_published"):
+        art = minhash_load_buckets(spark, cur)
+        bc = dedupe_exact_rows(art.buckets, partition_col="band")
+
+        def save(vdir: str) -> None:
+            bc.write.mode("overwrite").partitionBy("band").parquet(
+                os.path.join(vdir, "buckets")
+            )
+            meta = spark.createDataFrame(
+                [(int(art.num_hashes), int(art.bands), int(art.shingle_k))],
+                "num_hashes long, bands long, shingle_k long",
+            )
+            meta.coalesce(1).write.mode("overwrite").json(
+                os.path.join(vdir, "meta")
+            )
+
+        return publish_version(path_root, save,
+                               "minhash_compact_published")
+
+
 def minhash_compact_buckets(spark, path: str) -> None:
     """Bin-pack an append-accumulated bucket artifact IN PLACE — the
     ivfpq/hamming compactor idiom for the MinHash tier: each epoch
@@ -558,10 +602,13 @@ def minhash_compact_buckets(spark, path: str) -> None:
 
     from ..spark.io_util import (
         dedupe_exact_rows,
+        guard_unpublished,
         maintenance_lock,
         overwrite_dir,
     )
 
+    guard_unpublished(path, "minhash_compact_buckets",
+                      "minhash_compact_published(spark, root)")
     with maintenance_lock(path, exclusive=True, who="minhash_compact_buckets"):
         bc = dedupe_exact_rows(
             spark.read.parquet(os.path.join(path, "buckets"))
@@ -744,12 +791,17 @@ def minhash_ingest_dedup(
     the divergence ``validate_coverage`` treats as fatal, wedging the
     stream). The caller's store write therefore just needs to be
     idempotent per doc id. ``stream`` scopes the watermark and the
-    accepted record like the appender it wraps — but concurrent
-    ingest streams also race each other's probe-then-append windows,
-    so prefer one ingest stream per artifact and fan sources into it
-    upstream. The whole probe→append span holds the artifact's
-    maintenance lock SHARED, so a compactor cannot rewrite the
-    buckets under the in-flight probe. Empty epochs commit the
+    accepted record like the appender it wraps — and concurrent
+    ingest streams are SERIALIZED mechanically: the whole
+    probe→append span holds the artifact's ingest lock EXCLUSIVE
+    (:func:`emodb_spark.spark.io_util.ingest_lock` — without it two
+    streams' probes would each miss the other's in-flight accepts and
+    co-admit near-duplicates; the maintenance lock can't close this,
+    both bodies hold it SHARED as appenders) plus the maintenance
+    lock SHARED, so a compactor cannot rewrite the buckets under the
+    in-flight probe. Fanning sources into one ingest stream upstream
+    remains the higher-throughput shape — serialized streams queue —
+    but is no longer a correctness requirement. Empty epochs commit the
     watermark and return the empty frame. ``artifact=`` (from
     ``minhash_load_buckets(path)`` — the SAME path, nothing else)
     reuses the immutable banding meta to skip the per-epoch meta
@@ -761,9 +813,10 @@ def minhash_ingest_dedup(
     :func:`minhash_band_plan`'s recall-first mode); at 24x2 over K=48
     the per-pair miss probability at j=0.7 is ~1e-7, which is why the
     gate's oracle can be the brute-force replay."""
+    import contextlib
     import os
 
-    from ..spark.io_util import maintenance_lock
+    from ..spark.io_util import ingest_lock, maintenance_lock
     from .similarity import (
         _accepted_dir,
         _persist_accepted,
@@ -774,7 +827,14 @@ def minhash_ingest_dedup(
 
     spark = batch_df.sparkSession
     empty_ids = batch_df.select(id_col).limit(0)  # schema follows the batch
-    with maintenance_lock(path, exclusive=False, who="minhash_ingest_dedup"):
+    with contextlib.ExitStack() as locks:
+        # lock order is fixed (ingest exclusive, THEN maintenance
+        # shared) and compactors never take the ingest lock — no cycle
+        locks.enter_context(
+            ingest_lock(path, who="minhash_ingest_dedup"))
+        locks.enter_context(
+            maintenance_lock(path, exclusive=False,
+                             who="minhash_ingest_dedup"))
         acc_dir = None
         if batch_id is not None:
             _require_local_root(path, "minhash_ingest_dedup(batch_id=...)")

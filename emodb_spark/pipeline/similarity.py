@@ -1362,11 +1362,13 @@ def ivfpq_save(index, path: str, with_recon: bool = False) -> None:
     an os-level check that is silently False for Hadoop URIs, which
     would leave the persisted recon stale and make the cascade's inner
     join drop every appended vector — rejected up front instead.
-    Re-saving at an existing path with ``with_recon=False`` DELETES a
-    previously written recon sidecar: its rows decode the OLD
-    codebooks, and leaving it in place would silently price cascade
-    candidates (and anchor recon appends) against the superseded
-    index. Rebuilds hold the artifact's maintenance lock EXCLUSIVE
+    Re-saving at an existing path DELETES a previously written recon
+    sidecar FIRST, before the new enc/meta land (re-writing it at the
+    end when ``with_recon=True``): its rows decode the OLD codebooks,
+    and any crash split must leave either the old layout or a
+    recon-less new one — never a fresh index silently pricing cascade
+    candidates (and anchoring recon appends) against the superseded
+    codebooks. Rebuilds hold the artifact's maintenance lock EXCLUSIVE
     (:func:`emodb_spark.spark.io_util.maintenance_lock`) — a save
     racing an in-flight appender raises instead of interleaving."""
     import os
@@ -1379,6 +1381,18 @@ def ivfpq_save(index, path: str, with_recon: bool = False) -> None:
     enc, cents, books, scale = _unpack_ivfpq_index(index, PQ_SCALE)
     spark = enc.sparkSession
     with maintenance_lock(path, exclusive=True, who="ivfpq_save"):
+        if "://" not in path:
+            # stale sidecar from a previous with_recon=True save: its
+            # reconstructions decode the OLD codebooks (same reason the
+            # watermark resets below). Deleted FIRST, before the new
+            # enc/meta land — in BOTH modes: a crash mid-save must leave
+            # either the old layout or a recon-less new layout, never a
+            # fresh index next to a recon decoding the superseded
+            # codebooks (silent cascade mispricing; recon-less merely
+            # FileNotFounds at ivfpq_load_recon, which is recoverable by
+            # re-saving). with_recon=True layouts are local-only
+            # (above), so an os-level delete covers all of them.
+            shutil.rmtree(os.path.join(path, "recon"), ignore_errors=True)
         enc.write.mode("overwrite").partitionBy("cell").parquet(
             os.path.join(path, "enc")
         )
@@ -1396,12 +1410,6 @@ def ivfpq_save(index, path: str, with_recon: bool = False) -> None:
             ivfpq_reconstruct(index, scale).write.mode("overwrite").parquet(
                 os.path.join(path, "recon")
             )
-        elif "://" not in path:
-            # stale sidecar from a previous with_recon=True save: its
-            # reconstructions decode the OLD codebooks (same reason the
-            # watermark resets below) — with_recon=True layouts are
-            # local-only (above), so an os-level delete covers all of them
-            shutil.rmtree(os.path.join(path, "recon"), ignore_errors=True)
         _reset_batch_wm(path)  # a rebuilt base invalidates committed epochs
 
 
@@ -1444,10 +1452,13 @@ def ivfpq_compact_saved(spark: SparkSession, path: str) -> None:
 
     from ..spark.io_util import (
         dedupe_exact_rows,
+        guard_unpublished,
         maintenance_lock,
         overwrite_dir,
     )
 
+    guard_unpublished(path, "ivfpq_compact_saved",
+                      "ivfpq_compact_published(spark, root)")
     with maintenance_lock(path, exclusive=True, who="ivfpq_compact_saved"):
         enc = dedupe_exact_rows(
             spark.read.parquet(os.path.join(path, "enc"))
@@ -1504,16 +1515,26 @@ def _wm_file(path: str, stream: str) -> str:
     stream gets its own high-watermark (two streams sharing one scalar
     would interleave their counters and silently no-op each other's
     batches). Stream ids are restricted to a filename-safe alphabet so
-    a caller-supplied id can't escape the artifact directory."""
+    a caller-supplied id can't escape the artifact directory — and
+    must contain at least one non-dot character: the alphabet alone
+    admits ``"."``/``".."``, which are harmless as a ``_BATCH_WM.``
+    SUFFIX but resolve as path steps when the same validated id names
+    the per-stream ``_accepted/<stream>`` DIRECTORY
+    (:func:`_accepted_dir`) — ``".."`` there would escape
+    ``_accepted/`` into the artifact root, where the accepted-set
+    writer would drop parquet and its pruning loop would rmtree
+    digit-named dirs."""
     import os
     import re
 
     if not stream:
         return os.path.join(path, BATCH_WM_FILE)
-    if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", stream):
+    if not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", stream) or not stream.strip("."):
         raise ValueError(
             f"stream id {stream!r} must be 1-64 chars of [A-Za-z0-9._-] "
-            "(it names a watermark file inside the artifact dir)"
+            "with at least one non-dot (it names a watermark file and an "
+            "_accepted/ subdirectory inside the artifact dir; all-dot "
+            "names are path steps, not names)"
         )
     return os.path.join(path, f"{BATCH_WM_FILE}.{stream}")
 
@@ -1640,12 +1661,21 @@ def _read_accepted(spark: SparkSession, acc_dir: str, schema) -> Optional[DataFr
     on a COMMITTED epoch means a pre-durability artifact, where the
     legacy empty-frame contract is all that can be honored). The
     explicit schema keeps empty sets readable (a zero-row parquet dir
-    carries no inferable schema)."""
+    carries no inferable schema). The read is EAGERLY materialized
+    (localCheckpoint): the ingest bodies hand this frame back to the
+    caller's sink AFTER releasing the maintenance lock, and a lazy
+    parquet read would race a concurrent re-save's ``_accepted``
+    rmtree (or a later epoch's pruning) deleting the files before the
+    sink materializes it — failing or silently EMPTYING a replayed
+    accepted set; the frame is micro-batch-sized by contract, so the
+    pin is cheap."""
     import os
 
     if not os.path.exists(os.path.join(acc_dir, ACCEPTED_OK_FILE)):
         return None
-    return spark.read.schema(schema).parquet(acc_dir)
+    return spark.read.schema(schema).parquet(acc_dir).localCheckpoint(
+        eager=True
+    )
 
 
 def _require_local_root(root: str, who: str) -> None:
@@ -1720,6 +1750,55 @@ def ivfpq_current_version(root: str) -> str:
     from ..spark.io_util import current_version
 
     return current_version(root)
+
+
+def ivfpq_compact_published(spark: SparkSession, root: str) -> str:
+    """COMPACTION-BY-REPUBLISH for a published index root — the
+    reader-safe compaction :func:`publish_version`'s docstring has
+    always prescribed, now an API instead of a recipe (the in-place
+    :func:`ivfpq_compact_saved` REFUSES the version dir ``_CURRENT``
+    points at — its overwrite_dir rewrite is recoverable, not atomic,
+    so a reader resolving the pointer mid-rewrite would observe a
+    partially deleted artifact): snapshot the current version's code
+    table, full-row-dedupe it (the same crash-window-replay healing
+    the in-place compactor does), write it as the NEXT version via
+    :func:`ivfpq_save` — which re-derives the recon sidecar from the
+    deduped codes when the current version carries one (decode is
+    deterministic, so this equals deduping the persisted recon) — and
+    flip the pointer advance-only. In-flight readers keep the old
+    version until their next pointer resolve; nothing is ever
+    rewritten under them. The CURRENT version's maintenance lock is
+    held EXCLUSIVE for the snapshot span, so an appender still
+    feeding the old version raises instead of landing rows the
+    snapshot silently misses (after the flip, appenders should
+    re-resolve the pointer like readers do). Returns the new version
+    directory. Cost is the in-place compactor's (one exchange of the
+    compressed codes) plus the meta rewrite — at 100 TB this is the
+    scheduled off-peak shape, and old versions are the retention
+    knob."""
+    import os
+
+    from ..spark.io_util import (
+        current_version,
+        dedupe_exact_rows,
+        maintenance_lock,
+        publish_version,
+    )
+
+    cur = current_version(root)
+    with maintenance_lock(cur, exclusive=True,
+                          who="ivfpq_compact_published"):
+        enc, cents, books, scale = ivfpq_load(spark, cur)
+        idx = IvfPqIndex(
+            dedupe_exact_rows(enc, partition_col="cell"),
+            cents, books, scale,
+        )
+        with_recon = os.path.exists(os.path.join(cur, "recon"))
+        return publish_version(
+            root,
+            lambda vdir: ivfpq_save(idx, vdir, with_recon=with_recon),
+            "ivfpq_compact_published",
+        )
 
 
 def ivfpq_append_to_saved(
@@ -2638,6 +2717,31 @@ def ivfpq_reconstruct(index, scale: int = PQ_SCALE) -> DataFrame:
     )
 
 
+def cascade_provision(k: int) -> tuple:
+    """The r13 cascade width-knob frontier as an API (SCALE.md r13,
+    "the cascade's width knobs" — the :func:`hamming_provision`
+    pattern applied to the funnel): returns ``(prefilter_k,
+    shortlist_k)`` per the MEASURED joint rule — shortlist ≈ 8-16x k
+    and prefilter ≈ 2-4x shortlist, never widened alone. The sweep
+    that fixed the rule: widening the prefilter with the shortlist
+    pinned INVERTS recall past one doubling (ADC quantization error
+    crowds true neighbors out of the fixed exit slots — 8-bit/r1
+    recall fell 36.6% → 34.4% between prefilter 640 and 1280 at
+    shortlist 30), while scaling both reached 72.2% recall@10 at
+    2560/480 vs the best single-tier 53.4% at matched shortlist.
+    Midpoints of the measured bands: ``shortlist = 12k``,
+    ``prefilter = 3 * shortlist = 36k`` — at k=10 that is 360/120,
+    inside the table's best-recall-per-second region. The funnel
+    stays orders under corpus size at every measured setting, so the
+    defaults scale with k, not with the corpus. Tighten toward
+    (8x, 2x) for latency, widen toward (16x, 4x) for recall; re-run
+    ``tools/probe_cascade_r13.py`` to re-fit on a new corpus."""
+    if k < 1:
+        raise ValueError(f"k={k} must be >= 1")
+    shortlist_k = 12 * k
+    return 3 * shortlist_k, shortlist_k
+
+
 def cascade_knn_rerank(
     embeddings: DataFrame,
     queries: Optional[DataFrame] = None,
@@ -2692,16 +2796,22 @@ def cascade_knn_rerank(
     ``embeddings`` is still required (tier 3 re-reads
     the vectors). Returns (query_id, nbr_id, dist_exact, rank<=k),
     ties by nbr_id; a query may return < k rows when the prefilter
-    horizon starves it (provision widths like n_probe/n_cells)."""
+    horizon starves it (provision widths like n_probe/n_cells).
+    Width defaults come from :func:`cascade_provision`'s measured
+    frontier (shortlist = 12k, prefilter = 3x shortlist); passing
+    only ONE width derives the other by the same joint rule — the
+    r13 sweep showed widening one knob alone INVERTS recall."""
     if embeddings is None:
         raise ValueError(
             "cascade_knn_rerank: embeddings required (the exact tier "
             "re-reads the corpus vectors)"
         )
-    if prefilter_k is None:
-        prefilter_k = 8 * k
-    if shortlist_k is None:
-        shortlist_k = 3 * k
+    if prefilter_k is None and shortlist_k is None:
+        prefilter_k, shortlist_k = cascade_provision(k)
+    elif prefilter_k is None:
+        prefilter_k = 3 * shortlist_k   # the frontier's joint rule —
+    elif shortlist_k is None:
+        shortlist_k = max(1, prefilter_k // 3)  # never widen one alone
     if index is None:
         index = ivfpq_index(
             embeddings, n_cells, m, sub_k, iters, scale, id_col, vec_col
@@ -2982,6 +3092,47 @@ def hamming_load_current(spark: SparkSession, root: str) -> HammingIndex:
     return hamming_load(spark, current_version(root))
 
 
+def hamming_compact_published(spark: SparkSession, root: str) -> str:
+    """COMPACTION-BY-REPUBLISH for a published binary-tier root — the
+    :func:`ivfpq_compact_published` shape at the words sidecar (the
+    in-place :func:`hamming_compact_saved` refuses the version dir
+    ``_CURRENT`` points at): snapshot the current version's words
+    under its maintenance lock held EXCLUSIVE (a straggler appender
+    raises instead of landing rows the snapshot misses),
+    full-row-dedupe the crash-window replays, write words + the
+    pinned (dim, word_bits) meta as the NEXT version, flip the
+    pointer advance-only. Readers drain off the old version; nothing
+    is rewritten under them. Returns the new version directory."""
+    import os
+
+    from ..spark.io_util import (
+        current_version,
+        dedupe_exact_rows,
+        maintenance_lock,
+        publish_version,
+    )
+
+    cur = current_version(root)
+    with maintenance_lock(cur, exclusive=True,
+                          who="hamming_compact_published"):
+        idx = hamming_load(spark, cur)
+        words = dedupe_exact_rows(idx.words)
+
+        def save(vdir: str) -> None:
+            words.write.mode("overwrite").parquet(
+                os.path.join(vdir, "words")
+            )
+            meta = spark.createDataFrame(
+                [(int(idx.dim), int(idx.word_bits))],
+                "dim long, word_bits long",
+            )
+            meta.coalesce(1).write.mode("overwrite").json(
+                os.path.join(vdir, "meta")
+            )
+
+        return publish_version(root, save, "hamming_compact_published")
+
+
 def hamming_provision(
     dim: int, threshold: int, mask_budget: int = 1024
 ) -> tuple:
@@ -3019,6 +3170,88 @@ def hamming_provision(
     )
 
 
+def ann_stack_provision(
+    n_vectors: int,
+    dim: int,
+    executors: int = 1000,
+    n_docs: Optional[int] = None,
+    word_bits: int = 8,
+    m: int = 64,
+    bands: int = 24,
+    max_partition_bytes: int = 128 << 20,
+    query_broadcast_budget: int = 64 << 20,
+    recon_storage_budget: int = 10 << 40,
+) -> dict:
+    """The 100 TB provisioning arithmetic as an executable helper —
+    SCALE.md r13's three-tier table ("Provisioning arithmetic: the
+    three-tier stack at 100 TB") promoted from prose to a function,
+    the :func:`hamming_provision` pattern applied to the whole stack.
+    Pure arithmetic from the measured per-row shapes (float32 corpus
+    4 B/dim; words 1 sign bit/dim; PQ codes ``m`` bytes payload/vector;
+    MinHash buckets ``bands`` x 16 B/doc; recon int64 8 B/dim — 2x the
+    corpus at EVERY dim), not a measurement. Returns the knob settings
+    a deployment sizes from:
+
+    - ``*_bytes`` / ``*_scan_tasks`` per artifact tier (tasks at
+      ``max_partition_bytes`` bins — the reference deployment's
+      128 MiB);
+    - ``shuffle_partitions`` as a (lo, hi) range: the heavy exchanges
+      run over the COMPRESSED tiers, so lo/hi keep post-shuffle
+      partitions at 128/64 MiB of the words sidecar (the largest
+      compressed tier) — the float corpus never shuffles at its own
+      size (it appears only in O(n_q x shortlist) re-rank joins);
+    - ``query_batch_max``: the Hamming top-k scans the whole sidecar
+      per query BATCH, so batching is bounded by the query-side
+      broadcast (packed words bytes/vector x n_q), not by scan count;
+    - ``recon_mode``: 'persist' while the 2x-corpus recon sidecar fits
+      ``recon_storage_budget`` (default 10 TiB — small enough to be
+      cheap cluster storage, the measured-scale regime where the
+      persisted scan wins), else 'decode-on-read'
+      (``cascade_knn_rerank(recon=None)`` derives reconstructions
+      inline on O(n_q x prefilter) candidate rows — storage zero,
+      compute bounded by the funnel; the crossover is a
+      storage-budget line, not a dimension threshold);
+    - ``tasks_per_executor`` for the words scan — the wave count a
+      batch of queries costs at ``executors``.
+
+    A unit test pins this function's outputs to the SCALE.md table's
+    reference deployment (25 B vectors, dim 1024, 1000 executors)."""
+    import math
+
+    if n_vectors < 1 or dim < 1 or executors < 1:
+        raise ValueError("n_vectors, dim and executors must be >= 1")
+    corpus_bytes = n_vectors * dim * 4
+    words_bytes = n_vectors * (dim // 8)
+    codes_bytes = n_vectors * m
+    recon_bytes = n_vectors * dim * 8
+    buckets_bytes = (n_docs or 0) * bands * 16
+
+    def tasks(b: int) -> int:
+        return max(1, math.ceil(b / max_partition_bytes))
+
+    words_tasks = tasks(words_bytes)
+    return {
+        "corpus_bytes": corpus_bytes,
+        "corpus_scan_tasks": tasks(corpus_bytes),
+        "words_bytes": words_bytes,
+        "words_scan_tasks": words_tasks,
+        "words_vs_corpus": corpus_bytes / words_bytes,
+        "codes_bytes": codes_bytes,
+        "codes_scan_tasks": tasks(codes_bytes),
+        "buckets_bytes": buckets_bytes,
+        "buckets_scan_tasks": tasks(buckets_bytes) if n_docs else 0,
+        "recon_bytes": recon_bytes,
+        "recon_vs_corpus": recon_bytes / corpus_bytes,
+        "recon_mode": (
+            "persist" if recon_bytes <= recon_storage_budget
+            else "decode-on-read"
+        ),
+        "shuffle_partitions": (words_tasks, 2 * words_tasks),
+        "query_batch_max": max(1, query_broadcast_budget // (dim // 8)),
+        "tasks_per_executor": math.ceil(words_tasks / executors),
+    }
+
+
 def hamming_compact_saved(
     spark: SparkSession, path: str, target_files: Optional[int] = None
 ) -> None:
@@ -3049,10 +3282,13 @@ def hamming_compact_saved(
 
     from ..spark.io_util import (
         dedupe_exact_rows,
+        guard_unpublished,
         maintenance_lock,
         overwrite_dir,
     )
 
+    guard_unpublished(path, "hamming_compact_saved",
+                      "hamming_compact_published(spark, root)")
     with maintenance_lock(path, exclusive=True, who="hamming_compact_saved"):
         words = dedupe_exact_rows(
             spark.read.parquet(os.path.join(path, "words"))
@@ -3484,12 +3720,18 @@ def hamming_ingest_dedup(
     sink is thus an idempotent-write problem on the caller's side, as
     for every foreachBatch body in this repo. ``stream`` scopes the
     watermark and the accepted record when more than one ingest
-    stream feeds one artifact — note that concurrent ingest streams
-    ALSO race each other's probe-then-append windows, so prefer one
-    ingest stream per artifact and fan sources into it upstream. The
-    whole probe→append span holds the artifact's maintenance lock
-    SHARED, so a compactor cannot rewrite the sidecar under the
-    in-flight probe. ``sidecar=`` (from ``hamming_load(path)`` — the
+    stream feeds one artifact — and concurrent ingest streams are
+    SERIALIZED mechanically: the whole probe→append span holds the
+    artifact's ingest lock EXCLUSIVE
+    (:func:`emodb_spark.spark.io_util.ingest_lock` — without it the
+    two probes would each miss the other's in-flight accepts and
+    co-admit near-duplicates; the maintenance lock can't close this,
+    both bodies hold it SHARED as appenders) plus the maintenance
+    lock SHARED (so a compactor cannot rewrite the sidecar under the
+    in-flight probe). Fanning sources into one ingest stream upstream
+    remains the higher-throughput shape — serialized streams queue —
+    but is no longer a correctness requirement.
+    ``sidecar=`` (from ``hamming_load(path)`` — the
     SAME path, nothing else) reuses the immutable meta (dim,
     word_bits) to skip the per-epoch meta collect; the words TABLE is
     still re-read fresh every epoch — a cached frame's file listing
@@ -3497,13 +3739,21 @@ def hamming_ingest_dedup(
     against them. Uses the sidecar's own word_bits; the pigeonhole
     guarantee is validated for both the cross check and the intra
     clustering."""
+    import contextlib
     import os
 
-    from ..spark.io_util import maintenance_lock
+    from ..spark.io_util import ingest_lock, maintenance_lock
 
     spark = batch.sparkSession
     empty_ids = batch.select(id_col).limit(0)  # schema follows the batch
-    with maintenance_lock(path, exclusive=False, who="hamming_ingest_dedup"):
+    with contextlib.ExitStack() as locks:
+        # lock order is fixed (ingest exclusive, THEN maintenance
+        # shared) and compactors never take the ingest lock — no cycle
+        locks.enter_context(
+            ingest_lock(path, who="hamming_ingest_dedup"))
+        locks.enter_context(
+            maintenance_lock(path, exclusive=False,
+                             who="hamming_ingest_dedup"))
         acc_dir = None
         if batch_id is not None:
             _require_local_root(path, "hamming_ingest_dedup(batch_id=...)")

@@ -5002,3 +5002,402 @@ def test_artifact_guards_wm_reset_bands_and_coverage(spark, tmp_path):
     hamming_save(emb.filter(F.col("vec_id") < 4), hp, word_bits=4)  # rebuild
     hamming_append_to_saved(emb.filter(F.col("vec_id") >= 4), hp, batch_id=0)
     assert hamming_load(spark, hp).words.count() == n
+
+
+def test_wm_stream_ids_reject_all_dot_names(spark, tmp_path):
+    """The stream-id alphabet admits '.', so without the non-dot rule
+    an id of '..' would pass validation yet resolve as a PATH STEP
+    when it names the per-stream _accepted/<stream> directory —
+    _accepted_dir(path, '..', bid) escaping _accepted/ into the
+    artifact root, where the accepted-set writer drops parquet and
+    its pruning loop rmtree's digit-named dirs (the r13 advisory's
+    medium finding). All-dot ids now raise at validation; dotted
+    NAMES (a.b) stay legal — '.' is only special when it's the whole
+    segment."""
+    import os
+
+    from emodb_spark.pipeline.similarity import _accepted_dir, _wm_file
+
+    path = str(tmp_path / "art")
+    for evil in (".", "..", "...", "." * 64):
+        with pytest.raises(ValueError, match="non-dot"):
+            _wm_file(path, evil)
+        with pytest.raises(ValueError, match="non-dot"):
+            _accepted_dir(path, evil, 0)
+    # legal ids still work, and every accepted dir stays under _accepted/
+    for ok in ("a", "a.b", "..a", "a..", "x-1_y.z"):
+        d = os.path.normpath(_accepted_dir(path, ok, 3))
+        assert d.startswith(os.path.join(os.path.normpath(path), "_accepted") + os.sep)
+
+
+def test_dedupe_exact_rows_null_safe(spark):
+    """dedupe_exact_rows (partitioned path): the adjacency compare is
+    null-safe — a plain struct != returns NULL when a compared field
+    is null, which the filter would drop, silently deleting a DISTINCT
+    row with a null field (the r13 advisory's finding). Exact
+    duplicates with null fields must still collapse."""
+    from emodb_spark.spark.io_util import dedupe_exact_rows
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10),
+            (1, "a", 10),      # exact dup — drop one
+            (1, None, 10),     # distinct (null field) — KEEP
+            (1, None, 10),     # exact dup incl. null — drop one
+            (1, None, None),   # distinct — KEEP
+            (2, None, 7),      # other partition — KEEP
+        ],
+        "part int, s string, v int",
+    )
+    def _k(t):
+        return tuple((v is None, v) for v in t)
+
+    got = sorted(
+        ((r["part"], r["s"], r["v"])
+         for r in dedupe_exact_rows(df, partition_col="part").collect()),
+        key=_k,
+    )
+    assert got == sorted([
+        (1, "a", 10), (1, None, 10), (1, None, None), (2, None, 7),
+    ], key=_k)
+    # unpartitioned path (dropDuplicates) agrees
+    got2 = sorted(
+        ((r["part"], r["s"], r["v"])
+         for r in dedupe_exact_rows(df).collect()),
+        key=_k,
+    )
+    assert got2 == got
+
+
+def test_ivfpq_save_deletes_stale_recon_before_rewrite(spark, tmp_path):
+    """ivfpq_save deletes a stale recon sidecar BEFORE the new enc/meta
+    land (the r13 advisory's crash-ordering finding): a crash between
+    the enc overwrite and a trailing delete would leave a recon
+    decoding the OLD codebooks next to the NEW index — silent cascade
+    mispricing. Simulated by making the enc write explode: the stale
+    recon must already be gone."""
+    import os
+    import random
+
+    from emodb_spark.pipeline.similarity import ivfpq_index, ivfpq_save
+
+    rng = random.Random(141)
+    df = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(24)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = ivfpq_index(df, n_cells=2, m=2, sub_k=4)
+    path = str(tmp_path / "idx")
+    ivfpq_save(idx, path, with_recon=True)
+    recon_dir = os.path.join(path, "recon")
+    assert os.path.exists(recon_dir)
+
+    class Boom(Exception):
+        pass
+
+    # crash the save right at the enc write: lock held, recon decision
+    # already executed — the stale sidecar must be gone by then
+    import emodb_spark.pipeline.similarity as sim
+
+    orig = sim._unpack_ivfpq_index
+
+    class BoomFrame:
+        def __init__(self, enc):
+            self.sparkSession = enc.sparkSession
+
+        @property
+        def write(self):  # the crash surface: the enc overwrite itself
+            raise Boom()
+
+    def unpack_then_boom(*a, **kw):
+        out = orig(*a, **kw)
+        return (BoomFrame(out[0]), out[1], out[2], out[3])
+
+    sim._unpack_ivfpq_index = unpack_then_boom
+    try:
+        with pytest.raises(Boom):
+            ivfpq_save(idx, path, with_recon=False)
+    finally:
+        sim._unpack_ivfpq_index = orig
+    assert not os.path.exists(recon_dir)  # old-recon window closed
+
+
+def test_replayed_accepted_set_survives_accepted_dir_deletion(spark, tmp_path):
+    """A committed-epoch replay hands the caller's sink the persisted
+    accepted set EAGERLY materialized (the r13 advisory's finding):
+    the maintenance lock is released at return, so a concurrent
+    re-save's _accepted rmtree (or later-epoch pruning) could delete
+    the parquet before a lazy frame is collected — failing or
+    silently emptying the replay. Deleting the dir after the replay
+    returns must not change what the sink sees."""
+    import random
+    import shutil
+
+    from emodb_spark.pipeline.similarity import (
+        _accepted_dir,
+        hamming_ingest_dedup,
+        hamming_save,
+    )
+
+    rng = random.Random(142)
+    base = [[rng.uniform(-0.5, 0.5) for _ in range(16)] for _ in range(20)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "replay_art")
+    hamming_save(df.filter(F.col("vec_id") < 16), path, word_bits=4)
+    b1 = df.filter(F.col("vec_id") >= 16)
+    got1 = sorted(r["vec_id"] for r in hamming_ingest_dedup(
+        b1, path, threshold=2, band_radius=1, batch_id=0).collect())
+    # committed-epoch replay, then the accepted dir vanishes under it
+    replay = hamming_ingest_dedup(
+        b1, path, threshold=2, band_radius=1, batch_id=0)
+    shutil.rmtree(_accepted_dir(path, "", 0))
+    assert sorted(r["vec_id"] for r in replay.collect()) == got1
+
+
+def test_ingest_lock_serializes_concurrent_ingest_bodies(spark, tmp_path):
+    """The concurrent-ingest probe→append race is closed mechanically
+    (r13 verdict item #2): two *_ingest_dedup streams both hold the
+    maintenance lock SHARED (they are appenders), so neither's probe
+    sees the other's in-flight accepts and near-duplicates could be
+    CO-ADMITTED. Ingest bodies now hold a second, ingest-scoped lock
+    EXCLUSIVE across the whole probe→append span: (a) at the lock
+    level, a second acquisition blocks (wait=False raises) while the
+    maintenance tier stays independent; (b) at the body level, two
+    threads ingesting cross-stream near-duplicates serialize — the
+    later probe sees the earlier accept, so exactly one of the pair
+    is admitted, whichever order the scheduler picks."""
+    import random
+    import threading
+
+    from emodb_spark.pipeline.similarity import (
+        hamming_ingest_dedup,
+        hamming_save,
+    )
+    from emodb_spark.spark.io_util import ingest_lock, maintenance_lock
+
+    path = str(tmp_path / "ser_art")
+    rng = random.Random(143)
+    base = [[rng.uniform(-0.5, 0.5) for _ in range(16)] for _ in range(22)]
+    base[21] = [x + 0.01 for x in base[20]]  # cross-stream near-dup pair
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)],
+        "vec_id long, embedding array<float>",
+    )
+    hamming_save(df.filter(F.col("vec_id") < 20), path, word_bits=4)
+
+    # (a) lock level: exclusive among ingesters, orthogonal to the
+    # maintenance tier's shared acquisitions
+    with ingest_lock(path, who="i1"):
+        with pytest.raises(RuntimeError, match="dedup-on-ingest"):
+            with ingest_lock(path, who="i2", wait=False):
+                pass
+        with maintenance_lock(path, exclusive=False, who="a1", wait=False):
+            pass  # an appender is NOT blocked by an ingester's lock
+    with ingest_lock(path, who="i3", wait=False):
+        pass  # released cleanly
+
+    # (b) body level: two threads, each a distinct stream ingesting one
+    # member of the near-dup pair; serialization means the second probe
+    # runs against an artifact that already includes the first accept
+    results, errors = {}, []
+
+    def run(stream, vid):
+        try:
+            got = hamming_ingest_dedup(
+                df.filter(F.col("vec_id") == vid), path, threshold=2,
+                band_radius=1, batch_id=0, stream=stream)
+            results[stream] = sorted(r["vec_id"] for r in got.collect())
+        except Exception as e:  # noqa: BLE001 — surfaced via errors
+            errors.append(e)
+
+    ts = [threading.Thread(target=run, args=("sa", 20)),
+          threading.Thread(target=run, args=("sb", 21))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert not errors
+    admitted = results["sa"] + results["sb"]
+    assert len(admitted) == 1 and admitted[0] in (20, 21)
+
+
+def test_published_roots_compact_by_republish(spark, tmp_path):
+    """In-place compaction of a PUBLISHED root is now refused (r13
+    verdict item #3): overwrite_dir is recoverable-not-atomic, so
+    rewriting the version dir _CURRENT points at would expose
+    concurrent readers to a partially deleted artifact. Each tier's
+    *_compact_saved raises with the republish recipe when aimed at
+    the current version; the *_compact_published helpers snapshot →
+    dedupe → publish as the NEXT version and flip the pointer, so the
+    crash-window duplicates heal without any reader ever observing a
+    half-rewritten dir. Old versions stay readable (and in-place
+    compaction of a NON-current version dir remains legal)."""
+    import os
+    import random
+
+    from emodb_spark.pipeline.dedup import (
+        minhash_append_buckets,
+        minhash_compact_buckets,
+        minhash_compact_published,
+        minhash_load_buckets,
+        minhash_load_current_buckets,
+        minhash_publish_buckets,
+    )
+    from emodb_spark.pipeline.similarity import (
+        hamming_append_to_saved,
+        hamming_compact_published,
+        hamming_compact_saved,
+        hamming_load,
+        hamming_load_current,
+        hamming_publish,
+        ivfpq_append_to_saved,
+        ivfpq_compact_published,
+        ivfpq_compact_saved,
+        ivfpq_index,
+        ivfpq_load,
+        ivfpq_load_current,
+        ivfpq_publish,
+    )
+    from emodb_spark.spark.io_util import current_version
+
+    rng = random.Random(144)
+    df = spark.createDataFrame(
+        [(i, [rng.uniform(-0.5, 0.5) for _ in range(8)]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    base, extra = df.filter(F.col("vec_id") < 16), df.filter(F.col("vec_id") >= 16)
+
+    # ---- binary tier ----
+    hroot = str(tmp_path / "hroot")
+    v1 = hamming_publish(base, hroot, word_bits=4)
+    hamming_append_to_saved(extra, v1, batch_id=0)
+    os.remove(os.path.join(v1, "_BATCH_WM"))     # crash window
+    hamming_append_to_saved(extra, v1, batch_id=0)  # replay → exact dups
+    assert hamming_load(spark, v1).words.count() == 24
+    with pytest.raises(RuntimeError, match="republish"):
+        hamming_compact_saved(spark, v1)
+    v2 = hamming_compact_published(spark, hroot)
+    assert current_version(hroot) == v2
+    cur = hamming_load_current(spark, hroot)
+    assert cur.words.count() == 20 and cur.word_bits == 4
+    assert hamming_load(spark, v1).words.count() == 24  # v1 untouched
+    hamming_compact_saved(spark, v1)  # non-current version: legal again
+    assert hamming_load(spark, v1).words.count() == 20
+
+    # ---- minhash tier ----
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma {i} delta epsilon zeta eta") for i in range(12)],
+        "doc_id long, text string",
+    )
+    mroot = str(tmp_path / "mroot")
+    mv1 = minhash_publish_buckets(docs.filter(F.col("doc_id") < 10), mroot,
+                                  num_hashes=8, bands=4, shingle_k=3)
+    mb = docs.filter(F.col("doc_id") >= 10)
+    minhash_append_buckets(mb, mv1, batch_id=0)
+    os.remove(os.path.join(mv1, "_BATCH_WM"))
+    minhash_append_buckets(mb, mv1, batch_id=0)  # replay → exact dups
+    n_dup = minhash_load_buckets(spark, mv1).buckets.count()
+    assert n_dup == 12 * 4 + 2 * 4  # 2 docs' bands appended twice
+    with pytest.raises(RuntimeError, match="republish"):
+        minhash_compact_buckets(spark, mv1)
+    mv2 = minhash_compact_published(spark, mroot)
+    assert current_version(mroot) == mv2
+    cur_art = minhash_load_current_buckets(spark, mroot)
+    assert cur_art.buckets.count() == 12 * 4
+    assert (cur_art.num_hashes, cur_art.bands, cur_art.shingle_k) == (8, 4, 3)
+
+    # ---- ivfpq tier ----
+    iroot = str(tmp_path / "iroot")
+    idx = ivfpq_index(base, n_cells=2, m=2, sub_k=4, iters=2)
+    iv1 = ivfpq_publish(idx, iroot, with_recon=True)
+    ivfpq_append_to_saved(extra, iv1, batch_id=0)
+    os.remove(os.path.join(iv1, "_BATCH_WM"))
+    ivfpq_append_to_saved(extra, iv1, batch_id=0)  # replay → exact dups
+    assert ivfpq_load(spark, iv1).enc.select("id").distinct().count() == 20
+    assert ivfpq_load(spark, iv1).enc.count() == 20 * 2 + 4 * 2  # m=2 rows/vec
+    with pytest.raises(RuntimeError, match="republish"):
+        ivfpq_compact_saved(spark, iv1)
+    iv2 = ivfpq_compact_published(spark, iroot)
+    assert current_version(iroot) == iv2
+    cur_idx = ivfpq_load_current(spark, iroot)
+    assert cur_idx.enc.count() == 20 * 2
+    assert os.path.exists(os.path.join(iv2, "recon"))  # sidecar carried
+    # recon healed too: one row per vector
+    assert spark.read.parquet(os.path.join(iv2, "recon")).count() == 20
+
+
+def test_cascade_provision_defaults_follow_measured_frontier(spark):
+    """cascade_provision encodes the r13 width-knob frontier (SCALE.md:
+    shortlist = 8-16x k, prefilter = 2-4x shortlist, never widened
+    alone) and cascade_knn_rerank derives its defaults from it —
+    including the one-knob-given case, which must follow the joint
+    rule rather than keep a stale independent default."""
+    from emodb_spark.pipeline.similarity import (
+        cascade_knn_rerank,
+        cascade_provision,
+        ivfpq_index,
+    )
+
+    for k in (1, 5, 10, 100):
+        pre, short = cascade_provision(k)
+        assert 8 * k <= short <= 16 * k
+        assert 2 * short <= pre <= 4 * short
+    with pytest.raises(ValueError, match="k="):
+        cascade_provision(0)
+
+    # defaults actually reach the funnel: tiny corpus, horizon covers
+    # everything, so provisioned widths >> corpus reproduce the exact
+    # top-k (result correctness under the new defaults, not just shape)
+    import random
+
+    rng = random.Random(145)
+    df = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = ivfpq_index(df, n_cells=2, m=2, sub_k=4, iters=2)
+    got = cascade_knn_rerank(
+        df, queries=df.filter(F.col("vec_id") < 2), k=3,
+        word_bits=2, band_radius=1, index=idx, exclude_self=True,
+    ).collect()
+    assert sorted({r["query_id"] for r in got}) == [0, 1]
+    assert all(r["rank"] <= 3 for r in got)
+
+
+def test_ann_stack_provision_reproduces_scale_table(spark):
+    """ann_stack_provision reproduces SCALE.md r13's provisioning
+    table at the reference deployment (100 TB of float32 at dim 1024
+    → 25 B vectors, 1,000 executors, 128 MiB partitions): words 3.2 TB
+    / 32x smaller / ~26k scan tasks; codes 1.6 TB; buckets 0.384 TB
+    per 10^9 docs; recon 2x corpus at EVERY dim → decode-on-read at
+    this scale, persist at the r12 measurement scale (20k x dim 64 ≈
+    10 MB); shuffle partitions follow the compressed tier (26k-52k);
+    query batching is broadcast-bounded, not scan-bounded."""
+    from emodb_spark.pipeline.similarity import ann_stack_provision
+
+    p = ann_stack_provision(25_000_000_000, 1024, executors=1000,
+                            n_docs=1_000_000_000)
+    assert p["corpus_bytes"] == 25_000_000_000 * 4096      # ~100 TB
+    assert p["words_bytes"] == 3_200_000_000_000           # 3.2 TB
+    assert p["words_vs_corpus"] == 32.0
+    assert 23_000 <= p["words_scan_tasks"] <= 27_000       # "~26k"
+    assert p["codes_bytes"] == 1_600_000_000_000           # 1.6 TB
+    assert 11_000 <= p["codes_scan_tasks"] <= 14_000       # "~13k"
+    assert p["buckets_bytes"] == 384_000_000_000           # 0.4 TB/10^9
+    assert p["recon_vs_corpus"] == 2.0
+    assert p["recon_mode"] == "decode-on-read"             # 200 TB >> budget
+    lo, hi = p["shuffle_partitions"]
+    assert lo == p["words_scan_tasks"] and hi == 2 * lo    # "26k-52k"
+    assert p["query_batch_max"] >= 10_000                  # 10k q ≈ 1.3 MB
+    assert p["tasks_per_executor"] == -(-p["words_scan_tasks"] // 1000)
+
+    # the r12 measurement scale: recon ≈ 10 MB — persist wins there,
+    # and the 2x ratio is dim-independent
+    small = ann_stack_provision(20_000, 64)
+    assert small["recon_mode"] == "persist"
+    assert small["recon_vs_corpus"] == 2.0
+    with pytest.raises(ValueError):
+        ann_stack_provision(0, 64)

@@ -1,0 +1,241 @@
+"""Round-14 probe: the ingest bodies' STEADY STATE over O(100) epochs
+against a 10x corpus artifact — the one heavy family whose scaling law
+was still asserted from shapes rather than measured (r13 verdict,
+What's-missing #5).
+
+Two measurements:
+
+1. **hamming_ingest_dedup under a REAL writeStream** (file source,
+   maxFilesPerTrigger=1, availableNow — Spark supplies the epoch ids):
+   100 epochs x 200 vectors against a base artifact of 20,000 dim-64
+   vectors (10x the sf0.1 embeddings table, the r11/r12 probes' "sf1"
+   scale). Recorded per epoch: wall, artifact rows, words file count,
+   surviving _accepted dirs (pruning check). Every 25 epochs the
+   in-place compactor runs (the artifact is an unpublished root) and
+   its wall + file-count collapse is recorded — the compaction
+   cadence the r13 verdict asked to see priced.
+
+2. **minhash_ingest_dedup coverage-guard cost**: 15 epochs x 40 docs
+   against a 10,000-doc corpus store, run twice — validate_coverage
+   on vs off — pricing the guard's anti-join per epoch.
+
+Usage: python tools/probe_ingest_steady_r14.py [--epochs 100]
+Writes JSON lines to stdout; the summary row feeds SCALE.md r14.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import shutil
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def build_spark(cpus: str) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .appName("probe_ingest_steady_r14")
+        .getOrCreate()
+    )
+
+
+def hamming_steady(spark, work: str, epochs: int, batch_rows: int,
+                   compact_every: int) -> dict:
+    from emodb_spark.pipeline.similarity import (
+        hamming_compact_saved,
+        hamming_ingest_dedup,
+        hamming_load,
+        hamming_save,
+    )
+
+    dim, thr, rad, wb = 64, 6, 1, 8
+    rng = random.Random(1414)
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    base = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n_base = base.count()
+    # 10x corpus: replicate with id offsets + small deterministic jitter
+    # (pure column math — no Python row loop)
+    reps = spark.range(10).select(F.col("id").alias("rep"))
+    corpus = (
+        base.crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("rep") * n_base).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda v, i: v + 0.001 * F.col("rep") * (i % 7 - 3),
+            ).cast("array<float>").alias("embedding"),
+        )
+    )
+    art = os.path.join(work, "hamming_art")
+    t0 = time.time()
+    hamming_save(corpus, art, word_bits=wb)
+    save_wall = time.time() - t0
+    n_corpus = hamming_load(spark, art).words.count()
+    print(json.dumps({"probe": "hamming_base", "rows": n_corpus,
+                      "save_wall_s": round(save_wall, 2)}), flush=True)
+
+    # arrival files: one per epoch; ~25% near-dups of corpus rows, rest
+    # fresh randoms (so both probe paths stay exercised every epoch)
+    arrivals = os.path.join(work, "arrivals")
+    corpus_rows = corpus.filter(F.col("vec_id") % 97 == 0).limit(
+        epochs * batch_rows // 4).collect()
+    ci = 0
+    nid = n_corpus
+    for e in range(epochs):
+        rows = []
+        for r in range(batch_rows):
+            if r % 4 == 0 and ci < len(corpus_rows):
+                v = [x + 0.0001 for x in corpus_rows[ci]["embedding"]]
+                ci += 1
+            else:
+                v = [rng.uniform(-1, 1) for _ in range(dim)]
+            rows.append((nid, v))
+            nid += 1
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>") \
+            .coalesce(1).write.mode("append").parquet(arrivals)
+
+    epoch_walls: list[dict] = []
+    sidecar = hamming_load(spark, art)
+
+    def body(batch, bid):
+        t = time.time()
+        got = hamming_ingest_dedup(
+            batch, art, threshold=thr, band_radius=rad, batch_id=bid,
+            sidecar=sidecar,
+        )
+        n_acc = got.count()
+        wall = time.time() - t
+        acc_root = os.path.join(art, "_accepted")
+        n_acc_dirs = sum(
+            len(os.listdir(os.path.join(acc_root, s)))
+            for s in os.listdir(acc_root)
+        ) if os.path.isdir(acc_root) else 0
+        rec = {"probe": "hamming_epoch", "epoch": int(bid),
+               "wall_s": round(wall, 3), "accepted": int(n_acc),
+               "accepted_dirs": n_acc_dirs,
+               "words_files": len([f for f in os.listdir(
+                   os.path.join(art, "words")) if f.endswith(".parquet")])}
+        if (int(bid) + 1) % compact_every == 0:
+            tc = time.time()
+            hamming_compact_saved(spark, art)
+            rec["compact_wall_s"] = round(time.time() - tc, 3)
+            rec["words_files_after"] = len([
+                f for f in os.listdir(os.path.join(art, "words"))
+                if f.endswith(".parquet")])
+        epoch_walls.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    q = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1").parquet(arrivals)
+        .writeStream.foreachBatch(body)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    walls = [r["wall_s"] for r in epoch_walls]
+    qt = sorted(walls)
+    final_rows = hamming_load(spark, art).words.count()
+    return {
+        "probe": "hamming_steady_summary",
+        "epochs": len(epoch_walls),
+        "base_rows": n_corpus,
+        "final_rows": final_rows,
+        "wall_p50_s": qt[len(qt) // 2],
+        "wall_p90_s": qt[int(len(qt) * 0.9)],
+        "wall_first10_mean_s": round(sum(walls[:10]) / 10, 3),
+        "wall_last10_mean_s": round(sum(walls[-10:]) / 10, 3),
+        "max_accepted_dirs": max(r["accepted_dirs"] for r in epoch_walls),
+        "compactions": [
+            {"epoch": r["epoch"], "wall_s": r["compact_wall_s"],
+             "files_before": r["words_files"],
+             "files_after": r["words_files_after"]}
+            for r in epoch_walls if "compact_wall_s" in r
+        ],
+    }
+
+
+def minhash_guard_cost(spark, work: str, epochs: int) -> dict:
+    from emodb_spark.pipeline.dedup import (
+        minhash_ingest_dedup,
+        minhash_save_buckets,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")) \
+        .select("doc_id", "text")
+    n_docs = docs.count()
+    # 10x corpus store (id-offset replicas with a shingle-visible prefix)
+    reps = spark.range(10).select(F.col("id").alias("rep"))
+    corpus = (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * n_docs).alias("doc_id"),
+            F.concat(F.lit("rep"), F.col("rep").cast("string"),
+                     F.lit(" variant words "), F.col("text")).alias("text"),
+        )
+    )
+    out = {}
+    batch_src = corpus.filter(F.col("doc_id") % 13 == 0).limit(epochs * 40)
+    batches = batch_src.withColumn(
+        "e", F.monotonically_increasing_id() % epochs)
+    for guard in (False, True):
+        art = os.path.join(work, f"mh_art_{guard}")
+        store_dir = os.path.join(work, f"mh_store_{guard}")
+        corpus.write.mode("overwrite").parquet(store_dir)
+        store = spark.read.parquet(store_dir)
+        minhash_save_buckets(store, art, num_hashes=24, bands=12,
+                             shingle_k=5)
+        walls = []
+        for e in range(epochs):
+            b = batches.filter(F.col("e") == e).select(
+                (F.col("doc_id") + 10 * n_docs).alias("doc_id"), "text")
+            t = time.time()
+            minhash_ingest_dedup(
+                b, store, art, threshold=0.7, batch_id=e,
+                validate_coverage=guard,
+            ).count()
+            walls.append(time.time() - t)
+        out[f"guard_{guard}"] = {
+            "p50_s": round(sorted(walls)[len(walls) // 2], 3),
+            "mean_s": round(sum(walls) / len(walls), 3),
+        }
+    rec = {"probe": "minhash_guard_summary", "epochs": epochs, **out}
+    rec["guard_overhead_s"] = round(
+        out["guard_True"]["mean_s"] - out["guard_False"]["mean_s"], 3)
+    return rec
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=100)
+    ap.add_argument("--batch-rows", type=int, default=200)
+    ap.add_argument("--compact-every", type=int, default=25)
+    ap.add_argument("--mh-epochs", type=int, default=15)
+    ap.add_argument("--work", default="/tmp/probe_ingest_r14")
+    args = ap.parse_args()
+    shutil.rmtree(args.work, ignore_errors=True)
+    os.makedirs(args.work)
+    spark = build_spark(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        s1 = hamming_steady(spark, args.work, args.epochs,
+                            args.batch_rows, args.compact_every)
+        print(json.dumps(s1), flush=True)
+        s2 = minhash_guard_cost(spark, args.work, args.mh_epochs)
+        print(json.dumps(s2), flush=True)
+    finally:
+        spark.stop()
+        shutil.rmtree(args.work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
