@@ -7384,6 +7384,7 @@ ORACLE_IVFPQ_RETRAIN_SWAP = _oracle_ivfpq(train_limit=256, k=12)
 # the lowest-256-id slice, so the train_limit replay IS the oracle;
 # k=9 keeps the output distinct from the other train_limit gates)
 ORACLE_IVFPQ_STREAM_APPEND = _oracle_ivfpq(train_limit=256, k=9)
+ORACLE_IVFPQ_REPUBLISH = _oracle_ivfpq(train_limit=256, k=8)
 ORACLE_CASCADE_TOPK = _oracle_ivfpq(k=5, cascade=(8, 40, 15, 8, 1))
 ORACLE_CASCADE_RECALL = _oracle_ivfpq(
     k=10, cascade=(8, 40, 20, 8, 1), cascade_recall=True
@@ -8033,6 +8034,114 @@ def q_minhash_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hamming_republish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACTION-BY-REPUBLISH for a published binary-tier root
+    (emodb_spark.pipeline.similarity.hamming_compact_published — r14:
+    in-place compaction of the version dir _CURRENT points at now
+    RAISES, because overwrite_dir rewrites are recoverable-not-atomic
+    under readers; the safe path snapshots the current version,
+    full-row-dedupes the crash-window replays, publishes as the NEXT
+    version and flips the pointer advance-only): v00001 publishes a
+    partial corpus, the rest appends under the _BATCH_WM watermark,
+    the watermark is deleted (the crash window) and the append
+    REPLAYED — exact duplicate rows that would surface duplicate ids
+    in every top-k — then hamming_compact_published heals them into
+    v00002. The reader follows the pointer and must answer EXACTLY
+    like a one-shot pack of the full corpus: a stale pointer misses
+    the appended vectors, a failed dedupe double-ranks replayed ids —
+    either hash-mismatches the standard packing + ranking replay."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from emodb_spark.pipeline.similarity import (
+        hamming_append_to_saved,
+        hamming_compact_published,
+        hamming_load_current,
+        hamming_publish,
+        hamming_topk,
+    )
+
+    def build(p):
+        root = tempfile.mkdtemp(prefix="hamming_repub_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        emb = _read(spark, sf_dir, "embeddings")
+        v1 = hamming_publish(emb.filter(F.col("vec_id") < p["split"]),
+                             root, word_bits=p["word_bits"])
+        rest = emb.filter(F.col("vec_id") >= p["split"])
+        hamming_append_to_saved(rest, v1, batch_id=0)
+        os.remove(os.path.join(v1, "_BATCH_WM"))     # the crash window
+        hamming_append_to_saved(rest, v1, batch_id=0)  # replay → dup rows
+        hamming_compact_published(spark, root)       # heal + flip to v2
+        return (root,)
+
+    root = _gate_index(
+        "hamming_republish", dict(word_bits=8, split=256),
+        spark, sf_dir, build,
+    )[0]
+    return hamming_topk(
+        None, n_queries=8, k=10, index=hamming_load_current(spark, root)
+    )
+
+
+def q_minhash_republish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACTION-BY-REPUBLISH for a published MinHash bucket root
+    (emodb_spark.pipeline.dedup.minhash_compact_published — the r14
+    guard's safe path at the text tier: minhash_compact_buckets now
+    refuses the version dir _CURRENT points at): v00001 publishes a
+    PARTIAL corpus slice, the rest appends under the watermark, the
+    watermark is deleted and the append replayed (duplicate bucket
+    rows), then minhash_compact_published snapshots, dedupes riding
+    the band partition's own exchange, and flips to v00002. The probe
+    through the pointer must equal the recompute-everything run — the
+    brute-force cross-Jaccard oracle — so a stale pointer (probing
+    only the partial slice) hash-mismatches; the dedupe's row-level
+    healing is additionally pinned by unit test (candidate pairs are
+    DISTINCT, so duplicates alone can't surface here)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from emodb_spark.pipeline.dedup import (
+        incremental_near_dups,
+        minhash_append_buckets,
+        minhash_compact_published,
+        minhash_load_current_buckets,
+        minhash_publish_buckets,
+    )
+
+    def build(p):
+        root = tempfile.mkdtemp(prefix="minhash_repub_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        docs = _read(spark, sf_dir, "documents")
+        corpus = docs.filter(F.col("doc_id") % 5 != 0)
+        v1 = minhash_publish_buckets(
+            corpus.filter(F.col("doc_id") < 300), root,
+            num_hashes=p["num_hashes"], bands=p["bands"],
+            shingle_k=p["shingle_k"],
+        )
+        rest = corpus.filter(F.col("doc_id") >= 300)
+        minhash_append_buckets(rest, v1, batch_id=0)
+        os.remove(os.path.join(v1, "_BATCH_WM"))     # the crash window
+        minhash_append_buckets(rest, v1, batch_id=0)  # replay → dup rows
+        minhash_compact_published(spark, root)       # heal + flip to v2
+        return (root,)
+
+    root = _gate_index(
+        "minhash_republish", dict(num_hashes=48, bands=24, shingle_k=3),
+        spark, sf_dir, build,
+    )[0]
+    docs = _read(spark, sf_dir, "documents")
+    return incremental_near_dups(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+        threshold=0.7,
+        corpus_buckets=minhash_load_current_buckets(spark, root),
+    )
+
+
 def _oracle_hamming_ingest(threshold: int, batch_mod: int = 5,
                            word_bits: int = 8, dim: int = 64) -> str:
     """One-shot replay of dedup-on-ingest: accepted = batch rows with
@@ -8363,6 +8472,73 @@ def _ivfpq_gate_stream_dir(spark: SparkSession, sf_dir: str) -> str:
 
     return _gate_index(
         "ivfpq_stream",
+        dict(n_cells=8, m=4, sub_k=16, iters=2, base_n=256),
+        spark, sf_dir, build,
+    )[0]
+
+
+def q_ivfpq_republish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACTION-BY-REPUBLISH for a published IVFADC root
+    (emodb_spark.pipeline.similarity.ivfpq_compact_published — the r14
+    guard's safe path at the code-table tier: ivfpq_compact_saved now
+    refuses the version dir _CURRENT points at): v00001 publishes the
+    base-256 index, the remaining vectors append under the watermark,
+    the watermark is deleted (the crash window) and the append
+    REPLAYED — exact duplicate (id, cell, j, code) rows, which would
+    DOUBLE-COUNT per-subspace terms in the grouped ADC sum (corrupted
+    distances, worse than duplicate output rows) — then
+    ivfpq_compact_published snapshots, full-row-dedupes riding the
+    cell partition's own exchange, and flips to v00002. The reader
+    follows the pointer and must answer EXACTLY like a one-shot build
+    whose codebooks trained on the same base — the train_limit=256
+    replay: a stale pointer misses the appended vectors, a failed
+    dedupe corrupts every ADC distance; either hash-mismatches."""
+    from emodb_spark.pipeline.similarity import (
+        ivfpq_load_current,
+        ivfpq_topk,
+    )
+
+    loaded = ivfpq_load_current(
+        spark, _ivfpq_gate_republish_root(spark, sf_dir))
+    emb = _read(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb, n_probe=2, n_queries=8, k=8, index=loaded,
+        qrows=_ivfpq_gate_qrows(spark, sf_dir),
+    )
+
+
+def _ivfpq_gate_republish_root(spark: SparkSession, sf_dir: str) -> str:
+    """Published base-256 index + appended arrivals + a deliberately
+    replayed crash window, healed by ivfpq_compact_published into the
+    next version — built once per session; removed at exit."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from emodb_spark.pipeline.similarity import (
+        ivfpq_append_to_saved,
+        ivfpq_compact_published,
+        ivfpq_index,
+        ivfpq_publish,
+    )
+
+    def build(p):
+        root = tempfile.mkdtemp(prefix="ivfpq_repub_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        emb = _read(spark, sf_dir, "embeddings")
+        base_n = p.pop("base_n")
+        v1 = ivfpq_publish(
+            ivfpq_index(emb.filter(F.col("vec_id") < base_n), **p), root)
+        arrivals = emb.filter(F.col("vec_id") >= base_n)
+        ivfpq_append_to_saved(arrivals, v1, batch_id=0)
+        os.remove(os.path.join(v1, "_BATCH_WM"))     # the crash window
+        ivfpq_append_to_saved(arrivals, v1, batch_id=0)  # replay → dups
+        ivfpq_compact_published(spark, root)         # heal + flip to v2
+        return (root,)
+
+    return _gate_index(
+        "ivfpq_republish",
         dict(n_cells=8, m=4, sub_k=16, iters=2, base_n=256),
         spark, sf_dir, build,
     )[0]
@@ -9015,6 +9191,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_persist": q_minhash_persist,
         "hamming_publish": q_hamming_publish,
         "minhash_publish": q_minhash_publish,
+        "hamming_republish": q_hamming_republish,
+        "minhash_republish": q_minhash_republish,
+        "ivfpq_republish": q_ivfpq_republish,
         "cascade_topk": q_cascade_topk,
         "cascade_recall": q_cascade_recall,
         "ivfpq_persist": q_ivfpq_persist,
@@ -9181,38 +9360,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
     }
     # The driver records CORRECTNESS from the FIRST 50 entries, so the
-    # window below leads the dict. Round-13 window: the THREE r13-new
-    # gates lead (minhash_ingest — dedup-on-ingest at the MinHash
-    # tier, the foreachBatch body composing artifact-probe rejection,
-    # intra-batch cluster-representative selection and the watermarked
-    # bucket append, mirroring hamming_ingest; hamming_publish /
-    # minhash_publish — the versioned-dir + advance-only _CURRENT
-    # lifecycle generalized to the binary and MinHash tiers via the
-    # shared io_util.publish_version, each certifying a v1-decoy ->
-    # v2 swap where a stale pointer or mixed-version read
-    # hash-mismatches), then the NINE gates
-    # whose kernels round 13 touched (the whole persistence family
-    # gained the maintenance flock — appenders shared, compactors and
-    # base re-saves exclusive — plus compaction-time full-row dedupe
-    # of crash-window replays; ivfpq_save additionally deletes a stale
-    # recon sidecar on with_recon=False rebuilds, rejects URI paths
-    # for with_recon=True, and ivfpq_append_to_saved writes recon rows
-    # BEFORE enc rows -> ivfpq_persist, ivfpq_retrain_swap,
-    # ivfpq_stream_append, cascade_topk, cascade_recall,
-    # hamming_persist, hamming_stream_append, hamming_ingest,
-    # minhash_persist; the non-persisted kernels are UNTOUCHED this
-    # round, no re-witness), then the final TWENTY-THREE r8-era driver
-    # rows (events_rollup..zorder_layout — rotation debt to ZERO
-    # again: after this window no driver row is older than r9), then
-    # the oldest-alphabetical 15 of the 38 r9-era rows
-    # (ann_ivf_topk..frame_sample). The remaining TWENTY-THREE r9-era
-    # rows defer to r14: gopher_quality, hash_split, market_share,
-    # mixture_weights, ngram_novelty, product_profit,
-    # quality_retention, resolve_fold, sample_per_source, scd2_lookup,
-    # secret_scan, session_documents, shipmode_priority, skipgram_pmi,
-    # stash_diff, strip_markup, tfidf_topk, three_state_scan,
-    # train_classifier, value_deciles, waiting_suppliers,
-    # weighted_sample, word_rank_score
+    # window below leads the dict. Round-14 window: the THREE r14-new
+    # gates lead (hamming_republish / minhash_republish /
+    # ivfpq_republish —
+    # compaction-by-republish for PUBLISHED roots at all three tiers:
+    # in-place compaction of the version dir _CURRENT points at now
+    # raises, and the *_compact_published helpers snapshot the current
+    # version under its maintenance lock held exclusive,
+    # full-row-dedupe a deliberately replayed crash window, publish as
+    # the next version and flip the pointer advance-only; a stale
+    # pointer or failed dedupe hash-mismatches — at the ivfpq tier a
+    # failed dedupe corrupts every ADC distance, not just row counts),
+    # then the TEN gates
+    # whose kernels round 14 touched (the ingest bodies gained the
+    # ingest-scoped exclusive lock serializing concurrent streams,
+    # all-dot stream-id rejection, and eager materialization of
+    # replayed accepted sets -> hamming_ingest, minhash_ingest;
+    # ivfpq_save now deletes a stale recon sidecar BEFORE the new
+    # enc/meta land in both modes -> ivfpq_persist, ivfpq_retrain_swap,
+    # ivfpq_stream_append; cascade_knn_rerank derives width defaults
+    # from the measured frontier via cascade_provision ->
+    # cascade_topk, cascade_recall; the shared dedupe's adjacency
+    # compare is null-safe and every persistence path revalidates
+    # stream ids -> hamming_persist, hamming_stream_append,
+    # minhash_persist), then the TWENTY-THREE r9-era driver rows
+    # deferred from r13 (gopher_quality..word_rank_score — rotation
+    # debt to ZERO: after this window no driver row is older than
+    # r10), then the oldest-alphabetical 14 of the 37 r10-era rows
+    # (ann_ivf_kmeans..multimodal_features). The remaining
+    # TWENTY-THREE r10-era rows defer to r15: partition_shard_scan,
+    # pii_scan, pq_recall,
+    # pq_topk, pricing_summary, quality_docs_join,
+    # replication_convergence, revenue_by_nation, scan_condition,
+    # scan_condition_arrays, scan_condition_complex, scan_paged,
+    # semantic_dedup, similarity_topk, snapshot_as_of, splits_scan,
+    # stash_canonical, stash_roundtrip, stateful_fold_parity,
+    # streaming_fold_parity, table_size, timeline_with_compaction,
+    # validate_log
     # — each judge-green via tools/oracle_check.py every round; see
     # COVERAGE.md.
     # Rows-only queries (compression_ratio, bpe_merges) are EXCLUDED by
@@ -9222,30 +9406,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Everything else keeps its registry order behind the window and is
     # re-verified by tools/oracle_check.py instead.
     window = [
-        # r13-new gates
-        "minhash_ingest", "hamming_publish", "minhash_publish",
-        # kernels changed in round 13 (maintenance flock on the
-        # append/compact/re-save paths; compaction-time dedupe of
-        # crash-window replays; recon lifecycle fixes + recon-first
-        # append ordering)
+        # r14-new gates
+        "hamming_republish", "minhash_republish", "ivfpq_republish",
+        # kernels changed in round 14 (ingest serialization lock +
+        # replay materialization; recon-first delete ordering in
+        # ivfpq_save; null-safe shared dedupe; cascade width defaults
+        # from the measured frontier; stream-id validation)
+        "hamming_ingest", "minhash_ingest",
         "ivfpq_persist", "ivfpq_retrain_swap", "ivfpq_stream_append",
         "cascade_topk", "cascade_recall", "hamming_persist",
-        "hamming_stream_append", "hamming_ingest", "minhash_persist",
-        # the final 23 r8-era rows — rotation debt to zero again
-        "events_rollup", "forecast_revenue", "fp_overlap_pairs",
-        "iban_scan", "ivm_view", "large_volume_customers",
-        "minhash_near_dups", "promo_share", "quality_classifier",
-        "rank_normalize", "resolve_compacted", "returned_customers",
-        "sales_opportunity", "salted_hot_join", "session_cooccurrence",
-        "small_qty_revenue", "substring_dedup", "top_supplier",
-        "training_shards", "unigram_surprisal", "user_scd2",
-        "vocab_coverage", "zorder_layout",
-        # r9-era rows, oldest 15 alphabetical
-        "ann_ivf_topk", "blob_ranged_read", "blob_store_roundtrip",
-        "contamination", "corpus_sample", "dedup_clusters",
-        "dedup_exact", "dedup_keep_best", "doc_fingerprints",
-        "doc_pagerank", "embedding_near_dups", "event_consolidation",
-        "event_sessions", "events_windowed", "frame_sample",
+        "hamming_stream_append", "minhash_persist",
+        # the 23 r9-era rows deferred from r13 — rotation debt to zero
+        "gopher_quality", "hash_split", "market_share",
+        "mixture_weights", "ngram_novelty", "product_profit",
+        "quality_retention", "resolve_fold", "sample_per_source",
+        "scd2_lookup", "secret_scan", "session_documents",
+        "shipmode_priority", "skipgram_pmi", "stash_diff",
+        "strip_markup", "tfidf_topk", "three_state_scan",
+        "train_classifier", "value_deciles", "waiting_suppliers",
+        "weighted_sample", "word_rank_score",
+        # r10-era rows, oldest 14 alphabetical
+        "ann_ivf_kmeans", "ann_lsh_topk", "ann_recall",
+        "audio_chunks", "bigram_surprisal", "bitext_mining",
+        "bm25_topk", "hybrid_retrieval", "incremental_dedup",
+        "kmeans_embeddings", "lang_distribution", "mmr_select",
+        "multi_get", "multimodal_features",
     ]
     # window integrity (size 50, no dupes, all registered, no rows-only
     # queries) is enforced by tests/test_entry_contract.py — NOT asserted
@@ -9293,6 +9478,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_persist": ORACLE_INCREMENTAL_DEDUP,
         "hamming_publish": ORACLE_HAMMING_TOPK,
         "minhash_publish": ORACLE_INCREMENTAL_DEDUP,
+        "hamming_republish": ORACLE_HAMMING_TOPK,
+        "minhash_republish": ORACLE_INCREMENTAL_DEDUP,
+        "ivfpq_republish": ORACLE_IVFPQ_REPUBLISH,
         "cascade_topk": ORACLE_CASCADE_TOPK,
         "cascade_recall": ORACLE_CASCADE_RECALL,
         "ivfpq_persist": ORACLE_IVFPQ_TOPK,

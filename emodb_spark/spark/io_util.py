@@ -316,7 +316,11 @@ def release_on_gc(result: DataFrame, *pinned: DataFrame) -> DataFrame:
     shared input (e.g. an iterative algorithm's edge list) without
     leaking executor storage into callers that never asked for a cache.
     The finalizer swallows errors — a stopped SparkSession at interpreter
-    shutdown must not raise from GC."""
+    shutdown must not raise from GC. Release timing is DRIVER-GC
+    timing: a long-lived driver holding many short-lived results can
+    accumulate executor storage until a collection cycle runs, so in
+    tight loops over library results prefer explicitly unpersisting the
+    pinned inputs (unpersist is idempotent) over waiting for GC."""
     import weakref
 
     def _release(frames=pinned):

@@ -82,6 +82,11 @@ BNLJ_OK = {
                             # to hamming_persist (the publishes ran in
                             # the session-cached build; the pointer
                             # resolve is one driver-side file read)
+    "hamming_republish",    # the same hamming_topk tail through the
+                            # republish-compacted _CURRENT version
+                            # (publish + crash-replay + republish ran
+                            # in the session-cached build; the pointer
+                            # resolve is one driver-side file read)
     "hamming_stream_append",  # same hamming_topk tail over the
                             # base+appended sidecar (the appends happen
                             # in the session-cached build, not in the

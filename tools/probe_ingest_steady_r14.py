@@ -29,10 +29,14 @@ import json
 import os
 import random
 import shutil
+import sys
 import time
 
-from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 
 
 def build_spark(cpus: str) -> SparkSession:
@@ -152,8 +156,10 @@ def hamming_steady(spark, work: str, epochs: int, batch_rows: int,
         "final_rows": final_rows,
         "wall_p50_s": qt[len(qt) // 2],
         "wall_p90_s": qt[int(len(qt) * 0.9)],
-        "wall_first10_mean_s": round(sum(walls[:10]) / 10, 3),
-        "wall_last10_mean_s": round(sum(walls[-10:]) / 10, 3),
+        "wall_first10_mean_s": round(
+            sum(walls[:10]) / len(walls[:10]), 3),
+        "wall_last10_mean_s": round(
+            sum(walls[-10:]) / len(walls[-10:]), 3),
         "max_accepted_dirs": max(r["accepted_dirs"] for r in epoch_walls),
         "compactions": [
             {"epoch": r["epoch"], "wall_s": r["compact_wall_s"],
