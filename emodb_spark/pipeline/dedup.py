@@ -543,9 +543,12 @@ def minhash_compact_published(spark, path_root: str) -> str:
     raises instead of landing rows the snapshot misses),
     full-row-dedupe the crash-window replays riding the band
     partition's own exchange, write buckets + the pinned banding meta
-    as the NEXT version, flip the pointer advance-only. Readers drain
-    off the old version; nothing is rewritten under them. Returns the
-    new version directory."""
+    as the NEXT version, flip the pointer advance-only — with
+    per-stream watermarks and accepted records carried into it (the
+    snapshot holds their rows, so restarting streams neither
+    re-append nor lose replay answers). Readers drain off the old
+    version; nothing is rewritten under them. Returns the new
+    version directory."""
     import os
 
     from ..spark.io_util import (
@@ -554,6 +557,7 @@ def minhash_compact_published(spark, path_root: str) -> str:
         maintenance_lock,
         publish_version,
     )
+    from .similarity import _carry_stream_state
 
     cur = current_version(path_root)
     with maintenance_lock(cur, exclusive=True,
@@ -572,6 +576,9 @@ def minhash_compact_published(spark, path_root: str) -> str:
             meta.coalesce(1).write.mode("overwrite").json(
                 os.path.join(vdir, "meta")
             )
+            # committed epochs' rows are IN this snapshot, so their
+            # watermarks/accepted records travel with it
+            _carry_stream_state(cur, vdir)
 
         return publish_version(path_root, save,
                                "minhash_compact_published")

@@ -1619,6 +1619,35 @@ def _accepted_dir(path: str, stream: str, batch_id: int) -> str:
 ACCEPTED_OK_FILE = "_ACCEPTED_OK"  # library-owned completion marker
 
 
+def _carry_stream_state(src: str, dst: str) -> None:
+    """Carry per-stream lifecycle state (``_BATCH_WM`` watermarks and
+    the durable ``_accepted`` records) from a version directory into
+    its REPUBLISHED successor: the republish snapshot INCLUDES every
+    committed epoch's rows, so a stream restarting against the new
+    current version must see its epochs as already committed —
+    without the carry, the stream's first replay would re-append rows
+    the snapshot already holds (a needless crash-window duplicate the
+    next compaction would have to heal) and a committed-epoch replay
+    of an ingest body would find no accepted record, demoting the
+    durable-replay contract to the legacy empty-frame answer. Crashed
+    commits' ``.tmp~`` strays are NOT carried (stale by definition).
+    Used by every ``*_compact_published``; a fresh (non-compaction)
+    publish deliberately does NOT carry — a rebuilt base invalidates
+    committed epochs, the ``_reset_batch_wm`` rule."""
+    import glob
+    import os
+    import shutil
+
+    for f in glob.glob(os.path.join(glob.escape(src), BATCH_WM_FILE + "*")):
+        if f.endswith(".tmp~"):
+            continue
+        shutil.copy(f, os.path.join(dst, os.path.basename(f)))
+    acc = os.path.join(src, "_accepted")
+    if os.path.isdir(acc):
+        shutil.copytree(acc, os.path.join(dst, "_accepted"),
+                        dirs_exist_ok=True)
+
+
 def _persist_accepted(ids_df: DataFrame, acc_dir: str) -> None:
     """Durably record an epoch's accepted-id set, and prune the
     stream's OLDER epochs: foreachBatch replays only the last
@@ -1771,7 +1800,13 @@ def ivfpq_compact_published(spark: SparkSession, root: str) -> str:
     held EXCLUSIVE for the snapshot span, so an appender still
     feeding the old version raises instead of landing rows the
     snapshot silently misses (after the flip, appenders should
-    re-resolve the pointer like readers do). Returns the new version
+    re-resolve the pointer like readers do). Per-stream ``_BATCH_WM``
+    watermarks and durable ``_accepted`` records are CARRIED into the
+    new version (:func:`_carry_stream_state`): their epochs' rows are
+    in the snapshot, so a stream restarting against the new current
+    sees them committed instead of re-appending them, and a
+    committed-epoch ingest replay still returns the same accepted
+    ids. Returns the new version
     directory. Cost is the in-place compactor's (one exchange of the
     compressed codes) plus the meta rewrite — at 100 TB this is the
     scheduled off-peak shape, and old versions are the retention
@@ -1794,11 +1829,15 @@ def ivfpq_compact_published(spark: SparkSession, root: str) -> str:
             cents, books, scale,
         )
         with_recon = os.path.exists(os.path.join(cur, "recon"))
-        return publish_version(
-            root,
-            lambda vdir: ivfpq_save(idx, vdir, with_recon=with_recon),
-            "ivfpq_compact_published",
-        )
+
+        def save(vdir: str) -> None:
+            ivfpq_save(idx, vdir, with_recon=with_recon)
+            # AFTER ivfpq_save (whose _reset_batch_wm clears the fresh
+            # dir): committed epochs' rows are IN this snapshot, so
+            # their watermarks/accepted records travel with it
+            _carry_stream_state(cur, vdir)
+
+        return publish_version(root, save, "ivfpq_compact_published")
 
 
 def ivfpq_append_to_saved(
@@ -3101,8 +3140,12 @@ def hamming_compact_published(spark: SparkSession, root: str) -> str:
     raises instead of landing rows the snapshot misses),
     full-row-dedupe the crash-window replays, write words + the
     pinned (dim, word_bits) meta as the NEXT version, flip the
-    pointer advance-only. Readers drain off the old version; nothing
-    is rewritten under them. Returns the new version directory."""
+    pointer advance-only — with per-stream watermarks and accepted
+    records carried into it (:func:`_carry_stream_state`: the
+    snapshot holds their rows, so restarting streams neither
+    re-append nor lose replay answers). Readers drain off the old
+    version; nothing is rewritten under them. Returns the new
+    version directory."""
     import os
 
     from ..spark.io_util import (
@@ -3129,6 +3172,11 @@ def hamming_compact_published(spark: SparkSession, root: str) -> str:
             meta.coalesce(1).write.mode("overwrite").json(
                 os.path.join(vdir, "meta")
             )
+            # committed epochs' rows are IN this snapshot, so their
+            # watermarks/accepted records travel with it — a stream
+            # restarting against the new current neither re-appends
+            # nor loses its durable replay answers
+            _carry_stream_state(cur, vdir)
 
         return publish_version(root, save, "hamming_compact_published")
 

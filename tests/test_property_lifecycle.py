@@ -102,3 +102,93 @@ def test_sidecar_lifecycle_matches_model(spark, ops):
             assert len(rows) == len(live) + dup_rows
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+pub_op_st = st.lists(
+    st.sampled_from(["append", "replay", "crash_replay",
+                     "inplace_refused", "republish", "publish_fresh"]),
+    min_size=1, max_size=6,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(ops=pub_op_st)
+def test_published_lifecycle_matches_model(spark, ops):
+    """The PUBLISHED-root lifecycle against the same Python model:
+    appends/replays/crash-replays run against whatever version
+    _CURRENT points at (re-resolved each op, the reader rule applied
+    to appenders), in-place compaction of the current version always
+    RAISES (the r14 guard), compaction-by-republish heals duplicates
+    into the NEXT version with per-stream watermarks carried (so a
+    committed-epoch replay stays a no-op ACROSS the republish — the
+    carry is the invariant this test exists for), and a fresh publish
+    resets epochs like a re-save (a rebuilt base invalidates committed
+    epochs — deliberately NOT carried)."""
+    import os
+
+    import pytest
+
+    from emodb_spark.pipeline.similarity import (
+        binary_quantize,
+        hamming_append_to_saved,
+        hamming_compact_published,
+        hamming_compact_saved,
+        hamming_load,
+        hamming_publish,
+    )
+    from emodb_spark.spark.io_util import current_version
+
+    rng = random.Random(197)
+    vecs = [[rng.uniform(-1.0, 1.0) for _ in range(DIM)] for _ in range(N)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    ref = {r["id"]: tuple(r["words"])
+           for r in binary_quantize(df, WB).collect()}
+
+    def slice_df(ids):
+        return df.filter(F.col("vec_id").isin(ids))
+
+    root = tempfile.mkdtemp(prefix="lifecycle_pub_prop_")
+    try:
+        base_ids = list(range(BASE))
+        hamming_publish(slice_df(base_ids), root, word_bits=WB)
+        live = set(base_ids)
+        epoch, next_id, dup_rows, last_slice = -1, BASE, 0, None
+        for op in ops:
+            cur = current_version(root)
+            if op == "append" and next_id + SLICE <= N:
+                ids = list(range(next_id, next_id + SLICE))
+                next_id += SLICE
+                epoch += 1
+                hamming_append_to_saved(slice_df(ids), cur, batch_id=epoch)
+                live |= set(ids)
+                last_slice = ids
+            elif op == "replay" and last_slice is not None:
+                # committed-epoch replay no-ops EVEN ACROSS a republish
+                # (the carried watermark) — the model does not change
+                hamming_append_to_saved(slice_df(last_slice), cur,
+                                        batch_id=epoch)
+            elif op == "crash_replay" and last_slice is not None:
+                hamming_append_to_saved(slice_df(last_slice), cur,
+                                        batch_id=None)
+                dup_rows += len(last_slice)
+            elif op == "inplace_refused":
+                with pytest.raises(RuntimeError, match="republish"):
+                    hamming_compact_saved(spark, cur)
+            elif op == "republish":
+                hamming_compact_published(spark, root)
+                dup_rows = 0
+            elif op == "publish_fresh":
+                hamming_publish(slice_df(base_ids), root, word_bits=WB)
+                live = set(base_ids)
+                epoch, next_id, dup_rows, last_slice = -1, BASE, 0, None
+            cur = current_version(root)
+            assert os.path.basename(cur).startswith("v")
+            rows = [(r["id"], tuple(r["words"]))
+                    for r in hamming_load(spark, cur).words.collect()]
+            assert set(rows) == {(i, ref[i]) for i in live}
+            assert len(rows) == len(live) + dup_rows
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
