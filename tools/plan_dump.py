@@ -1,0 +1,53 @@
+"""Dump `.explain("formatted")` for declared queries to plans/<round>/.
+
+Usage: python tools/plan_dump.py <round_dir> <tag> [sf_dir] [query ...]
+
+Writes plans/<round_dir>/<query>_<tag>.txt for every named query (all
+queries when none named). Explain-only — no execution — so the plan is
+the initial AQE plan (isFinalPlan=false), the same artifact the judge
+reads for Exchange counts / join strategies / PushedFilters claims.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+
+def main() -> int:
+    round_dir = sys.argv[1]
+    tag = sys.argv[2]
+    sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.001"
+    only = set(sys.argv[4:])
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, here)
+    import __spark_entry__ as entrymod
+    from emodb_spark.spark.session import get_spark
+
+    out_dir = os.path.join(here, "plans", round_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark(app_name="plan_dump", master="local[4]", shuffle_partitions=8)
+    failed = 0
+    for name, fn in entrymod.queries().items():
+        if only and name not in only:
+            continue
+        buf = io.StringIO()
+        try:
+            with contextlib.redirect_stdout(buf):
+                fn(spark, sf_dir).explain("formatted")
+        except Exception as e:  # noqa: BLE001 — dump all, report failures
+            print(f"FAIL  {name}: {type(e).__name__}: {e}")
+            failed += 1
+            continue
+        path = os.path.join(out_dir, f"{name}_{tag}.txt")
+        with open(path, "w") as f:
+            f.write(buf.getvalue())
+        print(f"OK    {name} -> {path}")
+    return failed
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,129 @@
+"""Per-stage empirical profile of one declared query (guide §1/§7).
+
+Usage: python tools/profile_query.py <query> [sf_dir] [--reps N]
+
+Starts a session with the UI enabled (ephemeral port), warms up, runs the
+query's noop write `reps` times (timing each), then dumps the completed
+stages of the LAST run from the UI REST API: wall clamp, executor run
+time, shuffle read/write bytes, input bytes, task count — sorted by
+executor run time. This is the stage-level evidence bench totals can't
+give: which exchange / scan / Python node actually owns the seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+
+def main() -> None:
+    name = sys.argv[1]
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 and not sys.argv[2].startswith("--") \
+        else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = 2
+    if "--reps" in sys.argv:
+        reps = int(sys.argv[sys.argv.index("--reps") + 1])
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, here)
+    import __spark_entry__ as entrymod
+    from pyspark.sql import SparkSession
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    from emodb_spark.spark import session as sess_mod
+
+    # same config as the bench session, UI on for the REST scrape
+    builder_patch = {"spark.ui.enabled": "true", "spark.ui.port": "0"}
+    orig_get_spark = sess_mod.get_spark
+
+    def get_spark_ui(*a, **kw):
+        spark = SparkSession.builder.master(f"local[{cpus}]") \
+            .appName("profile_query") \
+            .config("spark.sql.shuffle.partitions", str(cpus)) \
+            .config("spark.sql.adaptive.enabled", "true") \
+            .config("spark.sql.adaptive.coalescePartitions.enabled", "true") \
+            .config("spark.sql.adaptive.skewJoin.enabled", "true") \
+            .config("spark.sql.session.timeZone", "UTC") \
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true") \
+            .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g")) \
+            .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g") \
+            .config("spark.ui.enabled", "true").config("spark.ui.port", "0") \
+            .getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        return spark
+
+    spark = get_spark_ui()
+    sess_mod.get_spark = lambda *a, **kw: spark  # queries that re-enter the factory
+
+    import bench
+    bench._warmup(spark, sf_dir)
+
+    fn = entrymod.queries()[name]
+    sc = spark.sparkContext
+    times = []
+    first_job = 0
+    for rep in range(reps):
+        spark.catalog.clearCache()
+        import gc
+        gc.collect()
+        sc._jvm.System.gc()
+        if rep == reps - 1:
+            st = sc.statusTracker()
+            ids = st.getJobIdsForGroup() or []
+            first_job = (max(ids) + 1) if ids else 0
+        sc.setJobDescription(f"{name} rep{rep}")
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times.append(round(time.time() - t0, 3))
+    print(f"# {name}: reps {times}")
+
+    ui = sc.uiWebUrl
+    app_id = sc.applicationId
+    base = f"{ui}/api/v1/applications/{app_id}"
+
+    def get(path):
+        with urllib.request.urlopen(base + path) as r:
+            return json.loads(r.read())
+
+    # jobs of the final rep only
+    jobs = [j for j in get("/jobs") if j["jobId"] >= first_job]
+    stage_ids = sorted({s for j in jobs for s in j["stageIds"]})
+    stages = get("/stages?status=complete")
+    rows = []
+    for s in stages:
+        if s["stageId"] not in stage_ids:
+            continue
+        rows.append({
+            "stage": s["stageId"],
+            "name": s["name"].split("\n")[0][:60],
+            "tasks": s["numCompleteTasks"],
+            "run_ms": s["executorRunTime"],
+            "cpu_ms": s.get("executorCpuTime", 0) // 1_000_000,
+            "input_mb": round(s["inputBytes"] / 1e6, 1),
+            "sh_read_mb": round(s["shuffleReadBytes"] / 1e6, 2),
+            "sh_write_mb": round(s["shuffleWriteBytes"] / 1e6, 2),
+            "wall_ms": (
+                int((time.mktime(time.strptime(
+                    s["completionTime"][:19], "%Y-%m-%dT%H:%M:%S")) -
+                    time.mktime(time.strptime(
+                        s["firstTaskLaunchedTime"][:19], "%Y-%m-%dT%H:%M:%S"))) * 1000)
+                if s.get("completionTime") and s.get("firstTaskLaunchedTime") else None
+            ),
+        })
+    rows.sort(key=lambda r: -r["run_ms"])
+    print(f"# {len(jobs)} jobs, {len(rows)} stages in final rep")
+    hdr = ["stage", "tasks", "run_ms", "cpu_ms", "input_mb", "sh_read_mb",
+           "sh_write_mb", "wall_ms", "name"]
+    print("\t".join(hdr))
+    for r in rows:
+        print("\t".join(str(r[h]) for h in hdr))
+    total_run = sum(r["run_ms"] for r in rows)
+    print(f"# total executor run_ms={total_run} over {len(rows)} stages; "
+          f"jobs={len(jobs)}; final-rep wall={times[-1]}s")
+
+
+if __name__ == "__main__":
+    main()
