@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from emodb_spark.spark.local_frame import literal_frame
+
 SF_SMOKE = "/root/testdata/sf0.001"
 
 # UUID epoch offset (100ns) + a fixed base instant for synthetic change ids
@@ -335,7 +337,7 @@ LIMIT 50
 def q_table_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = _store(spark, sf_dir)
     n = ds.table_approximate_size("orders")
-    return spark.createDataFrame([(n,)], "n bigint")
+    return literal_frame(spark, [(n,)], "n bigint")
 
 
 ORACLE_TABLE_SIZE = "SELECT COUNT(*) AS n FROM orders"
@@ -2780,7 +2782,8 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _read(spark, sf_dir, "embeddings")
     _, cents = kmeans(emb, k=8, iters=2)
-    cent_df = spark.createDataFrame(
+    cent_df = literal_frame(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "vec_id long, embedding array<double>",
     )
@@ -8764,7 +8767,8 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _read(spark, sf_dir, "embeddings")
     _, cents = kmeans(emb, k=8, iters=2)
-    cent_df = spark.createDataFrame(
+    cent_df = literal_frame(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "vec_id long, embedding array<double>",
     )
@@ -9043,7 +9047,8 @@ def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored, k=MMR_K, lambda_ppm=700_000, id_col="vec_id",
         vec_col="embedding", score_col="score",
     )
-    return spark.createDataFrame(
+    return literal_frame(
+        spark,
         [(i + 1, int(v)) for i, v in enumerate(picked)],
         "pick_order long, vec_id long",
     )

@@ -34,6 +34,8 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from emodb_spark.spark.local_frame import literal_frame
+
 END = "</w>"
 
 
@@ -152,7 +154,8 @@ def bpe_train(
             nxt = cur.localCheckpoint(eager=True)
             cur = nxt
             pending = 0
-    return spark.createDataFrame(
+    return literal_frame(
+        spark,
         out, "step int, left string, right string, merged string, pair_count long"
     )
 

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from emodb_spark.spark.local_frame import literal_frame
+
 from .dedup import md5_hash60
 
 # Valid (and identical in meaning) in both Java regex and RE2/DuckDB.
@@ -837,7 +839,8 @@ def proportional_allocation(
         # got_total >= 1 (floors sum short by < len(active), so at least
         # one floor+topup is positive), hence termination: each pass
         # either zeroes `remaining` or caps at least one group.
-    return df.sparkSession.createDataFrame(
+    return literal_frame(
+        df.sparkSession,
         [(g, n, alloc[g]) for g, n in counts],
         f"{group_col} string, n_rows long, alloc long",
     )
@@ -892,8 +895,9 @@ def systematic_weighted_sample(
         # picks would silently double-count the overlapped interval
         raise ValueError("weights must be non-negative")
     if not total or total <= 0:
-        return df.sparkSession.createDataFrame(
-            [], f"{order_col} long, {weight_col} long, n_picks long"
+        return literal_frame(
+            df.sparkSession, [],
+            f"{order_col} long, {weight_col} long, n_picks long",
         )
     picks = F.expr(f"__c * {k}L div {total}L") - F.expr(
         f"(__c - {weight_col}) * {k}L div {total}L"

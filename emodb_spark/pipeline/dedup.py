@@ -24,6 +24,8 @@ from typing import NamedTuple, Optional
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from emodb_spark.spark.local_frame import literal_frame
+
 _log = logging.getLogger(__name__)
 
 
@@ -394,7 +396,8 @@ def minhash_save_buckets(
             "band"
         ).parquet(os.path.join(path, "buckets"))
         spark = corpus_df.sparkSession
-        meta = spark.createDataFrame(
+        meta = literal_frame(
+            spark,
             [(int(num_hashes), int(bands), int(shingle_k))],
             "num_hashes long, bands long, shingle_k long",
         )
@@ -569,7 +572,8 @@ def minhash_compact_published(spark, path_root: str) -> str:
             bc.write.mode("overwrite").partitionBy("band").parquet(
                 os.path.join(vdir, "buckets")
             )
-            meta = spark.createDataFrame(
+            meta = literal_frame(
+                spark,
                 [(int(art.num_hashes), int(art.bands), int(art.shingle_k))],
                 "num_hashes long, bands long, shingle_k long",
             )

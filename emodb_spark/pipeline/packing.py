@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from emodb_spark.spark.local_frame import literal_frame
+
 
 def global_running_total(
     df: DataFrame,
@@ -70,7 +72,7 @@ def global_running_total(
     for r in totals:
         offsets.append((r["__pid"], acc))
         acc += int(r["__total"] or 0)
-    off_df = df.sparkSession.createDataFrame(offsets, "__pid int, __off long")
+    off_df = literal_frame(df.sparkSession, offsets, "__pid int, __off long")
     w = Window.partitionBy("__pid").orderBy(order_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -22,6 +22,8 @@ from typing import NamedTuple, Optional
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from emodb_spark.spark.local_frame import literal_frame
+
 _log = logging.getLogger(__name__)
 
 
@@ -377,7 +379,8 @@ def kmeans_assign(
     broadcast is O(k*dim) bytes, NO shuffle, no UDF."""
     spark = embeddings.sparkSession
     cents_row = [[float(x) for x in c] for c in centroids]
-    cents_df = spark.createDataFrame(
+    cents_df = literal_frame(
+        spark,
         [(cents_row,)], "__cents array<array<double>>"
     )
     dists = F.transform(
@@ -703,7 +706,8 @@ def pq_codebooks(
     ]
     Q = float(1 << 30)
     for _ in range(iters):
-        books_df = spark.createDataFrame(
+        books_df = literal_frame(
+        spark,
             [([[list(map(float, c)) for c in b] for b in books],)],
             "__books array<array<array<double>>>",
         )
@@ -782,7 +786,8 @@ def pq_encode(
     m = len(books_q)
     sub_d = len(books_q[0][0])
     spark = embeddings.sparkSession
-    books_df = spark.createDataFrame(
+    books_df = literal_frame(
+        spark,
         [(books_q,)], "__books array<array<array<long>>>"
     )
 
@@ -892,8 +897,9 @@ def pq_adc_topk(
         "d": d_tab.reshape(-1),
     })
     spark = embeddings.sparkSession
-    lut_df = spark.createDataFrame(
-        lut_pdf, "query_id long, j int, code int, d long"
+    lut_df = literal_frame(
+        spark, lut_pdf.itertuples(index=False, name=None),
+        "query_id long, j int, code int, d long",
     )
 
     scored = (
@@ -959,7 +965,7 @@ def _int_assign(vq: DataFrame, vec_col: str, cents: list,
     crows = [
         (ci, pi, int(v)) for ci, row in enumerate(cents) for pi, v in enumerate(row)
     ]
-    cdf = spark.createDataFrame(crows, "cluster int, pos int, cval long")
+    cdf = literal_frame(spark, crows, "cluster int, pos int, cval long")
     diff = F.col("val") - F.col("cval")
     d2 = (
         vq.select(F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "val"))
@@ -985,7 +991,7 @@ def _int_assign_topn(vq: DataFrame, vec_col: str, cents: list, n: int,
     crows = [
         (ci, pi, int(v)) for ci, row in enumerate(cents) for pi, v in enumerate(row)
     ]
-    cdf = spark.createDataFrame(crows, "cluster int, pos int, cval long")
+    cdf = literal_frame(spark, crows, "cluster int, pos int, cval long")
     diff = F.col("val") - F.col("cval")
     d2 = (
         vq.select(F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "val"))
@@ -1033,7 +1039,8 @@ def _probe_encode(vq: DataFrame, cents: list, books: list,
     asn = _int_assign_topn(vq, "q", cents, n_probe).localCheckpoint(
         eager=True  # 3 ints per probed row; feeds resid AND the prank join
     )
-    carr = spark.createDataFrame(
+    carr = literal_frame(
+        spark,
         [(ci, [int(v) for v in row]) for ci, row in enumerate(cents)],
         "cell int, carr array<long>",
     )
@@ -1098,7 +1105,8 @@ def _residual_pass(vq: DataFrame, cents: list) -> DataFrame:
     k*dim HOF scan. One pass over the quantized input."""
     spark = vq.sparkSession
     asn = _int_assign(vq, "q", cents).withColumnRenamed("cluster", "cell")
-    carr = spark.createDataFrame(
+    carr = literal_frame(
+        spark,
         [(ci, [int(v) for v in row]) for ci, row in enumerate(cents)],
         "cell int, carr array<long>",
     )
@@ -1142,7 +1150,7 @@ def _subcode_assign(rex: DataFrame, bks: list,
         for ci, c in enumerate(book)
         for sp, v in enumerate(c)
     ]
-    bdf = spark.createDataFrame(brows, "j int, code int, sp int, bval long")
+    bdf = literal_frame(spark, brows, "j int, code int, sp int, bval long")
     diff = F.col("val") - F.col("bval")
     d2 = (
         rex.join(F.broadcast(bdf), ["j", "sp"])
@@ -1164,7 +1172,8 @@ def _qrows_df(spark: SparkSession, qrows: list, scale: int,
     shared by every eval that materializes query vectors."""
     import math
 
-    return spark.createDataFrame(
+    return literal_frame(
+        spark,
         [
             (int(i), [int(math.floor(float(x) * scale)) for x in v])
             for i, v in qrows
@@ -1396,7 +1405,8 @@ def ivfpq_save(index, path: str, with_recon: bool = False) -> None:
         enc.write.mode("overwrite").partitionBy("cell").parquet(
             os.path.join(path, "enc")
         )
-        meta = spark.createDataFrame(
+        meta = literal_frame(
+        spark,
             [([[int(v) for v in c] for c in cents],
               [[[int(v) for v in sc] for sc in b] for b in books],
               int(scale))],
@@ -1978,7 +1988,8 @@ def ivfpq_query(
     sub_d = len(books[0][0])
     n_probe = min(n_probe, len(cents))  # probing past every cell is a full scan
     if not qrows:
-        return spark.createDataFrame(
+        return literal_frame(
+        spark,
             [], "query_id long, nbr_id long, dist_q long, rank int"
         )
     qids = np.array([int(i) for i, _ in qrows], dtype=np.int64)
@@ -2006,8 +2017,9 @@ def ivfpq_query(
         "code": np.tile(np.arange(sk, dtype=np.int32), nq * n_probe * m),
         "d": d_tab.reshape(-1),
     })
-    lut_df = spark.createDataFrame(
-        lut_pdf, "query_id long, cell int, j int, code int, d long"
+    lut_df = literal_frame(
+        spark, lut_pdf.itertuples(index=False, name=None),
+        "query_id long, cell int, j int, code int, d long",
     )
 
     # ADC over probed cells ONLY: the (cell, j, code) equijoin carries
@@ -2205,13 +2217,14 @@ def _sdc_lut_df(spark: SparkSession, books: list) -> DataFrame:
     diff = books_np[:, :, None, :] - books_np[:, None, :, :]
     d_tab = np.einsum("mabd,mabd->mab", diff, diff)  # exact int64
     mm, sk = d_tab.shape[0], d_tab.shape[1]
-    return spark.createDataFrame(
+    return literal_frame(
+        spark,
         pd.DataFrame({
             "j": np.repeat(np.arange(mm, dtype=np.int32), sk * sk),
             "ca": np.tile(np.repeat(np.arange(sk, dtype=np.int32), sk), mm),
             "cb": np.tile(np.arange(sk, dtype=np.int32), mm * sk),
             "d": d_tab.reshape(-1),
-        }),
+        }).itertuples(index=False, name=None),
         "j int, ca int, cb int, d long",
     )
 
@@ -2563,7 +2576,8 @@ def ivfpq_adc_join(
         F.col(id_col).alias("id"), _quantize_col(F.col(vec_col), scale).alias("q")
     )
     asn = _int_assign_topn(qvq, "q", cents, n_probe)
-    carr = spark.createDataFrame(
+    carr = literal_frame(
+        spark,
         [(ci, [int(v) for v in row]) for ci, row in enumerate(cents)],
         "cell int, carr array<long>",
     )
@@ -2590,7 +2604,7 @@ def ivfpq_adc_join(
         for ci, c in enumerate(book)
         for sp, v in enumerate(c)
     ]
-    bdf = spark.createDataFrame(brows, "j int, code int, sp int, bval long")
+    bdf = literal_frame(spark, brows, "j int, code int, sp int, bval long")
     diff = F.col("val") - F.col("bval")
     lut = (
         qrex.join(F.broadcast(bdf), ["j", "sp"])
@@ -2731,12 +2745,14 @@ def ivfpq_reconstruct(index, scale: int = PQ_SCALE) -> DataFrame:
     projection next to the codes."""
     enc, cents, books, scale = _unpack_ivfpq_index(index, scale)
     spark = enc.sparkSession
-    books_df = spark.createDataFrame(
+    books_df = literal_frame(
+        spark,
         [(j, c, [int(v) for v in books[j][c]])
          for j in range(len(books)) for c in range(len(books[j]))],
         "j int, code int, bvec array<long>",
     )
-    cents_df = spark.createDataFrame(
+    cents_df = literal_frame(
+        spark,
         [(i, [int(v) for v in c]) for i, c in enumerate(cents)],
         "cell int, cvec array<long>",
     )
@@ -3062,7 +3078,8 @@ def hamming_save(
     spark = embeddings.sparkSession
     with maintenance_lock(path, exclusive=True, who="hamming_save"):
         idx.words.write.mode("overwrite").parquet(os.path.join(path, "words"))
-        meta = spark.createDataFrame(
+        meta = literal_frame(
+        spark,
             [(int(idx.dim), int(idx.word_bits))], "dim long, word_bits long"
         )
         meta.coalesce(1).write.mode("overwrite").json(
@@ -3165,7 +3182,8 @@ def hamming_compact_published(spark: SparkSession, root: str) -> str:
             words.write.mode("overwrite").parquet(
                 os.path.join(vdir, "words")
             )
-            meta = spark.createDataFrame(
+            meta = literal_frame(
+        spark,
                 [(int(idx.dim), int(idx.word_bits))],
                 "dim long, word_bits long",
             )
@@ -3563,7 +3581,7 @@ def hamming_near_dups(
         # CreateArray of ~700 elements measured 4x slower end-to-end:
         # it is rebuilt for every probe row); the 1-row cross join is
         # the repo's allowlisted O(1)-row broadcast idiom
-        mask_row = probe.sparkSession.createDataFrame(
+        mask_row = literal_frame(probe.sparkSession,
             [(_hamming_masks(word_bits, band_radius),)], "__masks array<long>"
         )
         probe = (
@@ -3689,7 +3707,7 @@ def hamming_incremental_near_dups(
         F.col("id").alias("batch_id"), F.posexplode("words").alias("j", "wval")
     )
     if band_radius > 0:
-        mask_row = bx.sparkSession.createDataFrame(
+        mask_row = literal_frame(bx.sparkSession,
             [(_hamming_masks(word_bits, band_radius),)], "__masks array<long>"
         )
         bx = (
@@ -4014,7 +4032,7 @@ def hamming_knn_join(
         F.col("id").alias("query_id"), F.posexplode("words").alias("j", "wval")
     )
     if band_radius > 0:
-        mask_row = qx.sparkSession.createDataFrame(
+        mask_row = literal_frame(qx.sparkSession,
             [(_hamming_masks(word_bits, band_radius),)], "__masks array<long>"
         )
         qx = (

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from emodb_spark.spark.local_frame import literal_frame
+
 HASH_BITS = 56
 HASH_SPACE = 1 << HASH_BITS
 
@@ -53,7 +55,7 @@ def _state_read(spark, path: str, schema: str) -> DataFrame:
     for p in (path, path + "__next"):
         if os.path.exists(p):
             return spark.read.parquet(p)
-    return spark.createDataFrame([], schema)
+    return literal_frame(spark, [], schema)
 
 
 def _state_commit(df: DataFrame, path: str) -> None:

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from emodb_spark.spark.local_frame import literal_frame
+
 # Deliberately simple, order-stable marker lists (the heuristic must be
 # reproducible in ANSI SQL for the oracle).
 LANG_MARKERS = {
@@ -454,7 +456,7 @@ def train_hashed_classifier(
         rows = [(int(b), int(v)) for b, v in sorted(w.items())]
         if not rows:
             rows = [(-1, 0)]  # placeholder: joins match nothing
-        return spark.createDataFrame(rows, "bucket long, w long")
+        return literal_frame(spark, rows, "bucket long, w long")
 
     def _scores(wdf):
         """Doc-preserving (id, n_features, score) under weights wdf."""
@@ -798,7 +800,8 @@ def _query_tf(df: DataFrame, queries, text_col: str, id_col: str):
     if not queries:
         raise ValueError("no queries")
     spark = df.sparkSession
-    qterms = spark.createDataFrame(
+    qterms = literal_frame(
+        spark,
         [(q, t) for q in queries for t in dict.fromkeys(q.split())],
         "query string, term string",
     )

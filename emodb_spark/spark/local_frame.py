@@ -1,0 +1,187 @@
+"""JVM-only small local DataFrames (the ``literal_frame`` idiom).
+
+``spark.createDataFrame(<python rows>)`` plans as a pickled-Python-RDD
+scan (``Scan ExistingRDD ... applySchemaToPythonRDD``) that is split
+into ``defaultParallelism`` partitions; EVERY evaluation of the plan —
+each broadcast build, each Lloyd/PQ training iteration, each bench rep
+— round-trips through fresh Python workers to unpickle the rows
+(~200 ms of pure latency per evaluation at local[32], near-zero CPU,
+measured via task metrics + executor thread dumps: tasks block in
+``PythonRDD`` socket reads). 31 of the 200 registered query plans
+carried at least one such scan before r14.
+
+For the small driver-computed frames this engine ships — centroid
+tables, ADC lookup tables, probe masks, meta rows, watermark rows —
+serialize the rows ONCE into a JSON string literal and let the JVM
+parse it:
+
+    range(0,1,1,1) -> from_json(lit(json)) -> arrays_zip -> inline
+
+The frame becomes a single-task ``Range -> Project -> Generate`` span
+that whole-stage-codegens with its consumer; ``from_json`` of a literal
+CONSTANT-FOLDS at optimization time, so the executed plan holds one
+Literal node regardless of row count. (This is NOT the per-element
+``CreateArray`` literal form that :func:`~emodb_spark.pipeline.
+similarity.kmeans_assign`'s history warns about — that form re-built
+the array per consumer row and put k*dim expression nodes in front of
+the analyzer; here the element count never shows up in the tree.)
+
+Exactness contract (oracle-hash-critical, probe-verified): doubles
+round-trip bit-exactly through ``repr`` -> Jackson (shortest-roundtrip
+decimal, incl. NaN/±Inf/-0.0/denormals), integers and strings are
+trivially exact, binary travels as base64 + ``unbase64``, naive
+datetimes format in the session timezone exactly as the
+``createDataFrame`` path interprets them.
+"""
+
+from __future__ import annotations
+
+import base64
+import datetime
+import json
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_ATOMIC_OK = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.StringType, T.BooleanType,
+)
+
+
+def _jsonable(value, dtype):
+    """Convert one Python value to its JSON form for ``from_json``,
+    mirroring what ``createDataFrame`` would have accepted. Raises
+    TypeError for types the literal path does not cover (caller falls
+    back to ``createDataFrame``)."""
+    if value is None:
+        return None
+    if isinstance(dtype, _ATOMIC_OK):
+        if isinstance(dtype, (T.FloatType, T.DoubleType)):
+            return float(value)
+        if isinstance(dtype, T.StringType):
+            return str(value)
+        if isinstance(dtype, T.BooleanType):
+            return bool(value)
+        return int(value)
+    if isinstance(dtype, T.BinaryType):
+        return base64.b64encode(bytes(value)).decode("ascii")
+    if isinstance(dtype, T.TimestampType) or isinstance(
+        dtype, getattr(T, "TimestampNTZType", ())
+    ):
+        if not isinstance(value, datetime.datetime):
+            raise TypeError(f"timestamp column got {type(value).__name__}")
+        return value.isoformat(sep=" ")
+    if isinstance(dtype, T.DateType):
+        if isinstance(value, datetime.datetime):
+            value = value.date()
+        return value.isoformat()
+    if isinstance(dtype, T.ArrayType):
+        return [_jsonable(v, dtype.elementType) for v in value]
+    if isinstance(dtype, T.MapType):
+        if not isinstance(dtype.keyType, T.StringType):
+            raise TypeError("literal_frame maps need string keys")
+        return {
+            str(k): _jsonable(v, dtype.valueType) for k, v in value.items()
+        }
+    if isinstance(dtype, T.StructType):
+        if isinstance(value, dict):
+            vals = [value.get(f.name) for f in dtype.fields]
+        else:
+            vals = list(value)
+        return {
+            f.name: _jsonable(v, f.dataType)
+            for f, v in zip(dtype.fields, vals)
+        }
+    raise TypeError(f"literal_frame does not support {dtype.simpleString()}")
+
+
+def _parse_ddl(dtype, *, top: bool) -> str:
+    """The DDL type ``from_json`` should parse a column with. Binary
+    columns are parsed as base64 STRINGS and decoded by the caller via
+    ``unbase64`` (Jackson has no binary literal) — only supported at
+    the top level."""
+    if isinstance(dtype, T.BinaryType):
+        if not top:
+            raise TypeError("literal_frame: nested binary not supported")
+        return "string"
+    if isinstance(dtype, (T.ArrayType, T.MapType, T.StructType)):
+        # nested binary inside a complex type would silently come back
+        # as a string; refuse instead
+        def _check(dt):
+            if isinstance(dt, T.BinaryType):
+                raise TypeError("literal_frame: nested binary not supported")
+            if isinstance(dt, T.ArrayType):
+                _check(dt.elementType)
+            elif isinstance(dt, T.MapType):
+                _check(dt.keyType)
+                _check(dt.valueType)
+            elif isinstance(dt, T.StructType):
+                for f in dt.fields:
+                    _check(f.dataType)
+        _check(dtype)
+    return dtype.simpleString()
+
+
+def literal_frame(
+    spark: SparkSession, rows: Iterable[Sequence], schema: str | T.StructType
+) -> DataFrame:
+    """Drop-in replacement for ``spark.createDataFrame(rows, schema)``
+    for SMALL driver-side row lists: same column names, types, values
+    and row order, but planned as a JVM-only literal (no Python-RDD
+    scan, one task, constant plan shape). ``rows`` is a list of
+    tuples/lists aligned with ``schema`` (a DDL string or StructType).
+
+    Raises TypeError for value/type combinations the literal path does
+    not support (decimals, non-string map keys, nested binary) — use
+    :func:`local_frame` to fall back automatically.
+    """
+    if isinstance(schema, T.StructType):
+        st = schema
+    else:
+        st = T._parse_datatype_string(schema)
+    names = [f.name for f in st.fields]
+    cols: list[list] = [[] for _ in names]
+    for row in rows:
+        if isinstance(row, dict):
+            row = [row.get(n) for n in names]
+        for i, (f, v) in enumerate(zip(st.fields, row)):
+            cols[i].append(_jsonable(v, f.dataType))
+    payload = json.dumps(dict(zip(names, cols)), allow_nan=True)
+    parse_schema = ", ".join(
+        f"`{f.name}`:array<{_parse_ddl(f.dataType, top=True)}>"
+        for f in st.fields
+    )
+    parsed = F.from_json(
+        F.lit(payload),
+        f"struct<{parse_schema}>",
+        {"allowNonNumericNumbers": "true"},
+    ).alias("__lf")
+    zipped = F.arrays_zip(
+        *[F.col(f"__lf.`{n}`").alias(n) for n in names]
+    )
+    out = spark.range(0, 1, 1, 1).select(parsed).select(F.inline(zipped))
+    fixups = []
+    for f in st.fields:
+        c = F.col(f"`{f.name}`")
+        if isinstance(f.dataType, T.BinaryType):
+            c = F.unbase64(c)
+        fixups.append(c.cast(f.dataType).alias(f.name))
+    return out.select(*fixups)
+
+
+def local_frame(
+    spark: SparkSession, rows, schema: str | T.StructType
+) -> DataFrame:
+    """:func:`literal_frame` with a transparent ``createDataFrame``
+    fallback for inputs the literal path cannot express."""
+    try:
+        rows = list(rows)
+        return literal_frame(spark, rows, schema)
+    except TypeError:
+        return spark.createDataFrame(rows, schema)
+
+
+__all__ = ["literal_frame", "local_frame"]

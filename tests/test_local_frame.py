@@ -1,0 +1,103 @@
+"""literal_frame must be indistinguishable from createDataFrame for the
+row shapes the engine ships (r14 optimization: the Python-RDD local
+frames were replaced by JVM literal frames; the oracle hashes demand
+bit-exact values)."""
+
+import datetime
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from emodb_spark.spark.local_frame import literal_frame, local_frame
+
+
+def _assert_same(spark, rows, schema):
+    a = literal_frame(spark, rows, schema)
+    b = spark.createDataFrame(rows, schema)
+    assert a.schema == b.schema, (a.schema, b.schema)
+    ra, rb = a.collect(), b.collect()
+    assert ra == rb, (ra, rb)
+    return a
+
+
+def test_scalar_types_exact(spark):
+    rows = [
+        (1, 2.5, "x", True),
+        (None, None, None, None),
+        (-(2**62), 0.1, "héllo ☃", False),
+    ]
+    _assert_same(spark, rows, "i long, d double, s string, b boolean")
+
+
+def test_double_bit_patterns(spark):
+    vals = [0.1, 1 / 3, 2.0**-1074, 1.7976931348623157e308, -0.0,
+            float("nan"), float("inf"), float("-inf")]
+    rows = [(i, v) for i, v in enumerate(vals)]
+    a = literal_frame(spark, rows, "i int, d double")
+    b = spark.createDataFrame(rows, "i int, d double")
+    import struct
+    pa = [struct.pack("<d", r.d) for r in a.orderBy("i").collect()]
+    pb = [struct.pack("<d", r.d) for r in b.orderBy("i").collect()]
+    assert pa == pb
+
+
+def test_nested_arrays_and_structs(spark):
+    rows = [
+        ([[1.0, 2.0], [3.0]], [1, None, 3], (7, "in")),
+        (None, [], (None, None)),
+    ]
+    _assert_same(
+        spark, rows,
+        "m array<array<double>>, a array<long>, st struct<x:long,y:string>",
+    )
+
+
+def test_map_and_empty_frame(spark):
+    rows = [({"k": 1, "z": None},), (None,)]
+    _assert_same(spark, rows, "m map<string,long>")
+    empty = _assert_same(spark, [], "a long, b string")
+    assert empty.count() == 0
+
+
+def test_binary_roundtrip(spark):
+    rows = [(bytes(range(256)),), (b"",), (None,)]
+    _assert_same(spark, rows, "payload binary")
+
+
+def test_timestamp_and_date(spark):
+    ts = datetime.datetime(2024, 5, 1, 12, 34, 56, 789123)
+    rows = [(ts, ts.date()), (None, None)]
+    _assert_same(spark, rows, "t timestamp, d date")
+
+
+def test_row_order_preserved(spark):
+    rows = [(i, f"r{i}") for i in range(97)]
+    a = literal_frame(spark, rows, "i long, s string").collect()
+    assert [r.i for r in a] == list(range(97))
+
+
+def test_no_python_rdd_in_plan(spark):
+    df = literal_frame(spark, [(1, [2.0])], "i long, v array<double>")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "applySchemaToPythonRDD" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_local_frame_fallback(spark):
+    # decimal is unsupported by the literal path -> falls back, same rows
+    import decimal
+    rows = [(decimal.Decimal("1.23"),)]
+    df = local_frame(spark, rows, "d decimal(10,2)")
+    assert df.collect()[0][0] == decimal.Decimal("1.23")
+
+
+def test_raises_on_nested_binary(spark):
+    with pytest.raises(TypeError):
+        literal_frame(spark, [([b"x"],)], "a array<binary>")
+
+
+def test_nan_in_array(spark):
+    rows = [([float("nan"), 1.0],)]
+    a = literal_frame(spark, rows, "v array<double>").collect()[0][0]
+    assert math.isnan(a[0]) and a[1] == 1.0

@@ -1,0 +1,117 @@
+"""A/B a set of session-config overrides over named queries (guide §1).
+
+Usage: python tools/conf_ab.py <sf_dir> <reps> "<k=v,k=v|label>" [...] -- q1 q2 ...
+
+Each quoted arg is one configuration variant: comma-separated conf
+overrides, optionally "|label". The baseline (no overrides) is always
+run first. Every variant gets a FRESH JVM (same isolation rule as
+bench.py) and times each query best-of-<reps> with the noop sink.
+Prints one JSON line per variant.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+def _child(variant_confs: dict, names: list, sf_dir: str, reps: int) -> None:
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, here)
+    from emodb_spark.spark import session as sess_mod
+
+    orig = sess_mod.get_spark
+
+    def patched(*a, **kw):
+        import pyspark.sql
+
+        b = pyspark.sql.SparkSession.builder
+        orig_getOrCreate = b.__class__.getOrCreate
+
+        def goc(self):
+            for k, v in variant_confs.items():
+                self.config(k, v)
+            return orig_getOrCreate(self)
+
+        b.__class__.getOrCreate = goc
+        try:
+            return orig(*a, **kw)
+        finally:
+            b.__class__.getOrCreate = orig_getOrCreate
+
+    sess_mod.get_spark = patched
+    import __spark_entry__ as entrymod
+
+    spark = patched(app_name="conf_ab")
+    qs = entrymod.queries()
+    import time
+
+    # leader warmup (same rationale as bench.py)
+    try:
+        qs[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    except Exception as e:  # noqa: BLE001
+        print(f"# warmup failed: {e}", file=sys.stderr)
+    spark.catalog.clearCache()
+    out = {}
+    for name in names:
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            try:
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as e:  # noqa: BLE001
+                out[name] = f"ERR {e}"[:120]
+                break
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        if best is not None:
+            out[name] = round(best, 3)
+        spark.catalog.clearCache()
+        import gc
+
+        gc.collect()
+    print("RESULT " + json.dumps(out))
+
+
+def main() -> None:
+    if os.environ.get("_CONF_AB_CHILD"):
+        payload = json.loads(os.environ["_CONF_AB_CHILD"])
+        _child(payload["confs"], payload["names"], payload["sf"], payload["reps"])
+        return
+    sf_dir = sys.argv[1]
+    reps = int(sys.argv[2])
+    sep = sys.argv.index("--")
+    variants = [("baseline", {})]
+    for spec in sys.argv[3:sep]:
+        label = spec
+        if "|" in spec:
+            spec, label = spec.split("|", 1)
+        confs = dict(kv.split("=", 1) for kv in spec.split(",") if kv)
+        variants.append((label, confs))
+    names = sys.argv[sep + 1 :]
+    for label, confs in variants:
+        env = dict(os.environ)
+        env["_CONF_AB_CHILD"] = json.dumps(
+            {"confs": confs, "names": names, "sf": sf_dir, "reps": reps}
+        )
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        res = [l for l in p.stdout.splitlines() if l.startswith("RESULT ")]
+        if res:
+            print(json.dumps({"variant": label, "timings": json.loads(res[0][7:])}))
+        else:
+            print(json.dumps({"variant": label, "error": p.stderr[-500:]}))
+        sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()
