@@ -51,17 +51,27 @@ def integer_pagerank(
     "remove dangling mass" PageRank variant — on the undirected graphs
     the dedup stack produces, every node has out-degree >= 1.
 
-    The distinct edge list is persisted for the supersteps (its upstream
-    — e.g. a fingerprint-overlap join — would otherwise recompute once
-    PER ITERATION; measured 3.4 s → 2.5 s on the sf0.1 doc graph) and
-    released when the returned frame is dropped.
+    The distinct edge list and the node/degree table are pinned with a
+    lazy ``localCheckpoint`` — NOT ``persist`` + a GC finalizer: a
+    finalizer tied to the returned frame fires as soon as a caller
+    derives from it (``.select(...)`` drops the only Python reference),
+    un-persisting the cache BEFORE the query ever runs, and the upstream
+    (e.g. a fingerprint-overlap join) is then recomputed once per
+    reference in the unrolled superstep plan (measured: the sf0.1 doc
+    graph replanned the edge construction 12x, zero InMemoryRelation
+    nodes). A checkpointed RDD lives inside the logical plan itself, so
+    every derived frame keeps it alive JVM-side and the ContextCleaner
+    frees the blocks when the last plan referencing it is dropped. The
+    edge list is additionally hash-partitioned by ``src`` ONCE, so each
+    superstep's contribution join reuses that layout instead of
+    re-exchanging the edges every iteration (the partitioning survives
+    the checkpoint — LogicalRDD captures the physical layout).
     """
-    from ..spark.io_util import release_on_gc
-
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
-        .persist()
+        .repartition("src")
+        .localCheckpoint(eager=False)
     )
     deg = e.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).cast("long").alias("degree")
@@ -72,7 +82,7 @@ def integer_pagerank(
         .distinct()
         .join(deg, "id", "left")
         .withColumn("degree", F.coalesce(F.col("degree"), F.lit(0)).cast("long"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     base = scale * (100 - damping_pct) // 100
     ranked = nodes.withColumn("pagerank", F.lit(scale).cast("long"))
@@ -96,7 +106,7 @@ def integer_pagerank(
                 )
             ).cast("long").alias("pagerank"),
         )
-    return release_on_gc(ranked, e, nodes)
+    return ranked
 
 
 def triangle_counts(
@@ -119,16 +129,26 @@ def triangle_counts(
     theoretical bound), so a celebrity node never explodes the join.
     Three keyed equijoins + one groupBy; all integer; no floats anywhere
     so counts are engine-exact.
+
+    ``und``, ``deg`` and ``oriented`` are each referenced by 2-3
+    downstream branches; without pinning, the plan tree EXPANDS every
+    reference (measured: 52 copies of the upstream edge construction,
+    52 parquet scans / 224 Exchanges in one sf plan). Lazy
+    ``localCheckpoint`` computes each exactly once inside the query's
+    own first action and every branch reads the cached blocks — the
+    plan-embedded idiom that survives callers deriving new frames from
+    the result (see :func:`integer_pagerank`).
     """
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .where(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = und.groupBy(F.col("a").alias("id")).agg(
         F.count(F.lit(1)).cast("long").alias("degree")
-    )
+    ).localCheckpoint(eager=False)
     # orient each edge toward the (degree, id)-larger endpoint
     da = deg.select(F.col("id").alias("a"), F.col("degree").alias("da"))
     db = deg.select(F.col("id").alias("b"), F.col("degree").alias("db"))
@@ -140,6 +160,7 @@ def triangle_counts(
             | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
         )
         .select("a", "b")
+        .localCheckpoint(eager=False)
     )
     # wedges through the low vertex, then probe the oriented edges
     o1 = oriented.select(F.col("a").alias("w"), F.col("b").alias("u"))

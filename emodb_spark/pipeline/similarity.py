@@ -578,6 +578,12 @@ def quantize_embeddings(
     )
 
 
+#: flatten the MMR maxsim expression chain back into a checkpoint every
+#: this many picks: bounds plan depth/analysis cost for large k while
+#: keeping the common small-k path free of intermediate pool rewrites
+_MMR_FLATTEN = 16
+
+
 def mmr_diverse_topk(
     scored: DataFrame,
     k: int,
@@ -601,6 +607,19 @@ def mmr_diverse_topk(
     pairwise-joined. For k beyond ~hundreds, pre-trim the pool with
     ``cosine_topk``/``ivf_topk`` first and run MMR on the shortlist.
 
+    The vectors are checkpointed ONCE; each round folds its
+    ``greatest(maxsim, cos(v, pick))`` update into the plan as an
+    expression instead of re-materializing the whole pool (the previous
+    shape rewrote the VECTOR column to a fresh checkpoint every round —
+    k full-pool writes whose payload never changes; guide §8: move
+    heavy bytes once, update narrow state). The expression chain is
+    flattened back into a checkpoint every ``_MMR_FLATTEN`` picks so
+    plan depth stays bounded for large k, and the final round skips the
+    update entirely (its result was never consumed). ``greatest`` is an
+    exact fold — max of doubles is associative, no arithmetic combines
+    values — so every objective, and therefore every pick, is
+    bit-identical to the per-round-checkpoint shape.
+
     Returns the selected ids in pick order (a driver-side list of k).
     """
     if k <= 0:
@@ -613,6 +632,7 @@ def mmr_diverse_topk(
         F.lit(float("-inf")).alias("maxsim"),
     ).localCheckpoint(eager=True)
     picked: list = []
+    since_flatten = 0
     for _ in range(k):
         cand = pool.where(~F.col("id").isin(picked)) if picked else pool
         obj = (
@@ -632,13 +652,19 @@ def mmr_diverse_topk(
             break
         pick_id, pick_vec = top[0]["id"], [float(x) for x in top[0]["v"]]
         picked.append(pick_id)
+        if len(picked) >= k:
+            break  # last pick's maxsim update would never be read
         vec_lit = F.array(*[F.lit(x) for x in pick_vec])
         new_sim = _dot(F.col("v"), vec_lit) / (
             _norm(F.col("v")) * _norm(vec_lit)
         )
         pool = pool.select(
             "id", "v", "s", F.greatest(F.col("maxsim"), new_sim).alias("maxsim")
-        ).localCheckpoint(eager=True)
+        )
+        since_flatten += 1
+        if since_flatten >= _MMR_FLATTEN:
+            pool = pool.localCheckpoint(eager=True)
+            since_flatten = 0
     return picked
 
 

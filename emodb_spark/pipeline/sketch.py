@@ -272,51 +272,59 @@ def bloom_probe(
     seed: str = "bloom",
 ) -> DataFrame:
     """Membership pre-filter: keep candidate rows whose value hits ALL
-    ``k_hashes`` bits of the group's Bloom filter. The filter table
-    (``groups * m/64`` rows) broadcasts; the probe is a per-row bit test
-    in codegen — no shuffle of the candidate side. No false negatives:
-    every true member survives; false positives pass at the filter's FP
-    rate and must be re-checked by the exact join they were pruning."""
-    probes = []
+    ``k_hashes`` bits of the group's Bloom filter. The filter collapses
+    to ONE ``word_idx -> bits`` map per group and broadcasts once; all
+    ``k_hashes`` bit tests run against that map in a single codegen
+    filter — no shuffle of the candidate side, and exactly one
+    broadcast join instead of one per hash (the old per-hash-join shape
+    replanned the whole filter BUILD subtree once per hash: the r14
+    plan audit counted the dim side of ``bloom_join_reduction`` scanned
+    7 times). Semantics unchanged: a ``word_idx`` absent from the
+    filter table holds no set bits, so ``element_at``'s NULL fails the
+    bit test exactly like the old inner join dropped the row; a group
+    absent from the filter drops all its candidates via the inner join
+    on the group key, as before (``map_from_entries`` keys are unique
+    per group by construction — bloom_build groups by (grp, word_idx) —
+    so the map is order-independent and deterministic). No false
+    negatives: every true member survives; false positives pass at the
+    filter's FP rate and must be re-checked by the exact join they were
+    pruning."""
+    bmap = bloom.groupBy(F.col(group_col)).agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(F.col("word_idx").cast("int"), F.col("bits"))
+            )
+        ).alias("__bm")
+    )
+    out = candidates.join(F.broadcast(bmap), group_col)
     for i in range(k_hashes):
-        p = F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit(f"{seed}{i}:"),
-                            F.col(value_col).cast("string"),
-                        )
-                    ),
-                    1,
-                    14,
-                ),
-                16,
-                10,
-            ).cast("long"),
-            F.lit(m_bits),
-        )
-        probes.append(p)
-    out = candidates
-    for i, p in enumerate(probes):
-        out = out.withColumn(f"__p{i}", p)
-    for i in range(k_hashes):
-        b = bloom.select(
-            F.col(group_col),
-            F.col("word_idx").cast("int").alias(f"__w{i}"),
-            F.col("bits").alias(f"__bits{i}"),
-        )
         out = out.withColumn(
-            f"__w{i}", F.expr(f"__p{i} div 64").cast("int")
-        ).join(F.broadcast(b), [group_col, f"__w{i}"])
-        out = out.where(
+            f"__p{i}",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"{seed}{i}:"),
+                                F.col(value_col).cast("string"),
+                            )
+                        ),
+                        1,
+                        14,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(m_bits),
+            ),
+        ).where(
             F.expr(
-                f"(shiftright(__bits{i}, cast(pmod(__p{i}, 64) as int)) & 1) = 1"
+                f"(shiftright(element_at(__bm, CAST(__p{i} div 64 AS INT)),"
+                f" CAST(pmod(__p{i}, 64) AS INT)) & 1) = 1"
             )
         )
-    return out.drop(
-        *[c for c in out.columns if c.startswith("__p") or c.startswith("__w") or c.startswith("__bits")]
-    )
+    return out.drop("__bm", *[f"__p{i}" for i in range(k_hashes)])
+
 
 
 def _next_pow2(n: int) -> int:

@@ -1,0 +1,111 @@
+"""Plan-shape regression tests for the graph kernels' intermediate
+pinning (r14 optimization).
+
+The r14 round found two structural defects (plans/r14/*_before.txt):
+
+- ``integer_pagerank`` persisted its edge/node tables but tied the
+  unpersist to a GC finalizer on the RETURNED frame — any caller
+  deriving from the result (``.select`` in q_doc_pagerank) dropped the
+  only Python reference and un-persisted the cache BEFORE execution,
+  so the upstream edge construction was replanned once per superstep
+  reference (12 copies, zero InMemoryRelation in the executed plan).
+- ``triangle_counts`` never pinned ``und``/``deg``/``oriented`` at all:
+  52 copies of the upstream construction, 52 parquet scans.
+
+Both now pin with a lazy ``localCheckpoint`` that lives INSIDE the
+plan, so the pin survives callers deriving new frames. These tests
+assert the plan shape (upstream appears exactly once per pinned
+intermediate, as a scan of an existing RDD) on a DERIVED frame — the
+exact pattern that broke — plus value equality with the pre-rewrite
+semantics on a graph with known structure.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_pagerank_derived_frame_plans_single_edge_subtree(spark):
+    from emodb_spark.pipeline.graph import integer_pagerank
+
+    # upstream with a recognizable operator: an explode the plan would
+    # duplicate per superstep if the checkpoint pin were broken
+    base = spark.range(0, 40).select(
+        F.col("id").alias("src"),
+        F.explode(F.array((F.col("id") + 1) % 40, (F.col("id") + 2) % 40)).alias(
+            "dst"
+        ),
+    )
+    out = integer_pagerank(base, iterations=3).select(
+        F.col("id").alias("doc_id"), "degree", "pagerank"
+    )  # deriving from the result is what used to drop the pin
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the upstream Generate/Range must NOT be replanned per iteration:
+    # the pinned edge list appears as a checkpointed-RDD scan instead
+    assert "Generate" not in plan and "Range" not in plan
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
+
+
+def test_triangles_derived_frame_plans_single_edge_subtree(spark):
+    from emodb_spark.pipeline.graph import triangle_counts
+
+    base = spark.range(0, 30).select(
+        F.col("id").alias("src"),
+        F.explode(F.array((F.col("id") + 1) % 30, (F.col("id") + 5) % 30)).alias(
+            "dst"
+        ),
+    )
+    out = triangle_counts(base).select(F.col("id").alias("doc_id"), "triangles")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the upstream Range/Generate must not be replanned per branch; the
+    # ONE surviving Generate is the kernel's own wedge-corner explode
+    # (explode(array(w, u, v))), which is part of the counting logic
+    assert "Range" not in plan
+    assert plan.count("Generate") == 1
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
+
+
+def test_pagerank_values_on_known_graph(spark):
+    """3-node cycle + isolated pair: ranks computable by hand with the
+    exact integer recurrence; guards the checkpoint rewrite against any
+    value drift."""
+    from emodb_spark.pipeline.graph import SCALE, integer_pagerank
+
+    e = _edges(
+        spark,
+        [(1, 2), (2, 3), (3, 1), (10, 11), (11, 10)],
+    )
+    out = {r["id"]: r for r in integer_pagerank(e, iterations=3).collect()}
+
+    # replay the recurrence in Python (same integer ops)
+    ranks = {n: SCALE for n in (1, 2, 3, 10, 11)}
+    deg = {1: 1, 2: 1, 3: 1, 10: 1, 11: 1}
+    succ = {1: [2], 2: [3], 3: [1], 10: [11], 11: [10]}
+    base = SCALE * 15 // 100
+    for _ in range(3):
+        inc = {n: 0 for n in ranks}
+        for u, vs in succ.items():
+            c = ranks[u] // deg[u]
+            for v in vs:
+                inc[v] += c
+        ranks = {n: base + (85 * inc[n]) // 100 for n in ranks}
+    for n, want in ranks.items():
+        assert out[n]["pagerank"] == want, n
+
+
+def test_triangle_values_on_known_graph(spark):
+    from emodb_spark.pipeline.graph import triangle_counts
+
+    # K4 on {1,2,3,4}: every node in 3 triangles; plus a pendant 5-1
+    e = _edges(
+        spark,
+        [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+        + [(5, 1)],
+    )
+    out = {r["id"]: r["triangles"] for r in triangle_counts(e).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0}
