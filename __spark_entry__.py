@@ -4453,10 +4453,16 @@ def q_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = q.join(docs.select("doc_id", "text"), "doc_id").select(
         "doc_id", "n_tokens", F.md5(normalize(F.col("text"))).alias("f")
     )
-    winners = keyed.groupBy("f").agg(F.min("doc_id").alias("w"))
+    # winner-per-fingerprint in ONE aggregate: doc_id is unique per row,
+    # so min_by(n_tokens, doc_id) is the min-doc_id row's n_tokens —
+    # identical to the old groupBy + join-back + doc_id==w filter, minus
+    # the join and its second pass over the keyed table (guide §2.4)
     dd = (
-        keyed.join(winners, "f")
-        .where(F.col("doc_id") == F.col("w"))
+        keyed.groupBy("f")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+        )
         .select("doc_id", "n_tokens")
         .persist()
     )

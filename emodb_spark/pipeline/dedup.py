@@ -304,8 +304,12 @@ def ngram_jaccard(
             .select(F.col("id_a").alias("a_id"), F.col("id_b").alias("b_id"),
                     F.col("sh_a").alias("a_sh"), F.col("sh_b").alias("b_sh"))
         )
+        # |A∪B| = |A| + |B| − |A∩B| exactly (both arrays are distinct by
+        # shingle_sets construction): inclusion-exclusion replaces the
+        # allocating array_union with two size() lookups (r14, guide §1.2
+        # per-task work — array_union re-hashes both arrays per pair)
         inter = F.size(F.array_intersect(F.col("a_sh"), F.col("b_sh")))
-        union = F.size(F.array_union(F.col("a_sh"), F.col("b_sh")))
+        union = F.size(F.col("a_sh")) + F.size(F.col("b_sh")) - inter
         return (
             joined.select(
                 F.col("a_id").alias("id_a"),
@@ -315,7 +319,7 @@ def ngram_jaccard(
             .filter(F.col("jaccard") >= threshold)
         )
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
     return (
         joined.select(
             F.col("a.id").alias("id_a"),
@@ -733,7 +737,9 @@ def incremental_near_dups(
         )
     )
     inter = F.size(F.array_intersect(F.col("sh_b"), F.col("sh_c")))
-    union = F.size(F.array_union(F.col("sh_b"), F.col("sh_c")))
+    # inclusion-exclusion (arrays distinct by construction) — see
+    # ngram_jaccard: drops the allocating array_union per verify pair
+    union = F.size(F.col("sh_b")) + F.size(F.col("sh_c")) - inter
     return (
         joined.select(
             "batch_id",
@@ -1081,10 +1087,15 @@ def near_dup_clusters(
         F.col("id_a").cast(key_t).alias("src"), F.col("id_b").cast(key_t).alias("dst")
     )
     # pin the edge set once: every propagation round re-reads it, and its
-    # lineage may be an entire LSH pipeline
+    # lineage may be an entire LSH pipeline. Hash-partition by src BEFORE
+    # the checkpoint (the integer_pagerank idiom — LogicalRDD captures
+    # the physical layout), so each round's propagation join reuses the
+    # edges' partitioning instead of re-exchanging the (bigger) edge side
+    # every round; only the evolving label table shuffles per round.
     edges = (
         fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
+        .repartition("src")
         .localCheckpoint(eager=True)
     )
 
@@ -1250,7 +1261,13 @@ def near_dup_clusters_star(
             .select(F.col("b").alias("a"), m.alias("b"))
             .where(F.col("a") != F.col("b"))
         )
-        E = small_star(large).localCheckpoint(eager=True)
+        # LAZY checkpoint: the new E materializes inside the NEXT
+        # round's mins action (or the final labels join), collapsing the
+        # loop from two jobs per round to one — the blocks are still cut
+        # from lineage the first time any action computes them (r14;
+        # eager=True here was half the round's job count for no extra
+        # work)
+        E = small_star(large).localCheckpoint(eager=False)
 
     if stats is not None:
         # observability for scale probes: round count is the log-diameter
@@ -1887,26 +1904,40 @@ def ngram_novelty(
 
     Returns (id, n_grams, n_novel, novelty_ppm).
 
-    Scale shape: one shuffle keyed on the gram (min-id aggregate,
-    map-side combined) and one keyed on the doc id — the same two
-    exchanges every dedup pass already pays; no joins wider than the
-    gram table, no windows.
+    Scale shape (r14): one shuffle keyed on the gram (min-id aggregate,
+    map-side combined), then ONLY the (first_id, count) pairs — one row
+    per doc after map-side partial aggregation — shuffle by doc id; the
+    per-doc gram total is ``size(sh)``, a narrow per-row expression. The
+    previous shape joined the full gram table back to the min-id
+    aggregate on the gram STRING and re-aggregated every gram row by
+    doc — the join and the second full-gram shuffle both disappear
+    (guide §2.3/§2.4: the per-doc novel count is already determined by
+    the min-id aggregate alone; nothing about individual gram rows is
+    needed downstream).
     """
     if sh is None:
         sh = shingle_sets(df, text_col, id_col, shingle_k)
     grams = sh.select("id", F.explode("sh").alias("g"))
-    first = grams.groupBy("g").agg(F.min("id").alias("__first"))
+    novel = (
+        grams.groupBy("g")
+        .agg(F.min("id").alias("__first"))
+        .groupBy("__first")
+        .agg(F.count(F.lit(1)).cast("long").alias("__novel"))
+    )
+    # size(null array) is NULL and size(empty)=0 — both fail > 0, exactly
+    # the docs the old explode+inner-join shape produced no row for
+    counts = sh.select(
+        "id", F.size("sh").cast("long").alias("n_grams")
+    ).where(F.col("n_grams") > 0)
     return (
-        grams.join(first, "g")
-        .groupBy("id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
-            F.sum(
-                F.when(F.col("id") == F.col("__first"), 1).otherwise(0)
-            ).cast("long").alias("n_novel"),
-        )
+        counts.join(novel, counts["id"] == novel["__first"], "left")
         .select(
             F.col("id").alias(id_col),
+            "n_grams",
+            F.coalesce(F.col("__novel"), F.lit(0)).cast("long").alias("n_novel"),
+        )
+        .select(
+            id_col,
             "n_grams",
             "n_novel",
             F.expr("CAST(n_novel * 1000000 div n_grams AS BIGINT)").alias(

