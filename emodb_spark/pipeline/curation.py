@@ -388,27 +388,42 @@ def ngram_contamination(
     from .dedup import shingle_sets, shingles
 
     corpus_sh = shingle_sets(docs, text_col, id_col, shingle_k)
-    corpus = corpus_sh.select("id", F.explode("sh").alias("s"))
+    # ONE shingle pass (r14): the per-doc gram total rides the explode
+    # as a carried column and the hit count is a conditional aggregate
+    # over a broadcast LEFT join — the previous shape computed the
+    # (expensive) shingle construction twice, once for the exploded
+    # hits side and once for the n_grams projection, and joined the two
+    # back on the doc id. Every doc survives the explode (shingle
+    # arrays are never empty: short/null texts shingle to one
+    # element), and a null gram — the null-text case — matches nothing
+    # under either join kind, so the output rows are identical.
+    ex = corpus_sh.select(
+        "id", F.size("sh").alias("n_grams"), F.explode("sh").alias("s")
+    )
     bench = (
         benchmark.select(
             F.explode(
                 F.array_distinct(shingles(F.col(text_col), shingle_k))
             ).alias("s")
         ).distinct()
+        .withColumn("__hit", F.lit(1))
     )
     if broadcast_benchmark:
         bench = F.broadcast(bench)
-    hits = corpus.join(bench, "s").groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_hits")
-    )
     return (
-        corpus_sh.select("id", F.size("sh").alias("n_grams"))
-        .join(hits, "id", "left")
+        ex.join(bench, "s", "left")
+        .groupBy("id")
+        .agg(
+            F.first("n_grams").alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits"),
+        )
         .select(
             F.col("id").alias(id_col),
             "n_grams",
-            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
-            (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_hits).alias(
+            F.col("n_hits"),
+            (F.col("n_hits") >= min_hits).alias(
                 "contaminated"
             ),
         )

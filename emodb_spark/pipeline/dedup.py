@@ -1919,15 +1919,21 @@ def ngram_novelty(
         sh = shingle_sets(df, text_col, id_col, shingle_k)
     grams = sh.select("id", F.explode("sh").alias("g"))
     novel = (
-        grams.groupBy("g")
+        grams.where(F.col("g").isNotNull())
+        .groupBy("g")
         .agg(F.min("id").alias("__first"))
         .groupBy("__first")
         .agg(F.count(F.lit(1)).cast("long").alias("__novel"))
     )
-    # size(null array) is NULL and size(empty)=0 — both fail > 0, exactly
-    # the docs the old explode+inner-join shape produced no row for
+    # count NON-NULL grams only (a null-text doc shingles to [null]),
+    # and require > 0 — exactly the rows the old explode + inner-join
+    # shape produced: null join keys never matched, so null grams were
+    # neither counted nor emitted
     counts = sh.select(
-        "id", F.size("sh").cast("long").alias("n_grams")
+        "id",
+        F.size(F.filter(F.col("sh"), lambda x: x.isNotNull()))
+        .cast("long")
+        .alias("n_grams"),
     ).where(F.col("n_grams") > 0)
     return (
         counts.join(novel, counts["id"] == novel["__first"], "left")
