@@ -676,7 +676,16 @@ def incremental_near_dups(
         bands = corpus_buckets.bands
         shingle_k = corpus_buckets.shingle_k
     rows = num_hashes // bands
-    sh_b = shingle_sets(batch_df, text_col, id_col, shingle_k)
+    # pin the batch shingles: they feed BOTH the bucket broadcast and the
+    # verify join, and each reference of an unpinned frame re-runs the
+    # whole shingle pipeline as a separate broadcast build (stream-side
+    # scan tasks stall on every rebuild). The batch side is micro-batch-
+    # sized by contract (the docstring's broadcast justification), so the
+    # pin is O(batch) — measured r14: the persisted-probe gate spent
+    # ~60 s of task time waiting on repeated batch-side builds
+    sh_b = shingle_sets(batch_df, text_col, id_col, shingle_k).localCheckpoint(
+        eager=True
+    )
     if corpus_buckets is not None:
         bc = corpus_buckets.buckets
         sh_c = None  # shingled AFTER candidates — O(candidates) rows
@@ -707,6 +716,10 @@ def incremental_near_dups(
         .distinct()
     )
     if sh_c is None:
+        # O(candidates) rows referenced by the cand_ids pull AND the final
+        # verify join — pin once so the artifact probe (a corpus-wide band
+        # scan at 100 TB) runs exactly once, not once per reference
+        cands = cands.localCheckpoint(eager=True)
         # persisted-bucket probe: the corpus text is read only for the
         # candidate rows' verify (the docstring's 100 TB contract)
         cand_ids = cands.select(
@@ -1083,15 +1096,21 @@ def near_dup_clusters(
     numeric = id_type in ("bigint", "int", "smallint", "tinyint")
     key_t = "long" if numeric else "string"
     nodes = docs.select(F.col(id_col).cast(key_t).alias("id")).distinct()
+    # pin the DIRECTED pair set before symmetrizing: the union below
+    # references it twice, and each reference of an unpinned frame
+    # re-executes the full upstream — often an entire LSH candidate +
+    # verify pipeline (measured r14: the sf0.1 minhash pair DAG ran ~4x
+    # inside the edges job — 2 union branches x 2 self-join sides — for
+    # 20.3 s where the pair query alone costs 3.4 s)
     fwd = pairs.select(
         F.col("id_a").cast(key_t).alias("src"), F.col("id_b").cast(key_t).alias("dst")
-    )
-    # pin the edge set once: every propagation round re-reads it, and its
-    # lineage may be an entire LSH pipeline. Hash-partition by src BEFORE
-    # the checkpoint (the integer_pagerank idiom — LogicalRDD captures
-    # the physical layout), so each round's propagation join reuses the
-    # edges' partitioning instead of re-exchanging the (bigger) edge side
-    # every round; only the evolving label table shuffles per round.
+    ).localCheckpoint(eager=True)
+    # pin the edge set once: every propagation round re-reads it.
+    # Hash-partition by src BEFORE the checkpoint (the integer_pagerank
+    # idiom — LogicalRDD captures the physical layout), so each round's
+    # propagation join reuses the edges' partitioning instead of
+    # re-exchanging the (bigger) edge side every round; only the evolving
+    # label table shuffles per round.
     edges = (
         fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
@@ -1261,13 +1280,14 @@ def near_dup_clusters_star(
             .select(F.col("b").alias("a"), m.alias("b"))
             .where(F.col("a") != F.col("b"))
         )
-        # LAZY checkpoint: the new E materializes inside the NEXT
-        # round's mins action (or the final labels join), collapsing the
-        # loop from two jobs per round to one — the blocks are still cut
-        # from lineage the first time any action computes them (r14;
-        # eager=True here was half the round's job count for no extra
-        # work)
-        E = small_star(large).localCheckpoint(eager=False)
+        # EAGER checkpoint: the next round's `sym` references E TWICE
+        # (the tagged symmetrizing union), and an unmaterialized lazy
+        # checkpoint is evaluated once per reference — the r14 lazy
+        # variant halved the job count but ran each round's LS/SS DAG
+        # twice inside the mins job (measured: star_clusters 12.9 s lazy
+        # vs 7.7 s eager at sf0.1); one cheap driver-coordinated job per
+        # round is the smaller cost
+        E = small_star(large).localCheckpoint(eager=True)
 
     if stats is not None:
         # observability for scale probes: round count is the log-diameter

@@ -51,8 +51,8 @@ def integer_pagerank(
     "remove dangling mass" PageRank variant — on the undirected graphs
     the dedup stack produces, every node has out-degree >= 1.
 
-    The distinct edge list and the node/degree table are pinned with a
-    lazy ``localCheckpoint`` — NOT ``persist`` + a GC finalizer: a
+    The distinct edge list and the node/degree table are pinned with an
+    EAGER ``localCheckpoint`` — NOT ``persist`` + a GC finalizer: a
     finalizer tied to the returned frame fires as soon as a caller
     derives from it (``.select(...)`` drops the only Python reference),
     un-persisting the cache BEFORE the query ever runs, and the upstream
@@ -61,17 +61,24 @@ def integer_pagerank(
     graph replanned the edge construction 12x, zero InMemoryRelation
     nodes). A checkpointed RDD lives inside the logical plan itself, so
     every derived frame keeps it alive JVM-side and the ContextCleaner
-    frees the blocks when the last plan referencing it is dropped. The
-    edge list is additionally hash-partitioned by ``src`` ONCE, so each
-    superstep's contribution join reuses that layout instead of
-    re-exchanging the edges every iteration (the partitioning survives
-    the checkpoint — LogicalRDD captures the physical layout).
+    frees the blocks when the last plan referencing it is dropped.
+    Eager (not lazy) matters just as much: an UNMATERIALIZED lazy
+    checkpoint is evaluated once PER REFERENCE — union branches and
+    concurrent broadcast-build futures each recompute the full upstream
+    (measured r14: lazy pins ran the sf0.1 doc-graph edge construction
+    2-4x inside one action, 11.6 s vs 3.2 s per evaluation; both forms
+    stay inside the timed region — the bench clock spans query
+    CONSTRUCTION plus execution). The edge list is additionally
+    hash-partitioned by ``src`` ONCE, so each superstep's contribution
+    join reuses that layout instead of re-exchanging the edges every
+    iteration (the partitioning survives the checkpoint — LogicalRDD
+    captures the physical layout).
     """
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
         .repartition("src")
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     deg = e.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).cast("long").alias("degree")
@@ -82,7 +89,7 @@ def integer_pagerank(
         .distinct()
         .join(deg, "id", "left")
         .withColumn("degree", F.coalesce(F.col("degree"), F.lit(0)).cast("long"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     base = scale * (100 - damping_pct) // 100
     ranked = nodes.withColumn("pagerank", F.lit(scale).cast("long"))
@@ -133,22 +140,28 @@ def triangle_counts(
     ``und``, ``deg`` and ``oriented`` are each referenced by 2-3
     downstream branches; without pinning, the plan tree EXPANDS every
     reference (measured: 52 copies of the upstream edge construction,
-    52 parquet scans / 224 Exchanges in one sf plan). Lazy
-    ``localCheckpoint`` computes each exactly once inside the query's
-    own first action and every branch reads the cached blocks — the
-    plan-embedded idiom that survives callers deriving new frames from
-    the result (see :func:`integer_pagerank`).
+    52 parquet scans / 224 Exchanges in one sf plan). EAGER
+    ``localCheckpoint`` computes each exactly once and every branch
+    reads the cached blocks — the plan-embedded idiom that survives
+    callers deriving new frames from the result (see
+    :func:`integer_pagerank`, including why eager beats lazy here).
     """
+    # pin the CALLER's edge frame first: the symmetrizing union below
+    # references it twice, and an unmaterialized (lazy) checkpoint is
+    # evaluated once PER REFERENCE — the caller's edge construction (e.g.
+    # a fingerprint-overlap join) would run twice inside und's own job
+    ed = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint()
     und = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        ed.union(ed.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     deg = und.groupBy(F.col("a").alias("id")).agg(
         F.count(F.lit(1)).cast("long").alias("degree")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     # orient each edge toward the (degree, id)-larger endpoint
     da = deg.select(F.col("id").alias("a"), F.col("degree").alias("da"))
     db = deg.select(F.col("id").alias("b"), F.col("degree").alias("db"))
@@ -160,7 +173,7 @@ def triangle_counts(
             | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
         )
         .select("a", "b")
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     # wedges through the low vertex, then probe the oriented edges
     o1 = oriented.select(F.col("a").alias("w"), F.col("b").alias("u"))

@@ -1,0 +1,80 @@
+"""Run one declared query with the UI on and dump the EXECUTED SQL plan
+(physicalPlanDescription + per-node metrics) from the REST API — the
+operator-level evidence stage profiles can't give (guide §7.1/§7.2).
+
+Usage: python tools/sql_plan_probe.py <query> [sf_dir] [--reps N]
+Writes /tmp/sqlplan_<query>_<i>.txt per execution, prints a summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import urllib.request
+
+
+def main() -> None:
+    name = sys.argv[1]
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 and not sys.argv[2].startswith("--") \
+        else os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = 1
+    if "--reps" in sys.argv:
+        reps = int(sys.argv[sys.argv.index("--reps") + 1])
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, here)
+    from pyspark.sql import SparkSession
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    from emodb_spark.spark import session as sess_mod
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("sql_plan_probe")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
+        .config("spark.ui.enabled", "true").config("spark.ui.port", "0")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    sess_mod.get_spark = lambda *a, **kw: spark
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    import time
+
+    for i in range(reps):
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        print(f"# rep {i}: {time.time() - t0:.2f}s", file=sys.stderr)
+
+    ui = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    execs = json.load(urllib.request.urlopen(
+        f"{ui}/api/v1/applications/{app_id}/sql?length=1000&details=true&planDescription=true"
+    ))
+    for e in execs:
+        eid = e["id"]
+        dur = e.get("duration", 0)
+        out = f"/tmp/sqlplan_{name}_{eid}.txt"
+        with open(out, "w") as f:
+            f.write(f"# execution {eid} status={e.get('status')} duration_ms={dur}\n")
+            f.write(e.get("planDescription", "") + "\n\n")
+            for n in e.get("nodes", []):
+                f.write(f"NODE {n['nodeId']} {n['nodeName']}\n")
+                for m in n.get("metrics", []):
+                    f.write(f"    {m['name']}: {m['value']}\n")
+        print(f"# exec {eid}: {dur} ms -> {out}", file=sys.stderr)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
