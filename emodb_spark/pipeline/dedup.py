@@ -1804,6 +1804,11 @@ def prefix_filter_pairs(
     ceil_tn = F.expr(
         f"(({threshold_num}L * n) + {threshold_den - 1}L) div {threshold_den}L"
     )
+    # NOT pinned (measured r14): checkpointing `prefix` erases its size
+    # statistics, the self-equijoin loses its broadcast side and replans
+    # as a shuffle join — 2.4 s -> 9.5 s steady-state at sf0.1. The two
+    # references re-run the window+frequency join, but both run against
+    # the cached shingle frame and AQE broadcasts one side
     prefix = (
         items.join(freq, "s")
         .withColumn("__pos", F.row_number().over(w))
@@ -1858,11 +1863,17 @@ def containment_pairs(
     ceil_tn = F.expr(
         f"(({threshold_num}L * n) + {threshold_den - 1}L) div {threshold_den}L"
     )
+    # pin the prefix side (r14 eager-pin family): it seeds the candidate
+    # equijoin whose probe side is the FULL gram index, and without the
+    # pin the doc-frequency join + window re-run inside that join's plan.
+    # O(sum prefix lengths) narrow rows; the corpus-sized `full` side
+    # stays lazy and is referenced exactly once
     pref = (
         items.join(freq, "s")
         .withColumn("__pos", F.row_number().over(w))
         .where(F.col("__pos") <= F.col("n") - ceil_tn + F.lit(1))
         .select(F.col("id").alias("id_a"), "s")
+        .localCheckpoint(eager=True)
     )
     full = items.select(F.col("id").alias("id_b"), "s")
     # (a size-prune — den·|B| >= num·|A| is necessary since |A∩B| <= |B| —

@@ -78,6 +78,17 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cosine() with the two norms HOISTED: ``na``/``nb`` must be
+    ``_norm(a)``/``_norm(b)`` computed on an earlier projection (one
+    interpreted fold per ROW instead of one per PAIR). Bit-identical to
+    :func:`cosine` — same values, same multiply/divide order; Spark
+    evaluates higher-order-function lambdas interpreted, so on a
+    candidate-pair table this cuts the per-pair fold work 3x (dot only,
+    norms precomputed)."""
+    return _dot(a, b) / (na * nb)
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -99,14 +110,32 @@ def cosine_topk(
     top-k is a subset of the union of partition-local top-ks."""
     import pandas as pd
 
-    corpus = embeddings.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nbr_vec"))
-    q = queries.select(F.col("query_id"), F.col("embedding").alias("q_vec"))
+    # norms hoisted BELOW the join (r14, guide §1.2 per-task work): the
+    # corpus norm was re-folded once per QUERY and the query norm once
+    # per corpus row — one fold per row on each side now, bit-identical
+    # quotient (_cosine_pre)
+    corpus = embeddings.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).alias("nbr_vec"),
+        _norm(F.col(vec_col)).alias("__nn"),
+    )
+    q = queries.select(
+        F.col("query_id"),
+        F.col("embedding").alias("q_vec"),
+        _norm(F.col("embedding")).alias("__qn"),
+    )
     scored = (
         corpus.join(F.broadcast(q), F.col("nbr_id") != F.col("query_id"))
         .select(
             "query_id",
             "nbr_id",
-            F.round(cosine(F.col("q_vec"), F.col("nbr_vec")), 8).alias("cosine"),
+            F.round(
+                _cosine_pre(
+                    F.col("q_vec"), F.col("nbr_vec"),
+                    F.col("__qn"), F.col("__nn"),
+                ),
+                8,
+            ).alias("cosine"),
         )
     )
     if partition_prefilter:
@@ -195,29 +224,42 @@ def ivf_topk(
     Scale accounting: corpus×centroids is broadcast (n_cells rows);
     per-cell candidate lists shuffle once on the cell id; the final
     per-query top-k windows on query_id."""
-    corpus = embeddings.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nbr_vec"))
+    # row norms hoisted once per side (r14, guide §1.2): the assignment
+    # re-folded each vector's norm once per CENTROID and the final score
+    # once per probe pair — computed on the base projections now and
+    # carried through, bit-identical quotients (_cosine_pre)
+    corpus = embeddings.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).alias("nbr_vec"),
+        _norm(F.col(vec_col)).alias("__nn"),
+    )
     if centroids is None:
         centroids = embeddings.orderBy(F.col(id_col)).limit(n_cells)
     cents = centroids.select(
-        F.col(id_col).alias("cell"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("cell"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("__cn"),
     )
 
-    def assign(df: DataFrame, id_c: str, vec: str, keep: int) -> DataFrame:
+    def assign(df: DataFrame, id_c: str, vec: str, nrm: str, keep: int) -> DataFrame:
         scored = df.join(F.broadcast(cents)).withColumn(
-            "__cs", cosine(F.col(vec), F.col("c_vec"))
+            "__cs",
+            _cosine_pre(F.col(vec), F.col("c_vec"), F.col(nrm), F.col("__cn")),
         )
         w = Window.partitionBy(id_c).orderBy(F.col("__cs").desc(), F.col("cell").asc())
         return (
             scored.withColumn("__cr", F.row_number().over(w))
             .filter(F.col("__cr") <= keep)
-            .drop("__cs", "__cr", "c_vec")
+            .drop("__cs", "__cr", "c_vec", "__cn")
         )
 
-    corpus_cells = assign(corpus, "nbr_id", "nbr_vec", 1)
+    corpus_cells = assign(corpus, "nbr_id", "nbr_vec", "__nn", 1)
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("q_vec")
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("q_vec"),
+        _norm(F.col(query_vec_col)).alias("__qn"),
     )
-    probes = assign(q, "query_id", "q_vec", n_probe)
+    probes = assign(q, "query_id", "q_vec", "__qn", n_probe)
     # a corpus vector lives in exactly one cell, so (query, nbr) pairs are
     # already unique across the probe join — no dedup shuffle needed
     scored = (
@@ -226,7 +268,13 @@ def ivf_topk(
         .select(
             "query_id",
             "nbr_id",
-            F.round(cosine(F.col("q_vec"), F.col("nbr_vec")), 8).alias("cosine"),
+            F.round(
+                _cosine_pre(
+                    F.col("q_vec"), F.col("nbr_vec"),
+                    F.col("__qn"), F.col("__nn"),
+                ),
+                8,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
@@ -258,7 +306,13 @@ def cosine_near_dups(
     Returns (id_a, id_b, cosine) with id_a < id_b. Deterministic: planes
     derive from sha256(seed+1000·table), so an external oracle can replay
     the exact algorithm."""
-    base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # per-row norm hoisted before the pair join (r14, guide §1.2):
+    # verification folded BOTH norms per candidate pair before
+    base = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("__n"),
+    )
     entries = F.array(*[
         F.struct(
             F.lit(t).alias("t"),
@@ -268,8 +322,8 @@ def cosine_near_dups(
         )
         for t in range(num_tables)
     ])
-    b = base.select("id", "vec", F.explode(entries).alias("e")).select(
-        "id", "vec", F.col("e.t").alias("t"), F.col("e.bucket").alias("bucket")
+    b = base.select("id", "vec", "__n", F.explode(entries).alias("e")).select(
+        "id", "vec", "__n", F.col("e.t").alias("t"), F.col("e.bucket").alias("bucket")
     )
     l, r = b.alias("l"), b.alias("r")
     cand = (
@@ -280,10 +334,12 @@ def cosine_near_dups(
             F.col("r.id").alias("id_b"),
             F.col("l.vec").alias("va"),
             F.col("r.vec").alias("vb"),
+            F.col("l.__n").alias("na"),
+            F.col("r.__n").alias("nb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    cos = cosine(F.col("va"), F.col("vb"))
+    cos = _cosine_pre(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
     return (
         cand.filter(cos >= F.lit(threshold))
         .select("id_a", "id_b", F.round(cos, 8).alias("cosine"))
@@ -302,15 +358,19 @@ def lsh_topk(
     """Approximate top-k: score only corpus vectors in the query's LSH
     bucket. Bucketing is an equijoin key — candidate count drops
     ~2^-planes, the join shuffles on a 4-byte key."""
+    # norms hoisted below the bucket join (r14, guide §1.2) — one fold
+    # per row instead of one per (query, candidate) pair; bit-identical
     corpus = embeddings.select(
         F.col(id_col).alias("nbr_id"),
         F.col(vec_col).alias("nbr_vec"),
         hyperplane_bucket(F.col(vec_col), num_planes, dim).alias("bucket"),
+        _norm(F.col(vec_col)).alias("__nn"),
     )
     q = queries.select(
         "query_id",
         F.col("embedding").alias("q_vec"),
         hyperplane_bucket(F.col("embedding"), num_planes, dim).alias("bucket"),
+        _norm(F.col("embedding")).alias("__qn"),
     )
     scored = (
         corpus.join(F.broadcast(q), on="bucket")
@@ -318,7 +378,13 @@ def lsh_topk(
         .select(
             "query_id",
             "nbr_id",
-            F.round(cosine(F.col("q_vec"), F.col("nbr_vec")), 8).alias("cosine"),
+            F.round(
+                _cosine_pre(
+                    F.col("q_vec"), F.col("nbr_vec"),
+                    F.col("__qn"), F.col("__nn"),
+                ),
+                8,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
@@ -384,6 +450,12 @@ def kmeans_assign(
         spark,
         [(cents_row,)], "__cents array<array<double>>"
     )
+    # NOT unrolled into literal-indexed arithmetic (re-measured r14):
+    # a k x dim expression chain (~4,600 nodes at k=8, dim=64) pushed
+    # kmeans_embeddings from 1.5 s to ~38 s PER REP — driver-side
+    # analysis/optimization of the tree dwarfs the interpreted-lambda
+    # savings, exactly the blow-up the docstring above records for the
+    # literal-compiled form. The HOF spelling keeps the tree O(1).
     dists = F.transform(
         F.col("__cents"), lambda c: _sqdist(F.col(vec_col), c)
     )
@@ -500,8 +572,13 @@ def semantic_near_dups(
     ``max_cell_size`` guards degenerate cells (an oversized cell is
     dropped rather than exploded, same policy as the LSH mega-bucket
     guard). AQE skew-split handles moderately hot cells."""
+    # per-row norm hoisted before the within-cell pair join (r14, guide
+    # §1.2): the exact-cosine verify folded both norms per PAIR before
     base = embeddings.select(
-        F.col(cell_col).alias("cell"), F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        F.col(cell_col).alias("cell"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("__n"),
     )
     if max_cell_size is not None:
         sizes = base.groupBy("cell").agg(F.count(F.lit(1)).alias("__n"))
@@ -519,9 +596,11 @@ def semantic_near_dups(
             F.col("r.id").alias("id_b"),
             F.col("l.vec").alias("va"),
             F.col("r.vec").alias("vb"),
+            F.col("l.__n").alias("na"),
+            F.col("r.__n").alias("nb"),
         )
     )
-    cos = cosine(F.col("va"), F.col("vb"))
+    cos = _cosine_pre(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
     return cand.filter(cos >= F.lit(threshold)).select(
         "id_a", "id_b", "cell", F.round(cos, 8).alias("cosine")
     )
@@ -620,11 +699,18 @@ def mmr_diverse_topk(
     if k <= 0:
         return []
     lam = lambda_ppm / 1_000_000.0
+    # the candidate's norm is a constant across rounds — fold it ONCE at
+    # pool build (r14, guide §1.2): every round's update previously
+    # re-ran the interpreted _norm fold over every pool row; carrying
+    # one extra double through the per-round checkpoints halves the
+    # per-round HOF work (dot only). Bit-identical: same expression,
+    # same values, same multiply order in the quotient.
     pool = scored.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         F.col(score_col).cast("double").alias("s"),
         F.lit(float("-inf")).alias("maxsim"),
+        _norm(F.col(vec_col)).alias("vn"),
     ).localCheckpoint(eager=True)
     picked: list = []
     for _ in range(k):
@@ -654,10 +740,12 @@ def mmr_diverse_topk(
         # aggregate(), so the similarity quotient is bit-identical
         pick_norm = math.sqrt(sum(x * x for x in pick_vec))
         new_sim = _dot(F.col("v"), vec_lit) / (
-            _norm(F.col("v")) * F.lit(pick_norm)
+            F.col("vn") * F.lit(pick_norm)
         )
         pool = pool.select(
-            "id", "v", "s", F.greatest(F.col("maxsim"), new_sim).alias("maxsim")
+            "id", "v", "s",
+            F.greatest(F.col("maxsim"), new_sim).alias("maxsim"),
+            "vn",
         ).localCheckpoint(eager=True)
     return picked
 

@@ -477,11 +477,25 @@ def train_hashed_classifier(
 
     w: dict = {}
     for _ in range(iters):
-        err = (
-            _scores(_weights_df(w))
-            .join(labels, "id")
-            .select("id", (_p(F.col("score")) - F.col("__y") * F.lit(S)).alias("__e"))
-        )
+        if not w:
+            # empty model: every document's score is exactly 0, so
+            # p = clamp(S/2 + 0 div 4) = S/2 and err = S/2 - y*S — a
+            # pure function of the label. Skipping the placeholder
+            # scores pass drops one full feats scan + broadcast join +
+            # per-doc aggregate from the first iteration (r14, guide
+            # §1.2 "don't compute things you throw away"); bit-exact
+            # because 0 <= S/2 <= S makes the clamp the identity here.
+            err = labels.select(
+                "id", (F.lit(S // 2) - F.col("__y") * F.lit(S)).alias("__e")
+            )
+        else:
+            err = (
+                _scores(_weights_df(w))
+                .join(labels, "id")
+                .select(
+                    "id", (_p(F.col("score")) - F.col("__y") * F.lit(S)).alias("__e")
+                )
+            )
         grad = (
             feats.where(F.col("bucket").isNotNull())
             .join(err, "id")
