@@ -294,13 +294,26 @@ def ngram_jaccard(
     (id_a, id_b, jaccard) with jaccard >= threshold."""
     if sh is None:
         sh = shingle_sets(df, text_col, id_col, shingle_k)
+    # Verify on xxhash64-HASHED gram arrays, hashed per DOC below the
+    # pair join (r14, guide §1.2 per-task work / §2.3 narrower types):
+    # array_intersect over long arrays hashes 8 bytes per element where
+    # the string form re-hashes every multi-word gram per PAIR, and the
+    # attach join ships ~8 bytes per gram instead of the gram text.
+    # |A∩B| on hashes == |A∩B| on grams unless two DIFFERENT grams of a
+    # compared pair collide in 64 bits (P ≈ |A|·|B| / 2^64 per pair —
+    # the same acceptance class as the md5 fingerprints elsewhere in
+    # this module); transform preserves length, so sizes (and the
+    # inclusion-exclusion union) are computed from the hashed arrays.
+    hsh = sh.select(
+        "id", F.transform("sh", lambda g: F.xxhash64(g)).alias("sh")
+    )
     if pairs is None:
-        a, b = sh.alias("a"), sh.alias("b")
+        a, b = hsh.alias("a"), hsh.alias("b")
         joined = a.crossJoin(b).filter(F.col("a.id") < F.col("b.id"))
     else:
         joined = (
-            pairs.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-            .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+            pairs.join(hsh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+            .join(hsh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
             .select(F.col("id_a").alias("a_id"), F.col("id_b").alias("b_id"),
                     F.col("sh_a").alias("a_sh"), F.col("sh_b").alias("b_sh"))
         )
@@ -1798,7 +1811,19 @@ def prefix_filter_pairs(
     """
     if sh is None:
         sh = shingle_sets(df, text_col, id_col, shingle_k)
-    items = sh.select("id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    # gram keys travel as xxhash64 longs, hashed once per DOC before the
+    # explode (r14, guide §2.3 narrower types): the doc-frequency
+    # aggregate, the per-doc window and the prefix self-equijoin all key
+    # on 8 bytes instead of the multi-word gram string. The prefix lemma
+    # holds under ANY consistent global total order, so ordering by
+    # (df, hash) instead of (df, gram) preserves guaranteed recall; a
+    # 64-bit cross-gram collision can only ADD a candidate pair, which
+    # the exact verify then scores — same acceptance class as the md5
+    # fingerprints elsewhere in this module.
+    items = sh.select(
+        "id", F.size("sh").alias("n"),
+        F.explode(F.transform("sh", lambda g: F.xxhash64(g))).alias("s"),
+    )
     freq = items.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy("id").orderBy(F.asc("__df"), F.asc("s"))
     ceil_tn = F.expr(
@@ -1857,7 +1882,16 @@ def containment_pairs(
     """
     if sh is None:
         sh = shingle_sets(df, text_col, id_col, shingle_k)
-    items = sh.select("id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    # hashed gram keys end-to-end, as in :func:`prefix_filter_pairs`
+    # (r14, guide §2.3): df counts, the per-doc window, the prefix×index
+    # equijoin and the verify intersect all run on xxhash64 longs; the
+    # containment prefix lemma holds for any consistent total order, and
+    # a 64-bit collision can only add a candidate (verified) or inflate
+    # one intersection count (the md5-class accepted risk).
+    items = sh.select(
+        "id", F.size("sh").alias("n"),
+        F.explode(F.transform("sh", lambda g: F.xxhash64(g))).alias("s"),
+    )
     freq = items.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy("id").orderBy(F.asc("__df"), F.asc("s"))
     ceil_tn = F.expr(
@@ -1890,9 +1924,17 @@ def containment_pairs(
     # ARRAYS: two hash joins attach each side's (distinct) gram set to
     # the candidate pair and `array_intersect` counts in-place — no
     # |candidates| x |grams| explode crosses a shuffle (the explode
-    # spelling measured 17x growth on 10x data; this is ~linear)
-    sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("__sha"))
-    sb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("__shb"))
+    # spelling measured 17x growth on 10x data; this is ~linear).
+    # Arrays are hashed per doc below the join (same longs as `items`),
+    # so the per-pair intersect hashes 8-byte values, not gram strings.
+    sa = sh.select(
+        F.col("id").alias("id_a"),
+        F.transform("sh", lambda g: F.xxhash64(g)).alias("__sha"),
+    )
+    sb = sh.select(
+        F.col("id").alias("id_b"),
+        F.transform("sh", lambda g: F.xxhash64(g)).alias("__shb"),
+    )
     ver = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
