@@ -1201,9 +1201,17 @@ def near_dup_clusters_star(
     id_type = dict(docs.dtypes)[id_col]
     key_t = "long" if id_type in ("bigint", "int", "smallint", "tinyint") else "string"
     nodes = docs.select(F.col(id_col).cast(key_t).alias("id")).distinct()
+    # Orient the INITIAL edge set big → small, the invariant every
+    # small_star output carries. The loop's convergence-on-entry test
+    # and the final `a → b` label join are sound ONLY under that
+    # orientation: an input already forming disjoint stars but oriented
+    # small → big (e.g. one isolated pair with id_a < id_b, the LSH
+    # convention) used to converge immediately and label the component
+    # with its MAX id instead of its min.
+    a0, b0 = F.col("id_a").cast(key_t), F.col("id_b").cast(key_t)
     E = (
         pairs.select(
-            F.col("id_a").cast(key_t).alias("a"), F.col("id_b").cast(key_t).alias("b")
+            F.greatest(a0, b0).alias("a"), F.least(a0, b0).alias("b")
         )
         .where(F.col("a") != F.col("b"))
         .distinct()

@@ -2034,6 +2034,26 @@ def test_star_contraction_multi_target_not_converged(spark):
     }
 
 
+def test_star_contraction_entry_convergence_orientation(spark):
+    """Regression (r14): an input that ALREADY forms disjoint stars but
+    arrives oriented small -> big (the LSH pair convention id_a < id_b)
+    used to pass the convergence-on-entry test without a contraction
+    round and label each component with its MAX id — the final label
+    join reads E as a -> center. The initial edge set must be normalized
+    big -> small first. Isolated pairs are the minimal trigger (this is
+    exactly how hamming_ingest_dedup's intra-batch clustering surfaced
+    it: one clean pair (75, 440) admitted 440 instead of 75)."""
+    from emodb_spark.pipeline.dedup import near_dup_clusters_star
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 30, 40, 77)], "doc_id long"
+    )
+    pairs = spark.createDataFrame([(1, 2), (30, 40)], "id_a long, id_b long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in near_dup_clusters_star(docs, pairs).collect()}
+    assert got == {1: 1, 2: 1, 30: 30, 40: 30, 77: 77}
+
+
 def test_heavy_hitters_exact_vs_groupby(spark):
     """Two-pass count-min heavy hitters must return EXACTLY the true
     heavy set with exact counts (candidate filter has no false
