@@ -86,6 +86,26 @@ def spread_by_id(df: DataFrame, col: str = "id") -> DataFrame:
     return df.repartition(n, F.col(col))
 
 
+def spread_pairs(df: DataFrame, *cols: str) -> DataFrame:
+    """Explicit-width repartition before a CPU-DENSE per-pair stage
+    (r14, guide §2.5): AQE's coalescing is byte-targeted, so a verify
+    stage reading a few MB of (id_a, id_b) candidate rows — but paying
+    an array_intersect or integer-distance fold per row — collapses to
+    1-5 tasks and serializes seconds of CPU (measured: sdc_verified's
+    verify 7.4 s CPU on 5 tasks, exact_jaccard_join's 8.2 s on 5). The
+    explicit count disables AQE coalescing for this one exchange; width
+    = max(defaultParallelism, spark.sql.shuffle.partitions), both
+    cluster-sized knobs, so it never narrows a genuinely large candidate
+    set (a global minPartitionSize floor was measured instead and
+    rejected: it taxed the iterative CC kernels' tiny rounds)."""
+    sess = df.sparkSession
+    n = max(
+        sess.sparkContext.defaultParallelism,
+        int(sess.conf.get("spark.sql.shuffle.partitions")),
+    )
+    return df.repartition(n, *[F.col(c) for c in cols])
+
+
 def shingle_sets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_k: int = 5
 ) -> DataFrame:
@@ -312,7 +332,8 @@ def ngram_jaccard(
         joined = a.crossJoin(b).filter(F.col("a.id") < F.col("b.id"))
     else:
         joined = (
-            pairs.join(hsh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+            spread_pairs(pairs, "id_a", "id_b")
+            .join(hsh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
             .join(hsh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
             .select(F.col("id_a").alias("a_id"), F.col("id_b").alias("b_id"),
                     F.col("sh_a").alias("a_sh"), F.col("sh_b").alias("b_sh"))
@@ -1922,11 +1943,12 @@ def containment_pairs(
     # is sound here, but carrying both sizes through the pair shuffle
     # measured ~15% SLOWER on a uniform-size corpus; add it back for
     # corpora with heavy size skew, where it pays)
-    cand = (
+    cand = spread_pairs(
         pref.join(full, "s")
         .where(F.col("id_a") != F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
+        .distinct(),
+        "id_a", "id_b",
     )
     # verify with a codegen set intersection on the carried shingle
     # ARRAYS: two hash joins attach each side's (distinct) gram set to

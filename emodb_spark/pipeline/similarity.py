@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 
 from emodb_spark.spark.local_frame import literal_frame
 
+from .dedup import spread_pairs  # explicit-width pair exchanges (r14)
+
 _log = logging.getLogger(__name__)
 
 
@@ -2337,6 +2339,54 @@ def _sdc_lut_df(spark: SparkSession, books: list) -> DataFrame:
     )
 
 
+def _sdc_lut_arr(spark: SparkSession, books: list) -> DataFrame:
+    """The same m * sub_k^2 SDC table as :func:`_sdc_lut_df`, shipped as
+    ONE broadcastable row holding the [j][ca][cb] nested long array —
+    the in-row spelling (r14, guide §2.3/§2.4): a pair's distance folds
+    m `element_at` lookups inside its own row instead of shuffling m
+    rows per pair through a LUT equijoin + pair-keyed re-aggregation."""
+    import numpy as np
+
+    books_np = np.asarray(books, dtype=np.int64)  # (m, sub_k, sub_d)
+    diff = books_np[:, :, None, :] - books_np[:, None, :, :]
+    d_tab = np.einsum("mabd,mabd->mab", diff, diff)  # exact int64
+    rows = [[[int(x) for x in cb_row] for cb_row in jt] for jt in d_tab]
+    return literal_frame(spark, [(rows,)], "__lut array<array<array<long>>>")
+
+
+def _codes_arr(e: DataFrame, keys: tuple = ("id", "cell")) -> DataFrame:
+    """Pivot a long-form code table (*keys, j, code) to one row per key
+    with the codes as a j-ORDERED int array — the pair-join side of the
+    in-row SDC fold. j is unique per key group by construction
+    (:func:`_subcode_assign` emits one code per (key, j)), so the
+    struct sort is a deterministic sort by j."""
+    return (
+        e.groupBy(*keys)
+        .agg(F.array_sort(F.collect_list(F.struct("j", "code"))).alias("__jc"))
+        .select(
+            *keys,
+            F.transform("__jc", lambda x: x["code"]).alias("codes"),
+        )
+    )
+
+
+def _sdc_dist_expr(lut, ca, cb, m: int):
+    """Exact int64 SDC distance of two j-ordered code arrays against the
+    1-row nested LUT: sum over j of lut[j][ca[j]][cb[j]]. m element_at
+    folds per pair (interpreted HOF, but m is 4-8) — replaces m shuffled
+    rows + a broadcast-hash probe + a hash-aggregate update per pair."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(int(m))),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc + F.element_at(
+            F.element_at(
+                F.element_at(lut, j), F.element_at(ca, j) + F.lit(1)
+            ),
+            F.element_at(cb, j) + F.lit(1),
+        ),
+    )
+
+
 def sdc_near_dups(
     embeddings: Optional[DataFrame],
     threshold: int,
@@ -2406,20 +2456,36 @@ def sdc_near_dups(
         embeddings, n_cells, m, sub_k, iters, scale, id_col, vec_col
     )
     spark = enc.sparkSession
-    lut_df = _sdc_lut_df(spark, books)
+    # In-row SDC fold (r14, guide §2.3/§2.4): the code table pivots to
+    # one j-ordered array per (id, cell), the pair self-join matches on
+    # the cell ALONE (one row per pair instead of m), and the distance
+    # is m element_at lookups against the 1-row broadcast LUT — the
+    # per-pair LUT equijoin and the (id_a, id_b) re-aggregation shuffle
+    # are gone. Distances are the identical int64 sums, just folded
+    # in-row instead of summed across m shuffled rows.
+    lut = _sdc_lut_arr(spark, books)
+    mm = len(books)
+    ea = _codes_arr(enc).select(
+        F.col("id").alias("id_a"), "cell", F.col("codes").alias("__ca")
+    )
     if n_probe <= 1:
-        a = enc.select(
-            F.col("id").alias("id_a"), "cell", "j", F.col("code").alias("ca")
+        eb = _codes_arr(enc).select(
+            F.col("id").alias("id_b"), "cell", F.col("codes").alias("__cb")
         )
-        b = enc.select(
-            F.col("id").alias("id_b"), "cell", "j", F.col("code").alias("cb")
+        cand = spread_pairs(
+            ea.join(eb, "cell")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "__ca", "__cb"),
+            "id_a", "id_b",
         )
         return (
-            a.join(b, ["cell", "j"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .join(F.broadcast(lut_df), ["j", "ca", "cb"])
-            .groupBy("id_a", "id_b")
-            .agg(F.sum("d").alias("dist_q"))
+            cand.crossJoin(F.broadcast(lut))
+            .select(
+                "id_a", "id_b",
+                _sdc_dist_expr(
+                    F.col("__lut"), F.col("__ca"), F.col("__cb"), mm
+                ).alias("dist_q"),
+            )
             .filter(F.col("dist_q") <= F.lit(int(threshold)))
             .select("id_a", "id_b", F.col("dist_q").cast("long").alias("dist_q"))
         )
@@ -2434,22 +2500,32 @@ def sdc_near_dups(
             _quantize_col(F.col(vec_col), scale).alias("q"),
         )
         penc = _probe_encode(vq, cents, books, n_probe)
-    a = enc.select(
-        F.col("id").alias("id_a"), "cell", "j", F.col("code").alias("ca")
-    )
-    b = penc.select(
-        F.col("id").alias("id_b"), "cell", "j", F.col("code").alias("cb")
-    )
     # ordered match: one primary-side cell per id_a, distinct probe
     # cells per id_b => at most ONE matching cell per ordered pair, so
-    # the (id_a, id_b) SUM is exactly the m LUT hits of that match;
-    # the unordered pair then takes the MIN over its <=2 directions
+    # the in-row fold of that one match IS the ordered distance; the
+    # unordered pair then takes the MIN over its <=2 directions. The
+    # threshold filter runs per DIRECTION, before the min aggregate —
+    # equivalent (if min(dd) <= t, the minimal direction survives the
+    # per-direction filter; if no direction passes, the pair is absent
+    # either way) — so only passing rows reach the pair exchange.
+    pb = _codes_arr(penc).select(
+        F.col("id").alias("id_b"), "cell", F.col("codes").alias("__cb")
+    )
     ordered = (
-        a.join(b, ["cell", "j"])
-        .filter(F.col("id_a") != F.col("id_b"))
-        .join(F.broadcast(lut_df), ["j", "ca", "cb"])
-        .groupBy("id_a", "id_b")
-        .agg(F.sum("d").alias("dd"))
+        spread_pairs(
+            ea.join(pb, "cell")
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select("id_a", "id_b", "__ca", "__cb"),
+            "id_a", "id_b",
+        )
+        .crossJoin(F.broadcast(lut))
+        .select(
+            "id_a", "id_b",
+            _sdc_dist_expr(
+                F.col("__lut"), F.col("__ca"), F.col("__cb"), mm
+            ).alias("dd"),
+        )
+        .filter(F.col("dd") <= F.lit(int(threshold)))
     )
     return (
         ordered.select(
@@ -2459,7 +2535,6 @@ def sdc_near_dups(
         )
         .groupBy("id_a", "id_b")
         .agg(F.min("dd").alias("dist_q"))
-        .filter(F.col("dist_q") <= F.lit(int(threshold)))
         .select("id_a", "id_b", F.col("dist_q").cast("long").alias("dist_q"))
     )
 
@@ -2517,7 +2592,8 @@ def sdc_verified_near_dups(
     a = vq.select(F.col("id").alias("id_a"), F.col("qv").alias("qa"))
     b = vq.select(F.col("id").alias("id_b"), F.col("qv").alias("qb"))
     return (
-        cands.join(a, "id_a")
+        spread_pairs(cands, "id_a", "id_b")
+        .join(a, "id_a")
         .join(b, "id_b")
         .select(
             "id_a", "id_b",
@@ -2594,28 +2670,36 @@ def ivfpq_knn_join(
         F.col(id_col).alias("id"), _quantize_col(F.col(vec_col), scale).alias("q")
     )
     penc = _probe_encode(qvq, cents, books, n_probe)
-    lut_df = _sdc_lut_df(enc.sparkSession, books)
+    # in-row SDC fold (r14): arrays + 1-row LUT, one row per
+    # (query, nbr) candidate instead of m LUT-joined rows + a pair
+    # re-aggregation — see sdc_near_dups. Distinct probe cells per
+    # query + one primary cell per corpus vector => at most one
+    # matching cell per (query, nbr), so the fold of that one match IS
+    # the pair distance (no groupBy needed at all here).
+    lut = _sdc_lut_arr(enc.sparkSession, books)
+    mm = len(books)
     scored = (
-        penc.select(
-            F.col("id").alias("query_id"), "cell", "j", F.col("code").alias("ca")
+        _codes_arr(penc).select(
+            F.col("id").alias("query_id"), "cell", F.col("codes").alias("__ca")
         )
         .join(
-            enc.select(
-                F.col("id").alias("nbr_id"), "cell", "j",
-                F.col("code").alias("cb"),
+            _codes_arr(enc).select(
+                F.col("id").alias("nbr_id"), "cell",
+                F.col("codes").alias("__cb"),
             ),
-            ["cell", "j"],
+            "cell",
         )
         .filter(
             (F.col("query_id") != F.col("nbr_id"))
             if exclude_self else F.lit(True)
         )
-        .join(F.broadcast(lut_df), ["j", "ca", "cb"])
-        # distinct probe cells per query + one primary cell per corpus
-        # vector => at most one matching cell per (query, nbr), so this
-        # SUM is exactly the m LUT hits of that match
-        .groupBy("query_id", "nbr_id")
-        .agg(F.sum("d").alias("dist_q"))
+        .crossJoin(F.broadcast(lut))
+        .select(
+            "query_id", "nbr_id",
+            _sdc_dist_expr(
+                F.col("__lut"), F.col("__ca"), F.col("__cb"), mm
+            ).alias("dist_q"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("dist_q"), F.asc("nbr_id"))
     return (

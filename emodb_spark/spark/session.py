@@ -27,6 +27,12 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # (r14 note: a global minPartitionSize=64k floor was measured
+        # and REJECTED — it fixed the CPU-dense verify stages that AQE's
+        # byte-targeted coalescing serializes, but cost the iterative
+        # CC kernels ~1-4 s in per-round tiny-task overhead. The
+        # verify-stage parallelism is instead restored at the kernels
+        # themselves: emodb_spark.pipeline.dedup.spread_pairs.)
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
