@@ -1688,6 +1688,16 @@ def substring_dedup(
         F.col(id_col).alias("id"),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("tk"),
     )
+    # window digest = TWO independent xxhash64s (128 bits total) of the
+    # joined window string instead of md5 (r14, guide §1.2 per-task
+    # work / §2.3 narrower types): xxhash is far cheaper per window than
+    # md5 and the key shuffles as two longs instead of a 32-char hex
+    # string. Collision risk (two different 8-token runs sharing both
+    # hashes) is the same 2^-128 acceptance class as the md5 it
+    # replaces. The window stream is also PINNED eagerly: the winner
+    # aggregate and the dup join both consume it, and unpinned the
+    # tokenize + per-window digest ran twice (two parquet scans in the
+    # plan).
     wins = toks.select(
         "id",
         F.explode(
@@ -1697,19 +1707,23 @@ def substring_dedup(
                     F.sequence(F.lit(0), F.size("tk") - window),
                     lambda p: F.struct(
                         p.alias("pos"),
-                        F.md5(
-                            F.array_join(
-                                F.slice(F.col("tk"), p + 1, window), " "
-                            )
-                        ).alias("k"),
+                        F.array_join(
+                            F.slice(F.col("tk"), p + 1, window), " "
+                        ).alias("s"),
                     ),
                 ),
             ).otherwise(F.array()),
         ).alias("w"),
-    ).select("id", F.col("w.pos").alias("pos"), F.col("w.k").alias("k"))
-    winners = wins.groupBy("k").agg(F.min(F.struct("id", "pos")).alias("first"))
+    ).select(
+        "id", F.col("w.pos").alias("pos"),
+        F.xxhash64(F.col("w.s")).alias("k1"),
+        F.xxhash64(F.lit(1), F.col("w.s")).alias("k2"),
+    ).localCheckpoint(eager=True)
+    winners = wins.groupBy("k1", "k2").agg(
+        F.min(F.struct("id", "pos")).alias("first")
+    )
     dup_starts = (
-        wins.join(winners, "k")
+        wins.join(winners, ["k1", "k2"])
         .where(
             (F.col("id") != F.col("first.id")) | (F.col("pos") != F.col("first.pos"))
         )
@@ -1777,11 +1791,22 @@ def dup_ngram_score(
     engine-bit-identical, no float division.
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        )
+    # gram identity travels as an xxhash64 long (hashed per doc below
+    # the explode, AFTER the per-doc array_distinct so within-doc
+    # distinctness is still by gram string): the doc-frequency exchange
+    # and join-back key on 8 bytes instead of the n-word gram string. A
+    # 64-bit collision merges two grams' doc frequencies — the
+    # md5-class accepted risk (see ngram_jaccard).
+    grams = F.transform(
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+                ),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        ),
+        lambda g: F.xxhash64(g),
     )
     pairs = (
         spread_by_id(df.select(F.col(id_col).alias("id"), F.col(text_col)))
@@ -2020,10 +2045,23 @@ def ngram_novelty(
     """
     if sh is None:
         sh = shingle_sets(df, text_col, id_col, shingle_k)
-    grams = sh.select("id", F.explode("sh").alias("g"))
+    # gram identity travels as xxhash64 longs (hashed per doc below the
+    # explode, nulls excluded FIRST — xxhash64(NULL) is a non-null seed
+    # hash, so hashing before the null filter would resurrect the
+    # null-gram group): the min-id exchange keys on 8 bytes instead of
+    # the gram string. A 64-bit collision merges two grams' first-seen
+    # attribution — the md5-class accepted risk (see ngram_jaccard).
+    grams = sh.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.filter(F.col("sh"), lambda x: x.isNotNull()),
+                lambda g: F.xxhash64(g),
+            )
+        ).alias("g"),
+    )
     novel = (
-        grams.where(F.col("g").isNotNull())
-        .groupBy("g")
+        grams.groupBy("g")
         .agg(F.min("id").alias("__first"))
         .groupBy("__first")
         .agg(F.count(F.lit(1)).cast("long").alias("__novel"))
