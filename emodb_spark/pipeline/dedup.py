@@ -1068,6 +1068,13 @@ def simhash_candidates(
             f"pigeonhole needs n_blocks > max_hamming ({n_blocks} vs {max_hamming}) "
             "for complete candidate recall; pass complete=False for best-effort"
         )
+    # pin the signature table before the self-join (r14 eager-pin
+    # family): both join sides reference `sigs`, and unpinned the whole
+    # signature pipeline — shingle explode + per-shingle hash + the
+    # vote aggregate — evaluated once PER SIDE (two ~2-3 s CPU stages
+    # at sf0.1). One (id, sig) row per doc: corpus-linear and narrow.
+    if not sigs.isStreaming:
+        sigs = sigs.localCheckpoint(eager=True)
     mask = (1 << block_bits) - 1
     blocks = F.array(*[
         F.struct(F.lit(i).alias("block"),
