@@ -57,6 +57,11 @@ BNLJ_OK = {
     "bitext_mining",        # O(#queries) rows broadcast against the
                             # corpus — same exact-cosine plan as the
                             # allowlisted similarity_topk, both ways
+    "sdc_near_dups",        # 1-ROW nested-LUT (m x sub_k^2 longs in one
+    "sdc_multiprobe",       # literal_frame row) cross-joined broadcast
+    "sdc_verified",         # for the r14 in-row SDC fold — the constant
+    "ivfpq_knn_join",       # side of _sdc_dist_expr; replaces the old
+    "ivfpq_knn_rerank",     # m-rows-per-pair LUT equijoin
     "hamming_topk",         # O(#queries) packed-word rows broadcast
                             # against the packed-projection scan — the
                             # similarity_topk eval idiom at the binary
