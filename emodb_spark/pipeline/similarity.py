@@ -2316,35 +2316,14 @@ def ivfpq_rerank_topk(
     )
 
 
-def _sdc_lut_df(spark: SparkSession, books: list) -> DataFrame:
-    """The m * sub_k^2 code-to-code integer distance table
-    (j, ca, cb, d) every SDC consumer broadcasts — one exact int64
-    numpy einsum over the integer codebooks (symmetric in ca/cb)."""
-    import numpy as np
-    import pandas as pd
-
-    books_np = np.asarray(books, dtype=np.int64)  # (m, sub_k, sub_d)
-    diff = books_np[:, :, None, :] - books_np[:, None, :, :]
-    d_tab = np.einsum("mabd,mabd->mab", diff, diff)  # exact int64
-    mm, sk = d_tab.shape[0], d_tab.shape[1]
-    return literal_frame(
-        spark,
-        pd.DataFrame({
-            "j": np.repeat(np.arange(mm, dtype=np.int32), sk * sk),
-            "ca": np.tile(np.repeat(np.arange(sk, dtype=np.int32), sk), mm),
-            "cb": np.tile(np.arange(sk, dtype=np.int32), mm * sk),
-            "d": d_tab.reshape(-1),
-        }).itertuples(index=False, name=None),
-        "j int, ca int, cb int, d long",
-    )
-
-
 def _sdc_lut_arr(spark: SparkSession, books: list) -> DataFrame:
-    """The same m * sub_k^2 SDC table as :func:`_sdc_lut_df`, shipped as
-    ONE broadcastable row holding the [j][ca][cb] nested long array —
-    the in-row spelling (r14, guide §2.3/§2.4): a pair's distance folds
-    m `element_at` lookups inside its own row instead of shuffling m
-    rows per pair through a LUT equijoin + pair-keyed re-aggregation."""
+    """The m * sub_k^2 code-to-code integer SDC distance table (one
+    exact int64 numpy einsum over the integer codebooks, symmetric in
+    ca/cb), shipped as ONE broadcastable row holding the [j][ca][cb]
+    nested long array — the in-row spelling (r14, guide §2.3/§2.4): a
+    pair's distance folds m `element_at` lookups inside its own row
+    instead of shuffling m rows per pair through the previous
+    (j, ca, cb, d) LUT equijoin + pair-keyed re-aggregation."""
     import numpy as np
 
     books_np = np.asarray(books, dtype=np.int64)  # (m, sub_k, sub_d)
