@@ -93,3 +93,36 @@ def test_loaded_chunks_rerun_policy():
     assert bench._loaded_chunks(names, 2, loads, 100.0) == []
     # batch bigger than the name list: the slice naturally truncates
     assert bench._loaded_chunks(["a"], 4, [[50, 50]], 8.0) == ["a"]
+
+
+def test_line_keep_order_prioritizes_previous_line():
+    """The printed bench line trims from the END of the keep order, so
+    queries on the PREVIOUS round's driver-parsed line must sort ahead
+    of every other query (r15: a query leaving the line because it got
+    FASTER was counted as dropped_from_bench by the driver)."""
+    timings = {"slow_new": 9.0, "prev_fast": 0.2, "prev_slow": 5.0,
+               "other": 1.0}
+    order = bench._line_keep_order(timings, ["prev_slow", "prev_fast",
+                                             "gone_query"])
+    # previous-line queries first (slowest-first among them), then the
+    # rest slowest-first; a prev query no longer timed simply drops out
+    assert order == ["prev_slow", "prev_fast", "slow_new", "other"]
+    # no previous line: pure slowest-first (the legacy order)
+    assert bench._line_keep_order(timings, []) == [
+        "slow_new", "prev_slow", "other", "prev_fast"]
+
+
+def test_prev_line_queries_reads_latest_bench_artifact(tmp_path):
+    """_prev_line_queries picks the highest-numbered BENCH_r<N>.json and
+    returns its parsed queries; missing/corrupt artifacts yield []."""
+    import json as _json
+
+    (tmp_path / "BENCH_r09.json").write_text(_json.dumps(
+        {"parsed": {"queries": {"old_q": 1.0}}}))
+    (tmp_path / "BENCH_r14.json").write_text(_json.dumps(
+        {"parsed": {"queries": {"a": 1.0, "b": 2.0}}}))
+    assert sorted(bench._prev_line_queries(str(tmp_path))) == ["a", "b"]
+    # corrupt newest artifact: fail soft, not the bench
+    (tmp_path / "BENCH_r15.json").write_text("{not json")
+    assert bench._prev_line_queries(str(tmp_path)) == []
+    assert bench._prev_line_queries(str(tmp_path / "nowhere")) == []
