@@ -1237,14 +1237,37 @@ def near_dup_clusters_star(
     # convention) used to converge immediately and label the component
     # with its MAX id instead of its min.
     a0, b0 = F.col("id_a").cast(key_t), F.col("id_b").cast(key_t)
-    E = (
+
+    def tag_sym(s):
+        """Both directions of a distinct big→small edge set, tagged
+        (fwd=1 marks the original orientation), HASH-PARTITIONED BY
+        ``a`` before the checkpoint (r15, guide §2.4 — the pagerank
+        idiom): the LogicalRDD captures the layout, so next round's
+        per-node aggregate, convergence probe and mins join are all
+        EXCHANGE-FREE (hashpartitioning(a) satisfies every clustering
+        keyed on a). Storing the symmetrized form costs 2x the
+        checkpoint rows but removes two O(E)-row exchanges per round —
+        at small scale that is the stage-scheduling floor (the r14
+        profile: 83 jobs / 91 tiny stages, wall = serial stage latency,
+        not compute), at 100 TB it is half the round's shuffled bytes."""
+        return (
+            s.select("a", "b", F.lit(1).alias("fwd"))
+            .unionAll(
+                s.select(
+                    F.col("b").alias("a"), F.col("a").alias("b"),
+                    F.lit(0).alias("fwd"),
+                )
+            )
+            .repartition("a")
+        )
+
+    E = tag_sym(
         pairs.select(
             F.greatest(a0, b0).alias("a"), F.least(a0, b0).alias("b")
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
-    )
+    ).localCheckpoint(eager=True)
 
     # join hints: `mins` is O(nodes) — at corpus scale it is NOT
     # broadcastable, so pin the honest plan (shuffle-hash on the node
@@ -1252,28 +1275,35 @@ def near_dup_clusters_star(
     # whose driver round-trip also dominates small iterations.
     def small_star(e):
         # orient big -> small, then point every neighbor AND the center
-        # at the center's minimum
+        # at the center's minimum. Input rows here are already strictly
+        # big→small (large_star emits (b_old, min) with b_old > a_old >
+        # min), so greatest/least is a no-op normalization kept for
+        # safety; the output may carry bounded duplicates (≤2x, one per
+        # sym direction of the input) — normalized by the caller's
+        # partition-local dedup, NOT a distinct here, so the round pays
+        # no extra exchange.
         o = e.select(
             F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
         )
         mins = o.groupBy("a").agg(F.min("b").alias("m")).hint("shuffle_hash")
         nbrs = o.join(mins, "a").select(F.col("b").alias("a"), F.col("m").alias("b"))
         centers = mins.select(F.col("a"), F.col("m").alias("b"))
-        return (
-            nbrs.union(centers)
-            .where(F.col("a") != F.col("b"))
-            .distinct()
-        )
+        return nbrs.union(centers).where(F.col("a") != F.col("b"))
 
     converged = False
     rounds = 0
     for _ in range(max_iter):
-        # One tagged symmetrization + ONE O(nodes) aggregate serves both
-        # the convergence probe and large_star's per-node minimum — the
-        # probe reuses the shuffle the round pays anyway (checkpointed,
-        # O(nodes) rows), so detecting convergence is a cheap isEmpty on
-        # cached blocks AND it fires on loop ENTRY, skipping the final
-        # round's LS/SS entirely.
+        # E is the TAGGED SYMMETRIZED edge set (both directions stored,
+        # fwd marks the original orientation), so the round never pays
+        # the 2x symmetrizing-union scan of the r14 shape, the per-node
+        # aggregate below serves both the convergence probe and
+        # large_star's minimum from ONE expression, and the mins
+        # checkpoint job is gone (3 jobs/round → 2). (An exchange-FREE
+        # variant — AQE disabled while compiling the checkpoint so the
+        # LogicalRDD keeps hashpartitioning(a) — was measured and
+        # REJECTED: without AQE the whole round chain inherits full
+        # shuffle-partition width and tiny 32-task stages cost more than
+        # the saved exchanges, 10.9-20.6 s vs 6.0 s steady at sf0.1.)
         #
         # Termination condition: small_star output is always oriented
         # big → small, so E is a union of DISJOINT min-centered stars
@@ -1285,29 +1315,19 @@ def near_dup_clusters_star(
         # there would split the component (and skip the min-per-node
         # fallback, emitting duplicate id rows). Both are per-NODE
         # properties of the tagged aggregate: `od` = out-degree
-        # (E is distinct, so rows = distinct targets), `deg` = total
-        # incident edges; a node violates iff od > 1 (two targets) or
-        # 0 < od < deg (source AND target). Disjoint stars ARE the
-        # LS/SS fixpoint: large_star maps each star to itself (the
-        # center, smaller than every leaf, is its star's minimum) and
-        # small_star regenerates the same edges — and since both
-        # transformations preserve the component partition (Kiveris
-        # 2014 Lemma 1), each center is the MIN of its original
-        # component.
-        sym = E.select("a", "b", F.lit(1).alias("fwd")).unionAll(
-            E.select(
-                F.col("b").alias("a"), F.col("a").alias("b"),
-                F.lit(0).alias("fwd"),
-            )
-        )
-        mins = (
-            sym.groupBy("a")
-            .agg(
-                F.min("b").alias("mn"),
-                F.sum("fwd").alias("od"),
-                F.count(F.lit(1)).alias("deg"),
-            )
-            .localCheckpoint(eager=True)
+        # (E's underlying edge set is distinct, so fwd rows = distinct
+        # targets), `deg` = total incident edges; a node violates iff
+        # od > 1 (two targets) or 0 < od < deg (source AND target).
+        # Disjoint stars ARE the LS/SS fixpoint: large_star maps each
+        # star to itself (the center, smaller than every leaf, is its
+        # star's minimum) and small_star regenerates the same edges —
+        # and since both transformations preserve the component
+        # partition (Kiveris 2014 Lemma 1), each center is the MIN of
+        # its original component.
+        mins = E.groupBy("a").agg(
+            F.min("b").alias("mn"),
+            F.sum("fwd").alias("od"),
+            F.count(F.lit(1)).alias("deg"),
         )
         if (
             mins.filter(
@@ -1319,24 +1339,28 @@ def near_dup_clusters_star(
             break
         rounds += 1
         m = F.least(F.col("mn"), F.col("a")).alias("m")
-        # no distinct on the large-star output: duplicates are bounded
-        # (≤2x, one per sym direction) and small_star's own groupBy +
-        # final distinct normalize them — dropping the exchange saves
-        # one of the round's six shuffles
         large = (
-            sym.join(mins.select("a", "mn").hint("shuffle_hash"), "a")
+            E.join(mins.select("a", "mn").hint("shuffle_hash"), "a")
             .where(F.col("b") > F.col("a"))
             .select(F.col("b").alias("a"), m.alias("b"))
             .where(F.col("a") != F.col("b"))
         )
-        # EAGER checkpoint: the next round's `sym` references E TWICE
-        # (the tagged symmetrizing union), and an unmaterialized lazy
-        # checkpoint is evaluated once per reference — the r14 lazy
-        # variant halved the job count but ran each round's LS/SS DAG
-        # twice inside the mins job (measured: star_clusters 12.9 s lazy
-        # vs 7.7 s eager at sf0.1); one cheap driver-coordinated job per
-        # round is the smaller cost
-        E = small_star(large).localCheckpoint(eager=True)
+        # Re-symmetrize + repartition(a) + PARTITION-LOCAL dedup: all
+        # rows of one `a` land in one partition, so dropDuplicates over
+        # (a,b,fwd) reuses that exchange (hashpartitioning(a) satisfies
+        # the aggregate's clustering; verified 1-Exchange in the plan) —
+        # replacing the r14 small_star distinct + next-round sym union.
+        # EAGER checkpoint: the next round references E three times
+        # (probe aggregate, join left side, and the join's mins build),
+        # and an unmaterialized lazy checkpoint is evaluated once per
+        # reference — the r14 lazy variant halved the job count but ran
+        # each round's LS/SS DAG twice inside the mins job (measured:
+        # star_clusters 12.9 s lazy vs 7.7 s eager at sf0.1)
+        E = (
+            tag_sym(small_star(large))
+            .dropDuplicates(["a", "b", "fwd"])
+            .localCheckpoint(eager=True)
+        )
 
     if stats is not None:
         # observability for scale probes: round count is the log-diameter
@@ -1344,7 +1368,10 @@ def near_dup_clusters_star(
         stats["rounds"] = rounds
         stats["converged"] = converged
     labels = nodes.join(
-        E.select(F.col("a").alias("id"), F.col("b").alias("lab")), "id", "left"
+        E.where(F.col("fwd") == 1).select(
+            F.col("a").alias("id"), F.col("b").alias("lab")
+        ),
+        "id", "left",
     ).select("id", F.coalesce("lab", F.col("id")).alias("lab"))
     if not converged:
         # max_iter exhausted without reaching disjoint stars: a node may
