@@ -3178,9 +3178,21 @@ def binary_quantize(
     )
 
 
-def hamming_dist(a: Column, b: Column) -> Column:
-    """Hamming distance between two packed word arrays — one zip_with
-    of bit_count(xor) plus an integer fold; exact, engine-agnostic."""
+def hamming_dist(a: Column, b: Column, n_words: Optional[int] = None) -> Column:
+    """Hamming distance between two packed word arrays. With ``n_words``
+    (known at plan-build time everywhere the engine bands) the sum is
+    UNROLLED into explicit ``bit_count(element_at xor)`` terms that stay
+    in whole-stage codegen; the ``zip_with``+``aggregate`` fallback
+    evaluates its lambdas INTERPRETED per element (the r14 cosine-norm
+    finding, guide §4.1) — measured 2.4 s vs 1.3 s on the sf0.1
+    clusters pair stage. Same exact integer result."""
+    if n_words is not None:
+        return sum(
+            F.bit_count(
+                F.element_at(a, i + 1).bitwiseXOR(F.element_at(b, i + 1))
+            )
+            for i in range(int(n_words))
+        )
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
         F.lit(0),
@@ -3634,10 +3646,12 @@ def hamming_topk(
     excluded, ties by nbr_id."""
     if index is not None:
         vq = index.words
+        n_words = index.dim // index.word_bits
     else:
         if embeddings is None:
             raise ValueError("hamming_topk: embeddings or index required")
         vq = binary_quantize(embeddings, word_bits, id_col, vec_col)
+        n_words = None  # dim unknown here: keep the fold form
     qdf = F.broadcast(
         vq.filter(F.col("id") < n_queries).select(
             F.col("id").alias("query_id"), F.col("words").alias("qw")
@@ -3650,7 +3664,7 @@ def hamming_topk(
         .filter(F.col("nbr_id") != F.col("query_id"))
         .select(
             "query_id", "nbr_id",
-            hamming_dist(F.col("qw"), F.col("words")).alias("hamming"),
+            hamming_dist(F.col("qw"), F.col("words"), n_words).alias("hamming"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -3755,20 +3769,37 @@ def hamming_near_dups(
         mask_row = literal_frame(probe.sparkSession,
             [(_hamming_masks(word_bits, band_radius),)], "__masks array<long>"
         )
+        # spread BEFORE the mask explode (r15, the spread_pairs idiom,
+        # guide §2.5): the enumeration multiplies rows by ~sum C(wb,0..r)
+        # inside one codegen stage, so a single-file corpus scan ran the
+        # whole generation on ONE task (profiled: 0.9 s single-task
+        # stage feeding the band join). The exchange moves the narrow
+        # pre-explode (id, j, wval) rows — 1/masks of the generated
+        # volume — and its width scales with the cluster, not a local
+        # constant.
         probe = (
-            probe.crossJoin(F.broadcast(mask_row))
+            spread_pairs(probe, "id_b", "j")
+            .crossJoin(F.broadcast(mask_row))
             .select("id_b", "j", F.explode("__masks").alias("mask"), "wval")
             .select(
                 "id_b", "j",
                 F.col("wval").bitwiseXOR(F.col("mask")).alias("wval"),
             )
         )
+    # NO distinct before the verify (r15, guide §2.3): at a permissive
+    # threshold the banded equijoin proposes most of the pair space
+    # (measured sf0.1 clusters gate: 2.31M joined rows, 1.43M distinct
+    # pairs, 3.7k true pairs), so deduplicating candidates first paid a
+    # full O(pairs) exchange to save re-verifying at ~1.6x multiplicity
+    # — the exact bit_count fold is cheap codegen, so verifying WITH
+    # multiplicity and deduplicating only the survivors moves the
+    # distinct from 1.4M rows to ~6k. Guaranteed recall is untouched
+    # (same candidate set, same verify).
     cands = (
         ex.select(F.col("id").alias("id_a"), "j", "wval")
         .join(probe, ["j", "wval"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
     a = vq.select(F.col("id").alias("id_a"), F.col("words").alias("wa"))
     b = vq.select(F.col("id").alias("id_b"), F.col("words").alias("wb"))
@@ -3777,10 +3808,11 @@ def hamming_near_dups(
         .join(b, "id_b")
         .select(
             "id_a", "id_b",
-            hamming_dist(F.col("wa"), F.col("wb")).alias("hamming"),
+            hamming_dist(F.col("wa"), F.col("wb"), n_words).alias("hamming"),
         )
         .filter(F.col("hamming") <= F.lit(int(threshold)))
         .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+        .distinct()
     )
 
 
@@ -3901,7 +3933,7 @@ def hamming_incremental_near_dups(
         .join(c, "corpus_id")
         .select(
             "batch_id", "corpus_id",
-            hamming_dist(F.col("bw"), F.col("cw")).alias("hamming"),
+            hamming_dist(F.col("bw"), F.col("cw"), n_words).alias("hamming"),
         )
         .filter(F.col("hamming") <= F.lit(int(threshold)))
         .select(
@@ -4242,7 +4274,8 @@ def hamming_knn_join(
         .join(cw, "nbr_id")
         .select(
             "query_id", "nbr_id",
-            hamming_dist(F.col("qw"), F.col("cw")).alias("hamming"),
+            hamming_dist(F.col("qw"), F.col("cw"), dim // word_bits)
+            .alias("hamming"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
