@@ -124,6 +124,15 @@ def _update_steps_from_orders(
     price-set, one DataFrame per step. The fold must reproduce
     (status, priority, price) exactly."""
     orders = _read(spark, sf_dir, "orders")
+    # (r15 measured rejections, recorded so the next round doesn't retry:
+    # widening the 3-task delta-generation stage was attempted three ways
+    # and all lost — a round-robin spread pays sortBeforeRepartition on
+    # every column per branch (12.7 s CPU); a keyed spread is not shared
+    # because per-branch column pruning plans three different exchanges;
+    # pinning the spread base traded resolve_fold 2.0→2.6 s for
+    # snapshot_as_of 2.6→2.0 s — a wash with extra cached-read CPU. The
+    # fold-side width fix lives in resolve_ops._presort, where the
+    # exchange already exists.)
     okey = F.col("o_orderkey")
     key = okey.cast("string").alias("key")
     tags = F.array().cast("array<string>").alias("tags")

@@ -165,10 +165,24 @@ def _presort(updates: DataFrame) -> DataFrame:
     """One shuffle on (tbl, key) + JVM-side partition-local sort in
     time-UUID order, so the Python fold never sorts: the 60-bit timestamp
     is decoded with string ops + conv (whole-stage codegen), ties break on
-    the uuid string (== byte order for same-case hex)."""
+    the uuid string (== byte order for same-case hex).
+
+    EXPLICIT width (r15, guide §2.5 — the spread_pairs idiom): AQE's
+    byte-targeted coalescing squeezed the ~10 MB shuffled log onto 8
+    tasks, serializing a Python fold that costs seconds of per-row work
+    (profiled: 11.4 s task-time on 8 of 32 cores). The width is
+    max(defaultParallelism, shuffle.partitions) — cluster-sized knobs,
+    never a local constant — and partitioning stays hash(tbl, key), so
+    every document's rows remain co-located and the fold's result is
+    byte-identical."""
+    sess = updates.sparkSession
+    n = max(
+        sess.sparkContext.defaultParallelism,
+        int(sess.conf.get("spark.sql.shuffle.partitions")),
+    )
     ticks = change_id_ticks(F.col("change_id"))
     return (
-        updates.repartition("tbl", "key")
+        updates.repartition(n, "tbl", "key")
         .sortWithinPartitions("tbl", "key", ticks, F.col("change_id"))
     )
 
