@@ -1926,13 +1926,31 @@ def prefix_filter_pairs(
         items.join(freq, "s")
         .withColumn("__pos", F.row_number().over(w))
         .where(F.col("__pos") <= F.col("n") - ceil_tn + F.lit(1))
-        .select("id", "s")
+        .select("id", "s", "n")
     )
-    a = prefix.withColumnRenamed("id", "id_a")
-    b = prefix.withColumnRenamed("id", "id_b")
+    a = prefix.select(
+        F.col("id").alias("id_a"), "s", F.col("n").alias("__na")
+    )
+    b = prefix.select(
+        F.col("id").alias("id_b"), "s", F.col("n").alias("__nb")
+    )
+    # LENGTH filter on the matched prefix rows (r15, guide §3.2 — the
+    # SSJoin size lemma): J(x,y) = i/u >= num/den with i <= min(|x|,|y|)
+    # and u >= max(|x|,|y|) forces den*min >= num*max, integer-exact; a
+    # pair failing it cannot reach the threshold, so dropping it BEFORE
+    # the distinct + verify loses nothing (measured sf0.1: 202.6k
+    # candidate pairs -> 104.3k, true pairs 256 — the verify intersect
+    # and the pair exchange both halve). The sizes ride the prefix rows
+    # as one long per side; a PPJoin positional filter on (__pos) was
+    # measured on top and rejected: +2% selectivity for two more carried
+    # columns.
     return (
         a.join(b, "s")
         .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.lit(int(threshold_den)) * F.least("__na", "__nb")
+            >= F.lit(int(threshold_num)) * F.greatest("__na", "__nb")
+        )
         .select("id_a", "id_b")
         .distinct()
     )

@@ -1536,6 +1536,33 @@ def test_prefix_filter_pairs_complete_vs_bruteforce(spark):
     assert verified == expected
 
 
+def test_prefix_filter_pairs_size_filter_prunes(spark):
+    """The r15 length filter: a pair whose set sizes violate
+    den*min >= num*max cannot reach the Jaccard threshold and must NOT
+    surface as a candidate, even when it shares a rare prefix gram —
+    while size-compatible sharers still do (recall is pinned by
+    test_prefix_filter_pairs_complete_vs_bruteforce)."""
+    from emodb_spark.pipeline.dedup import prefix_filter_pairs
+
+    # doc 1: 3 distinct 2-shingles; doc 2: same 3 + 7 more (10 total):
+    # 10*min=30 < 7*max=70 -> pruned. doc 3: the same 3 + 1 more (4
+    # total) vs doc 1: 10*3 >= 7*4 -> kept as a candidate.
+    base = "a b c d"                       # shingles: ab bc cd
+    long_tail = " ".join(f"x{i} y{i}" for i in range(4))
+    df = spark.createDataFrame(
+        [(1, base), (2, f"{base} {long_tail}"), (3, f"{base} e")],
+        "doc_id long, text string",
+    )
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in prefix_filter_pairs(
+            df, shingle_k=2, threshold_num=7, threshold_den=10
+        ).collect()
+    }
+    assert (1, 2) not in cands
+    assert (1, 3) in cands
+
+
 def test_session_cooccurrence_hand_computed(spark):
     from emodb_spark.pipeline.events import session_cooccurrence
 
