@@ -444,8 +444,22 @@ def train_hashed_classifier(
     n_docs = df.count()
     if lr_den is None:
         lr_den = 64 * max(n_docs, 1)
+    # Spread the corpus BEFORE the feature explode (r15, guide §2.5): a
+    # single-file scan left the pinned feats table on ONE partition
+    # (localCheckpoint captures the physical layout), so every
+    # iteration's join + aggregates started serial (profiled: 1-task
+    # stages reading the whole 56 MB table per iteration). The keyed
+    # repartition moves the narrow text rows once; the normalize +
+    # explode + hashing then run at cluster width and the checkpoint
+    # pins that layout for all iterations.
+    sess = df.sparkSession
+    width = max(
+        sess.sparkContext.defaultParallelism,
+        int(sess.conf.get("spark.sql.shuffle.partitions")),
+    )
     feats = hashed_features(
-        df, n_buckets, text_col=text_col, id_col=id_col
+        df.repartition(width, F.col(id_col)), n_buckets,
+        text_col=text_col, id_col=id_col
     ).localCheckpoint(eager=True)
     labels = df.select(
         F.col(id_col).alias("id"),
