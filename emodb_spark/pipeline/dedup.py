@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from emodb_spark.spark.local_frame import literal_frame
+from emodb_spark.spark.pinning import pin
 
 _log = logging.getLogger(__name__)
 
@@ -1143,20 +1144,19 @@ def near_dup_clusters(
     # verify pipeline (measured r14: the sf0.1 minhash pair DAG ran ~4x
     # inside the edges job — 2 union branches x 2 self-join sides — for
     # 20.3 s where the pair query alone costs 3.4 s)
-    fwd = pairs.select(
+    fwd = pin(pairs.select(
         F.col("id_a").cast(key_t).alias("src"), F.col("id_b").cast(key_t).alias("dst")
-    ).localCheckpoint(eager=True)
+    ))
     # pin the edge set once: every propagation round re-reads it.
     # Hash-partition by src BEFORE the checkpoint (the integer_pagerank
     # idiom — LogicalRDD captures the physical layout), so each round's
     # propagation join reuses the edges' partitioning instead of
     # re-exchanging the (bigger) edge side every round; only the evolving
     # label table shuffles per round.
-    edges = (
+    edges = pin(
         fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .repartition("src")
-        .localCheckpoint(eager=True)
     )
 
     labels = nodes.select("id", F.col("id").alias("lab"))
@@ -1175,7 +1175,7 @@ def near_dup_clusters(
             )
             cur = cur.unionByName(nbr).groupBy("id").agg(F.min("lab").alias("lab"))
             done += 1
-        new_labels = cur.localCheckpoint(eager=True)
+        new_labels = pin(cur)
         if numeric:
             # labels only ever DECREASE under min-propagation, so an
             # unchanged exact sum ⟺ fixpoint — one reduce job instead of
@@ -1261,13 +1261,13 @@ def near_dup_clusters_star(
             .repartition("a")
         )
 
-    E = tag_sym(
+    E = pin(tag_sym(
         pairs.select(
             F.greatest(a0, b0).alias("a"), F.least(a0, b0).alias("b")
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
-    ).localCheckpoint(eager=True)
+    ))
 
     # join hints: `mins` is O(nodes) — at corpus scale it is NOT
     # broadcastable, so pin the honest plan (shuffle-hash on the node
@@ -1356,10 +1356,8 @@ def near_dup_clusters_star(
         # reference — the r14 lazy variant halved the job count but ran
         # each round's LS/SS DAG twice inside the mins job (measured:
         # star_clusters 12.9 s lazy vs 7.7 s eager at sf0.1)
-        E = (
-            tag_sym(small_star(large))
-            .dropDuplicates(["a", "b", "fwd"])
-            .localCheckpoint(eager=True)
+        E = pin(
+            tag_sym(small_star(large)).dropDuplicates(["a", "b", "fwd"])
         )
 
     if stats is not None:

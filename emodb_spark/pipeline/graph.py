@@ -25,6 +25,7 @@ test per round).
 
 from __future__ import annotations
 
+from ..spark.pinning import pin
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -78,7 +79,7 @@ def integer_pagerank(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
         .repartition("src")
-        .localCheckpoint()
+        .transform(pin)
     )
     deg = e.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).cast("long").alias("degree")
@@ -89,7 +90,7 @@ def integer_pagerank(
         .distinct()
         .join(deg, "id", "left")
         .withColumn("degree", F.coalesce(F.col("degree"), F.lit(0)).cast("long"))
-        .localCheckpoint()
+        .transform(pin)
     )
     base = scale * (100 - damping_pct) // 100
     ranked = nodes.withColumn("pagerank", F.lit(scale).cast("long"))
@@ -152,16 +153,16 @@ def triangle_counts(
     # a fingerprint-overlap join) would run twice inside und's own job
     ed = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
-    ).localCheckpoint()
+    ).transform(pin)
     und = (
         ed.union(ed.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .transform(pin)
     )
     deg = und.groupBy(F.col("a").alias("id")).agg(
         F.count(F.lit(1)).cast("long").alias("degree")
-    ).localCheckpoint()
+    ).transform(pin)
     # orient each edge toward the (degree, id)-larger endpoint
     da = deg.select(F.col("id").alias("a"), F.col("degree").alias("da"))
     db = deg.select(F.col("id").alias("b"), F.col("degree").alias("db"))
@@ -173,7 +174,7 @@ def triangle_counts(
             | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
         )
         .select("a", "b")
-        .localCheckpoint()
+        .transform(pin)
     )
     # wedges through the low vertex, then probe the oriented edges
     o1 = oriented.select(F.col("a").alias("w"), F.col("b").alias("u"))

@@ -1,0 +1,49 @@
+"""Pinning strategy for the iterative graph/dedup kernels.
+
+The kernels pin multiply-referenced intermediates with an eager
+``localCheckpoint`` (r14: plan-embedded, survives callers deriving new
+frames, blocks freed by the ContextCleaner). ``localCheckpoint`` stores
+executor-LOCAL blocks with no lineage and no replication — the right
+trade in local mode and on stable clusters, but at 100 TB an executor
+loss mid-kernel kills the JOB (never the answer: a lost block fails the
+action, it cannot corrupt it), because there is no lineage left to
+recompute the block and no replica to read.
+
+Deployments that cannot afford job restarts opt into RELIABLE pins:
+
+    spark.sparkContext.setCheckpointDir("hdfs://.../checkpoints")
+    spark.conf.set("spark.emodb.reliablePin", "true")
+
+and every kernel pin becomes a reliable ``checkpoint()`` — same values,
+same plan shape above the pin, blocks on fault-tolerant storage, at the
+cost of a write to the checkpoint dir per pin. The knob is read per
+pin, so a session can scope it to one kernel call.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+RELIABLE_PIN_CONF = "spark.emodb.reliablePin"
+
+
+def pin(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Materialize + cut lineage on a multiply-referenced intermediate.
+
+    Default: eager ``localCheckpoint`` (executor-local blocks, fastest).
+    With ``spark.emodb.reliablePin=true`` (and a SparkContext checkpoint
+    dir set): reliable ``checkpoint`` — fault-tolerant blocks for
+    cluster deployments where an executor loss mid-kernel must not kill
+    the job. Values are identical under either mode; only block
+    placement and failure behavior differ."""
+    sess = df.sparkSession
+    try:
+        reliable = (
+            (sess.conf.get(RELIABLE_PIN_CONF, "false") or "false").lower()
+            == "true"
+        )
+    except Exception:  # pragma: no cover — conf access never blocks a pin
+        reliable = False
+    if reliable:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)

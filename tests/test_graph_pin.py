@@ -109,3 +109,42 @@ def test_triangle_values_on_known_graph(spark):
     )
     out = {r["id"]: r["triangles"] for r in triangle_counts(e).collect()}
     assert out == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0}
+
+
+def test_reliable_pin_mode_identical_labels(spark, tmp_path):
+    """spark.emodb.reliablePin=true routes every kernel pin through a
+    reliable checkpoint() (fault-tolerant blocks for cluster runs) —
+    values must be identical to the default localCheckpoint mode for
+    all three iterative kernels."""
+    from pyspark.sql import functions as F
+
+    from emodb_spark.pipeline.dedup import (
+        near_dup_clusters, near_dup_clusters_star,
+    )
+    from emodb_spark.pipeline.graph import integer_pagerank
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(12)], "doc_id long")
+    # two chains + singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (5, 6), (7, 8), (8, 9)],
+        "id_a long, id_b long")
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+
+    def run_all():
+        lab = sorted(map(tuple, near_dup_clusters(docs, pairs).collect()))
+        star = sorted(map(tuple,
+                          near_dup_clusters_star(docs, pairs).collect()))
+        pr = sorted(map(tuple,
+                        integer_pagerank(edges, iterations=2).collect()))
+        return lab, star, pr
+
+    base = run_all()
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    spark.conf.set("spark.emodb.reliablePin", "true")
+    try:
+        reliable = run_all()
+    finally:
+        spark.conf.set("spark.emodb.reliablePin", "false")
+    assert reliable == base
